@@ -1,13 +1,417 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{SparkSession, DataFrame, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators.{TextAnalysis, Dedup, Similarity}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every `queries` entry is a self-contained (SparkSession, sfDir) =>
+  * DataFrame; `oracleSql` holds the DuckDB-equivalent SQL for the driver's
+  * correctness gate. Column names/types are aligned on both sides (the
+  * driver sorts columns by name before hashing). Aggregates over doubles
+  * are rounded on both sides to absorb FP summation-order differences.
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    // events.ts is TIMESTAMP(NANOS) parquet, read as ns-long via
+    // spark.sql.legacy.parquet.nanosAsLong; convert with exact integer
+    // division (ns > 2^53 ⇒ double division would lose precision).
+    if (name == "events") df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else df
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------------
+  // Relational core (TPC-H-ish) — exercises agg / join / window / setop /
+  // rollup / topk with scale-aware physical shapes (broadcast dims, single
+  // shuffle per agg, TakeOrderedAndProject for top-k).
+  // ---------------------------------------------------------------------
+
+  private def q1(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  private def qFilter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_discount") > 0.05 && col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private def qJoinTopk(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer"); val o = t(s, dir, "orders"); val li = t(s, dir, "lineitem")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment") === "BUILDING")
+      .groupBy(col("o_orderkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  private def qBroadcastDims(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem"); val sup = t(s, dir, "supplier")
+    val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+    li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  private def qWindowTopn(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    t(s, dir, "lineitem")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("l_suppkey"), col("rn"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
+      .orderBy(col("l_suppkey"), col("rn"))
+  }
+
+  private def qWindowRunning(s: SparkSession, dir: String): DataFrame = {
+    // (l_orderkey, l_linenumber) is not unique in the data — order on the
+    // full row so the running sum is deterministic across engines.
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_partkey"), col("l_suppkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "lineitem")
+      .withColumn("running_qty", round(sum(col("l_quantity")).over(w), 2))
+      .select(col("l_orderkey"), col("l_linenumber"), col("running_qty"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("running_qty"))
+  }
+
+  private def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").select(col("c_custkey").as("k"))
+    val buyers = t(s, dir, "orders").select(col("o_custkey").as("k"))
+    val inter = cust.intersect(buyers).withColumn("set_op", lit("intersect"))
+    val excpt = cust.except(buyers).withColumn("set_op", lit("except"))
+    inter.unionByName(excpt).orderBy(col("set_op"), col("k"))
+  }
+
+  private def qRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  private def qAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+    c.join(o.filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private def qSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders"); val li = t(s, dir, "lineitem")
+    o.join(li.filter(col("l_quantity") > 45), col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** KnowDB-style lookup enrichment (reference: OML `select … from table
+    * where key = read(x)`, crates/wp-oml sql_prm.rs) as broadcast joins. */
+  private def qKnowdbLookup(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"), "left")
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"), "left")
+      .select(col("c_custkey"), col("c_name"), col("n_name"), col("r_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Events (time-series / JSON props)
+  // ---------------------------------------------------------------------
+
+  private def qEventsHourly(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  private def qEventsJson(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy(col("event_type"))
+
+  private def qEventsLag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("sec", unix_timestamp(col("ts")))
+      .withColumn("prev_sec", lag(col("sec"), 1).over(w))
+      .withColumn("gap_sec", col("sec") - col("prev_sec"))
+      .select(col("user_id"), col("event_id"), col("gap_sec"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Training-data ops: dedup / text analysis / similarity
+  // ---------------------------------------------------------------------
+
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
+      .orderBy(col("keep_id"))
+
+  private def qTextQuality(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.select((col("doc_id") +: TextAnalysis.qualityColumns(col("text"))): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  private def qTokenStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
+        TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  private def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
+        n = 3, threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private def qMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(t(s, dir, "documents"), "text", "doc_id")
+      .orderBy(col("id_a"), col("id_b"))
+
+  private def qSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id", maxDist = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private def qLangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.langIdUdf(col("text")).as("lang_pred"))
+      .orderBy(col("doc_id"))
+
+  private def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprintUdf(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  private def qAnnTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding")).head()
+      .getSeq[Float](0).map(_.toDouble)
+    Similarity.bruteForceTopK(e, "embedding", "vec_id", q, 10)
+  }
+
+  private def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding")).head()
+      .getSeq[Float](0).map(_.toDouble)
+    Similarity.lshTopK(e, "embedding", "vec_id", q, 10, dim = q.length,
+      nBits = 8, probes = 2)
+  }
+
+  // ---------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1 _),
+    "q_filter_pushdown" -> (qFilter _),
+    "q_join_topk" -> (qJoinTopk _),
+    "q_broadcast_dims" -> (qBroadcastDims _),
+    "q_window_topn" -> (qWindowTopn _),
+    "q_window_running" -> (qWindowRunning _),
+    "q_set_ops" -> (qSetOps _),
+    "q_rollup" -> (qRollup _),
+    "q_anti_join" -> (qAntiJoin _),
+    "q_semi_join" -> (qSemiJoin _),
+    "knowdb_lookup" -> (qKnowdbLookup _),
+    "q_events_hourly" -> (qEventsHourly _),
+    "q_events_json" -> (qEventsJson _),
+    "q_events_lag" -> (qEventsLag _),
+    "dedup_exact" -> (qDedupExact _),
+    "text_quality" -> (qTextQuality _),
+    "token_stats" -> (qTokenStats _),
+    "dedup_ngram_jaccard" -> (qNgramJaccard _),
+    "dedup_minhash_lsh" -> (qMinhashLsh _),
+    "dedup_simhash" -> (qSimhash _),
+    "lang_id" -> (qLangId _),
+    "doc_fingerprint" -> (qFingerprint _),
+    "ann_cosine_topk" -> (qAnnTopk _),
+    "ann_lsh_topk" -> (qAnnLsh _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity),2) AS sum_qty,
+         round(sum(l_extendedprice),2) AS sum_base_price,
+         round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+         round(avg(l_quantity),4) AS avg_qty,
+         count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_discount > 0.05
+           AND l_returnflag = 'R'
+         ORDER BY l_orderkey, l_linenumber""",
+    "q_join_topk" ->
+      """SELECT o_orderkey,
+         round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+         GROUP BY o_orderkey
+         ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+    "q_broadcast_dims" ->
+      """SELECT r_name, n_name,
+         round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+         count(*) AS n_items
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q_window_topn" ->
+      """SELECT l_suppkey, rn, l_orderkey, l_linenumber, l_extendedprice FROM (
+           SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+             row_number() OVER (PARTITION BY l_suppkey
+               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+           FROM lineitem) WHERE rn <= 3
+         ORDER BY l_suppkey, rn""",
+    "q_window_running" ->
+      """SELECT l_orderkey, l_linenumber,
+         round(sum(l_quantity) OVER (PARTITION BY l_orderkey
+           ORDER BY l_linenumber, l_quantity, l_extendedprice, l_partkey, l_suppkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_qty
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, running_qty""",
+    "q_set_ops" ->
+      """SELECT k, set_op FROM (
+           SELECT k, 'intersect' AS set_op FROM
+             (SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey FROM orders)
+           UNION ALL
+           SELECT k, 'except' AS set_op FROM
+             (SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey FROM orders))
+         ORDER BY set_op, k""",
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag,'ALL') AS returnflag,
+         coalesce(l_linestatus,'ALL') AS linestatus,
+         count(*) AS n, round(sum(l_quantity),2) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY returnflag, linestatus""",
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+         ORDER BY c_custkey""",
+    "q_semi_join" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+           WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+         ORDER BY o_orderkey""",
+    "knowdb_lookup" ->
+      """SELECT c_custkey, c_name, n_name, r_name
+         FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+         LEFT JOIN region ON n_regionkey = r_regionkey
+         ORDER BY c_custkey""",
+    "q_events_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+         count(*) AS n, round(sum(value),2) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_events_json" ->
+      """SELECT event_type, count(*) AS n,
+         sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_events_lag" ->
+      """SELECT user_id, event_id, sec - prev_sec AS gap_sec FROM (
+           SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             lag(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+           FROM events) ORDER BY user_id, event_id""",
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_md5, min(doc_id) AS keep_id,
+         count(*) AS dup_count
+         FROM documents GROUP BY md5(text) ORDER BY keep_id""",
+    "text_quality" ->
+      """SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS q_chars,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+           x -> len(x) > 0)) AS BIGINT) AS q_tokens,
+         round(CASE WHEN len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             x -> len(x) > 0)) > 0
+           THEN CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) /
+             len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0))
+           ELSE 0.0 END, 4) AS q_avg_token_len,
+         round(CASE WHEN len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             x -> len(x) > 0)) > 0
+           THEN CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             x -> list_contains(['the','a','an','and','or','of','to','in','is','it',
+               'that','this','for','on','with','as','at','by','be'], lower(x))))
+             AS DOUBLE) /
+             len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0))
+           ELSE 0.0 END, 4) AS q_stopword_ratio,
+         round(CASE WHEN length(text) > 0
+           THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) /
+             length(text)
+           ELSE 0.0 END, 4) AS q_punct_ratio
+         FROM documents ORDER BY doc_id""",
+    "token_stats" ->
+      """SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+           x -> len(x) > 0)) AS BIGINT) AS n_ws_tokens,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+           AS BIGINT) AS n_bpe_tokens
+         FROM documents ORDER BY doc_id""",
+    "dedup_ngram_jaccard" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+             x -> len(x) > 0) AS t FROM documents),
+         sh0 AS (
+           SELECT doc_id, t, unnest(generate_series(1, greatest(len(t)-2, 0))) AS i
+           FROM toks),
+         sh AS (
+           SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+           FROM sh0),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS n_inter
+           FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+           GROUP BY l.doc_id, r.doc_id)
+         SELECT id_a, id_b,
+           round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+         FROM inter JOIN sizes sa ON sa.doc_id = id_a
+         JOIN sizes sb ON sb.doc_id = id_b
+         WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+         ORDER BY id_a, id_b""",
+    "ann_cosine_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+         SELECT vec_id,
+           round(list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+             (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+              sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+         FROM embeddings, q
+         ORDER BY cos_sim DESC, vec_id LIMIT 10"""
+    // dedup_minhash_lsh / dedup_simhash / lang_id / doc_fingerprint /
+    // ann_lsh_topk use engine-internal hash families that are not
+    // SQL-expressible → rows-only check (covered by ScalaTest instead).
+  )
 }

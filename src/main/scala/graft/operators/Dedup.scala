@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, designed around
+  * Spark's shuffle model so each variant stays a single hash exchange:
+  *
+  *  - exact:   one groupBy on a content hash (map-side partial agg).
+  *  - minhash: signature is computed map-side (UDF, partition-local);
+  *    LSH banding turns the O(n²) pair search into an equi-join on
+  *    (band, bandHash) — one shuffle keyed by band bucket, so at 100 TB
+  *    only same-bucket candidates are ever co-located.
+  *  - simhash: 64-bit signature, near-dup = hamming distance ≤ k; bucketed
+  *    by the 4×16-bit block trick (pigeonhole: any pair within hamming ≤3
+  *    shares one exact 16-bit block) → equi-join, no cross product.
+  *  - n-gram Jaccard: shingle explode + equi-join on shingle → candidate
+  *    pair counts → exact Jaccard, all in native exprs.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id row per identical content. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_md5"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Word n-gram shingles as an array column (native, codegen). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    array_distinct(
+      filter(
+        transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+          i => when(i + n <= size(toks), concat_ws(" ", slice(toks, i + 1, lit(n))))),
+        x => x.isNotNull))
+  }
+
+  /** MinHash signature of a shingle set: nPerm universal-hash permutations
+    * over the FNV-1a shingle hash. Partition-local, deterministic. */
+  def minhashSignature(shingles: Seq[String], nPerm: Int): Array[Long] = {
+    val sig = Array.fill(nPerm)(Long.MaxValue)
+    val hs = shingles.map(TextAnalysis.fnv1a64)
+    var p = 0
+    while (p < nPerm) {
+      // odd multiplier + offset per permutation (splitmix-derived constants)
+      val a = 0x9E3779B97F4A7C15L * (2 * p + 1)
+      val b = 0xC2B2AE3D27D4EB4FL * (p + 1)
+      var m = Long.MaxValue
+      for (h <- hs) {
+        val v = java.lang.Long.rotateLeft(h * a + b, 17) * 0x165667B19E3779F9L
+        if (v < m) m = v
+      }
+      sig(p) = m
+      p += 1
+    }
+    sig
+  }
+
+  private val minhashUdf = udf((sh: Seq[String], n: Int) => minhashSignature(sh, n))
+
+  /** Candidate near-dup pairs via MinHash + LSH banding.
+    * Output: (id_a, id_b, n_shared_bands); id_a < id_b.
+    * One wide shuffle keyed by (band, hash-of-rows) — no cross join. */
+  def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
+                      shingleN: Int = 3, nPerm: Int = 32, bands: Int = 8): DataFrame = {
+    val rowsPerBand = nPerm / bands
+    val sigd = df
+      .select(col(idCol).as("mh_id"),
+        minhashUdf(wordShingles(col(textCol), shingleN), lit(nPerm)).as("sig"))
+    val banded = sigd.select(col("mh_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .toDF("mh_id", "band", "band_hash")
+    val l = banded.alias("l"); val r = banded.alias("r")
+    l.join(r, col("l.band") === col("r.band") &&
+        col("l.band_hash") === col("r.band_hash") &&
+        col("l.mh_id") < col("r.mh_id"))
+      .groupBy(col("l.mh_id").as("id_a"), col("r.mh_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** 64-bit SimHash over whitespace tokens. */
+  def simhash64(text: String): Long = {
+    if (text == null) return 0L
+    val votes = new Array[Int](64)
+    for (t <- text.split("\\s+") if t.nonEmpty) {
+      val h = TextAnalysis.fnv1a64(t)
+      var b = 0
+      while (b < 64) { if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1; b += 1 }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  val simhashUdf = udf(simhash64 _)
+
+  /** SimHash near-dup pairs with hamming(sig) <= maxDist, using 16-bit
+    * block bucketing (pigeonhole over 4 blocks covers maxDist <= 3). */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxDist: Int = 3): DataFrame = {
+    val sigd = df.select(col(idCol).as("sh_id"), simhashUdf(col(textCol)).as("sig"))
+    val blocked = sigd.select(col("sh_id"), col("sig"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .toDF("sh_id", "sig", "blk", "blk_val")
+    val l = blocked.alias("l"); val r = blocked.alias("r")
+    val ham = bit_count(col("l.sig").bitwiseXOR(col("r.sig")))
+    l.join(r, col("l.blk") === col("r.blk") && col("l.blk_val") === col("r.blk_val") &&
+        col("l.sh_id") < col("r.sh_id"))
+      .filter(ham <= maxDist)
+      .select(col("l.sh_id").as("id_a"), col("r.sh_id").as("id_b"),
+        ham.cast("int").as("hamming"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for candidate pairs that share at
+    * least one shingle. Fully native: explode → equi-join on shingle →
+    * count ∩ / (|A|+|B|-∩). Emits pairs with jaccard >= threshold. */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = df.select(col(idCol).as("jc_id"),
+      wordShingles(col(textCol), n).as("shingles"))
+    val sizes = sh.select(col("jc_id"), size(col("shingles")).as("n_sh"))
+    val ex = sh.select(col("jc_id"), explode(col("shingles")).as("shingle"))
+    val inter = ex.alias("l").join(ex.alias("r"),
+        col("l.shingle") === col("r.shingle") && col("l.jc_id") < col("r.jc_id"))
+      .groupBy(col("l.jc_id").as("id_a"), col("r.jc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    // sizes is 1 row/doc — too big to broadcast at 100 TB; let AQE decide.
+    inter
+      .join(sizes.withColumnRenamed("jc_id", "id_a").withColumnRenamed("n_sh", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("jc_id", "id_b").withColumnRenamed("n_sh", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

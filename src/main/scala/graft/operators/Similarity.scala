@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over an embedding
+  * column (`array<float>`).
+  *
+  * - cosine/dot are pure native expressions (`zip_with` + `aggregate`
+  *   fold in double precision) — codegen'd, no UDF, no shuffle.
+  * - brute-force top-k against one query vector is a map + single top-k
+  *   (`orderBy.limit` → Spark's TakeOrderedAndProject, partial per
+  *   partition then driver merge of k rows — no full sort at scale).
+  * - the scale path buckets vectors with random-hyperplane LSH (signs of
+  *   h fixed pseudo-random projections → h-bit bucket id). Searching a
+  *   query only scans its bucket (+ optional probes): partition pruning
+  *   by bucket turns a 100 TB scan into a per-bucket read when the table
+  *   is written partitioned by `bucket`.
+  */
+object Similarity {
+
+  private def asDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  /** Sequential-fold dot product in double precision (deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(asDouble(a), lit(0.0), (acc, x) => acc + x * x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k of `df(vecCol)` vs a constant query vector. */
+  def bruteForceTopK(df: DataFrame, vecCol: String, idCol: String,
+                     query: Seq[Double], k: Int): DataFrame = {
+    val q = array(query.map(lit): _*)
+    df.select(col(idCol), round(cosine(col(vecCol), q), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplanes: dim × nBits doubles derived
+    * from splitmix64 — identical on every executor, no driver state. */
+  def hyperplanes(dim: Int, nBits: Int): Array[Array[Double]] = {
+    def splitmix(seed: Long): Long = {
+      var z = seed + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    Array.tabulate(nBits) { b =>
+      Array.tabulate(dim) { d =>
+        // map to (-1, 1)
+        splitmix(b.toLong * 1000003L + d).toDouble / Long.MaxValue.toDouble
+      }
+    }
+  }
+
+  /** Random-hyperplane LSH bucket id (nBits-bit int) as a native column:
+    * sign bits of dot(v, plane_b). */
+  def lshBucket(vec: Column, dim: Int, nBits: Int): Column = {
+    val planes = hyperplanes(dim, nBits)
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val pc = array(p.map(lit): _*)
+      when(dot(vec, pc) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _).cast("int").as("lsh_bucket")
+  }
+
+  /** LSH-bucketed ANN: scan only the query's bucket, then exact cosine
+    * top-k inside it. `probes` extra buckets (hamming-1 neighbors of the
+    * bucket id) trade recall for scan cost. */
+  def lshTopK(df: DataFrame, vecCol: String, idCol: String,
+              query: Seq[Double], k: Int, dim: Int, nBits: Int = 8,
+              probes: Int = 0): DataFrame = {
+    val planes = hyperplanes(dim, nBits)
+    var qb = 0L
+    planes.zipWithIndex.foreach { case (p, i) =>
+      val d = p.zip(query).map { case (x, y) => x * y }.sum
+      if (d >= 0) qb |= (1L << i)
+    }
+    val targets: Seq[Long] = qb +: (0 until (probes min nBits)).map(b => qb ^ (1L << b))
+    val bucketed = df.withColumn("lsh_bucket", lshBucket(col(vecCol), dim, nBits))
+    bucketed.filter(col("lsh_bucket").isin(targets: _*))
+      .select(col(idCol), round(cosine(col(vecCol), array(query.map(lit): _*)), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** IVF-style coarse quantization: assign each vector to the nearest of
+    * `centroids` (broadcast as literals), enabling partition-pruned search
+    * when written `partitionBy("ivf_cell")`. */
+  def ivfAssign(df: DataFrame, vecCol: String, centroids: Seq[Seq[Double]]): DataFrame = {
+    val dists = centroids.zipWithIndex.map { case (c, i) =>
+      val cc = array(c.map(lit): _*)
+      struct(aggregate(zip_with(asDouble(col(vecCol)), cc, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x).as("d"), lit(i).as("cell"))
+    }
+    df.withColumn("ivf_cell", array_min(array(dists: _*)).getField("cell"))
+  }
+}

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  *
+  * Everything here is expressed over native Spark SQL functions (codegen'd,
+  * whole-stage friendly) except language-ID and fingerprinting, which are
+  * deterministic scalar Scala UDFs (no external deps, partition-local, no
+  * shuffle). All operators are per-row map-only: at 100 TB they scale
+  * linearly with input splits and introduce zero exchanges.
+  *
+  * Reference capabilities mirrored: `extract_main_word`-style keyword
+  * extraction lives in the reference at
+  * crates/wp-oml/src/core/evaluator/transform/pipe/extract_word.rs; the
+  * quality/langid/token operators are the north-star additions described in
+  * SURVEY.md §2.9.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empty-free. Native (codegen). */
+  def tokens(c: Column): Column =
+    filter(split(trim(c), "\\s+"), t => length(t) > lit(0))
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish token count: word runs, digit runs, and single punctuation
+    * each count as one token (approximates subword tokenizer load). */
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  private val stopwordsEn: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+        "that", "this", "for", "on", "with", "as", "at", "by", "be")
+
+  /** Quality-scoring columns: deterministic per-document signals used to
+    * filter low-quality training text. All native expressions. */
+  def qualityColumns(text: Column): Seq[Column] = {
+    val toks = tokens(text)
+    val nTok = size(toks)
+    val nChars = length(text)
+    val stopHits = size(filter(toks, t => lower(t).isin(stopwordsEn: _*)))
+    val punct = length(regexp_replace(text, "[A-Za-z0-9\\s]", ""))
+    Seq(
+      nChars.cast("long").as("q_chars"),
+      nTok.cast("long").as("q_tokens"),
+      round(when(nTok > 0, length(regexp_replace(text, "\\s+", "")).cast("double") / nTok)
+        .otherwise(lit(0.0)), 4).as("q_avg_token_len"),
+      round(when(nTok > 0, stopHits.cast("double") / nTok).otherwise(lit(0.0)), 4)
+        .as("q_stopword_ratio"),
+      round(when(nChars > 0, punct.cast("double") / nChars).otherwise(lit(0.0)), 4)
+        .as("q_punct_ratio")
+    )
+  }
+
+  /** Per-language stopword profiles for the n-gram/stopword language-ID
+    * heuristic. Deterministic, dependency-free. */
+  private val langProfiles: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "es" -> Set("el", "la", "de", "que", "y", "en", "un", "los", "se", "por"),
+    "de" -> Set("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "fr" -> Set("le", "la", "et", "les", "des", "en", "un", "du", "une", "est"),
+    "pt" -> Set("o", "a", "e", "de", "do", "da", "em", "um", "para", "com")
+  )
+
+  /** Language-ID: stopword-hit voting with a CJK codepoint fast path.
+    * Returns ISO code or "und". Pure function → usable inside mapPartitions
+    * or as a UDF; no state, no shuffle. */
+  def detectLanguage(text: String): String = {
+    if (text == null || text.isEmpty) return "und"
+    var cjk = 0; var total = 0
+    var i = 0
+    while (i < text.length && i < 4096) {
+      val ch = text.charAt(i)
+      if (!Character.isWhitespace(ch)) {
+        total += 1
+        val b = Character.UnicodeBlock.of(ch)
+        if (b == Character.UnicodeBlock.CJK_UNIFIED_IDEOGRAPHS ||
+            b == Character.UnicodeBlock.HIRAGANA ||
+            b == Character.UnicodeBlock.KATAKANA ||
+            b == Character.UnicodeBlock.HANGUL_SYLLABLES) cjk += 1
+      }
+      i += 1
+    }
+    if (total > 0 && cjk.toDouble / total > 0.3) return "zh"
+    val toks = text.toLowerCase.split("\\s+")
+    var best = "und"; var bestHits = 0
+    for ((lang, words) <- langProfiles.toSeq.sortBy(_._1)) {
+      var hits = 0
+      var j = 0
+      while (j < toks.length && j < 512) { if (words.contains(toks(j))) hits += 1; j += 1 }
+      if (hits > bestHits) { best = lang; bestHits = hits }
+    }
+    best
+  }
+
+  val langIdUdf = udf(detectLanguage _)
+
+  /** 64-bit FNV-1a over a string — the shared deterministic token hash for
+    * fingerprinting / simhash / minhash. */
+  def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Rolling-hash document fingerprint over whitespace tokens (order
+    * sensitive, whitespace-normalization insensitive). */
+  def fingerprint(text: String): Long = {
+    if (text == null) return 0L
+    var h = 0xcbf29ce484222325L
+    for (t <- text.split("\\s+") if t.nonEmpty) {
+      h = h * 31L + fnv1a64(t)
+    }
+    h
+  }
+
+  val fingerprintUdf = udf(fingerprint _)
+}
