@@ -1,0 +1,219 @@
+package graft.wpl
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden tests: exact sample lines from the reference's test corpus
+  * (FIXTURES.md F1–F5) must parse with the same WPL rules. */
+class WplGoldenSpec extends AnyFunSuite {
+
+  private def fields(o: ParseOutcome): Vector[WField] = o match {
+    case PSuccess(_, fs) => fs
+    case PPartial(_, fs, res) => fail(s"partial, residue='$res' fields=$fs")
+    case PMiss(r, d) => fail(s"miss best=$r depth=$d")
+    case PBlank => fail("blank")
+  }
+
+  // F1: nginx access log — tests/instance/wpl/example/simple/{parse.wpl,sample.dat}
+  val nginxWpl =
+    """package /example/simple {
+       rule nginx {
+        (ip:sip,2*_,time:recv_time<[,]>,http/request",http/status,digit,chars",http/agent",_")
+       }
+      }"""
+  val nginxLine =
+    """222.133.52.20 - - [06/Aug/2019:12:12:19 +0800] "GET /nginx-logo.png HTTP/1.1" 200 368 "http://119.122.1.4/" "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_14_5) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/75.0.3770.142 Safari/537.36" "-""""
+
+  test("F1 nginx line parses fully") {
+    val mp = Runtime.compile(nginxWpl)
+    val fs = fields(mp.parseLine(nginxLine))
+    val m = fs.map(f => f.name -> f.value).toMap
+    assert(m("sip") == WIp("222.133.52.20"))
+    assert(fs.exists(_.name == "recv_time"))
+    val t = m("recv_time").asInstanceOf[WTime]
+    // 2019-08-06 12:12:19 +0800 = 04:12:19 UTC
+    assert(t.micros == java.time.Instant.parse("2019-08-06T04:12:19Z").toEpochMilli * 1000)
+    val req = m("http/request").asInstanceOf[WObj].fields.toMap
+    assert(req("method") == WChars("GET"))
+    assert(req("uri") == WChars("/nginx-logo.png"))
+    assert(req("version") == WChars("HTTP/1.1"))
+    assert(m("http/status") == WDigit(200))
+    assert(m("digit") == WDigit(368))
+    assert(m("chars") == WChars("http://119.122.1.4/"))
+    assert(m("http/agent").sval.startsWith("Mozilla/5.0"))
+  }
+
+  // F2: 25-field benchmark CSV — tests/instance/wpl/benchmark/parse.wpl
+  val benchWpl =
+    """package /benchmark {
+        rule benchmark_1 {
+          (digit:id,digit:len,time,sn,chars:dev_name,time,kv,sn,chars:dev_name,time,time,ip,kv,chars,kv,kv,chars,kv,kv,chars,chars,ip,chars,http/request<[,]>,http/agent")\,
+        }
+        rule benchmark_2 {
+          (ip:src_ip,digit:port,chars:dev_name,ip:dst_ip,digit:port,time",kv,kv,sn,kv,ip,kv,chars,kv,sn,kv,kv,time,chars,time,sn,kv,chars,chars,ip,chars,http/request",http/agent")\,
+        }
+      }"""
+  val benchLine1 =
+    """1407,509,2021-4-20 18:10:19,WCY7-ZT-QEAK-N6PD,ByHJpEtscumFff6FNLLjoFwMsOjVRWHMxxFT56NxfmktY1ASgo,2022-4-4 21:0:13,Tv7=9WxLPktFSMRBH4WRUCiBkmh2swZLod,DQGB-NL-RY2X-0SFD,cqIZXVT8FtAYrrlKI7q2CKL0D69Cg5jgbtnzzaJnUcUusZBIF5,2020-11-8 10:58:21,2022-4-13 14:27:12,111.237.105.120,TeG=ro1WpYpimAoG0n182NqwpkRvX2Xfod,q9gZeTkIxlCoGrAEUNqHhG17CT4OKebKXC0Ze5iXiyi2JYYnwc,hnB=FEdOhmFkM6SxBwiy3ATZePyBJBK5TT,YUC=X9JVE4p4WCNRwNjIdJ8mwnjLzs9fTY,Cmvp92V96paAHM8L60NzWl93AUHSR3WdxriwHmUDDxVohd8NcI,gtd=5srrDgB8YZMipedJ60jpl99HQg2SZR,8Ju=I1C1RzlgmX3IlS9Vp2hLsQWiudvZqz,uVAx1yArjlE1suY3887oCA44dWbm2MNZykeAqCwiq2KJbZlais,3ERd33ADEIKXISZLYWJx8juR455t753fybdcypXE2akn4KqITx,83.213.168.46,tzZ6oyqEA9ffm1e1Pi96344C6HVlw9zti4LWhBd0z9gStkFDuw,[GET /index  HTTP/1.1 ],"Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/70.0.3538.77 Safari/537.36""""
+  val benchLine2 =
+    """72.239.155.6,1649,I944ZnNOhzfRp5r9Uty3PAJm90uY0v99qifhMKZnj5ffpxoYKy,109.58.83.177,871,"2021-2-11 5:58:51",uiw=kJ7WTzURWSCBAFqndYGT3LyLvlGTvQ,Al7=IgEVbLZ8NY7nku6BAy09upYGLxhkhz,ZBO5-MU-1Y00-R0CC,LFb=hObKOnpop8AqB0txd2mIP5wOmewIYg,92.18.113.95,c92=njjiv2beYuGOIakykMY8ZNX7rnNoL4,lk5kAKxOUfji8jAnHAbiCCtoUFCpDOYdsCHliJp1dvbZvwm9f4,jHJ=noXGAGWkuAfPJhz5DyDZS6DkkphDAg,8IKD-EU-J6LO-OY2U,fSr=qJ5IaAIKQdDWnFszoRASqnX5dOx08b,nlQ=P5yEAqAaKcndGunRyKx56UvtgI3Nf5,2020-10-10 8:54:22,ZCCsP0OPI2OeoMBczUP8TErR0gZGnqNqVx3j619RC5KHtJDQdj,2022-11-14 13:18:52,9FRA-QH-GH9F-NPMW,PAw=cA8XxG4sDxjqcOGw8mAq07dd0FSUri,JzOf0ir7bVrAZkUASKyiUQBWgNN0GaLAgUyRyn3R1kzWrnlwY4,cL1k8UVNujacgqU2OESrStWBEYvzn1PnBaUrA0LkwWZu16ZAIA,74.84.81.139,Mj2HTGMrmbIfKFHSBz4bhyseVmdxCdJgjIqy5B5sLcUdU6sjWg,"GET /index  HTTP/1.1 ","Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/70.0.3538.77 Safari/537.36""""
+
+  test("F2 benchmark line 1 routes to benchmark_1 with duplicate names preserved") {
+    val mp = Runtime.compile(benchWpl)
+    mp.parseLine(benchLine1) match {
+      case PSuccess(key, fs) =>
+        assert(key == "/benchmark/benchmark_1")
+        assert(fs.head == WField("id", WDigit(1407)))
+        assert(fs(1) == WField("len", WDigit(509)))
+        // duplicate names preserved in order: dev_name ×2, time ×4
+        assert(fs.count(_.name == "dev_name") == 2)
+        assert(fs.count(_.name == "time") == 4)
+        // kv pairs named by their keys
+        assert(fs.exists(f => f.name == "Tv7"))
+        assert(fs.exists(f => f.name == "gtd"))
+        val req = fs.find(_.name == "http/request").get.value.asInstanceOf[WObj].fields.toMap
+        assert(req("method") == WChars("GET") && req("uri") == WChars("/index"))
+      case other => fail(s"unexpected: $other")
+    }
+  }
+
+  test("F2 benchmark line 2 routes to benchmark_2") {
+    val mp = Runtime.compile(benchWpl)
+    mp.parseLine(benchLine2) match {
+      case PSuccess(key, fs) =>
+        assert(key == "/benchmark/benchmark_2")
+        assert(fs.head == WField("src_ip", WIp("72.239.155.6")))
+        assert(fs(1) == WField("port", WDigit(1649)))
+      case other => fail(s"unexpected: $other")
+    }
+  }
+
+  // F4: quoted-KV security log (vm_unit.rs:312)
+  val kvLine =
+    """id=tos time="2023-05-15 09:11:53" fw=OS  pri=5 type=mgmt user=superman src=10.111.233.51 op="Modify pwd of manager" result=0 recorder=manager_so msg="null""""
+
+  test("F4 kvarr with quoted values and repeated whitespace") {
+    val mp = Runtime.compile("package /sec { rule tos { (kvarr) } }")
+    val fs = fields(mp.parseLine(kvLine))
+    val m = fs.map(f => f.name -> f.value).toMap
+    assert(m("id") == WChars("tos"))
+    assert(m("time") == WChars("2023-05-15 09:11:53"))
+    assert(m("pri") == WDigit(5))
+    assert(m("user") == WChars("superman"))
+    assert(m("src") == WIp("10.111.233.51"))
+    assert(m("op") == WChars("Modify pwd of manager"))
+    assert(m("result") == WDigit(0))
+    assert(m("msg") == WChars("null"))
+  }
+
+  // F5: JSON subfield projection (processor.rs:266-274)
+  test("F5 json subfield projection") {
+    val mp = Runtime.compile("""package /j { rule a { (json(chars@data)) } }""")
+    val fs = fields(mp.parseLine("""{ "data": "192.168.1.1" }"""))
+    assert(fs == Vector(WField("data", WChars("192.168.1.1"))))
+  }
+
+  // F5b: nested re-parse of a JSON string field (order.rs:196-210)
+  test("F5 json nested group re-parse") {
+    val mp = Runtime.compile("""package /j { rule b { (json(chars@data<[,]> | (ip,_,time))) } }""")
+    val fs = fields(mp.parseLine("""{ "data" : "[192.168.1.2 _ 06/Aug/2019:12:12:19 +0800]" }"""))
+    val m = fs.map(f => f.name -> f.value).toMap
+    assert(m("ip") == WIp("192.168.1.2"))
+    assert(m.contains("time"))
+  }
+
+  // group combinators (alt.rs / opt.rs / some_of.rs / not.rs)
+  test("alt takes first matching branch") {
+    val mp = Runtime.compile("package /g { rule r { alt(ip,digit,chars) } }")
+    assert(fields(mp.parseLine("10.0.0.1")) == Vector(WField("ip", WIp("10.0.0.1"))))
+    assert(fields(mp.parseLine("12345")) == Vector(WField("digit", WDigit(12345))))
+    assert(fields(mp.parseLine("hello")) == Vector(WField("chars", WChars("hello"))))
+  }
+
+  test("opt group is a no-op on failure") {
+    val mp = Runtime.compile("package /g { rule r { opt(digit:n),(chars:rest) } }")
+    assert(fields(mp.parseLine("42 tail")) ==
+      Vector(WField("n", WDigit(42)), WField("rest", WChars("tail"))))
+    assert(fields(mp.parseLine("tail")) == Vector(WField("rest", WChars("tail"))))
+  }
+
+  test("some_of matches members in any order until exhaustion") {
+    val mp = Runtime.compile("package /g { rule r { some_of(ip:a,digit:b) } }")
+    val fs = fields(mp.parseLine("8.8.8.8 42 1.1.1.1"))
+    assert(fs == Vector(WField("a", WIp("8.8.8.8")), WField("b", WDigit(42)),
+      WField("a", WIp("1.1.1.1"))))
+  }
+
+  test("miss keeps deepest failure across rules") {
+    val mp = Runtime.compile(
+      """package /m {
+         rule short { (digit:a) }
+         rule long  { (digit:a,digit:b,ip:c) }
+        }""")
+    mp.parseLine("11 22 banana") match {
+      case PMiss(best, depth) =>
+        assert(best == "/m/long") // consumed "11 22 " = deepest
+        assert(depth >= 6)
+      case other => fail(s"expected miss, got $other")
+    }
+  }
+
+  test("partial accepted when residue <= 20%") {
+    // 40-char line, rule consumes all but 4 trailing chars (10%)
+    val line = "123456 " + ("a" * 29) + " tail"
+    val mp = Runtime.compile("package /p { rule r { (digit:n,chars:body) } }")
+    mp.parseLine(line) match {
+      case PPartial(key, fs, residue) =>
+        assert(key == "/p/r")
+        assert(residue.trim == "tail")
+      case PSuccess(_, fs) => fail(s"expected partial: $fs")
+      case other => fail(s"unexpected: $other")
+    }
+  }
+
+  test("whitespace-only line silently dropped") {
+    val mp = Runtime.compile("package /b { rule r { (chars) } }")
+    assert(mp.parseLine("   \t  ") == PBlank)
+  }
+
+  test("annotations: tag adds const fields, copy_raw copies the line") {
+    val mp = Runtime.compile(
+      """package /a {
+         #[tag(env:"prod"), copy_raw(name:"raw_log")]
+         rule r { (digit:n) }
+        }""")
+    val fs = fields(mp.parseLine("7"))
+    assert(fs.contains(WField("env", WChars("prod"))))
+    assert(fs.contains(WField("raw_log", WChars("7"))))
+  }
+
+  test("preproc decode/base64") {
+    val b64 = java.util.Base64.getEncoder.encodeToString("99 10.1.2.3".getBytes)
+    val mp = Runtime.compile("package /d { rule r { |decode/base64| (digit:n,ip:a) } }")
+    val fs = fields(mp.parseLine(b64))
+    assert(fs == Vector(WField("n", WDigit(99)), WField("a", WIp("10.1.2.3"))))
+  }
+
+  test("field pipes: predicates gate the match") {
+    val mp = Runtime.compile(
+      """package /f {
+         rule only200 { (chars:m,digit:st|digit_has(200),chars:u) }
+        }""")
+    assert(fields(mp.parseLine("GET 200 /a")).nonEmpty)
+    mp.parseLine("GET 404 /a") match {
+      case PMiss(_, _) =>
+      case other => fail(s"expected miss, got $other")
+    }
+  }
+
+  test("sep pattern: chars{*=} reads to equals sign") {
+    val mp = Runtime.compile("package /s { rule r { (chars:k{*=},chars:v) } }")
+    val fs = fields(mp.parseLine("key=value"))
+    assert(fs == Vector(WField("k", WChars("key")), WField("v", WChars("value"))))
+  }
+
+  test("kvarr subfield projection with types") {
+    val mp = Runtime.compile("package /k { rule r { (kvarr(chars@host, digit@port)) } }")
+    val fs = fields(mp.parseLine("host=web01 port=8080 extra=zzz"))
+    assert(fs == Vector(WField("host", WChars("web01")), WField("port", WDigit(8080))))
+  }
+}
