@@ -231,8 +231,93 @@ object SparkEntry {
   }
 
   // ---------------------------------------------------------------------
+  // WPL parse engine end-to-end: build log lines deterministically from
+  // driver tables (invertible), parse them back with the WPL engine, and
+  // let the oracle reconstruct the fields directly. Exercises the full
+  // mapPartitions parse path (multi-rule routing, scope/quote formats,
+  // CLF time, http/request struct, kvarr, json).
+  // ---------------------------------------------------------------------
+
+  import graft.engine.WplEngine
+  import graft.sources.Syslog
+
+  private val nginxWpl =
+    """package /example/simple {
+       rule nginx {
+        (ip:sip,2*_,time:recv_time<[,]>,http/request",http/status,digit,chars",http/agent",_")
+       }
+      }"""
+
+  private def qWplNginx(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val lines = o.select(col("o_orderkey"),
+      concat(
+        lit("10.0."), col("o_custkey") % 250 + 1, lit("."), col("o_orderkey") % 250 + 1,
+        lit(" - - ["), date_format(col("o_orderdate"), "dd/MMM/yyyy:HH:mm:ss"), lit(" +0000] \""),
+        when(col("o_orderstatus") === "O", "GET")
+          .when(col("o_orderstatus") === "F", "POST").otherwise("PUT"),
+        lit(" /order/"), col("o_orderkey"), lit(" HTTP/1.1\" "),
+        lit(200) + (col("o_orderkey") % 4) * 100, lit(" "),
+        floor(col("o_totalprice")).cast("long"), lit(" \"http://ref.example.com/"),
+        col("o_custkey"), lit("\" \"Agent/"), col("o_orderpriority"), lit("\" \"-\"")
+      ).as("line"))
+    val parsed = WplEngine.parseWith(lines, "line", nginxWpl, Seq("o_orderkey"))
+    WplEngine.successes(parsed).select(
+      col("o_orderkey"),
+      WplEngine.extractString("sip").as("sip"),
+      WplEngine.extractTimestamp("recv_time").as("recv_time"),
+      WplEngine.extractJsonField("http/request", "method").as("method"),
+      WplEngine.extractJsonField("http/request", "uri").as("uri"),
+      WplEngine.extractLong("http/status").as("status"),
+      WplEngine.extractLong("digit").as("bytes"),
+      WplEngine.extractString("chars").as("referer"),
+      WplEngine.extractString("http/agent").as("agent"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private def qWplKvarr(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val lines = e.select(col("event_id"),
+      concat(lit("id="), col("event_id"), lit(" type="), col("event_type"),
+        lit(" user="), col("user_id"), lit(" k="),
+        get_json_object(col("props"), "$.k")).as("line"))
+    val parsed = WplEngine.parseWith(lines, "line", "package /kv { rule r { (kvarr) } }",
+      Seq("event_id"))
+    WplEngine.successes(parsed).select(
+      col("event_id"),
+      WplEngine.extractString("type").as("etype"),
+      WplEngine.extractLong("user").as("user_id"),
+      WplEngine.extractLong("k").as("k"))
+      .orderBy(col("event_id"))
+  }
+
+  private def qWplJson(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val parsed = WplEngine.parseWith(e, "props",
+      "package /j { rule r { (json(digit@k)) } }", Seq("event_id"))
+    WplEngine.successes(parsed)
+      .select(col("event_id"), WplEngine.extractLong("k").as("k"))
+      .orderBy(col("event_id"))
+  }
+
+  private def qSyslogNorm(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val lines = e.select(col("event_id"),
+      concat(lit("<"), col("event_id") % 192, lit(">May 15 07:09:12 host"),
+        col("user_id"), lit(" app"), col("event_id") % 10, lit(": event "),
+        col("event_type")).as("line"))
+    lines.select(col("event_id"), Syslog.parseSyslog(col("line")).as("h"))
+      .select(col("event_id"), col("h.pri").as("pri"), col("h.facility").as("facility"),
+        col("h.severity").as("severity"), col("h.host").as("host"),
+        col("h.app").as("app"), col("h.message").as("message"))
+      .orderBy(col("event_id"))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "wpl_nginx_parse" -> (qWplNginx _),
+    "wpl_kvarr_parse" -> (qWplKvarr _),
+    "wpl_json_parse" -> (qWplJson _),
+    "syslog_normalize" -> (qSyslogNorm _),
     "q1_pricing_summary" -> (q1 _),
     "q_filter_pushdown" -> (qFilter _),
     "q_join_topk" -> (qJoinTopk _),
@@ -260,6 +345,38 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "wpl_nginx_parse" ->
+      """SELECT o_orderkey,
+         '10.0.' || CAST(o_custkey % 250 + 1 AS VARCHAR) || '.' ||
+           CAST(o_orderkey % 250 + 1 AS VARCHAR) AS sip,
+         o_orderdate AS recv_time,
+         CASE o_orderstatus WHEN 'O' THEN 'GET' WHEN 'F' THEN 'POST'
+           ELSE 'PUT' END AS method,
+         '/order/' || CAST(o_orderkey AS VARCHAR) AS uri,
+         200 + (o_orderkey % 4) * 100 AS status,
+         CAST(floor(o_totalprice) AS BIGINT) AS bytes,
+         'http://ref.example.com/' || CAST(o_custkey AS VARCHAR) AS referer,
+         'Agent/' || o_orderpriority AS agent
+         FROM orders ORDER BY o_orderkey""",
+    "wpl_kvarr_parse" ->
+      """SELECT event_id, event_type AS etype, user_id,
+         CAST(props->>'$.k' AS BIGINT) AS k
+         FROM events ORDER BY event_id""",
+    "wpl_json_parse" ->
+      """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
+         FROM events ORDER BY event_id""",
+    "syslog_normalize" ->
+      """SELECT event_id, CAST(event_id % 192 AS INT) AS pri,
+         (['kern','user','mail','daemon','auth','syslog','lpr','news','uucp',
+           'cron','authpriv','ftp','ntp','audit','alert','clock','local0',
+           'local1','local2','local3','local4','local5','local6','local7'])
+           [CAST(event_id % 192 AS INT) // 8 + 1] AS facility,
+         (['emerg','alert','crit','err','warning','notice','info','debug'])
+           [CAST(event_id % 192 AS INT) % 8 + 1] AS severity,
+         'host' || CAST(user_id AS VARCHAR) AS host,
+         'app' || CAST(event_id % 10 AS VARCHAR) AS app,
+         'event ' || event_type AS message
+         FROM events ORDER BY event_id""",
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity),2) AS sum_qty,

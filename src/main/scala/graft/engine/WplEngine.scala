@@ -1,0 +1,106 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession, Column, Row, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.wpl._
+
+/** Spark integration for the WPL parse engine.
+  *
+  * Shape (SURVEY.md §2.3): the compiled rule set is applied via
+  * `mapPartitions` — one `MultiParser` per partition, so per-partition
+  * adaptive rule reordering and amortized setup mirror the reference's
+  * per-worker `MultiParser` (src/core/parser/wpl_engine/parser.rs) while
+  * staying fully distributed (no driver-side work, no shuffle: parsing is
+  * a narrow map).
+  *
+  * Output rows carry the generic record shape
+  *   (rule_key, status, fields: array<struct<name,dtype,sval>>, residue,
+  *    miss_depth, best_wpl)
+  * preserving duplicate field names and order (reference DataRecord
+  * semantics). `extract*` helpers then project typed columns with
+  * first-match-by-name lookup — all native expressions, so Catalyst can
+  * prune/push down around them.
+  */
+object WplEngine {
+
+  case class FieldRow(name: String, dtype: String, sval: String)
+  case class ParsedRow(
+      rule_key: String,
+      status: String, // success | partial | miss | blank
+      fields: Seq[FieldRow],
+      residue: String,
+      miss_depth: Int,
+      best_wpl: String)
+
+  private def toRow(o: ParseOutcome): ParsedRow = o match {
+    case PSuccess(k, fs) =>
+      ParsedRow(k, "success", fs.map(f => FieldRow(f.name, f.value.dtype, f.value.sval)), null, 0, null)
+    case PPartial(k, fs, res) =>
+      ParsedRow(k, "partial", fs.map(f => FieldRow(f.name, f.value.dtype, f.value.sval)), res, 0, null)
+    case PMiss(best, depth) =>
+      ParsedRow(null, "miss", Seq.empty, null, depth, best)
+    case PBlank =>
+      ParsedRow(null, "blank", Seq.empty, null, 0, null)
+  }
+
+  /** Parse a column of raw lines with a WPL rule-set source text. */
+  def parse(df: DataFrame, lineCol: String, wplSource: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val others = df.schema.fieldNames.filter(_ != lineCol)
+    val enc: Encoder[(String, ParsedRow)] = Encoders.product[(String, ParsedRow)]
+    // keep a passthrough key? For simplicity: parse only the line column
+    // alongside a JSON passthrough of other columns is avoided — callers
+    // select what they need before/after.
+    val ds = df.select(col(lineCol).cast("string")).as[String]
+    val parsed: Dataset[ParsedRow] = ds.mapPartitions { it =>
+      val mp = Runtime.compile(wplSource) // per-partition: adaptive order is partition-local
+      it.map(line => toRow(mp.parseLine(line)))
+    }(Encoders.product[ParsedRow])
+    parsed.toDF()
+  }
+
+  /** Like `parse` but keeps passthrough columns (zipped by position within
+    * the partition — narrow, no shuffle). */
+  def parseWith(df: DataFrame, lineCol: String, wplSource: String,
+                keep: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    val keepIdx = keep.map(k => df.schema.fieldIndex(k))
+    val lineIdx = df.schema.fieldIndex(lineCol)
+    val keepSchema = keep.map(k => df.schema(df.schema.fieldIndex(k)))
+    val outSchema = StructType(keepSchema ++ Encoders.product[ParsedRow].schema.fields)
+    val rdd = df.rdd.mapPartitions { it =>
+      val mp = Runtime.compile(wplSource)
+      it.map { row =>
+        val pr = toRow(mp.parseLine(if (row.isNullAt(lineIdx)) null else row.getString(lineIdx)))
+        Row.fromSeq(keepIdx.map(row.get) ++ Seq(pr.rule_key, pr.status,
+          pr.fields.map(f => Row(f.name, f.dtype, f.sval)), pr.residue, pr.miss_depth, pr.best_wpl))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  // -------------------------------------------------------------------
+  // Typed extraction (native expressions over the fields array)
+  // -------------------------------------------------------------------
+
+  /** First-match field lookup by name → sval (reference record.field()). */
+  def fieldSval(name: String): Column =
+    element_at(filter(col("fields"), f => f.getField("name") === name), 1).getField("sval")
+
+  def extractString(name: String): Column = fieldSval(name)
+  def extractLong(name: String): Column = fieldSval(name).cast("long")
+  def extractDouble(name: String): Column = fieldSval(name).cast("double")
+  /** WTime svals are epoch micros. */
+  def extractTimestamp(name: String): Column =
+    timestamp_micros(fieldSval(name).cast("long"))
+  /** Obj svals are JSON — project a key out of one. */
+  def extractJsonField(name: String, key: String): Column =
+    get_json_object(fieldSval(name), s"$$.$key")
+
+  /** Side-output splits (infra sinks: default/miss/residue — SURVEY §2.5). */
+  def successes(parsed: DataFrame): DataFrame = parsed.filter(col("status") === "success")
+  def partials(parsed: DataFrame): DataFrame = parsed.filter(col("status") === "partial")
+  def misses(parsed: DataFrame): DataFrame = parsed.filter(col("status") === "miss")
+}
