@@ -1,0 +1,496 @@
+package graft.oml
+
+import graft.wpl._
+import scala.collection.mutable.ArrayBuffer
+
+/** In-memory lookup tables — the reference's KnowDB (CSV → in-memory
+  * SQLite, crates/wp-knowledge). Spark-side the instance is broadcast to
+  * executors (read-only, per-executor shared — the analogue of the
+  * reference's per-thread SQLite clones without the clones). Equality
+  * lookups use a hash index; range conditions fall back to a scan over the
+  * (small, dimension-sized) table — callers doing IP-range lookups should
+  * use `rangeIndex` (sorted-array binary search, the classic interval
+  * trick from SURVEY.md §4). */
+final class KnowDb(val tables: Map[String, KnowDb.Table]) extends Serializable {
+  def table(name: String): Option[KnowDb.Table] = tables.get(name)
+}
+
+object KnowDb {
+  final case class Table(columns: Vector[String], rows: Vector[Vector[String]]) extends Serializable {
+    @transient private lazy val colIdx: Map[String, Int] = columns.zipWithIndex.toMap
+    @transient private lazy val eqIndexes =
+      new java.util.concurrent.ConcurrentHashMap[Int, Map[String, Vector[Vector[String]]]]()
+    def idx(c: String): Int = colIdx.getOrElse(c, -1)
+    /** hash-indexed equality probe on one column. */
+    def lookupEq(col: String, v: String): Vector[Vector[String]] = {
+      val i = idx(col)
+      if (i < 0) return Vector.empty
+      var m = eqIndexes.get(i)
+      if (m == null) {
+        m = rows.groupBy(_(i))
+        eqIndexes.put(i, m)
+      }
+      m.getOrElse(v, Vector.empty)
+    }
+  }
+
+  /** Build a table from CSV text (header row, comma, trim — reference
+    * loader.rs:79-101). */
+  def fromCsv(name: String, csv: String): (String, Table) = {
+    val lines = csv.linesIterator.filter(_.nonEmpty).toVector
+    val header = lines.head.split(",", -1).map(_.trim).toVector
+    val rows = lines.tail.map(_.split(",", -1).map(_.trim).toVector)
+    name -> Table(header, rows)
+  }
+
+  /** Build from a collected Spark dimension table (all values stringified
+    * with WValue canonical forms). */
+  def fromRows(name: String, columns: Vector[String], rows: Vector[Vector[String]]): (String, Table) =
+    name -> Table(columns, rows)
+
+  val empty = new KnowDb(Map.empty)
+}
+
+/** OML evaluator: walks model items against a (src, dst) record pair
+  * (reference DataTransformer, crates/wp-oml/src/core/evaluator).
+  * Semantics (SURVEY.md §2.4 + §7.4):
+  *  - read: dst first, then src, then statics; option chain skips empty;
+  *  - take: like read but consumes (removed from src, excluded from the
+  *    `* = take()` splat);
+  *  - empty output = transform failure → error channel;
+  *  - `Time::to_ts` default zone UTC+8 (reference pipe/time.rs).
+  */
+final class OmlEval(model: OmlAst.Model, knowDb: KnowDb = KnowDb.empty,
+                    nowMicros: () => Long = () => System.currentTimeMillis() * 1000L)
+    extends Serializable {
+  import OmlAst._
+
+  private val staticRec: Vector[WField] = {
+    val empty = new TransformState(Vector.empty)
+    model.statics.map { case (n, e) => WField(n, eval(e, empty).getOrElse(WNull)) }
+  }
+
+  private final class TransformState(src0: Vector[WField]) {
+    val src = ArrayBuffer.from(src0)
+    val dst = new ArrayBuffer[WField]()
+    def findRead(key: String): Option[WValue] =
+      dst.find(_.name == key).map(_.value)
+        .orElse(src.find(_.name == key).map(_.value))
+        .orElse(staticRec.find(_.name == key).map(_.value))
+    def take(key: String): Option[WValue] = {
+      val di = dst.indexWhere(_.name == key)
+      if (di >= 0) return Some(dst(di).value)
+      val i = src.indexWhere(_.name == key)
+      if (i >= 0) { val v = src(i).value; src.remove(i); Some(v) }
+      else staticRec.find(_.name == key).map(_.value)
+    }
+  }
+
+  /** Transform one parsed record; None = transform failure (reference
+    * routes it to the error sink with diagnostics). */
+  def transform(fields: Vector[WField]): Option[Vector[WField]] = {
+    val st = new TransformState(fields)
+    for (item <- model.items) {
+      evalItem(item, st)
+    }
+    if (st.dst.isEmpty) None else Some(st.dst.toVector)
+  }
+
+  private def evalItem(item: Item, st: TransformState): Unit = {
+    item.targets match {
+      case Vector(Target("*", _)) =>
+        // `* = take()` splat: all remaining (unconsumed) src fields
+        st.src.foreach(f => st.dst += f)
+        st.src.clear()
+      case targets =>
+        item.eval match {
+          case sql: SqlE if targets.length > 1 =>
+            // multi-target bind: name, email = select name, email from ...
+            evalSql(sql, st) match {
+              case Some(vs) =>
+                targets.zip(vs).foreach { case (tg, v) =>
+                  if (tg.name != "_") st.dst += WField(tg.name, cast(v, tg.dtype))
+                }
+              case None =>
+            }
+          case e =>
+            for (tg <- targets) {
+              val bound = bindPositional(e, tg.name)
+              eval(bound, st) match {
+                case Some(v) if tg.name != "_" => st.dst += WField(tg.name, cast(v, tg.dtype))
+                case _ =>
+              }
+            }
+        }
+    }
+  }
+
+  /** Unnamed take()/read() bind to the target name (grammar §读取语义). */
+  private def bindPositional(e: Eval, target: String): Eval = e match {
+    case a @ Acq(_, keys, _, None, _) if keys.isEmpty => a.copy(keys = Vector(target))
+    case p @ PipeE(src, funs) => PipeE(bindPositional(src, target), funs)
+    case other => other
+  }
+
+  private[oml] def eval(e: Eval, st: TransformState): Option[WValue] = e match {
+    case Acq(consume, keys, optKeys, jsonPath, default) =>
+      val hit: Option[WValue] = jsonPath match {
+        case Some(p) => jsonPathRead(p, st)
+        case None =>
+          // bare key (or positional target) first, then the option chain;
+          // first key with a non-empty value wins
+          (keys ++ optKeys).iterator
+            .flatMap { k =>
+              if (k.contains("*")) {
+                val names = (st.dst ++ st.src).map(_.name).filter(n => wildMatch(k, n))
+                names.headOption.flatMap(n => if (consume) st.take(n) else st.findRead(n))
+              } else if (consume) st.take(k) else st.findRead(k)
+            }
+            .find(v => v != WNull && v.sval.nonEmpty)
+      }
+      hit.orElse(default.flatMap(d => eval(d, st)))
+    case ValueE(dtype, lit) => Some(typedLiteral(dtype, lit))
+    case NowE(kind) =>
+      val us = nowMicros()
+      val inst = java.time.Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L)
+      val utc = java.time.ZonedDateTime.ofInstant(inst, java.time.ZoneOffset.UTC)
+      kind match {
+        case "time" => Some(WTime(us, utc.toLocalDateTime.toString))
+        case "date" => Some(WChars(f"${utc.getYear}%04d${utc.getMonthValue}%02d${utc.getDayOfMonth}%02d"))
+        case "hour" => Some(WChars(f"${utc.getYear}%04d${utc.getMonthValue}%02d${utc.getDayOfMonth}%02d${utc.getHour}%02d"))
+        case _ => None
+      }
+    case FmtE(tpl, args) =>
+      val vals = args.map(a => eval(a, st).map(_.sval).getOrElse(""))
+      val sb = new StringBuilder
+      var ai = 0; var i = 0
+      while (i < tpl.length) {
+        if (i + 1 < tpl.length && tpl.charAt(i) == '{' && tpl.charAt(i + 1) == '}') {
+          sb.append(if (ai < vals.length) vals(ai) else ""); ai += 1; i += 2
+        } else { sb.append(tpl.charAt(i)); i += 1 }
+      }
+      Some(WChars(sb.toString))
+    case PipeE(src, funs) =>
+      eval(src, st).flatMap(v => funs.foldLeft(Option(v)) {
+        case (Some(acc), (fn, args)) => OmlPipes.apply(fn, args, acc)
+        case (None, _) => None
+      })
+    case ObjectE(items) =>
+      val sub = Vector.newBuilder[(String, WValue)]
+      for (it <- items; tg <- it.targets if tg.name != "_") {
+        eval(bindPositional(it.eval, tg.name), st).foreach(v =>
+          sub += (tg.name -> cast(v, tg.dtype)))
+      }
+      Some(WObj(sub.result()))
+    case CollectE(a) =>
+      val keys = (a.keys ++ a.optKeys).flatMap { k =>
+        if (k.contains("*")) (st.dst ++ st.src).map(_.name).filter(n => wildMatch(k, n)).distinct
+        else Vector(k)
+      }
+      val vs = keys.flatMap(k => if (a.consume) st.take(k) else st.findRead(k))
+      Some(WArr(vs))
+    case MatchE(sources, cases, default) =>
+      val srcVals = sources.map(s => eval(s, st))
+      val hit = cases.find { case (conds, _) =>
+        conds.length == srcVals.length && conds.zip(srcVals).forall {
+          case (ors, Some(v)) => ors.exists(c => condMatches(c, v))
+          case (_, None) => false
+        }
+      }
+      hit.map(_._2).orElse(default).flatMap(e2 => eval(e2, st))
+    case sql: SqlE => evalSql(sql, st).flatMap(_.headOption)
+    case StaticRef(n) => staticRec.find(_.name == n).map(_.value)
+  }
+
+  private def condMatches(c: Cond, v: WValue): Boolean = c match {
+    case CondEq(ve) => valueEq(typedLiteral(ve.dtype, ve.literal), v)
+    case CondNeq(ve) => !valueEq(typedLiteral(ve.dtype, ve.literal), v)
+    case CondIn(lo, hi) =>
+      (typedLiteral(lo.dtype, lo.literal), typedLiteral(hi.dtype, hi.literal), v) match {
+        case (WDigit(a), WDigit(b), WDigit(x)) => x >= a && x <= b
+        case (WFloat(a), WFloat(b), WFloat(x)) => x >= a && x <= b
+        case (a, b, x) => a.sval <= x.sval && x.sval <= b.sval
+      }
+    case CondFun("starts_with", p) => v.sval.startsWith(p)
+    case CondFun("ends_with", p) => v.sval.endsWith(p)
+    case CondFun("contains", p) => v.sval.contains(p)
+    case CondFun(_, _) => false
+  }
+
+  private def valueEq(a: WValue, b: WValue): Boolean = (a, b) match {
+    case (WDigit(x), WDigit(y)) => x == y
+    case (WFloat(x), WFloat(y)) => x == y
+    case (WBool(x), WBool(y)) => x == y
+    case _ => a.sval == b.sval
+  }
+
+  private def typedLiteral(dtype: String, lit: String): WValue = dtype match {
+    case "chars" => WChars(lit)
+    case "digit" => try WDigit(lit.toLong) catch { case _: NumberFormatException => WNull }
+    case "float" => try WFloat(lit.toDouble) catch { case _: NumberFormatException => WNull }
+    case "bool" => WBool(lit == "true")
+    case "ip" => WIp(lit)
+    case "time" => TimeP.auto.parseSegment(lit).collect { case One(t: WTime) => t }.getOrElse(WNull)
+    case "auto" => AutoVal.typed(lit)
+    case _ => WChars(lit)
+  }
+
+  private def cast(v: WValue, dtype: Option[String]): WValue = dtype match {
+    case None | Some("auto") => v
+    case Some("chars") => WChars(v.sval)
+    case Some("digit") => v match {
+      case d: WDigit => d
+      case WFloat(f) => WDigit(f.toLong)
+      case WBool(b) => WDigit(if (b) 1 else 0)
+      case WTime(us, _) => WDigit(us)
+      case o => try WDigit(o.sval.toLong) catch { case _: NumberFormatException => WNull }
+    }
+    case Some("float") => v match {
+      case f: WFloat => f
+      case WDigit(d) => WFloat(d.toDouble)
+      case o => try WFloat(o.sval.toDouble) catch { case _: NumberFormatException => WNull }
+    }
+    case Some("ip") => WIp(v.sval)
+    case Some("bool") => v match {
+      case b: WBool => b
+      case o => WBool(o.sval == "true")
+    }
+    case Some("time") => v match {
+      case t: WTime => t
+      case o => TimeP.auto.parseSegment(o.sval).collect { case One(t: WTime) => t }.getOrElse(WNull)
+    }
+    case Some("obj") => v
+    case Some("array") => v match { case a: WArr => a; case o => WArr(Vector(o)) }
+    case Some(_) => v
+  }
+
+  private def jsonPathRead(path: String, st: TransformState): Option[WValue] = {
+    val segs = path.split('/').filter(_.nonEmpty).toVector
+    if (segs.isEmpty) return None
+    var cur: Option[WValue] = st.findRead(segs.head)
+    for (seg <- segs.drop(1)) {
+      cur = cur.flatMap {
+        case WObj(fs) => fs.find(_._1 == seg).map(_._2)
+        case WArr(xs) if seg.startsWith("[") && seg.endsWith("]") =>
+          val i = seg.drop(1).dropRight(1).toInt
+          xs.lift(i)
+        case WArr(xs) if seg.forall(_.isDigit) => xs.lift(seg.toInt)
+        case WChars(s) =>
+          // lenient: JSON-encoded string field
+          JsonP.parseSegment(s).collect { case Named(fs) => fs.find(_._1 == seg).map(_._2) }.flatten
+        case _ => None
+      }
+    }
+    cur
+  }
+
+  /** SQL lookup against KnowDB (reference sql.rs:30-130): single table,
+    * equality via hash probe when possible, else filtered scan. Returns
+    * the selected columns of the first matching row. */
+  private def evalSql(sql: SqlE, st: TransformState): Option[Vector[WValue]] = {
+    knowDb.table(sql.table).flatMap { tbl =>
+      // fast path: single equality condition → hash probe
+      val rows: Vector[Vector[String]] = sql.cond match {
+        case SqlCmp(col, "=", rhs) =>
+          rhsValue(rhs, st) match {
+            case Some(v) => tbl.lookupEq(col, v)
+            case None => Vector.empty
+          }
+        case cond => tbl.rows.filter(r => sqlCondEval(cond, tbl, r, st))
+      }
+      rows.headOption.map { row =>
+        val cols = if (sql.cols == Vector("*")) tbl.columns else sql.cols
+        cols.map(c => {
+          val i = tbl.idx(c)
+          if (i >= 0 && i < row.length) AutoVal.typed(row(i)) else WNull
+        })
+      }
+    }
+  }
+
+  private def rhsValue(rhs: SqlRhs, st: TransformState): Option[String] = rhs match {
+    case RhsLit(v) => Some(v)
+    case RhsAcq(a, ip4) =>
+      eval(a, st).map { v =>
+        if (ip4) OmlPipes.ip4ToInt(v.sval).map(_.toString).getOrElse(v.sval) else v.sval
+      }
+  }
+
+  private def sqlCondEval(c: SqlCond, tbl: KnowDb.Table, row: Vector[String],
+                          st: TransformState): Boolean = c match {
+    case SqlAnd(l, r) => sqlCondEval(l, tbl, row, st) && sqlCondEval(r, tbl, row, st)
+    case SqlOr(l, r) => sqlCondEval(l, tbl, row, st) || sqlCondEval(r, tbl, row, st)
+    case SqlNot(i) => !sqlCondEval(i, tbl, row, st)
+    case SqlCmp(col, op, rhs) =>
+      val ci = tbl.idx(col)
+      if (ci < 0) return false
+      val lv = row(ci)
+      val rv = rhsValue(rhs, st).getOrElse(return false)
+      val cmpNum: Option[Int] =
+        try Some(java.lang.Long.compare(lv.toLong, rv.toLong))
+        catch { case _: NumberFormatException =>
+          try Some(java.lang.Double.compare(lv.toDouble, rv.toDouble))
+          catch { case _: NumberFormatException => None }
+        }
+      val cmp = cmpNum.getOrElse(lv.compareTo(rv))
+      op match {
+        case "=" | "==" => cmp == 0
+        case "!=" => cmp != 0
+        case "<" => cmp < 0
+        case "<=" => cmp <= 0
+        case ">" => cmp > 0
+        case ">=" => cmp >= 0
+        case _ => false
+      }
+  }
+}
+
+/** OML pipe functions (reference PipeFun enum,
+  * crates/wp-oml/src/language/syntax/functions/pipe/mod.rs:18-43). */
+object OmlPipes {
+  import java.nio.charset.Charset
+
+  def ip4ToInt(s: String): Option[Long] = {
+    val parts = s.split("\\.", -1)
+    if (parts.length != 4) return None
+    try {
+      val v = parts.map(_.toLong)
+      if (v.exists(x => x < 0 || x > 255)) None
+      else Some((v(0) << 24) | (v(1) << 16) | (v(2) << 8) | v(3))
+    } catch { case _: NumberFormatException => None }
+  }
+
+  def apply(fn: String, args: Vector[String], v: WValue): Option[WValue] = fn match {
+    case "base64_encode" =>
+      Some(WChars(java.util.Base64.getEncoder.encodeToString(v.sval.getBytes("UTF-8"))))
+    case "base64_decode" =>
+      val cs = args.headOption.map {
+        case "Gbk" => Charset.forName("GBK")
+        case "Utf8" | _ => Charset.forName("UTF-8")
+      }.getOrElse(Charset.forName("UTF-8"))
+      try Some(WChars(new String(java.util.Base64.getDecoder.decode(v.sval), cs)))
+      catch { case _: Exception => None }
+    case "html_escape" =>
+      Some(WChars(v.sval.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        .replace("\"", "&quot;").replace("'", "&#39;")))
+    case "html_unescape" =>
+      Some(WChars(v.sval.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+        .replace("&#39;", "'").replace("&amp;", "&")))
+    case "str_escape" =>
+      Some(WChars(v.sval.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", "\\n").replace("\t", "\\t").replace("\r", "\\r")))
+    case "str_unescape" =>
+      Some(WChars(v.sval.replace("\\n", "\n").replace("\\t", "\t").replace("\\r", "\r")
+        .replace("\\\"", "\"").replace("\\\\", "\\")))
+    case "json_escape" => Some(WChars(Json.quote(v.sval).drop(1).dropRight(1)))
+    case "json_unescape" =>
+      Some(WChars(v.sval.replace("\\\"", "\"").replace("\\\\", "\\")
+        .replace("\\n", "\n").replace("\\t", "\t").replace("\\r", "\r")))
+    case "Time::to_ts" => toTs(v, 8 * 3600, 1L) // default UTC+8 (reference pipe/time.rs)
+    case "Time::to_ts_ms" => toTs(v, 8 * 3600, 1000L)
+    case "Time::to_ts_us" => toTs(v, 8 * 3600, 1000000L)
+    case "Time::to_ts_zone" =>
+      val z = args.headOption.map(_.toInt).getOrElse(0)
+      val unit = args.lift(1).getOrElse("s") match {
+        case "ms" => 1000L; case "us" => 1000000L; case _ => 1L
+      }
+      toTs(v, z * 3600, unit)
+    case "nth" =>
+      val i = args.headOption.map(_.toInt).getOrElse(0)
+      v match { case WArr(xs) => xs.lift(i); case _ => None }
+    case "get" =>
+      val k = args.headOption.getOrElse("")
+      v match { case WObj(fs) => fs.find(_._1 == k).map(_._2); case _ => None }
+    case "path" =>
+      val s = v.sval
+      args.headOption match {
+        case Some("name") => Some(WChars(s.substring(s.lastIndexOf('/') + 1)))
+        case _ =>
+          val i = s.lastIndexOf('/')
+          Some(WChars(if (i <= 0) "/" else s.substring(0, i)))
+      }
+    case "url" =>
+      try {
+        val u = new java.net.URI(v.sval)
+        args.headOption match {
+          case Some("domain") | Some("host") => Some(WChars(Option(u.getHost).getOrElse("")))
+          case Some("uri") => Some(WChars(Option(u.getRawPath).getOrElse("") +
+            Option(u.getRawQuery).map("?" + _).getOrElse("")))
+          case Some("path") => Some(WChars(Option(u.getRawPath).getOrElse("")))
+          case Some("params") => Some(WChars(Option(u.getRawQuery).getOrElse("")))
+          case _ => Some(WChars(v.sval))
+        }
+      } catch { case _: Exception => None }
+    case "starts_with" =>
+      val p = args.headOption.map(a => a.stripPrefix("'").stripSuffix("'")
+        .stripPrefix("\"").stripSuffix("\"")).getOrElse("")
+      Some(WBool(v.sval.startsWith(p)))
+    case "map_to" =>
+      Some(AutoVal.typed(args.headOption.map(a => a.stripPrefix("'").stripSuffix("'")
+        .stripPrefix("\"").stripSuffix("\"")).getOrElse("")))
+    case "to_str" => Some(WChars(v.sval))
+    case "to_json" => Some(WChars(v.jval))
+    case "skip_empty" => if (v.sval.isEmpty) None else Some(v)
+    case "ip4_to_int" => ip4ToInt(v.sval).map(WDigit(_))
+    case "extract_main_word" => Some(WChars(ExtractWords.mainWord(v.sval)))
+    case "extract_subject_object" => Some(ExtractWords.subjectObject(v.sval))
+    case _ => Some(v)
+  }
+
+  private def toTs(v: WValue, zoneShiftSec: Int, unit: Long): Option[WValue] = v match {
+    case WTime(us, _) =>
+      // naive datetime interpreted in the given zone → epoch
+      val epochUs = us - zoneShiftSec * 1000000L
+      Some(WDigit(epochUs / (1000000L / unit)))
+    case WDigit(d) => Some(WDigit(d))
+    case WChars(s) =>
+      TimeP.auto.parseSegment(s).collect { case One(WTime(us, _)) =>
+        WDigit((us - zoneShiftSec * 1000000L) / (1000000L / unit))
+      }
+    case _ => None
+  }
+}
+
+/** Tokenizer-based keyword extraction — the reference wraps jieba + a
+  * semantic dictionary (extract_word.rs). Dependency-free equivalent:
+  * longest non-stopword token as main word; verb/status word lists drive
+  * the subject-action-object heuristic. Dictionary extensible via
+  * `setDictionary` (reference: SEMANTIC_DICT_CONFIG TOML). */
+object ExtractWords {
+  @volatile private var actionVerbs: Set[String] =
+    Set("start", "stop", "create", "delete", "modify", "login", "logout",
+        "connect", "disconnect", "fail", "failed", "denied", "permit",
+        "accept", "reject", "update", "read", "write")
+  @volatile private var statusWords: Set[String] =
+    Set("success", "failure", "error", "ok", "timeout", "up", "down",
+        "online", "offline", "active", "inactive")
+
+  def setDictionary(verbs: Set[String], statuses: Set[String], replace: Boolean): Unit = {
+    if (replace) { actionVerbs = verbs; statusWords = statuses }
+    else { actionVerbs = actionVerbs ++ verbs; statusWords = statusWords ++ statuses }
+  }
+
+  private def tokens(s: String): Array[String] =
+    s.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
+
+  def mainWord(s: String): String = {
+    val ts = tokens(s)
+    val candidates = ts.filterNot(t => actionVerbs.contains(t) || statusWords.contains(t))
+    if (candidates.isEmpty) ts.headOption.getOrElse("")
+    else candidates.maxBy(t => (t.length, -ts.indexOf(t)))
+  }
+
+  def subjectObject(s: String): WObj = {
+    val ts = tokens(s)
+    val actionIdx = ts.indexWhere(actionVerbs.contains)
+    val status = ts.find(statusWords.contains).getOrElse("")
+    val action = if (actionIdx >= 0) ts(actionIdx) else ""
+    val subject = if (actionIdx > 0) ts(actionIdx - 1) else ts.headOption.getOrElse("")
+    val obj = if (actionIdx >= 0 && actionIdx + 1 < ts.length) ts(actionIdx + 1) else ""
+    val confidence = (if (action.nonEmpty) 0.5 else 0.0) + (if (status.nonEmpty) 0.3 else 0.0) +
+      (if (subject.nonEmpty) 0.2 else 0.0)
+    WObj(Vector("subject" -> WChars(subject), "action" -> WChars(action),
+      "object" -> WChars(obj), "status" -> WChars(status),
+      "confidence" -> WFloat(math.round(confidence * 10).toDouble / 10)))
+  }
+}
