@@ -313,7 +313,69 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  // Full pipeline: WPL parse → OML transform (match/fmt/take/defaults) in
+  // one mapPartitions pass (reference dataflow, SURVEY §3.1).
+  private def qOmlTransform(s: SparkSession, dir: String): DataFrame = {
+    import graft.engine.Pipeline
+    val e = t(s, dir, "events")
+    val lines = e.select(col("event_id"),
+      concat(lit("id="), col("event_id"), lit(" type="), col("event_type"),
+        lit(" user="), col("user_id"), lit(" k="),
+        get_json_object(col("props"), "$.k")).as("line"))
+    val oml =
+      """name : ev
+        rule : /kv/*
+        ---
+        etype : chars = take(option:[type]) ;
+        level = match read(etype) {
+          chars(error) => chars(high) ;
+          chars(purchase) | chars(signup) => chars(mid) ;
+          _ => chars(low) ;
+        } ;
+        msg = fmt("{}:{}", @etype, read(user)) ;
+        kk : digit = take(option:[k]) { _ : digit(0) } ;
+      """
+    val out = Pipeline.run(lines, "line", "package /kv { rule r { (kvarr) } }",
+      Seq(oml), keep = Seq("event_id"))
+    out.filter(col("status") === "ok").select(
+      col("event_id"),
+      WplEngine.extractString("etype").as("etype"),
+      WplEngine.extractString("level").as("level"),
+      WplEngine.extractString("msg").as("msg"),
+      WplEngine.extractLong("kk").as("kk"))
+      .orderBy(col("event_id"))
+  }
+
+  // OML SQL enrichment against a KnowDB dimension (broadcast lookup).
+  private def qOmlSqlEnrich(s: SparkSession, dir: String): DataFrame = {
+    import graft.engine.Pipeline
+    import graft.oml.KnowDb
+    val nation = t(s, dir, "nation")
+    val db = new KnowDb(Map(KnowDb.fromRows("nation",
+      nation.schema.fieldNames.toVector,
+      nation.collect().toVector.map(r =>
+        r.toSeq.map(v => if (v == null) "" else v.toString).toVector))))
+    val c = t(s, dir, "customer")
+    val lines = c.select(col("c_custkey"),
+      concat(lit("ckey="), col("c_custkey"), lit(" nkey="), col("c_nationkey")).as("line"))
+    val oml =
+      """name : enrich
+        rule : /c/*
+        ---
+        ckey : digit = take(option:[ckey]) ;
+        n_name = select n_name from nation where n_nationkey = read(nkey) ;
+      """
+    val out = Pipeline.run(lines, "line", "package /c { rule r { (kvarr) } }",
+      Seq(oml), keep = Seq("c_custkey"), knowDb = db)
+    out.filter(col("status") === "ok").select(
+      col("c_custkey"),
+      WplEngine.extractString("n_name").as("n_name"))
+      .orderBy(col("c_custkey"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "oml_transform" -> (qOmlTransform _),
+    "oml_sql_enrich" -> (qOmlSqlEnrich _),
     "wpl_nginx_parse" -> (qWplNginx _),
     "wpl_kvarr_parse" -> (qWplKvarr _),
     "wpl_json_parse" -> (qWplJson _),
@@ -345,6 +407,18 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "oml_transform" ->
+      """SELECT event_id, event_type AS etype,
+         CASE WHEN event_type = 'error' THEN 'high'
+              WHEN event_type IN ('purchase','signup') THEN 'mid'
+              ELSE 'low' END AS level,
+         event_type || ':' || CAST(user_id AS VARCHAR) AS msg,
+         CAST(props->>'$.k' AS BIGINT) AS kk
+         FROM events ORDER BY event_id""",
+    "oml_sql_enrich" ->
+      """SELECT c_custkey, n_name FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         ORDER BY c_custkey""",
     "wpl_nginx_parse" ->
       """SELECT o_orderkey,
          '10.0.' || CAST(o_custkey % 250 + 1 AS VARCHAR) || '.' ||
