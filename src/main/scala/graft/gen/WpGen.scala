@@ -1,0 +1,85 @@
+package graft.gen
+
+import java.util.SplittableRandom
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.TaskContext
+import graft.wpl._
+
+/** wpgen — WPL rules run in reverse (reference src/runtime/generator +
+  * crates/wp-lang precompile.rs:10-36: every field parser implements
+  * `generate`). A rule compiles to a line generator whose output the same
+  * rule parses back 100% — the reference's de-facto property test
+  * (tests/instance/wpl/benchmark/gen_rule.wpl round-trip).
+  *
+  * Spark-side: `spark.range(n).mapPartitions` with per-partition seeds —
+  * fully distributed, deterministic for a fixed (seed, partitioning). */
+object WpGen {
+
+  /** Generate one line for a rule (seq groups only — generation for
+    * alt picks the first member, opt always emits, matching the
+    * reference's CompiledRule behaviour of generating the canonical
+    * form). */
+  def genLine(rule: WplRule, rnd: SplittableRandom): String = {
+    val sb = new StringBuilder
+    for (g <- rule.groups) {
+      val gSep = sepText(g.sep.getOrElse(Sep.Default))
+      var first = sb.isEmpty
+      val fields = g.meta match {
+        case "alt" => g.fields.take(1)
+        case "not" => Vector.empty
+        case _ => g.fields
+      }
+      for (f <- fields) {
+        val fSep = f.sep.map(sepText).getOrElse(gSep)
+        val reps = f.repeat match {
+          case None => 1
+          case Some(0) => 1 + rnd.nextInt(3)
+          case Some(n) => n
+        }
+        for (_ <- 0 until reps) {
+          if (!first) sb.append(fSep)
+          first = false
+          val p = Runtime.parserFor(f.typeName, f.symbolContent)
+          val core = p.gen(rnd)
+          f.fmt match {
+            case Some(ScopeFmt(b, e)) => sb.append(b).append(core).append(e)
+            case Some(QuoteFmt) => sb.append('"').append(core).append('"')
+            case None => sb.append(core)
+          }
+        }
+      }
+    }
+    sb.toString
+  }
+
+  private def sepText(s: Sep): String = s match {
+    case Sep.Lit(x) => x
+    case _ => " "
+  }
+
+  /** Distributed generation: n lines for `ruleKey` from `wplSource`. */
+  def dataset(spark: SparkSession, wplSource: String, ruleKey: String,
+              n: Long, seed: Long = 42L): Dataset[String] = {
+    import spark.implicits._
+    spark.range(n).mapPartitions { it =>
+      val rule = WplText.parsePackages(wplSource).find(_.key == ruleKey)
+        .getOrElse(throw new IllegalArgumentException(s"no rule $ruleKey"))
+      val pid = TaskContext.getPartitionId()
+      val rnd = new SplittableRandom(seed + pid * 0x9E3779B97F4A7C15L)
+      it.map(_ => genLine(rule, rnd))
+    }
+  }
+
+  /** Sample-based generation: replay/permute existing lines (reference
+    * src/runtime/generator/sample.rs). */
+  def fromSample(spark: SparkSession, lines: Dataset[String], n: Long,
+                 seed: Long = 42L): Dataset[String] = {
+    import spark.implicits._
+    val pool = lines.collect()
+    spark.range(n).mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      val rnd = new SplittableRandom(seed + pid)
+      it.map(_ => pool(rnd.nextInt(pool.length)))
+    }
+  }
+}

