@@ -579,9 +579,11 @@ object SparkEntry {
          sh0 AS (
            SELECT doc_id, t, unnest(generate_series(1, greatest(len(t)-2, 0))) AS i
            FROM toks),
-         sh AS (
+         shAll AS (
            SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
            FROM sh0),
+         rare AS (SELECT shingle FROM shAll GROUP BY shingle HAVING count(*) < 100),
+         sh AS (SELECT shAll.* FROM shAll JOIN rare USING (shingle)),
          sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
          inter AS (
            SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS n_inter

@@ -24,15 +24,27 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_md5"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** Word n-gram shingles as an array column (native, codegen). */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = TextAnalysis.tokens(text)
+  /** Word n-gram shingles from an ALREADY-MATERIALIZED token-array column.
+    * The token array must be a plain column reference, not an inline
+    * expression: this expression references it O(#tokens) times, and
+    * Catalyst would otherwise re-evaluate the tokenizer per element
+    * (measured 15× slowdown). Callers go through `shingleDf`. */
+  def shinglesOf(toks: Column, n: Int): Column =
     array_distinct(
       filter(
         transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
           i => when(i + n <= size(toks), concat_ws(" ", slice(toks, i + 1, lit(n))))),
         x => x.isNotNull))
-  }
+
+  /** (id, shingles) frame with tokenization materialized once per row in
+    * its own projection (CollapseProject keeps multi-referenced non-cheap
+    * aliases in a separate stage). */
+  def shingleDf(df: DataFrame, textCol: String, idCol: String, n: Int,
+                outId: String = "jc_id"): DataFrame =
+    df.select(col(idCol).as(outId), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col(outId), shinglesOf(col("toks"), n).as("shingles"))
+
+  def wordShingles(text: Column, n: Int): Column = shinglesOf(TextAnalysis.tokens(text), n)
 
   /** MinHash signature of a shingle set: nPerm universal-hash permutations
     * over the FNV-1a shingle hash. Partition-local, deterministic. */
@@ -61,11 +73,10 @@ object Dedup {
     * Output: (id_a, id_b, n_shared_bands); id_a < id_b.
     * One wide shuffle keyed by (band, hash-of-rows) — no cross join. */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
-                      shingleN: Int = 3, nPerm: Int = 32, bands: Int = 8): DataFrame = {
+                      shingleN: Int = 3, nPerm: Int = 64, bands: Int = 8): DataFrame = {
     val rowsPerBand = nPerm / bands
-    val sigd = df
-      .select(col(idCol).as("mh_id"),
-        minhashUdf(wordShingles(col(textCol), shingleN), lit(nPerm)).as("sig"))
+    val sigd = shingleDf(df, textCol, idCol, shingleN, outId = "mh_id")
+      .select(col("mh_id"), minhashUdf(col("shingles"), lit(nPerm)).as("sig"))
     val banded = sigd.select(col("mh_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
@@ -114,15 +125,30 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact n-gram Jaccard similarity for candidate pairs that share at
-    * least one shingle. Fully native: explode → equi-join on shingle →
-    * count ∩ / (|A|+|B|-∩). Emits pairs with jaccard >= threshold. */
+  /** Exact n-gram Jaccard similarity over the discriminative shingle
+    * universe: shingles appearing in >= maxDocFreq documents are dropped
+    * first (stop-shingle removal — they carry no dedup signal and their
+    * equi-join groups grow O(df²); the cap bounds the candidate-pair
+    * blowup at any corpus size). Then: explode → equi-join on shingle →
+    * count ∩ / (|A|+|B|-∩), all native. Emits pairs with
+    * jaccard >= threshold over the filtered universe. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-                        n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = df.select(col(idCol).as("jc_id"),
-      wordShingles(col(textCol), n).as("shingles"))
-    val sizes = sh.select(col("jc_id"), size(col("shingles")).as("n_sh"))
-    val ex = sh.select(col("jc_id"), explode(col("shingles")).as("shingle"))
+                        n: Int = 3, threshold: Double = 0.8,
+                        maxDocFreq: Int = 100): DataFrame = {
+    val sh = shingleDf(df, textCol, idCol, n)
+    // explode_outer: plain explode injects a `size(shingles)>0` data
+    // filter that pushdown re-inlines into the scan (re-running the
+    // tokenizer per row) — outer + isNotNull keeps the scan clean.
+    val ex0 = sh.select(col("jc_id"), explode_outer(col("shingles")).as("shingle"))
+      .filter(col("shingle").isNotNull)
+    // document-frequency cap via a window over the shingle shuffle (one
+    // exchange, reused by the self-join below); persist because the frame
+    // feeds three consumers (sizes + both join sides).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
+    val ex = ex0.withColumn("df_cnt", count(lit(1)).over(w))
+      .filter(col("df_cnt") < maxDocFreq).drop("df_cnt")
+      .persist()
+    val sizes = ex.groupBy(col("jc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = ex.alias("l").join(ex.alias("r"),
         col("l.shingle") === col("r.shingle") && col("l.jc_id") < col("r.jc_id"))
       .groupBy(col("l.jc_id").as("id_a"), col("r.jc_id").as("id_b"))
