@@ -373,7 +373,44 @@ object SparkEntry {
       .orderBy(col("c_custkey"))
   }
 
+  /** IP-range lookup: custom codegen expression ip4_to_int + broadcast
+    * sorted-array binary search (reference ip_geo KnowDB pattern). */
+  private def qIpRange(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Ip4ToInt.ip4_to_int
+    import graft.knowdb.RangeLookup
+    val n = t(s, dir, "nation")
+    val dim = n.select(
+      (lit(167772160L) + col("n_nationkey").cast("long") * 65536).as("r_start"),
+      (lit(167772160L) + col("n_nationkey").cast("long") * 65536 + 65535).as("r_end"),
+      col("n_name").as("zone"))
+    val sorted = RangeLookup.ranges(dim, "r_start", "r_end", "zone")
+    val c = t(s, dir, "customer")
+      .withColumn("ip", concat(lit("10."), col("c_nationkey"), lit("."),
+        col("c_custkey") % 256, lit(".1")))
+      .withColumn("ip_int", ip4_to_int(col("ip")))
+    RangeLookup.lookup(c, col("ip_int"), sorted, "zone")
+      .select(col("c_custkey"), col("ip"), col("ip_int"), col("zone"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Multimodal: binary media column + metadata decode (stubbed codec,
+    * real Spark plumbing — batched mapPartitions, typed meta struct). */
+  private def qMultimodal(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val d = t(s, dir, "documents").withColumn("media", col("text").cast("binary"))
+    Multimodal.decode(d, "media").select(
+      col("doc_id"),
+      col("media_meta.format").as("format"),
+      col("media_meta.n_bytes").as("n_bytes"),
+      col("media_meta.width").as("width"),
+      col("media_meta.height").as("height"),
+      col("media_meta.n_frames").as("n_frames"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ip_range_lookup" -> (qIpRange _),
+    "multimodal_meta" -> (qMultimodal _),
     "oml_transform" -> (qOmlTransform _),
     "oml_sql_enrich" -> (qOmlSqlEnrich _),
     "wpl_nginx_parse" -> (qWplNginx _),
@@ -407,6 +444,28 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "ip_range_lookup" ->
+      """WITH probe AS (
+           SELECT c_custkey,
+             '10.' || CAST(c_nationkey AS VARCHAR) || '.' ||
+               CAST(c_custkey % 256 AS VARCHAR) || '.1' AS ip,
+             167772160 + c_nationkey * 65536 + (c_custkey % 256) * 256 + 1 AS ip_int
+           FROM customer)
+         SELECT c_custkey, ip, ip_int, n_name AS zone
+         FROM probe LEFT JOIN nation
+           ON ip_int BETWEEN 167772160 + n_nationkey * 65536
+                         AND 167772160 + n_nationkey * 65536 + 65535
+         ORDER BY c_custkey""",
+    "multimodal_meta" ->
+      """SELECT doc_id,
+         CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'png'
+              WHEN octet_length(encode(text)) % 3 = 1 THEN 'jpeg'
+              ELSE 'webp' END AS format,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+         CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS height,
+         CAST(octet_length(encode(text)) // 1000 + 1 AS INT) AS n_frames
+         FROM documents ORDER BY doc_id""",
     "oml_transform" ->
       """SELECT event_id, event_type AS etype,
          CASE WHEN event_type = 'error' THEN 'high'
