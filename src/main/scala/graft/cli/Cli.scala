@@ -1,0 +1,85 @@
+package graft.cli
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Pipeline
+import graft.oml.KnowDb
+import graft.sinks.{Formatters, SinkRouter}
+import graft.gen.WpGen
+import graft.streaming.StreamingPipeline
+
+/** CLI entry points mirroring the reference's four binaries
+  * (docs/usage/en/01-cli): wparse batch|daemon, wpgen rule, wprescue
+  * batch, wproj check. Run via spark-submit --class graft.cli.Cli.
+  *
+  *   wparse  batch  <inDir> <outDir> <rules.wpl> [models.oml ...]
+  *   wparse  daemon <inDir> <outDir> <rules.wpl> [models.oml ...]
+  *   wpgen   rule   <rules.wpl> <ruleKey> <n> <outDir>
+  *   wprescue batch <rescueDir> <outDir> <rules.wpl> [models.oml ...]
+  *   wproj   check  <rules.wpl> [models.oml ...]
+  */
+object Cli {
+
+  private def session(): SparkSession = SparkSession.builder()
+    .appName("graft")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .getOrCreate()
+
+  private def read(path: String): String =
+    new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "wparse" :: "batch" :: in :: out :: wpl :: omls =>
+      val spark = session()
+      val lines = spark.read.text(in).withColumnRenamed("value", "line")
+      val parsed = Pipeline.run(lines, "line", read(wpl), omls.map(read)).persist()
+      writeChannels(parsed, out)
+      parsed.unpersist()
+    case "wparse" :: "daemon" :: in :: out :: wpl :: omls =>
+      val spark = session()
+      val q = StreamingPipeline.start(
+        StreamingPipeline.fileLines(spark, in), "line",
+        StreamingPipeline.Config(read(wpl), omls.map(read),
+          sinks = Seq(SinkRouter.SinkSpec("main")),
+          checkpoint = s"$out/_checkpoint")) { (sink, channel, df) =>
+        if (!df.isEmpty) df.write.mode("append").json(s"$out/$sink-$channel")
+      }
+      q.awaitTermination()
+    case "wpgen" :: "rule" :: wpl :: ruleKey :: n :: out :: Nil =>
+      val spark = session()
+      WpGen.dataset(spark, read(wpl), ruleKey, n.toLong).write.mode("overwrite").text(out)
+    case "wprescue" :: "batch" :: rescueDir :: out :: wpl :: omls =>
+      // re-ingest failed raw data (reference walks rescue/*.dat with a
+      // recover.lock offset file; Spark's file source tracks offsets via
+      // the checkpoint instead)
+      main(Array("wparse", "batch", rescueDir, out, wpl) ++ omls)
+    case "wproj" :: "check" :: wpl :: omls =>
+      // config validation: parse everything, report rule/model inventory
+      val rules = graft.wpl.WplText.parsePackages(read(wpl))
+      println(s"wpl: ${rules.size} rules: ${rules.map(_.key).mkString(", ")}")
+      omls.foreach { p =>
+        val m = graft.oml.OmlText.parse(read(p))
+        println(s"oml: ${m.name} rules=${m.rules.mkString(",")} items=${m.items.size}")
+      }
+    case other =>
+      System.err.println(s"unknown command: ${other.mkString(" ")}")
+      System.err.println("usage: wparse batch|daemon, wpgen rule, wprescue batch, wproj check")
+      sys.exit(2)
+  }
+
+  private def writeChannels(parsed: DataFrame, out: String): Unit = {
+    val fmtUdf = udf((fs: Seq[org.apache.spark.sql.Row]) =>
+      Formatters.json(fs.map(r => graft.wpl.WField(r.getString(0),
+        graft.wpl.WChars(r.getString(2)))).toVector))
+    parsed.filter(col("status") === "ok" || col("status") === "default")
+      .select(fmtUdf(col("fields")).as("value"))
+      .write.mode("overwrite").text(s"$out/main")
+    parsed.filter(col("status") === "miss")
+      .select(col("err_hint").as("value")).write.mode("overwrite").text(s"$out/miss")
+    parsed.filter(col("residue").isNotNull && col("residue") =!= "")
+      .select(col("residue").as("value")).write.mode("overwrite").text(s"$out/residue")
+    parsed.filter(col("status") === "error")
+      .select(col("err_hint").as("value")).write.mode("overwrite").text(s"$out/error")
+  }
+}
