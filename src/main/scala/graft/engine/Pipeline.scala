@@ -38,7 +38,8 @@ object Pipeline {
     * (first rule-match wins; no match = passthrough "default"). */
   def run(df: DataFrame, lineCol: String, wplSource: String,
           omlSources: Seq[String], keep: Seq[String] = Seq.empty,
-          knowDb: KnowDb = KnowDb.empty): DataFrame = {
+          knowDb: KnowDb = KnowDb.empty,
+          sourceTags: Map[String, String] = Map.empty): DataFrame = {
     val spark = df.sparkSession
     val bcDb: Broadcast[KnowDb] = spark.sparkContext.broadcast(knowDb)
     val keepIdx = keep.map(df.schema.fieldIndex)
@@ -51,9 +52,15 @@ object Pipeline {
       it.map { row =>
         val keepVals = keepIdx.map(row.get)
         val line = if (row.isNullAt(lineIdx)) null else row.get(lineIdx).toString
+        // source tags merged when the field is absent (processor.rs:70-100)
+        def tagged(fs: Vector[WField]): Vector[WField] =
+          if (sourceTags.isEmpty) fs
+          else fs ++ sourceTags.collect {
+            case (k, v) if !fs.exists(_.name == k) => WField(k, WChars(v))
+          }
         val out: Row = mp.parseLine(line) match {
-          case PSuccess(key, fs) => dispatch(key, fs, null, models, evals)
-          case PPartial(key, fs, residue) => dispatch(key, fs, residue, models, evals)
+          case PSuccess(key, fs) => dispatch(key, tagged(fs), null, models, evals)
+          case PPartial(key, fs, residue) => dispatch(key, tagged(fs), residue, models, evals)
           case PMiss(best, depth) => Row(null, null, "miss", Seq.empty, null, s"depth=$depth best=$best")
           case PBlank => Row(null, null, "blank", Seq.empty, null, null)
         }

@@ -86,6 +86,12 @@ final class OmlEval(model: OmlAst.Model, knowDb: KnowDb = KnowDb.empty,
     }
   }
 
+  /** Transform + privacy masking (reference runtime masking is opt-in;
+    * call this instead of `transform` to honor the model's privacy
+    * section). */
+  def transformMasked(fields: Vector[WField]): Option[Vector[WField]] =
+    transform(fields).map(Privacy.apply(_, model.privacy))
+
   /** Transform one parsed record; None = transform failure (reference
     * routes it to the error sink with diagnostics). */
   def transform(fields: Vector[WField]): Option[Vector[WField]] = {

@@ -16,6 +16,13 @@ package graft.wpl
   *  - adaptive rule reordering every 10,000 records by hit count, stable
   *    (parser.rs:119-134, OPTIMIZE_TIMES vm_unit.rs:25).
   */
+/** Plugin whole-line pipe registry (reference registry.rs:41-78). */
+object PipeRegistry {
+  private val fns = new java.util.concurrent.ConcurrentHashMap[String, String => String]()
+  def register(name: String, fn: String => String): Unit = fns.put(name, fn)
+  def get(name: String): Option[String => String] = Option(fns.get(name))
+}
+
 object Runtime {
 
   val ResidueRatio = 0.2
@@ -494,7 +501,11 @@ object Runtime {
             try s = java.net.URLDecoder.decode(s, "UTF-8") catch { case _: Exception => }
           case "strip/bom" =>
             if (s.startsWith("﻿")) s = s.substring(1)
-          case _ => // plg_pipe/<name>: plugin registry — no-op without registration
+          case p2 if p2.startsWith("plg_pipe/") =>
+            // user-registered PipeProcessor plugins (reference
+            // builtins/registry.rs register_wpl_pipe!)
+            PipeRegistry.get(p2.stripPrefix("plg_pipe/")).foreach(fn => s = fn(s))
+          case _ =>
         }
       }
       s

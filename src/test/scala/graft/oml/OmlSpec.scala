@@ -201,6 +201,38 @@ class OmlSpec extends AnyFunSuite {
     assert(m("status") == WChars("error"))
   }
 
+  test("privacy section masks declared fields") {
+    val oml =
+      """name : pv
+        ---
+        src_ip = read(ip) ;
+        phone = read(m) ;
+        mail = read(e) ;
+        ---
+        src_ip : privacy_ip
+        phone : privacy_mobile
+        mail : privacy_mail
+      """
+    val model = OmlText.parse(oml)
+    val out = new OmlEval(model).transformMasked(Vector(
+      WField("ip", WIp("10.1.2.3")), WField("m", WChars("13912345678")),
+      WField("e", WChars("alice@x.com")))).get
+    val m = out.map(f => f.name -> f.value.sval).toMap
+    assert(m("src_ip") == "10.1.2.0")
+    assert(m("phone") == "139****5678")
+    assert(m("mail") == "a***@x.com")
+  }
+
+  test("plg_pipe registry preproc") {
+    graft.wpl.PipeRegistry.register("upper", (s: String) => s.toUpperCase)
+    val mp = graft.wpl.Runtime.compile(
+      "package /p { rule r { |plg_pipe/upper| (chars:x) } }")
+    mp.parseLine("hello") match {
+      case PSuccess(_, fs) => assert(fs == Vector(WField("x", WChars("HELLO"))))
+      case o => fail(o.toString)
+    }
+  }
+
   test("empty output is a transform failure (error channel)") {
     val oml = "name : e\n---\nx = read(missing) ;"
     val model = OmlText.parse(oml)
