@@ -315,7 +315,12 @@ object WplText {
       while (!s.atEnd && s.peek != ',') { beg.append(s.peek); s.pos += 1 }
       s.expectCh(',')
       val end = new StringBuilder
-      while (!s.atEnd && s.peek != '>') { end.append(s.peek); s.pos += 1 }
+      // `<<,>>` means beg="<", end=">": a '>' belongs to the end text when
+      // another '>' still follows (the last one closes the format)
+      while (!s.atEnd && (s.peek != '>' ||
+          (s.pos + 1 < s.src.length && s.src.charAt(s.pos + 1) == '>'))) {
+        end.append(s.peek); s.pos += 1
+      }
       s.expectCh('>')
       Some(ScopeFmt(beg.toString, end.toString))
     } else if (!s.atEnd && s.peek == '"') {

@@ -129,7 +129,8 @@ object Runtime {
           effSep.consumeAt(cur.input, cur.pos) match {
             case Some(np) => cur.pos = np
             case None =>
-              if (!cur.atEnd && requiresBoundary && !nextIsStructural(cur)) return false
+              if (f.fmt.isEmpty && !cur.atEnd && requiresBoundary && !nextIsStructural(cur))
+                return false
           }
           emit(p, cur, rec, effSep)
       }
@@ -173,6 +174,10 @@ object Runtime {
                 idx.map(fs(_))
             }
             target match {
+              case Some((k, v)) if sf.typeName.exists(t => t == "symbol" || t == "peek_symbol") =>
+                // symbol subfield = match-time guard on the value
+                // (reference some_of.rs json(symbol(..)@name) pattern)
+                if (!sf.symbolContent.contains(v.sval)) ok = false
               case Some((k, v)) =>
                 val outName = sf.name.orElse(sf.refPath.map(p => p.split('/').last)).getOrElse(k)
                 coerce(v, sf.typeName) match {

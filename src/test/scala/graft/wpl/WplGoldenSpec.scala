@@ -121,6 +121,53 @@ class WplGoldenSpec extends AnyFunSuite {
     assert(m.contains("time"))
   }
 
+  // F3: Huawei firewall syslog (vm_unit.rs:336, test_huawei_detail)
+  val huaweiLine =
+    """<190>May 15 2023 07:09:12 KM-KJY-DC-USG12004-B02 %%01POLICY/6/POLICYPERMIT(l):CID=0x814f041e;vsys=CSG_Security, protocol=6"""
+
+  test("F3 huawei detail rule: scope digit, auto time, kv chain") {
+    val mp = Runtime.compile(
+      """package /hw { rule detail {
+           (digit:pri<<,>>,auto,chars,chars\:,kv\;,auto\,,auto\,)
+         } }""")
+    val fs = fields(mp.parseLine(huaweiLine))
+    val m = fs.map(f => f.name -> f.value).toMap
+    assert(m("pri") == WDigit(190))
+    // `auto` consumed "May 15 2023 07:09:12" as a time value
+    assert(fs(1).value.isInstanceOf[WTime])
+    assert(fs(2) == WField("chars", WChars("KM-KJY-DC-USG12004-B02")))
+    assert(fs(3) == WField("chars", WChars("%%01POLICY/6/POLICYPERMIT(l)")))
+    assert(m("CID") == WChars("0x814f041e"))
+    assert(m("vsys") == WChars("CSG_Security"))
+    assert(m("protocol") == WDigit(6))
+  }
+
+  // F5c: some_of over CJK-keyed JSON metrics (some_of.rs:82-105)
+  test("F5c some_of JSON metrics with symbol guards match in any order") {
+    val mp = Runtime.compile(
+      """package /m { rule metrics { some_of (
+          json( symbol(可用磁盘空间kB)@name,@value:disk_free),
+          json( symbol(磁盘使用百分比)@name,@value:disk_used),
+          json( symbol(空闲CPU百分比)@name,@value:cpu_free),
+          json( symbol(空闲内存kB)@name,@value:memory_free),
+          json( symbol(1分钟平均CPU负载)@name,@value:cpu_used_by_one_min),
+          json( symbol(15分钟平均CPU负载)@name,@value:cpu_used_by_fifty_min),
+          json( symbol(系统启动进程个数)@name,@value:process),
+          json( symbol(磁盘1分钟平均负载)@name,@value:disk_used_by_one_min),
+          json( symbol(磁盘15分钟平均负载)@name,@value:dist_used_by_fifty_min) )\,
+      } }""")
+    val line =
+      """{"name": "空闲CPU百分比", "value": 96.8}, {"name": "空闲内存kB", "value": 102432896.0}, {"name": "1分钟平均CPU负载", "value": 2.52}, {"name": "15分钟平均CPU负载", "value": 4.9}, {"name": "系统启动进程个数", "value": 1340.0}, {"name": "可用磁盘空间kB", "value": 40565575858.0}, {"name": "磁盘使用百分比", "value": 8.63}, {"name": "磁盘1分钟平均负载", "value": 8.63}, {"name": "磁盘15分钟平均负载", "value": 8.64}"""
+    val fs = fields(mp.parseLine(line))
+    val m = fs.map(f => f.name -> f.value).toMap
+    assert(m("cpu_free") == WFloat(96.8))
+    assert(m("memory_free") == WFloat(102432896.0))
+    assert(m("process") == WFloat(1340.0))
+    assert(m("disk_free") == WFloat(40565575858.0))
+    assert(m("dist_used_by_fifty_min") == WFloat(8.64))
+    assert(fs.length == 9)
+  }
+
   // group combinators (alt.rs / opt.rs / some_of.rs / not.rs)
   test("alt takes first matching branch") {
     val mp = Runtime.compile("package /g { rule r { alt(ip,digit,chars) } }")
