@@ -84,6 +84,11 @@ object Runtime {
     /** Evaluate this field once at the cursor. Returns false on failure
       * (cursor reset by caller for groups that need it). */
     def evalOnce(cur: Cursor, rec: RecBuilder, effSep: Sep): Boolean = {
+      // tolerate space padding after a non-whitespace separator (", kv=v")
+      // for self-delimited values; sep-bounded chars keep raw semantics
+      if (skipsLeadingWs) {
+        while (!cur.atEnd && (cur.peek == ' ' || cur.peek == '\t')) cur.pos += 1
+      }
       val parsed: Option[Parsed] = f.fmt match {
         case Some(ScopeFmt(beg, end)) =>
           if (!cur.input.startsWith(beg, cur.pos)) None
@@ -141,6 +146,12 @@ object Runtime {
 
     /** Separator-bounded parsers stop at the separator by construction;
       * self-delimited ones must land exactly on a separator or EOL. */
+    private def skipsLeadingWs: Boolean = parser match {
+      case CharsP | IgnoreP | HttpAgentP => false
+      case _: SymbolP => false
+      case _ => true
+    }
+
     private def requiresBoundary: Boolean = parser match {
       case CharsP | IgnoreP | HttpAgentP | KvP | KvArrP => false
       case _: SymbolP => false
