@@ -196,10 +196,21 @@ object IpP extends VParser("ip") {
   @inline private def isIpChar(c: Char) =
     c.isDigit || c == '.' || c == ':' || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
   def validIpv4(s: String): Boolean = {
-    val parts = s.split("\\.", -1)
-    parts.length == 4 && parts.forall(p =>
-      p.nonEmpty && p.length <= 3 && p.forall(_.isDigit) && p.toInt <= 255 &&
-        (p.length == 1 || p.charAt(0) != '0'))
+    // imperative (no regex/split) — this sits on the auto-chain hot path
+    var i = 0; var part = 0; var digits = 0; var value = 0; var leadZero = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '.') {
+        if (digits == 0 || value > 255 || (leadZero && digits > 1) || part >= 3) return false
+        part += 1; digits = 0; value = 0; leadZero = false
+      } else if (c >= '0' && c <= '9') {
+        if (digits == 0) leadZero = c == '0'
+        value = value * 10 + (c - '0'); digits += 1
+        if (digits > 3) return false
+      } else return false
+      i += 1
+    }
+    part == 3 && digits > 0 && value <= 255 && !(leadZero && digits > 1)
   }
   def validIpv6(s: String): Boolean = {
     if (!s.contains(':')) return false
@@ -376,6 +387,29 @@ object TimeFormats {
   /** Scanner helpers over (input, pos). Each fmt returns (TM, endPos). */
   type Fmt = (String, Int) => Option[(TM, Int)]
 
+  @inline private def isDig(c: Char) = c >= '0' && c <= '9'
+
+  /** Cheap candidate test per format — avoids the Option-chain cost for
+    * formats that can't possibly match at this position. */
+  def precheck(f: Fmt, in: String, p: Int): Boolean = {
+    if (p >= in.length) return false
+    val c0 = in.charAt(p)
+    if (f eq isoLike) {
+      // yyyy[-/]...
+      p + 4 < in.length && isDig(c0) && isDig(in.charAt(p + 1)) &&
+        isDig(in.charAt(p + 2)) && isDig(in.charAt(p + 3)) &&
+        (in.charAt(p + 4) == '-' || in.charAt(p + 4) == '/')
+    } else if (f eq clf) {
+      // d[d]/Mmm...
+      isDig(c0) && p + 2 < in.length &&
+        (in.charAt(p + 1) == '/' || (isDig(in.charAt(p + 1)) && in.charAt(p + 2) == '/'))
+    } else if (f eq mdyTime) {
+      c0 >= 'A' && c0 <= 'Z'
+    } else if (f eq rfc2822) {
+      (c0 >= 'A' && c0 <= 'Z') || isDig(c0)
+    } else true
+  }
+
   private def num(in: String, p0: Int, min: Int, max: Int): Option[(Int, Int)] = {
     var p = p0; var v = 0; var n = 0
     while (p < in.length && in.charAt(p).isDigit && n < max) {
@@ -467,25 +501,42 @@ object TimeFormats {
     }
   }
 
-  /** CLF: `06/Aug/2019:12:12:19 +0800` */
+  /** CLF: `06/Aug/2019:12:12:19 +0800` — imperative (hottest log format). */
   val clf: Fmt = (in, p0) => {
-    for {
-      (d, p1) <- num(in, p0, 1, 2)
-      p2 <- ch(in, p1, '/')
-      mo <- if (p2 + 3 <= in.length) months.get(in.substring(p2, p2 + 3)) else None
-      p3 <- ch(in, p2 + 3, '/')
-      (y, p4) <- num(in, p3, 4, 4)
-      p5 <- ch(in, p4, ':')
-      (h, p6) <- num(in, p5, 1, 2)
-      p7 <- ch(in, p6, ':')
-      (mi, p8) <- num(in, p7, 1, 2)
-      p9 <- ch(in, p8, ':')
-      (s, p10) <- num(in, p9, 1, 2)
-    } yield {
-      val pSp = if (p10 < in.length && in.charAt(p10) == ' ') p10 + 1 else p10
-      offset(in, pSp) match {
-        case Some((o, pEnd)) => (TM(y, mo, d, h, mi, s, 0, Some(o)), pEnd)
-        case None => (TM(y, mo, d, h, mi, s), p10)
+    @inline def dig(p: Int) = p < in.length && in.charAt(p) >= '0' && in.charAt(p) <= '9'
+    var p = p0
+    // day 1-2 digits
+    var d = 0; var n = 0
+    while (dig(p) && n < 2) { d = d * 10 + (in.charAt(p) - '0'); p += 1; n += 1 }
+    if (n == 0 || p >= in.length || in.charAt(p) != '/') None
+    else {
+      p += 1
+      val mo = if (p + 3 <= in.length) months.getOrElse(in.substring(p, p + 3), 0) else 0
+      if (mo == 0 || p + 3 >= in.length || in.charAt(p + 3) != '/') None
+      else {
+        p += 4
+        var y = 0; n = 0
+        while (dig(p) && n < 4) { y = y * 10 + (in.charAt(p) - '0'); p += 1; n += 1 }
+        var ok = n == 4
+        val hms = new Array[Int](3)
+        var i = 0
+        while (ok && i < 3) {
+          if (p < in.length && in.charAt(p) == ':') p += 1 else ok = false
+          if (ok) {
+            var v = 0; n = 0
+            while (dig(p) && n < 2) { v = v * 10 + (in.charAt(p) - '0'); p += 1; n += 1 }
+            if (n == 0) ok = false else hms(i) = v
+          }
+          i += 1
+        }
+        if (!ok) None
+        else {
+          val pSp = if (p < in.length && in.charAt(p) == ' ') p + 1 else p
+          offset(in, pSp) match {
+            case Some((o, pEnd)) => Some((TM(y, mo, d, hms(0), hms(1), hms(2), 0, Some(o)), pEnd))
+            case None => Some((TM(y, mo, d, hms(0), hms(1), hms(2)), p))
+          }
+        }
       }
     }
   }
@@ -518,24 +569,32 @@ object TimeFormats {
   }
 }
 
-/** Multi-format time autodetect (reference physical/time/rfc.rs TimeP). */
+/** Multi-format time autodetect (reference physical/time/rfc.rs TimeP).
+  * Formats carry a cheap char-level precheck so non-candidates cost a few
+  * ns; the first matching format wins (formats are mutually exclusive). */
 class TimeP(formats: Seq[TimeFormats.Fmt], override val typeName: String = "time")
     extends VParser(typeName) {
   def parse(cur: Cursor, sep: Sep): Option[Parsed] = {
-    var best: Option[(TimeFormats.TM, Int)] = None
-    for (f <- formats) {
-      f(cur.input, cur.pos) match {
-        case Some((tm, end)) if best.forall(_._2 < end) => best = Some((tm, end))
-        case _ =>
+    val in = cur.input; val p = cur.pos
+    var i = 0
+    while (i < formats.length) {
+      val f = formats(i)
+      if (TimeFormats.precheck(f, in, p)) {
+        f(in, p) match {
+          case Some((tm, end)) =>
+            TimeFormats.toMicros(tm) match {
+              case Some(us) =>
+                val raw = in.substring(p, end)
+                cur.pos = end
+                return Some(One(WTime(us, raw)))
+              case None =>
+            }
+          case None =>
+        }
       }
+      i += 1
     }
-    best.flatMap { case (tm, end) =>
-      TimeFormats.toMicros(tm).map { us =>
-        val raw = cur.input.substring(cur.pos, end)
-        cur.pos = end
-        One(WTime(us, raw))
-      }
-    }
+    None
   }
   override def gen(rnd: SplittableRandom): String = {
     val y = 2020 + rnd.nextInt(5); val mo = 1 + rnd.nextInt(12); val d = 1 + rnd.nextInt(28)

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+/** Physical-plan quality gates: the properties that matter at 100 TB must
+  * be visible in the plan, not assumed — filter/column pushdown into the
+  * parquet scan, broadcast joins for dims, TakeOrderedAndProject for
+  * top-k (no full sort), and no nested-loop joins in dedup operators. */
+class PlanQualitySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("filter query pushes predicates and prunes columns at the scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = SparkEntry.queries("q_filter_pushdown")(spark, sf)
+    val scan = df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f
+    }.head
+    val pushed = scan.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate"), pushed)
+    assert(pushed.contains("EqualTo(l_returnflag,R)"), pushed)
+    // column pruning: 7 of 11 lineitem columns needed
+    val cols = scan.requiredSchema.fieldNames.toSet
+    assert(!cols.contains("l_partkey") && !cols.contains("l_tax") &&
+      !cols.contains("l_linestatus"), cols.mkString(","))
+  }
+
+  test("dimension joins broadcast the small side") {
+    val p = plan("q_broadcast_dims")
+    assert(p.contains("BroadcastHashJoin"), "dims should broadcast")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "no BNLJ expected")
+  }
+
+  test("top-k uses TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_join_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("dedup operators plan without nested-loop joins") {
+    for (q <- Seq("dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q has a quadratic join")
+    }
+  }
+
+  test("parse pipeline is a narrow map (no exchange before extraction)") {
+    val parsed = graft.engine.WplEngine.parse(
+      spark.read.parquet(s"$sf/documents.parquet")
+        .selectExpr("text as line"), "line",
+      "package /t { rule r { (chars:all) } }")
+    val p = parsed.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), "parse should not shuffle")
+  }
+}
