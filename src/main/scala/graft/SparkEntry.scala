@@ -222,6 +222,27 @@ object SparkEntry {
     Similarity.bruteForceTopK(e, "embedding", "vec_id", q, 10)
   }
 
+  private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    // coarse centroids: the first 4 vectors (deterministic; a real build
+    // would k-means these); query = vec_id 1
+    val cents = e.filter(col("vec_id") < 4).orderBy("vec_id")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    val q = e.filter(col("vec_id") === 1).select(col("embedding")).head()
+      .getSeq[Float](0).map(_.toDouble)
+    val assigned = Similarity.ivfAssign(e, "embedding", cents)
+    val qCell = cents.zipWithIndex.map { case (c, i) =>
+      (c.zip(q).map { case (x, y) => (x - y) * (x - y) }.sum, i)
+    }.min._2
+    assigned.filter(col("ivf_cell") === qCell)
+      .select(col("vec_id"),
+        round(Similarity.cosine(col("embedding"),
+          array(q.map(lit): _*)), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
   private def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val q = e.filter(col("vec_id") === 0).select(col("embedding")).head()
@@ -440,6 +461,7 @@ object SparkEntry {
     "lang_id" -> (qLangId _),
     "doc_fingerprint" -> (qFingerprint _),
     "ann_cosine_topk" -> (qAnnTopk _),
+    "ann_ivf_topk" -> (qAnnIvf _),
     "ann_lsh_topk" -> (qAnnLsh _)
   )
 
@@ -661,9 +683,53 @@ object SparkEntry {
              (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
               sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
          FROM embeddings, q
-         ORDER BY cos_sim DESC, vec_id LIMIT 10"""
-    // dedup_minhash_lsh / dedup_simhash / lang_id / doc_fingerprint /
-    // ann_lsh_topk use engine-internal hash families that are not
-    // SQL-expressible → rows-only check (covered by ScalaTest instead).
+         ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+    "lang_id" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_transform(
+             list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0),
+             y -> lower(y))) AS tok
+           FROM documents),
+         hits AS (
+           SELECT d.doc_id,
+             coalesce(h.de,0) AS de, coalesce(h.en,0) AS en, coalesce(h.es,0) AS es,
+             coalesce(h.fr,0) AS fr, coalesce(h.pt,0) AS pt
+           FROM documents d LEFT JOIN (
+             SELECT doc_id,
+               count(CASE WHEN tok IN ('der','die','und','das','ist','nicht','ein','mit','von','zu') THEN 1 END) AS de,
+               count(CASE WHEN tok IN ('the','and','of','to','in','is','that','it','for','with') THEN 1 END) AS en,
+               count(CASE WHEN tok IN ('el','la','de','que','y','en','un','los','se','por') THEN 1 END) AS es,
+               count(CASE WHEN tok IN ('le','la','et','les','des','en','un','du','une','est') THEN 1 END) AS fr,
+               count(CASE WHEN tok IN ('o','a','e','de','do','da','em','um','para','com') THEN 1 END) AS pt
+             FROM toks GROUP BY doc_id) h ON d.doc_id = h.doc_id)
+         SELECT doc_id,
+           CASE WHEN greatest(de,en,es,fr,pt) = 0 THEN 'und'
+                WHEN de = greatest(de,en,es,fr,pt) THEN 'de'
+                WHEN en = greatest(de,en,es,fr,pt) THEN 'en'
+                WHEN es = greatest(de,en,es,fr,pt) THEN 'es'
+                WHEN fr = greatest(de,en,es,fr,pt) THEN 'fr'
+                ELSE 'pt' END AS lang_pred
+         FROM hits ORDER BY doc_id""",
+    "ann_ivf_topk" ->
+      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings WHERE vec_id < 4),
+         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+         assign AS (
+           SELECT vec_id, cid FROM (
+             SELECT v.vec_id, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY list_distance(ev, cv), cid) AS rn
+             FROM v, c) WHERE rn = 1),
+         qcell AS (SELECT cid FROM assign WHERE vec_id = 1),
+         q AS (SELECT ev AS qv FROM v WHERE vec_id = 1)
+         SELECT v.vec_id,
+           round(list_dot_product(ev, qv) /
+             (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+         FROM v JOIN assign ON v.vec_id = assign.vec_id, qcell, q
+         WHERE assign.cid = qcell.cid
+         ORDER BY cos_sim DESC, v.vec_id LIMIT 10"""
+    // dedup_minhash_lsh / dedup_simhash / doc_fingerprint / ann_lsh_topk
+    // use engine-internal hash families that are not SQL-expressible →
+    // rows-only check (covered by ScalaTest instead).
   )
 }

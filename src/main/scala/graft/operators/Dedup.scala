@@ -24,6 +24,15 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_md5"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** Streaming exact dedup: event-time watermark bounds the dedup state
+    * (dropDuplicatesWithinWatermark evicts keys once the watermark passes
+    * — without it, state grows without bound at 100 TB/day ingest). */
+  def streamingExact(df: DataFrame, textCol: String, tsCol: String,
+                     watermark: String = "10 minutes"): DataFrame =
+    df.withColumn("content_md5", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_md5")
+
   /** Word n-gram shingles from an ALREADY-MATERIALIZED token-array column.
     * The token array must be a plain column reference, not an inline
     * expression: this expression references it O(#tokens) times, and
