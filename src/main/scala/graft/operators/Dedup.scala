@@ -86,10 +86,13 @@ object Dedup {
     val rowsPerBand = nPerm / bands
     val sigd = shingleDf(df, textCol, idCol, shingleN, outId = "mh_id")
       .select(col("mh_id"), minhashUdf(col("shingles"), lit(nPerm)).as("sig"))
+    // persisted: both sides of the self-join consume this frame (the
+    // signature UDF + shingle pipeline would otherwise run twice)
     val banded = sigd.select(col("mh_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .toDF("mh_id", "band", "band_hash")
+      .persist()
     val l = banded.alias("l"); val r = banded.alias("r")
     l.join(r, col("l.band") === col("r.band") &&
         col("l.band_hash") === col("r.band_hash") &&
