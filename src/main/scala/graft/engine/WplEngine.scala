@@ -61,24 +61,15 @@ object WplEngine {
     parsed.toDF()
   }
 
-  /** Like `parse` but keeps passthrough columns (zipped by position within
-    * the partition — narrow, no shuffle). */
+  /** Like `parse` but keeps passthrough columns. Implemented with the
+    * `parse_wpl` Catalyst expression — a plain projection, so there is no
+    * RDD hop and the surrounding operators keep whole-stage codegen. */
   def parseWith(df: DataFrame, lineCol: String, wplSource: String,
                 keep: Seq[String]): DataFrame = {
-    val spark = df.sparkSession
-    val keepIdx = keep.map(k => df.schema.fieldIndex(k))
-    val lineIdx = df.schema.fieldIndex(lineCol)
-    val keepSchema = keep.map(k => df.schema(df.schema.fieldIndex(k)))
-    val outSchema = StructType(keepSchema ++ Encoders.product[ParsedRow].schema.fields)
-    val rdd = df.rdd.mapPartitions { it =>
-      val mp = Runtime.compile(wplSource)
-      it.map { row =>
-        val pr = toRow(mp.parseLine(if (row.isNullAt(lineIdx)) null else row.getString(lineIdx)))
-        Row.fromSeq(keepIdx.map(row.get) ++ Seq(pr.rule_key, pr.status,
-          pr.fields.map(f => Row(f.name, f.dtype, f.sval)), pr.residue, pr.miss_depth, pr.best_wpl))
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    import graft.functions.ParseWpl
+    df.select((keep.map(col) :+
+        ParseWpl.parse_wpl(col(lineCol).cast("string"), wplSource).as("p")): _*)
+      .select((keep.map(col) :+ col("p.*")): _*)
   }
 
   // -------------------------------------------------------------------

@@ -1,0 +1,217 @@
+package graft.sources
+
+import java.util
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DSv2 streaming sources for daemon mode (reference src/sources/tcp +
+  * src/sources/syslog): a TCP listener with Auto/Line/Len (RFC6587)
+  * framing and a syslog UDP datagram receiver.
+  *
+  * Design notes (mirroring the reference's own decisions):
+  *  - single reader per port (the reference explicitly rejected
+  *    SO_REUSEPORT multi-instance — docs/dar/udp_reuseport.md:7); the
+  *    listener lives on the driver, frames are buffered with monotonically
+  *    increasing offsets and shipped to executors per micro-batch. This is
+  *    the right shape for a push protocol: parallelism comes AFTER the
+  *    accept point, from the parse stage over the batch.
+  *  - per-connection client-ip tag rides along as a column (reference
+  *    conn/connection.rs).
+  *
+  * Usage:
+  *   spark.readStream.format("graft-tcp").option("port","5140")
+  *     .option("framing","auto").load()
+  *   spark.readStream.format("graft-syslog-udp").option("port","5141").load()
+  */
+object NetSources {
+  val schema: StructType = StructType(Seq(
+    StructField("value", StringType),
+    StructField("client_ip", StringType)))
+
+  final case class Frame(value: String, clientIp: String)
+
+  /** Driver-side frame buffer with absolute offsets. */
+  final class FrameBuffer {
+    private val frames = new java.util.ArrayList[Frame]()
+    def append(f: Frame): Unit = frames.synchronized { frames.add(f) }
+    def size: Long = frames.synchronized { frames.size().toLong }
+    def slice(from: Long, until: Long): Array[Frame] = frames.synchronized {
+      val a = new Array[Frame]((until - from).toInt)
+      var i = 0
+      while (i < a.length) { a(i) = frames.get((from + i).toInt); i += 1 }
+      a
+    }
+  }
+
+  case class LongOffset(value: Long) extends Offset {
+    override def json(): String = value.toString
+  }
+}
+
+// ---------------------------------------------------------------------------
+// TCP
+// ---------------------------------------------------------------------------
+
+class TcpSourceProvider extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-tcp"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = NetSources.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new NetTable("graft-tcp", props => new TcpStream(
+      props.getOrDefault("port", "5140").toInt,
+      props.getOrDefault("framing", "auto")), properties)
+}
+
+class SyslogUdpSourceProvider extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-syslog-udp"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = NetSources.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new NetTable("graft-syslog-udp", props => new UdpStream(
+      props.getOrDefault("port", "5141").toInt), properties)
+}
+
+class NetTable(sourceName: String,
+               mkStream: util.Map[String, String] => MicroBatchStream,
+               properties: util.Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = sourceName
+  override def schema(): StructType = NetSources.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = NetSources.schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          mkStream(properties)
+      }
+    }
+}
+
+/** TCP listener stream: accept loop + per-connection reader threads feed
+  * the frame buffer through `Framing.split`. */
+class TcpStream(port: Int, framingMode: String) extends MicroBatchStream {
+  import NetSources._
+
+  private val buf = new FrameBuffer
+  private val committed = new AtomicLong(0L)
+  @volatile private var server: java.net.ServerSocket = _
+
+  private val mode = framingMode match {
+    case "line" => Framing.Line
+    case "len" => Framing.Len
+    case _ => Framing.Auto
+  }
+
+  private def ensureStarted(): Unit = synchronized {
+    if (server == null) {
+      server = new java.net.ServerSocket(port)
+      val acceptor = new Thread(() => {
+        try {
+          while (!server.isClosed) {
+            val sock = server.accept()
+            val clientIp = sock.getInetAddress.getHostAddress
+            new Thread(() => {
+              val in = sock.getInputStream
+              var pending = Array.empty[Byte]
+              val chunk = new Array[Byte](8192)
+              var n = in.read(chunk)
+              while (n >= 0) {
+                pending = pending ++ chunk.take(n)
+                val (frames, rest) = Framing.split(pending, mode)
+                frames.foreach(f => buf.append(Frame(f, clientIp)))
+                pending = rest
+                n = in.read(chunk)
+              }
+              // flush a trailing unterminated line on close
+              if (pending.nonEmpty && mode != Framing.Len)
+                buf.append(Frame(new String(pending, "UTF-8"), clientIp))
+              sock.close()
+            }, s"graft-tcp-conn-$clientIp").start()
+          }
+        } catch { case _: java.io.IOException => /* closed */ }
+      }, s"graft-tcp-accept-$port")
+      acceptor.setDaemon(true)
+      acceptor.start()
+    }
+  }
+
+  override def latestOffset(): Offset = { ensureStarted(); LongOffset(buf.size) }
+  override def initialOffset(): Offset = { ensureStarted(); LongOffset(0L) }
+  override def deserializeOffset(json: String): Offset = LongOffset(json.toLong)
+  override def commit(end: Offset): Unit =
+    committed.set(end.asInstanceOf[LongOffset].value)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[LongOffset].value
+    val e = end.asInstanceOf[LongOffset].value
+    Array(FramesPartition(buf.slice(s, e)))
+  }
+  override def createReaderFactory(): PartitionReaderFactory = FramesReaderFactory
+  override def stop(): Unit = if (server != null) server.close()
+}
+
+/** Syslog UDP stream: one datagram = one frame (reference udp_source.rs). */
+class UdpStream(port: Int) extends MicroBatchStream {
+  import NetSources._
+
+  private val buf = new FrameBuffer
+  @volatile private var socket: java.net.DatagramSocket = _
+
+  private def ensureStarted(): Unit = synchronized {
+    if (socket == null) {
+      socket = new java.net.DatagramSocket(port)
+      val reader = new Thread(() => {
+        val pkt = new java.net.DatagramPacket(new Array[Byte](65535), 65535)
+        try {
+          while (!socket.isClosed) {
+            socket.receive(pkt)
+            buf.append(Frame(new String(pkt.getData, 0, pkt.getLength, "UTF-8"),
+              pkt.getAddress.getHostAddress))
+          }
+        } catch { case _: java.io.IOException => /* closed */ }
+      }, s"graft-udp-$port")
+      reader.setDaemon(true)
+      reader.start()
+    }
+  }
+
+  override def latestOffset(): Offset = { ensureStarted(); LongOffset(buf.size) }
+  override def initialOffset(): Offset = { ensureStarted(); LongOffset(0L) }
+  override def deserializeOffset(json: String): Offset = LongOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[NetSources.LongOffset].value
+    val e = end.asInstanceOf[NetSources.LongOffset].value
+    Array(FramesPartition(buf.slice(s, e)))
+  }
+  override def createReaderFactory(): PartitionReaderFactory = FramesReaderFactory
+  override def stop(): Unit = if (socket != null) socket.close()
+}
+
+final case class FramesPartition(frames: Array[NetSources.Frame]) extends InputPartition
+
+object FramesReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val frames = partition.asInstanceOf[FramesPartition].frames
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < frames.length }
+      override def get(): InternalRow = InternalRow(
+        UTF8String.fromString(frames(i).value),
+        UTF8String.fromString(frames(i).clientIp))
+      override def close(): Unit = ()
+    }
+  }
+}

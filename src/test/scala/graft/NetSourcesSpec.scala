@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+/** End-to-end tests for the DSv2 TCP / syslog-UDP streaming sources. */
+class NetSourcesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def freePort(): Int = {
+    val s = new java.net.ServerSocket(0)
+    val p = s.getLocalPort; s.close(); p
+  }
+
+  test("graft-tcp source receives line-framed data with client ip") {
+    val port = freePort()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-tcp-ck").toString
+    val df = spark.readStream.format("graft-tcp")
+      .option("port", port.toString).option("framing", "line").load()
+    val q = df.writeStream.format("memory").queryName("tcp_out")
+      .option("checkpointLocation", ckpt).start()
+    // let the listener bind (first latestOffset call starts it)
+    Thread.sleep(1500)
+    val sock = new java.net.Socket("127.0.0.1", port)
+    sock.getOutputStream.write("hello one\nhello two\n".getBytes)
+    sock.getOutputStream.flush()
+    sock.close()
+    Thread.sleep(500)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("tcp_out").collect()
+    assert(rows.map(_.getString(0)).toSet == Set("hello one", "hello two"))
+    assert(rows.forall(_.getString(1) == "127.0.0.1"))
+  }
+
+  test("graft-tcp source with RFC6587 octet-count framing") {
+    val port = freePort()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-tcp6587-ck").toString
+    val df = spark.readStream.format("graft-tcp")
+      .option("port", port.toString).option("framing", "len").load()
+    val q = df.writeStream.format("memory").queryName("tcp6587_out")
+      .option("checkpointLocation", ckpt).start()
+    Thread.sleep(1500)
+    val sock = new java.net.Socket("127.0.0.1", port)
+    sock.getOutputStream.write("5 alpha4 beta".getBytes)
+    sock.getOutputStream.flush()
+    sock.close()
+    Thread.sleep(500)
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("tcp6587_out").collect().map(_.getString(0)).toSet ==
+      Set("alpha", "beta"))
+  }
+
+  test("graft-syslog-udp source receives datagrams") {
+    val port = freePort()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-udp-ck").toString
+    val df = spark.readStream.format("graft-syslog-udp")
+      .option("port", port.toString).load()
+    val q = df.writeStream.format("memory").queryName("udp_out")
+      .option("checkpointLocation", ckpt).start()
+    Thread.sleep(1500)
+    val sock = new java.net.DatagramSocket()
+    val msg = "<34>Oct 11 22:14:15 host app: boom".getBytes
+    sock.send(new java.net.DatagramPacket(msg, msg.length,
+      java.net.InetAddress.getByName("127.0.0.1"), port))
+    sock.close()
+    Thread.sleep(500)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("udp_out").collect()
+    assert(got.length == 1)
+    assert(got(0).getString(0).contains("boom"))
+  }
+}
