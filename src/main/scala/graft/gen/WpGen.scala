@@ -70,6 +70,44 @@ object WpGen {
     }
   }
 
+  /** Speed profiles (reference SpeedProfile, src/runtime/generator/speed/
+    * profile.rs: constant / ramp / burst): map a wall-clock second to a
+    * target rate; daemon-style generation pairs a profile with the `rate`
+    * source (rowsPerSecond is re-settable per trigger via the profile). */
+  sealed trait SpeedProfile { def rateAt(sec: Long): Long }
+  final case class Constant(rps: Long) extends SpeedProfile {
+    def rateAt(sec: Long): Long = rps
+  }
+  final case class Ramp(startRps: Long, endRps: Long, durationSec: Long) extends SpeedProfile {
+    def rateAt(sec: Long): Long =
+      if (sec >= durationSec) endRps
+      else startRps + (endRps - startRps) * sec / durationSec
+  }
+  final case class Burst(baseRps: Long, burstRps: Long, periodSec: Long,
+                         burstSec: Long) extends SpeedProfile {
+    def rateAt(sec: Long): Long =
+      if (sec % periodSec < burstSec) burstRps else baseRps
+  }
+
+  /** Streaming generator: `rate` source paced at the profile's initial
+    * rate, each tick mapped through the rule generator (daemon analogue
+    * of `wpgen rule`; exact pacing of later ticks is the trigger's job). */
+  def stream(spark: SparkSession, wplSource: String, ruleKey: String,
+             profile: SpeedProfile, seed: Long = 42L) = {
+    import spark.implicits._
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", profile.rateAt(0).toString).load()
+      .select("value").as[Long]
+      .mapPartitions { it =>
+        val rule = WplText.parsePackages(wplSource).find(_.key == ruleKey)
+          .getOrElse(throw new IllegalArgumentException(s"no rule $ruleKey"))
+        it.map { i =>
+          val rnd = new SplittableRandom(seed ^ i) // per-row seed: restart-stable
+          genLine(rule, rnd)
+        }
+      }
+  }
+
   /** Sample-based generation: replay/permute existing lines (reference
     * src/runtime/generator/sample.rs). */
   def fromSample(spark: SparkSession, lines: Dataset[String], n: Long,

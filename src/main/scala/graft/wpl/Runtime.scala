@@ -392,7 +392,10 @@ object Runtime {
   // -------------------------------------------------------------------
 
   final class GroupEval(g: WplGroup) extends Serializable {
-    val fieldEvals: Vector[(WplField, FieldEval)] = g.fields.map(f => (f, new FieldEval(f)))
+    // group-level [n] acts as the default length cap for member fields
+    // (grammar: "length applies to all fields within the group")
+    val fieldEvals: Vector[(WplField, FieldEval)] =
+      g.fields.map(f => (f, new FieldEval(f.copy(lenCap = f.lenCap.orElse(g.len)))))
 
     def eval(cur: Cursor, rec: RecBuilder, inherited: Sep): Boolean = {
       val effSep = g.sep.getOrElse(inherited)
