@@ -81,7 +81,7 @@ object SparkEntry {
     val w = Window.partitionBy(col("l_suppkey"))
       .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
     t(s, dir, "lineitem")
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
       .select(col("l_suppkey"), col("rn"), col("l_orderkey"), col("l_linenumber"),
         col("l_extendedprice"))
@@ -471,7 +471,8 @@ object SparkEntry {
            SELECT c_custkey,
              '10.' || CAST(c_nationkey AS VARCHAR) || '.' ||
                CAST(c_custkey % 256 AS VARCHAR) || '.1' AS ip,
-             167772160 + c_nationkey * 65536 + (c_custkey % 256) * 256 + 1 AS ip_int
+             CAST(167772160 + c_nationkey * 65536 + (c_custkey % 256) * 256 + 1
+               AS BIGINT) AS ip_int
            FROM customer)
          SELECT c_custkey, ip, ip_int, n_name AS zone
          FROM probe LEFT JOIN nation
@@ -611,7 +612,7 @@ object SparkEntry {
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_events_json" ->
       """SELECT event_type, count(*) AS n,
-         sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k
+         CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
          FROM events GROUP BY event_type ORDER BY event_type""",
     "q_events_lag" ->
       """SELECT user_id, event_id, sec - prev_sec AS gap_sec FROM (

@@ -51,6 +51,7 @@ object Runtime {
       case "kv" => KvP
       case "kvarr" => KvArrP
       case "json" => JsonP
+      case "obj" => JsonP // obj ≡ lenient JSON object (builtin_type list)
       case "exact_json" => ExactJsonP
       case "proto_text" | "proto/text" => ProtoTextP
       case "id_card" => IdCardP
