@@ -15,11 +15,33 @@ import graft.wpl._
   * fully distributed, deterministic for a fixed (seed, partitioning). */
 object WpGen {
 
+  /** Per-field generation config (reference gen_field.toml:1-6 — e.g. ip
+    * range beg/end, digit ranges, chars length). Keyed by field name. */
+  sealed trait FieldConf
+  final case class IpRange(beg: String, end: String) extends FieldConf
+  final case class DigitRange(min: Long, max: Long) extends FieldConf
+  final case class CharsLen(len: Int) extends FieldConf
+  final case class OneOf(values: Seq[String]) extends FieldConf
+
+  def genField(conf: FieldConf, rnd: SplittableRandom): String = conf match {
+    case IpRange(beg, end) =>
+      val b = graft.functions.Ip4ToInt.parse(beg)
+      val e = graft.functions.Ip4ToInt.parse(end)
+      val v = b + (if (e > b) rnd.nextLong(e - b + 1) else 0L)
+      s"${(v >> 24) & 255}.${(v >> 16) & 255}.${(v >> 8) & 255}.${v & 255}"
+    case DigitRange(min, max) => (min + rnd.nextLong(max - min + 1)).toString
+    case CharsLen(n) =>
+      val a = "abcdefghijklmnopqrstuvwxyz0123456789"
+      Iterator.fill(n)(a.charAt(rnd.nextInt(a.length))).mkString
+    case OneOf(vs) => vs(rnd.nextInt(vs.size))
+  }
+
   /** Generate one line for a rule (seq groups only — generation for
     * alt picks the first member, opt always emits, matching the
     * reference's CompiledRule behaviour of generating the canonical
     * form). */
-  def genLine(rule: WplRule, rnd: SplittableRandom): String = {
+  def genLine(rule: WplRule, rnd: SplittableRandom,
+              conf: Map[String, FieldConf] = Map.empty): String = {
     val sb = new StringBuilder
     for (g <- rule.groups) {
       val gSep = sepText(g.sep.getOrElse(Sep.Default))
@@ -40,7 +62,10 @@ object WpGen {
           if (!first) sb.append(fSep)
           first = false
           val p = Runtime.parserFor(f.typeName, f.symbolContent)
-          val core = p.gen(rnd)
+          val core = f.name.flatMap(conf.get) match {
+            case Some(fc) => genField(fc, rnd)
+            case None => p.gen(rnd)
+          }
           f.fmt match {
             case Some(ScopeFmt(b, e)) => sb.append(b).append(core).append(e)
             case Some(QuoteFmt) => sb.append('"').append(core).append('"')

@@ -88,6 +88,23 @@ object Similarity {
       .limit(k)
   }
 
+  /** Embedding-cosine near-duplicate pairs (the dedup variant): bucket by
+    * random-hyperplane LSH, then exact cosine inside each bucket — the
+    * equi-join on bucket id bounds candidate pairs at any corpus size
+    * (recall is tunable via nBits; fewer bits = bigger buckets = higher
+    * recall and cost). */
+  def cosineNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
+                         dim: Int, threshold: Double = 0.95,
+                         nBits: Int = 8): DataFrame = {
+    val bucketed = df.select(col(idCol).as("nd_id"), col(vecCol).as("v"))
+      .withColumn("b", lshBucket(col("v"), dim, nBits))
+    val l = bucketed.alias("l"); val r = bucketed.alias("r")
+    l.join(r, col("l.b") === col("r.b") && col("l.nd_id") < col("r.nd_id"))
+      .select(col("l.nd_id").as("id_a"), col("r.nd_id").as("id_b"),
+        round(cosine(col("l.v"), col("r.v")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   /** IVF-style coarse quantization: assign each vector to the nearest of
     * `centroids` (broadcast as literals), enabling partition-pruned search
     * when written `partitionBy("ivf_cell")`. */

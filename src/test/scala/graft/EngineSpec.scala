@@ -42,6 +42,29 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("wpgen field config: ip/digit ranges honored and still parse") {
+    import WpGen._
+    val wpl = """package /c { rule r { (ip:src,digit:port,chars:tag)\, } }"""
+    val rule = WplText.parsePackages(wpl).head
+    val conf = Map[String, FieldConf](
+      "src" -> IpRange("10.0.0.0", "10.0.0.255"),
+      "port" -> DigitRange(8000, 8999),
+      "tag" -> OneOf(Seq("web", "db", "cache")))
+    val rnd = new java.util.SplittableRandom(3)
+    val mp = new Runtime.MultiParser(Vector(rule))
+    for (_ <- 0 until 300) {
+      val line = genLine(rule, rnd, conf)
+      mp.parseLine(line) match {
+        case PSuccess(_, fs) =>
+          val m = fs.map(f => f.name -> f.value.sval).toMap
+          assert(m("src").startsWith("10.0.0."))
+          assert(m("port").toInt >= 8000 && m("port").toInt <= 8999)
+          assert(Set("web", "db", "cache").contains(m("tag")))
+        case o => fail(s"$line -> $o")
+      }
+    }
+  }
+
   test("formatters: json/kv/csv/raw/proto_text") {
     val fs = Vector(
       WField("host", WChars("a,b")),
