@@ -454,8 +454,10 @@ object Runtime {
             rec.fields.dropRightInPlace(rec.fields.length - nf)
             false
           } else {
-            // keep consumption (not.rs:58-70); emit an Ignore marker
+            // keep consumption (not.rs:58-70); emit the named Ignore
+            // marker (reference: DataField::from_ignore(name))
             rec.fields.dropRightInPlace(rec.fields.length - nf)
+            f.name.foreach(n => rec.fields += WField(n, WIgnore))
             true
           }
         case other => throw new IllegalArgumentException(s"unknown group meta $other")

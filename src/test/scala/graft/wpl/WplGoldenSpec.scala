@@ -190,6 +190,34 @@ class WplGoldenSpec extends AnyFunSuite {
       WField("a", WIp("1.1.1.1"))))
   }
 
+  // not group semantics (reference not.rs tests, verbatim cases)
+  test("not(symbol) succeeds when absent, emitting a named ignore marker") {
+    val rule = WplText.parsePackages(
+      "package /n { rule r { not(symbol(ERROR):test) } }").head
+    val ge = new Runtime.GroupEval(rule.groups.head)
+    val cur = new Cursor("INFO: hello world")
+    val rec = new RecBuilder
+    assert(ge.eval(cur, rec, Sep.Default))
+    assert(rec.fields.exists(f => f.name == "test" && f.value == WIgnore))
+  }
+
+  test("not(symbol) fails when the symbol matches") {
+    val rule = WplText.parsePackages(
+      "package /n { rule r { not(symbol(ERROR):test) } }").head
+    val ge = new Runtime.GroupEval(rule.groups.head)
+    assert(!ge.eval(new Cursor("ERROR: something wrong"), new RecBuilder, Sep.Default))
+  }
+
+  test("not(peek_symbol) leaves input for the next group") {
+    val rule = WplText.parsePackages(
+      "package /n { rule r { not(peek_symbol(ERROR):test),(chars:msg) } }").head
+    new Runtime.RuleEval(rule).eval("INFO message") match {
+      case Right((fs, _, _)) =>
+        assert(fs.exists(f => f.name == "msg" && f.value == WChars("INFO")))
+      case Left(d) => fail(s"failed at depth $d")
+    }
+  }
+
   test("miss keeps deepest failure across rules") {
     val mp = Runtime.compile(
       """package /m {
