@@ -219,7 +219,16 @@ final class ArrayP(sub: Option[VParser]) extends VParser("array") {
     val xs = Vector.newBuilder[WValue]
     var ok = true; var done = false
     if (!cur.atEnd && cur.peek == ']') { cur.pos += 1; return Some(One(WArr(Vector.empty))) }
-    val inner = Sep.Lit(",")
+    // element tokens end at ',' OR the closing ']' (position lands on the
+    // delimiter; the loop below consumes it)
+    val inner: Sep = new Sep {
+      def find(input: String, from: Int): Option[(Int, Int)] = {
+        var i = from
+        while (i < input.length && input.charAt(i) != ',' && input.charAt(i) != ']') i += 1
+        if (i < input.length) Some((i, i)) else None
+      }
+      def consumeAt(input: String, pos: Int): Option[Int] = None
+    }
     while (!done && ok) {
       while (!cur.atEnd && cur.peek == ' ') cur.pos += 1
       val elemEnd = {
