@@ -434,6 +434,36 @@ object OmlPipes {
     case "map_to" =>
       Some(AutoVal.typed(args.headOption.map(a => a.stripPrefix("'").stripSuffix("'")
         .stripPrefix("\"").stripSuffix("\"")).getOrElse("")))
+    case "sxf_get" =>
+      // extract a named field from semi-structured text: key=value,
+      // key: value, or "key":"value" forms (reference documents this pipe
+      // in 04-functions-reference.md; no in-repo impl — behavior derived
+      // from the doc's contract)
+      args.headOption.flatMap { key =>
+        val s = v.sval
+        var i = s.indexOf(key)
+        while (i >= 0) {
+          val after = i + key.length
+          val boundedBefore = i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))
+          var j = after
+          while (j < s.length && s.charAt(j) == '"') j += 1
+          while (j < s.length && (s.charAt(j) == ' ')) j += 1
+          if (boundedBefore && j < s.length && (s.charAt(j) == '=' || s.charAt(j) == ':')) {
+            var k = j + 1
+            while (k < s.length && s.charAt(k) == ' ') k += 1
+            if (k < s.length && s.charAt(k) == '"') {
+              val e = s.indexOf('"', k + 1)
+              return Some(WChars(if (e < 0) s.substring(k + 1) else s.substring(k + 1, e)))
+            } else {
+              var e = k
+              while (e < s.length && !",; \t".contains(s.charAt(e))) e += 1
+              return Some(WChars(s.substring(k, e).trim))
+            }
+          }
+          i = s.indexOf(key, i + 1)
+        }
+        None
+      }
     case "to_str" => Some(WChars(v.sval))
     case "to_json" => Some(WChars(v.jval))
     case "skip_empty" => if (v.sval.isEmpty) None else Some(v)

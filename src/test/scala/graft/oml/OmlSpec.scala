@@ -233,6 +233,23 @@ class OmlSpec extends AnyFunSuite {
     }
   }
 
+  test("sxf_get extracts fields from semi-structured text") {
+    val oml =
+      """name : sx
+        ---
+        status = read(log) | sxf_get(statusCode) ;
+        user = read(log) | sxf_get(username) ;
+        city = read(log) | sxf_get(city) ;
+      """
+    val model = OmlText.parse(oml)
+    val line = """ts=1 statusCode=404 username="john doe" meta={"city": "berlin"}"""
+    val out = new OmlEval(model).transform(Vector(WField("log", WChars(line)))).get
+    val m = out.map(f => f.name -> f.value.sval).toMap
+    assert(m("status") == "404")
+    assert(m("user") == "john doe")
+    assert(m("city") == "berlin")
+  }
+
   test("empty output is a transform failure (error channel)") {
     val oml = "name : e\n---\nx = read(missing) ;"
     val model = OmlText.parse(oml)
