@@ -56,6 +56,45 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("salted aggregation matches unsalted results") {
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val salted = graft.operators.Skew.saltedAgg(
+      li, col("l_returnflag"), col("l_orderkey"), salts = 8,
+      partialAggs = Seq(sum("l_quantity").as("pq"), count(lit(1)).as("pc")),
+      finalAggs = Seq(round(sum("pq"), 2).as("qty"), sum("pc").as("n")))
+      .orderBy("__key").collect()
+    val plain = li.groupBy(col("l_returnflag").as("__key"))
+      .agg(round(sum("l_quantity"), 2).as("qty"), count(lit(1)).as("n"))
+      .orderBy("__key").collect()
+    assert(salted.map(r => (r.getString(0), r.getLong(2))).toSeq ==
+      plain.map(r => (r.getString(0), r.getLong(2))).toSeq)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    import org.apache.spark.sql.functions._
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    o.write.mode("overwrite").option("path", s"$wh/orders_b")
+      .bucketBy(4, "o_orderkey").sortBy("o_orderkey").saveAsTable("orders_b")
+    li.write.mode("overwrite").option("path", s"$wh/lineitem_b")
+      .bucketBy(4, "l_orderkey").sortBy("l_orderkey").saveAsTable("lineitem_b")
+    // force sort-merge so the bucket co-location (not a broadcast) is
+    // what satisfies the join's distribution requirement
+    val joined = spark.table("lineitem_b").hint("merge")
+      .join(spark.table("orders_b"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus").count()
+    val p = joined.queryExecution.executedPlan.toString
+    // co-located: the join itself must need no Exchange (only the final
+    // groupBy shuffles)
+    val joinSection = p.substring(p.indexOf("Join"))
+    val exchangesBelowJoin = joinSection.sliding("Exchange".length)
+      .count(_ == "Exchange")
+    assert(exchangesBelowJoin == 0, p.take(2000))
+  }
+
   test("parse pipeline is a narrow map (no exchange before extraction)") {
     val parsed = graft.engine.WplEngine.parse(
       spark.read.parquet(s"$sf/documents.parquet")
