@@ -47,6 +47,32 @@ object RangeLookup {
     df.withColumn(outCol, fn(keyCol))
   }
 
+  /** Whole-operator form: plans the custom RangeLookupJoin logical node
+    * (requires RangeLookupStrategy — registered by GraftExtensions or
+    * injected here on first use). */
+  def lookupPlanned(df: DataFrame, keyCol: Column, sorted: Array[Range],
+                    outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.RangeLookupStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.RangeLookupStrategy
+    // resolve the key expression against df by analyzing a probe
+    // projection (a bridged Column is otherwise unresolved inside a
+    // custom logical node)
+    val probe = df.select(keyCol.as("__range_key")).queryExecution.analyzed
+    val (childPlan, keyExpr) = probe match {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        (p.child, p.projectList.head.asInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.Alias].child)
+      case other => throw new IllegalStateException(s"unexpected probe plan: $other")
+    }
+    val outAttr = org.apache.spark.sql.catalyst.expressions
+      .AttributeReference(outCol, org.apache.spark.sql.types.StringType,
+        nullable = true)()
+    org.apache.spark.sql.GraftExprBridge.ofRows(spark,
+      graft.plans.RangeLookupJoin(childPlan, keyExpr, sorted, outAttr))
+  }
+
   /** Declarative alternative: plain non-equi join (Catalyst plans BNLJ
     * with the dim broadcast). Correct at any size; prefer `lookup` when
     * the probe side is huge. */

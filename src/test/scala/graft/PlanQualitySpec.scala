@@ -95,6 +95,24 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(exchangesBelowJoin == 0, p.take(2000))
   }
 
+  test("custom RangeLookup operator: LogicalPlan+Strategy+SparkPlan, narrow") {
+    import org.apache.spark.sql.functions._
+    import graft.knowdb.RangeLookup
+    val ranges = Array(
+      RangeLookup.Range(0, 49, "low"),
+      RangeLookup.Range(50, 99, "mid"),
+      RangeLookup.Range(100, 999, "high"))
+    val df = spark.range(0, 200).toDF("k")
+    val out = RangeLookup.lookupPlanned(df, col("k"), ranges, "tier")
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("RangeLookup"), p.take(500))
+    assert(!p.contains("Exchange"), "custom operator must stay narrow")
+    val rows = out.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(rows(10L) == "low" && rows(75L) == "mid" && rows(150L) == "high")
+    // columns resolve through the custom node (analyzer sees its output)
+    assert(out.filter(col("tier") === "mid").count() == 50)
+  }
+
   test("parse pipeline is a narrow map (no exchange before extraction)") {
     val parsed = graft.engine.WplEngine.parse(
       spark.read.parquet(s"$sf/documents.parquet")
