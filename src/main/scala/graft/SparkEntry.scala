@@ -118,6 +118,33 @@ object SparkEntry {
         col("n"), col("sum_qty"))
       .orderBy(col("returnflag"), col("linestatus"))
 
+  private def qCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy(col("status"), col("priority"))
+
+  /** Sessionization: a new session starts after a >30 min gap per user —
+    * lag + cumulative sum over an event-time window (no state store
+    * needed in batch; the streaming analogue is session_window). */
+  private def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("sec", unix_timestamp(col("ts")))
+      .withColumn("gap", col("sec") - lag(col("sec"), 1).over(byUser))
+      .withColumn("new_sess", when(col("gap").isNull || col("gap") > 1800, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("sec")).as("sess_start_sec"),
+        max(col("sec")).as("sess_end_sec"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
   private def qAntiJoin(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
     c.join(o.filter(col("o_orderstatus") === "F"),
@@ -446,6 +473,8 @@ object SparkEntry {
     "q_window_running" -> (qWindowRunning _),
     "q_set_ops" -> (qSetOps _),
     "q_rollup" -> (qRollup _),
+    "q_cube" -> (qCube _),
+    "q_events_sessionize" -> (qSessionize _),
     "q_anti_join" -> (qAntiJoin _),
     "q_semi_join" -> (qSemiJoin _),
     "knowdb_lookup" -> (qKnowdbLookup _),
@@ -591,6 +620,30 @@ object SparkEntry {
          count(*) AS n, round(sum(l_quantity),2) AS sum_qty
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY returnflag, linestatus""",
+    "q_cube" ->
+      """SELECT coalesce(o_orderstatus,'ALL') AS status,
+         coalesce(o_orderpriority,'ALL') AS priority,
+         count(*) AS n, round(sum(o_totalprice),2) AS total
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY status, priority""",
+    "q_events_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             CAST(floor(epoch(ts)) AS BIGINT) -
+               lag(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+           FROM events),
+         s AS (
+           SELECT user_id, sec,
+             CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+           FROM e)
+         SELECT user_id, session_id, count(*) AS n_events,
+           min(sec) AS sess_start_sec, max(sec) AS sess_end_sec
+         FROM s GROUP BY user_id, session_id
+         ORDER BY user_id, session_id""",
     "q_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
          WHERE NOT EXISTS (SELECT 1 FROM orders
