@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types._
@@ -17,12 +17,11 @@ import graft.wpl._
   * Returns struct<rule_key, status, fields: array<struct<name,dtype,sval>>,
   * residue, miss_depth, best_wpl> — the same shape as WplEngine rows.
   *
-  * Note on codegen: the expression itself is CodegenFallback (the parser
-  * is a black box), but it does NOT break whole-stage codegen for the
-  * surrounding operators, and the per-thread MultiParser is cached so the
-  * adaptive rule ordering still amortizes. */
-case class ParseWpl(child: Expression, wplSource: String) extends UnaryExpression
-    with CodegenFallback {
+  * Codegen: the expression participates in whole-stage codegen by
+  * shipping itself as a reference object (doGenCode below); the
+  * per-thread MultiParser is cached so the adaptive rule ordering still
+  * amortizes. */
+case class ParseWpl(child: Expression, wplSource: String) extends UnaryExpression {
 
   override def dataType: DataType = ParseWpl.outType
   override def nullable: Boolean = false
@@ -32,10 +31,19 @@ case class ParseWpl(child: Expression, wplSource: String) extends UnaryExpressio
       override def initialValue(): Runtime.MultiParser = Runtime.compile(wplSource)
     }
 
-  override def nullSafeEval(input: Any): Any = {
-    val line = input.asInstanceOf[UTF8String].toString
-    val out = parserCache.get().parseLine(line)
-    ParseWpl.toRow(out)
+  /** Called from both interpreted eval and generated code. */
+  def evalLine(u: UTF8String): InternalRow =
+    ParseWpl.toRow(parserCache.get().parseLine(u.toString))
+
+  override def nullSafeEval(input: Any): Any =
+    evalLine(input.asInstanceOf[UTF8String])
+
+  /** Real codegen (not CodegenFallback — that would knock the whole
+    * projection out of whole-stage codegen): the expression ships itself
+    * as a reference object and generated code calls evalLine. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("parseWpl", this, classOf[ParseWpl].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.evalLine($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): ParseWpl =
