@@ -291,4 +291,17 @@ class WplGoldenSpec extends AnyFunSuite {
     val fs = fields(mp.parseLine("host=web01 port=8080 extra=zzz"))
     assert(fs == Vector(WField("host", WChars("web01")), WField("port", WDigit(8080))))
   }
+
+  test("kvarr opt() subfields tolerate absence; required ones gate") {
+    val mp = Runtime.compile(
+      "package /k { rule r { (kvarr(chars@host, opt(digit)@port)) } }")
+    assert(fields(mp.parseLine("host=web01 extra=1")) ==
+      Vector(WField("host", WChars("web01"))))
+    assert(fields(mp.parseLine("host=web01 port=9090")) ==
+      Vector(WField("host", WChars("web01")), WField("port", WDigit(9090))))
+    mp.parseLine("other=x extra=1") match {
+      case PMiss(_, _) => // required @host missing → no match
+      case o => fail(o.toString)
+    }
+  }
 }
