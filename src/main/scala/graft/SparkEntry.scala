@@ -219,6 +219,32 @@ object SparkEntry {
         TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"))
       .orderBy(col("doc_id"))
 
+  /** Corpus statistics: exact token-count percentiles + cardinalities
+    * (the per-corpus profile a training-data pipeline reports). */
+  private def qCorpusStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        round(expr("percentile(n_tok, 0.5)"), 4).as("p50_tokens"),
+        round(expr("percentile(n_tok, 0.9)"), 4).as("p90_tokens"),
+        min(col("n_tok")).as("min_tokens"),
+        max(col("n_tok")).as("max_tokens"))
+      .orderBy(col("lang"))
+
+  /** Heavy hitters: global top-25 tokens by frequency — explode + count
+    * (map-side combine) + TakeOrdered; the classic combiner-friendly
+    * corpus scan. */
+  private def qTopTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(25)
+
   private def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
         n = 3, threshold = 0.5)
@@ -483,6 +509,8 @@ object SparkEntry {
     "q_events_lag" -> (qEventsLag _),
     "dedup_exact" -> (qDedupExact _),
     "text_quality" -> (qTextQuality _),
+    "corpus_stats" -> (qCorpusStats _),
+    "corpus_top_tokens" -> (qTopTokens _),
     "token_stats" -> (qTokenStats _),
     "dedup_ngram_jaccard" -> (qNgramJaccard _),
     "dedup_minhash_lsh" -> (qMinhashLsh _),
@@ -700,6 +728,24 @@ object SparkEntry {
              length(text)
            ELSE 0.0 END, 4) AS q_punct_ratio
          FROM documents ORDER BY doc_id""",
+    "corpus_stats" ->
+      """WITH d AS (
+           SELECT lang, CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             x -> len(x) > 0)) AS BIGINT) AS n_tok
+           FROM documents)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           round(quantile_cont(n_tok, 0.5), 4) AS p50_tokens,
+           round(quantile_cont(n_tok, 0.9), 4) AS p90_tokens,
+           min(n_tok) AS min_tokens, max(n_tok) AS max_tokens
+         FROM d GROUP BY lang ORDER BY lang""",
+    "corpus_top_tokens" ->
+      """WITH t AS (
+           SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             x -> len(x) > 0)) AS tok
+           FROM documents)
+         SELECT tok, count(*) AS n FROM t GROUP BY tok
+         ORDER BY n DESC, tok LIMIT 25""",
     "token_stats" ->
       """SELECT doc_id,
          CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),

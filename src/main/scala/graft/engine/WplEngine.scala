@@ -44,22 +44,13 @@ object WplEngine {
       ParsedRow(null, "blank", Seq.empty, null, 0, null)
   }
 
-  /** Parse a column of raw lines with a WPL rule-set source text. */
-  def parse(df: DataFrame, lineCol: String, wplSource: String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val others = df.schema.fieldNames.filter(_ != lineCol)
-    val enc: Encoder[(String, ParsedRow)] = Encoders.product[(String, ParsedRow)]
-    // keep a passthrough key? For simplicity: parse only the line column
-    // alongside a JSON passthrough of other columns is avoided — callers
-    // select what they need before/after.
-    val ds = df.select(col(lineCol).cast("string")).as[String]
-    val parsed: Dataset[ParsedRow] = ds.mapPartitions { it =>
-      val mp = Runtime.compile(wplSource) // per-partition: adaptive order is partition-local
-      it.map(line => toRow(mp.parseLine(line)))
-    }(Encoders.product[ParsedRow])
-    parsed.toDF()
-  }
+  /** Parse a column of raw lines with a WPL rule-set source text.
+    * Delegates to the parse_wpl expression path (whole-stage codegen;
+    * measured ~1.7x the Dataset-encoder mapPartitions form at 5M lines —
+    * see ScaleSmoke). The thread-local MultiParser keeps the reference's
+    * per-worker adaptive rule ordering. */
+  def parse(df: DataFrame, lineCol: String, wplSource: String): DataFrame =
+    parseWith(df, lineCol, wplSource, Seq.empty)
 
   /** Like `parse` but keeps passthrough columns. Implemented with the
     * `parse_wpl` Catalyst expression — a plain projection, so there is no
