@@ -190,6 +190,34 @@ class WplGoldenSpec extends AnyFunSuite {
       WField("a", WIp("1.1.1.1"))))
   }
 
+  // reference alt.rs test_alt_group (verbatim inputs)
+  test("alt.rs: alt(ip,digit) with trailing time groups") {
+    val mp = Runtime.compile(
+      """package /a { rule r { alt(ip:sip,digit:id),(2*_,time<[,]>) } }""")
+    val fs1 = fields(mp.parseLine("""192.168.1.2 - - [06/Aug/2019:12:12:19 +0800] """))
+    assert(fs1.head == WField("sip", WIp("192.168.1.2")))
+    val fs2 = fields(mp.parseLine("""2002 - - [06/Aug/2019:12:12:19 +0800] """))
+    assert(fs2.head == WField("id", WDigit(2002)))
+    mp.parseLine("""bad - - [06/Aug/2019:12:12:19 +0800] """) match {
+      case PMiss(_, _) =>
+      case o => fail(s"expected miss: $o")
+    }
+  }
+
+  // reference opt.rs test_opt_group_1/2 (verbatim inputs)
+  test("opt.rs: optional leading ip present/absent; opt after required") {
+    val mp = Runtime.compile(
+      """package /o { rule r { opt(ip:sip),(2*_,time<[,]>) } }""")
+    val fs1 = fields(mp.parseLine("""192.168.1.2 - - [06/Aug/2019:12:12:19 +0800] """))
+    assert(fs1.head == WField("sip", WIp("192.168.1.2")))
+    val fs2 = fields(mp.parseLine("""- - [06/Aug/2019:12:12:19 +0800] """))
+    assert(!fs2.exists(_.name == "sip"))
+
+    val mp2 = Runtime.compile("""package /o { rule r2 { (ip:sip) ,opt(ip:sip) } }""")
+    val fs3 = fields(mp2.parseLine("192.168.1.2"))
+    assert(fs3 == Vector(WField("sip", WIp("192.168.1.2"))))
+  }
+
   // not group semantics (reference not.rs tests, verbatim cases)
   test("not(symbol) succeeds when absent, emitting a named ignore marker") {
     val rule = WplText.parsePackages(
