@@ -420,6 +420,40 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** OML breadth: multi-source match tuples, nested object construction
+    * (JSON-canonical sval), collect-to-array — all oracle-checked. */
+  private def qOmlObjects(s: SparkSession, dir: String): DataFrame = {
+    import graft.engine.Pipeline
+    val e = t(s, dir, "events")
+    val lines = e.select(col("event_id"),
+      concat(lit("id="), col("event_id"), lit(" type="), col("event_type"),
+        lit(" user="), col("user_id"), lit(" k="),
+        get_json_object(col("props"), "$.k")).as("line"))
+    val oml =
+      """name : ev2
+        rule : /kv/*
+        ---
+        sev = match (read(type), read(k)) {
+          (chars(error), digit(0)) => chars(zero_error) ;
+          (chars(error), !digit(0)) => chars(real_error) ;
+          _ => chars(normal) ;
+        } ;
+        info : obj = object {
+          u : digit = read(user) ;
+          t : chars = read(type) ;
+        } ;
+        pair : array = collect read(keys:[id, k]) ;
+      """
+    val out = Pipeline.run(lines, "line", "package /kv { rule r { (kvarr) } }",
+      Seq(oml), keep = Seq("event_id"))
+    out.filter(col("status") === "ok").select(
+      col("event_id"),
+      WplEngine.extractString("sev").as("sev"),
+      WplEngine.extractString("info").as("info"),
+      WplEngine.extractString("pair").as("pair"))
+      .orderBy(col("event_id"))
+  }
+
   // OML SQL enrichment against a KnowDB dimension (broadcast lookup).
   private def qOmlSqlEnrich(s: SparkSession, dir: String): DataFrame = {
     import graft.engine.Pipeline
@@ -486,6 +520,7 @@ object SparkEntry {
     "ip_range_lookup" -> (qIpRange _),
     "multimodal_meta" -> (qMultimodal _),
     "oml_transform" -> (qOmlTransform _),
+    "oml_objects" -> (qOmlObjects _),
     "oml_sql_enrich" -> (qOmlSqlEnrich _),
     "wpl_nginx_parse" -> (qWplNginx _),
     "wpl_kvarr_parse" -> (qWplKvarr _),
@@ -553,6 +588,15 @@ object SparkEntry {
               ELSE 'low' END AS level,
          event_type || ':' || CAST(user_id AS VARCHAR) AS msg,
          CAST(props->>'$.k' AS BIGINT) AS kk
+         FROM events ORDER BY event_id""",
+    "oml_objects" ->
+      """SELECT event_id,
+         CASE WHEN event_type = 'error' AND CAST(props->>'$.k' AS BIGINT) = 0
+                THEN 'zero_error'
+              WHEN event_type = 'error' THEN 'real_error'
+              ELSE 'normal' END AS sev,
+         to_json(struct_pack(u := user_id, t := event_type)) AS info,
+         to_json([event_id, CAST(props->>'$.k' AS BIGINT)]) AS pair
          FROM events ORDER BY event_id""",
     "oml_sql_enrich" ->
       """SELECT c_custkey, n_name FROM customer
