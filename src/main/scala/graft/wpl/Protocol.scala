@@ -21,13 +21,43 @@ object KvP extends VParser("kv") {
     if (end < 0) None
     else { val s = cur.input.substring(cur.pos + 1, end); cur.pos = end + 1; Some(s) }
   }
+  /** `[..]`/`{..}`/`(..)` values span their balanced bracket range (kv
+    * values holding nested-group payloads — order.rs test_pipeline3). */
+  def bracketed(cur: Cursor): Option[String] = {
+    if (cur.atEnd) return None
+    val open = cur.peek
+    val close = open match {
+      case '[' => ']'; case '{' => '}'; case '(' => ')'; case _ => return None
+    }
+    var depth = 0; var p = cur.pos
+    while (p < cur.len) {
+      val c = cur.input.charAt(p)
+      if (c == open) depth += 1
+      else if (c == close) {
+        depth -= 1
+        if (depth == 0) {
+          val s = cur.input.substring(cur.pos, p + 1)
+          cur.pos = p + 1
+          return Some(s)
+        }
+      }
+      p += 1
+    }
+    None
+  }
+  @inline private def skipSp(cur: Cursor): Unit =
+    while (!cur.atEnd && (cur.peek == ' ' || cur.peek == '\t')) cur.pos += 1
   def parse(cur: Cursor, sep: Sep): Option[Parsed] = {
     val m = cur.mark
     keyAt(cur) match {
-      case Some(k) if !cur.atEnd && (cur.peek == '=' || cur.peek == ':') =>
-        cur.pos += 1
-        val v = quoted(cur).getOrElse(VParser.tokenTo(cur, sep))
-        Some(Named(Vector(k -> AutoVal.typed(v))))
+      case Some(k) =>
+        skipSp(cur) // spaces allowed around the kv separator ("data : [..]")
+        if (!cur.atEnd && (cur.peek == '=' || cur.peek == ':')) {
+          cur.pos += 1
+          skipSp(cur)
+          val v = quoted(cur).orElse(bracketed(cur)).getOrElse(VParser.tokenTo(cur, sep))
+          Some(Named(Vector(k -> AutoVal.typed(v))))
+        } else { cur.reset(m); None }
       case _ => cur.reset(m); None
     }
   }
@@ -68,9 +98,10 @@ object KvArrP extends VParser("kvarr") {
     }
     moved
   }
-  /** value ends at sep, `,`, `;`, or whitespace; quoted values span. */
+  /** value ends at sep, `,`, `;`, or whitespace; quoted and bracketed
+    * values span. */
   private def value(cur: Cursor, sep: Sep): String = {
-    KvP.quoted(cur) match {
+    KvP.quoted(cur).orElse(KvP.bracketed(cur)) match {
       case Some(q) => q
       case None =>
         val start = cur.pos

@@ -135,7 +135,21 @@ object Runtime {
           effSep.consumeAt(cur.input, cur.pos) match {
             case Some(np) => cur.pos = np
             case None =>
-              if (f.fmt.isEmpty && !cur.atEnd && requiresBoundary && !nextIsStructural(cur))
+              // self-delimited values tolerate space padding before a
+              // non-whitespace separator ("192.168.1.2 , time" —
+              // reference order.rs test_pipeline2)
+              var retried = false
+              if (skipsLeadingWs && !cur.atEnd &&
+                  (cur.peek == ' ' || cur.peek == '\t')) {
+                var p = cur.pos
+                while (p < cur.len && (cur.input.charAt(p) == ' ' || cur.input.charAt(p) == '\t')) p += 1
+                effSep.consumeAt(cur.input, p) match {
+                  case Some(np2) => cur.pos = np2; retried = true
+                  case None =>
+                }
+              }
+              if (!retried && f.fmt.isEmpty && !cur.atEnd && requiresBoundary &&
+                  !nextIsStructural(cur))
                 return false
           }
           emit(p, cur, rec, effSep)

@@ -190,6 +190,39 @@ class WplGoldenSpec extends AnyFunSuite {
       WField("a", WIp("1.1.1.1"))))
   }
 
+  // reference order.rs test_pipeline2: nested group with its own sep
+  test("order.rs: nested group pipe with comma sep and space padding") {
+    val mp = Runtime.compile("""package /p { rule r { (chars<[,]> | (ip, time)\,) } }""")
+    val fs = fields(mp.parseLine("""[192.168.1.2 , 06/Aug/2019:12:12:19 +0800]"""))
+    val m = fs.map(f => f.name -> f.value).toMap
+    assert(m("ip") == WIp("192.168.1.2"))
+    assert(m.contains("time"))
+  }
+
+  // reference order.rs test_pipeline3: kv value carrying a nested payload
+  test("order.rs: kv subfield with scope + nested group re-parse") {
+    val mp = Runtime.compile("""package /p { rule r { (kv(chars<[,]> | (ip,_,time))) } }""")
+    val fs = fields(mp.parseLine("""data : [192.168.1.2 _ 06/Aug/2019:12:12:19 +0800]"""))
+    val m = fs.map(f => f.name -> f.value).toMap
+    assert(m("ip") == WIp("192.168.1.2"))
+    assert(m.contains("time"))
+  }
+
+  // reference order.rs test_group_sep_and_field_sep_precedence
+  test("order.rs: field separator outranks group separator") {
+    val mp1 = Runtime.compile("""package /s { rule r { (chars:a, chars:b)\| } }""")
+    assert(fields(mp1.parseLine("foo|bar")) ==
+      Vector(WField("a", WChars("foo")), WField("b", WChars("bar"))))
+    val rule2 = WplText.parsePackages(
+      """package /s { rule r2 { (chars:a, chars:b\|)\, } }""").head
+    new Runtime.RuleEval(rule2).eval("x,y|z") match {
+      case Right((fs, _, _)) =>
+        assert(fs.take(2) ==
+          Vector(WField("a", WChars("x")), WField("b", WChars("y"))))
+      case Left(d) => fail(s"failed at $d")
+    }
+  }
+
   // reference alt.rs test_alt_group (verbatim inputs)
   test("alt.rs: alt(ip,digit) with trailing time groups") {
     val mp = Runtime.compile(
