@@ -82,12 +82,19 @@ object OmlText {
     s.ws()
     var rules = Vector.empty[String]
     if (s.startsWithKw("rule")) {
-      s.pos += 4; s.ws(); s.expectCh(':'); s.ws()
+      s.pos += 4; s.ws(); s.expectCh(':')
+      // rule paths separated by commas, spaces, or newlines, up to `---`
+      // (reference oml_conf.rs test_conf_sample)
       var more = true
       while (more) {
-        rules :+= s.takeWhile(c => VParser.isIdent(c) || c == '/' || c == '*')
         s.ws()
-        if (!s.atEnd && s.peek == ',') { s.pos += 1; s.ws() } else more = false
+        if (s.atEnd || s.startsWith("---")) more = false
+        else {
+          val p = s.takeWhile(c => VParser.isIdent(c) || c == '/' || c == '*')
+          if (p.isEmpty) more = false else rules :+= p
+          s.ws()
+          if (!s.atEnd && s.peek == ',') s.pos += 1
+        }
       }
     }
     s.ws(); s.expect("---"); s.ws()

@@ -250,6 +250,48 @@ class OmlSpec extends AnyFunSuite {
     assert(m("city") == "berlin")
   }
 
+  test("oml_conf.rs round-trips: newline rule lists, wildcard targets, pipes") {
+    // test_conf_sample variant 1: newline-separated rule paths
+    val m1 = OmlText.parse(
+      """name : test
+        rule :
+            wpx/abc
+            wpx/efg
+        ---
+        version      :chars   = chars(1.0.0) ;
+        pos_sn       :chars   = take() ;
+        aler*        :auto   = take() ;
+        src_ip       :auto   = take();
+        update_time  :time    = take() { _ :  time(2020-10-01 12:30:30) };
+      """)
+    assert(m1.rules == Vector("wpx/abc", "wpx/efg"))
+    assert(m1.matchesRule("wpx/abc") && !m1.matchesRule("wpy/zzz"))
+    assert(m1.items.length == 5)
+    // wildcard read works at eval time
+    val out = new OmlEval(m1).transform(Vector(
+      WField("pos_sn", WChars("SN1")), WField("alert_lvl", WChars("hi")),
+      WField("src_ip", WIp("1.2.3.4")))).get
+    val vals = out.map(f => f.name -> f.value.sval).toMap
+    assert(vals("version") == "1.0.0")
+    assert(vals("aler*") == "hi")
+    assert(vals("update_time").nonEmpty) // default literal kicks in
+    // test_conf_sample variant 2: space-separated rule paths
+    val m2 = OmlText.parse(
+      """name : test
+        rule :
+            wpx/abc   wpx/efg
+        ---
+        v = chars(x) ;""")
+    assert(m2.rules == Vector("wpx/abc", "wpx/efg"))
+    // test_conf_pipe: with and without the pipe keyword
+    val m3 = OmlText.parse(
+      """name : test
+        ---
+        version : chars = pipe take() | base64_encode ;
+        v2 : chars = pipe take(ip) | to_str |  base64_encode ;""")
+    assert(m3.items.length == 2)
+  }
+
   test("empty output is a transform failure (error channel)") {
     val oml = "name : e\n---\nx = read(missing) ;"
     val model = OmlText.parse(oml)
