@@ -142,6 +142,20 @@ class WplGoldenSpec extends AnyFunSuite {
     assert(m("protocol") == WDigit(6))
   }
 
+  // reference vm_unit.rs test_huawei_simple2: symbols with length caps
+  test("F3b huawei rule with symbol length caps") {
+    val mp = Runtime.compile(
+      """package /hw { rule s2 {
+           (symbol(<190>)[5],time,symbol(KM)[2],chars\:,auto\;,auto\,,auto\,)
+         } }""")
+    val fs = fields(mp.parseLine(huaweiLine))
+    val m = fs.map(f => f.name -> f.value).toMap
+    assert(fs.head == WField("symbol", WChars("<190>"))) // duplicate auto-names
+    assert(fs.exists(_.value.isInstanceOf[WTime]))
+    assert(m("CID") == WChars("0x814f041e"))
+    assert(m("protocol") == WDigit(6))
+  }
+
   // F5c: some_of over CJK-keyed JSON metrics (some_of.rs:82-105)
   test("F5c some_of JSON metrics with symbol guards match in any order") {
     val mp = Runtime.compile(
