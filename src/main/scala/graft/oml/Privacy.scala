@@ -21,7 +21,7 @@ object Privacy {
     case "privacy_mail" =>
       val s = v.sval
       val at = s.indexOf('@')
-      WChars(if (at > 0) s.charAt(0) + "***" + s.substring(at) else "***")
+      WChars(if (at > 0) s"${s.charAt(0)}***${s.substring(at)}" else "***")
     case "privacy_domain" | "privacy_specify_domain" =>
       val parts = v.sval.split('.')
       WChars(if (parts.length >= 2) "***." + parts.takeRight(1).mkString else "***")

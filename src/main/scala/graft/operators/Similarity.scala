@@ -62,7 +62,7 @@ object Similarity {
   def lshBucket(vec: Column, dim: Int, nBits: Int): Column = {
     val planes = hyperplanes(dim, nBits)
     val bits = planes.zipWithIndex.map { case (p, i) =>
-      val pc = array(p.map(lit): _*)
+      val pc = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(p.map(lit)): _*)
       when(dot(vec, pc) >= 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _).cast("int").as("lsh_bucket")
