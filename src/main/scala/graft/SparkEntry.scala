@@ -118,6 +118,33 @@ object SparkEntry {
         col("n"), col("sum_qty"))
       .orderBy(col("returnflag"), col("linestatus"))
 
+  /** Scalar string-function surface (upper/substr/lpad/translate/instr/
+    * levenshtein — all codegen'd builtins, semantics shared with the
+    * oracle engine). */
+  private def qStringFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        substring(col("p_name"), 1, 10).as("name10"),
+        length(col("p_type")).cast("long").as("type_len"),
+        levenshtein(col("p_brand"), lit("Brand#11")).cast("long").as("lev"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
+        instr(col("p_type"), "BRASS").cast("long").as("brass_at"),
+        translate(col("p_brand"), "#", "-").as("brand_t"))
+      .orderBy(col("p_partkey"))
+
+  private def qDateFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("d"),
+        date_add(to_date(col("o_orderdate")), 30).as("due"),
+        datediff(to_date(lit("1998-01-01")), to_date(col("o_orderdate")))
+          .cast("long").as("age_days"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+      .orderBy(col("o_orderkey"))
+
   private def qCube(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
       .cube(col("o_orderstatus"), col("o_orderpriority"))
@@ -535,6 +562,8 @@ object SparkEntry {
     "q_set_ops" -> (qSetOps _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
+    "q_string_funcs" -> (qStringFuncs _),
+    "q_date_funcs" -> (qDateFuncs _),
     "q_events_sessionize" -> (qSessionize _),
     "q_anti_join" -> (qAntiJoin _),
     "q_semi_join" -> (qSemiJoin _),
@@ -692,6 +721,25 @@ object SparkEntry {
          count(*) AS n, round(sum(l_quantity),2) AS sum_qty
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY returnflag, linestatus""",
+    "q_string_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_u,
+         substr(p_name, 1, 10) AS name10,
+         CAST(length(p_type) AS BIGINT) AS type_len,
+         CAST(levenshtein(p_brand, 'Brand#11') AS BIGINT) AS lev,
+         lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+         CAST(instr(p_type, 'BRASS') AS BIGINT) AS brass_at,
+         translate(p_brand, '#', '-') AS brand_t
+         FROM part ORDER BY p_partkey""",
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+         CAST(year(o_orderdate) AS BIGINT) AS y,
+         CAST(month(o_orderdate) AS BIGINT) AS m,
+         CAST(day(o_orderdate) AS BIGINT) AS d,
+         CAST(o_orderdate AS DATE) + 30 AS due,
+         CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01')
+           AS BIGINT) AS age_days,
+         strftime(o_orderdate, '%Y-%m') AS ym
+         FROM orders ORDER BY o_orderkey""",
     "q_cube" ->
       """SELECT coalesce(o_orderstatus,'ALL') AS status,
          coalesce(o_orderpriority,'ALL') AS priority,
