@@ -1,8 +1,7 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession, Column, Row, Encoder, Encoders}
+import org.apache.spark.sql.{DataFrame, Column}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 import graft.wpl._
 
 /** Spark integration for the WPL parse engine.
