@@ -534,7 +534,16 @@ object Runtime {
               s = new String(bytes, "UTF-8")
             } catch { case _: Exception => }
           case "unquote/unescape" =>
-            try s = java.net.URLDecoder.decode(s, "UTF-8") catch { case _: Exception => }
+            // strip surrounding quotes + backslash unescape (reference
+            // tests/parser_functionality.rs should_parse_json_with_
+            // escaped_quotes), then URL-decode when % escapes appear
+            var t = s.trim
+            if (t.length >= 2 && t.startsWith("\"") && t.endsWith("\""))
+              t = t.substring(1, t.length - 1)
+            t = t.replace("\\\"", "\"").replace("\\\\", "\\")
+            if (t.contains('%'))
+              try t = java.net.URLDecoder.decode(t, "UTF-8") catch { case _: Exception => }
+            s = t
           case "strip/bom" =>
             if (s.startsWith("﻿")) s = s.substring(1)
           case p2 if p2.startsWith("plg_pipe/") =>

@@ -182,6 +182,31 @@ class WplGoldenSpec extends AnyFunSuite {
     assert(fs.length == 9)
   }
 
+  // reference tests/parser_functionality.rs should_parse_nginx_access_log
+  test("parser_functionality.rs: nginx workshop parse with named length") {
+    val mp = Runtime.compile(
+      """package /pkg { rule test {
+           (ip,2*_,time<[,]>,http/request",http/status,digit:length,chars",http/agent",_")
+         } }""")
+    val line = """192.168.1.2 - - [06/Aug/2019:12:12:19 +0800] "GET /nginx-logo.png HTTP/1.1" 200 368 "http://119.122.1.4/" "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_14_5) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/75.0.3770.142 Safari/537.36" "-""""
+    val fs = fields(mp.parseLine(line))
+    val m = fs.map(f => f.name -> f.value).toMap
+    assert(m("ip") == WIp("192.168.1.2"))
+    assert(m("length") == WDigit(368))
+    assert(m("http/status") == WDigit(200))
+    assert(m("chars") == WChars("http://119.122.1.4/"))
+  }
+
+  // reference tests/parser_functionality.rs should_parse_json_with_escaped_quotes
+  test("parser_functionality.rs: unquote/unescape then lenient json") {
+    val mp = Runtime.compile("""package /pkg { rule esc_1 { |unquote/unescape| (json) } }""")
+    val line = """" {\"a\": 1, \"b\" : \" 中国 \" }""""
+    val fs = fields(mp.parseLine(line))
+    val m = fs.map(f => f.name -> f.value).toMap
+    assert(m("a") == WDigit(1))
+    assert(m("b") == WChars(" 中国 "))
+  }
+
   // group combinators (alt.rs / opt.rs / some_of.rs / not.rs)
   test("alt takes first matching branch") {
     val mp = Runtime.compile("package /g { rule r { alt(ip,digit,chars) } }")
