@@ -156,6 +156,25 @@ class WplGoldenSpec extends AnyFunSuite {
     assert(m("protocol") == WDigit(6))
   }
 
+  // reference parser_functionality.rs huawei_zhuru: base64 preproc +
+  // multi-group express with opt + unbounded kv group
+  test("F3c huawei zhuru: |decode/base64| with opt and *kv groups") {
+    val mp = Runtime.compile(
+      """package /pkg { rule traffic_probe {
+           |decode/base64|(digit:id<<,>>,time,sn,chars\:),opt(kv\;), (*kv\,)
+         } }""")
+    val b64 = java.util.Base64.getEncoder.encodeToString(huaweiLine.getBytes("UTF-8"))
+    val fs = fields(mp.parseLine(b64))
+    val m = fs.map(f => f.name -> f.value).toMap
+    assert(m("id") == WDigit(190))
+    assert(fs.exists(_.value.isInstanceOf[WTime]))
+    assert(m("sn") == WChars("KM-KJY-DC-USG12004-B02"))
+    assert(m("chars") == WChars("%%01POLICY/6/POLICYPERMIT(l)"))
+    assert(m("CID") == WChars("0x814f041e"))
+    assert(m("vsys") == WChars("CSG_Security"))
+    assert(m("protocol") == WDigit(6))
+  }
+
   // F5c: some_of over CJK-keyed JSON metrics (some_of.rs:82-105)
   test("F5c some_of JSON metrics with symbol guards match in any order") {
     val mp = Runtime.compile(
