@@ -364,6 +364,12 @@ class WplGoldenSpec extends AnyFunSuite {
     }
   }
 
+  test("malformed rule text fails at load with a position (err_test parity)") {
+    intercept[Exception] { Runtime.compile("package { nope") }
+    intercept[Exception] { Runtime.compile("package /x { rule r { (unknown_type:x) } }") }
+    intercept[Exception] { graft.oml.OmlText.parse("no header here = broken ;") }
+  }
+
   test("whitespace-only line silently dropped") {
     val mp = Runtime.compile("package /b { rule r { (chars) } }")
     assert(mp.parseLine("   \t  ") == PBlank)
