@@ -18,6 +18,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Ip4ToInt.parse("a.b.c.d") == -1L)
   }
 
+  test("ipnet range derivation") {
+    import graft.functions.IpNetRange
+    assert(IpNetRange.range("10.1.0.0/16") == Some((167837696L, 167903231L)))
+    assert(IpNetRange.range("192.168.0.0/24") == Some((3232235520L, 3232235775L)))
+    assert(IpNetRange.range("0.0.0.0/0") == Some((0L, 4294967295L)))
+    assert(IpNetRange.range("1.2.3.4/32") == Some((16909060L, 16909060L)))
+    assert(IpNetRange.range("bad/8") == None)
+    assert(IpNetRange.range("1.2.3.4/33") == None)
+    assert(IpNetRange.contains("10.0.0.0/8", graft.functions.Ip4ToInt.parse("10.200.1.1")))
+    assert(!IpNetRange.contains("10.0.0.0/8", graft.functions.Ip4ToInt.parse("11.0.0.1")))
+  }
+
   test("range lookup binary search") {
     val rs = Array(
       RangeLookup.Range(0, 9, "a"),
