@@ -42,6 +42,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(RangeLookup.search(rs, 100) == null)
   }
 
+  test("syslog RFC5424 normalization") {
+    import graft.sources.Syslog
+    val h = Syslog.normalize(
+      "<165>1 2023-05-15T07:09:12Z web01 app 1234 MSGID [sd@1 k=\"v\"] boom happened")
+    assert(h.pri == Some(165))
+    assert(h.facility == "local4" && h.severity == "notice")
+    assert(h.host == "web01" && h.app == "app")
+    assert(h.message == "boom happened")
+    // RFC3164 and non-syslog fallthrough
+    val b = Syslog.normalize("<34>Oct 11 22:14:15 host su: su root failed")
+    assert(b.pri == Some(34) && b.host == "host" && b.app == "su")
+    assert(Syslog.normalize("plain line").pri == None)
+  }
+
   test("framing: line mode with CRLF") {
     val (frames, rest) = Framing.split("a\r\nbb\nccc".getBytes, Framing.Line)
     assert(frames == Vector("a", "bb"))

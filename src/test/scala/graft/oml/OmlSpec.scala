@@ -146,6 +146,19 @@ class OmlSpec extends AnyFunSuite {
     assert(out.head.value == WDigit(1684134553L - 8 * 3600))
   }
 
+  test("Now::time/date/hour with an injected clock") {
+    val oml = "name : n\n---\nt = Now::time() ;\nd = Now::date() ;\nh = Now::hour() ;"
+    val model = OmlText.parse(oml.replace("\\n", "\n"))
+    // 2023-05-15T07:09:13Z
+    val fixed = 1684134553000000L
+    val out = new OmlEval(model, KnowDb.empty, () => fixed)
+      .transform(Vector(WField("x", WDigit(1)))).get
+    val m = out.map(f => f.name -> f.value).toMap
+    assert(m("t") == WTime(fixed, "2023-05-15T07:09:13"))
+    assert(m("d") == WChars("20230515"))
+    assert(m("h") == WChars("2023051507"))
+  }
+
   test("SQL lookup: equality via hash probe + multi-target bind") {
     val db = new KnowDb(Map(
       KnowDb.fromCsv("users", "id,name,email\n7,alice,a@x.com\n9,bob,b@x.com")))
