@@ -24,7 +24,9 @@ import graft.wpl._
 case class ParseWpl(child: Expression, wplSource: String) extends UnaryExpression {
 
   override def dataType: DataType = ParseWpl.outType
-  override def nullable: Boolean = false
+  // UnaryExpression's default eval is null-intolerant: a null input line
+  // yields a null struct, so nullability must follow the child.
+  override def nullable: Boolean = child.nullable
 
   @transient private lazy val parserCache =
     new ThreadLocal[Runtime.MultiParser] {

@@ -595,16 +595,19 @@ object Runtime {
         val re = evals(ri)
         re.eval(line) match {
           case Right((fields, endPos, processed)) =>
+            // Reference parser.rs:51-78: raw (untrimmed) residue; ratio over
+            // the ORIGINAL payload length (pre-preprocess); hit_cnt counted
+            // on any Ok, including the "not complete" fallthrough; the
+            // not-complete depth is payload.len - un_parsed.len.
             val residue = processed.substring(endPos)
-            val resTrim = residue.trim
-            if (resTrim.isEmpty) {
-              hits(ri) += 1
+            hits(ri) += 1
+            if (residue.isEmpty) {
               return PSuccess(re.rule.key, fields)
-            } else if (resTrim.length.toDouble / processed.length <= ResidueRatio) {
-              hits(ri) += 1
+            } else if (residue.length.toDouble / line.length <= ResidueRatio) {
               return PPartial(re.rule.key, fields, residue)
-            } else if (endPos > bestDepth) {
-              bestDepth = endPos; bestRule = re.rule.key
+            } else {
+              val parsedLen = line.length - residue.length
+              if (parsedLen > bestDepth) { bestDepth = parsedLen; bestRule = re.rule.key }
             }
           case Left(depth) =>
             if (depth > bestDepth) { bestDepth = depth; bestRule = re.rule.key }

@@ -47,7 +47,10 @@ object RoundTripPropSpec extends Properties("wpl-roundtrip") {
       mp.parseLine(line) match {
         case PSuccess(_, fs) =>
           val got = fs.map(f => f.name -> f.value.sval).toMap
-          got.keySet == m.keySet && m.forall { case (k, v) => got(k) == v }
+          // kvarr values are type-coerced on parse (AutoVal.typed: "007" →
+          // WDigit(7)), so compare against the same normalization.
+          got.keySet == m.keySet &&
+            m.forall { case (k, v) => got(k) == AutoVal.typed(v).sval }
         case _ => false
       }
     }
