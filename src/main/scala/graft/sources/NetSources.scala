@@ -2,7 +2,6 @@ package graft.sources
 
 import java.util
 import java.util.concurrent.ConcurrentLinkedQueue
-import java.util.concurrent.atomic.AtomicLong
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
@@ -38,16 +37,49 @@ object NetSources {
 
   final case class Frame(value: String, clientIp: String)
 
-  /** Driver-side frame buffer with absolute offsets. */
+  /** Driver-side frame buffer with absolute offsets.
+    *
+    * Bounded: `evictTo` (called on micro-batch commit) drops frames below
+    * the committed offset, so steady-state memory is one in-flight batch,
+    * not the whole ingest history. `base` tracks the absolute offset of
+    * the first retained frame; `slice` clamps requests that predate the
+    * buffer (checkpoint restart replaying offsets from a previous process)
+    * instead of throwing. */
   final class FrameBuffer {
-    private val frames = new java.util.ArrayList[Frame]()
-    def append(f: Frame): Unit = frames.synchronized { frames.add(f) }
-    def size: Long = frames.synchronized { frames.size().toLong }
-    def slice(from: Long, until: Long): Array[Frame] = frames.synchronized {
-      val a = new Array[Frame]((until - from).toInt)
+    private val frames = new java.util.ArrayDeque[Frame]()
+    private var base = 0L
+
+    def append(f: Frame): Unit = synchronized { frames.addLast(f) }
+    def size: Long = synchronized { base + frames.size }
+    /** Frames currently held in memory (for tests / metrics). */
+    def retained: Int = synchronized { frames.size }
+
+    /** Drop frames with absolute offset < `offset` (commit point). */
+    def evictTo(offset: Long): Unit = synchronized {
+      while (base < offset && !frames.isEmpty) { frames.pollFirst(); base += 1 }
+    }
+
+    /** On restart, checkpointed offsets from the previous process index an
+      * empty buffer; rebase so new appends continue past them and the
+      * stream's offsets stay monotonic. */
+    def rebaseIfEmpty(offset: Long): Unit = synchronized {
+      if (frames.isEmpty && offset > base) base = offset
+    }
+
+    def slice(from: Long, until: Long): Array[Frame] = synchronized {
+      val lo = math.max(from, base)
+      val hi = math.min(until, base + frames.size)
+      if (hi <= lo) return Array.empty
+      val out = new Array[Frame]((hi - lo).toInt)
+      val it = frames.iterator()
+      var pos = base
       var i = 0
-      while (i < a.length) { a(i) = frames.get((from + i).toInt); i += 1 }
-      a
+      while (pos < hi) {
+        val f = it.next()
+        if (pos >= lo) { out(i) = f; i += 1 }
+        pos += 1
+      }
+      out
     }
   }
 
@@ -105,7 +137,8 @@ class TcpStream(port: Int, framingMode: String) extends MicroBatchStream {
   import NetSources._
 
   private val buf = new FrameBuffer
-  private val committed = new AtomicLong(0L)
+  /** Frames currently held on the driver (tests / metrics). */
+  def bufferedFrames: Int = buf.retained
   @volatile private var server: java.net.ServerSocket = _
 
   private val mode = framingMode match {
@@ -149,9 +182,13 @@ class TcpStream(port: Int, framingMode: String) extends MicroBatchStream {
 
   override def latestOffset(): Offset = { ensureStarted(); LongOffset(buf.size) }
   override def initialOffset(): Offset = { ensureStarted(); LongOffset(0L) }
-  override def deserializeOffset(json: String): Offset = LongOffset(json.toLong)
+  override def deserializeOffset(json: String): Offset = {
+    val v = json.toLong
+    buf.rebaseIfEmpty(v)
+    LongOffset(v)
+  }
   override def commit(end: Offset): Unit =
-    committed.set(end.asInstanceOf[LongOffset].value)
+    buf.evictTo(end.asInstanceOf[LongOffset].value)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[LongOffset].value
@@ -189,8 +226,13 @@ class UdpStream(port: Int) extends MicroBatchStream {
 
   override def latestOffset(): Offset = { ensureStarted(); LongOffset(buf.size) }
   override def initialOffset(): Offset = { ensureStarted(); LongOffset(0L) }
-  override def deserializeOffset(json: String): Offset = LongOffset(json.toLong)
-  override def commit(end: Offset): Unit = ()
+  override def deserializeOffset(json: String): Offset = {
+    val v = json.toLong
+    buf.rebaseIfEmpty(v)
+    LongOffset(v)
+  }
+  override def commit(end: Offset): Unit =
+    buf.evictTo(end.asInstanceOf[NetSources.LongOffset].value)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[NetSources.LongOffset].value
     val e = end.asInstanceOf[NetSources.LongOffset].value

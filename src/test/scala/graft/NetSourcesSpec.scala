@@ -57,6 +57,59 @@ class NetSourcesSpec extends AnyFunSuite {
       Set("alpha", "beta"))
   }
 
+  test("frame buffer evicts on commit and clamps stale restart offsets") {
+    import graft.sources.NetSources.{Frame, FrameBuffer}
+    val buf = new FrameBuffer
+    (0 until 100).foreach(i => buf.append(Frame(s"m$i", "ip")))
+    assert(buf.size == 100 && buf.retained == 100)
+    // micro-batch [0,60) committed → frames below 60 are dropped
+    buf.evictTo(60)
+    assert(buf.retained == 40)
+    assert(buf.size == 100) // absolute offsets keep counting
+    // slice after eviction still serves the retained window
+    assert(buf.slice(60, 100).map(_.value).head == "m60")
+    // a stale range that predates the buffer clamps instead of throwing
+    assert(buf.slice(0, 60).isEmpty)
+    assert(buf.slice(50, 70).map(_.value).toSeq == (60 until 70).map(i => s"m$i"))
+    // restart: checkpointed offset 100 lands on an empty buffer → rebase
+    buf.evictTo(100)
+    assert(buf.retained == 0)
+    val fresh = new FrameBuffer
+    fresh.rebaseIfEmpty(100)
+    fresh.append(Frame("post-restart", "ip"))
+    assert(fresh.size == 101)
+    assert(fresh.slice(100, 101).map(_.value).toSeq == Seq("post-restart"))
+  }
+
+  test("tcp stream buffer shrinks after commit under sustained send") {
+    import graft.sources.{TcpStream, NetSources}
+    val port = freePort()
+    val stream = new TcpStream(port, "line")
+    try {
+      stream.initialOffset() // starts the listener
+      Thread.sleep(500)
+      val sock = new java.net.Socket("127.0.0.1", port)
+      (0 until 500).foreach(i => sock.getOutputStream.write(s"line $i\n".getBytes))
+      sock.getOutputStream.flush()
+      sock.close()
+      val deadline = System.currentTimeMillis() + 5000
+      def latest(): Long =
+        stream.latestOffset().asInstanceOf[NetSources.LongOffset].value
+      while (latest() < 500 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(latest() == 500)
+      assert(stream.bufferedFrames == 500)
+      // micro-batch cycle: plan [0,500), then commit → buffer trimmed
+      val parts = stream.planInputPartitions(
+        NetSources.LongOffset(0), NetSources.LongOffset(500))
+      assert(parts.length == 1)
+      stream.commit(NetSources.LongOffset(500))
+      assert(stream.bufferedFrames == 0)
+      // offsets stay monotonic after eviction
+      assert(latest() == 500)
+    } finally stream.stop()
+  }
+
   test("graft-syslog-udp source receives datagrams") {
     val port = freePort()
     val ckpt = java.nio.file.Files.createTempDirectory("graft-udp-ck").toString
