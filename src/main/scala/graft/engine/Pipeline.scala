@@ -13,11 +13,12 @@ import graft.oml._
   * src/sinks/routing/dispatcher/oml.rs).
   *
   * Everything is per-record stateless, so the whole pipeline is a single
-  * projection (a struct-returning UDF with per-executor lazily compiled
-  * rules/models — no RDD hop, whole-stage codegen kept around it); KnowDB
-  * rides along as a broadcast variable (executor-shared read-only, the
-  * Spark analogue of the reference's per-thread SQLite clones). At 100 TB
-  * this scales with input splits: zero shuffles, zero driver work. */
+  * projection — a codegen-participating Catalyst expression
+  * ([[graft.functions.PipeWpl]], same ABI as ParseWpl) with per-thread
+  * lazily compiled rules/models — no RDD hop, no ScalaUDF row boxing;
+  * KnowDB rides along as a broadcast variable (executor-shared read-only,
+  * the Spark analogue of the reference's per-thread SQLite clones). At
+  * 100 TB this scales with input splits: zero shuffles, zero driver work. */
 object Pipeline {
 
   case class FieldOut(name: String, dtype: String, sval: String)
@@ -83,9 +84,14 @@ object Pipeline {
           sourceTags: Map[String, String] = Map.empty): DataFrame = {
     val spark = df.sparkSession
     val bcDb: Broadcast[KnowDb] = spark.sparkContext.broadcast(knowDb)
-    val fn = new PipelineFn(wplSource, omlSources, bcDb, sourceTags)
-    val pipeUdf = udf((line: String) => fn(line))
-    df.select((keep.map(col) :+ pipeUdf(col(lineCol).cast("string")).as("p")): _*)
+    import org.apache.spark.sql.GraftExprBridge
+    // null lines fold to "" so they take the PBlank path (status=blank),
+    // matching the old UDF's behavior instead of a null struct
+    val line = GraftExprBridge.expression(
+      coalesce(col(lineCol).cast("string"), lit("")))
+    val p = GraftExprBridge.column(
+      graft.functions.PipeWpl(line, wplSource, omlSources, sourceTags, bcDb))
+    df.select((keep.map(col) :+ p.as("p")): _*)
       .select((keep.map(col) :+ col("p.*")): _*)
   }
 }
