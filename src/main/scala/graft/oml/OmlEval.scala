@@ -236,7 +236,7 @@ final class OmlEval(model: OmlAst.Model, knowDb: KnowDb = KnowDb.empty,
     case "float" => try WFloat(lit.toDouble) catch { case _: NumberFormatException => WNull }
     case "bool" => WBool(lit == "true")
     case "ip" => WIp(lit)
-    case "time" => TimeP.auto.parseSegment(lit).collect { case One(t: WTime) => t }.getOrElse(WNull)
+    case "time" => TimeP.auto.parseSegment(lit) match { case One(t: WTime) => t; case _ => WNull }
     case "auto" => AutoVal.typed(lit)
     case _ => WChars(lit)
   }
@@ -263,7 +263,7 @@ final class OmlEval(model: OmlAst.Model, knowDb: KnowDb = KnowDb.empty,
     }
     case Some("time") => v match {
       case t: WTime => t
-      case o => TimeP.auto.parseSegment(o.sval).collect { case One(t: WTime) => t }.getOrElse(WNull)
+      case o => TimeP.auto.parseSegment(o.sval) match { case One(t: WTime) => t; case _ => WNull }
     }
     case Some("obj") => v
     case Some("array") => v match { case a: WArr => a; case o => WArr(Vector(o)) }
@@ -283,7 +283,10 @@ final class OmlEval(model: OmlAst.Model, knowDb: KnowDb = KnowDb.empty,
         case WArr(xs) if seg.forall(_.isDigit) => xs.lift(seg.toInt)
         case WChars(s) =>
           // lenient: JSON-encoded string field
-          JsonP.parseSegment(s).collect { case Named(fs) => fs.find(_._1 == seg).map(_._2) }.flatten
+          JsonP.parseSegment(s) match {
+            case Named(fs) => fs.find(_._1 == seg).map(_._2)
+            case _ => None
+          }
         case _ => None
       }
     }
@@ -480,8 +483,10 @@ object OmlPipes {
       Some(WDigit(epochUs / (1000000L / unit)))
     case WDigit(d) => Some(WDigit(d))
     case WChars(s) =>
-      TimeP.auto.parseSegment(s).collect { case One(WTime(us, _)) =>
-        WDigit((us - zoneShiftSec * 1000000L) / (1000000L / unit))
+      TimeP.auto.parseSegment(s) match {
+        case One(WTime(us, _)) =>
+          Some(WDigit((us - zoneShiftSec * 1000000L) / (1000000L / unit)))
+        case _ => None
       }
     case _ => None
   }

@@ -90,69 +90,61 @@ object Runtime {
       if (skipsLeadingWs) {
         while (!cur.atEnd && (cur.peek == ' ' || cur.peek == '\t')) cur.pos += 1
       }
-      val parsed: Option[Parsed] = f.fmt match {
+      val parsed: Parsed = f.fmt match {
         case Some(ScopeFmt(beg, end)) =>
-          if (!cur.input.startsWith(beg, cur.pos)) None
+          if (!cur.input.startsWith(beg, cur.pos)) null
           else {
             val cStart = cur.pos + beg.length
             val endIdx = cur.input.indexOf(end, cStart)
-            if (endIdx < 0) None
+            if (endIdx < 0) null
             else {
               val seg = cur.input.substring(cStart, endIdx)
-              parser.parseSegment(capLen(seg)) match {
-                case Some(p) => cur.pos = endIdx + end.length; Some(p)
-                case None => None
-              }
+              val p = parser.parseSegment(capLen(seg))
+              if (p != null) cur.pos = endIdx + end.length
+              p
             }
           }
         case Some(QuoteFmt) =>
-          if (cur.atEnd || cur.peek != '"') None
+          if (cur.atEnd || cur.peek != '"') null
           else {
             val endIdx = cur.input.indexOf('"', cur.pos + 1)
-            if (endIdx < 0) None
+            if (endIdx < 0) null
             else {
               val seg = cur.input.substring(cur.pos + 1, endIdx)
-              parser.parseSegment(capLen(seg)) match {
-                case Some(p) => cur.pos = endIdx + 1; Some(p)
-                case None => None
-              }
+              val p = parser.parseSegment(capLen(seg))
+              if (p != null) cur.pos = endIdx + 1
+              p
             }
           }
         case None =>
           val m = cur.mark
-          parser.parse(cur, effSep) match {
-            case s @ Some(_) =>
-              if (f.lenCap.exists(cap => cur.pos - m > cap)) { cur.reset(m); None }
-              else s
-            case None => None
-          }
+          val p = parser.parse(cur, effSep)
+          if (p != null && cur.pos - m > lenCapOrMax) { cur.reset(m); null }
+          else p
       }
-      parsed match {
-        case None => false
-        case Some(p) =>
-          // consume trailing separator: required for self-delimited values
-          // unless at end (clean-boundary rule)
-          effSep.consumeAt(cur.input, cur.pos) match {
-            case Some(np) => cur.pos = np
-            case None =>
-              // self-delimited values tolerate space padding before a
-              // non-whitespace separator ("192.168.1.2 , time" —
-              // reference order.rs test_pipeline2)
-              var retried = false
-              if (skipsLeadingWs && !cur.atEnd &&
-                  (cur.peek == ' ' || cur.peek == '\t')) {
-                var p = cur.pos
-                while (p < cur.len && (cur.input.charAt(p) == ' ' || cur.input.charAt(p) == '\t')) p += 1
-                effSep.consumeAt(cur.input, p) match {
-                  case Some(np2) => cur.pos = np2; retried = true
-                  case None =>
-                }
-              }
-              if (!retried && f.fmt.isEmpty && !cur.atEnd && requiresBoundary &&
-                  !nextIsStructural(cur))
-                return false
+      if (parsed == null) false
+      else {
+        // consume trailing separator: required for self-delimited values
+        // unless at end (clean-boundary rule)
+        val np = effSep.consumeAt(cur.input, cur.pos)
+        if (np >= 0) cur.pos = np
+        else {
+          // self-delimited values tolerate space padding before a
+          // non-whitespace separator ("192.168.1.2 , time" —
+          // reference order.rs test_pipeline2)
+          var retried = false
+          if (skipsLeadingWs && !cur.atEnd &&
+              (cur.peek == ' ' || cur.peek == '\t')) {
+            var p = cur.pos
+            while (p < cur.len && (cur.input.charAt(p) == ' ' || cur.input.charAt(p) == '\t')) p += 1
+            val np2 = effSep.consumeAt(cur.input, p)
+            if (np2 >= 0) { cur.pos = np2; retried = true }
           }
-          emit(p, cur, rec, effSep)
+          if (!retried && f.fmt.isEmpty && !cur.atEnd && requiresBoundary &&
+              !nextIsStructural(cur))
+            return false
+        }
+        emit(parsed, cur, rec, effSep)
       }
     }
 
@@ -160,18 +152,26 @@ object Runtime {
       f.lenCap match { case Some(n) if seg.length > n => seg.substring(0, n); case _ => seg }
 
     /** Separator-bounded parsers stop at the separator by construction;
-      * self-delimited ones must land exactly on a separator or EOL. */
-    private def skipsLeadingWs: Boolean = parser match {
+      * self-delimited ones must land exactly on a separator or EOL.
+      * Hoisted to vals — evalOnce runs per field per line. */
+    private val skipsLeadingWs: Boolean = parser match {
       case CharsP | IgnoreP | HttpAgentP => false
       case _: SymbolP => false
       case _ => true
     }
 
-    private def requiresBoundary: Boolean = parser match {
+    private val requiresBoundary: Boolean = parser match {
       case CharsP | IgnoreP | HttpAgentP | KvP | KvArrP => false
       case _: SymbolP => false
       case _ => true
     }
+
+    // precomputed pipe views + len cap (no Option/collect on the hot path)
+    private val transformPipesArr: Array[FunPipe] = f.pipes.collect {
+      case fp @ FunPipe("base64_decode" | "json_unescape" | "chars_replace", _) => fp
+    }.toArray
+    private val hasPipes: Boolean = f.pipes.nonEmpty
+    private val lenCapOrMax: Int = f.lenCap.getOrElse(Int.MaxValue)
     private def nextIsStructural(cur: Cursor): Boolean = {
       val c = cur.peek
       c == '"' || c == '[' || c == '{' || c == '(' || c == '<'
@@ -179,13 +179,16 @@ object Runtime {
 
     private def emit(p: Parsed, cur: Cursor, rec: RecBuilder, effSep: Sep): Boolean = p match {
       case One(v) =>
-        val v2 = applyTransformPipes(v)
-        rec.add(autoName, v2)
-        runPipes(cur, rec, effSep)
+        if (!hasPipes) { rec.add(autoName, v); true }
+        else {
+          val v2 = applyTransformPipes(v)
+          rec.add(autoName, v2)
+          runPipes(cur, rec, effSep)
+        }
       case Named(fs) =>
         if (f.subfields.isEmpty) {
           fs.foreach { case (k, v) => rec.add(k, v) }
-          runPipes(cur, rec, effSep)
+          if (!hasPipes) true else runPipes(cur, rec, effSep)
         } else {
           // subfield projection (kvarr/json): match by @path or wildcard
           val used = scala.collection.mutable.Set[Int]()
@@ -282,7 +285,10 @@ object Runtime {
       }
       case Some("time") => v match {
         case t: WTime => Some(t)
-        case WChars(s) => TimeP.auto.parseSegment(s).collect { case One(t: WTime) => t }
+        case WChars(s) => TimeP.auto.parseSegment(s) match {
+          case One(t: WTime) => Some(t)
+          case _ => None
+        }
         case _ => None
       }
       case Some("bool") => v match {
@@ -297,7 +303,7 @@ object Runtime {
     /** transform pipes applied to the value before it is recorded. */
     private def applyTransformPipes(v: WValue): WValue = {
       var out = v
-      for (FunPipe(name, args) <- f.pipes.collect { case fp: FunPipe => fp }) {
+      for (FunPipe(name, args) <- transformPipesArr) {
         name match {
           case "base64_decode" =>
             try out = WChars(new String(java.util.Base64.getDecoder.decode(out.sval), "UTF-8"))
@@ -412,6 +418,14 @@ object Runtime {
     val fieldEvals: Vector[(WplField, FieldEval)] =
       g.fields.map(f => (f, new FieldEval(f.copy(lenCap = f.lenCap.orElse(g.len)))))
 
+    // hot-loop views: parallel arrays, field sep pre-resolved (null =
+    // inherit the group's effective sep), repeat as a primitive int
+    // (-1 = single, 0 = unbounded, n = exactly n)
+    private val evalsArr: Array[FieldEval] = fieldEvals.map(_._2).toArray
+    private val sepsArr: Array[Sep] = fieldEvals.map(_._1.sep.orNull).toArray
+    private val repeatArr: Array[Int] = fieldEvals.map(_._1.repeat.getOrElse(-1)).toArray
+    private val namesArr: Array[String] = fieldEvals.map(_._1.name.orNull).toArray
+
     def eval(cur: Cursor, rec: RecBuilder, inherited: Sep): Boolean = {
       val effSep = g.sep.getOrElse(inherited)
       g.meta match {
@@ -421,12 +435,14 @@ object Runtime {
           val m = cur.mark
           val nf = rec.fields.length
           var bestDepth = m
-          for ((f, fe) <- fieldEvals) {
-            val sep = f.sep.getOrElse(effSep)
-            if (fe.evalOnce(cur, rec, sep)) return true
+          var i = 0
+          while (i < evalsArr.length) {
+            val sep = if (sepsArr(i) ne null) sepsArr(i) else effSep
+            if (evalsArr(i).evalOnce(cur, rec, sep)) return true
             if (cur.pos > bestDepth) bestDepth = cur.pos
             cur.reset(m)
             rec.fields.dropRightInPlace(rec.fields.length - nf)
+            i += 1
           }
           cur.pos = bestDepth // expose deepest failure for diagnostics
           false
@@ -445,25 +461,26 @@ object Runtime {
           while (matched && !cur.atEnd) {
             matched = false
             val m = cur.mark
-            val it = fieldEvals.iterator
-            while (!matched && it.hasNext) {
-              val (f, fe) = it.next()
+            var i = 0
+            while (!matched && i < evalsArr.length) {
               val nf = rec.fields.length
-              if (fe.evalOnce(cur, rec, f.sep.getOrElse(effSep))) matched = true
+              val sep = if (sepsArr(i) ne null) sepsArr(i) else effSep
+              if (evalsArr(i).evalOnce(cur, rec, sep)) matched = true
               else {
                 cur.reset(m)
                 rec.fields.dropRightInPlace(rec.fields.length - nf)
               }
+              i += 1
             }
           }
           true
         case "not" =>
           // negative lookahead on exactly one field; success when inner
           // FAILS — keeping the failed attempt's partial consumption (!)
-          val (f, fe) = fieldEvals.head
           val m = cur.mark
           val nf = rec.fields.length
-          if (fe.evalOnce(cur, rec, f.sep.getOrElse(effSep))) {
+          val sep = if (sepsArr(0) ne null) sepsArr(0) else effSep
+          if (evalsArr(0).evalOnce(cur, rec, sep)) {
             cur.reset(m)
             rec.fields.dropRightInPlace(rec.fields.length - nf)
             false
@@ -471,7 +488,7 @@ object Runtime {
             // keep consumption (not.rs:58-70); emit the named Ignore
             // marker (reference: DataField::from_ignore(name))
             rec.fields.dropRightInPlace(rec.fields.length - nf)
-            f.name.foreach(n => rec.fields += WField(n, WIgnore))
+            if (namesArr(0) ne null) rec.fields += WField(namesArr(0), WIgnore)
             true
           }
         case other => throw new IllegalArgumentException(s"unknown group meta $other")
@@ -479,12 +496,14 @@ object Runtime {
     }
 
     private def evalSeq(cur: Cursor, rec: RecBuilder, effSep: Sep): Boolean = {
-      for ((f, fe) <- fieldEvals) {
-        val sep = f.sep.getOrElse(effSep)
-        f.repeat match {
-          case None =>
+      var i = 0
+      while (i < evalsArr.length) {
+        val fe = evalsArr(i)
+        val sep = if (sepsArr(i) ne null) sepsArr(i) else effSep
+        repeatArr(i) match {
+          case -1 =>
             if (!fe.evalOnce(cur, rec, sep)) return false
-          case Some(0) => // unbounded: greedy until fail
+          case 0 => // unbounded: greedy until fail
             var going = true
             while (going && !cur.atEnd) {
               val m = cur.mark
@@ -495,13 +514,14 @@ object Runtime {
                 going = false
               }
             }
-          case Some(n) =>
-            var i = 0
-            while (i < n) {
+          case n =>
+            var j = 0
+            while (j < n) {
               if (!fe.evalOnce(cur, rec, sep)) return false
-              i += 1
+              j += 1
             }
         }
+        i += 1
       }
       true
     }

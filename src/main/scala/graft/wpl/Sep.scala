@@ -7,43 +7,55 @@ package graft.wpl
   * Three-level priority (field > group > inherited) is resolved by the
   * runtime; `Sep.Default` is the whitespace-run separator.
   *
-  * The matcher exposes two operations:
-  *  - `find(input, from)` → (tokenEnd, resumePos): locate the next
-  *    separator occurrence; a sep-bounded token spans [from, tokenEnd) and
-  *    parsing resumes at resumePos (end of the separator match, minus any
-  *    `(preserve)` suffix).
-  *  - `consumeAt(input, pos)` → new pos: consume one separator occurrence
-  *    anchored exactly at `pos` (used after self-delimited values).
+  * The matcher exposes two operations on a PRIMITIVE ABI (no Option /
+  * tuple allocation — these run once-to-thrice per field on the parse
+  * hot path):
+  *  - `find(input, from)` → packed `(tokenEnd << 32) | resumePos`, or
+  *    `Sep.NotFound` (-1): locate the next separator occurrence; a
+  *    sep-bounded token spans [from, tokenEnd) and parsing resumes at
+  *    resumePos (end of the separator match, minus any `(preserve)`
+  *    suffix).
+  *  - `consumeAt(input, pos)` → new pos or -1: consume one separator
+  *    occurrence anchored exactly at `pos` (used after self-delimited
+  *    values).
   *
   * The literal path is an `indexOf` fast path (reference benchmarked it at
   * 13 ns/9 B — docs/design/wpl_sep_pattern_bench.md §2.1); glob patterns
   * compile once to a segment list, no regex engine.
   */
 trait Sep {
-  def find(input: String, from: Int): Option[(Int, Int)]
-  def consumeAt(input: String, pos: Int): Option[Int]
+  /** Packed (tokenEnd << 32) | resumePos, or Sep.NotFound. */
+  def find(input: String, from: Int): Long
+  /** Resume position after a separator anchored at `pos`, or -1. */
+  def consumeAt(input: String, pos: Int): Int
 }
 
 object Sep {
 
+  final val NotFound: Long = -1L
+  @inline def pack(tokenEnd: Int, resume: Int): Long =
+    (tokenEnd.toLong << 32) | (resume.toLong & 0xffffffffL)
+  @inline def tokenEnd(packed: Long): Int = (packed >>> 32).toInt
+  @inline def resume(packed: Long): Int = packed.toInt
+
   /** Whitespace-run default separator. */
   case object Default extends Sep {
-    def find(input: String, from: Int): Option[(Int, Int)] = {
+    def find(input: String, from: Int): Long = {
       var i = from
       while (i < input.length && !isWs(input.charAt(i))) i += 1
-      if (i >= input.length) None
+      if (i >= input.length) NotFound
       else {
         var j = i
         while (j < input.length && isWs(input.charAt(j))) j += 1
-        Some((i, j))
+        pack(i, j)
       }
     }
-    def consumeAt(input: String, pos: Int): Option[Int] = {
+    def consumeAt(input: String, pos: Int): Int = {
       if (pos < input.length && isWs(input.charAt(pos))) {
         var j = pos
         while (j < input.length && isWs(input.charAt(j))) j += 1
-        Some(j)
-      } else None
+        j
+      } else -1
     }
   }
 
@@ -52,12 +64,12 @@ object Sep {
 
   /** Literal (shortcut) separator, e.g. `\,` → ",". */
   final case class Lit(s: String) extends Sep {
-    def find(input: String, from: Int): Option[(Int, Int)] = {
+    def find(input: String, from: Int): Long = {
       val i = input.indexOf(s, from)
-      if (i < 0) None else Some((i, i + s.length))
+      if (i < 0) NotFound else pack(i, i + s.length)
     }
-    def consumeAt(input: String, pos: Int): Option[Int] =
-      if (input.startsWith(s, pos)) Some(pos + s.length) else None
+    def consumeAt(input: String, pos: Int): Int =
+      if (input.startsWith(s, pos)) pos + s.length else -1
   }
 
   sealed trait Seg
@@ -73,83 +85,79 @@ object Sep {
     * not consumed (resume position backs up to the preserve start). */
   final case class Pattern(segs: Vector[Seg], preserve: Vector[Seg]) extends Sep {
 
-    /** Match segs at position `p`; returns (endOfAll, endOfConsumed). */
-    private def matchAt(input: String, p: Int): Option[Int] = {
-      def go(segIdx: Int, pos: Int, segs: Vector[Seg]): Option[Int] = {
-        if (segIdx >= segs.length) Some(pos)
+    // hoisted sub-patterns — find()/matchPreserveAt() run per field, so
+    // they must not rebuild Pattern objects per call
+    @transient private lazy val tailPattern: Pattern = Pattern(segs.drop(1), Vector.empty)
+    @transient private lazy val preservePattern: Pattern = Pattern(preserve, Vector.empty)
+
+    /** Match segs at position `p`; returns end position or -1. */
+    private def matchAt(input: String, p: Int): Int = {
+      def go(segIdx: Int, pos: Int): Int = {
+        if (segIdx >= segs.length) pos
         else segs(segIdx) match {
           case L(s) =>
-            if (input.startsWith(s, pos)) go(segIdx + 1, pos + s.length, segs) else None
+            if (input.startsWith(s, pos)) go(segIdx + 1, pos + s.length) else -1
           case Que =>
-            if (pos < input.length) go(segIdx + 1, pos + 1, segs) else None
-          case WsRun => runBacktrack(segIdx, pos, segs, c => isWs(c))
-          case NonWsRun => runBacktrack(segIdx, pos, segs, c => !isWs(c))
-          case HWsRun => runBacktrack(segIdx, pos, segs, c => c == ' ' || c == '\t')
-          case NonHWsRun => runBacktrack(segIdx, pos, segs, c => c != ' ' && c != '\t')
+            if (pos < input.length) go(segIdx + 1, pos + 1) else -1
+          case WsRun => runBacktrack(segIdx, pos, c => isWs(c))
+          case NonWsRun => runBacktrack(segIdx, pos, c => !isWs(c))
+          case HWsRun => runBacktrack(segIdx, pos, c => c == ' ' || c == '\t')
+          case NonHWsRun => runBacktrack(segIdx, pos, c => c != ' ' && c != '\t')
           case Star => // non-greedy: try the rest at every offset
             var i = pos
             while (i <= input.length) {
-              go(segIdx + 1, i, segs) match {
-                case s: Some[Int] => return s
-                case None => i += 1
-              }
+              val e = go(segIdx + 1, i)
+              if (e >= 0) return e
+              i += 1
             }
-            None
+            -1
         }
       }
       // run macros are greedy but backtrack so a following literal can
       // match inside the run (e.g. `\S=` on "b=2": \S takes "b", not "b=2")
-      def runBacktrack(segIdx: Int, pos: Int, segs: Vector[Seg],
-                       pred: Char => Boolean): Option[Int] = {
+      def runBacktrack(segIdx: Int, pos: Int, pred: Char => Boolean): Int = {
         var j = pos
         while (j < input.length && pred(input.charAt(j))) j += 1
         while (j > pos) {
-          go(segIdx + 1, j, segs) match {
-            case s: Some[Int] => return s
-            case None => j -= 1
-          }
+          val e = go(segIdx + 1, j)
+          if (e >= 0) return e
+          j -= 1
         }
-        None
+        -1
       }
-      go(0, p, segs)
+      go(0, p)
     }
 
     private def matchPreserveAt(input: String, p: Int): Boolean =
-      if (preserve.isEmpty) true
-      else Pattern(preserve, Vector.empty).matchAt(input, p).isDefined
+      preserve.isEmpty || preservePattern.matchAt(input, p) >= 0
 
     /** Full match anchored at p → resume position (preserve not consumed). */
-    def consumeAt(input: String, pos: Int): Option[Int] =
-      matchAt(input, pos).flatMap { end =>
-        if (matchPreserveAt(input, end)) Some(end) else None
-      }
-
-    def find(input: String, from: Int): Option[(Int, Int)] = {
-      segs.headOption match {
-        case Some(Star) =>
-          // leading star: token = what the star swallows; match the tail
-          // at each offset (non-greedy)
-          val tail = segs.drop(1)
-          var i = from
-          while (i <= input.length) {
-            Pattern(tail, Vector.empty).matchAt(input, i) match {
-              case Some(end) if matchPreserveAt(input, end) => return Some((i, end))
-              case _ => i += 1
-            }
-          }
-          None
-        case _ =>
-          var i = from
-          while (i <= input.length) {
-            matchAt(input, i) match {
-              case Some(end) if matchPreserveAt(input, end) => return Some((i, end))
-              case _ => i += 1
-            }
-          }
-          None
-      }
+    def consumeAt(input: String, pos: Int): Int = {
+      val end = matchAt(input, pos)
+      if (end >= 0 && matchPreserveAt(input, end)) end else -1
     }
 
+    def find(input: String, from: Int): Long = {
+      if (segs.nonEmpty && (segs.head eq Star)) {
+        // leading star: token = what the star swallows; match the tail
+        // at each offset (non-greedy)
+        var i = from
+        while (i <= input.length) {
+          val end = tailPattern.matchAt(input, i)
+          if (end >= 0 && matchPreserveAt(input, end)) return pack(i, end)
+          i += 1
+        }
+        NotFound
+      } else {
+        var i = from
+        while (i <= input.length) {
+          val end = matchAt(input, i)
+          if (end >= 0 && matchPreserveAt(input, end)) return pack(i, end)
+          i += 1
+        }
+        NotFound
+      }
+    }
   }
 
   /** Parse the inside of a `{...}` pattern into a compiled Pattern. */

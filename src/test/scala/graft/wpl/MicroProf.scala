@@ -10,7 +10,8 @@ object MicroProf {
   def main(args: Array[String]): Unit = {
     val clf = "06/Aug/2019:12:12:19 +0800"
     t("timeP.parseSegment(clf)", 300000)(TimeP.auto.parseSegment(clf))
-    t("clf fmt only", 300000)(TimeFormats.clf(clf, 0))
+    val mtm = new TimeFormats.MTM
+    t("clf fmt only", 300000)(TimeFormats.clf.parseInto(clf, 0, mtm))
     t("toMicros", 300000)(TimeFormats.toMicros(TimeFormats.TM(2019,8,6,12,12,19,0,Some(28800))))
     val req = "GET /nginx-logo.png HTTP/1.1"
     t("httpRequest.parseSegment", 300000)(HttpRequestP.parseSegment(req))

@@ -15,19 +15,19 @@ class SepPatternSpec extends AnyFunSuite {
   test("chars{*=}: match to first equals sign") {
     val p = Sep.compilePattern("*=")
     // find = (tokenEnd, resume): token is what * swallowed, = consumed
-    assert(p.find("key=value", 0) == Some((3, 4)))
+    assert(p.find("key=value", 0) == Sep.pack(3, 4))
   }
 
   test("chars{\\s=}: whitespace then equals") {
     val p = Sep.compilePattern("\\s=")
     // separator occurrence = "  =" starting at index 3
-    assert(p.find("abc  =def", 0) == Some((3, 6)))
+    assert(p.find("abc  =def", 0) == Sep.pack(3, 6))
   }
 
   test("{*(key=)}: match to 'key=' and preserve it for the next field") {
     val p = Sep.compilePattern("*(key=)")
     // token ends where 'key=' starts; nothing consumed past it
-    assert(p.find("prefix key=v", 0) == Some((7, 7)))
+    assert(p.find("prefix key=v", 0) == Sep.pack(7, 7))
     val mp = Runtime.compile("package /s { rule r { (chars:a{*(key=)},kv) } }")
     val fs = fields(mp.parseLine("prefix key=v"))
     assert(fs == Vector(WField("a", WChars("prefix ")), WField("key", WChars("v"))))
@@ -35,26 +35,26 @@ class SepPatternSpec extends AnyFunSuite {
 
   test("{field?:\\s}: literal + any char + colon + whitespace") {
     val p = Sep.compilePattern("field?:\\s")
-    assert(p.find("xx fieldA: yy", 0) == Some((3, 11)))
+    assert(p.find("xx fieldA: yy", 0) == Sep.pack(3, 11))
   }
 
   test("\\s(\\S=) kvarr scan: whitespace sep preserving next key lookahead") {
     val p = Sep.compilePattern("\\s(\\S=)")
     // matches the space only when a token= follows (kvarr pair boundary)
-    assert(p.find("a=1 b=2", 0) == Some((3, 4)))
+    assert(p.find("a=1 b=2", 0) == Sep.pack(3, 4))
     // no match when what follows isn't key=
-    assert(p.find("a=1 end", 0) == None)
+    assert(p.find("a=1 end", 0) == Sep.NotFound)
   }
 
   test("macros: \\h horizontal-only, \\H non-horizontal") {
     val h = Sep.compilePattern("\\h")
-    assert(h.consumeAt("a \tb", 1) == Some(3))
-    assert(h.consumeAt("a\nb", 1) == None) // \n is not horizontal ws
+    assert(h.consumeAt("a \tb", 1) == 3)
+    assert(h.consumeAt("a\nb", 1) == -1) // \n is not horizontal ws
   }
 
   test("escaped literals: \\* matches a literal star") {
     val p = Sep.compilePattern("\\*\\*")
-    assert(p.find("a**b", 0) == Some((1, 3)))
+    assert(p.find("a**b", 0) == Sep.pack(1, 3))
   }
 
   test("sep pattern as field separator end-to-end") {
