@@ -401,6 +401,47 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** `+geo()/+zone()/+device()` parse-time enrichment — the VERBATIM rule
+    * from the reference fixture tests/json_test/rule.wpl:1, loaded through
+    * the bare rule-conf format. geo/zone are IPv4-range knowledge tables
+    * (built from the nation dim), device an exact-match table; lookups run
+    * inside the parse expression (broadcast-analogue: the enricher ships
+    * with the compiled parser). */
+  private def qWplGeoEnrich(s: SparkSession, dir: String): DataFrame = {
+    import graft.wpl.Enricher
+    val e = t(s, dir, "events")
+    val nation = t(s, dir, "nation")
+    // knowledge tables from the 25-row nation dim (driver-side build, like
+    // the reference loading its GeoIP csv into KnowDB)
+    val nationRows = nation.select(col("n_nationkey"), col("n_name")).collect()
+    def ip(a: Long, b: Long, c: Long, d: Long): Long = (a << 24) | (b << 16) | (c << 8) | d
+    val geoRows = nationRows.toSeq.map { r =>
+      val k = r.get(0).asInstanceOf[Number].longValue
+      (ip(10, 0, k, 0), ip(10, 0, k, 255), r.getString(1))
+    }
+    val zoneRows = (0L until 4L).map(z => (ip(10, 1, z, 0), ip(10, 1, z, 255), s"zone-$z"))
+    val devRows = (0 until 10).map(d => s"dev$d" -> s"vendor-${d % 3}").toMap
+    val enricher = new Enricher(Map(
+      "geo" -> new Enricher.IpRangeTable(geoRows),
+      "zone" -> new Enricher.IpRangeTable(zoneRows),
+      "device" -> new Enricher.ExactTable(devRows)))
+    val lines = e.select(col("event_id"),
+      to_json(struct(
+        concat(lit("10.0."), col("user_id") % 25, lit("."), col("event_id") % 250).as("src-ip"),
+        concat(lit("10.1."), col("event_id") % 4, lit(".5")).as("dst-ip"),
+        concat(lit("dev"), col("event_id") % 10).as("dev-name"))).as("line"))
+    val wpl = // tests/json_test/rule.wpl:1 verbatim
+      "json_test : (json( @src-ip +geo(city_name),@dst-ip +zone(zone_name),@dev-name+device(device_val)))"
+    val parsed = WplEngine.parseWith(lines, "line", wpl, Seq("event_id"), enricher)
+    WplEngine.successes(parsed).select(
+      col("event_id"),
+      WplEngine.extractString("src-ip").as("src_ip"),
+      WplEngine.extractString("city_name").as("city_name"),
+      WplEngine.extractString("zone_name").as("zone_name"),
+      WplEngine.extractString("device_val").as("device_val"))
+      .orderBy(col("event_id"))
+  }
+
   private def qSyslogNorm(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events")
     val lines = e.select(col("event_id"),
@@ -552,6 +593,7 @@ object SparkEntry {
     "wpl_nginx_parse" -> (qWplNginx _),
     "wpl_kvarr_parse" -> (qWplKvarr _),
     "wpl_json_parse" -> (qWplJson _),
+    "wpl_geo_enrich" -> (qWplGeoEnrich _),
     "syslog_normalize" -> (qSyslogNorm _),
     "q1_pricing_summary" -> (q1 _),
     "q_filter_pushdown" -> (qFilter _),
@@ -651,6 +693,15 @@ object SparkEntry {
     "wpl_json_parse" ->
       """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
          FROM events ORDER BY event_id""",
+    "wpl_geo_enrich" ->
+      """SELECT event_id,
+         '10.0.' || CAST(user_id % 25 AS VARCHAR) || '.' ||
+           CAST(event_id % 250 AS VARCHAR) AS src_ip,
+         n_name AS city_name,
+         'zone-' || CAST(event_id % 4 AS VARCHAR) AS zone_name,
+         'vendor-' || CAST((event_id % 10) % 3 AS VARCHAR) AS device_val
+         FROM events JOIN nation ON n_nationkey = user_id % 25
+         ORDER BY event_id""",
     "syslog_normalize" ->
       """SELECT event_id, CAST(event_id % 192 AS INT) AS pri,
          (['kern','user','mail','daemon','auth','syslog','lpr','news','uucp',

@@ -34,9 +34,10 @@ object Pipeline {
     * lazily on first use per JVM (mirrors the reference's per-worker
     * MultiParser setup amortization). */
   final class PipelineFn(wplSource: String, omlSources: Seq[String],
-                         bcDb: Broadcast[KnowDb], sourceTags: Map[String, String])
+                         bcDb: Broadcast[KnowDb], sourceTags: Map[String, String],
+                         enricher: Enricher = Enricher.empty)
       extends Serializable {
-    @transient private lazy val mp = Runtime.compile(wplSource)
+    @transient private lazy val mp = Runtime.compile(wplSource, enricher)
     @transient private lazy val models = omlSources.map(OmlText.parse)
     @transient private lazy val evals = models.map(new OmlEval(_, bcDb.value))
 

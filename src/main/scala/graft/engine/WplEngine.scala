@@ -55,10 +55,10 @@ object WplEngine {
     * `parse_wpl` Catalyst expression — a plain projection, so there is no
     * RDD hop and the surrounding operators keep whole-stage codegen. */
   def parseWith(df: DataFrame, lineCol: String, wplSource: String,
-                keep: Seq[String]): DataFrame = {
+                keep: Seq[String], enricher: Enricher = Enricher.empty): DataFrame = {
     import graft.functions.ParseWpl
     df.select((keep.map(col) :+
-        ParseWpl.parse_wpl(col(lineCol).cast("string"), wplSource).as("p")): _*)
+        ParseWpl.parse_wpl(col(lineCol).cast("string"), wplSource, enricher).as("p")): _*)
       .select((keep.map(col) :+ col("p.*")): _*)
   }
 

@@ -21,7 +21,8 @@ import graft.wpl._
   * shipping itself as a reference object (doGenCode below); the
   * per-thread MultiParser is cached so the adaptive rule ordering still
   * amortizes. */
-case class ParseWpl(child: Expression, wplSource: String) extends UnaryExpression {
+case class ParseWpl(child: Expression, wplSource: String,
+    enricher: graft.wpl.Enricher = graft.wpl.Enricher.empty) extends UnaryExpression {
 
   override def dataType: DataType = ParseWpl.outType
   // UnaryExpression's default eval is null-intolerant: a null input line
@@ -30,7 +31,7 @@ case class ParseWpl(child: Expression, wplSource: String) extends UnaryExpressio
 
   @transient private lazy val parserCache =
     new ThreadLocal[Runtime.MultiParser] {
-      override def initialValue(): Runtime.MultiParser = Runtime.compile(wplSource)
+      override def initialValue(): Runtime.MultiParser = Runtime.compile(wplSource, enricher)
     }
 
   /** Called from both interpreted eval and generated code. */
@@ -81,7 +82,8 @@ object ParseWpl {
       InternalRow(null, u("blank"), new GenericArrayData(Array.empty[Any]), null, 0, null)
   }
 
-  def parse_wpl(c: Column, wplSource: String): Column =
+  def parse_wpl(c: Column, wplSource: String,
+                enricher: graft.wpl.Enricher = graft.wpl.Enricher.empty): Column =
     org.apache.spark.sql.GraftExprBridge.column(
-      ParseWpl(org.apache.spark.sql.GraftExprBridge.expression(c), wplSource))
+      ParseWpl(org.apache.spark.sql.GraftExprBridge.expression(c), wplSource, enricher))
 }

@@ -24,7 +24,8 @@ import graft.oml.KnowDb
   * reordering and lazily-compiled OML evaluators amortized per executor
   * thread; KnowDb rides along as a broadcast. */
 case class PipeWpl(child: Expression, wplSource: String, omlSources: Seq[String],
-                   sourceTags: Map[String, String], bcDb: Broadcast[KnowDb])
+                   sourceTags: Map[String, String], bcDb: Broadcast[KnowDb],
+                   enricher: graft.wpl.Enricher = graft.wpl.Enricher.empty)
     extends UnaryExpression {
 
   override def dataType: DataType = PipeWpl.outType
@@ -33,7 +34,7 @@ case class PipeWpl(child: Expression, wplSource: String, omlSources: Seq[String]
   @transient private lazy val fnCache =
     new ThreadLocal[Pipeline.PipelineFn] {
       override def initialValue(): Pipeline.PipelineFn =
-        new Pipeline.PipelineFn(wplSource, omlSources, bcDb, sourceTags)
+        new Pipeline.PipelineFn(wplSource, omlSources, bcDb, sourceTags, enricher)
     }
 
   /** Called from both interpreted eval and generated code. */

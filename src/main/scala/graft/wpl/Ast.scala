@@ -20,7 +20,10 @@ final case class SubField(
     name: Option[String],
     fmt: Option[FieldFmt],
     sep: Option[Sep],
-    pipes: Vector[PipeAst])
+    pipes: Vector[PipeAst],
+    /** `+geo(city_name)` parse-time enrichment: (kind, outField) —
+      * reference fixture tests/json_test/rule.wpl:1. */
+    enrich: Option[(String, String)] = None)
 
 final case class WplField(
     repeat: Option[Int], // Some(0) = unbounded `*`, Some(n) = `n*`
@@ -84,6 +87,30 @@ object WplText {
 
   private def dedupeTags(ts: Vector[(String, String)]): Vector[(String, String)] =
     ts.reverse.distinctBy(_._1).reverse
+
+  /** Bare rule-conf format (reference tests/json_test/gen.conf +
+    * rule.wpl, rule_op.conf): one `name : (expr)sep` per line, optional
+    * `#...` end-of-line comments, no package wrapper. Keys become
+    * `<pkg>/<name>` with the given package prefix. */
+  def parseRuleConf(src: String, pkg: String = ""): Vector[WplRule] = {
+    // strip # comments (the conf format has no #[annotations])
+    val stripped = src.linesIterator.map { l =>
+      val h = l.indexOf('#')
+      if (h >= 0) l.substring(0, h) else l
+    }.mkString("\n")
+    val s = new TextCursor(stripped)
+    val rules = Vector.newBuilder[WplRule]
+    s.ws()
+    while (!s.atEnd) {
+      val name = s.takeWhile(c => VParser.isIdent(c) || c == '/')
+      if (name.isEmpty) throw new PErr("rule name expected", s.pos)
+      s.ws(); s.expectCh(':')
+      val (preprocs, groups) = parseExpress(s)
+      rules += WplRule(pkg, name, preprocs, groups, Vector.empty, None)
+      s.ws()
+    }
+    rules.result()
+  }
 
   /** `#[tag(k:"v", ...), copy_raw(name:"raw")]` */
   private def parseAnnotation(s: TextCursor): (Vector[(String, String)], Option[String]) = {
@@ -302,10 +329,24 @@ object WplText {
       s.pos += 1; s.ws()
       name = Some(s.takeWhile(c => VParser.isIdent(c)))
     }
+    // `+geo(city_name)` / `+zone(z)` / `+device(d)` parse-time enrichment
+    // (whitespace before `+` optional: `@dev-name+device(device_val)`)
+    var enrich: Option[(String, String)] = None
+    val mEnrich = s.pos
+    s.ws()
+    if (!s.atEnd && s.peek == '+') {
+      s.pos += 1; s.ws()
+      val kind = s.takeWhile(c => c.isLetterOrDigit || c == '_')
+      s.ws(); s.expectCh('('); s.ws()
+      val out = s.takeWhile(c => VParser.isIdent(c))
+      s.ws(); s.expectCh(')')
+      if (kind.isEmpty || out.isEmpty) throw new PErr("bad +enrich()", s.pos)
+      enrich = Some((kind, out))
+    } else s.pos = mEnrich
     val fmt = parseFmtOpt(s)
     val sep = parseSepOpt(s)
     val pipes = parsePipes(s)
-    SubField(opt, tn, symbolContent, refPath, name, fmt, sep, pipes)
+    SubField(opt, tn, symbolContent, refPath, name, fmt, sep, pipes, enrich)
   }
 
   private def parseFmtOpt(s: TextCursor): Option[FieldFmt] = {

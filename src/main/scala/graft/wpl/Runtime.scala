@@ -78,7 +78,7 @@ object Runtime {
   // Field evaluation
   // -------------------------------------------------------------------
 
-  final class FieldEval(f: WplField) extends Serializable {
+  final class FieldEval(f: WplField, enricher: Enricher = Enricher.empty) extends Serializable {
     val parser: VParser = parserFor(f.typeName, f.symbolContent)
     val autoName: String = f.name.getOrElse(f.typeName)
 
@@ -223,8 +223,16 @@ object Runtime {
                           case _ => cv.sval
                         }
                         val sub = new Cursor(inner)
-                        if (!new GroupEval(g).eval(sub, rec, Sep.Default)) ok = false
-                      case None => rec.add(outName, cv)
+                        if (!new GroupEval(g, enricher).eval(sub, rec, Sep.Default)) ok = false
+                      case None =>
+                        rec.add(outName, cv)
+                        // +geo()/+zone()/+device(): parse-time KnowDB
+                        // lookup emits an extra field; a lookup miss is
+                        // not a parse failure (tests/json_test/rule.wpl)
+                        sf.enrich.foreach { case (kind, out) =>
+                          val ev = enricher.lookup(kind, cv.sval)
+                          if (ev != null) rec.add(out, WChars(ev))
+                        }
                     }
                   case None => if (!sf.opt) ok = false
                 }
@@ -338,7 +346,7 @@ object Runtime {
             rec.fields.remove(rec.active)
             rec.active = rec.fields.length - 1
             val sub = new Cursor(stripped)
-            if (!new GroupEval(g).eval(sub, rec, Sep.Default)) return false
+            if (!new GroupEval(g, enricher).eval(sub, rec, Sep.Default)) return false
           case FunPipe(name, args) =>
             if (!evalFun(name, args, rec)) return false
         }
@@ -412,11 +420,11 @@ object Runtime {
   // Group evaluation (order.rs / alt.rs / opt.rs / some_of.rs / not.rs)
   // -------------------------------------------------------------------
 
-  final class GroupEval(g: WplGroup) extends Serializable {
+  final class GroupEval(g: WplGroup, enricher: Enricher = Enricher.empty) extends Serializable {
     // group-level [n] acts as the default length cap for member fields
     // (grammar: "length applies to all fields within the group")
     val fieldEvals: Vector[(WplField, FieldEval)] =
-      g.fields.map(f => (f, new FieldEval(f.copy(lenCap = f.lenCap.orElse(g.len)))))
+      g.fields.map(f => (f, new FieldEval(f.copy(lenCap = f.lenCap.orElse(g.len)), enricher)))
 
     // hot-loop views: parallel arrays, field sep pre-resolved (null =
     // inherit the group's effective sep), repeat as a primitive int
@@ -531,8 +539,8 @@ object Runtime {
   // Rule + multi-rule routing
   // -------------------------------------------------------------------
 
-  final class RuleEval(val rule: WplRule) extends Serializable {
-    private val groupEvals = rule.groups.map(new GroupEval(_))
+  final class RuleEval(val rule: WplRule, enricher: Enricher = Enricher.empty) extends Serializable {
+    private val groupEvals = rule.groups.map(new GroupEval(_, enricher))
 
     /** Whole-line preprocessing pipes (builtins/mod.rs:51-57). */
     private def preprocess(line: String): String = {
@@ -597,8 +605,8 @@ object Runtime {
 
   /** Multi-rule router with first-full-match semantics and adaptive
     * reordering (parser.rs:26-134). One instance per partition/thread. */
-  final class MultiParser(rules: Vector[WplRule]) extends Serializable {
-    private val evals: Array[RuleEval] = rules.map(new RuleEval(_)).toArray
+  final class MultiParser(rules: Vector[WplRule], enricher: Enricher = Enricher.empty) extends Serializable {
+    private val evals: Array[RuleEval] = rules.map(new RuleEval(_, enricher)).toArray
     private val order: Array[Int] = Array.tabulate(evals.length)(identity)
     private val hits: Array[Long] = new Array[Long](evals.length)
     private var sinceOptimize = 0
@@ -648,5 +656,14 @@ object Runtime {
     }
   }
 
-  def compile(src: String): MultiParser = new MultiParser(WplText.parsePackages(src))
+  def compile(src: String, enricher: Enricher = Enricher.empty): MultiParser =
+    new MultiParser(parseAny(src), enricher)
+
+  /** Accept both package-wrapped WPL and the bare rule-conf format
+    * (gen.conf / rule.wpl fixtures start with `name :`). */
+  def parseAny(src: String): Vector[WplRule] = {
+    val t = src.dropWhile(_.isWhitespace)
+    if (t.startsWith("package") || t.startsWith("#[")) WplText.parsePackages(src)
+    else WplText.parseRuleConf(src)
+  }
 }
