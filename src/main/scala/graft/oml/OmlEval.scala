@@ -491,47 +491,3 @@ object OmlPipes {
     case _ => None
   }
 }
-
-/** Tokenizer-based keyword extraction — the reference wraps jieba + a
-  * semantic dictionary (extract_word.rs). Dependency-free equivalent:
-  * longest non-stopword token as main word; verb/status word lists drive
-  * the subject-action-object heuristic. Dictionary extensible via
-  * `setDictionary` (reference: SEMANTIC_DICT_CONFIG TOML). */
-object ExtractWords {
-  @volatile private var actionVerbs: Set[String] =
-    Set("start", "stop", "create", "delete", "modify", "login", "logout",
-        "connect", "disconnect", "fail", "failed", "denied", "permit",
-        "accept", "reject", "update", "read", "write")
-  @volatile private var statusWords: Set[String] =
-    Set("success", "failure", "error", "ok", "timeout", "up", "down",
-        "online", "offline", "active", "inactive")
-
-  def setDictionary(verbs: Set[String], statuses: Set[String], replace: Boolean): Unit = {
-    if (replace) { actionVerbs = verbs; statusWords = statuses }
-    else { actionVerbs = actionVerbs ++ verbs; statusWords = statusWords ++ statuses }
-  }
-
-  private def tokens(s: String): Array[String] =
-    s.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
-
-  def mainWord(s: String): String = {
-    val ts = tokens(s)
-    val candidates = ts.filterNot(t => actionVerbs.contains(t) || statusWords.contains(t))
-    if (candidates.isEmpty) ts.headOption.getOrElse("")
-    else candidates.maxBy(t => (t.length, -ts.indexOf(t)))
-  }
-
-  def subjectObject(s: String): WObj = {
-    val ts = tokens(s)
-    val actionIdx = ts.indexWhere(actionVerbs.contains)
-    val status = ts.find(statusWords.contains).getOrElse("")
-    val action = if (actionIdx >= 0) ts(actionIdx) else ""
-    val subject = if (actionIdx > 0) ts(actionIdx - 1) else ts.headOption.getOrElse("")
-    val obj = if (actionIdx >= 0 && actionIdx + 1 < ts.length) ts(actionIdx + 1) else ""
-    val confidence = (if (action.nonEmpty) 0.5 else 0.0) + (if (status.nonEmpty) 0.3 else 0.0) +
-      (if (subject.nonEmpty) 0.2 else 0.0)
-    WObj(Vector("subject" -> WChars(subject), "action" -> WChars(action),
-      "object" -> WChars(obj), "status" -> WChars(status),
-      "confidence" -> WFloat(math.round(confidence * 10).toDouble / 10)))
-  }
-}

@@ -206,12 +206,12 @@ class OmlSpec extends AnyFunSuite {
 
   test("extract_main_word and extract_subject_object") {
     assert(ExtractWords.mainWord("user login failed") == "user")
-    val so = ExtractWords.subjectObject("admin delete database error")
+    val so = ExtractWords.subjectObject("admin delete database failed")
     val m = so.fields.toMap
     assert(m("subject") == WChars("admin"))
     assert(m("action") == WChars("delete"))
     assert(m("object") == WChars("database"))
-    assert(m("status") == WChars("error"))
+    assert(m("status") == WChars("failed"))
   }
 
   test("privacy section masks declared fields") {

@@ -1,0 +1,137 @@
+package graft.oml
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.wpl._
+
+/** Golden tests for extract_main_word / extract_subject_object with CJK
+  * segmentation + the semantic dictionary — sentences and expectations
+  * from the reference's inline tests
+  * (crates/wp-oml/.../pipe/extract_word.rs test_extract_main_word,
+  * test_extract_main_word_english, test_extract_subject_object) and the
+  * TOML loader contract (semantic_dict_loader.rs:92-128, 339-446). */
+class SemanticSpec extends AnyFunSuite {
+
+  private def so(s: String): Map[String, String] =
+    ExtractWords.subjectObject(s).fields.toMap.view.mapValues(_.sval).toMap
+
+  test("extract_main_word: reference english expectations") {
+    assert(ExtractWords.mainWord("hello world test") == "hello") // X1
+    assert(ExtractWords.mainWord("  single  ") == "single")      // X2
+    assert(ExtractWords.mainWord("") == "")                      // X3
+    assert(ExtractWords.mainWord("The server is running") == "server") // R2 exact
+    // Z1/Z2: must be one of the domain words on the line
+    assert(Set("error", "connection", "timeout")(
+      ExtractWords.mainWord("error: connection timeout")))
+    assert(Set("database", "connection", "failed")(
+      ExtractWords.mainWord("database connection failed")))
+    // only stopwords → empty
+    assert(ExtractWords.mainWord("the a an is") == "")           // E9
+  }
+
+  test("extract_main_word: chinese sentences segment and extract") {
+    // reference asserts non-empty for the CJK cases
+    assert(ExtractWords.mainWord("我们中出了一个叛徒").nonEmpty)   // B1
+    assert(ExtractWords.mainWord("中文分词测试").nonEmpty)         // B2
+    assert(ExtractWords.mainWord("今天天气很好").nonEmpty)         // B3
+    assert(ExtractWords.mainWord("用户登录失败异常").nonEmpty)     // C3
+    assert(ExtractWords.mainWord("HTTP请求超时").nonEmpty)        // D1
+    // 全停用词 (D2): every token is a stopword once segmented…
+    // our FMM coalesces 的是在了不 into dict stopword hits
+    assert(ExtractWords.mainWord("的是在了不") == "")
+  }
+
+  test("extract_subject_object: reference english expectations (exact)") {
+    // M1
+    val m1 = so("database connection failed")
+    assert(m1("subject") == "database" && m1("status") == "failed")
+    // M2
+    val m2 = so("User authentication failed")
+    assert(m2("subject") == "User" && m2("status") == "failed")
+    // M3
+    val m3 = so("Failed to connect database")
+    assert(m3("subject") == "database" && m3("action") == "connect" && m3("status") == "Failed")
+    // M4
+    val m4 = so("Server failed to connect database")
+    assert(m4("subject") == "Server" && m4("action") == "connect" &&
+      m4("object") == "database" && m4("status") == "failed")
+    // M5
+    val m5 = so("Request processing timeout")
+    assert(m5("subject") == "Request" && m5("action") == "processing" && m5("status") == "timeout")
+  }
+
+  test("extract_subject_object: chinese sentences (reference M6-M9)") {
+    // M6 数据库连接失败 → FMM: 数据库(OOV entity) 连接(action) 失败(status)
+    val m6 = so("数据库连接失败")
+    assert(m6("subject") == "数据库" && m6("action") == "连接" && m6("status") == "失败")
+    // M7 用户登录失败
+    val m7 = so("用户登录失败")
+    assert(m7("subject") == "用户" && m7("action") == "登录" && m7("status") == "失败")
+    // M8 服务器连接数据库超时 → object after action
+    val m8 = so("服务器连接数据库超时")
+    assert(m8("subject") == "服务器" && m8("action") == "连接" &&
+      m8("object") == "数据库" && m8("status") == "超时")
+    // M9 HTTP请求超时 (mixed)
+    val m9 = so("HTTP请求超时")
+    assert(m9("subject") == "HTTP" && m9("action") == "请求" && m9("status") == "超时")
+  }
+
+  test("semantic dict TOML: add mode extends, replace mode replaces") {
+    val addConf = SemanticDict.parseToml(
+      """version = 1
+        |mode = "add"
+        |[status_words]
+        |english = ["borked"]
+        |chinese = ["完蛋"]
+        |[domain_words]
+        |storage = ["ceph", "s3bucket"]
+        |""".stripMargin)
+    val added = SemanticDict.merge(SemanticDict.builtin, addConf)
+    assert(added.statusWords.contains("borked") && added.statusWords.contains("failed"))
+    assert(added.domainWords.contains("ceph") && added.domainWords.contains("error"))
+
+    val repConf = SemanticDict.parseToml(
+      """version = 1
+        |mode = "replace"
+        |[status_words]
+        |english = ["borked"]
+        |""".stripMargin)
+    val replaced = SemanticDict.merge(SemanticDict.builtin, repConf)
+    assert(replaced.statusWords == Set("borked"))
+    assert(replaced.domainWords.contains("error")) // untouched section kept
+  }
+
+  test("semantic dict TOML: version gate and env-loaded dict drive the pipes") {
+    intercept[IllegalArgumentException] {
+      SemanticDict.parseToml("version = 2\n")
+    }
+    // programmatic dict swap changes classification (the env path uses
+    // the same merge; SEMANTIC_DICT_CONFIG is read at class init)
+    val d = SemanticDict.merge(SemanticDict.builtin, SemanticDict.parseToml(
+      """version = 1
+        |mode = "add"
+        |[status_words]
+        |english = ["kaput"]
+        |""".stripMargin))
+    SemanticDict.setDict(d)
+    try {
+      val m = so("server went kaput")
+      assert(m("status") == "kaput")
+    } finally SemanticDict.reset()
+  }
+
+  test("extract pipes work end-to-end through an OML model") {
+    val oml =
+      """name : kw
+        ---
+        main = read(msg) | extract_main_word ;
+        sao = read(msg) | extract_subject_object ;
+      """
+    val model = OmlText.parse(oml)
+    val out = new OmlEval(model).transform(Vector(
+      WField("msg", WChars("服务器连接数据库超时")))).get
+    val m = out.map(f => f.name -> f.value).toMap
+    assert(m("main").sval == "服务器")
+    val sao = m("sao").asInstanceOf[WObj].fields.toMap
+    assert(sao("subject") == WChars("服务器") && sao("object") == WChars("数据库"))
+  }
+}
