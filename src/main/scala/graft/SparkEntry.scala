@@ -527,10 +527,9 @@ object SparkEntry {
     import graft.engine.Pipeline
     import graft.oml.KnowDb
     val nation = t(s, dir, "nation")
-    val db = new KnowDb(Map(KnowDb.fromRows("nation",
-      nation.schema.fieldNames.toVector,
-      nation.collect().toVector.map(r =>
-        r.toSeq.map(v => if (v == null) "" else v.toString).toVector))))
+    // guardrailed driver-side dim build (KnowDb.fromDim throws past 8 MB,
+    // pointing at the SqlEnrichJoin broadcast path)
+    val db = new KnowDb(Map(KnowDb.fromDim("nation", nation)))
     val c = t(s, dir, "customer")
     val lines = c.select(col("c_custkey"),
       concat(lit("ckey="), col("c_custkey"), lit(" nkey="), col("c_nationkey")).as("line"))
@@ -549,6 +548,25 @@ object SparkEntry {
       .orderBy(col("c_custkey"))
   }
 
+  /** The same enrich compiled to a real BroadcastHashJoin — the scale
+    * path for dims past the KnowDb driver guardrail (SURVEY §7.4): the
+    * dim stays distributed, Catalyst broadcasts it, zero driver collect. */
+  private def qOmlSqlEnrichJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.oml.SqlEnrichJoin
+    val nation = t(s, dir, "nation")
+    val c = t(s, dir, "customer")
+    val lines = c.select(col("c_custkey"),
+      concat(lit("ckey="), col("c_custkey"), lit(" nkey="), col("c_nationkey")).as("line"))
+    val parsed = WplEngine.parseWith(lines, "line",
+      "package /c { rule r { (kvarr) } }", Seq("c_custkey"))
+    val withKey = WplEngine.successes(parsed)
+      .select(col("c_custkey"), WplEngine.extractLong("nkey").as("nkey"))
+    SqlEnrichJoin.enrich(withKey, col("nkey"), nation, "n_nationkey",
+      Seq("n_name" -> "n_name"))
+      .select(col("c_custkey"), col("n_name"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** IP-range lookup: custom codegen expression ip4_to_int + broadcast
     * sorted-array binary search (reference ip_geo KnowDB pattern). */
   private def qIpRange(s: SparkSession, dir: String): DataFrame = {
@@ -564,7 +582,9 @@ object SparkEntry {
       .withColumn("ip", concat(lit("10."), col("c_nationkey"), lit("."),
         col("c_custkey") % 256, lit(".1")))
       .withColumn("ip_int", ip4_to_int(col("ip")))
-    RangeLookup.lookup(c, col("ip_int"), sorted, "zone")
+    // whole-operator path: RangeLookupJoin LogicalPlan -> Strategy ->
+    // RangeLookupExec (the custom-plan route CORRECTNESS exercises)
+    RangeLookup.lookupPlanned(c, col("ip_int"), sorted, "zone")
       .select(col("c_custkey"), col("ip"), col("ip_int"), col("zone"))
       .orderBy(col("c_custkey"))
   }
@@ -590,6 +610,7 @@ object SparkEntry {
     "oml_transform" -> (qOmlTransform _),
     "oml_objects" -> (qOmlObjects _),
     "oml_sql_enrich" -> (qOmlSqlEnrich _),
+    "oml_sql_enrich_join" -> (qOmlSqlEnrichJoin _),
     "wpl_nginx_parse" -> (qWplNginx _),
     "wpl_kvarr_parse" -> (qWplKvarr _),
     "wpl_json_parse" -> (qWplJson _),
@@ -670,6 +691,10 @@ object SparkEntry {
          to_json([event_id, CAST(props->>'$.k' AS BIGINT)]) AS pair
          FROM events ORDER BY event_id""",
     "oml_sql_enrich" ->
+      """SELECT c_custkey, n_name FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         ORDER BY c_custkey""",
+    "oml_sql_enrich_join" ->
       """SELECT c_custkey, n_name FROM customer
          JOIN nation ON c_nationkey = n_nationkey
          ORDER BY c_custkey""",

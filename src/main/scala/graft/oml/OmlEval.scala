@@ -48,6 +48,33 @@ object KnowDb {
   def fromRows(name: String, columns: Vector[String], rows: Vector[Vector[String]]): (String, Table) =
     name -> Table(columns, rows)
 
+  /** Driver-side collect guardrail: a KnowDb dim is per-record-probed
+    * state that lives on the driver and in every task binary — at 100x
+    * scale a fat "dim" OOMs the driver. Dims beyond this must go through
+    * [[SqlEnrichJoin]] (a real BroadcastHashJoin) instead. */
+  val DefaultMaxBytes: Long = 8L * 1024 * 1024
+
+  /** Build a KnowDb table from a Spark dimension with the size guardrail
+    * applied BEFORE and after the collect (plan-stats estimate first, so
+    * an over-sized dim never reaches the driver; exact chars after). */
+  def fromDim(name: String, df: org.apache.spark.sql.DataFrame,
+              maxBytes: Long = DefaultMaxBytes): (String, Table) = {
+    def tooBig(n: Long): Nothing = throw new IllegalArgumentException(
+      s"KnowDb dim '$name' is ~$n bytes — over the $maxBytes-byte driver guardrail; " +
+        "compile this enrich to a broadcast join (graft.oml.SqlEnrichJoin) instead")
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est.isValidLong && est.toLong > maxBytes * 4) tooBig(est.toLong)
+    val cols = df.schema.fieldNames.toVector
+    var bytes = 0L
+    val rows = df.collect().iterator.map { r =>
+      val v = r.toSeq.map(x => if (x == null) "" else x.toString).toVector
+      bytes += v.iterator.map(_.length.toLong * 2 + 40).sum
+      if (bytes > maxBytes) tooBig(bytes)
+      v
+    }.toVector
+    name -> Table(cols, rows)
+  }
+
   val empty = new KnowDb(Map.empty)
 }
 

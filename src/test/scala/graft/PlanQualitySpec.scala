@@ -48,6 +48,29 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
   }
 
+  test("ip_range_lookup query runs through RangeLookupExec") {
+    val p = plan("ip_range_lookup")
+    assert(p.contains("RangeLookup"), p.take(800))
+  }
+
+  test("join-compiled OML enrich is a BroadcastHashJoin, no driver collect") {
+    val p = plan("oml_sql_enrich_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("KnowDb.fromDim guardrail rejects over-sized dims") {
+    import graft.oml.KnowDb
+    val big = spark.range(0, 200000).selectExpr("id", "repeat('x', 100) AS pad")
+    val e = intercept[IllegalArgumentException] {
+      KnowDb.fromDim("big", big, maxBytes = 64 * 1024)
+    }
+    assert(e.getMessage.contains("guardrail") && e.getMessage.contains("SqlEnrichJoin"))
+    // small dim passes
+    val (_, tbl) = KnowDb.fromDim("small", spark.range(0, 10).selectExpr("id"))
+    assert(tbl.rows.size == 10)
+  }
+
   test("dedup operators plan without nested-loop joins") {
     for (q <- Seq("dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard")) {
       val p = plan(q)
