@@ -56,16 +56,59 @@ object Cli {
       main(Array("wparse", "batch", rescueDir, out, wpl) ++ omls)
     case "wproj" :: "check" :: wpl :: omls =>
       // config validation: parse everything, report rule/model inventory
-      val rules = graft.wpl.WplText.parsePackages(read(wpl))
+      val rules = graft.wpl.Runtime.parseAny(read(wpl))
       println(s"wpl: ${rules.size} rules: ${rules.map(_.key).mkString(", ")}")
       omls.foreach { p =>
         val m = graft.oml.OmlText.parse(read(p))
         println(s"oml: ${m.name} rules=${m.rules.mkString(",")} items=${m.items.size}")
       }
+    case "wproj" :: "stat" :: out :: expects =>
+      if (wprojStat(out, expects) > 0) sys.exit(1)
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
       System.err.println("usage: wparse batch|daemon, wpgen rule, wprescue batch, wproj check")
       sys.exit(2)
+  }
+
+  /** Count-expectation validation over real batch outputs (reference
+    * `wproj data stat` / sink-group expect blocks, 03-sinks.md:19-26):
+    *   wproj stat <outDir> [channel=ratio:R[:tol]] [channel=min:N]
+    *   [channel=max:N] ...   (basis = sum of all channel counts)
+    * Returns the number of violated expectations. */
+  def wprojStat(out: String, expects: List[String]): Int = {
+    val channels = Seq("main", "miss", "residue", "error", "intercept")
+    def countLines(dir: java.io.File): Long = {
+      val parts = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("part") && !f.getName.endsWith(".crc"))
+      parts.iterator.map { f =>
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        try src.getLines().size.toLong finally src.close()
+      }.sum
+    }
+    val counts: Map[String, Long] = channels.map { c =>
+      c -> countLines(new java.io.File(s"$out/$c"))
+    }.toMap
+    val basis = counts.values.sum
+    println(s"stat: total=$basis " +
+      channels.map(c => s"$c=${counts(c)}").mkString(" "))
+    var violations = 0
+    expects.foreach { spec =>
+      val Array(channel, rule) = spec.split("=", 2)
+      val parts = rule.split(":")
+      val e = parts(0) match {
+        case "ratio" => SinkRouter.Expect(ratio = Some(parts(1).toDouble),
+          tol = if (parts.length > 2) parts(2).toDouble else 0.05)
+        case "min" => SinkRouter.Expect(min = Some(parts(1).toLong))
+        case "max" => SinkRouter.Expect(max = Some(parts(1).toLong))
+        case other => throw new IllegalArgumentException(s"unknown expect: $other")
+      }
+      val n = counts.getOrElse(channel, 0L)
+      val ok = SinkRouter.validateExpect(n, basis, e)
+      println(s"expect $channel $rule: " +
+        (if (ok) "OK" else s"VIOLATION (count=$n basis=$basis)"))
+      if (!ok) violations += 1
+    }
+    violations
   }
 
   private def writeChannels(parsed: DataFrame, out: String): Unit = {

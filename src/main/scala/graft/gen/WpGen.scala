@@ -36,18 +36,28 @@ object WpGen {
     case OneOf(vs) => vs(rnd.nextInt(vs.size))
   }
 
-  /** Generate one line for a rule (seq groups only — generation for
-    * alt picks the first member, opt always emits, matching the
-    * reference's CompiledRule behaviour of generating the canonical
-    * form). */
+  /** Generate one line for a rule, covering every combinator the parser
+    * side has (reference precompile.rs:10-36 — every parser implements
+    * `generate`; the combinator sampling here widens the round-trip
+    * oracle to alt/opt/some_of shapes):
+    *  - seq: every member, in order
+    *  - alt: ONE member, sampled uniformly (not always the first branch)
+    *  - opt: include the body with p=1/2
+    *  - some_of: 1..2·|members| rounds, a random member each round
+    *  - not: generates nothing (negative lookahead has no surface text)
+    */
   def genLine(rule: WplRule, rnd: SplittableRandom,
               conf: Map[String, FieldConf] = Map.empty): String = {
     val sb = new StringBuilder
     for (g <- rule.groups) {
       val gSep = sepText(g.sep.getOrElse(Sep.Default))
       var first = sb.isEmpty
-      val fields = g.meta match {
-        case "alt" => g.fields.take(1)
+      val fields: Vector[WplField] = g.meta match {
+        case "alt" => Vector(g.fields(rnd.nextInt(g.fields.length)))
+        case "opt" => if (rnd.nextBoolean()) g.fields else Vector.empty
+        case "some_of" =>
+          val rounds = 1 + rnd.nextInt(2 * g.fields.length)
+          Vector.fill(rounds)(g.fields(rnd.nextInt(g.fields.length)))
         case "not" => Vector.empty
         case _ => g.fields
       }
@@ -138,11 +148,14 @@ object WpGen {
   def fromSample(spark: SparkSession, lines: Dataset[String], n: Long,
                  seed: Long = 42L): Dataset[String] = {
     import spark.implicits._
-    val pool = lines.collect()
+    // broadcast the pool: shipped once per executor, not serialized into
+    // every task closure (sample pools are small by convention, but the
+    // closure copy multiplies by task count)
+    val pool = spark.sparkContext.broadcast(lines.collect())
     spark.range(n).mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
       val rnd = new SplittableRandom(seed + pid)
-      it.map(_ => pool(rnd.nextInt(pool.length)))
+      it.map(_ => pool.value(rnd.nextInt(pool.value.length)))
     }
   }
 }

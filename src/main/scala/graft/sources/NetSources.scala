@@ -113,6 +113,23 @@ class SyslogUdpSourceProvider extends TableProvider
       props.getOrDefault("port", "5141").toInt), properties)
 }
 
+/** Dedicated syslog-over-TCP source (reference src/sources/syslog/
+  * tcp_source.rs): RFC6587 auto framing (octet-count vs LF detected per
+  * buffer) like graft-tcp, plus syslog transport edge cases — trailing
+  * NUL terminators (RFC6587 §3.4.2 legacy senders) and CR remnants are
+  * stripped from each frame. Default port 6514. */
+class SyslogTcpSourceProvider extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-syslog-tcp"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = NetSources.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new NetTable("graft-syslog-tcp", props => new TcpStream(
+      props.getOrDefault("port", "6514").toInt,
+      props.getOrDefault("framing", "auto"),
+      trimFrames = true), properties)
+}
+
 class NetTable(sourceName: String,
                mkStream: util.Map[String, String] => MicroBatchStream,
                properties: util.Map[String, String])
@@ -133,7 +150,8 @@ class NetTable(sourceName: String,
 
 /** TCP listener stream: accept loop + per-connection reader threads feed
   * the frame buffer through `Framing.split`. */
-class TcpStream(port: Int, framingMode: String) extends MicroBatchStream {
+class TcpStream(port: Int, framingMode: String,
+                trimFrames: Boolean = false) extends MicroBatchStream {
   import NetSources._
 
   private val buf = new FrameBuffer
@@ -146,6 +164,16 @@ class TcpStream(port: Int, framingMode: String) extends MicroBatchStream {
     case "len" => Framing.Len
     case _ => Framing.Auto
   }
+
+  /** syslog transport hygiene: legacy senders NUL-terminate frames and
+    * CRLF remnants survive LF framing (tcp_source.rs edge cases). */
+  private def trim(f: String): String =
+    if (!trimFrames) f
+    else {
+      var end = f.length
+      while (end > 0 && { val c = f.charAt(end - 1); c == '\u0000' || c == '\r' || c == '\n' }) end -= 1
+      if (end == f.length) f else f.substring(0, end)
+    }
 
   private def ensureStarted(): Unit = synchronized {
     if (server == null) {
@@ -163,13 +191,13 @@ class TcpStream(port: Int, framingMode: String) extends MicroBatchStream {
               while (n >= 0) {
                 pending = pending ++ chunk.take(n)
                 val (frames, rest) = Framing.split(pending, mode)
-                frames.foreach(f => buf.append(Frame(f, clientIp)))
+                frames.foreach(f => buf.append(Frame(trim(f), clientIp)))
                 pending = rest
                 n = in.read(chunk)
               }
               // flush a trailing unterminated line on close
               if (pending.nonEmpty && mode != Framing.Len)
-                buf.append(Frame(new String(pending, "UTF-8"), clientIp))
+                buf.append(Frame(trim(new String(pending, "UTF-8")), clientIp))
               sock.close()
             }, s"graft-tcp-conn-$clientIp").start()
           }

@@ -110,6 +110,31 @@ class NetSourcesSpec extends AnyFunSuite {
     } finally stream.stop()
   }
 
+  test("graft-syslog-tcp source: NUL-terminated + CRLF frames normalized") {
+    val port = freePort()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-systcp-ck").toString
+    val df = spark.readStream.format("graft-syslog-tcp")
+      .option("port", port.toString).load()
+    val q = df.writeStream.format("memory").queryName("systcp_out")
+      .option("checkpointLocation", ckpt).start()
+    Thread.sleep(1500)
+    val sock = new java.net.Socket("127.0.0.1", port)
+    // legacy sender: NUL-terminated frame, CRLF line ending, plain LF
+    sock.getOutputStream.write("<34>Oct 11 22:14:15 h app: one\u0000\n".getBytes)
+    sock.getOutputStream.write("<34>Oct 11 22:14:16 h app: two\r\n".getBytes)
+    sock.getOutputStream.write("<34>Oct 11 22:14:17 h app: three\n".getBytes)
+    sock.getOutputStream.flush()
+    sock.close()
+    Thread.sleep(500)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("systcp_out").collect().map(_.getString(0)).toSet
+    assert(got == Set(
+      "<34>Oct 11 22:14:15 h app: one",
+      "<34>Oct 11 22:14:16 h app: two",
+      "<34>Oct 11 22:14:17 h app: three"))
+  }
+
   test("graft-syslog-udp source receives datagrams") {
     val port = freePort()
     val ckpt = java.nio.file.Files.createTempDirectory("graft-udp-ck").toString

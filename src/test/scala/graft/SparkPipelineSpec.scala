@@ -89,6 +89,35 @@ class SparkPipelineSpec extends AnyFunSuite {
     assert(main == 2 && miss == 1)
   }
 
+  test("wproj stat: count expectations validate real batch outputs") {
+    val in = java.nio.file.Files.createTempDirectory("graft-stat-in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-stat-out").toString
+    val wplFile = s"$in/rules.wpl"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/data.log"),
+      "user=alice st=200\nuser=bob st=404\n&&& nope &&&  ^^^\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(wplFile), wpl)
+    graft.cli.Cli.main(Array("wparse", "batch", s"$in/data.log", out, wplFile))
+    // 2 main + 1 miss: ratio(main)=2/3, miss<=1 → OK
+    assert(graft.cli.Cli.wprojStat(out,
+      List("main=ratio:0.667:0.05", "miss=max:1", "main=min:2")) == 0)
+    // violated: main ratio far off + miss must be zero
+    assert(graft.cli.Cli.wprojStat(out,
+      List("main=ratio:0.95:0.01", "miss=max:0")) == 2)
+  }
+
+  test("kafka sink wrapper formats fields into the (key, value) schema") {
+    import spark.implicits._
+    import graft.sinks.KafkaSink
+    val df = Seq("user=a st=200", "user=b st=404").toDF("line")
+    val parsed = Pipeline.run(df, "line", wpl, Seq(oml))
+    val prepped = KafkaSink.prepare(parsed.filter(col("status") === "ok"),
+      fmt = "kv", keyExpr = Some(col("rule_key")))
+    assert(prepped.columns.toSeq == Seq("key", "value"))
+    val rows = prepped.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows.forall(_._1 == "/t/kv"))
+    assert(rows.map(_._2) == Set("user=a st=200", "user=b st=404"))
+  }
+
   test("parse_wpl expression + SQL registration via extensions") {
     import spark.implicits._
     import graft.functions.ParseWpl

@@ -35,6 +35,34 @@ object RoundTripPropSpec extends Properties("wpl-roundtrip") {
       }
     }
 
+  // alt/opt/some_of combinator round-trip (reference precompile.rs
+  // generates through every parser; branch sampling covers every shape)
+  private val comboRuleGen: Gen[String] = for {
+    n <- Gen.choose(1, 3)
+    seqTypes <- Gen.listOfN(n, Gen.oneOf(fieldTypes))
+    altTypes <- Gen.pick(2, Seq("ip", "sn", "bool", "time"))
+    someTypes <- Gen.pick(2, Seq("ip", "sn"))
+  } yield {
+    val seqF = seqTypes.zipWithIndex.map { case (t, i) => s"$t:s$i" }.mkString(",")
+    val altF = altTypes.zipWithIndex.map { case (t, i) => s"$t:a$i" }.mkString(",")
+    val someF = someTypes.zipWithIndex.map { case (t, i) => s"$t:m$i" }.mkString(",")
+    s"""package /prop { rule r { ($seqF)\\,,alt($altF)\\,,opt(digit:o0)\\,,some_of($someF)\\, } }"""
+  }
+
+  property("alt/opt/some_of rules: sampled branches always parse back") =
+    Prop.forAll(comboRuleGen, Gen.choose(0L, Long.MaxValue)) { (wpl: String, seed: Long) =>
+      val rule = WplText.parsePackages(wpl).head
+      val mp = new Runtime.MultiParser(Vector(rule))
+      val rnd = new java.util.SplittableRandom(seed)
+      (0 until 20).forall { _ =>
+        val line = WpGen.genLine(rule, rnd)
+        mp.parseLine(line) match {
+          case PSuccess(k, _) => k == "/prop/r"
+          case _ => false
+        }
+      }
+    }
+
   private val kvGen: Gen[Map[String, String]] = Gen.nonEmptyMap(for {
     k <- Gen.identifier.map(_.take(8)).suchThat(_.nonEmpty)
     v <- Gen.alphaNumStr.map(_.take(12)).suchThat(_.nonEmpty)
