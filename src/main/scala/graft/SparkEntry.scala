@@ -323,6 +323,31 @@ object SparkEntry {
       .limit(10)
   }
 
+  /** IVF with a REAL centroid build: distributed Lloyd k-means (k=4,
+    * 3 iters, deterministic first-k-by-id init), then cell-pruned search
+    * probing the 2 cells nearest the query. Approximate by design (the
+    * synthetic embeddings are unclustered, so no pruned search is exact
+    * on them) — recall and convergence are pinned by SimilaritySpec; the
+    * driver records a rows-only check like the other engine-internal ANN
+    * variants. */
+  private def qAnnIvfKmeans(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val cents = Similarity.kmeansCentroids(e, "embedding", "vec_id", k = 4, iters = 3)
+    val q = e.filter(col("vec_id") === 2).select(col("embedding")).head()
+      .getSeq[Float](0).map(_.toDouble)
+    val assigned = Similarity.ivfAssign(e, "embedding", cents)
+    // probe the 2 cells nearest to the query
+    val probeCells = cents.zipWithIndex.map { case (c, i) =>
+      (c.zip(q).map { case (x, y) => (x - y) * (x - y) }.sum, i)
+    }.sorted.take(2).map(_._2)
+    assigned.filter(col("ivf_cell").isin(probeCells: _*))
+      .select(col("vec_id"),
+        round(Similarity.cosine(col("embedding"),
+          array(q.map(lit): _*)), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
   private def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val q = e.filter(col("vec_id") === 0).select(col("embedding")).head()
@@ -646,6 +671,7 @@ object SparkEntry {
     "doc_fingerprint" -> (qFingerprint _),
     "ann_cosine_topk" -> (qAnnTopk _),
     "ann_ivf_topk" -> (qAnnIvf _),
+    "ann_ivf_kmeans_topk" -> (qAnnIvfKmeans _),
     "ann_lsh_topk" -> (qAnnLsh _)
   )
 

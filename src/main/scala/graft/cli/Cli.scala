@@ -115,7 +115,11 @@ object Cli {
     val fmtUdf = udf((fs: Seq[org.apache.spark.sql.Row]) =>
       Formatters.json(fs.map(r => graft.wpl.WField(r.getString(0),
         graft.wpl.WChars(r.getString(2)))).toVector))
-    parsed.filter(col("status") === "ok" || col("status") === "default")
+    // Partial parses carry their record to the sink AND their residue to
+    // the residue channel (reference ProcessResult::Partial), so
+    // residue-only records belong in main too.
+    parsed.filter(col("status") === "ok" || col("status") === "default" ||
+        col("status") === "residue-only")
       .select(fmtUdf(col("fields")).as("value"))
       .write.mode("overwrite").text(s"$out/main")
     parsed.filter(col("status") === "miss")

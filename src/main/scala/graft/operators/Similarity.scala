@@ -105,6 +105,43 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** Distributed Lloyd k-means over the embedding column — the real IVF
+    * centroid build (deterministic: first-k-by-id init, fixed iteration
+    * count; every step is a Spark aggregation, nothing but the k
+    * centroids ever reaches the driver). Empty cells keep their previous
+    * centroid. */
+  def kmeansCentroids(df0: DataFrame, vecCol: String, idCol: String,
+                      k: Int, iters: Int): Seq[Seq[Double]] = {
+    // cache the (id, vec) projection: every Lloyd iteration re-reads it
+    val df = df0.select(col(idCol), col(vecCol)).persist()
+    try kmeansLoop(df, vecCol, idCol, k, iters)
+    finally df.unpersist()
+  }
+
+  private def kmeansLoop(df: DataFrame, vecCol: String, idCol: String,
+                         k: Int, iters: Int): Seq[Seq[Double]] = {
+    var cents: Seq[Seq[Double]] = df.orderBy(col(idCol)).limit(k)
+      .select(asDouble(col(vecCol)).as("v")).collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+    var it = 0
+    while (it < iters) {
+      // per-cell elementwise mean: posexplode → (cell, pos) partial avg →
+      // re-assemble ordered arrays (map-side combine keeps shuffle tiny:
+      // k·dim rows)
+      val newC = ivfAssign(df, vecCol, cents)
+        .select(col("ivf_cell"), posexplode(asDouble(col(vecCol))).as(Seq("pos", "x")))
+        .groupBy(col("ivf_cell"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("ivf_cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          p => p.getField("m")).as("c"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+      cents = cents.indices.map(i => newC.getOrElse(i, cents(i)))
+      it += 1
+    }
+    cents
+  }
+
   /** IVF-style coarse quantization: assign each vector to the nearest of
     * `centroids` (broadcast as literals), enabling partition-pruned search
     * when written `partitionBy("ivf_cell")`. */

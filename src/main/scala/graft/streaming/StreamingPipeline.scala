@@ -41,7 +41,10 @@ object StreamingPipeline {
         val parsed = Pipeline.run(batch, lineCol, cfg.wplSource, cfg.omlSources,
           knowDb = cfg.knowDb).persist()
         try {
-          val ok = parsed.filter(col("status") === "ok" || col("status") === "default")
+          // residue-only = Partial without a model: the record still flows
+          // to the business sinks (reference ProcessResult::Partial)
+          val ok = parsed.filter(col("status") === "ok" || col("status") === "default" ||
+            col("status") === "residue-only")
           for ((name, (business, intercept)) <- SinkRouter.fanout(ok, cfg.sinks)) {
             writeSink(name, "business", business)
             writeSink(name, "intercept", intercept)

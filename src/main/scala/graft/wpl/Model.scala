@@ -21,6 +21,7 @@ sealed trait WValue {
     case WArr(xs)      => xs.map(_.jval).mkString("[", ",", "]")
     case WNull         => ""
     case WIgnore       => ""
+    case WDecoded(_, _, d) => d
   }
   /** JSON-encoded form (for nested obj/array serialization). */
   def jval: String = this match {
@@ -31,6 +32,7 @@ sealed trait WValue {
     case WNull | WIgnore => "null"
     case o: WObj   => o.sval
     case a: WArr   => a.sval
+    case d: WDecoded => Json.quote(d.decoded)
     case v         => v.sval
   }
   def dtype: String = this match {
@@ -38,6 +40,7 @@ sealed trait WValue {
     case _: WBool => "bool"; case _: WTime => "time"; case _: WIp => "ip"
     case _: WIpNet => "ip_net"; case _: WBytes => "bytes"; case _: WObj => "obj"
     case _: WArr => "array"; case WNull => "null"; case WIgnore => "ignore"
+    case d: WDecoded => d.encoding
   }
 }
 final case class WChars(s: String) extends WValue
@@ -50,6 +53,11 @@ final case class WTime(micros: Long, raw: String) extends WValue
 final case class WIp(s: String) extends WValue
 final case class WIpNet(s: String) extends WValue
 final case class WBytes(b: Array[Byte]) extends WValue
+/** Decoded-content value: the parser decoded `raw` (base64/hex) and the
+  * DECODED form is the value, tagged with its source encoding (reference
+  * protocol/base64.rs stores the decoded string under DataType::Base64;
+  * base/hex.rs parses the numeric value). */
+final case class WDecoded(encoding: String, raw: String, decoded: String) extends WValue
 final case class WObj(fields: Vector[(String, WValue)]) extends WValue
 final case class WArr(items: Vector[WValue]) extends WValue
 case object WNull extends WValue

@@ -185,7 +185,13 @@ object HexP extends VParser("hex") {
     val hstart = cur.pos
     while (!cur.atEnd && isHex(cur.peek)) cur.pos += 1
     if (cur.pos == hstart) { cur.pos = start; null }
-    else One(WChars(cur.input.substring(start, cur.pos)))
+    else {
+      // decoded-content retention (reference base/hex.rs hex_uint): the
+      // value is the parsed number, tagged with its hex encoding
+      val raw = cur.input.substring(start, cur.pos)
+      val digits = cur.input.substring(hstart, cur.pos)
+      One(WDecoded("hex", raw, BigInt(digits, 16).toString))
+    }
   }
   override def gen(rnd: SplittableRandom): String = f"0x${rnd.nextInt(1 << 30)}%08x"
 }
@@ -196,8 +202,17 @@ object Base64P extends VParser("base64") {
   def parse(cur: Cursor, sep: Sep): Parsed = {
     val start = cur.pos
     while (!cur.atEnd && isB64(cur.peek)) cur.pos += 1
-    if (cur.pos == start) null else One(WChars(cur.input.substring(start, cur.pos)))
+    if (cur.pos == start) return null
+    val raw = cur.input.substring(start, cur.pos)
+    // decoded-content retention (reference protocol/base64.rs): the value
+    // is the DECODED string tagged base64; undecodable text is a parse
+    // failure, matching the reference's fail-on-decode-error
+    try One(WDecoded("base64", raw,
+      new String(java.util.Base64.getDecoder.decode(raw), "UTF-8")))
+    catch { case _: IllegalArgumentException => cur.pos = start; null }
   }
+  override def gen(rnd: SplittableRandom): String =
+    java.util.Base64.getEncoder.encodeToString(CharsP.gen(rnd).getBytes("UTF-8"))
 }
 
 /** sn — serial-number token: dash-joined alnum groups (reference

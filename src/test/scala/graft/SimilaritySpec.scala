@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** k-means IVF build quality: convergence, determinism of the search
+  * surface, and recall of the pruned search vs brute force. */
+class SimilaritySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val e = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  private def inertia(cents: Seq[Seq[Double]]): Double =
+    Similarity.ivfAssign(e, "embedding", cents)
+      .select(sum(
+        aggregate(zip_with(transform(col("embedding"), x => x.cast("double")),
+          element_at(array(cents.map(c => array(c.map(lit): _*)): _*),
+            col("ivf_cell") + 1),
+          (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x)).as("j"))
+      .head().getDouble(0)
+
+  test("kmeans: inertia decreases vs the first-k init and assigns all cells") {
+    val init = e.orderBy(col("vec_id")).limit(4)
+      .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val built = Similarity.kmeansCentroids(e, "embedding", "vec_id", k = 4, iters = 5)
+    assert(built.size == 4 && built.forall(_.size == init.head.size))
+    val j0 = inertia(init)
+    val j5 = inertia(built)
+    assert(j5 < j0 * 0.95, s"kmeans did not reduce inertia: $j0 -> $j5")
+    // every cell non-empty on this corpus
+    val cells = Similarity.ivfAssign(e, "embedding", built)
+      .select(countDistinct(col("ivf_cell"))).head().getLong(0)
+    assert(cells == 4)
+  }
+
+  test("ivf pruned search: query's own cell probed, recall@10 >= 0.5 with nprobe=2") {
+    val out = SparkEntry.queries("ann_ivf_kmeans_topk")(spark, sf)
+      .collect().map(_.getLong(0)).toSeq
+    assert(out.head == 2L) // the query vector itself (cos=1.0) always found
+    val q = e.filter(col("vec_id") === 2).select(col("embedding")).head()
+      .getSeq[Float](0).map(_.toDouble)
+    val bf = Similarity.bruteForceTopK(e, "embedding", "vec_id", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = out.count(bf.contains).toDouble / 10
+    assert(recall >= 0.5, s"recall too low: $recall (got $out vs $bf)")
+  }
+}
