@@ -12,11 +12,12 @@ import graft.streaming.StreamingPipeline
   * (docs/usage/en/01-cli): wparse batch|daemon, wpgen rule, wprescue
   * batch, wproj check. Run via spark-submit --class graft.cli.Cli.
   *
-  *   wparse  batch  <inDir> <outDir> <rules.wpl> [models.oml ...]
+  *   wparse  batch  <inDir> <outDir> <rules.wpl> [models.oml ...] [--knowdb <dir>]
   *   wparse  daemon <inDir> <outDir> <rules.wpl> [models.oml ...]
   *   wpgen   rule   <rules.wpl> <ruleKey> <n> <outDir>
   *   wprescue batch <rescueDir> <outDir> <rules.wpl> [models.oml ...]
   *   wproj   check  <rules.wpl> [models.oml ...]
+  *   wproj   stat   <outDir> [channel=ratio:R[:tol]|min:N|max:N ...]
   */
 object Cli {
 
@@ -29,11 +30,40 @@ object Cli {
   private def read(path: String): String =
     new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
 
+  /** `--knowdb <dir>` loads every `<table>.csv` in dir into KnowDb
+    * (header row, comma-separated — reference loader.rs); tables named
+    * geo/zone (ip_beg,ip_end,value rows) and device (key,value rows)
+    * additionally feed the parse-time Enricher for `+geo()/+zone()/
+    * +device()`. */
+  private def loadKnow(args: List[String]): (List[String], KnowDb, graft.wpl.Enricher) = {
+    val i = args.indexOf("--knowdb")
+    if (i < 0) return (args, KnowDb.empty, graft.wpl.Enricher.empty)
+    val dir = args(i + 1)
+    val rest = args.take(i) ++ args.drop(i + 2)
+    val csvs = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".csv"))
+    val tables = csvs.map { f =>
+      KnowDb.fromCsv(f.getName.stripSuffix(".csv"), read(f.getPath))
+    }.toMap
+    val enrichTables: Map[String, graft.wpl.Enricher.Table] = tables.flatMap {
+      case (name @ ("geo" | "zone"), t) =>
+        val rows = t.rows.map(r => (r(0).toLong, r(1).toLong, r(2)))
+        Some(name -> new graft.wpl.Enricher.IpRangeTable(rows))
+      case ("device", t) =>
+        Some("device" -> new graft.wpl.Enricher.ExactTable(
+          t.rows.map(r => r(0) -> r(1)).toMap))
+      case _ => None
+    }
+    (rest, new KnowDb(tables), new graft.wpl.Enricher(enrichTables))
+  }
+
   def main(args: Array[String]): Unit = args.toList match {
-    case "wparse" :: "batch" :: in :: out :: wpl :: omls =>
+    case "wparse" :: "batch" :: in :: out :: wpl :: rest =>
       val spark = session()
+      val (omls, db, enricher) = loadKnow(rest)
       val lines = spark.read.text(in).withColumnRenamed("value", "line")
-      val parsed = Pipeline.run(lines, "line", read(wpl), omls.map(read)).persist()
+      val parsed = Pipeline.run(lines, "line", read(wpl), omls.map(read),
+        knowDb = db, enricher = enricher).persist()
       writeChannels(parsed, out)
       parsed.unpersist()
     case "wparse" :: "daemon" :: in :: out :: wpl :: omls =>

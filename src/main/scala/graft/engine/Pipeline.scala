@@ -82,7 +82,8 @@ object Pipeline {
   def run(df: DataFrame, lineCol: String, wplSource: String,
           omlSources: Seq[String], keep: Seq[String] = Seq.empty,
           knowDb: KnowDb = KnowDb.empty,
-          sourceTags: Map[String, String] = Map.empty): DataFrame = {
+          sourceTags: Map[String, String] = Map.empty,
+          enricher: Enricher = Enricher.empty): DataFrame = {
     val spark = df.sparkSession
     val bcDb: Broadcast[KnowDb] = spark.sparkContext.broadcast(knowDb)
     import org.apache.spark.sql.GraftExprBridge
@@ -91,7 +92,7 @@ object Pipeline {
     val line = GraftExprBridge.expression(
       coalesce(col(lineCol).cast("string"), lit("")))
     val p = GraftExprBridge.column(
-      graft.functions.PipeWpl(line, wplSource, omlSources, sourceTags, bcDb))
+      graft.functions.PipeWpl(line, wplSource, omlSources, sourceTags, bcDb, enricher))
     df.select((keep.map(col) :+ p.as("p")): _*)
       .select((keep.map(col) :+ col("p.*")): _*)
   }
