@@ -84,6 +84,29 @@ object Cli {
       // recover.lock offset file; Spark's file source tracks offsets via
       // the checkpoint instead)
       main(Array("wparse", "batch", rescueDir, out, wpl) ++ omls)
+    case "wparse" :: "project" :: dir :: Nil =>
+      // run a whole wp-proj-style instance dir (conf/wparse.toml +
+      // topology + connectors) in batch
+      val spark = session()
+      val p = graft.project.Project.load(dir)
+      val reports = graft.project.ProjectRun.runBatch(spark, p)
+      reports.foreach { r =>
+        println(s"sink ${r.group}/${r.sink} -> ${r.path}: rows=${r.rows}" +
+          (if (r.intercepted > 0) s" intercepted=${r.intercepted}" else "") +
+          (if (r.expectOk) "" else " EXPECT-VIOLATION"))
+      }
+      if (reports.exists(!_.expectOk)) sys.exit(1)
+    case "wproj" :: "check" :: dir :: Nil if new java.io.File(dir).isDirectory =>
+      // whole-project validation (reference wproj check over a work root)
+      val p = graft.project.Project.load(dir)
+      println(s"project ${p.root}: wpl=${p.wplSource.count(_ == '\n')} lines " +
+        s"oml=${p.omlSources.size} models sources=${p.fileSources.size} file/" +
+        s"${p.kafkaSources.size} kafka/${p.syslogSources.size} syslog " +
+        s"groups=${p.business.size} biz/${p.infra.size} infra " +
+        s"connectors=${p.connectors.size}")
+      val problems = graft.project.Project.check(p)
+      problems.foreach(m => println(s"PROBLEM: $m"))
+      if (problems.nonEmpty) sys.exit(1)
     case "wproj" :: "check" :: wpl :: omls =>
       // config validation: parse everything, report rule/model inventory
       val rules = graft.wpl.Runtime.parseAny(read(wpl))

@@ -66,9 +66,18 @@ object WplEngine {
   // Typed extraction (native expressions over the fields array)
   // -------------------------------------------------------------------
 
+  /** JSON string quoting as a native Column (mirror of Json.quote for
+    * the escapes the corpus contains: backslash, quote, \n \r \t). */
+  def jsonQuote(c: Column): Column = concat(lit("\""),
+    replace(replace(replace(replace(replace(
+      c, lit("\\"), lit("\\\\")), lit("\""), lit("\\\"")),
+      lit("\n"), lit("\\n")), lit("\r"), lit("\\r")), lit("\t"), lit("\\t")),
+    lit("\""))
+
   /** First-match field lookup by name → sval (reference record.field()). */
   def fieldSval(name: String): Column =
-    element_at(filter(col("fields"), f => f.getField("name") === name), 1).getField("sval")
+    try_element_at(filter(col("fields"), f => f.getField("name") === name), lit(1))
+      .getField("sval") // try_: missing field → null, not an ANSI index error
 
   def extractString(name: String): Column = fieldSval(name)
   def extractLong(name: String): Column = fieldSval(name).cast("long")

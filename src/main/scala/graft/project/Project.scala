@@ -1,0 +1,443 @@
+package graft.project
+
+import java.io.File
+import java.nio.file.{Files, Paths}
+import graft.project.Toml.TTab
+import graft.sinks.SinkRouter
+
+/** Project-instance loader (reference wp-proj / wp-config):
+  *
+  *  - engine config `conf/wparse.toml` (models/topology/rescue/semantic
+  *    sections — reference `crates/wp-config/src/engine.rs` via
+  *    `EngineConfig`);
+  *  - sources `topology/sources/wpsrc.toml` (`[[source_file]]`,
+  *    `[[source_kafka]]`, `[[source_syslog]]` arrays — reference
+  *    `crates/wp-config/src/sources`);
+  *  - sink routes from every .toml under `<sink_root>/business.d` and
+  *    `<sink_root>/infra.d` (reference
+  *    `crates/wp-config/src/sinks/io.rs:36-72`), with connector
+  *    resolution from the nearest `connectors/sink.d` walking up from
+  *    the sink root (`io_locate.rs:6-29`), `defaults.toml` tag/expect
+  *    merge (`io.rs:74-85`), and allow_override whitelist enforcement
+  *    on params (`build.rs:118-160`);
+  *  - legacy layout fallback: instances predating business.d/infra.d
+  *    (like the reference's own tests/instance) keep business groups in
+  *    any .toml under `<sink_root>` with inline `fmt/target/path` sinks and
+  *    infra groups in `framework.toml` — both still load here (the
+  *    reference dropped framework.toml support in `infra.rs:121`; we
+  *    keep reading it so the reference's shipped fixtures run as-is).
+  */
+object Project {
+
+  // ---- model ---------------------------------------------------------
+
+  /** `[[connectors]]` entry from connectors/sink.d (reference
+    * `crates/wp-config/src/connectors/toml.rs:26-50`). */
+  final case class ConnectorDef(
+      id: String,
+      kind: String,                         // `type` in TOML: file|kafka|tcp|syslog|blackhole
+      allowOverride: Vector[String],
+      defaultParams: Map[String, String])
+
+  /** One resolved sink instance (reference `SinkInstanceConf`,
+    * `build.rs:22-49`): params are connector defaults + whitelisted
+    * overrides; fmt comes from params for file-kind sinks, else json
+    * (`build.rs:82-89`). */
+  final case class SinkInstance(
+      name: String,
+      kind: String,
+      fmt: String,
+      params: Map[String, String],
+      filter: Option[String],
+      filterExpect: Boolean,
+      tags: Vector[String],
+      expect: Option[ExpectSpec],
+      connectorId: Option[String]) {
+    def path: Option[String] = params.get("path").orElse(
+      for (b <- params.get("base"); f <- params.get("file")) yield s"$b/$f")
+  }
+
+  /** A sink group: `oml`/`rule` wildcard matchers select which
+    * transformed records the group receives (reference `RouteGroup`,
+    * `types.rs:31-54`). */
+  final case class SinkGroup(
+      name: String,
+      scope: String, // biz | infra
+      omlPatterns: Vector[String],
+      rulePatterns: Vector[String],
+      tags: Vector[String],
+      sinks: Vector[SinkInstance]) {
+    /** Does a transformed record (oml model name, wpl rule key) belong
+      * to this group? Empty matcher lists never match (reference
+      * `FlexGroup::matches` — a group with no matchers receives
+      * nothing; infra groups are routed by status instead). */
+    def matches(omlModel: String, ruleKey: String): Boolean =
+      omlPatterns.exists(glob(_, omlModel)) || rulePatterns.exists(glob(_, ruleKey))
+  }
+
+  /** Share-of-basis expectation (reference `SinkExpectOverride`,
+    * structure/sink/expect.rs:4-17 — ratio/tol/min/max are all RATIOS
+    * of the group basis, not counts). */
+  final case class ExpectSpec(ratio: Option[Double], tol: Option[Double],
+                              min: Option[Double], max: Option[Double]) {
+    def ok(rows: Long, basis: Long): Boolean = {
+      if (basis == 0) return rows == 0
+      val share = rows.toDouble / basis
+      ratio.forall(r => math.abs(share - r) <= tol.getOrElse(0.05) + 1e-9) &&
+        min.forall(share >= _ - 1e-9) && max.forall(share <= _ + 1e-9)
+    }
+  }
+
+  final case class SourceFile(key: String, path: String, enable: Boolean,
+                              encode: String, tags: Map[String, String])
+  final case class SourceKafka(key: String, brokers: String, topics: Vector[String],
+                               enable: Boolean, tags: Map[String, String])
+  final case class SourceSyslog(key: String, addr: String, port: Int, protocol: String,
+                                enable: Boolean, tags: Map[String, String])
+
+  final case class EngineConf(
+      version: String,
+      wplDir: String,
+      omlDir: String,
+      sourcesDir: String,
+      sinksDir: String,
+      rescuePath: Option[String],
+      semanticEnabled: Boolean)
+
+  final case class Loaded(
+      root: File,
+      conf: EngineConf,
+      wplSource: String,                    // all .wpl files concatenated (multi-package)
+      omlSources: Vector[(String, String)], // (file stem, source)
+      fileSources: Vector[SourceFile],
+      kafkaSources: Vector[SourceKafka],
+      syslogSources: Vector[SourceSyslog],
+      connectors: Map[String, ConnectorDef],
+      business: Vector[SinkGroup],
+      infra: Map[String, SinkGroup])        // default/miss/residue/intercept/monitor/error
+
+  /** `*` wildcard match (reference WildMatch — the only metachar the
+    * corpus uses). */
+  def glob(pat: String, s: String): Boolean = {
+    if (s == null) return false
+    if (pat == "*") return true
+    val parts = pat.split("\\*", -1)
+    if (parts.length == 1) return pat == s
+    var pos = 0
+    if (parts.head.nonEmpty) {
+      if (!s.startsWith(parts.head)) return false
+      pos = parts.head.length
+    }
+    var i = 1
+    while (i < parts.length - 1) {
+      val p = parts(i)
+      if (p.nonEmpty) {
+        val at = s.indexOf(p, pos)
+        if (at < 0) return false
+        pos = at + p.length
+      }
+      i += 1
+    }
+    val last = parts.last
+    last.isEmpty || (s.length - pos >= last.length && s.endsWith(last))
+  }
+
+  // ---- loading -------------------------------------------------------
+
+  private def readFile(f: File): String =
+    new String(Files.readAllBytes(f.toPath), "UTF-8")
+
+  private def tomlFilesUnder(dir: File): Vector[File] = {
+    if (!dir.isDirectory) return Vector.empty
+    val out = Vector.newBuilder[File]
+    def walk(d: File): Unit = {
+      val fs = Option(d.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+      fs.foreach { f =>
+        if (f.isDirectory) walk(f)
+        else if (f.getName.endsWith(".toml")) out += f
+      }
+    }
+    walk(dir)
+    out.result()
+  }
+
+  private def filesUnder(dir: File, ext: String): Vector[File] = {
+    if (!dir.isDirectory) return Vector.empty
+    val out = Vector.newBuilder[File]
+    def walk(d: File): Unit =
+      Option(d.listFiles()).getOrElse(Array.empty).sortBy(_.getName).foreach { f =>
+        if (f.isDirectory) walk(f) else if (f.getName.endsWith(ext)) out += f
+      }
+    walk(dir)
+    out.result()
+  }
+
+  /** Parse `"k : v"` tag strings (reference source tags notation,
+    * tests/instance wpsrc.toml). */
+  def parseTags(raw: Vector[String]): Map[String, String] =
+    raw.iterator.map { t =>
+      val i = t.indexOf(':')
+      require(i > 0, s"bad tag '$t' (want 'key : value')")
+      t.substring(0, i).trim -> t.substring(i + 1).trim
+    }.toMap
+
+  def loadEngineConf(root: File): EngineConf = {
+    val f = new File(root, "conf/wparse.toml")
+    val t = if (f.isFile) Toml.parse(readFile(f)) else new TTab
+    EngineConf(
+      version = t.str("version").getOrElse("1.0"),
+      wplDir = t.str("models", "wpl").getOrElse("./wpl"),
+      omlDir = t.str("models", "oml").getOrElse("./oml"),
+      sourcesDir = t.str("topology", "sources").getOrElse("./topology/sources"),
+      sinksDir = t.str("topology", "sinks").getOrElse("./topology/sinks"),
+      rescuePath = t.str("rescue", "path"),
+      semanticEnabled = t.bool("semantic", "enabled").getOrElse(false))
+  }
+
+  def resolve(root: File, p: String): File = {
+    val f = new File(p)
+    if (f.isAbsolute) f else new File(root, p.stripPrefix("./"))
+  }
+
+  def loadSources(dir: File): (Vector[SourceFile], Vector[SourceKafka], Vector[SourceSyslog]) = {
+    val files = Vector.newBuilder[SourceFile]
+    val kafka = Vector.newBuilder[SourceKafka]
+    val syslog = Vector.newBuilder[SourceSyslog]
+    tomlFilesUnder(dir).foreach { f =>
+      val t = Toml.parse(readFile(f))
+      t.tables("source_file").foreach { s =>
+        files += SourceFile(s.str("key").getOrElse(""), s.str("path").getOrElse(""),
+          s.bool("enable").getOrElse(true), s.str("encode").getOrElse("text"),
+          parseTags(s.strings("tags")))
+      }
+      t.tables("source_kafka").foreach { s =>
+        kafka += SourceKafka(s.str("key").getOrElse(""), s.str("brokers").getOrElse(""),
+          s.strings("topic"), s.bool("enable").getOrElse(true), parseTags(s.strings("tags")))
+      }
+      t.tables("source_syslog").foreach { s =>
+        syslog += SourceSyslog(s.str("key").getOrElse(""), s.str("addr").getOrElse("0.0.0.0"),
+          s.long("port").getOrElse(514L).toInt, s.str("protocol").getOrElse("udp"),
+          s.bool("enable").getOrElse(true), parseTags(s.strings("tags")))
+      }
+    }
+    (files.result(), kafka.result(), syslog.result())
+  }
+
+  /** Walk up from sinkRoot looking for `connectors/sink.d` (reference
+    * `io_locate.rs:6-29`, 32-level cap). */
+  def findConnectorsDir(sinkRoot: File): Option[File] = {
+    var cur: File = sinkRoot.getAbsoluteFile
+    var i = 0
+    while (cur != null && i < 32) {
+      val cand = new File(cur, "connectors/sink.d")
+      if (cand.isDirectory) return Some(cand)
+      cur = cur.getParentFile
+      i += 1
+    }
+    None
+  }
+
+  def loadConnectors(sinkRoot: File): Map[String, ConnectorDef] =
+    findConnectorsDir(sinkRoot).map { dir =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, ConnectorDef]
+      tomlFilesUnder(dir).foreach { f =>
+        Toml.parse(readFile(f)).tables("connectors").foreach { c =>
+          val id = c.str("id").getOrElse(
+            throw new IllegalArgumentException(s"connector missing id in $f"))
+          require(!m.contains(id), s"duplicate connector id '$id' (file $f)")
+          m(id) = ConnectorDef(id,
+            c.str("type").getOrElse("file"),
+            c.strings("allow_override"),
+            c.get("params").map(_.tab.m.toMap.map { case (k, v) => k -> v.str })
+              .getOrElse(Map.empty))
+        }
+      }
+      m.toMap
+    }.getOrElse(Map.empty)
+
+  final case class Defaults(tags: Vector[String], expect: Option[ExpectSpec])
+
+  def loadDefaults(sinkRoot: File): Defaults = {
+    val f = new File(sinkRoot, "defaults.toml")
+    if (!f.isFile) return Defaults(Vector.empty, None)
+    val d = Toml.parse(readFile(f)).get("defaults").map(_.tab).getOrElse(new TTab)
+    Defaults(d.strings("tags"), expectOf(d))
+  }
+
+  private def expectOf(t: TTab): Option[ExpectSpec] =
+    t.get("expect").map(_.tab).map { e =>
+      ExpectSpec(
+        ratio = e.get("ratio").map(_.str.toDouble),
+        tol = e.get("tol").map(_.str.toDouble),
+        min = e.get("min").map(_.str.toDouble),
+        max = e.get("max").map(_.str.toDouble))
+    }
+
+  /** Merge connector defaults with whitelisted overrides (reference
+    * `merge_params_with_allowlist`, build.rs:118-160): a key outside
+    * `allow_override` raises; nested `params` tables are rejected. */
+  def mergeParams(conn: ConnectorDef, overrides: Map[String, String],
+                  where: String): Map[String, String] = {
+    overrides.keys.foreach { k =>
+      require(k != "params" && k != "params_override",
+        s"invalid nested table '$k' in params ($where)")
+      require(conn.allowOverride.contains(k),
+        s"param '$k' not in allow_override of connector '${conn.id}' ($where)")
+    }
+    conn.defaultParams ++ overrides
+  }
+
+  private def decideFmt(kind: String, params: Map[String, String]): String =
+    if (kind == "file" || kind == "test_rescue") params.getOrElse("fmt", "json")
+    else "json"
+
+  /** Build one sink instance from a route-file `[[sink_group.sinks]]`
+    * entry: v2 (`use = connector` + params) or legacy inline
+    * (`fmt/target/path`). */
+  private def buildSink(s: TTab, idx: Int, groupName: String,
+                        connectors: Map[String, ConnectorDef], where: String): SinkInstance = {
+    val name = s.str("name").getOrElse(s"[$idx]")
+    val filter = s.str("filter")
+    val filterExpect = s.bool("filter_expect").getOrElse(true)
+    val tags = s.strings("tags")
+    val expect = expectOf(s)
+    s.str("use").orElse(s.str("connect")).orElse(s.str("connector")) match {
+      case Some(connId) =>
+        val conn = connectors.getOrElse(connId, throw new IllegalArgumentException(
+          s"connector '$connId' not found (group '$groupName', $where)"))
+        val overrides = s.get("params").map(_.tab.m.toMap.map { case (k, v) => k -> v.str })
+          .getOrElse(Map.empty)
+        val params = mergeParams(conn, overrides, s"group '$groupName' sink '$name' $where")
+        SinkInstance(name, conn.kind, decideFmt(conn.kind, params), params,
+          filter, filterExpect, tags, expect, Some(connId))
+      case None =>
+        val kind = s.str("target").getOrElse("file")
+        val params = s.m.toMap.collect {
+          case (k, v) if !Set("name", "filter", "filter_expect", "tags", "expect",
+            "target", "fmt").contains(k) && !v.isInstanceOf[TTab] => k -> v.str
+        }
+        // legacy fmt aliases: proto-text ≡ proto_text
+        val fmt = s.str("fmt").getOrElse("json").replace('-', '_')
+        SinkInstance(name, kind, fmt, params, filter, filterExpect, tags, expect, None)
+    }
+  }
+
+  private def buildGroup(g: TTab, scope: String, connectors: Map[String, ConnectorDef],
+                         defaults: Defaults, where: String): SinkGroup = {
+    val name = g.str("name").getOrElse(
+      throw new IllegalArgumentException(s"sink_group missing name ($where)"))
+    val sinks = g.tables("sinks").zipWithIndex.map { case (s, i) =>
+      val inst = buildSink(s, i, name, connectors, where)
+      inst.copy(tags = defaults.tags ++ g.strings("tags") ++ inst.tags,
+        expect = inst.expect.orElse(defaults.expect))
+    }
+    require(sinks.nonEmpty, s"group '$name' has no sinks ($where)")
+    SinkGroup(name, scope, g.strings("oml"), g.strings("rule"), g.strings("tags"), sinks)
+  }
+
+  private val InfraNames = Vector("default", "miss", "residue", "intercept", "monitor", "error")
+
+  def loadSinkRoutes(sinkRoot: File, connectors: Map[String, ConnectorDef],
+                     defaults: Defaults): (Vector[SinkGroup], Map[String, SinkGroup]) = {
+    val businessDir = new File(sinkRoot, "business.d")
+    val infraDir = new File(sinkRoot, "infra.d")
+
+    def routeGroups(files: Vector[File], scope: String): Vector[SinkGroup] =
+      files.map { f =>
+        val t = Toml.parse(readFile(f))
+        val g = t.get("sink_group").map(_.tab).getOrElse(
+          throw new IllegalArgumentException(s"no [sink_group] in $f"))
+        buildGroup(g, scope, connectors, defaults, f.getPath)
+      }
+
+    val business: Vector[SinkGroup] =
+      if (businessDir.isDirectory) routeGroups(tomlFilesUnder(businessDir), "biz")
+      else {
+        // legacy layout: every *.toml under sink root with a [sink_group],
+        // except framework/defaults and the infra.d tree
+        val legacy = tomlFilesUnder(sinkRoot).filter { f =>
+          f.getName != "framework.toml" && f.getName != "defaults.toml" &&
+            !f.getPath.contains("infra.d")
+        }.filter(f => Toml.parse(readFile(f)).get("sink_group").isDefined)
+        routeGroups(legacy, "biz")
+      }
+
+    val infra: Map[String, SinkGroup] =
+      if (infraDir.isDirectory) {
+        routeGroups(tomlFilesUnder(infraDir), "infra").map(g => g.name -> g).toMap
+      } else {
+        val fw = new File(sinkRoot, "framework.toml")
+        if (!fw.isFile) Map.empty
+        else {
+          val t = Toml.parse(readFile(fw))
+          InfraNames.flatMap { n =>
+            t.get(n).map(_.tab).map(g => n -> buildGroup(g, "infra", connectors, defaults, fw.getPath))
+          }.toMap
+        }
+      }
+    (business, infra)
+  }
+
+  def load(rootPath: String): Loaded = {
+    val root = new File(rootPath)
+    require(root.isDirectory, s"project root not a directory: $rootPath")
+    val conf = loadEngineConf(root)
+    val wplFiles = filesUnder(resolve(root, conf.wplDir), ".wpl")
+    val wplSource = wplFiles.map(readFile).mkString("\n")
+    val omlSources = filesUnder(resolve(root, conf.omlDir), ".oml")
+      .map(f => f.getName.stripSuffix(".oml") -> readFile(f))
+    val (fs, ks, ss) = loadSources(resolve(root, conf.sourcesDir))
+    val sinkRoot = resolve(root, conf.sinksDir)
+    val connectors = loadConnectors(sinkRoot)
+    val defaults = loadDefaults(sinkRoot)
+    val (business, infra) = loadSinkRoutes(sinkRoot, connectors, defaults)
+    Loaded(root, conf, wplSource, omlSources, fs, ks, ss, connectors, business, infra)
+  }
+
+  // ---- check ---------------------------------------------------------
+
+  /** Static project validation (reference `wproj check` /
+    * `crates/wp-proj/src/project/checker`): parse all models, verify
+    * route targets exist, verify oml matchers reference loaded models,
+    * verify file-source paths. Returns human-readable problems (empty =
+    * healthy). */
+  def check(p: Loaded): Vector[String] = {
+    val problems = Vector.newBuilder[String]
+    val ruleKeys: Vector[String] =
+      try graft.wpl.Runtime.parseAny(p.wplSource).map(_.key).toVector
+      catch { case e: Exception => problems += s"wpl: ${e.getMessage}"; Vector.empty }
+    val modelNames: Vector[String] = p.omlSources.flatMap { case (stem, src) =>
+      try {
+        val m = graft.oml.OmlText.parse(src)
+        // model rule matchers should reference an existing wpl rule
+        // (wildcards match against the loaded key inventory)
+        m.rules.filter(r => r != "*" && !ruleKeys.exists(k => glob(r, k))).foreach { r =>
+          problems += s"oml '$stem': rule matcher '$r' matches no wpl rule"
+        }
+        Some(m.name)
+      } catch { case e: Exception => problems += s"oml '$stem': ${e.getMessage}"; None }
+    }
+    p.fileSources.filter(_.enable).foreach { s =>
+      if (!resolve(p.root, s.path).isFile)
+        problems += s"source_file '${s.key}': path not found: ${s.path}"
+    }
+    p.business.foreach { g =>
+      g.omlPatterns.filter(pat => pat != "*" && !modelNames.exists(glob(pat, _))).foreach { pat =>
+        problems += s"sink group '${g.name}': oml matcher '$pat' matches no loaded model"
+      }
+      if (g.omlPatterns.isEmpty && g.rulePatterns.isEmpty)
+        problems += s"sink group '${g.name}': no oml/rule matchers (receives nothing)"
+    }
+    (p.business ++ p.infra.values).foreach { g =>
+      g.sinks.foreach { s =>
+        if (s.kind == "file" && s.path.isEmpty)
+          problems += s"sink '${g.name}/${s.name}': file sink without path/base+file"
+        s.filter.foreach { f =>
+          try SinkRouter.parseCond(f)
+          catch { case e: Exception => problems += s"sink '${g.name}/${s.name}': bad filter: ${e.getMessage}" }
+        }
+      }
+    }
+    problems.result()
+  }
+}

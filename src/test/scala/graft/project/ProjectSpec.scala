@@ -1,0 +1,299 @@
+package graft.project
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Path, Paths}
+
+/** Project-instance loading + batch execution (reference wp-proj):
+  * modern business.d/infra.d + connector layout, the legacy layout the
+  * reference ships in tests/instance (root sink.toml + framework.toml),
+  * allow_override enforcement, matcher checking, e2e routed writes. */
+class ProjectSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def write(root: Path, rel: String, content: String): Unit = {
+    val p = root.resolve(rel)
+    Files.createDirectories(p.getParent)
+    Files.write(p, content.getBytes("UTF-8"))
+  }
+
+  private val wpl = "package /t { rule kv { (kvarr) } }"
+  private val oml =
+    """name : m
+      rule : /t/*
+      ---
+      user : chars = take(option:[user]) ;
+      st : digit = take(option:[st]) { _ : digit(0) } ;
+      * = take() ;
+    """
+
+  /** Modern layout: conf + business.d/infra.d routes + connectors. */
+  private def modernProject(): Path = {
+    val root = Files.createTempDirectory("graft-proj")
+    write(root, "conf/wparse.toml",
+      """version = "1.0"
+        |[models]
+        |wpl = "./wpl"
+        |oml = "./oml"
+        |[topology]
+        |sources = "./topology/sources"
+        |sinks = "./topology/sinks"
+        |""".stripMargin)
+    write(root, "wpl/parse.wpl", wpl)
+    write(root, "oml/m.oml", oml)
+    write(root, "src_dat/gen.dat", Seq(
+      "user=alice st=200 op=read",
+      "user=bob st=404 op=write",
+      "user=carol st=200 op=del",
+      "%%% unparseable %%% ###").mkString("\n"))
+    write(root, "topology/sources/wpsrc.toml",
+      """[[source_file]]
+        |key = "file_1"
+        |path = "./src_dat/gen.dat"
+        |enable = true
+        |encode = "text"
+        |tags = ["dev_src_ip : 10.0.0.1"]
+        |
+        |[[source_file]]
+        |key = "file_2"
+        |path = "./src_dat/missing.dat"
+        |enable = false
+        |""".stripMargin)
+    write(root, "connectors/sink.d/00-file.toml",
+      """[[connectors]]
+        |id = "file_raw_sink"
+        |type = "file"
+        |allow_override = ["base", "file", "fmt"]
+        |[connectors.params]
+        |base = "./out"
+        |file = "default.dat"
+        |fmt = "json"
+        |""".stripMargin)
+    write(root, "topology/sinks/defaults.toml",
+      """[defaults]
+        |tags = ["env : test"]
+        |""".stripMargin)
+    write(root, "topology/sinks/business.d/m.toml",
+      """version = "2.0"
+        |[sink_group]
+        |name = "m_group"
+        |oml = ["m"]
+        |
+        |[[sink_group.sinks]]
+        |name = "m_all"
+        |use = "file_raw_sink"
+        |params = { file = "m_all.dat", fmt = "kv" }
+        |
+        |[[sink_group.sinks]]
+        |name = "m_err"
+        |use = "file_raw_sink"
+        |params = { file = "m_err.dat" }
+        |filter = "$st == digit(404)"
+        |[sink_group.sinks.expect]
+        |ratio = 0.125
+        |tol = 0.01
+        |""".stripMargin)
+    write(root, "topology/sinks/infra.d/default.toml",
+      """version = "2.0"
+        |[sink_group]
+        |name = "default"
+        |[[sink_group.sinks]]
+        |name = "default"
+        |use = "file_raw_sink"
+        |params = { file = "default.dat" }
+        |""".stripMargin)
+    write(root, "topology/sinks/infra.d/miss.toml",
+      """version = "2.0"
+        |[sink_group]
+        |name = "miss"
+        |[[sink_group.sinks]]
+        |name = "miss"
+        |use = "file_raw_sink"
+        |params = { file = "miss.dat", fmt = "raw" }
+        |""".stripMargin)
+    write(root, "topology/sinks/infra.d/intercept.toml",
+      """version = "2.0"
+        |[sink_group]
+        |name = "intercept"
+        |[[sink_group.sinks]]
+        |name = "intercept"
+        |use = "file_raw_sink"
+        |params = { file = "intercept.dat" }
+        |""".stripMargin)
+    root
+  }
+
+  test("modern layout: load resolves connectors, defaults, expects") {
+    val p = Project.load(modernProject().toString)
+    assert(p.fileSources.map(_.key) == Vector("file_1", "file_2"))
+    assert(p.fileSources.head.tags == Map("dev_src_ip" -> "10.0.0.1"))
+    assert(p.connectors.keySet == Set("file_raw_sink"))
+    assert(p.business.map(_.name) == Vector("m_group"))
+    val g = p.business.head
+    assert(g.omlPatterns == Vector("m"))
+    val all = g.sinks.find(_.name == "m_all").get
+    assert(all.kind == "file" && all.fmt == "kv")
+    assert(all.path.contains("./out/m_all.dat"))
+    assert(all.tags == Vector("env : test")) // defaults merged
+    val err = g.sinks.find(_.name == "m_err").get
+    assert(err.fmt == "json") // connector default fmt
+    assert(err.filter.contains("$st == digit(404)"))
+    assert(err.expect.exists(e => e.ratio.contains(0.125) && e.tol.contains(0.01)))
+    assert(p.infra.keySet == Set("default", "miss", "intercept"))
+    assert(Project.check(p).isEmpty, Project.check(p).mkString("; "))
+  }
+
+  test("allow_override: non-whitelisted param raises") {
+    val conn = Project.ConnectorDef("c", "file", Vector("file"), Map("base" -> "./out"))
+    val e = intercept[IllegalArgumentException] {
+      Project.mergeParams(conn, Map("path" -> "/etc/x"), "here")
+    }
+    assert(e.getMessage.contains("allow_override"))
+    // nested params blacklist
+    intercept[IllegalArgumentException] {
+      Project.mergeParams(conn, Map("params" -> "x"), "here")
+    }
+  }
+
+  test("check flags bad matchers, missing sources, bad filters") {
+    val root = modernProject()
+    write(root, "topology/sinks/business.d/bad.toml",
+      """[sink_group]
+        |name = "bad"
+        |oml = ["nope_*"]
+        |[[sink_group.sinks]]
+        |name = "s"
+        |use = "file_raw_sink"
+        |params = { file = "bad.dat" }
+        |""".stripMargin)
+    val problems = Project.check(Project.load(root.toString))
+    assert(problems.exists(_.contains("matches no loaded model")))
+  }
+
+  test("runBatch: routed writes, intercept divert, expects validated") {
+    val root = modernProject()
+    val reports = ProjectRun.runBatch(spark, Project.load(root.toString))
+    val byName = reports.map(r => s"${r.group}/${r.sink}" -> r).toMap
+
+    // 3 parsed+transformed records fan out to m_all; 404 diverted from m_err
+    assert(byName("m_group/m_all").rows == 3)
+    assert(byName("m_group/m_err").rows == 1)
+    assert(byName("m_group/m_err").intercepted == 2)
+    assert(byName("miss/miss").rows == 1)
+    assert(byName("default/default").rows == 0)
+    assert(byName("intercept/intercept").rows == 2)
+
+    val mAll = Files.readAllLines(root.resolve("out/m_all.dat"))
+    assert(mAll.size == 3)
+    // kv fmt; source tag merged as a field; defaults env tag appended as pre_tag
+    assert(mAll.get(0).startsWith("user=alice st=200"))
+    assert(mAll.get(0).contains("dev_src_ip=10.0.0.1"))
+    assert(mAll.get(0).contains("env=test"))
+    val mErr = Files.readAllLines(root.resolve("out/m_err.dat"))
+    assert(mErr.size == 1)
+    // json fmt with typed digit unquoted
+    assert(mErr.get(0).contains("\"user\":\"bob\"") && mErr.get(0).contains("\"st\":404"))
+    val miss = Files.readAllLines(root.resolve("out/miss.dat"))
+    assert(miss.size == 1)
+    // raw fmt on the miss channel emits the original unparsed line
+    assert(miss.get(0) == "%%% unparseable %%% ###")
+
+    // expect ratio 0.125: m_err rows=1 of basis 7 (3+1+1+0+2) ≈ 0.142 → violation
+    assert(!byName("m_group/m_err").expectOk)
+    assert(reports.filter(r => r.group != "m_group" || r.sink != "m_err").forall(_.expectOk))
+  }
+
+  test("legacy layout: root sink.toml + framework.toml + infra.d (reference tests/instance shape)") {
+    val root = Files.createTempDirectory("graft-legacy")
+    write(root, "conf/wparse.toml",
+      """version = "1.0"
+        |[models]
+        |wpl = "./wpl"
+        |oml = "./oml"
+        |[topology]
+        |sources = "./topology/sources"
+        |sinks = "./topology/sinks"
+        |""".stripMargin)
+    write(root, "wpl/parse.wpl", wpl)
+    write(root, "oml/m.oml", oml)
+    // verbatim structure of reference tests/instance/topology/sinks
+    write(root, "topology/sinks/sink.toml",
+      """version = "1.0"
+        |[sink_group]
+        |name = "other"
+        |oml = ["*"]
+        |[[sink_group.sinks]]
+        |name = "other_file"
+        |fmt = "kv"
+        |target = "file"
+        |path = "./out/other.dat"
+        |""".stripMargin)
+    write(root, "topology/sinks/ignore/sink.toml",
+      """version = "1.0"
+        |[sink_group]
+        |name = "ignore"
+        |oml = ["ignore_oml"]
+        |[[sink_group.sinks]]
+        |name = "ignore_file"
+        |fmt = "raw"
+        |target = "file"
+        |path = "./out/ignore.dat"
+        |""".stripMargin)
+    write(root, "topology/sinks/framework.toml",
+      """[default]
+        |name = "default"
+        |[[default.sinks]]
+        |name = "default_sink"
+        |fmt = "proto-text"
+        |target = "file"
+        |path = "./out/default.dat"
+        |[miss]
+        |name = "miss"
+        |[[miss.sinks]]
+        |name = "miss_sink"
+        |fmt = "raw"
+        |target = "file"
+        |path = "./out/miss.dat"
+        |""".stripMargin)
+    val p = Project.load(root.toString)
+    assert(p.business.map(_.name).sorted == Vector("ignore", "other"))
+    val other = p.business.find(_.name == "other").get
+    assert(other.sinks.head.fmt == "kv")
+    assert(other.sinks.head.path.contains("./out/other.dat"))
+    assert(p.infra.keySet == Set("default", "miss"))
+    assert(p.infra("default").sinks.head.fmt == "proto_text")
+    // '*' oml matcher matches any transformed model, but check() flags
+    // 'ignore_oml' as matching nothing
+    assert(Project.check(p).exists(_.contains("ignore_oml")))
+  }
+
+  test("reference shipped instance loads (tests/instance)") {
+    val ref = new java.io.File("/root/reference/tests/instance")
+    assume(ref.isDirectory)
+    val p = Project.load(ref.getPath)
+    assert(p.wplSource.nonEmpty && p.omlSources.nonEmpty)
+    assert(p.fileSources.exists(s => s.key == "file_1" && s.enable))
+    assert(p.kafkaSources.size == 1 && !p.kafkaSources.head.enable)
+    assert(p.syslogSources.size == 1 && p.syslogSources.head.port == 514)
+    assert(p.connectors.contains("file_raw_sink"))
+    assert(p.business.map(_.name).contains("other"))
+    // infra.d present → connector-style infra groups win over framework.toml
+    assert(p.infra.nonEmpty)
+    assert(p.infra("default").sinks.head.connectorId.contains("file_raw_sink"))
+  }
+
+  test("glob wildcard matcher") {
+    import Project.glob
+    assert(glob("*", "anything"))
+    assert(glob("m", "m") && !glob("m", "mm"))
+    assert(glob("/t/*", "/t/kv") && !glob("/t/*", "/u/kv"))
+    assert(glob("*_oml", "ignore_oml") && !glob("*_oml", "oml_x"))
+    assert(glob("a*b*c", "aXbYc") && !glob("a*b*c", "aXcYb"))
+  }
+}
