@@ -42,6 +42,9 @@ object Cli {
     val rest = args.take(i) ++ args.drop(i + 2)
     val csvs = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".csv"))
+    if (csvs.isEmpty)
+      System.err.println(s"warning: --knowdb $dir contains no .csv tables" +
+        (if (!new java.io.File(dir).isDirectory) " (not a directory)" else ""))
     val tables = csvs.map { f =>
       KnowDb.fromCsv(f.getName.stripSuffix(".csv"), read(f.getPath))
     }.toMap

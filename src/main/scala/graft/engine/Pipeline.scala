@@ -35,11 +35,13 @@ object Pipeline {
     * MultiParser setup amortization). */
   final class PipelineFn(wplSource: String, omlSources: Seq[String],
                          bcDb: Broadcast[KnowDb], sourceTags: Map[String, String],
-                         enricher: Enricher = Enricher.empty)
+                         enricher: Enricher = Enricher.empty,
+                         semanticEnabled: Boolean = true)
       extends Serializable {
     @transient private lazy val mp = Runtime.compile(wplSource, enricher)
     @transient private lazy val models = omlSources.map(OmlText.parse)
-    @transient private lazy val evals = models.map(new OmlEval(_, bcDb.value))
+    @transient private lazy val evals = models.map(new OmlEval(_, bcDb.value,
+      semanticEnabled = semanticEnabled))
 
     private def fieldOuts(fs: Vector[WField]): Seq[FieldOut] =
       fs.map(f => FieldOut(f.name, f.value.dtype, f.value.sval))
@@ -83,7 +85,8 @@ object Pipeline {
           omlSources: Seq[String], keep: Seq[String] = Seq.empty,
           knowDb: KnowDb = KnowDb.empty,
           sourceTags: Map[String, String] = Map.empty,
-          enricher: Enricher = Enricher.empty): DataFrame = {
+          enricher: Enricher = Enricher.empty,
+          semanticEnabled: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     val bcDb: Broadcast[KnowDb] = spark.sparkContext.broadcast(knowDb)
     import org.apache.spark.sql.GraftExprBridge
@@ -92,7 +95,8 @@ object Pipeline {
     val line = GraftExprBridge.expression(
       coalesce(col(lineCol).cast("string"), lit("")))
     val p = GraftExprBridge.column(
-      graft.functions.PipeWpl(line, wplSource, omlSources, sourceTags, bcDb, enricher))
+      graft.functions.PipeWpl(line, wplSource, omlSources, sourceTags, bcDb, enricher,
+        semanticEnabled))
     df.select((keep.map(col) :+ p.as("p")): _*)
       .select((keep.map(col) :+ col("p.*")): _*)
   }

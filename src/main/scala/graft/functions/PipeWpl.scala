@@ -25,7 +25,8 @@ import graft.oml.KnowDb
   * thread; KnowDb rides along as a broadcast. */
 case class PipeWpl(child: Expression, wplSource: String, omlSources: Seq[String],
                    sourceTags: Map[String, String], bcDb: Broadcast[KnowDb],
-                   enricher: graft.wpl.Enricher = graft.wpl.Enricher.empty)
+                   enricher: graft.wpl.Enricher = graft.wpl.Enricher.empty,
+                   semanticEnabled: Boolean = true)
     extends UnaryExpression {
 
   override def dataType: DataType = PipeWpl.outType
@@ -34,7 +35,8 @@ case class PipeWpl(child: Expression, wplSource: String, omlSources: Seq[String]
   @transient private lazy val fnCache =
     new ThreadLocal[Pipeline.PipelineFn] {
       override def initialValue(): Pipeline.PipelineFn =
-        new Pipeline.PipelineFn(wplSource, omlSources, bcDb, sourceTags, enricher)
+        new Pipeline.PipelineFn(wplSource, omlSources, bcDb, sourceTags, enricher,
+          semanticEnabled)
     }
 
   /** Called from both interpreted eval and generated code. */

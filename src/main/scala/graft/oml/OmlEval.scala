@@ -88,7 +88,8 @@ object KnowDb {
   *  - `Time::to_ts` default zone UTC+8 (reference pipe/time.rs).
   */
 final class OmlEval(model: OmlAst.Model, knowDb: KnowDb = KnowDb.empty,
-                    nowMicros: () => Long = () => System.currentTimeMillis() * 1000L)
+                    nowMicros: () => Long = () => System.currentTimeMillis() * 1000L,
+                    semanticEnabled: Boolean = true)
     extends Serializable {
   import OmlAst._
 
@@ -205,7 +206,7 @@ final class OmlEval(model: OmlAst.Model, knowDb: KnowDb = KnowDb.empty,
       Some(WChars(sb.toString))
     case PipeE(src, funs) =>
       eval(src, st).flatMap(v => funs.foldLeft(Option(v)) {
-        case (Some(acc), (fn, args)) => OmlPipes.apply(fn, args, acc)
+        case (Some(acc), (fn, args)) => OmlPipes.apply(fn, args, acc, semanticEnabled)
         case (None, _) => None
       })
     case ObjectE(items) =>
@@ -396,7 +397,8 @@ object OmlPipes {
     } catch { case _: NumberFormatException => None }
   }
 
-  def apply(fn: String, args: Vector[String], v: WValue): Option[WValue] = fn match {
+  def apply(fn: String, args: Vector[String], v: WValue,
+            semanticEnabled: Boolean = true): Option[WValue] = fn match {
     case "base64_encode" =>
       Some(WChars(java.util.Base64.getEncoder.encodeToString(v.sval.getBytes("UTF-8"))))
     case "base64_decode" =>
@@ -498,8 +500,14 @@ object OmlPipes {
     case "to_json" => Some(WChars(v.jval))
     case "skip_empty" => if (v.sval.isEmpty) None else Some(v)
     case "ip4_to_int" => ip4ToInt(v.sval).map(WDigit(_))
-    case "extract_main_word" => Some(WChars(ExtractWords.mainWord(v.sval)))
-    case "extract_subject_object" => Some(ExtractWords.subjectObject(v.sval))
+    // gated by the engine-level semantic switch (reference
+    // extract_word.rs:311-312,370-371: disabled → empty obj / empty
+    // chars; [semantic].enabled in wparse.toml, default off there —
+    // library embedding here defaults on)
+    case "extract_main_word" =>
+      Some(if (semanticEnabled) WChars(ExtractWords.mainWord(v.sval)) else WChars(""))
+    case "extract_subject_object" =>
+      Some(if (semanticEnabled) ExtractWords.subjectObject(v.sval) else WObj(Vector.empty))
     case _ => Some(v)
   }
 

@@ -112,7 +112,8 @@ object ProjectRun {
       // payload text, not formatted fields (reference rescue semantics)
       val lines = spark.read.text(path.getPath).withColumnRenamed("value", "raw_line")
       Pipeline.run(lines, "raw_line", p.wplSource, p.omlSources.map(_._2),
-        keep = Seq("raw_line"), knowDb = knowDb, sourceTags = s.tags, enricher = enricher)
+        keep = Seq("raw_line"), knowDb = knowDb, sourceTags = s.tags, enricher = enricher,
+        semanticEnabled = p.conf.semanticEnabled) // [semantic].enabled, default off
     }.reduce(_ unionByName _).persist()
     try routeAndWrite(p, parsed) finally parsed.unpersist()
   }

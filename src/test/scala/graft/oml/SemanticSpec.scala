@@ -134,4 +134,22 @@ class SemanticSpec extends AnyFunSuite {
     val sao = m("sao").asInstanceOf[WObj].fields.toMap
     assert(sao("subject") == WChars("服务器") && sao("object") == WChars("数据库"))
   }
+
+  test("semantic switch off: extract pipes return empty (reference default)") {
+    // reference extract_word.rs:311-312,370-371 — with the engine-level
+    // [semantic].enabled switch off, main word is "" and the s/a/o obj
+    // is empty, rather than skipping the pipe
+    val oml =
+      """name : kw
+        ---
+        main = read(msg) | extract_main_word ;
+        sao = read(msg) | extract_subject_object ;
+      """
+    val model = OmlText.parse(oml)
+    val out = new OmlEval(model, semanticEnabled = false).transform(Vector(
+      WField("msg", WChars("服务器连接数据库超时")))).get
+    val m = out.map(f => f.name -> f.value).toMap
+    assert(m("main") == WChars(""))
+    assert(m("sao") == WObj(Vector.empty))
+  }
 }
