@@ -6,9 +6,12 @@ package graft.wpl
 object ThroughputMain {
   def bench(name: String, wpl: String, line: String, n: Int): Unit = {
     val mp = Runtime.compile(wpl)
-    // warmup
+    // warmup: 500k iterations — a cold JVM needs several hundred k to
+    // fully tier up the parse loop; at 20k the first benchmark
+    // under-reported steady-state by ~2x (same nginx rule: 1442 ns/line
+    // with 20k warmup vs 763 ns/line fully warm, this host)
     var i = 0
-    while (i < 20000) { mp.parseLine(line); i += 1 }
+    while (i < 500000) { mp.parseLine(line); i += 1 }
     // best-of-3 reps — the shared host throttles unpredictably, so a
     // single rep under-reports; best-of is the machine-capability number
     var best = Double.MaxValue
