@@ -87,6 +87,11 @@ object Cli {
       // recover.lock offset file; Spark's file source tracks offsets via
       // the checkpoint instead)
       main(Array("wparse", "batch", rescueDir, out, wpl) ++ omls)
+    case "wparse" :: "daemon" :: dir :: Nil if new java.io.File(dir).isDirectory =>
+      // streaming daemon over a project instance dir
+      val spark = session()
+      val q = graft.project.ProjectRun.runStream(spark, graft.project.Project.load(dir))
+      q.awaitTermination()
     case "wparse" :: "project" :: dir :: Nil =>
       // run a whole wp-proj-style instance dir (conf/wparse.toml +
       // topology + connectors) in batch

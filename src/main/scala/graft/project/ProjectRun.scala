@@ -118,11 +118,20 @@ object ProjectRun {
     try routeAndWrite(p, parsed) finally parsed.unpersist()
   }
 
-  private def routeAndWrite(p: Project.Loaded, parsed: DataFrame): Vector[SinkReport] = {
-    val reports = Vector.newBuilder[SinkReport]
+  /** One routed sink write: the filtered frame plus the line-formatting
+    * column to emit. `intercepted` carries the records the sink's filter
+    * diverted (they flow to the `intercept` infra group). */
+  final case class RoutedSink(group: String, sink: String, kind: String,
+                              path: String, line: Column, df: DataFrame,
+                              intercepted: Option[DataFrame])
+
+  /** Build the full routing plan over a parsed frame — shared by batch
+    * and streaming (per micro-batch). Pure plan construction: every
+    * entry is a filtered projection of `parsed`, no actions. */
+  def routePlan(p: Project.Loaded, parsed: DataFrame): Vector[RoutedSink] = {
+    val out = Vector.newBuilder[RoutedSink]
     val routable = col("status").isin("ok", "default", "residue-only")
 
-    // ---- business fanout -------------------------------------------
     // group match predicate over (oml_model, rule_key) wildcards
     def matchCol(g: Project.SinkGroup): Column = {
       def pats(ps: Vector[String], c: Column): Column =
@@ -134,17 +143,12 @@ object ProjectRun {
       pats(g.omlPatterns, col("oml_model")) || pats(g.rulePatterns, col("rule_key"))
     }
 
-    val bizGroups = p.business
     val anyBizMatch: Column =
-      bizGroups.map(matchCol).reduceOption(_ || _).getOrElse(lit(false))
-
-    var interceptTotal = 0L
+      p.business.map(matchCol).reduceOption(_ || _).getOrElse(lit(false))
     val interceptFrames = Vector.newBuilder[DataFrame]
-    val groupCounts = scala.collection.mutable.Map.empty[String, Long]
 
-    bizGroups.foreach { g =>
+    p.business.foreach { g =>
       val groupDf = parsed.filter(routable && matchCol(g))
-      var groupRows = 0L
       g.sinks.foreach { s =>
         val spec = SinkRouter.SinkSpec(s.name, s.filter, filterExpect = s.filterExpect,
           preTags = Project.parseTags(s.tags), fmt = s.fmt)
@@ -155,47 +159,113 @@ object ProjectRun {
             array(struct(lit(k).as("name"), lit("chars").as("dtype"), lit(v).as("sval")))))
         }
         val path = s.path.getOrElse(s"out/${g.name}-${s.name}.dat")
-        val rows =
-          if (s.kind == "file") writeText(biz, fmtLine(s.fmt), Project.resolve(p.root, path))
-          else biz.count() // non-file kinds (kafka/tcp/syslog/blackhole): count-only in batch
-        val nIcpt = if (s.filter.isDefined) { interceptFrames += icpt; icpt.count() } else 0L
-        interceptTotal += nIcpt
-        groupRows += rows
-        reports += SinkReport(g.name, s.name, path, rows, nIcpt, expectOk = true)
+        val icptOpt = if (s.filter.isDefined) { interceptFrames += icpt; Some(icpt) } else None
+        out += RoutedSink(g.name, s.name, s.kind, path, fmtLine(s.fmt), biz, icptOpt)
       }
-      groupCounts(g.name) = groupRows
     }
 
-    // ---- infra channels --------------------------------------------
-    // `raw` fmt on an infra channel emits the channel's raw payload
+    // infra channels: `raw` fmt emits the channel's raw payload
     // (original line for miss/error, residue text for residue) —
     // reference infra sinks feed wprescue re-ingest with raw text
-    def infraWrite(name: String, df: DataFrame, rawCol: Option[Column] = None): Unit =
+    def infra(name: String, df: DataFrame, rawCol: Option[Column] = None): Unit =
       p.infra.get(name).foreach { g =>
         g.sinks.foreach { s =>
           val line = if (s.fmt == "raw" && rawCol.isDefined) rawCol.get else fmtLine(s.fmt)
           val path = s.path.getOrElse(s"out/$name.dat")
-          val rows = writeText(df, line, Project.resolve(p.root, path))
-          reports += SinkReport(name, s.name, path, rows, 0L, expectOk = true)
+          out += RoutedSink(name, s.name, s.kind, path, line, df, None)
         }
       }
 
-    infraWrite("default", parsed.filter(routable && !anyBizMatch))
-    infraWrite("miss", parsed.filter(col("status") === "miss"), Some(col("raw_line")))
-    infraWrite("error", parsed.filter(col("status") === "error"), Some(col("raw_line")))
-    infraWrite("residue", parsed.filter(col("residue").isNotNull && col("residue") =!= ""),
+    infra("default", parsed.filter(routable && !anyBizMatch))
+    infra("miss", parsed.filter(col("status") === "miss"), Some(col("raw_line")))
+    infra("error", parsed.filter(col("status") === "error"), Some(col("raw_line")))
+    infra("residue", parsed.filter(col("residue").isNotNull && col("residue") =!= ""),
       Some(col("residue")))
     val icpts = interceptFrames.result()
-    if (icpts.nonEmpty) infraWrite("intercept", icpts.reduce(_ unionByName _))
+    if (icpts.nonEmpty) infra("intercept", icpts.reduce(_ unionByName _))
+    out.result()
+  }
 
-    // ---- expect validation (reference wproj data stat; share-of-total
-    // basis over all sink writes this run) -----------------------------
-    val out = reports.result()
-    val basis = out.iterator.map(_.rows).sum
-    out.map { r =>
+  private def routeAndWrite(p: Project.Loaded, parsed: DataFrame): Vector[SinkReport] = {
+    val reports = routePlan(p, parsed).map { r =>
+      val rows =
+        if (r.kind == "file") writeText(r.df, r.line, Project.resolve(p.root, r.path))
+        else r.df.count() // non-file kinds (kafka/tcp/syslog/blackhole): count-only in batch
+      val nIcpt = r.intercepted.map(_.count()).getOrElse(0L)
+      SinkReport(r.group, r.sink, r.path, rows, nIcpt, expectOk = true)
+    }
+
+    // expect validation (reference wproj data stat; share-of-total basis
+    // over all sink writes this run)
+    val basis = reports.iterator.map(_.rows).sum
+    reports.map { r =>
       val expect = (p.business ++ p.infra.values).find(_.name == r.group)
         .flatMap(_.sinks.find(_.name == r.sink)).flatMap(_.expect)
       r.copy(expectOk = expect.forall(_.ok(r.rows, basis)))
     }
+  }
+
+  // ---- streaming (wparse daemon over a project dir) -----------------
+
+  /** Run the project as a streaming daemon (reference `wparse daemon`):
+    * every enabled source becomes a stream (file tail, syslog DSv2
+    * socket source, kafka), parsed with per-source tags, unioned, and
+    * routed per micro-batch through the SAME `routePlan` as batch.
+    *
+    * Sink files are append-mode text DIRECTORIES named `<path>.d`
+    * (Spark's streaming writer shards parts per batch/partition; the
+    * reference appends to a single file — a single-writer shape that
+    * doesn't scale past one node, so the directory form is the
+    * distributed equivalent). */
+  def runStream(spark: SparkSession, p: Project.Loaded,
+                knowDb: KnowDb = KnowDb.empty,
+                enricher: graft.wpl.Enricher = graft.wpl.Enricher.empty,
+                checkpoint: Option[String] = None,
+                triggerMs: Long = 1000L): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.streaming.StreamingPipeline
+    val fileStreams = p.fileSources.filter(_.enable).map { s =>
+      val f = Project.resolve(p.root, s.path)
+      // the streaming file source wants a directory: watch the parent,
+      // glob-filtered to the configured file name (reference file
+      // sources tail one path)
+      val (dir, filter) =
+        if (f.isDirectory) (f.getPath, None) else (f.getParent, Some(f.getName))
+      val reader = spark.readStream.option("maxFilesPerTrigger", 16)
+      filter.foreach(g => reader.option("pathGlobFilter", g))
+      reader.text(dir).withColumnRenamed("value", "raw_line") -> s.tags
+    }
+    val syslogStreams = p.syslogSources.filter(_.enable).map { s =>
+      val fmt = if (s.protocol == "tcp") "graft-syslog-tcp" else "graft-syslog-udp"
+      // DSv2 sources bind 0.0.0.0; schema is (value, client_ip)
+      spark.readStream.format(fmt).option("port", s.port.toString).load()
+        .drop("client_ip").withColumnRenamed("value", "raw_line") -> s.tags
+    }
+    val kafkaStreams = p.kafkaSources.filter(_.enable).map { s =>
+      StreamingPipeline.kafkaLines(spark, s.brokers, s.topics.mkString(","))
+        .withColumnRenamed("line", "raw_line") -> s.tags
+    }
+    val streams = fileStreams ++ syslogStreams ++ kafkaStreams
+    require(streams.nonEmpty, "no enabled sources")
+    val parsedStream = streams.map { case (lines, tags) =>
+      Pipeline.run(lines, "raw_line", p.wplSource, p.omlSources.map(_._2),
+        keep = Seq("raw_line"), knowDb = knowDb, sourceTags = tags, enricher = enricher,
+        semanticEnabled = p.conf.semanticEnabled)
+    }.reduce(_ unionByName _)
+
+    parsedStream.writeStream
+      .option("checkpointLocation",
+        checkpoint.getOrElse(new File(p.root, "out/_checkpoint").getPath))
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        try routePlan(p, batch).foreach { r =>
+          if (r.kind == "file" && !r.df.isEmpty) {
+            val dir = Project.resolve(p.root, r.path + ".d")
+            r.df.select(r.line.as("value")).write.mode("append").text(dir.getPath)
+          }
+        } finally batch.unpersist()
+        ()
+      }
+      .start()
   }
 }

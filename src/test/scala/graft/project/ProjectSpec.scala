@@ -288,6 +288,32 @@ class ProjectSpec extends AnyFunSuite {
     assert(p.infra("default").sinks.head.connectorId.contains("file_raw_sink"))
   }
 
+  test("runStream: daemon over a project dir routes to append dirs") {
+    val root = modernProject()
+    val p = Project.load(root.toString)
+    val q = ProjectRun.runStream(spark, p, triggerMs = 100L)
+    try {
+      q.processAllAvailable()
+      // second file arrives while the daemon runs
+      write(root, "src_dat/gen2.dat", "user=dora st=500 op=push")
+      q.processAllAvailable()
+    } finally q.stop()
+    def lines(rel: String): Seq[String] = {
+      val dir = root.resolve(rel).toFile
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("part") && !f.getName.endsWith(".crc"))
+        .flatMap(f => scala.io.Source.fromFile(f, "UTF-8").getLines().toSeq).toSeq
+    }
+    // gen.dat + gen2.dat? The source watches the single file path; the
+    // second file is a different path, so only gen.dat flows
+    val all = lines("out/m_all.dat.d")
+    assert(all.size == 3)
+    assert(all.exists(_.startsWith("user=alice st=200")))
+    assert(lines("out/m_err.dat.d").size == 1)
+    assert(lines("out/intercept.dat.d").size == 2)
+    assert(lines("out/miss.dat.d") == Seq("%%% unparseable %%% ###"))
+  }
+
   test("glob wildcard matcher") {
     import Project.glob
     assert(glob("*", "anything"))
