@@ -79,6 +79,12 @@ object Cli {
         if (!df.isEmpty) df.write.mode("append").json(s"$out/$sink-$channel")
       }
       q.awaitTermination()
+    case "wpgen" :: "project" :: dir :: Nil =>
+      // project-driven generation (conf/wpgen.toml over a work root)
+      val spark = session()
+      graft.project.WpGenProject.run(spark, dir).foreach { r =>
+        println(s"gen ${r.ruleKey}: rows=${r.rows} -> ${r.outPath}")
+      }
     case "wpgen" :: "rule" :: wpl :: ruleKey :: n :: out :: Nil =>
       val spark = session()
       WpGen.dataset(spark, read(wpl), ruleKey, n.toLong).write.mode("overwrite").text(out)

@@ -286,6 +286,10 @@ class ProjectSpec extends AnyFunSuite {
     // infra.d present → connector-style infra groups win over framework.toml
     assert(p.infra.nonEmpty)
     assert(p.infra("default").sinks.head.connectorId.contains("file_raw_sink"))
+    // shipped conf/wpgen.toml (legacy main_conf schema) loads read-only
+    val gc = WpGenProject.loadConf(ref)
+    assert(gc.mode == "sample" && gc.count == 1000)
+    assert(gc.outPath == "./src_dat/gen.dat" && gc.outFmt == "raw")
   }
 
   test("runStream: daemon over a project dir routes to append dirs") {
@@ -312,6 +316,83 @@ class ProjectSpec extends AnyFunSuite {
     assert(lines("out/m_err.dat.d").size == 1)
     assert(lines("out/intercept.dat.d").size == 2)
     assert(lines("out/miss.dat.d") == Seq("%%% unparseable %%% ###"))
+  }
+
+  test("wpgen project: gen_field scopes honored, generated lines parse back") {
+    val root = modernProject()
+    // reference example layout: wpl/<name>/{gen_rule.wpl, gen_field.toml}
+    write(root, "wpl/simple/gen_rule.wpl",
+      "package /t { rule gen { (ip:sip,digit:code,chars:msg) } }")
+    write(root, "wpl/simple/gen_field.toml",
+      """[items.sip]
+        |gen_type = "ip"
+        |[items.sip.scope.ip]
+        |beg = "10.0.10.0"
+        |end = "10.0.10.255"
+        |[items.code]
+        |gen_type = "digit"
+        |[items.code.scope.digit]
+        |min = 200
+        |max = 299
+        |""".stripMargin)
+    write(root, "conf/wpgen.toml",
+      """version = "2.0"
+        |[generator]
+        |mode = "rule"
+        |count = 200
+        |rule_root = "./wpl/simple"
+        |[output]
+        |connect = "file_raw_sink"
+        |params = { base = "./src_dat", file = "gen_out.dat" }
+        |""".stripMargin)
+    val reports = WpGenProject.run(spark, root.toString, seed = 7)
+    assert(reports.map(_.rows).sum == 200)
+    val lines = Files.readAllLines(root.resolve("src_dat/gen_out.dat"))
+    assert(lines.size == 200)
+    // field scopes: every sip in 10.0.10.0/24, every code in 200..299
+    lines.forEach { l =>
+      val parts = l.split(" ")
+      assert(parts(0).startsWith("10.0.10."), l)
+      val code = parts(1).toInt
+      assert(code >= 200 && code <= 299, l)
+    }
+    // round trip: the generated corpus parses 100% through the project wpl
+    val mp = graft.wpl.Runtime.compile(
+      "package /t { rule gen { (ip:sip,digit:code,chars:msg) } }")
+    lines.forEach { l =>
+      assert(mp.parseLine(l).isInstanceOf[graft.wpl.PSuccess], l)
+    }
+  }
+
+  test("wpgen project: legacy main_conf schema + sample mode replay") {
+    val root = modernProject()
+    write(root, "wpl/sampled/gen_rule.wpl",
+      "package /t { rule s { (kvarr) } }")
+    write(root, "wpl/sampled/sample.dat",
+      "user=x st=1\nuser=y st=2\n")
+    write(root, "conf/wpgen.toml",
+      """version = "1.0"
+        |[main_conf]
+        |gen_ref = "sample_gen"
+        |gen_speed = 1000
+        |gen_count = 50
+        |gen_parallel = 1
+        |out_ref = "out_file"
+        |[out_file]
+        |name = "gen_file_sink"
+        |fmt = "raw"
+        |[out_file.target.file]
+        |path = "./src_dat/replay.dat"
+        |""".stripMargin)
+    val conf = WpGenProject.loadConf(root.toFile)
+    assert(conf.mode == "sample" && conf.count == 50)
+    assert(conf.outPath == "./src_dat/replay.dat")
+    val reports = WpGenProject.run(spark, root.toString)
+    // one report per rule dir; only wpl/sampled has sample.dat
+    val replay = Files.readAllLines(root.resolve("src_dat/replay.dat"))
+    assert(replay.size == 50)
+    replay.forEach(l => assert(l == "user=x st=1" || l == "user=y st=2", l))
+    assert(reports.exists(r => r.ruleKey == "sampled" && r.rows == 50))
   }
 
   test("glob wildcard matcher") {
