@@ -382,7 +382,13 @@ object Project {
     val root = new File(rootPath)
     require(root.isDirectory, s"project root not a directory: $rootPath")
     val conf = loadEngineConf(root)
-    val wplFiles = filesUnder(resolve(root, conf.wplDir), ".wpl")
+    // the parse model is `parse*.wpl` only (reference wp-proj
+    // tests.rs:157 "系统查找的是 parse*.wpl 文件") — gen_rule.wpl in the
+    // same tree belongs to wpgen, not the parser; fall back to all .wpl
+    // when no parse*.wpl exists
+    val allWpl = filesUnder(resolve(root, conf.wplDir), ".wpl")
+    val parseWpl = allWpl.filter(_.getName.startsWith("parse"))
+    val wplFiles = if (parseWpl.nonEmpty) parseWpl else allWpl
     val wplSource = wplFiles.map(readFile).mkString("\n")
     val omlSources = filesUnder(resolve(root, conf.omlDir), ".oml")
       .map(f => f.getName.stripSuffix(".oml") -> readFile(f))

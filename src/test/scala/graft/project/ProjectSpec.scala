@@ -395,6 +395,46 @@ class ProjectSpec extends AnyFunSuite {
     assert(reports.exists(r => r.ruleKey == "sampled" && r.rows == 50))
   }
 
+  test("shipped reference instance: full wpgen -> wparse -> route lifecycle") {
+    val ref = new java.io.File("/root/reference/tests/instance")
+    assume(ref.isDirectory)
+    // copy the instance to a writable root (generation + sink outputs
+    // write into the work root)
+    val root = Files.createTempDirectory("graft-instance")
+    def copyRec(src: java.io.File, dst: Path): Unit = {
+      if (src.isDirectory) {
+        Files.createDirectories(dst)
+        Option(src.listFiles()).getOrElse(Array.empty)
+          .foreach(c => copyRec(c, dst.resolve(c.getName)))
+      } else Files.copy(src.toPath, dst)
+    }
+    copyRec(ref, root)
+
+    // 1. wpgen (legacy main_conf schema, sample mode): both rule dirs
+    //    (benchmark, example/simple) replay their sample.dat pools
+    val gen = WpGenProject.run(spark, root.toString)
+    assert(gen.map(_.rows).sum == 2000, gen.toString) // 1000 per rule dir
+    assert(Files.readAllLines(root.resolve("src_dat/gen.dat")).size == 2000)
+
+    // 2. wparse batch over the instance: parse*.wpl rules + 3 oml models,
+    //    route through the legacy sink.toml groups + infra.d connectors
+    val p = Project.load(root.toString)
+    assert(Project.check(p).isEmpty, Project.check(p).mkString("; "))
+    val reports = ProjectRun.runBatch(spark, p)
+    val byName = reports.map(r => s"${r.group}/${r.sink}" -> r).toMap
+    // every record transforms (benchmark model matches /benchmark/*,
+    // example/simple matches nginx) and lands in "other" (oml = ["*"]);
+    // ignore_oml never wins first-match, so "ignore" stays empty
+    assert(byName("other/other_file").rows == 2000)
+    assert(byName("ignore/ignore_file").rows == 0)
+    assert(byName.get("miss/miss").forall(_.rows == 0))
+    val other = Files.readAllLines(root.resolve("out/other.dat"))
+    assert(other.size == 2000)
+    // kv fmt with the source tag merged and benchmark oml defaults applied
+    assert(other.stream.anyMatch(_.contains("dev_src_ip=10.0.0.1")))
+    assert(other.stream.anyMatch(_.contains("from_zone=work_zone")))
+  }
+
   test("glob wildcard matcher") {
     import Project.glob
     assert(glob("*", "anything"))
