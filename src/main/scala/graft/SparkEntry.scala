@@ -295,6 +295,15 @@ object SparkEntry {
       .select(col("doc_id"), TextAnalysis.fingerprintUdf(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** Exact embedding-cosine near-dup pairs (brute-force baseline of the
+    * LSH variant): block-keyed equi-join all-pairs, double-precision
+    * cosine — DuckDB-oracled exactly. */
+  private def qEmbPairs(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.exactCosinePairs(e, "embedding", "vec_id", 0.4)
+      .orderBy("id_a", "id_b")
+  }
+
   private def qAnnTopk(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val q = e.filter(col("vec_id") === 0).select(col("embedding")).head()
@@ -669,6 +678,7 @@ object SparkEntry {
     "dedup_simhash" -> (qSimhash _),
     "lang_id" -> (qLangId _),
     "doc_fingerprint" -> (qFingerprint _),
+    "dedup_embedding_pairs" -> (qEmbPairs _),
     "ann_cosine_topk" -> (qAnnTopk _),
     "ann_ivf_topk" -> (qAnnIvf _),
     "ann_ivf_kmeans_topk" -> (qAnnIvfKmeans _),
@@ -969,6 +979,15 @@ object SparkEntry {
          FROM inter JOIN sizes sa ON sa.doc_id = id_a
          JOIN sizes sb ON sb.doc_id = id_b
          WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+         ORDER BY id_a, id_b""",
+    "dedup_embedding_pairs" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE round(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
          ORDER BY id_a, id_b""",
     "ann_cosine_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)

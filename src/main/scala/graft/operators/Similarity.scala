@@ -105,6 +105,29 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** EXACT cosine near-duplicate pairs — the brute-force baseline the
+    * LSH variant approximates. All-pairs is inherently O(n²) compare
+    * work, but the SHAPE matters at scale: instead of a crossJoin
+    * (CartesianProduct = one partition per side-pair, BNLJ), each left
+    * row keeps its home block `id % blocks` and the right side is
+    * replicated to every block, turning the product into a shuffled
+    * equi-join on the block key — n·blocks rows shuffled, compare work
+    * spread across blocks× tasks, AQE-splittable. Use for corpora where
+    * exactness is required (oracle/validation); the LSH variant is the
+    * 100-TB path. */
+  def exactCosinePairs(df: DataFrame, vecCol: String, idCol: String,
+                       threshold: Double, blocks: Int = 16): DataFrame = {
+    val l = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
+      pmod(col(idCol), lit(blocks)).cast("int").as("blk"))
+    val r = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+      .withColumn("blk", explode(sequence(lit(0), lit(blocks - 1))))
+    l.join(r, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("v_a"), col("v_b")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   /** Distributed Lloyd k-means over the embedding column — the real IVF
     * centroid build (deterministic: first-k-by-id init, fixed iteration
     * count; every step is a Spark aggregation, nothing but the k

@@ -59,6 +59,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("exact cosine pairs is a block equi-join, not a cartesian product") {
+    val p = plan("dedup_embedding_pairs")
+    // all-pairs work is O(n^2) by definition, but the plan must
+    // distribute it: a shuffled/broadcast equi-join on the block key,
+    // never Spark's single-partition-pair CartesianProduct/BNLJ
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(800))
+  }
+
   test("KnowDb.fromDim guardrail rejects over-sized dims") {
     import graft.oml.KnowDb
     val big = spark.range(0, 200000).selectExpr("id", "repeat('x', 100) AS pad")

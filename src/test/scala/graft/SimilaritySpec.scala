@@ -27,6 +27,31 @@ class SimilaritySpec extends AnyFunSuite {
           (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x)).as("j"))
       .head().getDouble(0)
 
+  test("exact cosine pairs: known geometry, every pair found exactly once") {
+    import spark.implicits._
+    // unit vectors at known angles: (1,0), (cos60,sin60), (0,1), (-1,0)
+    val c60 = math.cos(math.Pi / 3).toFloat; val s60 = math.sin(math.Pi / 3).toFloat
+    val df = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(c60, s60)), (2L, Array(0f, 1f)), (3L, Array(-1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.exactCosinePairs(df, "embedding", "vec_id", 0.4, blocks = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2))
+    // cos(0,1)=0.5, cos(1,2)=sin60≈0.866; all other pairs < 0.4
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((0L, 1L), (1L, 2L)))
+    assert(math.abs(pairs(0)._3 - 0.5) < 1e-6)
+    assert(math.abs(pairs(1)._3 - s60) < 1e-6)
+  }
+
+  test("exact cosine pairs superset: finds everything the LSH variant finds") {
+    val exact = Similarity.exactCosinePairs(e, "embedding", "vec_id", 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.cosineNearDupPairs(e, "embedding", "vec_id",
+        dim = e.head().getSeq[Float](1).length, threshold = 0.4, nBits = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), (lsh -- exact).take(5).toString)
+    assert(exact.nonEmpty)
+  }
+
   test("kmeans: inertia decreases vs the first-k init and assigns all cells") {
     val init = e.orderBy(col("vec_id")).limit(4)
       .select(transform(col("embedding"), x => x.cast("double")).as("v"))
