@@ -86,6 +86,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!Multimodal.decodeStub(null)._6)
   }
 
+  test("multimodal header parse: real PNG/JPEG/GIF/BMP/WAV containers") {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // PNG: signature + IHDR(len=13) with width=800, height=600
+    val png = b(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0x03, 0x20, /*800*/ 0, 0, 0x02, 0x58, /*600*/ 8, 6, 0, 0, 0)
+    assert(Multimodal.parseHeader(png) == ("png", 800, 600, 1))
+    // JPEG: SOI, APP0 (len 16), SOF0 (len 17) with height=120, width=160
+    val jpeg = b(0xFF, 0xD8,
+      0xFF, 0xE0, 0x00, 0x10) ++ new Array[Byte](14) ++
+      b(0xFF, 0xC0, 0x00, 0x11, 8, 0x00, 0x78, /*120*/ 0x00, 0xA0 /*160*/) ++
+      new Array[Byte](10)
+    assert(Multimodal.parseHeader(jpeg) == ("jpeg", 160, 120, 1))
+    // GIF89a 320x200 (little-endian)
+    val gif = "GIF89a".getBytes ++ b(0x40, 0x01, 0xC8, 0x00, 0, 0)
+    assert(Multimodal.parseHeader(gif) == ("gif", 320, 200, 1))
+    // BMP: BITMAPINFOHEADER width=64, height=-32 (top-down → abs)
+    val bmp = "BM".getBytes ++ new Array[Byte](16) ++
+      b(64, 0, 0, 0) ++ b(0xE0, 0xFF, 0xFF, 0xFF /* -32 */) ++ new Array[Byte](10)
+    assert(Multimodal.parseHeader(bmp) == ("bmp", 64, 32, 1))
+    // canonical WAV: 2ch 44100Hz 16-bit, data chunk of 8 frames
+    val wav = "RIFF".getBytes ++ b(0x24, 0, 0, 0) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ b(16, 0, 0, 0) ++
+      b(1, 0, /*PCM*/ 2, 0 /*ch*/) ++ b(0x44, 0xAC, 0, 0 /*44100*/) ++
+      b(0x10, 0xB1, 0x02, 0 /*byteRate*/) ++ b(4, 0 /*blockAlign*/) ++ b(16, 0) ++
+      "data".getBytes ++ b(32, 0, 0, 0) ++ new Array[Byte](32)
+    assert(Multimodal.parseHeader(wav) == ("wav", 44100, 2, 8))
+    // decodeStub routes container bytes through the real parser (ok=true)
+    assert(Multimodal.decodeStub(png) == ("png", png.length.toLong, 800, 600, 1, true))
+    // and non-container bytes keep the length-derived fallback
+    assert(Multimodal.parseHeader("just some text, not an image".getBytes) == null)
+  }
+
   test("multimodal feature stub: normalized 16-bin histogram") {
     val feats = Multimodal.extractFeaturesStub(Array[Byte](0, 0, 16, 127, -1))
     assert(feats.length == 16)
