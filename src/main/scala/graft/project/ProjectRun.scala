@@ -256,12 +256,27 @@ object ProjectRun {
       .option("checkpointLocation",
         checkpoint.getOrElse(new File(p.root, "out/_checkpoint").getPath))
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.persist()
-        try routePlan(p, batch).foreach { r =>
-          if (r.kind == "file" && !r.df.isEmpty) {
-            val dir = Project.resolve(p.root, r.path + ".d")
-            r.df.select(r.line.as("value")).write.mode("append").text(dir.getPath)
+        try {
+          routePlan(p, batch).foreach { r =>
+            if (r.kind == "file" && !r.df.isEmpty) {
+              val dir = Project.resolve(p.root, r.path + ".d")
+              r.df.select(r.line.as("value")).write.mode("append").text(dir.getPath)
+            }
+          }
+          // monitor sink: per-batch parse stats (reference wp-stats
+          // windowed counters → monitor infra group; the micro-batch IS
+          // the processing-time window here)
+          p.infra.get("monitor").foreach { g =>
+            val stats = batch.groupBy(col("status"), col("rule_key")).count()
+              .select(concat(lit(s"batch=$batchId status="), col("status"),
+                lit(" rule="), coalesce(col("rule_key"), lit("-")),
+                lit(" count="), col("count")).as("value"))
+            g.sinks.filter(_.kind == "file").foreach { s =>
+              val dir = Project.resolve(p.root, s.path.getOrElse("out/monitor.dat") + ".d")
+              stats.write.mode("append").text(dir.getPath)
+            }
           }
         } finally batch.unpersist()
         ()

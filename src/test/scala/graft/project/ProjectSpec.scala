@@ -126,6 +126,15 @@ class ProjectSpec extends AnyFunSuite {
         |use = "file_raw_sink"
         |params = { file = "intercept.dat" }
         |""".stripMargin)
+    write(root, "topology/sinks/infra.d/monitor.toml",
+      """version = "2.0"
+        |[sink_group]
+        |name = "monitor"
+        |[[sink_group.sinks]]
+        |name = "monitor"
+        |use = "file_raw_sink"
+        |params = { file = "monitor.dat" }
+        |""".stripMargin)
     root
   }
 
@@ -145,7 +154,7 @@ class ProjectSpec extends AnyFunSuite {
     assert(err.fmt == "json") // connector default fmt
     assert(err.filter.contains("$st == digit(404)"))
     assert(err.expect.exists(e => e.ratio.contains(0.125) && e.tol.contains(0.01)))
-    assert(p.infra.keySet == Set("default", "miss", "intercept"))
+    assert(p.infra.keySet == Set("default", "miss", "intercept", "monitor"))
     assert(Project.check(p).isEmpty, Project.check(p).mkString("; "))
   }
 
@@ -316,6 +325,10 @@ class ProjectSpec extends AnyFunSuite {
     assert(lines("out/m_err.dat.d").size == 1)
     assert(lines("out/intercept.dat.d").size == 2)
     assert(lines("out/miss.dat.d") == Seq("%%% unparseable %%% ###"))
+    // monitor sink gets per-batch parse stats
+    val mon = lines("out/monitor.dat.d")
+    assert(mon.exists(l => l.contains("status=ok") && l.contains("count=3")), mon)
+    assert(mon.exists(l => l.contains("status=miss") && l.contains("count=1")), mon)
   }
 
   test("wpgen project: gen_field scopes honored, generated lines parse back") {
