@@ -268,11 +268,30 @@ object OmlText {
     Acq(consume, keys, optKeys, jsonPath, default)
   }
 
-  private def parseValueE(s: TextCursor): ValueE = {
+  /** Literal positions (match conds) require an actual literal. */
+  private def parseLitE(s: TextCursor): ValueE = parseValueE(s) match {
+    case v: ValueE => v
+    case other => throw new OErr(s"expected literal, got reference $other", s.pos)
+  }
+
+  /** Literal or reference in value position (docs/dar/oml_static_blocks.md
+    * new DSL): `dtype(lit)` typed literal, a bare `"string"` literal, or a
+    * bare identifier — a symbol reference resolving dst-first, then
+    * static constants, then the input record (no `read()` needed). */
+  private def parseValueE(s: TextCursor): Eval = {
     s.ws()
+    if (!s.atEnd && (s.peek == '"' || s.peek == '\'')) {
+      val q = s.peek; s.pos += 1
+      val sb = new StringBuilder
+      while (!s.atEnd && s.peek != q) { sb.append(s.peek); s.pos += 1 }
+      s.expectCh(q)
+      return ValueE("chars", sb.toString)
+    }
     val t = s.takeWhile(c => VParser.isIdent(c))
     if (t.isEmpty) throw new OErr(s"expected expression near '${s.src.drop(s.pos).take(20)}'", s.pos)
-    s.ws(); s.expectCh('(')
+    s.ws()
+    if (s.atEnd || s.peek != '(') return StaticRef(t)
+    s.expectCh('(')
     var depth = 0
     val sb = new StringBuilder
     while (!s.atEnd && !(s.peek == ')' && depth == 0)) {
@@ -381,28 +400,36 @@ object OmlText {
     s.ws()
     if (s.startsWithKw("in")) {
       s.pos += 2; s.ws(); s.expectCh('('); s.ws()
-      val lo = parseValueE(s)
+      val lo = parseLitE(s)
       s.ws(); s.expectCh(','); s.ws()
-      val hi = parseValueE(s)
+      val hi = parseLitE(s)
       s.ws(); s.expectCh(')')
       CondIn(lo, hi)
     } else if (!s.atEnd && s.peek == '!') {
       s.pos += 1; s.ws()
-      CondNeq(parseValueE(s))
+      CondNeq(parseLitE(s))
     } else {
       val m = s.pos
       val name = s.takeWhile(c => VParser.isIdent(c))
       s.ws()
       if (name == "starts_with" || name == "ends_with" || name == "contains") {
-        s.expectCh('(')
-        val sb = new StringBuilder
-        while (!s.atEnd && s.peek != ')') { sb.append(s.peek); s.pos += 1 }
+        s.expectCh('('); s.ws()
+        // quote-aware: the pattern may itself contain ')' (e.g.
+        // starts_with("jk2_init() Found child") in oml_static_blocks.md)
+        val a = if (!s.atEnd && (s.peek == '"' || s.peek == '\'')) {
+          val q = s.peek; s.pos += 1
+          val sb = new StringBuilder
+          while (!s.atEnd && s.peek != q) { sb.append(s.peek); s.pos += 1 }
+          s.expectCh(q); s.ws()
+          sb.toString
+        } else {
+          val sb = new StringBuilder
+          while (!s.atEnd && s.peek != ')') { sb.append(s.peek); s.pos += 1 }
+          sb.toString.trim
+        }
         s.expectCh(')')
-        var a = sb.toString.trim
-        if (a.length >= 2 && (a.startsWith("'") || a.startsWith("\"")))
-          a = a.substring(1, a.length - 1)
         CondFun(name, a)
-      } else { s.pos = m; CondEq(parseValueE(s)) }
+      } else { s.pos = m; CondEq(parseLitE(s)) }
     }
   }
 

@@ -233,7 +233,11 @@ final class OmlEval(model: OmlAst.Model, knowDb: KnowDb = KnowDb.empty,
       }
       hit.map(_._2).orElse(default).flatMap(e2 => eval(e2, st))
     case sql: SqlE => evalSql(sql, st).flatMap(_.headOption)
-    case StaticRef(n) => staticRec.find(_.name == n).map(_.value)
+    // bare symbol reference (oml_static_blocks.md new DSL): dst-first,
+    // then src, then static constants — `EventId = target_template |
+    // get(id)` reads the just-assigned dst field, while `e1_template`
+    // in a match arm resolves from the constant pool
+    case StaticRef(n) => st.findRead(n)
   }
 
   private def condMatches(c: Cond, v: WValue): Boolean = c match {
