@@ -101,9 +101,15 @@ object ProjectRun {
 
   /** Run the project in batch over its enabled file sources. Returns
     * per-sink write reports (rows, intercepts, expect validation). */
+  /** `shardedSinks = true` writes each file sink as a part-file
+    * DIRECTORY (`<path>.d`) instead of one merged file — the shape a
+    * multi-executor deployment needs (a single-file sink serializes the
+    * whole output through one task; the reference's append-to-one-file
+    * connector has the same single-writer limit). */
   def runBatch(spark: SparkSession, p: Project.Loaded,
                knowDb: KnowDb = KnowDb.empty,
-               enricher: graft.wpl.Enricher = graft.wpl.Enricher.empty): Vector[SinkReport] = {
+               enricher: graft.wpl.Enricher = graft.wpl.Enricher.empty,
+               shardedSinks: Boolean = false): Vector[SinkReport] = {
     val sources = p.fileSources.filter(_.enable)
     require(sources.nonEmpty, "no enabled file sources")
     val parsed = sources.map { s =>
@@ -115,7 +121,7 @@ object ProjectRun {
         keep = Seq("raw_line"), knowDb = knowDb, sourceTags = s.tags, enricher = enricher,
         semanticEnabled = p.conf.semanticEnabled) // [semantic].enabled, default off
     }.reduce(_ unionByName _).persist()
-    try routeAndWrite(p, parsed) finally parsed.unpersist()
+    try routeAndWrite(p, parsed, shardedSinks) finally parsed.unpersist()
   }
 
   /** One routed sink write: the filtered frame plus the line-formatting
@@ -186,11 +192,23 @@ object ProjectRun {
     out.result()
   }
 
-  private def routeAndWrite(p: Project.Loaded, parsed: DataFrame): Vector[SinkReport] = {
+  /** Part-file-directory sink write for multi-executor scale (one
+    * merged file serializes the output through a single task). Row
+    * count comes from the (persisted) routed frame, not a re-read of
+    * the output. */
+  private def writeSharded(df: DataFrame, line: Column, out: File): Long = {
+    df.select(line.as("value")).write.mode("overwrite").text(out.getPath + ".d")
+    df.count()
+  }
+
+  private def routeAndWrite(p: Project.Loaded, parsed: DataFrame,
+                            sharded: Boolean): Vector[SinkReport] = {
     val reports = routePlan(p, parsed).map { r =>
+      val out = Project.resolve(p.root, r.path)
       val rows =
-        if (r.kind == "file") writeText(r.df, r.line, Project.resolve(p.root, r.path))
-        else r.df.count() // non-file kinds (kafka/tcp/syslog/blackhole): count-only in batch
+        if (r.kind != "file") r.df.count() // kafka/tcp/syslog/blackhole: count-only in batch
+        else if (sharded) writeSharded(r.df, r.line, out)
+        else writeText(r.df, r.line, out)
       val nIcpt = r.intercepted.map(_.count()).getOrElse(0L)
       SinkReport(r.group, r.sink, r.path, rows, nIcpt, expectOk = true)
     }
