@@ -215,20 +215,15 @@ object Base64P extends VParser("base64") {
     java.util.Base64.getEncoder.encodeToString(CharsP.gen(rnd).getBytes("UTF-8"))
 }
 
-/** sn — serial-number token: dash-joined alnum groups (reference
-  * compute/device.rs:20). */
+/** sn — serial-number token: any run of alnum/dash chars (reference
+  * compute/device.rs:33 `take_while(1.., (alpha, digit, '-'))` — NO
+  * multi-group requirement; "KMDLDLH3CW2020G2WAFA01" is a valid sn). */
 object SnP extends VParser("sn") {
   def parse(cur: Cursor, sep: Sep): Parsed = {
     val start = cur.pos
-    var groups = 1
-    while (!cur.atEnd && Character.isLetterOrDigit(cur.peek)) {
-      while (!cur.atEnd && Character.isLetterOrDigit(cur.peek)) cur.pos += 1
-      if (!cur.atEnd && cur.peek == '-' && cur.pos + 1 < cur.len &&
-          Character.isLetterOrDigit(cur.input.charAt(cur.pos + 1))) {
-        cur.pos += 1; groups += 1
-      }
-    }
-    if (cur.pos > start && groups >= 2)
+    while (!cur.atEnd && (Character.isLetterOrDigit(cur.peek) || cur.peek == '-'))
+      cur.pos += 1
+    if (cur.pos > start)
       One(WChars(cur.input.substring(start, cur.pos)))
     else { cur.pos = start; null }
   }
@@ -786,7 +781,12 @@ class TimeP(formats: Seq[TimeFormats.Fmt], override val typeName: String = "time
 
 object TimeP {
   import TimeFormats._
-  val auto = new TimeP(Seq(isoLike, mdyTime, clf, rfc2822))
+  // bsd (no-year syslog "May 17 08:28:12") comes AFTER mdyTime: on
+  // "May 15 2023 07:09:12" bsd sees "2023 07" where it needs "hh:" and
+  // fails, so mdy-with-year keeps winning; reference rfc.rs:114-119
+  // (parse_date_4) defaults the year to the current local year
+  val auto = new TimeP(Seq(isoLike, mdyTime, clf, rfc2822,
+    bsdTime(java.time.Year.now.getValue)))
   val iso = new TimeP(Seq(isoLike), "time_iso")
   val rfc3339 = new TimeP(Seq(isoLike), "time_3339")
   val rfc2822P = new TimeP(Seq(rfc2822), "time_2822")

@@ -56,10 +56,16 @@ object KvP extends VParser("kv") {
       skipSp(cur) // spaces allowed around the kv separator ("data : [..]")
       if (!cur.atEnd && (cur.peek == '=' || cur.peek == ':')) {
         cur.pos += 1
+        // spaces after the kv separator are skipped ONLY en route to a
+        // quoted/bracketed value ("data : [..]", order.rs test_pipeline3);
+        // for a plain value the space IS the field separator, so
+        // "args= flag_field=1" gives args an EMPTY value (h3c_waf
+        // fixture), not the next token
+        val p0 = cur.pos
         skipSp(cur)
         var v = quoted(cur)
         if (v == null) v = bracketed(cur)
-        if (v == null) v = VParser.tokenTo(cur, sep)
+        if (v == null) { cur.pos = p0; v = VParser.tokenTo(cur, sep) }
         Named(Vector(k -> AutoVal.typed(v)))
       } else { cur.reset(m); null }
     } else { cur.reset(m); null }

@@ -542,10 +542,19 @@ object Runtime {
   final class RuleEval(val rule: WplRule, enricher: Enricher = Enricher.empty) extends Serializable {
     private val groupEvals = rule.groups.map(new GroupEval(_, enricher))
 
-    /** Whole-line preprocessing pipes (builtins/mod.rs:51-57). */
+    /** Whole-line preprocessing pipes (builtins/mod.rs:51-57). Names
+      * are case-insensitive (registry.rs:18 uppercases), and the bare
+      * legacy aliases `base64`/`hex` from the grammar doc comments
+      * (parser/wpl_rule.rs:14-17) and the shipped h3c_waf fixture map
+      * to the decode stages. */
     private def preprocess(line: String): String = {
       var s = line
-      for (p <- rule.preprocs) {
+      for (p0 <- rule.preprocs) {
+        val p = p0.toLowerCase match {
+          case "base64" => "decode/base64"
+          case "hex" => "decode/hex"
+          case other => other
+        }
         p match {
           case "decode/base64" =>
             try s = new String(java.util.Base64.getDecoder.decode(s.trim), "UTF-8")

@@ -175,6 +175,29 @@ class WplGoldenSpec extends AnyFunSuite {
     assert(m("protocol") == WDigit(6))
   }
 
+  // F3d: the shipped h3c_waf fixture (tests/sample/h3c_waf) — |base64|
+  // whole-line preprocessing + priority-tag scope + repeated kv runs
+  test("F3d h3c_waf fixture: |base64| line with 21 kv fields parses fully") {
+    val dir = new java.io.File("/root/reference/tests/sample/h3c_waf")
+    assume(dir.isDirectory)
+    def read(n: String) = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, n).toPath), "UTF-8")
+    val mp = Runtime.compile(s"package /h3c { ${read("parse.wpl")} }")
+    val line = read("sample.dat").trim
+    val out = mp.parseLine(line)
+    val fs = fields(out)
+    val m = fs.map(f => f.name -> f.value).toMap
+    assert(m("digit") == WDigit(188))               // <188> priority tag
+    assert(m("sn") == WChars("KMDLDLH3CW2020G2WAFA01"))
+    assert(m("dip") == WIp("10.180.39.12"))
+    assert(m("url") == WChars("/OMS/uploadFile.action"))
+    assert(m("method") == WChars("POST"))
+    assert(m("rule_id") == WDigit(70001))
+    assert(m("action") == WChars("REJECT"))
+    assert(m("browser") == WDigit(0))
+    assert(fs.count(_.value.isInstanceOf[WTime]) == 2) // bsd + iso times
+  }
+
   // F5c: some_of over CJK-keyed JSON metrics (some_of.rs:82-105)
   test("F5c some_of JSON metrics with symbol guards match in any order") {
     val mp = Runtime.compile(
