@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame, Column}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.operators.{TextAnalysis, Dedup, Similarity}
+import graft.operators.{TextAnalysis, Dedup, Similarity, Skew}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -207,6 +207,18 @@ object SparkEntry {
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("hour"), col("event_type"))
+
+  /** Two-phase salted aggregation over the (skew-prone) event_type key:
+    * phase-1 partials spread each key over 8 salts, phase-2 combines —
+    * results are EXACTLY the plain GROUP BY (oracle), the plan just has
+    * no single hot reducer. */
+  private def qSkewSaltedAgg(s: SparkSession, dir: String): DataFrame =
+    Skew.saltedAgg(t(s, dir, "events"),
+      key = col("event_type"), saltSource = col("event_id"), salts = 8,
+      partialAggs = Seq(count(lit(1)).as("pn"), sum(col("value")).as("psum")),
+      finalAggs = Seq(sum(col("pn")).as("n"), round(sum(col("psum")), 2).as("sum_value")))
+      .withColumnRenamed("__key", "event_type")
+      .orderBy(col("event_type"))
 
   private def qEventsJson(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
@@ -667,6 +679,7 @@ object SparkEntry {
     "knowdb_lookup" -> (qKnowdbLookup _),
     "q_events_hourly" -> (qEventsHourly _),
     "q_events_json" -> (qEventsJson _),
+    "q_skew_salted_agg" -> (qSkewSaltedAgg _),
     "q_events_lag" -> (qEventsLag _),
     "dedup_exact" -> (qDedupExact _),
     "text_quality" -> (qTextQuality _),
@@ -898,6 +911,9 @@ object SparkEntry {
     "q_events_json" ->
       """SELECT event_type, count(*) AS n,
          CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_skew_salted_agg" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
     "q_events_lag" ->
       """SELECT user_id, event_id, sec - prev_sec AS gap_sec FROM (

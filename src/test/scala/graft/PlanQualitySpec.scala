@@ -15,6 +15,7 @@ class PlanQualitySpec extends AnyFunSuite {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts
     .getOrCreate()
 
   private val sf = "/root/testdata/sf0.001"
@@ -67,6 +68,13 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(800))
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(800))
+  }
+
+  test("salted agg: phase-1 shuffle keys include the salt") {
+    val p = plan("q_skew_salted_agg")
+    // the first (wide) exchange partitions on (key, salt) so a hot key
+    // spreads over 8 reducers; the phase-2 exchange is over partials
+    assert("hashpartitioning\\([^)]*__salt".r.findFirstIn(p).isDefined, p.take(1200))
   }
 
   test("KnowDb.fromDim guardrail rejects over-sized dims") {
