@@ -117,14 +117,22 @@ object Similarity {
     * 100-TB path. */
   def exactCosinePairs(df: DataFrame, vecCol: String, idCol: String,
                        threshold: Double, blocks: Int = 16): DataFrame = {
-    val l = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
-      pmod(col(idCol), lit(blocks)).cast("int").as("blk"))
-    val r = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    import graft.functions.VecDot.vec_dot
+    // norms once per VECTOR (not per pair), dot via the codegen VecDot
+    // kernel — the interpreted zip_with lambda costs ~µs/pair, which an
+    // O(n²) sweep multiplies into hours at corpus scale
+    val base = df.select(col(idCol), col(vecCol),
+      sqrt(vec_dot(col(vecCol), col(vecCol))).as("nrm"))
+    val l = base.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
+      col("nrm").as("nrm_a"), pmod(col(idCol), lit(blocks)).cast("int").as("blk"))
+    val r = base.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
+      col("nrm").as("nrm_b"))
       .withColumn("blk", explode(sequence(lit(0), lit(blocks - 1))))
     l.join(r, Seq("blk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("v_a"), col("v_b")), 6).as("cos_sim"))
+        round(vec_dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")), 6)
+          .as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 
