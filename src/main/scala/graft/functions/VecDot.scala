@@ -59,3 +59,84 @@ object VecDot {
       VecDot(org.apache.spark.sql.GraftExprBridge.expression(a),
         org.apache.spark.sql.GraftExprBridge.expression(b)))
 }
+
+/** Dot product of a float-array column with a CONSTANT query vector
+  * (ANN search / centroid assignment): the constant rides the codegen
+  * references array instead of being re-evaluated as an array literal
+  * per row. Fold order matches `aggregate(zip_with(v, q, _*_), 0, +)`
+  * left-to-right, so results are bit-identical to the lambda form. */
+case class VecDotConst(child: Expression, q: Seq[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val qa: Array[Double] = q.toArray
+
+  override def nullSafeEval(a: Any): Any =
+    VecDotConst.dot(a.asInstanceOf[ArrayData], qa)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("vecDotQ", qa, "double[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VecDotConst.dot($a, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VecDotConst =
+    copy(child = newChild)
+}
+
+object VecDotConst {
+  def dot(a: ArrayData, q: Array[Double]): Double = {
+    val n = math.min(a.numElements(), q.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getFloat(i).toDouble * q(i); i += 1 }
+    s
+  }
+
+  def vec_dot_q(a: Column, q: Seq[Double]): Column =
+    org.apache.spark.sql.GraftExprBridge.column(
+      VecDotConst(org.apache.spark.sql.GraftExprBridge.expression(a), q))
+}
+
+/** Squared euclidean distance of a float-array column to a CONSTANT
+  * centroid — same left-to-right `Σ(x−c)²` fold order as the
+  * zip_with/aggregate form (bit-identical, so IVF cell assignment is
+  * unchanged). */
+case class VecSqDistConst(child: Expression, c: Seq[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val ca: Array[Double] = c.toArray
+
+  override def nullSafeEval(a: Any): Any =
+    VecSqDistConst.sqDist(a.asInstanceOf[ArrayData], ca)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("vecSqC", ca, "double[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VecSqDistConst.sqDist($a, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VecSqDistConst =
+    copy(child = newChild)
+}
+
+object VecSqDistConst {
+  def sqDist(a: ArrayData, c: Array[Double]): Double = {
+    val n = math.min(a.numElements(), c.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - c(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  def vec_sqdist_q(a: Column, c: Seq[Double]): Column =
+    org.apache.spark.sql.GraftExprBridge.column(
+      VecSqDistConst(org.apache.spark.sql.GraftExprBridge.expression(a), c))
+}

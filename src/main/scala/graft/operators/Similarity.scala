@@ -31,14 +31,22 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Cosine of a float-array column against a constant query, on the
+    * codegen VecDot kernels. The query norm folds left-to-right exactly
+    * like the old `aggregate` lambda, so results are bit-identical. */
+  def cosineToConst(vec: Column, query: Seq[Double]): Column = {
+    import graft.functions.{VecDot, VecDotConst}
+    val qNorm = math.sqrt(query.foldLeft(0.0)((acc, x) => acc + x * x))
+    VecDotConst.vec_dot_q(vec, query) /
+      (sqrt(VecDot.vec_dot(vec, vec)) * lit(qNorm))
+  }
+
   /** Brute-force cosine top-k of `df(vecCol)` vs a constant query vector. */
   def bruteForceTopK(df: DataFrame, vecCol: String, idCol: String,
-                     query: Seq[Double], k: Int): DataFrame = {
-    val q = array(query.map(lit): _*)
-    df.select(col(idCol), round(cosine(col(vecCol), q), 6).as("cos_sim"))
+                     query: Seq[Double], k: Int): DataFrame =
+    df.select(col(idCol), round(cosineToConst(col(vecCol), query), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol).asc)
       .limit(k)
-  }
 
   /** Deterministic pseudo-random hyperplanes: dim × nBits doubles derived
     * from splitmix64 — identical on every executor, no driver state. */
@@ -60,10 +68,11 @@ object Similarity {
   /** Random-hyperplane LSH bucket id (nBits-bit int) as a native column:
     * sign bits of dot(v, plane_b). */
   def lshBucket(vec: Column, dim: Int, nBits: Int): Column = {
+    import graft.functions.VecDotConst.vec_dot_q
     val planes = hyperplanes(dim, nBits)
     val bits = planes.zipWithIndex.map { case (p, i) =>
-      val pc = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(p.map(lit)): _*)
-      when(dot(vec, pc) >= 0, lit(1L << i)).otherwise(lit(0L))
+      when(vec_dot_q(vec, scala.collection.immutable.ArraySeq.unsafeWrapArray(p)) >= 0,
+        lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _).cast("int").as("lsh_bucket")
   }
@@ -83,7 +92,7 @@ object Similarity {
     val targets: Seq[Long] = qb +: (0 until (probes min nBits)).map(b => qb ^ (1L << b))
     val bucketed = df.withColumn("lsh_bucket", lshBucket(col(vecCol), dim, nBits))
     bucketed.filter(col("lsh_bucket").isin(targets: _*))
-      .select(col(idCol), round(cosine(col(vecCol), array(query.map(lit): _*)), 6).as("cos_sim"))
+      .select(col(idCol), round(cosineToConst(col(vecCol), query), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol).asc)
       .limit(k)
   }
@@ -96,12 +105,15 @@ object Similarity {
   def cosineNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
                          dim: Int, threshold: Double = 0.95,
                          nBits: Int = 8): DataFrame = {
-    val bucketed = df.select(col(idCol).as("nd_id"), col(vecCol).as("v"))
+    import graft.functions.VecDot.vec_dot
+    val bucketed = df.select(col(idCol).as("nd_id"), col(vecCol).as("v"),
+        sqrt(vec_dot(col(vecCol), col(vecCol))).as("nrm"))
       .withColumn("b", lshBucket(col("v"), dim, nBits))
     val l = bucketed.alias("l"); val r = bucketed.alias("r")
     l.join(r, col("l.b") === col("r.b") && col("l.nd_id") < col("r.nd_id"))
       .select(col("l.nd_id").as("id_a"), col("r.nd_id").as("id_b"),
-        round(cosine(col("l.v"), col("r.v")), 6).as("cos_sim"))
+        round(vec_dot(col("l.v"), col("r.v")) / (col("l.nrm") * col("r.nrm")), 6)
+          .as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 
@@ -177,10 +189,11 @@ object Similarity {
     * `centroids` (broadcast as literals), enabling partition-pruned search
     * when written `partitionBy("ivf_cell")`. */
   def ivfAssign(df: DataFrame, vecCol: String, centroids: Seq[Seq[Double]]): DataFrame = {
+    import graft.functions.VecSqDistConst.vec_sqdist_q
+    // codegen Σ(x−c)² kernel per centroid (same fold order as the old
+    // zip_with/aggregate lambda → identical cell assignment)
     val dists = centroids.zipWithIndex.map { case (c, i) =>
-      val cc = array(c.map(lit): _*)
-      struct(aggregate(zip_with(asDouble(col(vecCol)), cc, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x).as("d"), lit(i).as("cell"))
+      struct(vec_sqdist_q(col(vecCol), c).as("d"), lit(i).as("cell"))
     }
     df.withColumn("ivf_cell", array_min(array(dists: _*)).getField("cell"))
   }
