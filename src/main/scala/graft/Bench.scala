@@ -20,8 +20,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // one warmup pass over a tiny SF to JIT/codegen-compile the plans
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    // warmup passes over a tiny SF to JIT/codegen-compile the plans —
+    // including the WPL parse + OML transform interpreters, whose
+    // tiering otherwise lands entirely on the first oml_* query timed
+    // (the r1 oml_objects outlier was half warmup)
+    for (q <- Seq("q1_pricing_summary", "wpl_nginx_parse", "oml_transform",
+                  "ann_cosine_topk")) {
+      try SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
