@@ -88,6 +88,22 @@ object Cli {
     case "wpgen" :: "rule" :: wpl :: ruleKey :: n :: out :: Nil =>
       val spark = session()
       WpGen.dataset(spark, read(wpl), ruleKey, n.toLong).write.mode("overwrite").text(out)
+    case "wprescue" :: "project" :: dir :: Nil =>
+      // re-ingest a project's rescue channels (miss/error/residue file
+      // sinks hold raw payload text): parse again with the project's
+      // models, write channel outputs under out/rescued/
+      val spark = session()
+      val p = graft.project.Project.load(dir)
+      val rescueFiles = p.infra.view.filterKeys(Set("miss", "error", "residue"))
+        .values.flatMap(_.sinks).flatMap(_.path)
+        .map(graft.project.Project.resolve(p.root, _))
+        .filter(_.isFile).map(_.getPath).toSeq
+      if (rescueFiles.isEmpty) { println("nothing to rescue"); sys.exit(0) }
+      val lines = spark.read.text(rescueFiles: _*).withColumnRenamed("value", "line")
+      val parsed = graft.engine.Pipeline.run(lines, "line", p.wplSource,
+        p.omlSources.map(_._2), semanticEnabled = p.conf.semanticEnabled).persist()
+      writeChannels(parsed, new java.io.File(p.root, "out/rescued").getPath)
+      parsed.unpersist()
     case "wprescue" :: "batch" :: rescueDir :: out :: wpl :: omls =>
       // re-ingest failed raw data (reference walks rescue/*.dat with a
       // recover.lock offset file; Spark's file source tracks offsets via

@@ -448,6 +448,19 @@ class ProjectSpec extends AnyFunSuite {
     assert(other.stream.anyMatch(_.contains("from_zone=work_zone")))
   }
 
+  test("wprescue project: rescue channels re-ingest through the models") {
+    val root = modernProject()
+    ProjectRun.runBatch(spark, Project.load(root.toString))
+    assert(Files.readAllLines(root.resolve("out/miss.dat")).size == 1)
+    graft.cli.Cli.main(Array("wprescue", "project", root.toString))
+    val rescuedMiss = root.resolve("out/rescued/miss").toFile
+    val lines = Option(rescuedMiss.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("part") && !f.getName.endsWith(".crc"))
+      .flatMap(f => scala.io.Source.fromFile(f, "UTF-8").getLines().toSeq)
+    // the unparseable line is still a miss on re-ingest → miss channel again
+    assert(lines.length == 1, lines.mkString("|"))
+  }
+
   test("glob wildcard matcher") {
     import Project.glob
     assert(glob("*", "anything"))
