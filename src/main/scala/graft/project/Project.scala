@@ -364,6 +364,14 @@ object Project {
 
     val infra: Map[String, SinkGroup] =
       if (infraDir.isDirectory) {
+        // infra groups have a single consumer; `parallel` is rejected
+        // (reference build.rs:421-429 — misleading no-op otherwise)
+        tomlFilesUnder(infraDir).foreach { f =>
+          val g = Toml.parse(readFile(f)).get("sink_group").map(_.tab)
+          require(!g.exists(_.get("parallel").isDefined),
+            s"infra group does not support [sink_group].parallel ($f); " +
+              "use business.d parallel for throughput")
+        }
         routeGroups(tomlFilesUnder(infraDir), "infra").map(g => g.name -> g).toMap
       } else {
         val fw = new File(sinkRoot, "framework.toml")

@@ -461,6 +461,21 @@ class ProjectSpec extends AnyFunSuite {
     assert(lines.length == 1, lines.mkString("|"))
   }
 
+  test("infra group with parallel is rejected (reference build.rs:421-429)") {
+    val root = modernProject()
+    write(root, "topology/sinks/infra.d/bad.toml",
+      """[sink_group]
+        |name = "error"
+        |parallel = 4
+        |[[sink_group.sinks]]
+        |name = "e"
+        |use = "file_raw_sink"
+        |params = { file = "error.dat" }
+        |""".stripMargin)
+    val e = intercept[IllegalArgumentException] { Project.load(root.toString) }
+    assert(e.getMessage.contains("parallel"))
+  }
+
   test("glob wildcard matcher") {
     import Project.glob
     assert(glob("*", "anything"))
