@@ -147,6 +147,14 @@ object Project {
   private def readFile(f: File): String =
     new String(Files.readAllBytes(f.toPath), "UTF-8")
 
+  /** `${NAME}` lookup used for TOML string interpolation (reference
+    * EnvDict); defaults to the process environment. */
+  type EnvLookup = String => Option[String]
+  val SysEnv: EnvLookup = k => sys.env.get(k)
+
+  private def parseToml(f: File, env: EnvLookup): Toml.TTab =
+    Toml.envEval(Toml.parse(readFile(f)), env)
+
   private def tomlFilesUnder(dir: File): Vector[File] = {
     if (!dir.isDirectory) return Vector.empty
     val out = Vector.newBuilder[File]
@@ -181,9 +189,9 @@ object Project {
       t.substring(0, i).trim -> t.substring(i + 1).trim
     }.toMap
 
-  def loadEngineConf(root: File): EngineConf = {
+  def loadEngineConf(root: File, env: EnvLookup = SysEnv): EngineConf = {
     val f = new File(root, "conf/wparse.toml")
-    val t = if (f.isFile) Toml.parse(readFile(f)) else new TTab
+    val t = if (f.isFile) parseToml(f, env) else new TTab
     EngineConf(
       version = t.str("version").getOrElse("1.0"),
       wplDir = t.str("models", "wpl").getOrElse("./wpl"),
@@ -199,12 +207,12 @@ object Project {
     if (f.isAbsolute) f else new File(root, p.stripPrefix("./"))
   }
 
-  def loadSources(dir: File): (Vector[SourceFile], Vector[SourceKafka], Vector[SourceSyslog]) = {
+  def loadSources(dir: File, env: EnvLookup = SysEnv): (Vector[SourceFile], Vector[SourceKafka], Vector[SourceSyslog]) = {
     val files = Vector.newBuilder[SourceFile]
     val kafka = Vector.newBuilder[SourceKafka]
     val syslog = Vector.newBuilder[SourceSyslog]
     tomlFilesUnder(dir).foreach { f =>
-      val t = Toml.parse(readFile(f))
+      val t = parseToml(f, env)
       t.tables("source_file").foreach { s =>
         files += SourceFile(s.str("key").getOrElse(""), s.str("path").getOrElse(""),
           s.bool("enable").getOrElse(true), s.str("encode").getOrElse("text"),
@@ -237,11 +245,11 @@ object Project {
     None
   }
 
-  def loadConnectors(sinkRoot: File): Map[String, ConnectorDef] =
+  def loadConnectors(sinkRoot: File, env: EnvLookup = SysEnv): Map[String, ConnectorDef] =
     findConnectorsDir(sinkRoot).map { dir =>
       val m = scala.collection.mutable.LinkedHashMap.empty[String, ConnectorDef]
       tomlFilesUnder(dir).foreach { f =>
-        Toml.parse(readFile(f)).tables("connectors").foreach { c =>
+        parseToml(f, env).tables("connectors").foreach { c =>
           val id = c.str("id").getOrElse(
             throw new IllegalArgumentException(s"connector missing id in $f"))
           require(!m.contains(id), s"duplicate connector id '$id' (file $f)")
@@ -257,10 +265,10 @@ object Project {
 
   final case class Defaults(tags: Vector[String], expect: Option[ExpectSpec])
 
-  def loadDefaults(sinkRoot: File): Defaults = {
+  def loadDefaults(sinkRoot: File, env: EnvLookup = SysEnv): Defaults = {
     val f = new File(sinkRoot, "defaults.toml")
     if (!f.isFile) return Defaults(Vector.empty, None)
-    val d = Toml.parse(readFile(f)).get("defaults").map(_.tab).getOrElse(new TTab)
+    val d = parseToml(f, env).get("defaults").map(_.tab).getOrElse(new TTab)
     Defaults(d.strings("tags"), expectOf(d))
   }
 
@@ -338,13 +346,14 @@ object Project {
   private val InfraNames = Vector("default", "miss", "residue", "intercept", "monitor", "error")
 
   def loadSinkRoutes(sinkRoot: File, connectors: Map[String, ConnectorDef],
-                     defaults: Defaults): (Vector[SinkGroup], Map[String, SinkGroup]) = {
+                     defaults: Defaults,
+                     env: EnvLookup = SysEnv): (Vector[SinkGroup], Map[String, SinkGroup]) = {
     val businessDir = new File(sinkRoot, "business.d")
     val infraDir = new File(sinkRoot, "infra.d")
 
     def routeGroups(files: Vector[File], scope: String): Vector[SinkGroup] =
       files.map { f =>
-        val t = Toml.parse(readFile(f))
+        val t = parseToml(f, env)
         val g = t.get("sink_group").map(_.tab).getOrElse(
           throw new IllegalArgumentException(s"no [sink_group] in $f"))
         buildGroup(g, scope, connectors, defaults, f.getPath)
@@ -358,7 +367,7 @@ object Project {
         val legacy = tomlFilesUnder(sinkRoot).filter { f =>
           f.getName != "framework.toml" && f.getName != "defaults.toml" &&
             !f.getPath.contains("infra.d")
-        }.filter(f => Toml.parse(readFile(f)).get("sink_group").isDefined)
+        }.filter(f => parseToml(f, env).get("sink_group").isDefined)
         routeGroups(legacy, "biz")
       }
 
@@ -367,7 +376,7 @@ object Project {
         // infra groups have a single consumer; `parallel` is rejected
         // (reference build.rs:421-429 — misleading no-op otherwise)
         tomlFilesUnder(infraDir).foreach { f =>
-          val g = Toml.parse(readFile(f)).get("sink_group").map(_.tab)
+          val g = parseToml(f, env).get("sink_group").map(_.tab)
           require(!g.exists(_.get("parallel").isDefined),
             s"infra group does not support [sink_group].parallel ($f); " +
               "use business.d parallel for throughput")
@@ -377,7 +386,7 @@ object Project {
         val fw = new File(sinkRoot, "framework.toml")
         if (!fw.isFile) Map.empty
         else {
-          val t = Toml.parse(readFile(fw))
+          val t = parseToml(fw, env)
           InfraNames.flatMap { n =>
             t.get(n).map(_.tab).map(g => n -> buildGroup(g, "infra", connectors, defaults, fw.getPath))
           }.toMap
@@ -386,10 +395,10 @@ object Project {
     (business, infra)
   }
 
-  def load(rootPath: String): Loaded = {
+  def load(rootPath: String, env: EnvLookup = SysEnv): Loaded = {
     val root = new File(rootPath)
     require(root.isDirectory, s"project root not a directory: $rootPath")
-    val conf = loadEngineConf(root)
+    val conf = loadEngineConf(root, env)
     // the parse model is `parse*.wpl` only (reference wp-proj
     // tests.rs:157 "系统查找的是 parse*.wpl 文件") — gen_rule.wpl in the
     // same tree belongs to wpgen, not the parser; fall back to all .wpl
@@ -400,11 +409,11 @@ object Project {
     val wplSource = wplFiles.map(readFile).mkString("\n")
     val omlSources = filesUnder(resolve(root, conf.omlDir), ".oml")
       .map(f => f.getName.stripSuffix(".oml") -> readFile(f))
-    val (fs, ks, ss) = loadSources(resolve(root, conf.sourcesDir))
+    val (fs, ks, ss) = loadSources(resolve(root, conf.sourcesDir), env)
     val sinkRoot = resolve(root, conf.sinksDir)
-    val connectors = loadConnectors(sinkRoot)
-    val defaults = loadDefaults(sinkRoot)
-    val (business, infra) = loadSinkRoutes(sinkRoot, connectors, defaults)
+    val connectors = loadConnectors(sinkRoot, env)
+    val defaults = loadDefaults(sinkRoot, env)
+    val (business, infra) = loadSinkRoutes(sinkRoot, connectors, defaults, env)
     Loaded(root, conf, wplSource, omlSources, fs, ks, ss, connectors, business, infra)
   }
 

@@ -77,6 +77,28 @@ object Toml {
     override def toString: String = m.toString
   }
 
+  /** `${NAME}` env interpolation over every string value of a parsed
+    * table, recursively (reference orion_variate `EnvEvalable.env_eval`
+    * applied to route files / connectors / sources after load).
+    * Unset variables leave the reference text as-is (the reference
+    * keeps unresolved placeholders too). */
+  def envEval(t: TTab, lookup: String => Option[String]): TTab = {
+    val re = "\\$\\{([A-Za-z_][A-Za-z0-9_]*)\\}".r
+    def evalStr(s: String): String =
+      re.replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        lookup(m.group(1)).getOrElse(m.matched)))
+    def walk(v: TVal): TVal = v match {
+      case TStr(s) => TStr(evalStr(s))
+      case TArr(vs) => TArr(vs.map(walk))
+      case tab: TTab =>
+        val out = new TTab
+        tab.m.foreach { case (k, vv) => out.m(k) = walk(vv) }
+        out
+      case other => other
+    }
+    walk(t).asInstanceOf[TTab]
+  }
+
   def parse(src: String): TTab = {
     val root = new TTab
     var cur: TTab = root

@@ -476,6 +476,28 @@ class ProjectSpec extends AnyFunSuite {
     assert(e.getMessage.contains("parallel"))
   }
 
+  test("env interpolation: ${VAR} in TOML strings resolves via the lookup") {
+    val root = modernProject()
+    write(root, "topology/sinks/business.d/env.toml",
+      """[sink_group]
+        |name = "envgrp"
+        |oml = ["m"]
+        |[[sink_group.sinks]]
+        |name = "e"
+        |use = "file_raw_sink"
+        |params = { base = "${OUT_BASE}/data", file = "e.dat" }
+        |""".stripMargin)
+    val env: Project.EnvLookup =
+      k => if (k == "OUT_BASE") Some("/custom/out") else None
+    val p = Project.load(root.toString, env)
+    val sink = p.business.find(_.name == "envgrp").get.sinks.head
+    assert(sink.path.contains("/custom/out/data/e.dat"))
+    // unset variables keep their placeholder text (reference behavior)
+    val p2 = Project.load(root.toString, _ => None)
+    val sink2 = p2.business.find(_.name == "envgrp").get.sinks.head
+    assert(sink2.path.contains("${OUT_BASE}/data/e.dat"))
+  }
+
   test("glob wildcard matcher") {
     import Project.glob
     assert(glob("*", "anything"))
