@@ -650,9 +650,65 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Multimodal REAL decode: synthesize genuine 24-bit BMP containers
+    * (headers, BGR order, bottom-up rows, 4-byte padding) per document,
+    * decode them with the BmpCodec pixel decoder, and report per-channel
+    * means — the oracle recomputes the closed-form pixel values in SQL,
+    * so a decoder bug (offset, padding, channel order) hash-mismatches. */
+  private def qMultimodalBmp(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MediaMeta.media_meta
+    import graft.functions.MediaChannelMeans.media_channel_means
+    import graft.operators.Multimodal
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"),
+        Multimodal.synthBmpUdf(col("doc_id"),
+          (col("doc_id") % 8 + 1).cast("int"),
+          (col("doc_id") % 6 + 1).cast("int")).as("media"))
+    d.select(col("doc_id"),
+        media_meta(col("media")).as("m"),
+        media_channel_means(col("media")).as("ch"))
+      .select(col("doc_id"),
+        col("m.format").as("format"),
+        col("m.width").as("width"),
+        col("m.height").as("height"),
+        round(col("ch").getItem(0), 4).as("r_mean"),
+        round(col("ch").getItem(1), 4).as("g_mean"),
+        round(col("ch").getItem(2), 4).as("b_mean"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Multimodal WAV decode: genuine RIFF/PCM-16 containers, per-channel
+    * mean + RMS from the real sample decoder, closed-form oracle. */
+  private def qMultimodalWav(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MediaMeta.media_meta
+    import graft.functions.MediaChannelMeans.media_channel_means
+    import graft.functions.MediaChannelRms.media_channel_rms
+    import graft.operators.Multimodal
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"),
+        Multimodal.synthWavUdf(col("doc_id"), lit(2),
+          (col("doc_id") % 16 + 4).cast("int")).as("media"))
+    d.select(col("doc_id"),
+        media_meta(col("media")).as("m"),
+        media_channel_means(col("media")).as("mu"),
+        media_channel_rms(col("media")).as("rm"))
+      .select(col("doc_id"),
+        col("m.format").as("format"),
+        col("m.width").as("sample_rate"),
+        col("m.height").as("channels"),
+        col("m.n_frames").as("n_frames"),
+        round(col("mu").getItem(0), 4).as("ch0_mean"),
+        round(col("mu").getItem(1), 4).as("ch1_mean"),
+        round(col("rm").getItem(0), 4).as("ch0_rms"),
+        round(col("rm").getItem(1), 4).as("ch1_rms"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ip_range_lookup" -> (qIpRange _),
     "multimodal_meta" -> (qMultimodal _),
+    "multimodal_bmp_decode" -> (qMultimodalBmp _),
+    "multimodal_wav_decode" -> (qMultimodalWav _),
     "oml_transform" -> (qOmlTransform _),
     "oml_objects" -> (qOmlObjects _),
     "oml_sql_enrich" -> (qOmlSqlEnrich _),
@@ -722,6 +778,33 @@ object SparkEntry {
          CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS height,
          CAST(octet_length(encode(text)) // 1000 + 1 AS INT) AS n_frames
          FROM documents ORDER BY doc_id""",
+    "multimodal_bmp_decode" ->
+      """WITH dims AS (
+           SELECT doc_id, (doc_id % 8) + 1 AS w, (doc_id % 6) + 1 AS h FROM documents
+         ), px AS (
+           SELECT d.doc_id, d.w, d.h, gy.y, gx.x
+           FROM dims d,
+                LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) gy,
+                LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) gx
+         )
+         SELECT doc_id, 'bmp' AS format, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           round(avg((doc_id*31 + y*7 + x*3) % 256), 4) AS r_mean,
+           round(avg((doc_id*31 + y*7 + x*3 + 11) % 256), 4) AS g_mean,
+           round(avg((doc_id*31 + y*7 + x*3 + 22) % 256), 4) AS b_mean
+         FROM px GROUP BY doc_id, w, h ORDER BY doc_id""",
+    "multimodal_wav_decode" ->
+      """WITH dims AS (SELECT doc_id, (doc_id % 16) + 4 AS frames FROM documents),
+          smp AS (
+           SELECT d.doc_id, d.frames,
+             ((d.doc_id*131 + gi.i*17) % 2048) - 1024 AS s0,
+             ((d.doc_id*131 + gi.i*17 + 29) % 2048) - 1024 AS s1
+           FROM dims d, LATERAL (SELECT unnest(generate_series(0, d.frames - 1)) AS i) gi
+          )
+         SELECT doc_id, 'wav' AS format, CAST(8000 AS INT) AS sample_rate,
+           CAST(2 AS INT) AS channels, CAST(frames AS INT) AS n_frames,
+           round(avg(s0), 4) AS ch0_mean, round(avg(s1), 4) AS ch1_mean,
+           round(sqrt(avg(s0*s0)), 4) AS ch0_rms, round(sqrt(avg(s1*s1)), 4) AS ch1_rms
+         FROM smp GROUP BY doc_id, frames ORDER BY doc_id""",
     "oml_transform" ->
       """SELECT event_id, event_type AS etype,
          CASE WHEN event_type = 'error' THEN 'high'

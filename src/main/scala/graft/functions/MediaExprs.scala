@@ -1,0 +1,146 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.{MediaCodec, MediaCodecs, Multimodal}
+
+/** Catalyst expressions over binary media columns. These keep the
+  * metadata/feature path inside whole-stage codegen — the previous
+  * `df.rdd.mapPartitions` decode hop broke codegen AND column pruning
+  * through the decode stage; an expression restores both (the scan
+  * below a `media_meta(bin)` projection prunes to just `bin`). */
+
+private[functions] trait MediaExprHelper { self: UnaryExpression =>
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"$prettyName needs a binary input, got $other")
+  }
+}
+
+/** `media_meta(bin)` → struct<format,n_bytes,width,height,n_frames,ok>.
+  * Sniffs the codec registry; bytes matching no container fall back to
+  * deterministic length-derived metadata (ok=false) so unknown blobs
+  * stay analyzable and reproducible in oracles. */
+case class MediaMeta(child: Expression) extends UnaryExpression with MediaExprHelper {
+  override def dataType: DataType = Multimodal.mediaMetaType
+  override def prettyName: String = "media_meta"
+
+  override def nullSafeEval(a: Any): Any =
+    MediaMeta.metaOf(a.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.MediaMeta.metaOf($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): MediaMeta =
+    copy(child = newChild)
+}
+
+object MediaMeta {
+  def metaOf(b: Array[Byte]): InternalRow = {
+    val (fmt, n, w, h, f, ok) = Multimodal.sniffMeta(b)
+    InternalRow(UTF8String.fromString(fmt), n, w, h, f, ok)
+  }
+
+  def media_meta(bin: Column): Column =
+    org.apache.spark.sql.GraftExprBridge.column(
+      MediaMeta(org.apache.spark.sql.GraftExprBridge.expression(bin)))
+}
+
+/** `media_channel_means(bin)` → array<double> of per-channel sample
+  * means (R,G,B pixel means for decodable images, per-channel PCM means
+  * for audio); null when no registered codec can decode samples. */
+case class MediaChannelMeans(child: Expression) extends UnaryExpression with MediaExprHelper {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "media_channel_means"
+
+  override def nullSafeEval(a: Any): Any =
+    MediaChannelMeans.meansOf(a.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"""
+      ${ev.value} = graft.functions.MediaChannelMeans.meansOf($a);
+      ${ev.isNull} = ${ev.value} == null;""")
+
+  override protected def withNewChildInternal(newChild: Expression): MediaChannelMeans =
+    copy(child = newChild)
+}
+
+object MediaChannelMeans {
+  def meansOf(b: Array[Byte]): ArrayData =
+    MediaChannelStats.stats(b) match {
+      case null => null
+      case s => new GenericArrayData(s.means)
+    }
+
+  def media_channel_means(bin: Column): Column =
+    org.apache.spark.sql.GraftExprBridge.column(
+      MediaChannelMeans(org.apache.spark.sql.GraftExprBridge.expression(bin)))
+}
+
+/** `media_channel_rms(bin)` → array<double> of per-channel RMS
+  * (√(Σx²/n)); null when samples aren't decodable. */
+case class MediaChannelRms(child: Expression) extends UnaryExpression with MediaExprHelper {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "media_channel_rms"
+
+  override def nullSafeEval(a: Any): Any =
+    MediaChannelRms.rmsOf(a.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"""
+      ${ev.value} = graft.functions.MediaChannelRms.rmsOf($a);
+      ${ev.isNull} = ${ev.value} == null;""")
+
+  override protected def withNewChildInternal(newChild: Expression): MediaChannelRms =
+    copy(child = newChild)
+}
+
+object MediaChannelRms {
+  def rmsOf(b: Array[Byte]): ArrayData =
+    MediaChannelStats.stats(b) match {
+      case null => null
+      case s => new GenericArrayData(s.rms)
+    }
+
+  def media_channel_rms(bin: Column): Column =
+    org.apache.spark.sql.GraftExprBridge.column(
+      MediaChannelRms(org.apache.spark.sql.GraftExprBridge.expression(bin)))
+}
+
+object MediaChannelStats {
+  final class Stats(val means: Array[Double], val rms: Array[Double])
+
+  /** Shared per-channel Σx / Σx² pass; sums over sub-2^53 integer-valued
+    * samples are exact in Double, so mean = Σ/n and rms = √(Σx²/n) are
+    * deterministic across engines (the oracle recomputes them in SQL). */
+  def stats(b: Array[Byte]): Stats = {
+    val samples = MediaCodecs.find(b).flatMap(_.samples(b)).orNull
+    if (samples == null) return null
+    val nc = samples.channels.length
+    val means = new Array[Double](nc)
+    val rms = new Array[Double](nc)
+    var c = 0
+    while (c < nc) {
+      val xs = samples.channels(c)
+      var s = 0.0
+      var s2 = 0.0
+      var i = 0
+      while (i < xs.length) { val x = xs(i); s += x; s2 += x * x; i += 1 }
+      val n = math.max(xs.length, 1)
+      means(c) = s / n
+      rms(c) = math.sqrt(s2 / n)
+      c += 1
+    }
+    new Stats(means, rms)
+  }
+}

@@ -1,22 +1,25 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal (image/audio/video) column handling for training-data
   * pipelines: media ride along as opaque `binary` columns with typed
-  * metadata structs; decode / feature-extraction / resize / frame-sample
-  * run as partition-local batch transforms.
+  * metadata structs.
   *
-  * Container-HEADER parsing is REAL — magic-byte format sniffing plus
-  * PNG IHDR / JPEG SOF / GIF screen descriptor / BMP info header /
-  * canonical WAV fmt-chunk dimension extraction, all pure byte
-  * arithmetic with no codec libraries. PIXEL decode (and model
-  * inference) stays stubbed: this container has no image/audio libs, so
-  * `extractFeaturesStub` derives deterministic features and bytes that
-  * match no known container fall back to `decodeStub`'s
-  * length-derived metadata (reproducible in oracles). */
+  * Decode is REAL where byte arithmetic suffices — see [[MediaCodecs]]:
+  * full pixel decode for uncompressed 24-bit BMP, full PCM decode for
+  * 16-bit WAV, header metadata (magic + dimensions) for
+  * PNG/JPEG/GIF/MP4 whose entropy-coded payloads need external codec
+  * libraries (none in this container; the SPI is the extension point).
+  * Bytes matching no container fall back to deterministic
+  * length-derived metadata so unknown blobs stay analyzable and
+  * reproducible in oracles.
+  *
+  * The metadata/feature path runs as Catalyst expressions
+  * ([[graft.functions.MediaMeta]] etc.) inside whole-stage codegen —
+  * no RDD hop, column pruning reaches the scan. */
 object Multimodal {
 
   val mediaMetaType: StructType = StructType(Seq(
@@ -27,76 +30,23 @@ object Multimodal {
     StructField("n_frames", IntegerType),
     StructField("ok", BooleanType)))
 
-  private def be16(b: Array[Byte], i: Int): Int =
-    ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
-  private def be32(b: Array[Byte], i: Int): Int =
-    ((b(i) & 0xFF) << 24) | ((b(i + 1) & 0xFF) << 16) | ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
-  private def le16(b: Array[Byte], i: Int): Int =
-    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
-  private def le32(b: Array[Byte], i: Int): Int =
-    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) | ((b(i + 2) & 0xFF) << 16) | ((b(i + 3) & 0xFF) << 24)
-  private def ascii(b: Array[Byte], i: Int, s: String): Boolean =
-    i + s.length <= b.length && s.indices.forall(j => b(i + j) == s.charAt(j).toByte)
-
-  /** Real container-header metadata: (format, width, height, n_frames),
-    * or null if the bytes match no known container.
-    *
-    *  - PNG: 8-byte signature, IHDR width/height at offsets 16/20
-    *    (big-endian; PNG spec §11.2.2)
-    *  - JPEG: FFD8 SOI, then marker scan to the first SOFn (C0-CF minus
-    *    C4/C8/CC) for height/width
-    *  - GIF: GIF87a/89a logical-screen width/height (little-endian)
-    *  - BMP: BITMAPINFOHEADER width/|height| at 18/22
-    *  - WAV: canonical RIFF/WAVE with fmt at 12 — width=sample rate,
-    *    height=channels, n_frames=data bytes / block align
-    *  - MP4/ISO-BMFF: ftyp box at 4 (dims need a full box walk: 0x0) */
-  def parseHeader(b: Array[Byte]): (String, Int, Int, Int) = {
-    if (b == null || b.length < 12) return null
-    // PNG
-    if ((b(0) & 0xFF) == 0x89 && ascii(b, 1, "PNG") && b.length >= 24 && ascii(b, 12, "IHDR"))
-      return ("png", be32(b, 16), be32(b, 20), 1)
-    // JPEG: scan markers for SOFn
-    if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) {
-      var i = 2
-      while (i + 9 < b.length && (b(i) & 0xFF) == 0xFF) {
-        val m = b(i + 1) & 0xFF
-        if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC)
-          return ("jpeg", be16(b, i + 7), be16(b, i + 5), 1)
-        if (m == 0xD8 || (m >= 0xD0 && m <= 0xD9)) i += 2 // standalone markers
-        else i += 2 + be16(b, i + 2)
-      }
-      return ("jpeg", 0, 0, 1) // SOI but truncated before SOF
+  /** Real container-header metadata via the codec registry:
+    * (format, width, height, n_frames), or null if the bytes match no
+    * known container.
+    *  - images: width/height in pixels, n_frames = 1
+    *  - WAV: width = sample rate, height = channels, n_frames = frames
+    *  - MP4: dims need a full box walk → zeros */
+  def parseHeader(b: Array[Byte]): (String, Int, Int, Int) =
+    MediaCodecs.find(b) match {
+      case Some(c) =>
+        val m = c.meta(b)
+        (c.format, m.width, m.height, m.nFrames)
+      case None => null
     }
-    // GIF
-    if (ascii(b, 0, "GIF87a") || ascii(b, 0, "GIF89a"))
-      return ("gif", le16(b, 6), le16(b, 8), 1)
-    // BMP
-    if (ascii(b, 0, "BM") && b.length >= 26)
-      return ("bmp", le32(b, 18), math.abs(le32(b, 22)), 1)
-    // WAV (canonical layout: fmt chunk at 12)
-    if (ascii(b, 0, "RIFF") && ascii(b, 8, "WAVE") && b.length >= 44 && ascii(b, 12, "fmt ")) {
-      val channels = le16(b, 22)
-      val sampleRate = le32(b, 24)
-      val blockAlign = le16(b, 32).max(1)
-      // find the data chunk (usually at 36)
-      var i = 12
-      var frames = 0
-      while (i + 8 <= b.length) {
-        val sz = le32(b, i + 4)
-        if (ascii(b, i, "data")) { frames = sz / blockAlign; i = b.length }
-        else i += 8 + sz + (sz & 1)
-      }
-      return ("wav", sampleRate, channels, frames)
-    }
-    // MP4 / ISO-BMFF
-    if (ascii(b, 4, "ftyp")) return ("mp4", 0, 0, 0)
-    null
-  }
 
-  /** Deterministic fallback for bytes that match no known container:
-    * metadata derived purely from byte length (and thus reproducible in
-    * any oracle). */
-  def decodeStub(bytes: Array[Byte]): (String, Long, Int, Int, Int, Boolean) = {
+  /** Metadata with deterministic length-derived fallback for unknown
+    * bytes (reproducible in any oracle). */
+  def sniffMeta(bytes: Array[Byte]): (String, Long, Int, Int, Int, Boolean) = {
     if (bytes == null) return ("unknown", 0L, 0, 0, 0, false)
     val real = parseHeader(bytes)
     if (real != null)
@@ -106,42 +56,40 @@ object Multimodal {
     (fmt, n, (n % 640 + 1).toInt, (n % 480 + 1).toInt, (n / 1000 + 1).toInt, n > 0)
   }
 
-  /** Decode a binary column → metadata struct. Batched mapPartitions with
-    * a bounded batch size — the Scala analogue of mapInPandas' Arrow
-    * batches: codecs amortize setup per batch, memory stays bounded. */
-  def decode(df: DataFrame, binCol: String, outCol: String = "media_meta",
-             batchSize: Int = 256): DataFrame = {
-    val spark = df.sparkSession
-    val schema = StructType(df.schema.fields :+ StructField(outCol, mediaMetaType))
-    val binIdx = df.schema.fieldIndex(binCol)
-    val rdd = df.rdd.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
-        // per-batch codec context would be created here
-        batch.iterator.map { row =>
-          val bytes = if (row.isNullAt(binIdx)) null else row.getAs[Array[Byte]](binIdx)
-          val (fmt, n, w, h, f, ok) = decodeStub(bytes)
-          Row.fromSeq(row.toSeq :+ Row(fmt, n, w, h, f, ok))
-        }
+  /** Decode a binary column → metadata struct, as a single codegen'd
+    * projection (no RDD hop; pruning/pushdown see through it). */
+  def decode(df: DataFrame, binCol: String, outCol: String = "media_meta"): DataFrame =
+    df.withColumn(outCol, graft.functions.MediaMeta.media_meta(col(binCol)))
+
+  /** Feature extraction: for sample-decodable media (BMP/WAV built-ins)
+    * the REAL per-channel [mean, rms] pairs, zero-padded to 16 dims;
+    * otherwise a 16-bin normalized byte histogram (deterministic
+    * content fingerprint — the fallback for formats needing external
+    * codecs). First dim = channel count discriminates the two paths. */
+  def extractFeatures(bytes: Array[Byte]): Array[Float] = {
+    val out = new Array[Float](16)
+    if (bytes == null) return out
+    val st = graft.functions.MediaChannelStats.stats(bytes)
+    if (st != null) {
+      val nc = math.min(st.means.length, 7)
+      out(0) = st.means.length.toFloat
+      var c = 0
+      while (c < nc) {
+        out(1 + 2 * c) = st.means(c).toFloat
+        out(2 + 2 * c) = st.rms(c).toFloat
+        c += 1
       }
+      return out
     }
-    spark.createDataFrame(rdd, schema)
+    var i = 0
+    while (i < bytes.length) { out((bytes(i) & 0xFF) / 16) += 1.0f; i += 1 }
+    var s = 0.0f
+    out.foreach(s += _)
+    if (s > 0) { var j = 0; while (j < 16) { out(j) /= s; j += 1 } }
+    out
   }
 
-  /** Deterministic feature-extraction stub: a 16-dim byte-histogram
-    * embedding (real impl: model inference per batch). */
-  def extractFeaturesStub(bytes: Array[Byte]): Array[Float] = {
-    val hist = new Array[Float](16)
-    if (bytes != null) {
-      var i = 0
-      while (i < bytes.length) { hist((bytes(i) & 0xFF) / 16) += 1.0f; i += 1 }
-      var s = 0.0f
-      hist.foreach(s += _)
-      if (s > 0) { var j = 0; while (j < 16) { hist(j) /= s; j += 1 } }
-    }
-    hist
-  }
-
-  val extractFeaturesUdf = udf(extractFeaturesStub _)
+  val extractFeaturesUdf = udf(extractFeatures _)
 
   /** Frame sampling stub: pick every k-th "frame" offset; real impl seeks
     * keyframes. Emits (frame_idx, frame_bytes) rows via posexplode. */
@@ -164,4 +112,76 @@ object Multimodal {
       .withColumnRenamed("col", "frame_bytes")
       .drop("frames")
   }
+
+  // ---- deterministic container synthesizers (test/oracle corpus) ----
+
+  /** A real uncompressed 24-bit BMP whose pixel at (x, y) has channel
+    * values `(seed·31 + y·7 + x·3 + c·11) mod 256` for c = 0(R),1(G),
+    * 2(B) — a closed form an SQL oracle can recompute analytically
+    * while the bytes still exercise the full container layout
+    * (headers, BGR order, bottom-up rows, 4-byte row padding). */
+  def synthBmp(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val stride = (w * 3 + 3) & ~3
+    val size = 54 + stride * h
+    val b = new Array[Byte](size)
+    def putLe32(i: Int, v: Int): Unit = {
+      b(i) = v.toByte; b(i + 1) = (v >> 8).toByte
+      b(i + 2) = (v >> 16).toByte; b(i + 3) = (v >> 24).toByte
+    }
+    def putLe16(i: Int, v: Int): Unit = { b(i) = v.toByte; b(i + 1) = (v >> 8).toByte }
+    b(0) = 'B'; b(1) = 'M'
+    putLe32(2, size); putLe32(10, 54)
+    putLe32(14, 40); putLe32(18, w); putLe32(22, h)
+    putLe16(26, 1); putLe16(28, 24)
+    putLe32(34, stride * h)
+    var y = 0
+    while (y < h) {
+      val rowOff = 54 + (h - 1 - y) * stride // bottom-up storage
+      var x = 0
+      while (x < w) {
+        val base = seed * 31 + y * 7 + x * 3
+        val p = rowOff + x * 3
+        b(p) = (((base + 22) % 256 + 256) % 256).toByte     // B (c=2)
+        b(p + 1) = (((base + 11) % 256 + 256) % 256).toByte // G (c=1)
+        b(p + 2) = (((base) % 256 + 256) % 256).toByte      // R (c=0)
+        x += 1
+      }
+      y += 1
+    }
+    b
+  }
+
+  /** A real canonical PCM-16 WAV whose sample at (frame i, channel ch)
+    * is `((seed·131 + i·17 + ch·29) mod 2048) − 1024` — closed-form for
+    * oracles, real RIFF layout for the decoder. */
+  def synthWav(seed: Long, channels: Int, frames: Int, sampleRate: Int = 8000): Array[Byte] = {
+    val dataBytes = frames * channels * 2
+    val b = new Array[Byte](44 + dataBytes)
+    def putLe32(i: Int, v: Int): Unit = {
+      b(i) = v.toByte; b(i + 1) = (v >> 8).toByte
+      b(i + 2) = (v >> 16).toByte; b(i + 3) = (v >> 24).toByte
+    }
+    def putLe16(i: Int, v: Int): Unit = { b(i) = v.toByte; b(i + 1) = (v >> 8).toByte }
+    def putAscii(i: Int, s: String): Unit = s.indices.foreach(j => b(i + j) = s.charAt(j).toByte)
+    putAscii(0, "RIFF"); putLe32(4, 36 + dataBytes); putAscii(8, "WAVE")
+    putAscii(12, "fmt "); putLe32(16, 16)
+    putLe16(20, 1); putLe16(22, channels); putLe32(24, sampleRate)
+    putLe32(28, sampleRate * channels * 2)
+    putLe16(32, channels * 2); putLe16(34, 16)
+    putAscii(36, "data"); putLe32(40, dataBytes)
+    var i = 0
+    while (i < frames) {
+      var c = 0
+      while (c < channels) {
+        val v = (((seed * 131 + i * 17 + c * 29) % 2048 + 2048) % 2048 - 1024).toInt
+        putLe16(44 + (i * channels + c) * 2, v & 0xFFFF)
+        c += 1
+      }
+      i += 1
+    }
+    b
+  }
+
+  val synthBmpUdf = udf(synthBmp _)
+  val synthWavUdf = udf((seed: Long, channels: Int, frames: Int) => synthWav(seed, channels, frames))
 }

@@ -1,0 +1,177 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{BmpCodec, MediaCodecs, Multimodal, WavCodec}
+import graft.functions.{MediaChannelStats, MediaMeta}
+
+/** Real multimodal decode: BMP pixel rows and WAV PCM frames are pure
+  * byte arithmetic — these tests verify the decoders against the
+  * closed-form synthesizers (so a header-offset, padding, channel-order
+  * or sign bug fails loudly) and that the metadata path runs as a
+  * codegen expression with no RDD hop. */
+class MediaCodecSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def expectedBmpMean(seed: Long, w: Int, h: Int, c: Int): Double = {
+    var s = 0.0
+    for (y <- 0 until h; x <- 0 until w)
+      s += ((seed * 31 + y * 7 + x * 3 + c * 11) % 256 + 256) % 256
+    s / (w * h)
+  }
+
+  test("BMP synth → decode round-trip: meta + channel means match closed form") {
+    for (seed <- Seq(0L, 7L, 123L); (w, h) <- Seq((1, 1), (3, 2), (8, 5), (5, 7))) {
+      val bytes = Multimodal.synthBmp(seed, w, h)
+      assert(BmpCodec.sniff(bytes))
+      val m = BmpCodec.meta(bytes)
+      assert(m.width == w && m.height == h)
+      val s = BmpCodec.samples(bytes).get
+      assert(s.channels.length == 3)
+      assert(s.channels(0).length == w * h)
+      val st = MediaChannelStats.stats(bytes)
+      for (c <- 0 until 3)
+        assert(st.means(c) == expectedBmpMean(seed, w, h, c),
+          s"seed=$seed w=$w h=$h c=$c")
+    }
+  }
+
+  test("BMP row padding and bottom-up order are undone correctly") {
+    // w=3 → raw row 9 bytes, stride 12: padding bugs shift channels
+    val bytes = Multimodal.synthBmp(5L, 3, 4)
+    val s = BmpCodec.samples(bytes).get
+    // pixel (x=0, y=0) is the TOP-left in scan order; its R value:
+    assert(s.channels(0)(0) == ((5L * 31) % 256).toDouble)
+    // pixel (x=2, y=3): R = (5*31 + 3*7 + 2*3) % 256
+    assert(s.channels(0)(3 * 3 + 2) == ((5L * 31 + 3 * 7 + 2 * 3) % 256).toDouble)
+  }
+
+  test("BMP top-down (negative height) decodes to the same scan order") {
+    val bu = Multimodal.synthBmp(9L, 4, 3)
+    // rewrite as top-down: negate height, reverse row blocks
+    val stride = (4 * 3 + 3) & ~3
+    val td = bu.clone()
+    val hNeg = -3
+    td(22) = hNeg.toByte; td(23) = (hNeg >> 8).toByte
+    td(24) = (hNeg >> 16).toByte; td(25) = (hNeg >> 24).toByte
+    for (y <- 0 until 3; i <- 0 until stride)
+      td(54 + y * stride + i) = bu(54 + (3 - 1 - y) * stride + i)
+    val a = BmpCodec.samples(bu).get
+    val b = BmpCodec.samples(td).get
+    for (c <- 0 until 3) assert(a.channels(c).sameElements(b.channels(c)))
+  }
+
+  test("BMP rejects non-24bpp / compressed / truncated payloads") {
+    val ok = Multimodal.synthBmp(1L, 2, 2)
+    val bpp8 = ok.clone(); bpp8(28) = 8
+    assert(BmpCodec.samples(bpp8).isEmpty)
+    val rle = ok.clone(); rle(30) = 1
+    assert(BmpCodec.samples(rle).isEmpty)
+    assert(BmpCodec.samples(ok.take(54 + 3)).isEmpty)
+    assert(BmpCodec.samples(ok).isDefined)
+  }
+
+  test("WAV synth → decode round-trip: meta + per-channel mean/RMS") {
+    for (seed <- Seq(0L, 42L); ch <- Seq(1, 2, 3); frames <- Seq(4, 19)) {
+      val bytes = Multimodal.synthWav(seed, ch, frames)
+      assert(WavCodec.sniff(bytes))
+      val m = WavCodec.meta(bytes)
+      assert(m.width == 8000 && m.height == ch && m.nFrames == frames)
+      val s = WavCodec.samples(bytes).get
+      assert(s.channels.length == ch && s.channels(0).length == frames)
+      for (c <- 0 until ch; i <- 0 until frames) {
+        val exp = ((seed * 131 + i * 17 + c * 29) % 2048 + 2048) % 2048 - 1024
+        assert(s.channels(c)(i) == exp.toDouble, s"seed=$seed ch=$c i=$i")
+      }
+      val st = MediaChannelStats.stats(bytes)
+      for (c <- 0 until ch) {
+        var sum = 0.0; var sq = 0.0
+        for (i <- 0 until frames) {
+          val v = (((seed * 131 + i * 17 + c * 29) % 2048 + 2048) % 2048 - 1024).toDouble
+          sum += v; sq += v * v
+        }
+        assert(st.means(c) == sum / frames)
+        assert(st.rms(c) == math.sqrt(sq / frames))
+      }
+    }
+  }
+
+  test("WAV decode handles negative samples (sign extension)") {
+    // seed 0, i 0, c 0 → sample -1024: encoded 0xFC00 LE
+    val bytes = Multimodal.synthWav(0L, 1, 1)
+    assert(WavCodec.samples(bytes).get.channels(0)(0) == -1024.0)
+  }
+
+  test("WAV rejects non-PCM and non-16-bit") {
+    val ok = Multimodal.synthWav(1L, 2, 4)
+    val float32 = ok.clone(); float32(20) = 3
+    assert(WavCodec.samples(float32).isEmpty)
+    val bits8 = ok.clone(); bits8(34) = 8
+    assert(WavCodec.samples(bits8).isEmpty)
+  }
+
+  test("codec SPI: registration order and custom codec extension") {
+    assert(MediaCodecs.find(Multimodal.synthBmp(1L, 2, 2)).map(_.format).contains("bmp"))
+    assert(MediaCodecs.find(Multimodal.synthWav(1L, 1, 4)).map(_.format).contains("wav"))
+    assert(MediaCodecs.find("no container here, just text".getBytes).isEmpty)
+    assert(MediaCodecs.find(null).isEmpty)
+  }
+
+  test("features: real per-channel mean/RMS for decodable media, histogram fallback") {
+    val wav = Multimodal.extractFeatures(Multimodal.synthWav(3L, 2, 8))
+    assert(wav(0) == 2.0f) // channel count discriminator
+    val st = MediaChannelStats.stats(Multimodal.synthWav(3L, 2, 8))
+    assert(wav(1) == st.means(0).toFloat && wav(2) == st.rms(0).toFloat)
+    val fallback = Multimodal.extractFeatures("plain text".getBytes)
+    assert(math.abs(fallback.sum - 1.0f) < 1e-5) // normalized histogram
+  }
+
+  test("media_meta expression: codegen plan, no RDD scan, pruning intact") {
+    import spark.implicits._
+    val df = (0L until 50L).toDF("id")
+      .withColumn("media", Multimodal.synthBmpUdf(col("id"), lit(4), lit(3)))
+      .withColumn("pad", lit("unused"))
+    val out = Multimodal.decode(df, "media")
+      .select(col("id"), col("media_meta.format"), col("media_meta.width"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan ExistingRDD"), plan)
+    val rows = out.collect()
+    assert(rows.length == 50 && rows.forall(r => r.getString(1) == "bmp" && r.getInt(2) == 4))
+  }
+
+  test("media expressions evaluate identically interpreted vs codegen") {
+    import spark.implicits._
+    import graft.functions.MediaChannelMeans.media_channel_means
+    import graft.functions.MediaChannelRms.media_channel_rms
+    val df = (0L until 10L).toDF("id")
+      .withColumn("media", Multimodal.synthWavUdf(col("id"), lit(2), lit(6)))
+      .select(col("id"), MediaMeta.media_meta(col("media")).as("m"),
+        media_channel_means(col("media")).as("mu"),
+        media_channel_rms(col("media")).as("rm"))
+    val rows = df.collect()
+    for (r <- rows) {
+      val id = r.getLong(0)
+      val st = MediaChannelStats.stats(Multimodal.synthWav(id, 2, 6))
+      val mu = r.getSeq[Double](2)
+      assert(mu == st.means.toSeq)
+      val rm = r.getSeq[Double](3)
+      assert(rm == st.rms.toSeq)
+    }
+    // null / non-media inputs
+    val n = spark.sql("SELECT CAST(NULL AS BINARY) AS media")
+      .select(media_channel_means(col("media")).as("mu"))
+    assert(n.collect()(0).isNullAt(0))
+    val txt = spark.sql("SELECT CAST('hello' AS BINARY) AS media")
+      .select(media_channel_means(col("media")).as("mu"),
+        MediaMeta.media_meta(col("media")).as("m"))
+    val row = txt.collect()(0)
+    assert(row.isNullAt(0)) // no samples for non-containers
+    assert(!row.isNullAt(1)) // but metadata falls back deterministically
+  }
+}

@@ -77,13 +77,13 @@ class OperatorsSpec extends AnyFunSuite {
     assert(f2 == Vector("plain line"))
   }
 
-  test("multimodal decode stub is deterministic in byte length") {
-    val (fmt, n, w, h, f, ok) = Multimodal.decodeStub("x".getBytes)
+  test("multimodal metadata fallback is deterministic in byte length") {
+    val (fmt, n, w, h, f, ok) = Multimodal.sniffMeta("x".getBytes)
     assert(n == 1L && fmt == "jpeg" && w == 2 && h == 2 && f == 1)
     assert(ok)
-    val (_, n2, _, _, f2, _) = Multimodal.decodeStub(new Array[Byte](2500))
+    val (_, n2, _, _, f2, _) = Multimodal.sniffMeta(new Array[Byte](2500))
     assert(n2 == 2500 && f2 == 3)
-    assert(!Multimodal.decodeStub(null)._6)
+    assert(!Multimodal.sniffMeta(null)._6)
   }
 
   test("multimodal header parse: real PNG/JPEG/GIF/BMP/WAV containers") {
@@ -113,14 +113,14 @@ class OperatorsSpec extends AnyFunSuite {
       b(0x10, 0xB1, 0x02, 0 /*byteRate*/) ++ b(4, 0 /*blockAlign*/) ++ b(16, 0) ++
       "data".getBytes ++ b(32, 0, 0, 0) ++ new Array[Byte](32)
     assert(Multimodal.parseHeader(wav) == ("wav", 44100, 2, 8))
-    // decodeStub routes container bytes through the real parser (ok=true)
-    assert(Multimodal.decodeStub(png) == ("png", png.length.toLong, 800, 600, 1, true))
+    // sniffMeta routes container bytes through the real parser (ok=true)
+    assert(Multimodal.sniffMeta(png) == ("png", png.length.toLong, 800, 600, 1, true))
     // and non-container bytes keep the length-derived fallback
     assert(Multimodal.parseHeader("just some text, not an image".getBytes) == null)
   }
 
-  test("multimodal feature stub: normalized 16-bin histogram") {
-    val feats = Multimodal.extractFeaturesStub(Array[Byte](0, 0, 16, 127, -1))
+  test("multimodal feature fallback: normalized 16-bin histogram") {
+    val feats = Multimodal.extractFeatures(Array[Byte](0, 0, 16, 127, -1))
     assert(feats.length == 16)
     assert(math.abs(feats.sum - 1.0f) < 1e-5)
     assert(feats(0) == 0.4f) // two bytes in bin 0
