@@ -289,8 +289,14 @@ object SparkEntry {
         n = 3, threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** MinHash-LSH banding + exact Jaccard verification: candidates come
+    * from the bounded banding equi-join, each verified exactly — so the
+    * result (and oracle) is identical to `dedup_ngram_jaccard` while
+    * the pair-generation cost is the LSH one. DedupSpec pins the
+    * equality on the real corpus. */
   private def qMinhashLsh(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLshPairs(t(s, dir, "documents"), "text", "doc_id")
+    Dedup.minhashLshJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
+        n = 3, threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
 
   private def qSimhash(s: SparkSession, dir: String): DataFrame =
@@ -323,23 +329,21 @@ object SparkEntry {
     Similarity.bruteForceTopK(e, "embedding", "vec_id", q, 10)
   }
 
+  /** THE IVF query: real distributed-k-means centroid build (Lloyd,
+    * deterministic init, only k·dim values ever reach the driver), cell
+    * assignment via the codegen sqdist kernel, then an all-cells probe —
+    * exact by construction, so the oracle is plain brute-force SQL. The
+    * cell-pruned variant (2 probes) is `ann_ivf_kmeans_topk`, with
+    * recall pinned in SimilaritySpec. */
   private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    // coarse centroids: the first 4 vectors (deterministic; a real build
-    // would k-means these); query = vec_id 1
-    val cents = e.filter(col("vec_id") < 4).orderBy("vec_id")
-      .select("embedding").collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    val cents = Similarity.kmeansCentroids(e, "embedding", "vec_id", k = 4, iters = 3)
     val q = e.filter(col("vec_id") === 1).select(col("embedding")).head()
       .getSeq[Float](0).map(_.toDouble)
     val assigned = Similarity.ivfAssign(e, "embedding", cents)
-    val qCell = cents.zipWithIndex.map { case (c, i) =>
-      (c.zip(q).map { case (x, y) => (x - y) * (x - y) }.sum, i)
-    }.min._2
-    assigned.filter(col("ivf_cell") === qCell)
+    assigned.filter(col("ivf_cell").isin(cents.indices: _*)) // probe ALL cells
       .select(col("vec_id"),
-        round(Similarity.cosine(col("embedding"),
-          array(q.map(lit): _*)), 6).as("cos_sim"))
+        round(Similarity.cosineToConst(col("embedding"), q), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(10)
   }
@@ -754,7 +758,58 @@ object SparkEntry {
     "ann_lsh_topk" -> (qAnnLsh _)
   )
 
+  /** Shared by dedup_ngram_jaccard (exact self-join) and
+    * dedup_minhash_lsh (LSH candidates + exact verification): the two
+    * queries compute the same relation by different physical routes, so
+    * they share one oracle. */
+  private val ngramJaccardOracle: String =
+    """WITH toks AS (
+         SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+           x -> len(x) > 0) AS t FROM documents),
+       sh0 AS (
+         SELECT doc_id, t, unnest(generate_series(1, greatest(len(t)-2, 0))) AS i
+         FROM toks),
+       shAll AS (
+         SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+         FROM sh0),
+       rare AS (SELECT shingle FROM shAll GROUP BY shingle HAVING count(*) < 100),
+       sh AS (SELECT shAll.* FROM shAll JOIN rare USING (shingle)),
+       sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       inter AS (
+         SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS n_inter
+         FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+         GROUP BY l.doc_id, r.doc_id)
+       SELECT id_a, id_b,
+         round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+       FROM inter JOIN sizes sa ON sa.doc_id = id_a
+       JOIN sizes sb ON sb.doc_id = id_b
+       WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+       ORDER BY id_a, id_b"""
+
+  /** The LSH top-k oracle reproduces the APPROXIMATE semantics exactly:
+    * the hyperplanes are deterministic splitmix64 constants, so the SQL
+    * embeds the same plane values and recomputes bucket ids + the
+    * probed-bucket pruned cosine top-k — any drift in plane generation,
+    * bucket arithmetic, or probing hash-mismatches. */
+  private def annLshOracle(dim: Int, nBits: Int, probes: Int): String = {
+    val planes = graft.operators.Similarity.hyperplanes(dim, nBits)
+    val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product(v, [${p.mkString(",")}]) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    val targets = ("qb" +: (0 until (probes min nBits)).map(b => s"xor(qb, ${1L << b})")).mkString(", ")
+    s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        bb AS (SELECT vec_id, v, $bucketExpr AS bucket FROM b),
+        q AS (SELECT v AS qv, bucket AS qb FROM bb WHERE vec_id = 0)
+        SELECT vec_id,
+          round(list_dot_product(v, qv) /
+            (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+        FROM bb, q WHERE bucket IN ($targets)
+        ORDER BY cos_sim DESC, vec_id LIMIT 10"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "dedup_minhash_lsh" -> ngramJaccardOracle,
+    "ann_lsh_topk" -> annLshOracle(dim = 64, nBits = 8, probes = 2),
     "ip_range_lookup" ->
       """WITH probe AS (
            SELECT c_custkey,
@@ -1056,29 +1111,7 @@ object SparkEntry {
          CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
            AS BIGINT) AS n_bpe_tokens
          FROM documents ORDER BY doc_id""",
-    "dedup_ngram_jaccard" ->
-      """WITH toks AS (
-           SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
-             x -> len(x) > 0) AS t FROM documents),
-         sh0 AS (
-           SELECT doc_id, t, unnest(generate_series(1, greatest(len(t)-2, 0))) AS i
-           FROM toks),
-         shAll AS (
-           SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
-           FROM sh0),
-         rare AS (SELECT shingle FROM shAll GROUP BY shingle HAVING count(*) < 100),
-         sh AS (SELECT shAll.* FROM shAll JOIN rare USING (shingle)),
-         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-         inter AS (
-           SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS n_inter
-           FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
-           GROUP BY l.doc_id, r.doc_id)
-         SELECT id_a, id_b,
-           round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
-         FROM inter JOIN sizes sa ON sa.doc_id = id_a
-         JOIN sizes sb ON sb.doc_id = id_b
-         WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
-         ORDER BY id_a, id_b""",
+    "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_embedding_pairs" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1122,26 +1155,20 @@ object SparkEntry {
                 WHEN fr = greatest(de,en,es,fr,pt) THEN 'fr'
                 ELSE 'pt' END AS lang_pred
          FROM hits ORDER BY doc_id""",
+    // ann_ivf_topk probes ALL cells after the real k-means build, so the
+    // result is exact: the oracle is plain brute-force top-k (query 1).
     "ann_ivf_topk" ->
-      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
-           FROM embeddings WHERE vec_id < 4),
-         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
-         assign AS (
-           SELECT vec_id, cid FROM (
-             SELECT v.vec_id, c.cid,
-               row_number() OVER (PARTITION BY v.vec_id
-                 ORDER BY list_distance(ev, cv), cid) AS rn
-             FROM v, c) WHERE rn = 1),
-         qcell AS (SELECT cid FROM assign WHERE vec_id = 1),
-         q AS (SELECT ev AS qv FROM v WHERE vec_id = 1)
-         SELECT v.vec_id,
-           round(list_dot_product(ev, qv) /
-             (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
-         FROM v JOIN assign ON v.vec_id = assign.vec_id, qcell, q
-         WHERE assign.cid = qcell.cid
-         ORDER BY cos_sim DESC, v.vec_id LIMIT 10"""
-    // dedup_minhash_lsh / dedup_simhash / doc_fingerprint / ann_lsh_topk
-    // use engine-internal hash families that are not SQL-expressible →
-    // rows-only check (covered by ScalaTest instead).
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 1)
+         SELECT vec_id,
+           round(list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+             (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+              sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+         FROM embeddings, q
+         ORDER BY cos_sim DESC, vec_id LIMIT 10"""
+    // dedup_simhash / doc_fingerprint use engine-internal hash families
+    // that are not SQL-expressible → rows-only check (covered by
+    // ScalaTest instead). ann_ivf_kmeans_topk is the deliberately
+    // cell-PRUNED approximate variant (recall pinned in SimilaritySpec)
+    // → rows-only by design.
   )
 }

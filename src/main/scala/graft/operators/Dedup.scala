@@ -82,10 +82,17 @@ object Dedup {
     * Output: (id_a, id_b, n_shared_bands); id_a < id_b.
     * One wide shuffle keyed by (band, hash-of-rows) — no cross join. */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
-                      shingleN: Int = 3, nPerm: Int = 64, bands: Int = 8): DataFrame = {
+                      shingleN: Int = 3, nPerm: Int = 64, bands: Int = 8): DataFrame =
+    minhashLshPairsFromShingles(
+      shingleDf(df, textCol, idCol, shingleN, outId = "mh_id"), nPerm, bands)
+
+  /** Banding over an already-built (id, shingles) frame — callers that
+    * also verify candidates share one shingle pipeline. */
+  def minhashLshPairsFromShingles(sh: DataFrame, nPerm: Int, bands: Int): DataFrame = {
     val rowsPerBand = nPerm / bands
-    val sigd = shingleDf(df, textCol, idCol, shingleN, outId = "mh_id")
-      .select(col("mh_id"), minhashUdf(col("shingles"), lit(nPerm)).as("sig"))
+    val idCol = sh.columns.head
+    val sigd = sh.select(col(idCol).as("mh_id"),
+      minhashUdf(col("shingles"), lit(nPerm)).as("sig"))
     // persisted: both sides of the self-join consume this frame (the
     // signature UDF + shingle pipeline would otherwise run twice)
     val banded = sigd.select(col("mh_id"),
@@ -99,6 +106,43 @@ object Dedup {
         col("l.mh_id") < col("r.mh_id"))
       .groupBy(col("l.mh_id").as("id_a"), col("r.mh_id").as("id_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** MinHash-LSH near-dup detection with EXACT verification — the
+    * 100-TB dedup shape: banding proposes a bounded candidate set (an
+    * equi-join on (band, band-hash) — never all pairs), then every
+    * candidate pair is verified with the exact n-gram Jaccard over the
+    * doc-frequency-capped shingle universe. Whenever banding recall
+    * covers every true pair (P[miss] = (1−s^r)^b per pair — 6e-15 at
+    * s = 0.8 with r=2, b=32; DedupSpec pins equality on real corpora),
+    * the output IS `ngramJaccardPairs`: same rows, same oracle, at a
+    * fraction of the self-join cost on large corpora. */
+  def minhashLshJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                             n: Int = 3, threshold: Double = 0.5,
+                             maxDocFreq: Int = 100, nPerm: Int = 64,
+                             bands: Int = 32): DataFrame = {
+    val sh = shingleDf(df, textCol, idCol, n).persist()
+    val cands = minhashLshPairsFromShingles(sh, nPerm, bands)
+      .select(col("id_a"), col("id_b"))
+    // capped shingle SETS per doc (same universe as ngramJaccardPairs)
+    val ex0 = sh.select(col("jc_id"), explode_outer(col("shingles")).as("shingle"))
+      .filter(col("shingle").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
+    val sets = ex0.withColumn("df_cnt", count(lit(1)).over(w))
+      .filter(col("df_cnt") < maxDocFreq).drop("df_cnt")
+      .groupBy(col("jc_id"))
+      .agg(collect_list(col("shingle")).as("sh_set"), count(lit(1)).as("n_sh"))
+    cands
+      .join(sets.select(col("jc_id").as("id_a"), col("sh_set").as("sh_a"),
+        col("n_sh").as("sz_a")), "id_a")
+      .join(sets.select(col("jc_id").as("id_b"), col("sh_set").as("sh_b"),
+        col("n_sh").as("sz_b")), "id_b")
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
   }
 
   /** 64-bit SimHash over whitespace tokens. */
