@@ -79,10 +79,11 @@ object Cli {
         if (!df.isEmpty) df.write.mode("append").json(s"$out/$sink-$channel")
       }
       q.awaitTermination()
-    case "wpgen" :: "project" :: dir :: Nil =>
-      // project-driven generation (conf/wpgen.toml over a work root)
+    case "wpgen" :: "project" :: dir :: rest if rest.forall(_ == "--merged") =>
+      // project-driven generation (conf/wpgen.toml over a work root);
+      // --merged concatenates parts into one file (single-writer opt-in)
       val spark = session()
-      graft.project.WpGenProject.run(spark, dir).foreach { r =>
+      graft.project.WpGenProject.run(spark, dir, merged = rest.nonEmpty).foreach { r =>
         println(s"gen ${r.ruleKey}: rows=${r.rows} -> ${r.outPath}")
       }
     case "wpgen" :: "rule" :: wpl :: ruleKey :: n :: out :: Nil =>
@@ -97,7 +98,11 @@ object Cli {
       val rescueFiles = p.infra.view.filterKeys(Set("miss", "error", "residue"))
         .values.flatMap(_.sinks).flatMap(_.path)
         .map(graft.project.Project.resolve(p.root, _))
-        .filter(_.isFile).map(_.getPath).toSeq
+        .flatMap { f => // merged file, or the sharded <path>.d directory
+          if (f.isFile || f.isDirectory) Some(f)
+          else Some(new java.io.File(f.getPath + ".d")).filter(_.isDirectory)
+        }
+        .map(_.getPath).toSeq
       if (rescueFiles.isEmpty) { println("nothing to rescue"); sys.exit(0) }
       val lines = spark.read.text(rescueFiles: _*).withColumnRenamed("value", "line")
       val parsed = graft.engine.Pipeline.run(lines, "line", p.wplSource,
@@ -114,12 +119,14 @@ object Cli {
       val spark = session()
       val q = graft.project.ProjectRun.runStream(spark, graft.project.Project.load(dir))
       q.awaitTermination()
-    case "wparse" :: "project" :: dir :: Nil =>
+    case "wparse" :: "project" :: dir :: rest if rest.forall(_ == "--merged-sinks") =>
       // run a whole wp-proj-style instance dir (conf/wparse.toml +
-      // topology + connectors) in batch
+      // topology + connectors) in batch; sinks default to sharded part
+      // dirs (<path>.d) — --merged-sinks opts into single merged files
       val spark = session()
       val p = graft.project.Project.load(dir)
-      val reports = graft.project.ProjectRun.runBatch(spark, p)
+      val reports = graft.project.ProjectRun.runBatch(spark, p,
+        shardedSinks = rest.isEmpty)
       reports.foreach { r =>
         println(s"sink ${r.group}/${r.sink} -> ${r.path}: rows=${r.rows}" +
           (if (r.intercepted > 0) s" intercepted=${r.intercepted}" else "") +

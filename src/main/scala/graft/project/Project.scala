@@ -441,7 +441,10 @@ object Project {
       } catch { case e: Exception => problems += s"oml '$stem': ${e.getMessage}"; None }
     }
     p.fileSources.filter(_.enable).foreach { s =>
-      if (!resolve(p.root, s.path).isFile)
+      val f = resolve(p.root, s.path)
+      // a source path may be a single file or a part-file directory (the
+      // sharded writer's default output shape)
+      if (!f.isFile && !f.isDirectory)
         problems += s"source_file '${s.key}': path not found: ${s.path}"
     }
     p.business.foreach { g =>

@@ -99,17 +99,39 @@ object ProjectRun {
     f.delete()
   }
 
+  /** Read a sink's lines regardless of layout: a single merged file
+    * (`<path>`, opt-in mode), a sharded part directory (`<path>.d`,
+    * the default), or a bare directory at `<path>`. */
+  def readSinkLines(base: File): Vector[String] = {
+    def partLines(dir: File): Vector[String] =
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("part") && !f.getName.endsWith(".crc"))
+        .sortBy(_.getName)
+        .flatMap { f =>
+          val src = scala.io.Source.fromFile(f, "UTF-8")
+          try src.getLines().toVector finally src.close()
+        }.toVector
+    val sharded = new File(base.getPath + ".d")
+    if (base.isFile) {
+      val src = scala.io.Source.fromFile(base, "UTF-8")
+      try src.getLines().toVector finally src.close()
+    } else if (base.isDirectory) partLines(base)
+    else if (sharded.isDirectory) partLines(sharded)
+    else Vector.empty
+  }
+
   /** Run the project in batch over its enabled file sources. Returns
-    * per-sink write reports (rows, intercepts, expect validation). */
-  /** `shardedSinks = true` writes each file sink as a part-file
-    * DIRECTORY (`<path>.d`) instead of one merged file — the shape a
-    * multi-executor deployment needs (a single-file sink serializes the
-    * whole output through one task; the reference's append-to-one-file
-    * connector has the same single-writer limit). */
+    * per-sink write reports (rows, intercepts, expect validation).
+    *
+    * `shardedSinks = true` (the DEFAULT — the multi-executor shape)
+    * writes each file sink as a part-file DIRECTORY (`<path>.d`); a
+    * single merged file serializes the whole output through one task,
+    * so it is the opt-in (`shardedSinks = false`, CLI `--merged-sinks`)
+    * for byte-parity with the reference's append-to-one-file connector. */
   def runBatch(spark: SparkSession, p: Project.Loaded,
                knowDb: KnowDb = KnowDb.empty,
                enricher: graft.wpl.Enricher = graft.wpl.Enricher.empty,
-               shardedSinks: Boolean = false): Vector[SinkReport] = {
+               shardedSinks: Boolean = true): Vector[SinkReport] = {
     val sources = p.fileSources.filter(_.enable)
     require(sources.nonEmpty, "no enabled file sources")
     val parsed = sources.map { s =>

@@ -1,7 +1,6 @@
 package graft.project
 
 import java.io.File
-import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.SparkSession
 import graft.gen.WpGen
 import graft.project.Toml.TTab
@@ -127,9 +126,18 @@ object WpGenProject {
   final case class GenReport(ruleKey: String, rows: Long, outPath: String)
 
   /** Run project generation: every gen rule (or sample pool) produces
-    * `count` lines appended under the configured out path. Distributed:
-    * `spark.range(count)` partitions carry independent seeded RNGs. */
-  def run(spark: SparkSession, rootPath: String, seed: Long = 42L): Vector[GenReport] = {
+    * `count` lines under the configured out path. Fully distributed:
+    * `spark.range(count)` partitions carry independent seeded RNGs and
+    * the output is a distributed text write — no generated row ever
+    * passes through the driver.
+    *
+    * `merged = false` (default) writes a part-file DIRECTORY at the out
+    * path — the multi-executor shape; `merged = true` concatenates the
+    * part files into one file (byte-level stream copy on the driver, for
+    * parity with the reference's single output file / for sources that
+    * tail one path). */
+  def run(spark: SparkSession, rootPath: String, seed: Long = 42L,
+          merged: Boolean = false): Vector[GenReport] = {
     val root = new File(rootPath)
     val conf = loadConf(root)
     val engine = Project.loadEngineConf(root)
@@ -138,32 +146,57 @@ object WpGenProject {
     outFile.getParentFile.mkdirs()
     val dirs = findRuleDirs(ruleRoot)
     require(dirs.nonEmpty, s"no gen_rule.wpl under $ruleRoot")
-    val reports = Vector.newBuilder[GenReport]
-    val writer = new java.io.PrintWriter(new java.io.FileWriter(outFile, false))
-    try dirs.foreach { d =>
+
+    import org.apache.spark.sql.Dataset
+    val perDir: Vector[(String, Option[Dataset[String]])] = dirs.map { d =>
       val wpl = readFile(new File(d, "gen_rule.wpl"))
-      val lines: Iterator[String] = conf.mode match {
+      val ds: Option[Dataset[String]] = conf.mode match {
         case "sample" =>
           val sample = new File(d, "sample.dat")
-          if (!sample.isFile) Iterator.empty
+          if (!sample.isFile) None
           else {
             import spark.implicits._
             val pool = spark.createDataset(
               readFile(sample).linesIterator.filter(_.nonEmpty).toSeq)
-            WpGen.fromSample(spark, pool, conf.count, seed).toLocalIterator().asScala
+            Some(WpGen.fromSample(spark, pool, conf.count, seed))
           }
         case _ =>
           val fieldConf = loadFieldConf(new File(d, "gen_field.toml"))
-          graft.wpl.WplText.parsePackages(wpl).iterator.flatMap { rule =>
-            datasetWithConf(spark, wpl, rule.key, conf.count, seed, fieldConf)
-              .toLocalIterator().asScala
-          }
+          graft.wpl.WplText.parsePackages(wpl)
+            .map(rule => datasetWithConf(spark, wpl, rule.key, conf.count, seed, fieldConf))
+            .reduceOption(_ union _)
       }
-      var n = 0L
-      lines.foreach { l => writer.println(l); n += 1 }
-      reports += GenReport(d.getName, n, outFile.getPath)
-    } finally writer.close()
-    reports.result()
+      d.getName -> ds.map(_.persist())
+    }
+    try {
+      val reports = perDir.map { case (name, ds) =>
+        GenReport(name, ds.map(_.count()).getOrElse(0L), outFile.getPath)
+      }
+      val all = perDir.flatMap(_._2).reduceOption(_ union _)
+      all match {
+        case None => java.nio.file.Files.write(outFile.toPath, Array.empty[Byte])
+        case Some(ds) if !merged =>
+          deleteRec(outFile)
+          ds.write.mode("overwrite").text(outFile.getPath)
+        case Some(ds) =>
+          val tmp = outFile.getPath + ".spark"
+          ds.write.mode("overwrite").text(tmp)
+          // byte-level part concat (no row iteration on the driver)
+          val parts = Option(new File(tmp).listFiles()).getOrElse(Array.empty)
+            .filter(f => f.getName.startsWith("part") && !f.getName.endsWith(".crc"))
+            .sortBy(_.getName)
+          val out = java.nio.file.Files.newOutputStream(outFile.toPath)
+          try parts.foreach(pf => java.nio.file.Files.copy(pf.toPath, out))
+          finally out.close()
+          deleteRec(new File(tmp))
+      }
+      reports
+    } finally perDir.flatMap(_._2).foreach(_.unpersist())
+  }
+
+  private def deleteRec(f: File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+    f.delete()
   }
 
   /** WpGen.dataset with per-field config overrides. */

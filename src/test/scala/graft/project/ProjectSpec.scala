@@ -198,20 +198,22 @@ class ProjectSpec extends AnyFunSuite {
     assert(byName("default/default").rows == 0)
     assert(byName("intercept/intercept").rows == 2)
 
-    val mAll = Files.readAllLines(root.resolve("out/m_all.dat"))
+    // sinks default to sharded part dirs (<path>.d); readSinkLines is
+    // layout-agnostic
+    val mAll = ProjectRun.readSinkLines(root.resolve("out/m_all.dat").toFile)
     assert(mAll.size == 3)
     // kv fmt; source tag merged as a field; defaults env tag appended as pre_tag
-    assert(mAll.get(0).startsWith("user=alice st=200"))
-    assert(mAll.get(0).contains("dev_src_ip=10.0.0.1"))
-    assert(mAll.get(0).contains("env=test"))
-    val mErr = Files.readAllLines(root.resolve("out/m_err.dat"))
+    assert(mAll(0).startsWith("user=alice st=200"))
+    assert(mAll(0).contains("dev_src_ip=10.0.0.1"))
+    assert(mAll(0).contains("env=test"))
+    val mErr = ProjectRun.readSinkLines(root.resolve("out/m_err.dat").toFile)
     assert(mErr.size == 1)
     // json fmt with typed digit unquoted
-    assert(mErr.get(0).contains("\"user\":\"bob\"") && mErr.get(0).contains("\"st\":404"))
-    val miss = Files.readAllLines(root.resolve("out/miss.dat"))
+    assert(mErr(0).contains("\"user\":\"bob\"") && mErr(0).contains("\"st\":404"))
+    val miss = ProjectRun.readSinkLines(root.resolve("out/miss.dat").toFile)
     assert(miss.size == 1)
     // raw fmt on the miss channel emits the original unparsed line
-    assert(miss.get(0) == "%%% unparseable %%% ###")
+    assert(miss(0) == "%%% unparseable %%% ###")
 
     // expect ratio 0.125: m_err rows=1 of basis 7 (3+1+1+0+2) ≈ 0.142 → violation
     assert(!byName("m_group/m_err").expectOk)
@@ -360,10 +362,11 @@ class ProjectSpec extends AnyFunSuite {
         |""".stripMargin)
     val reports = WpGenProject.run(spark, root.toString, seed = 7)
     assert(reports.map(_.rows).sum == 200)
-    val lines = Files.readAllLines(root.resolve("src_dat/gen_out.dat"))
+    // distributed write: out path is a part dir by default
+    val lines = ProjectRun.readSinkLines(root.resolve("src_dat/gen_out.dat").toFile)
     assert(lines.size == 200)
     // field scopes: every sip in 10.0.10.0/24, every code in 200..299
-    lines.forEach { l =>
+    lines.foreach { l =>
       val parts = l.split(" ")
       assert(parts(0).startsWith("10.0.10."), l)
       val code = parts(1).toInt
@@ -372,7 +375,7 @@ class ProjectSpec extends AnyFunSuite {
     // round trip: the generated corpus parses 100% through the project wpl
     val mp = graft.wpl.Runtime.compile(
       "package /t { rule gen { (ip:sip,digit:code,chars:msg) } }")
-    lines.forEach { l =>
+    lines.foreach { l =>
       assert(mp.parseLine(l).isInstanceOf[graft.wpl.PSuccess], l)
     }
   }
@@ -402,9 +405,9 @@ class ProjectSpec extends AnyFunSuite {
     assert(conf.outPath == "./src_dat/replay.dat")
     val reports = WpGenProject.run(spark, root.toString)
     // one report per rule dir; only wpl/sampled has sample.dat
-    val replay = Files.readAllLines(root.resolve("src_dat/replay.dat"))
+    val replay = ProjectRun.readSinkLines(root.resolve("src_dat/replay.dat").toFile)
     assert(replay.size == 50)
-    replay.forEach(l => assert(l == "user=x st=1" || l == "user=y st=2", l))
+    replay.foreach(l => assert(l == "user=x st=1" || l == "user=y st=2", l))
     assert(reports.exists(r => r.ruleKey == "sampled" && r.rows == 50))
   }
 
@@ -427,7 +430,7 @@ class ProjectSpec extends AnyFunSuite {
     //    (benchmark, example/simple) replay their sample.dat pools
     val gen = WpGenProject.run(spark, root.toString)
     assert(gen.map(_.rows).sum == 2000, gen.toString) // 1000 per rule dir
-    assert(Files.readAllLines(root.resolve("src_dat/gen.dat")).size == 2000)
+    assert(ProjectRun.readSinkLines(root.resolve("src_dat/gen.dat").toFile).size == 2000)
 
     // 2. wparse batch over the instance: parse*.wpl rules + 3 oml models,
     //    route through the legacy sink.toml groups + infra.d connectors
@@ -441,17 +444,17 @@ class ProjectSpec extends AnyFunSuite {
     assert(byName("other/other_file").rows == 2000)
     assert(byName("ignore/ignore_file").rows == 0)
     assert(byName.get("miss/miss").forall(_.rows == 0))
-    val other = Files.readAllLines(root.resolve("out/other.dat"))
+    val other = ProjectRun.readSinkLines(root.resolve("out/other.dat").toFile)
     assert(other.size == 2000)
     // kv fmt with the source tag merged and benchmark oml defaults applied
-    assert(other.stream.anyMatch(_.contains("dev_src_ip=10.0.0.1")))
-    assert(other.stream.anyMatch(_.contains("from_zone=work_zone")))
+    assert(other.exists(_.contains("dev_src_ip=10.0.0.1")))
+    assert(other.exists(_.contains("from_zone=work_zone")))
   }
 
   test("wprescue project: rescue channels re-ingest through the models") {
     val root = modernProject()
     ProjectRun.runBatch(spark, Project.load(root.toString))
-    assert(Files.readAllLines(root.resolve("out/miss.dat")).size == 1)
+    assert(ProjectRun.readSinkLines(root.resolve("out/miss.dat").toFile).size == 1)
     graft.cli.Cli.main(Array("wprescue", "project", root.toString))
     val rescuedMiss = root.resolve("out/rescued/miss").toFile
     val lines = Option(rescuedMiss.listFiles()).getOrElse(Array.empty)
