@@ -132,7 +132,10 @@ object Cli {
           (if (r.intercepted > 0) s" intercepted=${r.intercepted}" else "") +
           (if (r.expectOk) "" else " EXPECT-VIOLATION"))
       }
-      if (reports.exists(!_.expectOk)) sys.exit(1)
+      // expect mode=warn (the default) reports violations without
+      // failing the run; error/panic make them fatal (reference
+      // ExpectMode semantics)
+      if (reports.exists(r => !r.expectOk && r.expectEnforced)) sys.exit(1)
     case "wproj" :: "check" :: dir :: Nil if new java.io.File(dir).isDirectory =>
       // whole-project validation (reference wproj check over a work root)
       val p = graft.project.Project.load(dir)

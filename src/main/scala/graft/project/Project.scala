@@ -66,7 +66,8 @@ object Project {
       omlPatterns: Vector[String],
       rulePatterns: Vector[String],
       tags: Vector[String],
-      sinks: Vector[SinkInstance]) {
+      sinks: Vector[SinkInstance],
+      expect: Option[GroupExpect] = None) {
     /** Does a transformed record (oml model name, wpl rule key) belong
       * to this group? Empty matcher lists never match (reference
       * `FlexGroup::matches` — a group with no matchers receives
@@ -86,6 +87,41 @@ object Project {
       ratio.forall(r => math.abs(share - r) <= tol.getOrElse(0.05) + 1e-9) &&
         min.forall(share >= _ - 1e-9) && max.forall(share <= _ + 1e-9)
     }
+    /** Reference SinkExpectOverride::validate (expect.rs:20-56): range
+      * checks plus ratio/tol and min/max mutual exclusion. */
+    def validate(where: String): Unit = {
+      def inRange(v: Double, what: String): Unit =
+        require(v >= 0 && v <= 1000 && !v.isNaN,
+          s"expect $what must be in [0,1000], got $v ($where)")
+      ratio.foreach(inRange(_, "ratio"))
+      tol.foreach(t => require(t >= 0, s"expect tol must be >= 0, got $t ($where)"))
+      min.foreach(inRange(_, "min"))
+      max.foreach(inRange(_, "max"))
+      for (mn <- min; mx <- max)
+        require(mn <= mx, s"expect min must be <= max ($mn > $mx) ($where)")
+      require(!((ratio.isDefined || tol.isDefined) && (min.isDefined || max.isDefined)),
+        s"expect: ratio/tol cannot be combined with min/max ($where)")
+    }
+  }
+
+  /** Group-level expectation SPEC (reference `GroupExpectSpec`,
+    * structure/group.rs:63-107): the shared denominator basis
+    * (`group_input` default | `total_input` | `mdl:<name>`), the
+    * violation mode (warn default | error | panic), an optional
+    * tolerance on the sum of configured sink ratios, a share cap for
+    * sinks WITHOUT their own expect, and online-window gating
+    * (window/min_samples; window is ignored by offline validation).
+    * A route file's `[sink_group.expect]` wins; groups without one
+    * inherit defaults.toml's `[defaults.expect]`
+    * (build.rs apply_group_metadata:222-227). */
+  final case class GroupExpect(
+      basis: String = "group_input",
+      mode: String = "warn",
+      window: Option[String] = None,
+      minSamples: Option[Long] = None,
+      sumTol: Option[Double] = None,
+      othersMax: Option[Double] = None) {
+    def enforce: Boolean = mode != "warn"
   }
 
   final case class SourceFile(key: String, path: String, enable: Boolean,
@@ -263,13 +299,16 @@ object Project {
       m.toMap
     }.getOrElse(Map.empty)
 
-  final case class Defaults(tags: Vector[String], expect: Option[ExpectSpec])
+  /** defaults.toml body (reference `DefaultsBody`, sinks/types.rs:149-153):
+    * tags merge below every group, expect is the GROUP-level spec that
+    * groups without their own `[sink_group.expect]` inherit. */
+  final case class Defaults(tags: Vector[String], expect: Option[GroupExpect])
 
   def loadDefaults(sinkRoot: File, env: EnvLookup = SysEnv): Defaults = {
     val f = new File(sinkRoot, "defaults.toml")
     if (!f.isFile) return Defaults(Vector.empty, None)
     val d = parseToml(f, env).get("defaults").map(_.tab).getOrElse(new TTab)
-    Defaults(d.strings("tags"), expectOf(d))
+    Defaults(d.strings("tags"), groupExpectOf(d))
   }
 
   private def expectOf(t: TTab): Option[ExpectSpec] =
@@ -279,6 +318,21 @@ object Project {
         tol = e.get("tol").map(_.str.toDouble),
         min = e.get("min").map(_.str.toDouble),
         max = e.get("max").map(_.str.toDouble))
+    }
+
+  private def groupExpectOf(t: TTab): Option[GroupExpect] =
+    t.get("expect").map(_.tab).map { e =>
+      val basis = e.str("basis").getOrElse("group_input").trim.toLowerCase
+      require(basis == "group_input" || basis == "total_input" ||
+        (basis.startsWith("mdl:") && basis.length > 4),
+        s"invalid basis: $basis (group_input | total_input | mdl:<name>)")
+      val mode = e.str("mode").getOrElse("warn").trim.toLowerCase
+      require(Set("warn", "error", "panic")(mode), s"invalid expect mode: $mode")
+      GroupExpect(basis, mode,
+        window = e.str("window"),
+        minSamples = e.long("min_samples"),
+        sumTol = e.get("sum_tol").map(_.str.toDouble),
+        othersMax = e.get("others_max").map(_.str.toDouble))
     }
 
   /** Merge connector defaults with whitelisted overrides (reference
@@ -336,11 +390,20 @@ object Project {
       throw new IllegalArgumentException(s"sink_group missing name ($where)"))
     val sinks = g.tables("sinks").zipWithIndex.map { case (s, i) =>
       val inst = buildSink(s, i, name, connectors, where)
-      inst.copy(tags = defaults.tags ++ g.strings("tags") ++ inst.tags,
-        expect = inst.expect.orElse(defaults.expect))
+      inst.expect.foreach(_.validate(s"group '$name' sink '${inst.name}' $where"))
+      // assemble_sink_tags (build.rs:196-212): defaults ++ group ++ sink,
+      // appended in that order (sink entries land last). Per-sink expect
+      // is the sink's own — defaults contribute the GROUP-level spec
+      // only, never a per-sink override.
+      inst.copy(tags = defaults.tags ++ g.strings("tags") ++ inst.tags)
     }
     require(sinks.nonEmpty, s"group '$name' has no sinks ($where)")
-    SinkGroup(name, scope, g.strings("oml"), g.strings("rule"), g.strings("tags"), sinks)
+    // ensure_unique_name (build.rs:304-317)
+    sinks.groupBy(_.name).collect { case (n, ds) if ds.size > 1 => n }.headOption
+      .foreach(n => throw new IllegalArgumentException(
+        s"duplicate sink name '$n' in group '$name' ($where)"))
+    SinkGroup(name, scope, g.strings("oml"), g.strings("rule"), g.strings("tags"), sinks,
+      expect = groupExpectOf(g).orElse(defaults.expect))
   }
 
   private val InfraNames = Vector("default", "miss", "residue", "intercept", "monitor", "error")
@@ -462,6 +525,14 @@ object Project {
           try SinkRouter.parseCond(f)
           catch { case e: Exception => problems += s"sink '${g.name}/${s.name}': bad filter: ${e.getMessage}" }
         }
+      }
+      // GroupExpectSpec.sum_tol: when several sinks declare ratios, their
+      // sum is expected to cover the basis within the tolerance
+      for (ge <- g.expect; st <- ge.sumTol) {
+        val ratios = g.sinks.flatMap(_.expect).flatMap(_.ratio)
+        if (ratios.nonEmpty && math.abs(ratios.sum - 1.0) > st + 1e-9)
+          problems += f"sink group '${g.name}': sink ratios sum to ${ratios.sum}%.3f, " +
+            f"outside 1±${st}%.3f (sum_tol)"
       }
     }
     problems.result()

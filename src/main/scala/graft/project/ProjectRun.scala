@@ -31,8 +31,13 @@ import graft.sinks.SinkRouter
   * in-memory Value). */
 object ProjectRun {
 
+  /** `expectOk` is the raw share-of-basis validation result;
+    * `expectEnforced` reflects the group's expect `mode` (warn → false:
+    * violations are reported but don't fail the run — the reference's
+    * ExpectMode default). */
   final case class SinkReport(group: String, sink: String, path: String,
-                              rows: Long, intercepted: Long, expectOk: Boolean)
+                              rows: Long, intercepted: Long, expectOk: Boolean,
+                              expectEnforced: Boolean = false)
 
   /** Format one record's fields for a sink. dtypes digit/float/bool and
     * the JSON-shaped obj/array embed unquoted in json fmt (matches
@@ -153,10 +158,20 @@ object ProjectRun {
                               path: String, line: Column, df: DataFrame,
                               intercepted: Option[DataFrame])
 
+  /** routePlan plus the per-group INPUT frames (the `group_input`
+    * expect basis — records entering the group before per-sink
+    * filters). */
+  final case class RoutePlanOut(sinks: Vector[RoutedSink],
+                                groupInputs: Map[String, DataFrame])
+
   /** Build the full routing plan over a parsed frame — shared by batch
     * and streaming (per micro-batch). Pure plan construction: every
     * entry is a filtered projection of `parsed`, no actions. */
-  def routePlan(p: Project.Loaded, parsed: DataFrame): Vector[RoutedSink] = {
+  def routePlan(p: Project.Loaded, parsed: DataFrame): Vector[RoutedSink] =
+    routePlanFull(p, parsed).sinks
+
+  def routePlanFull(p: Project.Loaded, parsed: DataFrame): RoutePlanOut = {
+    val groupIns = Map.newBuilder[String, DataFrame]
     val out = Vector.newBuilder[RoutedSink]
     val routable = col("status").isin("ok", "default", "residue-only")
 
@@ -177,6 +192,7 @@ object ProjectRun {
 
     p.business.foreach { g =>
       val groupDf = parsed.filter(routable && matchCol(g))
+      groupIns += g.name -> groupDf
       g.sinks.foreach { s =>
         val spec = SinkRouter.SinkSpec(s.name, s.filter, filterExpect = s.filterExpect,
           preTags = Project.parseTags(s.tags), fmt = s.fmt)
@@ -197,6 +213,7 @@ object ProjectRun {
     // reference infra sinks feed wprescue re-ingest with raw text
     def infra(name: String, df: DataFrame, rawCol: Option[Column] = None): Unit =
       p.infra.get(name).foreach { g =>
+        groupIns += g.name -> df
         g.sinks.foreach { s =>
           val line = if (s.fmt == "raw" && rawCol.isDefined) rawCol.get else fmtLine(s.fmt)
           val path = s.path.getOrElse(s"out/$name.dat")
@@ -211,7 +228,7 @@ object ProjectRun {
       Some(col("residue")))
     val icpts = interceptFrames.result()
     if (icpts.nonEmpty) infra("intercept", icpts.reduce(_ unionByName _))
-    out.result()
+    RoutePlanOut(out.result(), groupIns.result())
   }
 
   /** Part-file-directory sink write for multi-executor scale (one
@@ -225,7 +242,8 @@ object ProjectRun {
 
   private def routeAndWrite(p: Project.Loaded, parsed: DataFrame,
                             sharded: Boolean): Vector[SinkReport] = {
-    val reports = routePlan(p, parsed).map { r =>
+    val plan = routePlanFull(p, parsed)
+    val reports = plan.sinks.map { r =>
       val out = Project.resolve(p.root, r.path)
       val rows =
         if (r.kind != "file") r.df.count() // kafka/tcp/syslog/blackhole: count-only in batch
@@ -234,14 +252,55 @@ object ProjectRun {
       val nIcpt = r.intercepted.map(_.count()).getOrElse(0L)
       SinkReport(r.group, r.sink, r.path, rows, nIcpt, expectOk = true)
     }
+    validateExpects(p, parsed, plan, reports)
+  }
 
-    // expect validation (reference wproj data stat; share-of-total basis
-    // over all sink writes this run)
-    val basis = reports.iterator.map(_.rows).sum
+  /** Share-of-basis expect validation (reference GroupExpectSpec +
+    * SinkExpectOverride): the group's expect spec (own
+    * `[sink_group.expect]`, else inherited from defaults.toml) fixes
+    * the denominator basis — `group_input` (default, records entering
+    * the group), `total_input` (all parsed records), or `mdl:<name>`
+    * (records transformed by that model) — gates on `min_samples`, and
+    * caps the total share of expect-less sinks via `others_max`.
+    * `mode` decides enforcement (warn = report only). */
+  private def validateExpects(p: Project.Loaded, parsed: DataFrame,
+                              plan: RoutePlanOut,
+                              reports: Vector[SinkReport]): Vector[SinkReport] = {
+    val groups = (p.business ++ p.infra.values).map(g => g.name -> g).toMap
+    lazy val totalInput = parsed.count()
+    val groupInputCache = scala.collection.mutable.Map.empty[String, Long]
+    val modelCache = scala.collection.mutable.Map.empty[String, Long]
+    def basisOf(gName: String, ge: Project.GroupExpect): Long = ge.basis match {
+      case "total_input" => totalInput
+      case b if b.startsWith("mdl:") =>
+        val m = b.drop(4).trim
+        modelCache.getOrElseUpdate(m, parsed.filter(col("oml_model") === m).count())
+      case _ =>
+        groupInputCache.getOrElseUpdate(gName,
+          plan.groupInputs.get(gName).map(_.count()).getOrElse(0L))
+    }
+    // others_max: per group, total share of sinks WITHOUT their own
+    // expect must stay within the cap
+    val othersViolated: Set[String] = groups.values.flatMap { g =>
+      for {
+        ge <- g.expect
+        cap <- ge.othersMax
+        basis = basisOf(g.name, ge)
+        if basis > 0 && ge.minSamples.forall(basis >= _)
+        others = reports.filter(r => r.group == g.name &&
+          g.sinks.find(_.name == r.sink).forall(_.expect.isEmpty))
+        if others.map(_.rows).sum.toDouble / basis > cap + 1e-9
+      } yield g.name
+    }.toSet
     reports.map { r =>
-      val expect = (p.business ++ p.infra.values).find(_.name == r.group)
-        .flatMap(_.sinks.find(_.name == r.sink)).flatMap(_.expect)
-      r.copy(expectOk = expect.forall(_.ok(r.rows, basis)))
+      val group = groups.get(r.group)
+      val ge = group.flatMap(_.expect).getOrElse(Project.GroupExpect())
+      val sinkExpect = group.flatMap(_.sinks.find(_.name == r.sink)).flatMap(_.expect)
+      val basis = basisOf(r.group, ge)
+      val skip = ge.minSamples.exists(basis < _)
+      val shareOk = skip || sinkExpect.forall(_.ok(r.rows, basis))
+      val othersOk = skip || sinkExpect.isDefined || !othersViolated(r.group)
+      r.copy(expectOk = shareOk && othersOk, expectEnforced = ge.enforce)
     }
   }
 

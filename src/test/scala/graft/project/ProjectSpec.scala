@@ -215,7 +215,9 @@ class ProjectSpec extends AnyFunSuite {
     // raw fmt on the miss channel emits the original unparsed line
     assert(miss(0) == "%%% unparseable %%% ###")
 
-    // expect ratio 0.125: m_err rows=1 of basis 7 (3+1+1+0+2) ≈ 0.142 → violation
+    // expect ratio 0.125: m_err keeps 1 of group_input basis 3 (the
+    // reference's default basis) ≈ 0.333 → violation (warn mode: reported,
+    // not enforced)
     assert(!byName("m_group/m_err").expectOk)
     assert(reports.filter(r => r.group != "m_group" || r.sink != "m_err").forall(_.expectOk))
   }
@@ -462,6 +464,175 @@ class ProjectSpec extends AnyFunSuite {
       .flatMap(f => scala.io.Source.fromFile(f, "UTF-8").getLines().toSeq)
     // the unparseable line is still a miss on re-ingest → miss channel again
     assert(lines.length == 1, lines.mkString("|"))
+  }
+
+  test("expect inheritance: defaults.toml group spec, route-file override wins") {
+    val root = modernProject()
+    // defaults provide the GROUP-level spec (basis/mode) — build.rs
+    // apply_group_metadata:222-227
+    write(root, "topology/sinks/defaults.toml",
+      """[defaults]
+        |tags = ["env : test"]
+        |[defaults.expect]
+        |basis = "total_input"
+        |mode = "error"
+        |""".stripMargin)
+    // a second group with its OWN [sink_group.expect] — takes precedence
+    write(root, "topology/sinks/business.d/n.toml",
+      """version = "2.0"
+        |[sink_group]
+        |name = "n_group"
+        |oml = ["m"]
+        |[sink_group.expect]
+        |basis = "group_input"
+        |mode = "warn"
+        |min_samples = 1000000
+        |[[sink_group.sinks]]
+        |name = "n_all"
+        |use = "file_raw_sink"
+        |params = { file = "n_all.dat" }
+        |[sink_group.sinks.expect]
+        |ratio = 0.0
+        |tol = 0.0
+        |""".stripMargin)
+    val p = Project.load(root.toString)
+    val m = p.business.find(_.name == "m_group").get
+    val n = p.business.find(_.name == "n_group").get
+    assert(m.expect.contains(Project.GroupExpect(basis = "total_input", mode = "error")))
+    assert(n.expect.get.basis == "group_input" && n.expect.get.mode == "warn")
+    assert(n.expect.get.minSamples.contains(1000000L))
+
+    val reports = ProjectRun.runBatch(spark, p)
+    val byName = reports.map(r => s"${r.group}/${r.sink}" -> r).toMap
+    // m_err: basis total_input = 4 parsed records; share 1/4 vs ratio
+    // 0.125 ± 0.01 → violation, and mode=error enforces it
+    assert(!byName("m_group/m_err").expectOk && byName("m_group/m_err").expectEnforced)
+    // n_all would violate ratio=0 (it receives rows), but min_samples
+    // gates the check: basis 3 < 1000000 → skipped, and warn mode never
+    // enforces
+    assert(byName("n_group/n_all").expectOk && !byName("n_group/n_all").expectEnforced)
+  }
+
+  test("expect basis mdl:<name> and others_max cap (GroupExpectSpec semantics)") {
+    val root = modernProject()
+    write(root, "topology/sinks/business.d/m.toml",
+      """version = "2.0"
+        |[sink_group]
+        |name = "m_group"
+        |oml = ["m"]
+        |[sink_group.expect]
+        |basis = "mdl:m"
+        |mode = "error"
+        |others_max = 0.1
+        |[[sink_group.sinks]]
+        |name = "m_all"
+        |use = "file_raw_sink"
+        |params = { file = "m_all.dat", fmt = "kv" }
+        |
+        |[[sink_group.sinks]]
+        |name = "m_err"
+        |use = "file_raw_sink"
+        |params = { file = "m_err.dat" }
+        |filter = "$st == digit(404)"
+        |[sink_group.sinks.expect]
+        |ratio = 0.3333
+        |tol = 0.01
+        |""".stripMargin)
+    val reports = ProjectRun.runBatch(spark, Project.load(root.toString))
+    val byName = reports.map(r => s"${r.group}/${r.sink}" -> r).toMap
+    // basis = records transformed by model m = 3; m_err keeps 1 of them
+    // (two diverted) → share 1/3 within 0.3333±0.01 → ok
+    assert(byName("m_group/m_err").expectOk)
+    // m_all has NO expect and receives 3/3 = 100% > others_max 0.1 →
+    // the expect-less sink is flagged
+    assert(!byName("m_group/m_all").expectOk && byName("m_group/m_all").expectEnforced)
+  }
+
+  test("assemble_sink_tags: defaults ++ group ++ sink append order (build.rs:196-212)") {
+    val root = modernProject()
+    write(root, "topology/sinks/business.d/m.toml",
+      """version = "2.0"
+        |[sink_group]
+        |name = "m_group"
+        |oml = ["m"]
+        |tags = ["layer : group"]
+        |[[sink_group.sinks]]
+        |name = "m_all"
+        |use = "file_raw_sink"
+        |params = { file = "m_all.dat", fmt = "kv" }
+        |tags = ["layer_sink : sink"]
+        |""".stripMargin)
+    val p = Project.load(root.toString)
+    val s = p.business.find(_.name == "m_group").get.sinks.head
+    // defaults.toml has env:test; order: defaults, group, sink
+    assert(s.tags == Vector("env : test", "layer : group", "layer_sink : sink"))
+    // and the group keeps its own tags (apply_group_metadata:230-231)
+    assert(p.business.find(_.name == "m_group").get.tags == Vector("layer : group"))
+  }
+
+  test("duplicate sink name in a group is rejected (build.rs ensure_unique_name)") {
+    val root = modernProject()
+    write(root, "topology/sinks/business.d/m.toml",
+      """version = "2.0"
+        |[sink_group]
+        |name = "m_group"
+        |oml = ["m"]
+        |[[sink_group.sinks]]
+        |name = "dup"
+        |use = "file_raw_sink"
+        |params = { file = "a.dat" }
+        |[[sink_group.sinks]]
+        |name = "dup"
+        |use = "file_raw_sink"
+        |params = { file = "b.dat" }
+        |""".stripMargin)
+    val e = intercept[IllegalArgumentException](Project.load(root.toString))
+    assert(e.getMessage.contains("duplicate sink name 'dup'"))
+  }
+
+  test("expect validation: ratio/tol and min/max are mutually exclusive (expect.rs:20-56)") {
+    val root = modernProject()
+    write(root, "topology/sinks/business.d/m.toml",
+      """version = "2.0"
+        |[sink_group]
+        |name = "m_group"
+        |oml = ["m"]
+        |[[sink_group.sinks]]
+        |name = "m_all"
+        |use = "file_raw_sink"
+        |params = { file = "m_all.dat" }
+        |[sink_group.sinks.expect]
+        |ratio = 0.5
+        |min = 0.1
+        |""".stripMargin)
+    val e = intercept[IllegalArgumentException](Project.load(root.toString))
+    assert(e.getMessage.contains("cannot be combined"))
+  }
+
+  test("sum_tol: configured sink ratios must cover the basis (wproj check)") {
+    val root = modernProject()
+    write(root, "topology/sinks/business.d/m.toml",
+      """version = "2.0"
+        |[sink_group]
+        |name = "m_group"
+        |oml = ["m"]
+        |[sink_group.expect]
+        |sum_tol = 0.05
+        |[[sink_group.sinks]]
+        |name = "a"
+        |use = "file_raw_sink"
+        |params = { file = "a.dat" }
+        |[sink_group.sinks.expect]
+        |ratio = 0.5
+        |[[sink_group.sinks]]
+        |name = "b"
+        |use = "file_raw_sink"
+        |params = { file = "b.dat" }
+        |[sink_group.sinks.expect]
+        |ratio = 0.2
+        |""".stripMargin)
+    val problems = Project.check(Project.load(root.toString))
+    assert(problems.exists(_.contains("sum_tol")), problems.mkString("; "))
   }
 
   test("infra group with parallel is rejected (reference build.rs:421-429)") {
