@@ -18,6 +18,9 @@ import graft.streaming.StreamingPipeline
   *   wprescue batch <rescueDir> <outDir> <rules.wpl> [models.oml ...]
   *   wproj   check  <rules.wpl> [models.oml ...]
   *   wproj   stat   <outDir> [channel=ratio:R[:tol]|min:N|max:N ...]
+  *   wproj   init   <dir> [--mode full|normal|model|conf|topology|data]
+  *   wproj   model  list|validate <dir>
+  *   wproj   data   clean|stat <dir>
   */
 object Cli {
 
@@ -136,6 +139,34 @@ object Cli {
       // failing the run; error/panic make them fatal (reference
       // ExpectMode semantics)
       if (reports.exists(r => !r.expectOk && r.expectEnforced)) sys.exit(1)
+    case "wproj" :: "init" :: dir :: rest =>
+      // scaffold a loadable instance (reference wproj init --mode,
+      // crates/wp-proj/src/project/init.rs); never overwrites files
+      val mode = rest match {
+        case Nil => "full"
+        case "--mode" :: m :: Nil => m
+        case m :: Nil => m
+        case other => System.err.println(s"usage: wproj init <dir> [--mode full|normal|model|conf|topology|data]"); sys.exit(2)
+      }
+      val written = graft.project.ProjectInit.init(dir, mode)
+      written.foreach(p => println(s"+ $p"))
+      println(s"initialized $dir (mode=$mode, ${written.size} files)")
+    case "wproj" :: "model" :: "list" :: dir :: Nil =>
+      graft.project.ProjectInit.modelList(graft.project.Project.load(dir)).foreach(println)
+    case "wproj" :: "model" :: "validate" :: dir :: Nil =>
+      val problems = graft.project.ProjectInit.modelValidate(graft.project.Project.load(dir))
+      problems.foreach(m => println(s"PROBLEM: $m"))
+      if (problems.nonEmpty) sys.exit(1) else println("models OK")
+    case "wproj" :: "data" :: "clean" :: dir :: Nil =>
+      val deleted = graft.project.ProjectInit.dataClean(dir)
+      println(s"cleaned ${deleted.size} paths under $dir/out,rescue")
+    case "wproj" :: "data" :: "stat" :: dir :: Nil =>
+      val stats = graft.project.ProjectInit.dataStat(graft.project.Project.load(dir))
+      stats.foreach { s =>
+        println(s"${s.group}/${s.sink} ${s.path}: rows=${s.rows}" +
+          (if (s.expectOk) "" else " EXPECT-VIOLATION"))
+      }
+      if (stats.exists(!_.expectOk)) sys.exit(1)
     case "wproj" :: "check" :: dir :: Nil if new java.io.File(dir).isDirectory =>
       // whole-project validation (reference wproj check over a work root)
       val p = graft.project.Project.load(dir)

@@ -635,6 +635,58 @@ class ProjectSpec extends AnyFunSuite {
     assert(problems.exists(_.contains("sum_tol")), problems.mkString("; "))
   }
 
+  test("wproj init: scaffold is loadable and runs the full demo lifecycle") {
+    val root = Files.createTempDirectory("graft-init")
+    val written = ProjectInit.init(root.toString, "full")
+    assert(written.contains("conf/wparse.toml"))
+    assert(written.contains("models/wpl/demo/parse.wpl"))
+    assert(written.contains("connectors/sink.d/00-file.toml"))
+    // re-init never overwrites
+    assert(ProjectInit.init(root.toString, "full").isEmpty)
+
+    // generation fills the demo source; project then loads, checks
+    // clean, and routes every generated record to the demo sink
+    WpGenProject.run(spark, root.toString)
+    val p = Project.load(root.toString)
+    assert(Project.check(p).isEmpty, Project.check(p).mkString("; "))
+    val reports = ProjectRun.runBatch(spark, p)
+    val demo = reports.find(r => r.group == "demo" && r.sink == "demo_file").get
+    assert(demo.rows == 1000, reports.toString)
+    assert(reports.filter(_.group == "miss").forall(_.rows == 0))
+
+    // model list/validate over the scaffold
+    val listing = ProjectInit.modelList(p)
+    assert(listing.exists(_.contains("wpl rule /demo/kv")))
+    assert(listing.exists(_.startsWith("oml model demo")))
+    assert(ProjectInit.modelValidate(p).isEmpty)
+
+    // data stat validates counts over the real outputs; data clean
+    // removes them
+    val stats = ProjectInit.dataStat(p)
+    assert(stats.exists(s => s.sink == "demo_file" && s.rows == 1000 && s.expectOk))
+    assert(ProjectInit.dataClean(root.toString).nonEmpty)
+    assert(ProjectInit.dataStat(p).forall(_.rows == 0))
+  }
+
+  test("wproj init scoped modes materialize only their component families") {
+    val root = Files.createTempDirectory("graft-init-scoped")
+    ProjectInit.init(root.toString, "model")
+    assert(root.resolve("models/wpl/demo/parse.wpl").toFile.isFile)
+    assert(!root.resolve("conf/wparse.toml").toFile.exists)
+    assert(!root.resolve("topology/sources/wpsrc.toml").toFile.exists)
+    val root2 = Files.createTempDirectory("graft-init-conf")
+    ProjectInit.init(root2.toString, "conf")
+    assert(root2.resolve("conf/wparse.toml").toFile.isFile)
+    assert(!root2.resolve("models/wpl/demo/parse.wpl").toFile.exists)
+    // data mode: just the data dirs
+    val root3 = Files.createTempDirectory("graft-init-data")
+    ProjectInit.init(root3.toString, "data")
+    assert(root3.resolve("src_dat").toFile.isDirectory)
+    assert(root3.resolve("out").toFile.isDirectory)
+    assert(!root3.resolve("conf").toFile.exists)
+    intercept[IllegalArgumentException](ProjectInit.init(root3.toString, "bogus"))
+  }
+
   test("infra group with parallel is rejected (reference build.rs:421-429)") {
     val root = modernProject()
     write(root, "topology/sinks/infra.d/bad.toml",
