@@ -15,6 +15,7 @@ import graft.streaming.StreamingPipeline
   *   wparse  batch  <inDir> <outDir> <rules.wpl> [models.oml ...] [--knowdb <dir>]
   *   wparse  daemon <inDir> <outDir> <rules.wpl> [models.oml ...]
   *   wpgen   rule   <rules.wpl> <ruleKey> <n> <outDir>
+  *   wpgen   sample <pool.dat> <n> <outDir> [--seed s]
   *   wprescue batch <rescueDir> <outDir> <rules.wpl> [models.oml ...]
   *   wproj   check  <rules.wpl> [models.oml ...]
   *   wproj   stat   <outDir> [channel=ratio:R[:tol]|min:N|max:N ...]
@@ -92,6 +93,20 @@ object Cli {
     case "wpgen" :: "rule" :: wpl :: ruleKey :: n :: out :: Nil =>
       val spark = session()
       WpGen.dataset(spark, read(wpl), ruleKey, n.toLong).write.mode("overwrite").text(out)
+    case "wpgen" :: "sample" :: sample :: n :: out :: rest =>
+      // standalone sample replay (reference `wpgen sample`): resample n
+      // lines from the pool file, distributed write
+      val seed = rest match {
+        case Nil => 42L
+        case "--seed" :: s :: Nil => s.toLong
+        case other =>
+          System.err.println("usage: wpgen sample <pool.dat> <n> <outDir> [--seed s]")
+          sys.exit(2)
+      }
+      val spark = session()
+      import spark.implicits._
+      val pool = spark.read.textFile(sample).filter((l: String) => l.nonEmpty)
+      WpGen.fromSample(spark, pool, n.toLong, seed).write.mode("overwrite").text(out)
     case "wprescue" :: "project" :: dir :: Nil =>
       // re-ingest a project's rescue channels (miss/error/residue file
       // sinks hold raw payload text): parse again with the project's

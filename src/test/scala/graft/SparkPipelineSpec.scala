@@ -89,6 +89,28 @@ class SparkPipelineSpec extends AnyFunSuite {
     assert(main == 2 && miss == 1)
   }
 
+  test("cli: wpgen sample replays a pool file (shipped nginx corpus round-trips)") {
+    val ref = new java.io.File("/root/reference/tests/sample/nginx")
+    assume(ref.isDirectory)
+    val out = java.nio.file.Files.createTempDirectory("graft-sample-out").toString
+    graft.cli.Cli.main(Array("wpgen", "sample",
+      s"${ref.getPath}/sample.dat", "200", out, "--seed", "7"))
+    val replayed = spark.read.text(out).collect().map(_.getString(0))
+    assert(replayed.length == 200)
+    // every replayed line comes from the pool…
+    val pool = scala.io.Source.fromFile(s"${ref.getPath}/sample.dat", "UTF-8")
+      .getLines().filter(_.nonEmpty).toSet
+    assert(replayed.forall(pool.contains))
+    // …and parses through the corpus's own parse.wpl (generator⇄parser
+    // round-trip, the reference's de-facto property test)
+    val wplSrc = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"${ref.getPath}/parse.wpl")), "UTF-8")
+    val mp = graft.wpl.Runtime.compile(s"package /nginx { $wplSrc }")
+    replayed.take(20).foreach { l =>
+      assert(mp.parseLine(l).isInstanceOf[graft.wpl.PSuccess], l)
+    }
+  }
+
   test("wproj stat: count expectations validate real batch outputs") {
     val in = java.nio.file.Files.createTempDirectory("graft-stat-in").toString
     val out = java.nio.file.Files.createTempDirectory("graft-stat-out").toString

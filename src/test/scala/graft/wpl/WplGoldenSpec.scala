@@ -198,6 +198,22 @@ class WplGoldenSpec extends AnyFunSuite {
     assert(fs.count(_.value.isInstanceOf[WTime]) == 2) // bsd + iso times
   }
 
+  // F3e: the shipped format fixture (tests/sample/format/quota.dat) —
+  // |unquote/unescape| pre-pipe strips unescaped quotes and backslash
+  // escapes (quotation.rs:9-23), then json parses the revealed object
+  // (parser_functionality.rs:58-74 expects {"a":1,"b":" 中国 "})
+  test("F3e format fixture: quoted+escaped JSON unquotes then parses") {
+    val f = new java.io.File("/root/reference/tests/sample/format/quota.dat")
+    assume(f.isFile)
+    val line = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      .stripLineEnd
+    val mp = Runtime.compile("package pkg { rule esc_1 {|unquote/unescape|(json)} }")
+    val fs = fields(mp.parseLine(line))
+    val m = fs.map(f => f.name -> f.value).toMap
+    assert(m("a") == WDigit(1))
+    assert(m("b") == WChars(" 中国 "))
+  }
+
   // F5c: some_of over CJK-keyed JSON metrics (some_of.rs:82-105)
   test("F5c some_of JSON metrics with symbol guards match in any order") {
     val mp = Runtime.compile(
