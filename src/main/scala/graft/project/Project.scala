@@ -131,6 +131,12 @@ object Project {
   final case class SourceSyslog(key: String, addr: String, port: Int, protocol: String,
                                 enable: Boolean, tags: Map[String, String])
 
+  /** One configured statistics dimension (reference `[[stat.pick/
+    * parse/sink]]` blocks, docs/usage/en/02-config/01-wparse.md:33-41,
+    * wp-stats StatDim{target, dimension}): `target` is "*" or a rule
+    * wildcard; counts for the stage are reported per matching rule. */
+  final case class StatDim(stage: String, key: String, target: String)
+
   final case class EngineConf(
       version: String,
       wplDir: String,
@@ -138,7 +144,8 @@ object Project {
       sourcesDir: String,
       sinksDir: String,
       rescuePath: Option[String],
-      semanticEnabled: Boolean)
+      semanticEnabled: Boolean,
+      statDims: Vector[StatDim] = Vector.empty)
 
   final case class Loaded(
       root: File,
@@ -235,8 +242,20 @@ object Project {
       sourcesDir = t.str("topology", "sources").getOrElse("./topology/sources"),
       sinksDir = t.str("topology", "sinks").getOrElse("./topology/sinks"),
       rescuePath = t.str("rescue", "path"),
-      semanticEnabled = t.bool("semantic", "enabled").getOrElse(false))
+      semanticEnabled = t.bool("semantic", "enabled").getOrElse(false),
+      statDims = loadStatDims(t))
   }
+
+  private def loadStatDims(t: TTab): Vector[StatDim] =
+    t.get("stat").map(_.tab).map { st =>
+      Vector("pick", "parse", "sink").flatMap { stage =>
+        st.tables(stage).map { d =>
+          StatDim(stage,
+            key = d.str("key").getOrElse(s"${stage}_stat"),
+            target = d.str("target").getOrElse("*"))
+        }
+      }
+    }.getOrElse(Vector.empty)
 
   def resolve(root: File, p: String): File = {
     val f = new File(p)

@@ -99,6 +99,10 @@ object ProjectRun {
     rows
   }
 
+  /** Rule-target wildcard → anchored regex for Column rlike. */
+  private def globToRegex(pat: String): String =
+    "^" + java.util.regex.Pattern.quote(pat).replace("*", "\\E.*\\Q") + "$"
+
   private def deleteRec(f: File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
     f.delete()
@@ -372,9 +376,35 @@ object ProjectRun {
               .select(concat(lit(s"batch=$batchId status="), col("status"),
                 lit(" rule="), coalesce(col("rule_key"), lit("-")),
                 lit(" count="), col("count")).as("value"))
+            // config-targeted dimensions ([[stat.pick/parse/sink]] with
+            // key + target rule wildcard — 01-wparse.md:33-41): each dim
+            // adds its own keyed per-rule count lines
+            val dimStats = p.conf.statDims.map { d =>
+              val targeted =
+                if (d.target == "*") batch
+                else batch.filter(coalesce(col("rule_key"), lit(""))
+                  .rlike(globToRegex(d.target)))
+              val counted = d.stage match {
+                case "pick" => // records picked up, any parse outcome
+                  targeted.groupBy(col("rule_key")).count()
+                    .select(col("rule_key"), lit("-").as("dim"), col("count"))
+                case "sink" => // records that route to business sinks
+                  targeted.filter(col("status").isin("ok", "default", "residue-only"))
+                    .groupBy(col("rule_key")).count()
+                    .select(col("rule_key"), lit("-").as("dim"), col("count"))
+                case _ => // parse: per rule × outcome
+                  targeted.groupBy(col("rule_key"), col("status")).count()
+                    .select(col("rule_key"), col("status").as("dim"), col("count"))
+              }
+              counted.select(concat(
+                lit(s"batch=$batchId stat=${d.key} stage=${d.stage} rule="),
+                coalesce(col("rule_key"), lit("-")),
+                lit(" dim="), col("dim"), lit(" count="), col("count")).as("value"))
+            }
+            val allStats = dimStats.foldLeft(stats)(_ unionByName _)
             g.sinks.filter(_.kind == "file").foreach { s =>
               val dir = Project.resolve(p.root, s.path.getOrElse("out/monitor.dat") + ".d")
-              stats.write.mode("append").text(dir.getPath)
+              allStats.write.mode("append").text(dir.getPath)
             }
           }
         } finally batch.unpersist()

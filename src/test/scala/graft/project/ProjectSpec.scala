@@ -335,6 +335,56 @@ class ProjectSpec extends AnyFunSuite {
     assert(mon.exists(l => l.contains("status=miss") && l.contains("count=1")), mon)
   }
 
+  test("config-targeted stat dims: [[stat.*]] per-rule counts reach the monitor sink") {
+    val root = modernProject()
+    // two rules so a targeted dim can single one out
+    write(root, "wpl/parse.wpl",
+      """package /j { rule js { (json) } }
+        |package /t { rule kv { (kvarr) } }
+        |""".stripMargin)
+    write(root, "src_dat/gen.dat", Seq(
+      "user=alice st=200 op=read",
+      "user=bob st=404 op=write",
+      """{"k":1}""").mkString("\n"))
+    write(root, "conf/wparse.toml",
+      """version = "1.0"
+        |[models]
+        |wpl = "./wpl"
+        |oml = "./oml"
+        |[topology]
+        |sources = "./topology/sources"
+        |sinks = "./topology/sinks"
+        |[stat]
+        |[[stat.pick]]
+        |key = "pick_stat"
+        |target = "*"
+        |[[stat.parse]]
+        |key = "kv_only"
+        |target = "/t/kv"
+        |[[stat.sink]]
+        |key = "sink_stat"
+        |target = "/j/*"
+        |""".stripMargin)
+    val p = Project.load(root.toString)
+    assert(p.conf.statDims == Vector(
+      Project.StatDim("pick", "pick_stat", "*"),
+      Project.StatDim("parse", "kv_only", "/t/kv"),
+      Project.StatDim("sink", "sink_stat", "/j/*")))
+    val q = ProjectRun.runStream(spark, p, triggerMs = 100L)
+    try q.processAllAvailable() finally q.stop()
+    val mon = ProjectRun.readSinkLines(root.resolve("out/monitor.dat").toFile)
+    // pick dim counts every picked record per rule (any outcome)
+    assert(mon.exists(l => l.contains("stat=pick_stat stage=pick rule=/t/kv") &&
+      l.contains("count=2")), mon.mkString("\n"))
+    // targeted parse dim reports ONLY the configured rule
+    val kvOnly = mon.filter(_.contains("stat=kv_only"))
+    assert(kvOnly.nonEmpty && kvOnly.forall(_.contains("rule=/t/kv")), mon.mkString("\n"))
+    assert(kvOnly.exists(l => l.contains("dim=ok") && l.contains("count=2")), kvOnly)
+    // sink dim with a rule wildcard counts the routed json record
+    assert(mon.exists(l => l.contains("stat=sink_stat stage=sink rule=/j/js") &&
+      l.contains("count=1")), mon.mkString("\n"))
+  }
+
   test("wpgen project: gen_field scopes honored, generated lines parse back") {
     val root = modernProject()
     // reference example layout: wpl/<name>/{gen_rule.wpl, gen_field.toml}
