@@ -112,14 +112,17 @@ object ProjectRun {
     * (`<path>`, opt-in mode), a sharded part directory (`<path>.d`,
     * the default), or a bare directory at `<path>`. */
   def readSinkLines(base: File): Vector[String] = {
-    def partLines(dir: File): Vector[String] =
-      Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith("part") && !f.getName.endsWith(".crc"))
-        .sortBy(_.getName)
-        .flatMap { f =>
-          val src = scala.io.Source.fromFile(f, "UTF-8")
-          try src.getLines().toVector finally src.close()
-        }.toVector
+    def partLines(dir: File): Vector[String] = {
+      val entries = Option(dir.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+      // streaming sinks nest per-batch subdirs (batch=<id>) — recurse
+      entries.filter(_.isDirectory).toVector.flatMap(partLines) ++
+        entries.filter(f => f.isFile && f.getName.startsWith("part") &&
+            !f.getName.endsWith(".crc"))
+          .flatMap { f =>
+            val src = scala.io.Source.fromFile(f, "UTF-8")
+            try src.getLines().toVector finally src.close()
+          }.toVector
+    }
     val sharded = new File(base.getPath + ".d")
     if (base.isFile) {
       val src = scala.io.Source.fromFile(base, "UTF-8")
@@ -364,8 +367,12 @@ object ProjectRun {
         try {
           routePlan(p, batch).foreach { r =>
             if (r.kind == "file" && !r.df.isEmpty) {
-              val dir = Project.resolve(p.root, r.path + ".d")
-              r.df.select(r.line.as("value")).write.mode("append").text(dir.getPath)
+              // idempotent per-batch subdir: a batch replayed after a
+              // checkpoint restart OVERWRITES its own directory instead
+              // of appending duplicates → effective exactly-once on the
+              // file sink (the standard idempotent-foreachBatch shape)
+              val dir = Project.resolve(p.root, r.path + s".d/batch=$batchId")
+              r.df.select(r.line.as("value")).write.mode("overwrite").text(dir.getPath)
             }
           }
           // monitor sink: per-batch parse stats (reference wp-stats
@@ -403,8 +410,9 @@ object ProjectRun {
             }
             val allStats = dimStats.foldLeft(stats)(_ unionByName _)
             g.sinks.filter(_.kind == "file").foreach { s =>
-              val dir = Project.resolve(p.root, s.path.getOrElse("out/monitor.dat") + ".d")
-              allStats.write.mode("append").text(dir.getPath)
+              val dir = Project.resolve(p.root,
+                s.path.getOrElse("out/monitor.dat") + s".d/batch=$batchId")
+              allStats.write.mode("overwrite").text(dir.getPath)
             }
           }
         } finally batch.unpersist()

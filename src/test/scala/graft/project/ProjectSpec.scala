@@ -315,12 +315,8 @@ class ProjectSpec extends AnyFunSuite {
       write(root, "src_dat/gen2.dat", "user=dora st=500 op=push")
       q.processAllAvailable()
     } finally q.stop()
-    def lines(rel: String): Seq[String] = {
-      val dir = root.resolve(rel).toFile
-      Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith("part") && !f.getName.endsWith(".crc"))
-        .flatMap(f => scala.io.Source.fromFile(f, "UTF-8").getLines().toSeq).toSeq
-    }
+    def lines(rel: String): Seq[String] =
+      ProjectRun.readSinkLines(root.resolve(rel).toFile)
     // gen.dat + gen2.dat? The source watches the single file path; the
     // second file is a different path, so only gen.dat flows
     val all = lines("out/m_all.dat.d")
