@@ -1,0 +1,153 @@
+package graft.sinks
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import scala.collection.concurrent.TrieMap
+
+/** Prometheus exporter sink (reference
+  * `connectors/sink.d/40-prometheus.toml` + docs
+  * 05-connectors/02-sinks/14-prometheus_sink.md): a SELF-EXPOSING
+  * exporter — a local HTTP service publishing `/metrics` with the
+  * reference's fixed Counter family:
+  *
+  *   wparse_receive_data   (records received, source labels)
+  *   wparse_parse_success / wparse_parse_all
+  *   wparse_send_to_sink   (records sent, sink labels)
+  *
+  * Pushgateway / custom metric names / non-counter types are out of
+  * scope, matching the reference. Counters live on the driver; batch
+  * counts arrive via `recordParse`/`recordSink` (one aggregation per
+  * micro-batch — the same counts the monitor sink already computes). */
+final class PrometheusSink(endpoint: String) {
+  private val counters = TrieMap.empty[(String, Vector[(String, String)]), Long]
+  @volatile private var server: com.sun.net.httpserver.HttpServer = _
+
+  def inc(metric: String, labels: Vector[(String, String)], n: Long): Unit = {
+    val k = (metric, labels.sortBy(_._1))
+    counters.updateWith(k) { case v => Some(v.getOrElse(0L) + n) }
+  }
+
+  /** Count one parsed batch into the parse-stage counters. */
+  def recordParse(batch: DataFrame): Unit = {
+    val rows = batch.groupBy(col("rule_key"), col("status")).count().collect()
+    rows.foreach { r =>
+      val rule = Option(r.getString(0)).getOrElse("-")
+      val status = r.getString(1)
+      val n = r.getLong(2)
+      inc("wparse_receive_data", Vector("rule" -> rule), n)
+      inc("wparse_parse_all", Vector("rule" -> rule), n)
+      if (status == "ok" || status == "default" || status == "residue-only")
+        inc("wparse_parse_success", Vector("rule" -> rule), n)
+    }
+  }
+
+  def recordSink(sinkKey: String, n: Long): Unit =
+    inc("wparse_send_to_sink", Vector("sink" -> sinkKey), n)
+
+  /** Prometheus text exposition format. */
+  def render: String = {
+    val byMetric = counters.toVector.groupBy(_._1._1).toVector.sortBy(_._1)
+    byMetric.map { case (metric, entries) =>
+      s"# TYPE $metric counter\n" + entries.sortBy(_._1._2.toString).map {
+        case ((_, labels), v) =>
+          val ls =
+            if (labels.isEmpty) ""
+            else labels.map { case (k, lv) => s"""$k="$lv"""" }.mkString("{", ",", "}")
+          s"$metric$ls $v"
+      }.mkString("\n")
+    }.mkString("", "\n", "\n")
+  }
+
+  /** Start the exporter HTTP service on `endpoint` (host:port). */
+  def start(): PrometheusSink = synchronized {
+    if (server == null) {
+      val Array(host, port) = endpoint.split(":", 2)
+      server = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress(host, port.toInt), 0)
+      server.createContext("/metrics", (ex: com.sun.net.httpserver.HttpExchange) => {
+        val body = render.getBytes("UTF-8")
+        ex.getResponseHeaders.set("Content-Type", "text/plain; version=0.0.4")
+        ex.sendResponseHeaders(200, body.length)
+        ex.getResponseBody.write(body)
+        ex.close()
+      })
+      server.setExecutor(null)
+      server.start()
+    }
+    this
+  }
+
+  def stop(): Unit = synchronized {
+    if (server != null) { server.stop(0); server = null }
+  }
+}
+
+/** VictoriaLogs sink (reference docs
+  * 05-connectors/02-sinks/16-victorialogs.md): each record becomes one
+  * JSON line `{"_msg": <fmt-rendered record>, "_time": <ns>}` POSTed to
+  * `endpoint + insert_path` — `_time` prefers the configured
+  * `create_time_field` from the record (epoch-micros sval → ns),
+  * falling back to ingestion time. The POST happens per PARTITION
+  * (executor-side, batched) — no record ever routes through the
+  * driver. */
+object VictoriaLogsSink {
+
+  /** Render the `fields` frame to the VictoriaLogs JSON-line `value`
+    * column. */
+  def prepare(parsed: DataFrame, fmt: String = "json",
+              createTimeField: Option[String] = None): DataFrame = {
+    val lineUdf = udf((fs: Seq[Row]) => {
+      val wf = fs.map(r => graft.wpl.WField(r.getString(0),
+        graft.wpl.WChars(r.getString(2)))).toVector
+      val msg = Formatters.format(fmt, wf)
+      val timeNs: Long = createTimeField
+        .flatMap(name => fs.find(_.getString(0) == name))
+        .flatMap(r => scala.util.Try(r.getString(2).toLong).toOption)
+        .map(_ * 1000L) // epoch micros → ns
+        .getOrElse(System.currentTimeMillis() * 1000000L)
+      val q = msg.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+      s"""{"_msg":"$q","_time":$timeNs}"""
+    })
+    parsed.select(lineUdf(col("fields")).as("value"))
+  }
+
+  /** Batch write: JSON lines POSTed per partition in `postBatch`-sized
+    * chunks. Returns the row count. */
+  def write(parsed: DataFrame, endpoint: String,
+            insertPath: String = "/insert/json", fmt: String = "json",
+            createTimeField: Option[String] = None,
+            postBatch: Int = 1000): Long = {
+    val url = endpoint.stripSuffix("/") + insertPath
+    val n = parsed.sparkSession.sparkContext.longAccumulator("vl_rows")
+    prepare(parsed, fmt, createTimeField).foreachPartition { (it: Iterator[Row]) =>
+      it.grouped(postBatch).foreach { chunk =>
+        val body = chunk.map(_.getString(0)).mkString("\n")
+        post(url, body)
+        n.add(chunk.size)
+      }
+    }
+    n.value
+  }
+
+  private[sinks] def post(url: String, body: String): Unit = {
+    val conn = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    conn.setRequestProperty("Content-Type", "application/stream+json")
+    conn.setConnectTimeout(5000)
+    conn.setReadTimeout(10000)
+    val bytes = body.getBytes("UTF-8")
+    conn.getOutputStream.write(bytes)
+    conn.getOutputStream.close()
+    val code = conn.getResponseCode
+    conn.getInputStream.close()
+    require(code >= 200 && code < 300, s"victorialogs POST $url -> $code")
+  }
+}
