@@ -124,7 +124,12 @@ object Dedup {
     val sh = shingleDf(df, textCol, idCol, n).persist()
     val cands = minhashLshPairsFromShingles(sh, nPerm, bands)
       .select(col("id_a"), col("id_b"))
-    // capped shingle SETS per doc (same universe as ngramJaccardPairs)
+    // capped shingle SETS per doc (same universe as ngramJaccardPairs).
+    // NOTE measured: pruning this to candidate docs via a left-semi join
+    // is a net LOSS here — it serializes the banding and set pipelines
+    // and adds a full shuffle of the exploded shingles, costing more
+    // than the collect_list it saves. Keep the two pipelines
+    // independent; AQE sizes the verify joins.
     val ex0 = sh.select(col("jc_id"), explode_outer(col("shingles")).as("shingle"))
       .filter(col("shingle").isNotNull)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("shingle")

@@ -97,6 +97,26 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal decode queries stay on the expression path (no RDD hop)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    for (q <- Seq("multimodal_bmp_decode", "multimodal_wav_decode", "multimodal_meta")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Scan ExistingRDD"), s"$q decodes through an RDD hop")
+    }
+    // the synth+decode pipeline needs only doc_id from the scan
+    val scan = SparkEntry.queries("multimodal_bmp_decode")(spark, sf)
+      .queryExecution.sparkPlan.collect { case f: FileSourceScanExec => f }.head
+    assert(scan.requiredSchema.fieldNames.toSeq == Seq("doc_id"),
+      s"scan reads ${scan.requiredSchema.fieldNames.mkString(",")}")
+  }
+
+  test("IVF k-means query: top-k without a cartesian product") {
+    val p = plan("ann_ivf_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("salted aggregation matches unsalted results") {
     import org.apache.spark.sql.functions._
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
