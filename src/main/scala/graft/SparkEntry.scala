@@ -373,6 +373,81 @@ object SparkEntry {
       .limit(10)
   }
 
+  // ---------------------------------------------------------------------
+  // Training-data ops, round 3: PII scrub, benchmark contamination,
+  // dup clustering, deterministic sampling, repetition quality, int8
+  // quantization. All oracled.
+  // ---------------------------------------------------------------------
+
+  /** PII scrub: the corpus itself is clean word soup, so PII is injected
+    * on deterministic doc_id schedules (email %3, ipv4 %5, phone %7,
+    * card %11) — the oracle reconstructs the same text and recomputes
+    * counts + redaction with byte-identical RE2-safe regexes, so any
+    * drift in pattern or replacement order hash-mismatches. */
+  private def qPiiScan(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Pii
+    val d = t(s, dir, "documents")
+    val withPii = d.select(col("doc_id"), concat(
+      col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact user"), col("doc_id"), lit("@example.com"))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" from 10."), col("doc_id") % 250, lit(".0."), col("doc_id") % 200)).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, lit(" call 555-123-4567")).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0, lit(" card 4111 1111 1111 1111")).otherwise(lit(""))
+    ).as("text"))
+    withPii.select((col("doc_id") +: Pii.scanColumns(col("text")) :+
+        Pii.redact(col("text")).as("redacted")): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Benchmark contamination: docs on the %50 schedule act as the eval
+    * set; flag train docs sharing >= 2 distinct 3-gram shingles. The
+    * eval side is broadcast — the train corpus never shuffles. */
+  private def qContamination(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Contamination
+    val d = t(s, dir, "documents")
+    Contamination.ngramOverlap(
+        d.filter(col("doc_id") % 50 =!= 0), d.filter(col("doc_id") % 50 === 0),
+        "text", "doc_id", n = 3, minOverlap = 2)
+      .orderBy(col("train_id"), col("eval_id"))
+  }
+
+  /** Near-dup clusters: connected components (min-label propagation)
+    * over the exact Jaccard pair edges; cluster_id = canonical (min)
+    * member. Oracle = recursive-CTE transitive closure over the same
+    * pair SQL. */
+  private def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Clustering
+    val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
+      n = 3, threshold = 0.5)
+    Clustering.dupClusters(pairs, "id_a", "id_b")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic stratified Bernoulli sample over languages: keep
+    * decisions are pure splitmix64(doc_id) threshold tests, so the
+    * oracle recomputes the identical 53-bit draws in HUGEINT SQL. */
+  private val sampleRates = Map(
+    "en" -> 0.5, "de" -> 0.75, "es" -> 0.25, "fr" -> 1.0, "zh" -> 0.1)
+  private val sampleDefaultRate = 0.05
+
+  private def qSampleStratified(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    Sampling.stratifiedBernoulli(t(s, dir, "documents"), "doc_id", "lang",
+        sampleRates, sampleDefaultRate)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def qTextRepetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionStats(t(s, dir, "documents"), "text", "doc_id")
+      .orderBy(col("doc_id"))
+
+  private def qEmbQuantize(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(t(s, dir, "embeddings"), "embedding", "vec_id")
+      .orderBy(col("vec_id"))
+
   private def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val q = e.filter(col("vec_id") === 0).select(col("embedding")).head()
@@ -755,7 +830,13 @@ object SparkEntry {
     "ann_cosine_topk" -> (qAnnTopk _),
     "ann_ivf_topk" -> (qAnnIvf _),
     "ann_ivf_kmeans_topk" -> (qAnnIvfKmeans _),
-    "ann_lsh_topk" -> (qAnnLsh _)
+    "ann_lsh_topk" -> (qAnnLsh _),
+    "pii_scan" -> (qPiiScan _),
+    "contamination_ngram" -> (qContamination _),
+    "dedup_clusters" -> (qDedupClusters _),
+    "sample_stratified" -> (qSampleStratified _),
+    "text_repetition" -> (qTextRepetition _),
+    "emb_quantize" -> (qEmbQuantize _)
   )
 
   /** Shared by dedup_ngram_jaccard (exact self-join) and
@@ -807,7 +888,208 @@ object SparkEntry {
         ORDER BY cos_sim DESC, vec_id LIMIT 10"""
   }
 
+  /** FNV-1a 64 of a VARCHAR expression in DuckDB: fold the codepoints
+    * (ASCII corpus ⇒ identical to JVM UTF-16 code units) through the
+    * h = (h xor c) * prime step in HUGEINT with mod-2^64 wraparound.
+    * 0xcbf29ce484222325 = 14695981039346656037 (offset basis),
+    * 0x100000001b3 = 1099511628211 (prime; < 2^41, so h*prime < 2^105
+    * fits HUGEINT with no split multiply). */
+  private def fnvSql(tok: String): String =
+    s"""list_reduce(
+         list_prepend(CAST(14695981039346656037 AS HUGEINT),
+           list_transform(generate_series(1, length($tok)),
+             i -> CAST(unicode(substr($tok, CAST(i AS INT), 1)) AS HUGEINT))),
+         (h, c) -> (xor(h, c) * 1099511628211) % 18446744073709551616::HUGEINT)"""
+
+  /** 64-bit wraparound multiply by a CONSTANT in HUGEINT: split the
+    * constant into 32-bit halves so no intermediate exceeds 2^97
+    * (a full 64×64 product would overflow the signed 128-bit HUGEINT). */
+  private def mulcSql(a: String, b: BigInt): String = {
+    val bLo = b & 0xFFFFFFFFL
+    val bHi = b >> 32
+    s"(($a * $bLo + (($a * $bHi) % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT)"
+  }
+
+  /** splitmix64 staged through CTEs (z0..z3), matching
+    * graft.functions.SplitMix64.mix bit-for-bit: Java signed wraparound
+    * arithmetic is congruent mod 2^64 to this unsigned HUGEINT form,
+    * and >>> n on the unsigned value is integer division by 2^n. */
+  private def splitmixStagesSql(src: String, idExpr: String, keep: String): String =
+    s"""s0 AS (SELECT $keep, (CAST($idExpr AS HUGEINT) + 11400714819323198485)
+           % 18446744073709551616::HUGEINT AS z0 FROM $src),
+       s1 AS (SELECT $keep, ${mulcSql("xor(z0, z0 // 1073741824)", BigInt("BF58476D1CE4E5B9", 16))} AS z1 FROM s0),
+       s2 AS (SELECT $keep, ${mulcSql("xor(z1, z1 // 134217728)", BigInt("94D049BB133111EB", 16))} AS z2 FROM s1),
+       s3 AS (SELECT $keep, xor(z2, z2 // 2147483648) // 2048 AS u53 FROM s2)"""
+
+  private def sampleOracle: String = {
+    import graft.operators.Sampling.thresholdFor
+    val cases = sampleRates.toSeq.sorted.map { case (lang, r) =>
+      s"WHEN '$lang' THEN ${thresholdFor(r)}"
+    }.mkString(" ")
+    s"""WITH ${splitmixStagesSql("documents", "doc_id", "doc_id, lang")}
+        SELECT doc_id, lang FROM s3
+        WHERE u53 < CASE lang $cases ELSE ${thresholdFor(sampleDefaultRate)} END
+        ORDER BY doc_id"""
+  }
+
+  /** SimHash pairs oracle: recompute every token's FNV-1a hash, the
+    * per-bit votes, and the 64-bit signature (as two 32-bit halves so
+    * xor/bit_count run on plain BIGINTs), then emit ALL pairs with
+    * hamming <= 3 — by pigeonhole over the 4×16-bit blocks this is
+    * exactly the Spark query's block-bucketed candidate set. */
+  private def simhashOracle: String =
+    s"""WITH toks AS (
+          SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+            x -> len(x) > 0)) AS tok
+          FROM documents),
+        th AS (SELECT doc_id, ${fnvSql("tok")} AS h FROM toks),
+        bits AS (
+          SELECT doc_id, b,
+            sum(CASE WHEN (h // CAST(power(2.0, b) AS HUGEINT)) % 2 = 1
+                THEN 1 ELSE -1 END) AS vote
+          FROM th, (SELECT unnest(generate_series(0, 63)) AS b) bb
+          GROUP BY doc_id, b),
+        sig AS (
+          SELECT doc_id,
+            CAST(sum(CASE WHEN vote > 0 AND b < 32
+              THEN CAST(power(2.0, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS lo,
+            CAST(sum(CASE WHEN vote > 0 AND b >= 32
+              THEN CAST(power(2.0, b - 32) AS BIGINT) ELSE 0 END) AS BIGINT) AS hi
+          FROM bits GROUP BY doc_id),
+        s2 AS (
+          SELECT d.doc_id, coalesce(g.lo, 0) AS lo, coalesce(g.hi, 0) AS hi
+          FROM documents d LEFT JOIN sig g ON d.doc_id = g.doc_id)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INT) AS hamming
+        FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+        ORDER BY id_a, id_b"""
+
+  /** Rolling-hash fingerprint oracle: per-token FNV-1a, folded in token
+    * order through h = h*31 + fnv(tok) (mod 2^64), then mapped to the
+    * signed two's-complement BIGINT Spark reports. */
+  private def fingerprintOracle: String =
+    s"""WITH toks AS (
+          SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
+            x -> len(x) > 0) AS t
+          FROM documents),
+        fps AS (
+          SELECT doc_id, list_reduce(
+            list_prepend(CAST(14695981039346656037 AS HUGEINT),
+              list_transform(t, tok -> ${fnvSql("tok")})),
+            (acc, f) -> (acc * 31 + f) % 18446744073709551616::HUGEINT) AS fp
+          FROM toks)
+        SELECT doc_id,
+          CAST(CASE WHEN fp >= 9223372036854775808::HUGEINT
+            THEN fp - 18446744073709551616::HUGEINT ELSE fp END AS BIGINT) AS fp
+        FROM fps ORDER BY doc_id"""
+
+  /** The synthesized PII text, reconstructed in SQL (same schedules). */
+  private val piiTextSql: String =
+    """text ||
+       CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+       CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || CAST(doc_id % 250 AS VARCHAR) || '.0.' || CAST(doc_id % 200 AS VARCHAR) ELSE '' END ||
+       CASE WHEN doc_id % 7 = 0 THEN ' call 555-123-4567' ELSE '' END ||
+       CASE WHEN doc_id % 11 = 0 THEN ' card 4111 1111 1111 1111' ELSE '' END"""
+
+  private def piiOracle: String = {
+    import graft.operators.Pii
+    s"""WITH p AS (SELECT doc_id, $piiTextSql AS text FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '${Pii.EmailRe}')) AS BIGINT) AS n_emails,
+          CAST(len(regexp_extract_all(text, '${Pii.Ipv4Re}')) AS BIGINT) AS n_ips,
+          CAST(len(regexp_extract_all(text, '${Pii.PhoneRe}')) AS BIGINT) AS n_phones,
+          CAST(len(regexp_extract_all(text, '${Pii.CardRe}')) AS BIGINT) AS n_cards,
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+            '${Pii.CardRe}', '<CARD>', 'g'),
+            '${Pii.PhoneRe}', '<PHONE>', 'g'),
+            '${Pii.EmailRe}', '<EMAIL>', 'g'),
+            '${Pii.Ipv4Re}', '<IP>', 'g') AS redacted
+        FROM p ORDER BY doc_id"""
+  }
+
+  private val contaminationOracle: String =
+    """WITH toks AS (
+         SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+           x -> len(x) > 0) AS t FROM documents),
+       sh0 AS (
+         SELECT doc_id, t, unnest(generate_series(1, greatest(len(t)-2, 0))) AS i
+         FROM toks),
+       shAll AS (
+         SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+         FROM sh0),
+       ev AS (SELECT doc_id AS eval_id, shingle FROM shAll WHERE doc_id % 50 = 0),
+       tr AS (SELECT doc_id AS train_id, shingle FROM shAll WHERE doc_id % 50 <> 0),
+       evsz AS (SELECT eval_id, count(*) AS eval_n FROM ev GROUP BY eval_id),
+       ov AS (
+         SELECT train_id, eval_id, count(*) AS n_overlap
+         FROM tr JOIN ev USING (shingle)
+         GROUP BY train_id, eval_id HAVING count(*) >= 2)
+       SELECT train_id, eval_id, n_overlap,
+         round(CAST(n_overlap AS DOUBLE) / eval_n, 4) AS overlap_ratio
+       FROM ov JOIN evsz USING (eval_id)
+       ORDER BY train_id, eval_id"""
+
+  private def dedupClustersOracle: String =
+    s"""WITH RECURSIVE
+        pairs AS (SELECT id_a, id_b FROM ($ngramJaccardOracle)),
+        edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(u, v) AS (
+          SELECT DISTINCT u, u FROM edges
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        comp AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u)
+        SELECT doc_id, cluster_id,
+          CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
+        FROM comp ORDER BY doc_id"""
+
+  private val embQuantizeOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       s AS (SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+       q AS (SELECT vec_id, v, scale,
+         CASE WHEN scale > 0
+           THEN list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+           ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS qv
+         FROM s)
+       SELECT vec_id, round(scale, 6) AS scale,
+         CAST(list_sum(qv) AS BIGINT) AS q_sum,
+         round(list_sum(list_transform(range(len(v)),
+           i -> abs(v[i+1] - qv[i+1] * scale))) / len(v), 6) AS recon_mae
+       FROM q ORDER BY vec_id"""
+
+  private val textRepetitionOracle: String =
+    """WITH toks AS (
+         SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+           x -> len(x) > 0) AS t FROM documents),
+       g0 AS (
+         SELECT doc_id, t, unnest(generate_series(1, greatest(len(t)-1, 0))) AS i
+         FROM toks),
+       grams AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS gram FROM g0),
+       gc AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram),
+       agg AS (SELECT doc_id, sum(c) AS n_2grams, count(*) AS n_distinct,
+         max(c) AS top_c FROM gc GROUP BY doc_id)
+       SELECT d.doc_id,
+         CAST(coalesce(a.n_2grams, 0) AS BIGINT) AS n_2grams,
+         round(CASE WHEN coalesce(a.n_2grams, 0) > 0
+           THEN 1.0 - CAST(a.n_distinct AS DOUBLE) / a.n_2grams
+           ELSE 0.0 END, 4) AS dup_2gram_frac,
+         round(CASE WHEN coalesce(a.n_2grams, 0) > 0
+           THEN CAST(a.top_c AS DOUBLE) / a.n_2grams
+           ELSE 0.0 END, 4) AS top_2gram_frac
+       FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+       ORDER BY d.doc_id"""
+
   def oracleSql: Map[String, String] = Map(
+    "pii_scan" -> piiOracle,
+    "contamination_ngram" -> contaminationOracle,
+    "dedup_clusters" -> dedupClustersOracle,
+    "sample_stratified" -> sampleOracle,
+    "text_repetition" -> textRepetitionOracle,
+    "emb_quantize" -> embQuantizeOracle,
+    "dedup_simhash" -> simhashOracle,
+    "doc_fingerprint" -> fingerprintOracle,
     "dedup_minhash_lsh" -> ngramJaccardOracle,
     "ann_lsh_topk" -> annLshOracle(dim = 64, nBits = 8, probes = 2),
     "ip_range_lookup" ->
@@ -1165,10 +1447,9 @@ object SparkEntry {
               sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
          FROM embeddings, q
          ORDER BY cos_sim DESC, vec_id LIMIT 10"""
-    // dedup_simhash / doc_fingerprint use engine-internal hash families
-    // that are not SQL-expressible → rows-only check (covered by
-    // ScalaTest instead). ann_ivf_kmeans_topk is the deliberately
-    // cell-PRUNED approximate variant (recall pinned in SimilaritySpec)
-    // → rows-only by design.
+    // ann_ivf_kmeans_topk is the deliberately cell-PRUNED approximate
+    // variant (recall pinned in SimilaritySpec) → rows-only by design;
+    // every other query is oracled (dedup_simhash / doc_fingerprint via
+    // the HUGEINT mod-2^64 FNV-1a reconstruction above).
   )
 }

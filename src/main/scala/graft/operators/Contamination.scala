@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark-contamination detection: flag training documents whose
+  * word n-grams overlap an evaluation/benchmark corpus (the standard
+  * decontamination pass before pre-training).
+  *
+  * Scale shape: the benchmark side is small by construction (eval sets
+  * are MBs even when the train corpus is 100 TB), so its exploded
+  * shingle table is BROADCAST — the train corpus streams through a
+  * map-side hash join keyed by shingle and is never shuffled. Overlap
+  * counts then aggregate on (train_id, eval_id), bounded by the number
+  * of contaminated pairs, not corpus size.
+  */
+object Contamination {
+
+  /** Overlapping-n-gram pairs between `train` and `eval` docs:
+    * (train_id, eval_id, n_overlap, overlap_ratio) where n_overlap is
+    * the number of DISTINCT shared n-grams and overlap_ratio is the
+    * fraction of the eval doc's n-grams found in the train doc.
+    * Shingle sets come from `Dedup.shingleDf` (distinct per doc), so
+    * the join-match count IS the intersection size. */
+  def ngramOverlap(train: DataFrame, eval_ : DataFrame,
+                   textCol: String, idCol: String,
+                   n: Int = 3, minOverlap: Long = 1): DataFrame = {
+    def exploded(df: DataFrame, outId: String) =
+      Dedup.shingleDf(df, textCol, idCol, n, outId)
+        .select(col(outId), explode_outer(col("shingles")).as("shingle"))
+        .filter(col("shingle").isNotNull)
+    val tSh = exploded(train, "train_id")
+    val eSh = exploded(eval_, "eval_id").persist()
+    val eSizes = eSh.groupBy(col("eval_id")).agg(count(lit(1)).as("eval_n"))
+    tSh.join(broadcast(eSh), "shingle")
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+      .join(broadcast(eSizes), "eval_id")
+      .select(col("train_id"), col("eval_id"), col("n_overlap"),
+        round(col("n_overlap").cast("double") / col("eval_n"), 4).as("overlap_ratio"))
+  }
+}

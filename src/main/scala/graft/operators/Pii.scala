@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** PII detection and redaction over document text — a standard
+  * pre-training scrub pass.
+  *
+  * Pure native `regexp_extract_all` / `regexp_replace` expressions:
+  * codegen'd, map-only, zero shuffles — the whole scrub rides inside
+  * the scan stage at any corpus size. Patterns deliberately stay in
+  * the RE2-compatible subset (character classes, bounded repeats,
+  * `\b`) so the DuckDB oracle runs the byte-identical regex.
+  */
+object Pii {
+
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val CardRe  = "\\b\\d{4} \\d{4} \\d{4} \\d{4}\\b"
+
+  /** Per-category match counts (email / ipv4 / phone / card). */
+  def scanColumns(text: Column): Seq[Column] = Seq(
+    size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+    size(regexp_extract_all(text, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+    size(regexp_extract_all(text, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+    size(regexp_extract_all(text, lit(CardRe), lit(0))).cast("long").as("n_cards"))
+
+  /** Masked text. Order matters and is part of the contract (mirrored in
+    * the oracle): card → phone → email → ipv4, so the longer numeric
+    * patterns are consumed before the shorter ones can split them. */
+  def redact(text: Column): Column = {
+    val c1 = regexp_replace(text, CardRe, "<CARD>")
+    val c2 = regexp_replace(c1, PhoneRe, "<PHONE>")
+    val c3 = regexp_replace(c2, EmailRe, "<EMAIL>")
+    regexp_replace(c3, Ipv4Re, "<IP>")
+  }
+
+  /** True when any category matches (cheap pre-filter for routing
+    * PII-bearing docs to a quarantine sink). */
+  def hasPii(text: Column): Column =
+    scanColumns(text).map(_ > 0).reduce(_ || _)
+}

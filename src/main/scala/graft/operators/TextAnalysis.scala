@@ -119,4 +119,40 @@ object TextAnalysis {
   }
 
   val fingerprintUdf = udf(fingerprint _)
+
+  /** Word n-grams WITH multiplicity (unlike `Dedup.shinglesOf`, no
+    * array_distinct — repetition measurement needs duplicate grams). */
+  def ngramsWithMultiplicity(toks: Column, n: Int): Column =
+    filter(
+      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => when(i + n <= size(toks), concat_ws(" ", slice(toks, i + 1, lit(n))))),
+      x => x.isNotNull)
+
+  /** Gopher-style repetition signals per document: total/duplicate
+    * 2-gram fractions and the share of the single most frequent 2-gram.
+    * One exchange keyed by (doc, gram) — the doc id in the key bounds
+    * any hot gram's group to one document, so the shuffle is skew-free
+    * at corpus scale. Docs with < 2 tokens report zeros. */
+  def repetitionStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val grams = df
+      .select(col(idCol).as("rep_id"), tokens(col(textCol)).as("toks"))
+      .select(col("rep_id"), explode_outer(ngramsWithMultiplicity(col("toks"), 2)).as("gram"))
+      .filter(col("gram").isNotNull)
+    val perDoc = grams.groupBy(col("rep_id"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("rep_id"))
+      .agg(sum(col("c")).as("n_2grams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_c"))
+    df.select(col(idCol))
+      .join(perDoc, col(idCol) === col("rep_id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_2grams"), lit(0L)).as("n_2grams"),
+        round(when(col("n_2grams") > 0,
+          lit(1.0) - col("n_distinct").cast("double") / col("n_2grams"))
+          .otherwise(lit(0.0)), 4).as("dup_2gram_frac"),
+        round(when(col("n_2grams") > 0,
+          col("top_c").cast("double") / col("n_2grams"))
+          .otherwise(lit(0.0)), 4).as("top_2gram_frac"))
+  }
 }

@@ -111,6 +111,29 @@ class PlanQualitySpec extends AnyFunSuite {
       s"scan reads ${scan.requiredSchema.fieldNames.mkString(",")}")
   }
 
+  test("PII scan and int8 quantize are map-only (single output-sort exchange)") {
+    for (q <- Seq("pii_scan", "emb_quantize", "sample_stratified")) {
+      val p = plan(q)
+      val exchanges = "Exchange".r.findAllIn(p).size
+      // the only exchange allowed is the ORDER BY's range partition —
+      // the operator itself must ride the scan stage
+      assert(exchanges <= 1, s"$q has $exchanges exchanges:\n${p.take(1200)}")
+      assert(!p.contains("Scan ExistingRDD"), s"$q left the expression path")
+    }
+  }
+
+  test("contamination check broadcasts the eval side (train never shuffles to join)") {
+    val p = plan("contamination_ngram")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("dup clustering plans without quadratic joins") {
+    val p = plan("dedup_clusters")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+  }
+
   test("IVF k-means query: top-k without a cartesian product") {
     val p = plan("ann_ivf_topk")
     assert(p.contains("TakeOrderedAndProject"), p)

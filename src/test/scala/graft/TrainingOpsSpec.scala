@@ -1,0 +1,167 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{Pii, Clustering, Contamination, Sampling, Similarity, TextAnalysis}
+import graft.functions.SplitMix64
+
+/** Round-3 training-data operators: PII scrub, benchmark contamination,
+  * dup clustering, deterministic sampling, repetition stats, int8
+  * quantization. Each test pins semantics on crafted inputs small
+  * enough to verify by hand; the DuckDB oracles re-verify the same
+  * operators end-to-end on the real corpus. */
+class TrainingOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import scala.jdk.CollectionConverters._
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  // ----------------------------------------------------------------- PII
+
+  test("pii scan counts and redaction") {
+    val d = docs(
+      (1L, "mail me at alice.smith+x@corp.example.org or 10.1.2.3 soon"),
+      (2L, "call 555-123-4567 card 4111 1111 1111 1111 done"),
+      (3L, "nothing sensitive here"))
+    val out = d.select((col("doc_id") +: Pii.scanColumns(col("text")) :+
+        Pii.redact(col("text")).as("red")): _*)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 1 && out(0).getLong(2) == 1) // email, ip
+    assert(out(0).getString(5) ==
+      "mail me at <EMAIL> or <IP> soon")
+    assert(out(1).getLong(3) == 1 && out(1).getLong(4) == 1) // phone, card
+    assert(out(1).getString(5) == "call <PHONE> card <CARD> done")
+    assert(out(2).toSeq.slice(1, 5) == Seq(0L, 0L, 0L, 0L))
+    assert(out(2).getString(5) == "nothing sensitive here")
+  }
+
+  test("pii hasPii routes only matching docs") {
+    val d = docs((1L, "x bob@example.com y"), (2L, "clean"))
+    val flagged = d.filter(Pii.hasPii(col("text"))).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(flagged == Seq(1L))
+  }
+
+  // ---------------------------------------------------------- clustering
+
+  test("connected components: min-label over chains and singleton edges") {
+    import spark.implicits._
+    // components: {1,2,3,4} (chain), {10,11}, {20,21,22} (triangle)
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id_a", "id_b")
+    val comp = Clustering.connectedComponents(edges, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("dupClusters adds membership counts") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val out = Clustering.dupClusters(edges, "id_a", "id_b")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (7L, 7L, 2L), (8L, 7L, 2L)))
+  }
+
+  // ------------------------------------------------------- contamination
+
+  test("ngram overlap between train and eval docs") {
+    val train = docs(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated text with no overlap at all whatsoever"))
+    val eval_ = docs((100L, "quick brown fox jumps high"))
+    val out = Contamination.ngramOverlap(train, eval_, "text", "doc_id",
+        n = 3, minOverlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // eval doc has 3 trigrams: "quick brown fox", "brown fox jumps",
+    // "fox jumps high" — the first two appear in train doc 1
+    assert(out.toSeq == Seq((1L, 100L, 2L, 0.6667)))
+  }
+
+  // ------------------------------------------------------------ sampling
+
+  test("splitmix64 matches the reference test vector") {
+    // first output of the splitmix64 stream seeded with 0
+    assert(SplitMix64.mix(0L) == 0xE220A8397B1DCDAFL)
+  }
+
+  test("stratified Bernoulli: deterministic, rate-1 keeps all, rate-0 none") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val keepAll = Sampling.stratifiedBernoulli(d, "doc_id", "lang",
+      Map("en" -> 1.0), defaultRate = 1.0).count()
+    assert(keepAll == d.count())
+    val keepNone = Sampling.stratifiedBernoulli(d, "doc_id", "lang",
+      Map.empty, defaultRate = 0.0).count()
+    assert(keepNone == 0)
+    val a = Sampling.stratifiedBernoulli(d, "doc_id", "lang",
+      Map("en" -> 0.5), defaultRate = 0.2).select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.stratifiedBernoulli(d, "doc_id", "lang",
+      Map("en" -> 0.5), defaultRate = 0.2).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "sample must be a pure function of ids")
+    // a 0.5-rate stratum keeps roughly half (binomial, loose bound)
+    val en = d.filter(col("lang") === "en").count().toDouble
+    val enKept = Sampling.stratifiedBernoulli(d, "doc_id", "lang",
+      Map("en" -> 0.5), defaultRate = 0.0).count().toDouble
+    assert(enKept > en * 0.3 && enKept < en * 0.7, s"$enKept of $en")
+  }
+
+  test("stratified exact-N keeps exactly N per stratum, deterministically") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Sampling.stratifiedExactN(d, "doc_id", "lang", 7)
+    val counts = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.forall(_ == 7L), counts.toString)
+    val again = Sampling.stratifiedExactN(d, "doc_id", "lang", 7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == out.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  // ---------------------------------------------------------- repetition
+
+  test("repetition stats: duplicate and top 2-gram fractions") {
+    val d = docs(
+      (1L, "a b a b a b"),     // bigrams: ab ba ab ba ab → 5 total, 2 distinct
+      (2L, "w x y z"),         // 3 distinct bigrams, no repeats
+      (3L, "single"))          // < 2 tokens → zeros
+    val out = TextAnalysis.repetitionStats(d, "text", "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out(0) == ((1L, 5L, 0.6, 0.6)))
+    assert(out(1) == ((2L, 3L, 0.0, 0.3333)))
+    assert(out(2) == ((3L, 0L, 0.0, 0.0)))
+  }
+
+  // -------------------------------------------------------- quantization
+
+  test("int8 quantization: scale, checksum, reconstruction error") {
+    import spark.implicits._
+    val d = Seq((0L, Array(1.27f, -1.27f, 0.635f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(d, "embedding", "vec_id").collect()(0)
+    assert(math.abs(out.getDouble(1) - 0.01) < 1e-9)        // scale = 1.27/127
+    assert(out.getLong(2) == (127L - 127L + 64L + 0L))      // q = 127,-127,64,0
+    // err: |0.635 - 64*0.01| = 0.005 on one of four dims
+    assert(math.abs(out.getDouble(3) - 0.005 / 4) < 1e-6)
+  }
+
+  test("quantization q_sum is an exact cross-engine checksum on the corpus") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity.quantizeInt8(e, "embedding", "vec_id")
+    assert(out.count() == e.count())
+    // every quantized coordinate is in the int8 range by construction
+    val bad = out.filter(abs(col("q_sum")) > 127L * 64).count()
+    assert(bad == 0)
+  }
+}
