@@ -26,10 +26,15 @@ object Clustering {
     * Input: edge list (aCol, bCol). Output: (id, cluster_id) for every
     * node that appears in an edge; cluster_id = min node id reachable.
     */
-  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+  def connectedComponents(edges0: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25): DataFrame = {
-    val sym = edges.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .union(edges.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+    // materialize the (possibly expensive) edge pipeline ONCE: the
+    // symmetric union below consumes it twice, and every iteration
+    // joins against it
+    val edges = edges0.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst")).localCheckpoint()
+    val sym = edges
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
@@ -51,6 +56,7 @@ object Clustering {
       iter += 1
     }
     sym.unpersist()
+    edges.unpersist()
     labels
   }
 
