@@ -25,7 +25,8 @@ object Bench {
     // tiering otherwise lands entirely on the first oml_* query timed
     // (the r1 oml_objects outlier was half warmup)
     for (q <- Seq("q1_pricing_summary", "wpl_nginx_parse", "oml_transform",
-                  "ann_cosine_topk")) {
+                  "ann_cosine_topk", "dedup_clusters", "seq_pack",
+                  "q_asof_join")) {
       try SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => }
     }

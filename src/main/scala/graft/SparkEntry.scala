@@ -448,6 +448,33 @@ object SparkEntry {
     Similarity.quantizeInt8(t(s, dir, "embeddings"), "embedding", "vec_id")
       .orderBy(col("vec_id"))
 
+  /** As-of join: each event gets the user's most recent (<= event time)
+    * purchase value — union + single window pass, no range-join
+    * explosion; oracle is DuckDB's native ASOF LEFT JOIN. */
+  private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AsOfJoin
+    val e = t(s, dir, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("pv"))
+    AsOfJoin.asOf(e, purchases, Seq("user_id"), "ts", "ts", Seq("pv"))
+      .select(col("event_id"), col("user_id"),
+        round(col("pv"), 2).as("last_purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Sequence packing: greedy 256-token bins per (lang, doc_id%4 shard)
+    * cell in doc_id order — deterministic, so the oracle replays the
+    * same scan with a recursive CTE. */
+  private def qSeqPack(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Packing
+    val d = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    Packing.packGreedy(d, "doc_id", "lang", "n_tokens", budget = 256, shards = 4)
+      .select(col("id").as("doc_id"), col("grp").as("lang"), col("shard"),
+        col("n_tokens"), col("bin_id"))
+      .orderBy(col("doc_id"))
+  }
+
   private def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val q = e.filter(col("vec_id") === 0).select(col("embedding")).head()
@@ -836,7 +863,9 @@ object SparkEntry {
     "dedup_clusters" -> (qDedupClusters _),
     "sample_stratified" -> (qSampleStratified _),
     "text_repetition" -> (qTextRepetition _),
-    "emb_quantize" -> (qEmbQuantize _)
+    "emb_quantize" -> (qEmbQuantize _),
+    "seq_pack" -> (qSeqPack _),
+    "q_asof_join" -> (qAsofJoin _)
   )
 
   /** Shared by dedup_ngram_jaccard (exact self-join) and
@@ -1081,7 +1110,35 @@ object SparkEntry {
        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
        ORDER BY d.doc_id"""
 
+  /** Greedy packing replayed as a recursive CTE: rows of each
+    * (lang, shard) cell are visited in doc_id order (rn), carrying the
+    * (bin, fill) state exactly like the mapPartitions scan. */
+  private val seqPackOracle: String =
+    """WITH RECURSIVE d AS (
+         SELECT doc_id, lang, CAST(doc_id % 4 AS INT) AS shard,
+           CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             x -> len(x) > 0)) AS BIGINT) AS n,
+           row_number() OVER (PARTITION BY lang, doc_id % 4 ORDER BY doc_id) AS rn
+         FROM documents),
+       pack(lang, shard, rn, doc_id, n, bin_id, fill) AS (
+         SELECT lang, shard, rn, doc_id, n, CAST(0 AS BIGINT), n FROM d WHERE rn = 1
+         UNION ALL
+         SELECT d.lang, d.shard, d.rn, d.doc_id, d.n,
+           CASE WHEN p.fill + d.n > 256 THEN p.bin_id + 1 ELSE p.bin_id END,
+           CASE WHEN p.fill + d.n > 256 THEN d.n ELSE p.fill + d.n END
+         FROM d JOIN pack p
+           ON d.lang = p.lang AND d.shard = p.shard AND d.rn = p.rn + 1)
+       SELECT doc_id, lang, shard, n AS n_tokens, bin_id
+       FROM pack ORDER BY doc_id"""
+
   def oracleSql: Map[String, String] = Map(
+    "q_asof_join" ->
+      """WITH r AS (SELECT user_id, ts, max(value) AS pv FROM events
+           WHERE event_type = 'purchase' GROUP BY user_id, ts)
+         SELECT e.event_id, e.user_id, round(r.pv, 2) AS last_purchase_value
+         FROM events e ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.ts
+         ORDER BY e.event_id""",
+    "seq_pack" -> seqPackOracle,
     "pii_scan" -> piiOracle,
     "contamination_ngram" -> contaminationOracle,
     "dedup_clusters" -> dedupClustersOracle,

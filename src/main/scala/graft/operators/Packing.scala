@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sequence packing: assign documents to fixed token-budget bins (the
+  * step that assembles pre-training sequences from variable-length
+  * docs). Greedy sequential packing in id order within each
+  * (group, shard) cell:
+  *
+  *   - deterministic: bin assignment is a pure function of the sorted
+  *     cell contents, reproducible across engines (recursive-CTE
+  *     oracle) and runs;
+  *   - scale shape: one repartition on (group, shard) co-locates each
+  *     cell, sortWithinPartitions orders it, and a constant-memory
+  *     mapPartitions scan does the packing — no per-group
+  *     collect, no memory proportional to cell size. `shards`
+  *     bounds cell size (pick shards so a cell ≈ one task's worth);
+  *     parallelism = #groups × shards regardless of corpus size.
+  *
+  * mapPartitions is the honest tool here: the scan is inherently
+  * sequential per cell (bin state carries across rows), which no
+  * window/aggregate expresses without a recursive prefix scan.
+  */
+object Packing {
+
+  /** Pack rows into bins of at most `budget` tokens (a doc larger than
+    * the budget gets its own bin). Output: (id, grp, shard, n_tokens,
+    * bin_id) with bin_id counted from 0 within each (grp, shard). */
+  def packGreedy(df: DataFrame, idCol: String, grpCol: String, nCol: String,
+                 budget: Long, shards: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        col(grpCol).cast("string").as("grp"),
+        pmod(col(idCol), lit(shards)).cast("int").as("shard"),
+        col(nCol).cast("long").as("n"))
+      .repartition(col("grp"), col("shard"))
+      .sortWithinPartitions(col("grp"), col("shard"), col("id"))
+      .as[(Long, String, Int, Long)]
+      .mapPartitions { it =>
+        var curGrp: String = null
+        var curShard = -1
+        var bin = 0L
+        var fill = 0L
+        it.map { case (id, grp, shard, n) =>
+          if (grp != curGrp || shard != curShard) {
+            curGrp = grp; curShard = shard; bin = 0L; fill = n
+          } else if (fill + n > budget) {
+            bin += 1; fill = n
+          } else fill += n
+          (id, grp, shard, n, bin)
+        }
+      }
+      .toDF("id", "grp", "shard", "n_tokens", "bin_id")
+  }
+}

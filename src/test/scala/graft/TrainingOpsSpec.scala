@@ -143,6 +143,60 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(out(2) == ((3L, 0L, 0.0, 0.0)))
   }
 
+  // ----------------------------------------------------------- asof join
+
+  test("as-of join: nearest earlier state, inclusive ties, null when none") {
+    import spark.implicits._
+    import graft.operators.AsOfJoin
+    val left = Seq((1L, "u1", 10L), (2L, "u1", 20L), (3L, "u1", 5L),
+      (4L, "u2", 10L)).toDF("id", "k", "ts")
+    val right = Seq(("u1", 10L, "a"), ("u1", 15L, "b"), ("u2", 99L, "z"))
+      .toDF("k", "ts", "v")
+    val out = AsOfJoin.asOf(left, right, Seq("k"), "ts", "ts", Seq("v"))
+      .orderBy("id").collect().map(r => r.getLong(0) -> Option(r.getString(3))).toSeq
+    assert(out == Seq(
+      1L -> Some("a"),   // tie: right at ts=10 visible at left ts=10
+      2L -> Some("b"),   // latest state <= 20
+      3L -> None,        // before any right row
+      4L -> None))       // u2's only right row is later
+  }
+
+  // ------------------------------------------------------------- packing
+
+  test("greedy packing: budget boundaries, oversize docs, cell resets") {
+    import spark.implicits._
+    import graft.operators.Packing
+    // one group, one shard (ids all ≡ 0 mod 1): budget 10
+    val d = Seq((0L, "g", 4L), (1L, "g", 6L),   // bin 0 (4+6 = 10, fits)
+      (2L, "g", 1L),                            // bin 1 (10+1 > 10)
+      (3L, "g", 25L),                           // bin 2 (oversize → own bin)
+      (4L, "g", 10L))                           // bin 3 (25+10 > 10)
+      .toDF("doc_id", "grp", "n")
+    val out = Packing.packGreedy(d, "doc_id", "grp", "n", budget = 10, shards = 1)
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getLong(4)).toSeq
+    assert(out == Seq(0L -> 0L, 1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
+
+  test("packing respects cell isolation and bin budgets on the corpus") {
+    import graft.operators.Packing
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+    val out = Packing.packGreedy(d, "doc_id", "lang", "n", budget = 256, shards = 4)
+    // every bin's total ≤ budget unless it holds a single oversize doc
+    val bad = out.groupBy("grp", "shard", "bin_id")
+      .agg(sum("n_tokens").as("tot"), count(lit(1)).as("k"))
+      .filter(col("tot") > 256 && col("k") > 1).count()
+    assert(bad == 0)
+    assert(out.count() == d.count())
+    // deterministic across runs
+    val a = Packing.packGreedy(d, "doc_id", "lang", "n", budget = 256, shards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(4))).toSet
+    val b = Packing.packGreedy(d, "doc_id", "lang", "n", budget = 256, shards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(4))).toSet
+    assert(a == b)
+  }
+
   // -------------------------------------------------------- quantization
 
   test("int8 quantization: scale, checksum, reconstruction error") {
