@@ -197,6 +197,33 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  // ----------------------------------------------------------- streaming
+
+  test("map-only curation ops run unchanged in a structured stream") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val src = input.toDF().toDF("doc_id", "text", "lang")
+    // the PII scrub + quality scoring + deterministic sampling stack is
+    // pure map-only expressions, so the same columns drive a streaming
+    // query with no state, watermark, or mode restrictions
+    val out = src
+      .filter(graft.operators.Sampling.unitUniform53(col("doc_id")) >= 0) // pure fn, keeps all
+      .select(col("doc_id"), graft.operators.Pii.redact(col("text")).as("red"),
+        graft.operators.TextAnalysis.qualityColumns(col("text")).head)
+    val q = out.writeStream.format("memory").queryName("curation_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "ping bob@example.com now", "en"), (2L, "clean text", "en"))
+      q.processAllAvailable()
+      val rows = spark.table("curation_stream").orderBy("doc_id").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getString(1) == "ping <EMAIL> now")
+      assert(rows(1).getString(1) == "clean text")
+    } finally q.stop()
+  }
+
   // -------------------------------------------------------- quantization
 
   test("int8 quantization: scale, checksum, reconstruction error") {
