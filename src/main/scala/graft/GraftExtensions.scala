@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.unsafe.types.UTF8String
-import graft.functions.{Ip4ToInt, ParseWpl}
+import graft.functions.{Ip4ToInt, ParseWpl, SplitMix64}
 
 /** SparkSessionExtensions entry point — registers the engine's custom
   * expressions for SQL use:
@@ -32,5 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         ParseWpl(args.head, src)
       }))
+    e.injectFunction((
+      FunctionIdentifier("splitmix64"),
+      new ExpressionInfo(classOf[SplitMix64].getName, "splitmix64"),
+      (args: Seq[Expression]) => SplitMix64(args.head)))
   }
 }

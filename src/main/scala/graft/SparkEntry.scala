@@ -440,6 +440,10 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  private def qTextLogprob(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramLogprob(t(s, dir, "documents"), "text", "doc_id")
+      .orderBy(col("doc_id"))
+
   private def qTextRepetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionStats(t(s, dir, "documents"), "text", "doc_id")
       .orderBy(col("doc_id"))
@@ -865,7 +869,8 @@ object SparkEntry {
     "text_repetition" -> (qTextRepetition _),
     "emb_quantize" -> (qEmbQuantize _),
     "seq_pack" -> (qSeqPack _),
-    "q_asof_join" -> (qAsofJoin _)
+    "q_asof_join" -> (qAsofJoin _),
+    "text_logprob" -> (qTextLogprob _)
   )
 
   /** Shared by dedup_ngram_jaccard (exact self-join) and
@@ -1139,6 +1144,23 @@ object SparkEntry {
          FROM events e ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.ts
          ORDER BY e.event_id""",
     "seq_pack" -> seqPackOracle,
+    "text_logprob" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_filter(
+             regexp_split_to_array(trim(lower(text)), '\s+'),
+             x -> len(x) > 0)) AS tok
+           FROM documents),
+         freq AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
+         tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks),
+         perdoc AS (
+           SELECT doc_id, count(*) AS n_tokens,
+             round(sum(ln(CAST(tf AS DOUBLE) / n)) / count(*), 4) AS avg_logprob
+           FROM toks JOIN freq USING (tok), tot GROUP BY doc_id)
+         SELECT d.doc_id,
+           CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+           coalesce(p.avg_logprob, 0.0) AS avg_logprob
+         FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+         ORDER BY d.doc_id""",
     "pii_scan" -> piiOracle,
     "contamination_ngram" -> contaminationOracle,
     "dedup_clusters" -> dedupClustersOracle,

@@ -120,6 +120,38 @@ object TextAnalysis {
 
   val fingerprintUdf = udf(fingerprint _)
 
+  /** Corpus-statistics quality score: mean unigram log-probability of
+    * each document under the corpus's own unigram distribution (the
+    * classic cheap perplexity proxy — boilerplate and word soup score
+    * low, typical prose high).
+    *
+    * Shape: one aggregation builds the (token, tf) table, the exploded
+    * token stream joins it on the token key, and a per-doc aggregation
+    * folds the logs. Hot tokens are not a skew hazard: each joins to
+    * ONE freq row, and the per-doc re-agg keys on (doc). The corpus
+    * total is a single scalar (one number to the driver). At 100 TB
+    * the freq table is disk-resident and the join shuffles — broadcast
+    * a top-K vocab with a rare-token fallback if that shuffle
+    * dominates. */
+  def unigramLogprob(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("lp_id"),
+        explode_outer(tokens(lower(col(textCol)))).as("tok"))
+      .filter(col("tok").isNotNull)
+      .persist()
+    val total = toks.count().toDouble
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    val perDoc = toks.join(freq, "tok")
+      .groupBy(col("lp_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(log(col("tf").cast("double") / total)) / count(lit(1)), 4)
+          .as("avg_logprob"))
+    df.select(col(idCol))
+      .join(perDoc, col(idCol) === col("lp_id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("avg_logprob"), lit(0.0)).as("avg_logprob"))
+  }
+
   /** Word n-grams WITH multiplicity (unlike `Dedup.shinglesOf`, no
     * array_distinct — repetition measurement needs duplicate grams). */
   def ngramsWithMultiplicity(toks: Column, n: Int): Column =

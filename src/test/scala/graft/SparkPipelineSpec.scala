@@ -156,6 +156,10 @@ class SparkPipelineSpec extends AnyFunSuite {
       "ip4_to_int", es => graft.functions.Ip4ToInt(es.head), "built-in")
     val r = spark.sql("SELECT ip4_to_int('10.0.0.1') AS v").head().getLong(0)
     assert(r == 167772161L)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "splitmix64", es => graft.functions.SplitMix64(es.head), "built-in")
+    val sm = spark.sql("SELECT splitmix64(0L) AS v").head().getLong(0)
+    assert(sm == 0xE220A8397B1DCDAFL)
   }
 
   test("streaming exact dedup with watermark-bounded state") {

@@ -197,6 +197,20 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  // ------------------------------------------------------------- logprob
+
+  test("unigram logprob: corpus-frequency scoring") {
+    val d = docs((1L, "a a b"), (2L, "c"))
+    // corpus: a×2, b×1, c×1 (total 4) → p(a)=.5, p(b)=p(c)=.25
+    val out = TextAnalysis.unigramLogprob(d, "text", "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val lnHalf = math.log(0.5); val lnQ = math.log(0.25)
+    assert(out == Seq(
+      (1L, 3L, math.rint((2 * lnHalf + lnQ) / 3 * 1e4) / 1e4),
+      (2L, 1L, math.rint(lnQ * 1e4) / 1e4)))
+  }
+
   // ----------------------------------------------------------- streaming
 
   test("map-only curation ops run unchanged in a structured stream") {
