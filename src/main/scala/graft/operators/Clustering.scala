@@ -45,14 +45,17 @@ object Clustering {
       val nbrMin = sym.join(labels, col("dst") === col("id"))
         .groupBy(col("src").as("nid"))
         .agg(min(col("cluster_id")).as("nbr_min"))
+      // the convergence flag rides the same projection — counting it on
+      // the checkpointed frame is a cheap scan, not a second join job
       val next = labels.join(nbrMin, col("id") === col("nid"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("cluster_id"))
+            .as("cluster_id"),
+          (coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id"))
+            .as("__changed"))
         .localCheckpoint()
-      changed = next.join(labels.select(col("id"), col("cluster_id").as("prev")), "id")
-        .filter(col("cluster_id") =!= col("prev")).count()
-      labels = next
+      changed = next.filter(col("__changed")).count()
+      labels = next.drop("__changed")
       iter += 1
     }
     sym.unpersist()

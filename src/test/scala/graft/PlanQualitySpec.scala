@@ -128,6 +128,12 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
 
+  test("as-of join compiles to a window pass — zero join operators") {
+    val p = plan("q_asof_join")
+    assert(p.contains("Window"), p.take(800))
+    assert(!p.contains("Join"), s"as-of should be join-free:\n${p.take(1200)}")
+  }
+
   test("dup clustering plans without quadratic joins") {
     val p = plan("dedup_clusters")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
