@@ -444,6 +444,29 @@ object SparkEntry {
     TextAnalysis.unigramLogprob(t(s, dir, "documents"), "text", "doc_id")
       .orderBy(col("doc_id"))
 
+  /** The end-to-end curation capstone: quality gate → exact-dedup keep
+    * → deterministic stratified sample → sequence packing, one oracled
+    * query. Every stage is one of the individually-oracled operators;
+    * the composition stays a linear pipeline (scan-stage filters, one
+    * window for dedup, map-only sample, one exchange for packing). */
+  private def qCurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Sampling, Packing}
+    val d = t(s, dir, "documents")
+    val scored = d.select(col("doc_id"), col("lang"), col("text"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= 5 && col("n_tokens") <= 400)
+    val kept = scored
+      .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+      .filter(col("doc_id") === col("keep_id"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+    val sampled = Sampling.stratifiedBernoulli(kept, "doc_id", "lang",
+      sampleRates, sampleDefaultRate)
+    Packing.packGreedy(sampled, "doc_id", "lang", "n_tokens", budget = 256, shards = 4)
+      .select(col("id").as("doc_id"), col("grp").as("lang"), col("shard"),
+        col("n_tokens"), col("bin_id"))
+      .orderBy(col("doc_id"))
+  }
+
   private def qTextRepetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionStats(t(s, dir, "documents"), "text", "doc_id")
       .orderBy(col("doc_id"))
@@ -870,7 +893,8 @@ object SparkEntry {
     "emb_quantize" -> (qEmbQuantize _),
     "seq_pack" -> (qSeqPack _),
     "q_asof_join" -> (qAsofJoin _),
-    "text_logprob" -> (qTextLogprob _)
+    "text_logprob" -> (qTextLogprob _),
+    "curation_pipeline" -> (qCurationPipeline _)
   )
 
   /** Shared by dedup_ngram_jaccard (exact self-join) and
@@ -1136,7 +1160,47 @@ object SparkEntry {
        SELECT doc_id, lang, shard, n AS n_tokens, bin_id
        FROM pack ORDER BY doc_id"""
 
+  /** The capstone pipeline replayed in SQL: the quality/dedup/sample/
+    * pack stages chain the same CTE fragments the per-operator oracles
+    * use. */
+  private def curationPipelineOracle: String = {
+    import graft.operators.Sampling.thresholdFor
+    val cases = sampleRates.toSeq.sorted.map { case (lang, r) =>
+      s"WHEN '$lang' THEN ${thresholdFor(r)}"
+    }.mkString(" ")
+    s"""WITH RECURSIVE
+        scored AS (
+          SELECT doc_id, lang, text,
+            CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+              x -> len(x) > 0)) AS BIGINT) AS n
+          FROM documents),
+        q AS (SELECT * FROM scored WHERE n BETWEEN 5 AND 400),
+        kept AS (
+          SELECT doc_id, lang, n FROM (
+            SELECT doc_id, lang, n,
+              min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM q)
+          WHERE doc_id = keep_id),
+        ${splitmixStagesSql("kept", "doc_id", "doc_id, lang, n")},
+        samp AS (SELECT doc_id, lang, n FROM s3
+          WHERE u53 < CASE lang $cases ELSE ${thresholdFor(sampleDefaultRate)} END),
+        d AS (
+          SELECT doc_id, lang, CAST(doc_id % 4 AS INT) AS shard, n,
+            row_number() OVER (PARTITION BY lang, doc_id % 4 ORDER BY doc_id) AS rn
+          FROM samp),
+        pack(lang, shard, rn, doc_id, n, bin_id, fill) AS (
+          SELECT lang, shard, rn, doc_id, n, CAST(0 AS BIGINT), n FROM d WHERE rn = 1
+          UNION ALL
+          SELECT d.lang, d.shard, d.rn, d.doc_id, d.n,
+            CASE WHEN p.fill + d.n > 256 THEN p.bin_id + 1 ELSE p.bin_id END,
+            CASE WHEN p.fill + d.n > 256 THEN d.n ELSE p.fill + d.n END
+          FROM d JOIN pack p
+            ON d.lang = p.lang AND d.shard = p.shard AND d.rn = p.rn + 1)
+        SELECT doc_id, lang, shard, n AS n_tokens, bin_id
+        FROM pack ORDER BY doc_id"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "curation_pipeline" -> curationPipelineOracle,
     "q_asof_join" ->
       """WITH r AS (SELECT user_id, ts, max(value) AS pv FROM events
            WHERE event_type = 'purchase' GROUP BY user_id, ts)
