@@ -203,6 +203,51 @@ object Cli {
       }
     case "wproj" :: "stat" :: out :: expects =>
       if (wprojStat(out, expects) > 0) sys.exit(1)
+    case "wproj" :: "rule" :: "parse" :: dir :: files =>
+      // offline rule test (reference `wproj rule parse`,
+      // docs/usage/en/01-cli/02-wproj.md:166): run the project's WPL
+      // over its enabled file sources (or explicit sample files) and
+      // report per-(status, rule) counts — no OML, no sinks.
+      val spark = session()
+      val p = graft.project.Project.load(dir)
+      val inputs =
+        if (files.nonEmpty) files
+        else p.fileSources.filter(_.enable)
+          .map(s => graft.project.Project.resolve(p.root, s.path).getPath)
+          .filter(f => new java.io.File(f).exists)
+      if (inputs.isEmpty) { System.err.println("no file sources to test"); sys.exit(2) }
+      val lines = spark.read.text(inputs: _*).withColumnRenamed("value", "line")
+      val parsed = graft.engine.WplEngine.parse(lines, "line", p.wplSource).persist()
+      parsed.groupBy(col("status"), col("rule_key")).count()
+        .orderBy(col("status"), col("rule_key")).collect()
+        .foreach(r => println(s"${r.getString(0)} rule=${Option(r.getString(1)).getOrElse("-")} " +
+          s"n=${r.getLong(2)}"))
+      val total = parsed.count()
+      val ok = parsed.filter(col("status").isin("success", "partial")).count()
+      println(f"total=$total parsed=$ok (${if (total > 0) 100.0 * ok / total else 0.0}%.1f%%)")
+      parsed.unpersist()
+      if (ok == 0) sys.exit(1)
+    case "wpgen" :: "conf" :: sub :: dir :: Nil =>
+      // generator config management (reference `wpgen conf init|check|clean`)
+      sub match {
+        case "init" =>
+          val written = graft.project.ProjectInit.wpgenConfInit(dir)
+          written.foreach(p => println(s"+ $p"))
+          if (written.isEmpty) println("conf/wpgen.toml already exists (not overwritten)")
+        case "check" =>
+          val problems = graft.project.ProjectInit.wpgenConfCheck(dir)
+          problems.foreach(m => println(s"PROBLEM: $m"))
+          if (problems.nonEmpty) sys.exit(1) else println("wpgen conf OK")
+        case "clean" =>
+          val removed = graft.project.ProjectInit.wpgenConfClean(dir)
+          removed.foreach(p => println(s"- $p"))
+        case other =>
+          System.err.println(s"usage: wpgen conf init|check|clean <dir> (got '$other')")
+          sys.exit(2)
+      }
+    case "wpgen" :: "data" :: "clean" :: dir :: Nil =>
+      val removed = graft.project.ProjectInit.wpgenDataClean(dir)
+      println(s"cleaned ${removed.size} paths (generator output)")
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
       System.err.println("usage: wparse batch|daemon, wpgen rule, wprescue batch, wproj check")

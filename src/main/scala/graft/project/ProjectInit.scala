@@ -75,18 +75,7 @@ object ProjectInit {
           |[semantic]
           |enabled = false
           |""".stripMargin)
-      put("conf/wpgen.toml",
-        """version = "1.0"
-          |
-          |[generator]
-          |mode = "rule"
-          |count = 1000
-          |speed = 1000
-          |parallel = 4
-          |
-          |[output]
-          |# no connector: writes ./src_dat/gen.dat (the demo source path)
-          |""".stripMargin)
+      put("conf/wpgen.toml", WpgenTomlScaffold)
     }
 
     if (sc.topology) {
@@ -217,6 +206,77 @@ object ProjectInit {
       } catch { case e: Exception => problems += s"oml '$stem': ${e.getMessage}" }
     }
     problems.result()
+  }
+
+  // ---- wpgen conf / data ----------------------------------------------
+
+  private val WpgenTomlScaffold: String =
+    """version = "1.0"
+      |
+      |[generator]
+      |mode = "rule"
+      |count = 1000
+      |speed = 1000
+      |parallel = 4
+      |
+      |[output]
+      |# no connector: writes ./src_dat/gen.dat (the demo source path)
+      |""".stripMargin
+
+  /** `wpgen conf init`: scaffold conf/wpgen.toml alone (the subset of
+    * the full init scaffold the reference's `wpgen conf init -w .`
+    * writes; never overwrites). */
+  def wpgenConfInit(rootPath: String): Vector[String] = {
+    val root = new File(rootPath); root.mkdirs()
+    if (writeIfAbsent(root, "conf/wpgen.toml", WpgenTomlScaffold))
+      Vector("conf/wpgen.toml")
+    else Vector.empty
+  }
+
+  /** `wpgen conf check`: load + validate the generator config; returns
+    * problems (empty = valid). */
+  def wpgenConfCheck(rootPath: String): Vector[String] = {
+    val root = new File(rootPath)
+    if (!new File(root, "conf/wpgen.toml").isFile)
+      return Vector("no conf/wpgen.toml")
+    val problems = Vector.newBuilder[String]
+    try {
+      val c = WpGenProject.loadConf(root)
+      if (!Set("rule", "sample")(c.mode)) problems += s"unknown generator mode '${c.mode}'"
+      if (c.count <= 0) problems += s"count must be positive (got ${c.count})"
+      if (c.parallel <= 0) problems += s"parallel must be positive (got ${c.parallel})"
+      if (!Set("raw", "json", "kv", "csv", "proto_text")(c.outFmt))
+        problems += s"unknown output fmt '${c.outFmt}'"
+      if (c.mode == "sample" && c.samplePattern.isEmpty)
+        problems += "mode=sample requires sample_pattern"
+    } catch { case e: Exception => problems += s"config load failed: ${e.getMessage}" }
+    problems.result()
+  }
+
+  /** `wpgen conf clean`: remove generator config files. */
+  def wpgenConfClean(rootPath: String): Vector[String] = {
+    val root = new File(rootPath)
+    Vector("conf/wpgen.toml", "conf/gen_field.toml").filter { rel =>
+      val f = new File(root, rel); f.isFile && f.delete()
+    }
+  }
+
+  /** `wpgen data clean`: delete the configured generator output (the
+    * merged file and/or the sharded `<path>.d` part dir). */
+  def wpgenDataClean(rootPath: String): Vector[String] = {
+    val root = new File(rootPath)
+    val outPath =
+      try WpGenProject.loadConf(root).outPath
+      catch { case _: Exception => "./src_dat/gen.dat" }
+    val target = Project.resolve(root, outPath)
+    val deleted = Vector.newBuilder[String]
+    def rm(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      if (f.delete()) deleted += f.getPath
+    }
+    rm(target)
+    rm(new File(target.getPath + ".d"))
+    deleted.result()
   }
 
   // ---- wproj data ------------------------------------------------------

@@ -714,6 +714,40 @@ class ProjectSpec extends AnyFunSuite {
     assert(ProjectInit.dataStat(p).forall(_.rows == 0))
   }
 
+  test("wpgen conf init/check/clean + data clean lifecycle") {
+    val root = Files.createTempDirectory("graft-wpgen-conf")
+    // init writes the scaffold once, never overwrites
+    assert(ProjectInit.wpgenConfInit(root.toString) == Vector("conf/wpgen.toml"))
+    assert(ProjectInit.wpgenConfInit(root.toString).isEmpty)
+    assert(ProjectInit.wpgenConfCheck(root.toString).isEmpty)
+    // invalid configs are reported
+    Files.writeString(root.resolve("conf/wpgen.toml"),
+      "version = \"1.0\"\n[generator]\nmode = \"bogus\"\ncount = -1\n")
+    val problems = ProjectInit.wpgenConfCheck(root.toString)
+    assert(problems.exists(_.contains("bogus")) && problems.exists(_.contains("count")))
+    // restore a valid conf, generate, then data clean removes the output
+    assert(ProjectInit.wpgenConfClean(root.toString) == Vector("conf/wpgen.toml"))
+    assert(ProjectInit.wpgenConfCheck(root.toString) == Vector("no conf/wpgen.toml"))
+    ProjectInit.init(root.toString, "full")
+    WpGenProject.run(spark, root.toString)
+    assert(ProjectInit.wpgenDataClean(root.toString).nonEmpty)
+    assert(ProjectInit.wpgenDataClean(root.toString).isEmpty)
+  }
+
+  test("wproj rule parse: per-rule counts over the scaffold's generated data") {
+    val root = Files.createTempDirectory("graft-rule-parse")
+    ProjectInit.init(root.toString, "full")
+    WpGenProject.run(spark, root.toString)
+    val p = Project.load(root.toString)
+    val src = p.fileSources.filter(_.enable)
+      .map(s => Project.resolve(p.root, s.path).getPath)
+    val lines = spark.read.text(src: _*).withColumnRenamed("value", "line")
+    val parsed = graft.engine.WplEngine.parse(lines, "line", p.wplSource)
+    val byRule = parsed.groupBy("status", "rule_key").count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(byRule.toSeq == Seq(("success", "/demo/kv", 1000L)), byRule.toSeq)
+  }
+
   test("wproj init scoped modes materialize only their component families") {
     val root = Files.createTempDirectory("graft-init-scoped")
     ProjectInit.init(root.toString, "model")
