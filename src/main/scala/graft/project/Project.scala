@@ -145,7 +145,14 @@ object Project {
       sinksDir: String,
       rescuePath: Option[String],
       semanticEnabled: Boolean,
-      statDims: Vector[StatDim] = Vector.empty)
+      statDims: Vector[StatDim] = Vector.empty,
+      // [performance] (docs/usage/en/02-config/01-wparse.md:16-18):
+      // parse_workers → parse-stage partition count; rate_limit_rps →
+      // daemon per-trigger record cap (kafka maxOffsetsPerTrigger)
+      parseWorkers: Option[Int] = None,
+      rateLimitRps: Option[Long] = None,
+      // [log_conf].level first segment (e.g. "warn,ctrl=info" → warn)
+      logLevel: Option[String] = None)
 
   final case class Loaded(
       root: File,
@@ -243,7 +250,11 @@ object Project {
       sinksDir = t.str("topology", "sinks").getOrElse("./topology/sinks"),
       rescuePath = t.str("rescue", "path"),
       semanticEnabled = t.bool("semantic", "enabled").getOrElse(false),
-      statDims = loadStatDims(t))
+      statDims = loadStatDims(t),
+      parseWorkers = t.long("performance", "parse_workers").map(_.toInt),
+      rateLimitRps = t.long("performance", "rate_limit_rps"),
+      logLevel = t.str("log_conf", "level").map(_.split(',').head.trim)
+        .filter(Set("trace", "debug", "info", "warn", "error")))
   }
 
   private def loadStatDims(t: TTab): Vector[StatDim] =

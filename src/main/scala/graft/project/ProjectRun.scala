@@ -144,13 +144,17 @@ object ProjectRun {
                knowDb: KnowDb = KnowDb.empty,
                enricher: graft.wpl.Enricher = graft.wpl.Enricher.empty,
                shardedSinks: Boolean = true): Vector[SinkReport] = {
+    p.conf.logLevel.foreach(l => spark.sparkContext.setLogLevel(l.toUpperCase))
     val sources = p.fileSources.filter(_.enable)
     require(sources.nonEmpty, "no enabled file sources")
     val parsed = sources.map { s =>
       val path = Project.resolve(p.root, s.path)
       // keep the raw line: miss/residue/error infra sinks write original
       // payload text, not formatted fields (reference rescue semantics)
-      val lines = spark.read.text(path.getPath).withColumnRenamed("value", "raw_line")
+      val lines0 = spark.read.text(path.getPath).withColumnRenamed("value", "raw_line")
+      // [performance].parse_workers: explicit parse-stage parallelism
+      // (the reference's worker-pool size; here = partition count)
+      val lines = p.conf.parseWorkers.fold(lines0)(w => lines0.repartition(w))
       Pipeline.run(lines, "raw_line", p.wplSource, p.omlSources.map(_._2),
         keep = Seq("raw_line"), knowDb = knowDb, sourceTags = s.tags, enricher = enricher,
         semanticEnabled = p.conf.semanticEnabled) // [semantic].enabled, default off
@@ -347,7 +351,11 @@ object ProjectRun {
         .drop("client_ip").withColumnRenamed("value", "raw_line") -> s.tags
     }
     val kafkaStreams = p.kafkaSources.filter(_.enable).map { s =>
-      StreamingPipeline.kafkaLines(spark, s.brokers, s.topics.mkString(","))
+      // [performance].rate_limit_rps → per-trigger record cap
+      val cap = p.conf.rateLimitRps
+        .map(r => math.max(1L, r * triggerMs / 1000L)).getOrElse(100000L)
+      StreamingPipeline.kafkaLines(spark, s.brokers, s.topics.mkString(","),
+          maxOffsetsPerTrigger = cap)
         .withColumnRenamed("line", "raw_line") -> s.tags
     }
     val streams = fileStreams ++ syslogStreams ++ kafkaStreams

@@ -714,6 +714,27 @@ class ProjectSpec extends AnyFunSuite {
     assert(ProjectInit.dataStat(p).forall(_.rows == 0))
   }
 
+  test("[performance] and [log_conf] engine-config keys parse and apply") {
+    val root = Files.createTempDirectory("graft-perf-conf")
+    Files.createDirectories(root.resolve("conf"))
+    Files.writeString(root.resolve("conf/wparse.toml"),
+      """version = "1.0"
+        |[performance]
+        |rate_limit_rps = 5000
+        |parse_workers = 3
+        |[log_conf]
+        |output = "File"
+        |level = "warn,ctrl=info"
+        |""".stripMargin)
+    val c = Project.loadEngineConf(root.toFile)
+    assert(c.parseWorkers.contains(3))
+    assert(c.rateLimitRps.contains(5000L))
+    assert(c.logLevel.contains("warn"))
+    // absent section → all None (no behavior change)
+    val c0 = Project.loadEngineConf(Files.createTempDirectory("graft-noconf").toFile)
+    assert(c0.parseWorkers.isEmpty && c0.rateLimitRps.isEmpty && c0.logLevel.isEmpty)
+  }
+
   test("wpgen conf init/check/clean + data clean lifecycle") {
     val root = Files.createTempDirectory("graft-wpgen-conf")
     // init writes the scaffold once, never overwrites
