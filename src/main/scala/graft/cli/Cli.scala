@@ -135,7 +135,9 @@ object Cli {
     case "wparse" :: "daemon" :: dir :: Nil if new java.io.File(dir).isDirectory =>
       // streaming daemon over a project instance dir
       val spark = session()
-      val q = graft.project.ProjectRun.runStream(spark, graft.project.Project.load(dir))
+      val pd = graft.project.Project.load(dir)
+      val q = graft.project.ProjectRun.runStream(spark, pd,
+        knowDb = graft.project.KnowDbLoader.load(pd.root))
       q.awaitTermination()
     case "wparse" :: "project" :: dir :: rest if rest.forall(_ == "--merged-sinks") =>
       // run a whole wp-proj-style instance dir (conf/wparse.toml +
@@ -143,7 +145,10 @@ object Cli {
       // dirs (<path>.d) — --merged-sinks opts into single merged files
       val spark = session()
       val p = graft.project.Project.load(dir)
+      // models/knowledge/knowdb.toml (if present) backs OML `select …`
+      // lookups for the whole instance
       val reports = graft.project.ProjectRun.runBatch(spark, p,
+        knowDb = graft.project.KnowDbLoader.load(p.root),
         shardedSinks = rest.isEmpty)
       reports.foreach { r =>
         println(s"sink ${r.group}/${r.sink} -> ${r.path}: rows=${r.rows}" +

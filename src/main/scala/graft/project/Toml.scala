@@ -125,14 +125,16 @@ object Toml {
         } else {
           val eq = indexOfUnquoted(line, '=')
           if (eq < 0) throw new IllegalArgumentException(s"bad toml line: $line")
-          val key = unkey(line.substring(0, eq).trim)
+          // dotted keys nest (TOML `a.b = v` ≡ `[a] b = v`)
+          val keyPath = splitPath(line.substring(0, eq).trim)
           var rhs = line.substring(eq + 1).trim
           // multi-line arrays: gather until brackets balance outside strings
           while (!balanced(rhs) && i + 1 < lines.length) {
             i += 1
             rhs = rhs + "\n" + stripComment(lines(i)).trim
           }
-          cur.m(key) = parseValue(rhs.trim)
+          val owner = if (keyPath.size == 1) cur else navigate(cur, keyPath.init)
+          owner.m(keyPath.last) = parseValue(rhs.trim)
         }
       }
       i += 1

@@ -735,6 +735,51 @@ class ProjectSpec extends AnyFunSuite {
     assert(c0.parseWorkers.isEmpty && c0.rateLimitRps.isEmpty && c0.logLevel.isEmpty)
   }
 
+  test("knowdb.toml directory loading: mapping, on_error, spec validation") {
+    val base = Files.createTempDirectory("graft-knowdb")
+    def table(dir: String, csv: String, withSql: Boolean = true): Unit = {
+      Files.createDirectories(base.resolve(dir))
+      if (withSql) {
+        Files.writeString(base.resolve(s"$dir/create.sql"), "CREATE TABLE {table} (a, b);")
+        Files.writeString(base.resolve(s"$dir/insert.sql"), "INSERT INTO {table} VALUES (?1, ?2);")
+      }
+      Files.writeString(base.resolve(s"$dir/data.csv"), csv)
+    }
+    table("example", "name,pinying,extra\nalice,al,1\nbob,bo,2\n")
+    table("addr", "city,zip\nparis,75\nbad_row_only_one_cell\nnice,06\n")
+    Files.writeString(base.resolve("knowdb.toml"),
+      """version = 2
+        |[[tables]]
+        |name = "example"
+        |columns.by_header = ["pinying", "name"]
+        |[[tables]]
+        |name = "address"
+        |dir = "addr"
+        |on_error = "skip"
+        |""".stripMargin)
+    val db = KnowDbLoader.loadFrom(base.toFile)
+    // by_header selects + reorders
+    val ex = db.table("example").get
+    assert(ex.columns == Vector("pinying", "name"))
+    assert(ex.rows == Vector(Vector("al", "alice"), Vector("bo", "bob")))
+    // dir override + bad-row skip
+    val ad = db.table("address").get
+    assert(ad.rows == Vector(Vector("paris", "75"), Vector("nice", "06")))
+    // on_error=fail (default) rejects the same bad row
+    Files.writeString(base.resolve("knowdb.toml"),
+      "version = 2\n[[tables]]\nname = \"address\"\ndir = \"addr\"\n")
+    val e = intercept[IllegalArgumentException](KnowDbLoader.loadFrom(base.toFile))
+    assert(e.getMessage.contains("bad row"))
+    // missing create.sql violates the spec
+    table("nosql", "a\n1\n", withSql = false)
+    Files.writeString(base.resolve("knowdb.toml"),
+      "version = 2\n[[tables]]\nname = \"nosql\"\n")
+    val e2 = intercept[IllegalArgumentException](KnowDbLoader.loadFrom(base.toFile))
+    assert(e2.getMessage.contains("create.sql"))
+    // absent knowdb.toml → empty db (project loads unaffected)
+    assert(KnowDbLoader.loadFrom(Files.createTempDirectory("none").toFile).tables.isEmpty)
+  }
+
   test("wpgen conf init/check/clean + data clean lifecycle") {
     val root = Files.createTempDirectory("graft-wpgen-conf")
     // init writes the scaffold once, never overwrites
