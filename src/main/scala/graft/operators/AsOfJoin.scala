@@ -21,7 +21,11 @@ import org.apache.spark.sql.expressions.Window
   * r.ts` for oracle comparison.
   *
   * Right must be unique per (keys, ts) — pre-aggregate if needed (an
-  * ambiguous tie has no canonical as-of answer).
+  * ambiguous tie has no canonical as-of answer). Two contract caveats
+  * from the carry-forward encoding: right value columns must be
+  * non-null (a null value would be skipped by the ignoreNulls carry,
+  * yielding the previous state instead of the matched row's null) and
+  * `valCols` names must not collide with left column names.
   */
 object AsOfJoin {
 

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.udf
 
 /** Benchmark-contamination detection: flag training documents whose
   * word n-grams overlap an evaluation/benchmark corpus (the standard
@@ -39,5 +40,31 @@ object Contamination {
       .join(broadcast(eSizes), "eval_id")
       .select(col("train_id"), col("eval_id"), col("n_overlap"),
         round(col("n_overlap").cast("double") / col("eval_n"), 4).as("overlap_ratio"))
+  }
+
+  /** Sketch-based contamination pre-filter — the cheapest 100-TB first
+    * pass: a Bloom filter over the eval corpus's shingles (built once,
+    * ~1.2 bytes/element at 1% fpp) rides the task closure, and each
+    * train doc counts its shingle hits in a single map — NO join, NO
+    * shuffle, nothing but the scan. One-sided error: every truly
+    * overlapping doc is flagged (Bloom has no false negatives); the
+    * DOC-level false-positive rate compounds per shingle —
+    * 1-(1-fpp)^s for s shingles/doc — so fpp must sit well under
+    * 1/s (the 1e-4 default ⇒ ~0.4% doc-level fp at s=40, ~2.9
+    * bytes/element). `ngramOverlap` verifies the flagged survivors. */
+  def ngramBloomFlag(train: DataFrame, eval_ : DataFrame,
+                     textCol: String, idCol: String,
+                     n: Int = 3, fpp: Double = 1e-4): DataFrame = {
+    val eSh = Dedup.shingleDf(eval_, textCol, idCol, n, "eval_id")
+      .select(explode_outer(col("shingles")).as("shingle"))
+      .filter(col("shingle").isNotNull)
+      .distinct()
+    val expected = math.max(1L, eSh.count())
+    val bloom = eSh.stat.bloomFilter("shingle", expected, fpp)
+    val hits = udf((sh: Seq[String]) =>
+      if (sh == null) 0 else sh.count(s => bloom.mightContainString(s)))
+    Dedup.shingleDf(train, textCol, idCol, n, "train_id")
+      .select(col("train_id"), hits(col("shingles")).cast("long").as("n_flagged"))
+      .filter(col("n_flagged") > 0)
   }
 }

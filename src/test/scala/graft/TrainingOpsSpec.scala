@@ -90,6 +90,24 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 100L, 2L, 0.6667)))
   }
 
+  test("bloom contamination pre-filter: no false negatives, bounded extras") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val eval_ = d.filter(col("doc_id") % 50 === 0)
+    val train = d.filter(col("doc_id") % 50 =!= 0)
+    val exact = Contamination.ngramOverlap(train, eval_, "text", "doc_id",
+        n = 3, minOverlap = 1)
+      .select("train_id").distinct().collect().map(_.getLong(0)).toSet
+    val flagged = Contamination.ngramBloomFlag(train, eval_, "text", "doc_id",
+        n = 3)
+      .collect().map(_.getLong(0)).toSet
+    // Bloom has no false negatives: every truly overlapping doc is flagged
+    assert((exact -- flagged).isEmpty, s"missed: ${exact -- flagged}")
+    // doc-level fp ≈ 1-(1-1e-4)^s ≈ 0.4% at s≈40 — allow generous slack
+    val nTrain = train.count()
+    assert(flagged.size - exact.size <= math.max(10, (nTrain * 0.05).toLong),
+      s"flagged=${flagged.size} exact=${exact.size} of $nTrain")
+  }
+
   // ------------------------------------------------------------ sampling
 
   test("splitmix64 matches the reference test vector") {
