@@ -128,6 +128,26 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
 
+  test("IVF cells written partitionBy prune the scan at read") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = Similarity.kmeansCentroids(e, "embedding", "vec_id", k = 4, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Similarity.ivfAssign(e, "embedding", cents)
+      .write.partitionBy("ivf_cell").mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir).filter(col("ivf_cell") === 1)
+    val scan = back.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f
+    }.head
+    // the cell predicate must land in PartitionFilters (directory
+    // pruning), NOT as a data filter — that is what makes bucket-probe
+    // ANN a per-cell read instead of a full scan at 100 TB
+    assert(scan.partitionFilters.nonEmpty, scan.metadata.toString)
+    assert(back.count() > 0)
+  }
+
   test("as-of join compiles to a window pass — zero join operators") {
     val p = plan("q_asof_join")
     assert(p.contains("Window"), p.take(800))
