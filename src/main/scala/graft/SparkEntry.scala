@@ -810,6 +810,32 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Multimodal PNG decode: genuine DEFLATE-compressed PNG containers
+    * (built with the JDK encoder), decoded back through the ImageIO
+    * codec path — PNG is lossless, so the closed-form pixel formula
+    * oracles the decoded channel means exactly. */
+  private def qMultimodalPng(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MediaMeta.media_meta
+    import graft.functions.MediaChannelMeans.media_channel_means
+    import graft.operators.Multimodal
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"),
+        Multimodal.synthPngUdf(col("doc_id"),
+          (col("doc_id") % 9 + 1).cast("int"),
+          (col("doc_id") % 4 + 1).cast("int")).as("media"))
+    d.select(col("doc_id"),
+        media_meta(col("media")).as("m"),
+        media_channel_means(col("media")).as("ch"))
+      .select(col("doc_id"),
+        col("m.format").as("format"),
+        col("m.width").as("width"),
+        col("m.height").as("height"),
+        round(col("ch").getItem(0), 4).as("r_mean"),
+        round(col("ch").getItem(1), 4).as("g_mean"),
+        round(col("ch").getItem(2), 4).as("b_mean"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Multimodal WAV decode: genuine RIFF/PCM-16 containers, per-channel
     * mean + RMS from the real sample decoder, closed-form oracle. */
   private def qMultimodalWav(s: SparkSession, dir: String): DataFrame = {
@@ -841,6 +867,7 @@ object SparkEntry {
     "ip_range_lookup" -> (qIpRange _),
     "multimodal_meta" -> (qMultimodal _),
     "multimodal_bmp_decode" -> (qMultimodalBmp _),
+    "multimodal_png_decode" -> (qMultimodalPng _),
     "multimodal_wav_decode" -> (qMultimodalWav _),
     "oml_transform" -> (qOmlTransform _),
     "oml_objects" -> (qOmlObjects _),
@@ -1268,6 +1295,20 @@ object SparkEntry {
                 LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) gx
          )
          SELECT doc_id, 'bmp' AS format, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           round(avg((doc_id*31 + y*7 + x*3) % 256), 4) AS r_mean,
+           round(avg((doc_id*31 + y*7 + x*3 + 11) % 256), 4) AS g_mean,
+           round(avg((doc_id*31 + y*7 + x*3 + 22) % 256), 4) AS b_mean
+         FROM px GROUP BY doc_id, w, h ORDER BY doc_id""",
+    "multimodal_png_decode" ->
+      """WITH dims AS (
+           SELECT doc_id, (doc_id % 9) + 1 AS w, (doc_id % 4) + 1 AS h FROM documents
+         ), px AS (
+           SELECT d.doc_id, d.w, d.h, gy.y, gx.x
+           FROM dims d,
+                LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) gy,
+                LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) gx
+         )
+         SELECT doc_id, 'png' AS format, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
            round(avg((doc_id*31 + y*7 + x*3) % 256), 4) AS r_mean,
            round(avg((doc_id*31 + y*7 + x*3 + 11) % 256), 4) AS g_mean,
            round(avg((doc_id*31 + y*7 + x*3 + 22) % 256), 4) AS b_mean

@@ -3,18 +3,20 @@ package graft.operators
 /** Pluggable media-codec SPI for multimodal binary columns.
   *
   * A codec sniffs a container by magic bytes, extracts header metadata
-  * (pure byte arithmetic), and — where the format is decodable without
-  * external libraries — produces the raw per-channel samples (pixel
-  * channel values for images, PCM samples for audio). Formats whose
-  * payload needs a real codec library (PNG/JPEG/GIF entropy-coded
-  * pixels, MP4 tracks) are header-only built-ins; a deployment with
-  * codec jars registers richer codecs via [[MediaCodecs.register]].
+  * (pure byte arithmetic), and — where decodable without external
+  * dependencies — produces the raw per-channel samples (pixel channel
+  * values for images, PCM samples for audio). MP4 stays header-only
+  * (track decode genuinely needs codec jars); a deployment registers
+  * richer codecs via [[MediaCodecs.register]].
   *
-  * Built-ins with FULL sample decode (no libs needed, byte arithmetic
-  * only):
+  * Built-ins with FULL sample decode:
   *  - BMP: uncompressed 24-bit BI_RGB (bottom-up or top-down rows,
-  *    4-byte row padding) → R/G/B channel values in top-down scan order
-  *  - WAV: canonical RIFF/WAVE PCM 16-bit → per-channel sample values
+  *    4-byte row padding) → R/G/B channel values, pure byte arithmetic
+  *  - WAV: canonical RIFF/WAVE PCM 16-bit → per-channel samples, pure
+  *    byte arithmetic
+  *  - PNG / JPEG / GIF: R/G/B channels through the JDK's built-in
+  *    ImageIO readers (java.desktop — part of Java SE, no external
+  *    library); header metadata stays pure byte arithmetic
   */
 trait MediaCodec {
   /** Short format tag, e.g. "bmp". */
@@ -152,9 +154,41 @@ object WavCodec extends MediaCodec {
   }
 }
 
-/** PNG: header-only (IDAT pixels are zlib+filter coded — needs a codec
-  * lib; register one via the SPI). Signature + IHDR width/height
-  * (big-endian, PNG spec §11.2.2). */
+/** Shared RGB pixel decode through the JDK's built-in ImageIO plugins
+  * (java.desktop ships PNG/JPEG/GIF/BMP readers — a JDK facility, not
+  * an external dependency). Headless-safe; any decode failure degrades
+  * to header-only (None), never throws into the expression. */
+private[operators] object ImageIoDecode {
+  def rgb(b: Array[Byte]): Option[MediaCodec.Samples] = {
+    if (System.getProperty("java.awt.headless") == null)
+      System.setProperty("java.awt.headless", "true")
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      if (img == null) return None
+      val w = img.getWidth
+      val h = img.getHeight
+      if (w <= 0 || h <= 0 || w.toLong * h > 64L * 1024 * 1024) return None
+      val n = w * h
+      val r = new Array[Double](n)
+      val g = new Array[Double](n)
+      val bl = new Array[Double](n)
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      var i = 0
+      while (i < n) {
+        val p = px(i)
+        r(i) = (p >> 16) & 0xFF
+        g(i) = (p >> 8) & 0xFF
+        bl(i) = p & 0xFF
+        i += 1
+      }
+      Some(MediaCodec.Samples(Array(r, g, bl)))
+    } catch { case _: Exception => None }
+  }
+}
+
+/** PNG: full pixel decode (lossless) through the JDK ImageIO PNG
+  * reader; header metadata stays pure byte arithmetic — signature +
+  * IHDR width/height (big-endian, PNG spec §11.2.2). */
 object PngCodec extends MediaCodec {
   import MediaCodec._
   val format = "png"
@@ -163,11 +197,13 @@ object PngCodec extends MediaCodec {
   def meta(b: Array[Byte]): Meta =
     if (b.length >= 24 && ascii(b, 12, "IHDR")) Meta(be32(b, 16), be32(b, 20), 1)
     else Meta(0, 0, 1)
-  def samples(b: Array[Byte]): Option[Samples] = None
+  def samples(b: Array[Byte]): Option[Samples] = ImageIoDecode.rgb(b)
 }
 
-/** JPEG: header-only (entropy-coded payload). SOI then marker scan to
-  * the first SOFn (C0–CF minus C4/C8/CC) for height/width. */
+/** JPEG: full pixel decode through the JDK ImageIO JPEG reader (lossy
+  * format — decoded values are codec-exact, not synth-exact, so tests
+  * assert tolerances rather than hashes). Header metadata is a pure
+  * marker scan: SOI then the first SOFn (C0–CF minus C4/C8/CC). */
 object JpegCodec extends MediaCodec {
   import MediaCodec._
   val format = "jpeg"
@@ -184,10 +220,11 @@ object JpegCodec extends MediaCodec {
     }
     Meta(0, 0, 1) // SOI but truncated before SOF
   }
-  def samples(b: Array[Byte]): Option[Samples] = None
+  def samples(b: Array[Byte]): Option[Samples] = ImageIoDecode.rgb(b)
 }
 
-/** GIF: header-only (LZW payload). Logical-screen width/height, LE. */
+/** GIF: full pixel decode through the JDK ImageIO GIF reader (first
+  * frame). Header metadata: logical-screen width/height, LE. */
 object GifCodec extends MediaCodec {
   import MediaCodec._
   val format = "gif"
@@ -195,16 +232,54 @@ object GifCodec extends MediaCodec {
     ascii(b, 0, "GIF87a") || ascii(b, 0, "GIF89a")
   def meta(b: Array[Byte]): Meta =
     if (b.length >= 10) Meta(le16(b, 6), le16(b, 8), 1) else Meta(0, 0, 1)
-  def samples(b: Array[Byte]): Option[Samples] = None
+  def samples(b: Array[Byte]): Option[Samples] = ImageIoDecode.rgb(b)
 }
 
-/** MP4 / ISO-BMFF: header-only (track dims need a full box walk +
-  * sample decode). */
+/** MP4 / ISO-BMFF: header metadata via a pure byte box walk
+  * (moov → trak → tkhd; width/height are 16.16 fixed-point at content
+  * offset 76 for tkhd v0, 88 for v1). Sample decode stays out — video
+  * tracks genuinely need codec libraries. */
 object Mp4Codec extends MediaCodec {
   import MediaCodec._
   val format = "mp4"
   def sniff(b: Array[Byte]): Boolean = ascii(b, 4, "ftyp")
-  def meta(b: Array[Byte]): Meta = Meta(0, 0, 0)
+
+  /** Find a box by type inside [start, end); returns (contentOff,
+    * boxEnd) or null. Box = BE32 size + 4-char type. */
+  private def findBox(b: Array[Byte], start: Int, end: Int, name: String): (Int, Int) = {
+    var i = start
+    while (i + 8 <= end) {
+      val sz = be32(b, i)
+      if (sz < 8 || i + sz > end || i + sz < i) return null
+      if (ascii(b, i + 4, name)) return (i + 8, i + sz)
+      i += sz
+    }
+    null
+  }
+
+  def meta(b: Array[Byte]): Meta = {
+    val moov = findBox(b, 0, b.length, "moov")
+    if (moov == null) return Meta(0, 0, 0)
+    // first trak with non-zero dims wins (audio tracks carry 0×0)
+    var at = moov._1
+    while (at < moov._2) {
+      val trak = findBox(b, at, moov._2, "trak")
+      if (trak == null) return Meta(0, 0, 0)
+      val tkhd = findBox(b, trak._1, trak._2, "tkhd")
+      if (tkhd != null) {
+        val version = b(tkhd._1) & 0xFF
+        val dimOff = tkhd._1 + (if (version == 1) 88 else 76)
+        if (dimOff + 8 <= tkhd._2) {
+          val w = be32(b, dimOff) >>> 16
+          val h = be32(b, dimOff + 4) >>> 16
+          if (w > 0 && h > 0) return Meta(w, h, 1)
+        }
+      }
+      at = trak._2
+    }
+    Meta(0, 0, 0)
+  }
+
   def samples(b: Array[Byte]): Option[Samples] = None
 }
 

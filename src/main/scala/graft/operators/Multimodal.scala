@@ -184,4 +184,33 @@ object Multimodal {
 
   val synthBmpUdf = udf(synthBmp _)
   val synthWavUdf = udf((seed: Long, channels: Int, frames: Int) => synthWav(seed, channels, frames))
+
+  /** A real PNG whose pixel (x, y) has the same closed-form channel
+    * values as [[synthBmp]] (r = (seed·31+y·7+x·3) mod 256, g = +11,
+    * b = +22). PNG is lossless, so the decoded channels equal the
+    * formula exactly no matter how the encoder chunks/filters — the
+    * oracle recomputes the formula analytically while the engine runs
+    * a genuine DEFLATE-compressed container through the codec. */
+  def synthPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+    if (System.getProperty("java.awt.headless") == null)
+      System.setProperty("java.awt.headless", "true")
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val base = seed * 31 + y * 7 + x * 3
+        def ch(off: Int): Int = (((base + off) % 256 + 256) % 256).toInt
+        img.setRGB(x, y, (ch(0) << 16) | (ch(11) << 8) | ch(22))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  val synthPngUdf = udf(synthPng _)
 }

@@ -116,6 +116,54 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(WavCodec.samples(bits8).isEmpty)
   }
 
+  test("PNG synth → decode round-trip: lossless pixels match the closed form") {
+    import graft.operators.{Multimodal, MediaCodecs, PngCodec}
+    val b = Multimodal.synthPng(seed = 7L, w = 5, h = 3)
+    assert(MediaCodecs.find(b).contains(PngCodec))
+    assert(PngCodec.meta(b).width == 5 && PngCodec.meta(b).height == 3)
+    val s = PngCodec.samples(b).get
+    // channel order R,G,B; pixel (x,y) = ((7*31 + y*7 + x*3) + off) mod 256
+    for (y <- 0 until 3; x <- 0 until 5; (off, c) <- Seq((0, 0), (11, 1), (22, 2))) {
+      val expect = (((7L * 31 + y * 7 + x * 3 + off) % 256 + 256) % 256).toDouble
+      assert(s.channels(c)(y * 5 + x) == expect, s"($x,$y) ch$c")
+    }
+  }
+
+  test("JPEG decode through the JDK reader: dims exact, values near-lossless") {
+    import graft.operators.{JpegCodec, MediaCodecs}
+    // flat mid-gray compresses with minimal error
+    val img = new java.awt.image.BufferedImage(8, 6,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 6; x <- 0 until 8) img.setRGB(x, y, 0x808080)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", bos)
+    val b = bos.toByteArray
+    assert(MediaCodecs.find(b).contains(JpegCodec))
+    assert(JpegCodec.meta(b).width == 8 && JpegCodec.meta(b).height == 6)
+    val s = JpegCodec.samples(b).get
+    for (c <- 0 until 3)
+      assert(math.abs(s.channels(c).sum / s.channels(c).length - 128.0) < 4.0)
+  }
+
+  test("MP4 tkhd box walk extracts track dimensions") {
+    import graft.operators.{Mp4Codec, MediaCodecs}
+    def be32(v: Int): Array[Byte] =
+      Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def box(name: String, content: Array[Byte]): Array[Byte] =
+      be32(8 + content.length) ++ name.getBytes("ASCII") ++ content
+    // tkhd v0: ver/flags + fixed fields (72 bytes) + 16.16 width/height
+    val tkhd = box("tkhd", new Array[Byte](76) ++ be32(640 << 16) ++ be32(360 << 16))
+    // audio trak first (0×0 dims) — the walk must skip it
+    val audioTkhd = box("tkhd", new Array[Byte](76) ++ be32(0) ++ be32(0))
+    val moov = box("moov", box("trak", audioTkhd) ++ box("trak", tkhd))
+    val bytes = box("ftyp", "isom".getBytes("ASCII")) ++ moov
+    assert(MediaCodecs.find(bytes).contains(Mp4Codec))
+    val m = Mp4Codec.meta(bytes)
+    assert(m.width == 640 && m.height == 360, m.toString)
+    // truncated moov degrades to zeros, never throws
+    assert(Mp4Codec.meta(bytes.take(30)) == graft.operators.MediaCodec.Meta(0, 0, 0))
+  }
+
   test("codec SPI: registration order and custom codec extension") {
     assert(MediaCodecs.find(Multimodal.synthBmp(1L, 2, 2)).map(_.format).contains("bmp"))
     assert(MediaCodecs.find(Multimodal.synthWav(1L, 1, 4)).map(_.format).contains("wav"))
