@@ -768,18 +768,30 @@ object SparkEntry {
       .orderBy(col("c_custkey"))
   }
 
-  /** Multimodal: binary media column + metadata decode (stubbed codec,
-    * real Spark plumbing — batched mapPartitions, typed meta struct). */
+  /** Multimodal metadata over a MIXED corpus of real containers: BMP /
+    * PNG / WAV synthesized per doc_id schedule, plus raw text bytes on
+    * the %4==3 slot exercising the deterministic unknown-blob fallback
+    * — one query covers real sniffing of three container families AND
+    * the fallback path, all closed-form for the oracle. (PNG byte size
+    * is encoder-dependent, so n_bytes is not part of this contract.) */
   private def qMultimodal(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Multimodal
-    val d = t(s, dir, "documents").withColumn("media", col("text").cast("binary"))
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        when(col("doc_id") % 4 === 0, Multimodal.synthBmpUdf(col("doc_id"),
+            (col("doc_id") % 8 + 1).cast("int"), (col("doc_id") % 6 + 1).cast("int")))
+          .when(col("doc_id") % 4 === 1, Multimodal.synthPngUdf(col("doc_id"),
+            (col("doc_id") % 9 + 1).cast("int"), (col("doc_id") % 4 + 1).cast("int")))
+          .when(col("doc_id") % 4 === 2, Multimodal.synthWavUdf(col("doc_id"),
+            lit(2), (col("doc_id") % 16 + 4).cast("int")))
+          .otherwise(col("text").cast("binary")).as("media"))
     Multimodal.decode(d, "media").select(
       col("doc_id"),
       col("media_meta.format").as("format"),
-      col("media_meta.n_bytes").as("n_bytes"),
       col("media_meta.width").as("width"),
       col("media_meta.height").as("height"),
-      col("media_meta.n_frames").as("n_frames"))
+      col("media_meta.n_frames").as("n_frames"),
+      col("media_meta.ok").as("ok"))
       .orderBy(col("doc_id"))
   }
 
@@ -1276,15 +1288,19 @@ object SparkEntry {
                          AND 167772160 + n_nationkey * 65536 + 65535
          ORDER BY c_custkey""",
     "multimodal_meta" ->
-      """SELECT doc_id,
-         CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'png'
-              WHEN octet_length(encode(text)) % 3 = 1 THEN 'jpeg'
-              ELSE 'webp' END AS format,
-         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-         CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
-         CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS height,
-         CAST(octet_length(encode(text)) // 1000 + 1 AS INT) AS n_frames
-         FROM documents ORDER BY doc_id""",
+      """WITH n AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents)
+         SELECT doc_id,
+         CASE doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'wav'
+           ELSE (CASE WHEN nb % 3 = 0 THEN 'png' WHEN nb % 3 = 1 THEN 'jpeg'
+                 ELSE 'webp' END) END AS format,
+         CAST(CASE doc_id % 4 WHEN 0 THEN doc_id % 8 + 1 WHEN 1 THEN doc_id % 9 + 1
+           WHEN 2 THEN 8000 ELSE nb % 640 + 1 END AS INT) AS width,
+         CAST(CASE doc_id % 4 WHEN 0 THEN doc_id % 6 + 1 WHEN 1 THEN doc_id % 4 + 1
+           WHEN 2 THEN 2 ELSE nb % 480 + 1 END AS INT) AS height,
+         CAST(CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 1
+           WHEN 2 THEN doc_id % 16 + 4 ELSE nb // 1000 + 1 END AS INT) AS n_frames,
+         CASE WHEN doc_id % 4 = 3 THEN nb > 0 ELSE TRUE END AS ok
+         FROM n ORDER BY doc_id""",
     "multimodal_bmp_decode" ->
       """WITH dims AS (
            SELECT doc_id, (doc_id % 8) + 1 AS w, (doc_id % 6) + 1 AS h FROM documents
