@@ -8,14 +8,14 @@ import org.apache.spark.sql.types._
   * pipelines: media ride along as opaque `binary` columns with typed
   * metadata structs.
   *
-  * Decode is REAL where byte arithmetic suffices — see [[MediaCodecs]]:
-  * full pixel decode for uncompressed 24-bit BMP, full PCM decode for
-  * 16-bit WAV, header metadata (magic + dimensions) for
-  * PNG/JPEG/GIF/MP4 whose entropy-coded payloads need external codec
-  * libraries (none in this container; the SPI is the extension point).
-  * Bytes matching no container fall back to deterministic
-  * length-derived metadata so unknown blobs stay analyzable and
-  * reproducible in oracles.
+  * Decode is REAL — see [[MediaCodecs]]: full pixel decode for
+  * uncompressed 24-bit BMP (byte arithmetic) and PNG/JPEG/GIF (JDK
+  * ImageIO readers, java.desktop), full PCM decode for 16-bit WAV,
+  * header metadata everywhere including the MP4 tkhd box walk. Only
+  * MP4 track decode needs external codec jars (the SPI is the
+  * extension point). Bytes matching no container fall back to
+  * deterministic length-derived metadata so unknown blobs stay
+  * analyzable and reproducible in oracles.
   *
   * The metadata/feature path runs as Catalyst expressions
   * ([[graft.functions.MediaMeta]] etc.) inside whole-stage codegen —

@@ -145,6 +145,31 @@ class MediaCodecSpec extends AnyFunSuite {
       assert(math.abs(s.channels(c).sum / s.channels(c).length - 128.0) < 4.0)
   }
 
+  test("GIF decode through the JDK reader: palette image round-trips exactly") {
+    import graft.operators.{GifCodec, MediaCodecs}
+    // explicit 2-color palette → no quantization; 8×8 (the JDK GIF
+    // writer mis-encodes sub-~8px images — an encoder LZW edge bug,
+    // not a decode concern)
+    val cm = new java.awt.image.IndexColorModel(1, 2,
+      Array(0xFF.toByte, 0.toByte), Array(0.toByte, 0.toByte),
+      Array(0.toByte, 0xFF.toByte))
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    for (y <- 0 until 8; x <- 0 until 8)
+      img.setRGB(x, y, if ((x + y) % 2 == 0) 0xFF0000 else 0x0000FF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", bos)
+    val b = bos.toByteArray
+    assert(MediaCodecs.find(b).contains(GifCodec))
+    assert(GifCodec.meta(b).width == 8 && GifCodec.meta(b).height == 8)
+    val s = GifCodec.samples(b).get
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val i = y * 8 + x
+      if ((x + y) % 2 == 0) assert(s.channels(0)(i) == 255.0 && s.channels(2)(i) == 0.0)
+      else assert(s.channels(0)(i) == 0.0 && s.channels(2)(i) == 255.0)
+    }
+  }
+
   test("MP4 tkhd box walk extracts track dimensions") {
     import graft.operators.{Mp4Codec, MediaCodecs}
     def be32(v: Int): Array[Byte] =
