@@ -502,6 +502,15 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Multi-table LSH embedding near-dup pairs — the scale path of
+    * `dedup_embedding_pairs`, oracled: every bucket table is
+    * deterministic, so DuckDB recomputes the same (table, bucket)
+    * equi-join union and exact in-bucket cosine. */
+  private def qEmbLshPairs(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "embedding", "vec_id",
+        dim = 64, threshold = 0.4, nBits = 2, tables = 8)
+      .orderBy(col("id_a"), col("id_b"))
+
   private def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val q = e.filter(col("vec_id") === 0).select(col("embedding")).head()
@@ -920,6 +929,7 @@ object SparkEntry {
     "lang_id" -> (qLangId _),
     "doc_fingerprint" -> (qFingerprint _),
     "dedup_embedding_pairs" -> (qEmbPairs _),
+    "dedup_embedding_lsh" -> (qEmbLshPairs _),
     "ann_cosine_topk" -> (qAnnTopk _),
     "ann_ivf_topk" -> (qAnnIvf _),
     "ann_ivf_kmeans_topk" -> (qAnnIvfKmeans _),
@@ -964,16 +974,44 @@ object SparkEntry {
        WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
        ORDER BY id_a, id_b"""
 
-  /** The LSH top-k oracle reproduces the APPROXIMATE semantics exactly:
-    * the hyperplanes are deterministic splitmix64 constants, so the SQL
-    * embeds the same plane values and recomputes bucket ids + the
-    * probed-bucket pruned cosine top-k — any drift in plane generation,
-    * bucket arithmetic, or probing hash-mismatches. */
-  private def annLshOracle(dim: Int, nBits: Int, probes: Int): String = {
+  /** The deterministic random-hyperplane bucket id recomputed in SQL:
+    * the planes are splitmix64-derived constants, embedded verbatim —
+    * any drift in plane generation or sign arithmetic hash-mismatches. */
+  private def lshBucketExprSql(dim: Int, nBits: Int): String = {
     val planes = graft.operators.Similarity.hyperplanes(dim, nBits)
-    val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
+    planes.zipWithIndex.map { case (p, i) =>
       s"(CASE WHEN list_dot_product(v, [${p.mkString(",")}]) >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString(" + ")
+  }
+
+  /** Multi-table LSH pair oracle: one bucket expression per table over
+    * its own plane slice, unioned, joined on (table, bucket), distinct
+    * verified pairs. */
+  private def embLshOracle(dim: Int, nBits: Int, tables: Int): String = {
+    val planes = graft.operators.Similarity.hyperplanes(dim, nBits * tables)
+    val perTable = (0 until tables).map { t =>
+      val expr = (0 until nBits).map { i =>
+        val p = planes(t * nBits + i)
+        s"(CASE WHEN list_dot_product(v, [${p.mkString(",")}]) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, v, $t AS t, $expr AS b FROM base"
+    }.mkString(" UNION ALL ")
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        bb AS ($perTable)
+        SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b,
+          round(list_dot_product(a.v, c.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))), 6)
+            AS cos_sim
+        FROM bb a JOIN bb c ON a.t = c.t AND a.b = c.b AND a.vec_id < c.vec_id
+        WHERE round(list_dot_product(a.v, c.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))), 6) >= 0.4
+        ORDER BY id_a, id_b"""
+  }
+
+  /** The LSH top-k oracle reproduces the APPROXIMATE semantics exactly:
+    * same buckets, same probes, pruned cosine top-k. */
+  private def annLshOracle(dim: Int, nBits: Int, probes: Int): String = {
+    val bucketExpr = lshBucketExprSql(dim, nBits)
     val targets = ("qb" +: (0 until (probes min nBits)).map(b => s"xor(qb, ${1L << b})")).mkString(", ")
     s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         bb AS (SELECT vec_id, v, $bucketExpr AS bucket FROM b),
@@ -1274,6 +1312,7 @@ object SparkEntry {
     "doc_fingerprint" -> fingerprintOracle,
     "dedup_minhash_lsh" -> ngramJaccardOracle,
     "ann_lsh_topk" -> annLshOracle(dim = 64, nBits = 8, probes = 2),
+    "dedup_embedding_lsh" -> embLshOracle(dim = 64, nBits = 2, tables = 8),
     "ip_range_lookup" ->
       """WITH probe AS (
            SELECT c_custkey,

@@ -97,24 +97,45 @@ object Similarity {
       .limit(k)
   }
 
-  /** Embedding-cosine near-duplicate pairs (the dedup variant): bucket by
-    * random-hyperplane LSH, then exact cosine inside each bucket — the
-    * equi-join on bucket id bounds candidate pairs at any corpus size
-    * (recall is tunable via nBits; fewer bits = bigger buckets = higher
-    * recall and cost). */
+  /** Embedding-cosine near-duplicate pairs (the dedup variant):
+    * MULTI-TABLE random-hyperplane LSH — `tables` independent bucket
+    * tables of `nBits` planes each; a pair is a candidate when it
+    * collides in ANY table (OR-amplification: recall =
+    * 1-(1-p^nBits)^tables for per-plane agreement p = 1-θ/π). The
+    * candidate search stays an equi-join on (table, bucket) — still
+    * bounded at any corpus size, with L× the vector replication as the
+    * recall price. Exact cosine verifies every candidate; duplicate
+    * cross-table hits collapse via distinct. tables = 1 degenerates to
+    * classic single-table LSH. */
   def cosineNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
                          dim: Int, threshold: Double = 0.95,
-                         nBits: Int = 8): DataFrame = {
+                         nBits: Int = 2, tables: Int = 8): DataFrame = {
     import graft.functions.VecDot.vec_dot
+    import graft.functions.VecDotConst.vec_dot_q
+    val planes = hyperplanes(dim, nBits * tables)
+    // per-table bucket id from this table's plane slice
+    val tableBuckets = (0 until tables).map { t =>
+      val bits = (0 until nBits).map { i =>
+        val p = planes(t * nBits + i)
+        when(vec_dot_q(col("v"),
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(p)) >= 0,
+          lit(1L << i)).otherwise(lit(0L))
+      }
+      struct(lit(t).as("t"), bits.reduce(_ + _).as("b"))
+    }
     val bucketed = df.select(col(idCol).as("nd_id"), col(vecCol).as("v"),
         sqrt(vec_dot(col(vecCol), col(vecCol))).as("nrm"))
-      .withColumn("b", lshBucket(col("v"), dim, nBits))
+      .withColumn("tb", explode(array(tableBuckets: _*)))
+      .select(col("nd_id"), col("v"), col("nrm"),
+        col("tb.t").as("t"), col("tb.b").as("b"))
     val l = bucketed.alias("l"); val r = bucketed.alias("r")
-    l.join(r, col("l.b") === col("r.b") && col("l.nd_id") < col("r.nd_id"))
+    l.join(r, col("l.t") === col("r.t") && col("l.b") === col("r.b") &&
+        col("l.nd_id") < col("r.nd_id"))
       .select(col("l.nd_id").as("id_a"), col("r.nd_id").as("id_b"),
         round(vec_dot(col("l.v"), col("r.v")) / (col("l.nrm") * col("r.nrm")), 6)
           .as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
+      .distinct()
   }
 
   /** EXACT cosine near-duplicate pairs — the brute-force baseline the
