@@ -123,19 +123,29 @@ object Similarity {
       }
       struct(lit(t).as("t"), bits.reduce(_ + _).as("b"))
     }
-    val bucketed = df.select(col(idCol).as("nd_id"), col(vecCol).as("v"),
+    val base = df.select(col(idCol).as("nd_id"), col(vecCol).as("v"),
         sqrt(vec_dot(col(vecCol), col(vecCol))).as("nrm"))
+      .persist()
+    val bucketed = base
       .withColumn("tb", explode(array(tableBuckets: _*)))
-      .select(col("nd_id"), col("v"), col("nrm"),
-        col("tb.t").as("t"), col("tb.b").as("b"))
+      .select(col("nd_id"), col("tb.t").as("t"), col("tb.b").as("b"))
     val l = bucketed.alias("l"); val r = bucketed.alias("r")
-    l.join(r, col("l.t") === col("r.t") && col("l.b") === col("r.b") &&
+    // candidates first, WITHOUT vectors: a pair colliding in several
+    // tables dedups as two longs before any cosine work (the
+    // candidates→verify shape minhashLshJaccardPairs uses)
+    val cands = l.join(r, col("l.t") === col("r.t") && col("l.b") === col("r.b") &&
         col("l.nd_id") < col("r.nd_id"))
-      .select(col("l.nd_id").as("id_a"), col("r.nd_id").as("id_b"),
-        round(vec_dot(col("l.v"), col("r.v")) / (col("l.nrm") * col("r.nrm")), 6)
+      .select(col("l.nd_id").as("id_a"), col("r.nd_id").as("id_b"))
+      .distinct()
+    cands
+      .join(base.select(col("nd_id").as("id_a"), col("v").as("v_a"),
+        col("nrm").as("nrm_a")), "id_a")
+      .join(base.select(col("nd_id").as("id_b"), col("v").as("v_b"),
+        col("nrm").as("nrm_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(vec_dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")), 6)
           .as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
-      .distinct()
   }
 
   /** EXACT cosine near-duplicate pairs — the brute-force baseline the
