@@ -413,6 +413,24 @@ object SparkEntry {
       .orderBy(col("train_id"), col("eval_id"))
   }
 
+  /** Two-phase contamination — the 100-TB shape end-to-end: the Bloom
+    * pre-filter flags candidate train docs in a pure scan pass (no
+    * join), then the exact n-gram overlap verifies only the flagged
+    * survivors. Bloom has NO false negatives, so the verified output
+    * is provably identical to `contamination_ngram` — the two queries
+    * share one oracle (the dedup_minhash_lsh pattern). */
+  private def qContaminationBloom(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Contamination
+    val d = t(s, dir, "documents")
+    val eval_ = d.filter(col("doc_id") % 50 === 0)
+    val train = d.filter(col("doc_id") % 50 =!= 0)
+    val flagged = Contamination.ngramBloomFlag(train, eval_, "text", "doc_id", n = 3)
+      .select(col("train_id").as("doc_id"))
+    Contamination.ngramOverlap(train.join(flagged, "doc_id"), eval_,
+        "text", "doc_id", n = 3, minOverlap = 2)
+      .orderBy(col("train_id"), col("eval_id"))
+  }
+
   /** Near-dup clusters: connected components (min-label propagation)
     * over the exact Jaccard pair edges; cluster_id = canonical (min)
     * member. Oracle = recursive-CTE transitive closure over the same
@@ -936,6 +954,7 @@ object SparkEntry {
     "ann_lsh_topk" -> (qAnnLsh _),
     "pii_scan" -> (qPiiScan _),
     "contamination_ngram" -> (qContamination _),
+    "contamination_bloom" -> (qContaminationBloom _),
     "dedup_clusters" -> (qDedupClusters _),
     "sample_stratified" -> (qSampleStratified _),
     "text_repetition" -> (qTextRepetition _),
@@ -1304,6 +1323,8 @@ object SparkEntry {
          ORDER BY d.doc_id""",
     "pii_scan" -> piiOracle,
     "contamination_ngram" -> contaminationOracle,
+    // bloom pre-filter + exact verify == exact (no false negatives)
+    "contamination_bloom" -> contaminationOracle,
     "dedup_clusters" -> dedupClustersOracle,
     "sample_stratified" -> sampleOracle,
     "text_repetition" -> textRepetitionOracle,
