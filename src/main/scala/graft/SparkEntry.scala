@@ -534,7 +534,7 @@ object SparkEntry {
     val q = e.filter(col("vec_id") === 0).select(col("embedding")).head()
       .getSeq[Float](0).map(_.toDouble)
     Similarity.lshTopK(e, "embedding", "vec_id", q, 10, dim = q.length,
-      nBits = 8, probes = 2)
+      nBits = 8, probes = 2, tables = 8)
   }
 
   // ---------------------------------------------------------------------
@@ -993,16 +993,6 @@ object SparkEntry {
        WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
        ORDER BY id_a, id_b"""
 
-  /** The deterministic random-hyperplane bucket id recomputed in SQL:
-    * the planes are splitmix64-derived constants, embedded verbatim —
-    * any drift in plane generation or sign arithmetic hash-mismatches. */
-  private def lshBucketExprSql(dim: Int, nBits: Int): String = {
-    val planes = graft.operators.Similarity.hyperplanes(dim, nBits)
-    planes.zipWithIndex.map { case (p, i) =>
-      s"(CASE WHEN list_dot_product(v, [${p.mkString(",")}]) >= 0 THEN ${1L << i} ELSE 0 END)"
-    }.mkString(" + ")
-  }
-
   /** Multi-table LSH pair oracle: one bucket expression per table over
     * its own plane slice, unioned, joined on (table, bucket), distinct
     * verified pairs. */
@@ -1028,17 +1018,30 @@ object SparkEntry {
   }
 
   /** The LSH top-k oracle reproduces the APPROXIMATE semantics exactly:
-    * same buckets, same probes, pruned cosine top-k. */
-  private def annLshOracle(dim: Int, nBits: Int, probes: Int): String = {
-    val bucketExpr = lshBucketExprSql(dim, nBits)
-    val targets = ("qb" +: (0 until (probes min nBits)).map(b => s"xor(qb, ${1L << b})")).mkString(", ")
+    * same per-table buckets, same probes, pruned cosine top-k over the
+    * OR of the tables. */
+  private def annLshOracle(dim: Int, nBits: Int, probes: Int, tables: Int = 1): String = {
+    val planes = graft.operators.Similarity.hyperplanes(dim, nBits * tables)
+    val bucketCols = (0 until tables).map { t =>
+      val expr = (0 until nBits).map { i =>
+        val p = planes(t * nBits + i)
+        s"(CASE WHEN list_dot_product(v, [${p.mkString(",")}]) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"$expr AS b$t"
+    }.mkString(", ")
+    val qCols = (0 until tables).map(t => s"b$t AS qb$t").mkString(", ")
+    val cond = (0 until tables).map { t =>
+      val targets = (s"qb$t" +:
+        (0 until (probes min nBits)).map(b => s"xor(qb$t, ${1L << b})")).mkString(", ")
+      s"bb.b$t IN ($targets)"
+    }.mkString(" OR ")
     s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        bb AS (SELECT vec_id, v, $bucketExpr AS bucket FROM b),
-        q AS (SELECT v AS qv, bucket AS qb FROM bb WHERE vec_id = 0)
+        bb AS (SELECT vec_id, v, $bucketCols FROM b),
+        q AS (SELECT v AS qv, $qCols FROM bb WHERE vec_id = 0)
         SELECT vec_id,
           round(list_dot_product(v, qv) /
             (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
-        FROM bb, q WHERE bucket IN ($targets)
+        FROM bb, q WHERE $cond
         ORDER BY cos_sim DESC, vec_id LIMIT 10"""
   }
 
@@ -1332,7 +1335,7 @@ object SparkEntry {
     "dedup_simhash" -> simhashOracle,
     "doc_fingerprint" -> fingerprintOracle,
     "dedup_minhash_lsh" -> ngramJaccardOracle,
-    "ann_lsh_topk" -> annLshOracle(dim = 64, nBits = 8, probes = 2),
+    "ann_lsh_topk" -> annLshOracle(dim = 64, nBits = 8, probes = 2, tables = 8),
     "dedup_embedding_lsh" -> embLshOracle(dim = 64, nBits = 2, tables = 8),
     "ip_range_lookup" ->
       """WITH probe AS (

@@ -65,8 +65,11 @@ object Similarity {
     }
   }
 
-  /** Random-hyperplane LSH bucket id (nBits-bit int) as a native column:
-    * sign bits of dot(v, plane_b). */
+  /** Random-hyperplane LSH bucket id (nBits-bit int) as a native
+    * column: sign bits of dot(v, plane_b). The column to
+    * `partitionBy` when laying an ANN corpus out for bucket-pruned
+    * reads (PlanQualitySpec shows the pruning for IVF cells; the same
+    * mechanics apply here). */
   def lshBucket(vec: Column, dim: Int, nBits: Int): Column = {
     import graft.functions.VecDotConst.vec_dot_q
     val planes = hyperplanes(dim, nBits)
@@ -77,21 +80,34 @@ object Similarity {
     bits.reduce(_ + _).cast("int").as("lsh_bucket")
   }
 
-  /** LSH-bucketed ANN: scan only the query's bucket, then exact cosine
-    * top-k inside it. `probes` extra buckets (hamming-1 neighbors of the
-    * bucket id) trade recall for scan cost. */
+  /** LSH-bucketed ANN: scan only the buckets the query lands in, then
+    * exact cosine top-k inside them. `probes` extra buckets (hamming-1
+    * neighbors of each bucket id) and `tables` independent plane
+    * tables (OR-amplification — candidate if ANY table collides) both
+    * trade scan cost for recall. The candidate test stays a pure
+    * map-side filter: per-table bucket ids are codegen dot-product
+    * sign sums, no explode, no join — written `partitionBy(bucket)`
+    * per table this is a per-bucket read at any corpus size. */
   def lshTopK(df: DataFrame, vecCol: String, idCol: String,
               query: Seq[Double], k: Int, dim: Int, nBits: Int = 8,
-              probes: Int = 0): DataFrame = {
-    val planes = hyperplanes(dim, nBits)
-    var qb = 0L
-    planes.zipWithIndex.foreach { case (p, i) =>
-      val d = p.zip(query).map { case (x, y) => x * y }.sum
-      if (d >= 0) qb |= (1L << i)
+              probes: Int = 0, tables: Int = 1): DataFrame = {
+    import graft.functions.VecDotConst.vec_dot_q
+    val planes = hyperplanes(dim, nBits * tables)
+    val tableConds = (0 until tables).map { t =>
+      val slice = planes.slice(t * nBits, t * nBits + nBits)
+      var qb = 0L
+      slice.zipWithIndex.foreach { case (p, i) =>
+        if (p.zip(query).map { case (x, y) => x * y }.sum >= 0) qb |= (1L << i)
+      }
+      val targets: Seq[Long] = qb +: (0 until (probes min nBits)).map(b => qb ^ (1L << b))
+      val bucketCol = slice.zipWithIndex.map { case (p, i) =>
+        when(vec_dot_q(col(vecCol),
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(p)) >= 0,
+          lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      bucketCol.isin(targets: _*)
     }
-    val targets: Seq[Long] = qb +: (0 until (probes min nBits)).map(b => qb ^ (1L << b))
-    val bucketed = df.withColumn("lsh_bucket", lshBucket(col(vecCol), dim, nBits))
-    bucketed.filter(col("lsh_bucket").isin(targets: _*))
+    df.filter(tableConds.reduce(_ || _))
       .select(col(idCol), round(cosineToConst(col(vecCol), query), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol).asc)
       .limit(k)
