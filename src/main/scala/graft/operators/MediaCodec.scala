@@ -128,6 +128,18 @@ object WavCodec extends MediaCodec {
     Meta(sampleRate, channels, sz / blockAlign)
   }
 
+  /** (dataOffset, bytesPerFrame, nFrames) for real PCM frame slicing
+    * — a frame is one blockAlign-sized sample group, straight from the
+    * header — or None when the container isn't a canonical WAV. */
+  def frameBounds(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b.length < 44 || !sniff(b) || !ascii(b, 12, "fmt ")) return None
+    val blockAlign = le16(b, 32)
+    if (blockAlign <= 0) return None
+    val (off, sz) = dataChunk(b)
+    if (off < 0) return None
+    Some((off, blockAlign, sz / blockAlign))
+  }
+
   def samples(b: Array[Byte]): Option[Samples] = {
     if (b.length < 44 || !ascii(b, 12, "fmt ")) return None
     val audioFormat = le16(b, 20)
@@ -235,10 +247,15 @@ object GifCodec extends MediaCodec {
   def samples(b: Array[Byte]): Option[Samples] = ImageIoDecode.rgb(b)
 }
 
-/** MP4 / ISO-BMFF: header metadata via a pure byte box walk
-  * (moov → trak → tkhd; width/height are 16.16 fixed-point at content
-  * offset 76 for tkhd v0, 88 for v1). Sample decode stays out — video
-  * tracks genuinely need codec libraries. */
+/** MP4 / ISO-BMFF: header metadata via a pure byte box walk.
+  * width/height: moov → trak → tkhd (16.16 fixed-point at content
+  * offset 76 for tkhd v0, 88 for v1). n_frames: the video trak's
+  * sample count from moov → trak → mdia → minf → stbl → stsz
+  * (sample_count at content offset 8); when stsz is absent, the
+  * movie duration in whole seconds from mvhd (duration/timescale —
+  * v0: BE32 @ 12 / BE32 @ 16, v1: BE32 @ 20 / BE64 @ 24) stands in
+  * as a lower bound. Sample decode stays out — video tracks
+  * genuinely need codec libraries. */
 object Mp4Codec extends MediaCodec {
   import MediaCodec._
   val format = "mp4"
@@ -257,6 +274,36 @@ object Mp4Codec extends MediaCodec {
     null
   }
 
+  /** Nested box lookup: findBox chained through a path of box types. */
+  private def findPath(b: Array[Byte], start: Int, end: Int, path: String*): (Int, Int) = {
+    var cur = (start, end)
+    var i = 0
+    while (cur != null && i < path.length) {
+      cur = findBox(b, cur._1, cur._2, path(i))
+      i += 1
+    }
+    cur
+  }
+
+  /** Movie duration in whole seconds from mvhd, or 0. */
+  private def mvhdSeconds(b: Array[Byte], moovC: Int, moovEnd: Int): Long = {
+    val mvhd = findBox(b, moovC, moovEnd, "mvhd")
+    if (mvhd == null) return 0L
+    val c = mvhd._1
+    val v = b(c) & 0xFF
+    if (v == 1) {
+      if (c + 32 > mvhd._2) return 0L
+      val ts = be32(b, c + 20).toLong & 0xFFFFFFFFL
+      val dur = (be32(b, c + 24).toLong << 32) | (be32(b, c + 28).toLong & 0xFFFFFFFFL)
+      if (ts > 0) dur / ts else 0L
+    } else {
+      if (c + 20 > mvhd._2) return 0L
+      val ts = be32(b, c + 12).toLong & 0xFFFFFFFFL
+      val dur = be32(b, c + 16).toLong & 0xFFFFFFFFL
+      if (ts > 0) dur / ts else 0L
+    }
+  }
+
   def meta(b: Array[Byte]): Meta = {
     val moov = findBox(b, 0, b.length, "moov")
     if (moov == null) return Meta(0, 0, 0)
@@ -272,7 +319,16 @@ object Mp4Codec extends MediaCodec {
         if (dimOff + 8 <= tkhd._2) {
           val w = be32(b, dimOff) >>> 16
           val h = be32(b, dimOff + 4) >>> 16
-          if (w > 0 && h > 0) return Meta(w, h, 1)
+          if (w > 0 && h > 0) {
+            // real frame count: this trak's stsz sample_count
+            val stsz = findPath(b, trak._1, trak._2, "mdia", "minf", "stbl", "stsz")
+            val nFrames =
+              if (stsz != null && stsz._1 + 12 <= stsz._2) be32(b, stsz._1 + 8) else 0
+            val n =
+              if (nFrames > 0) nFrames
+              else math.max(mvhdSeconds(b, moov._1, moov._2), 1L).min(Int.MaxValue).toInt
+            return Meta(w, h, n)
+          }
         }
       }
       at = trak._2

@@ -91,26 +91,42 @@ object Multimodal {
 
   val extractFeaturesUdf = udf(extractFeatures _)
 
-  /** Frame sampling stub: pick every k-th "frame" offset; real impl seeks
-    * keyframes. Emits (frame_idx, frame_bytes) rows via posexplode. */
+  /** Frame sampling: every k-th media frame as (frame_idx, frame_bytes)
+    * rows, where frame_idx is the frame's index in the SOURCE media.
+    *
+    *  - WAV: REAL PCM frames — one frame = blockAlign bytes inside the
+    *    data chunk, bounds straight from the header (pure byte
+    *    arithmetic, [[WavCodec.frameBounds]]).
+    *  - anything else (incl. MP4 — compressed video frames genuinely
+    *    need codec jars; register a richer [[MediaCodec]] for that):
+    *    deterministic fixed-size byte windows, so unknown blobs stay
+    *    analyzable and reproducible.
+    *
+    * Map-only shape: the per-row UDF emits at most nFrames/everyN
+    * slices; explode keeps it distributed with no shuffle. */
   def sampleFrames(df: DataFrame, binCol: String, everyN: Int = 10): DataFrame = {
     val frameUdf = udf((bytes: Array[Byte]) => {
-      if (bytes == null) Seq.empty[Array[Byte]]
-      else {
-        val frameLen = 1000
-        val nFrames = bytes.length / frameLen + 1
-        (0 until nFrames by everyN).map { f =>
-          val start = f * frameLen
-          java.util.Arrays.copyOfRange(bytes, start.min(bytes.length),
-            (start + frameLen).min(bytes.length))
-        }
+      if (bytes == null) Seq.empty[(Int, Array[Byte])]
+      else WavCodec.frameBounds(bytes) match {
+        case Some((off, frameLen, nFrames)) =>
+          (0 until nFrames by everyN).map { f =>
+            val start = off + f * frameLen
+            (f, java.util.Arrays.copyOfRange(bytes, start, start + frameLen))
+          }
+        case None =>
+          val frameLen = 1000
+          val nFrames = bytes.length / frameLen + 1
+          (0 until nFrames by everyN).map { f =>
+            val start = f * frameLen
+            (f, java.util.Arrays.copyOfRange(bytes, start.min(bytes.length),
+              (start + frameLen).min(bytes.length)))
+          }
       }
     })
-    df.withColumn("frames", frameUdf(col(binCol)))
-      .select(col("*"), posexplode_outer(col("frames")))
-      .withColumnRenamed("pos", "frame_idx")
-      .withColumnRenamed("col", "frame_bytes")
-      .drop("frames")
+    df.withColumn("__frame", explode_outer(frameUdf(col(binCol))))
+      .withColumn("frame_idx", col("__frame._1"))
+      .withColumn("frame_bytes", col("__frame._2"))
+      .drop("__frame")
   }
 
   // ---- deterministic container synthesizers (test/oracle corpus) ----

@@ -185,8 +185,74 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaCodecs.find(bytes).contains(Mp4Codec))
     val m = Mp4Codec.meta(bytes)
     assert(m.width == 640 && m.height == 360, m.toString)
+    // no stsz, no mvhd → n_frames floors at 1
+    assert(m.nFrames == 1, m.toString)
     // truncated moov degrades to zeros, never throws
     assert(Mp4Codec.meta(bytes.take(30)) == graft.operators.MediaCodec.Meta(0, 0, 0))
+  }
+
+  test("MP4 n_frames: stsz sample count, mvhd duration fallback") {
+    import graft.operators.Mp4Codec
+    def be32(v: Int): Array[Byte] =
+      Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def box(name: String, content: Array[Byte]): Array[Byte] =
+      be32(8 + content.length) ++ name.getBytes("ASCII") ++ content
+    val tkhdDims = new Array[Byte](76) ++ be32(320 << 16) ++ be32(240 << 16)
+    // mvhd v0: ver/flags(4) creation(4) modification(4) timescale(4) duration(4)
+    val mvhd = box("mvhd", new Array[Byte](12) ++ be32(600) ++ be32(600 * 7))
+    // stsz v0: ver/flags(4) sample_size(4) sample_count(4)
+    val stsz = box("stsz", new Array[Byte](4) ++ be32(0) ++ be32(145))
+    val stbl = box("stbl", stsz)
+    val trakFull = box("trak", box("tkhd", tkhdDims) ++
+      box("mdia", box("minf", stbl)))
+    val withStsz = box("ftyp", "isom".getBytes("ASCII")) ++
+      box("moov", mvhd ++ trakFull)
+    val m1 = Mp4Codec.meta(withStsz)
+    assert(m1.width == 320 && m1.height == 240 && m1.nFrames == 145, m1.toString)
+    // no stsz → whole-second mvhd duration (4200/600 = 7) stands in
+    val noStsz = box("ftyp", "isom".getBytes("ASCII")) ++
+      box("moov", mvhd ++ box("trak", box("tkhd", tkhdDims)))
+    assert(Mp4Codec.meta(noStsz).nFrames == 7, Mp4Codec.meta(noStsz).toString)
+    // mvhd v1: 64-bit duration (timescale 1000, duration 12500ms → 12s)
+    val mvhdV1 = box("mvhd", Array[Byte](1, 0, 0, 0) ++ new Array[Byte](16) ++
+      be32(1000) ++ be32(0) ++ be32(12500))
+    val v1 = box("ftyp", "isom".getBytes("ASCII")) ++
+      box("moov", mvhdV1 ++ box("trak", box("tkhd", tkhdDims)))
+    assert(Mp4Codec.meta(v1).nFrames == 12, Mp4Codec.meta(v1).toString)
+  }
+
+  test("WAV frame sampling slices real PCM frames at header-derived bounds") {
+    val seed = 5L
+    val channels = 2
+    val frames = 20
+    val bytes = Multimodal.synthWav(seed, channels, frames)
+    // header-derived bounds: 44-byte canonical header, blockAlign = 4
+    assert(WavCodec.frameBounds(bytes).contains((44, 2 * channels, frames)))
+
+    val df = spark.createDataFrame(Seq((1L, bytes))).toDF("id", "media")
+    val out = Multimodal.sampleFrames(df, "media", everyN = 4)
+      .select("frame_idx", "frame_bytes")
+      .collect().sortBy(_.getInt(0))
+    assert(out.map(_.getInt(0)).toSeq == Seq(0, 4, 8, 12, 16))
+    // each sampled frame is one blockAlign slice whose samples match the
+    // synth closed form ((seed·131 + i·17 + ch·29) mod 2048 − 1024)
+    for (row <- out) {
+      val f = row.getInt(0)
+      val fb = row.getAs[Array[Byte]]("frame_bytes")
+      assert(fb.length == 2 * channels)
+      for (c <- 0 until channels) {
+        val v = ((fb(2 * c) & 0xFF) | (fb(2 * c + 1) << 8)).toShort.toInt
+        val want = ((seed * 131 + f * 17 + c * 29) % 2048 + 2048) % 2048 - 1024
+        assert(v == want, s"frame $f ch $c: got $v want $want")
+      }
+    }
+    // unknown bytes keep the deterministic byte-window fallback
+    val blob = Array.tabulate[Byte](2500)(i => i.toByte)
+    val fb = Multimodal.sampleFrames(
+        spark.createDataFrame(Seq((1L, blob))).toDF("id", "media"), "media", everyN = 2)
+      .select("frame_idx", "frame_bytes").collect().sortBy(_.getInt(0))
+    assert(fb.map(_.getInt(0)).toSeq == Seq(0, 2))
+    assert(fb(0).getAs[Array[Byte]]("frame_bytes").length == 1000)
   }
 
   test("codec SPI: registration order and custom codec extension") {
