@@ -516,8 +516,23 @@ object SparkEntry {
       TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
     Packing.packGreedy(d, "doc_id", "lang", "n_tokens", budget = 256, shards = 4)
       .select(col("id").as("doc_id"), col("grp").as("lang"), col("shard"),
-        col("n_tokens"), col("bin_id"))
+        col("n_tokens"), col("bin_id"), col("offset"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Bin-utilization stats over the packed corpus: per language, bins
+    * produced, docs packed, mean fill and fraction of the 256-token
+    * budget actually used (the padding-waste measure). */
+  private def qPackingStats(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Packing
+    val d = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val packed = Packing.packGreedy(d, "doc_id", "lang", "n_tokens",
+      budget = 256, shards = 4)
+    Packing.binStats(packed, budget = 256)
+      .select(col("grp").as("lang"), col("n_bins"), col("n_docs"),
+        col("avg_fill"), col("utilization"))
+      .orderBy(col("lang"))
   }
 
   /** Multi-table LSH embedding near-dup pairs — the scale path of
@@ -960,6 +975,7 @@ object SparkEntry {
     "text_repetition" -> (qTextRepetition _),
     "emb_quantize" -> (qEmbQuantize _),
     "seq_pack" -> (qSeqPack _),
+    "packing_stats" -> (qPackingStats _),
     "q_asof_join" -> (qAsofJoin _),
     "text_logprob" -> (qTextLogprob _),
     "curation_pipeline" -> (qCurationPipeline _)
@@ -1241,23 +1257,45 @@ object SparkEntry {
   /** Greedy packing replayed as a recursive CTE: rows of each
     * (lang, shard) cell are visited in doc_id order (rn), carrying the
     * (bin, fill) state exactly like the mapPartitions scan. */
-  private val seqPackOracle: String =
+  /** The shared recursive-scan replay: rows of each (lang, shard) cell
+    * visited in doc_id order, carrying (bin, fill) exactly like the
+    * mapPartitions scan; offset = fill before the doc joined its bin. */
+  private val seqPackCte: String =
     """WITH RECURSIVE d AS (
          SELECT doc_id, lang, CAST(doc_id % 4 AS INT) AS shard,
            CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
              x -> len(x) > 0)) AS BIGINT) AS n,
            row_number() OVER (PARTITION BY lang, doc_id % 4 ORDER BY doc_id) AS rn
          FROM documents),
-       pack(lang, shard, rn, doc_id, n, bin_id, fill) AS (
-         SELECT lang, shard, rn, doc_id, n, CAST(0 AS BIGINT), n FROM d WHERE rn = 1
+       pack(lang, shard, rn, doc_id, n, bin_id, "offset", fill) AS (
+         SELECT lang, shard, rn, doc_id, n, CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT), n FROM d WHERE rn = 1
          UNION ALL
          SELECT d.lang, d.shard, d.rn, d.doc_id, d.n,
            CASE WHEN p.fill + d.n > 256 THEN p.bin_id + 1 ELSE p.bin_id END,
+           CASE WHEN p.fill + d.n > 256 THEN CAST(0 AS BIGINT) ELSE p.fill END,
            CASE WHEN p.fill + d.n > 256 THEN d.n ELSE p.fill + d.n END
          FROM d JOIN pack p
-           ON d.lang = p.lang AND d.shard = p.shard AND d.rn = p.rn + 1)
-       SELECT doc_id, lang, shard, n AS n_tokens, bin_id
+           ON d.lang = p.lang AND d.shard = p.shard AND d.rn = p.rn + 1)"""
+
+  private val seqPackOracle: String =
+    seqPackCte +
+    """
+       SELECT doc_id, lang, shard, n AS n_tokens, bin_id, "offset"
        FROM pack ORDER BY doc_id"""
+
+  /** Bin-utilization replay: aggregate the same recursive scan. */
+  private val packingStatsOracle: String =
+    seqPackCte +
+    """,
+       bins AS (
+         SELECT lang, shard, bin_id, sum(n) AS fill, count(*) AS k
+         FROM pack GROUP BY lang, shard, bin_id)
+       SELECT lang, count(*) AS n_bins, sum(k) AS n_docs,
+         round(avg(fill), 4) AS avg_fill,
+         round(CAST(sum(least(fill, 256)) AS DOUBLE) / (count(*) * 256), 4)
+           AS utilization
+       FROM bins GROUP BY lang ORDER BY lang"""
 
   /** The capstone pipeline replayed in SQL: the quality/dedup/sample/
     * pack stages chain the same CTE fragments the per-operator oracles
@@ -1307,6 +1345,7 @@ object SparkEntry {
          FROM events e ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.ts
          ORDER BY e.event_id""",
     "seq_pack" -> seqPackOracle,
+    "packing_stats" -> packingStatsOracle,
     "text_logprob" ->
       """WITH toks AS (
            SELECT doc_id, unnest(list_filter(

@@ -26,7 +26,9 @@ object Packing {
 
   /** Pack rows into bins of at most `budget` tokens (a doc larger than
     * the budget gets its own bin). Output: (id, grp, shard, n_tokens,
-    * bin_id) with bin_id counted from 0 within each (grp, shard). */
+    * bin_id, offset) with bin_id counted from 0 within each
+    * (grp, shard) and offset = the doc's token offset within its bin
+    * (where its tokens land in the assembled training sequence). */
   def packGreedy(df: DataFrame, idCol: String, grpCol: String, nCol: String,
                  budget: Long, shards: Int): DataFrame = {
     val spark = df.sparkSession
@@ -44,14 +46,29 @@ object Packing {
         var bin = 0L
         var fill = 0L
         it.map { case (id, grp, shard, n) =>
+          var off = 0L
           if (grp != curGrp || shard != curShard) {
             curGrp = grp; curShard = shard; bin = 0L; fill = n
           } else if (fill + n > budget) {
             bin += 1; fill = n
-          } else fill += n
-          (id, grp, shard, n, bin)
+          } else { off = fill; fill += n }
+          (id, grp, shard, n, bin, off)
         }
       }
-      .toDF("id", "grp", "shard", "n_tokens", "bin_id")
+      .toDF("id", "grp", "shard", "n_tokens", "bin_id", "offset")
   }
+
+  /** Bin-utilization stats over a packed frame: per group, how many
+    * bins the packing produced and how full they are against the token
+    * budget — the measure of padding waste a training job would see.
+    * Two partial-aggregate exchanges, both on low-cardinality keys. */
+  def binStats(packed: DataFrame, budget: Long): DataFrame =
+    packed.groupBy(col("grp"), col("shard"), col("bin_id"))
+      .agg(sum(col("n_tokens")).as("fill"), count(lit(1)).as("k"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("k")).as("n_docs"),
+        round(avg(col("fill")), 4).as("avg_fill"),
+        round(sum(least(col("fill"), lit(budget))).cast("double") /
+          (count(lit(1)) * budget), 4).as("utilization"))
 }

@@ -69,15 +69,17 @@ object CurationPropSpec extends Properties("curation-ops") {
       val rows = sizes.zipWithIndex.map { case (s, i) => (i.toLong, "g", s) }
       val got = Packing.packGreedy(rows.toDF("id", "grp", "n"),
           "id", "grp", "n", budget, shards)
-        .collect().map(r => (r.getLong(0), r.getLong(4))).toMap
-      // reference: per shard in id order, greedy fill
+        .collect().map(r => (r.getLong(0), (r.getLong(4), r.getLong(5)))).toMap
+      // reference: per shard in id order, greedy fill; offset = fill
+      // before the doc joined its bin
       val expect = rows.groupBy(_._1 % shards).flatMap { case (_, cell) =>
         var bin = 0L; var fill = 0L; var first = true
         cell.sortBy(_._1).map { case (id, _, s) =>
+          var off = 0L
           if (first) { first = false; fill = s }
           else if (fill + s > budget) { bin += 1; fill = s }
-          else fill += s
-          id -> bin
+          else { off = fill; fill += s }
+          id -> ((bin, off))
         }
       }.toMap
       got == expect

@@ -191,8 +191,29 @@ class TrainingOpsSpec extends AnyFunSuite {
       (4L, "g", 10L))                           // bin 3 (25+10 > 10)
       .toDF("doc_id", "grp", "n")
     val out = Packing.packGreedy(d, "doc_id", "grp", "n", budget = 10, shards = 1)
-      .orderBy("id").collect().map(r => r.getLong(0) -> r.getLong(4)).toSeq
-    assert(out == Seq(0L -> 0L, 1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getLong(5))).toSeq
+    // (id, bin, offset): doc 1 lands at token offset 4 inside bin 0;
+    // every bin opener (incl. the oversize doc) starts at offset 0
+    assert(out == Seq((0L, 0L, 0L), (1L, 0L, 4L), (2L, 1L, 0L),
+      (3L, 2L, 0L), (4L, 3L, 0L)))
+  }
+
+  test("bin-utilization stats match a hand-computed packing") {
+    import spark.implicits._
+    import graft.operators.Packing
+    val d = Seq((0L, "g", 4L), (1L, "g", 6L), (2L, "g", 1L),
+      (3L, "g", 25L), (4L, "g", 10L)).toDF("doc_id", "grp", "n")
+    val packed = Packing.packGreedy(d, "doc_id", "grp", "n", budget = 10, shards = 1)
+    val st = Packing.binStats(packed, budget = 10).collect()
+    assert(st.length == 1)
+    val r = st.head
+    // bins: {4+6}, {1}, {25 oversize}, {10} → fills 10,1,25,10
+    assert(r.getAs[Long]("n_bins") == 4L)
+    assert(r.getAs[Long]("n_docs") == 5L)
+    assert(r.getAs[Double]("avg_fill") == (10 + 1 + 25 + 10) / 4.0)
+    // oversize bin counts as full (least(fill, budget))
+    assert(r.getAs[Double]("utilization") == (10 + 1 + 10 + 10) / 40.0)
   }
 
   test("packing respects cell isolation and bin budgets on the corpus") {
