@@ -443,6 +443,18 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Same clusters via large-star/small-star contraction — the
+    * diameter-independent scale path (O(log² n) rounds on any graph
+    * shape); shares `dedup_clusters`' oracle because the output is
+    * identical by construction. */
+  private def qDedupClustersStar(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Clustering
+    val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
+      n = 3, threshold = 0.5)
+    Clustering.dupClustersStar(pairs, "id_a", "id_b")
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic stratified Bernoulli sample over languages: keep
     * decisions are pure splitmix64(doc_id) threshold tests, so the
     * oracle recomputes the identical 53-bit draws in HUGEINT SQL. */
@@ -971,6 +983,7 @@ object SparkEntry {
     "contamination_ngram" -> (qContamination _),
     "contamination_bloom" -> (qContaminationBloom _),
     "dedup_clusters" -> (qDedupClusters _),
+    "dedup_clusters_star" -> (qDedupClustersStar _),
     "sample_stratified" -> (qSampleStratified _),
     "text_repetition" -> (qTextRepetition _),
     "emb_quantize" -> (qEmbQuantize _),
@@ -1368,6 +1381,7 @@ object SparkEntry {
     // bloom pre-filter + exact verify == exact (no false negatives)
     "contamination_bloom" -> contaminationOracle,
     "dedup_clusters" -> dedupClustersOracle,
+    "dedup_clusters_star" -> dedupClustersOracle,
     "sample_stratified" -> sampleOracle,
     "text_repetition" -> textRepetitionOracle,
     "emb_quantize" -> embQuantizeOracle,

@@ -63,10 +63,87 @@ object Clustering {
     labels
   }
 
+  /** Connected components by alternating large-star/small-star edge
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14): each round rewires edges toward local
+    * minima, converging in O(log² n) rounds on ANY graph shape — the
+    * variant to reach for when components can be long chains (e.g.
+    * transitive near-dup threads), where min-label propagation needs
+    * O(diameter) rounds.
+    *
+    *   - large-star: every node u sends its strictly-larger neighbors
+    *     to m = min(N(u) ∪ {u});
+    *   - small-star: every node u rewires its smaller-or-equal
+    *     neighbors (and itself) onto its minimum neighbor.
+    *
+    * Scale shape per round: two (groupBy-min + equi-join) pairs over
+    * the edge list, all exchanges hash-partitioned on the node id — no
+    * driver state beyond the convergence counts; edges stay distinct
+    * so the set can only shrink toward the star forest. Same interface
+    * and output as [[connectedComponents]]: (id, cluster_id) for every
+    * node appearing in an edge, cluster_id = component minimum. */
+  def connectedComponentsStar(edges0: DataFrame, aCol: String, bCol: String,
+                              maxIter: Int = 50): DataFrame = {
+    val raw = edges0.select(col(aCol).cast("long").as("u"),
+      col(bCol).cast("long").as("v")).localCheckpoint()
+    // canonical orientation u > v; self-loops carry no connectivity
+    var e = raw.filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct().localCheckpoint()
+    var eCnt = e.count()
+    var converged = eCnt == 0
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // large-star over the symmetric view: (v, m) for v ∈ N(u), v > u
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // small-star on the (u > v)-oriented result: every smaller
+      // neighbor v — and u itself, via the v == m row — rewires to the
+      // minimum neighbor m
+      val sMins = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = large.join(sMins, "u")
+        .select(when(col("v") === col("m"), col("u")).otherwise(col("v")).as("u"),
+          col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint()
+      val sCnt = small.count()
+      // fixpoint: identical edge set (set-shrink ⇒ count equality after
+      // a union-distinct catches any rewire)
+      converged = sCnt == eCnt && small.union(e).distinct().count() == eCnt
+      e = small
+      eCnt = sCnt
+      iter += 1
+    }
+    // at the fixpoint e is a star forest: every edge points at its
+    // component minimum; nodes only ever seen in self-loops (or absent
+    // from the contracted set) label themselves
+    val nodes = raw.select(col("u").as("id"))
+      .union(raw.select(col("v").as("id"))).distinct()
+    val stars = e.select(col("u").as("id"), col("v").as("cid"))
+      .union(e.select(col("v").as("id"), col("v").as("cid")))
+      .groupBy(col("id")).agg(min(col("cid")).as("cid"))
+    val out = nodes.join(stars, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cid"), col("id")).as("cluster_id"))
+    raw.unpersist()
+    out
+  }
+
   /** Duplicate clusters with membership counts: (doc_id, cluster_id,
     * n_members), cluster_id = canonical (minimum) member. */
-  def dupClusters(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val comp = connectedComponents(pairs, aCol, bCol)
+  def dupClusters(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    withMemberCounts(connectedComponents(pairs, aCol, bCol))
+
+  /** [[dupClusters]] on the star-contraction components — same output,
+    * round count bounded by O(log² n) instead of component diameter. */
+  def dupClustersStar(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    withMemberCounts(connectedComponentsStar(pairs, aCol, bCol))
+
+  private def withMemberCounts(comp: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
     comp.withColumn("n_members", count(lit(1)).over(w).cast("long"))
       .select(col("id").as("doc_id"), col("cluster_id"), col("n_members"))

@@ -56,6 +56,15 @@ object CurationPropSpec extends Properties("curation-ops") {
       got == unionFind(edges)
     }
 
+  property("large-star/small-star components == union-find on random graphs") =
+    Prop.forAll(edgesGen) { edges =>
+      import spark.implicits._
+      val df = edges.toDF("id_a", "id_b")
+      val got = Clustering.connectedComponentsStar(df, "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == unionFind(edges)
+    }
+
   private val packGen: Gen[(List[Long], Long, Int)] = for {
     n <- Gen.choose(1, 40)
     sizes <- Gen.listOfN(n, Gen.choose(1L, 30L))

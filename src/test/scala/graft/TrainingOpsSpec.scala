@@ -65,6 +65,25 @@ class TrainingOpsSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("large-star/small-star: long chain converges in logarithmic rounds") {
+    import spark.implicits._
+    // a 400-node path: min-label propagation needs ~400 rounds; the
+    // star contraction must finish inside maxIter = 15 — correctness
+    // under that cap IS the convergence-speed assertion
+    val chain = (0L until 399L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Clustering.connectedComponentsStar(chain, "id_a", "id_b", maxIter = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 400)
+    assert(comp.values.forall(_ == 0L), comp.filter(_._2 != 0L).take(5).toString)
+    // mixed shapes + self-loop + singleton-edge parity with min-label
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (5L, 5L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id_a", "id_b")
+    val star = Clustering.connectedComponentsStar(edges, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("dupClusters adds membership counts") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
