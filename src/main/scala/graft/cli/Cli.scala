@@ -34,6 +34,14 @@ object Cli {
   private def read(path: String): String =
     new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
 
+  /** Extract the reference's `-c/--conf <name>` custom-config-filename
+    * flag (wpgen surface, default wpgen.toml); returns (name, rest). */
+  private def confFlag(args: List[String]): (String, List[String]) = {
+    val i = args.indexWhere(a => a == "-c" || a == "--conf")
+    if (i < 0 || i + 1 >= args.length) ("wpgen.toml", args)
+    else (args(i + 1), args.patch(i, Nil, 2))
+  }
+
   /** `--knowdb <dir>` loads every `<table>.csv` in dir into KnowDb
     * (header row, comma-separated — reference loader.rs); tables named
     * geo/zone (ip_beg,ip_end,value rows) and device (key,value rows)
@@ -83,11 +91,15 @@ object Cli {
         if (!df.isEmpty) df.write.mode("append").json(s"$out/$sink-$channel")
       }
       q.awaitTermination()
-    case "wpgen" :: "project" :: dir :: rest if rest.forall(_ == "--merged") =>
-      // project-driven generation (conf/wpgen.toml over a work root);
-      // --merged concatenates parts into one file (single-writer opt-in)
+    case "wpgen" :: "project" :: dir :: rest0
+        if { val (_, x) = confFlag(rest0); x.forall(_ == "--merged") } =>
+      // project-driven generation (conf/<name> over a work root, -c/--conf
+      // picks the config filename); --merged concatenates parts into one
+      // file (single-writer opt-in)
+      val (confName, rest) = confFlag(rest0)
       val spark = session()
-      graft.project.WpGenProject.run(spark, dir, merged = rest.nonEmpty).foreach { r =>
+      graft.project.WpGenProject.run(spark, dir, merged = rest.nonEmpty,
+          confName = confName).foreach { r =>
         println(s"gen ${r.ruleKey}: rows=${r.rows} -> ${r.outPath}")
       }
     case "wpgen" :: "rule" :: wpl :: ruleKey :: n :: out :: Nil =>
@@ -232,26 +244,37 @@ object Cli {
       println(f"total=$total parsed=$ok (${if (total > 0) 100.0 * ok / total else 0.0}%.1f%%)")
       parsed.unpersist()
       if (ok == 0) sys.exit(1)
-    case "wpgen" :: "conf" :: sub :: dir :: Nil =>
-      // generator config management (reference `wpgen conf init|check|clean`)
+    case "wpgen" :: "conf" :: sub :: dir :: rest =>
+      // generator config management (reference `wpgen conf init|check|clean`,
+      // -c/--conf = custom config filename, default wpgen.toml)
+      val (confName, extra) = confFlag(rest)
+      if (extra.nonEmpty) {
+        System.err.println(s"usage: wpgen conf init|check|clean <dir> [-c <name>]")
+        sys.exit(2)
+      }
       sub match {
         case "init" =>
-          val written = graft.project.ProjectInit.wpgenConfInit(dir)
+          val written = graft.project.ProjectInit.wpgenConfInit(dir, confName)
           written.foreach(p => println(s"+ $p"))
-          if (written.isEmpty) println("conf/wpgen.toml already exists (not overwritten)")
+          if (written.isEmpty) println(s"conf/$confName already exists (not overwritten)")
         case "check" =>
-          val problems = graft.project.ProjectInit.wpgenConfCheck(dir)
+          val problems = graft.project.ProjectInit.wpgenConfCheck(dir, confName)
           problems.foreach(m => println(s"PROBLEM: $m"))
           if (problems.nonEmpty) sys.exit(1) else println("wpgen conf OK")
         case "clean" =>
-          val removed = graft.project.ProjectInit.wpgenConfClean(dir)
+          val removed = graft.project.ProjectInit.wpgenConfClean(dir, confName)
           removed.foreach(p => println(s"- $p"))
         case other =>
-          System.err.println(s"usage: wpgen conf init|check|clean <dir> (got '$other')")
+          System.err.println(s"usage: wpgen conf init|check|clean <dir> [-c <name>] (got '$other')")
           sys.exit(2)
       }
-    case "wpgen" :: "data" :: "clean" :: dir :: Nil =>
-      val removed = graft.project.ProjectInit.wpgenDataClean(dir)
+    case "wpgen" :: "data" :: "clean" :: dir :: rest =>
+      val (confName, extra) = confFlag(rest)
+      if (extra.nonEmpty) {
+        System.err.println("usage: wpgen data clean <dir> [-c <name>]")
+        sys.exit(2)
+      }
+      val removed = graft.project.ProjectInit.wpgenDataClean(dir, confName)
       println(s"cleaned ${removed.size} paths (generator output)")
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")

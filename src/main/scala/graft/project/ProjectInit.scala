@@ -223,25 +223,26 @@ object ProjectInit {
       |# no connector: writes ./src_dat/gen.dat (the demo source path)
       |""".stripMargin
 
-  /** `wpgen conf init`: scaffold conf/wpgen.toml alone (the subset of
+  /** `wpgen conf init`: scaffold conf/<confName> alone (the subset of
     * the full init scaffold the reference's `wpgen conf init -w .`
-    * writes; never overwrites). */
-  def wpgenConfInit(rootPath: String): Vector[String] = {
+    * writes; never overwrites). `confName` mirrors the reference's
+    * `-c/--conf` custom-filename flag (default wpgen.toml). */
+  def wpgenConfInit(rootPath: String, confName: String = "wpgen.toml"): Vector[String] = {
     val root = new File(rootPath); root.mkdirs()
-    if (writeIfAbsent(root, "conf/wpgen.toml", WpgenTomlScaffold))
-      Vector("conf/wpgen.toml")
+    if (writeIfAbsent(root, s"conf/$confName", WpgenTomlScaffold))
+      Vector(s"conf/$confName")
     else Vector.empty
   }
 
   /** `wpgen conf check`: load + validate the generator config; returns
     * problems (empty = valid). */
-  def wpgenConfCheck(rootPath: String): Vector[String] = {
+  def wpgenConfCheck(rootPath: String, confName: String = "wpgen.toml"): Vector[String] = {
     val root = new File(rootPath)
-    if (!new File(root, "conf/wpgen.toml").isFile)
-      return Vector("no conf/wpgen.toml")
+    if (!new File(root, s"conf/$confName").isFile)
+      return Vector(s"no conf/$confName")
     val problems = Vector.newBuilder[String]
     try {
-      val c = WpGenProject.loadConf(root)
+      val c = WpGenProject.loadConf(root, confName)
       if (!Set("rule", "sample")(c.mode)) problems += s"unknown generator mode '${c.mode}'"
       if (c.count <= 0) problems += s"count must be positive (got ${c.count})"
       if (c.parallel <= 0) problems += s"parallel must be positive (got ${c.parallel})"
@@ -254,19 +255,19 @@ object ProjectInit {
   }
 
   /** `wpgen conf clean`: remove generator config files. */
-  def wpgenConfClean(rootPath: String): Vector[String] = {
+  def wpgenConfClean(rootPath: String, confName: String = "wpgen.toml"): Vector[String] = {
     val root = new File(rootPath)
-    Vector("conf/wpgen.toml", "conf/gen_field.toml").filter { rel =>
+    Vector(s"conf/$confName", "conf/gen_field.toml").filter { rel =>
       val f = new File(root, rel); f.isFile && f.delete()
     }
   }
 
   /** `wpgen data clean`: delete the configured generator output (the
     * merged file and/or the sharded `<path>.d` part dir). */
-  def wpgenDataClean(rootPath: String): Vector[String] = {
+  def wpgenDataClean(rootPath: String, confName: String = "wpgen.toml"): Vector[String] = {
     val root = new File(rootPath)
     val outPath =
-      try WpGenProject.loadConf(root).outPath
+      try WpGenProject.loadConf(root, confName).outPath
       catch { case _: Exception => "./src_dat/gen.dat" }
     val target = Project.resolve(root, outPath)
     val deleted = Vector.newBuilder[String]

@@ -36,9 +36,9 @@ object WpGenProject {
   private def readFile(f: File): String =
     new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
 
-  def loadConf(root: File): GenConf = {
-    val f = new File(root, "conf/wpgen.toml")
-    require(f.isFile, s"no conf/wpgen.toml under $root")
+  def loadConf(root: File, confName: String = "wpgen.toml"): GenConf = {
+    val f = new File(root, s"conf/$confName")
+    require(f.isFile, s"no conf/$confName under $root")
     val t = Toml.parse(readFile(f))
     if (t.get("main_conf").isDefined) {
       // legacy schema (shipped tests/instance fixture)
@@ -137,9 +137,10 @@ object WpGenProject {
     * parity with the reference's single output file / for sources that
     * tail one path). */
   def run(spark: SparkSession, rootPath: String, seed: Long = 42L,
-          merged: Boolean = false): Vector[GenReport] = {
+          merged: Boolean = false,
+          confName: String = "wpgen.toml"): Vector[GenReport] = {
     val root = new File(rootPath)
-    val conf = loadConf(root)
+    val conf = loadConf(root, confName)
     val engine = Project.loadEngineConf(root)
     val ruleRoot = Project.resolve(root, conf.ruleRoot.getOrElse(engine.wplDir))
     val outFile = Project.resolve(root, conf.outPath)

@@ -800,6 +800,25 @@ class ProjectSpec extends AnyFunSuite {
     assert(ProjectInit.wpgenDataClean(root.toString).isEmpty)
   }
 
+  test("wpgen -c/--conf: custom config filename across the lifecycle") {
+    val root = Files.createTempDirectory("graft-wpgen-conf-c")
+    // init/check/clean against a non-default filename
+    assert(ProjectInit.wpgenConfInit(root.toString, "custom.toml") ==
+      Vector("conf/custom.toml"))
+    assert(ProjectInit.wpgenConfCheck(root.toString, "custom.toml").isEmpty)
+    // the default filename does not exist → default-named check fails
+    assert(ProjectInit.wpgenConfCheck(root.toString) == Vector("no conf/wpgen.toml"))
+    // generation and data clean resolve the same custom conf
+    ProjectInit.init(root.toString, "full")
+    Files.move(root.resolve("conf/wpgen.toml"), root.resolve("conf/gen2.toml"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val reports = WpGenProject.run(spark, root.toString, confName = "gen2.toml")
+    assert(reports.nonEmpty && reports.forall(_.rows > 0))
+    assert(ProjectInit.wpgenDataClean(root.toString, "gen2.toml").nonEmpty)
+    assert(ProjectInit.wpgenConfClean(root.toString, "custom.toml")
+      .contains("conf/custom.toml"))
+  }
+
   test("wproj rule parse: per-rule counts over the scaffold's generated data") {
     val root = Files.createTempDirectory("graft-rule-parse")
     ProjectInit.init(root.toString, "full")
