@@ -3,18 +3,22 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Path}
 
-/** Daemon soak/scale smoke (Test/runMain graft.DaemonScaleSmoke):
+/** Daemon soak/scale smoke (Test/runMain graft.DaemonScaleSmoke [scale]):
   *
-  *  1. file-tail at rate: 40 drip files × 5k lines through `runStream`
-  *     (maxFilesPerTrigger forces multiple micro-batches), with a
-  *     checkpoint STOP/RESTART mid-run — asserts exactly-once sink
-  *     rows (idempotent per-batch sink dirs: a replayed batch
+  *  1. file-tail at rate: 40·scale drip files × 5k lines through
+  *     `runStream` (maxFilesPerTrigger forces multiple micro-batches),
+  *     with a checkpoint STOP/RESTART mid-run — asserts exactly-once
+  *     sink rows (idempotent per-batch sink dirs: a replayed batch
   *     overwrites itself) and that multiple batches actually ran;
-  *  2. net-source boundedness: 100k frames through a TcpStream under
-  *     sustained commit cycles — asserts the FrameBuffer retains only
-  *     the un-committed window (evict-on-commit), never the whole
+  *  2. net-source boundedness: 100k·scale frames through a TcpStream
+  *     under sustained commit cycles — asserts the FrameBuffer retains
+  *     only the un-committed window (evict-on-commit), never the whole
   *     stream.
-  */
+  *
+  * The optional scale arg (default 1) multiplies both legs; scale=10
+  * (2M file lines, 1M net frames) is the soak configuration — the
+  * boundedness/exactly-once assertions are scale-invariant, so any
+  * leak or replay shows up as a hard failure, not a slowdown. */
 object DaemonScaleSmoke {
 
   private def write(root: Path, rel: String, content: String): Unit = {
@@ -24,6 +28,7 @@ object DaemonScaleSmoke {
   }
 
   def main(args: Array[String]): Unit = {
+    val scale = args.headOption.map(_.toInt).getOrElse(1)
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -70,7 +75,7 @@ object DaemonScaleSmoke {
     Files.createDirectories(root.resolve("src_dat"))
 
     val linesPerFile = 5000
-    val filesPerPhase = 20
+    val filesPerPhase = 20 * scale
     def drip(phase: Int): Unit =
       (0 until filesPerPhase).foreach { i =>
         val body = (0 until linesPerFile)
@@ -114,7 +119,7 @@ object DaemonScaleSmoke {
     try {
       stream.initialOffset()
       Thread.sleep(300)
-      val nFrames = 100000
+      val nFrames = 100000 * scale
       val batch = 5000
       val sock = new java.net.Socket("127.0.0.1", port)
       val os = new java.io.BufferedOutputStream(sock.getOutputStream, 1 << 16)
