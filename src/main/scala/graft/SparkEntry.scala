@@ -470,6 +470,20 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Domain-mixture weighting: per-language token shares vs the target
+    * training mixture → sampling/repeat weight per domain. */
+  private def qMixWeights(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val d = t(s, dir, "documents").select(col("lang"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    Sampling.domainWeights(d, "lang", col("n_tokens"),
+      mixTargets, mixDefaultTarget).orderBy(col("domain"))
+  }
+
+  /** Target mixture for `mix_weights`: upweight zh/es, downweight en. */
+  private val mixTargets = Map("en" -> 0.2, "zh" -> 0.3, "es" -> 0.2)
+  private val mixDefaultTarget = 0.1
+
   private def qTextLogprob(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.unigramLogprob(t(s, dir, "documents"), "text", "doc_id")
       .orderBy(col("doc_id"))
@@ -985,6 +999,7 @@ object SparkEntry {
     "dedup_clusters" -> (qDedupClusters _),
     "dedup_clusters_star" -> (qDedupClustersStar _),
     "sample_stratified" -> (qSampleStratified _),
+    "mix_weights" -> (qMixWeights _),
     "text_repetition" -> (qTextRepetition _),
     "emb_quantize" -> (qEmbQuantize _),
     "seq_pack" -> (qSeqPack _),
@@ -1383,6 +1398,27 @@ object SparkEntry {
     "dedup_clusters" -> dedupClustersOracle,
     "dedup_clusters_star" -> dedupClustersOracle,
     "sample_stratified" -> sampleOracle,
+    "mix_weights" ->
+      """WITH tok AS (
+           SELECT lang,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+               x -> len(x) > 0)) AS BIGINT) AS n
+           FROM documents),
+         agg AS (
+           SELECT lang AS domain, count(*) AS n_docs, sum(n) AS n_tokens
+           FROM tok GROUP BY lang),
+         t AS (
+           SELECT *, CAST(CASE domain WHEN 'en' THEN 0.2 WHEN 'zh' THEN 0.3
+             WHEN 'es' THEN 0.2 ELSE 0.1 END AS DOUBLE) AS traw
+           FROM agg)
+         SELECT domain, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE), 6)
+             AS actual_share,
+           round(traw / sum(traw) OVER (), 6) AS target_share,
+           round((traw / sum(traw) OVER ()) /
+             (CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE)), 6)
+             AS weight
+         FROM t ORDER BY domain""",
     "text_repetition" -> textRepetitionOracle,
     "emb_quantize" -> embQuantizeOracle,
     "dedup_simhash" -> simhashOracle,

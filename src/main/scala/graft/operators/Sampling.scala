@@ -49,4 +49,41 @@ object Sampling {
     df.withColumn("sample_rank", row_number().over(w))
       .filter(col("sample_rank") <= n)
   }
+
+  /** Domain-mixture weighting: the per-domain sampling/repeat factor
+    * that reshapes the corpus's actual token distribution into a
+    * target mixture (the step that decides how often each source is
+    * seen during training). For each domain:
+    *
+    *   weight = target_share / actual_token_share
+    *
+    * where target shares come from `targets` (domains absent from the
+    * map get `defaultTarget`) normalized over the domains actually
+    * present. weight > 1 ⇒ the domain repeats (weight = effective
+    * epochs over its tokens); weight < 1 ⇒ downsample.
+    *
+    * Scale shape: ONE partial aggregation on the domain key; the
+    * unpartitioned windows run over the aggregated frame, whose row
+    * count is the number of domains — constant for any corpus size. */
+  def domainWeights(df: DataFrame, domainCol: String, nTokens: Column,
+                    targets: Map[String, Double],
+                    defaultTarget: Double): DataFrame = {
+    // no orderBy ⇒ the frame is the whole (domains-sized) partition
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val tgtRaw = targets.foldLeft(lit(defaultTarget)) {
+      case (acc, (domain, share)) =>
+        when(col("domain") === domain, lit(share)).otherwise(acc)
+    }
+    df.groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(nTokens).as("n_tokens"))
+      .withColumn("target_raw", tgtRaw)
+      .withColumn("actual_share",
+        col("n_tokens").cast("double") / sum(col("n_tokens")).over(w))
+      .withColumn("target_share", col("target_raw") / sum(col("target_raw")).over(w))
+      .withColumn("weight", col("target_share") / col("actual_share"))
+      .select(col("domain"), col("n_docs"), col("n_tokens"),
+        round(col("actual_share"), 6).as("actual_share"),
+        round(col("target_share"), 6).as("target_share"),
+        round(col("weight"), 6).as("weight"))
+  }
 }

@@ -167,6 +167,24 @@ class TrainingOpsSpec extends AnyFunSuite {
 
   // ---------------------------------------------------------- repetition
 
+  test("domain mixture weights reshape token shares to the target") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val d = Seq(("en", 80L), ("en", 20L), ("zh", 50L), ("de", 50L))
+      .toDF("lang", "n")
+    val out = Sampling.domainWeights(d, "lang", col("n"),
+        Map("en" -> 0.2, "zh" -> 0.3), defaultTarget = 0.1)
+      .orderBy("domain").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    // tokens: en 100, zh 50, de 50 (total 200); raw targets en .2 zh .3
+    // de .1 (sum .6) → target shares 1/3, 1/2, 1/6
+    assert(out == Seq(
+      ("de", 1L, 50L, 0.25, 0.166667, 0.666667),
+      ("en", 2L, 100L, 0.5, 0.333333, 0.666667),
+      ("zh", 1L, 50L, 0.25, 0.5, 2.0)))
+  }
+
   test("repetition stats: duplicate and top 2-gram fractions") {
     val d = docs(
       (1L, "a b a b a b"),     // bigrams: ab ba ab ba ab → 5 total, 2 distinct
