@@ -484,6 +484,13 @@ object SparkEntry {
   private val mixTargets = Map("en" -> 0.2, "zh" -> 0.3, "es" -> 0.2)
   private val mixDefaultTarget = 0.1
 
+  /** Fixed-token chunking: 64-token windows at stride 48 (overlapping
+    * pretraining contexts) over every document. */
+  private def qDocChunk(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkTokens(t(s, dir, "documents"), "text", "doc_id",
+        chunkSize = 64, stride = 48)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   private def qTextLogprob(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.unigramLogprob(t(s, dir, "documents"), "text", "doc_id")
       .orderBy(col("doc_id"))
@@ -1000,6 +1007,7 @@ object SparkEntry {
     "dedup_clusters_star" -> (qDedupClustersStar _),
     "sample_stratified" -> (qSampleStratified _),
     "mix_weights" -> (qMixWeights _),
+    "doc_chunk" -> (qDocChunk _),
     "text_repetition" -> (qTextRepetition _),
     "emb_quantize" -> (qEmbQuantize _),
     "seq_pack" -> (qSeqPack _),
@@ -1398,6 +1406,18 @@ object SparkEntry {
     "dedup_clusters" -> dedupClustersOracle,
     "dedup_clusters_star" -> dedupClustersOracle,
     "sample_stratified" -> sampleOracle,
+    "doc_chunk" ->
+      """WITH d AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+             x -> len(x) > 0) AS toks
+           FROM documents),
+         s AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
+         st AS (SELECT doc_id, toks, n, unnest(range(0, n, 48)) AS s0 FROM s)
+         SELECT doc_id, CAST(s0 // 48 AS INT) AS chunk_idx,
+           CAST(s0 AS INT) AS start_token,
+           CAST(least(64, n - s0) AS INT) AS n_tokens,
+           array_to_string(toks[s0+1:s0+64], ' ') AS chunk_text
+         FROM st ORDER BY doc_id, chunk_idx""",
     "mix_weights" ->
       """WITH tok AS (
            SELECT lang,

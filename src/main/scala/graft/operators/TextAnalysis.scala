@@ -187,4 +187,32 @@ object TextAnalysis {
           col("top_c").cast("double") / col("n_2grams"))
           .otherwise(lit(0.0)), 4).as("top_2gram_frac"))
   }
+
+  /** Fixed-token document chunking with overlap — the step that turns
+    * variable-length documents into model-window-sized sequences
+    * (pretraining contexts, RAG passages). Chunk starts advance by
+    * `stride` (< chunkSize ⇒ overlapping windows); every start < the
+    * doc's token count emits a chunk of up to `chunkSize` tokens, so
+    * the tail is always covered. Docs with zero tokens emit nothing.
+    *
+    * Output: (id, chunk_idx, start_token, n_tokens, chunk_text).
+    *
+    * Scale shape: map-only — tokens/sequence/posexplode/slice are all
+    * native codegen expressions, no UDF, no shuffle; output rows ≈
+    * total_tokens/stride, linear in input splits. */
+  def chunkTokens(df: DataFrame, textCol: String, idCol: String,
+                  chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__toks"),
+        posexplode(sequence(lit(0), col("__n") - 1, lit(stride))))
+      .select(col(idCol),
+        col("pos").as("chunk_idx"),
+        col("col").as("start_token"),
+        size(slice(col("__toks"), col("col") + 1, lit(chunkSize))).as("n_tokens"),
+        array_join(slice(col("__toks"), col("col") + 1, lit(chunkSize)), " ")
+          .as("chunk_text"))
+  }
 }

@@ -167,6 +167,20 @@ class TrainingOpsSpec extends AnyFunSuite {
 
   // ---------------------------------------------------------- repetition
 
+  test("token chunking: overlap, tail coverage, empty docs drop out") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c d e"), (2L, "x"), (3L, "   ")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkTokens(d, "text", "doc_id", chunkSize = 3, stride = 2)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+      .toSeq
+    assert(out == Seq(
+      (1L, 0, 0, 3, "a b c"),
+      (1L, 1, 2, 3, "c d e"),
+      (1L, 2, 4, 1, "e"),
+      (2L, 0, 0, 1, "x")))
+  }
+
   test("domain mixture weights reshape token shares to the target") {
     import spark.implicits._
     import graft.operators.Sampling
