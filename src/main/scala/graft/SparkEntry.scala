@@ -491,6 +491,12 @@ object SparkEntry {
         chunkSize = 64, stride = 48)
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** Segment-level dedup (boilerplate removal): 8-token segments, keep
+    * the first corpus occurrence, rejoin survivors per doc. */
+  private def qSegmentDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.segmentDedup(t(s, dir, "documents"), "text", "doc_id", segTokens = 8)
+      .orderBy(col("doc_id"))
+
   private def qTextLogprob(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.unigramLogprob(t(s, dir, "documents"), "text", "doc_id")
       .orderBy(col("doc_id"))
@@ -1008,6 +1014,7 @@ object SparkEntry {
     "sample_stratified" -> (qSampleStratified _),
     "mix_weights" -> (qMixWeights _),
     "doc_chunk" -> (qDocChunk _),
+    "segment_dedup" -> (qSegmentDedup _),
     "text_repetition" -> (qTextRepetition _),
     "emb_quantize" -> (qEmbQuantize _),
     "seq_pack" -> (qSeqPack _),
@@ -1406,6 +1413,27 @@ object SparkEntry {
     "dedup_clusters" -> dedupClustersOracle,
     "dedup_clusters_star" -> dedupClustersOracle,
     "sample_stratified" -> sampleOracle,
+    "segment_dedup" ->
+      """WITH d AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+             x -> len(x) > 0) AS toks
+           FROM documents),
+         s AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
+         segs AS (
+           SELECT doc_id, CAST(s0 // 8 AS INT) AS seg_idx,
+             array_to_string(toks[s0+1:s0+8], ' ') AS seg_text
+           FROM (SELECT doc_id, toks, n, unnest(range(0, n, 8)) AS s0 FROM s)),
+         ranked AS (
+           SELECT *, row_number() OVER
+             (PARTITION BY seg_text ORDER BY doc_id, seg_idx) AS rn
+           FROM segs)
+         SELECT doc_id, count(*) AS n_segments,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments,
+           round(CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
+             AS dup_seg_frac,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN seg_text END, ' '
+             ORDER BY seg_idx), '') AS clean_text
+         FROM ranked GROUP BY doc_id ORDER BY doc_id""",
     "doc_chunk" ->
       """WITH d AS (
            SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),

@@ -224,4 +224,38 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Cross-document segment-level dedup — the boilerplate-removal pass:
+    * documents are cut into non-overlapping `segTokens`-token segments
+    * and every repeat of a segment text already seen earlier in the
+    * corpus (order = (doc_id, segment index)) is a duplicate; the doc's
+    * clean_text is its surviving segments rejoined in order.
+    *
+    * Output: (id, n_segments, n_dup_segments, dup_seg_frac, clean_text);
+    * zero-token docs emit nothing.
+    *
+    * Scale shape: the global first-occurrence is a groupBy-min on the
+    * segment text — partial aggregation absorbs hyper-common boilerplate
+    * segments map-side (the reason this is NOT a row_number window,
+    * which would funnel each hot segment through one task) — followed by
+    * an equi-join back (AQE skew-split applies) and a per-doc
+    * aggregation. Σrows ≈ total_tokens/segTokens. */
+  def segmentDedup(df: DataFrame, textCol: String, idCol: String,
+                   segTokens: Int = 8): DataFrame = {
+    val segs = TextAnalysis.chunkTokens(df, textCol, idCol, segTokens, segTokens)
+    val keepers = segs.groupBy(col("chunk_text"))
+      .agg(min(struct(col(idCol), col("chunk_idx"))).as("keep"))
+    val isDup = !(col(idCol) === col("keep").getField(idCol) &&
+      col("chunk_idx") === col("keep").getField("chunk_idx"))
+    segs.join(keepers, "chunk_text")
+      .withColumn("is_dup", isDup)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_segments"),
+        round(sum(when(col("is_dup"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 4).as("dup_seg_frac"),
+        array_join(transform(array_sort(collect_list(
+            when(!col("is_dup"), struct(col("chunk_idx"), col("chunk_text"))))),
+          s => s.getField("chunk_text")), " ").as("clean_text"))
+  }
 }

@@ -181,6 +181,22 @@ class TrainingOpsSpec extends AnyFunSuite {
       (2L, 0, 0, 1, "x")))
   }
 
+  test("segment dedup: first corpus occurrence wins, clean text rejoins") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val d = Seq((1L, "a b c d"), (2L, "a b x y"), (3L, "c d c d"))
+      .toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(d, "text", "doc_id", segTokens = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getString(4))).toSeq
+    // "a b" first in doc 1; "c d" first in doc 1; doc 3 is pure repeats
+    assert(out == Seq(
+      (1L, 2L, 0L, 0.0, "a b c d"),
+      (2L, 2L, 1L, 0.5, "x y"),
+      (3L, 2L, 2L, 1.0, "")))
+  }
+
   test("domain mixture weights reshape token shares to the target") {
     import spark.implicits._
     import graft.operators.Sampling
