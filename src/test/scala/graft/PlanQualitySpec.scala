@@ -111,8 +111,18 @@ class PlanQualitySpec extends AnyFunSuite {
       s"scan reads ${scan.requiredSchema.fieldNames.mkString(",")}")
   }
 
+  test("segment dedup: partial-agg keeper join, no quadratic joins, no RDD hop") {
+    val p = plan("segment_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1200))
+    assert(!p.contains("Scan ExistingRDD"), "segment_dedup left the expression path")
+    // the keeper lookup must be a partial (map-side) aggregation on the
+    // segment text — the hot-boilerplate safety property
+    assert(p.contains("HashAggregate"), p.take(1200))
+  }
+
   test("PII scan and int8 quantize are map-only (single output-sort exchange)") {
-    for (q <- Seq("pii_scan", "emb_quantize", "sample_stratified")) {
+    for (q <- Seq("pii_scan", "emb_quantize", "sample_stratified", "doc_chunk")) {
       val p = plan(q)
       val exchanges = "Exchange".r.findAllIn(p).size
       // the only exchange allowed is the ORDER BY's range partition —
@@ -152,6 +162,12 @@ class PlanQualitySpec extends AnyFunSuite {
     val p = plan("q_asof_join")
     assert(p.contains("Window"), p.take(800))
     assert(!p.contains("Join"), s"as-of should be join-free:\n${p.take(1200)}")
+  }
+
+  test("star-contraction clustering plans without quadratic joins") {
+    val p = plan("dedup_clusters_star")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1200))
   }
 
   test("dup clustering plans without quadratic joins") {
