@@ -528,6 +528,16 @@ object SparkEntry {
     TextAnalysis.repetitionStats(t(s, dir, "documents"), "text", "doc_id")
       .orderBy(col("doc_id"))
 
+  /** JL random projection 64 → 8 dims; components as columns so the
+    * oracle hash-compares scalars (the array is the operator's API). */
+  private def qEmbProject(s: SparkSession, dir: String): DataFrame = {
+    val reduced = Similarity.projectRandom(t(s, dir, "embeddings"),
+      "embedding", dim = 64, k = 8)
+    val cols = (0 until 8).map(j =>
+      round(element_at(col("reduced"), j + 1), 6).as(s"r$j"))
+    reduced.select((col("vec_id") +: cols): _*).orderBy(col("vec_id"))
+  }
+
   private def qEmbQuantize(s: SparkSession, dir: String): DataFrame =
     Similarity.quantizeInt8(t(s, dir, "embeddings"), "embedding", "vec_id")
       .orderBy(col("vec_id"))
@@ -1017,6 +1027,7 @@ object SparkEntry {
     "segment_dedup" -> (qSegmentDedup _),
     "text_repetition" -> (qTextRepetition _),
     "emb_quantize" -> (qEmbQuantize _),
+    "emb_project" -> (qEmbProject _),
     "seq_pack" -> (qSeqPack _),
     "packing_stats" -> (qPackingStats _),
     "q_asof_join" -> (qAsofJoin _),
@@ -1055,6 +1066,18 @@ object SparkEntry {
   /** Multi-table LSH pair oracle: one bucket expression per table over
     * its own plane slice, unioned, joined on (table, bucket), distinct
     * verified pairs. */
+  /** The projection oracle replays the same splitmix64 plane constants
+    * in SQL — list_dot_product folds elementwise exactly like the
+    * VecDotConst kernel. */
+  private def embProjectOracle(dim: Int, k: Int): String = {
+    val planes = graft.operators.Similarity.hyperplanes(dim, k)
+    val cols = (0 until k).map { j =>
+      s"round(list_dot_product(v, [${planes(j).mkString(",")}]) / sqrt($k / 3.0), 6) AS r$j"
+    }.mkString(", ")
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT vec_id, $cols FROM base ORDER BY vec_id"""
+  }
+
   private def embLshOracle(dim: Int, nBits: Int, tables: Int): String = {
     val planes = graft.operators.Similarity.hyperplanes(dim, nBits * tables)
     val perTable = (0 until tables).map { t =>
@@ -1474,6 +1497,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ngramJaccardOracle,
     "ann_lsh_topk" -> annLshOracle(dim = 64, nBits = 8, probes = 2, tables = 8),
     "dedup_embedding_lsh" -> embLshOracle(dim = 64, nBits = 2, tables = 8),
+    "emb_project" -> embProjectOracle(dim = 64, k = 8),
     "ip_range_lookup" ->
       """WITH probe AS (
            SELECT c_custkey,

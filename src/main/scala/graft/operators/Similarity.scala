@@ -80,6 +80,28 @@ object Similarity {
     bits.reduce(_ + _).cast("int").as("lsh_bucket")
   }
 
+  /** Johnson–Lindenstrauss-style random projection: reduce a dim-wide
+    * embedding to k components r_j = dot(v, plane_j) / √(k/3) over the
+    * same deterministic splitmix64 hyperplanes the LSH family uses —
+    * identical on every executor AND reproducible in the DuckDB oracle
+    * (plane constants embed into SQL). The standard dimensionality-
+    * reduction step before expensive all-pairs work: pairwise distances
+    * are preserved within the JL distortion bound w.h.p. The divisor is
+    * √(k·Var) with Var = 1/3 for the uniform(−1,1) plane entries, which
+    * makes E‖r‖² = ‖v‖² (an entry variance of 1, as in the classic
+    * gaussian construction, would give the familiar √k). */
+  def projectRandom(df: DataFrame, vecCol: String, dim: Int, k: Int,
+                    outCol: String = "reduced"): DataFrame = {
+    import graft.functions.VecDotConst.vec_dot_q
+    val planes = hyperplanes(dim, k)
+    val scale = lit(math.sqrt(k / 3.0))
+    val comps = planes.map { p =>
+      vec_dot_q(col(vecCol),
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(p)) / scale
+    }
+    df.withColumn(outCol, array(comps.toIndexedSeq: _*))
+  }
+
   /** LSH-bucketed ANN: scan only the buckets the query lands in, then
     * exact cosine top-k inside them. `probes` extra buckets (hamming-1
     * neighbors of each bucket id) and `tables` independent plane

@@ -27,6 +27,33 @@ class SimilaritySpec extends AnyFunSuite {
           (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x)).as("j"))
       .head().getDouble(0)
 
+  test("random projection: deterministic components, JL distance preservation") {
+    // determinism + formula: component j = dot(v, plane_j)/√k
+    val k = 32
+    val planes = Similarity.hyperplanes(64, k)
+    val out = Similarity.projectRandom(e, "embedding", dim = 64, k = k)
+      .select(col("vec_id"), col("reduced"), col("embedding")).collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getSeq[Double](1).toArray, r.getSeq[Float](2).map(_.toDouble).toArray)).toMap
+    val (red0, v0) = byId(out.head.getLong(0))
+    for (j <- 0 until k) {
+      val want = v0.zip(planes(j)).map { case (a, b) => a * b }.sum / math.sqrt(k / 3.0)
+      assert(math.abs(red0(j) - want) < 1e-9, s"component $j")
+    }
+    // JL property: pairwise euclidean distances survive within ~1/√k
+    // distortion on average (deterministic given fixed planes + data)
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ids = byId.keys.toSeq.sorted.take(30)
+    val distortions = for {
+      i <- ids.indices; l <- i + 1 until ids.length
+      (ra, va) = byId(ids(i)); (rb, vb) = byId(ids(l))
+      orig = math.sqrt(d2(va, vb)) if orig > 0
+    } yield math.abs(math.sqrt(d2(ra, rb)) - orig) / orig
+    val mean = distortions.sum / distortions.size
+    assert(mean < 0.25, f"mean JL distortion $mean%.3f too large for k=$k")
+  }
+
   test("exact cosine pairs: known geometry, every pair found exactly once") {
     import spark.implicits._
     // unit vectors at known angles: (1,0), (cos60,sin60), (0,1), (-1,0)
