@@ -245,6 +245,15 @@ object SparkEntry {
     Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
       .orderBy(col("keep_id"))
 
+  /** Incremental dedup: the top doc_id 20% plays the daily delta, the
+    * rest the historical corpus. */
+  private def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    Dedup.incremental(d.filter(col("doc_id") % 10 >= 8),
+        d.filter(col("doc_id") % 10 < 8), "text", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   private def qTextQuality(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     d.select((col("doc_id") +: TextAnalysis.qualityColumns(col("text"))): _*)
@@ -1001,6 +1010,7 @@ object SparkEntry {
     "q_skew_salted_agg" -> (qSkewSaltedAgg _),
     "q_events_lag" -> (qEventsLag _),
     "dedup_exact" -> (qDedupExact _),
+    "dedup_incremental" -> (qDedupIncremental _),
     "text_quality" -> (qTextQuality _),
     "corpus_stats" -> (qCorpusStats _),
     "corpus_top_tokens" -> (qTopTokens _),
@@ -1769,6 +1779,15 @@ object SparkEntry {
       """SELECT md5(text) AS content_md5, min(doc_id) AS keep_id,
          count(*) AS dup_count
          FROM documents GROUP BY md5(text) ORDER BY keep_id""",
+    "dedup_incremental" ->
+      """WITH b AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 >= 8),
+         c AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 < 8),
+         f AS (SELECT doc_id, h, min(doc_id) OVER (PARTITION BY h) AS first_id FROM b)
+         SELECT f.doc_id,
+           CASE WHEN c.h IS NOT NULL THEN 'dup_of_corpus'
+                WHEN f.doc_id <> f.first_id THEN 'dup_in_batch'
+                ELSE 'kept' END AS status
+         FROM f LEFT JOIN c ON f.h = c.h ORDER BY f.doc_id""",
     "text_quality" ->
       """SELECT doc_id,
          CAST(length(text) AS BIGINT) AS q_chars,

@@ -24,6 +24,32 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_md5"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** Incremental (batch-vs-corpus) exact dedup — the daily-ingest shape:
+    * classify every row of a NEW batch against the historical corpus
+    * before appending. Output: (id, status) with status ∈
+    * 'dup_of_corpus' (content already in the corpus — wins over any
+    * in-batch duplication), 'dup_in_batch' (first seen earlier in this
+    * batch), 'kept'.
+    *
+    * Scale shape: the corpus contributes only DISTINCT content hashes
+    * (at 100 TB this column is the pre-computable dedup index — store
+    * it instead of re-hashing history every day), joined on the hash;
+    * the in-batch first-occurrence window runs over the DELTA, which is
+    * small by definition. */
+  def incremental(batch: DataFrame, corpus: DataFrame,
+                  textCol: String, idCol: String): DataFrame = {
+    val b = batch.select(col(idCol), md5(col(textCol)).as("__h"))
+    val c = corpus.select(md5(col(textCol)).as("__h")).distinct()
+      .withColumn("__in_corpus", lit(true))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
+    b.withColumn("__first_id", min(col(idCol)).over(w))
+      .join(c, Seq("__h"), "left")
+      .select(col(idCol),
+        when(col("__in_corpus").isNotNull, lit("dup_of_corpus"))
+          .when(col(idCol) =!= col("__first_id"), lit("dup_in_batch"))
+          .otherwise(lit("kept")).as("status"))
+  }
+
   /** Streaming exact dedup: event-time watermark bounds the dedup state
     * (dropDuplicatesWithinWatermark evicts keys once the watermark passes
     * — without it, state grows without bound at 100 TB/day ingest). */

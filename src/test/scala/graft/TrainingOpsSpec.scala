@@ -181,6 +181,23 @@ class TrainingOpsSpec extends AnyFunSuite {
       (2L, 0, 0, 1, "x")))
   }
 
+  test("incremental dedup classifies batch rows against the corpus") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val corpus = Seq((1L, "old news"), (2L, "evergreen")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "fresh content"),   // kept
+      (11L, "old news"),        // dup_of_corpus
+      (12L, "fresh content"),   // dup_in_batch (10 came first)
+      (13L, "evergreen"))       // dup_of_corpus
+      .toDF("doc_id", "text")
+    val out = Dedup.incremental(batch, corpus, "text", "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(out == Seq(10L -> "kept", 11L -> "dup_of_corpus",
+      12L -> "dup_in_batch", 13L -> "dup_of_corpus"))
+  }
+
   test("segment dedup: first corpus occurrence wins, clean text rejoins") {
     import spark.implicits._
     import graft.operators.Dedup
