@@ -359,6 +359,22 @@ class TrainingOpsSpec extends AnyFunSuite {
       assert(rows(0).getString(1) == "ping <EMAIL> now")
       assert(rows(1).getString(1) == "clean text")
     } finally q.stop()
+
+    // chunking is likewise stateless map-only — streams without
+    // watermark or mode restrictions
+    val input2 = MemoryStream[(Long, String)]
+    val chunks = TextAnalysis.chunkTokens(
+      input2.toDF().toDF("doc_id", "text"), "text", "doc_id",
+      chunkSize = 3, stride = 2)
+    val q2 = chunks.writeStream.format("memory").queryName("chunk_stream")
+      .outputMode("append").start()
+    try {
+      input2.addData((1L, "a b c d e"))
+      q2.processAllAvailable()
+      val rows = spark.table("chunk_stream").orderBy("chunk_idx").collect()
+      assert(rows.map(_.getAs[String]("chunk_text")).toSeq ==
+        Seq("a b c", "c d e", "e"))
+    } finally q2.stop()
   }
 
   // -------------------------------------------------------- quantization
