@@ -140,6 +140,40 @@ object ProjectRun {
     * single merged file serializes the whole output through one task,
     * so it is the opt-in (`shardedSinks = false`, CLI `--merged-sinks`)
     * for byte-parity with the reference's append-to-one-file connector. */
+  /** Mechanism-field tag set: `wp_src_key` = the source's configured
+    * key, merged under the user's own tags (an explicit tag with the
+    * same name wins). Reference: parser.rs appends wp_src_key on every
+    * successful parse (gen_msg_id is hard-coded true in the runtime);
+    * docs/usage/en/05-connectors/01-sources/09-metadata.md. */
+  private def metaTags(key: String, tags: Map[String, String]): Map[String, String] =
+    if (key.isEmpty) tags else Map("wp_src_key" -> key) ++ tags
+
+  /** Per-row mechanism fields (source metadata doc):
+    *  - `wp_event_id`: unique ingest id column, String per the metadata
+    *    doc (the reference's SourceEvent.event_id is a per-run counter;
+    *    unique, not reproducible across runs in either engine — uuid()
+    *    here because it is also legal in streaming plans, where
+    *    monotonically_increasing_id is not);
+    *  - `wp_src_ip`: for net sources, the client ip appended to the
+    *    parsed fields (dtype ip) on every record that produced fields —
+    *    miss/blank records carry none, matching the reference where the
+    *    append happens on parse success.
+    * Native expressions only (when/array_append), so the parse stage
+    * stays a single codegen projection. */
+  private def withMeta(parsed: DataFrame, ipCol: Option[String] = None): DataFrame = {
+    val base = parsed.withColumn("wp_event_id", expr("uuid()"))
+    ipCol match {
+      case Some(c) =>
+        base.withColumn("fields",
+            when(col("status").isin("miss", "blank") || col(c).isNull, col("fields"))
+              .otherwise(array_append(col("fields"),
+                struct(lit("wp_src_ip").as("name"), lit("ip").as("dtype"),
+                  col(c).as("sval")))))
+          .drop(c)
+      case None => base
+    }
+  }
+
   def runBatch(spark: SparkSession, p: Project.Loaded,
                knowDb: KnowDb = KnowDb.empty,
                enricher: graft.wpl.Enricher = graft.wpl.Enricher.empty,
@@ -155,9 +189,10 @@ object ProjectRun {
       // [performance].parse_workers: explicit parse-stage parallelism
       // (the reference's worker-pool size; here = partition count)
       val lines = p.conf.parseWorkers.fold(lines0)(w => lines0.repartition(w))
-      Pipeline.run(lines, "raw_line", p.wplSource, p.omlSources.map(_._2),
-        keep = Seq("raw_line"), knowDb = knowDb, sourceTags = s.tags, enricher = enricher,
-        semanticEnabled = p.conf.semanticEnabled) // [semantic].enabled, default off
+      withMeta(Pipeline.run(lines, "raw_line", p.wplSource, p.omlSources.map(_._2),
+        keep = Seq("raw_line"), knowDb = knowDb, sourceTags = metaTags(s.key, s.tags),
+        enricher = enricher,
+        semanticEnabled = p.conf.semanticEnabled)) // [semantic].enabled, default off
     }.reduce(_ unionByName _).persist()
     try routeAndWrite(p, parsed, shardedSinks) finally parsed.unpersist()
   }
@@ -342,28 +377,33 @@ object ProjectRun {
         if (f.isDirectory) (f.getPath, None) else (f.getParent, Some(f.getName))
       val reader = spark.readStream.option("maxFilesPerTrigger", 16)
       filter.foreach(g => reader.option("pathGlobFilter", g))
-      reader.text(dir).withColumnRenamed("value", "raw_line") -> s.tags
+      (reader.text(dir).withColumnRenamed("value", "raw_line"),
+        metaTags(s.key, s.tags), None)
     }
     val syslogStreams = p.syslogSources.filter(_.enable).map { s =>
       val fmt = if (s.protocol == "tcp") "graft-syslog-tcp" else "graft-syslog-udp"
-      // DSv2 sources bind 0.0.0.0; schema is (value, client_ip)
-      spark.readStream.format(fmt).option("port", s.port.toString).load()
-        .drop("client_ip").withColumnRenamed("value", "raw_line") -> s.tags
+      // DSv2 sources bind 0.0.0.0; schema is (value, client_ip) — the
+      // client ip becomes the wp_src_ip mechanism field
+      (spark.readStream.format(fmt).option("port", s.port.toString).load()
+        .withColumnRenamed("value", "raw_line"),
+        metaTags(s.key, s.tags), Some("client_ip"))
     }
     val kafkaStreams = p.kafkaSources.filter(_.enable).map { s =>
       // [performance].rate_limit_rps → per-trigger record cap
       val cap = p.conf.rateLimitRps
         .map(r => math.max(1L, r * triggerMs / 1000L)).getOrElse(100000L)
-      StreamingPipeline.kafkaLines(spark, s.brokers, s.topics.mkString(","),
+      (StreamingPipeline.kafkaLines(spark, s.brokers, s.topics.mkString(","),
           maxOffsetsPerTrigger = cap)
-        .withColumnRenamed("line", "raw_line") -> s.tags
+        .withColumnRenamed("line", "raw_line"),
+        metaTags(s.key, s.tags), None)
     }
     val streams = fileStreams ++ syslogStreams ++ kafkaStreams
     require(streams.nonEmpty, "no enabled sources")
-    val parsedStream = streams.map { case (lines, tags) =>
-      Pipeline.run(lines, "raw_line", p.wplSource, p.omlSources.map(_._2),
-        keep = Seq("raw_line"), knowDb = knowDb, sourceTags = tags, enricher = enricher,
-        semanticEnabled = p.conf.semanticEnabled)
+    val parsedStream = streams.map { case (lines, tags, ipCol) =>
+      withMeta(Pipeline.run(lines, "raw_line", p.wplSource, p.omlSources.map(_._2),
+        keep = Seq("raw_line") ++ ipCol, knowDb = knowDb, sourceTags = tags,
+        enricher = enricher,
+        semanticEnabled = p.conf.semanticEnabled), ipCol)
     }.reduce(_ unionByName _)
 
     parsedStream.writeStream

@@ -331,6 +331,55 @@ class ProjectSpec extends AnyFunSuite {
     assert(mon.exists(l => l.contains("status=miss") && l.contains("count=1")), mon)
   }
 
+  test("mechanism fields: wp_src_key in outputs, wp_src_ip from net sources") {
+    // batch: wp_src_key = source key rides the splat into the kv sink
+    val root = modernProject()
+    ProjectRun.runBatch(spark, Project.load(root.toString))
+    val mAll = ProjectRun.readSinkLines(root.resolve("out/m_all.dat").toFile)
+    assert(mAll.nonEmpty && mAll.forall(_.contains("wp_src_key=file_1")), mAll.take(2))
+    // an explicit user tag with the same name wins over the mechanism value
+    val root2 = modernProject()
+    val src = root2.resolve("topology/sources/wpsrc.toml")
+    Files.writeString(src, Files.readString(src)
+      .replace("tags = [\"dev_src_ip : 10.0.0.1\"]",
+        "tags = [\"dev_src_ip : 10.0.0.1\", \"wp_src_key : custom\"]"))
+    ProjectRun.runBatch(spark, Project.load(root2.toString))
+    val mAll2 = ProjectRun.readSinkLines(root2.resolve("out/m_all.dat").toFile)
+    assert(mAll2.forall(_.contains("wp_src_key=custom")), mAll2.take(2))
+
+    // daemon with a syslog-tcp source: the client ip surfaces as wp_src_ip
+    val root3 = modernProject()
+    val port = {
+      val ss = new java.net.ServerSocket(0)
+      try ss.getLocalPort finally ss.close()
+    }
+    write(root3, "topology/sources/wpsrc.toml",
+      s"""[[source_syslog]]
+         |key = "sys_1"
+         |addr = "0.0.0.0"
+         |port = $port
+         |protocol = "tcp"
+         |enable = true
+         |""".stripMargin)
+    val q = ProjectRun.runStream(spark, Project.load(root3.toString), triggerMs = 100L)
+    try {
+      Thread.sleep(1500)
+      val sock = new java.net.Socket("127.0.0.1", port)
+      sock.getOutputStream.write("user=eve st=200 op=login\n".getBytes)
+      sock.getOutputStream.flush()
+      sock.close()
+      val deadline = System.currentTimeMillis() + 15000
+      var all = Seq.empty[String]
+      while (all.isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(300)
+        q.processAllAvailable()
+        all = ProjectRun.readSinkLines(root3.resolve("out/m_all.dat.d").toFile)
+      }
+      assert(all.exists(l => l.contains("wp_src_key=sys_1") &&
+        l.contains("wp_src_ip=127.0.0.1")), all.take(3))
+    } finally q.stop()
+  }
+
   test("config-targeted stat dims: [[stat.*]] per-rule counts reach the monitor sink") {
     val root = modernProject()
     // two rules so a targeted dim can single one out
