@@ -42,6 +42,24 @@ object Cli {
     else (args(i + 1), args.patch(i, Nil, 2))
   }
 
+  /** Reference ParseArgs flags on the wparse surface (facade/args.rs):
+    * -n/--max_line, -w/--parse-workers, -p/--print_stat, --wpl <dir>.
+    * Unrecognized args pass through in `rest`. */
+  private final case class ParseFlags(maxLines: Option[Long], workers: Option[Int],
+                                      statPrint: Boolean, wplDir: Option[String],
+                                      rest: List[String])
+  private def parseFlags(args: List[String]): ParseFlags = {
+    def go(a: List[String], acc: ParseFlags): ParseFlags = a match {
+      case ("-n" | "--max_line") :: v :: t => go(t, acc.copy(maxLines = Some(v.toLong)))
+      case ("-w" | "--parse-workers") :: v :: t => go(t, acc.copy(workers = Some(v.toInt)))
+      case ("-p" | "--print_stat") :: t => go(t, acc.copy(statPrint = true))
+      case "--wpl" :: v :: t => go(t, acc.copy(wplDir = Some(v)))
+      case h :: t => go(t, acc.copy(rest = acc.rest :+ h))
+      case Nil => acc
+    }
+    go(args, ParseFlags(None, None, statPrint = false, None, Nil))
+  }
+
   /** `--knowdb <dir>` loads every `<table>.csv` in dir into KnowDb
     * (header row, comma-separated — reference loader.rs); tables named
     * geo/zone (ip_beg,ip_end,value rows) and device (key,value rows)
@@ -144,24 +162,33 @@ object Cli {
       // recover.lock offset file; Spark's file source tracks offsets via
       // the checkpoint instead)
       main(Array("wparse", "batch", rescueDir, out, wpl) ++ omls)
-    case "wparse" :: "daemon" :: dir :: Nil if new java.io.File(dir).isDirectory =>
-      // streaming daemon over a project instance dir
+    case "wparse" :: "daemon" :: dir :: rest0 if new java.io.File(dir).isDirectory =>
+      // streaming daemon over a project instance dir; reference flags:
+      // -p/--print_stat (echo per-batch counts), --wpl <dir> override
+      val pa = parseFlags(rest0)
       val spark = session()
-      val pd = graft.project.Project.load(dir)
+      val pd = graft.project.Project.load(dir, wplDirOverride = pa.wplDir)
       val q = graft.project.ProjectRun.runStream(spark, pd,
-        knowDb = graft.project.KnowDbLoader.load(pd.root))
+        knowDb = graft.project.KnowDbLoader.load(pd.root),
+        statPrint = pa.statPrint)
       q.awaitTermination()
-    case "wparse" :: "project" :: dir :: rest if rest.forall(_ == "--merged-sinks") =>
+    case "wparse" :: "project" :: dir :: rest0
+        if { parseFlags(rest0).rest.forall(_ == "--merged-sinks") } =>
       // run a whole wp-proj-style instance dir (conf/wparse.toml +
       // topology + connectors) in batch; sinks default to sharded part
-      // dirs (<path>.d) — --merged-sinks opts into single merged files
+      // dirs (<path>.d) — --merged-sinks opts into single merged files.
+      // Reference ParseArgs flags: -n/--max_line, -w/--parse-workers,
+      // -p/--print_stat, --wpl <dir> override
+      val pa = parseFlags(rest0)
       val spark = session()
-      val p = graft.project.Project.load(dir)
+      val p = graft.project.Project.load(dir, wplDirOverride = pa.wplDir)
       // models/knowledge/knowdb.toml (if present) backs OML `select …`
       // lookups for the whole instance
       val reports = graft.project.ProjectRun.runBatch(spark, p,
         knowDb = graft.project.KnowDbLoader.load(p.root),
-        shardedSinks = rest.isEmpty)
+        shardedSinks = pa.rest.isEmpty,
+        maxLines = pa.maxLines, parseWorkers = pa.workers,
+        statPrint = pa.statPrint)
       reports.foreach { r =>
         println(s"sink ${r.group}/${r.sink} -> ${r.path}: rows=${r.rows}" +
           (if (r.intercepted > 0) s" intercepted=${r.intercepted}" else "") +

@@ -488,7 +488,11 @@ object Project {
     (business, infra)
   }
 
-  def load(rootPath: String, env: EnvLookup = SysEnv): Loaded = {
+  /** `wplDirOverride` mirrors the reference's `--wpl` CLI flag: an
+    * explicit rules directory that takes precedence over
+    * wparse.toml [models].wpl (facade/args.rs ParseArgs.wpl_dir). */
+  def load(rootPath: String, env: EnvLookup = SysEnv,
+           wplDirOverride: Option[String] = None): Loaded = {
     val root = new File(rootPath)
     require(root.isDirectory, s"project root not a directory: $rootPath")
     val conf = loadEngineConf(root, env)
@@ -496,7 +500,8 @@ object Project {
     // tests.rs:157 "系统查找的是 parse*.wpl 文件") — gen_rule.wpl in the
     // same tree belongs to wpgen, not the parser; fall back to all .wpl
     // when no parse*.wpl exists
-    val allWpl = filesUnder(resolve(root, conf.wplDir), ".wpl")
+    val allWpl = filesUnder(
+      resolve(root, wplDirOverride.getOrElse(conf.wplDir)), ".wpl")
     val parseWpl = allWpl.filter(_.getName.startsWith("parse"))
     val wplFiles = if (parseWpl.nonEmpty) parseWpl else allWpl
     val wplSource = wplFiles.map(readFile).mkString("\n")

@@ -174,27 +174,43 @@ object ProjectRun {
     }
   }
 
+  /** `maxLines` = the reference's `-n/--max_line` picker cap (applies
+    * per source, as each reference picker consumes its own budget);
+    * `parseWorkers` = the `-w/--parse-workers` CLI override, which wins
+    * over `[performance].parse_workers`; `statPrint` = `-p`: print
+    * per-status parse counts at completion. */
   def runBatch(spark: SparkSession, p: Project.Loaded,
                knowDb: KnowDb = KnowDb.empty,
                enricher: graft.wpl.Enricher = graft.wpl.Enricher.empty,
-               shardedSinks: Boolean = true): Vector[SinkReport] = {
+               shardedSinks: Boolean = true,
+               maxLines: Option[Long] = None,
+               parseWorkers: Option[Int] = None,
+               statPrint: Boolean = false): Vector[SinkReport] = {
     p.conf.logLevel.foreach(l => spark.sparkContext.setLogLevel(l.toUpperCase))
     val sources = p.fileSources.filter(_.enable)
     require(sources.nonEmpty, "no enabled file sources")
+    val workers = parseWorkers.orElse(p.conf.parseWorkers)
     val parsed = sources.map { s =>
       val path = Project.resolve(p.root, s.path)
       // keep the raw line: miss/residue/error infra sinks write original
       // payload text, not formatted fields (reference rescue semantics)
-      val lines0 = spark.read.text(path.getPath).withColumnRenamed("value", "raw_line")
-      // [performance].parse_workers: explicit parse-stage parallelism
-      // (the reference's worker-pool size; here = partition count)
-      val lines = p.conf.parseWorkers.fold(lines0)(w => lines0.repartition(w))
+      val read = spark.read.text(path.getPath).withColumnRenamed("value", "raw_line")
+      val capped = maxLines.fold(read)(n => read.limit(n.min(Int.MaxValue).toInt))
+      // [performance].parse_workers / -w: explicit parse-stage
+      // parallelism (the reference's worker-pool size; here = partitions)
+      val lines = workers.fold(capped)(w => capped.repartition(w))
       withMeta(Pipeline.run(lines, "raw_line", p.wplSource, p.omlSources.map(_._2),
         keep = Seq("raw_line"), knowDb = knowDb, sourceTags = metaTags(s.key, s.tags),
         enricher = enricher,
         semanticEnabled = p.conf.semanticEnabled)) // [semantic].enabled, default off
     }.reduce(_ unionByName _).persist()
-    try routeAndWrite(p, parsed, shardedSinks) finally parsed.unpersist()
+    try {
+      val reports = routeAndWrite(p, parsed, shardedSinks)
+      if (statPrint)
+        parsed.groupBy(col("status")).count().orderBy(col("status"))
+          .collect().foreach(r => println(s"[stat] status=${r.get(0)} count=${r.get(1)}"))
+      reports
+    } finally parsed.unpersist()
   }
 
   /** One routed sink write: the filtered frame plus the line-formatting
@@ -362,11 +378,14 @@ object ProjectRun {
     * reference appends to a single file — a single-writer shape that
     * doesn't scale past one node, so the directory form is the
     * distributed equivalent). */
+  /** `statPrint` = the reference's `-p/--print_stat`: per-micro-batch
+    * status counts echo to the console alongside the monitor sink. */
   def runStream(spark: SparkSession, p: Project.Loaded,
                 knowDb: KnowDb = KnowDb.empty,
                 enricher: graft.wpl.Enricher = graft.wpl.Enricher.empty,
                 checkpoint: Option[String] = None,
-                triggerMs: Long = 1000L): org.apache.spark.sql.streaming.StreamingQuery = {
+                triggerMs: Long = 1000L,
+                statPrint: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.streaming.StreamingPipeline
     val fileStreams = p.fileSources.filter(_.enable).map { s =>
       val f = Project.resolve(p.root, s.path)
@@ -423,6 +442,10 @@ object ProjectRun {
               r.df.select(r.line.as("value")).write.mode("overwrite").text(dir.getPath)
             }
           }
+          if (statPrint)
+            batch.groupBy(col("status")).count().orderBy(col("status"))
+              .collect().foreach(r =>
+                println(s"[stat] batch=$batchId status=${r.get(0)} count=${r.get(1)}"))
           // monitor sink: per-batch parse stats (reference wp-stats
           // windowed counters → monitor infra group; the micro-batch IS
           // the processing-time window here)

@@ -331,6 +331,23 @@ class ProjectSpec extends AnyFunSuite {
     assert(mon.exists(l => l.contains("status=miss") && l.contains("count=1")), mon)
   }
 
+  test("wparse flags: -n caps per-source lines, --wpl overrides the rules dir") {
+    val root = modernProject()
+    // -n 2: only the first two lines of the source parse (reference
+    // picker line_max)
+    val reports = ProjectRun.runBatch(spark, Project.load(root.toString),
+      maxLines = Some(2L), parseWorkers = Some(1))
+    // m_all fans out every transformed record: exactly the 2 capped lines
+    val mAll = reports.find(r => r.group == "m_group" && r.sink == "m_all").get
+    assert(mAll.rows == 2, reports.map(r => s"${r.sink}=${r.rows}").mkString(","))
+    // --wpl: an alternate rules dir takes precedence over [models].wpl
+    val alt = Files.createTempDirectory("graft-alt-wpl")
+    Files.writeString(alt.resolve("parse_alt.wpl"),
+      "package /alt { rule only_op { (chars:op_line) } }")
+    val p2 = Project.load(root.toString, wplDirOverride = Some(alt.toString))
+    assert(p2.wplSource.contains("only_op") && !p2.wplSource.contains("kv"))
+  }
+
   test("mechanism fields: wp_src_key in outputs, wp_src_ip from net sources") {
     // batch: wp_src_key = source key rides the splat into the kv sink
     val root = modernProject()
