@@ -157,14 +157,15 @@ object Project {
   final case class Loaded(
       root: File,
       conf: EngineConf,
-      wplSource: String,                    // all .wpl files concatenated (multi-package)
+      wplSource: String,                    // all loadable .wpl files concatenated
       omlSources: Vector[(String, String)], // (file stem, source)
       fileSources: Vector[SourceFile],
       kafkaSources: Vector[SourceKafka],
       syslogSources: Vector[SourceSyslog],
       connectors: Map[String, ConnectorDef],
       business: Vector[SinkGroup],
-      infra: Map[String, SinkGroup])        // default/miss/residue/intercept/monitor/error
+      infra: Map[String, SinkGroup],        // default/miss/residue/intercept/monitor/error
+      wplLoadErrors: Vector[String] = Vector.empty) // skipped files: "path: error"
 
   /** `*` wildcard match (reference WildMatch — the only metachar the
     * corpus uses). */
@@ -504,7 +505,19 @@ object Project {
       resolve(root, wplDirOverride.getOrElse(conf.wplDir)), ".wpl")
     val parseWpl = allWpl.filter(_.getName.startsWith("parse"))
     val wplFiles = if (parseWpl.nonEmpty) parseWpl else allWpl
-    val wplSource = wplFiles.map(readFile).mkString("\n")
+    // tolerant per-file load (reference repo.rs:62 — every robustness
+    // mode maps a WPL syntax error to Ignore: skip the bad package with
+    // a report, keep the loadable ones; `wproj check` surfaces the list)
+    val attempts = wplFiles.map { f =>
+      val src = readFile(f)
+      try { graft.wpl.Runtime.parseAny(src); Right(src) }
+      catch { case e: Exception =>
+        System.err.println(s"[wpl] load failed, skipping ${f.getPath}: ${e.getMessage}")
+        Left(s"${f.getPath}: ${e.getMessage}")
+      }
+    }
+    val wplLoadErrors = attempts.collect { case Left(m) => m }
+    val wplSource = attempts.collect { case Right(s) => s }.mkString("\n")
     val omlSources = filesUnder(resolve(root, conf.omlDir), ".oml")
       .map(f => f.getName.stripSuffix(".oml") -> readFile(f))
     val (fs, ks, ss) = loadSources(resolve(root, conf.sourcesDir), env)
@@ -512,7 +525,8 @@ object Project {
     val connectors = loadConnectors(sinkRoot, env)
     val defaults = loadDefaults(sinkRoot, env)
     val (business, infra) = loadSinkRoutes(sinkRoot, connectors, defaults, env)
-    Loaded(root, conf, wplSource, omlSources, fs, ks, ss, connectors, business, infra)
+    Loaded(root, conf, wplSource, omlSources, fs, ks, ss, connectors, business, infra,
+      wplLoadErrors)
   }
 
   // ---- check ---------------------------------------------------------
@@ -524,6 +538,8 @@ object Project {
     * healthy). */
   def check(p: Loaded): Vector[String] = {
     val problems = Vector.newBuilder[String]
+    // files the tolerant loader skipped are problems check must surface
+    p.wplLoadErrors.foreach(m => problems += s"wpl: $m")
     val ruleKeys: Vector[String] =
       try graft.wpl.Runtime.parseAny(p.wplSource).map(_.key).toVector
       catch { case e: Exception => problems += s"wpl: ${e.getMessage}"; Vector.empty }

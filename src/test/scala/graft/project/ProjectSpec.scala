@@ -331,6 +331,19 @@ class ProjectSpec extends AnyFunSuite {
     assert(mon.exists(l => l.contains("status=miss") && l.contains("count=1")), mon)
   }
 
+  test("tolerant WPL load: a broken file is skipped and reported, not fatal") {
+    val root = modernProject()
+    write(root, "wpl/parse_broken.wpl", "package /bad { rule oops { (((")
+    val p = Project.load(root.toString)
+    // the loadable rule still runs the whole batch
+    val reports = ProjectRun.runBatch(spark, p)
+    assert(reports.find(r => r.sink == "m_all").get.rows == 3)
+    // the skipped file surfaces in load errors and `wproj check`
+    assert(p.wplLoadErrors.exists(_.contains("parse_broken.wpl")), p.wplLoadErrors)
+    assert(Project.check(p).exists(m =>
+      m.startsWith("wpl: ") && m.contains("parse_broken.wpl")))
+  }
+
   test("wparse flags: -n caps per-source lines, --wpl overrides the rules dir") {
     val root = modernProject()
     // -n 2: only the first two lines of the source parse (reference
