@@ -130,6 +130,8 @@ object Project {
                                enable: Boolean, tags: Map[String, String])
   final case class SourceSyslog(key: String, addr: String, port: Int, protocol: String,
                                 enable: Boolean, tags: Map[String, String])
+  final case class SourceTcp(key: String, addr: String, port: Int, framing: String,
+                             enable: Boolean, tags: Map[String, String])
 
   /** One configured statistics dimension (reference `[[stat.pick/
     * parse/sink]]` blocks, docs/usage/en/02-config/01-wparse.md:33-41,
@@ -165,7 +167,8 @@ object Project {
       connectors: Map[String, ConnectorDef],
       business: Vector[SinkGroup],
       infra: Map[String, SinkGroup],        // default/miss/residue/intercept/monitor/error
-      wplLoadErrors: Vector[String] = Vector.empty) // skipped files: "path: error"
+      wplLoadErrors: Vector[String] = Vector.empty, // skipped files: "path: error"
+      tcpSources: Vector[SourceTcp] = Vector.empty)
 
   /** `*` wildcard match (reference WildMatch — the only metachar the
     * corpus uses). */
@@ -274,10 +277,15 @@ object Project {
     if (f.isAbsolute) f else new File(root, p.stripPrefix("./"))
   }
 
-  def loadSources(dir: File, env: EnvLookup = SysEnv): (Vector[SourceFile], Vector[SourceKafka], Vector[SourceSyslog]) = {
+  def loadSources(dir: File, env: EnvLookup = SysEnv): (Vector[SourceFile], Vector[SourceKafka], Vector[SourceSyslog], Vector[SourceTcp]) = {
     val files = Vector.newBuilder[SourceFile]
     val kafka = Vector.newBuilder[SourceKafka]
     val syslog = Vector.newBuilder[SourceSyslog]
+    val tcp = Vector.newBuilder[SourceTcp]
+    // connector-based `[[sources]]` entries resolve ids from
+    // connectors/source.d (walk-up, same rule as sink.d — reference
+    // sources_basics.md + connectors/source.d/*.toml)
+    lazy val srcConnectors = loadSourceConnectors(dir, env)
     tomlFilesUnder(dir).foreach { f =>
       val t = parseToml(f, env)
       t.tables("source_file").foreach { s =>
@@ -294,8 +302,80 @@ object Project {
           s.long("port").getOrElse(514L).toInt, s.str("protocol").getOrElse("udp"),
           s.bool("enable").getOrElse(true), parseTags(s.strings("tags")))
       }
+      // unified format: key/enable/tags + connect + params override
+      // (only allow_override keys; both [sources.params] and the
+      // [[sources.params]] array-of-one shape the docs show)
+      t.tables("sources").foreach { s =>
+        val key = s.str("key").getOrElse("")
+        val connect = s.str("connect").getOrElse(
+          throw new IllegalArgumentException(s"source '$key' missing connect (file $f)"))
+        val conn = srcConnectors.getOrElse(connect,
+          throw new IllegalArgumentException(
+            s"source '$key': unknown connector '$connect' (file $f)"))
+        val overrides =
+          (s.get("params").map(_.tab).toVector ++ s.tables("params"))
+            .flatMap(_.m.toMap.map { case (k, v) => k -> v.str }).toMap
+        val params = mergeParams(conn, overrides, s"source '$key' (file $f)")
+        val enable = s.bool("enable").getOrElse(true)
+        val tags = parseTags(s.strings("tags"))
+        conn.kind match {
+          case "file" =>
+            val path = (params.get("base"), params.get("file")) match {
+              case (Some(b), Some(nm)) => s"$b/$nm"
+              case _ => params.getOrElse("path",
+                throw new IllegalArgumentException(
+                  s"source '$key': file connector needs base+file (file $f)"))
+            }
+            files += SourceFile(key, path, enable,
+              params.getOrElse("encode", "text"), tags)
+          case "kafka" =>
+            kafka += SourceKafka(key, params.getOrElse("brokers", ""),
+              params.get("topic").toVector, enable, tags)
+          case "syslog" =>
+            syslog += SourceSyslog(key, params.getOrElse("addr", "0.0.0.0"),
+              params.getOrElse("port", "514").toInt,
+              params.getOrElse("protocol", "udp"), enable, tags)
+          case "tcp" =>
+            tcp += SourceTcp(key, params.getOrElse("addr", "0.0.0.0"),
+              params.getOrElse("port", "9000").toInt,
+              params.getOrElse("framing", "auto"), enable, tags)
+          case other =>
+            throw new IllegalArgumentException(
+              s"source '$key': unsupported connector type '$other' (file $f)")
+        }
+      }
     }
-    (files.result(), kafka.result(), syslog.result())
+    (files.result(), kafka.result(), syslog.result(), tcp.result())
+  }
+
+  /** Walk up from the sources dir for `connectors/source.d` (mirrors
+    * the sink-side walk); absent dir = empty registry. */
+  def loadSourceConnectors(sourcesDir: File, env: EnvLookup = SysEnv): Map[String, ConnectorDef] = {
+    var cur: File = sourcesDir.getAbsoluteFile
+    var found: Option[File] = None
+    var i = 0
+    while (cur != null && i < 32 && found.isEmpty) {
+      val cand = new File(cur, "connectors/source.d")
+      if (cand.isDirectory) found = Some(cand)
+      cur = cur.getParentFile
+      i += 1
+    }
+    found.map { d =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, ConnectorDef]
+      tomlFilesUnder(d).foreach { f =>
+        parseToml(f, env).tables("connectors").foreach { c =>
+          val id = c.str("id").getOrElse(
+            throw new IllegalArgumentException(s"connector missing id in $f"))
+          require(!m.contains(id), s"duplicate source connector id '$id' (file $f)")
+          m(id) = ConnectorDef(id,
+            c.str("type").getOrElse("file"),
+            c.strings("allow_override"),
+            c.get("params").map(_.tab.m.toMap.map { case (k, v) => k -> v.str })
+              .getOrElse(Map.empty))
+        }
+      }
+      m.toMap
+    }.getOrElse(Map.empty)
   }
 
   /** Walk up from sinkRoot looking for `connectors/sink.d` (reference
@@ -520,13 +600,13 @@ object Project {
     val wplSource = attempts.collect { case Right(s) => s }.mkString("\n")
     val omlSources = filesUnder(resolve(root, conf.omlDir), ".oml")
       .map(f => f.getName.stripSuffix(".oml") -> readFile(f))
-    val (fs, ks, ss) = loadSources(resolve(root, conf.sourcesDir), env)
+    val (fs, ks, ss, ts) = loadSources(resolve(root, conf.sourcesDir), env)
     val sinkRoot = resolve(root, conf.sinksDir)
     val connectors = loadConnectors(sinkRoot, env)
     val defaults = loadDefaults(sinkRoot, env)
     val (business, infra) = loadSinkRoutes(sinkRoot, connectors, defaults, env)
     Loaded(root, conf, wplSource, omlSources, fs, ks, ss, connectors, business, infra,
-      wplLoadErrors)
+      wplLoadErrors, ts)
   }
 
   // ---- check ---------------------------------------------------------

@@ -416,7 +416,15 @@ object ProjectRun {
         .withColumnRenamed("line", "raw_line"),
         metaTags(s.key, s.tags), None)
     }
-    val streams = fileStreams ++ syslogStreams ++ kafkaStreams
+    val tcpStreams = p.tcpSources.filter(_.enable).map { s =>
+      // plain tcp source connector (connectors/source.d/12-tcp.toml):
+      // auto|line|len framing, client ip → wp_src_ip
+      (spark.readStream.format("graft-tcp")
+        .option("port", s.port.toString).option("framing", s.framing).load()
+        .withColumnRenamed("value", "raw_line"),
+        metaTags(s.key, s.tags), Some("client_ip"))
+    }
+    val streams = fileStreams ++ syslogStreams ++ kafkaStreams ++ tcpStreams
     require(streams.nonEmpty, "no enabled sources")
     val parsedStream = streams.map { case (lines, tags, ipCol) =>
       withMeta(Pipeline.run(lines, "raw_line", p.wplSource, p.omlSources.map(_._2),

@@ -331,6 +331,110 @@ class ProjectSpec extends AnyFunSuite {
     assert(mon.exists(l => l.contains("status=miss") && l.contains("count=1")), mon)
   }
 
+  test("unified [[sources]] connector format: file + tcp via source.d") {
+    val root = modernProject()
+    write(root, "connectors/source.d/00-file.toml",
+      """[[connectors]]
+        |id = "file_src"
+        |type = "file"
+        |allow_override = ["base", "file", "encode"]
+        |[connectors.params]
+        |base = "./src_dat"
+        |file = "gen.dat"
+        |encode = "text"
+        |""".stripMargin)
+    write(root, "connectors/source.d/12-tcp.toml",
+      """[[connectors]]
+        |id = "tcp_src"
+        |type = "tcp"
+        |allow_override = ["addr", "port", "framing"]
+        |[connectors.params]
+        |addr = "0.0.0.0"
+        |port = 9000
+        |framing = "auto"
+        |""".stripMargin)
+    val tcpPort = {
+      val ss = new java.net.ServerSocket(0)
+      try ss.getLocalPort finally ss.close()
+    }
+    write(root, "topology/sources/wpsrc.toml",
+      s"""[[sources]]
+         |key = "uni_file"
+         |enable = true
+         |connect = "file_src"
+         |tags = ["env : uni"]
+         |
+         |[sources.params]
+         |file = "gen.dat"
+         |
+         |[[sources]]
+         |key = "uni_tcp"
+         |enable = true
+         |connect = "tcp_src"
+         |
+         |[sources.params]
+         |port = $tcpPort
+         |framing = "line"
+         |""".stripMargin)
+    val p = Project.load(root.toString)
+    assert(p.fileSources.map(_.key) == Vector("uni_file"))
+    assert(p.fileSources.head.path == "./src_dat/gen.dat")
+    assert(p.fileSources.head.tags == Map("env" -> "uni"))
+    assert(p.tcpSources.map(s => (s.key, s.port, s.framing)) ==
+      Vector(("uni_tcp", tcpPort, "line")))
+    // an override outside allow_override raises
+    write(root, "topology/sources/wpsrc.toml",
+      """[[sources]]
+        |key = "bad"
+        |connect = "file_src"
+        |[sources.params]
+        |sneaky = "x"
+        |""".stripMargin)
+    val e = intercept[IllegalArgumentException](Project.load(root.toString))
+    assert(e.getMessage.contains("allow_override"))
+
+    // batch over the unified file source + live tcp frames through the
+    // daemon: both reach business sinks with their wp_src_key
+    val root2 = modernProject()
+    write(root2, "connectors/source.d/12-tcp.toml",
+      """[[connectors]]
+        |id = "tcp_src"
+        |type = "tcp"
+        |allow_override = ["port", "framing"]
+        |[connectors.params]
+        |port = 9000
+        |framing = "line"
+        |""".stripMargin)
+    val port2 = {
+      val ss = new java.net.ServerSocket(0)
+      try ss.getLocalPort finally ss.close()
+    }
+    write(root2, "topology/sources/wpsrc.toml",
+      s"""[[sources]]
+         |key = "t1"
+         |connect = "tcp_src"
+         |[sources.params]
+         |port = $port2
+         |""".stripMargin)
+    val q = ProjectRun.runStream(spark, Project.load(root2.toString), triggerMs = 100L)
+    try {
+      Thread.sleep(1500)
+      val sock = new java.net.Socket("127.0.0.1", port2)
+      sock.getOutputStream.write("user=tcp1 st=200 op=ping\n".getBytes)
+      sock.getOutputStream.flush()
+      sock.close()
+      val deadline = System.currentTimeMillis() + 15000
+      var all = Seq.empty[String]
+      while (all.isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(300)
+        q.processAllAvailable()
+        all = ProjectRun.readSinkLines(root2.resolve("out/m_all.dat.d").toFile)
+      }
+      assert(all.exists(l => l.contains("user=tcp1") &&
+        l.contains("wp_src_key=t1") && l.contains("wp_src_ip=127.0.0.1")), all.take(3))
+    } finally q.stop()
+  }
+
   test("tolerant WPL load: a broken file is skipped and reported, not fatal") {
     val root = modernProject()
     write(root, "wpl/parse_broken.wpl", "package /bad { rule oops { (((")
