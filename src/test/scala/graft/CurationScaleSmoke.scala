@@ -60,6 +60,21 @@ object CurationScaleSmoke {
       val pairs = Dedup.ngramJaccardPairs(base, "text", "doc_id", n = 3, threshold = 0.5)
       Clustering.dupClusters(pairs, "id_a", "id_b").count()
     }
+    timed("clusters_star") {
+      val pairs = Dedup.ngramJaccardPairs(base, "text", "doc_id", n = 3, threshold = 0.5)
+      Clustering.dupClustersStar(pairs, "id_a", "id_b").count()
+    }
+    timed("doc_chunk") {
+      TextAnalysis.chunkTokens(df, "text", "doc_id",
+        chunkSize = 64, stride = 48).count()
+    }
+    timed("segment_dedup") {
+      Dedup.segmentDedup(df, "text", "doc_id", segTokens = 8).count()
+    }
+    timed("dedup_incr") {
+      Dedup.incremental(df.filter(col("doc_id") % 10 >= 8),
+        df.filter(col("doc_id") % 10 < 8), "text", "doc_id").count()
+    }
     df.unpersist()
     spark.stop()
   }
