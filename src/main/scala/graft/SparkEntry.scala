@@ -506,6 +506,14 @@ object SparkEntry {
     Dedup.segmentDedup(t(s, dir, "documents"), "text", "doc_id", segTokens = 8)
       .orderBy(col("doc_id"))
 
+  /** Vocabulary coverage per language: share of the token stream the
+    * top-40 vocabulary captures (tokenizer-fit proxy). */
+  private def qVocabCoverage(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabCoverage(t(s, dir, "documents"), "text", "lang", topN = 40)
+      .select(col("grp").as("lang"), col("n_tokens"), col("n_distinct"),
+        col("coverage"))
+      .orderBy(col("lang"))
+
   private def qTextLogprob(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.unigramLogprob(t(s, dir, "documents"), "text", "doc_id")
       .orderBy(col("doc_id"))
@@ -1033,6 +1041,7 @@ object SparkEntry {
     "dedup_clusters_star" -> (qDedupClustersStar _),
     "sample_stratified" -> (qSampleStratified _),
     "mix_weights" -> (qMixWeights _),
+    "vocab_coverage" -> (qVocabCoverage _),
     "doc_chunk" -> (qDocChunk _),
     "segment_dedup" -> (qSegmentDedup _),
     "text_repetition" -> (qTextRepetition _),
@@ -1479,6 +1488,22 @@ object SparkEntry {
            CAST(least(64, n - s0) AS INT) AS n_tokens,
            array_to_string(toks[s0+1:s0+64], ' ') AS chunk_text
          FROM st ORDER BY doc_id, chunk_idx""",
+    "vocab_coverage" ->
+      """WITH tok AS (
+           SELECT lang AS grp,
+             unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+               x -> len(x) > 0)) AS tok
+           FROM documents),
+         counts AS (SELECT grp, tok, count(*) AS c FROM tok GROUP BY grp, tok),
+         ranked AS (
+           SELECT *, row_number() OVER
+             (PARTITION BY grp ORDER BY c DESC, tok ASC) AS rn
+           FROM counts)
+         SELECT grp AS lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+           count(*) AS n_distinct,
+           round(CAST(sum(CASE WHEN rn <= 40 THEN c ELSE 0 END) AS DOUBLE)
+             / sum(c), 6) AS coverage
+         FROM ranked GROUP BY grp ORDER BY lang""",
     "mix_weights" ->
       """WITH tok AS (
            SELECT lang,

@@ -188,6 +188,32 @@ object TextAnalysis {
           .otherwise(lit(0.0)), 4).as("top_2gram_frac"))
   }
 
+  /** Vocabulary coverage — the corpus-profiling measure of how much of
+    * the token stream a top-N vocabulary captures (the quick proxy for
+    * tokenizer fit / OOV rate per domain). Per group: total tokens and
+    * the fraction covered by that group's N most frequent tokens
+    * (ties broken by token text, so the cut is deterministic).
+    *
+    * Scale shape: explode → (group, token) partial-agg count (map-side
+    * combine absorbs hot tokens) → per-group rank window over the
+    * DISTINCT-token table (bounded by vocabulary, not corpus size) →
+    * one tiny final agg. */
+  def vocabCoverage(df: DataFrame, textCol: String, grpCol: String,
+                    topN: Int): DataFrame = {
+    val counts = df.select(col(grpCol).as("grp"),
+        explode_outer(tokens(col(textCol))).as("tok"))
+      .filter(col("tok").isNotNull)
+      .groupBy(col("grp"), col("tok")).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+      .orderBy(col("c").desc, col("tok").asc)
+    counts.withColumn("rn", row_number().over(w))
+      .groupBy(col("grp"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        round(sum(when(col("rn") <= topN, col("c")).otherwise(lit(0L)))
+          .cast("double") / sum(col("c")), 6).as("coverage"))
+  }
+
   /** Fixed-token document chunking with overlap — the step that turns
     * variable-length documents into model-window-sized sequences
     * (pretraining contexts, RAG passages). Chunk starts advance by

@@ -111,6 +111,14 @@ class PlanQualitySpec extends AnyFunSuite {
       s"scan reads ${scan.requiredSchema.fieldNames.mkString(",")}")
   }
 
+  test("incremental dedup: hash-keyed joins only, no quadratic joins") {
+    val p = plan("dedup_incremental")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1200))
+    // the corpus side must aggregate to distinct hashes before joining
+    assert(p.contains("HashAggregate"), p.take(1200))
+  }
+
   test("segment dedup: partial-agg keeper join, no quadratic joins, no RDD hop") {
     val p = plan("segment_dedup")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

@@ -214,6 +214,20 @@ class TrainingOpsSpec extends AnyFunSuite {
       (3L, 2L, 2L, 1.0, "")))
   }
 
+  test("vocab coverage: top-N token share with deterministic tie-break") {
+    import spark.implicits._
+    val d = Seq((1L, "a a a b b c", "en"), (2L, "x y", "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.vocabCoverage(d, "text", "lang", topN = 2)
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    // en: tokens a×3 b×2 c×1 → top-2 = a,b cover 5/6; de: x,y cover all
+    assert(out == Seq(("de", 2L, 2L, 1.0), ("en", 6L, 3L, round5of6)))
+  }
+  private val round5of6 = BigDecimal(5.0 / 6)
+    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("domain mixture weights reshape token shares to the target") {
     import spark.implicits._
     import graft.operators.Sampling
