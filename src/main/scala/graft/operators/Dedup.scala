@@ -59,6 +59,21 @@ object Dedup {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_md5")
 
+  /** Streaming incremental dedup: drop stream rows whose content already
+    * exists in a STATIC historical corpus — the live-ingest shape of
+    * [[incremental]]. A stream-static LEFT ANTI join on the content
+    * hash: stateless on the stream side (no watermark, no state store —
+    * the corpus index is the state, and it is bounded and shareable
+    * across restarts). Combine with [[streamingExact]] upstream to also
+    * drop within-stream repeats. */
+  def streamingAgainstCorpus(stream: DataFrame, corpus: DataFrame,
+                             textCol: String, corpusTextCol: String): DataFrame = {
+    val idx = corpus.select(md5(col(corpusTextCol)).as("__h")).distinct()
+    stream.withColumn("__h", md5(col(textCol)))
+      .join(idx, Seq("__h"), "left_anti")
+      .drop("__h")
+  }
+
   /** Word n-gram shingles from an ALREADY-MATERIALIZED token-array column.
     * The token array must be a plain column reference, not an inline
     * expression: this expression references it O(#tokens) times, and

@@ -179,6 +179,24 @@ class SparkPipelineSpec extends AnyFunSuite {
     assert(spark.table("dedup_out").count() == 2) // dup dropped
   }
 
+  test("streaming dedup against a static corpus: anti-join, stateless") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((1L, "already known"), (2L, "old stuff")).toDF("id", "body")
+    val input = MemoryStream[(Long, String)]
+    val out = graft.operators.Dedup.streamingAgainstCorpus(
+      input.toDF().toDF("doc_id", "text"), corpus, "text", "body")
+    val q = out.writeStream.format("memory").queryName("corpus_dedup")
+      .outputMode("append").start()
+    try {
+      input.addData((10L, "fresh content"), (11L, "already known"), (12L, "old stuff"))
+      q.processAllAvailable()
+      val kept = spark.table("corpus_dedup").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(10L))
+    } finally q.stop()
+  }
+
   test("embedding-cosine near-dup pairs via LSH buckets") {
     import spark.implicits._
     // two tight clusters + noise: near-dups are within-cluster pairs
