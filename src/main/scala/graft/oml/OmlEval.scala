@@ -401,17 +401,67 @@ object OmlPipes {
     } catch { case _: NumberFormatException => None }
   }
 
+  /** EncodeType name → JVM charset, mirroring the reference's
+    * encoding_rs choices AND its explicit fallbacks (pipe/base64.rs). */
+  private def charsetForEncodeType(enc: String): Charset = Charset.forName(enc match {
+    case "Utf8"        => "UTF-8"
+    case "Utf16le"     => "UTF-16LE"
+    case "Utf16be"     => "UTF-16BE"
+    case "Windows949"  => "GB18030" // reference fallback (no 949 in encoding_rs)
+    case "EucJp"       => "EUC-JP"
+    case "Windows31j"  => "Shift_JIS" // reference uses SHIFT_JIS for 31J
+    case "Iso2022Jp"   => "ISO-2022-JP"
+    case "Gbk"         => "GB18030" // reference decodes GBK via GB18030
+    case "Gb18030"     => "GB18030"
+    case "HZ"          => "UTF-8" // reference fallback (lossy)
+    case "Big52003"    => "Big5"
+    case "MacCyrillic" => "x-MacCyrillic"
+    case "Windows874"  => "x-windows-874"
+    case w if w.startsWith("Windows12") => "windows-" + w.stripPrefix("Windows")
+    case "Ascii"       => "UTF-8" // reference: "ASCII is a subset of UTF-8"
+    case "Ibm866"      => "IBM866"
+    case i if i.startsWith("Iso8859") => "ISO-8859-" + i.stripPrefix("Iso8859")
+    case "Koi8R"       => "KOI8-R"
+    case "Koi8U"       => "KOI8-U"
+    case "MacRoman"    => "x-MacRoman" // encoding_rs MACINTOSH
+    case _             => "UTF-8"
+  })
+
+  /** imap-types escape_byte_string: printable ASCII passes through,
+    * backslash/quote escape, CR/LF → \r \n, everything else → \xHH. */
+  private def escapeByteString(bytes: Array[Byte]): String = {
+    val sb = new StringBuilder(bytes.length + 16)
+    bytes.foreach { b =>
+      (b & 0xFF) match {
+        case 0x0D => sb.append("\\r")
+        case 0x0A => sb.append("\\n")
+        case 0x5C => sb.append("\\\\")
+        case 0x22 => sb.append("\\\"")
+        case p if p >= 0x20 && p < 0x7F => sb.append(p.toChar)
+        case other => sb.append(f"\\x$other%02x")
+      }
+    }
+    sb.toString
+  }
+
   def apply(fn: String, args: Vector[String], v: WValue,
             semanticEnabled: Boolean = true): Option[WValue] = fn match {
     case "base64_encode" =>
       Some(WChars(java.util.Base64.getEncoder.encodeToString(v.sval.getBytes("UTF-8"))))
     case "base64_decode" =>
-      val cs = args.headOption.map {
-        case "Gbk" => Charset.forName("GBK")
-        case "Utf8" | _ => Charset.forName("UTF-8")
-      }.getOrElse(Charset.forName("UTF-8"))
-      try Some(WChars(new String(java.util.Base64.getDecoder.decode(v.sval), cs)))
-      catch { case _: Exception => None }
+      // full EncodeType surface (reference pipe/base64.rs enum +
+      // evaluator arms, incl. its documented fallbacks: Gbk and
+      // Windows949 decode as GB18030, Iso88591 as windows-1252, HZ and
+      // Ascii as lossy UTF-8); a failed base64 decode yields an EMPTY
+      // string field, not a dropped field (evaluator else-branch)
+      try {
+        val bytes = java.util.Base64.getDecoder.decode(v.sval)
+        val enc = args.headOption.getOrElse("Utf8")
+        val out =
+          if (enc == "Imap") escapeByteString(bytes)
+          else new String(bytes, charsetForEncodeType(enc))
+        Some(WChars(out))
+      } catch { case _: Exception => Some(WChars("")) }
     case "html_escape" =>
       Some(WChars(v.sval.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
         .replace("\"", "&quot;").replace("'", "&#39;")))

@@ -109,6 +109,41 @@ class OmlSpec extends AnyFunSuite {
     assert(run("q", "y") == WChars("none"))
   }
 
+  test("base64_decode encodings: Imap escape + charset table (reference pipe test)") {
+    // verbatim input/expected from the reference's own pipe test
+    // (crates/wp-oml/.../pipe/base64.rs test_pipe_base64, field B2/Y)
+    val b2 = "UE9TVCAvYWNjb3VudCBIVFRQLzEuMQ0KSG9zdDogZnRwLXh0by5lbmVyZ3ltb3N0LmNvbTo2MTIyMg0KVXNlci1BZ2VudDogTW96aWxsYS81LjAgKE1hY2ludG9zaDsgSW50ZWwgTWFjIE9TIFggMTBfMTVfNykgQXBwbGVXZWJLaXQvNTM3LjM2IChLSFRNTCwgbGlrZSBHZWNrbykgQ2hyb21lLzEwMS4wLjAuMCBTYWZhcmkvNTM3LjM2DQpDb250ZW50LUxlbmd0aDogMTE0DQpDb25uZWN0aW9uOiBjbG9zZQ0KQ29udGVudC1UeXBlOiBhcHBsaWNhdGlvbi94LXd3dy1mb3JtLXVybGVuY29kZWQNCkFjY2VwdC1FbmNvZGluZzogZ3ppcA0KDQo="
+    val oml =
+      """name : enc
+        ---
+        x = take(option:[a1]) | base64_encode | base64_decode() ;
+        y = take(option:[b2]) | base64_decode(Imap) ;
+        g = take(option:[g1]) | base64_decode(Gbk) ;
+        w = take(option:[w1]) | base64_decode(Windows1252) ;
+        bad = take(option:[nb]) | base64_decode() ;
+      """
+    val model = OmlText.parse(oml)
+    // GBK bytes for 中文 (reference decodes Gbk via GB18030 superset)
+    val gbk = java.util.Base64.getEncoder.encodeToString(
+      "中文".getBytes(java.nio.charset.Charset.forName("GBK")))
+    // 0xE9 in windows-1252 = é
+    val w1252 = java.util.Base64.getEncoder.encodeToString(Array(0xE9.toByte))
+    val src = Vector(
+      WField("a1", WChars("hello1")), WField("b2", WChars(b2)),
+      WField("g1", WChars(gbk)), WField("w1", WChars(w1252)),
+      WField("nb", WChars("%%%not-base64%%%")))
+    val out = new OmlEval(model).transform(src).get
+    def f(n: String) = out.find(_.name == n).get.value.sval
+    assert(f("x") == "hello1")
+    val y = f("y")
+    assert(y.startsWith("POST /account HTTP/1.1\\r\\nHost: ftp-xto.energymost.com:61222"))
+    assert(y.endsWith("Accept-Encoding: gzip\\r\\n\\r\\n"))
+    assert(!y.contains("\r")) // real CR/LF got escaped, not emitted
+    assert(f("g") == "中文")
+    assert(f("w") == "é")
+    assert(f("bad") == "") // failed decode → empty field, not dropped
+  }
+
   test("fmt, pipes, object, collect") {
     val oml =
       """name : p
