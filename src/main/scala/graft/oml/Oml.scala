@@ -56,7 +56,12 @@ object OmlAst {
   final case class CondEq(v: ValueE) extends Cond
   final case class CondNeq(v: ValueE) extends Cond
   final case class CondIn(lo: ValueE, hi: ValueE) extends Cond
-  final case class CondFun(name: String, arg: String) extends Cond
+  final case class CondFun(name: String, args: Vector[String]) extends Cond
+
+  /** Match-expression function names (reference matchs.rs
+    * match_with_function; docs 04-oml/functions/match_functions.md). */
+  val MatchFuns: Set[String] = Set("starts_with", "ends_with", "contains",
+    "regex_match", "is_empty", "iequals", "gt", "lt", "eq", "in_range")
 
   sealed trait SqlCond
   final case class SqlCmp(col: String, op: String, rhs: SqlRhs) extends SqlCond
@@ -412,23 +417,34 @@ object OmlText {
       val m = s.pos
       val name = s.takeWhile(c => VParser.isIdent(c))
       s.ws()
-      if (name == "starts_with" || name == "ends_with" || name == "contains") {
+      if (MatchFuns(name)) {
         s.expectCh('('); s.ws()
-        // quote-aware: the pattern may itself contain ')' (e.g.
-        // starts_with("jk2_init() Found child") in oml_static_blocks.md)
-        val a = if (!s.atEnd && (s.peek == '"' || s.peek == '\'')) {
-          val q = s.peek; s.pos += 1
-          val sb = new StringBuilder
-          while (!s.atEnd && s.peek != q) { sb.append(s.peek); s.pos += 1 }
-          s.expectCh(q); s.ws()
-          sb.toString
-        } else {
-          val sb = new StringBuilder
-          while (!s.atEnd && s.peek != ')') { sb.append(s.peek); s.pos += 1 }
-          sb.toString.trim
+        // quote-aware, comma-separated args (a quoted pattern may itself
+        // contain ')' or ',' — e.g. starts_with("jk2_init() Found
+        // child") in oml_static_blocks.md); in_range takes two args,
+        // is_empty none
+        val args = Vector.newBuilder[String]
+        var first = true
+        while (!s.atEnd && s.peek != ')') {
+          if (!first) { s.expectCh(','); s.ws() }
+          first = false
+          if (!s.atEnd && (s.peek == '"' || s.peek == '\'')) {
+            val q = s.peek; s.pos += 1
+            val sb = new StringBuilder
+            while (!s.atEnd && s.peek != q) { sb.append(s.peek); s.pos += 1 }
+            s.expectCh(q); s.ws()
+            args += sb.toString
+          } else {
+            val sb = new StringBuilder
+            while (!s.atEnd && s.peek != ')' && s.peek != ',') {
+              sb.append(s.peek); s.pos += 1
+            }
+            args += sb.toString.trim
+            s.ws()
+          }
         }
         s.expectCh(')')
-        CondFun(name, a)
+        CondFun(name, args.result())
       } else { s.pos = m; CondEq(parseLitE(s)) }
     }
   }

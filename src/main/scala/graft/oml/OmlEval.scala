@@ -171,16 +171,21 @@ final class OmlEval(model: OmlAst.Model, knowDb: KnowDb = KnowDb.empty,
       val hit: Option[WValue] = jsonPath match {
         case Some(p) => jsonPathRead(p, st)
         case None =>
-          // bare key (or positional target) first, then the option chain;
-          // first key with a non-empty value wins
-          (keys ++ optKeys).iterator
-            .flatMap { k =>
-              if (k.contains("*")) {
-                val names = (st.dst ++ st.src).map(_.name).filter(n => wildMatch(k, n))
-                names.headOption.flatMap(n => if (consume) st.take(n) else st.findRead(n))
-              } else if (consume) st.take(k) else st.findRead(k)
+          // bare key (or positional target) first, then the option
+          // chain. Reference read.rs/take.rs: the skip-empty rule is
+          // `!(option && value.is_empty())` — ONLY option-chain keys
+          // pass over empty values; a bare key returns whatever it
+          // finds, empty included
+          (keys.iterator.map(k => (k, false)) ++ optKeys.iterator.map(k => (k, true)))
+            .flatMap { case (k, isOpt) =>
+              val hit =
+                if (k.contains("*")) {
+                  val names = (st.dst ++ st.src).map(_.name).filter(n => wildMatch(k, n))
+                  names.headOption.flatMap(n => if (consume) st.take(n) else st.findRead(n))
+                } else if (consume) st.take(k) else st.findRead(k)
+              hit.filter(v => v != WNull && (!isOpt || v.sval.nonEmpty))
             }
-            .find(v => v != WNull && v.sval.nonEmpty)
+            .nextOption()
       }
       hit.orElse(default.flatMap(d => eval(d, st)))
     case ValueE(dtype, lit) => Some(typedLiteral(dtype, lit))
@@ -249,10 +254,47 @@ final class OmlEval(model: OmlAst.Model, knowDb: KnowDb = KnowDb.empty,
         case (WFloat(a), WFloat(b), WFloat(x)) => x >= a && x <= b
         case (a, b, x) => a.sval <= x.sval && x.sval <= b.sval
       }
-    case CondFun("starts_with", p) => v.sval.startsWith(p)
-    case CondFun("ends_with", p) => v.sval.endsWith(p)
-    case CondFun("contains", p) => v.sval.contains(p)
-    case CondFun(_, _) => false
+    // reference matchs.rs match_with_function: string functions match
+    // ONLY Chars values; numeric functions coerce Digit/Float/parseable
+    // Chars to f64 (extract_numeric); anything else fails the branch
+    case CondFun(name, args) =>
+      def chars: Option[String] = v match {
+        case WChars(s) => Some(s); case _ => None
+      }
+      def num: Option[Double] = v match {
+        case WDigit(d) => Some(d.toDouble)
+        case WFloat(f) => Some(f)
+        case WChars(s) => s.toDoubleOption
+        case _ => None
+      }
+      def argNum(i: Int): Option[Double] = args.lift(i).flatMap(_.toDoubleOption)
+      (name, args) match {
+        case ("starts_with", Vector(p)) => chars.exists(_.startsWith(p))
+        case ("ends_with", Vector(p)) => chars.exists(_.endsWith(p))
+        case ("contains", Vector(p)) => chars.exists(_.contains(p))
+        case ("regex_match", Vector(p)) =>
+          chars.exists { s =>
+            try java.util.regex.Pattern.compile(p).matcher(s).find()
+            catch { case _: Exception => false } // invalid regex → no match
+          }
+        case ("is_empty", _) => chars.exists(_.isEmpty)
+        case ("iequals", Vector(p)) =>
+          chars.exists(_.toLowerCase == p.toLowerCase)
+        case ("gt", _) => (num, argNum(0)) match {
+          case (Some(a), Some(b)) => a > b; case _ => false
+        }
+        case ("lt", _) => (num, argNum(0)) match {
+          case (Some(a), Some(b)) => a < b; case _ => false
+        }
+        case ("eq", _) => (num, argNum(0)) match {
+          case (Some(a), Some(b)) => math.abs(a - b) < 1e-10; case _ => false
+        }
+        case ("in_range", _) => (num, argNum(0), argNum(1)) match {
+          case (Some(x), Some(lo), Some(hi)) => x >= lo && x <= hi
+          case _ => false
+        }
+        case _ => false
+      }
   }
 
   private def valueEq(a: WValue, b: WValue): Boolean = (a, b) match {

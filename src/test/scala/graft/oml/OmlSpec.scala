@@ -91,6 +91,50 @@ class OmlSpec extends AnyFunSuite {
     assert(run(404) == WChars("notfound"))
   }
 
+  test("match functions: regex/is_empty/iequals/gt/lt/eq/in_range (match_functions.md)") {
+    val oml =
+      """name : mf
+        ---
+        lvl = match read(log) {
+          starts_with('[ERROR]') => chars(error) ;
+          regex_match('warn|WARN') => chars(warning) ;
+          is_empty() => chars(blank) ;
+          iequals('Shutdown Complete') => chars(bye) ;
+          _ => chars(other) ;
+        } ;
+        band = match read(code) {
+          in_range(200, 299) => chars(ok) ;
+          eq(404) => chars(notfound) ;
+          gt(499) => chars(server) ;
+          lt(200) => chars(info) ;
+          _ => chars(redirect) ;
+        } ;
+      """
+    val model = OmlText.parse(oml)
+    def run(log: String, code: Long): Map[String, String] =
+      new OmlEval(model).transform(Vector(
+        WField("log", WChars(log)), WField("code", WDigit(code)))).get
+        .map(f => f.name -> f.value.sval).toMap
+    assert(run("[ERROR] kaput", 204)("lvl") == "error")
+    assert(run("level=WARN disk", 204)("lvl") == "warning")
+    assert(run("", 204)("lvl") == "blank")
+    assert(run("shutdown complete", 204)("lvl") == "bye")
+    assert(run("fine", 204)("lvl") == "other")
+    assert(run("x", 204)("band") == "ok")
+    assert(run("x", 404)("band") == "notfound")
+    assert(run("x", 503)("band") == "server")
+    assert(run("x", 101)("band") == "info")
+    assert(run("x", 302)("band") == "redirect")
+    // string functions match ONLY chars values (reference: non-string → false)
+    val m2 = OmlText.parse(
+      """name : t
+        ---
+        r = match read(n) { starts_with('1') => chars(yes) ; _ => chars(no) ; } ;
+      """)
+    val r = new OmlEval(m2).transform(Vector(WField("n", WDigit(123L)))).get.head
+    assert(r.value.sval == "no")
+  }
+
   test("match multi-source tuples") {
     val oml =
       """name : mm
