@@ -121,13 +121,17 @@ final class OmlEval(model: OmlAst.Model, knowDb: KnowDb = KnowDb.empty,
     transform(fields).map(Privacy.apply(_, model.privacy))
 
   /** Transform one parsed record; None = transform failure (reference
-    * routes it to the error sink with diagnostics). */
+    * routes it to the error sink with diagnostics). Fields named `__*`
+    * are TEMPORARY (reference object.rs:31-38 + the
+    * oml_temp_field_performance design note): usable by later
+    * expressions during the transform, dropped from the output. */
   def transform(fields: Vector[WField]): Option[Vector[WField]] = {
     val st = new TransformState(fields)
     for (item <- model.items) {
       evalItem(item, st)
     }
-    if (st.dst.isEmpty) None else Some(st.dst.toVector)
+    if (st.dst.isEmpty) None
+    else Some(st.dst.toVector.filterNot(_.name.startsWith("__")))
   }
 
   private def evalItem(item: Item, st: TransformState): Unit = {

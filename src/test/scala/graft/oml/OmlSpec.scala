@@ -135,6 +135,21 @@ class OmlSpec extends AnyFunSuite {
     assert(r.value.sval == "no")
   }
 
+  test("temp fields: __ dst fields feed later reads but drop from output") {
+    val oml =
+      """name : tmp
+        ---
+        __raw = take(option:[host]) ;
+        site = read(__raw) | starts_with('web') ;
+        also = fmt("{}!", @__raw) ;
+      """
+    val model = OmlText.parse(oml)
+    val out = new OmlEval(model)
+      .transform(Vector(WField("host", WChars("web01")))).get
+    assert(out.map(_.name) == Vector("site", "also"))
+    assert(out.find(_.name == "also").get.value.sval == "web01!")
+  }
+
   test("match multi-source tuples") {
     val oml =
       """name : mm
