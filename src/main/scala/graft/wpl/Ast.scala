@@ -322,7 +322,22 @@ object WplText {
     var refPath: Option[String] = None
     if (!s.atEnd && s.peek == '@') {
       s.pos += 1
-      refPath = Some(s.takeWhile(c => VParser.isIdent(c) || c == '/' || c == '[' || c == ']' || c == '*'))
+      if (!s.atEnd && s.peek == '\'') {
+        // single-quoted raw field ref for names outside the bare charset
+        // (reference utils.rs take_ref_path_or_quoted: only \' escapes;
+        // e.g. @'@client-ip', @'field with spaces')
+        s.pos += 1
+        val sb = new StringBuilder
+        while (!s.atEnd && s.peek != '\'') {
+          if (s.peek == '\\' && s.pos + 1 < s.src.length && s.src.charAt(s.pos + 1) == '\'') {
+            sb.append('\''); s.pos += 2
+          } else { sb.append(s.peek); s.pos += 1 }
+        }
+        s.expectCh('\'')
+        refPath = Some(sb.toString)
+      } else {
+        refPath = Some(s.takeWhile(c => VParser.isIdent(c) || c == '/' || c == '[' || c == ']' || c == '*'))
+      }
     }
     var name: Option[String] = None
     if (!s.atEnd && s.peek == ':') {

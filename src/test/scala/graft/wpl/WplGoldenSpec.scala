@@ -112,6 +112,18 @@ class WplGoldenSpec extends AnyFunSuite {
     assert(fs == Vector(WField("data", WChars("192.168.1.1"))))
   }
 
+  // single-quoted field refs for names outside the bare charset
+  // (docs 03-wpl/functions/field_reference.md; utils.rs
+  // take_ref_path_or_quoted — raw string, only \' escapes)
+  test("F5 json quoted @'...' refs reach special field names") {
+    val mp = Runtime.compile(
+      """package /j { rule q { (json( @'@client-ip': client, @'event type': ev )) } }""")
+    val fs = fields(mp.parseLine("""{ "@client-ip": "10.0.0.9", "event type": "login" }"""))
+    val m = fs.map(f => f.name -> f.value).toMap
+    assert(m("client") == WChars("10.0.0.9"))
+    assert(m("ev") == WChars("login"))
+  }
+
   // F5b: nested re-parse of a JSON string field (order.rs:196-210)
   test("F5 json nested group re-parse") {
     val mp = Runtime.compile("""package /j { rule b { (json(chars@data<[,]> | (ip,_,time))) } }""")
