@@ -181,7 +181,15 @@ object WplText {
       var more = true
       while (more) {
         s.ws()
-        val step = s.takeWhile(c => VParser.isIdent(c) || c == '/')
+        var step = s.takeWhile(c => VParser.isIdent(c) || c == '/')
+        // `plg_pipe(name)` is the parenthesized alias of `plg_pipe/name`
+        // (reference wpl_rule.rs take_plg_pipe_step)
+        if (step == "plg_pipe" && !s.atEnd && s.peek == '(') {
+          s.pos += 1; s.ws()
+          val key = s.takeWhile(c => VParser.isIdent(c) || c == '/')
+          s.ws(); s.expectCh(')')
+          step = s"plg_pipe/$key"
+        }
         preprocs += step
         s.ws()
         s.expectCh('|')
@@ -192,8 +200,10 @@ object WplText {
           val m2 = s.pos
           val t = s.takeWhile(c => VParser.isIdent(c) || c == '/')
           s.ws()
-          if (!s.atEnd && s.peek == '|') { s.pos = m2 } // another step
-          else { s.pos = m; more = false }
+          // another step: `tok |`, or a parenthesized `plg_pipe(name) |`
+          if (!s.atEnd && (s.peek == '|' || (t == "plg_pipe" && s.peek == '('))) {
+            s.pos = m2
+          } else { s.pos = m; more = false }
         } else { s.pos = m; more = false }
       }
     }

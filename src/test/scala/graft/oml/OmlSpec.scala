@@ -338,6 +338,21 @@ class OmlSpec extends AnyFunSuite {
       case PSuccess(_, fs) => assert(fs == Vector(WField("x", WChars("HELLO"))))
       case o => fail(o.toString)
     }
+    // parenthesized alias (wpl_rule.rs take_plg_pipe_step), alone and
+    // chained with a builtin step
+    val mp2 = graft.wpl.Runtime.compile(
+      "package /p { rule r { |plg_pipe(upper)| (chars:x) } }")
+    mp2.parseLine("abc") match {
+      case PSuccess(_, fs) => assert(fs == Vector(WField("x", WChars("ABC"))))
+      case o => fail(o.toString)
+    }
+    val mp3 = graft.wpl.Runtime.compile(
+      "package /p { rule r { |decode/base64| plg_pipe(upper) | (chars:x) } }")
+    val b64 = java.util.Base64.getEncoder.encodeToString("hey".getBytes)
+    mp3.parseLine(b64) match {
+      case PSuccess(_, fs) => assert(fs == Vector(WField("x", WChars("HEY"))))
+      case o => fail(o.toString)
+    }
   }
 
   test("sxf_get extracts fields from semi-structured text") {
