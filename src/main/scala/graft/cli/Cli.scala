@@ -110,14 +110,17 @@ object Cli {
       }
       q.awaitTermination()
     case "wpgen" :: "project" :: dir :: rest0
-        if { val (_, x) = confFlag(rest0); x.forall(_ == "--merged") } =>
-      // project-driven generation (conf/<name> over a work root, -c/--conf
-      // picks the config filename); --merged concatenates parts into one
-      // file (single-writer opt-in)
-      val (confName, rest) = confFlag(rest0)
+        if { val (c, x) = confFlag(rest0); parseFlags(x).rest.forall(_ == "--merged") } =>
+      // project-driven generation (conf/<name> over a work root). Flags
+      // mirror the reference wpgen CLI: -c/--conf config filename,
+      // -n line-count override, --wpl rules-dir override; --merged
+      // concatenates parts into one file (single-writer opt-in)
+      val (confName, rest1) = confFlag(rest0)
+      val pa = parseFlags(rest1)
       val spark = session()
-      graft.project.WpGenProject.run(spark, dir, merged = rest.nonEmpty,
-          confName = confName).foreach { r =>
+      graft.project.WpGenProject.run(spark, dir, merged = pa.rest.nonEmpty,
+          confName = confName, countOverride = pa.maxLines,
+          wplDir = pa.wplDir).foreach { r =>
         println(s"gen ${r.ruleKey}: rows=${r.rows} -> ${r.outPath}")
       }
     case "wpgen" :: "rule" :: wpl :: ruleKey :: n :: out :: Nil =>

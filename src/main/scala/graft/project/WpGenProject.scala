@@ -136,13 +136,20 @@ object WpGenProject {
     * part files into one file (byte-level stream copy on the driver, for
     * parity with the reference's single output file / for sources that
     * tail one path). */
+  /** `countOverride` mirrors the reference's `wpgen rule/sample -n`
+    * (line_cnt CLI flag wins over the configured count); `wplDir` the
+    * `--wpl` rules-directory override. */
   def run(spark: SparkSession, rootPath: String, seed: Long = 42L,
           merged: Boolean = false,
-          confName: String = "wpgen.toml"): Vector[GenReport] = {
+          confName: String = "wpgen.toml",
+          countOverride: Option[Long] = None,
+          wplDir: Option[String] = None): Vector[GenReport] = {
     val root = new File(rootPath)
-    val conf = loadConf(root, confName)
+    val conf0 = loadConf(root, confName)
+    val conf = countOverride.fold(conf0)(n => conf0.copy(count = n))
     val engine = Project.loadEngineConf(root)
-    val ruleRoot = Project.resolve(root, conf.ruleRoot.getOrElse(engine.wplDir))
+    val ruleRoot = Project.resolve(root,
+      wplDir.orElse(conf.ruleRoot).getOrElse(engine.wplDir))
     val outFile = Project.resolve(root, conf.outPath)
     outFile.getParentFile.mkdirs()
     val dirs = findRuleDirs(ruleRoot)
