@@ -364,17 +364,21 @@ object SparkEntry {
     * on them) — recall and convergence are pinned by SimilaritySpec; the
     * driver records a rows-only check like the other engine-internal ANN
     * variants. */
+  /** IVF on the real distributed-k-means build, probing ALL cells: the
+    * full assign/probe machinery runs end-to-end and the union of every
+    * cell is provably the whole corpus, so the result is EXACT top-k —
+    * which is what lets DuckDB oracle this query (runtime centroids
+    * can't be replayed in SQL, but all-cells doesn't depend on them).
+    * The pruned nprobe<k path — same machinery, recall measured — is
+    * pinned by SimilaritySpec ("ivf pruned search") and AnnScaleSmoke. */
   private def qAnnIvfKmeans(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val cents = Similarity.kmeansCentroids(e, "embedding", "vec_id", k = 4, iters = 3)
     val q = e.filter(col("vec_id") === 2).select(col("embedding")).head()
       .getSeq[Float](0).map(_.toDouble)
     val assigned = Similarity.ivfAssign(e, "embedding", cents)
-    // probe the 2 cells nearest to the query
-    val probeCells = cents.zipWithIndex.map { case (c, i) =>
-      (c.zip(q).map { case (x, y) => (x - y) * (x - y) }.sum, i)
-    }.sorted.take(2).map(_._2)
-    assigned.filter(col("ivf_cell").isin(probeCells: _*))
+    val allCells = cents.indices
+    assigned.filter(col("ivf_cell").isin(allCells: _*))
       .select(col("vec_id"),
         round(Similarity.cosine(col("embedding"),
           array(q.map(lit): _*)), 6).as("cos_sim"))
@@ -1871,6 +1875,14 @@ object SparkEntry {
          WHERE round(list_dot_product(a.v, b.v) /
              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
          ORDER BY id_a, id_b""",
+    "ann_ivf_kmeans_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 2)
+         SELECT vec_id,
+           round(list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+             (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+              sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+         FROM embeddings, q
+         ORDER BY cos_sim DESC, vec_id LIMIT 10""",
     "ann_cosine_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
          SELECT vec_id,
