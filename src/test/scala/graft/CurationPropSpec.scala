@@ -72,6 +72,33 @@ object CurationPropSpec extends Properties("curation-ops") {
     shards <- Gen.choose(1, 3)
   } yield (sizes, budget, shards)
 
+  private val chunkGen: Gen[(List[Int], Int, Int)] = for {
+    nDocs <- Gen.choose(1, 10)
+    lens <- Gen.listOfN(nDocs, Gen.choose(0, 30))
+    size <- Gen.choose(1, 8)
+    stride <- Gen.choose(1, 8)
+  } yield (lens, size, stride)
+
+  property("token chunking == sequential window simulation") =
+    Prop.forAll(chunkGen) { case (lens, size, stride) =>
+      import spark.implicits._
+      val docs = lens.zipWithIndex.map { case (n, i) =>
+        (i.toLong, (0 until n).map(j => s"t${i}_$j").mkString(" "))
+      }
+      val got = graft.operators.TextAnalysis
+        .chunkTokens(docs.toDF("doc_id", "text"), "text", "doc_id", size, stride)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+        .toSet
+      val expect = (for {
+        (n, i) <- lens.zipWithIndex if n > 0
+        toks = (0 until n).map(j => s"t${i}_$j")
+        (s0, ci) <- (0 until n by stride).zipWithIndex
+      } yield (i.toLong, ci, s0, math.min(size, n - s0),
+        toks.slice(s0, s0 + size).mkString(" "))).toSet
+      got == expect
+    }
+
   property("distributed packing == sequential greedy simulation") =
     Prop.forAll(packGen) { case (sizes, budget, shards) =>
       import spark.implicits._
