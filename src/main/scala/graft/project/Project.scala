@@ -304,7 +304,11 @@ object Project {
       }
       // unified format: key/enable/tags + connect + params override
       // (only allow_override keys; both [sources.params] and the
-      // [[sources.params]] array-of-one shape the docs show)
+      // [[sources.params]] array-of-one shape the docs show). The
+      // reference's `instances` param (file-range / per-connection
+      // parallel readers) has no explicit mapping: Spark already
+      // splits file scans by range and parallelizes per input split,
+      // which is the same mechanism the param hand-configures.
       t.tables("sources").foreach { s =>
         val key = s.str("key").getOrElse("")
         val connect = s.str("connect").getOrElse(
