@@ -140,10 +140,24 @@ object Cli {
       import spark.implicits._
       val pool = spark.read.textFile(sample).filter((l: String) => l.nonEmpty)
       WpGen.fromSample(spark, pool, n.toLong, seed).write.mode("overwrite").text(out)
+    case "wprescue" :: "project" :: dir :: Nil
+        if graft.project.Project.load(dir).conf.rescuePath.isDefined =>
+      // full reference semantics when [rescue].path is configured:
+      // re-parse the rescue corpus and route results through the
+      // project's OWN sink routing (appended via rescued/ subdirs)
+      val spark = session()
+      val p = graft.project.Project.load(dir)
+      val reports = graft.project.ProjectRun.runRescue(spark, p,
+        knowDb = graft.project.KnowDbLoader.load(p.root))
+      if (reports.isEmpty) println("nothing to rescue")
+      else reports.foreach { r =>
+        println(s"rescued ${r.group}/${r.sink} -> ${r.path}: rows=${r.rows}")
+      }
     case "wprescue" :: "project" :: dir :: Nil =>
-      // re-ingest a project's rescue channels (miss/error/residue file
-      // sinks hold raw payload text): parse again with the project's
-      // models, write channel outputs under out/rescued/
+      // fallback (no [rescue] section): re-ingest the infra sink
+      // outputs (miss/error/residue hold raw payload text): parse
+      // again with the project's models, write channel outputs under
+      // out/rescued/
       val spark = session()
       val p = graft.project.Project.load(dir)
       val rescueFiles = p.infra.view.filterKeys(Set("miss", "error", "residue"))

@@ -206,6 +206,8 @@ object ProjectRun {
     }.reduce(_ unionByName _).persist()
     try {
       val reports = routeAndWrite(p, parsed, shardedSinks)
+      // [rescue].path capture: failed payloads feed a later `wprescue`
+      writeRescue(p, parsed)
       if (statPrint)
         parsed.groupBy(col("status")).count().orderBy(col("status"))
           .collect().foreach(r => println(s"[stat] status=${r.get(0)} count=${r.get(1)}"))
@@ -291,6 +293,57 @@ object ProjectRun {
     val icpts = interceptFrames.result()
     if (icpts.nonEmpty) infra("intercept", icpts.reduce(_ unionByName _))
     RoutePlanOut(out.result(), groupIns.result())
+  }
+
+  /** Engine-side rescue capture (reference `[rescue].path` in
+    * wparse.toml): failed records' raw payloads land under
+    * `<path>/<channel>.d` — the corpus `wprescue` re-ingests. No-op
+    * when the engine config has no rescue section. */
+  private def writeRescue(p: Project.Loaded, parsed: DataFrame,
+                          sub: String = ""): Unit =
+    p.conf.rescuePath.foreach { rp =>
+      val base = Project.resolve(p.root, rp)
+      def w(name: String, df: DataFrame, c: Column): Unit =
+        df.select(c.as("value")).write.mode("overwrite")
+          .text(new File(base, name + ".d" + sub).getPath)
+      w("miss", parsed.filter(col("status") === "miss"), col("raw_line"))
+      w("error", parsed.filter(col("status") === "error"), col("raw_line"))
+      w("residue", parsed.filter(col("residue").isNotNull && col("residue") =!= ""),
+        col("residue"))
+    }
+
+  /** `wprescue` re-run: parse the rescue corpus with the project's
+    * models and route the results through the PROJECT'S OWN sink
+    * routing (reference wprescue: "output to targets according to the
+    * configured sink routing"). File sinks append via a `rescued`
+    * subdir inside the sharded part dir — `readSinkLines` recurses, so
+    * the sink's view is original ∪ rescued, while re-running the
+    * rescue stays idempotent (the subdir overwrites itself). */
+  def runRescue(spark: SparkSession, p: Project.Loaded,
+                knowDb: KnowDb = KnowDb.empty): Vector[SinkReport] = {
+    val base = Project.resolve(p.root, p.conf.rescuePath.getOrElse("./rescue"))
+    val dirs = Seq("miss", "error", "residue").map(n => new File(base, n + ".d"))
+      .filter(_.isDirectory).map(_.getPath)
+    if (dirs.isEmpty) return Vector.empty
+    val lines = spark.read.text(dirs: _*).withColumnRenamed("value", "raw_line")
+    val parsed = Pipeline.run(lines, "raw_line", p.wplSource, p.omlSources.map(_._2),
+      keep = Seq("raw_line"), knowDb = knowDb,
+      semanticEnabled = p.conf.semanticEnabled).persist()
+    try {
+      val plan = routePlanFull(p, parsed)
+      plan.sinks.map { r =>
+        val out = Project.resolve(p.root, r.path)
+        val rows =
+          if (r.kind != "file") r.df.count()
+          else {
+            r.df.select(r.line.as("value")).write.mode("overwrite")
+              .text(out.getPath + ".d/rescued")
+            r.df.count()
+          }
+        SinkReport(r.group, r.sink, r.path, rows,
+          r.intercepted.map(_.count()).getOrElse(0L), expectOk = true)
+      }
+    } finally parsed.unpersist()
   }
 
   /** Part-file-directory sink write for multi-executor scale (one
@@ -454,6 +507,8 @@ object ProjectRun {
             batch.groupBy(col("status")).count().orderBy(col("status"))
               .collect().foreach(r =>
                 println(s"[stat] batch=$batchId status=${r.get(0)} count=${r.get(1)}"))
+          // [rescue].path capture per micro-batch (idempotent batch= dir)
+          writeRescue(p, batch, sub = s"/batch=$batchId")
           // monitor sink: per-batch parse stats (reference wp-stats
           // windowed counters → monitor infra group; the micro-batch IS
           // the processing-time window here)

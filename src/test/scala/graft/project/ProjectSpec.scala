@@ -682,6 +682,32 @@ class ProjectSpec extends AnyFunSuite {
     assert(other.exists(_.contains("from_zone=work_zone")))
   }
 
+  test("[rescue].path loop: engine captures failures, wprescue routes through sinks") {
+    val root = modernProject()
+    // enable the rescue section (reference tests/instance/conf shape)
+    val confP = root.resolve("conf/wparse.toml")
+    Files.writeString(confP, Files.readString(confP) +
+      "[rescue]\npath = \"./rescue\"\n")
+    ProjectRun.runBatch(spark, Project.load(root.toString))
+    // the unparseable fixture line landed in the rescue corpus
+    val missD = root.resolve("rescue/miss.d").toFile
+    assert(missD.isDirectory, "rescue capture missing")
+    // make the line parseable by swapping in a catch-all rule, then rescue
+    write(root, "wpl/parse2.wpl", "package /t { rule anyline { (chars:payload{\\n}) } }")
+    val reports = ProjectRun.runRescue(spark, Project.load(root.toString))
+    assert(reports.nonEmpty)
+    // the recovered record routed through the project's OWN sinks: the
+    // catch-all rule matches the m model's /t/* matcher → m_all, which
+    // now shows original ∪ rescued rows
+    val mAll = ProjectRun.readSinkLines(root.resolve("out/m_all.dat").toFile)
+    assert(mAll.exists(_.contains("unparseable")), mAll.take(5))
+    assert(mAll.size == 4, mAll.size) // 3 original + 1 rescued
+    // idempotent: a second rescue run does not duplicate rows
+    ProjectRun.runRescue(spark, Project.load(root.toString))
+    val again = ProjectRun.readSinkLines(root.resolve("out/m_all.dat").toFile)
+    assert(again.size == mAll.size)
+  }
+
   test("wprescue project: rescue channels re-ingest through the models") {
     val root = modernProject()
     ProjectRun.runBatch(spark, Project.load(root.toString))
