@@ -243,17 +243,37 @@ object Cli {
           (if (s.expectOk) "" else " EXPECT-VIOLATION"))
       }
       if (stats.exists(!_.expectOk)) sys.exit(1)
-    case "wproj" :: "check" :: dir :: Nil if new java.io.File(dir).isDirectory =>
-      // whole-project validation (reference wproj check over a work root)
+    case "wproj" :: "check" :: dir :: rest if new java.io.File(dir).isDirectory =>
+      // whole-project validation (reference wproj check over a work
+      // root). Doc flags (02-wproj.md): --what conf,wpl,... filters the
+      // report categories; --json machine output; --only-fail skips the
+      // summary line; --fail-fast stops at the first problem
+      val what = rest.sliding(2).collectFirst {
+        case List("--what", w) => w.split(',').map(_.trim).toSet
+      }.getOrElse(Set("all"))
+      val json = rest.contains("--json")
+      val onlyFail = rest.contains("--only-fail")
+      val failFast = rest.contains("--fail-fast")
       val p = graft.project.Project.load(dir)
-      println(s"project ${p.root}: wpl=${p.wplSource.count(_ == '\n')} lines " +
-        s"oml=${p.omlSources.size} models sources=${p.fileSources.size} file/" +
-        s"${p.kafkaSources.size} kafka/${p.syslogSources.size} syslog " +
-        s"groups=${p.business.size} biz/${p.infra.size} infra " +
-        s"connectors=${p.connectors.size}")
-      val problems = graft.project.Project.check(p)
-      problems.foreach(m => println(s"PROBLEM: $m"))
-      if (problems.nonEmpty) sys.exit(1)
+      if (!onlyFail && !json)
+        println(s"project ${p.root}: wpl=${p.wplSource.count(_ == '\n')} lines " +
+          s"oml=${p.omlSources.size} models sources=${p.fileSources.size} file/" +
+          s"${p.kafkaSources.size} kafka/${p.syslogSources.size} syslog/" +
+          s"${p.tcpSources.size} tcp " +
+          s"groups=${p.business.size} biz/${p.infra.size} infra " +
+          s"connectors=${p.connectors.size}")
+      val catPrefix = Map("wpl" -> "wpl", "oml" -> "oml", "sources" -> "source",
+        "sinks" -> "sink", "conf" -> "conf", "connectors" -> "connector")
+      val all = graft.project.Project.check(p)
+      val selected0 =
+        if (what("all")) all
+        else all.filter(m => what.exists(w => catPrefix.get(w).exists(m.startsWith)))
+      val selected = if (failFast) selected0.take(1) else selected0
+      if (json) {
+        def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+        println(s"""{"ok":${selected.isEmpty},"problems":[${selected.map(q).mkString(",")}]}""")
+      } else selected.foreach(m => println(s"PROBLEM: $m"))
+      if (selected.nonEmpty) sys.exit(1)
     case "wproj" :: "check" :: wpl :: omls =>
       // config validation: parse everything, report rule/model inventory
       val rules = graft.wpl.Runtime.parseAny(read(wpl))
