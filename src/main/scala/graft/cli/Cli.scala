@@ -236,6 +236,24 @@ object Cli {
     case "wproj" :: "data" :: "clean" :: dir :: Nil =>
       val deleted = graft.project.ProjectInit.dataClean(dir)
       println(s"cleaned ${deleted.size} paths under $dir/out,rescue")
+    case "wproj" :: "data" :: "check" :: dir :: Nil =>
+      // source connectivity (reference `wproj data check`): file paths
+      // readable, net ports bindable; kafka reported unverifiable
+      val (problems, skipped) =
+        graft.project.ProjectRun.dataCheck(graft.project.Project.load(dir))
+      problems.foreach(m => println(s"PROBLEM: $m"))
+      skipped.foreach(m => println(s"SKIPPED: $m"))
+      if (problems.nonEmpty) sys.exit(1) else println("data sources OK")
+    case "wproj" :: "data" :: "validate" :: dir :: rest =>
+      // post-hoc expect validation over sink outputs; --input-cnt N
+      // supplies the total_input denominator
+      val inputCnt = rest.sliding(2).collectFirst {
+        case List("--input-cnt", n) => n.toLong
+      }
+      val problems = graft.project.ProjectRun.dataValidate(
+        graft.project.Project.load(dir), inputCnt)
+      problems.foreach(m => println(s"PROBLEM: $m"))
+      if (problems.nonEmpty) sys.exit(1) else println("data distribution OK")
     case "wproj" :: "data" :: "stat" :: dir :: Nil =>
       val stats = graft.project.ProjectInit.dataStat(graft.project.Project.load(dir))
       stats.foreach { s =>

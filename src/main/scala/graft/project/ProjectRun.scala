@@ -295,6 +295,69 @@ object ProjectRun {
     RoutePlanOut(out.result(), groupIns.result())
   }
 
+  /** `wproj data check`: source connectivity — enabled file paths must
+    * exist and be readable, net ports must be bindable (the daemon
+    * binds them as servers); kafka needs a live broker, so it is
+    * reported as unverifiable rather than failed. Returns problems. */
+  def dataCheck(p: Project.Loaded): (Vector[String], Vector[String]) = {
+    val problems = Vector.newBuilder[String]
+    val skipped = Vector.newBuilder[String]
+    p.fileSources.filter(_.enable).foreach { s =>
+      val f = Project.resolve(p.root, s.path)
+      if (!f.exists) problems += s"file source '${s.key}': path not found: ${s.path}"
+      else if (!f.canRead) problems += s"file source '${s.key}': not readable: ${s.path}"
+    }
+    def tcpBind(port: Int): Option[String] =
+      try { new java.net.ServerSocket(port).close(); None }
+      catch { case e: Exception => Some(e.getMessage) }
+    def udpBind(port: Int): Option[String] =
+      try { new java.net.DatagramSocket(port).close(); None }
+      catch { case e: Exception => Some(e.getMessage) }
+    (p.syslogSources.filter(_.enable)
+        .map(s => (s"syslog source '${s.key}'", s.port, s.protocol)) ++
+      p.tcpSources.filter(_.enable)
+        .map(s => (s"tcp source '${s.key}'", s.port, "tcp")))
+      .foreach { case (who, port, proto) =>
+        val err = if (proto == "udp") udpBind(port) else tcpBind(port)
+        err.foreach(m => problems += s"$who: port $port not bindable: $m")
+      }
+    p.kafkaSources.filter(_.enable).foreach(s =>
+      skipped += s"kafka source '${s.key}': unverifiable without a broker")
+    (problems.result(), skipped.result())
+  }
+
+  /** `wproj data validate [--input-cnt N]`: post-hoc share-of-basis
+    * validation over the sink OUTPUT files — the offline companion to
+    * the write-time expect checks. `inputCnt` supplies the total_input
+    * denominator; without it the group's own output sum stands in as
+    * group_input. Honors min_samples gating. */
+  def dataValidate(p: Project.Loaded, inputCnt: Option[Long] = None): Vector[String] = {
+    val problems = Vector.newBuilder[String]
+    p.business.foreach { g =>
+      val counts = g.sinks.map { s =>
+        val rows = s.path.map(pp =>
+          readSinkLines(Project.resolve(p.root, pp)).size.toLong).getOrElse(0L)
+        s -> rows
+      }
+      val ge = g.expect.getOrElse(Project.GroupExpect())
+      val basis =
+        if (ge.basis == "total_input") inputCnt.getOrElse(counts.map(_._2).sum)
+        else counts.map(_._2).sum
+      if (basis >= ge.minSamples.getOrElse(0L)) {
+        counts.foreach { case (s, rows) =>
+          s.expect.foreach { e =>
+            if (!e.ok(rows, basis)) {
+              val share = if (basis > 0) rows.toDouble / basis else 0.0
+              problems += f"sink '${g.name}/${s.name}': rows=$rows " +
+                f"share=$share%.4f of basis=$basis violates expect"
+            }
+          }
+        }
+      }
+    }
+    problems.result()
+  }
+
   /** Engine-side rescue capture (reference `[rescue].path` in
     * wparse.toml): failed records' raw payloads land under
     * `<path>/<channel>.d` — the corpus `wprescue` re-ingests. No-op

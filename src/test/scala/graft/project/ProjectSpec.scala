@@ -435,6 +435,46 @@ class ProjectSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("wproj data check + data validate: connectivity and post-hoc ratios") {
+    val root = modernProject()
+    val p0 = Project.load(root.toString)
+    // connectivity: the fixture file exists and ports aren't in play
+    val (problems0, skipped0) = ProjectRun.dataCheck(p0)
+    assert(problems0.isEmpty, problems0)
+    assert(skipped0.isEmpty)
+    // break the file path → reported
+    Files.delete(root.resolve("src_dat/gen.dat"))
+    val (problems1, _) = ProjectRun.dataCheck(Project.load(root.toString))
+    assert(problems1.exists(_.contains("path not found")), problems1)
+    // a syslog source on an occupied port → not bindable
+    val busy = new java.net.ServerSocket(0)
+    try {
+      write(root, "topology/sources/wpsrc.toml",
+        s"""[[source_syslog]]
+           |key = "s1"
+           |addr = "0.0.0.0"
+           |port = ${busy.getLocalPort}
+           |protocol = "tcp"
+           |enable = true
+           |""".stripMargin)
+      val (problems2, _) = ProjectRun.dataCheck(Project.load(root.toString))
+      assert(problems2.exists(_.contains("not bindable")), problems2)
+    } finally busy.close()
+
+    // validate: run the batch, then check shares post-hoc. m_err keeps
+    // 1 of 4 group rows (basis=group_input sum) vs expect ratio 0.125
+    // tol 0.01 → violation surfaces offline too
+    val root2 = modernProject()
+    ProjectRun.runBatch(spark, Project.load(root2.toString))
+    val problems3 = ProjectRun.dataValidate(Project.load(root2.toString))
+    assert(problems3.exists(_.contains("m_group/m_err")), problems3)
+    // with an explicit total_input denominator making 1/8 exact, the
+    // group's basis stays group_input (config) so the violation stands;
+    // an input-cnt only affects total_input groups — exercised via a
+    // defaults override in GroupExpectSpec semantics
+    assert(ProjectRun.dataValidate(Project.load(root2.toString), Some(8L)).nonEmpty)
+  }
+
   test("tolerant WPL load: a broken file is skipped and reported, not fatal") {
     val root = modernProject()
     write(root, "wpl/parse_broken.wpl", "package /bad { rule oops { (((")
