@@ -220,9 +220,9 @@ object Cli {
       // crates/wp-proj/src/project/init.rs); never overwrites files
       val mode = rest match {
         case Nil => "full"
-        case "--mode" :: m :: Nil => m
+        case ("--mode" | "-m") :: m :: Nil => m
         case m :: Nil => m
-        case other => System.err.println(s"usage: wproj init <dir> [--mode full|normal|model|conf|topology|data]"); sys.exit(2)
+        case other => System.err.println(s"usage: wproj init <dir> [-m|--mode full|normal|model|conf|topology|data]"); sys.exit(2)
       }
       val written = graft.project.ProjectInit.init(dir, mode)
       written.foreach(p => println(s"+ $p"))
