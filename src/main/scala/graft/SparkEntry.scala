@@ -601,7 +601,7 @@ object SparkEntry {
       budget = 256, shards = 4)
     Packing.binStats(packed, budget = 256)
       .select(col("grp").as("lang"), col("n_bins"), col("n_docs"),
-        col("avg_fill"), col("utilization"))
+        col("sum_fill"), col("capped_fill"), col("avg_fill"), col("utilization"))
       .orderBy(col("lang"))
   }
 
@@ -1373,16 +1373,21 @@ object SparkEntry {
        SELECT doc_id, lang, shard, n AS n_tokens, bin_id, "offset"
        FROM pack ORDER BY doc_id"""
 
-  /** Bin-utilization replay: aggregate the same recursive scan. */
+  /** Bin-utilization replay: aggregate the same recursive scan. The
+    * ratio columns mirror Packing.binStats' numeric contract — exact
+    * BIGINT sums, then ONE double division (no avg/round), so both
+    * engines emit bit-identical doubles. */
   private val packingStatsOracle: String =
     seqPackCte +
     """,
        bins AS (
          SELECT lang, shard, bin_id, sum(n) AS fill, count(*) AS k
          FROM pack GROUP BY lang, shard, bin_id)
-       SELECT lang, count(*) AS n_bins, sum(k) AS n_docs,
-         round(avg(fill), 4) AS avg_fill,
-         round(CAST(sum(least(fill, 256)) AS DOUBLE) / (count(*) * 256), 4)
+       SELECT lang, count(*) AS n_bins, CAST(sum(k) AS BIGINT) AS n_docs,
+         CAST(sum(fill) AS BIGINT) AS sum_fill,
+         CAST(sum(least(fill, 256)) AS BIGINT) AS capped_fill,
+         CAST(sum(fill) AS DOUBLE) / count(*) AS avg_fill,
+         CAST(sum(least(fill, 256)) AS DOUBLE) / (count(*) * 256)
            AS utilization
        FROM bins GROUP BY lang ORDER BY lang"""
 

@@ -61,14 +61,25 @@ object Packing {
   /** Bin-utilization stats over a packed frame: per group, how many
     * bins the packing produced and how full they are against the token
     * budget — the measure of padding waste a training job would see.
-    * Two partial-aggregate exchanges, both on low-cardinality keys. */
+    * Two partial-aggregate exchanges, both on low-cardinality keys.
+    *
+    * Numeric contract (cross-engine exactness): the aggregates are kept
+    * as exact BIGINTs (`sum_fill`, `capped_fill`) and each derived ratio
+    * is ONE IEEE-754 division of those exact integers — no `avg`, no
+    * intermediate rounding — so any engine replaying the same integers
+    * produces bit-identical doubles (integers < 2^53 convert exactly;
+    * a single division is correctly-rounded per IEEE 754). `round(avg)`
+    * here previously diverged from DuckDB on a rounding boundary. */
   def binStats(packed: DataFrame, budget: Long): DataFrame =
     packed.groupBy(col("grp"), col("shard"), col("bin_id"))
       .agg(sum(col("n_tokens")).as("fill"), count(lit(1)).as("k"))
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("n_bins"),
         sum(col("k")).as("n_docs"),
-        round(avg(col("fill")), 4).as("avg_fill"),
-        round(sum(least(col("fill"), lit(budget))).cast("double") /
-          (count(lit(1)) * budget), 4).as("utilization"))
+        sum(col("fill")).as("sum_fill"),
+        sum(least(col("fill"), lit(budget))).as("capped_fill"))
+      .withColumn("avg_fill",
+        col("sum_fill").cast("double") / col("n_bins"))
+      .withColumn("utilization",
+        col("capped_fill").cast("double") / (col("n_bins") * budget))
 }
