@@ -41,8 +41,14 @@ object Dedup {
     val b = batch.select(col(idCol), md5(col(textCol)).as("__h"))
     val c = corpus.select(md5(col(textCol)).as("__h")).distinct()
       .withColumn("__in_corpus", lit(true))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
-    b.withColumn("__first_id", min(col(idCol)).over(w))
+    // first-occurrence via groupBy-min + join back, NOT min-over-window:
+    // partial aggregation absorbs a hyper-duplicated content hash (empty
+    // docs, boilerplate pages — exactly what dedup exists to catch)
+    // map-side, where a window would funnel every copy through one task.
+    // The join's probe side streams (no per-key buffering) and AQE
+    // skew-splits it.
+    val firsts = b.groupBy(col("__h")).agg(min(col(idCol)).as("__first_id"))
+    b.join(firsts, Seq("__h"))
       .join(c, Seq("__h"), "left")
       .select(col(idCol),
         when(col("__in_corpus").isNotNull, lit("dup_of_corpus"))
@@ -95,6 +101,23 @@ object Dedup {
       .select(col(outId), shinglesOf(col("toks"), n).as("shingles"))
 
   def wordShingles(text: Column, n: Int): Column = shinglesOf(TextAnalysis.tokens(text), n)
+
+  /** Document-frequency cap over an exploded (id, shingle) frame: keep
+    * only shingles appearing in < maxDocFreq rows. Implemented as a
+    * groupBy-count + left-semi join back, NOT a count-over-window: a
+    * window must co-locate AND buffer every occurrence of a key in one
+    * task, so at 100 TB a boilerplate shingle with ~10⁹ occurrences
+    * becomes a single-task straggler/OOM *before* the cap can drop it.
+    * The partial (map-side) aggregation absorbs hot shingles before the
+    * count shuffle, and the semi-join's probe side streams — hot rows
+    * are dropped without buffering, and AQE skew-split applies. */
+  private def dfCapped(ex0: DataFrame, maxDocFreq: Int): DataFrame = {
+    val rare = ex0.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df_cnt"))
+      .filter(col("df_cnt") < maxDocFreq)
+      .select(col("shingle"))
+    ex0.join(rare, Seq("shingle"), "left_semi")
+  }
 
   /** MinHash signature of a shingle set: nPerm universal-hash permutations
     * over the FNV-1a shingle hash. Partition-local, deterministic. */
@@ -173,9 +196,7 @@ object Dedup {
     // independent; AQE sizes the verify joins.
     val ex0 = sh.select(col("jc_id"), explode_outer(col("shingles")).as("shingle"))
       .filter(col("shingle").isNotNull)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
-    val sets = ex0.withColumn("df_cnt", count(lit(1)).over(w))
-      .filter(col("df_cnt") < maxDocFreq).drop("df_cnt")
+    val sets = dfCapped(ex0, maxDocFreq)
       .groupBy(col("jc_id"))
       .agg(collect_list(col("shingle")).as("sh_set"), count(lit(1)).as("n_sh"))
     cands
@@ -243,13 +264,9 @@ object Dedup {
     // tokenizer per row) — outer + isNotNull keeps the scan clean.
     val ex0 = sh.select(col("jc_id"), explode_outer(col("shingles")).as("shingle"))
       .filter(col("shingle").isNotNull)
-    // document-frequency cap via a window over the shingle shuffle (one
-    // exchange, reused by the self-join below); persist because the frame
-    // feeds three consumers (sizes + both join sides).
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
-    val ex = ex0.withColumn("df_cnt", count(lit(1)).over(w))
-      .filter(col("df_cnt") < maxDocFreq).drop("df_cnt")
-      .persist()
+    // persist because the frame feeds three consumers (sizes + both join
+    // sides of the intersection self-join).
+    val ex = dfCapped(ex0, maxDocFreq).persist()
     val sizes = ex.groupBy(col("jc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = ex.alias("l").join(ex.alias("r"),
         col("l.shingle") === col("r.shingle") && col("l.jc_id") < col("r.jc_id"))

@@ -117,6 +117,20 @@ class PlanQualitySpec extends AnyFunSuite {
       p.take(1200))
     // the corpus side must aggregate to distinct hashes before joining
     assert(p.contains("HashAggregate"), p.take(1200))
+    // first-occurrence must be a groupBy-min + join, never min-over-window:
+    // a window funnels every copy of a hyper-duplicated hash into one task
+    assert(!p.contains("Window"), s"dedup_incremental buffers hot hashes in a window:\n${p.take(1200)}")
+  }
+
+  test("shingle df-cap is a partial aggregation, not a window over the exploded frame") {
+    // a count-over-window on the shingle key buffers every occurrence of a
+    // hot boilerplate shingle in one task — the cap must instead be a
+    // groupBy-count (map-side partials absorb hot keys) + semi-join back
+    for (q <- Seq("dedup_ngram_jaccard", "dedup_minhash_lsh")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q caps doc-frequency with a window:\n${p.take(1200)}")
+      assert(p.contains("HashAggregate"), p.take(1200))
+    }
   }
 
   test("segment dedup: partial-agg keeper join, no quadratic joins, no RDD hop") {
