@@ -622,6 +622,52 @@ object SparkEntry {
       nBits = 8, probes = 2, tables = 8)
   }
 
+  /** ANN quality measurement — the APPROXIMATE path made
+    * CORRECTNESS-visible: one query computes the pruned LSH search AND
+    * its brute-force ground truth over the same scan, and emits
+    * (n_scanned, n_total, scanned_fraction, n_hits, recall_at_k). The
+    * LSH buckets are deterministic splitmix64 planes, so the oracle
+    * replays the identical pruning in SQL — any drift in the bucket
+    * math, the probe expansion, or the top-k tie-breaking shows up as
+    * a hash mismatch, not just a recall estimate. Ratios are single
+    * IEEE divisions of exact counts (bit-identical cross-engine). */
+  private def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding")).head()
+      .getSeq[Float](0).map(_.toDouble)
+    val k = 10
+    val cond = Similarity.lshCandidateCond(col("embedding"), q, dim = q.length,
+      nBits = 6, probes = 2, tables = 2)
+    val brute = Similarity.bruteForceTopK(e, "embedding", "vec_id", q, k)
+      .select(col("vec_id"))
+    val pruned = Similarity.bruteForceTopK(e.filter(cond), "embedding", "vec_id", q, k)
+      .select(col("vec_id").as("p_id"))
+    val scan = e.agg(sum(when(cond, 1L).otherwise(0L)).as("n_scanned"),
+      count(lit(1)).as("n_total"))
+    val hits = brute.join(pruned, col("vec_id") === col("p_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    scan.crossJoin(hits).select(
+      lit(k).as("k"), col("n_scanned"), col("n_total"), col("n_hits"),
+      (col("n_scanned").cast("double") / col("n_total")).as("scanned_fraction"),
+      (col("n_hits").cast("double") / k).as("recall_at_k"))
+  }
+
+  /** Semantic dedup end-to-end — the composition query: distributed
+    * Lloyd k-means builds real IVF cells, the exact cosine pair search
+    * runs with the CELL as its home block (all-cells probe ⇒ exact
+    * output independent of the learned centroids — the same trick that
+    * oracles `ann_ivf_topk`), and connected components turn the pairs
+    * into duplicate clusters. Oracle: brute-force pair SQL + recursive
+    * transitive closure. */
+  private def qSemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Clustering
+    val pairs = Similarity.semanticDupPairs(t(s, dir, "embeddings"),
+      "embedding", "vec_id", k = 4, iters = 3, threshold = 0.4)
+    Clustering.dupClusters(pairs, "id_a", "id_b")
+      .select(col("doc_id").as("vec_id"), col("cluster_id"), col("n_members"))
+      .orderBy(col("vec_id"))
+  }
+
   // ---------------------------------------------------------------------
   // WPL parse engine end-to-end: build log lines deterministically from
   // driver tables (invertible), parse them back with the WPL engine, and
@@ -1055,7 +1101,9 @@ object SparkEntry {
     "packing_stats" -> (qPackingStats _),
     "q_asof_join" -> (qAsofJoin _),
     "text_logprob" -> (qTextLogprob _),
-    "curation_pipeline" -> (qCurationPipeline _)
+    "curation_pipeline" -> (qCurationPipeline _),
+    "ann_recall" -> (qAnnRecall _),
+    "semantic_dedup" -> (qSemanticDedup _)
   )
 
   /** Shared by dedup_ngram_jaccard (exact self-join) and
@@ -1291,6 +1339,75 @@ object SparkEntry {
          round(CAST(n_overlap AS DOUBLE) / eval_n, 4) AS overlap_ratio
        FROM ov JOIN evsz USING (eval_id)
        ORDER BY train_id, eval_id"""
+
+  /** Exact cosine pair relation (threshold 0.4) over the embeddings —
+    * shared by `dedup_embedding_pairs` (direct) and `semantic_dedup`
+    * (as the edge set under the transitive closure). */
+  private val embPairsSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(a.v, b.v) /
+           (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+       FROM e a JOIN e b ON a.vec_id < b.vec_id
+       WHERE round(list_dot_product(a.v, b.v) /
+           (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4"""
+
+  /** semantic_dedup's Spark side is exact by construction (all-cells
+    * probe), so its oracle is the brute-force pair relation plus the
+    * same recursive transitive closure dedup_clusters uses. */
+  private def semanticDedupOracle: String =
+    s"""WITH RECURSIVE
+        pairs AS (SELECT id_a, id_b FROM ($embPairsSql)),
+        edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(u, v) AS (
+          SELECT DISTINCT u, u FROM edges
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        comp AS (SELECT u AS vec_id, min(v) AS cluster_id FROM reach GROUP BY u)
+        SELECT vec_id, cluster_id,
+          CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
+        FROM comp ORDER BY vec_id"""
+
+  /** Replays qAnnRecall's pruned-vs-brute measurement: identical bucket
+    * CASE expressions, probe expansion, rounded-cosine top-k ordering,
+    * and single-division ratios. */
+  private def annRecallOracle(dim: Int, nBits: Int, probes: Int,
+                              tables: Int, k: Int): String = {
+    val planes = graft.operators.Similarity.hyperplanes(dim, nBits * tables)
+    val bucketCols = (0 until tables).map { t =>
+      val expr = (0 until nBits).map { i =>
+        val p = planes(t * nBits + i)
+        s"(CASE WHEN list_dot_product(v, [${p.mkString(",")}]) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"$expr AS b$t"
+    }.mkString(", ")
+    val qCols = (0 until tables).map(t => s"b$t AS qb$t").mkString(", ")
+    val cond = (0 until tables).map { t =>
+      val targets = (s"qb$t" +:
+        (0 until (probes min nBits)).map(b => s"xor(qb$t, ${1L << b})")).mkString(", ")
+      s"bb.b$t IN ($targets)"
+    }.mkString(" OR ")
+    val cos = """round(list_dot_product(v, qv) /
+            (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6)"""
+    s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        bb AS (SELECT vec_id, v, $bucketCols FROM b),
+        q AS (SELECT v AS qv, $qCols FROM bb WHERE vec_id = 0),
+        cand AS (SELECT vec_id, v, qv FROM bb, q WHERE $cond),
+        brute AS (SELECT vec_id FROM (
+          SELECT vec_id, $cos AS cs FROM bb, q
+          ORDER BY cs DESC, vec_id LIMIT $k)),
+        pruned AS (SELECT vec_id FROM (
+          SELECT vec_id, $cos AS cs FROM cand
+          ORDER BY cs DESC, vec_id LIMIT $k)),
+        scan AS (SELECT (SELECT count(*) FROM cand) AS n_scanned,
+                        (SELECT count(*) FROM embeddings) AS n_total),
+        hits AS (SELECT count(*) AS n_hits FROM brute JOIN pruned USING (vec_id))
+        SELECT $k AS k, n_scanned, n_total, n_hits,
+          CAST(n_scanned AS DOUBLE) / n_total AS scanned_fraction,
+          CAST(n_hits AS DOUBLE) / $k AS recall_at_k
+        FROM scan, hits"""
+  }
 
   private def dedupClustersOracle: String =
     s"""WITH RECURSIVE
@@ -1871,15 +1988,10 @@ object SparkEntry {
            AS BIGINT) AS n_bpe_tokens
          FROM documents ORDER BY doc_id""",
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
-    "dedup_embedding_pairs" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_dot_product(a.v, b.v) /
-             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
-         FROM e a JOIN e b ON a.vec_id < b.vec_id
-         WHERE round(list_dot_product(a.v, b.v) /
-             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
-         ORDER BY id_a, id_b""",
+    "dedup_embedding_pairs" -> (embPairsSql + " ORDER BY id_a, id_b"),
+    "ann_recall" -> annRecallOracle(dim = 64, nBits = 6, probes = 2,
+      tables = 2, k = 10),
+    "semantic_dedup" -> semanticDedupOracle,
     "ann_ivf_kmeans_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 2)
          SELECT vec_id,

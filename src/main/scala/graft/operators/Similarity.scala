@@ -112,7 +112,18 @@ object Similarity {
     * per table this is a per-bucket read at any corpus size. */
   def lshTopK(df: DataFrame, vecCol: String, idCol: String,
               query: Seq[Double], k: Int, dim: Int, nBits: Int = 8,
-              probes: Int = 0, tables: Int = 1): DataFrame = {
+              probes: Int = 0, tables: Int = 1): DataFrame =
+    df.filter(lshCandidateCond(col(vecCol), query, dim, nBits, probes, tables))
+      .select(col(idCol), round(cosineToConst(col(vecCol), query), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+
+  /** The per-row candidate predicate [[lshTopK]] prunes with — exposed
+    * so callers can also MEASURE the pruning (rows scanned, recall vs
+    * brute force) as a query over the same corpus scan. Pure map-side
+    * codegen dot-product sign sums: no explode, no join, no state. */
+  def lshCandidateCond(vec: Column, query: Seq[Double], dim: Int,
+                       nBits: Int = 8, probes: Int = 0, tables: Int = 1): Column = {
     import graft.functions.VecDotConst.vec_dot_q
     val planes = hyperplanes(dim, nBits * tables)
     val tableConds = (0 until tables).map { t =>
@@ -123,16 +134,13 @@ object Similarity {
       }
       val targets: Seq[Long] = qb +: (0 until (probes min nBits)).map(b => qb ^ (1L << b))
       val bucketCol = slice.zipWithIndex.map { case (p, i) =>
-        when(vec_dot_q(col(vecCol),
+        when(vec_dot_q(vec,
           scala.collection.immutable.ArraySeq.unsafeWrapArray(p)) >= 0,
           lit(1L << i)).otherwise(lit(0L))
       }.reduce(_ + _)
       bucketCol.isin(targets: _*)
     }
-    df.filter(tableConds.reduce(_ || _))
-      .select(col(idCol), round(cosineToConst(col(vecCol), query), 6).as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col(idCol).asc)
-      .limit(k)
+    tableConds.reduce(_ || _)
   }
 
   /** Embedding-cosine near-duplicate pairs (the dedup variant):
@@ -197,24 +205,60 @@ object Similarity {
     * exactness is required (oracle/validation); the LSH variant is the
     * 100-TB path. */
   def exactCosinePairs(df: DataFrame, vecCol: String, idCol: String,
-                       threshold: Double, blocks: Int = 16): DataFrame = {
+                       threshold: Double, blocks: Int = 16): DataFrame =
+    exactCosinePairsByBlock(
+      df.withColumn("__blk", pmod(col(idCol), lit(blocks)).cast("int")),
+      vecCol, idCol, threshold, "__blk", blocks)
+
+  /** [[exactCosinePairs]] with a caller-supplied home-block column
+    * (int in [0, nBlocks)): each left row keeps its home block, the
+    * right side is replicated to EVERY block (the all-cells probe), so
+    * every pair meets exactly once — in the left vector's home block —
+    * regardless of how blocks were assigned. Exactness is therefore
+    * independent of the blocking function, which is what lets a
+    * data-adaptive blocking (k-means cells, LSH buckets) double as the
+    * distribution strategy while the result stays brute-force-exact. */
+  def exactCosinePairsByBlock(df: DataFrame, vecCol: String, idCol: String,
+                              threshold: Double, blkCol: String,
+                              nBlocks: Int): DataFrame = {
     import graft.functions.VecDot.vec_dot
     // norms once per VECTOR (not per pair), dot via the codegen VecDot
     // kernel — the interpreted zip_with lambda costs ~µs/pair, which an
     // O(n²) sweep multiplies into hours at corpus scale
-    val base = df.select(col(idCol), col(vecCol),
+    val base = df.select(col(idCol), col(vecCol), col(blkCol),
       sqrt(vec_dot(col(vecCol), col(vecCol))).as("nrm"))
     val l = base.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
-      col("nrm").as("nrm_a"), pmod(col(idCol), lit(blocks)).cast("int").as("blk"))
+      col("nrm").as("nrm_a"), col(blkCol).cast("int").as("blk"))
     val r = base.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
       col("nrm").as("nrm_b"))
-      .withColumn("blk", explode(sequence(lit(0), lit(blocks - 1))))
+      .withColumn("blk", explode(sequence(lit(0), lit(nBlocks - 1))))
     l.join(r, Seq("blk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(vec_dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")), 6)
           .as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
+  }
+
+  /** Semantic near-duplicate pairs blocked by k-means cells — the
+    * composition step of semantic dedup: build real IVF centroids
+    * (distributed Lloyd), assign every vector its cell, then run the
+    * exact cosine pair search with the CELL as the home block. With the
+    * all-cells probe ([[exactCosinePairsByBlock]]) the result is exact
+    * top-to-bottom — independent of the learned centroids — while the
+    * cell blocking concentrates the high-similarity pairs inside their
+    * home cells (semantically close vectors share a cell, so the
+    * in-cell compare work carries nearly all true pairs; the replicated
+    * probes mop up the cell-boundary remainder). The production
+    * approximation — probe only each vector's nprobe nearest cells —
+    * drops the replication factor from k to nprobe with measured-recall
+    * cost (SimilaritySpec pins it); the exact variant is the oracle
+    * anchor. */
+  def semanticDupPairs(df: DataFrame, vecCol: String, idCol: String,
+                       k: Int, iters: Int, threshold: Double): DataFrame = {
+    val cents = kmeansCentroids(df, vecCol, idCol, k, iters)
+    exactCosinePairsByBlock(ivfAssign(df, vecCol, cents), vecCol, idCol,
+      threshold, "ivf_cell", k)
   }
 
   /** Distributed Lloyd k-means over the embedding column — the real IVF

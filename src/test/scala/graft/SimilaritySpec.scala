@@ -105,4 +105,39 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = out.count(bf.contains).toDouble / 10
     assert(recall >= 0.5, s"recall too low: $recall (got $out vs $bf)")
   }
+
+  test("semantic dup pairs: k-means cell blocking is exact (== brute-force pairs)") {
+    val cellBlocked = Similarity.semanticDupPairs(e, "embedding", "vec_id",
+        k = 4, iters = 2, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = Similarity.exactCosinePairs(e, "embedding", "vec_id", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the all-cells probe makes exactness independent of the centroids
+    assert(cellBlocked == brute,
+      s"missing=${(brute -- cellBlocked).take(3)} extra=${(cellBlocked -- brute).take(3)}")
+    assert(brute.nonEmpty)
+  }
+
+  test("lsh candidate predicate: matches lshTopK's scan set, includes probe buckets") {
+    val q = e.filter(col("vec_id") === 0).select(col("embedding")).head()
+      .getSeq[Float](0).map(_.toDouble)
+    val cond = Similarity.lshCandidateCond(col("embedding"), q, dim = q.length,
+      nBits = 6, probes = 2, tables = 2)
+    val scanned = e.filter(cond).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    // the query vector's own bucket always collides with itself
+    assert(scanned.contains(0L))
+    // top-k over the predicate's scan set == lshTopK with the same params
+    val viaCond = Similarity.bruteForceTopK(e.filter(cond), "embedding", "vec_id", q, 10)
+      .collect().map(_.getLong(0)).toSeq
+    val viaTopK = Similarity.lshTopK(e, "embedding", "vec_id", q, 10,
+        dim = q.length, nBits = 6, probes = 2, tables = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaCond == viaTopK)
+    // probes widen (or keep) the scan set
+    val noProbes = e.filter(Similarity.lshCandidateCond(col("embedding"), q,
+        dim = q.length, nBits = 6, probes = 0, tables = 2))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(noProbes.subsetOf(scanned))
+  }
 }
