@@ -100,4 +100,24 @@ object Pipeline {
     df.select((keep.map(col) :+ p.as("p")): _*)
       .select((keep.map(col) :+ col("p.*")): _*)
   }
+
+  /** [[run]] with Spark-DataFrame dims and automatic KnowDb spill
+    * routing: dims inside the driver guardrail broadcast as KnowDb
+    * tables (per-record probe, zero shuffle); dims beyond it are never
+    * collected — their selects defer to a real Spark join completed
+    * here by [[SpillEnrich]]. The query's answer is identical either
+    * route; only the physical shape changes with dim size. */
+  def runWithDims(df: DataFrame, lineCol: String, wplSource: String,
+                  omlSources: Seq[String], dims: Map[String, DataFrame],
+                  keep: Seq[String] = Seq.empty,
+                  maxDimBytes: Long = KnowDb.DefaultMaxBytes,
+                  sourceTags: Map[String, String] = Map.empty,
+                  enricher: Enricher = Enricher.empty,
+                  semanticEnabled: Boolean = true): DataFrame = {
+    val (db, spilledDims) = KnowDb.fromDims(dims, maxDimBytes)
+    val out = run(df, lineCol, wplSource, omlSources, keep, db, sourceTags,
+      enricher, semanticEnabled)
+    if (spilledDims.isEmpty) out
+    else SpillEnrich(out, spilledDims, SpillEnrich.specsOf(omlSources, db.spilled))
+  }
 }

@@ -11,8 +11,13 @@ import scala.collection.mutable.ArrayBuffer
   * (small, dimension-sized) table — callers doing IP-range lookups should
   * use `rangeIndex` (sorted-array binary search, the classic interval
   * trick from SURVEY.md §4). */
-final class KnowDb(val tables: Map[String, KnowDb.Table]) extends Serializable {
+final class KnowDb(val tables: Map[String, KnowDb.Table],
+                   val spilled: Set[String] = Set.empty) extends Serializable {
   def table(name: String): Option[KnowDb.Table] = tables.get(name)
+  /** A dim too big for the driver guardrail, routed to [[SpillEnrich]]'s
+    * join instead: the evaluator defers its selects (emitting only the
+    * probe key) rather than failing the query. */
+  def isSpilled(name: String): Boolean = spilled.contains(name)
 }
 
 object KnowDb {
@@ -56,23 +61,55 @@ object KnowDb {
 
   /** Build a KnowDb table from a Spark dimension with the size guardrail
     * applied BEFORE and after the collect (plan-stats estimate first, so
-    * an over-sized dim never reaches the driver; exact chars after). */
+    * an over-sized dim never reaches the driver; exact chars after).
+    * Throws past the guardrail — [[fromDims]] is the non-throwing
+    * auto-routing entry point. */
   def fromDim(name: String, df: org.apache.spark.sql.DataFrame,
-              maxBytes: Long = DefaultMaxBytes): (String, Table) = {
-    def tooBig(n: Long): Nothing = throw new IllegalArgumentException(
-      s"KnowDb dim '$name' is ~$n bytes — over the $maxBytes-byte driver guardrail; " +
-        "compile this enrich to a broadcast join (graft.oml.SqlEnrichJoin) instead")
+              maxBytes: Long = DefaultMaxBytes): (String, Table) =
+    tryFromDim(name, df, maxBytes) match {
+      case Right(t) => t
+      case Left(n) => throw new IllegalArgumentException(
+        s"KnowDb dim '$name' is ~$n bytes — over the $maxBytes-byte driver guardrail; " +
+          "compile this enrich to a broadcast join (graft.oml.SqlEnrichJoin) instead")
+    }
+
+  /** [[fromDim]] without the throw: Left(estimatedBytes) when the dim is
+    * over the guardrail (the plan-stats estimate rejects before any
+    * collect; the exact char count rejects after). */
+  def tryFromDim(name: String, df: org.apache.spark.sql.DataFrame,
+                 maxBytes: Long = DefaultMaxBytes): Either[Long, (String, Table)] = {
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (est.isValidLong && est.toLong > maxBytes * 4) tooBig(est.toLong)
+    if (est.isValidLong && est.toLong > maxBytes * 4) return Left(est.toLong)
     val cols = df.schema.fieldNames.toVector
     var bytes = 0L
-    val rows = df.collect().iterator.map { r =>
-      val v = r.toSeq.map(x => if (x == null) "" else x.toString).toVector
+    val collected = df.collect()
+    val rows = Vector.newBuilder[Vector[String]]
+    var i = 0
+    while (i < collected.length) {
+      val v = collected(i).toSeq.map(x => if (x == null) "" else x.toString).toVector
       bytes += v.iterator.map(_.length.toLong * 2 + 40).sum
-      if (bytes > maxBytes) tooBig(bytes)
-      v
-    }.toVector
-    name -> Table(cols, rows)
+      if (bytes > maxBytes) return Left(bytes)
+      rows += v
+      i += 1
+    }
+    Right(name -> Table(cols, rows.result()))
+  }
+
+  /** Auto-routing over a set of Spark dims: dims inside the guardrail
+    * collect into driver tables (per-record broadcast probe — the fast
+    * path for true dims); dims beyond it are NEVER collected — they come
+    * back in the second element for [[SpillEnrich]] to complete as a
+    * real join, and their names are marked in the KnowDb so the
+    * evaluator defers their selects instead of erroring. At 100× scale
+    * a grown dim thus degrades to a shuffle/broadcast join, not a
+    * failed query. */
+  def fromDims(dims: Map[String, org.apache.spark.sql.DataFrame],
+               maxBytes: Long = DefaultMaxBytes)
+      : (KnowDb, Map[String, org.apache.spark.sql.DataFrame]) = {
+    val routed = dims.map { case (n, df) => n -> tryFromDim(n, df, maxBytes) }
+    val small = routed.values.collect { case Right(t) => t }.toMap
+    val big = routed.collect { case (n, Left(_)) => n -> dims(n) }
+    (new KnowDb(small, big.keySet.toSet), big.toMap)
   }
 
   val empty = new KnowDb(Map.empty)
@@ -131,7 +168,10 @@ final class OmlEval(model: OmlAst.Model, knowDb: KnowDb = KnowDb.empty,
       evalItem(item, st)
     }
     if (st.dst.isEmpty) None
-    else Some(st.dst.toVector.filterNot(_.name.startsWith("__")))
+    // `__` temp fields stay internal — EXCEPT `__spill_` probe keys,
+    // which SpillEnrich consumes downstream and then removes
+    else Some(st.dst.toVector.filterNot(f =>
+      f.name.startsWith("__") && !f.name.startsWith("__spill_")))
   }
 
   private def evalItem(item: Item, st: TransformState): Unit = {
@@ -142,6 +182,23 @@ final class OmlEval(model: OmlAst.Model, knowDb: KnowDb = KnowDb.empty,
         st.src.clear()
       case targets =>
         item.eval match {
+          case sql: SqlE if knowDb.isSpilled(sql.table) =>
+            // deferred spill enrich: the dim was too big to collect, so
+            // the select completes as a Spark join AFTER the parse stage
+            // (SpillEnrich). Here we only evaluate and emit the probe
+            // key — rhs evaluation (incl. ip4_int) runs with full src
+            // visibility, which the post-join stage no longer has.
+            sql.cond match {
+              case SqlCmp(_, "=", rhs) =>
+                rhsValue(rhs, st).foreach { key =>
+                  st.dst += WField(SpillEnrich.markerName(sql.table, targets.head.name),
+                    WChars(key))
+                }
+              case _ => throw new IllegalStateException(
+                s"dim '${sql.table}' spilled past the KnowDb guardrail supports only " +
+                  "single-equality selects (hash-joinable); rewrite the condition or " +
+                  "raise the guardrail")
+            }
           case sql: SqlE if targets.length > 1 =>
             // multi-target bind: name, email = select name, email from ...
             evalSql(sql, st) match {
@@ -241,6 +298,12 @@ final class OmlEval(model: OmlAst.Model, knowDb: KnowDb = KnowDb.empty,
         }
       }
       hit.map(_._2).orElse(default).flatMap(e2 => eval(e2, st))
+    case sql: SqlE if knowDb.isSpilled(sql.table) =>
+      // a spilled select nested inside a pipe/expression has no join
+      // completion point — only direct `x = select ...` items defer
+      throw new IllegalStateException(
+        s"dim '${sql.table}' spilled past the KnowDb guardrail: selects on it must " +
+          "be direct model items (x = select ...), not nested expressions")
     case sql: SqlE => evalSql(sql, st).flatMap(_.headOption)
     // bare symbol reference (oml_static_blocks.md new DSL): dst-first,
     // then src, then static constants — `EventId = target_template |
@@ -319,34 +382,7 @@ final class OmlEval(model: OmlAst.Model, knowDb: KnowDb = KnowDb.empty,
     case _ => WChars(lit)
   }
 
-  private def cast(v: WValue, dtype: Option[String]): WValue = dtype match {
-    case None | Some("auto") => v
-    case Some("chars") => WChars(v.sval)
-    case Some("digit") => v match {
-      case d: WDigit => d
-      case WFloat(f) => WDigit(f.toLong)
-      case WBool(b) => WDigit(if (b) 1 else 0)
-      case WTime(us, _) => WDigit(us)
-      case o => try WDigit(o.sval.toLong) catch { case _: NumberFormatException => WNull }
-    }
-    case Some("float") => v match {
-      case f: WFloat => f
-      case WDigit(d) => WFloat(d.toDouble)
-      case o => try WFloat(o.sval.toDouble) catch { case _: NumberFormatException => WNull }
-    }
-    case Some("ip") => WIp(v.sval)
-    case Some("bool") => v match {
-      case b: WBool => b
-      case o => WBool(o.sval == "true")
-    }
-    case Some("time") => v match {
-      case t: WTime => t
-      case o => TimeP.auto.parseSegment(o.sval) match { case One(t: WTime) => t; case _ => WNull }
-    }
-    case Some("obj") => v
-    case Some("array") => v match { case a: WArr => a; case o => WArr(Vector(o)) }
-    case Some(_) => v
-  }
+  private def cast(v: WValue, dtype: Option[String]): WValue = WCast(v, dtype)
 
   private def jsonPathRead(path: String, st: TransformState): Option[WValue] = {
     val segs = path.split('/').filter(_.nonEmpty).toVector
@@ -624,5 +660,38 @@ object OmlPipes {
         case _ => None
       }
     case _ => None
+  }
+}
+
+/** Target-dtype cast, shared by the in-eval path and SpillEnrich's
+  * post-join completion (identical typing either route). */
+private[oml] object WCast {
+  def apply(v: WValue, dtype: Option[String]): WValue = dtype match {
+    case None | Some("auto") => v
+    case Some("chars") => WChars(v.sval)
+    case Some("digit") => v match {
+      case d: WDigit => d
+      case WFloat(f) => WDigit(f.toLong)
+      case WBool(b) => WDigit(if (b) 1 else 0)
+      case WTime(us, _) => WDigit(us)
+      case o => try WDigit(o.sval.toLong) catch { case _: NumberFormatException => WNull }
+    }
+    case Some("float") => v match {
+      case f: WFloat => f
+      case WDigit(d) => WFloat(d.toDouble)
+      case o => try WFloat(o.sval.toDouble) catch { case _: NumberFormatException => WNull }
+    }
+    case Some("ip") => WIp(v.sval)
+    case Some("bool") => v match {
+      case b: WBool => b
+      case o => WBool(o.sval == "true")
+    }
+    case Some("time") => v match {
+      case t: WTime => t
+      case o => TimeP.auto.parseSegment(o.sval) match { case One(t: WTime) => t; case _ => WNull }
+    }
+    case Some("obj") => v
+    case Some("array") => v match { case a: WArr => a; case o => WArr(Vector(o)) }
+    case Some(_) => v
   }
 }
