@@ -1006,6 +1006,38 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Multimodal GIF decode: genuine palette-indexed GIF containers
+    * (LZW-compressed by the JDK writer), decoded through the ImageIO
+    * GIF reader. The synth palette makes GIF lossless here (≤256
+    * distinct colors by construction), so the closed-form formula
+    * oracles the decoded channel means exactly — JPEG remains the one
+    * sbt-only format (lossy DCT, reader-dependent). */
+  private def qMultimodalGif(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MediaMeta.media_meta
+    import graft.functions.MediaChannelMeans.media_channel_means
+    import graft.operators.Multimodal
+    // dims start at 5×5: the JDK GIF writer/reader round-trip corrupts
+    // rows past the first on images under ~25 px (measured; palette
+    // index 0 bleed) — real corpora never ship 8-pixel GIFs, so the
+    // synth stays inside the codec's sound envelope
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"),
+        Multimodal.synthGifUdf(col("doc_id"),
+          (col("doc_id") % 6 + 5).cast("int"),
+          (col("doc_id") % 4 + 5).cast("int")).as("media"))
+    d.select(col("doc_id"),
+        media_meta(col("media")).as("m"),
+        media_channel_means(col("media")).as("ch"))
+      .select(col("doc_id"),
+        col("m.format").as("format"),
+        col("m.width").as("width"),
+        col("m.height").as("height"),
+        round(col("ch").getItem(0), 4).as("r_mean"),
+        round(col("ch").getItem(1), 4).as("g_mean"),
+        round(col("ch").getItem(2), 4).as("b_mean"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Multimodal WAV decode: genuine RIFF/PCM-16 containers, per-channel
     * mean + RMS from the real sample decoder, closed-form oracle. */
   private def qMultimodalWav(s: SparkSession, dir: String): DataFrame = {
@@ -1038,6 +1070,7 @@ object SparkEntry {
     "multimodal_meta" -> (qMultimodal _),
     "multimodal_bmp_decode" -> (qMultimodalBmp _),
     "multimodal_png_decode" -> (qMultimodalPng _),
+    "multimodal_gif_decode" -> (qMultimodalGif _),
     "multimodal_wav_decode" -> (qMultimodalWav _),
     "oml_transform" -> (qOmlTransform _),
     "oml_objects" -> (qOmlObjects _),
@@ -1710,6 +1743,20 @@ object SparkEntry {
                 LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) gx
          )
          SELECT doc_id, 'png' AS format, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           round(avg((doc_id*31 + y*7 + x*3) % 256), 4) AS r_mean,
+           round(avg((doc_id*31 + y*7 + x*3 + 11) % 256), 4) AS g_mean,
+           round(avg((doc_id*31 + y*7 + x*3 + 22) % 256), 4) AS b_mean
+         FROM px GROUP BY doc_id, w, h ORDER BY doc_id""",
+    "multimodal_gif_decode" ->
+      """WITH dims AS (
+           SELECT doc_id, (doc_id % 6) + 5 AS w, (doc_id % 4) + 5 AS h FROM documents
+         ), px AS (
+           SELECT d.doc_id, d.w, d.h, gy.y, gx.x
+           FROM dims d,
+                LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) gy,
+                LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) gx
+         )
+         SELECT doc_id, 'gif' AS format, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
            round(avg((doc_id*31 + y*7 + x*3) % 256), 4) AS r_mean,
            round(avg((doc_id*31 + y*7 + x*3 + 11) % 256), 4) AS g_mean,
            round(avg((doc_id*31 + y*7 + x*3 + 22) % 256), 4) AS b_mean

@@ -229,4 +229,43 @@ object Multimodal {
   }
 
   val synthPngUdf = udf(synthPng _)
+
+  /** A real GIF container with the same closed-form pixel values as
+    * [[synthBmp]]/[[synthPng]]. GIF is palette-indexed (≤256 colors);
+    * every formula channel is a function of c = base mod 256 alone, so
+    * an explicit 256-entry IndexColorModel (palette[c] = (c, c+11 mod
+    * 256, c+22 mod 256)) encodes the image LOSSLESSLY — the JDK GIF
+    * writer emits the palette verbatim, and the analytic formula
+    * oracles the decoded channels exactly. (JPEG stays sbt-only: DCT
+    * quantization is lossy and reader-dependent, so it has no
+    * closed-form oracle.) */
+  def synthGif(seed: Long, w: Int, h: Int): Array[Byte] = {
+    if (System.getProperty("java.awt.headless") == null)
+      System.setProperty("java.awt.headless", "true")
+    val r = new Array[Byte](256); val g = new Array[Byte](256); val b = new Array[Byte](256)
+    var c = 0
+    while (c < 256) {
+      r(c) = c.toByte; g(c) = ((c + 11) % 256).toByte; b(c) = ((c + 22) % 256).toByte
+      c += 1
+    }
+    val cm = new java.awt.image.IndexColorModel(8, 256, r, g, b)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val base = seed * 31 + y * 7 + x * 3
+        raster.setSample(x, y, 0, (((base % 256) + 256) % 256).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", bos)
+    bos.toByteArray
+  }
+
+  val synthGifUdf = udf(synthGif _)
 }

@@ -99,7 +99,8 @@ class PlanQualitySpec extends AnyFunSuite {
 
   test("multimodal decode queries stay on the expression path (no RDD hop)") {
     import org.apache.spark.sql.execution.FileSourceScanExec
-    for (q <- Seq("multimodal_bmp_decode", "multimodal_wav_decode", "multimodal_meta")) {
+    for (q <- Seq("multimodal_bmp_decode", "multimodal_wav_decode", "multimodal_meta",
+                  "multimodal_gif_decode")) {
       val df = SparkEntry.queries(q)(spark, sf)
       val p = df.queryExecution.executedPlan.toString
       assert(!p.contains("Scan ExistingRDD"), s"$q decodes through an RDD hop")
