@@ -331,6 +331,63 @@ class ProjectSpec extends AnyFunSuite {
     assert(mon.exists(l => l.contains("status=miss") && l.contains("count=1")), mon)
   }
 
+  test("runStream checkpoint restart: exactly-once sink rows across stop/resume") {
+    // directory-watching source so files can drip in between daemon runs
+    val root = Files.createTempDirectory("graft-proj-ckpt")
+    write(root, "conf/wparse.toml",
+      """version = "1.0"
+        |[models]
+        |wpl = "./wpl"
+        |oml = "./oml"
+        |[topology]
+        |sources = "./topology/sources"
+        |sinks = "./topology/sinks"
+        |""".stripMargin)
+    write(root, "wpl/parse.wpl", wpl)
+    write(root, "oml/m.oml", oml)
+    write(root, "topology/sources/wpsrc.toml",
+      """[[source_file]]
+        |key = "drip"
+        |path = "./src_dat"
+        |enable = true
+        |""".stripMargin)
+    write(root, "topology/sinks/business.d/all.toml",
+      """[sink_group]
+        |name = "all"
+        |oml = ["*"]
+        |[[sink_group.sinks]]
+        |name = "all_file"
+        |target = "file"
+        |fmt = "kv"
+        |path = "./out/all.dat"
+        |""".stripMargin)
+    Files.createDirectories(root.resolve("src_dat"))
+    def drip(phase: Int, n: Int): Unit = (0 until n).foreach { i =>
+      write(root, f"src_dat/p${phase}_f$i%02d.dat",
+        (0 until 50).map(j => s"user=u${phase}_${i}_$j st=200 op=w").mkString("\n"))
+    }
+    val p = Project.load(root.toString)
+    // phase 0: run, drain, STOP — the checkpoint dir persists the
+    // processed-file log and committed batch ids
+    drip(0, 3)
+    val q1 = ProjectRun.runStream(spark, p, triggerMs = 50L)
+    try q1.processAllAvailable() finally q1.stop()
+    val afterPhase0 = ProjectRun.readSinkLines(root.resolve("out/all.dat").toFile).size
+    assert(afterPhase0 == 3 * 50, s"phase 0 incomplete: $afterPhase0")
+    // phase 1: files arrive while the daemon is DOWN; resume against the
+    // same (default) checkpoint dir
+    drip(1, 3)
+    val q2 = ProjectRun.runStream(spark, p, triggerMs = 50L)
+    try q2.processAllAvailable() finally q2.stop()
+    val sink = ProjectRun.readSinkLines(root.resolve("out/all.dat").toFile)
+    // exactly-once across the restart: phase-0 rows not replayed
+    // (idempotent batch= dirs + checkpointed source offsets), phase-1
+    // rows all present, zero duplicates
+    assert(sink.size == 6 * 50, s"exactly-once violated: ${sink.size}")
+    assert(sink.distinct.size == sink.size, "duplicate rows after resume")
+    assert(sink.exists(_.contains("user=u1_2_49")), "phase-1 tail missing")
+  }
+
   test("unified [[sources]] connector format: file + tcp via source.d") {
     val root = modernProject()
     write(root, "connectors/source.d/00-file.toml",
