@@ -26,11 +26,13 @@ object SemanticDict {
       domainWords: Set[String],
       statusWords: Set[String],
       actionVerbs: Set[String],
-      entityNouns: Set[String]) {
-    /** Chinese entries across all sets, longest-first, for the FMM
-      * segmenter. */
+      entityNouns: Set[String],
+      wordFreq: Map[String, Int] = Map.empty) {
+    /** Chinese entries across all sets (incl. freq-only words),
+      * longest-first, for the segmenters. */
     lazy val cjkWords: Array[String] =
-      (stopWords ++ domainWords ++ statusWords ++ actionVerbs ++ entityNouns)
+      (stopWords ++ domainWords ++ statusWords ++ actionVerbs ++ entityNouns ++
+        wordFreq.keySet)
         .filter(_.exists(isCjk)).toArray.sortBy(-_.length)
     lazy val cjkMaxLen: Int = if (cjkWords.isEmpty) 0 else cjkWords.head.length
     lazy val cjkSet: Set[String] = cjkWords.toSet
@@ -191,7 +193,11 @@ object SemanticDict {
     out.result()
   }
 
-  /** add/replace merge per section (semantic_dict_loader.rs merge()). */
+  /** add/replace merge per section (semantic_dict_loader.rs merge()).
+    * `[word_freq]` entries are `"word"` or `"word:freq"` strings — a
+    * corpus-frequency table for the DP segmenter's probability model
+    * (the analogue of jieba's dict.txt rows, supplied by the user since
+    * no trained dictionary ships offline). */
   def merge(base: Dict, conf: TomlConf): Dict = {
     val replace = conf.mode == "replace"
     def sec(name: String): Option[Set[String]] =
@@ -200,24 +206,51 @@ object SemanticDict {
       case None => cur
       case Some(ws) => if (replace) ws else cur ++ ws
     }
+    val freqs = sec("word_freq").map(_.iterator.map { e =>
+      e.lastIndexOf(':') match {
+        case -1 => e -> DefaultWordFreq
+        case i => e.substring(0, i) ->
+          (try e.substring(i + 1).trim.toInt catch {
+            case _: NumberFormatException => DefaultWordFreq
+          })
+      }
+    }.toMap)
     Dict(
       stopWords = m(base.stopWords, sec("stop_words")),
       domainWords = m(base.domainWords, sec("domain_words")),
       statusWords = m(base.statusWords, sec("status_words")),
       actionVerbs = m(base.actionVerbs, sec("action_verbs")),
-      entityNouns = m(base.entityNouns, sec("entity_nouns")))
+      entityNouns = m(base.entityNouns, sec("entity_nouns")),
+      wordFreq = freqs match {
+        case None => base.wordFreq
+        case Some(f) => if (replace) f else base.wordFreq ++ f
+      })
   }
+
+  /** Frequency assumed for dictionary words without an explicit
+    * `[word_freq]` entry; OOV single chars weigh 1, so any dictionary
+    * word beats a path through loose characters. */
+  val DefaultWordFreq: Int = 10
 }
 
 /** `extract_main_word` / `extract_subject_object` pipes with the
   * reference's classification rules (extract_word.rs). */
 object ExtractWords {
-  import SemanticDict.{Dict, dict, isCjk}
+  import SemanticDict.{Dict, dict, isCjk, DefaultWordFreq}
 
-  /** Mixed CJK/ASCII tokenizer: ASCII alnum runs are words; CJK runs are
-    * forward-maximum-matched against the dictionary's Chinese entries,
-    * with OOV chars coalesced into one token (jieba noun-default
-    * analogue). Punctuation/whitespace separate tokens. */
+  /** Segmenter selection: "dp" (default) = jieba-style DAG
+    * max-probability path over the dictionary; "fmm" = the original
+    * greedy forward-maximum-match (kept as the fallback — identical
+    * output whenever the text has no overlap ambiguity). Env
+    * SEMANTIC_SEGMENTER or the setter below switches. */
+  @volatile private var segmenterMode: String =
+    sys.env.getOrElse("SEMANTIC_SEGMENTER", "dp")
+  def setSegmenter(mode: String): Unit = segmenterMode = mode
+
+  /** Mixed CJK/ASCII tokenizer: ASCII alnum runs are words; CJK runs go
+    * through the configured segmenter, with OOV chars coalesced into
+    * entity-like tokens (jieba's noun-default on OOV words).
+    * Punctuation/whitespace separate tokens. */
   def tokenize(s: String, d: Dict = dict): Vector[String] = {
     val out = Vector.newBuilder[String]
     var i = 0
@@ -232,30 +265,96 @@ object ExtractWords {
         val runStart = i
         var runEnd = i
         while (runEnd < n && isCjk(s.charAt(runEnd))) runEnd += 1
-        // FMM over the run
-        var p = runStart
-        var oovStart = -1
-        while (p < runEnd) {
-          var matched: String = null
-          var len = math.min(d.cjkMaxLen, runEnd - p)
-          while (matched == null && len >= 1) {
-            val cand = s.substring(p, p + len)
-            if (d.cjkSet.contains(cand)) matched = cand
-            len -= 1
-          }
-          if (matched != null) {
-            if (oovStart >= 0) { out += s.substring(oovStart, p); oovStart = -1 }
-            out += matched
-            p += matched.length
-          } else {
-            if (oovStart < 0) oovStart = p
-            p += 1
-          }
-        }
-        if (oovStart >= 0) out += s.substring(oovStart, runEnd)
+        val run = s.substring(runStart, runEnd)
+        if (segmenterMode == "fmm") segmentFmm(run, d, out)
+        else out ++= segmentDp(run, d)
         i = runEnd
       } else i += 1
     }
+    out.result()
+  }
+
+  /** Greedy forward-maximum-match (the original segmenter, kept as
+    * fallback): longest dictionary hit at each position, OOV chars
+    * coalesced. */
+  private def segmentFmm(run: String, d: Dict,
+                         out: scala.collection.mutable.Builder[String, Vector[String]]): Unit = {
+    var p = 0
+    var oovStart = -1
+    val m = run.length
+    while (p < m) {
+      var matched: String = null
+      var len = math.min(d.cjkMaxLen, m - p)
+      while (matched == null && len >= 1) {
+        val cand = run.substring(p, p + len)
+        if (d.cjkSet.contains(cand)) matched = cand
+        len -= 1
+      }
+      if (matched != null) {
+        if (oovStart >= 0) { out += run.substring(oovStart, p); oovStart = -1 }
+        out += matched
+        p += matched.length
+      } else {
+        if (oovStart < 0) oovStart = p
+        p += 1
+      }
+    }
+    if (oovStart >= 0) out += run.substring(oovStart, m)
+  }
+
+  /** jieba-style segmentation of one CJK run: build the word DAG over
+    * the dictionary (plus single-char fallback arcs) and take the
+    * max-log-probability path, right-to-left DP exactly like jieba's
+    * `calc` routine. Word probability = freq from the dict's
+    * `[word_freq]` table (DefaultWordFreq when absent); an OOV char
+    * weighs 1, so any dictionary path beats loose characters and
+    * frequencies resolve overlap ambiguity (研究生|命 loses to
+    * 研究|生命 when 生命 is in the dict). Ties break toward the longer
+    * first word (FMM-compatible). Adjacent OOV chars then coalesce into
+    * one entity-like token, preserving the noun-default behavior. */
+  private def segmentDp(run: String, d: Dict): Vector[String] = {
+    val m = run.length
+    if (m == 0) return Vector.empty
+    val logp = new Array[Double](m + 1)
+    val nxt = new Array[Int](m + 1)
+    val oovChar = math.log(1.0) - math.log(DefaultWordFreq * 4.0)
+    var i = m - 1
+    while (i >= 0) {
+      var bestLp = Double.NegativeInfinity
+      var bestLen = 1
+      var len = math.min(d.cjkMaxLen max 1, m - i)
+      while (len >= 1) {
+        val cand = run.substring(i, i + len)
+        val lpWord =
+          if (d.cjkSet.contains(cand))
+            math.log(d.wordFreq.getOrElse(cand, DefaultWordFreq).toDouble)
+          else if (len == 1) oovChar
+          else Double.NegativeInfinity
+        if (lpWord != Double.NegativeInfinity) {
+          val lp = lpWord + logp(i + len)
+          // strict > with len descending ⇒ ties prefer the longer word
+          if (lp > bestLp) { bestLp = lp; bestLen = len }
+        }
+        len -= 1
+      }
+      logp(i) = bestLp
+      nxt(i) = i + bestLen
+      i -= 1
+    }
+    // walk the route, coalescing adjacent OOV tokens
+    val out = Vector.newBuilder[String]
+    var p = 0
+    var oovStart = -1
+    while (p < m) {
+      val q = nxt(p)
+      val w = run.substring(p, q)
+      if (d.cjkSet.contains(w)) {
+        if (oovStart >= 0) { out += run.substring(oovStart, p); oovStart = -1 }
+        out += w
+      } else if (oovStart < 0) oovStart = p
+      p = q
+    }
+    if (oovStart >= 0) out += run.substring(oovStart, m)
     out.result()
   }
 

@@ -75,6 +75,46 @@ class SemanticSpec extends AnyFunSuite {
     assert(m9("subject") == "HTTP" && m9("action") == "请求" && m9("status") == "超时")
   }
 
+  test("DP segmenter: overlap ambiguity resolves by word probability, FMM stays greedy") {
+    // classic overlap case: greedy FMM takes the longest first word
+    // (研究生) and strands 命 as a loose char; the DAG max-probability
+    // path prefers the all-dictionary route 研究|生命|科学
+    val d = SemanticDict.builtin.copy(entityNouns =
+      SemanticDict.builtin.entityNouns ++ Set("研究生", "研究", "生命", "科学"))
+    assert(ExtractWords.tokenize("研究生命科学", d) == Vector("研究", "生命", "科学"))
+    ExtractWords.setSegmenter("fmm")
+    try assert(ExtractWords.tokenize("研究生命科学", d) == Vector("研究生", "命", "科学"))
+    finally ExtractWords.setSegmenter("dp")
+    // word_freq can overrule: a dominant 研究生 wins even against two
+    // dictionary words (jieba dict.txt analogue)
+    val d2 = d.copy(wordFreq = Map("研究生" -> 100000, "科学" -> 10))
+    assert(ExtractWords.tokenize("研究生命科学", d2).head == "研究生")
+  }
+
+  test("OOV CJK goldens: unknown runs coalesce to entities, dict words still cut") {
+    val d = SemanticDict.builtin
+    // 数据库/防火墙 are OOV → one entity token each, dict words segmented out
+    assert(ExtractWords.tokenize("数据库连接失败", d) == Vector("数据库", "连接", "失败"))
+    assert(ExtractWords.tokenize("防火墙启动成功", d) == Vector("防火墙", "启动", "成功"))
+    // fully-OOV run stays one token (noun default), mixed ASCII unaffected
+    assert(ExtractWords.tokenize("计算机网络", d) == Vector("计算机网络"))
+    assert(ExtractWords.tokenize("HTTP请求超时", d) == Vector("HTTP", "请求", "超时"))
+    // subject/object assignment over an OOV subject and object
+    val m = so("防火墙拒绝访问数据包")
+    assert(m("subject") == "防火墙" && m("status") == "拒绝")
+    // [word_freq] section parses word:freq rows into the dict
+    val conf = SemanticDict.parseToml(
+      """version = 1
+        |mode = "add"
+        |[word_freq]
+        |words = ["生命:500", "研究"]
+        |""".stripMargin)
+    val merged = SemanticDict.merge(SemanticDict.builtin, conf)
+    assert(merged.wordFreq("生命") == 500)
+    assert(merged.wordFreq("研究") == SemanticDict.DefaultWordFreq)
+    assert(merged.cjkSet.contains("生命"))
+  }
+
   test("semantic dict TOML: add mode extends, replace mode replaces") {
     val addConf = SemanticDict.parseToml(
       """version = 1
