@@ -652,6 +652,26 @@ object SparkEntry {
       (col("n_hits").cast("double") / k).as("recall_at_k"))
   }
 
+  /** Per-source curation stats: the corpus-level keep/drop/reweight
+    * signal (doc/token counts, corpus-wide exact-dup share, token
+    * share). Ratios follow the exact-BIGINT + single-division numeric
+    * contract. */
+  private def qSourceStats(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sourceStats(t(s, dir, "documents"), "text", "source")
+      .orderBy(col("source"))
+
+  /** k-NN label-vote propagation over the embeddings (weak-supervision
+    * auto-labeling): majority label of the 5 exact-cosine nearest
+    * neighbors per vector. Exact variant = block equi-join + bounded
+    * per-vector top-k; the oracle replays ranks and votes with the
+    * identical tie-breaks (cos desc → neighbor id asc; votes desc →
+    * label asc). */
+  private def qKnnLabelVote(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnLabelVote(t(s, dir, "embeddings"), "embedding", "vec_id",
+        "label", k = 5)
+      .select(col("id").as("vec_id"), col("label"), col("pred_label"), col("n_votes"))
+      .orderBy(col("vec_id"))
+
   /** Semantic dedup end-to-end — the composition query: distributed
     * Lloyd k-means builds real IVF cells, the exact cosine pair search
     * runs with the CELL as its home block (all-cells probe ⇒ exact
@@ -1136,7 +1156,9 @@ object SparkEntry {
     "text_logprob" -> (qTextLogprob _),
     "curation_pipeline" -> (qCurationPipeline _),
     "ann_recall" -> (qAnnRecall _),
-    "semantic_dedup" -> (qSemanticDedup _)
+    "semantic_dedup" -> (qSemanticDedup _),
+    "source_stats" -> (qSourceStats _),
+    "knn_label_vote" -> (qKnnLabelVote _)
   )
 
   /** Shared by dedup_ngram_jaccard (exact self-join) and
@@ -2039,6 +2061,40 @@ object SparkEntry {
     "ann_recall" -> annRecallOracle(dim = 64, nBits = 6, probes = 2,
       tables = 2, k = 10),
     "semantic_dedup" -> semanticDedupOracle,
+    "source_stats" ->
+      """WITH d AS (
+           SELECT source, md5(text) AS h,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+               x -> len(x) > 0)) AS BIGINT) AS n_tok
+           FROM documents),
+         hc AS (SELECT h, count(*) AS c FROM d GROUP BY h),
+         s AS (SELECT source, count(*) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+           FROM d JOIN hc USING (h) GROUP BY source),
+         t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM s)
+         SELECT source, n_docs, n_tokens, n_dup_docs,
+           CAST(n_dup_docs AS DOUBLE) / n_docs AS dup_frac,
+           CAST(n_tokens AS DOUBLE) / n_docs AS mean_tokens,
+           CAST(n_tokens AS DOUBLE) / tot AS token_share
+         FROM s, t ORDER BY source""",
+    "knn_label_vote" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         p AS (
+           SELECT a.vec_id AS id, b.vec_id AS nb, b.label AS nb_label,
+             round(list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cs
+           FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+         r AS (SELECT *, row_number() OVER
+             (PARTITION BY id ORDER BY cs DESC, nb ASC) AS rn FROM p),
+         votes AS (SELECT id, nb_label, count(*) AS n_votes
+           FROM r WHERE rn <= 5 GROUP BY id, nb_label),
+         best AS (SELECT *, row_number() OVER
+             (PARTITION BY id ORDER BY n_votes DESC, nb_label ASC) AS vr FROM votes)
+         SELECT e.vec_id, e.label, b.nb_label AS pred_label,
+           CAST(b.n_votes AS BIGINT) AS n_votes
+         FROM e JOIN best b ON b.id = e.vec_id AND b.vr = 1
+         ORDER BY e.vec_id""",
     "ann_ivf_kmeans_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 2)
          SELECT vec_id,

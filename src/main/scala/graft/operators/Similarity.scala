@@ -261,6 +261,34 @@ object Similarity {
       threshold, "ivf_cell", k)
   }
 
+  /** k-NN label-vote propagation — the weak-supervision/auto-labeling
+    * step: each vector takes the majority label of its k nearest
+    * neighbors by cosine (ties: higher vote count, then smaller label).
+    * This EXACT variant generates neighbors with the block equi-join
+    * ([[exactCosinePairsByBlock]] shape, no cartesian) and is the
+    * oracle anchor; at corpus scale the same vote runs over LSH/IVF
+    * bucket candidates instead ([[cosineNearDupPairs]]'s generator),
+    * which bounds the per-vector window to the bucket size. Output:
+    * (id, label, pred_label, n_votes). */
+  def knnLabelVote(df: DataFrame, vecCol: String, idCol: String,
+                   labelCol: String, k: Int, blocks: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = exactCosinePairs(df, vecCol, idCol, threshold = -1.0, blocks)
+    // symmetric neighbor list: every pair serves both endpoints
+    val nbrs = pairs.select(col("id_a").as("id"), col("id_b").as("nb"), col("cos_sim"))
+      .union(pairs.select(col("id_b").as("id"), col("id_a").as("nb"), col("cos_sim")))
+    val w = Window.partitionBy(col("id")).orderBy(col("cos_sim").desc, col("nb").asc)
+    val topk = nbrs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    val labels = df.select(col(idCol).as("nb"), col(labelCol).as("nb_label"))
+    val votes = topk.join(labels, "nb")
+      .groupBy(col("id"), col("nb_label")).agg(count(lit(1)).as("n_votes"))
+    val vw = Window.partitionBy(col("id")).orderBy(col("n_votes").desc, col("nb_label").asc)
+    val best = votes.withColumn("vr", row_number().over(vw)).filter(col("vr") === 1)
+      .select(col("id"), col("nb_label").as("pred_label"), col("n_votes"))
+    df.select(col(idCol).as("id"), col(labelCol).as("label"))
+      .join(best, "id")
+  }
+
   /** Distributed Lloyd k-means over the embedding column — the real IVF
     * centroid build (deterministic: first-k-by-id init, fixed iteration
     * count; every step is a Spark aggregation, nothing but the k

@@ -55,6 +55,35 @@ object TextAnalysis {
     )
   }
 
+  /** Per-source (domain-analogue) curation stats — the corpus-level
+    * keep/drop/reweight signal a crawl pipeline applies before
+    * doc-level filtering: per source, doc/token counts, exact-duplicate
+    * share (docs whose content hash repeats corpus-WIDE — cross-source
+    * mirrors count in every source they appear in), mean doc length,
+    * and token share of the corpus. Scale shape: one partial-agg
+    * exchange on the content hash, a streaming join back (hot
+    * boilerplate hashes absorbed map-side, never window-buffered), one
+    * partial-agg exchange on the low-cardinality source key, and a
+    * single-row broadcast for the corpus total. Ratio columns are
+    * single IEEE divisions of exact BIGINTs (cross-engine
+    * bit-identical). */
+  def sourceStats(df: DataFrame, textCol: String, srcCol: String): DataFrame = {
+    val base = df.select(col(srcCol).as("source"), md5(col(textCol)).as("__h"),
+      tokenCount(col(textCol)).cast("long").as("n_tok"))
+    val hashCnt = base.groupBy(col("__h")).agg(count(lit(1)).as("__hc"))
+    val perSource = base.join(hashCnt, "__h")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(when(col("__hc") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+    val total = perSource.agg(sum(col("n_tokens")).as("__tot"))
+    perSource.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_dup_docs"),
+        (col("n_dup_docs").cast("double") / col("n_docs")).as("dup_frac"),
+        (col("n_tokens").cast("double") / col("n_docs")).as("mean_tokens"),
+        (col("n_tokens").cast("double") / col("__tot")).as("token_share"))
+  }
+
   /** Per-language stopword profiles for the n-gram/stopword language-ID
     * heuristic. Deterministic, dependency-free. */
   private val langProfiles: Map[String, Set[String]] = Map(

@@ -106,6 +106,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall too low: $recall (got $out vs $bf)")
   }
 
+  test("knn label vote: known geometry, majority and tie-breaks") {
+    import spark.implicits._
+    // three tight cluster-0 vectors near (1,0), two cluster-1 near (0,1)
+    val df = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(0.99f, 0.14f), 0), (2L, Array(0.97f, 0.24f), 0),
+      (3L, Array(0f, 1f), 1), (4L, Array(0.14f, 0.99f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnLabelVote(df, "embedding", "vec_id", "label", k = 2, blocks = 3)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getLong(3))).toMap
+    // each cluster-0 vector's 2 nearest are the other cluster-0 vectors
+    for (id <- Seq(0L, 1L, 2L)) assert(out(id)._2 == 0, s"id $id voted ${out(id)}")
+    // cluster-1 vectors: nearest is the other cluster-1 member, second is
+    // a cluster-0 vector → 1-1 tie resolves to the smaller label (0)
+    assert(out(3L)._2 == 0 && out(3L)._3 == 1L)
+    assert(out(4L)._2 == 0 && out(4L)._3 == 1L)
+  }
+
   test("semantic dup pairs: k-means cell blocking is exact (== brute-force pairs)") {
     val cellBlocked = Similarity.semanticDupPairs(e, "embedding", "vec_id",
         k = 4, iters = 2, threshold = 0.4)
