@@ -188,6 +188,28 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"as-of should be join-free:\n${p.take(1200)}")
   }
 
+  test("new r4 queries plan without quadratic joins over data rows") {
+    for (q <- Seq("semantic_dedup", "knn_label_vote")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q has a quadratic join:\n${p.take(1200)}")
+    }
+    // ann_recall: the scalar scan×hits combine is a 1-row×1-row cross
+    // (constant cost, legitimate BNLJ); the DATA paths must be a
+    // TakeOrderedAndProject top-k and a hash-join intersection
+    val ar = plan("ann_recall")
+    assert(ar.contains("TakeOrderedAndProject"), ar.take(1200))
+    assert(ar.contains("BroadcastHashJoin"), ar.take(1200))
+    assert(!ar.contains("CartesianProduct"), ar.take(1200))
+    // source_stats: the corpus total rides a single-row broadcast cross
+    // (constant cost, same scalar-combine shape); the dup-share is a
+    // partial agg + join, never a window over content hashes
+    val ss = plan("source_stats")
+    assert(!ss.contains("Window"), ss.take(1200))
+    assert(!ss.contains("CartesianProduct"), ss.take(1200))
+    assert(ss.contains("BroadcastExchange") && ss.contains("HashAggregate"), ss.take(1200))
+  }
+
   test("star-contraction clustering plans without quadratic joins") {
     val p = plan("dedup_clusters_star")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
