@@ -38,16 +38,39 @@ object Sampling {
 
   /** Exactly-N-per-stratum sample: rank rows inside each stratum by the
     * id hash (a deterministic shuffle order) and keep the first N.
-    * One exchange on the stratum key; the per-stratum sort is bounded
-    * by stratum size — for corpus-scale strata prefer the Bernoulli
-    * form or pre-aggregate counts to derive per-stratum rates. */
+    *
+    * Two-phase so the final window never sees a whole stratum: each
+    * input partition first streams out at most N rows per stratum
+    * (sortWithinPartitions + a constant-memory scan — the global top-N
+    * by (hash, id) is always a subset of the per-partition top-Ns),
+    * then the exact rank runs over that pruned frame, whose per-stratum
+    * size is ≤ N × #partitions regardless of corpus size. A one-phase
+    * row_number window would buffer an entire hot stratum in one task
+    * — the same funnel shape the dedup df-cap fix removed. */
   def stratifiedExactN(df: DataFrame, idCol: String, stratumCol: String,
                        n: Int): DataFrame = {
+    val withRnd = df.withColumn("__rnd", unitUniform53(col(idCol)))
+    val schema = withRnd.schema
+    val sIdx = schema.fieldIndex(stratumCol)
+    val pruned = withRnd
+      .sortWithinPartitions(col(stratumCol), col("__rnd"), col(idCol))
+      .mapPartitions { it =>
+        var started = false
+        var cur: Any = null
+        var cnt = 0
+        it.filter { r =>
+          val s = r.get(sIdx)
+          if (!started || s != cur) { started = true; cur = s; cnt = 0 }
+          cnt += 1
+          cnt <= n
+        }
+      }(org.apache.spark.sql.Encoders.row(schema))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(stratumCol))
-      .orderBy(unitUniform53(col(idCol)), col(idCol))
-    df.withColumn("sample_rank", row_number().over(w))
+      .orderBy(col("__rnd"), col(idCol))
+    pruned.withColumn("sample_rank", row_number().over(w))
       .filter(col("sample_rank") <= n)
+      .drop("__rnd")
   }
 
   /** Domain-mixture weighting: the per-domain sampling/repeat factor
