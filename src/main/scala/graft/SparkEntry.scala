@@ -533,8 +533,12 @@ object SparkEntry {
     val scored = d.select(col("doc_id"), col("lang"), col("text"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
       .filter(col("n_tokens") >= 5 && col("n_tokens") <= 400)
-    val kept = scored
-      .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+    // first-occurrence via groupBy-min + join (hot identical-content
+    // hashes absorbed map-side — the Dedup.incremental pattern), not a
+    // min-over-window funnel
+    val hashed = scored.withColumn("__h", md5(col("text")))
+    val firsts = hashed.groupBy(col("__h")).agg(min(col("doc_id")).as("keep_id"))
+    val kept = hashed.join(firsts, "__h")
       .filter(col("doc_id") === col("keep_id"))
       .select(col("doc_id"), col("lang"), col("n_tokens"))
     val sampled = Sampling.stratifiedBernoulli(kept, "doc_id", "lang",

@@ -144,8 +144,12 @@ object Clustering {
     withMemberCounts(connectedComponentsStar(pairs, aCol, bCol))
 
   private def withMemberCounts(comp: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
-    comp.withColumn("n_members", count(lit(1)).over(w).cast("long"))
+    // groupBy-count + join back, not count-over-window: a mega-cluster
+    // (every page identical — dedup's own worst case) would funnel all
+    // its members through one window task; the partial agg absorbs them
+    // map-side and the join probe streams
+    val sizes = comp.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_members"))
+    comp.join(sizes, "cluster_id")
       .select(col("id").as("doc_id"), col("cluster_id"), col("n_members"))
   }
 }

@@ -50,21 +50,8 @@ object Sampling {
   def stratifiedExactN(df: DataFrame, idCol: String, stratumCol: String,
                        n: Int): DataFrame = {
     val withRnd = df.withColumn("__rnd", unitUniform53(col(idCol)))
-    val schema = withRnd.schema
-    val sIdx = schema.fieldIndex(stratumCol)
-    val pruned = withRnd
-      .sortWithinPartitions(col(stratumCol), col("__rnd"), col(idCol))
-      .mapPartitions { it =>
-        var started = false
-        var cur: Any = null
-        var cnt = 0
-        it.filter { r =>
-          val s = r.get(sIdx)
-          if (!started || s != cur) { started = true; cur = s; cnt = 0 }
-          cnt += 1
-          cnt <= n
-        }
-      }(org.apache.spark.sql.Encoders.row(schema))
+    val pruned = PartitionPrune.firstNPerKey(withRnd, stratumCol,
+      Seq(col("__rnd"), col(idCol)), n)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(stratumCol))
       .orderBy(col("__rnd"), col(idCol))

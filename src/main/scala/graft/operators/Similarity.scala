@@ -277,8 +277,14 @@ object Similarity {
     // symmetric neighbor list: every pair serves both endpoints
     val nbrs = pairs.select(col("id_a").as("id"), col("id_b").as("nb"), col("cos_sim"))
       .union(pairs.select(col("id_b").as("id"), col("id_a").as("nb"), col("cos_sim")))
+    // per-partition prune bounds the rank window's frame to k×#partitions
+    // per vector — no single task ever buffers a vector's full candidate
+    // list (with bucketed candidate generation the list is bounded anyway;
+    // this keeps the exact variant safe too)
+    val pruned = PartitionPrune.firstNPerKey(nbrs, "id",
+      Seq(col("cos_sim").desc, col("nb").asc), k)
     val w = Window.partitionBy(col("id")).orderBy(col("cos_sim").desc, col("nb").asc)
-    val topk = nbrs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    val topk = pruned.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
     val labels = df.select(col(idCol).as("nb"), col(labelCol).as("nb_label"))
     val votes = topk.join(labels, "nb")
       .groupBy(col("id"), col("nb_label")).agg(count(lit(1)).as("n_votes"))

@@ -233,14 +233,22 @@ object TextAnalysis {
         explode_outer(tokens(col(textCol))).as("tok"))
       .filter(col("tok").isNotNull)
       .groupBy(col("grp"), col("tok")).agg(count(lit(1)).as("c"))
+      .persist()
+    // totals from one partial agg; the top-N rank runs over a frame
+    // per-partition-pruned to topN×#partitions per group, so a web-scale
+    // vocabulary never buffers in one window task
+    val totals = counts.groupBy(col("grp"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
       .orderBy(col("c").desc, col("tok").asc)
-    counts.withColumn("rn", row_number().over(w))
-      .groupBy(col("grp"))
-      .agg(sum(col("c")).as("n_tokens"),
-        count(lit(1)).as("n_distinct"),
-        round(sum(when(col("rn") <= topN, col("c")).otherwise(lit(0L)))
-          .cast("double") / sum(col("c")), 6).as("coverage"))
+    val top = PartitionPrune.firstNPerKey(counts, "grp",
+        Seq(col("c").desc, col("tok").asc), topN)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topN)
+      .groupBy(col("grp")).agg(sum(col("c")).as("top_c"))
+    totals.join(top, "grp")
+      .select(col("grp"), col("n_tokens"), col("n_distinct"),
+        round(col("top_c").cast("double") / col("n_tokens"), 6).as("coverage"))
   }
 
   /** Fixed-token document chunking with overlap — the step that turns
