@@ -220,6 +220,15 @@ class PlanQualitySpec extends AnyFunSuite {
     val p = plan("dedup_clusters")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(800))
+    // member counts are a groupBy+join, never a count-over-window (a
+    // mega-cluster would funnel through one window task)
+    assert(!p.contains("Window"), p.take(1200))
+  }
+
+  test("curation pipeline: first-occurrence dedup is agg+join, not a window funnel") {
+    val p = plan("curation_pipeline")
+    assert(!p.contains("Window"), p.take(1200))
+    assert(p.contains("HashAggregate"), p.take(1200))
   }
 
   test("IVF k-means query: top-k without a cartesian product") {
