@@ -518,6 +518,12 @@ object SparkEntry {
         col("coverage"))
       .orderBy(col("lang"))
 
+  /** One BPE merge-selection round over the corpus: top-20 adjacent
+    * token pairs by occurrence count (tokenizer induction's inner
+    * loop, run at corpus scale). */
+  private def qBpeTopMerges(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.topBigramMerges(t(s, dir, "documents"), "text", topN = 20)
+
   private def qTextLogprob(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.unigramLogprob(t(s, dir, "documents"), "text", "doc_id")
       .orderBy(col("doc_id"))
@@ -1162,7 +1168,8 @@ object SparkEntry {
     "ann_recall" -> (qAnnRecall _),
     "semantic_dedup" -> (qSemanticDedup _),
     "source_stats" -> (qSourceStats _),
-    "knn_label_vote" -> (qKnnLabelVote _)
+    "knn_label_vote" -> (qKnnLabelVote _),
+    "bpe_top_merges" -> (qBpeTopMerges _)
   )
 
   /** Shared by dedup_ngram_jaccard (exact self-join) and
@@ -2082,6 +2089,18 @@ object SparkEntry {
            CAST(n_tokens AS DOUBLE) / n_docs AS mean_tokens,
            CAST(n_tokens AS DOUBLE) / tot AS token_share
          FROM s, t ORDER BY source""",
+    "bpe_top_merges" ->
+      """WITH toks AS (
+           SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             x -> len(x) > 0) AS t
+           FROM documents),
+         p AS (
+           SELECT t[i] AS tok_a, t[i+1] AS tok_b
+           FROM (SELECT t, unnest(generate_series(1, greatest(len(t)-1, 0))) AS i
+                 FROM toks)
+           WHERE i + 1 <= len(t))
+         SELECT tok_a, tok_b, count(*) AS n FROM p GROUP BY tok_a, tok_b
+         ORDER BY n DESC, tok_a, tok_b LIMIT 20""",
     "knn_label_vote" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          p AS (

@@ -251,6 +251,27 @@ object TextAnalysis {
         round(col("top_c").cast("double") / col("n_tokens"), 6).as("coverage"))
   }
 
+  /** Top adjacent-token-pair counts — the selection step of one BPE
+    * merge round (tokenizer induction): count every adjacent pair
+    * occurrence corpus-wide, return the topN merge candidates. Explode
+    * → partial-agg count (map-side combine absorbs hot pairs) →
+    * TakeOrderedAndProject; the token array materializes in its own
+    * projection so the tokenizer runs once per row (the shinglesOf
+    * re-evaluation hazard). */
+  def topBigramMerges(df: DataFrame, textCol: String, topN: Int): DataFrame =
+    df.select(tokens(lower(col(textCol))).as("t"))
+      .select(explode(
+        filter(
+          transform(sequence(lit(0), greatest(size(col("t")) - 2, lit(0))),
+            i => when(i + 2 <= size(col("t")),
+              struct(element_at(col("t"), i + 1).as("a"),
+                element_at(col("t"), i + 2).as("b")))),
+          x => x.isNotNull)).as("p"))
+      .groupBy(col("p.a").as("tok_a"), col("p.b").as("tok_b"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok_a"), col("tok_b"))
+      .limit(topN)
+
   /** Fixed-token document chunking with overlap — the step that turns
     * variable-length documents into model-window-sized sequences
     * (pretraining contexts, RAG passages). Chunk starts advance by
