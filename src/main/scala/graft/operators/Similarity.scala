@@ -271,9 +271,32 @@ object Similarity {
     * which bounds the per-vector window to the bucket size. Output:
     * (id, label, pred_label, n_votes). */
   def knnLabelVote(df: DataFrame, vecCol: String, idCol: String,
-                   labelCol: String, k: Int, blocks: Int = 16): DataFrame = {
+                   labelCol: String, k: Int, blocks: Int = 16): DataFrame =
+    voteFromPairs(df,
+      exactCosinePairs(df, vecCol, idCol, threshold = -1.0, blocks),
+      idCol, labelCol, k)
+
+  /** The 100-TB shape of [[knnLabelVote]]: neighbor candidates come
+    * from the multi-table LSH bucket equi-join instead of the exact
+    * all-pairs sweep — per-vector candidate lists are bounded by the
+    * bucket sizes, so both the compare work and the rank frame stay
+    * near-linear in the corpus. Approximate exactly where LSH recall
+    * is (<1 for distant neighbors); the vote/tie-break semantics are
+    * identical. Vectors whose buckets hold no other vector get no
+    * row (no neighbors → no vote). */
+  def knnLabelVoteLsh(df: DataFrame, vecCol: String, idCol: String,
+                      labelCol: String, k: Int, dim: Int,
+                      nBits: Int = 2, tables: Int = 8): DataFrame =
+    voteFromPairs(df,
+      cosineNearDupPairs(df, vecCol, idCol, dim, threshold = -1.0, nBits, tables),
+      idCol, labelCol, k)
+
+  /** Majority vote over a (id_a, id_b, cos_sim) candidate pair relation:
+    * symmetric neighbor expansion, per-partition-pruned exact top-k per
+    * vector, then (votes desc, label asc) tie-broken majority. */
+  private def voteFromPairs(df: DataFrame, pairs: DataFrame, idCol: String,
+                            labelCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = exactCosinePairs(df, vecCol, idCol, threshold = -1.0, blocks)
     // symmetric neighbor list: every pair serves both endpoints
     val nbrs = pairs.select(col("id_a").as("id"), col("id_b").as("nb"), col("cos_sim"))
       .union(pairs.select(col("id_b").as("id"), col("id_a").as("nb"), col("cos_sim")))

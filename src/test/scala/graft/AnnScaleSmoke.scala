@@ -48,6 +48,23 @@ object AnnScaleSmoke {
       val tLsh = (System.nanoTime() - t1) / 1e9
       println(f"ANNSCALE n=$n%6d exact: $tExact%5.1f s (${nPairs / tExact / 1e6}%6.1f M pairs/s, found=$exact) " +
         f"lsh: $tLsh%5.1f s (found=$lsh)")
+
+      // r4 ops at the same n: k-means-cell-blocked semantic pairs (must
+      // equal the exact count — blocking exactness is scale-invariant)
+      // and the kNN label vote (pruned rank frame, labels synthesized)
+      val t2 = System.nanoTime()
+      val sem = Similarity.semanticDupPairs(df, "embedding", "vec_id",
+        k = 8, iters = 2, threshold = 0.95).count()
+      val tSem = (System.nanoTime() - t2) / 1e9
+      assert(sem == exact, s"semantic blocking lost pairs: $sem != $exact")
+      val labeled = df.withColumn("label", (col("vec_id") % 16).cast("int"))
+      val t3 = System.nanoTime()
+      val knn = Similarity.knnLabelVote(labeled, "embedding", "vec_id",
+        "label", k = 5).count()
+      val tKnn = (System.nanoTime() - t3) / 1e9
+      assert(knn == n, s"knn vote lost vectors: $knn != $n")
+      println(f"ANNSCALE n=$n%6d semantic(kmeans-blocked): $tSem%5.1f s (found=$sem) " +
+        f"knn-vote: $tKnn%5.1f s")
       df.unpersist()
     }
     spark.stop()

@@ -123,6 +123,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(4L)._2 == 0 && out(4L)._3 == 1L)
   }
 
+  test("lsh knn vote: near-linear variant agrees with the exact vote on most vectors") {
+    val exact = Similarity.knnLabelVote(e, "embedding", "vec_id", "label", k = 5)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val lsh = Similarity.knnLabelVoteLsh(e, "embedding", "vec_id", "label",
+        k = 5, dim = 64, nBits = 2, tables = 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // deterministic on the fixed corpus: buckets cover most true top-5s
+    val agree = exact.count { case (id, p) => lsh.get(id).contains(p) }
+    assert(lsh.size >= exact.size * 9 / 10, s"lsh vote covered ${lsh.size}/${exact.size}")
+    assert(agree >= exact.size * 6 / 10, s"agreement $agree/${exact.size}")
+  }
+
   test("semantic dup pairs: k-means cell blocking is exact (== brute-force pairs)") {
     val cellBlocked = Similarity.semanticDupPairs(e, "embedding", "vec_id",
         k = 4, iters = 2, threshold = 0.4)
