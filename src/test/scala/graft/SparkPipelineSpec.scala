@@ -179,6 +179,33 @@ class SparkPipelineSpec extends AnyFunSuite {
     assert(spark.table("dedup_out").count() == 2) // dup dropped
   }
 
+  test("streaming curation: stateless quality gate + watermarked dedup compose") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val docs = input.toDF().toDF("doc_id", "ts_raw", "text")
+      .selectExpr("doc_id", "CAST(ts_raw AS TIMESTAMP) AS ts", "text")
+    // the batch curation stages compose unchanged on a stream: the
+    // quality gate is a stateless map, dedup bounds its state with the
+    // watermark — micro-batch order is the only semantic difference
+    val quality = docs.filter(
+      graft.operators.TextAnalysis.tokenCount(col("text")).between(3, 10))
+    val out = graft.operators.Dedup.streamingExact(quality, "text", "ts", "1 minute")
+    val q = out.writeStream.format("memory").queryName("stream_curation")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "2024-01-01T00:00:00", "short"),
+        (2L, "2024-01-01T00:00:01", "good document right here"),
+        (3L, "2024-01-01T00:00:02", "good document right here"),
+        (4L, "2024-01-01T00:00:03", "another fine document kept"))
+      q.processAllAvailable()
+      val kept = spark.table("stream_curation").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(2L, 4L))
+    } finally q.stop()
+  }
+
   test("streaming dedup against a static corpus: anti-join, stateless") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
