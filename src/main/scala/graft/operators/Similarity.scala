@@ -255,10 +255,19 @@ object Similarity {
     * cost (SimilaritySpec pins it); the exact variant is the oracle
     * anchor. */
   def semanticDupPairs(df: DataFrame, vecCol: String, idCol: String,
-                       k: Int, iters: Int, threshold: Double): DataFrame = {
+                       k: Int, iters: Int, threshold: Double,
+                       subSplits: Int = 8): DataFrame = {
     val cents = kmeansCentroids(df, vecCol, idCol, k, iters)
-    exactCosinePairsByBlock(ivfAssign(df, vecCol, cents), vecCol, idCol,
-      threshold, "ivf_cell", k)
+    // sub-split each cell with an id salt: k cells alone give the pair
+    // join only k distinct keys — k tasks would carry ALL compare work
+    // regardless of cluster size. The composite (cell, salt) block keeps
+    // the cell as the locality unit while spreading the work over
+    // k×subSplits keys; exactness is blocking-independent (left row's
+    // home key is unique, right side probes all keys).
+    val blocked = ivfAssign(df, vecCol, cents)
+      .withColumn("__blk",
+        col("ivf_cell") * subSplits + pmod(col(idCol), lit(subSplits)).cast("int"))
+    exactCosinePairsByBlock(blocked, vecCol, idCol, threshold, "__blk", k * subSplits)
   }
 
   /** k-NN label-vote propagation — the weak-supervision/auto-labeling
