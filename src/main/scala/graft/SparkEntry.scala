@@ -662,6 +662,14 @@ object SparkEntry {
       (col("n_hits").cast("double") / k).as("recall_at_k"))
   }
 
+  /** Duplicated-span profile per document: longest contiguous run of
+    * corpus-duplicated 8-token segments (near-copy detector — one long
+    * run = a copied doc with a novel header; scattered runs =
+    * boilerplate). */
+  private def qSpanDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupSpans(t(s, dir, "documents"), "text", "doc_id", segTokens = 8)
+      .orderBy(col("doc_id"))
+
   /** Per-source curation stats: the corpus-level keep/drop/reweight
     * signal (doc/token counts, corpus-wide exact-dup share, token
     * share). Ratios follow the exact-BIGINT + single-division numeric
@@ -1169,7 +1177,8 @@ object SparkEntry {
     "semantic_dedup" -> (qSemanticDedup _),
     "source_stats" -> (qSourceStats _),
     "knn_label_vote" -> (qKnnLabelVote _),
-    "bpe_top_merges" -> (qBpeTopMerges _)
+    "bpe_top_merges" -> (qBpeTopMerges _),
+    "span_dedup" -> (qSpanDedup _)
   )
 
   /** Shared by dedup_ngram_jaccard (exact self-join) and
@@ -2089,6 +2098,39 @@ object SparkEntry {
            CAST(n_tokens AS DOUBLE) / n_docs AS mean_tokens,
            CAST(n_tokens AS DOUBLE) / tot AS token_share
          FROM s, t ORDER BY source""",
+    "span_dedup" ->
+      """WITH d AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+             x -> len(x) > 0) AS toks
+           FROM documents),
+         s AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
+         segs AS (
+           SELECT doc_id, CAST(s0 // 8 AS INT) AS seg_idx,
+             array_to_string(toks[s0+1:s0+8], ' ') AS seg_text
+           FROM (SELECT doc_id, toks, n, unnest(range(0, n, 8)) AS s0 FROM s)),
+         ranked AS (
+           SELECT *, row_number() OVER
+             (PARTITION BY seg_text ORDER BY doc_id, seg_idx) AS rn
+           FROM segs),
+         flags AS (SELECT doc_id, seg_idx, (rn > 1) AS is_dup FROM ranked),
+         isl AS (
+           SELECT doc_id, seg_idx, is_dup,
+             seg_idx - row_number() OVER
+               (PARTITION BY doc_id, is_dup ORDER BY seg_idx) AS g
+           FROM flags),
+         runs AS (
+           SELECT doc_id, max(run) AS mx FROM (
+             SELECT doc_id, g, count(*) AS run FROM isl WHERE is_dup
+             GROUP BY doc_id, g)
+           GROUP BY doc_id),
+         sums AS (
+           SELECT doc_id, count(*) AS n_segments,
+             CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments
+           FROM flags GROUP BY doc_id)
+         SELECT s.doc_id, s.n_segments, s.n_dup_segments,
+           CAST(coalesce(r.mx, 0) AS BIGINT) AS max_dup_run
+         FROM sums s LEFT JOIN runs r USING (doc_id)
+         ORDER BY s.doc_id""",
     "bpe_top_merges" ->
       """WITH toks AS (
            SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),

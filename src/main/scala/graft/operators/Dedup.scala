@@ -298,6 +298,38 @@ object Dedup {
     * which would funnel each hot segment through one task) — followed by
     * an equi-join back (AQE skew-split applies) and a per-doc
     * aggregation. Σrows ≈ total_tokens/segTokens. */
+  /** Longest duplicated-segment SPAN per document — the
+    * mostly-copied-document signal (a doc whose dup segments are one
+    * long contiguous run is a near-copy with a novel header; scattered
+    * dup segments are boilerplate). Same first-occurrence definition as
+    * [[segmentDedup]] (groupBy-min keeper — hot segments absorbed
+    * map-side), then classic gaps-and-islands per doc: consecutive
+    * same-flag segments share (chunk_idx − rank), runs aggregate per
+    * island. The only windows partition by (doc, flag) — bounded by a
+    * single document's segment count. Output: (id, n_segments,
+    * n_dup_segments, max_dup_run); zero-token docs emit nothing. */
+  def dupSpans(df: DataFrame, textCol: String, idCol: String,
+               segTokens: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val segs = TextAnalysis.chunkTokens(df, textCol, idCol, segTokens, segTokens)
+    val keepers = segs.groupBy(col("chunk_text"))
+      .agg(min(struct(col(idCol), col("chunk_idx"))).as("keep"))
+    val isDup = !(col(idCol) === col("keep").getField(idCol) &&
+      col("chunk_idx") === col("keep").getField("chunk_idx"))
+    val flagged = segs.join(keepers, "chunk_text").withColumn("is_dup", isDup)
+    val w = Window.partitionBy(col(idCol), col("is_dup")).orderBy(col("chunk_idx"))
+    val isl = flagged.withColumn("__g", col("chunk_idx") - row_number().over(w))
+    val runs = isl.filter(col("is_dup"))
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("run"))
+      .groupBy(col(idCol)).agg(max(col("run")).as("max_dup_run"))
+    val sums = flagged.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_segments"))
+    sums.join(runs, Seq(idCol), "left")
+      .select(col(idCol), col("n_segments"), col("n_dup_segments"),
+        coalesce(col("max_dup_run"), lit(0L)).as("max_dup_run"))
+  }
+
   def segmentDedup(df: DataFrame, textCol: String, idCol: String,
                    segTokens: Int = 8): DataFrame = {
     val segs = TextAnalysis.chunkTokens(df, textCol, idCol, segTokens, segTokens)
