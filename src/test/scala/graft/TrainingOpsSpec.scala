@@ -214,6 +214,25 @@ class TrainingOpsSpec extends AnyFunSuite {
       (3L, 2L, 2L, 1.0, "")))
   }
 
+  test("dup spans: longest contiguous duplicated-segment run per doc") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // doc 1 originates everything; doc 2 = copied middle run of 2
+    // segments with novel head/tail; doc 3 = full copy of doc 1
+    val d = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "p q c d e f r s"),
+      (3L, "a b c d e f g h")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpans(d, "text", "doc_id", segTokens = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq(
+      (1L, 4L, 0L, 0L),   // all first occurrences
+      (2L, 4L, 2L, 2L),   // "c d","e f" contiguous dup run of 2
+      (3L, 4L, 4L, 4L)))  // full near-copy: one run spanning the doc
+  }
+
   test("vocab coverage: top-N token share with deterministic tie-break") {
     import spark.implicits._
     val d = Seq((1L, "a a a b b c", "en"), (2L, "x y", "de"))
