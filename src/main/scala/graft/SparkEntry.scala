@@ -662,6 +662,13 @@ object SparkEntry {
       (col("n_hits").cast("double") / k).as("recall_at_k"))
   }
 
+  /** Content-defined chunk dedup: chunk boundaries anchored to token
+    * content (FNV low bits), so shifted near-copies keep matching —
+    * the edit-robust sibling of `segment_dedup`. */
+  private def qCdcDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.cdcDedup(t(s, dir, "documents"), "text", "doc_id", maskBits = 3)
+      .orderBy(col("doc_id"))
+
   /** Duplicated-span profile per document: longest contiguous run of
     * corpus-duplicated 8-token segments (near-copy detector — one long
     * run = a copied doc with a novel header; scattered runs =
@@ -1178,7 +1185,8 @@ object SparkEntry {
     "source_stats" -> (qSourceStats _),
     "knn_label_vote" -> (qKnnLabelVote _),
     "bpe_top_merges" -> (qBpeTopMerges _),
-    "span_dedup" -> (qSpanDedup _)
+    "span_dedup" -> (qSpanDedup _),
+    "cdc_dedup" -> (qCdcDedup _)
   )
 
   /** Shared by dedup_ngram_jaccard (exact self-join) and
@@ -1483,6 +1491,38 @@ object SparkEntry {
           CAST(n_hits AS DOUBLE) / $k AS recall_at_k
         FROM scan, hits"""
   }
+
+  /** CDC replay: per-token FNV-1a (HUGEINT fold), boundary = low 3 bits
+    * zero, chunk id = running boundary count over PRECEDING tokens,
+    * then the segment_dedup first-occurrence rank over chunk texts. */
+  private def cdcDedupOracle: String =
+    s"""WITH d AS (
+          SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
+            x -> len(x) > 0) AS t
+          FROM documents),
+        tok AS (
+          SELECT doc_id, i, t[i] AS tok
+          FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM d)),
+        fl AS (
+          SELECT doc_id, i, tok,
+            CASE WHEN (${fnvSql("tok")}) % 8 = 0 THEN 1 ELSE 0 END AS b
+          FROM tok),
+        ch AS (
+          SELECT doc_id, i, tok,
+            coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+          FROM fl),
+        chunks AS (
+          SELECT doc_id, cid, string_agg(tok, ' ' ORDER BY i) AS chunk_text
+          FROM ch GROUP BY doc_id, cid),
+        ranked AS (
+          SELECT *, row_number() OVER
+            (PARTITION BY chunk_text ORDER BY doc_id, cid) AS rn
+          FROM chunks)
+        SELECT doc_id, count(*) AS n_chunks,
+          CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+          CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac
+        FROM ranked GROUP BY doc_id ORDER BY doc_id"""
 
   private def dedupClustersOracle: String =
     s"""WITH RECURSIVE
@@ -2098,6 +2138,7 @@ object SparkEntry {
            CAST(n_tokens AS DOUBLE) / n_docs AS mean_tokens,
            CAST(n_tokens AS DOUBLE) / tot AS token_share
          FROM s, t ORDER BY source""",
+    "cdc_dedup" -> cdcDedupOracle,
     "span_dedup" ->
       """WITH d AS (
            SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),

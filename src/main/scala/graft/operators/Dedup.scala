@@ -298,6 +298,56 @@ object Dedup {
     * which would funnel each hot segment through one task) — followed by
     * an equi-join back (AQE skew-split applies) and a per-doc
     * aggregation. Σrows ≈ total_tokens/segTokens. */
+  /** Content-defined chunk cut: a token ends its chunk when the low
+    * `maskBits` bits of its FNV-1a hash are zero (mean chunk length =
+    * 2^maskBits tokens). Boundaries depend only on token VALUES, never
+    * positions — the CDC property: an insertion reflows only the chunk
+    * it lands in, every other chunk re-aligns byte-identically, so
+    * chunk-level dedup keeps matching shifted near-copies where
+    * fixed-width segments would mismatch from the edit onward
+    * (R4PropSpec pins this stability). */
+  def cdcCut(toks: Seq[String], maskBits: Int): Seq[String] = {
+    val mask = (1L << maskBits) - 1
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    for (t <- toks) {
+      if (cur.nonEmpty) cur.append(' ')
+      cur.append(t)
+      if ((TextAnalysis.fnv1a64(t) & mask) == 0L) { out += cur.toString; cur.clear() }
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.result()
+  }
+
+  private val cdcUdf = udf((toks: Seq[String], maskBits: Int) => cdcCut(toks, maskBits))
+
+  /** Chunk-level dedup over content-defined boundaries: per doc, how
+    * many of its CDC chunks already occurred earlier in the corpus
+    * (order = (doc_id, chunk_idx), same first-occurrence rule as
+    * [[segmentDedup]]). Scale shape identical too: groupBy-min keeper +
+    * streaming join back, no window over chunk texts. The chunk cut is
+    * a per-doc partition-local UDF (a sequential scan, like the minhash
+    * signature); everything after it is native. Zero-token docs emit
+    * nothing. */
+  def cdcDedup(df: DataFrame, textCol: String, idCol: String,
+               maskBits: Int = 3): DataFrame = {
+    val chunks = df
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col(idCol),
+        posexplode(cdcUdf(col("toks"), lit(maskBits))).as(Seq("chunk_idx", "chunk_text")))
+    val keepers = chunks.groupBy(col("chunk_text"))
+      .agg(min(struct(col(idCol), col("chunk_idx"))).as("keep"))
+    val isDup = !(col(idCol) === col("keep").getField(idCol) &&
+      col("chunk_idx") === col("keep").getField("chunk_idx"))
+    chunks.join(keepers, "chunk_text")
+      .withColumn("is_dup", isDup)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_frac",
+        col("n_dup_chunks").cast("double") / col("n_chunks"))
+  }
+
   /** Longest duplicated-segment SPAN per document — the
     * mostly-copied-document signal (a doc whose dup segments are one
     * long contiguous run is a near-copy with a novel header; scattered

@@ -62,6 +62,27 @@ object R4PropSpec extends Properties("r4-invariants") {
       else pruned.map(t => (t._1, t._4)).toSet == plain.map(t => (t._1, t._4)).toSet
     }
 
+  private val cdcGen: Gen[(List[String], Int, String)] = for {
+    n <- Gen.choose(1, 60)
+    toks <- Gen.listOfN(n, Gen.oneOf((1 to 12).map(i => s"w$i")))
+    p <- Gen.choose(0, n)
+    ins <- Gen.oneOf((1 to 12).map(i => s"w$i"))
+  } yield (toks, p, ins)
+
+  property("CDC chunks re-align around an insertion (at most one chunk disturbed)") =
+    Prop.forAll(cdcGen) { case (toks, p, ins) =>
+      import graft.operators.Dedup
+      val a = Dedup.cdcCut(toks, maskBits = 3)
+      val b = Dedup.cdcCut(toks.take(p) ++ (ins :: toks.drop(p)), maskBits = 3)
+      // boundaries depend only on token values, so every chunk of the
+      // original except the one containing the insertion point survives
+      // byte-identically (the inserted token may split its chunk in two)
+      val pre = a.zip(b).takeWhile { case (x, y) => x == y }.size
+      val suf = a.reverse.zip(b.reverse).takeWhile { case (x, y) => x == y }.size
+      val sufC = math.min(suf, math.min(a.size, b.size) - pre)
+      (a.size - pre - sufC) <= 1
+    }
+
   private val dimGen: Gen[List[(Long, String)]] = for {
     n <- Gen.choose(1, 12)
     rows <- Gen.listOfN(n, for {
