@@ -36,6 +36,15 @@ object SemanticDict {
         .filter(_.exists(isCjk)).toArray.sortBy(-_.length)
     lazy val cjkMaxLen: Int = if (cjkWords.isEmpty) 0 else cjkWords.head.length
     lazy val cjkSet: Set[String] = cjkWords.toSet
+    /** Total corpus frequency over the CJK dictionary (words without a
+      * `[word_freq]` entry count DefaultWordFreq), jieba's `total`.
+      * Normalizing per-word scores by this keeps log-probabilities
+      * negative so a path's score does not grow with its word count. */
+    lazy val cjkTotalFreq: Double = {
+      val s = cjkWords.iterator
+        .map(w => wordFreq.getOrElse(w, DefaultWordFreq).toDouble).sum
+      math.max(s, 1.0)
+    }
   }
 
   @inline def isCjk(c: Char): Boolean =
@@ -305,9 +314,14 @@ object ExtractWords {
   /** jieba-style segmentation of one CJK run: build the word DAG over
     * the dictionary (plus single-char fallback arcs) and take the
     * max-log-probability path, right-to-left DP exactly like jieba's
-    * `calc` routine. Word probability = freq from the dict's
-    * `[word_freq]` table (DefaultWordFreq when absent); an OOV char
-    * weighs 1, so any dictionary path beats loose characters and
+    * `calc` routine. Word log-probability = log(freq) − log(totalFreq)
+    * (freq from the dict's `[word_freq]` table, DefaultWordFreq when
+    * absent; totalFreq = sum over the CJK dictionary) — NEGATIVE per
+    * word, exactly jieba's normalization, so a compound word in the
+    * dict outscores the same span split into shorter dictionary words
+    * (北京大学 beats 北京|大学 at equal freqs) and path score does not
+    * grow with word count. An OOV char scores below any single
+    * dictionary word, so dictionary paths beat loose characters and
     * frequencies resolve overlap ambiguity (研究生|命 loses to
     * 研究|生命 when 生命 is in the dict). Ties break toward the longer
     * first word (FMM-compatible). Adjacent OOV chars then coalesce into
@@ -317,7 +331,9 @@ object ExtractWords {
     if (m == 0) return Vector.empty
     val logp = new Array[Double](m + 1)
     val nxt = new Array[Int](m + 1)
-    val oovChar = math.log(1.0) - math.log(DefaultWordFreq * 4.0)
+    val logTotal = math.log(d.cjkTotalFreq)
+    // Below log(1) − logTotal, the lowest possible dictionary-word score.
+    val oovChar = math.log(1.0) - math.log(4.0) - logTotal
     var i = m - 1
     while (i >= 0) {
       var bestLp = Double.NegativeInfinity
@@ -327,7 +343,7 @@ object ExtractWords {
         val cand = run.substring(i, i + len)
         val lpWord =
           if (d.cjkSet.contains(cand))
-            math.log(d.wordFreq.getOrElse(cand, DefaultWordFreq).toDouble)
+            math.log(d.wordFreq.getOrElse(cand, DefaultWordFreq).toDouble) - logTotal
           else if (len == 1) oovChar
           else Double.NegativeInfinity
         if (lpWord != Double.NegativeInfinity) {

@@ -15,10 +15,33 @@ import org.apache.spark.sql.functions._
   * groupBy+join fix, applied to ordered selection. */
 object PartitionPrune {
 
+  /** PRECONDITIONS (losslessness of the downstream exact selection):
+    *  - `keyCol` must be an atomic type (string/numeric/bool/date/
+    *    timestamp/decimal). Array/binary/map/struct keys are rejected:
+    *    the scan compares consecutive keys with JVM equality, and
+    *    arrays (`Array[Byte]` for binary) never compare equal, which
+    *    would silently reset the counter every row and disable the
+    *    bound.
+    *  - `sortCols` must totally order rows within a key (e.g. include
+    *    a unique tiebreak column); with ties at the cut boundary the
+    *    kept n rows per partition may not contain the rows the global
+    *    window rank would pick. Current callers pass a unique id as the
+    *    last sort column. */
   def firstNPerKey(df: DataFrame, keyCol: String, sortCols: Seq[Column],
                    n: Int): DataFrame = {
     val schema = df.schema
     val kIdx = schema.fieldIndex(keyCol)
+    schema(kIdx).dataType match {
+      case _: org.apache.spark.sql.types.ArrayType |
+           _: org.apache.spark.sql.types.MapType |
+           _: org.apache.spark.sql.types.StructType |
+           org.apache.spark.sql.types.BinaryType =>
+        throw new IllegalArgumentException(
+          s"firstNPerKey key '$keyCol' has non-atomic type ${schema(kIdx).dataType}; " +
+            "JVM equality on such keys resets the per-key counter every row, " +
+            "silently disabling the bound — use an atomic key (e.g. a hash of it)")
+      case _ =>
+    }
     df.sortWithinPartitions(col(keyCol) +: sortCols: _*)
       .mapPartitions { it =>
         var started = false

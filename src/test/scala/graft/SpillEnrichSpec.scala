@@ -74,4 +74,61 @@ class SpillEnrichSpec extends AnyFunSuite {
     // probe-miss parity: record survives (ckey still emitted), field absent
     assert(rows.contains(5L) && rows(5L).forall(_.isEmpty))
   }
+
+  test("NULL dim cells: spill route emits the same empty-sval field as the probe") {
+    import spark.implicits._
+    // n_name NULL for key 3: the probe stringifies the collected cell to ""
+    // and emits an empty chars field — the join route must match, not drop it
+    val dimWithNull = (0 until 5)
+      .map(i => (i.toLong, if (i == 3) null else s"NATION_$i"))
+      .toDF("n_nationkey", "n_name")
+    def run(maxDimBytes: Long) =
+      Pipeline.runWithDims(lines, "line", wpl, Seq(oml),
+        dims = Map("nation" -> dimWithNull), keep = Seq("id"), maxDimBytes = maxDimBytes)
+        .filter(col("status") === "ok")
+        .select(col("id"), WplEngine.extractString("n_name").as("n_name"))
+        .collect().map(r => (r.getLong(0), Option(r.getString(1)))).sortBy(_._1).toSeq
+    val viaProbe = run(KnowDb.DefaultMaxBytes)
+    val viaJoin = run(1)
+    assert(viaProbe == viaJoin)
+    // the NULL-cell key is present with an empty value in BOTH routes
+    assert(viaProbe.find(_._1 == 3L).exists(_._2.contains("")))
+  }
+
+  test("markerName is unambiguous for underscore-bearing table/target names") {
+    import graft.oml.SpillEnrich
+    // a plain '_' separator would collide these two (table a_b/target c
+    // vs table a/target b_c) and cross-wire the join completions
+    assert(SpillEnrich.markerName("a_b", "c") != SpillEnrich.markerName("a", "b_c"))
+  }
+
+  test("non-deferrable spilled selects are rejected at plan time, not per record") {
+    import graft.oml.SpillEnrich
+    val nonEq =
+      """name : bad1
+        rule : /c/*
+        ---
+        n_name = select n_name from nation where n_nationkey > read(nkey) ;
+      """
+    val ex1 = intercept[IllegalArgumentException] {
+      SpillEnrich.specsOf(Seq(nonEq), spilled = Set("nation"))
+    }
+    assert(ex1.getMessage.contains("guardrail"))
+    // nested inside a match expression: cannot defer — the select feeds
+    // a surrounding computation that must run in-eval
+    val nested =
+      """name : bad2
+        rule : /c/*
+        ---
+        label = match read(nkey) {
+          _ => select n_name from nation where n_nationkey = read(nkey) ;
+        } ;
+      """
+    val ex2 = intercept[IllegalArgumentException] {
+      SpillEnrich.specsOf(Seq(nested), spilled = Set("nation"))
+    }
+    assert(ex2.getMessage.contains("nested"))
+    // the same sources are fine when the dim did NOT spill
+    assert(SpillEnrich.specsOf(Seq(nonEq, nested), spilled = Set.empty).isEmpty)
+  }
 }

@@ -91,6 +91,24 @@ class SemanticSpec extends AnyFunSuite {
     assert(ExtractWords.tokenize("研究生命科学", d2).head == "研究生")
   }
 
+  test("DP segmenter: normalized scores keep compounds whole (jieba calc parity)") {
+    // 北京, 大学, 北京大学 all in the dict at the DEFAULT freq: with
+    // jieba's log(freq)−log(total) normalization each word costs ~−log N,
+    // so the 1-word path 北京大学 outscores the 2-word split 北京|大学.
+    // (Unnormalized log(freq) is positive and would make MORE words win.)
+    val d = SemanticDict.builtin.copy(entityNouns =
+      SemanticDict.builtin.entityNouns ++ Set("北京", "大学", "北京大学"))
+    assert(ExtractWords.tokenize("北京大学", d) == Vector("北京大学"))
+    assert(ExtractWords.tokenize("去北京大学读书", d).contains("北京大学"))
+    // same via [word_freq]-only entries (the ADVICE trigger path)
+    val d2 = SemanticDict.builtin.copy(
+      wordFreq = Map("北京" -> 10, "大学" -> 10, "北京大学" -> 10))
+    assert(ExtractWords.tokenize("北京大学", d2) == Vector("北京大学"))
+    // a genuinely dominant split still wins on frequency, as in jieba
+    val d3 = d.copy(wordFreq = Map("北京" -> 2000000, "大学" -> 2000000, "北京大学" -> 1))
+    assert(ExtractWords.tokenize("北京大学", d3) == Vector("北京", "大学"))
+  }
+
   test("OOV CJK goldens: unknown runs coalesce to entities, dict words still cut") {
     val d = SemanticDict.builtin
     // 数据库/防火墙 are OOV → one entity token each, dict words segmented out
