@@ -697,6 +697,42 @@ object SparkEntry {
       .select(col("id").as("vec_id"), col("label"), col("pred_label"), col("n_votes"))
       .orderBy(col("vec_id"))
 
+  /** The PRODUCTION (near-linear) k-NN vote: neighbor candidates from
+    * the multi-table LSH bucket equi-join instead of the exact
+    * all-pairs sweep. The hyperplanes are data-independent splitmix64
+    * constants, so the oracle replays the bucket assignment, candidate
+    * join, rank, and vote exactly — approximation does not mean
+    * unverifiable. Vectors with no bucket-mate get no row. */
+  private def qKnnLabelVoteLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnLabelVoteLsh(t(s, dir, "embeddings"), "embedding", "vec_id",
+        "label", k = 5, dim = 64, nBits = 6, tables = 4)
+      .select(col("id").as("vec_id"), col("label"), col("pred_label"), col("n_votes"))
+      .orderBy(col("vec_id"))
+
+  /** The PRODUCTION (nprobe) semantic dedup: each vector probes only
+    * its 2 nearest of 8 k-means cells (4× less replication than the
+    * all-cells probe), reported as (pairs found, recall vs the exact
+    * pair relation). Exactly oracle-able because the centroids come
+    * from the DETERMINISTIC k-means (fixed-point integer sums — bit-
+    * reproducible at any partitioning, in any engine), so DuckDB
+    * replays the same Lloyd iterations and lands on the identical
+    * candidate set. */
+  private def qSemanticDedupNprobe(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val np = Similarity.semanticDupPairsNprobe(e, "embedding", "vec_id",
+      k = 8, iters = 2, threshold = 0.4, nprobe = 2)
+    val ex = Similarity.exactCosinePairs(e, "embedding", "vec_id", 0.4)
+    val nPairs = np.agg(count(lit(1)).as("n_pairs"))
+    val nExact = ex.agg(count(lit(1)).as("n_exact"))
+    val nHits = np.select("id_a", "id_b")
+      .join(ex.select("id_a", "id_b"), Seq("id_a", "id_b"))
+      .agg(count(lit(1)).as("n_hits"))
+    nPairs.crossJoin(nExact).crossJoin(nHits).select(
+      lit(8).as("k"), lit(2).as("nprobe"),
+      col("n_pairs"), col("n_exact"), col("n_hits"),
+      (col("n_hits").cast("double") / col("n_exact")).as("recall"))
+  }
+
   /** Semantic dedup end-to-end — the composition query: distributed
     * Lloyd k-means builds real IVF cells, the exact cosine pair search
     * runs with the CELL as its home block (all-cells probe ⇒ exact
@@ -1184,6 +1220,8 @@ object SparkEntry {
     "semantic_dedup" -> (qSemanticDedup _),
     "source_stats" -> (qSourceStats _),
     "knn_label_vote" -> (qKnnLabelVote _),
+    "knn_label_vote_lsh" -> (qKnnLabelVoteLsh _),
+    "semantic_dedup_nprobe" -> (qSemanticDedupNprobe _),
     "bpe_top_merges" -> (qBpeTopMerges _),
     "span_dedup" -> (qSpanDedup _),
     "cdc_dedup" -> (qCdcDedup _)
@@ -1490,6 +1528,103 @@ object SparkEntry {
           CAST(n_scanned AS DOUBLE) / n_total AS scanned_fraction,
           CAST(n_hits AS DOUBLE) / $k AS recall_at_k
         FROM scan, hits"""
+  }
+
+  /** Replays qKnnLabelVoteLsh: identical splitmix64 hyperplanes (as
+    * literals — they are data-independent), per-table bucket CASE sums,
+    * OR-collision candidate join, rounded-cosine rank, and the two
+    * tie-broken row_number passes. */
+  private def knnLshOracle(dim: Int, nBits: Int, tables: Int, k: Int): String = {
+    val planes = graft.operators.Similarity.hyperplanes(dim, nBits * tables)
+    val bucketCols = (0 until tables).map { t =>
+      val expr = (0 until nBits).map { i =>
+        val p = planes(t * nBits + i)
+        s"(CASE WHEN list_dot_product(v, [${p.mkString(",")}]) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"$expr AS b$t"
+    }.mkString(", ")
+    val collide = (0 until tables).map(t => s"a.b$t = c.b$t").mkString(" OR ")
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        bb AS (SELECT vec_id, label, v, $bucketCols FROM e),
+        cand AS (
+          SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+            round(list_dot_product(a.v, c.v) /
+              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cs
+          FROM bb a JOIN bb c ON a.vec_id < c.vec_id AND ($collide)),
+        nb AS (SELECT id_a AS id, id_b AS nb, cs FROM cand
+               UNION ALL SELECT id_b, id_a, cs FROM cand),
+        r AS (SELECT *, row_number() OVER
+            (PARTITION BY id ORDER BY cs DESC, nb ASC) AS rn FROM nb),
+        votes AS (SELECT r.id, e2.label AS nb_label, count(*) AS n_votes
+          FROM r JOIN e e2 ON e2.vec_id = r.nb WHERE rn <= $k GROUP BY r.id, e2.label),
+        best AS (SELECT *, row_number() OVER
+            (PARTITION BY id ORDER BY n_votes DESC, nb_label ASC) AS vr FROM votes)
+        SELECT e.vec_id, e.label, best.nb_label AS pred_label,
+          CAST(best.n_votes AS BIGINT) AS n_votes
+        FROM e JOIN best ON best.id = e.vec_id AND best.vr = 1
+        ORDER BY e.vec_id"""
+  }
+
+  /** Replays qSemanticDedupNprobe END-TO-END, Lloyd iterations
+    * included: the deterministic k-means does all aggregation in exact
+    * fixed-point integer arithmetic (order-independent), so unrolling
+    * `iters` assignment+mean rounds in SQL lands on bit-identical
+    * centroids, and from there the identical home/probe cells,
+    * candidate pairs, and recall. This is the trick that makes an
+    * APPROXIMATE production path fully correctness-visible. */
+  private def semanticNprobeOracle(dim: Int, k: Int, iters: Int,
+                                   nprobe: Int, threshold: Double): String = {
+    // one assignment+mean round: scores vs c$i, argmin cell, exact
+    // integer per-position sums, centroid = sx/(n·1e6); empty cells
+    // keep the previous centroid
+    def round_(i: Int): String =
+      s"""s$i AS (SELECT e.vec_id, c.cell,
+            list_dot_product(c.cv, c.cv) - 2*list_dot_product(e.v, c.cv) AS s
+          FROM e, c$i c),
+        a$i AS (SELECT vec_id, cell FROM (
+            SELECT vec_id, cell, row_number() OVER
+              (PARTITION BY vec_id ORDER BY s, cell) AS rk FROM s$i)
+          WHERE rk = 1),
+        m$i AS (SELECT cell, i, sum(sv[i]) AS sx, count(*) AS n FROM (
+            SELECT cell, sv, unnest(generate_series(1, $dim)) AS i
+            FROM a$i JOIN e USING (vec_id))
+          GROUP BY cell, i),
+        c${i + 1} AS (SELECT c$i.cell, coalesce(u.cv, c$i.cv) AS cv
+          FROM c$i LEFT JOIN (
+            SELECT cell, list(CAST(sx AS DOUBLE)/(CAST(n AS DOUBLE)*1000000) ORDER BY i) AS cv
+            FROM m$i GROUP BY cell) u USING (cell))"""
+    val rounds = (0 until iters).map(round_).mkString(",\n        ")
+    val cos = """round(list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)"""
+    s"""WITH e AS (SELECT vec_id,
+          CAST(embedding AS DOUBLE[]) AS v,
+          list_transform(CAST(embedding AS DOUBLE[]),
+            x -> CAST(floor(x*1000000 + 0.5) AS BIGINT)) AS sv
+          FROM embeddings),
+        c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+            list_transform(sv, x -> CAST(x AS DOUBLE)/1000000) AS cv
+          FROM (SELECT vec_id, sv FROM e ORDER BY vec_id LIMIT $k)),
+        $rounds,
+        sf AS (SELECT e.vec_id, c.cell,
+            list_dot_product(c.cv, c.cv) - 2*list_dot_product(e.v, c.cv) AS s
+          FROM e, c$iters c),
+        rnk AS (SELECT vec_id, cell, row_number() OVER
+            (PARTITION BY vec_id ORDER BY s, cell) AS rk FROM sf),
+        home AS (SELECT vec_id AS h_id, cell FROM rnk WHERE rk = 1),
+        probes AS (SELECT vec_id AS p_id, cell FROM rnk WHERE rk <= $nprobe),
+        cand AS (SELECT DISTINCT least(h_id, p_id) AS id_a, greatest(h_id, p_id) AS id_b
+          FROM home JOIN probes USING (cell) WHERE h_id <> p_id),
+        npairs AS (SELECT id_a, id_b FROM cand
+          JOIN e a ON a.vec_id = cand.id_a JOIN e b ON b.vec_id = cand.id_b
+          WHERE $cos >= $threshold),
+        exact AS (SELECT id_a, id_b FROM ($embPairsSql)),
+        hits AS (SELECT id_a, id_b FROM npairs JOIN exact USING (id_a, id_b))
+        SELECT $k AS k, $nprobe AS nprobe,
+          (SELECT count(*) FROM npairs) AS n_pairs,
+          (SELECT count(*) FROM exact) AS n_exact,
+          (SELECT count(*) FROM hits) AS n_hits,
+          CAST((SELECT count(*) FROM hits) AS DOUBLE) /
+            (SELECT count(*) FROM exact) AS recall"""
   }
 
   /** CDC replay: per-token FNV-1a (HUGEINT fold), boundary = low 3 bits
@@ -2121,6 +2256,9 @@ object SparkEntry {
     "ann_recall" -> annRecallOracle(dim = 64, nBits = 6, probes = 2,
       tables = 2, k = 10),
     "semantic_dedup" -> semanticDedupOracle,
+    "knn_label_vote_lsh" -> knnLshOracle(dim = 64, nBits = 6, tables = 4, k = 5),
+    "semantic_dedup_nprobe" -> semanticNprobeOracle(dim = 64, k = 8,
+      iters = 2, nprobe = 2, threshold = 0.4),
     "source_stats" ->
       """WITH d AS (
            SELECT source, md5(text) AS h,

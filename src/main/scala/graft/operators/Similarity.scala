@@ -270,6 +270,109 @@ object Similarity {
     exactCosinePairsByBlock(blocked, vecCol, idCol, threshold, "__blk", k * subSplits)
   }
 
+  /** Deterministic distributed Lloyd k-means — BIT-REPRODUCIBLE
+    * centroids. [[kmeansCentroids]] updates cells with `avg` over
+    * doubles, whose partial-aggregation order (and therefore low-order
+    * bits) depends on partitioning and task completion order — fine
+    * when only the final assignment matters, but it makes the learned
+    * centroids impossible to replay exactly in another engine or at
+    * another cluster size. This variant makes every aggregation exact:
+    * coordinates are fixed-point scaled (`floor(x·10⁶ + 0.5)` as long
+    * — the explicit floor form quantizeInt8 also uses, one rounding
+    * rule both engines share), per-cell sums are order-independent
+    * integer sums, and each centroid coordinate is a single double
+    * division `sum / (n · 10⁶)`. Assignment score is `c·c − 2·v·c`
+    * (v·v is per-vector constant), sequential-fold dot products, ties
+    * to the smallest cell index — all exactly reproducible by a DuckDB
+    * oracle, at any partitioning, at any scale. Init: first k vectors
+    * by id (quantized). Empty cells keep their previous centroid. */
+  def kmeansCentroidsDet(df0: DataFrame, vecCol: String, idCol: String,
+                         k: Int, iters: Int): Seq[Seq[Double]] = {
+    val scaled = df0.select(col(idCol).as("id"), col(vecCol).as("v"),
+        transform(col(vecCol), x => floor(x.cast("double") * 1e6 + 0.5).cast("long"))
+          .as("sv"))
+      .persist()
+    try {
+      var cents: Seq[Seq[Double]] = scaled.orderBy(col("id")).limit(k)
+        .select(col("sv")).collect()
+        .map(_.getSeq[Long](0).map(_.toDouble / 1e6).toSeq).toSeq
+      var it = 0
+      while (it < iters) {
+        val newC = scaled
+          .withColumn("cell", detCellRanking(col("v"), cents).getItem(0).getField("cell"))
+          .select(col("cell"), posexplode(col("sv")).as(Seq("pos", "x")))
+          .groupBy(col("cell"), col("pos"))
+          .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+          .groupBy(col("cell"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("sx"), col("n")))),
+            p => p.getField("sx").cast("double") /
+              (p.getField("n").cast("double") * 1e6)).as("c"))
+          .collect()
+          .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+        cents = cents.indices.map(i => newC.getOrElse(i, cents(i)))
+        it += 1
+      }
+      cents
+    } finally { scaled.unpersist(); () }
+  }
+
+  /** Cells sorted by the deterministic assignment score
+    * `c·c − 2·v·c` (equivalent argmin to squared distance), ties to the
+    * smallest cell index: element 0 is the home cell, the first nprobe
+    * elements are the IVF probe set. `c·c` folds sequentially on the
+    * driver — the same order DuckDB's `list_dot_product(cv, cv)`
+    * uses. */
+  def detCellRanking(vec: Column, cents: Seq[Seq[Double]]): Column = {
+    import graft.functions.VecDotConst.vec_dot_q
+    val scored = cents.zipWithIndex.map { case (c, i) =>
+      val cc = c.map(x => x * x).sum
+      struct((lit(cc) - lit(2.0) * vec_dot_q(vec, c)).as("s"), lit(i).as("cell"))
+    }
+    array_sort(array(scored: _*))
+  }
+
+  /** The PRODUCTION shape of [[semanticDupPairs]]: instead of probing
+    * every (cell × salt) block — k·subSplits× replication, exact but
+    * quadratic-leaning — each vector probes only its `nprobe` nearest
+    * cells (the classic IVF trade). A pair is a candidate when either
+    * endpoint's home cell is among the other's probe set, so the
+    * candidate search stays a plain equi-join on the cell id with
+    * nprobe× replication; recall < 1 exactly where a true pair
+    * straddles two cells neither probes. Centroids come from the
+    * deterministic k-means, which is what makes this approximate path
+    * EXACTLY oracle-able: a DuckDB replay learns bit-identical
+    * centroids and therefore the identical candidate set. */
+  def semanticDupPairsNprobe(df: DataFrame, vecCol: String, idCol: String,
+                             k: Int, iters: Int, threshold: Double,
+                             nprobe: Int): DataFrame = {
+    import graft.functions.VecDot.vec_dot
+    val cents = kmeansCentroidsDet(df, vecCol, idCol, k, iters)
+    val base = df.select(col(idCol).as("nd_id"), col(vecCol).as("v"),
+        sqrt(vec_dot(col(vecCol), col(vecCol))).as("nrm"),
+        detCellRanking(col(vecCol), cents).as("cr"))
+      .persist()
+    val home = base.select(col("nd_id").as("h_id"),
+      col("cr").getItem(0).getField("cell").as("cell"))
+    val probes = base.select(col("nd_id").as("p_id"),
+      explode(transform(slice(col("cr"), 1, nprobe), s => s.getField("cell"))).as("cell"))
+    // candidates WITHOUT vectors first (ids only), distinct, then one
+    // cosine per surviving pair — the cosineNearDupPairs shape
+    val cands = home.join(probes, Seq("cell"))
+      .filter(col("h_id") =!= col("p_id"))
+      .select(least(col("h_id"), col("p_id")).as("id_a"),
+        greatest(col("h_id"), col("p_id")).as("id_b"))
+      .distinct()
+    cands
+      .join(base.select(col("nd_id").as("id_a"), col("v").as("v_a"),
+        col("nrm").as("nrm_a")), "id_a")
+      .join(base.select(col("nd_id").as("id_b"), col("v").as("v_b"),
+        col("nrm").as("nrm_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(vec_dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")), 6)
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   /** k-NN label-vote propagation — the weak-supervision/auto-labeling
     * step: each vector takes the majority label of its k nearest
     * neighbors by cosine (ties: higher vote count, then smaller label).

@@ -210,6 +210,34 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(ss.contains("BroadcastExchange") && ss.contains("HashAggregate"), ss.take(1200))
   }
 
+  test("r5 production variants: no all-blocks replication, no quadratic joins") {
+    // knn_label_vote_lsh: candidates come from the multi-table LSH
+    // bucket equi-join — the plan must NOT contain the exact anchor's
+    // explode(sequence(...)) right-side replication, and the per-key
+    // top-k must ride the PartitionPrune mapPartitions bound before the
+    // rank window
+    val kv = plan("knn_label_vote_lsh")
+    assert(!kv.contains("sequence("), s"all-blocks replication leaked in:\n${kv.take(1200)}")
+    assert(!kv.contains("CartesianProduct") && !kv.contains("BroadcastNestedLoopJoin"),
+      kv.take(1200))
+    assert(kv.contains("MapPartitions") || kv.contains("mapPartitions"),
+      s"PartitionPrune bound missing before the rank window:\n${kv.take(1200)}")
+    // the nprobe PAIR SEARCH (the production path — the registered
+    // metrics query also embeds the exact baseline to measure recall
+    // against, so pin the search function alone): each vector
+    // replicates to nprobe cells via explode over a SLICED ranking
+    // array, never to all blocks via explode(sequence(...))
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val np = graft.operators.Similarity.semanticDupPairsNprobe(
+      e, "embedding", "vec_id", k = 8, iters = 2, threshold = 0.4, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(!np.contains("sequence("),
+      s"all-blocks sequence replication leaked in:\n${np.take(1200)}")
+    assert(np.contains("slice("), s"nprobe slice missing:\n${np.take(1200)}")
+    assert(!np.contains("CartesianProduct") && !np.contains("BroadcastNestedLoopJoin"),
+      np.take(1200))
+  }
+
   test("star-contraction clustering plans without quadratic joins") {
     val p = plan("dedup_clusters_star")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

@@ -147,6 +147,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(brute.nonEmpty)
   }
 
+  test("deterministic kmeans: bit-identical centroids at any partitioning") {
+    // the property the nprobe oracle rests on: fixed-point integer sums
+    // make the learned centroids independent of partition count and
+    // aggregation order — double-avg k-means cannot promise this
+    val c2 = Similarity.kmeansCentroidsDet(e.repartition(2), "embedding", "vec_id",
+      k = 8, iters = 2)
+    val c13 = Similarity.kmeansCentroidsDet(e.repartition(13), "embedding", "vec_id",
+      k = 8, iters = 2)
+    val c1 = Similarity.kmeansCentroidsDet(e.coalesce(1), "embedding", "vec_id",
+      k = 8, iters = 2)
+    assert(c2 == c13 && c2 == c1, "centroids drifted with partitioning")
+    // and the centroids are real: every cell lands at least one vector
+    val cells = Similarity.ivfAssign(e, "embedding", c2)
+      .select(countDistinct(col("ivf_cell"))).head().getLong(0)
+    assert(cells >= 6, s"degenerate clustering: $cells distinct cells of 8")
+  }
+
+  test("nprobe semantic dedup: subset of exact pairs, recall from home-cell floor") {
+    val np = Similarity.semanticDupPairsNprobe(e, "embedding", "vec_id",
+        k = 8, iters = 2, threshold = 0.4, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ex = Similarity.exactCosinePairs(e, "embedding", "vec_id", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every nprobe pair is a true pair (the cosine verify is exact)
+    assert(np.subsetOf(ex), s"false positives: ${(np -- ex).take(3)}")
+    // home-cell pairs are always found (both endpoints probe their own
+    // cell), so recall can't be zero on a clustered corpus
+    assert(ex.isEmpty || np.nonEmpty)
+  }
+
   test("lsh candidate predicate: matches lshTopK's scan set, includes probe buckets") {
     val q = e.filter(col("vec_id") === 0).select(col("embedding")).head()
       .getSeq[Float](0).map(_.toDouble)
