@@ -50,7 +50,15 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // single-core parser throughput vs the BASELINE-derived targets
+    // (≥1M lines/s/core simple rule, ≥100k lines/s/core 25-field rule)
+    // — measured every round, not just in the smoke suite
+    val lpsNginx = graft.wpl.ParserBench.linesPerSec(
+      graft.wpl.ParserBench.nginxWpl, graft.wpl.ParserBench.nginxLine, 300000)
+    val lps25 = graft.wpl.ParserBench.linesPerSec(
+      graft.wpl.ParserBench.bench25Wpl, graft.wpl.ParserBench.bench25Line,
+      50000, warmup = 100000)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"lines_per_sec_core":$lpsNginx%.0f,"lines_per_sec_core_25field":$lps25%.0f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -691,8 +691,17 @@ object SparkEntry {
     * per-vector top-k; the oracle replays ranks and votes with the
     * identical tie-breaks (cos desc → neighbor id asc; votes desc →
     * label asc). */
+  /** The exact anchors run on the deterministic even-id HALF of the
+    * corpus: their O(n²) compare work is a correctness fixture, not the
+    * performance path, so the bench shouldn't be dominated by it — the
+    * production variants (`knn_label_vote_lsh`) carry the full corpus,
+    * and the full-corpus exact pair relation stays oracled via
+    * `dedup_embedding_pairs`. */
+  private def halfEmb(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").filter(col("vec_id") % 2 === 0)
+
   private def qKnnLabelVote(s: SparkSession, dir: String): DataFrame =
-    Similarity.knnLabelVote(t(s, dir, "embeddings"), "embedding", "vec_id",
+    Similarity.knnLabelVote(halfEmb(s, dir), "embedding", "vec_id",
         "label", k = 5)
       .select(col("id").as("vec_id"), col("label"), col("pred_label"), col("n_votes"))
       .orderBy(col("vec_id"))
@@ -718,7 +727,11 @@ object SparkEntry {
     * replays the same Lloyd iterations and lands on the identical
     * candidate set. */
   private def qSemanticDedupNprobe(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings")
+    // half corpus: the RECALL BASELINE embedded here is the exact
+    // all-pairs anchor — the measurement stays exact on the half while
+    // the bench isn't re-dominated by the n² baseline the nprobe path
+    // exists to avoid
+    val e = halfEmb(s, dir)
     val np = Similarity.semanticDupPairsNprobe(e, "embedding", "vec_id",
       k = 8, iters = 2, threshold = 0.4, nprobe = 2)
     val ex = Similarity.exactCosinePairs(e, "embedding", "vec_id", 0.4)
@@ -742,7 +755,7 @@ object SparkEntry {
     * transitive closure. */
   private def qSemanticDedup(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Clustering
-    val pairs = Similarity.semanticDupPairs(t(s, dir, "embeddings"),
+    val pairs = Similarity.semanticDupPairs(halfEmb(s, dir),
       "embedding", "vec_id", k = 4, iters = 3, threshold = 0.4)
     Clustering.dupClusters(pairs, "id_a", "id_b")
       .select(col("doc_id").as("vec_id"), col("cluster_id"), col("n_members"))
@@ -1463,22 +1476,29 @@ object SparkEntry {
 
   /** Exact cosine pair relation (threshold 0.4) over the embeddings —
     * shared by `dedup_embedding_pairs` (direct) and `semantic_dedup`
-    * (as the edge set under the transitive closure). */
-  private val embPairsSql: String =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    * (as the edge set under the transitive closure). `where` restricts
+    * the corpus — the EXACT-ANCHOR queries run on the deterministic
+    * even-id half so their O(n²) compare work doesn't dominate the
+    * bench while the production variants carry the full corpus; the
+    * full-corpus exact relation itself stays oracled via
+    * `dedup_embedding_pairs`. */
+  private def embPairsSqlW(where: String): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings $where)
        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          round(list_dot_product(a.v, b.v) /
            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
        FROM e a JOIN e b ON a.vec_id < b.vec_id
        WHERE round(list_dot_product(a.v, b.v) /
            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4"""
+  private val embPairsSql: String = embPairsSqlW("")
+  private val halfWhere = "WHERE vec_id % 2 = 0"
 
   /** semantic_dedup's Spark side is exact by construction (all-cells
     * probe), so its oracle is the brute-force pair relation plus the
     * same recursive transitive closure dedup_clusters uses. */
   private def semanticDedupOracle: String =
     s"""WITH RECURSIVE
-        pairs AS (SELECT id_a, id_b FROM ($embPairsSql)),
+        pairs AS (SELECT id_a, id_b FROM (${embPairsSqlW(halfWhere)})),
         edges AS (SELECT id_a AS u, id_b AS v FROM pairs
                   UNION SELECT id_b, id_a FROM pairs),
         reach(u, v) AS (
@@ -1600,7 +1620,7 @@ object SparkEntry {
           CAST(embedding AS DOUBLE[]) AS v,
           list_transform(CAST(embedding AS DOUBLE[]),
             x -> CAST(floor(x*1000000 + 0.5) AS BIGINT)) AS sv
-          FROM embeddings),
+          FROM embeddings $halfWhere),
         c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
             list_transform(sv, x -> CAST(x AS DOUBLE)/1000000) AS cv
           FROM (SELECT vec_id, sv FROM e ORDER BY vec_id LIMIT $k)),
@@ -1617,7 +1637,7 @@ object SparkEntry {
         npairs AS (SELECT id_a, id_b FROM cand
           JOIN e a ON a.vec_id = cand.id_a JOIN e b ON b.vec_id = cand.id_b
           WHERE $cos >= $threshold),
-        exact AS (SELECT id_a, id_b FROM ($embPairsSql)),
+        exact AS (SELECT id_a, id_b FROM (${embPairsSqlW(halfWhere)})),
         hits AS (SELECT id_a, id_b FROM npairs JOIN exact USING (id_a, id_b))
         SELECT $k AS k, $nprobe AS nprobe,
           (SELECT count(*) FROM npairs) AS n_pairs,
@@ -2323,7 +2343,8 @@ object SparkEntry {
          SELECT tok_a, tok_b, count(*) AS n FROM p GROUP BY tok_a, tok_b
          ORDER BY n DESC, tok_a, tok_b LIMIT 20""",
     "knn_label_vote" ->
-      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE vec_id % 2 = 0),
          p AS (
            SELECT a.vec_id AS id, b.vec_id AS nb, b.label AS nb_label,
              round(list_dot_product(a.v, b.v) /
