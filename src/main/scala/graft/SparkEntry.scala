@@ -1159,9 +1159,40 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** MP4 sample decode: a REAL ISO-BMFF container (two chunks, stsc
+    * run table, per-sample stsz sizes) built per document, then the
+    * codec walks stsz+stsc+stco to slice each sample's exact byte
+    * extent from mdat — the deterministic part of video decode (codec
+    * entropy decode needs external libs; byte extents don't). The
+    * oracle recomputes the closed-form per-sample byte sums. */
+  private def qMultimodalMp4(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MediaMeta.media_meta
+    import graft.functions.MediaChannelMeans.media_channel_means
+    import graft.functions.MediaChannelRms.media_channel_rms
+    import graft.operators.Multimodal
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"),
+        Multimodal.synthMp4Udf(col("doc_id"),
+          (col("doc_id") % 7 + 3).cast("int"), lit(64), lit(48)).as("media"))
+    d.select(col("doc_id"),
+        media_meta(col("media")).as("m"),
+        media_channel_means(col("media")).as("mu"),
+        media_channel_rms(col("media")).as("rm"))
+      .select(col("doc_id"),
+        col("m.format").as("format"),
+        col("m.width").as("width"),
+        col("m.height").as("height"),
+        col("m.n_frames").as("n_samples"),
+        round(col("mu").getItem(0), 4).as("mean_sample_bytesum"),
+        round(col("mu").getItem(1), 4).as("mean_sample_size"),
+        round(col("rm").getItem(0), 4).as("rms_sample_bytesum"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ip_range_lookup" -> (qIpRange _),
     "multimodal_meta" -> (qMultimodal _),
+    "multimodal_mp4_decode" -> (qMultimodalMp4 _),
     "multimodal_bmp_decode" -> (qMultimodalBmp _),
     "multimodal_png_decode" -> (qMultimodalPng _),
     "multimodal_gif_decode" -> (qMultimodalGif _),
@@ -2011,6 +2042,24 @@ object SparkEntry {
            round(avg(s0), 4) AS ch0_mean, round(avg(s1), 4) AS ch1_mean,
            round(sqrt(avg(s0*s0)), 4) AS ch0_rms, round(sqrt(avg(s1*s1)), 4) AS ch1_rms
          FROM smp GROUP BY doc_id, frames ORDER BY doc_id""",
+    "multimodal_mp4_decode" ->
+      """WITH dims AS (SELECT doc_id, (doc_id % 7) + 3 AS n FROM documents),
+          smp AS (
+           SELECT d.doc_id, d.n, gi.i, ((d.doc_id + gi.i*5) % 24) + 8 AS sz
+           FROM dims d, LATERAL (SELECT unnest(generate_series(0, d.n - 1)) AS i) gi),
+          byt AS (
+           SELECT s.doc_id, s.n, s.i, s.sz,
+             ((s.doc_id*31 + s.i*7 + gj.j*3) % 256) AS bv
+           FROM smp s, LATERAL (SELECT unnest(generate_series(0, s.sz - 1)) AS j) gj),
+          per AS (
+           SELECT doc_id, n, i, max(sz) AS sz, sum(bv) AS bsum
+           FROM byt GROUP BY doc_id, n, i)
+         SELECT doc_id, 'mp4' AS format, CAST(64 AS INT) AS width,
+           CAST(48 AS INT) AS height, CAST(n AS INT) AS n_samples,
+           round(avg(bsum), 4) AS mean_sample_bytesum,
+           round(avg(sz), 4) AS mean_sample_size,
+           round(sqrt(avg(bsum*bsum)), 4) AS rms_sample_bytesum
+         FROM per GROUP BY doc_id, n ORDER BY doc_id""",
     "oml_transform" ->
       """SELECT event_id, event_type AS etype,
          CASE WHEN event_type = 'error' THEN 'high'

@@ -336,7 +336,102 @@ object Mp4Codec extends MediaCodec {
     Meta(0, 0, 0)
   }
 
-  def samples(b: Array[Byte]): Option[Samples] = None
+  /** REAL sample-byte extraction via the sample tables — the same
+    * byte arithmetic BMP/WAV use, applied to ISO-BMFF: stsz gives the
+    * per-sample sizes (fixed `sample_size` or the v0 table), stsc maps
+    * samples to chunks (first_chunk runs), stco/co64 gives each chunk's
+    * absolute file offset, and samples lie contiguously inside their
+    * chunk. CODEC work (H.264 entropy decode etc.) is out of scope —
+    * what this returns per sample is its exact byte extent and an
+    * unsigned byte sum, which is the deterministic, oracle-able part of
+    * "decode": channels(0) = per-sample byte sums, channels(1) =
+    * per-sample sizes. Any malformed/truncated table → None. */
+  def samples(b: Array[Byte]): Option[Samples] = {
+    val moov = findBox(b, 0, b.length, "moov")
+    if (moov == null) return None
+    var at = moov._1
+    while (at < moov._2) {
+      val trak = findBox(b, at, moov._2, "trak")
+      if (trak == null) return None
+      val stbl = findPath(b, trak._1, trak._2, "mdia", "minf", "stbl")
+      if (stbl != null) {
+        val out = sampleSlices(b, stbl._1, stbl._2)
+        if (out != null) return Some(out)
+      }
+      at = trak._2
+    }
+    None
+  }
+
+  private def sampleSlices(b: Array[Byte], stblC: Int, stblEnd: Int): Samples = {
+    val stsz = findBox(b, stblC, stblEnd, "stsz")
+    val stsc = findBox(b, stblC, stblEnd, "stsc")
+    val stco = findBox(b, stblC, stblEnd, "stco")
+    val co64 = if (stco == null) findBox(b, stblC, stblEnd, "co64") else null
+    if (stsz == null || stsc == null || (stco == null && co64 == null)) return null
+    // stsz: version/flags(4) sample_size(4) sample_count(4) [sizes...]
+    if (stsz._1 + 12 > stsz._2) return null
+    val fixedSize = be32(b, stsz._1 + 4)
+    val nSamples = be32(b, stsz._1 + 8)
+    if (nSamples <= 0 || nSamples > (1 << 24)) return null
+    def sampleSize(i: Int): Int =
+      if (fixedSize != 0) fixedSize
+      else {
+        val off = stsz._1 + 12 + i * 4
+        if (off + 4 > stsz._2) -1 else be32(b, off)
+      }
+    // stco/co64: version/flags(4) entry_count(4) [offsets...]
+    val (cBox, wide) = if (stco != null) (stco, false) else (co64, true)
+    if (cBox._1 + 8 > cBox._2) return null
+    val nChunks = be32(b, cBox._1 + 4)
+    if (nChunks <= 0 || nChunks > (1 << 20)) return null
+    def chunkOffset(ci: Int): Long = {
+      val off = cBox._1 + 8 + ci * (if (wide) 8 else 4)
+      if (wide) {
+        if (off + 8 > cBox._2) return -1L
+        (be32(b, off).toLong << 32) | (be32(b, off + 4).toLong & 0xFFFFFFFFL)
+      } else {
+        if (off + 4 > cBox._2) return -1L
+        be32(b, off).toLong & 0xFFFFFFFFL
+      }
+    }
+    // stsc: version/flags(4) entry_count(4) [(first_chunk, samples_per_chunk, desc)...]
+    if (stsc._1 + 8 > stsc._2) return null
+    val nRuns = be32(b, stsc._1 + 4)
+    if (nRuns <= 0 || stsc._1 + 8 + nRuns * 12 > stsc._2) return null
+    def run(i: Int): (Int, Int) = {
+      val off = stsc._1 + 8 + i * 12
+      (be32(b, off), be32(b, off + 4)) // (first_chunk 1-based, samples_per_chunk)
+    }
+    val sums = new Array[Double](nSamples)
+    val sizes = new Array[Double](nSamples)
+    var s = 0
+    var ri = 0
+    var chunk = 1
+    while (s < nSamples && chunk <= nChunks) {
+      // advance the stsc run covering this chunk
+      while (ri + 1 < nRuns && run(ri + 1)._1 <= chunk) ri += 1
+      val perChunk = run(ri)._2
+      var cur = chunkOffset(chunk - 1)
+      if (cur < 0) return null
+      var k = 0
+      while (k < perChunk && s < nSamples) {
+        val sz = sampleSize(s)
+        if (sz < 0 || cur + sz > b.length) return null
+        var sum = 0L
+        var j = 0
+        while (j < sz) { sum += (b((cur + j).toInt) & 0xFF); j += 1 }
+        sums(s) = sum.toDouble
+        sizes(s) = sz.toDouble
+        cur += sz
+        s += 1
+        k += 1
+      }
+      chunk += 1
+    }
+    if (s < nSamples) return null
+    Samples(Array(sums, sizes))
+  }
 }
 
 /** Registry: ordered sniff dispatch; deployments append codecs (e.g. a

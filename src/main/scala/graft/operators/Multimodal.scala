@@ -201,6 +201,75 @@ object Multimodal {
   val synthBmpUdf = udf(synthBmp _)
   val synthWavUdf = udf((seed: Long, channels: Int, frames: Int) => synthWav(seed, channels, frames))
 
+  /** A real ISO-BMFF (MP4) container with a full sample-table chain —
+    * ftyp + moov(mvhd, trak(tkhd, mdia(mdhd, minf(stbl(stsz, stsc,
+    * stco))))) + mdat — whose sample bytes are closed-form: sample i
+    * has size `(seed + i·5) mod 24 + 8` and byte j =
+    * `(seed·31 + i·7 + j·3) mod 256`. Samples split across TWO chunks
+    * (first ⌈n/2⌉, then the rest) so the stsc run table and multiple
+    * stco offsets are genuinely exercised, not just a single
+    * contiguous run. Video metadata: w×h in tkhd 16.16 fixed point,
+    * 25 fps duration in mvhd. An SQL oracle recomputes the per-sample
+    * byte sums analytically while the engine walks the real tables. */
+  def synthMp4(seed: Long, nSamples: Int, w: Int, h: Int): Array[Byte] = {
+    def be32(v: Int): Array[Byte] =
+      Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+        ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def box(name: String, content: Array[Byte]*): Array[Byte] = {
+      val total = 8 + content.map(_.length).sum
+      val out = new java.io.ByteArrayOutputStream(total)
+      out.write(be32(total)); name.foreach(c => out.write(c.toInt))
+      content.foreach(out.write)
+      out.toByteArray
+    }
+    def sampleSize(i: Int): Int = (((seed + i * 5) % 24 + 24) % 24).toInt + 8
+    val sizes = (0 until nSamples).map(sampleSize)
+    val chunk1N = (nSamples + 1) / 2
+    val chunk1Bytes = sizes.take(chunk1N).sum
+    val ftyp = box("ftyp", "isom".getBytes("ASCII"), be32(0), "isom".getBytes("ASCII"))
+    // mvhd v0: flags, creation/mod times 0, timescale 1000, duration 40ms/sample
+    val mvhd = box("mvhd", new Array[Byte](12), be32(1000), be32(nSamples * 40),
+      new Array[Byte](80))
+    // tkhd v0: width/height 16.16 at content offset 76
+    val tkhd = box("tkhd", new Array[Byte](76), be32(w << 16), be32(h << 16))
+    val mdhd = box("mdhd", new Array[Byte](12), be32(1000), be32(nSamples * 40),
+      new Array[Byte](4))
+    val stsz = box("stsz", be32(0), be32(0), be32(nSamples),
+      sizes.toArray.flatMap(be32))
+    val stsc =
+      if (nSamples <= 1) box("stsc", be32(0), be32(1), be32(1), be32(nSamples max 1), be32(1))
+      else box("stsc", be32(0), be32(2),
+        be32(1), be32(chunk1N), be32(1),
+        be32(2), be32(nSamples - chunk1N), be32(1))
+    // stco offsets depend on the final layout: moov size is fixed once
+    // the child boxes are, so compute it with placeholder offsets first
+    def moovWith(off1: Int, off2: Int): Array[Byte] = {
+      val stco =
+        if (nSamples <= 1) box("stco", be32(0), be32(1), be32(off1))
+        else box("stco", be32(0), be32(2), be32(off1), be32(off2))
+      val stbl = box("stbl", stsz, stsc, stco)
+      val minf = box("minf", stbl)
+      val mdia = box("mdia", mdhd, minf)
+      val trak = box("trak", tkhd, mdia)
+      box("moov", mvhd, trak)
+    }
+    val moovSize = moovWith(0, 0).length
+    val mdatStart = ftyp.length + moovSize
+    val moov = moovWith(mdatStart + 8, mdatStart + 8 + chunk1Bytes)
+    val data = new Array[Byte](sizes.sum)
+    var p = 0
+    for (i <- 0 until nSamples; j <- 0 until sizes(i)) {
+      data(p) = (((seed * 31 + i * 7 + j * 3) % 256 + 256) % 256).toByte
+      p += 1
+    }
+    val mdat = box("mdat", data)
+    val out = new java.io.ByteArrayOutputStream(mdatStart + mdat.length)
+    out.write(ftyp); out.write(moov); out.write(mdat)
+    out.toByteArray
+  }
+
+  val synthMp4Udf = udf(synthMp4 _)
+
   /** A real PNG whose pixel (x, y) has the same closed-form channel
     * values as [[synthBmp]] (r = (seed·31+y·7+x·3) mod 256, g = +11,
     * b = +22). PNG is lossless, so the decoded channels equal the

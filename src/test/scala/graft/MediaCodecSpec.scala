@@ -284,6 +284,33 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(rows.length == 50 && rows.forall(r => r.getString(1) == "bmp" && r.getInt(2) == 4))
   }
 
+  test("MP4 synth → sample decode: stsz sizes + two-chunk stsc/stco walk") {
+    import graft.operators.Mp4Codec
+    val seed = 7L
+    val n = 9 // odd → chunks of 5 and 4
+    val b = Multimodal.synthMp4(seed, n, 64, 48)
+    // meta: dims from tkhd 16.16, n_frames from stsz sample_count
+    val m = Mp4Codec.meta(b)
+    assert(m.width == 64 && m.height == 48 && m.nFrames == n)
+    // samples: exact per-sample byte extents from the real tables
+    val s = Mp4Codec.samples(b).get
+    assert(s.channels.length == 2 && s.channels(0).length == n)
+    for (i <- 0 until n) {
+      val sz = (((seed + i * 5) % 24 + 24) % 24).toInt + 8
+      val expSum = (0 until sz).map(j => ((seed * 31 + i * 7 + j * 3) % 256 + 256) % 256).sum
+      assert(s.channels(1)(i) == sz.toDouble, s"size[$i]")
+      assert(s.channels(0)(i) == expSum.toDouble, s"sum[$i]")
+    }
+    // single-sample container takes the 1-chunk stsc/stco path
+    val one = Multimodal.synthMp4(3L, 1, 8, 8)
+    assert(Mp4Codec.samples(one).get.channels(0).length == 1)
+    // a truncated mdat (table points past the end) → None, not a throw
+    val cut = b.take(b.length - 5)
+    assert(Mp4Codec.samples(cut).isEmpty)
+    // corrupting the stco offset to point past EOF → None
+    assert(Mp4Codec.samples(b.take(40)).isEmpty)
+  }
+
   test("media expressions evaluate identically interpreted vs codegen") {
     import spark.implicits._
     import graft.functions.MediaChannelMeans.media_channel_means
