@@ -80,6 +80,55 @@ object Dedup {
       .drop("__h")
   }
 
+  /** Static corpus-side index for STREAMING near-dup dedup: the banded
+    * MinHash signatures (candidate generation) plus the raw shingle
+    * sets (exact Jaccard verification), both persisted — built once,
+    * probed by every micro-batch. At 100 TB the bands frame is the
+    * thing to write out `partitionBy("band")`: each batch's probe then
+    * reads only its colliding band partitions. */
+  final case class NearDupCorpusIndex(bands: DataFrame, sets: DataFrame,
+                                      shingleN: Int, nPerm: Int, nBands: Int)
+
+  def nearDupCorpusIndex(corpus: DataFrame, textCol: String, idCol: String,
+                         shingleN: Int = 3, nPerm: Int = 64,
+                         bands: Int = 8): NearDupCorpusIndex = {
+    val sh = shingleDf(corpus, textCol, idCol, shingleN, outId = "nd_cid").persist()
+    val banded = bandFrame(sh, "nd_cid", nPerm, bands).persist()
+    val sets = sh.select(col("nd_cid"), col("shingles").as("sh_c"),
+      size(col("shingles")).cast("long").as("n_c")).persist()
+    NearDupCorpusIndex(banded, sets, shingleN, nPerm, bands)
+  }
+
+  /** One micro-batch of streaming near-dup dedup: drop batch rows whose
+    * text is a MinHash-LSH near-duplicate (exact-verified Jaccard ≥
+    * threshold) of ANY corpus document. The batch side bands with the
+    * same permutations, candidates come from an equi-join on
+    * (band, band_hash) against the static index — never batch×corpus —
+    * and only candidates pay the exact verify. Use under
+    * `foreachBatch` (the no-state streaming shape: the INDEX is the
+    * state — bounded, shared, restart-free), after [[streamingExact]]
+    * if within-stream exact repeats should also drop. */
+  def dropNearDupsOfCorpus(batch: DataFrame, textCol: String, idCol: String,
+                           idx: NearDupCorpusIndex,
+                           threshold: Double = 0.5): DataFrame = {
+    // no persist: the returned frame is lazy (foreachBatch runs it after
+    // we return, so an unpersist here would cancel the cache mid-plan),
+    // and a micro-batch is small enough to tokenize twice
+    val sh = shingleDf(batch, textCol, idCol, idx.shingleN, outId = "nd_bid")
+    val cands = bandFrame(sh, "nd_bid", idx.nPerm, idx.nBands)
+      .join(idx.bands, Seq("band", "band_hash"))
+      .select(col("nd_bid"), col("nd_cid")).distinct()
+    val dupIds = cands
+      .join(sh.select(col("nd_bid"), col("shingles").as("sh_b"),
+        size(col("shingles")).cast("long").as("n_b")), "nd_bid")
+      .join(idx.sets, "nd_cid")
+      .withColumn("n_inter", size(array_intersect(col("sh_b"), col("sh_c"))).cast("long"))
+      .filter(col("n_inter").cast("double") /
+        (col("n_b") + col("n_c") - col("n_inter")) >= threshold)
+      .select(col("nd_bid")).distinct()
+    batch.join(dupIds, batch(idCol) === dupIds("nd_bid"), "left_anti")
+  }
+
   /** Word n-gram shingles from an ALREADY-MATERIALIZED token-array column.
     * The token array must be a plain column reference, not an inline
     * expression: this expression references it O(#tokens) times, and
@@ -150,20 +199,26 @@ object Dedup {
     minhashLshPairsFromShingles(
       shingleDf(df, textCol, idCol, shingleN, outId = "mh_id"), nPerm, bands)
 
+  /** (id, band, band_hash) frame from an (id, shingles) frame — the
+    * shared banding kernel of the self-join pair search and the
+    * streaming corpus index. */
+  private def bandFrame(sh: DataFrame, idOut: String, nPerm: Int,
+                        bands: Int): DataFrame = {
+    val rowsPerBand = nPerm / bands
+    val idCol = sh.columns.head
+    sh.select(col(idCol).as(idOut), minhashUdf(col("shingles"), lit(nPerm)).as("sig"))
+      .select(col(idOut),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .toDF(idOut, "band", "band_hash")
+  }
+
   /** Banding over an already-built (id, shingles) frame — callers that
     * also verify candidates share one shingle pipeline. */
   def minhashLshPairsFromShingles(sh: DataFrame, nPerm: Int, bands: Int): DataFrame = {
-    val rowsPerBand = nPerm / bands
-    val idCol = sh.columns.head
-    val sigd = sh.select(col(idCol).as("mh_id"),
-      minhashUdf(col("shingles"), lit(nPerm)).as("sig"))
     // persisted: both sides of the self-join consume this frame (the
     // signature UDF + shingle pipeline would otherwise run twice)
-    val banded = sigd.select(col("mh_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
-      .toDF("mh_id", "band", "band_hash")
-      .persist()
+    val banded = bandFrame(sh, "mh_id", nPerm, bands).persist()
     val l = banded.alias("l"); val r = banded.alias("r")
     l.join(r, col("l.band") === col("r.band") &&
         col("l.band_hash") === col("r.band_hash") &&

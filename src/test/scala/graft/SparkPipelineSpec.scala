@@ -224,6 +224,57 @@ class SparkPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming NEAR-dup dedup: MinHash-LSH bands vs a static corpus index") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "completely different corpus text about spark shuffle partitioning")
+    ).toDF("id", "body")
+    val idx = Dedup.nearDupCorpusIndex(corpus, "body", "id",
+      shingleN = 3, nPerm = 64, bands = 32)
+    val input = MemoryStream[(Long, String)]
+    val results = scala.collection.mutable.ArrayBuffer[Long]()
+    // foreachBatch: the index is the only cross-batch state
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val kept = Dedup.dropNearDupsOfCorpus(batch, "text", "doc_id", idx,
+          threshold = 0.5)
+        results.synchronized { results ++= kept.collect().map(_.getLong(0)) }
+        ()
+      }
+      .start()
+    try {
+      input.addData(
+        // near-copy of corpus doc 1 (one word changed) → dropped
+        (10L, "the quick brown fox jumps over the lazy cat near the river bank"),
+        // exact copy of corpus doc 2 → dropped
+        (11L, "completely different corpus text about spark shuffle partitioning"),
+        // genuinely novel → kept
+        (12L, "novel document with entirely new content never seen before today"))
+      q.processAllAvailable()
+      // second batch: near-dup detection keeps working per batch
+      input.addData(
+        (13L, "the quick brown fox jumps over the lazy dog near the river bend"),
+        (14L, "another novel document nothing like the corpus at all frankly"))
+      q.processAllAvailable()
+      assert(results.sorted == Seq(12L, 14L), s"kept ${results.sorted}")
+    } finally q.stop()
+    // batch-equivalence: the same decisions as a batch run of the same op
+    val allDocs = Seq(
+      (10L, "the quick brown fox jumps over the lazy cat near the river bank"),
+      (11L, "completely different corpus text about spark shuffle partitioning"),
+      (12L, "novel document with entirely new content never seen before today"),
+      (13L, "the quick brown fox jumps over the lazy dog near the river bend"),
+      (14L, "another novel document nothing like the corpus at all frankly")
+    ).toDF("doc_id", "text")
+    val batchKept = Dedup.dropNearDupsOfCorpus(allDocs, "text", "doc_id", idx, 0.5)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(batchKept == Seq(12L, 14L))
+  }
+
   test("embedding-cosine near-dup pairs via LSH buckets") {
     import spark.implicits._
     // two tight clusters + noise: near-dups are within-cluster pairs
