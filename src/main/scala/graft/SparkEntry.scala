@@ -1189,8 +1189,31 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Embedding outlier scan: top-50 farthest-from-centroid vectors
+    * (deterministic k-means ⇒ the approximate-clustering outlier list
+    * is exactly oracled, like the nprobe path). */
+  private def qEmbOutliers(s: SparkSession, dir: String): DataFrame =
+    Similarity.embOutliers(t(s, dir, "embeddings"), "embedding", "vec_id",
+        k = 8, iters = 2, topN = 50)
+      .orderBy(col("dist2").desc, col("vec_id"))
+
+  /** Per-doc top-3 TF-IDF keywords. */
+  private def qTfidfKeywords(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfKeywords(t(s, dir, "documents"), "text", "doc_id", topK = 3)
+      .select(col("doc_id"), col("term"), col("tfidf"), col("rnk"))
+      .orderBy(col("doc_id"), col("rnk"))
+
+  /** Training-shard assignment stats (16 shards). */
+  private def qShardStats(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.shardStats(t(s, dir, "documents"), "text", "doc_id",
+        nShards = 16)
+      .orderBy(col("shard"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ip_range_lookup" -> (qIpRange _),
+    "emb_outliers" -> (qEmbOutliers _),
+    "tfidf_keywords" -> (qTfidfKeywords _),
+    "shard_stats" -> (qShardStats _),
     "multimodal_meta" -> (qMultimodal _),
     "multimodal_mp4_decode" -> (qMultimodalMp4 _),
     "multimodal_bmp_decode" -> (qMultimodalBmp _),
@@ -1623,11 +1646,14 @@ object SparkEntry {
     * centroids, and from there the identical home/probe cells,
     * candidate pairs, and recall. This is the trick that makes an
     * APPROXIMATE production path fully correctness-visible. */
-  private def semanticNprobeOracle(dim: Int, k: Int, iters: Int,
-                                   nprobe: Int, threshold: Double): String = {
-    // one assignment+mean round: scores vs c$i, argmin cell, exact
-    // integer per-position sums, centroid = sx/(n·1e6); empty cells
-    // keep the previous centroid
+  /** WITH-body CTE chain for the deterministic k-means replay: `e`
+    * (vectors + fixed-point coords under `where`), `c0..c$iters`
+    * (Lloyd rounds — scores vs c$i, argmin cell with (score, cell)
+    * tie-break, exact integer per-position sums, centroid =
+    * sx/(n·1e6); empty cells keep the previous centroid), and `sf`
+    * (final per-(vector, cell) scores vs c$iters). Shared by every
+    * oracle that rides the deterministic centroids. */
+  private def detKmeansCtes(dim: Int, k: Int, iters: Int, where: String): String = {
     def round_(i: Int): String =
       s"""s$i AS (SELECT e.vec_id, c.cell,
             list_dot_product(c.cv, c.cv) - 2*list_dot_product(e.v, c.cv) AS s
@@ -1645,20 +1671,25 @@ object SparkEntry {
             SELECT cell, list(CAST(sx AS DOUBLE)/(CAST(n AS DOUBLE)*1000000) ORDER BY i) AS cv
             FROM m$i GROUP BY cell) u USING (cell))"""
     val rounds = (0 until iters).map(round_).mkString(",\n        ")
-    val cos = """round(list_dot_product(a.v, b.v) /
-              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)"""
-    s"""WITH e AS (SELECT vec_id,
+    s"""e AS (SELECT vec_id,
           CAST(embedding AS DOUBLE[]) AS v,
           list_transform(CAST(embedding AS DOUBLE[]),
             x -> CAST(floor(x*1000000 + 0.5) AS BIGINT)) AS sv
-          FROM embeddings $halfWhere),
+          FROM embeddings $where),
         c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
             list_transform(sv, x -> CAST(x AS DOUBLE)/1000000) AS cv
           FROM (SELECT vec_id, sv FROM e ORDER BY vec_id LIMIT $k)),
         $rounds,
         sf AS (SELECT e.vec_id, c.cell,
             list_dot_product(c.cv, c.cv) - 2*list_dot_product(e.v, c.cv) AS s
-          FROM e, c$iters c),
+          FROM e, c$iters c)"""
+  }
+
+  private def semanticNprobeOracle(dim: Int, k: Int, iters: Int,
+                                   nprobe: Int, threshold: Double): String = {
+    val cos = """round(list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)"""
+    s"""WITH ${detKmeansCtes(dim, k, iters, halfWhere)},
         rnk AS (SELECT vec_id, cell, row_number() OVER
             (PARTITION BY vec_id ORDER BY s, cell) AS rk FROM sf),
         home AS (SELECT vec_id AS h_id, cell FROM rnk WHERE rk = 1),
@@ -2328,6 +2359,42 @@ object SparkEntry {
     "knn_label_vote_lsh" -> knnLshOracle(dim = 64, nBits = 6, tables = 4, k = 5),
     "semantic_dedup_nprobe" -> semanticNprobeOracle(dim = 64, k = 8,
       iters = 2, nprobe = 2, threshold = 0.4),
+    "emb_outliers" ->
+      s"""WITH ${detKmeansCtes(dim = 64, k = 8, iters = 2, where = "")},
+          home AS (SELECT vec_id, cell, s FROM (
+              SELECT vec_id, cell, s, row_number() OVER
+                (PARTITION BY vec_id ORDER BY s, cell) AS rk FROM sf)
+            WHERE rk = 1)
+          SELECT h.vec_id, CAST(h.cell AS INT) AS cell,
+            round(list_dot_product(e.v, e.v) + h.s, 6) AS dist2
+          FROM home h JOIN e USING (vec_id)
+          ORDER BY dist2 DESC, vec_id LIMIT 50""",
+    "tfidf_keywords" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_filter(
+             regexp_split_to_array(trim(lower(text)), '\s+'), x -> len(x) > 0)) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS c FROM toks GROUP BY doc_id, term),
+         dl AS (SELECT doc_id, sum(c) AS dlen FROM tf GROUP BY doc_id),
+         dft AS (SELECT term, count(*) AS dft FROM tf GROUP BY term),
+         n AS (SELECT count(*) AS nd FROM documents),
+         sc AS (
+           SELECT t.doc_id, t.term,
+             round((CAST(t.c AS DOUBLE) / dlen) * ln(CAST(nd AS DOUBLE) / dft), 4) AS tfidf
+           FROM tf t JOIN dl USING (doc_id) JOIN dft USING (term), n),
+         r AS (SELECT *, row_number() OVER
+             (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rnk FROM sc)
+         SELECT doc_id, term, tfidf, CAST(rnk AS INT) AS rnk
+         FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+    "shard_stats" ->
+      s"""WITH ${splitmixStagesSql("documents", "doc_id", "doc_id, text")},
+          sh AS (SELECT doc_id, CAST(u53 % 16 AS INT) AS shard,
+            CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+              x -> len(x) > 0)) AS BIGINT) AS n_tok
+            FROM s3)
+          SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+            min(doc_id) AS min_doc, max(doc_id) AS max_doc
+          FROM sh GROUP BY shard ORDER BY shard""",
     "source_stats" ->
       """WITH d AS (
            SELECT source, md5(text) AS h,

@@ -36,6 +36,22 @@ object Sampling {
     df.filter(unitUniform53(col(idCol)) < thr)
   }
 
+  /** Training-shard assignment + composition stats: shard =
+    * splitmix64-uniform of the doc id mod nShards — the deterministic
+    * global shuffle+shard step before training-data writes (pair with
+    * `.write.partitionBy("shard")` so each shard lands as its own file
+    * set; the hash gives ~equal shards at any corpus size and total
+    * INDEPENDENCE from input order/partitioning). Map-only expression
+    * plus one bounded agg (nShards rows). */
+  def shardStats(df: DataFrame, textCol: String, idCol: String,
+                 nShards: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        pmod(unitUniform53(col(idCol)), lit(nShards.toLong)).cast("int").as("shard"),
+        graft.operators.TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tok"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+
   /** Exactly-N-per-stratum sample: rank rows inside each stratum by the
     * id hash (a deterministic shuffle order) and keep the first N.
     *

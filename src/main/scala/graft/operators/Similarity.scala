@@ -373,6 +373,27 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** Embedding outliers: the topN vectors farthest (squared distance)
+    * from their assigned deterministic-k-means centroid — the standard
+    * "drop the junk tail" curation filter (mislabeled scrapes, encoder
+    * failures, off-distribution content sit far from every cell).
+    * dist² = v·v + (c·c − 2·v·c) — the ranking score plus the
+    * per-vector constant, all sequential-fold dots, so the
+    * deterministic centroids make even this OUTLIER list exactly
+    * replayable cross-engine. Map-only over the corpus +
+    * TakeOrderedAndProject for the global top-N. */
+  def embOutliers(df: DataFrame, vecCol: String, idCol: String,
+                  k: Int, iters: Int, topN: Int): DataFrame = {
+    import graft.functions.VecDot.vec_dot
+    val cents = kmeansCentroidsDet(df, vecCol, idCol, k, iters)
+    df.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+        detCellRanking(col(vecCol), cents).getItem(0).as("b"))
+      .select(col("vec_id"), col("b.cell").as("cell"),
+        round(vec_dot(col("v"), col("v")) + col("b.s"), 6).as("dist2"))
+      .orderBy(col("dist2").desc, col("vec_id").asc)
+      .limit(topN)
+  }
+
   /** k-NN label-vote propagation — the weak-supervision/auto-labeling
     * step: each vector takes the majority label of its k nearest
     * neighbors by cosine (ties: higher vote count, then smaller label).

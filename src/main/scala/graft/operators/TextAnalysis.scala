@@ -272,6 +272,40 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("tok_a"), col("tok_b"))
       .limit(topN)
 
+  /** Per-document top-k TF-IDF keywords — the classic corpus-aware
+    * term extraction (doc topicality signal for mixture building,
+    * clustering labels, near-dup triage). tfidf = (count/doclen) ·
+    * ln(N/df), rounded to 4 BEFORE ranking so the cross-engine order
+    * is robust to 1-ulp `ln` differences; ties break on the term.
+    *
+    * Scale shape: one (doc, term) partial aggregation feeds everything
+    * — doc length re-aggregates it by doc, document frequency by term
+    * (so a boilerplate term combines map-side; no count-distinct over
+    * raw tokens), the corpus size rides a 1-row broadcast, and the
+    * per-doc rank is PartitionPrune-bounded to k×#partitions rows per
+    * doc before the exact window. */
+  def tfidfKeywords(df: DataFrame, textCol: String, idCol: String,
+                    topK: Int): DataFrame = {
+    val tf = df.select(col(idCol).as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+      .persist()
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("c")).as("dlen"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("dft"))
+    val nd = df.agg(count(lit(1)).as("nd"))
+    val scored = tf.join(dl, "doc_id").join(dft, "term")
+      .crossJoin(broadcast(nd))
+      .select(col("doc_id"), col("term"),
+        round((col("c").cast("double") / col("dlen")) *
+          log(col("nd").cast("double") / col("dft")), 4).as("tfidf"))
+    val pruned = PartitionPrune.firstNPerKey(scored, "doc_id",
+      Seq(col("tfidf").desc, col("term").asc), topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term").asc)
+    pruned.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+  }
+
   /** Fixed-token document chunking with overlap — the step that turns
     * variable-length documents into model-window-sized sequences
     * (pretraining contexts, RAG passages). Chunk starts advance by

@@ -238,6 +238,26 @@ class PlanQualitySpec extends AnyFunSuite {
       np.take(1200))
   }
 
+  test("r5 additions: tfidf/shard/outliers keep their scale shapes") {
+    // tfidf: PartitionPrune bound before the rank window, corpus size
+    // on a broadcast, no quadratic joins
+    val tk = plan("tfidf_keywords")
+    assert(tk.contains("MapPartitions") || tk.contains("mapPartitions"),
+      s"PartitionPrune bound missing:\n${tk.take(1200)}")
+    assert(tk.contains("BroadcastExchange"), tk.take(1200))
+    // (the 1-row corpus-size combine legitimately rides a broadcast
+    // nested-loop; a data×data cartesian is what must never appear)
+    assert(!tk.contains("CartesianProduct"), tk.take(1200))
+    // shard_stats: map-only expression + one bounded agg — no window,
+    // no join at all
+    val ss = plan("shard_stats")
+    assert(!ss.contains("Window") && !ss.contains("Join"), ss.take(1200))
+    // emb_outliers: global top-N via TakeOrderedAndProject, not a sort
+    val eo = plan("emb_outliers")
+    assert(eo.contains("TakeOrderedAndProject"), eo.take(1200))
+    assert(!eo.contains("Join"), eo.take(1200))
+  }
+
   test("star-contraction clustering plans without quadratic joins") {
     val p = plan("dedup_clusters_star")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

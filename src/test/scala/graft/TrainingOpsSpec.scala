@@ -431,4 +431,56 @@ class TrainingOpsSpec extends AnyFunSuite {
     val bad = out.filter(abs(col("q_sum")) > 127L * 64).count()
     assert(bad == 0)
   }
+
+  test("tfidf keywords: idf suppresses ubiquitous terms, tf lifts repeats") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common alpha alpha alpha"),
+      (2L, "common beta"),
+      (3L, "common gamma gamma"),
+      (4L, "common delta")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .tfidfKeywords(docs, "text", "doc_id", topK = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getString(1)).toMap
+    // 'common' appears in every doc → idf = ln(1) = 0 → never ranks
+    // above a doc-specific term
+    assert(out((1L, 1)) == "alpha")
+    assert(out((2L, 1)) == "beta")
+    assert(out((3L, 1)) == "gamma")
+    // rank-2 term for doc 1 is 'common' (tfidf 0.0) — ties on 0 break
+    // alphabetically and it is the only other term
+    assert(out((1L, 2)) == "common")
+  }
+
+  test("shard stats: deterministic, order-independent, complete partition") {
+    import spark.implicits._
+    val docs = (0L until 1000L).map(i => (i, s"w$i token body")).toDF("doc_id", "text")
+    val a = graft.operators.Sampling.shardStats(docs, "text", "doc_id", 16)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val b = graft.operators.Sampling.shardStats(docs.repartition(7).orderBy(rand(42)),
+        "text", "doc_id", 16)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(a == b, "shard assignment depends on input order/partitioning")
+    assert(a.keySet == (0 until 16).toSet)
+    assert(a.values.map(_._1).sum == 1000L)
+    // hash balance: no shard more than 2× the mean on 1000 docs
+    assert(a.values.map(_._1).max <= 125L, s"skewed: $a")
+  }
+
+  test("embedding outliers: planted far vector ranks first") {
+    import spark.implicits._
+    val dim = 8
+    val rnd = new scala.util.Random(7)
+    val normal = (0L until 200L).map(i =>
+      (i, Array.fill(dim)((rnd.nextDouble() * 0.2 - 0.1).toFloat), 0))
+    // one planted vector far outside the cloud
+    val far = Seq((999L, Array.fill(dim)(5.0f), 0))
+    val df = (normal ++ far).toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Similarity
+      .embOutliers(df, "embedding", "vec_id", k = 4, iters = 2, topN = 5)
+      .collect()
+    assert(out.head.getLong(0) == 999L, s"planted outlier not first: ${out.toSeq}")
+    assert(out.head.getDouble(2) > out(1).getDouble(2) * 10)
+  }
 }
