@@ -685,6 +685,46 @@ object SparkEntry {
     TextAnalysis.sourceStats(t(s, dir, "documents"), "text", "source")
       .orderBy(col("source"))
 
+  /** Cross-corpus near-dup dedup — the continual-training shape: a new
+    * batch (odd ids) is deduped against an existing corpus index (even
+    * ids) via the MinHash-LSH band equi-join + exact Jaccard verify.
+    * The banded index is the bounded state; the batch never joins the
+    * corpus directly. Survivors = batch docs with no corpus neighbor at
+    * Jaccard ≥ 0.5; band recall covers every true pair at this
+    * threshold (P[miss] ≈ 6e-15 per pair), so the oracle is the plain
+    * batch×corpus Jaccard relation. */
+  private def qCrossCorpusLsh(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val idx = Dedup.nearDupCorpusIndex(corpus, "text", "doc_id")
+    Dedup.dropNearDupsOfCorpus(batch, "text", "doc_id", idx, threshold = 0.5)
+      .select(col("doc_id"), col("source"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-doc n-gram novelty profile (share of shingles first seen in
+    * this doc) — dedup-adjacent curation signal; join+partial-agg only. */
+  private def qNgramNovelty(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramNovelty(t(s, dir, "documents"), "text", "doc_id")
+      .orderBy(col("doc_id"))
+
+  /** Logistic quality filter with baked-in weights (map-only scan-side
+    * keep/drop decision). */
+  private def qQualityClassifier(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityClassify(t(s, dir, "documents"), "text", "doc_id")
+      .orderBy(col("doc_id"))
+
+  /** Per-(source, lang) dataset card rollup. */
+  private def qDatasetCard(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.datasetCard(t(s, dir, "documents"), "text", "source", "lang")
+      .orderBy(col("source"), col("lang"))
+
+  /** Per-dimension embedding distribution stats (dim-keyed partial agg). */
+  private def qEmbDimStats(s: SparkSession, dir: String): DataFrame =
+    Similarity.embDimStats(t(s, dir, "embeddings"), "embedding")
+      .orderBy(col("dim"))
+
   /** k-NN label-vote propagation over the embeddings (weak-supervision
     * auto-labeling): majority label of the 5 exact-cosine nearest
     * neighbors per vector. Exact variant = block equi-join + bounded
@@ -1291,8 +1331,53 @@ object SparkEntry {
     "semantic_dedup_nprobe" -> (qSemanticDedupNprobe _),
     "bpe_top_merges" -> (qBpeTopMerges _),
     "span_dedup" -> (qSpanDedup _),
-    "cdc_dedup" -> (qCdcDedup _)
+    "cdc_dedup" -> (qCdcDedup _),
+    "dedup_crosscorpus_lsh" -> (qCrossCorpusLsh _),
+    "ngram_novelty" -> (qNgramNovelty _),
+    "quality_classifier" -> (qQualityClassifier _),
+    "dataset_card" -> (qDatasetCard _),
+    "emb_dim_stats" -> (qEmbDimStats _)
   )
+
+  /** Logistic-quality-filter oracle: replays the [[TextAnalysis
+    * .qualityClassify]] score from the SAME weight map over the SAME
+    * post-round(4) feature values, so the constants live in one place. */
+  private def qualityClassifierOracle: String = {
+    val w = TextAnalysis.QualityWeights
+    val nTok = """len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             x -> len(x) > 0))"""
+    val avgTokLen = s"""round(CASE WHEN $nTok > 0
+           THEN CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / $nTok
+           ELSE 0.0 END, 4)"""
+    val stopRatio = s"""round(CASE WHEN $nTok > 0
+           THEN CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+             x -> list_contains(['the','a','an','and','or','of','to','in','is','it',
+               'that','this','for','on','with','as','at','by','be'], lower(x))))
+             AS DOUBLE) / $nTok
+           ELSE 0.0 END, 4)"""
+    val punctRatio = s"""round(CASE WHEN length(text) > 0
+           THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) /
+             length(text)
+           ELSE 0.0 END, 4)"""
+    s"""WITH f AS (
+          SELECT doc_id,
+            CAST($nTok AS BIGINT) AS q_tokens,
+            $avgTokLen AS q_avg_token_len,
+            $stopRatio AS q_stopword_ratio,
+            $punctRatio AS q_punct_ratio
+          FROM documents),
+        z AS (
+          SELECT doc_id, q_tokens, q_stopword_ratio, q_punct_ratio,
+            ${w("intercept")} + ${w("log1p_tokens")} * ln(1.0 + CAST(q_tokens AS DOUBLE))
+              + ${w("stopword_ratio")} * q_stopword_ratio
+              + ${w("punct_ratio")} * q_punct_ratio
+              + ${w("avg_token_len")} * q_avg_token_len AS zz
+          FROM f)
+        SELECT doc_id, q_tokens, q_stopword_ratio, q_punct_ratio,
+          round(1.0 / (1.0 + exp(-zz)), 4) AS quality_score,
+          (1.0 / (1.0 + exp(-zz)) >= 0.5) AS keep
+        FROM z ORDER BY doc_id"""
+  }
 
   /** Shared by dedup_ngram_jaccard (exact self-join) and
     * dedup_minhash_lsh (LSH candidates + exact verification): the two
@@ -2527,10 +2612,77 @@ object SparkEntry {
              (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
               sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
          FROM embeddings, q
-         ORDER BY cos_sim DESC, vec_id LIMIT 10"""
+         ORDER BY cos_sim DESC, vec_id LIMIT 10""",
     // ann_ivf_kmeans_topk is the deliberately cell-PRUNED approximate
     // variant (recall pinned in SimilaritySpec) → rows-only by design;
     // every other query is oracled (dedup_simhash / doc_fingerprint via
     // the HUGEINT mod-2^64 FNV-1a reconstruction above).
+    //
+    // Band recall covers every true pair at threshold 0.5 (same argument
+    // as dedup_minhash_lsh), so the cross-corpus LSH survivors equal the
+    // plain batch×corpus Jaccard anti-join.
+    "dedup_crosscorpus_lsh" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+             x -> len(x) > 0) AS t FROM documents),
+         sh0 AS (
+           SELECT doc_id, t, unnest(generate_series(1, greatest(len(t)-2, 0))) AS i
+           FROM toks),
+         shAll AS (
+           SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+           FROM sh0),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM shAll GROUP BY doc_id),
+         b AS (SELECT * FROM shAll WHERE doc_id % 2 = 1),
+         c AS (SELECT * FROM shAll WHERE doc_id % 2 = 0),
+         inter AS (
+           SELECT b.doc_id AS bid, c.doc_id AS cid, count(*) AS n_inter
+           FROM b JOIN c USING (shingle) GROUP BY b.doc_id, c.doc_id),
+         dup AS (
+           SELECT DISTINCT bid FROM inter
+           JOIN sizes sb ON sb.doc_id = bid
+           JOIN sizes sc ON sc.doc_id = cid
+           WHERE CAST(n_inter AS DOUBLE) / (sb.n_sh + sc.n_sh - n_inter) >= 0.5)
+         SELECT doc_id, source, lang FROM documents
+         WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT bid FROM dup)
+         ORDER BY doc_id""",
+    "ngram_novelty" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+             x -> len(x) > 0) AS t FROM documents),
+         sh0 AS (
+           SELECT doc_id, t, unnest(generate_series(1, greatest(len(t)-2, 0))) AS i
+           FROM toks),
+         shAll AS (
+           SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+           FROM sh0),
+         fst AS (SELECT shingle, min(doc_id) AS first_id FROM shAll GROUP BY shingle),
+         per AS (
+           SELECT s.doc_id, count(*) AS n_shingles,
+             sum(CASE WHEN f.first_id = s.doc_id THEN 1 ELSE 0 END) AS n_novel
+           FROM shAll s JOIN fst f USING (shingle) GROUP BY s.doc_id)
+         SELECT d.doc_id,
+           CAST(coalesce(n_shingles, 0) AS BIGINT) AS n_shingles,
+           CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
+           round(coalesce(CAST(n_novel AS DOUBLE) / n_shingles, 0.0), 4) AS novelty
+         FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""",
+    "quality_classifier" -> qualityClassifierOracle,
+    "dataset_card" ->
+      """SELECT source, lang, count(*) AS n_docs,
+           count(DISTINCT text) AS n_distinct_texts,
+           CAST(sum(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             x -> len(x) > 0))) AS BIGINT) AS total_tokens,
+           round(avg(CAST(length(text) AS DOUBLE)), 4) AS avg_chars,
+           round(CAST(count(*) - count(DISTINCT text) AS DOUBLE) / count(*), 4)
+             AS dup_rate
+         FROM documents GROUP BY source, lang ORDER BY source, lang""",
+    "emb_dim_stats" ->
+      """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         u0 AS (SELECT v, unnest(generate_series(1, len(v))) AS i FROM e),
+         u AS (SELECT CAST(i - 1 AS INT) AS dim, v[i] AS x FROM u0)
+         SELECT dim, count(*) AS n,
+           round(avg(x), 4) AS mean,
+           round(stddev_samp(x), 4) AS std,
+           min(x) AS min_x, max(x) AS max_x
+         FROM u GROUP BY dim ORDER BY dim"""
   )
 }

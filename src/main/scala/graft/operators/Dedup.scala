@@ -453,4 +453,31 @@ object Dedup {
             when(!col("is_dup"), struct(col("chunk_idx"), col("chunk_text"))))),
           s => s.getField("chunk_text")), " ").as("clean_text"))
   }
+
+  /** Per-document n-gram novelty: the fraction of a doc's DISTINCT
+    * n-gram shingles whose first corpus occurrence (minimum id) is this
+    * doc. A curation signal for ordering/pruning crawl snapshots: a low
+    * score means the doc is mostly re-treading shingles an earlier doc
+    * already contributed. Scale shape: explode → one partial-agg
+    * exchange on the shingle key (min-id; hot boilerplate shingles
+    * combine map-side), an equi-join back, and a per-doc partial agg —
+    * no windows, no self-join, so no single-task key funnels at 100 TB.
+    * Docs with fewer than n tokens have no shingles and score 0. */
+  def ngramNovelty(df: DataFrame, textCol: String, idCol: String,
+                   n: Int = 3): DataFrame = {
+    val sh = shingleDf(df, textCol, idCol, n, outId = "nv_id")
+    val ex = sh.select(col("nv_id"), explode(col("shingles")).as("shingle"))
+    val first = ex.groupBy(col("shingle")).agg(min(col("nv_id")).as("first_id"))
+    val perDoc = ex.join(first, "shingle")
+      .groupBy(col("nv_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_id") === col("nv_id"), 1L).otherwise(0L)).as("n_novel"))
+    df.select(col(idCol))
+      .join(perDoc, col(idCol) === col("nv_id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        round(coalesce(col("n_novel").cast("double") / col("n_shingles"),
+          lit(0.0)), 4).as("novelty"))
+  }
 }

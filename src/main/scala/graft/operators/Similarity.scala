@@ -526,4 +526,20 @@ object Similarity {
     }
     df.withColumn("ivf_cell", array_min(array(dists: _*)).getField("cell"))
   }
+
+  /** Per-dimension embedding distribution stats — the embedding-health
+    * check a pipeline runs before indexing (dead dims, scale drift,
+    * saturated ranges). One posexplode (map-side, rows = n·dim) and one
+    * partial-agg exchange keyed by the dim index (cardinality = dim, so
+    * the shuffle is tiny regardless of corpus size; map-side combine
+    * does all the work). Mean/std rounded to 4 (float-sum association
+    * order differs across engines in the last ulps); min/max exact. */
+  def embDimStats(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode(asDouble(col(vecCol))).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("x")), 4).as("mean"),
+        round(stddev_samp(col("x")), 4).as("std"),
+        min(col("x")).as("min_x"),
+        max(col("x")).as("max_x"))
 }

@@ -333,4 +333,55 @@ object TextAnalysis {
         array_join(slice(col("__toks"), col("col") + 1, lit(chunkSize)), " ")
           .as("chunk_text"))
   }
+
+  /** Fixed weights of the linear quality classifier — the shape of a
+    * fasttext-style keep/drop filter with the model baked in (the
+    * sandbox has no trained weights; the PIPELINE is the deliverable:
+    * swap the constants for a learned vector and nothing else moves).
+    * Weights are over the [[qualityColumns]] feature values as emitted
+    * (i.e. post-round(4) ratios), so any engine can replay the score. */
+  val QualityWeights: Map[String, Double] = Map(
+    "intercept"       -> -2.0,
+    "log1p_tokens"    -> 0.55,
+    "stopword_ratio"  -> 4.0,
+    "punct_ratio"     -> -6.0,
+    "avg_token_len"   -> -0.12)
+
+  /** Linear quality classifier: logistic score over the deterministic
+    * [[qualityColumns]] features + a keep decision at 0.5. Map-only —
+    * one projection, no shuffle; at 100 TB this is a pure scan-side
+    * filter that composes with any downstream stage. Score is rounded
+    * to 4 decimals (like every cross-engine float in this library). */
+  def qualityClassify(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = QualityWeights
+    val feats = qualityColumns(col(textCol))
+    val base = df.select(col(idCol) +: feats: _*)
+    val z = lit(w("intercept")) +
+      lit(w("log1p_tokens")) * log1p(col("q_tokens").cast("double")) +
+      lit(w("stopword_ratio")) * col("q_stopword_ratio") +
+      lit(w("punct_ratio")) * col("q_punct_ratio") +
+      lit(w("avg_token_len")) * col("q_avg_token_len")
+    base.select(col(idCol),
+      col("q_tokens"), col("q_stopword_ratio"), col("q_punct_ratio"),
+      round(lit(1.0) / (lit(1.0) + exp(-z)), 4).as("quality_score"),
+      (lit(1.0) / (lit(1.0) + exp(-z)) >= 0.5).as("keep"))
+  }
+
+  /** Dataset card: the per-(source, lang) rollup a curation run
+    * publishes — doc/token counts, mean length, and the exact-duplicate
+    * rate within the slice (1 − distinct texts / docs). Scale shape:
+    * token counting is map-side; the distinct-text count goes through
+    * Spark's two-exchange expand (partial agg on (source, lang, text)
+    * first, so repeated boilerplate collapses map-side before the
+    * wide exchange); the final agg keys on the low-cardinality
+    * (source, lang). No windows, no collect. */
+  def datasetCard(df: DataFrame, textCol: String, srcCol: String,
+                  langCol: String): DataFrame =
+    df.groupBy(col(srcCol), col(langCol))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col(textCol)).as("n_distinct_texts"),
+        sum(tokenCount(col(textCol)).cast("long")).as("total_tokens"),
+        round(avg(length(col(textCol)).cast("double")), 4).as("avg_chars"),
+        round((count(lit(1)) - countDistinct(col(textCol))).cast("double") /
+          count(lit(1)), 4).as("dup_rate"))
 }

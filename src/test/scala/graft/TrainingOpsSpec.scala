@@ -483,4 +483,65 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(out.head.getLong(0) == 999L, s"planted outlier not first: ${out.toSeq}")
     assert(out.head.getDouble(2) > out(1).getDouble(2) * 10)
   }
+
+  test("ngram novelty: first occurrence wins, short docs score zero") {
+    import graft.operators.Dedup
+    val df = docs(
+      1L -> "a b c d",      // shingles {a b c, b c d} — both first here
+      2L -> "a b c x",      // {a b c} seen in doc 1, {b c x} novel → 0.5
+      3L -> "tiny doc")     // < 3 tokens → no shingles → novelty 0
+    val out = Dedup.ngramNovelty(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((2L, 2L, 1.0)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((0L, 0L, 0.0)))
+  }
+
+  test("quality classifier: score replays the weight map; junk drops") {
+    val df = docs(
+      1L -> "the report is ready and it covers the plan for this launch",
+      2L -> "%%% $$$ ### !!! @@@ ^^^ &&& *** ((( )))")
+    val out = TextAnalysis.qualityClassify(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(4), r.getBoolean(5))).toMap
+    // replay doc 1 by hand from the emitted (rounded) features
+    val w = TextAnalysis.QualityWeights
+    val nTok = 12.0; val stop = math.rint(7.0 / 12 * 1e4) / 1e4
+    val avgLen = math.rint(47.0 / 12 * 1e4) / 1e4 // 47 non-ws chars
+    val z = w("intercept") + w("log1p_tokens") * math.log1p(nTok) +
+      w("stopword_ratio") * stop + w("punct_ratio") * 0.0 +
+      w("avg_token_len") * avgLen
+    val expected = math.rint(1.0 / (1.0 + math.exp(-z)) * 1e4) / 1e4
+    assert(out(1L)._1 == expected, s"got ${out(1L)._1}, want $expected")
+    assert(out(1L)._2, "clean English sentence should be kept")
+    assert(!out(2L)._2, "pure-punctuation junk should drop")
+    assert(out(1L)._1 > out(2L)._1)
+  }
+
+  test("dataset card: dup rate counts repeated texts within the slice") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "same text", "web", "en"),
+      (2L, "same text", "web", "en"),
+      (3L, "other text here", "web", "en"),
+      (4L, "solo", "book", "de")
+    ).toDF("doc_id", "text", "source", "lang")
+    val out = TextAnalysis.datasetCard(df, "text", "source", "lang")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(6))).toMap
+    assert(out(("web", "en")) == ((3L, 2L, 7L, math.rint(1.0 / 3 * 1e4) / 1e4)))
+    assert(out(("book", "de")) == ((1L, 1L, 1L, 0.0)))
+  }
+
+  test("embedding dim stats: hand-computed mean/std/min/max per dim") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 10.0f)),
+      (2L, Array(3.0f, 10.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.embDimStats(df, "embedding")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(out(0) == ((2L, 2.0, math.rint(math.sqrt(2.0) * 1e4) / 1e4, 1.0, 3.0)))
+    assert(out(1) == ((2L, 10.0, 0.0, 10.0, 10.0)))
+  }
 }
