@@ -258,6 +258,38 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!eo.contains("Join"), eo.take(1200))
   }
 
+  test("r5 curation batch: novelty/classifier/card/dim-stats scale shapes") {
+    // ngram_novelty: shingle first-occurrence is agg+equi-join, never a
+    // window (a hot boilerplate shingle must not funnel one task) and
+    // never a data×data product
+    val nv = plan("ngram_novelty")
+    assert(!nv.contains("Window"), nv.take(1200))
+    assert(!nv.contains("CartesianProduct") &&
+      !nv.contains("BroadcastNestedLoopJoin"), nv.take(1200))
+    // quality_classifier: map-only scan-side filter — no join, no
+    // aggregate, no window; the only exchange is the output ordering
+    val qc = plan("quality_classifier")
+    assert(!qc.contains("Join") && !qc.contains("Window") &&
+      !qc.contains("HashAggregate"), qc.take(1200))
+    assert(qc.sliding("Exchange".length).count(_ == "Exchange") <= 1,
+      qc.take(1200))
+    // dataset_card: no window, no join; distinct-count rides the
+    // two-exchange expand with a partial agg absorbing dup texts
+    val dc = plan("dataset_card")
+    assert(!dc.contains("Window") && !dc.contains("Join"), dc.take(1200))
+    // emb_dim_stats: dim-keyed partial agg — no window/join, and the
+    // post-shuffle agg keyed by dim (cardinality = dim) stays tiny
+    val ds = plan("emb_dim_stats")
+    assert(!ds.contains("Window") && !ds.contains("Join"), ds.take(1200))
+    assert(ds.contains("partial"), s"map-side combine missing:\n${ds.take(1200)}")
+    // cross-corpus near-dup: candidates via the (band, band_hash)
+    // equi-join; survivors via LeftAnti — no batch×corpus product
+    val cc = plan("dedup_crosscorpus_lsh")
+    assert(!cc.contains("CartesianProduct") &&
+      !cc.contains("BroadcastNestedLoopJoin"), cc.take(1500))
+    assert(cc.contains("LeftAnti"), cc.take(1500))
+  }
+
   test("star-contraction clustering plans without quadratic joins") {
     val p = plan("dedup_clusters_star")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
