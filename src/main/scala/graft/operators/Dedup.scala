@@ -206,7 +206,13 @@ object Dedup {
                         bands: Int): DataFrame = {
     val rowsPerBand = nPerm / bands
     val idCol = sh.columns.head
-    sh.select(col(idCol).as(idOut), minhashUdf(col("shingles"), lit(nPerm)).as("sig"))
+    // A doc with ZERO shingles has no MinHash signature (the empty-set
+    // min is the +∞ sentinel in every permutation), so every short doc
+    // would band-collide with every other — a quadratic candidate
+    // cluster at corpus scale AND a 0/0 in the exact verify. No
+    // signature ⇒ no bands ⇒ short docs never match anything.
+    sh.filter(size(col("shingles")) > 0)
+      .select(col(idCol).as(idOut), minhashUdf(col("shingles"), lit(nPerm)).as("sig"))
       .select(col(idOut),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
