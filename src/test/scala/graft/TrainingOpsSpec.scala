@@ -408,6 +408,29 @@ class TrainingOpsSpec extends AnyFunSuite {
       assert(rows.map(_.getAs[String]("chunk_text")).toSeq ==
         Seq("a b c", "c d e", "e"))
     } finally q2.stop()
+
+    // the logistic quality classifier is a pure projection too — the
+    // scan-side keep/drop filter applies per micro-batch with no state
+    val input3 = MemoryStream[(Long, String)]
+    val scored = TextAnalysis.qualityClassify(
+      input3.toDF().toDF("doc_id", "text"), "text", "doc_id")
+    val q3 = scored.writeStream.format("memory").queryName("qc_stream")
+      .outputMode("append").start()
+    try {
+      input3.addData(
+        (1L, "the report is ready and it covers the plan for this launch"),
+        (2L, "%%% $$$ ### !!!"))
+      q3.processAllAvailable()
+      val rows = spark.table("qc_stream").orderBy("doc_id").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getBoolean(5) && !rows(1).getBoolean(5))
+      // batch/stream parity on the score itself
+      val batchScore = TextAnalysis.qualityClassify(
+        Seq((1L, "the report is ready and it covers the plan for this launch"))
+          .toDF("doc_id", "text"), "text", "doc_id")
+        .collect().head.getDouble(4)
+      assert(rows(0).getDouble(4) == batchScore)
+    } finally q3.stop()
   }
 
   // -------------------------------------------------------- quantization
