@@ -703,6 +703,12 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** MinHash estimator error per LSH candidate pair (est vs exact
+    * Jaccard) — the config-tuning measurement for (nPerm, bands). */
+  private def qMinhashEstError(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashEstimateError(t(s, dir, "documents"), "text", "doc_id")
+      .orderBy(col("id_a"), col("id_b"))
+
   /** Per-doc n-gram novelty profile (share of shingles first seen in
     * this doc) — dedup-adjacent curation signal; join+partial-agg only. */
   private def qNgramNovelty(s: SparkSession, dir: String): DataFrame =
@@ -1333,11 +1339,84 @@ object SparkEntry {
     "span_dedup" -> (qSpanDedup _),
     "cdc_dedup" -> (qCdcDedup _),
     "dedup_crosscorpus_lsh" -> (qCrossCorpusLsh _),
+    "minhash_est_error" -> (qMinhashEstError _),
     "ngram_novelty" -> (qNgramNovelty _),
     "quality_classifier" -> (qQualityClassifier _),
     "dataset_card" -> (qDatasetCard _),
     "emb_dim_stats" -> (qEmbDimStats _)
   )
+
+  /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
+    * Per (doc, permutation p): sig_p = signed-min over shingles of
+    * rot17(fnv(shingle)·a_p + b_p)·C (all mod 2^64 in HUGEINT, with the
+    * variable×constant multiplies split into 32-bit halves so nothing
+    * overflows the signed 128-bit HUGEINT). Candidates = pairs agreeing
+    * on ALL rows of ≥1 band (what Spark's band_hash equi-join computes,
+    * modulo a 2⁻³² hash collision that would show up as an extra row
+    * here). The JVM's signed-long min is replayed by shifting values
+    * ≥ 2^63 down by 2^64 before MIN. */
+  private def minhashEstErrorOracle: String = {
+    val M = BigInt(1) << 64
+    val permRows = (0 until 64).map { p =>
+      val a = (BigInt("9E3779B97F4A7C15", 16) * (2 * p + 1)).mod(M)
+      val b = (BigInt("C2B2AE3D27D4EB4F", 16) * (p + 1)).mod(M)
+      s"($p, ${a & 0xFFFFFFFFL}::HUGEINT, ${a >> 32}::HUGEINT, $b::HUGEINT)"
+    }.mkString(", ")
+    val h = "h"
+    // (h*a + b) mod 2^64 with a split into 32-bit halves
+    val v0 = s"(($h * aLo + (($h * aHi) % 4294967296) * 4294967296 + b)" +
+      " % 18446744073709551616::HUGEINT)"
+    // rotateLeft(x, 17): disjoint bit ranges ⇒ | == +
+    val rot = s"((($v0 * 131072) % 18446744073709551616::HUGEINT) + ($v0 // 140737488355328))"
+    val v = mulcSql(rot, BigInt("165667B19E3779F9", 16))
+    s"""WITH toks AS (
+          SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
+            x -> len(x) > 0) AS t FROM documents),
+        sh0 AS (
+          SELECT doc_id, t, unnest(generate_series(1, greatest(len(t)-2, 0))) AS i
+          FROM toks),
+        shAll AS (
+          SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+          FROM sh0),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM shAll GROUP BY doc_id),
+        th AS (SELECT doc_id, ${fnvSql("shingle")} AS h FROM shAll),
+        perms(p, aLo, aHi, b) AS (VALUES $permRows),
+        sigv AS (
+          SELECT doc_id, p,
+            min(CASE WHEN $v >= 9223372036854775808::HUGEINT
+                THEN $v - 18446744073709551616::HUGEINT ELSE $v END) AS s
+          FROM th, perms GROUP BY doc_id, p),
+        sigband AS (
+          SELECT doc_id, p // 8 AS band,
+            string_agg(CAST(s AS VARCHAR), ',' ORDER BY p) AS sigc
+          FROM sigv GROUP BY doc_id, p // 8),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sigband a JOIN sigband b
+            ON a.band = b.band AND a.sigc = b.sigc AND a.doc_id < b.doc_id),
+        m AS (
+          SELECT c.id_a, c.id_b,
+            sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) AS n_match
+          FROM cands c
+          JOIN sigv sa ON sa.doc_id = c.id_a
+          JOIN sigv sb ON sb.doc_id = c.id_b AND sb.p = sa.p
+          GROUP BY c.id_a, c.id_b),
+        inter AS (
+          SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS n_inter
+          FROM shAll l JOIN shAll r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+          GROUP BY l.doc_id, r.doc_id)
+        SELECT m.id_a, m.id_b,
+          round(n_match / 64.0, 4) AS est_jaccard,
+          round(CAST(coalesce(n_inter, 0) AS DOUBLE) /
+            (sa.n_sh + sb.n_sh - coalesce(n_inter, 0)), 4) AS exact_jaccard,
+          round(abs(n_match / 64.0 - CAST(coalesce(n_inter, 0) AS DOUBLE) /
+            (sa.n_sh + sb.n_sh - coalesce(n_inter, 0))), 4) AS abs_err
+        FROM m
+        LEFT JOIN inter ON inter.id_a = m.id_a AND inter.id_b = m.id_b
+        JOIN sizes sa ON sa.doc_id = m.id_a
+        JOIN sizes sb ON sb.doc_id = m.id_b
+        ORDER BY m.id_a, m.id_b"""
+  }
 
   /** Logistic-quality-filter oracle: replays the [[TextAnalysis
     * .qualityClassify]] score from the SAME weight map over the SAME
@@ -2666,6 +2745,7 @@ object SparkEntry {
            round(coalesce(CAST(n_novel AS DOUBLE) / n_shingles, 0.0), 4) AS novelty
          FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""",
     "quality_classifier" -> qualityClassifierOracle,
+    "minhash_est_error" -> minhashEstErrorOracle,
     "dataset_card" ->
       """SELECT source, lang, count(*) AS n_docs,
            count(DISTINCT text) AS n_distinct_texts,

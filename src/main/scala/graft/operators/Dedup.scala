@@ -460,6 +460,42 @@ object Dedup {
           s => s.getField("chunk_text")), " ").as("clean_text"))
   }
 
+  /** MinHash estimator-accuracy measurement — the `ann_recall` of the
+    * dedup side: for every LSH candidate pair, the signature-based
+    * Jaccard estimate (matching permutations / nPerm) next to the exact
+    * set Jaccard and the absolute error. Run on a sample before
+    * committing to a (nPerm, bands) config at corpus scale; the whole
+    * computation reuses the banding equi-join (no new shuffle shape).
+    * Signatures are deterministic (splitmix-derived permutation
+    * constants), so an external engine can replay them exactly. */
+  def minhashEstimateError(df: DataFrame, textCol: String, idCol: String,
+                           shingleN: Int = 3, nPerm: Int = 64,
+                           bands: Int = 8): DataFrame = {
+    val sh = shingleDf(df, textCol, idCol, shingleN, outId = "me_id").persist()
+    val cands = minhashLshPairsFromShingles(sh, nPerm, bands)
+      .select(col("id_a"), col("id_b"))
+    val sigs = sh.filter(size(col("shingles")) > 0)
+      .select(col("me_id"), minhashUdf(col("shingles"), lit(nPerm)).as("sig"),
+        col("shingles"), size(col("shingles")).cast("long").as("n_sh"))
+    val matches = aggregate(
+      zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    cands
+      .join(sigs.select(col("me_id").as("id_a"), col("sig").as("sig_a"),
+        col("shingles").as("sh_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sigs.select(col("me_id").as("id_b"), col("sig").as("sig_b"),
+        col("shingles").as("sh_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .select(col("id_a"), col("id_b"),
+        round(matches.cast("double") / nPerm, 4).as("est_jaccard"),
+        round(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")), 4).as("exact_jaccard"),
+        round(abs(matches.cast("double") / nPerm -
+          col("n_inter").cast("double") /
+            (col("n_a") + col("n_b") - col("n_inter"))), 4).as("abs_err"))
+  }
+
   /** Per-document n-gram novelty: the fraction of a doc's DISTINCT
     * n-gram shingles whose first corpus occurrence (minimum id) is this
     * doc. A curation signal for ordering/pruning crawl snapshots: a low

@@ -288,6 +288,13 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!cc.contains("CartesianProduct") &&
       !cc.contains("BroadcastNestedLoopJoin"), cc.take(1500))
     assert(cc.contains("LeftAnti"), cc.take(1500))
+    // minhash estimator error: candidates stay on the banding
+    // equi-join; the est/exact comparison adds joins but never a
+    // data×data product or a window
+    val me = plan("minhash_est_error")
+    assert(!me.contains("CartesianProduct") &&
+      !me.contains("BroadcastNestedLoopJoin") && !me.contains("Window"),
+      me.take(1500))
   }
 
   test("star-contraction clustering plans without quadratic joins") {
