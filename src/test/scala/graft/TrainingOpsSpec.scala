@@ -507,6 +507,22 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(out.head.getDouble(2) > out(1).getDouble(2) * 10)
   }
 
+  test("minhash estimator error: identical docs estimate exactly 1.0") {
+    import graft.operators.Dedup
+    val same = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = docs(
+      1L -> same,
+      2L -> same,                       // identical → sig match on all perms
+      3L -> "totally different words entirely here now today ok")
+    val out = Dedup.minhashEstimateError(df, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out.contains((1L, 2L)), s"identical pair missing: $out")
+    assert(out((1L, 2L)) == ((1.0, 1.0, 0.0)))
+    // doc 3 shares no shingle with 1/2 → no bands shared → no pair rows
+    assert(!out.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("ngram novelty: first occurrence wins, short docs score zero") {
     import graft.operators.Dedup
     val df = docs(
