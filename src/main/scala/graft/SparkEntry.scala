@@ -721,6 +721,16 @@ object SparkEntry {
     TextAnalysis.qualityClassify(t(s, dir, "documents"), "text", "doc_id")
       .orderBy(col("doc_id"))
 
+  /** Token-budget selection: per lang, best-quality docs within 60% of
+    * the lang's token total (bucketed cumsum — no per-doc window). */
+  private def qBudgetSelect(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.qualityClassify(t(s, dir, "documents"), "text", "doc_id")
+      .join(t(s, dir, "documents").select(col("doc_id"), col("lang")), "doc_id")
+    graft.operators.Sampling.budgetSelect(scored, "lang", "quality_score", "q_tokens", frac = 0.6)
+      .withColumnRenamed("grp", "lang")
+      .orderBy(col("lang"))
+  }
+
   /** Per-(source, lang) dataset card rollup. */
   private def qDatasetCard(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.datasetCard(t(s, dir, "documents"), "text", "source", "lang")
@@ -1340,6 +1350,7 @@ object SparkEntry {
     "cdc_dedup" -> (qCdcDedup _),
     "dedup_crosscorpus_lsh" -> (qCrossCorpusLsh _),
     "minhash_est_error" -> (qMinhashEstError _),
+    "budget_select" -> (qBudgetSelect _),
     "ngram_novelty" -> (qNgramNovelty _),
     "quality_classifier" -> (qQualityClassifier _),
     "dataset_card" -> (qDatasetCard _),
@@ -2746,6 +2757,25 @@ object SparkEntry {
          FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""",
     "quality_classifier" -> qualityClassifierOracle,
     "minhash_est_error" -> minhashEstErrorOracle,
+    "budget_select" ->
+      s"""WITH qc AS (SELECT * FROM ($qualityClassifierOracle)),
+          d AS (SELECT qc.doc_id, q_tokens, quality_score, lang
+            FROM qc JOIN documents USING (doc_id)),
+          bk AS (SELECT lang, quality_score AS s, count(*) AS bn,
+              CAST(sum(q_tokens) AS BIGINT) AS btok
+            FROM d GROUP BY lang, quality_score),
+          bud AS (SELECT lang,
+              CAST(floor(CAST(sum(q_tokens) AS DOUBLE) * 0.6) AS BIGINT) AS budget
+            FROM d GROUP BY lang),
+          cum AS (SELECT lang, s, bn, btok,
+              sum(btok) OVER (PARTITION BY lang ORDER BY s DESC) AS cumtok
+            FROM bk),
+          sel AS (SELECT cum.* FROM cum JOIN bud USING (lang)
+            WHERE cumtok <= budget)
+          SELECT lang, min(s) AS thr_score,
+            CAST(sum(bn) AS BIGINT) AS n_selected,
+            CAST(sum(btok) AS BIGINT) AS tokens_selected
+          FROM sel GROUP BY lang ORDER BY lang""",
     "dataset_card" ->
       """SELECT source, lang, count(*) AS n_docs,
            count(DISTINCT text) AS n_distinct_texts,

@@ -112,4 +112,33 @@ object Sampling {
         round(col("target_share"), 6).as("target_share"),
         round(col("weight"), 6).as("weight"))
   }
+
+  /** Token-budget corpus selection: per group (lang/source), keep the
+    * highest-quality docs whose cumulative token count stays within
+    * `frac` of the group's total — the "take the best N tokens" step
+    * of a data-constrained training run. The scale-correct shape: NO
+    * per-doc ranking window. Docs first collapse into (group, score)
+    * buckets (score is the rounded-4 classifier output ⇒ ≤ 10⁴ buckets
+    * per group regardless of corpus size); the cumulative sum runs
+    * over that bounded bucket frame, and the kept set is "every bucket
+    * whose running total fits the budget" — deterministic, exact, and
+    * replayable by any engine. Returns per-group selection stats
+    * (threshold score, docs and tokens kept). */
+  def budgetSelect(scored: DataFrame, grpCol: String, scoreCol: String,
+                   tokCol: String, frac: Double): DataFrame = {
+    val bk = scored.groupBy(col(grpCol).as("grp"), col(scoreCol).as("s"))
+      .agg(count(lit(1)).as("bn"), sum(col(tokCol)).as("btok"))
+    val bud = scored.groupBy(col(grpCol).as("grp"))
+      .agg((sum(col(tokCol)).cast("double") * frac).cast("long").as("budget"))
+    // window over the bounded bucket frame only (≤ 10⁴ rows per group)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("s").desc)
+    bk.withColumn("cumtok", sum(col("btok")).over(w))
+      .join(bud, "grp")
+      .filter(col("cumtok") <= col("budget"))
+      .groupBy(col("grp"))
+      .agg(min(col("s")).as("thr_score"),
+        sum(col("bn")).as("n_selected"),
+        sum(col("btok")).as("tokens_selected"))
+  }
 }

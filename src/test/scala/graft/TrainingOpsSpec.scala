@@ -507,6 +507,23 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(out.head.getDouble(2) > out(1).getDouble(2) * 10)
   }
 
+  test("budget select: bucketed cumsum keeps best buckets within budget") {
+    import spark.implicits._
+    // one group, scores 0.9/0.8/0.7 with 10 tokens each; budget = 60%
+    // of 30 = 18 → buckets 0.9 (cum 10) and 0.8 (cum 20 > 18? no —
+    // cum 20 exceeds 18, so only 0.9 fits)
+    val df = Seq(
+      (1L, "en", 0.9, 10L), (2L, "en", 0.8, 10L), (3L, "en", 0.7, 10L),
+      (4L, "de", 0.5, 4L), (5L, "de", 0.4, 4L)
+    ).toDF("doc_id", "lang", "quality_score", "q_tokens")
+    val out = Sampling.budgetSelect(df, "lang", "quality_score", "q_tokens", 0.6)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("en") == ((0.9, 1L, 10L)), s"en: ${out.get("en")}")
+    // de: budget = floor(8*0.6) = 4 → only the 0.5 bucket (cum 4 ≤ 4)
+    assert(out("de") == ((0.5, 1L, 4L)), s"de: ${out.get("de")}")
+  }
+
   test("minhash estimator error: identical docs estimate exactly 1.0") {
     import graft.operators.Dedup
     val same = "alpha beta gamma delta epsilon zeta eta theta"
