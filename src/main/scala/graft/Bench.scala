@@ -43,7 +43,12 @@ object Bench {
       val times = (0 until runs).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // release query-scoped scratch caches OUTSIDE the timed region:
+        // 90 queries × 3 runs would otherwise pile ~200 leaked frames
+        // into one JVM and the late (alphabetically-last) queries pay
+        graft.operators.CacheScope.drain()
+        dt
       }.sorted
       name -> times(times.length / 2)
     }

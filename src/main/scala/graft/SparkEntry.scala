@@ -690,9 +690,12 @@ object SparkEntry {
     * ids) via the MinHash-LSH band equi-join + exact Jaccard verify.
     * The banded index is the bounded state; the batch never joins the
     * corpus directly. Survivors = batch docs with no corpus neighbor at
-    * Jaccard ≥ 0.5; band recall covers every true pair at this
-    * threshold (P[miss] ≈ 6e-15 per pair), so the oracle is the plain
-    * batch×corpus Jaccard relation. */
+    * Jaccard ≥ 0.5. Oracle equivalence (plain batch×corpus Jaccard
+    * relation) is data-dependent, not structural: with nPerm=64/bands=8
+    * a pair at exactly J=0.5 is missed w.p. (1−0.5⁸)⁸ ≈ 0.97, but the
+    * generator plants only near-identical (J ≳ 0.95, P[miss] ≤ 4e-6)
+    * or disjoint pairs, so no pair falls in the recall gap. Production
+    * tunes (nPerm, bands) to the threshold via minhashEstimateError. */
   private def qCrossCorpusLsh(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val corpus = docs.filter(col("doc_id") % 2 === 0)
@@ -799,7 +802,10 @@ object SparkEntry {
     nPairs.crossJoin(nExact).crossJoin(nHits).select(
       lit(8).as("k"), lit(2).as("nprobe"),
       col("n_pairs"), col("n_exact"), col("n_hits"),
-      (col("n_hits").cast("double") / col("n_exact")).as("recall"))
+      // zero-exact-pairs edge: Spark's double 0/0 is NaN while DuckDB's
+      // is NULL — both engines must agree on NULL
+      when(col("n_exact") === 0, lit(null).cast("double"))
+        .otherwise(col("n_hits").cast("double") / col("n_exact")).as("recall"))
   }
 
   /** Semantic dedup end-to-end — the composition query: distributed
@@ -1881,7 +1887,7 @@ object SparkEntry {
           (SELECT count(*) FROM exact) AS n_exact,
           (SELECT count(*) FROM hits) AS n_hits,
           CAST((SELECT count(*) FROM hits) AS DOUBLE) /
-            (SELECT count(*) FROM exact) AS recall"""
+            NULLIF((SELECT count(*) FROM exact), 0) AS recall"""
   }
 
   /** CDC replay: per-token FNV-1a (HUGEINT fold), boundary = low 3 bits

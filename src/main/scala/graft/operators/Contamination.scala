@@ -31,7 +31,7 @@ object Contamination {
         .select(col(outId), explode_outer(col("shingles")).as("shingle"))
         .filter(col("shingle").isNotNull)
     val tSh = exploded(train, "train_id")
-    val eSh = exploded(eval_, "eval_id").persist()
+    val eSh = CacheScope.scratch(exploded(eval_, "eval_id"))
     val eSizes = eSh.groupBy(col("eval_id")).agg(count(lit(1)).as("eval_n"))
     tSh.join(broadcast(eSh), "shingle")
       .groupBy(col("train_id"), col("eval_id"))

@@ -222,9 +222,9 @@ object Dedup {
   /** Banding over an already-built (id, shingles) frame — callers that
     * also verify candidates share one shingle pipeline. */
   def minhashLshPairsFromShingles(sh: DataFrame, nPerm: Int, bands: Int): DataFrame = {
-    // persisted: both sides of the self-join consume this frame (the
-    // signature UDF + shingle pipeline would otherwise run twice)
-    val banded = bandFrame(sh, "mh_id", nPerm, bands).persist()
+    // scratch-persisted: both sides of the self-join consume this frame
+    // (the signature UDF + shingle pipeline would otherwise run twice)
+    val banded = CacheScope.scratch(bandFrame(sh, "mh_id", nPerm, bands))
     val l = banded.alias("l"); val r = banded.alias("r")
     l.join(r, col("l.band") === col("r.band") &&
         col("l.band_hash") === col("r.band_hash") &&
@@ -246,7 +246,7 @@ object Dedup {
                              n: Int = 3, threshold: Double = 0.5,
                              maxDocFreq: Int = 100, nPerm: Int = 64,
                              bands: Int = 32): DataFrame = {
-    val sh = shingleDf(df, textCol, idCol, n).persist()
+    val sh = CacheScope.scratch(shingleDf(df, textCol, idCol, n))
     val cands = minhashLshPairsFromShingles(sh, nPerm, bands)
       .select(col("id_a"), col("id_b"))
     // capped shingle SETS per doc (same universe as ngramJaccardPairs).
@@ -325,9 +325,9 @@ object Dedup {
     // tokenizer per row) — outer + isNotNull keeps the scan clean.
     val ex0 = sh.select(col("jc_id"), explode_outer(col("shingles")).as("shingle"))
       .filter(col("shingle").isNotNull)
-    // persist because the frame feeds three consumers (sizes + both join
-    // sides of the intersection self-join).
-    val ex = dfCapped(ex0, maxDocFreq).persist()
+    // scratch-persist because the frame feeds three consumers (sizes +
+    // both join sides of the intersection self-join).
+    val ex = CacheScope.scratch(dfCapped(ex0, maxDocFreq))
     val sizes = ex.groupBy(col("jc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = ex.alias("l").join(ex.alias("r"),
         col("l.shingle") === col("r.shingle") && col("l.jc_id") < col("r.jc_id"))
@@ -471,7 +471,7 @@ object Dedup {
   def minhashEstimateError(df: DataFrame, textCol: String, idCol: String,
                            shingleN: Int = 3, nPerm: Int = 64,
                            bands: Int = 8): DataFrame = {
-    val sh = shingleDf(df, textCol, idCol, shingleN, outId = "me_id").persist()
+    val sh = CacheScope.scratch(shingleDf(df, textCol, idCol, shingleN, outId = "me_id"))
     val cands = minhashLshPairsFromShingles(sh, nPerm, bands)
       .select(col("id_a"), col("id_b"))
     val sigs = sh.filter(size(col("shingles")) > 0)

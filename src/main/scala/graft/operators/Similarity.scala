@@ -169,9 +169,9 @@ object Similarity {
       }
       struct(lit(t).as("t"), bits.reduce(_ + _).as("b"))
     }
-    val base = df.select(col(idCol).as("nd_id"), col(vecCol).as("v"),
-        sqrt(vec_dot(col(vecCol), col(vecCol))).as("nrm"))
-      .persist()
+    val base = CacheScope.scratch(
+      df.select(col(idCol).as("nd_id"), col(vecCol).as("v"),
+        sqrt(vec_dot(col(vecCol), col(vecCol))).as("nrm")))
     val bucketed = base
       .withColumn("tb", explode(array(tableBuckets: _*)))
       .select(col("nd_id"), col("tb.t").as("t"), col("tb.b").as("b"))
@@ -347,10 +347,10 @@ object Similarity {
                              nprobe: Int): DataFrame = {
     import graft.functions.VecDot.vec_dot
     val cents = kmeansCentroidsDet(df, vecCol, idCol, k, iters)
-    val base = df.select(col(idCol).as("nd_id"), col(vecCol).as("v"),
+    val base = CacheScope.scratch(
+      df.select(col(idCol).as("nd_id"), col(vecCol).as("v"),
         sqrt(vec_dot(col(vecCol), col(vecCol))).as("nrm"),
-        detCellRanking(col(vecCol), cents).as("cr"))
-      .persist()
+        detCellRanking(col(vecCol), cents).as("cr")))
     val home = base.select(col("nd_id").as("h_id"),
       col("cr").getItem(0).getField("cell").as("cell"))
     val probes = base.select(col("nd_id").as("p_id"),

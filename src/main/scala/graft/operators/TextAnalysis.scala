@@ -163,10 +163,9 @@ object TextAnalysis {
     * a top-K vocab with a rare-token fallback if that shuffle
     * dominates. */
   def unigramLogprob(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("lp_id"),
+    val toks = CacheScope.scratch(df.select(col(idCol).as("lp_id"),
         explode_outer(tokens(lower(col(textCol)))).as("tok"))
-      .filter(col("tok").isNotNull)
-      .persist()
+      .filter(col("tok").isNotNull))
     val total = toks.count().toDouble
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
     val perDoc = toks.join(freq, "tok")
@@ -229,11 +228,10 @@ object TextAnalysis {
     * one tiny final agg. */
   def vocabCoverage(df: DataFrame, textCol: String, grpCol: String,
                     topN: Int): DataFrame = {
-    val counts = df.select(col(grpCol).as("grp"),
+    val counts = CacheScope.scratch(df.select(col(grpCol).as("grp"),
         explode_outer(tokens(col(textCol))).as("tok"))
       .filter(col("tok").isNotNull)
-      .groupBy(col("grp"), col("tok")).agg(count(lit(1)).as("c"))
-      .persist()
+      .groupBy(col("grp"), col("tok")).agg(count(lit(1)).as("c")))
     // totals from one partial agg; the top-N rank runs over a frame
     // per-partition-pruned to topN×#partitions per group, so a web-scale
     // vocabulary never buffers in one window task
@@ -286,10 +284,9 @@ object TextAnalysis {
     * doc before the exact window. */
   def tfidfKeywords(df: DataFrame, textCol: String, idCol: String,
                     topK: Int): DataFrame = {
-    val tf = df.select(col(idCol).as("doc_id"),
+    val tf = CacheScope.scratch(df.select(col(idCol).as("doc_id"),
         explode(tokens(lower(col(textCol)))).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
-      .persist()
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c")))
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("c")).as("dlen"))
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("dft"))
     val nd = df.agg(count(lit(1)).as("nd"))

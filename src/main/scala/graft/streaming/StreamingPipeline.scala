@@ -40,11 +40,11 @@ object StreamingPipeline {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val parsed = Pipeline.run(batch, lineCol, cfg.wplSource, cfg.omlSources,
           knowDb = cfg.knowDb).persist()
+        // residue-only = Partial without a model: the record still flows
+        // to the business sinks (reference ProcessResult::Partial)
+        val ok = parsed.filter(col("status") === "ok" || col("status") === "default" ||
+          col("status") === "residue-only")
         try {
-          // residue-only = Partial without a model: the record still flows
-          // to the business sinks (reference ProcessResult::Partial)
-          val ok = parsed.filter(col("status") === "ok" || col("status") === "default" ||
-            col("status") === "residue-only")
           for ((name, (business, intercept)) <- SinkRouter.fanout(ok, cfg.sinks)) {
             writeSink(name, "business", business)
             writeSink(name, "intercept", intercept)
@@ -54,7 +54,11 @@ object StreamingPipeline {
           writeSink("infra", "residue",
             parsed.filter(col("residue").isNotNull && col("residue") =!= ""))
           writeSink("infra", "error", parsed.filter(col("status") === "error"))
-        } finally parsed.unpersist()
+        } finally {
+          // fanout persisted `ok` when multiple sinks share it — release
+          // both per micro-batch or the daemon's cache grows unbounded
+          ok.unpersist(false); parsed.unpersist()
+        }
         ()
       }
       .start()

@@ -4,9 +4,9 @@ import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Streaming near-dup dedup scale smoke: a 100k-doc static corpus index
-  * (MinHash bands + shingle sets), then micro-batches of 25k docs —
-  * half planted near-copies of corpus docs, half novel — driven through
-  * a real foreachBatch query. Checks per-batch wall time stays flat
+  * (MinHash bands + shingle sets), then micro-batches of 5k docs —
+  * 2,500 planted near-copies of corpus docs, 2,500 novel — driven
+  * through a real foreachBatch query. Checks per-batch wall time stays flat
   * across batches (the index is static state; batch cost must not grow)
   * and that planted near-dups drop while novel docs survive.
   * Run: sbt "Test/runMain graft.StreamNearDupScaleSmoke" */
