@@ -37,23 +37,37 @@ object Bench {
     // optional comma-separated query filter for local iteration; the
     // driver leaves it unset and benches everything
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      val times = (0 until runs).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // release query-scoped scratch caches OUTSIDE the timed region:
-        // 90 queries × 3 runs would otherwise pile ~200 leaked frames
-        // into one JVM and the late (alphabetically-last) queries pay
-        graft.operators.CacheScope.drain()
-        dt
-      }.sorted
-      name -> times(times.length / 2)
+    // INTERLEAVED passes (pass 1 over every query, then pass 2, …), not
+    // N consecutive runs per query: a multi-second host load spike then
+    // lands on ONE pass of many queries — where a per-query median
+    // absorbs it — instead of on all 3 back-to-back runs of whichever
+    // query was executing, where the median itself is poisoned (the r5
+    // record carried a 10× artifact on the alphabetically-last wpl_*
+    // queries for exactly this reason)
+    val samples = Array.fill(named.length)(List.empty[Double])
+    for (_ <- 0 until runs; i <- named.indices) {
+      val t0 = System.nanoTime()
+      try { named(i)._2(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // release query-scoped scratch caches OUTSIDE the timed region:
+      // 90 queries × 3 passes would otherwise pile ~200 leaked frames
+      // into one JVM and the late queries pay
+      graft.operators.CacheScope.drain()
+      samples(i) ::= dt
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // value = median; (min, max) published per query so a noisy record
+    // SELF-identifies (median far from min ⇒ ≥2 spiked passes — rerun)
+    val results = named.indices.map { i =>
+      val t = samples(i).sorted
+      (named(i)._1, t(t.length / 2), t.head, t.last)
+    }
+    val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + f"$med%.3f" }
       .mkString("{", ",", "}")
+    val spread = results.map { case (k, _, mn, mx) =>
+      "\"" + k + "\":[" + f"$mn%.3f" + "," + f"$mx%.3f" + "]"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // single-core parser throughput vs the BASELINE-derived targets
     // (≥1M lines/s/core simple rule, ≥100k lines/s/core 25-field rule)
@@ -63,7 +77,7 @@ object Bench {
     val lps25 = graft.wpl.ParserBench.linesPerSec(
       graft.wpl.ParserBench.bench25Wpl, graft.wpl.ParserBench.bench25Line,
       50000, warmup = 100000)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"lines_per_sec_core":$lpsNginx%.0f,"lines_per_sec_core_25field":$lps25%.0f,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread_min_max":$spread,"lines_per_sec_core":$lpsNginx%.0f,"lines_per_sec_core_25field":$lps25%.0f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

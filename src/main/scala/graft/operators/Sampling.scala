@@ -123,10 +123,18 @@ object Sampling {
     * over that bounded bucket frame, and the kept set is "every bucket
     * whose running total fits the budget" — deterministic, exact, and
     * replayable by any engine. Returns per-group selection stats
-    * (threshold score, docs and tokens kept). */
+    * (threshold score, docs and tokens kept).
+    *
+    * The bounded-bucket precondition is ENFORCED here, not trusted:
+    * the score is re-rounded to 4 decimals before bucketing (identity
+    * for already-rounded scores, so oracles are unaffected). Without
+    * this, an unrounded double score makes every doc its own bucket
+    * and the cumsum silently degenerates into the per-doc window this
+    * operator exists to avoid. */
   def budgetSelect(scored: DataFrame, grpCol: String, scoreCol: String,
                    tokCol: String, frac: Double): DataFrame = {
-    val bk = scored.groupBy(col(grpCol).as("grp"), col(scoreCol).as("s"))
+    val sB = round(col(scoreCol).cast("double"), 4)
+    val bk = scored.groupBy(col(grpCol).as("grp"), sB.as("s"))
       .agg(count(lit(1)).as("bn"), sum(col(tokCol)).as("btok"))
     val bud = scored.groupBy(col(grpCol).as("grp"))
       .agg((sum(col(tokCol)).cast("double") * frac).cast("long").as("budget"))

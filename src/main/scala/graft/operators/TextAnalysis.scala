@@ -367,18 +367,22 @@ object TextAnalysis {
   /** Dataset card: the per-(source, lang) rollup a curation run
     * publishes — doc/token counts, mean length, and the exact-duplicate
     * rate within the slice (1 − distinct texts / docs). Scale shape:
-    * token counting is map-side; the distinct-text count goes through
-    * Spark's two-exchange expand (partial agg on (source, lang, text)
-    * first, so repeated boilerplate collapses map-side before the
-    * wide exchange); the final agg keys on the low-cardinality
+    * token counting is map-side; the distinct count is over
+    * `xxhash64(text)` — 8 bytes/row through the two-exchange
+    * count-distinct expand instead of every distinct document's bytes
+    * (at 100 TB, distinct-over-raw-text ships the corpus over the wire
+    * for a count). Same answer modulo 2⁻⁶⁴ hash collisions, which is
+    * also why the oracle can keep counting raw distinct texts. The
+    * partial agg on (source, lang, hash) still collapses boilerplate
+    * repeats map-side; the final agg keys on the low-cardinality
     * (source, lang). No windows, no collect. */
   def datasetCard(df: DataFrame, textCol: String, srcCol: String,
                   langCol: String): DataFrame =
     df.groupBy(col(srcCol), col(langCol))
       .agg(count(lit(1)).as("n_docs"),
-        countDistinct(col(textCol)).as("n_distinct_texts"),
+        countDistinct(xxhash64(col(textCol))).as("n_distinct_texts"),
         sum(tokenCount(col(textCol)).cast("long")).as("total_tokens"),
         round(avg(length(col(textCol)).cast("double")), 4).as("avg_chars"),
-        round((count(lit(1)) - countDistinct(col(textCol))).cast("double") /
+        round((count(lit(1)) - countDistinct(xxhash64(col(textCol)))).cast("double") /
           count(lit(1)), 4).as("dup_rate"))
 }

@@ -31,10 +31,19 @@ object StreamNearDupScaleSmoke {
       .reduce(_ unionByName _).repartition(32).persist()
     val nCorpus = corpus.count()
     var t0 = System.nanoTime()
-    val idx = Dedup.nearDupCorpusIndex(corpus, "text", "doc_id",
+    val built = Dedup.nearDupCorpusIndex(corpus, "text", "doc_id",
       shingleN = 3, nPerm = 64, bands = 16)
-    val nBands = idx.bands.count(); val nSets = idx.sets.count()
+    val nBands = built.bands.count(); val nSets = built.sets.count()
     println(f"STREAMNEARDUP corpus=$nCorpus%7d index built in ${(System.nanoTime() - t0) / 1e9}%6.1f s (bands=$nBands sets=$nSets)")
+    // operational shape: the index is SAVED once and every batch probes
+    // the LOADED (disk-resident, partition-pruned) form — what a
+    // continual-training daemon does across restarts
+    t0 = System.nanoTime()
+    val idxDir = java.nio.file.Files.createTempDirectory("nd_idx_smoke").toString
+    built.save(idxDir)
+    built.release(); corpus.unpersist()
+    val idx = Dedup.NearDupCorpusIndex.load(spark, idxDir)
+    println(f"STREAMNEARDUP index saved+loaded in ${(System.nanoTime() - t0) / 1e9}%6.1f s ($idxDir)")
 
     // stream batches: 25k docs each — half near-copies (one word
     // appended to a corpus doc → Jaccard just under 1), half novel

@@ -524,6 +524,29 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(out("de") == ((0.5, 1L, 4L)), s"de: ${out.get("de")}")
   }
 
+  test("budget select: unrounded scores are re-bucketed, not per-doc") {
+    import spark.implicits._
+    // 1000 docs whose raw scores are all distinct doubles but collapse
+    // to 2 buckets after the internal round(4) — the guard that keeps
+    // the cumsum window bounded when a caller skips the rounding step
+    val df = spark.range(1000).select(
+      col("id").as("doc_id"), lit("en").as("lang"),
+      (lit(0.9) + when(col("id") % 2 === 0, lit(0)).otherwise(lit(0.05))
+        + col("id").cast("double") * 1e-9).as("quality_score"),
+      lit(10L).as("q_tokens"))
+    // bucket frame is bounded by rounded-score cardinality (2), not docs
+    val sB = round(col("quality_score").cast("double"), 4)
+    val nBuckets = df.groupBy(col("lang"), sB).count().count()
+    assert(nBuckets == 2L, s"expected 2 rounded buckets, got $nBuckets")
+    val out = Sampling.budgetSelect(df, "lang", "quality_score", "q_tokens", 0.5)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getLong(2), r.getLong(3))).toMap
+    // budget = 5000 of 10000 tokens → exactly the better half-bucket
+    // (0.95, 500 docs, 5000 tokens); with per-doc buckets the threshold
+    // would be some raw 0.95000…x value, not the rounded 0.95
+    assert(out("en") == ((0.95, 500L, 5000L)), s"en: ${out.get("en")}")
+  }
+
   test("minhash estimator error: identical docs estimate exactly 1.0") {
     import graft.operators.Dedup
     val same = "alpha beta gamma delta epsilon zeta eta theta"
