@@ -706,6 +706,52 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-corpus EMBEDDING near-dup dedup — the semantic twin of
+    * [[qCrossCorpusLsh]]: a new batch (odd ids) dropped against an
+    * existing corpus's embedding-LSH bucket index (even ids) via the
+    * multi-table (t, b) equi-join + exact cosine verify; the batch
+    * never joins the corpus directly. The bucket derivation is
+    * data-independent (splitmix hyperplanes), so the oracle replays
+    * buckets, candidate join, round-6 cosine verify, and anti-join
+    * EXACTLY — including any recall misses. */
+  private def qCrossCorpusEmb(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val corpus = e.filter(col("vec_id") % 2 === 0)
+    val batch = e.filter(col("vec_id") % 2 === 1)
+    val idx = Similarity.embCorpusIndex(corpus, "embedding", "vec_id", dim = 64)
+    Similarity.dropNearDupsOfEmbCorpus(batch, "embedding", "vec_id", idx,
+        threshold = 0.4)
+      .select(col("vec_id")).orderBy(col("vec_id"))
+  }
+
+  /** Replays [[qCrossCorpusEmb]]: same splitmix hyperplane buckets per
+    * side, same (t, b) candidate join, same round-6 cosine ≥ threshold,
+    * same anti-join. */
+  private def crossCorpusEmbOracle(dim: Int, nBits: Int, tables: Int,
+                                   threshold: Double): String = {
+    val planes = graft.operators.Similarity.hyperplanes(dim, nBits * tables)
+    def side(name: String) = (0 until tables).map { t =>
+      val expr = (0 until nBits).map { i =>
+        val p = planes(t * nBits + i)
+        s"(CASE WHEN list_dot_product(v, [${p.mkString(",")}]) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, v, $t AS t, $expr AS b FROM $name"
+    }.mkString(" UNION ALL ")
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        corpus AS (SELECT * FROM base WHERE vec_id % 2 = 0),
+        batch AS (SELECT * FROM base WHERE vec_id % 2 = 1),
+        cb AS (${side("corpus")}),
+        bb AS (${side("batch")}),
+        dup AS (SELECT DISTINCT b.vec_id
+          FROM bb b JOIN cb c ON b.t = c.t AND b.b = c.b
+          WHERE round(list_dot_product(b.v, c.v) /
+            (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(c.v, c.v))), 6)
+            >= $threshold)
+        SELECT vec_id FROM batch
+        WHERE vec_id NOT IN (SELECT vec_id FROM dup)
+        ORDER BY vec_id"""
+  }
+
   /** MinHash estimator error per LSH candidate pair (est vs exact
     * Jaccard) — the config-tuning measurement for (nPerm, bands). */
   private def qMinhashEstError(s: SparkSession, dir: String): DataFrame =
@@ -1355,6 +1401,7 @@ object SparkEntry {
     "span_dedup" -> (qSpanDedup _),
     "cdc_dedup" -> (qCdcDedup _),
     "dedup_crosscorpus_lsh" -> (qCrossCorpusLsh _),
+    "dedup_crosscorpus_emb" -> (qCrossCorpusEmb _),
     "minhash_est_error" -> (qMinhashEstError _),
     "budget_select" -> (qBudgetSelect _),
     "ngram_novelty" -> (qNgramNovelty _),
@@ -2171,6 +2218,8 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ngramJaccardOracle,
     "ann_lsh_topk" -> annLshOracle(dim = 64, nBits = 8, probes = 2, tables = 8),
     "dedup_embedding_lsh" -> embLshOracle(dim = 64, nBits = 2, tables = 8),
+    "dedup_crosscorpus_emb" ->
+      crossCorpusEmbOracle(dim = 64, nBits = 2, tables = 8, threshold = 0.4),
     "emb_project" -> embProjectOracle(dim = 64, k = 8),
     "ip_range_lookup" ->
       """WITH probe AS (

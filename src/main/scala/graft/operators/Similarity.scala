@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor / similarity search over an embedding
@@ -157,23 +157,12 @@ object Similarity {
                          dim: Int, threshold: Double = 0.95,
                          nBits: Int = 2, tables: Int = 8): DataFrame = {
     import graft.functions.VecDot.vec_dot
-    import graft.functions.VecDotConst.vec_dot_q
-    val planes = hyperplanes(dim, nBits * tables)
-    // per-table bucket id from this table's plane slice
-    val tableBuckets = (0 until tables).map { t =>
-      val bits = (0 until nBits).map { i =>
-        val p = planes(t * nBits + i)
-        when(vec_dot_q(col("v"),
-          scala.collection.immutable.ArraySeq.unsafeWrapArray(p)) >= 0,
-          lit(1L << i)).otherwise(lit(0L))
-      }
-      struct(lit(t).as("t"), bits.reduce(_ + _).as("b"))
-    }
+    import graft.functions.VecDot.vec_dot
     val base = CacheScope.scratch(
       df.select(col(idCol).as("nd_id"), col(vecCol).as("v"),
         sqrt(vec_dot(col(vecCol), col(vecCol))).as("nrm")))
     val bucketed = base
-      .withColumn("tb", explode(array(tableBuckets: _*)))
+      .withColumn("tb", explode(tableBucketArray(col("v"), dim, nBits, tables)))
       .select(col("nd_id"), col("tb.t").as("t"), col("tb.b").as("b"))
     val l = bucketed.alias("l"); val r = bucketed.alias("r")
     // candidates first, WITHOUT vectors: a pair colliding in several
@@ -192,6 +181,143 @@ object Similarity {
         round(vec_dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")), 6)
           .as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
+  }
+
+  /** `array<struct<t,b>>` of this vector's per-table LSH bucket ids —
+    * the one bucket derivation [[cosineNearDupPairs]], the embedding
+    * corpus index, and its probes all share (data-independent splitmix
+    * planes, so ANY side — including a DuckDB oracle — derives the
+    * same buckets with no exchanged state). */
+  def tableBucketArray(vec: Column, dim: Int, nBits: Int, tables: Int): Column = {
+    import graft.functions.VecDotConst.vec_dot_q
+    val planes = hyperplanes(dim, nBits * tables)
+    array((0 until tables).map { t =>
+      val bits = (0 until nBits).map { i =>
+        val p = planes(t * nBits + i)
+        when(vec_dot_q(vec,
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(p)) >= 0,
+          lit(1L << i)).otherwise(lit(0L))
+      }
+      struct(lit(t).as("t"), bits.reduce(_ + _).as("b"))
+    }: _*)
+  }
+
+  /** Static corpus-side index for STREAMING embedding near-dup dedup —
+    * the embedding twin of `Dedup.NearDupCorpusIndex`: multi-table LSH
+    * buckets (candidate generation) plus the raw vectors + norms
+    * (exact cosine verification). Same two lifecycles: in-memory
+    * ([[embCorpusIndex]], query/session-scoped caches) and ON DISK
+    * ([[EmbCorpusIndex.save]]/`load` — `buckets` partitioned by
+    * (t, b_bucket), `vecs` by id_bucket) where a micro-batch probe
+    * broadcast-joins and dynamic partition pruning reads only the
+    * colliding partitions of a corpus-sized index. */
+  final case class EmbCorpusIndex(buckets: DataFrame, vecs: DataFrame,
+                                  dim: Int, nBits: Int, tables: Int,
+                                  diskBuckets: Int = 0) {
+    def save(path: String): Unit = {
+      val nb = EmbCorpusIndex.DiskBuckets
+      // repartition by the partition columns first (one file per dir,
+      // not one sliver per task per dir)
+      buckets
+        .withColumn("b_bucket", pmod(col("b"), lit(nb)).cast("int"))
+        .repartition(col("t"), col("b_bucket"))
+        .write.mode("overwrite").partitionBy("t", "b_bucket")
+        .parquet(s"$path/buckets")
+      vecs
+        .withColumn("id_bucket", pmod(hash(col("nd_cid")), lit(nb)).cast("int"))
+        .repartition(col("id_bucket"))
+        .sortWithinPartitions(col("nd_cid"))
+        .write.mode("overwrite").partitionBy("id_bucket")
+        .parquet(s"$path/vecs")
+      val props = new java.util.Properties()
+      props.setProperty("dim", dim.toString)
+      props.setProperty("nBits", nBits.toString)
+      props.setProperty("tables", tables.toString)
+      props.setProperty("diskBuckets", nb.toString)
+      val w = new java.io.FileWriter(s"$path/meta.properties")
+      try props.store(w, "graft embedding near-dup corpus index") finally w.close()
+    }
+
+    /** Release the in-memory caches (no-op for a loaded disk index). */
+    def release(): Unit = { buckets.unpersist(false); vecs.unpersist(false); () }
+  }
+
+  object EmbCorpusIndex {
+    val DiskBuckets = 32
+
+    def load(spark: SparkSession, path: String): EmbCorpusIndex = {
+      val props = new java.util.Properties()
+      val r = new java.io.FileReader(s"$path/meta.properties")
+      try props.load(r) finally r.close()
+      EmbCorpusIndex(
+        buckets = spark.read.parquet(s"$path/buckets"),
+        vecs = spark.read.parquet(s"$path/vecs"),
+        dim = props.getProperty("dim").toInt,
+        nBits = props.getProperty("nBits").toInt,
+        tables = props.getProperty("tables").toInt,
+        diskBuckets = props.getProperty("diskBuckets").toInt)
+    }
+  }
+
+  def embCorpusIndex(corpus: DataFrame, vecCol: String, idCol: String,
+                     dim: Int, nBits: Int = 2,
+                     tables: Int = 8): EmbCorpusIndex = {
+    import graft.functions.VecDot.vec_dot
+    val vecs = CacheScope.scratch(
+      corpus.select(col(idCol).as("nd_cid"), col(vecCol).as("v_c"),
+        sqrt(vec_dot(col(vecCol), col(vecCol))).as("nrm_c")))
+    val buckets = CacheScope.scratch(vecs
+      .withColumn("tb", explode(tableBucketArray(col("v_c"), dim, nBits, tables)))
+      .select(col("nd_cid"), col("tb.t").as("t"), col("tb.b").as("b")))
+    EmbCorpusIndex(buckets, vecs, dim, nBits, tables)
+  }
+
+  /** One micro-batch of streaming embedding near-dup dedup: drop batch
+    * rows whose vector has cosine ≥ threshold with ANY corpus vector.
+    * The batch buckets with the same planes; candidates come from the
+    * (t, b) equi-join against the static index — never batch×corpus —
+    * and only candidates pay an exact cosine. Use under `foreachBatch`
+    * (the index is the state — bounded, shared, restart-free via
+    * save/load). */
+  def dropNearDupsOfEmbCorpus(batch: DataFrame, vecCol: String, idCol: String,
+                              idx: EmbCorpusIndex,
+                              threshold: Double = 0.95): DataFrame = {
+    import graft.functions.VecDot.vec_dot
+    // lazy, no persist (foreachBatch runs the frame after we return);
+    // a micro-batch is small enough to re-derive buckets twice.
+    // The dim guard enforces the fixed-dim index contract (a wrong-
+    // length vector has no meaningful bucket or cosine vs this index,
+    // so it can never be dropped as a dup) — and, as a real selective
+    // predicate on the probe side, it is also what lets Spark insert
+    // the dynamic-partition-pruning subquery on the disk index scans
+    // (isnotnull alone doesn't qualify as selective).
+    val b = batch.filter(size(col(vecCol)) === idx.dim)
+      .select(col(idCol).as("nd_bid"), col(vecCol).as("v_b"),
+        sqrt(vec_dot(col(vecCol), col(vecCol))).as("nrm_b"))
+    val bBuckets = b
+      .withColumn("tb", explode(tableBucketArray(col("v_b"), idx.dim, idx.nBits, idx.tables)))
+      .select(col("nd_bid"), col("tb.t").as("t"), col("tb.b").as("b"))
+    val cands =
+      (if (idx.diskBuckets > 0)
+        broadcast(bBuckets.withColumn("b_bucket",
+            pmod(col("b"), lit(idx.diskBuckets)).cast("int")))
+          .join(idx.buckets, Seq("t", "b_bucket", "b"))
+      else bBuckets.join(idx.buckets, Seq("t", "b")))
+        .select(col("nd_bid"), col("nd_cid")).distinct()
+    val verify =
+      if (idx.diskBuckets > 0)
+        broadcast(cands.withColumn("id_bucket",
+            pmod(hash(col("nd_cid")), lit(idx.diskBuckets)).cast("int")))
+          .join(idx.vecs, Seq("id_bucket", "nd_cid"))
+      else cands.join(idx.vecs, "nd_cid")
+    val dupIds = verify
+      .join(b, "nd_bid")
+      // round-6 before the threshold compare, like cosineNearDupPairs:
+      // keeps the boundary decision replayable across engines
+      .filter(round(vec_dot(col("v_b"), col("v_c")) /
+        (col("nrm_b") * col("nrm_c")), 6) >= threshold)
+      .select(col("nd_bid")).distinct()
+    batch.join(dupIds, batch(idCol) === dupIds("nd_bid"), "left_anti")
   }
 
   /** EXACT cosine near-duplicate pairs — the brute-force baseline the
