@@ -77,7 +77,14 @@ object Bench {
     val lps25 = graft.wpl.ParserBench.linesPerSec(
       graft.wpl.ParserBench.bench25Wpl, graft.wpl.ParserBench.bench25Line,
       50000, warmup = 100000)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread_min_max":$spread,"lines_per_sec_core":$lpsNginx%.0f,"lines_per_sec_core_25field":$lps25%.0f,"sf":"$sfDir"}""")
+    // bytes/s companions: the varied-line corpus (r6, seed-fixed wpgen
+    // lines) has a different mean length than the old single sample
+    // line, so MB/s is the cross-round-stable view of parser speed
+    val mbsNginx = lpsNginx * graft.wpl.ParserBench.corpusMeanLen(
+      graft.wpl.ParserBench.nginxWpl, graft.wpl.ParserBench.nginxLine) / 1e6
+    val mbs25 = lps25 * graft.wpl.ParserBench.corpusMeanLen(
+      graft.wpl.ParserBench.bench25Wpl, graft.wpl.ParserBench.bench25Line) / 1e6
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread_min_max":$spread,"lines_per_sec_core":$lpsNginx%.0f,"lines_per_sec_core_25field":$lps25%.0f,"parser_mb_per_sec_core":$mbsNginx%.1f,"parser_mb_per_sec_core_25field":$mbs25%.1f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -8,21 +8,52 @@ package graft.wpl
   * the per-core number is what multiplies out to cluster throughput. */
 object ParserBench {
 
-  /** Best-of-`reps` lines/second for one rule on one line, after
-    * `warmup` iterations to tier the parse loop up (a cold JVM
-    * under-reports steady state by ~2× — measured on the nginx rule:
-    * 1442 ns/line at 20k warmup vs 763 ns/line fully warm). */
+  /** Distinct input lines for the throughput loop: the benched sample
+    * line plus wpgen-generated lines from the SAME rule (seeded,
+    * deterministic). A single repeated line stays L1-resident and
+    * flatters steady state — ~4k distinct ~250-byte lines (≈1 MB)
+    * force realistic memory traffic, and the varied field contents
+    * exercise the value parsers' actual branch mix instead of one
+    * branch-predicted path. */
+  def corpusFor(wpl: String, sampleLine: String, size: Int = 4096): Array[String] = {
+    val rule = WplText.parsePackages(wpl).headOption
+      .getOrElse(throw new IllegalArgumentException("no rule in wpl"))
+    val rnd = new java.util.SplittableRandom(42L)
+    Array.tabulate(size)(i =>
+      if (i == 0) sampleLine else graft.gen.WpGen.genLine(rule, rnd))
+  }
+
+  /** Mean line length of the measured corpus — published next to
+    * lines/s so the sentinel is interpretable: wpgen's generated lines
+    * are shorter on average than the hand-picked sample (random agent
+    * strings vs a 120-char Mozilla UA), so lines/s is NOT directly
+    * comparable to the old single-line number; bytes/s
+    * (lines/s × mean_len) is the cross-definition-stable view. The
+    * fixed seed makes the corpus — and thus round-over-round
+    * comparisons — deterministic. */
+  def corpusMeanLen(wpl: String, sampleLine: String): Double = {
+    val c = corpusFor(wpl, sampleLine)
+    c.map(_.length.toLong).sum.toDouble / c.length
+  }
+
+  /** Best-of-`reps` lines/second for one rule over a varied-line
+    * corpus (see [[corpusFor]]), after `warmup` iterations to tier the
+    * parse loop up (a cold JVM under-reports steady state by ~2× —
+    * measured on the nginx rule: 1442 ns/line at 20k warmup vs 763
+    * ns/line fully warm). */
   def linesPerSec(wpl: String, line: String, n: Int,
                   warmup: Int = 500000, reps: Int = 3): Double = {
     val mp = Runtime.compile(wpl)
+    val corpus = corpusFor(wpl, line)
+    val mask = corpus.length - 1 // corpusFor size is a power of two
     var i = 0
-    while (i < warmup) { mp.parseLine(line); i += 1 }
+    while (i < warmup) { mp.parseLine(corpus(i & mask)); i += 1 }
     var best = Double.MaxValue
     var rep = 0
     while (rep < reps) {
       val t0 = System.nanoTime()
       i = 0
-      while (i < n) { mp.parseLine(line); i += 1 }
+      while (i < n) { mp.parseLine(corpus(i & mask)); i += 1 }
       val sec = (System.nanoTime() - t0) / 1e9
       if (sec < best) best = sec
       rep += 1
