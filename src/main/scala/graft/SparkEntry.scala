@@ -1212,8 +1212,9 @@ object SparkEntry {
     * (LZW-compressed by the JDK writer), decoded through the ImageIO
     * GIF reader. The synth palette makes GIF lossless here (≤256
     * distinct colors by construction), so the closed-form formula
-    * oracles the decoded channel means exactly — JPEG remains the one
-    * sbt-only format (lossy DCT, reader-dependent). */
+    * oracles the decoded channel means exactly — and since r6, JPEG is
+    * oracled too, via the in-repo exact-integer baseline decoder
+    * (multimodal_jpeg_decode). */
   private def qMultimodalGif(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.MediaMeta.media_meta
     import graft.functions.MediaChannelMeans.media_channel_means
@@ -1264,6 +1265,38 @@ object SparkEntry {
         round(col("mu").getItem(1), 4).as("ch1_mean"),
         round(col("rm").getItem(0), 4).as("ch0_rms"),
         round(col("rm").getItem(1), 4).as("ch1_rms"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Multimodal JPEG decode through graft's OWN exact-integer baseline
+    * decoder (JpegBaseline: Annex K Huffman decode, dequantize,
+    * fixed-point LLM IDCT, fixed-point BT.601 RGB) — no ImageIO in the
+    * loop. The synth content is block-flat YCbCr with unit quant
+    * tables, so the lossy format becomes bit-exact here (a flat block
+    * is a lone integral DC coefficient; the IDCT descale rounding
+    * cancels), and the oracle replays pattern→YCbCr→RGB closed-form in
+    * SQL, down to the `//65536` fixed-point shift. A decoder bug
+    * anywhere — Huffman tables, byte unstuffing, zig-zag, IDCT, color
+    * convert — hash-mismatches. */
+  private def qMultimodalJpeg(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MediaMeta.media_meta
+    import graft.functions.MediaChannelMeans.media_channel_means
+    import graft.operators.Multimodal
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"),
+        Multimodal.synthJpegUdf(col("doc_id"),
+          ((col("doc_id") % 3 + 1) * 8).cast("int"),
+          ((col("doc_id") % 2 + 1) * 8).cast("int")).as("media"))
+    d.select(col("doc_id"),
+        media_meta(col("media")).as("m"),
+        media_channel_means(col("media")).as("ch"))
+      .select(col("doc_id"),
+        col("m.format").as("format"),
+        col("m.width").as("width"),
+        col("m.height").as("height"),
+        round(col("ch").getItem(0), 4).as("r_mean"),
+        round(col("ch").getItem(1), 4).as("g_mean"),
+        round(col("ch").getItem(2), 4).as("b_mean"))
       .orderBy(col("doc_id"))
   }
 
@@ -1326,6 +1359,7 @@ object SparkEntry {
     "multimodal_mp4_decode" -> (qMultimodalMp4 _),
     "multimodal_bmp_decode" -> (qMultimodalBmp _),
     "multimodal_png_decode" -> (qMultimodalPng _),
+    "multimodal_jpeg_decode" -> (qMultimodalJpeg _),
     "multimodal_gif_decode" -> (qMultimodalGif _),
     "multimodal_wav_decode" -> (qMultimodalWav _),
     "oml_transform" -> (qOmlTransform _),
@@ -2276,6 +2310,31 @@ object SparkEntry {
            round(avg((doc_id*31 + y*7 + x*3 + 11) % 256), 4) AS g_mean,
            round(avg((doc_id*31 + y*7 + x*3 + 22) % 256), 4) AS b_mean
          FROM px GROUP BY doc_id, w, h ORDER BY doc_id""",
+    "multimodal_jpeg_decode" ->
+      """WITH dims AS (
+           SELECT doc_id, (doc_id % 3) + 1 AS wb, (doc_id % 2) + 1 AS hb FROM documents
+         ), blk AS (
+           SELECT d.doc_id, d.wb, d.hb,
+             (d.doc_id*31 + gy.by*7 + gx.bx*3) % 256 AS y,
+             (d.doc_id*31 + gy.by*7 + gx.bx*3 + 11) % 256 AS cb,
+             (d.doc_id*31 + gy.by*7 + gx.bx*3 + 22) % 256 AS cr
+           FROM dims d,
+                LATERAL (SELECT unnest(generate_series(0, d.hb - 1)) AS by) gy,
+                LATERAL (SELECT unnest(generate_series(0, d.wb - 1)) AS bx) gx
+         ), px AS (
+           -- fixed-point BT.601, the decoder's exact integer formula:
+           -- positive-biased numerator so // floors like Scala's >>
+           SELECT doc_id, wb, hb,
+             GREATEST(0, LEAST(255, (y*65536 + 91881*(cr-128) + 32768 + 67108864) // 65536 - 1024)) AS r,
+             GREATEST(0, LEAST(255, (y*65536 - 22554*(cb-128) - 46802*(cr-128) + 32768 + 67108864) // 65536 - 1024)) AS g,
+             GREATEST(0, LEAST(255, (y*65536 + 116130*(cb-128) + 32768 + 67108864) // 65536 - 1024)) AS b
+           FROM blk
+         )
+         SELECT doc_id, 'jpeg' AS format, CAST(wb*8 AS INT) AS width,
+           CAST(hb*8 AS INT) AS height,
+           round(avg(r), 4) AS r_mean, round(avg(g), 4) AS g_mean,
+           round(avg(b), 4) AS b_mean
+         FROM px GROUP BY doc_id, wb, hb ORDER BY doc_id""",
     "multimodal_gif_decode" ->
       """WITH dims AS (
            SELECT doc_id, (doc_id % 6) + 5 AS w, (doc_id % 4) + 5 AS h FROM documents

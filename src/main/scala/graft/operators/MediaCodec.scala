@@ -212,10 +212,15 @@ object PngCodec extends MediaCodec {
   def samples(b: Array[Byte]): Option[Samples] = ImageIoDecode.rgb(b)
 }
 
-/** JPEG: full pixel decode through the JDK ImageIO JPEG reader (lossy
-  * format — decoded values are codec-exact, not synth-exact, so tests
-  * assert tolerances rather than hashes). Header metadata is a pure
-  * marker scan: SOI then the first SOFn (C0–CF minus C4/C8/CC). */
+/** JPEG: full pixel decode through graft's own exact-integer baseline
+  * decoder ([[JpegBaseline]] — Huffman, dequant, fixed-point IDCT,
+  * fixed-point BT.601 color convert), falling back to the JDK ImageIO
+  * reader for streams outside baseline scope (progressive SOF2,
+  * arithmetic coding, sampling factors > 2). The in-repo path makes
+  * decoded values a deterministic pure function of the file bytes —
+  * oracle-able — where ImageIO's IDCT/upsampling is reader-dependent.
+  * Header metadata is a pure marker scan: SOI then the first SOFn
+  * (C0–CF minus C4/C8/CC). */
 object JpegCodec extends MediaCodec {
   import MediaCodec._
   val format = "jpeg"
@@ -232,7 +237,10 @@ object JpegCodec extends MediaCodec {
     }
     Meta(0, 0, 1) // SOI but truncated before SOF
   }
-  def samples(b: Array[Byte]): Option[Samples] = ImageIoDecode.rgb(b)
+  def samples(b: Array[Byte]): Option[Samples] =
+    (try JpegBaseline.decode(b).rgb.map(Samples)
+     catch { case _: JpegBaseline.JpegFormatException => None })
+      .orElse(ImageIoDecode.rgb(b))
 }
 
 /** GIF: full pixel decode through the JDK ImageIO GIF reader (first

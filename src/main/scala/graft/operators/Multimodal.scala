@@ -305,9 +305,9 @@ object Multimodal {
     * an explicit 256-entry IndexColorModel (palette[c] = (c, c+11 mod
     * 256, c+22 mod 256)) encodes the image LOSSLESSLY — the JDK GIF
     * writer emits the palette verbatim, and the analytic formula
-    * oracles the decoded channels exactly. (JPEG stays sbt-only: DCT
-    * quantization is lossy and reader-dependent, so it has no
-    * closed-form oracle.) */
+    * oracles the decoded channels exactly. (JPEG gets its exact oracle
+    * a different way: block-flat content through the in-repo
+    * exact-integer baseline codec — see [[synthJpeg]].) */
   def synthGif(seed: Long, w: Int, h: Int): Array[Byte] = {
     if (System.getProperty("java.awt.headless") == null)
       System.setProperty("java.awt.headless", "true")
@@ -337,4 +337,33 @@ object Multimodal {
   }
 
   val synthGifUdf = udf(synthGif _)
+
+  /** A real baseline JPEG (SOI/DQT/SOF0/DHT/SOS, Annex K Huffman
+    * tables, 4:4:4) whose decode is EXACT: content is block-flat —
+    * every 8×8 block of each YCbCr plane holds one value, derived from
+    * the same closed-form family as the other synths but over BLOCK
+    * coordinates: y = (seed·31 + by·7 + bx·3) mod 256, cb = +11,
+    * cr = +22. A flat block has only a DC coefficient (8·(v−128),
+    * integral), and with unit quantization tables the fixed-point IDCT
+    * reconstructs v bit-exactly ([[JpegBaseline.idct8x8]]), so the
+    * decoded planes — and the BT.601 fixed-point RGB conversion — are
+    * closed-form SQL-replayable despite JPEG being a lossy format in
+    * general. w/h must be multiples of 8. */
+  def synthJpeg(seed: Long, w: Int, h: Int): Array[Byte] = {
+    import JpegBaseline.{EncComp, encode}
+    require(w % 8 == 0 && h % 8 == 0, s"block-flat synth needs 8-aligned dims, got ${w}x$h")
+    val unit = Array.fill(64)(1)
+    def blockCoef(off: Int)(by: Int, bx: Int): Array[Int] = {
+      val v = (((seed * 31 + by * 7 + bx * 3 + off) % 256 + 256) % 256).toInt
+      val c = new Array[Int](64)
+      c(0) = 8 * (v - 128)
+      c
+    }
+    val fns = Array(blockCoef(0) _, blockCoef(11) _, blockCoef(22) _)
+    encode(w, h, Array(unit), Seq(
+      EncComp(1, 1, 1, 0, 0, 0), EncComp(2, 1, 1, 0, 1, 1), EncComp(3, 1, 1, 0, 1, 1)),
+      (ci, by, bx) => fns(ci)(by, bx))
+  }
+
+  val synthJpegUdf = udf(synthJpeg _)
 }

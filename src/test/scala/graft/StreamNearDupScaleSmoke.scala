@@ -45,7 +45,7 @@ object StreamNearDupScaleSmoke {
     val idx = Dedup.NearDupCorpusIndex.load(spark, idxDir)
     println(f"STREAMNEARDUP index saved+loaded in ${(System.nanoTime() - t0) / 1e9}%6.1f s ($idxDir)")
 
-    // stream batches: 25k docs each — half near-copies (one word
+    // stream batches: 5k docs each — half near-copies (one word
     // appended to a corpus doc → Jaccard just under 1), half novel
     // (fully salted per-token text)
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
