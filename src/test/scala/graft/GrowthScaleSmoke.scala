@@ -1,0 +1,140 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.SplitMix64.splitmix64
+import graft.operators.{CacheScope, Clustering, Dedup}
+
+/** Growth-rate scale smoke for the dedup chain: the sf corpora top out
+  * at ~600k rows, so "this is linear at 100 TB" claims otherwise rest
+  * on plan shape alone. This smoke runs the minhash-LSH → cross-corpus
+  * → connected-components chain on SYNTHETIC corpora at two sizes 10×
+  * apart (default 250k vs 2.5M docs, generated distributed from pure
+  * splitmix64 column expressions — no driver loop, no disk) and asserts
+  * the two observables that actually catch quadratic traps early:
+  *
+  *  - candidate-pair counts grow ~linearly in corpus size (the
+  *    zero-shingle banding bug r5's property test caught was exactly a
+  *    super-linear candidate cluster — this asserts the absence of the
+  *    whole failure class, not just that one instance);
+  *  - total shuffle-read RECORDS per phase grow ~linearly (a shape
+  *    regression that re-introduces an all-pairs join or an unpruned
+  *    window shows up here as ~100× growth at 10× data).
+  *
+  * Ratio gate: metric(10N)/metric(N) ≤ 20 (linear with slack for
+  * fixed overheads and band-collision noise); candidate pairs must
+  * also grow ≥ 5× (a test that stops finding pairs proves nothing).
+  *
+  * Run: sbt "Test/runMain graft.GrowthScaleSmoke [N]"  (N = small size)
+  */
+object GrowthScaleSmoke {
+
+  /** Sums shuffle-read records across completed stages; listener-bus
+    * delivery is async, so phases sleep briefly before sampling. */
+  private final class ShuffleTap extends SparkListener {
+    val records = new AtomicLong(0)
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) { records.addAndGet(m.shuffleReadMetrics.recordsRead); () }
+    }
+  }
+
+  /** Deterministic 10–40-token text for doc `d` over a 30k-word vocab;
+    * pure column expressions so generation runs distributed. */
+  private def textOf(d: Column): Column = {
+    val len = pmod(splitmix64(d * 2654435761L + 7), lit(31)).cast("int") + 10
+    concat_ws(" ", transform(sequence(lit(0), len - 1),
+      i => concat(lit("w"), pmod(splitmix64(d * 131071L + i.cast("long")), lit(30000)))))
+  }
+
+  /** Corpus text for doc id `d`: every 10th doc is a planted near-copy
+    * of its decade's base doc (two appended tokens → Jaccard ≈ 0.9). */
+  private def docText(d: Column): Column =
+    when(d % 10 === 9,
+      concat(textOf(d - 9), lit(" xtr"), (d % 7).cast("string")))
+      .otherwise(textOf(d))
+
+  private def genDocs(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(col("id").as("doc_id"), docText(col("id")).as("text"))
+
+  private final case class Phase(name: String, result: Long, shuffleRecords: Long, secs: Double)
+
+  private def runChain(spark: SparkSession, tap: ShuffleTap, n: Long): Seq[Phase] = {
+    def phase(name: String)(f: => Long): Phase = {
+      Thread.sleep(1500) // let prior stage events drain
+      val before = tap.records.get
+      val t0 = System.nanoTime()
+      val r = f
+      CacheScope.drain()
+      Thread.sleep(1500)
+      val p = Phase(name, r, tap.records.get - before, (System.nanoTime() - t0) / 1e9)
+      println(f"GROWTH n=$n%8d ${p.name}%-14s result=${p.result}%10d shuffleRows=${p.shuffleRecords}%12d ${p.secs}%7.1f s")
+      p
+    }
+    val docs = genDocs(spark, n).repartition(32).persist()
+    docs.count()
+    val minhash = phase("minhash_lsh") {
+      Dedup.minhashLshPairs(docs, "text", "doc_id", shingleN = 3, nPerm = 64, bands = 16).count()
+    }
+    val cross = phase("crosscorpus") {
+      val idx = Dedup.nearDupCorpusIndex(docs, "text", "doc_id",
+        shingleN = 3, nPerm = 64, bands = 16)
+      // batch = n/10 docs: half near-copies of corpus docs (scattered by
+      // a co-prime multiplier), half novel text from a disjoint id space
+      val batch = spark.range(n / 10).select(
+        (col("id") + 10L * n).as("doc_id"),
+        when(col("id") % 2 === 0,
+          concat(docText(pmod(col("id") * 7919L, lit(n))), lit(" qq")))
+          .otherwise(textOf(col("id") + 5L * n + 123L)).as("text"))
+      val kept = Dedup.dropNearDupsOfCorpus(batch, "text", "doc_id", idx, 0.5).count()
+      idx.release()
+      kept
+    }
+    val cc = phase("conn_comp") {
+      val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
+        shingleN = 3, nPerm = 64, bands = 16)
+      Clustering.dupClusters(pairs, "id_a", "id_b").count()
+    }
+    docs.unpersist()
+    Seq(minhash, cross, cc)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nSmall = if (args.nonEmpty) args(0).toLong else 250000L
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "8g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("growth_ckpt").toString)
+    val tap = new ShuffleTap
+    spark.sparkContext.addSparkListener(tap)
+
+    val small = runChain(spark, tap, nSmall)
+    val big = runChain(spark, tap, nSmall * 10)
+
+    var failed = false
+    small.zip(big).foreach { case (s, b) =>
+      val rShuffle = b.shuffleRecords.toDouble / math.max(1, s.shuffleRecords)
+      val rResult = b.result.toDouble / math.max(1, s.result)
+      println(f"GROWTH ratio ${s.name}%-14s result×$rResult%6.1f shuffleRows×$rShuffle%6.1f (linear=10, quadratic=100)")
+      if (rShuffle > 20) { println(s"GROWTH FAIL ${s.name}: shuffle grew ${rShuffle}× at 10× data"); failed = true }
+      if (rResult > 20) { println(s"GROWTH FAIL ${s.name}: result grew ${rResult}× at 10× data"); failed = true }
+    }
+    // the pair search must keep finding the planted structure at scale
+    if (big.head.result < 5 * small.head.result) {
+      println(s"GROWTH FAIL: candidate pairs ${small.head.result} -> ${big.head.result}, expected ≥5×")
+      failed = true
+    }
+    spark.stop()
+    assert(!failed, "growth assertions failed — see GROWTH FAIL lines")
+    println("GROWTH OK: all phases ~linear at 10× data")
+  }
+}
