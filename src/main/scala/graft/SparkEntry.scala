@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame, Column}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.operators.{TextAnalysis, Dedup, Similarity, Skew}
+import graft.operators.{TextAnalysis, Dedup, Similarity, Skew, Funnel}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -236,6 +236,22 @@ object SparkEntry {
       .select(col("user_id"), col("event_id"), col("gap_sec"))
       .orderBy(col("user_id"), col("event_id"))
   }
+
+  /** Strictly-ordered conversion funnel signup→view→click→purchase:
+    * per-stage user counts + conversion vs stage 1. Aggregation
+    * cascade keyed on user_id throughout — no windows, no per-user
+    * history lists (see [[graft.operators.Funnel.orderedFunnel]]). */
+  private def qEventsFunnel(s: SparkSession, dir: String): DataFrame =
+    Funnel.orderedFunnel(t(s, dir, "events"),
+        Seq("signup", "view", "click", "purchase"))
+      .orderBy(col("stage_idx"))
+
+  /** Weekly cohort retention triangle: cohort = ISO week of first
+    * `signup`; active = any event in cohort_week+w (pre-signup activity
+    * clipped). Two shuffles on user_id + a (cohort,offset) rollup. */
+  private def qEventsRetention(s: SparkSession, dir: String): DataFrame =
+    Funnel.cohortRetention(t(s, dir, "events"), cohortType = Some("signup"))
+      .orderBy(col("cohort_week"), col("week_offset"))
 
   // ---------------------------------------------------------------------
   // Training-data ops: dedup / text analysis / similarity
@@ -789,6 +805,18 @@ object SparkEntry {
   private def qEmbDimStats(s: SparkSession, dir: String): DataFrame =
     Similarity.embDimStats(t(s, dir, "embeddings"), "embedding")
       .orderBy(col("dim"))
+
+  /** Topic-cluster cards over the deterministic k-means cells: per-cell
+    * count/share/tightness + majority label purity — the corpus
+    * composition read a mixture designer takes before reweighting.
+    * Map-only assignment (centroids broadcast as codegen'd literals),
+    * (cell,label) partial agg, k·|labels|-row rollup; the oracle replays
+    * the identical fixed-point k-means and the struct-max tie-break
+    * (votes desc → label asc). */
+  private def qTopicClusters(s: SparkSession, dir: String): DataFrame =
+    Similarity.clusterCards(t(s, dir, "embeddings"), "embedding", "vec_id",
+        "label", k = 8, iters = 2)
+      .orderBy(col("cell"))
 
   /** k-NN label-vote propagation over the embeddings (weak-supervision
     * auto-labeling): majority label of the 5 exact-cosine nearest
@@ -1441,7 +1469,10 @@ object SparkEntry {
     "ngram_novelty" -> (qNgramNovelty _),
     "quality_classifier" -> (qQualityClassifier _),
     "dataset_card" -> (qDatasetCard _),
-    "emb_dim_stats" -> (qEmbDimStats _)
+    "emb_dim_stats" -> (qEmbDimStats _),
+    "q_events_funnel" -> (qEventsFunnel _),
+    "q_events_retention" -> (qEventsRetention _),
+    "topic_cluster_stats" -> (qTopicClusters _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -2907,6 +2938,74 @@ object SparkEntry {
            round(avg(x), 4) AS mean,
            round(stddev_samp(x), 4) AS std,
            min(x) AS min_x, max(x) AS max_x
-         FROM u GROUP BY dim ORDER BY dim"""
+         FROM u GROUP BY dim ORDER BY dim""",
+    "q_events_funnel" ->
+      """WITH s1 AS (SELECT user_id AS u, min(ts) AS ct FROM events
+           WHERE event_type = 'signup' GROUP BY 1),
+         s2 AS (SELECT e.user_id AS u, min(e.ts) AS ct FROM events e
+           JOIN s1 ON e.user_id = s1.u
+           WHERE e.event_type = 'view' AND e.ts > s1.ct GROUP BY 1),
+         s3 AS (SELECT e.user_id AS u, min(e.ts) AS ct FROM events e
+           JOIN s2 ON e.user_id = s2.u
+           WHERE e.event_type = 'click' AND e.ts > s2.ct GROUP BY 1),
+         s4 AS (SELECT e.user_id AS u, min(e.ts) AS ct FROM events e
+           JOIN s3 ON e.user_id = s3.u
+           WHERE e.event_type = 'purchase' AND e.ts > s3.ct GROUP BY 1),
+         c AS (
+           SELECT 1 AS stage_idx, 'signup' AS stage,
+             (SELECT count(*) FROM s1) AS n_users
+           UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+           UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
+           UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4))
+         SELECT CAST(stage_idx AS INT) AS stage_idx, stage,
+           CAST(n_users AS BIGINT) AS n_users,
+           round(CAST(n_users AS DOUBLE) /
+             NULLIF((SELECT n_users FROM c WHERE stage_idx = 1), 0), 6)
+             AS conv_rate
+         FROM c ORDER BY stage_idx""",
+    "q_events_retention" ->
+      """WITH f AS (SELECT user_id AS u, date_trunc('week', min(ts))
+             AS cohort_week
+           FROM events WHERE event_type = 'signup' GROUP BY 1),
+         a AS (SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS act_week
+           FROM events),
+         j AS (SELECT a.u, f.cohort_week,
+             CAST(date_diff('day', CAST(f.cohort_week AS DATE),
+               CAST(a.act_week AS DATE)) // 7 AS INT) AS week_offset
+           FROM a JOIN f ON a.u = f.u WHERE a.act_week >= f.cohort_week),
+         cs AS (SELECT cohort_week, count(*) AS n_cohort FROM f GROUP BY 1)
+         SELECT CAST(j.cohort_week AS DATE) AS cohort_week, week_offset,
+           count(*) AS n_active, CAST(cs.n_cohort AS BIGINT) AS n_cohort,
+           round(CAST(count(*) AS DOUBLE) / cs.n_cohort, 6) AS retention_rate
+         FROM j JOIN cs USING (cohort_week)
+         GROUP BY j.cohort_week, week_offset, cs.n_cohort
+         ORDER BY cohort_week, week_offset""",
+    "topic_cluster_stats" ->
+      s"""WITH ${detKmeansCtes(dim = 64, k = 8, iters = 2, where = "")},
+          home AS (SELECT vec_id, cell, s FROM (
+              SELECT vec_id, cell, s, row_number() OVER
+                (PARTITION BY vec_id ORDER BY s, cell) AS rk FROM sf)
+            WHERE rk = 1),
+          d AS (SELECT h.vec_id, h.cell,
+              list_dot_product(e.v, e.v) + h.s AS dist2, emb.label
+            FROM home h JOIN e USING (vec_id)
+            JOIN embeddings emb ON emb.vec_id = h.vec_id),
+          bcl AS (SELECT cell, label, count(*) AS n, sum(dist2) AS sd
+            FROM d GROUP BY cell, label),
+          tot AS (SELECT CAST(sum(n) AS BIGINT) AS total_n FROM bcl),
+          tops AS (SELECT cell, label AS top_label, n AS top_n FROM (
+              SELECT cell, label, n, row_number() OVER
+                (PARTITION BY cell ORDER BY n DESC, label ASC) AS rk FROM bcl)
+            WHERE rk = 1),
+          cards AS (SELECT cell, CAST(sum(n) AS BIGINT) AS n_vecs,
+              sum(sd) / sum(n) AS avg_dist2
+            FROM bcl GROUP BY cell)
+          SELECT CAST(c.cell AS INT) AS cell, c.n_vecs,
+            round(CAST(c.n_vecs AS DOUBLE) / tot.total_n, 6) AS share,
+            round(c.avg_dist2, 6) AS avg_dist2,
+            CAST(t.top_label AS INT) AS top_label,
+            round(CAST(t.top_n AS DOUBLE) / c.n_vecs, 6) AS top_label_frac
+          FROM cards c JOIN tops t USING (cell), tot
+          ORDER BY cell"""
   )
 }

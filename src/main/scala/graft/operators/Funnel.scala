@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel and cohort-retention analytics over an event stream —
+  * the product-analytics queries a log engine's events table feeds
+  * (reference events model: `src/model/mod.rs` event records with
+  * ts/user/type; the reference exposes them to downstream OLAP, it has
+  * no funnel operator of its own — this is Spark-side analytics over
+  * the same shape).
+  *
+  * Both operators are aggregation cascades, NOT window scans:
+  *  - no `collect_list` of a user's whole history (a hot user at 100 TB
+  *    would blow a single task),
+  *  - every shuffle keys on the user column with map-side partial
+  *    aggregation, so repeated stages re-use the same hash partitioning
+  *    and AQE can coalesce the tiny per-stage outputs,
+  *  - the event scan is filtered to the funnel's event types BEFORE the
+  *    first exchange (predicate lands in PushedFilters).
+  */
+object Funnel {
+
+  /** Strictly-ordered conversion funnel. A user converts to stage i iff
+    * they have a `stages(i)` event strictly after their stage-(i−1)
+    * conversion instant; the conversion instant is the earliest such
+    * event (min-ts, the standard product-analytics semantics). One row
+    * per stage: `(stage_idx, stage, n_users, conv_rate)` with
+    * `conv_rate` relative to stage 1.
+    *
+    * Scale shape: stage i is `events ⋈ conv(i−1)` on the user key
+    * followed by a partial-agg min — len(stages) shuffles on the SAME
+    * key, each output at most |users| rows and shrinking monotonically.
+    * The per-stage counts are 1-row aggregates combined via union +
+    * a broadcast of the 1-row stage-1 count for the rate.
+    */
+  def orderedFunnel(events: DataFrame, stages: Seq[String],
+                    userCol: String = "user_id", tsCol: String = "ts",
+                    typeCol: String = "event_type"): DataFrame = {
+    require(stages.nonEmpty, "orderedFunnel needs at least one stage")
+    val ev = events
+      .filter(col(typeCol).isin(stages: _*))
+      .select(col(userCol).as("u"), col(typeCol).as("et"), col(tsCol).as("t"))
+
+    // conv(i): per-user earliest instant of completing stages 0..i in order
+    val convs = stages.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (stage, _)) =>
+        val stageEv = ev.filter(col("et") === stage)
+        Some(prev match {
+          case None =>
+            stageEv.groupBy(col("u")).agg(min(col("t")).as("ct"))
+          case Some(p) =>
+            stageEv.join(p.select(col("u"), col("ct").as("prev_ct")), Seq("u"))
+              .filter(col("t") > col("prev_ct"))
+              .groupBy(col("u")).agg(min(col("t")).as("ct"))
+        })
+    }.flatten
+
+    val counts = convs.zip(stages).zipWithIndex.map { case ((c, stage), i) =>
+      c.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("stage_idx"), lit(stage).as("stage"),
+          col("n_users"))
+    }.reduce(_.union(_))
+
+    val base = counts.filter(col("stage_idx") === 1)
+      .select(col("n_users").as("base_n"))
+    counts.crossJoin(broadcast(base))
+      .select(col("stage_idx"), col("stage"), col("n_users"),
+        round(col("n_users").cast("double") /
+          when(col("base_n") === 0, lit(null)).otherwise(col("base_n")), 6)
+          .as("conv_rate"))
+  }
+
+  /** Weekly cohort retention. Cohort = ISO week (Monday-truncated) of a
+    * user's first event of `cohortType` (any event type when None);
+    * a cohort user is "active at offset w" iff they have any event in
+    * cohort_week + w weeks. Emits the standard retention triangle:
+    * `(cohort_week, week_offset, n_active, n_cohort, retention_rate)`.
+    *
+    * Scale shape: first-event agg shuffles on the user key; the
+    * activity set is a (user, week) distinct partial agg; the join back
+    * is user-keyed; the final rollup keys on (cohort_week, offset) —
+    * ≤ weeks² rows. No windows, no per-user history materialization.
+    */
+  def cohortRetention(events: DataFrame, cohortType: Option[String] = None,
+                      userCol: String = "user_id", tsCol: String = "ts",
+                      typeCol: String = "event_type"): DataFrame = {
+    val firstEv = cohortType.fold(events)(ct => events.filter(col(typeCol) === ct))
+      .groupBy(col(userCol).as("u"))
+      .agg(date_trunc("week", min(col(tsCol))).as("cohort_week"))
+    val active = events
+      .select(col(userCol).as("u"), date_trunc("week", col(tsCol)).as("act_week"))
+      .distinct()
+    val joined = active.join(firstEv, Seq("u"))
+      .filter(col("act_week") >= col("cohort_week"))
+      .select(col("u"), col("cohort_week"),
+        (datediff(col("act_week"), col("cohort_week")) / 7)
+          .cast("int").as("week_offset"))
+    val cohortSizes = firstEv.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("n_cohort"))
+    joined.groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(cohortSizes), Seq("cohort_week"))
+      .select(col("cohort_week").cast("date").as("cohort_week"),
+        col("week_offset"), col("n_active"), col("n_cohort"),
+        round(col("n_active").cast("double") / col("n_cohort"), 6)
+          .as("retention_rate"))
+  }
+}

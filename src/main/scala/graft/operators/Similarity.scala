@@ -520,6 +520,43 @@ object Similarity {
       .limit(topN)
   }
 
+  /** Topic-cluster cards — the corpus-composition rollup over the
+    * deterministic k-means cells ([[kmeansCentroidsDet]]): per cell,
+    * member count, corpus share, mean squared distance to the centroid
+    * (cluster tightness), and the majority label with its fraction
+    * (annotation purity). This is the "what's in my embedding corpus"
+    * health check a mixture designer reads before reweighting.
+    *
+    * Scale shape: one map-only assignment pass (k centroids broadcast
+    * as literals inside the codegen'd [[detCellRanking]] score), one
+    * (cell,label)-keyed partial agg, then a k·|labels|-row rollup with
+    * `max_by`-style struct-max for the majority label and a broadcast
+    * 1-row total for the share. Nothing driver-side but the k×dim
+    * centroid pull the deterministic k-means already makes. */
+  def clusterCards(df: DataFrame, vecCol: String, idCol: String,
+                   labelCol: String, k: Int, iters: Int): DataFrame = {
+    import graft.functions.VecDot.vec_dot
+    val cents = kmeansCentroidsDet(df, vecCol, idCol, k, iters)
+    val assigned = df.select(col(idCol).as("vec_id"),
+        col(labelCol).as("label"), col(vecCol).as("v"),
+        detCellRanking(col(vecCol), cents).getItem(0).as("b"))
+      .select(col("vec_id"), col("label"), col("b.cell").as("cell"),
+        (vec_dot(col("v"), col("v")) + col("b.s")).as("dist2"))
+    val byCellLabel = assigned.groupBy(col("cell"), col("label"))
+      .agg(count(lit(1)).as("n"), sum(col("dist2")).as("sd"))
+    val total = byCellLabel.agg(sum(col("n")).as("total_n"))
+    byCellLabel.groupBy(col("cell"))
+      .agg(sum(col("n")).as("n_vecs"),
+        (sum(col("sd")) / sum(col("n"))).as("avg_dist2"),
+        max(struct(col("n"), (-col("label")).as("neg_label"))).as("top"))
+      .crossJoin(broadcast(total))
+      .select(col("cell"), col("n_vecs"),
+        round(col("n_vecs").cast("double") / col("total_n"), 6).as("share"),
+        round(col("avg_dist2"), 6).as("avg_dist2"),
+        (-col("top.neg_label")).cast("int").as("top_label"),
+        round(col("top.n").cast("double") / col("n_vecs"), 6).as("top_label_frac"))
+  }
+
   /** k-NN label-vote propagation — the weak-supervision/auto-labeling
     * step: each vector takes the majority label of its k nearest
     * neighbors by cosine (ties: higher vote count, then smaller label).
