@@ -806,6 +806,19 @@ object SparkEntry {
     Similarity.embDimStats(t(s, dir, "embeddings"), "embedding")
       .orderBy(col("dim"))
 
+  /** Gopher-style hard-gate rule battery: per-doc named rule flags +
+    * conjunctive keep. Map-only scan-side shape (zero exchanges). */
+  private def qGopherRules(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherRules(t(s, dir, "documents"), "text", "doc_id")
+      .orderBy(col("doc_id"))
+
+  /** Per-doc char-entropy (compression-ratio proxy) via the codegen'd
+    * CharEntropy expression — map-only; the oracle replays it with
+    * DuckDB's log₂ `entropy()` aggregate over exploded codepoints. */
+  private def qCharEntropy(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.charEntropy(t(s, dir, "documents"), "text", "doc_id")
+      .orderBy(col("doc_id"))
+
   /** Topic-cluster cards over the deterministic k-means cells: per-cell
     * count/share/tightness + majority label purity — the corpus
     * composition read a mixture designer takes before reweighting.
@@ -1472,7 +1485,9 @@ object SparkEntry {
     "emb_dim_stats" -> (qEmbDimStats _),
     "q_events_funnel" -> (qEventsFunnel _),
     "q_events_retention" -> (qEventsRetention _),
-    "topic_cluster_stats" -> (qTopicClusters _)
+    "topic_cluster_stats" -> (qTopicClusters _),
+    "gopher_rules" -> (qGopherRules _),
+    "char_entropy" -> (qCharEntropy _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -3006,6 +3021,50 @@ object SparkEntry {
             CAST(t.top_label AS INT) AS top_label,
             round(CAST(t.top_n AS DOUBLE) / c.n_vecs, 6) AS top_label_frac
           FROM cards c JOIN tops t USING (cell), tot
-          ORDER BY cell"""
+          ORDER BY cell""",
+    "gopher_rules" ->
+      """WITH d AS (
+           SELECT doc_id, text,
+             list_filter(regexp_split_to_array(trim(text), '\s+'),
+               x -> len(x) > 0) AS toks
+           FROM documents),
+         f AS (
+           SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             round(CASE WHEN len(toks) > 0
+               THEN CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+                 / len(toks) ELSE 0.0 END, 4) AS mean_word_len,
+             round(CASE WHEN len(toks) > 0
+               THEN CAST(length(text) -
+                 length(regexp_replace(text, '[#…]', '', 'g')) AS DOUBLE)
+                 / len(toks) ELSE 0.0 END, 4) AS symbol_ratio,
+             round(CASE WHEN len(toks) > 0
+               THEN CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+                 AS DOUBLE) / len(toks) ELSE 0.0 END, 4) AS alpha_word_frac,
+             CAST(len(list_filter(toks, x -> list_contains(
+               ['the','be','to','of','and','that','have','with'], lower(x))))
+               AS BIGINT) AS n_stopwords
+           FROM d)
+         SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_frac,
+           n_stopwords,
+           (n_words >= 10 AND n_words <= 100000) AS r_word_count,
+           (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS r_mean_word_len,
+           (symbol_ratio <= 0.1) AS r_symbol_ratio,
+           (alpha_word_frac >= 0.8) AS r_alpha_words,
+           (n_stopwords >= 2) AS r_stopwords,
+           ((n_words >= 10 AND n_words <= 100000)
+             AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+             AND (symbol_ratio <= 0.1) AND (alpha_word_frac >= 0.8)
+             AND (n_stopwords >= 2)) AS keep
+         FROM f ORDER BY doc_id""",
+    "char_entropy" ->
+      """WITH ch AS (
+           SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c
+           FROM documents),
+         ent AS (SELECT doc_id, round(entropy(c), 4) AS char_entropy
+           FROM ch GROUP BY doc_id)
+         SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+           coalesce(ent.char_entropy, 0.0) AS char_entropy
+         FROM documents d LEFT JOIN ent USING (doc_id) ORDER BY doc_id"""
   )
 }

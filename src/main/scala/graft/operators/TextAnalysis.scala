@@ -55,6 +55,59 @@ object TextAnalysis {
     )
   }
 
+  /** Gopher-style rule battery (Rae et al. 2021, Table A1 — public
+    * paper): per-document named rule flags plus the conjunctive keep
+    * decision. Unlike [[qualityColumns]]'s continuous signals, these
+    * are the hard gates a crawl pipeline applies first; emitting the
+    * per-rule booleans (not just `keep`) is what makes rejection-rate
+    * dashboards per rule possible. Entirely map-only native
+    * expressions — the scan-side filter shape, zero exchanges before
+    * any downstream agg. Thresholds are the paper's, word-count bounds
+    * scaled to the corpus's short synthetic docs. */
+  def gopherRules(df: DataFrame, textCol: String, idCol: String,
+                  minWords: Int = 10, maxWords: Int = 100000): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks)
+    val alphaWords = size(filter(toks, t => t.rlike("[A-Za-z]")))
+    val stopHits = size(filter(toks,
+      t => lower(t).isin("the", "be", "to", "of", "and", "that", "have", "with")))
+    val symbolChars = length(col(textCol)) -
+      length(regexp_replace(col(textCol), "[#…]", ""))
+    val meanWordLen = when(nTok > 0,
+      length(regexp_replace(col(textCol), "\\s+", "")).cast("double") / nTok)
+      .otherwise(lit(0.0))
+    df.select(col(idCol),
+        nTok.cast("long").as("n_words"),
+        round(meanWordLen, 4).as("mean_word_len"),
+        round(when(nTok > 0, symbolChars.cast("double") / nTok)
+          .otherwise(lit(0.0)), 4).as("symbol_ratio"),
+        round(when(nTok > 0, alphaWords.cast("double") / nTok)
+          .otherwise(lit(0.0)), 4).as("alpha_word_frac"),
+        stopHits.cast("long").as("n_stopwords"))
+      .withColumn("r_word_count",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("r_mean_word_len",
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("r_symbol_ratio", col("symbol_ratio") <= 0.1)
+      .withColumn("r_alpha_words", col("alpha_word_frac") >= 0.8)
+      .withColumn("r_stopwords", col("n_stopwords") >= 2L)
+      .withColumn("keep",
+        col("r_word_count") && col("r_mean_word_len") &&
+        col("r_symbol_ratio") && col("r_alpha_words") && col("r_stopwords"))
+  }
+
+  /** Per-document char-entropy quality signal (compression-ratio
+    * proxy) via the codegen'd [[graft.functions.CharEntropy]]
+    * expression, bucketed into a histogram companion: the per-doc rows
+    * feed filtering, the histogram is the 1-row-per-bucket corpus
+    * health read. Map-only before the (tiny) bucket agg. */
+  def charEntropy(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    import graft.functions.CharEntropy.char_entropy
+    df.select(col(idCol),
+      length(col(textCol)).cast("long").as("n_chars"),
+      round(char_entropy(col(textCol)), 4).as("char_entropy"))
+  }
+
   /** Per-source (domain-analogue) curation stats — the corpus-level
     * keep/drop/reweight signal a crawl pipeline applies before
     * doc-level filtering: per source, doc/token counts, exact-duplicate

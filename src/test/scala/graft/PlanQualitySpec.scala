@@ -146,7 +146,7 @@ class PlanQualitySpec extends AnyFunSuite {
 
   test("PII scan and int8 quantize are map-only (single output-sort exchange)") {
     for (q <- Seq("pii_scan", "emb_quantize", "sample_stratified", "doc_chunk",
-                  "emb_project")) {
+                  "emb_project", "gopher_rules", "char_entropy")) {
       val p = plan(q)
       val exchanges = "Exchange".r.findAllIn(p).size
       // the only exchange allowed is the ORDER BY's range partition —

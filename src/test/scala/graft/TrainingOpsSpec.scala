@@ -623,4 +623,56 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(out(0) == ((2L, 2.0, math.rint(math.sqrt(2.0) * 1e4) / 1e4, 1.0, 3.0)))
     assert(out(1) == ((2L, 10.0, 0.0, 10.0, 10.0)))
   }
+
+  // ------------------------------------------------- char entropy / gopher
+
+  test("CharEntropy: exact values, empty string, supplementary codepoints") {
+    import graft.functions.CharEntropy
+    assert(CharEntropy.entropy("") == 0.0)
+    assert(CharEntropy.entropy("aaaa") == 0.0)
+    assert(CharEntropy.entropy("aabb") == 1.0) // 2 symbols, uniform
+    assert(CharEntropy.entropy("abcd") == 2.0) // 4 symbols, uniform
+    // surrogate pair counts as ONE codepoint: 𝄞 (U+1D11E) + 'a' ×2 ⇒
+    // 3 codepoints {𝄞:1, a:2} ⇒ H = log2(3) − 2/3 ≈ 0.9183
+    val h = CharEntropy.entropy("𝄞aa")
+    assert(math.abs(h - (math.log(3) / math.log(2) - 2.0 / 3.0)) < 1e-12, h.toString)
+  }
+
+  test("CharEntropy expression: codegen path matches interpreted eval") {
+    import graft.functions.CharEntropy.char_entropy
+    import spark.implicits._
+    val d = Seq("aabb", "", "mixed content 123", "𝄞aa")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val viaExpr = d.select(col("doc_id"), char_entropy(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for ((t, i) <- Seq("aabb", "", "mixed content 123", "𝄞aa").zipWithIndex)
+      assert(viaExpr(i.toLong) == graft.functions.CharEntropy.entropy(t),
+        s"row $i mismatch")
+    // null propagates
+    val n = d.select(char_entropy(lit(null).cast("string"))).head()
+    assert(n.isNullAt(0))
+  }
+
+  test("gopher rules: per-rule flags and conjunctive keep on crafted docs") {
+    val d = docs(
+      // passes all rules: 12 words, sane lengths, stopwords, alphabetic
+      (1L, "the cat and the dog sat with all of that good grace"),
+      // too short (3 words) — fails r_word_count and r_stopwords
+      (2L, "tiny doc here"),
+      // no stopwords — fails r_stopwords only (12 alpha words, len ok)
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa mu nu"),
+      // numeric words — fails r_alpha_words (0/10 alphabetic)
+      (4L, "11 22 33 44 55 66 77 88 99 101 the off"))
+    val out = TextAnalysis.gopherRules(d, "text", "doc_id", minWords = 10)
+      .orderBy("doc_id").collect()
+    def flags(i: Int) = (out(i).getAs[Boolean]("r_word_count"),
+      out(i).getAs[Boolean]("r_stopwords"), out(i).getAs[Boolean]("r_alpha_words"),
+      out(i).getAs[Boolean]("keep"))
+    assert(flags(0) == ((true, true, true, true)))
+    assert(flags(1) == ((false, false, true, false)))
+    assert(flags(2) == ((true, false, true, false)))
+    // doc 4: 12 words, 2 alphabetic ("the","off" — but "off" isn't a
+    // stopword; only "the" counts) ⇒ alpha frac 2/12 < 0.8, stop 1 < 2
+    assert(flags(3) == ((true, false, false, false)))
+  }
 }
