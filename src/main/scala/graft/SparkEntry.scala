@@ -831,6 +831,27 @@ object SparkEntry {
         "label", k = 8, iters = 2)
       .orderBy(col("cell"))
 
+  /** Product-quantization encode: 4 subspace codebooks (k=16, 2 Lloyd
+    * iters each, deterministic fixed-point) → per-vector 4-byte code
+    * vector + total quantization distortion. Map-only encode; the
+    * oracle replays all four codebook builds and the (s, cell)
+    * assignment tie-break. */
+  private def qPqEncode(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqEncode(t(s, dir, "embeddings"), "embedding", "vec_id",
+        dim = 64, m = 4, k = 16, iters = 2)
+      .orderBy(col("vec_id"))
+
+  /** IVF-PQ ANN top-k — the compressed-domain production ANN: coarse
+    * deterministic-IVF prunes to nprobe=2 cells, ADC distances against
+    * the PQ codes rank candidates; every query (vec_id ≡ 0 mod 41)
+    * gets its exact-replayable top-10. Ranking keys on the rounded
+    * distance so cross-engine FP ulps can't flip ties. */
+  private def qAnnIvfPq(s: SparkSession, dir: String): DataFrame =
+    Similarity.annIvfPqTopK(t(s, dir, "embeddings"), "embedding", "vec_id",
+        dim = 64, coarseK = 8, coarseIters = 2, m = 4, k = 16, iters = 2,
+        nprobe = 2, topK = 10, queryPred = col("vec_id") % 41 === 0)
+      .orderBy(col("q_id"), col("rnk"))
+
   /** k-NN label-vote propagation over the embeddings (weak-supervision
     * auto-labeling): majority label of the 5 exact-cosine nearest
     * neighbors per vector. Exact variant = block equi-join + bounded
@@ -1487,7 +1508,9 @@ object SparkEntry {
     "q_events_retention" -> (qEventsRetention _),
     "topic_cluster_stats" -> (qTopicClusters _),
     "gopher_rules" -> (qGopherRules _),
-    "char_entropy" -> (qCharEntropy _)
+    "char_entropy" -> (qCharEntropy _),
+    "pq_encode" -> (qPqEncode _),
+    "ann_ivfpq_topk" -> (qAnnIvfPq _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -1961,36 +1984,129 @@ object SparkEntry {
     * sx/(n·1e6); empty cells keep the previous centroid), and `sf`
     * (final per-(vector, cell) scores vs c$iters). Shared by every
     * oracle that rides the deterministic centroids. */
-  private def detKmeansCtes(dim: Int, k: Int, iters: Int, where: String): String = {
+  private def detKmeansCtes(dim: Int, k: Int, iters: Int, where: String): String =
+    detKmeansCtesPfx("", lo = 1, dim = dim, k = k, iters = iters, where = where)
+
+  /** Prefixed/sliced variant of the deterministic-k-means CTE replay:
+    * runs the identical fixed-point Lloyd over `embedding[lo, lo+dim-1]`
+    * with every CTE name prefixed — multiple independent builds (the
+    * coarse IVF quantizer + m PQ subspace codebooks) can coexist in one
+    * WITH clause. `pfx=""` + full-dim slice is semantically identical
+    * to the original CTEs (list_slice over the whole list is elided),
+    * so the pre-existing oracles are unchanged. */
+  private def detKmeansCtesPfx(pfx: String, lo: Int, dim: Int, k: Int,
+                               iters: Int, where: String): String = {
+    val vexpr =
+      if (lo == 1 && dim == 64) "CAST(embedding AS DOUBLE[])"
+      else s"list_slice(CAST(embedding AS DOUBLE[]), $lo, ${lo + dim - 1})"
     def round_(i: Int): String =
-      s"""s$i AS (SELECT e.vec_id, c.cell,
+      s"""${pfx}s$i AS (SELECT e.vec_id, c.cell,
             list_dot_product(c.cv, c.cv) - 2*list_dot_product(e.v, c.cv) AS s
-          FROM e, c$i c),
-        a$i AS (SELECT vec_id, cell FROM (
+          FROM ${pfx}e e, ${pfx}c$i c),
+        ${pfx}a$i AS (SELECT vec_id, cell FROM (
             SELECT vec_id, cell, row_number() OVER
-              (PARTITION BY vec_id ORDER BY s, cell) AS rk FROM s$i)
+              (PARTITION BY vec_id ORDER BY s, cell) AS rk FROM ${pfx}s$i)
           WHERE rk = 1),
-        m$i AS (SELECT cell, i, sum(sv[i]) AS sx, count(*) AS n FROM (
+        ${pfx}m$i AS (SELECT cell, i, sum(sv[i]) AS sx, count(*) AS n FROM (
             SELECT cell, sv, unnest(generate_series(1, $dim)) AS i
-            FROM a$i JOIN e USING (vec_id))
+            FROM ${pfx}a$i JOIN ${pfx}e USING (vec_id))
           GROUP BY cell, i),
-        c${i + 1} AS (SELECT c$i.cell, coalesce(u.cv, c$i.cv) AS cv
-          FROM c$i LEFT JOIN (
+        ${pfx}c${i + 1} AS (SELECT ${pfx}c$i.cell, coalesce(u.cv, ${pfx}c$i.cv) AS cv
+          FROM ${pfx}c$i LEFT JOIN (
             SELECT cell, list(CAST(sx AS DOUBLE)/(CAST(n AS DOUBLE)*1000000) ORDER BY i) AS cv
-            FROM m$i GROUP BY cell) u USING (cell))"""
+            FROM ${pfx}m$i GROUP BY cell) u USING (cell))"""
     val rounds = (0 until iters).map(round_).mkString(",\n        ")
-    s"""e AS (SELECT vec_id,
-          CAST(embedding AS DOUBLE[]) AS v,
-          list_transform(CAST(embedding AS DOUBLE[]),
+    s"""${pfx}e AS (SELECT vec_id,
+          $vexpr AS v,
+          list_transform($vexpr,
             x -> CAST(floor(x*1000000 + 0.5) AS BIGINT)) AS sv
           FROM embeddings $where),
-        c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+        ${pfx}c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
             list_transform(sv, x -> CAST(x AS DOUBLE)/1000000) AS cv
-          FROM (SELECT vec_id, sv FROM e ORDER BY vec_id LIMIT $k)),
+          FROM (SELECT vec_id, sv FROM ${pfx}e ORDER BY vec_id LIMIT $k)),
         $rounds,
-        sf AS (SELECT e.vec_id, c.cell,
+        ${pfx}sf AS (SELECT e.vec_id, c.cell,
             list_dot_product(c.cv, c.cv) - 2*list_dot_product(e.v, c.cv) AS s
-          FROM e, c$iters c)"""
+          FROM ${pfx}e e, ${pfx}c$iters c)"""
+  }
+
+  /** PQ-encode oracle: m independent sliced det-k-means replays; per
+    * vector the (s, cell)-tie-broken nearest codeword per subspace and
+    * the left-assoc distortion sum (‖x_s‖² + s_s summed in subspace
+    * order — the identical FP sequence to the Spark side). */
+  private def pqEncodeOracle(m: Int, k: Int, iters: Int): String = {
+    val sub = 64 / m
+    val ctes = (0 until m).map(s =>
+      detKmeansCtesPfx(s"p${s}_", s * sub + 1, sub, k, iters, ""))
+      .mkString(",\n        ")
+    val pcs = (0 until m).map(s =>
+      s"""pc$s AS (SELECT vec_id, cell, s FROM (
+            SELECT vec_id, cell, s, row_number() OVER
+              (PARTITION BY vec_id ORDER BY s, cell) AS rk FROM p${s}_sf)
+          WHERE rk = 1)""").mkString(",\n        ")
+    val nrm = (0 until m).map(s =>
+      s"n$s AS (SELECT vec_id, list_dot_product(v, v) AS vv FROM p${s}_e)")
+      .mkString(",\n        ")
+    val codeCols = (0 until m).map(s => s"CAST(pc$s.cell AS INT) AS code_$s")
+      .mkString(", ")
+    val distExpr = (0 until m).map(s => s"(n$s.vv + pc$s.s)").mkString(" + ")
+    val joins = ((1 until m).map(s => s"JOIN pc$s USING (vec_id)") ++
+      (0 until m).map(s => s"JOIN n$s USING (vec_id)")).mkString(" ")
+    s"""WITH $ctes,
+        $pcs,
+        $nrm
+        SELECT pc0.vec_id, $codeCols, round($distExpr, 6) AS distortion
+        FROM pc0 $joins ORDER BY pc0.vec_id"""
+  }
+
+  /** IVF-PQ oracle: coarse det-k-means (prefix g) + m subspace builds,
+    * per-query nprobe cells, ADC = Σ_s LUT(q, s, code_s) over the
+    * candidate cells' members, rank on (rounded adc, vec_id). */
+  private def annIvfPqOracle(coarseK: Int, coarseIters: Int, m: Int, k: Int,
+                             iters: Int, nprobe: Int, topK: Int,
+                             mod: Int): String = {
+    val sub = 64 / m
+    val coarseCtes = detKmeansCtesPfx("g", 1, 64, coarseK, coarseIters, "")
+    val subCtes = (0 until m).map(s =>
+      detKmeansCtesPfx(s"p${s}_", s * sub + 1, sub, k, iters, ""))
+      .mkString(",\n        ")
+    val pcs = (0 until m).map(s =>
+      s"""pc$s AS (SELECT vec_id, cell FROM (
+            SELECT vec_id, cell, row_number() OVER
+              (PARTITION BY vec_id ORDER BY s, cell) AS rk FROM p${s}_sf)
+          WHERE rk = 1)""").mkString(",\n        ")
+    val codesUnion = (0 until m).map(s =>
+      s"SELECT vec_id, $s AS sub, cell AS code FROM pc$s")
+      .mkString(" UNION ALL ")
+    val cbUnion = (0 until m).map(s =>
+      s"SELECT $s AS sub, cell AS code, cv FROM p${s}_c$iters")
+      .mkString(" UNION ALL ")
+    s"""WITH $coarseCtes,
+        $subCtes,
+        $pcs,
+        grk AS (SELECT vec_id, cell, row_number() OVER
+            (PARTITION BY vec_id ORDER BY s, cell) AS rk FROM gsf),
+        ghome AS (SELECT vec_id, cell FROM grk WHERE rk = 1),
+        gprobe AS (SELECT vec_id AS q_id, cell FROM grk
+          WHERE rk <= $nprobe AND vec_id % $mod = 0),
+        codes AS ($codesUnion),
+        cb AS ($cbUnion),
+        q AS (SELECT vec_id AS q_id, v FROM ge WHERE vec_id % $mod = 0),
+        lut AS (SELECT q.q_id, cb.sub, cb.code,
+            list_sum(list_transform(generate_series(1, $sub),
+              i -> (q.v[cb.sub*$sub + i] - cb.cv[i]) *
+                   (q.v[cb.sub*$sub + i] - cb.cv[i]))) AS d2
+          FROM q, cb),
+        cand AS (SELECT gp.q_id, h.vec_id
+          FROM gprobe gp JOIN ghome h USING (cell)),
+        adc AS (SELECT c.q_id, c.vec_id, round(sum(l.d2), 6) AS adc_dist2
+          FROM cand c JOIN codes co ON co.vec_id = c.vec_id
+          JOIN lut l ON l.q_id = c.q_id AND l.sub = co.sub AND l.code = co.code
+          GROUP BY c.q_id, c.vec_id),
+        rk AS (SELECT q_id, vec_id, adc_dist2, row_number() OVER
+            (PARTITION BY q_id ORDER BY adc_dist2, vec_id) AS rnk FROM adc)
+        SELECT q_id, vec_id, adc_dist2, CAST(rnk AS INT) AS rnk
+        FROM rk WHERE rnk <= $topK ORDER BY q_id, rnk"""
   }
 
   private def semanticNprobeOracle(dim: Int, k: Int, iters: Int,
@@ -3065,6 +3181,9 @@ object SparkEntry {
            FROM ch GROUP BY doc_id)
          SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
            coalesce(ent.char_entropy, 0.0) AS char_entropy
-         FROM documents d LEFT JOIN ent USING (doc_id) ORDER BY doc_id"""
+         FROM documents d LEFT JOIN ent USING (doc_id) ORDER BY doc_id""",
+    "pq_encode" -> pqEncodeOracle(m = 4, k = 16, iters = 2),
+    "ann_ivfpq_topk" -> annIvfPqOracle(coarseK = 8, coarseIters = 2, m = 4,
+      k = 16, iters = 2, nprobe = 2, topK = 10, mod = 41)
   )
 }

@@ -557,6 +557,128 @@ object Similarity {
         round(col("top.n").cast("double") / col("n_vecs"), 6).as("top_label_frac"))
   }
 
+  /** Product-quantization codebooks: m independent per-subspace
+    * deterministic k-means codebooks (Jégou et al. 2011, "Product
+    * quantization for nearest neighbor search" — public paper). Each
+    * subspace build is the same bit-reproducible fixed-point Lloyd as
+    * [[kmeansCentroidsDet]], so codes — and therefore every ADC
+    * distance — are exactly replayable cross-engine. Returns m × k
+    * centroids of dim/m doubles. */
+  def pqCodebooks(df: DataFrame, vecCol: String, idCol: String, dim: Int,
+                  m: Int, k: Int, iters: Int): Seq[Seq[Seq[Double]]] = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val sub = dim / m
+    (0 until m).map { s =>
+      val sliced = df.select(col(idCol),
+        slice(col(vecCol), s * sub + 1, sub).as("pq_slice"))
+      kmeansCentroidsDet(sliced, "pq_slice", idCol, k, iters)
+    }
+  }
+
+  /** PQ-encode every vector: per-subspace nearest-codeword ids plus the
+    * total quantization distortion Σ_s ‖x_s − c_{code_s}‖². The encode
+    * is map-only (all m·k codewords ride the closure as codegen'd
+    * constants inside [[detCellRanking]]) — the 8-byte-per-vector
+    * compressed representation that makes 100 TB of embeddings hold in
+    * a fraction of the footprint. */
+  def pqEncodeWith(df: DataFrame, vecCol: String, idCol: String, dim: Int,
+                   codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    import graft.functions.VecDot.vec_dot
+    val m = codebooks.length
+    val sub = dim / m
+    val coded = (0 until m).foldLeft(
+      df.select(col(idCol).as("vec_id"), col(vecCol).as("v"))) { (acc, s) =>
+      val sl = slice(col("v"), s * sub + 1, sub)
+      val b = detCellRanking(sl, codebooks(s)).getItem(0)
+      acc.withColumn(s"code_$s", b.getField("cell").cast("int"))
+        .withColumn(s"d2_$s", vec_dot(sl, sl) + b.getField("s"))
+    }
+    val codeCols = (0 until m).map(s => col(s"code_$s"))
+    val dist = (0 until m).map(s => col(s"d2_$s")).reduce(_ + _)
+    coded.select((col("vec_id") +: codeCols :+
+      round(dist, 6).as("distortion")): _*)
+  }
+
+  def pqEncode(df: DataFrame, vecCol: String, idCol: String, dim: Int,
+               m: Int, k: Int, iters: Int): DataFrame =
+    pqEncodeWith(df, vecCol, idCol, dim,
+      pqCodebooks(df, vecCol, idCol, dim, m, k, iters))
+
+  /** Elementwise squared distance of two array columns, left-to-right
+    * fold — the same FP sequence as DuckDB's
+    * `list_sum(list_transform(...))`, so LUT entries replay exactly. */
+  private def sqDistCols(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => {
+      val d = x.cast("double") - y.cast("double"); d * d
+    }), lit(0.0), (acc, x) => acc + x)
+
+  /** IVF-PQ approximate nearest neighbors — THE 100-TB ANN shape: a
+    * coarse deterministic-k-means inverted file prunes the corpus to
+    * nprobe cells, and distances inside a cell are asymmetric-distance
+    * (ADC) lookups against 8-byte PQ codes instead of 256-byte raw
+    * vectors (codes quantize the raw vectors; the no-residual IVFPQ
+    * variant keeps both quantizers independently replayable). Per
+    * query the work is |probed cells| candidates × m LUT probes — no
+    * exchange ever carries a raw vector besides the query side's own.
+    *
+    * Plan shape: corpus coding and query probing are map-only; the LUT
+    * is queries × (m·k) rows against a BROADCAST codebook frame; the
+    * candidate relation is a (cell) equi-join; ADC is a (q,vec)-keyed
+    * partial agg of exactly m rows; top-k rides the PartitionPrune +
+    * rank-window pair every other per-key top-N here uses. Ranking
+    * keys on the ROUNDED distance (6 dp) so FP summation-order ulps
+    * can't flip cross-engine tie order. */
+  def annIvfPqTopK(df: DataFrame, vecCol: String, idCol: String, dim: Int,
+                   coarseK: Int, coarseIters: Int, m: Int, k: Int,
+                   iters: Int, nprobe: Int, topK: Int,
+                   queryPred: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sub = dim / m
+    val coarse = kmeansCentroidsDet(df, vecCol, idCol, coarseK, coarseIters)
+    val cbs = pqCodebooks(df, vecCol, idCol, dim, m, k, iters)
+
+    // corpus: home cell + per-subspace codes, unpivoted to (vec_id, cell, sub, code)
+    val coded0 = df.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+      detCellRanking(col(vecCol), coarse).getItem(0).getField("cell").as("cell"))
+    val coded = (0 until m).foldLeft(coded0) { (acc, s) =>
+      acc.withColumn(s"code_$s",
+        detCellRanking(slice(col("v"), s * sub + 1, sub), cbs(s))
+          .getItem(0).getField("cell"))
+    }
+    val codesLong = coded.select(col("vec_id"), col("cell"),
+      posexplode(array((0 until m).map(s => col(s"code_$s")): _*))
+        .as(Seq("sub", "code")))
+
+    // queries probe their nprobe nearest coarse cells
+    val queries = df.filter(queryPred)
+      .select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+    val probed = queries.select(col("q_id"),
+        explode(slice(detCellRanking(col("qv"), coarse), 1, nprobe)).as("pr"))
+      .select(col("q_id"), col("pr").getField("cell").as("cell"))
+
+    // ADC lookup table: per (query, subspace, codeword) squared distance
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cbDf = (for (s <- 0 until m; c <- cbs(s).indices)
+      yield (s, c, cbs(s)(c))).toDF("sub", "code", "cv")
+    val lut = queries.crossJoin(broadcast(cbDf))
+      .select(col("q_id"), col("sub"), col("code"),
+        sqDistCols(slice(col("qv"), col("sub") * lit(sub) + lit(1), lit(sub)),
+          col("cv")).as("d2"))
+
+    val cand = probed.join(codesLong, "cell")
+    val adc = cand.join(broadcast(lut), Seq("q_id", "sub", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(round(sum(col("d2")), 6).as("adc_dist2"))
+    val pruned = PartitionPrune.firstNPerKey(adc, "q_id",
+      Seq(col("adc_dist2").asc, col("vec_id").asc), topK)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_dist2").asc, col("vec_id").asc)
+    pruned.withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= topK)
+      .select(col("q_id"), col("vec_id"), col("adc_dist2"), col("rnk"))
+  }
+
   /** k-NN label-vote propagation — the weak-supervision/auto-labeling
     * step: each vector takes the majority label of its k nearest
     * neighbors by cosine (ties: higher vote count, then smaller label).

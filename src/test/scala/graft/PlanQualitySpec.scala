@@ -297,6 +297,28 @@ class PlanQualitySpec extends AnyFunSuite {
       me.take(1500))
   }
 
+  test("r7 PQ family: map-only encode, equi-join-only IVF-PQ search") {
+    // pq_encode: all m·k codewords ride the scan stage as codegen'd
+    // constants — the encode itself must be map-only (the codebook
+    // builds run at plan-construction time, not in this plan)
+    val pe = plan("pq_encode")
+    assert(!pe.contains("Join") && !pe.contains("Window") &&
+      !pe.contains("HashAggregate"), pe.take(1200))
+    assert(pe.sliding("Exchange".length).count(_ == "Exchange") <= 1,
+      pe.take(1200))
+    // ann_ivfpq_topk: candidates via the (cell) equi-join, ADC via a
+    // BROADCAST HASH join on (q_id, sub, code) — never a query×corpus
+    // product. The single allowed nested-loop is the LUT build's
+    // queries×(m·k codewords) crossJoin, whose right side is a
+    // constant-size local relation (64 rows), not data.
+    val pq = plan("ann_ivfpq_topk")
+    assert(!pq.contains("CartesianProduct"), pq.take(1500))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(pq).size <= 1, pq.take(1500))
+    assert(pq.contains("BroadcastHashJoin"), pq.take(1500))
+    assert(pq.contains("MapPartitions") || pq.contains("mapPartitions"),
+      s"PartitionPrune bound missing before the rank window:\n${pq.take(1200)}")
+  }
+
   test("star-contraction clustering plans without quadratic joins") {
     val p = plan("dedup_clusters_star")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

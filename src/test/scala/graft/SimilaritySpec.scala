@@ -199,4 +199,59 @@ class SimilaritySpec extends AnyFunSuite {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(noProbes.subsetOf(scanned))
   }
+
+  test("pq encode: codes in range, exact duplicates share codes, clustered data has low distortion") {
+    import spark.implicits._
+    // two tight clusters in each of two subspaces (dim 8, m=2, k=2):
+    // every vector should quantize to its cluster's codeword nearly
+    // losslessly; ids 0/1 are exact duplicates and must share codes
+    val rows = (0 until 20).map { i =>
+      val hi = if (i % 2 == 0 || i == 1) 1.0f else -1.0f
+      val v = Array.fill(8)(hi * (if (i <= 1) 1.0f else 1.0f + (i % 3) * 0.001f))
+      (i.toLong, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.pqEncode(df, "embedding", "vec_id", dim = 8,
+      m = 2, k = 2, iters = 2).collect()
+    assert(out.length == 20)
+    for (r <- out) {
+      assert(Seq(0, 1).contains(r.getAs[Int]("code_0")))
+      assert(Seq(0, 1).contains(r.getAs[Int]("code_1")))
+      assert(r.getAs[Double]("distortion") >= -1e-9)
+      assert(r.getAs[Double]("distortion") < 0.1, r.toString) // tight clusters
+    }
+    val byId = out.map(r => r.getAs[Long]("vec_id") ->
+      (r.getAs[Int]("code_0"), r.getAs[Int]("code_1"))).toMap
+    assert(byId(0L) == byId(1L), "exact duplicates must share PQ codes")
+  }
+
+  test("pq codebooks are deterministic across partitionings") {
+    val a = Similarity.pqCodebooks(e, "embedding", "vec_id", dim = 64,
+      m = 4, k = 8, iters = 2)
+    val b = Similarity.pqCodebooks(e.repartition(7), "embedding", "vec_id",
+      dim = 64, m = 4, k = 8, iters = 2)
+    assert(a == b, "fixed-point subspace k-means must be partition-invariant")
+  }
+
+  test("ivf-pq search: ranked ascending ADC, bounded top-k, self-query findable") {
+    val res = Similarity.annIvfPqTopK(e, "embedding", "vec_id", dim = 64,
+      coarseK = 4, coarseIters = 2, m = 4, k = 8, iters = 2,
+      nprobe = 2, topK = 5, queryPred = col("vec_id") % 97 === 0)
+      .collect()
+    val byQ = res.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.nonEmpty)
+    for ((_, rows) <- byQ) {
+      val sorted = rows.sortBy(_.getAs[Int]("rnk"))
+      assert(sorted.length <= 5)
+      assert(sorted.map(_.getAs[Int]("rnk")).toSeq == (1 to sorted.length))
+      val dists = sorted.map(_.getAs[Double]("adc_dist2"))
+      assert(dists.zip(dists.tail).forall { case (x, y) => x <= y })
+      assert(dists.forall(_ >= -1e-9))
+    }
+    // a query vector always probes its own home cell (nprobe >= 1), so
+    // it must appear among its own candidates
+    for ((q, rows) <- byQ)
+      assert(rows.exists(_.getAs[Long]("vec_id") == q),
+        s"query $q missing from its own candidate set")
+  }
 }
