@@ -17,10 +17,18 @@ object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = s.read.parquet(s"$dir/$name.parquet")
-    // events.ts is TIMESTAMP(NANOS) parquet, read as ns-long via
-    // spark.sql.legacy.parquet.nanosAsLong; convert with exact integer
-    // division (ns > 2^53 ⇒ double division would lose precision).
-    if (name == "events") df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    // events.ts has shipped as both TIMESTAMP(NANOS) (read as ns-long
+    // via spark.sql.legacy.parquet.nanosAsLong) and TIMESTAMP(MICROS)
+    // (read as timestamp_ntz) across testdata generations — normalize
+    // either to a session-TZ (UTC) timestamp. The ns case converts with
+    // exact integer division (ns > 2^53 ⇒ double division would lose
+    // precision); the ntz case is a plain cast (UTC session ⇒ same
+    // instant).
+    if (name == "events") df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
     else df
   }
 
@@ -1412,6 +1420,37 @@ object SparkEntry {
         nShards = 16)
       .orderBy(col("shard"))
 
+  /** Multi-signal curation verdict with named first-failing gate. */
+  private def qQualityEnsemble(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityEnsemble(t(s, dir, "documents"), "text", "doc_id")
+      .orderBy(col("doc_id"))
+
+  /** Perplexity-bucket mixture card per language (0.5-wide logprob
+    * floors — map-side buckets, no quantile sort). */
+  private def qPplBuckets(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.logprobBuckets(t(s, dir, "documents"), "text", "doc_id", "lang")
+      .orderBy(col("lang"), col("ppl_bucket"))
+
+  /** Directional containment pairs over MinHash-LSH candidates. */
+  private def qDedupContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(t(s, dir, "documents"), "text", "doc_id",
+        n = 3, threshold = 0.8)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Dedup apply step: per-doc keep/drop + cluster representative. */
+  private def qDedupKeepList(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupKeepList(t(s, dir, "documents"), "text", "doc_id",
+        n = 3, threshold = 0.5)
+      .orderBy(col("doc_id"))
+
+  /** Last-touch attribution: purchases attributed to the latest
+    * view/click by the same user within 7 days. */
+  private def qEventsAttribution(s: SparkSession, dir: String): DataFrame =
+    Funnel.lastTouchAttribution(t(s, dir, "events"),
+        touchTypes = Seq("view", "click"), convType = "purchase",
+        windowMicros = 7L * 24 * 3600 * 1000000L)
+      .orderBy(col("event_id"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ip_range_lookup" -> (qIpRange _),
     "emb_outliers" -> (qEmbOutliers _),
@@ -1510,7 +1549,12 @@ object SparkEntry {
     "gopher_rules" -> (qGopherRules _),
     "char_entropy" -> (qCharEntropy _),
     "pq_encode" -> (qPqEncode _),
-    "ann_ivfpq_topk" -> (qAnnIvfPq _)
+    "ann_ivfpq_topk" -> (qAnnIvfPq _),
+    "quality_ensemble" -> (qQualityEnsemble _),
+    "ppl_buckets" -> (qPplBuckets _),
+    "dedup_containment" -> (qDedupContainment _),
+    "dedup_keep_list" -> (qDedupKeepList _),
+    "q_events_attribution" -> (qEventsAttribution _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -3184,6 +3228,165 @@ object SparkEntry {
          FROM documents d LEFT JOIN ent USING (doc_id) ORDER BY doc_id""",
     "pq_encode" -> pqEncodeOracle(m = 4, k = 16, iters = 2),
     "ann_ivfpq_topk" -> annIvfPqOracle(coarseK = 8, coarseIters = 2, m = 4,
-      k = 16, iters = 2, nprobe = 2, topK = 10, mod = 41)
+      k = 16, iters = 2, nprobe = 2, topK = 10, mod = 41),
+    "quality_ensemble" -> qualityEnsembleOracle,
+    "ppl_buckets" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_filter(
+             regexp_split_to_array(trim(lower(text)), '\s+'),
+             x -> len(x) > 0)) AS tok
+           FROM documents),
+         freq AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
+         tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks),
+         perdoc AS (
+           SELECT doc_id, count(*) AS n_tokens,
+             round(sum(ln(CAST(tf AS DOUBLE) / n)) / count(*), 4) AS avg_logprob
+           FROM toks JOIN freq USING (tok), tot GROUP BY doc_id),
+         alldocs AS (
+           SELECT d.doc_id, d.lang,
+             CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+             coalesce(p.avg_logprob, 0.0) AS avg_logprob
+           FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id),
+         bk AS (
+           SELECT lang, CAST(floor(avg_logprob / 0.5) AS INT) AS ppl_bucket,
+             count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+             round(avg(avg_logprob), 4) AS mean_logprob
+           FROM alldocs GROUP BY lang, ppl_bucket)
+         SELECT lang, ppl_bucket, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+           mean_logprob,
+           round(CAST(n_docs AS DOUBLE) /
+             CAST(sum(n_docs) OVER (PARTITION BY lang) AS DOUBLE), 4) AS lang_share
+         FROM bk ORDER BY lang, ppl_bucket""",
+    "dedup_containment" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+             x -> len(x) > 0) AS t FROM documents),
+         sh0 AS (
+           SELECT doc_id, t, unnest(generate_series(1, greatest(len(t)-2, 0))) AS i
+           FROM toks),
+         shAll AS (
+           SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+           FROM sh0),
+         rare AS (SELECT shingle FROM shAll GROUP BY shingle HAVING count(*) < 100),
+         sh AS (SELECT shAll.* FROM shAll JOIN rare USING (shingle)),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS n_inter
+           FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+           GROUP BY l.doc_id, r.doc_id),
+         sc AS (
+           SELECT id_a, id_b,
+             round(CAST(n_inter AS DOUBLE) / sa.n_sh, 4) AS contain_a,
+             round(CAST(n_inter AS DOUBLE) / sb.n_sh, 4) AS contain_b
+           FROM inter JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b)
+         SELECT id_a, id_b, contain_a, contain_b FROM sc
+         WHERE contain_a >= 0.8 OR contain_b >= 0.8
+         ORDER BY id_a, id_b""",
+    "dedup_keep_list" ->
+      s"""WITH RECURSIVE
+          pairs AS (SELECT id_a, id_b FROM ($ngramJaccardOracle)),
+          edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+          reach(u, v) AS (
+            SELECT DISTINCT u, u FROM edges
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+          comp AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u)
+          SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS rep_id,
+            (coalesce(c.cluster_id, d.doc_id) = d.doc_id) AS keep
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+          ORDER BY d.doc_id""",
+    "q_events_attribution" ->
+      """WITH t AS (
+           SELECT user_id, ts AS touch_ts, max(event_id) AS tid,
+             arg_max(event_type, event_id) AS ttype
+           FROM events WHERE event_type IN ('view', 'click')
+           GROUP BY user_id, ts),
+         c AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         j AS (
+           SELECT c.event_id, c.user_id, c.ts, t.tid, t.ttype, t.touch_ts
+           FROM c ASOF LEFT JOIN t
+             ON c.user_id = t.user_id AND c.ts >= t.touch_ts)
+         SELECT event_id, user_id, ts,
+           CASE WHEN touch_ts IS NOT NULL
+             AND epoch_us(ts) - epoch_us(touch_ts) <= 604800000000
+             THEN tid END AS touch_event_id,
+           CASE WHEN touch_ts IS NOT NULL
+             AND epoch_us(ts) - epoch_us(touch_ts) <= 604800000000
+             THEN ttype END AS touch_type,
+           CASE WHEN touch_ts IS NOT NULL
+             AND epoch_us(ts) - epoch_us(touch_ts) <= 604800000000
+             THEN epoch_us(ts) - epoch_us(touch_ts) END AS micros_since_touch
+         FROM j ORDER BY event_id"""
   )
+
+  /** The ensemble oracle composes the gopher gate CTE, the DuckDB log₂
+    * `entropy()` replay of CharEntropy, and the logistic score with the
+    * shared [[TextAnalysis.QualityWeights]] — then names the first
+    * failing gate in the same fixed priority order as the operator. */
+  private def qualityEnsembleOracle: String = {
+    val w = TextAnalysis.QualityWeights
+    s"""WITH d AS (
+          SELECT doc_id, text,
+            list_filter(regexp_split_to_array(trim(text), '\\s+'),
+              x -> len(x) > 0) AS toks
+          FROM documents),
+        f AS (
+          SELECT doc_id,
+            CAST(len(toks) AS BIGINT) AS n_words,
+            round(CASE WHEN len(toks) > 0
+              THEN CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                / len(toks) ELSE 0.0 END, 4) AS mean_word_len,
+            round(CASE WHEN len(toks) > 0
+              THEN CAST(length(text) -
+                length(regexp_replace(text, '[#…]', '', 'g')) AS DOUBLE)
+                / len(toks) ELSE 0.0 END, 4) AS symbol_ratio,
+            round(CASE WHEN len(toks) > 0
+              THEN CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+                AS DOUBLE) / len(toks) ELSE 0.0 END, 4) AS alpha_word_frac,
+            CAST(len(list_filter(toks, x -> list_contains(
+              ['the','be','to','of','and','that','have','with'], lower(x))))
+              AS BIGINT) AS n_stopwords,
+            round(CASE WHEN len(toks) > 0
+              THEN CAST(len(list_filter(toks, x -> list_contains(
+                ['the','a','an','and','or','of','to','in','is','it',
+                 'that','this','for','on','with','as','at','by','be'], lower(x))))
+                AS DOUBLE) / len(toks) ELSE 0.0 END, 4) AS q_stop_ratio,
+            round(CASE WHEN length(text) > 0
+              THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                AS DOUBLE) / length(text) ELSE 0.0 END, 4) AS q_punct_ratio
+          FROM d),
+        ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c
+               FROM documents),
+        ent AS (SELECT doc_id, round(entropy(c), 4) AS char_entropy
+                FROM ch GROUP BY doc_id),
+        z AS (
+          SELECT f.doc_id, n_words, mean_word_len, symbol_ratio,
+            alpha_word_frac, n_stopwords,
+            coalesce(ent.char_entropy, 0.0) AS char_entropy,
+            round(1.0 / (1.0 + exp(-(${w("intercept")}
+              + ${w("log1p_tokens")} * ln(1.0 + CAST(n_words AS DOUBLE))
+              + ${w("stopword_ratio")} * q_stop_ratio
+              + ${w("punct_ratio")} * q_punct_ratio
+              + ${w("avg_token_len")} * mean_word_len))), 4) AS quality_score
+          FROM f LEFT JOIN ent ON f.doc_id = ent.doc_id),
+        r AS (
+          SELECT *, CASE
+            WHEN NOT (n_words >= 10 AND n_words <= 100000) THEN 'word_count'
+            WHEN NOT (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+              THEN 'mean_word_len'
+            WHEN symbol_ratio > 0.1 THEN 'symbol_ratio'
+            WHEN alpha_word_frac < 0.8 THEN 'alpha_words'
+            WHEN n_stopwords < 2 THEN 'stopwords'
+            WHEN char_entropy < 3.5 THEN 'low_entropy'
+            WHEN quality_score < 0.5 THEN 'classifier'
+            END AS reject_reason
+          FROM z)
+        SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_frac,
+          n_stopwords, char_entropy, quality_score, reject_reason,
+          (reject_reason IS NULL) AS keep
+        FROM r ORDER BY doc_id"""
+  }
 }

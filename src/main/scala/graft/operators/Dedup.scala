@@ -367,6 +367,71 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Directional n-gram containment — the "who-contains-whom"
+    * refinement of near-dup pair detection. Symmetric Jaccard misses
+    * the quote/extension case: a doc that wholly CONTAINS a short doc
+    * can score a low Jaccard (the union is large) while
+    * containment(short→long) = 1.0. Emitting both directions
+    * (|A∩B|/|A| and |A∩B|/|B|) lets the curation policy keep the
+    * superset doc and drop the contained one, instead of the arbitrary
+    * min-id winner symmetric dedup picks.
+    *
+    * Candidates come from the df-capped shingle equi-join (the
+    * [[ngramJaccardPairs]] kernel), NOT MinHash banding: banding
+    * collision probability tracks Jaccard, and high-containment pairs
+    * are exactly the ones whose Jaccard can be arbitrarily low — LSH
+    * would systematically miss them. The shingle join's recall is
+    * exact by construction (containment ≥ t > 0 ⇒ ≥1 shared capped
+    * shingle), and the df cap still bounds every shingle's bucket, so
+    * the join never degenerates at corpus scale. */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+                       n: Int = 3, threshold: Double = 0.8,
+                       maxDocFreq: Int = 100): DataFrame = {
+    val sh = shingleDf(df, textCol, idCol, n)
+    val ex0 = sh.select(col("jc_id"), explode_outer(col("shingles")).as("shingle"))
+      .filter(col("shingle").isNotNull)
+    val ex = CacheScope.scratch(dfCapped(ex0, maxDocFreq))
+    val sizes = ex.groupBy(col("jc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = ex.alias("l").join(ex.alias("r"),
+        col("l.shingle") === col("r.shingle") && col("l.jc_id") < col("r.jc_id"))
+      .groupBy(col("l.jc_id").as("id_a"), col("r.jc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("jc_id", "id_a").withColumnRenamed("n_sh", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("jc_id", "id_b").withColumnRenamed("n_sh", "sz_b"), "id_b")
+      .withColumn("contain_a", round(col("n_inter").cast("double") / col("sz_a"), 4))
+      .withColumn("contain_b", round(col("n_inter").cast("double") / col("sz_b"), 4))
+      .filter(col("contain_a") >= threshold || col("contain_b") >= threshold)
+      .select("id_a", "id_b", "contain_a", "contain_b")
+  }
+
+  /** Dedup APPLY step — the keep-list a dedup run actually ships: per
+    * document, its near-dup cluster representative (min id over the
+    * connected component of verified near-dup pairs; itself when
+    * unclustered) and the keep/drop decision (keep ⇔ it IS the
+    * representative). Downstream consumers filter `keep` to get the
+    * deduplicated corpus, or join `rep_id` to build a
+    * duplicate-provenance map.
+    *
+    * Scale shape: pairs come from the banded equi-join
+    * ([[minhashLshJaccardPairs]]), components from the join-iterated
+    * min-label propagation (both already 100-TB shapes); the final
+    * left join back to the corpus is id-keyed (8-byte keys, no text
+    * movement). */
+  def dedupKeepList(df: DataFrame, textCol: String, idCol: String,
+                    n: Int = 3, threshold: Double = 0.5,
+                    maxDocFreq: Int = 100): DataFrame = {
+    val pairs = minhashLshJaccardPairs(df, textCol, idCol, n, threshold,
+      maxDocFreq)
+    val comp = Clustering.dupClusters(pairs, "id_a", "id_b")
+      .select(col("doc_id").as("__cid"), col("cluster_id"))
+    df.select(col(idCol))
+      .join(comp, col(idCol) === col("__cid"), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("rep_id"))
+      .withColumn("keep", col(idCol) === col("rep_id"))
+  }
+
   /** 64-bit SimHash over whitespace tokens. */
   def simhash64(text: String): Long = {
     if (text == null) return 0L

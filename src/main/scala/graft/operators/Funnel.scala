@@ -106,4 +106,44 @@ object Funnel {
         round(col("n_active").cast("double") / col("n_cohort"), 6)
           .as("retention_rate"))
   }
+
+  /** Last-touch attribution: each conversion event is attributed to the
+    * LATEST preceding touch event (any of `touchTypes`) by the same
+    * user within `windowMicros`; conversions with no touch in-window
+    * attribute to null. The standard marketing/product attribution
+    * query — and the canonical as-of-join consumer.
+    *
+    * Touches are first made unique per (user, ts) by arg-max event id
+    * (two touches on the same microsecond have no canonical "latest";
+    * the max-id one is the deterministic pick both engines replay),
+    * then [[AsOfJoin.asOf]] carries the most recent touch into each
+    * conversion: ONE shuffle on the user key + one ordered window pass
+    * — no range-join pair explosion however hot a user is. The time
+    * delta stays in exact integer microseconds (`unix_micros`), so the
+    * in-window test is bit-identical cross-engine. Inclusive semantics:
+    * a touch on the conversion's own microsecond attributes. */
+  def lastTouchAttribution(events: DataFrame, touchTypes: Seq[String],
+                           convType: String, windowMicros: Long,
+                           userCol: String = "user_id", tsCol: String = "ts",
+                           typeCol: String = "event_type",
+                           idCol: String = "event_id"): DataFrame = {
+    require(touchTypes.nonEmpty, "lastTouchAttribution needs touch types")
+    val touches = events.filter(col(typeCol).isin(touchTypes: _*))
+      .groupBy(col(userCol), col(tsCol).as("touch_ts"))
+      .agg(max(struct(col(idCol), col(typeCol))).as("__m"))
+      .select(col(userCol), col("touch_ts"),
+        col("__m").getField(idCol).as("touch_event_id"),
+        col("__m").getField(typeCol).as("touch_type"))
+    val conv = events.filter(col(typeCol) === convType)
+      .select(col(idCol), col(userCol), col(tsCol))
+    val joined = AsOfJoin.asOf(conv, touches, Seq(userCol), tsCol, "touch_ts",
+      Seq("touch_event_id", "touch_type", "touch_ts"))
+    val inWindow = col("touch_ts").isNotNull &&
+      unix_micros(col(tsCol)) - unix_micros(col("touch_ts")) <= windowMicros
+    joined.select(col(idCol), col(userCol), col(tsCol),
+      when(inWindow, col("touch_event_id")).as("touch_event_id"),
+      when(inWindow, col("touch_type")).as("touch_type"),
+      when(inWindow, unix_micros(col(tsCol)) - unix_micros(col("touch_ts")))
+        .as("micros_since_touch"))
+  }
 }
