@@ -1451,6 +1451,18 @@ object SparkEntry {
         windowMicros = 7L * 24 * 3600 * 1000000L)
       .orderBy(col("event_id"))
 
+  /** Hourly volume anomalies per event type (trailing-24-observed-hours
+    * z-score). */
+  private def qEventsAnomaly(s: SparkSession, dir: String): DataFrame =
+    Funnel.hourlyAnomaly(t(s, dir, "events"), zThresh = 3.0)
+      .orderBy(col("event_type"), col("hour"))
+
+  /** Tokenizer fertility per language (BPE-ish tokens per word,
+    * chars per token). */
+  private def qTokenizerFertility(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenizerFertility(t(s, dir, "documents"), "text", "lang")
+      .orderBy(col("lang"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ip_range_lookup" -> (qIpRange _),
     "emb_outliers" -> (qEmbOutliers _),
@@ -1554,7 +1566,9 @@ object SparkEntry {
     "ppl_buckets" -> (qPplBuckets _),
     "dedup_containment" -> (qDedupContainment _),
     "dedup_keep_list" -> (qDedupKeepList _),
-    "q_events_attribution" -> (qEventsAttribution _)
+    "q_events_attribution" -> (qEventsAttribution _),
+    "q_events_anomaly" -> (qEventsAnomaly _),
+    "tokenizer_fertility" -> (qTokenizerFertility _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -3319,7 +3333,49 @@ object SparkEntry {
            CASE WHEN touch_ts IS NOT NULL
              AND epoch_us(ts) - epoch_us(touch_ts) <= 604800000000
              THEN epoch_us(ts) - epoch_us(touch_ts) END AS micros_since_touch
-         FROM j ORDER BY event_id"""
+         FROM j ORDER BY event_id""",
+    "q_events_anomaly" ->
+      """WITH hourly AS (
+           SELECT event_type, date_trunc('hour', ts) AS hour,
+             count(*) AS n_events
+           FROM events GROUP BY event_type, date_trunc('hour', ts)),
+         win AS (
+           SELECT event_type, hour, CAST(n_events AS BIGINT) AS n_events,
+             count(*) OVER w AS n_prev,
+             avg(n_events) OVER w AS mu_raw,
+             stddev_samp(n_events) OVER w AS sigma_raw
+           FROM hourly
+           WINDOW w AS (PARTITION BY event_type ORDER BY hour
+             ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+         sc AS (
+           SELECT event_type, hour, n_events,
+             CASE WHEN n_prev >= 1 THEN round(mu_raw, 4) END AS mu,
+             CASE WHEN n_prev >= 2 THEN round(sigma_raw, 4) END AS sigma,
+             CASE WHEN n_prev >= 2 AND sigma_raw > 0
+               THEN round((n_events - mu_raw) / sigma_raw, 4) END AS z
+           FROM win)
+         SELECT event_type, hour, n_events, mu, sigma, z,
+           coalesce(z > 3.0, false) AS is_anomaly
+         FROM sc ORDER BY event_type, hour""",
+    "tokenizer_fertility" ->
+      """WITH d AS (
+           SELECT lang,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+               x -> len(x) > 0)) AS BIGINT) AS ws,
+             CAST(len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe,
+             CAST(length(text) AS BIGINT) AS chars
+           FROM documents),
+         g AS (
+           SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(ws) AS BIGINT) AS n_words,
+             CAST(sum(bpe) AS BIGINT) AS n_tokens,
+             CAST(sum(chars) AS BIGINT) AS n_chars
+           FROM d GROUP BY lang)
+         SELECT lang, n_docs, n_words, n_tokens, n_chars,
+           round(CAST(n_tokens AS DOUBLE) / n_words, 4) AS fertility,
+           round(CAST(n_chars AS DOUBLE) / n_tokens, 4) AS chars_per_token
+         FROM g ORDER BY lang"""
   )
 
   /** The ensemble oracle composes the gopher gate CTE, the DuckDB log₂

@@ -146,4 +146,40 @@ object Funnel {
       when(inWindow, unix_micros(col(tsCol)) - unix_micros(col("touch_ts")))
         .as("micros_since_touch"))
   }
+
+  /** Hourly volume anomaly flags per event type: each (type, hour)
+    * count is z-scored against the trailing 24 OBSERVED hours (ROWS,
+    * not RANGE — deterministic under sparse hours, and identical
+    * window semantics in any SQL engine). The ops-dashboard "error
+    * spike" read over the same events table the funnel consumes.
+    *
+    * Scale shape: one partial agg to (type, hour) — output is
+    * types × hours rows regardless of event volume — then a window
+    * whose partitions are single event types over those tiny rows.
+    * The guards are exact: mu/sigma need ≥2 trailing rows (Spark's
+    * 1-row stddev_samp is NaN where SQL engines yield NULL — the
+    * n_prev gate removes the divergence), z needs sigma > 0. */
+  def hourlyAnomaly(events: DataFrame, zThresh: Double = 3.0,
+                    tsCol: String = "ts",
+                    typeCol: String = "event_type"): DataFrame = {
+    val hourly = events
+      .groupBy(col(typeCol).as("event_type"),
+        date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(-24, -1)
+    val nPrev = count(lit(1)).over(w)
+    val mu = avg(col("n_events")).over(w)
+    val sigma = stddev_samp(col("n_events")).over(w)
+    hourly
+      .withColumn("n_prev", nPrev)
+      .withColumn("mu", when(col("n_prev") >= 1, round(mu, 4)))
+      .withColumn("sigma", when(col("n_prev") >= 2, round(sigma, 4)))
+      .withColumn("z",
+        when(col("n_prev") >= 2 && sigma > 0,
+          round((col("n_events") - mu) / sigma, 4)))
+      .withColumn("is_anomaly", coalesce(col("z") > zThresh, lit(false)))
+      .drop("n_prev")
+  }
 }

@@ -548,4 +548,31 @@ object TextAnalysis {
       .withColumn("lang_share",
         round(col("n_docs").cast("double") / sum(col("n_docs")).over(w), 4))
   }
+
+  /** Tokenizer fertility per language: subword-ish tokens per
+    * whitespace word and characters per subword token — the
+    * vocabulary-fit read a tokenizer owner checks per language before
+    * committing a mixture (high fertility = the vocab fragments that
+    * language, its token budget buys less text). Uses the same BPE-ish
+    * segmentation as [[bpeTokenCount]] so the numbers compose with
+    * token_stats/vocab_coverage.
+    *
+    * Scale shape: map-only per-doc counts, one partial agg on the
+    * tiny lang key; ratios are single divisions of exact BIGINT sums.
+    */
+  def tokenizerFertility(df: DataFrame, textCol: String,
+                         langCol: String): DataFrame =
+    df.select(col(langCol).as("lang"),
+        tokenCount(col(textCol)).cast("long").as("ws"),
+        bpeTokenCount(col(textCol)).cast("long").as("bpe"),
+        length(col(textCol)).cast("long").as("chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("n_words"),
+        sum(col("bpe")).as("n_tokens"),
+        sum(col("chars")).as("n_chars"))
+      .withColumn("fertility",
+        round(col("n_tokens").cast("double") / col("n_words"), 4))
+      .withColumn("chars_per_token",
+        round(col("n_chars").cast("double") / col("n_tokens"), 4))
 }

@@ -239,11 +239,14 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("r5 additions: tfidf/shard/outliers keep their scale shapes") {
-    // tfidf: PartitionPrune bound before the rank window, corpus size
-    // on a broadcast, no quadratic joins
+    // tfidf (r7 slimmed shape): doc length is map-side — NO doc-length
+    // re-aggregation join and NO PartitionPrune pass remain; the rank
+    // window's partition is one doc's vocabulary (inherently bounded).
+    // Corpus size rides a broadcast; no quadratic joins.
     val tk = plan("tfidf_keywords")
-    assert(tk.contains("MapPartitions") || tk.contains("mapPartitions"),
-      s"PartitionPrune bound missing:\n${tk.take(1200)}")
+    assert(!tk.contains("MapPartitions"),
+      s"redundant PartitionPrune pass reappeared:\n${tk.take(1200)}")
+    assert(tk.contains("Window"), tk.take(1200))
     assert(tk.contains("BroadcastExchange"), tk.take(1200))
     // (the 1-row corpus-size combine legitimately rides a broadcast
     // nested-loop; a data×data cartesian is what must never appear)

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Streaming last-touch attribution: per-user O(1) state (the latest
+  * touch) carried across micro-batches; conversions emit attributed
+  * rows in append mode. */
+class AttributionSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def run(batches: Seq[Seq[(Long, Long, Long, String)]],
+                  windowMicros: Long): Seq[Attribution.Attributed] = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long, String)]
+    val df = input.toDF().toDF("event_id", "user_id", "us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val out = Attribution.attribute(df, Seq("view", "click"), "purchase",
+      windowMicros)
+    val qname = s"attr_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(qname)
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      spark.table(qname).as[Attribution.Attributed].collect().toSeq
+        .sortBy(_.event_id)
+    } finally q.stop()
+  }
+
+  test("state carries the last touch across micro-batches") {
+    val out = run(Seq(
+      Seq((1L, 7L, 1000000L, "view")),            // batch 1: touch only
+      Seq((2L, 7L, 5000000L, "purchase")),        // batch 2: converts
+      Seq((3L, 7L, 9000000L, "purchase"))),       // batch 3: same touch again
+      windowMicros = 60L * 1000000L)
+    assert(out.map(_.event_id) == Seq(2L, 3L))
+    assert(out.forall(_.touch_event_id.contains(1L)))
+    assert(out.head.micros_since_touch.contains(4000000L))
+    assert(out(1).micros_since_touch.contains(8000000L))
+  }
+
+  test("in-batch ordering: touch before conversion attributes; window bounds") {
+    val out = run(Seq(Seq(
+      (1L, 1L, 1000000L, "click"),
+      (2L, 1L, 2000000L, "purchase"),    // attributes to 1
+      (3L, 2L, 0L, "view"),
+      (4L, 2L, 100L * 1000000L, "purchase"))), // 100s later, window 60s → null
+      windowMicros = 60L * 1000000L)
+    assert(out.find(_.event_id == 2L).get.touch_event_id.contains(1L))
+    assert(out.find(_.event_id == 2L).get.touch_type.contains("click"))
+    assert(out.find(_.event_id == 4L).get.touch_event_id.isEmpty)
+  }
+
+  test("a newer touch replaces state; out-of-order in-batch rows sort by event time") {
+    val out = run(Seq(
+      // arrival order scrambled; event-time order: view@1s, click@3s, purchase@5s
+      Seq((3L, 9L, 5000000L, "purchase"),
+          (1L, 9L, 1000000L, "view"),
+          (2L, 9L, 3000000L, "click"))),
+      windowMicros = 60L * 1000000L)
+    assert(out.length == 1)
+    assert(out.head.touch_event_id.contains(2L)) // the click, not the view
+    assert(out.head.micros_since_touch.contains(2000000L))
+  }
+}
