@@ -853,12 +853,25 @@ object SparkEntry {
     * deterministic-IVF prunes to nprobe=2 cells, ADC distances against
     * the PQ codes rank candidates; every query (vec_id ≡ 0 mod 41)
     * gets its exact-replayable top-10. Ranking keys on the rounded
-    * distance so cross-engine FP ulps can't flip ties. */
-  private def qAnnIvfPq(s: SparkSession, dir: String): DataFrame =
-    Similarity.annIvfPqTopK(t(s, dir, "embeddings"), "embedding", "vec_id",
-        dim = 64, coarseK = 8, coarseIters = 2, m = 4, k = 16, iters = 2,
-        nprobe = 2, topK = 10, queryPred = col("vec_id") % 41 === 0)
+    * distance so cross-engine FP ulps can't flip ties.
+    *
+    * Served THROUGH the persisted index (build → save → load → probe):
+    * the query-time plan reads the partitionBy(cell) codes parquet with
+    * the probed cells as PartitionFilters and never re-runs Lloyd —
+    * the 100-TB serving shape, exercised by the oracle itself. Doubles
+    * round-trip parquet bit-exactly, so this equals the in-memory
+    * [[Similarity.annIvfPqTopK]] bit-for-bit (AnnIndexSpec pins it). */
+  private def qAnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ann_idx").toString
+    Similarity.AnnIndex.build(emb, "embedding", "vec_id", dim = 64,
+      coarseK = 8, coarseIters = 2, m = 4, k = 16, iters = 2).save(path)
+    Similarity.AnnIndex.load(s, path)
+      .probe(emb.filter(col("vec_id") % 41 === 0), "embedding", "vec_id",
+        nprobe = 2, topK = 10)
       .orderBy(col("q_id"), col("rnk"))
+  }
 
   /** k-NN label-vote propagation over the embeddings (weak-supervision
     * auto-labeling): majority label of the 5 exact-cosine nearest

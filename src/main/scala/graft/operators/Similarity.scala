@@ -631,52 +631,145 @@ object Similarity {
   def annIvfPqTopK(df: DataFrame, vecCol: String, idCol: String, dim: Int,
                    coarseK: Int, coarseIters: Int, m: Int, k: Int,
                    iters: Int, nprobe: Int, topK: Int,
-                   queryPred: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sub = dim / m
-    val coarse = kmeansCentroidsDet(df, vecCol, idCol, coarseK, coarseIters)
-    val cbs = pqCodebooks(df, vecCol, idCol, dim, m, k, iters)
+                   queryPred: Column): DataFrame =
+    AnnIndex.build(df, vecCol, idCol, dim, coarseK, coarseIters, m, k, iters)
+      .probe(df.filter(queryPred), vecCol, idCol, nprobe, topK)
 
-    // corpus: home cell + per-subspace codes, unpivoted to (vec_id, cell, sub, code)
-    val coded0 = df.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
-      detCellRanking(col(vecCol), coarse).getItem(0).getField("cell").as("cell"))
-    val coded = (0 until m).foldLeft(coded0) { (acc, s) =>
-      acc.withColumn(s"code_$s",
-        detCellRanking(slice(col("v"), s * sub + 1, sub), cbs(s))
-          .getItem(0).getField("cell"))
+  /** Persisted IVF-PQ ANN index — at corpus scale the codes ARE the
+    * index: coarse centroids + m codebooks (tiny, driver-resident) and
+    * the per-vector PQ codes (8 bytes/vector, the only big artifact),
+    * written `partitionBy(cell)` so a probe reads ONLY the nprobe cell
+    * directories it ranked, never the corpus. Training (Lloyd) happens
+    * once in [[AnnIndex.build]]; [[save]]/[[AnnIndex.load]] carry the
+    * artifacts across JVMs; [[probe]] never re-runs Lloyd.
+    *
+    * Same on-disk discipline as [[NearDupCorpusIndex]]: repartition by
+    * the partition column before `partitionBy` (one file per cell dir,
+    * not a sliver per task), codes sorted by vec_id within files for
+    * row-group min/max skipping, signature config in meta.properties so
+    * a probe can never band with mismatched quantizers. Doubles
+    * round-trip parquet bit-exactly, so a probe against the LOADED
+    * index replays the in-memory build's results bit-for-bit (the
+    * `ann_ivfpq_topk` oracle runs through save→load). */
+  final case class AnnIndex(coarse: Seq[Seq[Double]],
+                            codebooks: Seq[Seq[Seq[Double]]],
+                            codes: DataFrame, dim: Int, m: Int,
+                            fromDisk: Boolean = false) {
+
+    def save(path: String): Unit = {
+      val spark = codes.sparkSession
+      import spark.implicits._
+      codes.repartition(col("cell"))
+        .sortWithinPartitions(col("vec_id"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+      coarse.zipWithIndex.map { case (cv, i) => (i, cv) }
+        .toDF("cell", "cv").coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/coarse")
+      (for (s <- 0 until m; c <- codebooks(s).indices)
+        yield (s, c, codebooks(s)(c)))
+        .toDF("sub", "code", "cv").coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/codebooks")
+      val props = new java.util.Properties()
+      props.setProperty("dim", dim.toString)
+      props.setProperty("m", m.toString)
+      props.setProperty("coarseK", coarse.length.toString)
+      props.setProperty("k", codebooks.head.length.toString)
+      val w = new java.io.FileWriter(s"$path/meta.properties")
+      try props.store(w, "graft IVF-PQ ANN index") finally w.close()
     }
-    val codesLong = coded.select(col("vec_id"), col("cell"),
-      posexplode(array((0 until m).map(s => col(s"code_$s")): _*))
-        .as(Seq("sub", "code")))
 
-    // queries probe their nprobe nearest coarse cells
-    val queries = df.filter(queryPred)
-      .select(col(idCol).as("q_id"), col(vecCol).as("qv"))
-    val probed = queries.select(col("q_id"),
-        explode(slice(detCellRanking(col("qv"), coarse), 1, nprobe)).as("pr"))
-      .select(col("q_id"), col("pr").getField("cell").as("cell"))
+    /** ADC top-k against this index. Queries are the only raw vectors
+      * in the plan; the LUT is queries × (m·k) vs the BROADCAST
+      * codebooks; candidates come from the (cell) equi-join. On a
+      * loaded index the probed-cell set (≤ coarseK values — bounded by
+      * the quantizer, not the data, so the collect is O(coarseK)) is
+      * pinned on the driver and pushed as a static IN predicate, which
+      * lands in the codes scan's PartitionFilters: only the probed
+      * cell directories are read. */
+    def probe(queries0: DataFrame, vecCol: String, idCol: String,
+              nprobe: Int, topK: Int): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val spark = codes.sparkSession
+      import spark.implicits._
+      val sub = dim / m
+      val queries = queries0
+        .select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+      val probed = queries.select(col("q_id"),
+          explode(slice(detCellRanking(col("qv"), coarse), 1, nprobe)).as("pr"))
+        .select(col("q_id"), col("pr").getField("cell").as("cell"))
+      val codesSrc =
+        if (fromDisk) {
+          val cells = probed.select(col("cell")).distinct().as[Int].collect()
+          codes.filter(col("cell").isin(cells.toSeq: _*))
+        } else codes
+      val codesLong = codesSrc.select(col("vec_id"), col("cell"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
 
-    // ADC lookup table: per (query, subspace, codeword) squared distance
-    val spark = df.sparkSession
-    import spark.implicits._
-    val cbDf = (for (s <- 0 until m; c <- cbs(s).indices)
-      yield (s, c, cbs(s)(c))).toDF("sub", "code", "cv")
-    val lut = queries.crossJoin(broadcast(cbDf))
-      .select(col("q_id"), col("sub"), col("code"),
-        sqDistCols(slice(col("qv"), col("sub") * lit(sub) + lit(1), lit(sub)),
-          col("cv")).as("d2"))
+      val cbDf = (for (s <- 0 until m; c <- codebooks(s).indices)
+        yield (s, c, codebooks(s)(c))).toDF("sub", "code", "cv")
+      val lut = queries.crossJoin(broadcast(cbDf))
+        .select(col("q_id"), col("sub"), col("code"),
+          sqDistCols(slice(col("qv"), col("sub") * lit(sub) + lit(1), lit(sub)),
+            col("cv")).as("d2"))
 
-    val cand = probed.join(codesLong, "cell")
-    val adc = cand.join(broadcast(lut), Seq("q_id", "sub", "code"))
-      .groupBy(col("q_id"), col("vec_id"))
-      .agg(round(sum(col("d2")), 6).as("adc_dist2"))
-    val pruned = PartitionPrune.firstNPerKey(adc, "q_id",
-      Seq(col("adc_dist2").asc, col("vec_id").asc), topK)
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("adc_dist2").asc, col("vec_id").asc)
-    pruned.withColumn("rnk", row_number().over(w).cast("int"))
-      .filter(col("rnk") <= topK)
-      .select(col("q_id"), col("vec_id"), col("adc_dist2"), col("rnk"))
+      val cand = probed.join(codesLong, "cell")
+      val adc = cand.join(broadcast(lut), Seq("q_id", "sub", "code"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(round(sum(col("d2")), 6).as("adc_dist2"))
+      val pruned = PartitionPrune.firstNPerKey(adc, "q_id",
+        Seq(col("adc_dist2").asc, col("vec_id").asc), topK)
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("adc_dist2").asc, col("vec_id").asc)
+      pruned.withColumn("rnk", row_number().over(w).cast("int"))
+        .filter(col("rnk") <= topK)
+        .select(col("q_id"), col("vec_id"), col("adc_dist2"), col("rnk"))
+    }
+  }
+
+  object AnnIndex {
+    /** Train the quantizers (the once-per-corpus offline step) and lay
+      * out the codes frame (vec_id, cell, codes[m]) — lazy until saved
+      * or probed. */
+    def build(df: DataFrame, vecCol: String, idCol: String, dim: Int,
+              coarseK: Int, coarseIters: Int, m: Int, k: Int,
+              iters: Int): AnnIndex = {
+      val sub = dim / m
+      val coarse = kmeansCentroidsDet(df, vecCol, idCol, coarseK, coarseIters)
+      val cbs = pqCodebooks(df, vecCol, idCol, dim, m, k, iters)
+      val coded0 = df.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+        detCellRanking(col(vecCol), coarse).getItem(0).getField("cell").as("cell"))
+      val coded = (0 until m).foldLeft(coded0) { (acc, s) =>
+        acc.withColumn(s"code_$s",
+          detCellRanking(slice(col("v"), s * sub + 1, sub), cbs(s))
+            .getItem(0).getField("cell"))
+      }
+      val codes = coded.select(col("vec_id"), col("cell"),
+        array((0 until m).map(s => col(s"code_$s")): _*).as("codes"))
+      AnnIndex(coarse, cbs, codes, dim, m)
+    }
+
+    /** Re-open a saved index. The centroid/codebook collects are
+      * bounded by the quantizer config (coarseK×dim + m·k·(dim/m)
+      * doubles — a few KB), never by corpus size. */
+    def load(spark: SparkSession, path: String): AnnIndex = {
+      import spark.implicits._
+      val props = new java.util.Properties()
+      val r = new java.io.FileReader(s"$path/meta.properties")
+      try props.load(r) finally r.close()
+      val dim = props.getProperty("dim").toInt
+      val m = props.getProperty("m").toInt
+      val coarse = spark.read.parquet(s"$path/coarse")
+        .select(col("cell"), col("cv")).as[(Int, Seq[Double])]
+        .collect().sortBy(_._1).map(_._2.toSeq).toSeq
+      val cbFlat = spark.read.parquet(s"$path/codebooks")
+        .select(col("sub"), col("code"), col("cv")).as[(Int, Int, Seq[Double])]
+        .collect()
+      val cbs = (0 until m).map { s =>
+        cbFlat.filter(_._1 == s).sortBy(_._2).map(_._3.toSeq).toSeq
+      }
+      AnnIndex(coarse, cbs, spark.read.parquet(s"$path/codes"),
+        dim, m, fromDisk = true)
+    }
   }
 
   /** k-NN label-vote propagation — the weak-supervision/auto-labeling

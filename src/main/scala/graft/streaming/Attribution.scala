@@ -50,7 +50,12 @@ object Attribution {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, it: Iterator[(Long, Long, Long, String)],
          state: GroupState[TouchState]) =>
-          val evs = it.toArray.sortBy(e => (e._3, e._1))
+          // (ts, touches-before-conversions, id): at an equal microsecond
+          // every touch folds before any conversion regardless of event-id
+          // order, mirroring the batch AsOfJoin's (__ts, __side) ordering;
+          // among same-µs touches the max id folds last and wins.
+          val evs = it.toArray.sortBy(e =>
+            (e._3, if (touches.contains(e._4)) 0 else 1, e._1))
           var last = state.getOption
           val out = Seq.newBuilder[Attributed]
           for ((id, _, tsUs, typ) <- evs) {

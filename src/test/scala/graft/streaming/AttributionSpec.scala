@@ -71,4 +71,28 @@ class AttributionSpec extends AnyFunSuite {
     assert(out.head.touch_event_id.contains(2L)) // the click, not the view
     assert(out.head.micros_since_touch.contains(2000000L))
   }
+
+  test("same-microsecond touch with GREATER id than the conversion still attributes") {
+    // Batch twin orders (__ts, __side) with touches first at an equal ts;
+    // the in-batch fold must do the same even when the touch's event_id
+    // sorts after the conversion's.
+    val out = run(Seq(Seq(
+      (5L, 3L, 2000000L, "purchase"),   // conversion, smaller id
+      (9L, 3L, 2000000L, "click"))),    // same µs, larger id
+      windowMicros = 60L * 1000000L)
+    assert(out.length == 1)
+    assert(out.head.touch_event_id.contains(9L))
+    assert(out.head.micros_since_touch.contains(0L))
+  }
+
+  test("among same-microsecond touches the max event id wins") {
+    val out = run(Seq(Seq(
+      (4L, 6L, 1000000L, "view"),
+      (7L, 6L, 1000000L, "click"),      // same µs, max id → winner
+      (8L, 6L, 2000000L, "purchase"))),
+      windowMicros = 60L * 1000000L)
+    assert(out.length == 1)
+    assert(out.head.touch_event_id.contains(7L))
+    assert(out.head.touch_type.contains("click"))
+  }
 }
