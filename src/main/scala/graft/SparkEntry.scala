@@ -570,8 +570,19 @@ object SparkEntry {
     val firsts = hashed.groupBy(col("__h")).agg(min(col("doc_id")).as("keep_id"))
     val kept = hashed.join(firsts, "__h")
       .filter(col("doc_id") === col("keep_id"))
+      .select(col("doc_id"), col("lang"), col("text"), col("n_tokens"))
+    // near-dup stage: the keep-list APPLY step consumes a precomputed
+    // pairs frame (here the exact shingle-join miner over the exact-dedup
+    // survivors) — the real-pipeline shape where verified pairs already
+    // exist and 100 TB of text is never re-mined to apply a keep-list
+    val pairs = graft.operators.Dedup.ngramJaccardPairs(kept, "text",
+      "doc_id", n = 3, threshold = 0.5, maxDocFreq = 100)
+    val keepers = graft.operators.Dedup
+      .dedupKeepListFromPairs(kept, "doc_id", pairs)
+      .filter(col("keep")).select(col("doc_id"))
+    val deduped = kept.join(keepers, "doc_id")
       .select(col("doc_id"), col("lang"), col("n_tokens"))
-    val sampled = Sampling.stratifiedBernoulli(kept, "doc_id", "lang",
+    val sampled = Sampling.stratifiedBernoulli(deduped, "doc_id", "lang",
       sampleRates, sampleDefaultRate)
     Packing.packGreedy(sampled, "doc_id", "lang", "n_tokens", budget = 256, shards = 4)
       .select(col("id").as("doc_id"), col("grp").as("lang"), col("shard"),
@@ -1456,6 +1467,14 @@ object SparkEntry {
         n = 3, threshold = 0.5)
       .orderBy(col("doc_id"))
 
+  /** Containment-aware keep-list: within a containment component the
+    * representative is the superset doc (max capped-shingle count,
+    * ties min id) — keep the container, drop the contained. */
+  private def qDedupKeepListContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupKeepListContainment(t(s, dir, "documents"), "text", "doc_id",
+        n = 3, threshold = 0.8)
+      .orderBy(col("doc_id"))
+
   /** Last-touch attribution: purchases attributed to the latest
     * view/click by the same user within 7 days. */
   private def qEventsAttribution(s: SparkSession, dir: String): DataFrame =
@@ -1579,6 +1598,7 @@ object SparkEntry {
     "ppl_buckets" -> (qPplBuckets _),
     "dedup_containment" -> (qDedupContainment _),
     "dedup_keep_list" -> (qDedupKeepList _),
+    "dedup_keep_list_containment" -> (qDedupKeepListContainment _),
     "q_events_attribution" -> (qEventsAttribution _),
     "q_events_anomaly" -> (qEventsAnomaly _),
     "tokenizer_fertility" -> (qTokenizerFertility _)
@@ -2351,11 +2371,43 @@ object SparkEntry {
           FROM documents),
         q AS (SELECT * FROM scored WHERE n BETWEEN 5 AND 400),
         kept AS (
-          SELECT doc_id, lang, n FROM (
-            SELECT doc_id, lang, n,
+          SELECT doc_id, lang, text, n FROM (
+            SELECT doc_id, lang, text, n,
               min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM q)
           WHERE doc_id = keep_id),
-        ${splitmixStagesSql("kept", "doc_id", "doc_id, lang, n")},
+        ktoks AS (
+          SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
+            x -> len(x) > 0) AS t FROM kept),
+        ksh0 AS (
+          SELECT doc_id, t, unnest(generate_series(1, greatest(len(t)-2, 0))) AS i
+          FROM ktoks),
+        kshAll AS (
+          SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+          FROM ksh0),
+        krare AS (SELECT shingle FROM kshAll GROUP BY shingle HAVING count(*) < 100),
+        ksh AS (SELECT kshAll.* FROM kshAll JOIN krare USING (shingle)),
+        ksizes AS (SELECT doc_id, count(*) AS n_sh FROM ksh GROUP BY doc_id),
+        kinter AS (
+          SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS n_inter
+          FROM ksh l JOIN ksh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+          GROUP BY l.doc_id, r.doc_id),
+        kpairs AS (
+          SELECT id_a, id_b FROM kinter
+          JOIN ksizes sa ON sa.doc_id = id_a
+          JOIN ksizes sb ON sb.doc_id = id_b
+          WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5),
+        kedges AS (SELECT id_a AS u, id_b AS v FROM kpairs
+                   UNION SELECT id_b, id_a FROM kpairs),
+        kreach(u, v) AS (
+          SELECT DISTINCT u, u FROM kedges
+          UNION
+          SELECT r.u, e.v FROM kreach r JOIN kedges e ON r.v = e.u),
+        kcomp AS (SELECT u AS doc_id, min(v) AS cluster_id FROM kreach GROUP BY u),
+        dd AS (
+          SELECT k.doc_id, k.lang, k.n FROM kept k
+          LEFT JOIN kcomp c ON k.doc_id = c.doc_id
+          WHERE coalesce(c.cluster_id, k.doc_id) = k.doc_id),
+        ${splitmixStagesSql("dd", "doc_id", "doc_id, lang, n")},
         samp AS (SELECT doc_id, lang, n FROM s3
           WHERE u53 < CASE lang $cases ELSE ${thresholdFor(sampleDefaultRate)} END),
         d AS (
@@ -3324,6 +3376,47 @@ object SparkEntry {
             (coalesce(c.cluster_id, d.doc_id) = d.doc_id) AS keep
           FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
           ORDER BY d.doc_id""",
+    "dedup_keep_list_containment" ->
+      """WITH RECURSIVE
+         toks AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+             x -> len(x) > 0) AS t FROM documents),
+         sh0 AS (
+           SELECT doc_id, t, unnest(generate_series(1, greatest(len(t)-2, 0))) AS i
+           FROM toks),
+         shAll AS (
+           SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+           FROM sh0),
+         rare AS (SELECT shingle FROM shAll GROUP BY shingle HAVING count(*) < 100),
+         sh AS (SELECT shAll.* FROM shAll JOIN rare USING (shingle)),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS n_inter
+           FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+           GROUP BY l.doc_id, r.doc_id),
+         cp AS (
+           SELECT id_a, id_b FROM inter
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE round(CAST(n_inter AS DOUBLE) / sa.n_sh, 4) >= 0.8
+              OR round(CAST(n_inter AS DOUBLE) / sb.n_sh, 4) >= 0.8),
+         edges AS (SELECT id_a AS u, id_b AS v FROM cp
+                   UNION SELECT id_b, id_a FROM cp),
+         reach(u, v) AS (
+           SELECT DISTINCT u, u FROM edges
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         comp AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+         reps AS (
+           SELECT c.cluster_id,
+             first(c.doc_id ORDER BY s.n_sh DESC, c.doc_id ASC) AS rep
+           FROM comp c JOIN sizes s ON s.doc_id = c.doc_id
+           GROUP BY c.cluster_id),
+         asn AS (SELECT c.doc_id, r.rep FROM comp c JOIN reps r USING (cluster_id))
+         SELECT d.doc_id, coalesce(a.rep, d.doc_id) AS rep_id,
+           (coalesce(a.rep, d.doc_id) = d.doc_id) AS keep
+         FROM documents d LEFT JOIN asn a ON d.doc_id = a.doc_id
+         ORDER BY d.doc_id""",
     "q_events_attribution" ->
       """WITH t AS (
            SELECT user_id, ts AS touch_ts, max(event_id) AS tid,

@@ -420,15 +420,62 @@ object Dedup {
     * movement). */
   def dedupKeepList(df: DataFrame, textCol: String, idCol: String,
                     n: Int = 3, threshold: Double = 0.5,
-                    maxDocFreq: Int = 100): DataFrame = {
-    val pairs = minhashLshJaccardPairs(df, textCol, idCol, n, threshold,
-      maxDocFreq)
+                    maxDocFreq: Int = 100): DataFrame =
+    dedupKeepListFromPairs(df, idCol,
+      minhashLshJaccardPairs(df, textCol, idCol, n, threshold, maxDocFreq))
+
+  /** The apply step over a PRECOMPUTED pairs frame (`id_a`, `id_b`) —
+    * at corpus scale you never re-mine 100 TB to apply a keep-list: the
+    * verified pairs already exist (a banded-join run, a containment
+    * sweep, a cross-corpus probe), and this consumes them directly.
+    * Components from the join-iterated min-label propagation; the final
+    * left join back to the corpus is id-keyed (8-byte keys, no text
+    * movement). */
+  def dedupKeepListFromPairs(df: DataFrame, idCol: String,
+                             pairs: DataFrame): DataFrame = {
     val comp = Clustering.dupClusters(pairs, "id_a", "id_b")
       .select(col("doc_id").as("__cid"), col("cluster_id"))
     df.select(col(idCol))
       .join(comp, col(idCol) === col("__cid"), "left")
       .select(col(idCol),
         coalesce(col("cluster_id"), col(idCol)).as("rep_id"))
+      .withColumn("keep", col(idCol) === col("rep_id"))
+  }
+
+  /** Containment-aware keep-list — the policy [[containmentPairs]]
+    * exists to enable: within a near-dup component the representative
+    * is the SUPERSET document (largest capped-shingle set, ties to the
+    * smallest id), so a quote or extension keeps its container instead
+    * of whichever doc happened to carry the min id. Components span the
+    * undirected containment pair graph; docs in no pair keep
+    * themselves.
+    *
+    * Scale shape identical to [[dedupKeepListFromPairs]] plus one
+    * id-keyed size join: sizes are a per-doc count over the SAME
+    * df-capped shingle relation the pair mining used (one partial agg),
+    * the per-component arg-max is a tiny grouped `max_by`, and no text
+    * moves after shingling. */
+  def dedupKeepListContainment(df: DataFrame, textCol: String,
+                               idCol: String, n: Int = 3,
+                               threshold: Double = 0.8,
+                               maxDocFreq: Int = 100): DataFrame = {
+    val pairs = containmentPairs(df, textCol, idCol, n, threshold, maxDocFreq)
+    val comp = Clustering.dupClusters(pairs, "id_a", "id_b")
+      .select(col("doc_id").as("__cid"), col("cluster_id"))
+    val sh = shingleDf(df, textCol, idCol, n)
+    val ex0 = sh.select(col("jc_id"), explode_outer(col("shingles")).as("shingle"))
+      .filter(col("shingle").isNotNull)
+    val sizes = dfCapped(ex0, maxDocFreq)
+      .groupBy(col("jc_id")).agg(count(lit(1)).as("n_sh"))
+    // superset-first representative: max shingle-set size, ties min id
+    val reps = comp.join(sizes, col("__cid") === col("jc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(max_by(col("__cid"), struct(col("n_sh"), -col("__cid"))).as("rep"))
+    val assign = comp.join(reps, "cluster_id")
+      .select(col("__cid"), col("rep"))
+    df.select(col(idCol))
+      .join(assign, col(idCol) === col("__cid"), "left")
+      .select(col(idCol), coalesce(col("rep"), col(idCol)).as("rep_id"))
       .withColumn("keep", col(idCol) === col("rep_id"))
   }
 

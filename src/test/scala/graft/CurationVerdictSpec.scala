@@ -111,6 +111,45 @@ class CurationVerdictSpec extends AnyFunSuite {
     assert(out.count(_.getAs[Boolean]("keep")) == 2)
   }
 
+  test("keep-list from precomputed pairs equals the self-mining variant") {
+    val a = "one two three four five six seven eight nine ten"
+    val d = docs((5L, a), (9L, a + " eleven"), (3L, a + " twelve"),
+      (42L, "totally different content with many unrelated words here"))
+    val pairs = Dedup.minhashLshJaccardPairs(d, "text", "doc_id", n = 3,
+      threshold = 0.5)
+    val fromPairs = Dedup.dedupKeepListFromPairs(d, "doc_id", pairs)
+      .orderBy("doc_id").collect().toSeq
+    val mined = Dedup.dedupKeepList(d, "text", "doc_id", n = 3,
+      threshold = 0.5).orderBy("doc_id").collect().toSeq
+    assert(fromPairs == mined)
+    // and it composes with a FOREIGN pair source: containment pairs
+    // through the same apply step drop the contained doc
+    val small = "alpha beta gamma delta epsilon zeta"
+    val big = small + " " + (1 to 40).map(i => s"w$i").mkString(" ")
+    val d2 = docs((7L, small), (2L, big))
+    val cPairs = Dedup.containmentPairs(d2, "text", "doc_id", n = 3,
+      threshold = 0.8).select("id_a", "id_b")
+    val applied = Dedup.dedupKeepListFromPairs(d2, "doc_id", cPairs)
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    assert(applied.values.count(identity) == 1) // one rep per component
+  }
+
+  test("containment keep-list keeps the SUPERSET doc, not the min id") {
+    val small = "alpha beta gamma delta epsilon zeta"
+    val big = small + " " + (1 to 40).map(i => s"w$i").mkString(" ")
+    // the CONTAINED doc carries the smaller id: min-id policy would
+    // keep the quote and drop the container — exactly backwards
+    val d = docs((1L, small), (2L, big),
+      (50L, "totally different content with many unrelated words here"))
+    val out = Dedup.dedupKeepListContainment(d, "text", "doc_id", n = 3,
+      threshold = 0.8).orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getAs[Long]("rep_id"), r.getAs[Boolean]("keep"))).toMap
+    assert(byId(2L) == (2L, true), "container must be the representative")
+    assert(byId(1L) == (2L, false), "contained doc must drop to the container")
+    assert(byId(50L) == (50L, true))
+  }
+
   // ----------------------------------------------------- attribution
 
   test("last-touch attribution: latest in-window touch, inclusive instant") {
