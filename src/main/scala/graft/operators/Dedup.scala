@@ -263,7 +263,10 @@ object Dedup {
   }
 
   /** MinHash signature of a shingle set: nPerm universal-hash permutations
-    * over the FNV-1a shingle hash. Partition-local, deterministic. */
+    * over the FNV-1a shingle hash. Partition-local, deterministic. The
+    * column path is the native codegen expression
+    * [[graft.functions.MinHashSig]]; this Seq form is the spec/property
+    * harness surface and must stay value-identical to it. */
   def minhashSignature(shingles: Seq[String], nPerm: Int): Array[Long] = {
     val sig = Array.fill(nPerm)(Long.MaxValue)
     val hs = shingles.map(TextAnalysis.fnv1a64)
@@ -282,8 +285,6 @@ object Dedup {
     }
     sig
   }
-
-  private val minhashUdf = udf((sh: Seq[String], n: Int) => minhashSignature(sh, n))
 
   /** Candidate near-dup pairs via MinHash + LSH banding.
     * Output: (id_a, id_b, n_shared_bands); id_a < id_b.
@@ -306,7 +307,8 @@ object Dedup {
     // cluster at corpus scale AND a 0/0 in the exact verify. No
     // signature ⇒ no bands ⇒ short docs never match anything.
     sh.filter(size(col("shingles")) > 0)
-      .select(col(idCol).as(idOut), minhashUdf(col("shingles"), lit(nPerm)).as("sig"))
+      .select(col(idCol).as(idOut),
+        graft.functions.MinHashSig.minhash_sig(col("shingles"), nPerm).as("sig"))
       .select(col(idOut),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
@@ -479,28 +481,16 @@ object Dedup {
       .withColumn("keep", col(idCol) === col("rep_id"))
   }
 
-  /** 64-bit SimHash over whitespace tokens. */
-  def simhash64(text: String): Long = {
-    if (text == null) return 0L
-    val votes = new Array[Int](64)
-    for (t <- text.split("\\s+") if t.nonEmpty) {
-      val h = TextAnalysis.fnv1a64(t)
-      var b = 0
-      while (b < 64) { if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1; b += 1 }
-    }
-    var out = 0L
-    var b = 0
-    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
-    out
-  }
-
-  val simhashUdf = udf(simhash64 _)
+  /** 64-bit SimHash over whitespace tokens — delegates to the native
+    * codegen expression's kernel ([[graft.functions.SimHash64]]). */
+  def simhash64(text: String): Long = graft.functions.SimHash64.simhash64(text)
 
   /** SimHash near-dup pairs with hamming(sig) <= maxDist, using 16-bit
     * block bucketing (pigeonhole over 4 blocks covers maxDist <= 3). */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxDist: Int = 3): DataFrame = {
-    val sigd = df.select(col(idCol).as("sh_id"), simhashUdf(col(textCol)).as("sig"))
+    val sigd = df.select(col(idCol).as("sh_id"),
+      graft.functions.SimHash64.simhash(col(textCol)).as("sig"))
     val blocked = sigd.select(col("sh_id"), col("sig"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
@@ -681,7 +671,8 @@ object Dedup {
     val cands = minhashLshPairsFromShingles(sh, nPerm, bands)
       .select(col("id_a"), col("id_b"))
     val sigs = sh.filter(size(col("shingles")) > 0)
-      .select(col("me_id"), minhashUdf(col("shingles"), lit(nPerm)).as("sig"),
+      .select(col("me_id"),
+        graft.functions.MinHashSig.minhash_sig(col("shingles"), nPerm).as("sig"),
         col("shingles"), size(col("shingles")).cast("long").as("n_sh"))
     val matches = aggregate(
       zip_with(col("sig_a"), col("sig_b"),

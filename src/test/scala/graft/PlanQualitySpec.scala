@@ -414,4 +414,16 @@ class PlanQualitySpec extends AnyFunSuite {
     val p = parsed.queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), "parse should not shuffle")
   }
+
+  test("dedup signature kernels are native expressions — no ScalaUDF in the plan") {
+    // SimHash and MinHash signatures used to be Scala UDFs: the only
+    // opaque scan-side projections left outside whole-stage codegen,
+    // and a column-pruning blind spot at 100 TB scan speed
+    for (q <- Seq("dedup_simhash", "dedup_minhash_lsh", "minhash_est_error")) {
+      val p = plan(q)
+      assert(!p.contains("ScalaUDF"),
+        s"$q still carries a Scala UDF projection:\n${p.take(1500)}")
+      graft.operators.CacheScope.drain()
+    }
+  }
 }
