@@ -678,6 +678,21 @@ object Similarity {
       try props.store(w, "graft IVF-PQ ANN index") finally w.close()
     }
 
+    /** PQ-encode NEW vectors with this index's FROZEN quantizers
+      * (map-only, no Lloyd) and append them into the saved codes —
+      * incremental corpus growth: continual-training batches land in
+      * their cell directories without touching the trained artifacts
+      * or the existing codes. Same value path as [[AnnIndex.build]]'s
+      * coding, so an appended index probes identically to one built
+      * with the union corpus under the same quantizers. */
+    def appendTo(path: String, df: DataFrame, vecCol: String,
+                 idCol: String): Unit = {
+      AnnIndex.codesFor(df, vecCol, idCol, coarse, codebooks, dim, m)
+        .repartition(col("cell"))
+        .sortWithinPartitions(col("vec_id"))
+        .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+    }
+
     /** ADC top-k against this index. Queries are the only raw vectors
       * in the plan; the LUT is queries × (m·k) vs the BROADCAST
       * codebooks; candidates come from the (cell) equi-join. On a
@@ -733,9 +748,21 @@ object Similarity {
     def build(df: DataFrame, vecCol: String, idCol: String, dim: Int,
               coarseK: Int, coarseIters: Int, m: Int, k: Int,
               iters: Int): AnnIndex = {
-      val sub = dim / m
       val coarse = kmeansCentroidsDet(df, vecCol, idCol, coarseK, coarseIters)
       val cbs = pqCodebooks(df, vecCol, idCol, dim, m, k, iters)
+      AnnIndex(coarse, cbs, codesFor(df, vecCol, idCol, coarse, cbs, dim, m),
+        dim, m)
+    }
+
+    /** (vec_id, cell, codes[m]) for `df` under GIVEN quantizers —
+      * map-only (centroids/codebooks ride the closure as codegen
+      * constants); shared by [[build]] and [[AnnIndex.appendTo]]. */
+    private[graft] def codesFor(df: DataFrame, vecCol: String,
+                                idCol: String,
+                                coarse: Seq[Seq[Double]],
+                                cbs: Seq[Seq[Seq[Double]]],
+                                dim: Int, m: Int): DataFrame = {
+      val sub = dim / m
       val coded0 = df.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
         detCellRanking(col(vecCol), coarse).getItem(0).getField("cell").as("cell"))
       val coded = (0 until m).foldLeft(coded0) { (acc, s) =>
@@ -743,9 +770,8 @@ object Similarity {
           detCellRanking(slice(col("v"), s * sub + 1, sub), cbs(s))
             .getItem(0).getField("cell"))
       }
-      val codes = coded.select(col("vec_id"), col("cell"),
+      coded.select(col("vec_id"), col("cell"),
         array((0 until m).map(s => col(s"code_$s")): _*).as("codes"))
-      AnnIndex(coarse, cbs, codes, dim, m)
     }
 
     /** Re-open a saved index. The centroid/codebook collects are

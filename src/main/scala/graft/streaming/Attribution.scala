@@ -78,4 +78,98 @@ object Attribution {
           out.result().iterator
       }
   }
+
+  /** Per-user state of the watermark-bounded variant: every touch still
+    * inside the attribution horizon plus the conversions awaiting their
+    * flush watermark. Bounded: touches ≤ (touch rate × (window +
+    * lateness)), pending ≤ (conversion rate × lateness) — the horizon
+    * prunes both every invocation. */
+  case class BoundedState(touches: List[TouchState],
+                          pending: List[(Long, Long)])
+
+  /** Watermark-bounded retro-attribution — closes [[attribute]]'s
+    * documented gap: a touch arriving a batch AFTER its conversion (but
+    * within the source's allowed lateness) still attributes. Conversions
+    * are held in state and emitted only once the event-time watermark
+    * passes their timestamp — at that point no touch with an earlier
+    * event time can arrive anymore (the watermark would drop it), so the
+    * attribution computed at flush is EXACT: for all data within the
+    * lateness bound this converges to the batch operator
+    * ([[graft.operators.Funnel.lastTouchAttribution]]).
+    *
+    * The price of retro-exactness is the state bound: instead of O(1)
+    * per user this holds the touches inside the attribution horizon
+    * (ts + window ≥ watermark) and the unflushed conversions — both
+    * pruned every invocation, both bounded by rate × horizon, never by
+    * stream length. An event-time timeout flushes users the stream goes
+    * quiet on. Emission is watermark-delayed by construction — the same
+    * latency/completeness trade every watermarked streaming agg makes. */
+  def attributeBounded(events: DataFrame, touchTypes: Seq[String],
+                       convType: String, windowMicros: Long,
+                       latenessDelay: String,
+                       userCol: String = "user_id", tsCol: String = "ts",
+                       typeCol: String = "event_type",
+                       idCol: String = "event_id"): Dataset[Attributed] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val touches = touchTypes.toSet
+    // the watermarked timestamp column must survive the projection —
+    // EventTimeTimeout resolves against it; the fold reads only tsUs
+    val ds = events.withWatermark(tsCol, latenessDelay)
+      .select(col(idCol).cast("long").as("id"),
+        col(userCol).cast("long").as("u"),
+        unix_micros(col(tsCol)).as("tsUs"),
+        col(typeCol).as("typ"),
+        col(tsCol).as("wm_ts"))
+      .as[(Long, Long, Long, String, java.sql.Timestamp)]
+    ds.groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it0: Iterator[(Long, Long, Long, String, java.sql.Timestamp)],
+         state: GroupState[BoundedState]) =>
+          val it = it0.map(e => (e._1, e._2, e._3, e._4))
+          val st0 = state.getOption.getOrElse(BoundedState(Nil, Nil))
+          val st =
+            if (state.hasTimedOut) st0
+            else {
+              val evs = it.toArray
+              BoundedState(
+                st0.touches ++ evs.collect {
+                  case (id, _, ts, typ) if touches.contains(typ) =>
+                    TouchState(id, typ, ts)
+                },
+                st0.pending ++ evs.collect {
+                  case (id, _, ts, typ) if typ == convType => (id, ts)
+                })
+            }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // flush every conversion the watermark has sealed: no touch
+          // with event time ≤ its ts can arrive anymore
+          val (ready, stillPending) = st.pending.partition(_._2 < wmUs)
+          val out = ready.sortBy(identity).map { case (cid, cts) =>
+            val best = st.touches
+              .filter(t => t.tsUs <= cts && cts - t.tsUs <= windowMicros)
+              .sortBy(t => (t.tsUs, t.id)).lastOption
+            best match {
+              case Some(t) =>
+                Attributed(cid, user, cts, Some(t.id), Some(t.typ),
+                  Some(cts - t.tsUs))
+              case None => Attributed(cid, user, cts, None, None, None)
+            }
+          }
+          // horizon prune: a touch only matters for conversions with
+          // cts ≥ watermark, which need ts ≥ cts − window ≥ wm − window
+          val touchesKept = st.touches.filter(_.tsUs + windowMicros >= wmUs)
+          if (touchesKept.isEmpty && stillPending.isEmpty) state.remove()
+          else {
+            state.update(BoundedState(touchesKept, stillPending))
+            // wake this user when the earliest pending conversion seals,
+            // or when the last touch ages out of the horizon
+            val nextUs = stillPending.map(_._2).minOption
+              .getOrElse(touchesKept.map(_.tsUs + windowMicros).max)
+            state.setTimeoutTimestamp((nextUs / 1000L + 1L)
+              .max(state.getCurrentWatermarkMs() + 1L))
+          }
+          out.iterator
+      }
+  }
 }

@@ -78,6 +78,32 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(probe.count() > 0)
   }
 
+  test("appendTo codes new vectors with frozen quantizers — no retraining") {
+    // train ONLY on the even half; append the odd half post-save
+    val even = emb.filter(col("vec_id") % 2 === 0)
+    val odd = emb.filter(col("vec_id") % 2 === 1)
+    val trained = Similarity.AnnIndex.build(even, "embedding", "vec_id",
+      dim = 64, coarseK = 8, coarseIters = 2, m = 4, k = 16, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ann_idx_a").toString
+    trained.save(dir)
+    trained.appendTo(dir, odd, "embedding", "vec_id")
+    val loaded = Similarity.AnnIndex.load(spark, dir)
+
+    // reference: the same quantizers coding the full corpus in memory
+    val full = trained.copy(codes = Similarity.AnnIndex.codesFor(
+      emb, "embedding", "vec_id", trained.coarse, trained.codebooks, 64, 4))
+    val mem = full.probe(emb.filter(qPred), "embedding", "vec_id",
+        nprobe = 2, topK = 10)
+      .orderBy("q_id", "rnk").collect().toSeq
+    val dsk = loaded.probe(emb.filter(qPred), "embedding", "vec_id",
+        nprobe = 2, topK = 10)
+      .orderBy("q_id", "rnk").collect().toSeq
+    assert(mem.nonEmpty && dsk == mem,
+      "appended index must probe identically to union-coded in-memory index")
+    // appended rows really landed: loaded codes cover the whole corpus
+    assert(loaded.codes.count() == emb.count())
+  }
+
   test("probing fewer cells than exist reads a strict partition subset") {
     val dir = java.nio.file.Files.createTempDirectory("ann_idx_s").toString
     buildIdx().save(dir)

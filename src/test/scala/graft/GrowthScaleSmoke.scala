@@ -7,7 +7,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.SplitMix64.splitmix64
-import graft.operators.{CacheScope, Clustering, Dedup}
+import graft.operators.{CacheScope, Clustering, Dedup, Funnel}
 
 /** Growth-rate scale smoke for the dedup chain: the sf corpora top out
   * at ~600k rows, so "this is linear at 100 TB" claims otherwise rest
@@ -100,7 +100,43 @@ object GrowthScaleSmoke {
       Clustering.dupClusters(pairs, "id_a", "id_b").count()
     }
     docs.unpersist()
-    Seq(minhash, cross, cc)
+
+    // event-chain phases (r7 verdict ask #7): attribution + funnel on a
+    // HOT-USER-SKEWED synthetic event stream — 10% of all events land on
+    // 10 users, the rest spread over n/50 users. Quadratic traps here
+    // would be per-user history buffering (shuffle rows ∝ events×touches)
+    // or an unpruned window; linear shuffle growth at 10× events with the
+    // skew present is the evidence the aggregation-cascade shapes hold.
+    val events = genEvents(spark, n).repartition(32).persist()
+    events.count()
+    val attr = phase("attribution") {
+      Funnel.lastTouchAttribution(events, Seq("view", "click"), "purchase",
+        windowMicros = 3600L * 1000000L).count()
+    }
+    val fun = phase("funnel") {
+      // result rows = |stages| (constant): the shuffle-row ratio is the
+      // load-bearing observable for this phase
+      Funnel.orderedFunnel(events, Seq("view", "click", "purchase")).count()
+    }
+    events.unpersist()
+    Seq(minhash, cross, cc, attr, fun)
+  }
+
+  /** Skewed event stream: (event_id, user_id, ts, event_type); ~10% of
+    * events on 10 hot users, timestamps over one synthetic day, types
+    * ~60% view / 30% click / 10% purchase. Pure column expressions. */
+  private def genEvents(spark: SparkSession, n: Long): DataFrame = {
+    val d = col("id")
+    val hot = pmod(splitmix64(d * 31L + 5), lit(10)) === 0
+    val user = when(hot, pmod(splitmix64(d * 17L + 11), lit(10)))
+      .otherwise(lit(10) + pmod(splitmix64(d * 13L + 1), lit((n / 50).max(1L))))
+    val tsUs = pmod(splitmix64(d * 7L + 3), lit(86400000000L))
+    val r = pmod(splitmix64(d * 29L + 23), lit(10))
+    val typ = when(r <= 5, lit("view"))
+      .when(r <= 8, lit("click"))
+      .otherwise(lit("purchase"))
+    spark.range(n).select(d.as("event_id"), user.as("user_id"),
+      timestamp_micros(tsUs).as("ts"), typ.as("event_type"))
   }
 
   def main(args: Array[String]): Unit = {

@@ -85,6 +85,65 @@ class AttributionSpec extends AnyFunSuite {
     assert(out.head.micros_since_touch.contains(0L))
   }
 
+  private def runBounded(batches: Seq[Seq[(Long, Long, Long, String)]],
+                         windowMicros: Long,
+                         lateness: String): Seq[Attribution.Attributed] = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long, String)]
+    val df = input.toDF().toDF("event_id", "user_id", "us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val out = Attribution.attributeBounded(df, Seq("view", "click"),
+      "purchase", windowMicros, lateness)
+    val qname = s"attrb_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(qname)
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      spark.table(qname).as[Attribution.Attributed].collect().toSeq
+        .sortBy(_.event_id)
+    } finally q.stop()
+  }
+
+  test("bounded: a touch arriving one batch AFTER its conversion still attributes") {
+    val out = runBounded(Seq(
+      // batch 1: the conversion @5s arrives first (its touch is late)
+      Seq((10L, 1L, 5000000L, "purchase")),
+      // batch 2: the late touch @4s (inside 10s lateness) + an advancing
+      // event @30s that pushes the watermark past the conversion
+      Seq((2L, 1L, 4000000L, "click"),
+          (90L, 9L, 30000000L, "view")),
+      // batch 3: another advance so the flush batch runs with wm > 5s
+      Seq((91L, 9L, 40000000L, "view"))),
+      windowMicros = 60L * 1000000L, lateness = "10 seconds")
+    val conv = out.filter(_.event_id == 10L)
+    assert(conv.length == 1, s"conversion must flush exactly once: $out")
+    assert(conv.head.touch_event_id.contains(2L),
+      s"late touch must retro-attribute: ${conv.head}")
+    assert(conv.head.micros_since_touch.contains(1000000L))
+  }
+
+  test("bounded: emission is watermark-delayed and exact for in-lateness data") {
+    val out = runBounded(Seq(
+      Seq((1L, 3L, 1000000L, "view"),
+          (2L, 3L, 2000000L, "purchase")),       // conv @2s; wm still behind
+      Seq((50L, 8L, 60000000L, "view")),         // wm → 50s: seals the conv
+      Seq((51L, 8L, 70000000L, "view"))),        // flush batch
+      windowMicros = 60L * 1000000L, lateness = "10 seconds")
+    val conv = out.filter(_.event_id == 2L)
+    assert(conv.length == 1)
+    assert(conv.head.touch_event_id.contains(1L))
+    // out-of-window conversion flushes unattributed, not dropped
+    val out2 = runBounded(Seq(
+      Seq((1L, 4L, 0L, "view"),
+          (2L, 4L, 100L * 1000000L, "purchase")), // 100s later, window 60s
+      Seq((60L, 8L, 200000000L, "view")),
+      Seq((61L, 8L, 210000000L, "view"))),
+      windowMicros = 60L * 1000000L, lateness = "10 seconds")
+    val conv2 = out2.filter(_.event_id == 2L)
+    assert(conv2.length == 1 && conv2.head.touch_event_id.isEmpty)
+  }
+
   test("among same-microsecond touches the max event id wins") {
     val out = run(Seq(Seq(
       (4L, 6L, 1000000L, "view"),
