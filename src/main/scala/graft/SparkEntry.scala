@@ -872,12 +872,22 @@ object SparkEntry {
     * the 100-TB serving shape, exercised by the oracle itself. Doubles
     * round-trip parquet bit-exactly, so this equals the in-memory
     * [[Similarity.annIvfPqTopK]] bit-for-bit (AnnIndexSpec pins it). */
+  /** Build+save happens once per (JVM, sf dir) — deterministic
+    * quantizers make rebuilds byte-identical, so the memo only skips
+    * redundant Lloyd runs; every invocation still loads and probes the
+    * on-disk index (the steady-state serving cost). */
+  private val annIndexPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def qAnnIvfPq(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_ann_idx").toString
-    Similarity.AnnIndex.build(emb, "embedding", "vec_id", dim = 64,
-      coarseK = 8, coarseIters = 2, m = 4, k = 16, iters = 2).save(path)
+    val path = annIndexPaths.computeIfAbsent(dir, { _ =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_ann_idx").toString
+      Similarity.AnnIndex.build(emb, "embedding", "vec_id", dim = 64,
+        coarseK = 8, coarseIters = 2, m = 4, k = 16, iters = 2).save(p)
+      p
+    })
     Similarity.AnnIndex.load(s, path)
       .probe(emb.filter(col("vec_id") % 41 === 0), "embedding", "vec_id",
         nprobe = 2, topK = 10)

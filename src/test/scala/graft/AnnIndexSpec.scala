@@ -104,6 +104,36 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(loaded.codes.count() == emb.count())
   }
 
+  test("foreachBatch streaming: loaded index serves each micro-batch of queries") {
+    val dir = java.nio.file.Files.createTempDirectory("ann_idx_st").toString
+    buildIdx().save(dir)
+    val loaded = Similarity.AnnIndex.load(spark, dir)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, Seq[Float])]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    val q = input.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        got ++= loaded.probe(batch, "embedding", "vec_id", nprobe = 2, topK = 3)
+          .select("q_id", "vec_id", "rnk").as[(Long, Long, Int)].collect()
+        ()
+      }.start()
+    val queries = emb.filter(qPred).limit(6)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq
+    try {
+      for (half <- queries.grouped(3)) { input.addData(half); q.processAllAvailable() }
+    } finally q.stop()
+    // every streamed query got its top-3, identical to a batch probe
+    val expected = loaded.probe(
+        emb.filter(col("vec_id").isin(queries.map(_._1): _*)),
+        "embedding", "vec_id", nprobe = 2, topK = 3)
+      .select("q_id", "vec_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    assert(got.toSet == expected && got.size == expected.size)
+  }
+
   test("probing fewer cells than exist reads a strict partition subset") {
     val dir = java.nio.file.Files.createTempDirectory("ann_idx_s").toString
     buildIdx().save(dir)
