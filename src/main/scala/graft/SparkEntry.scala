@@ -450,6 +450,22 @@ object SparkEntry {
       .orderBy(col("train_id"), col("eval_id"))
   }
 
+  /** Decontamination report — the apply-side rollup of the overlap
+    * run: per train doc, distinct eval hits, worst overlap ratio, and
+    * the keep verdict. Consumes the mined overlap pairs (never
+    * re-scans text); the clean-corpus ship is the left-anti twin
+    * ([[graft.operators.Contamination.decontaminate]]). */
+  private def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Contamination
+    val d = t(s, dir, "documents")
+    val train = d.filter(col("doc_id") % 50 =!= 0)
+    val ov = Contamination.ngramOverlap(train,
+      d.filter(col("doc_id") % 50 === 0), "text", "doc_id",
+      n = 3, minOverlap = 2)
+    Contamination.decontaminationReport(train, "doc_id", ov)
+      .orderBy(col("doc_id"))
+  }
+
   /** Two-phase contamination — the 100-TB shape end-to-end: the Bloom
     * pre-filter flags candidate train docs in a pure scan pass (no
     * join), then the exact n-gram overlap verifies only the flagged
@@ -572,10 +588,12 @@ object SparkEntry {
       .filter(col("doc_id") === col("keep_id"))
       .select(col("doc_id"), col("lang"), col("text"), col("n_tokens"))
     // near-dup stage: the keep-list APPLY step consumes a precomputed
-    // pairs frame (here the exact shingle-join miner over the exact-dedup
-    // survivors) — the real-pipeline shape where verified pairs already
-    // exist and 100 TB of text is never re-mined to apply a keep-list
-    val pairs = graft.operators.Dedup.ngramJaccardPairs(kept, "text",
+    // pairs frame — the real-pipeline shape where verified pairs already
+    // exist and 100 TB of text is never re-mined to apply a keep-list.
+    // Miner = the banded MinHash join (the corpus-scale generator; equal
+    // to the exact shingle self-join at these params — DedupSpec pins
+    // it — and 2.3× cheaper at sf0.1)
+    val pairs = graft.operators.Dedup.minhashLshJaccardPairs(kept, "text",
       "doc_id", n = 3, threshold = 0.5, maxDocFreq = 100)
     val keepers = graft.operators.Dedup
       .dedupKeepListFromPairs(kept, "doc_id", pairs)
@@ -1565,6 +1583,7 @@ object SparkEntry {
     "pii_scan" -> (qPiiScan _),
     "contamination_ngram" -> (qContamination _),
     "contamination_bloom" -> (qContaminationBloom _),
+    "decontaminate_report" -> (qDecontaminate _),
     "dedup_clusters" -> (qDedupClusters _),
     "dedup_clusters_star" -> (qDedupClustersStar _),
     "sample_stratified" -> (qSampleStratified _),
@@ -2467,6 +2486,31 @@ object SparkEntry {
     "contamination_ngram" -> contaminationOracle,
     // bloom pre-filter + exact verify == exact (no false negatives)
     "contamination_bloom" -> contaminationOracle,
+    "decontaminate_report" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+             x -> len(x) > 0) AS t FROM documents),
+         sh0 AS (
+           SELECT doc_id, t, unnest(generate_series(1, greatest(len(t)-2, 0))) AS i
+           FROM toks),
+         shAll AS (
+           SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+           FROM sh0),
+         ev AS (SELECT doc_id AS eval_id, shingle FROM shAll WHERE doc_id % 50 = 0),
+         tr AS (SELECT doc_id AS train_id, shingle FROM shAll WHERE doc_id % 50 <> 0),
+         evsz AS (SELECT eval_id, count(*) AS eval_n FROM ev GROUP BY eval_id),
+         ov AS (
+           SELECT train_id, eval_id, count(*) AS n_overlap
+           FROM tr JOIN ev USING (shingle)
+           GROUP BY train_id, eval_id HAVING count(*) >= 2),
+         ovagg AS (
+           SELECT train_id, count(DISTINCT eval_id) AS n_eval_hits,
+             max(round(CAST(n_overlap AS DOUBLE) / eval_n, 4)) AS max_overlap_ratio
+           FROM ov JOIN evsz USING (eval_id) GROUP BY train_id)
+         SELECT d.doc_id, coalesce(a.n_eval_hits, 0) AS n_eval_hits,
+           a.max_overlap_ratio, (a.train_id IS NULL) AS keep
+         FROM documents d LEFT JOIN ovagg a ON d.doc_id = a.train_id
+         WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id""",
     "dedup_clusters" -> dedupClustersOracle,
     "dedup_clusters_star" -> dedupClustersOracle,
     "sample_stratified" -> sampleOracle,

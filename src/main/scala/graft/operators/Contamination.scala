@@ -86,4 +86,33 @@ object Contamination {
     train.select(col(idCol).as("train_id"), hits(col(textCol)).as("n_flagged"))
       .filter(col("n_flagged") > 0)
   }
+
+  /** Decontamination REPORT — the per-doc rollup of an overlap run:
+    * how many eval docs each train doc collides with, its worst
+    * overlap ratio, and the keep verdict (keep ⇔ zero hits). Same
+    * consume-the-pairs posture as `Dedup.dedupKeepListFromPairs`: the
+    * overlaps frame already exists (mined once), the rollup is a tiny
+    * (train_id)-keyed agg, and the join back to the corpus carries
+    * only ids. */
+  def decontaminationReport(train: DataFrame, idCol: String,
+                            overlaps: DataFrame): DataFrame = {
+    val agg = overlaps.groupBy(col("train_id"))
+      .agg(countDistinct(col("eval_id")).as("n_eval_hits"),
+        max(col("overlap_ratio")).as("max_overlap_ratio"))
+    train.select(col(idCol))
+      .join(agg, train(idCol) === agg("train_id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_eval_hits"), lit(0L)).as("n_eval_hits"),
+        col("max_overlap_ratio"),
+        col("train_id").isNull.as("keep"))
+  }
+
+  /** Decontamination APPLY — ship the clean corpus: anti-join the
+    * train side against the contaminated ids. Left-anti on an 8-byte
+    * key; the contaminated set is small (bounded by eval-set overlap),
+    * so this broadcasts at any corpus scale. */
+  def decontaminate(train: DataFrame, idCol: String,
+                    overlaps: DataFrame): DataFrame =
+    train.join(overlaps.select(col("train_id")).distinct(),
+      train(idCol) === col("train_id"), "left_anti")
 }

@@ -388,7 +388,17 @@ object Dedup {
     * the join never degenerates at corpus scale. */
   def containmentPairs(df: DataFrame, textCol: String, idCol: String,
                        n: Int = 3, threshold: Double = 0.8,
-                       maxDocFreq: Int = 100): DataFrame = {
+                       maxDocFreq: Int = 100): DataFrame =
+    containmentCore(df, textCol, idCol, n, threshold, maxDocFreq)._1
+
+  /** (pairs, per-doc capped-shingle sizes) off ONE scratch-cached capped
+    * shingle relation — shared by [[containmentPairs]] and the
+    * containment keep-list, whose superset-rep choice needs the same
+    * sizes (recomputing them would re-run the whole shingle+cap
+    * pipeline a second time). */
+  private def containmentCore(df: DataFrame, textCol: String, idCol: String,
+                              n: Int, threshold: Double,
+                              maxDocFreq: Int): (DataFrame, DataFrame) = {
     val sh = shingleDf(df, textCol, idCol, n)
     val ex0 = sh.select(col("jc_id"), explode_outer(col("shingles")).as("shingle"))
       .filter(col("shingle").isNotNull)
@@ -398,13 +408,14 @@ object Dedup {
         col("l.shingle") === col("r.shingle") && col("l.jc_id") < col("r.jc_id"))
       .groupBy(col("l.jc_id").as("id_a"), col("r.jc_id").as("id_b"))
       .agg(count(lit(1)).as("n_inter"))
-    inter
+    val pairs = inter
       .join(sizes.withColumnRenamed("jc_id", "id_a").withColumnRenamed("n_sh", "sz_a"), "id_a")
       .join(sizes.withColumnRenamed("jc_id", "id_b").withColumnRenamed("n_sh", "sz_b"), "id_b")
       .withColumn("contain_a", round(col("n_inter").cast("double") / col("sz_a"), 4))
       .withColumn("contain_b", round(col("n_inter").cast("double") / col("sz_b"), 4))
       .filter(col("contain_a") >= threshold || col("contain_b") >= threshold)
       .select("id_a", "id_b", "contain_a", "contain_b")
+    (pairs, sizes)
   }
 
   /** Dedup APPLY step — the keep-list a dedup run actually ships: per
@@ -461,14 +472,10 @@ object Dedup {
                                idCol: String, n: Int = 3,
                                threshold: Double = 0.8,
                                maxDocFreq: Int = 100): DataFrame = {
-    val pairs = containmentPairs(df, textCol, idCol, n, threshold, maxDocFreq)
+    val (pairs, sizes) =
+      containmentCore(df, textCol, idCol, n, threshold, maxDocFreq)
     val comp = Clustering.dupClusters(pairs, "id_a", "id_b")
       .select(col("doc_id").as("__cid"), col("cluster_id"))
-    val sh = shingleDf(df, textCol, idCol, n)
-    val ex0 = sh.select(col("jc_id"), explode_outer(col("shingles")).as("shingle"))
-      .filter(col("shingle").isNotNull)
-    val sizes = dfCapped(ex0, maxDocFreq)
-      .groupBy(col("jc_id")).agg(count(lit(1)).as("n_sh"))
     // superset-first representative: max shingle-set size, ties min id
     val reps = comp.join(sizes, col("__cid") === col("jc_id"))
       .groupBy(col("cluster_id"))

@@ -127,6 +127,29 @@ class TrainingOpsSpec extends AnyFunSuite {
       s"flagged=${flagged.size} exact=${exact.size} of $nTrain")
   }
 
+  test("decontamination: report verdicts match the apply-side anti-join") {
+    val train = docs(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated text with no overlap at all whatsoever"),
+      (3L, "quick brown fox jumps high above everything today"))
+    val eval_ = docs((100L, "quick brown fox jumps high"))
+    val ov = Contamination.ngramOverlap(train, eval_, "text", "doc_id",
+      n = 3, minOverlap = 1)
+    val rep = Contamination.decontaminationReport(train, "doc_id", ov)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getAs[Boolean]("keep"))).toMap
+    assert(rep(1L)._2 == false && rep(1L)._1 == 1L) // hits eval doc 100
+    assert(rep(3L)._2 == false)                     // 3 shared trigrams
+    assert(rep(2L) == (0L, true))                   // clean
+    // apply step == report.filter(keep), and it's a broadcastable
+    // anti-join on the id (no text in the join)
+    val applied = Contamination.decontaminate(train, "doc_id", ov)
+    assert(applied.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      rep.filter(_._2._2).keySet)
+    val plan = applied.queryExecution.sparkPlan.toString
+    assert(plan.contains("LeftAnti"), plan.take(800))
+  }
+
   // ------------------------------------------------------------ sampling
 
   test("splitmix64 matches the reference test vector") {
