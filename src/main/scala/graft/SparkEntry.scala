@@ -338,12 +338,14 @@ object SparkEntry {
 
   private def qLangId(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(col("doc_id"), TextAnalysis.langIdUdf(col("text")).as("lang_pred"))
+      .select(col("doc_id"),
+        graft.functions.TextSignals.lang_id(col("text")).as("lang_pred"))
       .orderBy(col("doc_id"))
 
   private def qFingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(col("doc_id"), TextAnalysis.fingerprintUdf(col("text")).as("fp"))
+      .select(col("doc_id"),
+        graft.functions.TextSignals.doc_fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
   /** Exact embedding-cosine near-dup pairs (brute-force baseline of the

@@ -6,10 +6,12 @@ import org.apache.spark.sql.functions._
 /** Text-analysis operators for large-scale training-data pipelines.
   *
   * Everything here is expressed over native Spark SQL functions (codegen'd,
-  * whole-stage friendly) except language-ID and fingerprinting, which are
-  * deterministic scalar Scala UDFs (no external deps, partition-local, no
-  * shuffle). All operators are per-row map-only: at 100 TB they scale
-  * linearly with input splits and introduce zero exchanges.
+  * whole-stage friendly); language-ID and fingerprinting kernels live here
+  * as deterministic scalar functions and ride the scan as native codegen
+  * expressions ([[graft.functions.LangId]], [[graft.functions.DocFingerprint]];
+  * the UDF wrappers remain for mapPartitions-style callers). All operators
+  * are per-row map-only: at 100 TB they scale linearly with input splits
+  * and introduce zero exchanges.
   *
   * Reference capabilities mirrored: `extract_main_word`-style keyword
   * extraction lives in the reference at
