@@ -717,6 +717,45 @@ object SparkEntry {
       (col("n_hits").cast("double") / k).as("recall_at_k"))
   }
 
+  /** Recall@k of the IVF-PQ ADC path against the exact squared-L2
+    * top-k on the same query set — the quality metric that justifies
+    * the compressed-domain ANN's cost model. The exact side is a
+    * broadcast(queries)×corpus compare (same ≡0 mod 41 query set as
+    * the top-k row; the exact anchor is nq×corpus over the small
+    * embeddings relation);
+    * both sides rank on a 6-dp-rounded distance, so the verdict is
+    * bit-replayable cross-engine. */
+  private def qAnnIvfPqRecall(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, dir, "embeddings")
+    val k = 10
+    val qpred = col("vec_id") % 41 === 0
+    val approx = Similarity.annIvfPqTopK(e, "embedding", "vec_id", dim = 64,
+        coarseK = 8, coarseIters = 2, m = 4, k = 16, iters = 2,
+        nprobe = 2, topK = k, queryPred = qpred)
+      .select(col("q_id"), col("vec_id"))
+    val queries = e.filter(qpred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val d2 = aggregate(
+      zip_with(col("embedding"), col("qv"), (x, y) => {
+        val dd = x.cast("double") - y.cast("double"); dd * dd
+      }), lit(0.0), (acc, x) => acc + x)
+    val dists = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(queries))
+      .select(col("q_id"), col("vec_id"), round(d2, 6).as("d2"))
+    val pruned = graft.operators.PartitionPrune.firstNPerKey(dists, "q_id",
+      Seq(col("d2").asc, col("vec_id").asc), k)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("d2").asc, col("vec_id").asc)
+    val exact = pruned.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k).select(col("q_id"), col("vec_id"))
+    val nq = queries.agg(count(lit(1)).as("n_queries"))
+    val hits = exact.join(approx, Seq("q_id", "vec_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    nq.crossJoin(hits).select(lit(k).as("k"), col("n_queries"), col("n_hits"),
+      (col("n_hits").cast("double") / (col("n_queries") * k)).as("recall_at_k"))
+  }
+
   /** Content-defined chunk dedup: chunk boundaries anchored to token
     * content (FNV low bits), so shifted near-copies keep matching —
     * the edit-robust sibling of `segment_dedup`. */
@@ -1602,6 +1641,7 @@ object SparkEntry {
     "text_logprob" -> (qTextLogprob _),
     "curation_pipeline" -> (qCurationPipeline _),
     "ann_recall" -> (qAnnRecall _),
+    "ann_ivfpq_recall" -> (qAnnIvfPqRecall _),
     "semantic_dedup" -> (qSemanticDedup _),
     "source_stats" -> (qSourceStats _),
     "knn_label_vote" -> (qKnnLabelVote _),
@@ -3364,6 +3404,27 @@ object SparkEntry {
     "pq_encode" -> pqEncodeOracle(m = 4, k = 16, iters = 2),
     "ann_ivfpq_topk" -> annIvfPqOracle(coarseK = 8, coarseIters = 2, m = 4,
       k = 16, iters = 2, nprobe = 2, topK = 10, mod = 41),
+    "ann_ivfpq_recall" -> {
+      val approx = annIvfPqOracle(coarseK = 8, coarseIters = 2, m = 4,
+        k = 16, iters = 2, nprobe = 2, topK = 10, mod = 41)
+      s"""WITH approx AS (SELECT q_id, vec_id FROM ($approx)),
+          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 41 = 0),
+          dists AS (
+            SELECT q.q_id, e.vec_id,
+              round(list_sum(list_transform(generate_series(1, 64),
+                i -> (e.v[i] - q.qv[i]) * (e.v[i] - q.qv[i]))), 6) AS d2
+            FROM e, q),
+          rk AS (SELECT q_id, vec_id, row_number() OVER
+              (PARTITION BY q_id ORDER BY d2, vec_id) AS rnk FROM dists),
+          exact AS (SELECT q_id, vec_id FROM rk WHERE rnk <= 10),
+          nq AS (SELECT count(*) AS n_queries FROM q),
+          hits AS (SELECT count(*) AS n_hits
+            FROM exact JOIN approx USING (q_id, vec_id))
+          SELECT 10 AS k, n_queries, n_hits,
+            CAST(n_hits AS DOUBLE) / (n_queries * 10) AS recall_at_k
+          FROM nq, hits"""
+    },
     "quality_ensemble" -> qualityEnsembleOracle,
     "ppl_buckets" ->
       """WITH toks AS (
