@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.Dedup.NearDupCorpusIndex
+
+/** Continual-ingest curation — the streaming composition of the batch
+  * `curation_pipeline` stages, built for `foreachBatch`:
+  *
+  *   1. quality gate: the map-only multi-signal ensemble verdict
+  *      ([[TextAnalysis.qualityEnsemble]]) drops rejects in the scan —
+  *      no state, no shuffle, the cheapest filter runs first;
+  *   2. in-batch exact dedup: first-occurrence by content hash (the
+  *      groupBy-min + join shape, hot hashes absorbed map-side);
+  *   3. corpus near-dup: survivors probe the PERSISTED band index
+  *      ([[Dedup.dropNearDupsOfCorpus]]) — candidates come from the
+  *      (band, hash) equi-join with partition pruning on the loaded
+  *      form, never batch×corpus.
+  *
+  * The index is the only cross-batch state, and it lives on disk
+  * (save/load — shared across daemons and restarts); the micro-batch
+  * pipeline itself is stateless, so the composition scales exactly as
+  * its stages do. Returns the accepted rows of the batch (original
+  * columns). Scope note: batch-INTERNAL near-dups pass (only exact
+  * in-batch dupes and batch-vs-corpus near-dups are dropped) — the
+  * continual shape catches them one batch later, once survivors are
+  * appended to the index offline (the same build-once/probe-many
+  * discipline as the ANN index).
+  */
+object StreamingCuration {
+
+  def curateBatch(batch: DataFrame, textCol: String, idCol: String,
+                  idx: NearDupCorpusIndex,
+                  minWords: Int = 10, maxWords: Int = 100000,
+                  minEntropy: Double = 3.5, minScore: Double = 0.5,
+                  nearDupThreshold: Double = 0.5): DataFrame = {
+    // 1. quality gate (map-only)
+    val verdict = TextAnalysis.qualityEnsemble(batch, textCol, idCol,
+      minWords, maxWords, minEntropy, minScore)
+    val passed = batch.join(
+      verdict.filter(col("keep")).select(col(idCol)), Seq(idCol))
+    // 2. in-batch exact dedup: first occurrence per content hash
+    val hashed = passed.withColumn("__h", md5(col(textCol)))
+    val firsts = hashed.groupBy(col("__h"))
+      .agg(min(col(idCol)).as("__keep_id"))
+    val uniq = hashed.join(firsts, "__h")
+      .filter(col(idCol) === col("__keep_id"))
+      .drop("__h", "__keep_id")
+    // 3. near-dup probe against the persisted corpus index
+    Dedup.dropNearDupsOfCorpus(uniq, textCol, idCol, idx, nearDupThreshold)
+  }
+}
