@@ -137,6 +137,31 @@ object Dedup {
       try props.store(w, "graft near-dup corpus index") finally w.close()
     }
 
+    /** Band+set the NEW docs with this index's config and append them
+      * to the saved form — the continual-ingest loop closure: a batch's
+      * curation survivors become part of the corpus, so the NEXT batch's
+      * probe sees them. Same signature config (meta pins it), same
+      * bucket layout, `mode(append)` into the same partition dirs; no
+      * existing file is touched, no index rebuild. */
+    def appendTo(path: String, newDocs: DataFrame, textCol: String,
+                 idCol: String): Unit = {
+      val nb = if (diskBuckets > 0) diskBuckets
+               else NearDupCorpusIndex.DiskBuckets
+      val sh = shingleDf(newDocs, textCol, idCol, shingleN, outId = "nd_cid")
+      bandFrame(sh, "nd_cid", nPerm, nBands)
+        .withColumn("bh_bucket", pmod(col("band_hash"), lit(nb)).cast("int"))
+        .repartition(col("band"), col("bh_bucket"))
+        .write.mode("append").partitionBy("band", "bh_bucket")
+        .parquet(s"$path/bands")
+      sh.select(col("nd_cid"), col("shingles").as("sh_c"),
+          size(col("shingles")).cast("long").as("n_c"))
+        .withColumn("id_bucket", pmod(hash(col("nd_cid")), lit(nb)).cast("int"))
+        .repartition(col("id_bucket"))
+        .sortWithinPartitions(col("nd_cid"))
+        .write.mode("append").partitionBy("id_bucket")
+        .parquet(s"$path/sets")
+    }
+
     /** Release the in-memory caches (no-op for a loaded disk index). */
     def release(): Unit = { bands.unpersist(false); sets.unpersist(false); () }
   }

@@ -56,6 +56,40 @@ class NearDupIndexSpec extends AnyFunSuite {
     assert(mem.forall(_ >= 2000000L), "survivors must be the novel docs")
   }
 
+  test("appendTo: survivors indexed after the batch are caught by the next probe") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // index built on the even half only
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("nd_idx3").toString
+    Dedup.nearDupCorpusIndex(even, "text", "doc_id").save(dir)
+    val loadedHalf = Dedup.NearDupCorpusIndex.load(spark, dir)
+
+    // near-copies of ODD docs survive a half-index probe...
+    val oddCopies = odd.limit(20).select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(" extrabatchword")).as("text"))
+    // (>= 15, not == 20: the real corpus has a few natural odd↔even
+    // near-dups the half index legitimately catches)
+    val before = Dedup.dropNearDupsOfCorpus(oddCopies, "text", "doc_id",
+      loadedHalf, 0.5).count()
+    assert(before >= 15, s"half-index must miss most odd-doc copies, kept $before")
+
+    // ...append the odd half (the 'survivors'), reload: now they drop,
+    // and the appended index equals a full in-memory index on the batch
+    loadedHalf.appendTo(dir, odd, "text", "doc_id")
+    val loadedFull = Dedup.NearDupCorpusIndex.load(spark, dir)
+    val batch = mkBatch(docs)
+    val mem = Dedup.nearDupCorpusIndex(docs, "text", "doc_id")
+    val expect = Dedup.dropNearDupsOfCorpus(batch, "text", "doc_id", mem, 0.5)
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    val got = Dedup.dropNearDupsOfCorpus(batch, "text", "doc_id", loadedFull, 0.5)
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got == expect, "appended index must probe like the full in-memory index")
+    assert(Dedup.dropNearDupsOfCorpus(oddCopies, "text", "doc_id",
+      loadedFull, 0.5).count() == 0, "odd-doc copies must now drop")
+  }
+
   test("loaded probe plan: DPP partition filters on bands and sets scans") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val dir = java.nio.file.Files.createTempDirectory("nd_idx2").toString
