@@ -238,6 +238,31 @@ object Similarity {
       try props.store(w, "graft embedding near-dup corpus index") finally w.close()
     }
 
+    /** Bucket the NEW vectors with this index's planes and append them
+      * to the saved form — the embedding twin of
+      * [[graft.operators.Dedup.NearDupCorpusIndex.appendTo]]: curation
+      * survivors join the corpus index without a rebuild; the next
+      * micro-batch's probe sees them. */
+    def appendTo(path: String, newVecs: DataFrame, vecCol: String,
+                 idCol: String): Unit = {
+      import graft.functions.VecDot.vec_dot
+      val nb = if (diskBuckets > 0) diskBuckets else EmbCorpusIndex.DiskBuckets
+      val v = newVecs.filter(size(col(vecCol)) === dim)
+        .select(col(idCol).as("nd_cid"), col(vecCol).as("v_c"),
+          sqrt(vec_dot(col(vecCol), col(vecCol))).as("nrm_c"))
+      v.withColumn("tb", explode(tableBucketArray(col("v_c"), dim, nBits, tables)))
+        .select(col("nd_cid"), col("tb.t").as("t"), col("tb.b").as("b"))
+        .withColumn("b_bucket", pmod(col("b"), lit(nb)).cast("int"))
+        .repartition(col("t"), col("b_bucket"))
+        .write.mode("append").partitionBy("t", "b_bucket")
+        .parquet(s"$path/buckets")
+      v.withColumn("id_bucket", pmod(hash(col("nd_cid")), lit(nb)).cast("int"))
+        .repartition(col("id_bucket"))
+        .sortWithinPartitions(col("nd_cid"))
+        .write.mode("append").partitionBy("id_bucket")
+        .parquet(s"$path/vecs")
+    }
+
     /** Release the in-memory caches (no-op for a loaded disk index). */
     def release(): Unit = { buckets.unpersist(false); vecs.unpersist(false); () }
   }

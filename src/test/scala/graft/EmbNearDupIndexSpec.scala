@@ -66,6 +66,36 @@ class EmbNearDupIndexSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
+  test("appendTo: vectors indexed after save drop from the next probe") {
+    val even = emb.filter(col("vec_id") % 2 === 0)
+    val odd = emb.filter(col("vec_id") % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("emb_idx4").toString
+    Similarity.embCorpusIndex(even, "embedding", "vec_id", dim = 64).save(dir)
+    val half = Similarity.EmbCorpusIndex.load(spark, dir)
+
+    // exact copies of ODD vectors survive the half index (cos=1 only
+    // with their originals, which aren't indexed)
+    val oddCopies = odd.limit(20).select(
+      (col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val before = Similarity.dropNearDupsOfEmbCorpus(oddCopies, "embedding",
+      "vec_id", half).count()
+    assert(before >= 15, s"half index must miss most odd copies, kept $before")
+
+    half.appendTo(dir, odd, "embedding", "vec_id")
+    val full = Similarity.EmbCorpusIndex.load(spark, dir)
+    assert(Similarity.dropNearDupsOfEmbCorpus(oddCopies, "embedding",
+      "vec_id", full).count() == 0, "odd copies must drop after append")
+    // and the appended index matches the full in-memory index on a
+    // mixed batch
+    val mem = Similarity.embCorpusIndex(emb, "embedding", "vec_id", dim = 64)
+    val batch = mkBatch(emb)
+    val expect = Similarity.dropNearDupsOfEmbCorpus(batch, "embedding", "vec_id", mem)
+      .select("vec_id").orderBy("vec_id").collect().map(_.getLong(0)).toSeq
+    val got = Similarity.dropNearDupsOfEmbCorpus(batch, "embedding", "vec_id", full)
+      .select("vec_id").orderBy("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got == expect, "appended index must probe like the full in-memory index")
+  }
+
   test("foreachBatch streaming: loaded index dedups each micro-batch") {
     val dir = java.nio.file.Files.createTempDirectory("emb_idx3").toString
     Similarity.embCorpusIndex(emb, "embedding", "vec_id", dim = 64).save(dir)
