@@ -415,6 +415,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), "parse should not shuffle")
   }
 
+  test("r8 queries plan without quadratic joins over data rows") {
+    for (q <- Seq("dedup_keep_list_containment", "decontaminate_report")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q has a quadratic join:\n${p.take(1200)}")
+      graft.operators.CacheScope.drain()
+    }
+    // ann_ivfpq_recall: the exact anchor broadcasts the (tiny) query set
+    // against the embeddings relation by design — forbid only a true
+    // cartesian; the ADC side must stay equi-join shaped
+    assert(!plan("ann_ivfpq_recall").contains("CartesianProduct"))
+    graft.operators.CacheScope.drain()
+  }
+
   test("dedup signature kernels are native expressions — no ScalaUDF in the plan") {
     // SimHash and MinHash signatures used to be Scala UDFs: the only
     // opaque scan-side projections left outside whole-stage codegen,
