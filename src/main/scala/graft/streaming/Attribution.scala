@@ -103,7 +103,11 @@ object Attribution {
     * pruned every invocation, both bounded by rate × horizon, never by
     * stream length. An event-time timeout flushes users the stream goes
     * quiet on. Emission is watermark-delayed by construction — the same
-    * latency/completeness trade every watermarked streaming agg makes. */
+    * latency/completeness trade every watermarked streaming agg makes.
+    * Boundary note: Spark drops input rows whose event time is ≤ the
+    * CURRENT watermark before they reach the operator — that is the
+    * lateness contract itself (and why the initial watermark of 0
+    * swallows rows at exactly epoch 0). */
   def attributeBounded(events: DataFrame, touchTypes: Seq[String],
                        convType: String, windowMicros: Long,
                        latenessDelay: String,

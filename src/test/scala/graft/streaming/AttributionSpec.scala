@@ -144,6 +144,46 @@ class AttributionSpec extends AnyFunSuite {
     assert(conv2.length == 1 && conv2.head.touch_event_id.isEmpty)
   }
 
+  test("bounded soak: 20 disordered batches converge exactly to the batch operator") {
+    import spark.implicits._
+    // 2000 events / 40 users, event time advancing ~100ms per event with
+    // ±3s jitter (inside the 10s lateness), types seeded-deterministic
+    // base offset keeps every event time strictly positive: Spark's
+    // stateful operator drops rows with event time <= the watermark,
+    // and the initial watermark is 0 — a ts=0 row would silently vanish
+    val rnd = new scala.util.Random(42)
+    val events = (0 until 2000).map { i =>
+      val id = i.toLong + 1
+      val user = (rnd.nextInt(40) + 1).toLong
+      val ts = i * 100000L + 4000000L + rnd.nextInt(6000000) - 3000000L
+      val typ = rnd.nextInt(10) match {
+        case 0 | 1 => "purchase"
+        case 2 | 3 | 4 => "click"
+        case _ => "view"
+      }
+      (id, user, ts, typ)
+    }
+    val windowUs = 30L * 1000000L
+    // stream in 20 batches + a far-future sentinel that flushes the tail
+    val batches = events.grouped(100).toSeq :+
+      Seq((99999L, 999L, events.map(_._3).max + 60000000L, "view"))
+    val streamed = runBounded(batches, windowUs, "10 seconds")
+      .map(a => (a.event_id, a.touch_event_id, a.micros_since_touch)).toSet
+
+    val batchDf = events.toDF("event_id", "user_id", "us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val expected = graft.operators.Funnel.lastTouchAttribution(batchDf,
+        Seq("view", "click"), "purchase", windowUs)
+      .collect().map(r => (r.getAs[Long]("event_id"),
+        Option(r.getAs[java.lang.Long]("touch_event_id")).map(_.toLong),
+        Option(r.getAs[java.lang.Long]("micros_since_touch")).map(_.toLong)))
+      .toSet
+    assert(expected.nonEmpty)
+    assert(streamed == expected,
+      s"streamed ${streamed.size} vs batch ${expected.size}; " +
+        s"diff=${(streamed diff expected).take(3)} / ${(expected diff streamed).take(3)}")
+  }
+
   test("among same-microsecond touches the max event id wins") {
     val out = run(Seq(Seq(
       (4L, 6L, 1000000L, "view"),
