@@ -22,6 +22,15 @@ import graft.streaming.StreamingPipeline
   *   wproj   init   <dir> [--mode full|normal|model|conf|topology|data]
   *   wproj   model  list|validate <dir>
   *   wproj   data   clean|stat <dir>
+  *
+  * Plus the index layer (no reference analogue — the training-data
+  * side's persisted dedup/ANN artifacts, operable like everything
+  * else):
+  *
+  *   wpindex build  neardup|emb|ann <corpus.parquet> <indexDir> [--dim D]
+  *   wpindex append neardup|emb|ann <new.parquet> <indexDir>
+  *   wpindex probe  neardup|emb     <batch.parquet> <indexDir> <outDir> [--threshold T]
+  *   wpindex probe  ann             <queries.parquet> <indexDir> <outDir> [--nprobe N] [--topk K]
   */
 object Cli {
 
@@ -326,6 +335,73 @@ object Cli {
       println(f"total=$total parsed=$ok (${if (total > 0) 100.0 * ok / total else 0.0}%.1f%%)")
       parsed.unpersist()
       if (ok == 0) sys.exit(1)
+    case "wpindex" :: sub :: kind :: rest =>
+      import graft.operators.{Dedup, Similarity}
+      def flag(name: String, default: String): String = {
+        val i = rest.indexOf(name); if (i >= 0 && i + 1 < rest.length) rest(i + 1) else default
+      }
+      val spark = session()
+      (sub, kind, rest) match {
+        case ("build", "neardup", corpus :: path :: _) =>
+          Dedup.nearDupCorpusIndex(spark.read.parquet(corpus),
+            flag("--text-col", "text"), flag("--id-col", "doc_id")).save(path)
+          println(s"wpindex: built neardup index at $path")
+        case ("build", "emb", corpus :: path :: _) =>
+          Similarity.embCorpusIndex(spark.read.parquet(corpus),
+            flag("--vec-col", "embedding"), flag("--id-col", "vec_id"),
+            dim = flag("--dim", "64").toInt).save(path)
+          println(s"wpindex: built emb index at $path")
+        case ("build", "ann", corpus :: path :: _) =>
+          Similarity.AnnIndex.build(spark.read.parquet(corpus),
+            flag("--vec-col", "embedding"), flag("--id-col", "vec_id"),
+            dim = flag("--dim", "64").toInt,
+            coarseK = flag("--coarse-k", "8").toInt, coarseIters = 2,
+            m = flag("--m", "4").toInt, k = flag("--k", "16").toInt,
+            iters = 2).save(path)
+          println(s"wpindex: built ann index at $path")
+        case ("append", "neardup", newData :: path :: _) =>
+          Dedup.NearDupCorpusIndex.load(spark, path).appendTo(path,
+            spark.read.parquet(newData),
+            flag("--text-col", "text"), flag("--id-col", "doc_id"))
+          println(s"wpindex: appended to neardup index at $path")
+        case ("append", "emb", newData :: path :: _) =>
+          Similarity.EmbCorpusIndex.load(spark, path).appendTo(path,
+            spark.read.parquet(newData),
+            flag("--vec-col", "embedding"), flag("--id-col", "vec_id"))
+          println(s"wpindex: appended to emb index at $path")
+        case ("append", "ann", newData :: path :: _) =>
+          Similarity.AnnIndex.load(spark, path).appendTo(path,
+            spark.read.parquet(newData),
+            flag("--vec-col", "embedding"), flag("--id-col", "vec_id"))
+          println(s"wpindex: appended to ann index at $path")
+        case ("probe", "neardup", batch :: path :: out :: _) =>
+          val idx = Dedup.NearDupCorpusIndex.load(spark, path)
+          Dedup.dropNearDupsOfCorpus(spark.read.parquet(batch),
+              flag("--text-col", "text"), flag("--id-col", "doc_id"), idx,
+              flag("--threshold", "0.5").toDouble)
+            .write.mode("overwrite").parquet(out)
+          println(s"wpindex: survivors written to $out")
+        case ("probe", "emb", batch :: path :: out :: _) =>
+          val idx = Similarity.EmbCorpusIndex.load(spark, path)
+          Similarity.dropNearDupsOfEmbCorpus(spark.read.parquet(batch),
+              flag("--vec-col", "embedding"), flag("--id-col", "vec_id"), idx,
+              flag("--threshold", "0.95").toDouble)
+            .write.mode("overwrite").parquet(out)
+          println(s"wpindex: survivors written to $out")
+        case ("probe", "ann", queries :: path :: out :: _) =>
+          val idx = Similarity.AnnIndex.load(spark, path)
+          idx.probe(spark.read.parquet(queries),
+              flag("--vec-col", "embedding"), flag("--id-col", "vec_id"),
+              nprobe = flag("--nprobe", "2").toInt,
+              topK = flag("--topk", "10").toInt)
+            .write.mode("overwrite").parquet(out)
+          println(s"wpindex: top-k written to $out")
+        case _ =>
+          System.err.println(
+            "usage: wpindex build|append|probe neardup|emb|ann <in.parquet> <indexDir> [<outDir>] [flags]")
+          sys.exit(2)
+      }
+
     case "wpgen" :: "conf" :: sub :: dir :: rest =>
       // generator config management (reference `wpgen conf init|check|clean`,
       // -c/--conf = custom config filename, default wpgen.toml)
