@@ -216,6 +216,41 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("hour"), col("event_type"))
 
+  /** Per-user feature rollup — the feature-store build step: recency /
+    * frequency / monetary / activity-span per user in one partial-agg
+    * shuffle. Monetary sums in EXACT integer cents (each double is
+    * rounded per-row before the sum), so cross-engine summation order
+    * can't flip a hash — the same discipline as the µs-integer
+    * attribution deltas. */
+  private def qUserFeatures(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("value_cents"),
+        min(unix_micros(col("ts"))).as("first_ts_us"),
+        max(unix_micros(col("ts"))).as("last_ts_us"),
+        countDistinct(to_date(col("ts"))).as("n_active_days"))
+      .orderBy(col("user_id"))
+
+  /** Near-dup contamination per SOURCE — the curation diagnostic that
+    * tells you WHICH feed is pumping duplicates: the keep-list verdicts
+    * joined back to the doc's source (8-byte keys), rolled up to a
+    * per-source duplicate fraction. */
+  private def qSourceNearDupStats(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val kl = Dedup.dedupKeepList(d, "text", "doc_id", n = 3, threshold = 0.5)
+      .select(col("doc_id"), col("keep"))
+    d.select(col("doc_id"), col("source")).join(kl, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_near_dups"))
+      .withColumn("near_dup_frac",
+        round(col("n_near_dups").cast("double") / col("n_docs"), 4))
+      .orderBy(col("source"))
+  }
+
   /** Two-phase salted aggregation over the (skew-prone) event_type key:
     * phase-1 partials spread each key over 8 salts, phase-2 combines —
     * results are EXACTLY the plain GROUP BY (oracle), the plan just has
@@ -1601,6 +1636,8 @@ object SparkEntry {
     "q_semi_join" -> (qSemiJoin _),
     "knowdb_lookup" -> (qKnowdbLookup _),
     "q_events_hourly" -> (qEventsHourly _),
+    "user_features" -> (qUserFeatures _),
+    "source_neardup_stats" -> (qSourceNearDupStats _),
     "q_events_json" -> (qEventsJson _),
     "q_skew_salted_agg" -> (qSkewSaltedAgg _),
     "q_events_lag" -> (qEventsLag _),
@@ -3493,6 +3530,35 @@ object SparkEntry {
             (coalesce(c.cluster_id, d.doc_id) = d.doc_id) AS keep
           FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
           ORDER BY d.doc_id""",
+    "user_features" ->
+      """SELECT user_id, count(*) AS n_events,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_purchases,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_cents,
+           min(epoch_us(ts)) AS first_ts_us,
+           max(epoch_us(ts)) AS last_ts_us,
+           CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_active_days
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "source_neardup_stats" ->
+      s"""WITH RECURSIVE
+          pairs AS (SELECT id_a, id_b FROM ($ngramJaccardOracle)),
+          edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+          reach(u, v) AS (
+            SELECT DISTINCT u, u FROM edges
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+          comp AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+          kl AS (
+            SELECT d.doc_id, d.source,
+              (coalesce(c.cluster_id, d.doc_id) = d.doc_id) AS keep
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+          SELECT source, count(*) AS n_docs,
+            CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_near_dups,
+            round(CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS DOUBLE)
+              / count(*), 4) AS near_dup_frac
+          FROM kl GROUP BY source ORDER BY source""",
     "dedup_keep_list_containment" ->
       """WITH RECURSIVE
          toks AS (
