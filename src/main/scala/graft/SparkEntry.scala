@@ -765,9 +765,11 @@ object SparkEntry {
     val e = t(s, dir, "embeddings")
     val k = 10
     val qpred = col("vec_id") % 41 === 0
-    val approx = Similarity.annIvfPqTopK(e, "embedding", "vec_id", dim = 64,
-        coarseK = 8, coarseIters = 2, m = 4, k = 16, iters = 2,
-        nprobe = 2, topK = k, queryPred = qpred)
+    // served from the session-shared LOADED index (identical results to
+    // the inline build — deterministic quantizers + bit-exact parquet
+    // round-trip, pinned by AnnIndexSpec)
+    val approx = annIndexFor(s, dir, e)
+      .probe(e.filter(qpred), "embedding", "vec_id", nprobe = 2, topK = k)
       .select(col("q_id"), col("vec_id"))
     val queries = e.filter(qpred)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
@@ -973,8 +975,9 @@ object SparkEntry {
   private val annIndexPaths =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def qAnnIvfPq(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
+  /** The session-shared loaded index (build+save on first use). */
+  private def annIndexFor(s: SparkSession, dir: String,
+                          emb: DataFrame): Similarity.AnnIndex = {
     val path = annIndexPaths.computeIfAbsent(dir, { _ =>
       val p = java.nio.file.Files
         .createTempDirectory("graft_ann_idx").toString
@@ -983,6 +986,11 @@ object SparkEntry {
       p
     })
     Similarity.AnnIndex.load(s, path)
+  }
+
+  private def qAnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    annIndexFor(s, dir, emb)
       .probe(emb.filter(col("vec_id") % 41 === 0), "embedding", "vec_id",
         nprobe = 2, topK = 10)
       .orderBy(col("q_id"), col("rnk"))
