@@ -1607,6 +1607,56 @@ object SparkEntry {
     TextAnalysis.tokenizerFertility(t(s, dir, "documents"), "text", "lang")
       .orderBy(col("lang"))
 
+  /** Embedding-space contamination report: train docs whose embedding
+    * sits within cosine 0.4 of any eval-split vector — the
+    * paraphrase-robust complement of `contamination_ngram` (same
+    * deterministic multi-table hyperplane buckets as
+    * `dedup_embedding_lsh`, made asymmetric: the eval side broadcasts). */
+  private def qContaminationEmb(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Contamination
+    val e = t(s, dir, "embeddings")
+    Contamination.embeddingContamination(
+        e.filter(col("vec_id") % 20 =!= 0), e.filter(col("vec_id") % 20 === 0),
+        "embedding", "vec_id", dim = 64, threshold = 0.4, nBits = 2, tables = 8)
+      .orderBy(col("train_id"))
+  }
+
+  /** Within-doc repeated-segment removal (2-token segments — sized to
+    * the synthetic corpus's vocabulary so intra-page repeats exist;
+    * production pages use 8-token nav/boilerplate blocks). */
+  private def qIntraDocDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.intraDocSegmentDedup(t(s, dir, "documents"), "text", "doc_id",
+        segTokens = 2)
+      .orderBy(col("doc_id"))
+
+  /** Temperature-scaled language mixture (α = 0.3 and 0.7): the
+    * one-knob upsampling rule over actual token shares. */
+  private def qMixTemperature(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val d = t(s, dir, "documents").select(col("lang"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    Sampling.temperatureWeights(d, "lang", col("n_tokens"), Seq(0.3, 0.7))
+      .orderBy(col("domain"))
+  }
+
+  /** Power-of-two sequence-length histogram with cumulative token
+    * share — the context-window-fit card. */
+  private def qSeqLenHistogram(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.seqLenHistogram(t(s, dir, "documents"), "text")
+      .orderBy(col("bucket_lo"))
+
+  /** Near-dup cluster-size histogram incl. the singleton remainder —
+    * the corpus duplication profile over `dedup_clusters`' components. */
+  private def qDupClusterSizes(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Clustering
+    val d = t(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(d, "text", "doc_id",
+      n = 3, threshold = 0.5)
+    Clustering.clusterSizeProfile(
+        Clustering.dupClusters(pairs, "id_a", "id_b"), d, "doc_id")
+      .orderBy(col("cluster_size"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ip_range_lookup" -> (qIpRange _),
     "emb_outliers" -> (qEmbOutliers _),
@@ -1717,7 +1767,12 @@ object SparkEntry {
     "dedup_keep_list_containment" -> (qDedupKeepListContainment _),
     "q_events_attribution" -> (qEventsAttribution _),
     "q_events_anomaly" -> (qEventsAnomaly _),
-    "tokenizer_fertility" -> (qTokenizerFertility _)
+    "tokenizer_fertility" -> (qTokenizerFertility _),
+    "contamination_emb" -> (qContaminationEmb _),
+    "intradoc_dedup" -> (qIntraDocDedup _),
+    "mix_temperature" -> (qMixTemperature _),
+    "seqlen_histogram" -> (qSeqLenHistogram _),
+    "dup_cluster_sizes" -> (qDupClusterSizes _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -1859,6 +1914,38 @@ object SparkEntry {
        JOIN sizes sb ON sb.doc_id = id_b
        WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
        ORDER BY id_a, id_b"""
+
+  /** Embedding-contamination oracle: replays the SAME per-table bucket
+    * expressions as `embLshOracle` over both corpus splits, the
+    * distinct train×eval candidate join, the exact round-6 cosine
+    * gate, and the per-train-doc rollup. */
+  private def embContaminationOracle(dim: Int, nBits: Int, tables: Int,
+                                     threshold: Double): String = {
+    val planes = graft.operators.Similarity.hyperplanes(dim, nBits * tables)
+    val perTable = (0 until tables).map { t =>
+      val expr = (0 until nBits).map { i =>
+        val p = planes(t * nBits + i)
+        s"(CASE WHEN list_dot_product(v, [${p.mkString(",")}]) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $t AS t, $expr AS b FROM base"
+    }.mkString(" UNION ALL ")
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        bb AS ($perTable),
+        cand AS (
+          SELECT DISTINCT tr.vec_id AS train_id, ev.vec_id AS eval_id
+          FROM bb tr JOIN bb ev ON tr.t = ev.t AND tr.b = ev.b
+          WHERE tr.vec_id % 20 <> 0 AND ev.vec_id % 20 = 0),
+        ver AS (
+          SELECT train_id, eval_id,
+            round(list_dot_product(a.v, e.v) /
+              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(e.v, e.v))), 6)
+              AS cos_sim
+          FROM cand JOIN base a ON a.vec_id = train_id
+          JOIN base e ON e.vec_id = eval_id)
+        SELECT train_id, count(*) AS n_eval_hits, max(cos_sim) AS max_cos_sim
+        FROM ver WHERE cos_sim >= $threshold
+        GROUP BY train_id ORDER BY train_id"""
+  }
 
   /** Multi-table LSH pair oracle: one bucket expression per table over
     * its own plane slice, unioned, joined on (table, bucket), distinct
@@ -3672,7 +3759,83 @@ object SparkEntry {
          SELECT lang, n_docs, n_words, n_tokens, n_chars,
            round(CAST(n_tokens AS DOUBLE) / n_words, 4) AS fertility,
            round(CAST(n_chars AS DOUBLE) / n_tokens, 4) AS chars_per_token
-         FROM g ORDER BY lang"""
+         FROM g ORDER BY lang""",
+    "contamination_emb" ->
+      embContaminationOracle(dim = 64, nBits = 2, tables = 8, threshold = 0.4),
+    "intradoc_dedup" ->
+      """WITH d AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+             x -> len(x) > 0) AS toks
+           FROM documents),
+         s AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
+         segs AS (
+           SELECT doc_id, CAST(s0 // 2 AS INT) AS seg_idx,
+             array_to_string(toks[s0+1:s0+2], ' ') AS seg_text
+           FROM (SELECT doc_id, toks, n, unnest(range(0, n, 2)) AS s0 FROM s)),
+         ranked AS (
+           SELECT *, row_number() OVER
+             (PARTITION BY doc_id, seg_text ORDER BY seg_idx) AS rn
+           FROM segs)
+         SELECT doc_id, count(*) AS n_segments,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments,
+           round(CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
+             AS dup_seg_frac,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN seg_text END, ' '
+             ORDER BY seg_idx), '') AS clean_text
+         FROM ranked GROUP BY doc_id ORDER BY doc_id""",
+    "mix_temperature" ->
+      """WITH d AS (
+           SELECT lang,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+               x -> len(x) > 0)) AS BIGINT) AS n_tok
+           FROM documents),
+         g AS (SELECT lang AS domain, count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM d GROUP BY lang),
+         sh AS (SELECT *, CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS share
+                FROM g)
+         SELECT domain, n_docs, n_tokens, round(share, 6) AS share,
+           round(pow(share, 0.3) / sum(pow(share, 0.3)) OVER (), 6) AS q_a30,
+           round(pow(share, 0.7) / sum(pow(share, 0.7)) OVER (), 6) AS q_a70
+         FROM sh ORDER BY domain""",
+    "seqlen_histogram" ->
+      """WITH d AS (
+           SELECT CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             x -> len(x) > 0)) AS BIGINT) AS n
+           FROM documents),
+         p AS (SELECT n, CAST(1 AS BIGINT) << (length(bin(n)) - 1) AS bucket_lo
+               FROM d WHERE n > 0),
+         g AS (SELECT bucket_lo, count(*) AS n_docs,
+               CAST(sum(n) AS BIGINT) AS n_tokens FROM p GROUP BY bucket_lo)
+         SELECT bucket_lo, n_docs, n_tokens,
+           round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (), 6) AS doc_share,
+           round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6) AS token_share,
+           round(CAST(sum(n_tokens) OVER (ORDER BY bucket_lo) AS DOUBLE) /
+             sum(n_tokens) OVER (), 6) AS cum_token_share
+         FROM g ORDER BY bucket_lo""",
+    "dup_cluster_sizes" ->
+      s"""WITH RECURSIVE
+          pairs AS (SELECT id_a, id_b FROM ($ngramJaccardOracle)),
+          edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+          reach(u, v) AS (
+            SELECT DISTINCT u, u FROM edges
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+          comp AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+          cs AS (SELECT cluster_id, count(*) AS sz FROM comp GROUP BY cluster_id),
+          hist AS (SELECT sz AS cluster_size, count(*) AS n_clusters,
+                   CAST(sz * count(*) AS BIGINT) AS n_docs FROM cs GROUP BY sz),
+          tot AS (SELECT count(*) AS n_total FROM documents),
+          cl AS (SELECT count(*) AS n_clustered FROM comp),
+          singles AS (
+            SELECT CAST(1 AS BIGINT) AS cluster_size,
+              n_total - n_clustered AS n_clusters,
+              n_total - n_clustered AS n_docs
+            FROM tot, cl WHERE n_total - n_clustered > 0),
+          allrows AS (SELECT * FROM hist UNION ALL SELECT * FROM singles)
+          SELECT cluster_size, n_clusters, n_docs,
+            round(CAST(n_docs AS DOUBLE) / n_total, 6) AS doc_share
+          FROM allrows, tot ORDER BY cluster_size"""
   )
 
   /** The ensemble oracle composes the gopher gate CTE, the DuckDB log₂

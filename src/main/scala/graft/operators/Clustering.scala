@@ -143,6 +143,33 @@ object Clustering {
   def dupClustersStar(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
     withMemberCounts(connectedComponentsStar(pairs, aCol, bCol))
 
+  /** Duplicate-cluster SIZE histogram — the "how duplicated is this
+    * corpus" publication card: for each cluster size, how many
+    * clusters and docs, with the unclustered remainder reported as
+    * size-1 rows (dup-cluster labels only cover docs that appear in
+    * an edge, so singletons are total − clustered). Input `labels` =
+    * [[dupClusters]] output.
+    *
+    * Scale shape: the label frame is already the bounded output of
+    * clustering; the histogram is two tiny aggs on it plus a 1-row
+    * broadcast corpus total — nothing rescans text or pairs. */
+  def clusterSizeProfile(labels: DataFrame, corpus: DataFrame,
+                         idCol: String): DataFrame = {
+    val total = broadcast(corpus.agg(count(lit(1)).as("n_total")))
+    val hist = labels.select(col("cluster_id"), col("n_members")).distinct()
+      .groupBy(col("n_members").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+    val singles = labels.agg(count(lit(1)).as("n_clustered")).crossJoin(total)
+      .select(lit(1L).as("cluster_size"),
+        (col("n_total") - col("n_clustered")).as("n_clusters"))
+      .withColumn("n_docs", col("n_clusters"))
+      .filter(col("n_clusters") > 0)
+    hist.unionByName(singles).crossJoin(total)
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_total"), 6).as("doc_share"))
+  }
+
   private def withMemberCounts(comp: DataFrame): DataFrame = {
     // groupBy-count + join back, not count-over-window: a mega-cluster
     // (every page identical — dedup's own worst case) would funnel all

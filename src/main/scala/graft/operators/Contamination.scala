@@ -115,4 +115,45 @@ object Contamination {
                     overlaps: DataFrame): DataFrame =
     train.join(overlaps.select(col("train_id")).distinct(),
       train(idCol) === col("train_id"), "left_anti")
+
+  /** EMBEDDING-space contamination — the paraphrase-robust complement
+    * of [[ngramOverlap]]: a reworded benchmark answer shares no
+    * 3-grams with its source but lands on (nearly) the same embedding,
+    * so the flag is cosine ≥ threshold against ANY eval vector.
+    * Returns the per-train-doc rollup (distinct eval hits + worst
+    * cosine), the [[decontaminationReport]] shape.
+    *
+    * Scale shape: the same multi-table random-hyperplane buckets as
+    * `Similarity.cosineNearDupPairs`, made ASYMMETRIC — the eval
+    * side's bucket table and vectors are broadcast (eval sets stay
+    * MBs at any train scale), so the train corpus streams through a
+    * map-side (table, bucket) equi-join, candidates dedup as id
+    * pairs before any vector work, and only candidates pay an exact
+    * cosine. Buckets come from deterministic splitmix planes ⇒ the
+    * oracle replays candidate generation bit-for-bit. */
+  def embeddingContamination(train: DataFrame, eval_ : DataFrame,
+                             vecCol: String, idCol: String, dim: Int,
+                             threshold: Double = 0.95,
+                             nBits: Int = 2, tables: Int = 8): DataFrame = {
+    import graft.functions.VecDot.vec_dot
+    val trBase = CacheScope.scratch(train.select(col(idCol).as("train_id"),
+      col(vecCol).as("tv"), sqrt(vec_dot(col(vecCol), col(vecCol))).as("tn")))
+    val evBase = CacheScope.scratch(eval_.select(col(idCol).as("eval_id"),
+      col(vecCol).as("ev"), sqrt(vec_dot(col(vecCol), col(vecCol))).as("en")))
+    def buckets(base: DataFrame, id: String, v: String) = base
+      .withColumn("tb",
+        explode(Similarity.tableBucketArray(col(v), dim, nBits, tables)))
+      .select(col(id), col("tb.t").as("t"), col("tb.b").as("b"))
+    val cands = buckets(trBase, "train_id", "tv")
+      .join(broadcast(buckets(evBase, "eval_id", "ev")), Seq("t", "b"))
+      .select(col("train_id"), col("eval_id")).distinct()
+    cands.join(trBase, "train_id")
+      .join(broadcast(evBase), "eval_id")
+      .select(col("train_id"),
+        round(vec_dot(col("tv"), col("ev")) / (col("tn") * col("en")), 6)
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .groupBy(col("train_id"))
+      .agg(count(lit(1)).as("n_eval_hits"), max(col("cos_sim")).as("max_cos_sim"))
+  }
 }

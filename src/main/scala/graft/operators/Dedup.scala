@@ -688,6 +688,36 @@ object Dedup {
           s => s.getField("chunk_text")), " ").as("clean_text"))
   }
 
+  /** INTRA-document segment dedup — the within-page twin of
+    * [[segmentDedup]]: drop every repeat of a segment INSIDE its own
+    * document (scraped pages repeat nav blocks, headers, list stubs
+    * many times in one page; cross-doc segment dedup never sees
+    * those because the first corpus occurrence keeps them all).
+    * Keep = first occurrence within the doc; survivors rejoin in
+    * order. Same output shape as [[segmentDedup]].
+    *
+    * Scale shape: strictly BETTER than the cross-doc variant — every
+    * exchange (the keeper agg and the rejoin group) is keyed by
+    * (doc, segment) or (doc), so partition sizes are bounded by a
+    * single document's length at any corpus size; no corpus-wide
+    * segment relation is ever built. */
+  def intraDocSegmentDedup(df: DataFrame, textCol: String, idCol: String,
+                           segTokens: Int = 8): DataFrame = {
+    val segs = TextAnalysis.chunkTokens(df, textCol, idCol, segTokens, segTokens)
+    val keepers = segs.groupBy(col(idCol), col("chunk_text"))
+      .agg(min(col("chunk_idx")).as("keep_idx"))
+    segs.join(keepers, Seq(idCol, "chunk_text"))
+      .withColumn("is_dup", col("chunk_idx") =!= col("keep_idx"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_segments"),
+        round(sum(when(col("is_dup"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 4).as("dup_seg_frac"),
+        array_join(transform(array_sort(collect_list(
+            when(!col("is_dup"), struct(col("chunk_idx"), col("chunk_text"))))),
+          s => s.getField("chunk_text")), " ").as("clean_text"))
+  }
+
   /** MinHash estimator-accuracy measurement — the `ann_recall` of the
     * dedup side: for every LSH candidate pair, the signature-based
     * Jaccard estimate (matching permutations / nPerm) next to the exact

@@ -113,6 +113,35 @@ object Sampling {
         round(col("weight"), 6).as("weight"))
   }
 
+  /** Temperature-scaled mixture weights — the no-hand-tuning
+    * counterpart of [[domainWeights]] (the multilingual-sampling
+    * rule of Lample & Conneau, arXiv:1901.07291 §3.1): sampling
+    * probability q_i(α) = p_i^α / Σ_j p_j^α over the actual token
+    * shares p. α = 1 keeps the natural distribution, α → 0
+    * approaches uniform — one knob upsamples every low-resource
+    * domain at once instead of a per-domain target map. Emits q for
+    * each requested α as `q_aNN` (NN = 100α).
+    *
+    * Scale shape: identical to domainWeights — ONE partial
+    * aggregation on the domain key; every window runs over the
+    * aggregated domains-sized frame (constant for any corpus). */
+  def temperatureWeights(df: DataFrame, domainCol: String, nTokens: Column,
+                         alphas: Seq[Double]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    def qName(a: Double) = f"q_a${math.round(a * 100)}%02d"
+    val base = df.groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(nTokens).as("n_tokens"))
+      .withColumn("share",
+        col("n_tokens").cast("double") / sum(col("n_tokens")).over(w))
+    val withQ = alphas.foldLeft(base) { (acc, a) =>
+      acc.withColumn(qName(a),
+        pow(col("share"), lit(a)) / sum(pow(col("share"), lit(a))).over(w))
+    }
+    withQ.select(col("domain") +: col("n_docs") +: col("n_tokens") +:
+      round(col("share"), 6).as("share") +:
+      alphas.map(a => round(col(qName(a)), 6).as(qName(a))): _*)
+  }
+
   /** Token-budget corpus selection: per group (lang/source), keep the
     * highest-quality docs whose cumulative token count stays within
     * `frac` of the group's total — the "take the best N tokens" step

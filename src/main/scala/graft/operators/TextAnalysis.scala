@@ -392,6 +392,32 @@ object TextAnalysis {
           .as("chunk_text"))
   }
 
+  /** Sequence-length histogram over power-of-two token buckets — the
+    * context-window-fit profile that decides packing budgets and
+    * truncation policy (where the tokens live: how much of the corpus
+    * fits a 2k/8k context, where padding waste would concentrate).
+    * bucket_lo = 2^⌊log2 n⌋ via INTEGER bit ops (length of the binary
+    * string — exact in any engine, no float log2 edge cases at exact
+    * powers of two). One map-side bucket aggregation; the share and
+    * cumulative windows run over the ~log2(max_len) bucket rows. */
+  def seqLenHistogram(df: DataFrame, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val wc = org.apache.spark.sql.expressions.Window.orderBy(col("bucket_lo"))
+    df.select(tokenCount(col(textCol)).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .withColumn("bucket_lo",
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(length(bin(n)) AS INT) - 1)"))
+      .groupBy(col("bucket_lo"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+      .select(col("bucket_lo"), col("n_docs"), col("n_tokens"),
+        round(col("n_docs").cast("double") / sum(col("n_docs")).over(w), 6)
+          .as("doc_share"),
+        round(col("n_tokens").cast("double") / sum(col("n_tokens")).over(w), 6)
+          .as("token_share"),
+        round(sum(col("n_tokens")).over(wc).cast("double") /
+          sum(col("n_tokens")).over(w), 6).as("cum_token_share"))
+  }
+
   /** Fixed weights of the linear quality classifier — the shape of a
     * fasttext-style keep/drop filter with the model baked in (the
     * sandbox has no trained weights; the PIPELINE is the deliverable:

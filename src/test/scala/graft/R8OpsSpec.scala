@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{Clustering, Contamination, Dedup, Sampling, TextAnalysis}
+
+/** Round-8 session-2 operators: embedding-space contamination,
+  * intra-doc segment dedup, temperature mixture weights, sequence-length
+  * histogram, dup-cluster size profile. Hand-checkable inputs here; the
+  * DuckDB oracles re-verify each on the real corpus. */
+class R8OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("embeddingContamination flags near-identical embeddings, skips far ones") {
+    import spark.implicits._
+    val evalDf = Seq((100L, Array(1f, 0f, 0f, 0f)), (101L, Array(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val train = Seq(
+      (1L, Array(1f, 0.01f, 0f, 0f)),   // ~eval 100 (cos ≈ 1)
+      (2L, Array(0f, 0f, 1f, 1f)),      // orthogonal to both
+      (3L, Array(0.7f, 0.7f, 0f, 0f))   // cos ≈ .7 with both — below thr
+    ).toDF("vec_id", "embedding")
+    val out = Contamination.embeddingContamination(train, evalDf,
+        "embedding", "vec_id", dim = 4, threshold = 0.9, nBits = 1, tables = 6)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 1L && r.getDouble(2) > 0.99)
+  }
+
+  test("intraDocSegmentDedup drops within-doc repeats, keeps cross-doc ones") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d a b x y"), // "a b" repeats inside doc 1
+      (2L, "a b q r")          // "a b" also in doc 2 — intra-doc keeps it
+    ).toDF("doc_id", "text")
+    val out = Dedup.intraDocSegmentDedup(d, "text", "doc_id", segTokens = 2)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 4 && out(0).getLong(2) == 1)
+    assert(out(0).getString(4) == "a b c d x y")
+    assert(out(1).getLong(2) == 0 && out(1).getString(4) == "a b q r")
+  }
+
+  test("temperatureWeights: α=1 is the natural mixture; smaller α flattens") {
+    import spark.implicits._
+    val d = Seq.fill(9)(("big", 10L)) ++ Seq(("small", 10L))
+    val out = Sampling.temperatureWeights(d.toDF("domain", "n"), "domain",
+        col("n"), Seq(0.5, 1.0))
+      .orderBy("domain").collect()
+    val big = out(0); val small = out(1)
+    assert(big.getDouble(3) == 0.9 && small.getDouble(3) == 0.1)
+    // α=1 reproduces the shares exactly
+    assert(big.getDouble(5) == 0.9 && small.getDouble(5) == 0.1)
+    // α=0.5: q_big = √.9/(√.9+√.1)
+    val exp = math.sqrt(0.9) / (math.sqrt(0.9) + math.sqrt(0.1))
+    assert(math.abs(big.getDouble(4) - exp) < 1e-6)
+    // flattening: small domain gains, big loses
+    assert(small.getDouble(4) > 0.1 && big.getDouble(4) < 0.9)
+  }
+
+  test("seqLenHistogram: exact power-of-two bucket edges and cumulative share") {
+    import spark.implicits._
+    val d = Seq("t", "t t", "t t t", "t t t t", "t t t t t t t",
+      "t t t t t t t t").map(Tuple1(_)).toDF("text")
+    val out = TextAnalysis.seqLenHistogram(d, "text").orderBy("bucket_lo").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L, 8L))
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L, 2L, 1L)) // n_docs
+    assert(out.map(_.getLong(2)).toSeq == Seq(1L, 5L, 11L, 8L)) // n_tokens
+    assert(out.last.getDouble(5) == 1.0) // cum share closes at 1
+    assert(math.abs(out(1).getDouble(5) - 6.0 / 25.0) < 1e-6)
+  }
+
+  test("clusterSizeProfile: histogram plus singleton remainder") {
+    import spark.implicits._
+    // components {1,2,3} and {10,11}; corpus has 10 docs
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val labels = Clustering.dupClusters(pairs, "id_a", "id_b")
+    val corpus = (1L to 10L).toDF("doc_id")
+    val out = Clustering.clusterSizeProfile(labels, corpus, "doc_id")
+      .orderBy("cluster_size").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 5L, 5L), (2L, 1L, 2L), (3L, 1L, 3L)))
+    assert(out.map(_.getDouble(3)).toSeq == Seq(0.5, 0.2, 0.3))
+  }
+}
