@@ -1657,6 +1657,21 @@ object SparkEntry {
       .orderBy(col("cluster_size"))
   }
 
+  /** Exactly-7-per-language deterministic sample — the two-phase
+    * (partition-pruned) exact-N variant of `sample_stratified`; rank
+    * order is the splitmix64 draw, replayed by the oracle. */
+  private def qSampleExactN(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    Sampling.stratifiedExactN(t(s, dir, "documents"), "doc_id", "lang", n = 7)
+      .select(col("doc_id"), col("lang"), col("sample_rank"))
+      .orderBy(col("lang"), col("sample_rank"))
+  }
+
+  /** DAU / 7-day WAU / stickiness per day over the events stream. */
+  private def qEventsActiveUsers(s: SparkSession, dir: String): DataFrame =
+    Funnel.activeUsers(t(s, dir, "events"), "ts", "user_id", windowDays = 7)
+      .orderBy(col("day"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ip_range_lookup" -> (qIpRange _),
     "emb_outliers" -> (qEmbOutliers _),
@@ -1772,7 +1787,9 @@ object SparkEntry {
     "intradoc_dedup" -> (qIntraDocDedup _),
     "mix_temperature" -> (qMixTemperature _),
     "seqlen_histogram" -> (qSeqLenHistogram _),
-    "dup_cluster_sizes" -> (qDupClusterSizes _)
+    "dup_cluster_sizes" -> (qDupClusterSizes _),
+    "sample_exact_n" -> (qSampleExactN _),
+    "q_events_active_users" -> (qEventsActiveUsers _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -3835,7 +3852,26 @@ object SparkEntry {
           allrows AS (SELECT * FROM hist UNION ALL SELECT * FROM singles)
           SELECT cluster_size, n_clusters, n_docs,
             round(CAST(n_docs AS DOUBLE) / n_total, 6) AS doc_share
-          FROM allrows, tot ORDER BY cluster_size"""
+          FROM allrows, tot ORDER BY cluster_size""",
+    "sample_exact_n" ->
+      s"""WITH ${splitmixStagesSql("documents", "doc_id", "doc_id, lang")},
+          ranked AS (
+            SELECT doc_id, lang, CAST(row_number() OVER
+              (PARTITION BY lang ORDER BY u53, doc_id) AS INT) AS sample_rank
+            FROM s3)
+          SELECT doc_id, lang, sample_rank FROM ranked
+          WHERE sample_rank <= 7 ORDER BY lang, sample_rank""",
+    "q_events_active_users" ->
+      """WITH du AS (
+           SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS u FROM events),
+         dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
+         cover AS (
+           SELECT day + CAST(i AS INT) AS day, u
+           FROM du, (SELECT unnest(range(0, 7)) AS i) ii),
+         wau AS (SELECT day, count(DISTINCT u) AS wau_7d FROM cover GROUP BY day)
+         SELECT d.day, d.dau, w.wau_7d,
+           round(CAST(d.dau AS DOUBLE) / w.wau_7d, 4) AS stickiness
+         FROM dau d JOIN wau w USING (day) ORDER BY d.day"""
   )
 
   /** The ensemble oracle composes the gopher gate CTE, the DuckDB log₂

@@ -182,4 +182,33 @@ object Funnel {
       .withColumn("is_anomaly", coalesce(col("z") > zThresh, lit(false)))
       .drop("n_prev")
   }
+
+  /** Rolling active users — DAU, `windowDays`-day WAU, and stickiness
+    * (DAU/WAU) per day: the engagement card every event pipeline
+    * publishes.
+    *
+    * Scale shape: the raw stream collapses to DISTINCT (day, user)
+    * FIRST (one partial-agg exchange; hot users absorb map-side), and
+    * the rolling window is a `windowDays`× replication of THAT bounded
+    * frame — never of the event stream — followed by a per-cover-day
+    * distinct count. No range-window over user histories. At extreme
+    * user cardinality swap `countDistinct` for an HLL sketch
+    * (`approx_count_distinct`); the replication shape is unchanged. */
+  def activeUsers(events: DataFrame, tsCol: String = "ts",
+                  userCol: String = "user_id",
+                  windowDays: Int = 7): DataFrame = {
+    val du = events.select(to_date(col(tsCol)).as("day"),
+      col(userCol).as("u")).distinct()
+    val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = du
+      .select(explode(sequence(lit(0), lit(windowDays - 1))).as("i"),
+        col("day"), col("u"))
+      .select(date_add(col("day"), col("i")).as("day"), col("u"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("u")).as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"),
+        col("wau").as(s"wau_${windowDays}d"),
+        round(col("dau").cast("double") / col("wau"), 4).as("stickiness"))
+  }
 }

@@ -430,6 +430,35 @@ class PlanQualitySpec extends AnyFunSuite {
     graft.operators.CacheScope.drain()
   }
 
+  test("r8 session-3 queries keep their scale shapes") {
+    // contamination_emb: eval side broadcasts; candidates are an
+    // equi-join on (table, bucket) — no quadratic join anywhere
+    val ce = plan("contamination_emb")
+    assert(ce.contains("BroadcastHashJoin") || ce.contains("BroadcastExchange"),
+      s"contamination_emb lost its broadcast eval side:\n${ce.take(1200)}")
+    assert(!ce.contains("CartesianProduct") &&
+      !ce.contains("BroadcastNestedLoopJoin"),
+      s"contamination_emb has a quadratic join:\n${ce.take(1200)}")
+    graft.operators.CacheScope.drain()
+    // intradoc_dedup / active users: equi-joins only
+    for (q <- Seq("intradoc_dedup", "q_events_active_users")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q has a quadratic join:\n${p.take(1200)}")
+      graft.operators.CacheScope.drain()
+    }
+    // dup_cluster_sizes crossJoins a 1-ROW broadcast total by design
+    // (the ann_ivfpq_recall precedent) — forbid only a true cartesian
+    assert(!plan("dup_cluster_sizes").contains("CartesianProduct"))
+    graft.operators.CacheScope.drain()
+    // sample_exact_n: the pre-window prune must be present (the global
+    // rank never sees a whole stratum)
+    val sn = plan("sample_exact_n")
+    assert(sn.contains("SortWithinPartitions") || sn.contains("Sort "),
+      s"sample_exact_n lost its per-partition prune phase:\n${sn.take(1200)}")
+  }
+
   test("dedup signature kernels are native expressions — no ScalaUDF in the plan") {
     // SimHash and MinHash signatures used to be Scala UDFs: the only
     // opaque scan-side projections left outside whole-stage codegen,

@@ -76,6 +76,24 @@ class R8OpsSpec extends AnyFunSuite {
     assert(math.abs(out(1).getDouble(5) - 6.0 / 25.0) < 1e-6)
   }
 
+  test("activeUsers: DAU, rolling 7-day WAU, stickiness") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    val ev = Seq(
+      (ts(1), 1L), (ts(2), 1L), (ts(1), 2L), // u1 active d1+d2, u2 d1
+      (ts(8), 3L), (ts(8), 3L)               // u3 d8 (dup event collapses)
+    ).toDF("ts", "user_id")
+    val out = graft.operators.Funnel.activeUsers(ev, "ts", "user_id", 7)
+      .orderBy("day").collect()
+    // d8 window [d2..d8] still sees u1's d2 activity
+    assert(out.map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+      r.getDouble(3))).toSeq == Seq(
+      ("2024-01-01", 2L, 2L, 1.0),
+      ("2024-01-02", 1L, 2L, 0.5),
+      ("2024-01-08", 1L, 2L, 0.5)))
+  }
+
   test("clusterSizeProfile: histogram plus singleton remainder") {
     import spark.implicits._
     // components {1,2,3} and {10,11}; corpus has 10 docs
