@@ -1672,6 +1672,32 @@ object SparkEntry {
     Funnel.activeUsers(t(s, dir, "events"), "ts", "user_id", windowDays = 7)
       .orderBy(col("day"))
 
+  /** Cross-source near-dup overlap matrix — which FEEDS duplicate each
+    * other (syndication detection; the pairwise twin of
+    * `source_neardup_stats`): near-dup pair edges mapped to an
+    * unordered (source, source) cell with pair count + mean Jaccard.
+    * Id-keyed equi-joins onto the (already bounded) pair relation. */
+  private def qSourceOverlapMatrix(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val src = d.select(col("doc_id"), col("source"))
+    Dedup.ngramJaccardPairs(d, "text", "doc_id", n = 3, threshold = 0.5)
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("src_a")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("src_b")), "id_b")
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"),
+        col("jaccard"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("jaccard")), 4).as("avg_jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** Per-type daily event counts with trailing 7-day moving average
+    * and week-over-week ratio. */
+  private def qEventsRollingStats(s: SparkSession, dir: String): DataFrame =
+    Funnel.rollingEventStats(t(s, dir, "events"), "ts", "event_type")
+      .orderBy(col("event_type"), col("day"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ip_range_lookup" -> (qIpRange _),
     "emb_outliers" -> (qEmbOutliers _),
@@ -1789,7 +1815,9 @@ object SparkEntry {
     "seqlen_histogram" -> (qSeqLenHistogram _),
     "dup_cluster_sizes" -> (qDupClusterSizes _),
     "sample_exact_n" -> (qSampleExactN _),
-    "q_events_active_users" -> (qEventsActiveUsers _)
+    "q_events_active_users" -> (qEventsActiveUsers _),
+    "source_overlap_matrix" -> (qSourceOverlapMatrix _),
+    "q_events_rolling_stats" -> (qEventsRollingStats _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -3871,7 +3899,33 @@ object SparkEntry {
          wau AS (SELECT day, count(DISTINCT u) AS wau_7d FROM cover GROUP BY day)
          SELECT d.day, d.dau, w.wau_7d,
            round(CAST(d.dau AS DOUBLE) / w.wau_7d, 4) AS stickiness
-         FROM dau d JOIN wau w USING (day) ORDER BY d.day"""
+         FROM dau d JOIN wau w USING (day) ORDER BY d.day""",
+    "source_overlap_matrix" ->
+      s"""WITH jp AS (SELECT id_a, id_b, jaccard FROM ($ngramJaccardOracle)),
+          s AS (SELECT doc_id, source FROM documents),
+          m AS (SELECT least(sa.source, sb.source) AS source_a,
+                 greatest(sa.source, sb.source) AS source_b, jaccard
+                FROM jp JOIN s sa ON sa.doc_id = id_a
+                JOIN s sb ON sb.doc_id = id_b)
+          SELECT source_a, source_b, count(*) AS n_pairs,
+            round(avg(jaccard), 4) AS avg_jaccard
+          FROM m GROUP BY source_a, source_b ORDER BY source_a, source_b""",
+    "q_events_rolling_stats" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+           FROM events GROUP BY event_type, CAST(ts AS DATE)),
+         dn AS (SELECT *, datediff('day', DATE '1970-01-01', day) AS dnum
+                FROM daily),
+         ma AS (
+           SELECT *, round(avg(n_events) OVER
+             (PARTITION BY event_type ORDER BY dnum
+              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma_7d
+           FROM dn)
+         SELECT c.event_type, c.day, c.n_events, c.ma_7d,
+           round(CAST(c.n_events AS DOUBLE) / p.n_events, 4) AS wow_ratio
+         FROM ma c LEFT JOIN dn p
+           ON p.event_type = c.event_type AND p.dnum = c.dnum - 7
+         ORDER BY c.event_type, c.day"""
   )
 
   /** The ensemble oracle composes the gopher gate CTE, the DuckDB log₂

@@ -194,6 +194,33 @@ object Funnel {
     * distinct count. No range-window over user histories. At extreme
     * user cardinality swap `countDistinct` for an HLL sketch
     * (`approx_count_distinct`); the replication shape is unchanged. */
+  /** Rolling per-type daily event stats: count, calendar-correct
+    * trailing 7-day moving average, and week-over-week ratio (vs the
+    * SAME weekday one week back — a left join on (type, day-7), so
+    * missing history yields NULL, not a fake ratio).
+    *
+    * Scale shape: the stream collapses to (event_type, day) counts
+    * first; the RANGE window (integer day number, -6..0) and the
+    * self-join both run over that bounded frame — partition size =
+    * days observed, independent of event volume. */
+  def rollingEventStats(events: DataFrame, tsCol: String = "ts",
+                        typeCol: String = "event_type"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .select(col(typeCol).as("event_type"), to_date(col(tsCol)).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("dnum", datediff(col("day"), lit("1970-01-01").cast("date")))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("dnum"))
+      .rangeBetween(-6, 0)
+    val cur = daily.withColumn("ma_7d", round(avg(col("n_events")).over(w), 4))
+    val prev = daily.select(col("event_type"),
+      (col("dnum") + 7).as("dnum"), col("n_events").as("n_prev"))
+    cur.join(prev, Seq("event_type", "dnum"), "left")
+      .select(col("event_type"), col("day"), col("n_events"), col("ma_7d"),
+        round(col("n_events").cast("double") / col("n_prev"), 4).as("wow_ratio"))
+  }
+
   def activeUsers(events: DataFrame, tsCol: String = "ts",
                   userCol: String = "user_id",
                   windowDays: Int = 7): DataFrame = {

@@ -94,6 +94,21 @@ class R8OpsSpec extends AnyFunSuite {
       ("2024-01-08", 1L, 2L, 0.5)))
   }
 
+  test("rollingEventStats: calendar-range MA skips gaps; WoW hits exact -7d") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    val ev = Seq(ts(1), ts(1), ts(2), ts(9), ts(9), ts(9))
+      .map((_, "a")).toDF("ts", "event_type")
+    val out = graft.operators.Funnel.rollingEventStats(ev, "ts", "event_type")
+      .orderBy("day").collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(2L, 1L, 3L))
+    // d9's range window [d3..d9] must NOT see d1/d2 (a rows-frame would)
+    assert(out.map(_.getDouble(3)).toSeq == Seq(2.0, 1.5, 3.0))
+    // WoW: d9 vs d2 = 3/1; d1/d2 have no -7d history ⇒ null
+    assert(out(0).isNullAt(4) && out(1).isNullAt(4) && out(2).getDouble(4) == 3.0)
+  }
+
   test("clusterSizeProfile: histogram plus singleton remainder") {
     import spark.implicits._
     // components {1,2,3} and {10,11}; corpus has 10 docs
