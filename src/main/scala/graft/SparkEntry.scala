@@ -1698,6 +1698,17 @@ object SparkEntry {
     Funnel.rollingEventStats(t(s, dir, "events"), "ts", "event_type")
       .orderBy(col("event_type"), col("day"))
 
+  /** Value-distribution drift (PSI) per event type between the first
+    * and second half of the observed time range — fixed-width bins,
+    * ε-clamped shares, exact time-midpoint split. */
+  private def qEventsPsi(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Drift
+    Drift.psi(t(s, dir, "events"), "event_type", "value", "ts",
+        binWidth = 20.0)
+      .select(col("grp").as("event_type"), col("n_bins"), col("psi"))
+      .orderBy(col("event_type"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ip_range_lookup" -> (qIpRange _),
     "emb_outliers" -> (qEmbOutliers _),
@@ -1817,7 +1828,8 @@ object SparkEntry {
     "sample_exact_n" -> (qSampleExactN _),
     "q_events_active_users" -> (qEventsActiveUsers _),
     "source_overlap_matrix" -> (qSourceOverlapMatrix _),
-    "q_events_rolling_stats" -> (qEventsRollingStats _)
+    "q_events_rolling_stats" -> (qEventsRollingStats _),
+    "q_events_psi" -> (qEventsPsi _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -3925,7 +3937,30 @@ object SparkEntry {
            round(CAST(c.n_events AS DOUBLE) / p.n_events, 4) AS wow_ratio
          FROM ma c LEFT JOIN dn p
            ON p.event_type = c.event_type AND p.dnum = c.dnum - 7
-         ORDER BY c.event_type, c.day"""
+         ORDER BY c.event_type, c.day""",
+    "q_events_psi" ->
+      """WITH b AS (SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1
+                    FROM events),
+         e AS (
+           SELECT event_type AS grp,
+             CASE WHEN epoch_us(ts) <= (t0 + t1) // 2 THEN 'p' ELSE 'q' END AS half,
+             CAST(floor(value / 20.0) AS BIGINT) AS bin
+           FROM events, b),
+         c AS (SELECT grp, half, bin, count(*) AS n FROM e GROUP BY grp, half, bin),
+         t AS (SELECT grp, half, CAST(sum(n) AS BIGINT) AS tot
+               FROM c GROUP BY grp, half),
+         s AS (SELECT c.grp, c.half, c.bin, CAST(n AS DOUBLE) / tot AS share
+               FROM c JOIN t ON c.grp = t.grp AND c.half = t.half),
+         p AS (SELECT grp, bin, share FROM s WHERE half = 'p'),
+         q AS (SELECT grp, bin, share FROM s WHERE half = 'q'),
+         j AS (
+           SELECT coalesce(p.grp, q.grp) AS grp,
+             greatest(coalesce(p.share, 0.0), 1e-6) AS pc,
+             greatest(coalesce(q.share, 0.0), 1e-6) AS qc
+           FROM p FULL OUTER JOIN q ON p.grp = q.grp AND p.bin = q.bin)
+         SELECT grp AS event_type, count(*) AS n_bins,
+           round(sum((pc - qc) * ln(pc / qc)), 4) AS psi
+         FROM j GROUP BY grp ORDER BY grp"""
   )
 
   /** The ensemble oracle composes the gopher gate CTE, the DuckDB log₂

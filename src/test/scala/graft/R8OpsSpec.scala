@@ -109,6 +109,25 @@ class R8OpsSpec extends AnyFunSuite {
     assert(out(0).isNullAt(4) && out(1).isNullAt(4) && out(2).getDouble(4) == 3.0)
   }
 
+  test("psi: zero for identical halves, large for a clean shift") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    // "stable": same value mix both halves → PSI = 0 exactly (p = q)
+    // "shifted": bin 0 first half, bin 1 second half → PSI >> 0.25
+    val ev = (
+      Seq((ts(1), "stable", 5.0), (ts(1), "stable", 25.0),
+          (ts(9), "stable", 5.0), (ts(9), "stable", 25.0)) ++
+      Seq((ts(1), "shifted", 5.0), (ts(2), "shifted", 5.0),
+          (ts(9), "shifted", 25.0), (ts(10), "shifted", 25.0))
+    ).toDF("ts", "event_type", "value")
+    val out = graft.operators.Drift.psi(ev, "event_type", "value", "ts", 20.0)
+      .orderBy("grp").collect()
+    val shifted = out(0); val stable = out(1)
+    assert(stable.getString(0) == "stable" && stable.getDouble(2) == 0.0)
+    assert(shifted.getLong(1) == 2 && shifted.getDouble(2) > 10.0)
+  }
+
   test("clusterSizeProfile: histogram plus singleton remainder") {
     import spark.implicits._
     // components {1,2,3} and {10,11}; corpus has 10 docs
