@@ -1709,6 +1709,23 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Lang-id confusion matrix vs the labeled `lang` column — the
+    * classifier-eval card for the native lang_id expression (which
+    * labeled languages it can and cannot separate; zh has no Latin
+    * stopwords ⇒ lands on 'und' by design). Window runs over the
+    * (langs × preds)-sized agg frame. */
+  private def qLangConfusion(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+    t(s, dir, "documents")
+      .select(col("lang"),
+        graft.functions.TextSignals.lang_id(col("text")).as("lang_pred"))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share_of_actual",
+        round(col("n_docs").cast("double") / sum(col("n_docs")).over(w), 4))
+      .orderBy(col("lang"), col("lang_pred"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ip_range_lookup" -> (qIpRange _),
     "emb_outliers" -> (qEmbOutliers _),
@@ -1829,7 +1846,8 @@ object SparkEntry {
     "q_events_active_users" -> (qEventsActiveUsers _),
     "source_overlap_matrix" -> (qSourceOverlapMatrix _),
     "q_events_rolling_stats" -> (qEventsRollingStats _),
-    "q_events_psi" -> (qEventsPsi _)
+    "q_events_psi" -> (qEventsPsi _),
+    "lang_confusion" -> (qLangConfusion _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -1971,6 +1989,35 @@ object SparkEntry {
        JOIN sizes sb ON sb.doc_id = id_b
        WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
        ORDER BY id_a, id_b"""
+
+  /** Stopword-vote lang-id replay — shared by `lang_id` (per-doc) and
+    * `lang_confusion` (matrix vs the labeled column). */
+  private val langIdOracle: String =
+    """WITH toks AS (
+         SELECT doc_id, unnest(list_transform(
+           list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0),
+           y -> lower(y))) AS tok
+         FROM documents),
+       hits AS (
+         SELECT d.doc_id,
+           coalesce(h.de,0) AS de, coalesce(h.en,0) AS en, coalesce(h.es,0) AS es,
+           coalesce(h.fr,0) AS fr, coalesce(h.pt,0) AS pt
+         FROM documents d LEFT JOIN (
+           SELECT doc_id,
+             count(CASE WHEN tok IN ('der','die','und','das','ist','nicht','ein','mit','von','zu') THEN 1 END) AS de,
+             count(CASE WHEN tok IN ('the','and','of','to','in','is','that','it','for','with') THEN 1 END) AS en,
+             count(CASE WHEN tok IN ('el','la','de','que','y','en','un','los','se','por') THEN 1 END) AS es,
+             count(CASE WHEN tok IN ('le','la','et','les','des','en','un','du','une','est') THEN 1 END) AS fr,
+             count(CASE WHEN tok IN ('o','a','e','de','do','da','em','um','para','com') THEN 1 END) AS pt
+           FROM toks GROUP BY doc_id) h ON d.doc_id = h.doc_id)
+       SELECT doc_id,
+         CASE WHEN greatest(de,en,es,fr,pt) = 0 THEN 'und'
+              WHEN de = greatest(de,en,es,fr,pt) THEN 'de'
+              WHEN en = greatest(de,en,es,fr,pt) THEN 'en'
+              WHEN es = greatest(de,en,es,fr,pt) THEN 'es'
+              WHEN fr = greatest(de,en,es,fr,pt) THEN 'fr'
+              ELSE 'pt' END AS lang_pred
+       FROM hits ORDER BY doc_id"""
 
   /** Embedding-contamination oracle: replays the SAME per-table bucket
     * expressions as `embLshOracle` over both corpus splits, the
@@ -3351,32 +3398,7 @@ object SparkEntry {
               sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
          FROM embeddings, q
          ORDER BY cos_sim DESC, vec_id LIMIT 10""",
-    "lang_id" ->
-      """WITH toks AS (
-           SELECT doc_id, unnest(list_transform(
-             list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0),
-             y -> lower(y))) AS tok
-           FROM documents),
-         hits AS (
-           SELECT d.doc_id,
-             coalesce(h.de,0) AS de, coalesce(h.en,0) AS en, coalesce(h.es,0) AS es,
-             coalesce(h.fr,0) AS fr, coalesce(h.pt,0) AS pt
-           FROM documents d LEFT JOIN (
-             SELECT doc_id,
-               count(CASE WHEN tok IN ('der','die','und','das','ist','nicht','ein','mit','von','zu') THEN 1 END) AS de,
-               count(CASE WHEN tok IN ('the','and','of','to','in','is','that','it','for','with') THEN 1 END) AS en,
-               count(CASE WHEN tok IN ('el','la','de','que','y','en','un','los','se','por') THEN 1 END) AS es,
-               count(CASE WHEN tok IN ('le','la','et','les','des','en','un','du','une','est') THEN 1 END) AS fr,
-               count(CASE WHEN tok IN ('o','a','e','de','do','da','em','um','para','com') THEN 1 END) AS pt
-             FROM toks GROUP BY doc_id) h ON d.doc_id = h.doc_id)
-         SELECT doc_id,
-           CASE WHEN greatest(de,en,es,fr,pt) = 0 THEN 'und'
-                WHEN de = greatest(de,en,es,fr,pt) THEN 'de'
-                WHEN en = greatest(de,en,es,fr,pt) THEN 'en'
-                WHEN es = greatest(de,en,es,fr,pt) THEN 'es'
-                WHEN fr = greatest(de,en,es,fr,pt) THEN 'fr'
-                ELSE 'pt' END AS lang_pred
-         FROM hits ORDER BY doc_id""",
+    "lang_id" -> langIdOracle,
     // ann_ivf_topk probes ALL cells after the real k-means build, so the
     // result is exact: the oracle is plain brute-force top-k (query 1).
     "ann_ivf_topk" ->
@@ -3960,7 +3982,17 @@ object SparkEntry {
            FROM p FULL OUTER JOIN q ON p.grp = q.grp AND p.bin = q.bin)
          SELECT grp AS event_type, count(*) AS n_bins,
            round(sum((pc - qc) * ln(pc / qc)), 4) AS psi
-         FROM j GROUP BY grp ORDER BY grp"""
+         FROM j GROUP BY grp ORDER BY grp""",
+    "lang_confusion" ->
+      s"""WITH pred AS ($langIdOracle),
+          j AS (SELECT d.lang, p.lang_pred
+                FROM documents d JOIN pred p USING (doc_id)),
+          c AS (SELECT lang, lang_pred, count(*) AS n_docs
+                FROM j GROUP BY lang, lang_pred)
+          SELECT lang, lang_pred, n_docs,
+            round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (PARTITION BY lang), 4)
+              AS share_of_actual
+          FROM c ORDER BY lang, lang_pred"""
   )
 
   /** The ensemble oracle composes the gopher gate CTE, the DuckDB log₂

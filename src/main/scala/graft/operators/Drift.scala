@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distribution-drift measurement between two time slices of a stream —
@@ -34,18 +34,34 @@ object Drift {
       .select(col(grpCol).as("grp"),
         when(us <= expr("(t0 + t1) DIV 2"), lit("p")).otherwise(lit("q"))
           .as("half"),
-        floor(col(valCol) / binWidth).cast("long").as("bin"))
+        binOf(col(valCol), binWidth))
       .groupBy(col("grp"), col("half"), col("bin"))
       .agg(count(lit(1)).as("n"))
-    val tot = binned.groupBy(col("grp"), col("half")).agg(sum(col("n")).as("tot"))
-    val shares = binned.join(tot, Seq("grp", "half"))
-      .select(col("grp"), col("half"), col("bin"),
+    psiOfShares(
+      shares(binned.filter(col("half") === "p").drop("half")),
+      shares(binned.filter(col("half") === "q").drop("half")), eps)
+  }
+
+  private def binOf(v: org.apache.spark.sql.Column, binWidth: Double) =
+    floor(v / binWidth).cast("long").as("bin")
+
+  /** (grp, bin, share) from a (grp, bin, n) histogram — totals via one
+    * bins-sized agg + join, no window. */
+  private def shares(hist: DataFrame): DataFrame = {
+    val tot = hist.groupBy(col("grp")).agg(sum(col("n")).as("tot"))
+    hist.join(tot, "grp")
+      .select(col("grp"), col("bin"),
         (col("n").cast("double") / col("tot")).as("share"))
-    val p = shares.filter(col("half") === "p")
-      .select(col("grp").as("pg"), col("bin").as("pb"), col("share").as("p_share"))
-    val q = shares.filter(col("half") === "q")
-      .select(col("grp").as("qg"), col("bin").as("qb"), col("share").as("q_share"))
-    p.join(q, col("pg") === col("qg") && col("pb") === col("qb"), "full_outer")
+  }
+
+  /** Shared PSI tail: ε-clamped full-outer share join + per-group sum. */
+  private def psiOfShares(p: DataFrame, q: DataFrame,
+                          eps: Double): DataFrame = {
+    val pp = p.select(col("grp").as("pg"), col("bin").as("pb"),
+      col("share").as("p_share"))
+    val qq = q.select(col("grp").as("qg"), col("bin").as("qb"),
+      col("share").as("q_share"))
+    pp.join(qq, col("pg") === col("qg") && col("pb") === col("qb"), "full_outer")
       .select(coalesce(col("pg"), col("qg")).as("grp"),
         greatest(coalesce(col("p_share"), lit(0.0)), lit(eps)).as("pc"),
         greatest(coalesce(col("q_share"), lit(0.0)), lit(eps)).as("qc"))
@@ -54,4 +70,34 @@ object Drift {
         round(sum((col("pc") - col("qc")) * log(col("pc") / col("qc"))), 4)
           .as("psi"))
   }
+
+  /** Reference-side histogram for the drift MONITOR: (grp, bin, n)
+    * counts at `binWidth`. Built once from the reference corpus, then
+    * persisted — probes never rescan the reference data; the histogram
+    * (bins-sized, not corpus-sized) is the only state they read. The
+    * same continual-ingest posture as the three persisted dedup/ANN
+    * indexes. */
+  def referenceHistogram(df: DataFrame, grpCol: String, valCol: String,
+                         binWidth: Double): DataFrame =
+    df.select(col(grpCol).as("grp"), binOf(col(valCol), binWidth))
+      .groupBy(col("grp"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+
+  def saveReference(hist: DataFrame, path: String): Unit =
+    hist.write.mode("overwrite").parquet(path)
+
+  def loadReference(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** PSI of a new batch against a persisted reference histogram — the
+    * drift monitor's probe step (run it under `foreachBatch`): p = the
+    * reference's shares, q = the batch's. Both sides are bins-sized
+    * before any join; the batch pays one partial agg. Equal inputs at
+    * the same binWidth reproduce [[psi]] exactly (parity is pinned in
+    * R8OpsSpec). */
+  def psiVsReference(batch: DataFrame, ref: DataFrame, grpCol: String,
+                     valCol: String, binWidth: Double,
+                     eps: Double = 1e-6): DataFrame =
+    psiOfShares(shares(ref),
+      shares(referenceHistogram(batch, grpCol, valCol, binWidth)), eps)
 }

@@ -128,6 +128,30 @@ class R8OpsSpec extends AnyFunSuite {
     assert(shifted.getLong(1) == 2 && shifted.getDouble(2) > 10.0)
   }
 
+  test("psiVsReference: parquet round-trip reproduces psi exactly") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    import graft.operators.Drift
+    def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    // midpoint of [d1 12:00, d9 12:00] is d5 12:00 ⇒ halves split clean
+    val first = Seq((ts(1), "a", 5.0), (ts(2), "a", 25.0), (ts(3), "a", 5.0),
+      (ts(2), "b", 45.0)).toDF("ts", "event_type", "value")
+    val second = Seq((ts(7), "a", 25.0), (ts(8), "a", 25.0), (ts(9), "a", 5.0),
+      (ts(8), "b", 45.0)).toDF("ts", "event_type", "value")
+    val direct = Drift.psi(first.union(second), "event_type", "value", "ts", 20.0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val tmp = java.nio.file.Files.createTempDirectory("drift_ref").toString
+    Drift.saveReference(
+      Drift.referenceHistogram(first, "event_type", "value", 20.0), tmp)
+    val probe = Drift.psiVsReference(second,
+        Drift.loadReference(spark, tmp), "event_type", "value", 20.0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(probe == direct && direct.nonEmpty)
+    // the stable group stays at 0; the shifted group registers
+    assert(direct.exists { case (g, _, v) => g == "b" && v == 0.0 })
+    assert(direct.exists { case (g, _, v) => g == "a" && v > 0.0 })
+  }
+
   test("clusterSizeProfile: histogram plus singleton remainder") {
     import spark.implicits._
     // components {1,2,3} and {10,11}; corpus has 10 docs
