@@ -27,10 +27,11 @@ import graft.streaming.StreamingPipeline
   * side's persisted dedup/ANN artifacts, operable like everything
   * else):
   *
-  *   wpindex build  neardup|emb|ann <corpus.parquet> <indexDir> [--dim D]
-  *   wpindex append neardup|emb|ann <new.parquet> <indexDir>
+  *   wpindex build  neardup|emb|ann|drift <corpus.parquet> <indexDir> [--dim D]
+  *   wpindex append neardup|emb|ann|drift <new.parquet> <indexDir>
   *   wpindex probe  neardup|emb     <batch.parquet> <indexDir> <outDir> [--threshold T]
   *   wpindex probe  ann             <queries.parquet> <indexDir> <outDir> [--nprobe N] [--topk K]
+  *   wpindex probe  drift           <batch.parquet> <indexDir> <outDir> [--grp-col G --val-col V]
   */
 object Cli {
 
@@ -396,9 +397,26 @@ object Cli {
               topK = flag("--topk", "10").toInt)
             .write.mode("overwrite").parquet(out)
           println(s"wpindex: top-k written to $out")
+        case ("build", "drift", corpus :: path :: _) =>
+          graft.operators.Drift.DriftRef.build(spark.read.parquet(corpus),
+              flag("--grp-col", "event_type"), flag("--val-col", "value"),
+              flag("--bin-width", "20.0").toDouble)
+            .save(path)
+          println(s"wpindex: built drift reference at $path")
+        case ("append", "drift", newData :: path :: _) =>
+          graft.operators.Drift.DriftRef.load(spark, path).appendTo(path,
+            spark.read.parquet(newData),
+            flag("--grp-col", "event_type"), flag("--val-col", "value"))
+          println(s"wpindex: appended to drift reference at $path")
+        case ("probe", "drift", batch :: path :: out :: _) =>
+          graft.operators.Drift.DriftRef.load(spark, path)
+            .psiOf(spark.read.parquet(batch),
+              flag("--grp-col", "event_type"), flag("--val-col", "value"))
+            .write.mode("overwrite").parquet(out)
+          println(s"wpindex: psi written to $out")
         case _ =>
           System.err.println(
-            "usage: wpindex build|append|probe neardup|emb|ann <in.parquet> <indexDir> [<outDir>] [flags]")
+            "usage: wpindex build|append|probe neardup|emb|ann|drift <in.parquet> <indexDir> [<outDir>] [flags]")
           sys.exit(2)
       }
 

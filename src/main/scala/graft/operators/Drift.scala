@@ -83,11 +83,55 @@ object Drift {
       .groupBy(col("grp"), col("bin"))
       .agg(count(lit(1)).as("n"))
 
-  def saveReference(hist: DataFrame, path: String): Unit =
-    hist.write.mode("overwrite").parquet(path)
+  /** Persisted drift-reference index — the operable form (fourth
+    * persisted index next to the text-band / emb-bucket / PQ-code
+    * three): histogram parquet under `<path>/hist`, binWidth in
+    * meta.properties so a probe can never compare with mismatched
+    * binning. The histogram is bins-sized, so append's merge agg and
+    * even a driver materialization are bounded regardless of how much
+    * data ever flowed through. */
+  final case class DriftRef(hist: DataFrame, binWidth: Double) {
 
-  def loadReference(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    def save(path: String): Unit = {
+      new java.io.File(path).mkdirs()
+      hist.write.mode("overwrite").parquet(s"$path/hist")
+      val props = new java.util.Properties()
+      props.setProperty("binWidth", binWidth.toString)
+      val w = new java.io.FileWriter(s"$path/meta.properties")
+      try props.store(w, "graft drift reference histogram") finally w.close()
+    }
+
+    /** Fold a new slice's counts into the saved histogram (bin-keyed
+      * sum — exact, order-independent). localCheckpoint materializes
+      * the merge BEFORE overwriting the files it read from. */
+    def appendTo(path: String, newData: DataFrame, grpCol: String,
+                 valCol: String): Unit = {
+      val merged = hist
+        .unionByName(referenceHistogram(newData, grpCol, valCol, binWidth))
+        .groupBy(col("grp"), col("bin")).agg(sum(col("n")).as("n"))
+        .localCheckpoint()
+      merged.write.mode("overwrite").parquet(s"$path/hist")
+    }
+
+    /** PSI of a batch against this reference (probe step). */
+    def psiOf(batch: DataFrame, grpCol: String, valCol: String,
+              eps: Double = 1e-6): DataFrame =
+      psiVsReference(batch, hist, grpCol, valCol, binWidth, eps)
+  }
+
+  object DriftRef {
+    def build(df: DataFrame, grpCol: String, valCol: String,
+              binWidth: Double): DriftRef =
+      DriftRef(referenceHistogram(df, grpCol, valCol, binWidth), binWidth)
+
+    def load(spark: SparkSession, path: String): DriftRef = {
+      val props = new java.util.Properties()
+      val r = new java.io.FileReader(s"$path/meta.properties")
+      try props.load(r) finally r.close()
+      DriftRef(spark.read.parquet(s"$path/hist"),
+        props.getProperty("binWidth").toDouble)
+    }
+  }
 
   /** PSI of a new batch against a persisted reference histogram — the
     * drift monitor's probe step (run it under `foreachBatch`): p = the

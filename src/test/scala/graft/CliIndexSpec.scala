@@ -74,4 +74,31 @@ class CliIndexSpec extends AnyFunSuite {
     assert(perQ.nonEmpty && perQ.forall(_ == 5L),
       s"every query gets its top-5, got ${perQ.toSeq}")
   }
+
+  test("wpindex drift: build reference, append, probe reports per-group PSI") {
+    spark
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val idxDir = tmp("cli_dr_idx")
+    val refDir = tmp("cli_dr_ref"); val ref2Dir = tmp("cli_dr_ref2")
+    val batchDir = tmp("cli_dr_batch")
+    // reference = two slices appended; probe batch = EXACTLY their
+    // union ⇒ identical histograms ⇒ PSI must be 0.0 for every group
+    // (a parity-split "same distribution" probe at sf0.001's ~100
+    // rows/side reads as drift — sampling noise, not a shift — so the
+    // deterministic identity is the right mechanics test here)
+    ev.filter(col("event_id") % 4 === 0).write.mode("overwrite").parquet(refDir)
+    ev.filter(col("event_id") % 4 === 2).write.mode("overwrite").parquet(ref2Dir)
+    ev.filter(col("event_id") % 2 === 0).write.mode("overwrite").parquet(batchDir)
+    graft.cli.Cli.main(Array("wpindex", "build", "drift", refDir, idxDir))
+    graft.cli.Cli.main(Array("wpindex", "append", "drift", ref2Dir, idxDir))
+    val outDir = tmp("cli_dr_out")
+    graft.cli.Cli.main(Array("wpindex", "probe", "drift",
+      batchDir, idxDir, outDir))
+    val out = spark.read.parquet(outDir)
+    assert(out.columns.toSet == Set("grp", "n_bins", "psi"))
+    val psis = out.collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(psis.size == 5 && psis.values.forall(_ == 0.0),
+      s"probing the reference's own rows must be PSI 0, got $psis")
+  }
 }

@@ -141,10 +141,13 @@ class R8OpsSpec extends AnyFunSuite {
     val direct = Drift.psi(first.union(second), "event_type", "value", "ts", 20.0)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     val tmp = java.nio.file.Files.createTempDirectory("drift_ref").toString
-    Drift.saveReference(
-      Drift.referenceHistogram(first, "event_type", "value", 20.0), tmp)
-    val probe = Drift.psiVsReference(second,
-        Drift.loadReference(spark, tmp), "event_type", "value", 20.0)
+    // build from HALF the reference, append the rest — the saved form
+    // must equal the all-at-once histogram (bin-keyed exact counts)
+    val (refA, refB) = (first.filter($"ts" <= ts(2)), first.filter($"ts" > ts(2)))
+    Drift.DriftRef.build(refA, "event_type", "value", 20.0).save(tmp)
+    Drift.DriftRef.load(spark, tmp).appendTo(tmp, refB, "event_type", "value")
+    val probe = Drift.DriftRef.load(spark, tmp)
+      .psiOf(second, "event_type", "value")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     assert(probe == direct && direct.nonEmpty)
     // the stable group stays at 0; the shifted group registers
