@@ -457,6 +457,22 @@ class PlanQualitySpec extends AnyFunSuite {
     val sn = plan("sample_exact_n")
     assert(sn.contains("SortWithinPartitions") || sn.contains("Sort "),
       s"sample_exact_n lost its per-partition prune phase:\n${sn.take(1200)}")
+    graft.operators.CacheScope.drain()
+    // q_events_psi: the only non-equi join is the 1-ROW bounds
+    // broadcast; the share/psi joins are hash equi-joins
+    val ps = plan("q_events_psi")
+    assert(!ps.contains("CartesianProduct"),
+      s"q_events_psi has a cartesian:\n${ps.take(1200)}")
+    graft.operators.CacheScope.drain()
+    // lang_confusion / rolling stats: equi-joins only, no quadratic work
+    for (q <- Seq("lang_confusion", "q_events_rolling_stats",
+        "source_overlap_matrix")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q has a quadratic join:\n${p.take(1200)}")
+      graft.operators.CacheScope.drain()
+    }
   }
 
   test("dedup signature kernels are native expressions — no ScalaUDF in the plan") {
