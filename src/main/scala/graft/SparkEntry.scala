@@ -1646,11 +1646,14 @@ object SparkEntry {
       .orderBy(col("bucket_lo"))
 
   /** Near-dup cluster-size histogram incl. the singleton remainder —
-    * the corpus duplication profile over `dedup_clusters`' components. */
+    * the corpus duplication profile over `dedup_clusters`' components.
+    * Pairs come from the banded MinHash miner (output-identical to the
+    * direct shingle join at these params — DedupSpec pins it — at the
+    * LSH generation cost; the curation_pipeline precedent). */
   private def qDupClusterSizes(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Clustering
     val d = t(s, dir, "documents")
-    val pairs = Dedup.ngramJaccardPairs(d, "text", "doc_id",
+    val pairs = Dedup.minhashLshJaccardPairs(d, "text", "doc_id",
       n = 3, threshold = 0.5)
     Clustering.clusterSizeProfile(
         Clustering.dupClusters(pairs, "id_a", "id_b"), d, "doc_id")
@@ -1680,7 +1683,9 @@ object SparkEntry {
   private def qSourceOverlapMatrix(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     val src = d.select(col("doc_id"), col("source"))
-    Dedup.ngramJaccardPairs(d, "text", "doc_id", n = 3, threshold = 0.5)
+    // banded MinHash miner — output-identical to the direct shingle
+    // join at these params (DedupSpec), cheaper pair generation
+    Dedup.minhashLshJaccardPairs(d, "text", "doc_id", n = 3, threshold = 0.5)
       .join(src.select(col("doc_id").as("id_a"), col("source").as("src_a")), "id_a")
       .join(src.select(col("doc_id").as("id_b"), col("source").as("src_b")), "id_b")
       .select(least(col("src_a"), col("src_b")).as("source_a"),
