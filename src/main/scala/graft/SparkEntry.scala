@@ -605,6 +605,66 @@ object SparkEntry {
     TextAnalysis.unigramLogprob(t(s, dir, "documents"), "text", "doc_id")
       .orderBy(col("doc_id"))
 
+  /** Snapshot diff between two derived corpus versions: the "old"
+    * snapshot drops `doc_id % 13 = 5` (docs that arrive later), the
+    * "new" one drops `doc_id % 17 = 3` (docs since removed) and
+    * revises the text of `doc_id % 11 = 7`. Statuses come from hash
+    * comparison inside one engine, so only collision-freedom — not
+    * cross-engine digest parity — is load-bearing. */
+  private def qCorpusDiff(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CorpusDiff
+    val d = t(s, dir, "documents")
+    val oldSnap = d.filter(col("doc_id") % 13 =!= 5)
+    val newSnap = d.filter(col("doc_id") % 17 =!= 3)
+      .withColumn("text", when(col("doc_id") % 11 === 7,
+        concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+    CorpusDiff.diffStats(oldSnap, newSnap, "doc_id", "text", "source")
+      .orderBy(col("source"), col("status"))
+  }
+
+  /** URL canonicalization + URL-keyed dedup + domain blocklist over a
+    * deterministically-messy URL column: each doc contributes two raw
+    * variants of the same canonical page URL (mixed-case authority,
+    * explicit :443, `www.`, trailing slash, `utm_*` params, fragment —
+    * and for `doc_id % 3 = 1` a REAL `page=2` param the normalizer must
+    * keep, so those variants stay distinct). The blocklist is the
+    * full hosts `src(N).example.com` where N % 7 = 0, matched through
+    * the suffix-expansion equi-join (the oracle replays it as plain
+    * host equality, which is equivalent here because every blocklist
+    * entry is a full host; the subdomain-blocking behavior itself is
+    * spec-pinned in R8cOpsSpec). */
+  private def qUrlDedupStats(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.UrlOps
+    val d = t(s, dir, "documents")
+    val idStr = col("doc_id").cast("string")
+    val v1 = concat(lit("https://www."), col("source"),
+      lit(".Example.COM:443/"), col("lang"), lit("/doc/"), idStr, lit("/"))
+    val v2 = concat(lit("HTTPS://"), col("source"), lit(".example.com/"),
+      col("lang"), lit("/doc/"), idStr,
+      when(col("doc_id") % 3 === 1, lit("?page=2&utm_source=feed"))
+        .otherwise(lit("?utm_source=feed")),
+      when(col("doc_id") % 5 === 0, lit("#frag")).otherwise(lit("")))
+    val urls = d.select(col("source"), explode(array(v1, v2)).as("raw"))
+    val block = d.select(col("source")).distinct()
+      .filter(regexp_extract(col("source"), "([0-9]+)", 1).cast("int") % 7 === 0)
+      .select(concat(col("source"), lit(".example.com")).as("domain"))
+    UrlOps.urlDedupStats(urls, "raw", "source", block).orderBy(col("source"))
+  }
+
+  private def qPmiCollocations(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.pmiCollocations(t(s, dir, "documents"), "text",
+      minCount = 5, topN = 50)
+
+  private def qBigramLm(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramLogprob(t(s, dir, "documents"), "text", "doc_id")
+      .orderBy(col("doc_id"))
+
+  private def qTrainingOrder(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    Sampling.trainingOrder(t(s, dir, "documents"), "doc_id", nShards = 8)
+      .orderBy(col("shard"), col("pos"))
+  }
+
   /** The end-to-end curation capstone: quality gate → exact-dedup keep
     * → deterministic stratified sample → sequence packing, one oracled
     * query. Every stage is one of the individually-oracled operators;
@@ -675,6 +735,36 @@ object SparkEntry {
       .select(col("event_id"), col("user_id"),
         round(col("pv"), 2).as("last_purchase_value"))
       .orderBy(col("event_id"))
+  }
+
+  /** Point-in-interval join via the bucketized equi-join encoding
+    * ([[graft.operators.IntervalJoin]]) — a raw `ts BETWEEN lo AND hi`
+    * predicate would plan as BroadcastNestedLoopJoin (quadratic).
+    * Intervals here are the "busy windows": every hour bucket whose
+    * event count is ≥1.5× the per-hour mean (pure integer comparison —
+    * `2·c·H ≥ 3·N` — so both engines agree exactly), widened to
+    * [start−15 min, start+75 min]. Windows of adjacent busy hours
+    * overlap, so an event can land in several windows; the per-window
+    * rollup counts it in each. 30-minute join buckets ⇒ each 90-minute
+    * window ships ≤4 copies, every shuffle is a hash equi-join. */
+  private def qIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IntervalJoin
+    val ev = t(s, dir, "events")
+      .select(unix_micros(col("ts")).as("tsus"), col("user_id"), col("value"))
+    val hours = ev
+      .select((col("tsus") - pmod(col("tsus"), lit(3600000000L))).as("hstart"))
+      .groupBy(col("hstart")).agg(count(lit(1)).as("c"))
+    val stats = hours.agg(sum(col("c")).as("n_total"), count(lit(1)).as("n_hours"))
+    val busy = hours.crossJoin(broadcast(stats))
+      .filter(col("c") * col("n_hours") * 2 >= col("n_total") * 3)
+      .select((col("hstart") - 900000000L).as("ws"),
+        (col("hstart") + 4500000000L).as("we"))
+    IntervalJoin.pointInInterval(ev, "tsus", busy, "ws", "we", 1800000000L)
+      .groupBy(col("ws"), col("we"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("ws"))
   }
 
   /** Sequence packing: greedy 256-token bins per (lang, doc_id%4 shard)
@@ -1807,7 +1897,13 @@ object SparkEntry {
     "seq_pack" -> (qSeqPack _),
     "packing_stats" -> (qPackingStats _),
     "q_asof_join" -> (qAsofJoin _),
+    "q_interval_join" -> (qIntervalJoin _),
     "text_logprob" -> (qTextLogprob _),
+    "pmi_collocations" -> (qPmiCollocations _),
+    "bigram_lm" -> (qBigramLm _),
+    "corpus_diff" -> (qCorpusDiff _),
+    "url_dedup_stats" -> (qUrlDedupStats _),
+    "training_order" -> (qTrainingOrder _),
     "curation_pipeline" -> (qCurationPipeline _),
     "ann_recall" -> (qAnnRecall _),
     "ann_ivfpq_recall" -> (qAnnIvfPqRecall _),
@@ -2746,6 +2842,18 @@ object SparkEntry {
          SELECT e.event_id, e.user_id, round(r.pv, 2) AS last_purchase_value
          FROM events e ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.ts
          ORDER BY e.event_id""",
+    "q_interval_join" ->
+      """WITH ev AS (SELECT epoch_us(ts) AS tsus, user_id, value FROM events),
+         hours AS (SELECT tsus - (tsus % 3600000000) AS hstart, count(*) AS c
+                   FROM ev GROUP BY 1),
+         stats AS (SELECT sum(c) AS n_total, count(*) AS n_hours FROM hours),
+         busy AS (SELECT hstart - 900000000 AS ws, hstart + 4500000000 AS we
+                  FROM hours, stats WHERE c * n_hours * 2 >= n_total * 3)
+         SELECT ws, we, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           round(sum(value), 2) AS sum_value
+         FROM busy b JOIN ev e ON e.tsus BETWEEN b.ws AND b.we
+         GROUP BY ws, we ORDER BY ws""",
     "seq_pack" -> seqPackOracle,
     "packing_stats" -> packingStatsOracle,
     "text_logprob" ->
@@ -2762,6 +2870,112 @@ object SparkEntry {
            FROM toks JOIN freq USING (tok), tot GROUP BY doc_id)
          SELECT d.doc_id,
            CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+           coalesce(p.avg_logprob, 0.0) AS avg_logprob
+         FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+         ORDER BY d.doc_id""",
+    "url_dedup_stats" ->
+      """WITH raws AS (
+           SELECT source, unnest([
+             'https://www.' || source || '.Example.COM:443/' || lang ||
+               '/doc/' || CAST(doc_id AS VARCHAR) || '/',
+             'HTTPS://' || source || '.example.com/' || lang || '/doc/' ||
+               CAST(doc_id AS VARCHAR) ||
+               CASE WHEN doc_id % 3 = 1 THEN '?page=2&utm_source=feed'
+                    ELSE '?utm_source=feed' END ||
+               CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END]) AS raw
+           FROM documents),
+         s1 AS (SELECT source,
+           concat(lower(regexp_extract(raw, '^([^/?#]*://[^/?#]*)', 1)),
+                  regexp_replace(raw, '^[^/?#]*://[^/?#]*', '')) AS lowered
+           FROM raws),
+         s2 AS (SELECT source, regexp_replace(lowered, '#.*$', '') AS nofrag
+                FROM s1),
+         s3 AS (SELECT source, regexp_replace(regexp_replace(nofrag,
+                  '^(https://[^/?#:]*):443([/?#].*)?$', '\1\2'),
+                  '^(http://[^/?#:]*):80([/?#].*)?$', '\1\2') AS noport
+                FROM s2),
+         s4 AS (SELECT source,
+                  regexp_replace(noport, '^(https?://)www\.', '\1') AS nowww
+                FROM s3),
+         s5 AS (SELECT source,
+           regexp_replace(regexp_replace(nowww, '\?.*$', ''), '/$', '') AS base,
+           list_filter(string_split(regexp_extract(nowww, '\?(.*)$', 1), '&'),
+             p -> NOT starts_with(p, 'utm_') AND p <> '') AS keep
+           FROM s4),
+         normed AS (SELECT source,
+           CASE WHEN len(keep) > 0
+                THEN base || '?' || array_to_string(keep, '&')
+                ELSE base END AS norm
+           FROM s5),
+         withhost AS (SELECT source, norm,
+           regexp_extract(norm, '^[^/?#]*://([^/?#:]*)', 1) AS host
+           FROM normed),
+         block AS (SELECT DISTINCT source || '.example.com' AS bdom
+                   FROM documents
+                   WHERE CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 7 = 0)
+         SELECT w.source, count(*) AS n_raw,
+           count(DISTINCT norm) AS n_norm,
+           round(1.0 - count(DISTINCT norm) / count(*), 4) AS dup_share,
+           CAST(sum(CASE WHEN b.bdom IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_blocked
+         FROM withhost w LEFT JOIN block b ON w.host = b.bdom
+         GROUP BY w.source ORDER BY w.source""",
+    "corpus_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS h, source FROM documents
+                    WHERE doc_id % 13 <> 5),
+         n AS (SELECT doc_id,
+                 md5(CASE WHEN doc_id % 11 = 7 THEN text || ' rev2'
+                     ELSE text END) AS h, source
+               FROM documents WHERE doc_id % 17 <> 3),
+         j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                 CASE WHEN o.doc_id IS NULL THEN 'added'
+                      WHEN n.doc_id IS NULL THEN 'removed'
+                      WHEN o.h <> n.h THEN 'changed'
+                      ELSE 'unchanged' END AS status,
+                 coalesce(n.source, o.source) AS source
+               FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+         SELECT source, status, count(*) AS n_docs,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM j GROUP BY source, status ORDER BY source, status""",
+    "pmi_collocations" ->
+      """WITH toks AS (
+           SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             x -> len(x) > 0) AS tk FROM documents),
+         uni AS (SELECT unnest(tk) AS w FROM toks),
+         ucnt AS (SELECT w, count(*) AS uc FROM uni GROUP BY w),
+         utot AS (SELECT CAST(sum(uc) AS DOUBLE) AS n_tok FROM ucnt),
+         b0 AS (SELECT tk, unnest(generate_series(1, greatest(len(tk)-1, 0))) AS i
+                FROM toks),
+         big AS (SELECT tk[i] AS w1, tk[i+1] AS w2 FROM b0),
+         bcnt AS (SELECT w1, w2, count(*) AS c_xy FROM big GROUP BY w1, w2),
+         btot AS (SELECT CAST(sum(c_xy) AS DOUBLE) AS m_big FROM bcnt)
+         SELECT b.w1, b.w2, b.c_xy,
+           round(ln((b.c_xy / m_big) / ((c1.uc / n_tok) * (c2.uc / n_tok))), 4) AS pmi
+         FROM bcnt b JOIN ucnt c1 ON b.w1 = c1.w JOIN ucnt c2 ON b.w2 = c2.w,
+              btot, utot
+         WHERE b.c_xy >= 5
+         ORDER BY pmi DESC, b.w1, b.w2 LIMIT 50""",
+    "bigram_lm" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             x -> len(x) > 0) AS tk FROM documents),
+         uni AS (SELECT unnest(tk) AS w FROM toks),
+         ucnt AS (SELECT w, count(*) AS uc FROM uni GROUP BY w),
+         utot AS (SELECT CAST(sum(uc) AS DOUBLE) AS n_tok FROM ucnt),
+         b0 AS (SELECT doc_id, tk,
+                  unnest(generate_series(1, greatest(len(tk)-1, 0))) AS i
+                FROM toks),
+         big AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2 FROM b0),
+         bcnt AS (SELECT w1, w2, count(*) AS c_xy FROM big GROUP BY w1, w2),
+         perdoc AS (
+           SELECT big.doc_id, count(*) AS n_bigrams,
+             round(sum(ln(0.7 * (c_xy / c1.uc) + 0.3 * (c2.uc / n_tok)))
+               / count(*), 4) AS avg_logprob
+           FROM big JOIN bcnt USING (w1, w2)
+                JOIN ucnt c1 ON big.w1 = c1.w
+                JOIN ucnt c2 ON big.w2 = c2.w, utot
+           GROUP BY big.doc_id)
+         SELECT d.doc_id, CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
            coalesce(p.avg_logprob, 0.0) AS avg_logprob
          FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
          ORDER BY d.doc_id""",
@@ -3928,6 +4142,13 @@ object SparkEntry {
             FROM s3)
           SELECT doc_id, lang, sample_rank FROM ranked
           WHERE sample_rank <= 7 ORDER BY lang, sample_rank""",
+    "training_order" ->
+      s"""WITH ${splitmixStagesSql("documents", "doc_id", "doc_id")},
+          sh AS (SELECT doc_id, CAST(u53 % 8 AS INT) AS shard, u53 FROM s3)
+          SELECT doc_id, shard,
+            CAST(row_number() OVER (PARTITION BY shard ORDER BY u53, doc_id)
+              AS BIGINT) AS pos
+          FROM sh ORDER BY shard, pos""",
     "q_events_active_users" ->
       """WITH du AS (
            SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS u FROM events),

@@ -178,4 +178,27 @@ object Sampling {
         sum(col("bn")).as("n_selected"),
         sum(col("btok")).as("tokens_selected"))
   }
+
+  /** Deterministic global training order — the example-shuffle step
+    * before shard writes: every doc gets `(shard, pos)` where shard is
+    * the splitmix64 draw mod nShards and pos ranks the draw inside the
+    * shard. The order is a pure function of ids: reproducible across
+    * runs/engines, independent of input partitioning, and resumable
+    * (restart = skip pos ≤ checkpoint). Training jobs read shards
+    * round-robin, giving the classic approximately-uniform interleave
+    * without any global total-order sort: ordering is only ever
+    * materialized PER SHARD (one rank window per shard partition,
+    * corpus/nShards rows each — pick nShards so a shard fits an
+    * executor's sort budget, then `repartition(shard) +
+    * sortWithinPartitions(pos)` at write time). */
+  def trainingOrder(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__draw"), col(idCol))
+    df.select(col(idCol),
+        unitUniform53(col(idCol)).as("__draw"),
+        pmod(unitUniform53(col(idCol)), lit(nShards.toLong)).cast("int")
+          .as("shard"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__draw")
+  }
 }

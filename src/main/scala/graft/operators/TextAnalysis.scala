@@ -603,4 +603,98 @@ object TextAnalysis {
         round(col("n_tokens").cast("double") / col("n_words"), 4))
       .withColumn("chars_per_token",
         round(col("n_chars").cast("double") / col("n_tokens"), 4))
+
+  /** Collocation mining: the corpus's top-N adjacent-token pairs by
+    * pointwise mutual information, `PMI = ln(P(xy) / (P(x)·P(y)))` with
+    * bigram probability over the bigram stream and unigram
+    * probabilities over the token stream. High-PMI pairs are the
+    * multiword units ("new york", "source code") a tokenizer or
+    * phrase-aware dedup wants as single symbols; a count floor keeps
+    * the estimate out of the small-count PMI noise regime.
+    *
+    * Scale shape: two corpus-keyed partial aggs (token and bigram
+    * counts — map-side combine absorbs hot keys), the count floor is
+    * applied BEFORE any join so only surviving bigrams (vocabulary-
+    * bounded, not corpus-bounded) flow into the two single-row unigram
+    * lookups, and the top-N is a TakeOrdered, never a global sort.
+    * Totals ride along as 1-row broadcast joins. Determinism: ordering
+    * is (rounded PMI desc, w1, w2), so the cut is stable and an
+    * external engine replays it exactly. */
+  def pmiCollocations(df: DataFrame, textCol: String,
+                      minCount: Long = 5, topN: Int = 50): DataFrame = {
+    val toksDf = CacheScope.scratch(
+      df.select(tokens(lower(col(textCol))).as("tk")))
+    val ucnt = CacheScope.scratch(
+      toksDf.select(explode(col("tk")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("uc")))
+    val utot = ucnt.agg(sum(col("uc")).cast("double").as("n_tok"))
+    val big = toksDf.select(
+      explode(ngramsWithMultiplicity(col("tk"), 2)).as("gram"))
+    val bcnt = big.groupBy(col("gram")).agg(count(lit(1)).as("c_xy"))
+    val btot = bcnt.agg(sum(col("c_xy")).cast("double").as("m_big"))
+    bcnt.filter(col("c_xy") >= minCount)
+      .withColumn("w1", split(col("gram"), " ").getItem(0))
+      .withColumn("w2", split(col("gram"), " ").getItem(1))
+      .join(ucnt.select(col("w").as("w1"), col("uc").as("c1")), "w1")
+      .join(ucnt.select(col("w").as("w2"), col("uc").as("c2")), "w2")
+      .crossJoin(broadcast(btot))
+      .crossJoin(broadcast(utot))
+      .select(col("w1"), col("w2"), col("c_xy"),
+        round(log((col("c_xy") / col("m_big")) /
+          ((col("c1") / col("n_tok")) * (col("c2") / col("n_tok")))), 4)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topN)
+  }
+
+  /** Interpolated bigram language-model score per document — the
+    * CCNet-style perplexity filter one tier above [[unigramLogprob]]:
+    * each in-document bigram (w1,w2) scores
+    * `ln(λ·c(w1 w2)/c(w1) + (1−λ)·c(w2)/N)` under the corpus's own
+    * counts, and the document's quality signal is the mean. Word soup
+    * scores near the unigram floor; text whose local order matches
+    * corpus statistics scores higher. Docs with <2 tokens report
+    * (0, 0.0).
+    *
+    * Scale shape: identical to [[unigramLogprob]] one level up — one
+    * (gram) partial agg builds the bigram table, one (token) partial
+    * agg the unigram table, the exploded bigram stream joins each on
+    * its single key (hot grams join ONE row; no skew hazard), and the
+    * per-doc agg folds the logs. The corpus total is one scalar. At
+    * 100 TB both count tables are disk-resident shuffle joins;
+    * broadcast a top-K vocabulary with a backoff-to-unigram fallback
+    * if they dominate. */
+  def bigramLogprob(df: DataFrame, textCol: String, idCol: String,
+                    lambda: Double = 0.7, residual: Double = 0.3): DataFrame = {
+    // `residual` is an explicit literal, not `1 - lambda`: the computed
+    // difference (0.30000000000000004) differs from the literal 0.3 an
+    // external replay would write, and the discrepancy survives rounding
+    // often enough to matter at corpus scale.
+    val toksDf = CacheScope.scratch(df.select(col(idCol).as("lp_id"),
+      tokens(lower(col(textCol))).as("tk")))
+    val ucnt = CacheScope.scratch(
+      toksDf.select(explode(col("tk")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("uc")))
+    val utot = ucnt.agg(sum(col("uc")).cast("double").as("n_tok"))
+    val docBig = CacheScope.scratch(toksDf.select(col("lp_id"),
+      explode(ngramsWithMultiplicity(col("tk"), 2)).as("gram")))
+    val bcnt = docBig.groupBy(col("gram")).agg(count(lit(1)).as("c_xy"))
+    val perDoc = docBig
+      .join(bcnt, "gram")
+      .withColumn("w1", split(col("gram"), " ").getItem(0))
+      .withColumn("w2", split(col("gram"), " ").getItem(1))
+      .join(ucnt.select(col("w").as("w1"), col("uc").as("c1")), "w1")
+      .join(ucnt.select(col("w").as("w2"), col("uc").as("c2")), "w2")
+      .crossJoin(broadcast(utot))
+      .groupBy(col("lp_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(log(lit(lambda) * (col("c_xy") / col("c1")) +
+          lit(residual) * (col("c2") / col("n_tok")))) / count(lit(1)), 4)
+          .as("avg_logprob"))
+    df.select(col(idCol))
+      .join(perDoc, col(idCol) === col("lp_id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("avg_logprob"), lit(0.0)).as("avg_logprob"))
+  }
 }

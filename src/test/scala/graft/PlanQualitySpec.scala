@@ -475,6 +475,47 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("r8 session-4 queries keep their scale shapes") {
+    // q_interval_join: the whole point of the bucketized encoding is
+    // that the containment predicate compiles to a hash EQUI-join on
+    // the bucket id — a raw BETWEEN theta-join would plan as BNLJ.
+    // The only nested-loop allowed is the 1-ROW stats broadcast.
+    val ij = plan("q_interval_join")
+    assert(!ij.contains("CartesianProduct"),
+      s"q_interval_join has a cartesian:\n${ij.take(1200)}")
+    assert(ij.contains("SortMergeJoin") || ij.contains("BroadcastHashJoin") ||
+      ij.contains("ShuffledHashJoin"),
+      s"q_interval_join lost its bucket equi-join:\n${ij.take(1200)}")
+    graft.operators.CacheScope.drain()
+    // pmi_collocations: top-N must be a TakeOrdered, not a global sort;
+    // totals ride as 1-row broadcasts (no true cartesian)
+    val pm = plan("pmi_collocations")
+    assert(pm.contains("TakeOrderedAndProject"),
+      s"pmi_collocations sorts globally for its top-N:\n${pm.take(1200)}")
+    assert(!pm.contains("CartesianProduct"))
+    graft.operators.CacheScope.drain()
+    // bigram_lm: count-table joins are hash equi-joins on the gram/word
+    // keys; only the 1-row total broadcast is nested-loop shaped
+    val bl = plan("bigram_lm")
+    assert(!bl.contains("CartesianProduct"),
+      s"bigram_lm has a cartesian:\n${bl.take(1200)}")
+    graft.operators.CacheScope.drain()
+    // corpus_diff: one id-keyed full-outer join over digests — digests,
+    // not bodies, cross the exchange; no quadratic joins
+    val cd = plan("corpus_diff")
+    assert(!cd.contains("CartesianProduct") &&
+      !cd.contains("BroadcastNestedLoopJoin"),
+      s"corpus_diff has a quadratic join:\n${cd.take(1200)}")
+    graft.operators.CacheScope.drain()
+    // url_dedup_stats: the blocklist joins broadcast on the equi-key
+    val ud = plan("url_dedup_stats")
+    assert(ud.contains("BroadcastHashJoin"),
+      s"url_dedup_stats lost its broadcast blocklist join:\n${ud.take(1200)}")
+    assert(!ud.contains("CartesianProduct") &&
+      !ud.contains("BroadcastNestedLoopJoin"))
+    graft.operators.CacheScope.drain()
+  }
+
   test("dedup signature kernels are native expressions — no ScalaUDF in the plan") {
     // SimHash and MinHash signatures used to be Scala UDFs: the only
     // opaque scan-side projections left outside whole-stage codegen,
