@@ -1787,6 +1787,32 @@ object SparkEntry {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Source-authority PageRank over the syndication graph: nodes are
+    * sources, edges weight the cross-source near-dup pair counts from
+    * the banded MinHash miner (same relation as the overlap matrix,
+    * self-pairs excluded), 10 damped iterations. The per-iteration
+    * 12-dp rounding in [[graft.operators.Graph.pageRank]] is what
+    * makes the recurrence replayable bit-for-bit by the oracle's
+    * unrolled CTE chain. */
+  private def qSourcePagerank(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Graph
+    val d = t(s, dir, "documents")
+    val src = d.select(col("doc_id"), col("source"))
+    val edges = Dedup.minhashLshJaccardPairs(d, "text", "doc_id", n = 3,
+        threshold = 0.5)
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("src_a")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("src_b")), "id_b")
+      .filter(col("src_a") =!= col("src_b"))
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).cast("double").as("weight"))
+    Graph.pageRank(edges, "source_a", "source_b", "weight",
+        d.select(col("source")), "source", iters = 10)
+      .select(col("node").as("source"), round(col("pr"), 6).as("pagerank"))
+      .orderBy(col("pagerank").desc, col("source"))
+  }
+
   /** Per-type daily event counts with trailing 7-day moving average
     * and week-over-week ratio. */
   private def qEventsRollingStats(s: SparkSession, dir: String): DataFrame =
@@ -1946,6 +1972,7 @@ object SparkEntry {
     "sample_exact_n" -> (qSampleExactN _),
     "q_events_active_users" -> (qEventsActiveUsers _),
     "source_overlap_matrix" -> (qSourceOverlapMatrix _),
+    "source_pagerank" -> (qSourcePagerank _),
     "q_events_rolling_stats" -> (qEventsRollingStats _),
     "q_events_psi" -> (qEventsPsi _),
     "lang_confusion" -> (qLangConfusion _)
@@ -2090,6 +2117,44 @@ object SparkEntry {
        JOIN sizes sb ON sb.doc_id = id_b
        WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
        ORDER BY id_a, id_b"""
+
+  /** PageRank replay: the overlap-pair relation feeds an unrolled
+    * 10-iteration CTE chain of the same rounded recurrence the Spark
+    * operator iterates — 12-dp rounding per step is the contract that
+    * keeps both engines' float sums in lockstep. */
+  private def sourcePagerankOracle: String = {
+    val iterCtes = (1 to 10).map { i =>
+      s"""pr$i AS (
+           SELECT nodes.node,
+             round(CAST(0.15 AS DOUBLE) / nn.n +
+               0.85 * coalesce(m.inmass, 0.0), 12) AS pr
+           FROM nodes CROSS JOIN nn LEFT JOIN (
+             SELECT norm.v, sum(pr${i - 1}.pr * norm.p) AS inmass
+             FROM norm JOIN pr${i - 1} ON norm.u = pr${i - 1}.node
+             GROUP BY norm.v) m ON m.v = nodes.node)"""
+    }.mkString(",\n         ")
+    s"""WITH jp AS (SELECT id_a, id_b FROM ($ngramJaccardOracle)),
+        s AS (SELECT doc_id, source FROM documents),
+        om AS (SELECT least(sa.source, sb.source) AS source_a,
+                 greatest(sa.source, sb.source) AS source_b,
+                 CAST(count(*) AS DOUBLE) AS w
+               FROM jp JOIN s sa ON sa.doc_id = id_a
+               JOIN s sb ON sb.doc_id = id_b
+               WHERE sa.source <> sb.source
+               GROUP BY 1, 2),
+        e AS (SELECT source_a AS u, source_b AS v, w FROM om
+              UNION ALL SELECT source_b, source_a, w FROM om),
+        outw AS (SELECT u, sum(w) AS wout FROM e GROUP BY u),
+        norm AS (SELECT e.u, e.v, e.w / outw.wout AS p
+                 FROM e JOIN outw USING (u)),
+        nodes AS (SELECT DISTINCT source AS node FROM documents),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS pr
+                FROM nodes CROSS JOIN nn),
+        $iterCtes
+        SELECT node AS source, round(pr, 6) AS pagerank
+        FROM pr10 ORDER BY pagerank DESC, source"""
+  }
 
   /** Stopword-vote lang-id replay — shared by `lang_id` (per-doc) and
     * `lang_confusion` (matrix vs the labeled column). */
@@ -4142,6 +4207,7 @@ object SparkEntry {
             FROM s3)
           SELECT doc_id, lang, sample_rank FROM ranked
           WHERE sample_rank <= 7 ORDER BY lang, sample_rank""",
+    "source_pagerank" -> sourcePagerankOracle,
     "training_order" ->
       s"""WITH ${splitmixStagesSql("documents", "doc_id", "doc_id")},
           sh AS (SELECT doc_id, CAST(u53 % 8 AS INT) AS shard, u53 FROM s3)

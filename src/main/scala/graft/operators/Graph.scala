@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Join-iterated graph scoring. [[Clustering]] answers "which nodes
+  * belong together"; this answers "which nodes matter" — the authority
+  * prior web-corpus curation attaches to a domain before trusting its
+  * documents (the public pipelines weight crawl frontiers and quality
+  * gates by exactly such link-graph centrality scores).
+  *
+  * Scale shape per iteration: one hash equi-join of the normalized edge
+  * list against the current rank frame plus one destination-keyed
+  * partial aggregation — the same exchange pattern at 20 nodes or 10⁹.
+  * The edge normalization (out-weight sums) is computed once and
+  * persisted; rank frames are `localCheckpoint`ed every iteration so
+  * the lineage stays O(1) deep. No driver-side state beyond the node
+  * count scalar.
+  *
+  * Determinism: every iteration rounds ranks to 12 dp, so summation
+  * order inside the partial aggs (which Spark does not fix) cannot
+  * accumulate across iterations, and an external engine replaying the
+  * same rounded recurrence reproduces the scores bit-for-bit.
+  */
+object Graph {
+
+  /** Damped PageRank over a weighted UNDIRECTED edge list, fixed
+    * iteration count. `nodes` supplies the full vertex set (isolated
+    * nodes keep the base score). `base` is passed as an explicit
+    * literal rather than computed as `1 - damping` — the computed
+    * double differs from the literal an external replay writes.
+    * No dangling-mass redistribution: undirected edges mean every
+    * connected node has out-weight, and isolated nodes hold the base
+    * score by construction. Output: (node, pr). */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               wCol: String, nodes: DataFrame, nodeCol: String,
+               iters: Int = 10, damping: Double = 0.85,
+               base: Double = 0.15): DataFrame = {
+    val dir = edges.select(col(srcCol).as("u"), col(dstCol).as("v"),
+      col(wCol).cast("double").as("w"))
+    val sym = dir.union(dir.select(col("v").as("u"), col("u").as("v"),
+      col("w"))).localCheckpoint()
+    val outw = sym.groupBy(col("u")).agg(sum(col("w")).as("wout"))
+    val norm = sym.join(outw, "u")
+      .select(col("u"), col("v"), (col("w") / col("wout")).as("p"))
+      .persist()
+    val n = nodes.select(col(nodeCol).as("node")).distinct().localCheckpoint()
+    val nCount = n.count() // one scalar to the driver: the vertex count
+    var pr = n.select(col("node"), (lit(1.0) / lit(nCount)).as("pr"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val inMass = norm.join(pr.withColumnRenamed("node", "u"), "u")
+        .groupBy(col("v"))
+        .agg(sum(col("pr") * col("p")).as("inmass"))
+      pr = n.join(inMass.withColumnRenamed("v", "node"), Seq("node"), "left")
+        .select(col("node"),
+          round(lit(base) / lit(nCount) +
+            lit(damping) * coalesce(col("inmass"), lit(0.0)), 12).as("pr"))
+        .localCheckpoint()
+    }
+    norm.unpersist()
+    pr
+  }
+}

@@ -507,6 +507,13 @@ class PlanQualitySpec extends AnyFunSuite {
       !cd.contains("BroadcastNestedLoopJoin"),
       s"corpus_diff has a quadratic join:\n${cd.take(1200)}")
     graft.operators.CacheScope.drain()
+    // source_pagerank: the post-checkpoint rank plan (edge mining is
+    // gated via the minhash family's own tests) stays equi-join only
+    val pg = plan("source_pagerank")
+    assert(!pg.contains("CartesianProduct") &&
+      !pg.contains("BroadcastNestedLoopJoin"),
+      s"source_pagerank has a quadratic join:\n${pg.take(1200)}")
+    graft.operators.CacheScope.drain()
     // url_dedup_stats: the blocklist joins broadcast on the equi-key
     val ud = plan("url_dedup_stats")
     assert(ud.contains("BroadcastHashJoin"),

@@ -152,6 +152,21 @@ class R8cOpsSpec extends AnyFunSuite {
       2 * byShard.values.map(_.size).min)
   }
 
+  test("pageRank: path-graph symmetry, hub advantage, isolated node holds base") {
+    import spark.implicits._
+    import graft.operators.Graph
+    val edges = Seq(("a", "b", 1.0), ("b", "c", 1.0), ("c", "d", 1.0))
+      .toDF("s", "d", "w")
+    val nodes = Seq("a", "b", "c", "d", "e").toDF("n")
+    val pr = Graph.pageRank(edges, "s", "d", "w", nodes, "n", iters = 20)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr("a") - pr("d")) < 1e-9) // symmetric ends
+    assert(math.abs(pr("b") - pr("c")) < 1e-9)
+    assert(pr("b") > pr("a")) // middles collect more mass
+    assert(math.abs(pr("e") - 0.15 / 5) < 1e-9) // isolated: base score only
+    assert(pr.values.forall(v => v > 0 && v < 1))
+  }
+
   test("hostOf / registeredDomain") {
     import spark.implicits._
     val got = Seq("https://a.b.example.io/x?q=1").toDF("u")
