@@ -697,4 +697,28 @@ object TextAnalysis {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("avg_logprob"), lit(0.0)).as("avg_logprob"))
   }
+
+  /** Mine the top-N BPE merges and re-encode the corpus with them in
+    * one pipeline — the full induction-round loop (select → apply →
+    * measure). The collect is the N-row merge table (the ANN-codebook
+    * precedent: the artifact is tiny by construction, the corpus never
+    * moves); application is the [[graft.functions.BpeApply]] native
+    * expression, map-only over the scan. Returns per-group token
+    * compression: the measure that decides whether another merge round
+    * pays for itself. */
+  def bpeCompressionStats(df: DataFrame, textCol: String, grpCol: String,
+                          topN: Int): DataFrame = {
+    val merges = topBigramMerges(df, textCol, topN).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    df.select(col(grpCol).as("grp"),
+        tokenCount(col(textCol)).cast("long").as("n_in"),
+        size(graft.functions.BpeApply.bpe_apply(lower(col(textCol)), merges))
+          .cast("long").as("n_out"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_in")).as("tokens_in"),
+        sum(col("n_out")).as("tokens_out"),
+        round(sum(col("n_out")).cast("double") / sum(col("n_in")), 4)
+          .as("compression"))
+  }
 }

@@ -167,6 +167,39 @@ class R8cOpsSpec extends AnyFunSuite {
     assert(pr.values.forall(v => v > 0 && v < 1))
   }
 
+  test("bpeApply: merge-rank priority, leftmost non-overlap, cascade to fixpoint") {
+    import spark.implicits._
+    import graft.functions.BpeApply.bpe_apply
+    def enc(text: String, merges: Seq[(String, String)]): Seq[String] =
+      Seq(text).toDF("t").select(bpe_apply(col("t"), merges))
+        .as[Seq[String]].collect().head
+    // rank 0 beats rank 1 even though (a,b) appears first in the text
+    assert(enc("a b c", Seq(("b", "c"), ("a", "b"))) == Seq("a", "b_c"))
+    // leftmost non-overlapping occurrences fuse in one round
+    assert(enc("a a a", Seq(("a", "a"))) == Seq("a_a", "a"))
+    // all occurrences of the winning pair fuse, then the loop re-scans
+    assert(enc("a b a b", Seq(("a", "b"))) == Seq("a_b", "a_b"))
+    // chained merges over the FUSED symbol apply when ranked
+    assert(enc("a b c", Seq(("a", "b"), ("a_b", "c"))) == Seq("a_b_c"))
+    // no table hit → identity; empty/whitespace → empty
+    assert(enc("x y z", Seq(("p", "q"))) == Seq("x", "y", "z"))
+    assert(enc("   ", Seq(("a", "b"))) == Seq.empty)
+  }
+
+  test("bpeCompressionStats: compression < 1 when merges hit; no ScalaUDF") {
+    import spark.implicits._
+    val docs = (Seq.fill(6)("new york city") ++ Seq("other words here"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t, "en") }
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.bpeCompressionStats(docs, "text", "lang", topN = 2)
+    assert(!out.queryExecution.executedPlan.toString.contains("ScalaUDF"))
+    val r = out.collect().head
+    // top-2 merges are (new,york) and (york,city); once new_york fuses,
+    // york is consumed — each "new york city" goes 3 → 2 tokens
+    assert(r.getLong(2) == 21 && r.getLong(3) == 15)
+    assert(r.getDouble(4) == 0.7143)
+  }
+
   test("hostOf / registeredDomain") {
     import spark.implicits._
     val got = Seq("https://a.b.example.io/x?q=1").toDF("u")
