@@ -414,9 +414,26 @@ object Cli {
               flag("--grp-col", "event_type"), flag("--val-col", "value"))
             .write.mode("overwrite").parquet(out)
           println(s"wpindex: psi written to $out")
+        case ("build", "lm", corpus :: path :: _) =>
+          graft.operators.Lm.LmRef.build(spark.read.parquet(corpus),
+              flag("--text-col", "text"),
+              flag("--lambda", "0.7").toDouble,
+              flag("--residual", "0.3").toDouble)
+            .save(path)
+          println(s"wpindex: built lm reference at $path")
+        case ("append", "lm", newData :: path :: _) =>
+          graft.operators.Lm.LmRef.load(spark, path).appendTo(path,
+            spark.read.parquet(newData), flag("--text-col", "text"))
+          println(s"wpindex: appended to lm reference at $path")
+        case ("probe", "lm", batch :: path :: out :: _) =>
+          graft.operators.Lm.LmRef.load(spark, path)
+            .scoreOf(spark.read.parquet(batch),
+              flag("--text-col", "text"), flag("--id-col", "doc_id"))
+            .write.mode("overwrite").parquet(out)
+          println(s"wpindex: lm scores written to $out")
         case _ =>
           System.err.println(
-            "usage: wpindex build|append|probe neardup|emb|ann|drift <in.parquet> <indexDir> [<outDir>] [flags]")
+            "usage: wpindex build|append|probe neardup|emb|ann|drift|lm <in.parquet> <indexDir> [<outDir>] [flags]")
           sys.exit(2)
       }
 
