@@ -191,6 +191,24 @@ object Sampling {
     * corpus/nShards rows each — pick nShards so a shard fits an
     * executor's sort budget, then `repartition(shard) +
     * sortWithinPartitions(pos)` at write time). */
+  /** Terminal write step: materialize a curated corpus as train-ready
+    * shards — `<path>/shard=K/` parquet, rows inside each shard in
+    * [[trainingOrder]] position order (parquet preserves row order
+    * within a file, and each shard is repartitioned to its own
+    * partition before the sorted write, so a reader streaming one
+    * shard file sees exactly the deterministic example order; a
+    * training job round-robins the shard dirs for the interleave).
+    * One id-keyed join (order frame ← full rows), one shard-keyed
+    * exchange, one sort bounded per shard. Rerunning on the same ids
+    * reproduces the same bytes-order — resumable by construction. */
+  def writeTrainingShards(df: DataFrame, idCol: String, path: String,
+                          nShards: Int): Unit =
+    trainingOrder(df.select(col(idCol)), idCol, nShards)
+      .join(df, Seq(idCol))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
   def trainingOrder(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("__draw"), col(idCol))

@@ -200,6 +200,22 @@ class R8cOpsSpec extends AnyFunSuite {
     assert(r.getDouble(4) == 0.7143)
   }
 
+  test("writeTrainingShards: shard dirs land in deterministic pos order") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val df = (0L until 120L).map(i => (i, s"doc $i")).toDF("id", "text")
+    val path = java.nio.file.Files.createTempDirectory("shards").toString
+    Sampling.writeTrainingShards(df, "id", path, nShards = 3)
+    val order = Sampling.trainingOrder(df.select(col("id")), "id", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    for (s <- 0 until 3) {
+      val expect = order.filter(_._2 == s).sortBy(_._3).map(_._1).toList
+      val got = spark.read.parquet(s"$path/shard=$s")
+        .select("id").as[Long].collect().toList
+      assert(got == expect, s"shard $s order mismatch")
+    }
+  }
+
   test("hostOf / registeredDomain") {
     import spark.implicits._
     val got = Seq("https://a.b.example.io/x?q=1").toDF("u")
