@@ -118,8 +118,34 @@ object GrowthScaleSmoke {
       // load-bearing observable for this phase
       Funnel.orderedFunnel(events, Seq("view", "click", "purchase")).count()
     }
+    // bucketized interval join: the window dim stays CONSTANT (24 hourly
+    // busy windows) while events grow 10× — joined rows and shuffle rows
+    // must both grow ~linearly; a BNLJ regression shows as events×windows
+    // replication in the shuffle tap
+    val ij = phase("interval_join") {
+      import graft.operators.IntervalJoin
+      val pts = events.select(unix_micros(col("ts")).as("tsus"))
+      val wins = spark.range(24).select(
+        (col("id") * 3600000000L - 900000000L).as("ws"),
+        (col("id") * 3600000000L + 4500000000L).as("we"))
+      IntervalJoin.pointInInterval(pts, "tsus", wins, "ws", "we",
+        1800000000L).count()
+    }
     events.unpersist()
-    Seq(minhash, cross, cc, attr, fun)
+    // join-iterated pagerank on a synthetic 5-regular-ish digraph that
+    // scales with the corpus: shuffle rows ∝ edges × iterations (linear);
+    // result rows = node count
+    val pg = phase("pagerank") {
+      import graft.operators.Graph
+      val nNodes = (n / 1000).max(100L)
+      val edges = spark.range(nNodes * 5).select(
+        pmod(col("id"), lit(nNodes)).as("s"),
+        pmod(splitmix64(col("id") * 19L + 7), lit(nNodes)).as("d"),
+        lit(1.0).as("w"))
+      val nodes = spark.range(nNodes).select(col("id").as("node0"))
+      Graph.pageRank(edges, "s", "d", "w", nodes, "node0", iters = 3).count()
+    }
+    Seq(minhash, cross, cc, attr, fun, ij, pg)
   }
 
   /** Skewed event stream: (event_id, user_id, ts, event_type); ~10% of
