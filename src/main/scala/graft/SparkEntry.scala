@@ -767,6 +767,57 @@ object SparkEntry {
       .orderBy(col("ws"))
   }
 
+  /** Interval×interval overlap via the bucketized encoding: per-user
+    * gap sessions (the q_events_sessionize intervals, in seconds)
+    * overlap-joined against the busy windows — "which sessions touched
+    * a traffic spike". Each overlapping pair is emitted exactly once
+    * (the first-shared-bucket dedup in
+    * [[graft.operators.IntervalJoin.intervalOverlap]]). */
+  private def qIntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IntervalJoin
+    val ev = t(s, dir, "events").withColumn("sec", unix_timestamp(col("ts")))
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sess = ev
+      .withColumn("gap", col("sec") - lag(col("sec"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("gap").isNull || col("gap") > 1800, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("sec")).as("s_lo"), max(col("sec")).as("s_hi"))
+    val hours = ev.select((col("sec") - pmod(col("sec"), lit(3600L))).as("hstart"))
+      .groupBy(col("hstart")).agg(count(lit(1)).as("c"))
+    val stats = hours.agg(sum(col("c")).as("n_total"), count(lit(1)).as("n_hours"))
+    val busy = hours.crossJoin(broadcast(stats))
+      .filter(col("c") * col("n_hours") * 2 >= col("n_total") * 3)
+      .select((col("hstart") - 900L).as("ws"), (col("hstart") + 4500L).as("we"))
+    IntervalJoin.intervalOverlap(sess, "s_lo", "s_hi", busy, "ws", "we", 1800L)
+      .groupBy(col("ws"), col("we"))
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("ws"))
+  }
+
+  private val lmIndexPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Bigram-LM scoring SERVED FROM the persisted index: train on the
+    * even-id half of the corpus, save → load, score EVERY doc against
+    * the frozen counts (the odd half's novel bigrams exercise the OOV
+    * smoothing the in-query `bigram_lm` never faces). The oracle
+    * replays the frozen-count formula from the same split. */
+  private def qLmScoreIndex(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Lm
+    val d = t(s, dir, "documents")
+    val path = lmIndexPaths.computeIfAbsent(dir, { _ =>
+      val p = java.nio.file.Files.createTempDirectory("graft_lm_idx").toString
+      Lm.LmRef.build(d.filter(col("doc_id") % 2 === 0), "text").save(p)
+      p
+    })
+    Lm.LmRef.load(s, path).scoreOf(d, "text", "doc_id").orderBy(col("doc_id"))
+  }
+
   /** Sequence packing: greedy 256-token bins per (lang, doc_id%4 shard)
     * cell in doc_id order — deterministic, so the oracle replays the
     * same scan with a recursive CTE. */
@@ -1924,6 +1975,8 @@ object SparkEntry {
     "packing_stats" -> (qPackingStats _),
     "q_asof_join" -> (qAsofJoin _),
     "q_interval_join" -> (qIntervalJoin _),
+    "q_interval_overlap" -> (qIntervalOverlap _),
+    "lm_score_index" -> (qLmScoreIndex _),
     "text_logprob" -> (qTextLogprob _),
     "pmi_collocations" -> (qPmiCollocations _),
     "bigram_lm" -> (qBigramLm _),
@@ -2919,6 +2972,64 @@ object SparkEntry {
            round(sum(value), 2) AS sum_value
          FROM busy b JOIN ev e ON e.tsus BETWEEN b.ws AND b.we
          GROUP BY ws, we ORDER BY ws""",
+    "q_interval_overlap" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             CAST(floor(epoch(ts)) AS BIGINT) -
+               lag(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+           FROM events),
+         sx AS (
+           SELECT user_id, sec,
+             CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+           FROM e),
+         sess AS (SELECT user_id, session_id, min(sec) AS s_lo, max(sec) AS s_hi
+                  FROM sx GROUP BY user_id, session_id),
+         hours AS (SELECT sec - (sec % 3600) AS hstart, count(*) AS c
+                   FROM e GROUP BY 1),
+         stats AS (SELECT sum(c) AS n_total, count(*) AS n_hours FROM hours),
+         busy AS (SELECT hstart - 900 AS ws, hstart + 4500 AS we
+                  FROM hours, stats WHERE c * n_hours * 2 >= n_total * 3)
+         SELECT ws, we, count(*) AS n_sessions,
+           count(DISTINCT user_id) AS n_users
+         FROM sess JOIN busy ON s_lo <= we AND ws <= s_hi
+         GROUP BY ws, we ORDER BY ws""",
+    "lm_score_index" ->
+      """WITH ttoks AS (
+           SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             x -> len(x) > 0) AS tk FROM documents WHERE doc_id % 2 = 0),
+         tuni AS (SELECT unnest(tk) AS w FROM ttoks),
+         ucnt AS (SELECT w, count(*) AS uc FROM tuni GROUP BY w),
+         tot AS (SELECT CAST(sum(uc) AS DOUBLE) AS n_tok,
+                        CAST(count(*) AS DOUBLE) AS v_size FROM ucnt),
+         tb0 AS (SELECT tk, unnest(generate_series(1, greatest(len(tk)-1, 0))) AS i
+                 FROM ttoks),
+         bcnt AS (SELECT tk[i] AS w1, tk[i+1] AS w2, count(*) AS c
+                  FROM tb0 GROUP BY 1, 2),
+         atoks AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             x -> len(x) > 0) AS tk FROM documents),
+         ab0 AS (SELECT doc_id, tk,
+                   unnest(generate_series(1, greatest(len(tk)-1, 0))) AS i
+                 FROM atoks),
+         big AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2 FROM ab0),
+         perdoc AS (
+           SELECT big.doc_id, count(*) AS n_bigrams,
+             round(sum(ln(0.7 * (CASE WHEN c1.uc IS NOT NULL AND b.c IS NOT NULL
+                 THEN b.c / c1.uc ELSE 0.0 END)
+               + 0.3 * ((coalesce(c2.uc, 0) + 1) / (n_tok + v_size))))
+               / count(*), 4) AS avg_logprob
+           FROM big LEFT JOIN bcnt b ON big.w1 = b.w1 AND big.w2 = b.w2
+                LEFT JOIN ucnt c1 ON big.w1 = c1.w
+                LEFT JOIN ucnt c2 ON big.w2 = c2.w, tot
+           GROUP BY big.doc_id)
+         SELECT d.doc_id, CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           coalesce(p.avg_logprob, 0.0) AS avg_logprob
+         FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+         ORDER BY d.doc_id""",
     "seq_pack" -> seqPackOracle,
     "packing_stats" -> packingStatsOracle,
     "text_logprob" ->

@@ -507,6 +507,22 @@ class PlanQualitySpec extends AnyFunSuite {
       !cd.contains("BroadcastNestedLoopJoin"),
       s"corpus_diff has a quadratic join:\n${cd.take(1200)}")
     graft.operators.CacheScope.drain()
+    // q_interval_overlap: session×window overlap must ride the shared-
+    // bucket equi-join (only the 1-row stats broadcast is nested-loop)
+    val io = plan("q_interval_overlap")
+    assert(!io.contains("CartesianProduct"),
+      s"q_interval_overlap has a cartesian:\n${io.take(1200)}")
+    assert(io.contains("SortMergeJoin") || io.contains("BroadcastHashJoin") ||
+      io.contains("ShuffledHashJoin"),
+      s"q_interval_overlap lost its bucket equi-join:\n${io.take(1200)}")
+    graft.operators.CacheScope.drain()
+    // lm_score_index: frozen-count scoring is gram-keyed equi-joins;
+    // the only nested-loop is the 1-ROW totals broadcast (the
+    // dup_cluster_sizes precedent) — forbid a true cartesian
+    val lm = plan("lm_score_index")
+    assert(!lm.contains("CartesianProduct"),
+      s"lm_score_index has a cartesian:\n${lm.take(1200)}")
+    graft.operators.CacheScope.drain()
     // source_pagerank: the post-checkpoint rank plan (edge mining is
     // gated via the minhash family's own tests) stays equi-join only
     val pg = plan("source_pagerank")
