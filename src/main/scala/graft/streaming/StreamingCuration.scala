@@ -51,4 +51,21 @@ object StreamingCuration {
     // 3. near-dup probe against the persisted corpus index
     Dedup.dropNearDupsOfCorpus(uniq, textCol, idCol, idx, nearDupThreshold)
   }
+
+  /** Perplexity gate against the persisted reference LM
+    * ([[graft.operators.Lm.LmRef]]) — the CCNet stage of the continual
+    * pipeline: drop batch docs whose mean bigram log-probability under
+    * the FROZEN reference counts falls below the floor (word soup, spam,
+    * wrong-register text). Stateless per batch like the other stages —
+    * the LM tables are the on-disk cross-batch state, loaded once and
+    * reused across micro-batches. Docs with <2 tokens pass through
+    * (length policy belongs to the quality-ensemble gate, not here). */
+  def lmGate(batch: DataFrame, textCol: String, idCol: String,
+             ref: graft.operators.Lm.LmRef,
+             minAvgLogprob: Double): DataFrame =
+    batch.join(
+      ref.scoreOf(batch, textCol, idCol)
+        .filter(col("n_bigrams") === 0 || col("avg_logprob") >= minAvgLogprob)
+        .select(col(idCol)),
+      Seq(idCol))
 }

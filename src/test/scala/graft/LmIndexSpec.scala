@@ -70,6 +70,34 @@ class LmIndexSpec extends AnyFunSuite {
     assert(seen.getDouble(2) > out.getDouble(2))
   }
 
+  test("streaming lmGate: loaded reference scores each micro-batch; soup drops") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val corpus = docs((1L, "the quick brown fox jumps"),
+      (2L, "the quick brown dog runs"), (3L, "quick brown fox runs fast"))
+    val dir = tmp("lm_stream")
+    Lm.LmRef.build(corpus, "text").save(dir)
+    val ref = Lm.LmRef.load(spark, dir) // loaded ONCE, reused per batch
+    val kept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        kept ++= graft.streaming.StreamingCuration
+          .lmGate(b, "text", "doc_id", ref, minAvgLogprob = -3.0)
+          .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+          .collect()
+        ()
+      }.start()
+    try {
+      input.addData((10L, "the quick brown fox"), (11L, "zz qq pp ww soup"))
+      q.processAllAvailable()
+      input.addData((12L, "quick brown dog runs"))
+      q.processAllAvailable()
+      assert(kept.sorted == Seq(10L, 12L), s"kept=$kept")
+    } finally q.stop()
+  }
+
   test("wpindex lm: build, append, probe through Cli.main") {
     spark
     val corpus = docs((1L, "good morning world"), (2L, "good morning"))
