@@ -799,6 +799,36 @@ object SparkEntry {
       .orderBy(col("ws"))
   }
 
+  /** Contrastive-training triplet mining: (anchor, positive, negative)
+    * rows for embedding/reranker training — positives are the verified
+    * near-dup pairs (the banded MinHash miner), negatives a
+    * deterministic splitmix64 draw over the id space (dense [0, N) ids
+    * are this query's contract, true for the corpus; a sparse-id corpus
+    * would join through a precomputed id index instead). Collisions
+    * with the anchor/positive resolve by stepping forward — two steps
+    * suffice for N ≥ 3 — so both engines derive the identical negative
+    * with no retry loop. Map-only after the pair mining; the N scalar
+    * rides a 1-row broadcast. */
+  private def qContrastiveTriplets(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val d = t(s, dir, "documents")
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    val pairs = Dedup.minhashLshJaccardPairs(d, "text", "doc_id", n = 3,
+      threshold = 0.5)
+    val draw = Sampling.unitUniform53(col("id_a") * 1000003L + col("id_b"))
+    pairs.crossJoin(broadcast(nDocs))
+      .withColumn("neg0", pmod(draw, col("n_docs")))
+      .withColumn("neg1",
+        when(col("neg0") === col("id_a") || col("neg0") === col("id_b"),
+          pmod(col("neg0") + 1, col("n_docs"))).otherwise(col("neg0")))
+      .withColumn("negative",
+        when(col("neg1") === col("id_a") || col("neg1") === col("id_b"),
+          pmod(col("neg1") + 1, col("n_docs"))).otherwise(col("neg1")))
+      .select(col("id_a").as("anchor"), col("id_b").as("positive"),
+        col("negative"), col("jaccard"))
+      .orderBy(col("anchor"), col("positive"))
+  }
+
   private val lmIndexPaths =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -2026,6 +2056,7 @@ object SparkEntry {
     "q_events_active_users" -> (qEventsActiveUsers _),
     "source_overlap_matrix" -> (qSourceOverlapMatrix _),
     "source_pagerank" -> (qSourcePagerank _),
+    "contrastive_triplets" -> (qContrastiveTriplets _),
     "q_events_rolling_stats" -> (qEventsRollingStats _),
     "q_events_psi" -> (qEventsPsi _),
     "lang_confusion" -> (qLangConfusion _)
@@ -4319,6 +4350,21 @@ object SparkEntry {
           SELECT doc_id, lang, sample_rank FROM ranked
           WHERE sample_rank <= 7 ORDER BY lang, sample_rank""",
     "source_pagerank" -> sourcePagerankOracle,
+    "contrastive_triplets" ->
+      s"""WITH jp AS (SELECT id_a, id_b, jaccard FROM ($ngramJaccardOracle)),
+          nn AS (SELECT count(*) AS n_docs FROM documents),
+          ${splitmixStagesSql("jp", "id_a * 1000003 + id_b", "id_a, id_b, jaccard")},
+          t0 AS (SELECT id_a, id_b, jaccard,
+                   CAST(u53 % n_docs AS BIGINT) AS neg0 FROM s3, nn),
+          t1 AS (SELECT id_a, id_b, jaccard,
+                   CASE WHEN neg0 = id_a OR neg0 = id_b
+                     THEN (neg0 + 1) % n_docs ELSE neg0 END AS neg1 FROM t0, nn),
+          t2 AS (SELECT id_a, id_b, jaccard,
+                   CASE WHEN neg1 = id_a OR neg1 = id_b
+                     THEN (neg1 + 1) % n_docs ELSE neg1 END AS negative
+                 FROM t1, nn)
+          SELECT id_a AS anchor, id_b AS positive, negative, jaccard
+          FROM t2 ORDER BY anchor, positive""",
     "training_order" ->
       s"""WITH ${splitmixStagesSql("documents", "doc_id", "doc_id")},
           sh AS (SELECT doc_id, CAST(u53 % 8 AS INT) AS shard, u53 FROM s3)
