@@ -336,6 +336,53 @@ object Cli {
       println(f"total=$total parsed=$ok (${if (total > 0) 100.0 * ok / total else 0.0}%.1f%%)")
       parsed.unpersist()
       if (ok == 0) sys.exit(1)
+    // Curation front door — the training-data twin of `wparse batch`:
+    // quality-ensemble gate → in-batch exact dedup → optional persisted
+    // near-dup index probe → optional persisted-LM perplexity gate →
+    // train-ready shard write (deterministic per-shard example order).
+    // Every stage is one of the library operators; the CLI only wires
+    // the on-disk artifacts (indexes) to the composition.
+    case "wpcurate" :: "batch" :: in :: out :: rest =>
+      import graft.operators.{Dedup, Lm, Sampling, TextAnalysis}
+      def flag(name: String, default: String): String = {
+        val i = rest.indexOf(name); if (i >= 0 && i + 1 < rest.length) rest(i + 1) else default
+      }
+      val spark = session()
+      val textCol = flag("--text-col", "text")
+      val idCol = flag("--id-col", "doc_id")
+      val batch = spark.read.parquet(in)
+      val verdict = TextAnalysis.qualityEnsemble(batch, textCol, idCol,
+        flag("--min-words", "10").toInt, flag("--max-words", "100000").toInt,
+        flag("--min-entropy", "3.5").toDouble, flag("--min-score", "0.5").toDouble)
+      val passed = batch.join(
+        verdict.filter(org.apache.spark.sql.functions.col("keep"))
+          .select(org.apache.spark.sql.functions.col(idCol)), Seq(idCol))
+      // in-batch exact dedup: first occurrence per content hash (the
+      // StreamingCuration stage-2 shape — groupBy-min + join, no window)
+      val uniq = {
+        import org.apache.spark.sql.functions.{col, md5, min}
+        val hashed = passed.withColumn("__h", md5(col(textCol)))
+        hashed.join(hashed.groupBy(col("__h"))
+            .agg(min(col(idCol)).as("__keep_id")), "__h")
+          .filter(col(idCol) === col("__keep_id"))
+          .drop("__h", "__keep_id")
+      }
+      val afterNd = flag("--index", "") match {
+        case "" => uniq
+        case p => Dedup.dropNearDupsOfCorpus(uniq, textCol, idCol,
+          Dedup.NearDupCorpusIndex.load(spark, p),
+          flag("--threshold", "0.5").toDouble)
+      }
+      val afterLm = flag("--lm", "") match {
+        case "" => afterNd
+        case p => graft.streaming.StreamingCuration.lmGate(afterNd, textCol,
+          idCol, Lm.LmRef.load(spark, p),
+          flag("--min-logprob", "-8.0").toDouble)
+      }
+      Sampling.writeTrainingShards(afterLm, idCol, out,
+        flag("--shards", "8").toInt)
+      println(s"wpcurate: curated shards written to $out")
+
     case "wpindex" :: sub :: kind :: rest =>
       import graft.operators.{Dedup, Similarity}
       def flag(name: String, default: String): String = {

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The wpcurate CLI front door: gate → exact dedup → near-dup index
+  * probe → LM gate → shard write, driven through Cli.main end to end
+  * with the on-disk artifacts built by wpindex. */
+class CliCurateSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("wpcurate batch: every stage drops its target; survivors land sharded") {
+    import spark.implicits._
+    spark
+    val corpusTxt =
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val corpus = Seq((100L, corpusTxt),
+      (101L, "one two three four five six seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    val lmCorpus = Seq(
+      (200L, "the quick brown fox jumps over the lazy dog again and again"),
+      (201L, "a quick brown dog runs under the lazy fox today and tomorrow"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"), // keep
+      (2L, "the quick brown fox jumps over the lazy dog today"), // exact dup
+      (3L, corpusTxt.replace("mu", "nu")),                       // near-dup of corpus
+      (4L, "zz qq pp ww rr ss tt uu vv xx yy"),                  // LM soup
+      (5L, "a quick brown dog runs under the lazy fox and again")) // keep
+      .toDF("doc_id", "text")
+
+    val cDir = tmp("cur_corpus"); val lDir = tmp("cur_lmcorp")
+    val bDir = tmp("cur_batch"); val ndIdx = tmp("cur_nd_idx")
+    val lmIdx = tmp("cur_lm_idx"); val outDir = tmp("cur_out")
+    corpus.write.mode("overwrite").parquet(cDir)
+    lmCorpus.write.mode("overwrite").parquet(lDir)
+    batch.write.mode("overwrite").parquet(bDir)
+    graft.cli.Cli.main(Array("wpindex", "build", "neardup", cDir, ndIdx))
+    graft.cli.Cli.main(Array("wpindex", "build", "lm", lDir, lmIdx))
+    graft.cli.Cli.main(Array("wpcurate", "batch", bDir, outDir,
+      "--index", ndIdx, "--lm", lmIdx,
+      "--min-words", "3", "--min-entropy", "2.0", "--min-score", "-1000000",
+      "--min-logprob", "-4.0", "--shards", "2"))
+
+    val out = spark.read.parquet(outDir)
+    assert(out.columns.contains("shard"))
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 5L), s"kept=$kept")
+  }
+}
