@@ -383,6 +383,58 @@ object Cli {
         flag("--shards", "8").toInt)
       println(s"wpcurate: curated shards written to $out")
 
+    // Continual-ingest curation daemon — parquet files landing in <in>
+    // stream through the same stage chain per micro-batch (schema taken
+    // from the files already present); accepted rows append under
+    // <out>/accepted. `--once` drains what is there and exits (the
+    // testable form; omit for a long-running daemon). Exactly-once via
+    // the streaming checkpoint, like wparse daemon.
+    case "wpcurate" :: "daemon" :: in :: out :: rest =>
+      import graft.operators.{Dedup, Lm}
+      def flag(name: String, default: String): String = {
+        val i = rest.indexOf(name); if (i >= 0 && i + 1 < rest.length) rest(i + 1) else default
+      }
+      val spark = session()
+      val textCol = flag("--text-col", "text")
+      val idCol = flag("--id-col", "doc_id")
+      val schema = spark.read.parquet(in).schema
+      val ndIdx = flag("--index", "") match {
+        case "" => None
+        case p => Some(Dedup.NearDupCorpusIndex.load(spark, p))
+      }
+      val lmRef = flag("--lm", "") match {
+        case "" => None
+        case p => Some(Lm.LmRef.load(spark, p))
+      }
+      val minLp = flag("--min-logprob", "-8.0").toDouble
+      val q = spark.readStream.schema(schema).parquet(in)
+        .writeStream
+        .option("checkpointLocation", s"$out/_checkpoint")
+        .trigger(if (rest.contains("--once"))
+          org.apache.spark.sql.streaming.Trigger.AvailableNow()
+        else org.apache.spark.sql.streaming.Trigger.ProcessingTime(
+          flag("--trigger-ms", "1000").toLong))
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val gated = ndIdx match {
+            case Some(idx) => graft.streaming.StreamingCuration.curateBatch(
+              b, textCol, idCol, idx,
+              minWords = flag("--min-words", "10").toInt,
+              maxWords = flag("--max-words", "100000").toInt,
+              minEntropy = flag("--min-entropy", "3.5").toDouble,
+              minScore = flag("--min-score", "0.5").toDouble,
+              nearDupThreshold = flag("--threshold", "0.5").toDouble)
+            case None => b
+          }
+          val accepted = lmRef match {
+            case Some(ref) => graft.streaming.StreamingCuration.lmGate(
+              gated, textCol, idCol, ref, minLp)
+            case None => gated
+          }
+          accepted.write.mode("append").parquet(s"$out/accepted")
+          ()
+        }.start()
+      q.awaitTermination()
+
     case "wpindex" :: sub :: kind :: rest =>
       import graft.operators.{Dedup, Similarity}
       def flag(name: String, default: String): String = {

@@ -56,4 +56,35 @@ class CliCurateSpec extends AnyFunSuite {
     val kept = out.select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 5L), s"kept=$kept")
   }
+
+  test("wpcurate daemon --once: drains the landing dir through the same stages") {
+    import spark.implicits._
+    spark
+    val corpusTxt =
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val corpus = Seq((100L, corpusTxt)).toDF("doc_id", "text")
+    val lmCorpus = Seq(
+      (200L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again"), // keep
+      (3L, corpusTxt.replace("mu", "nu")),                       // near-dup
+      (4L, "zz qq pp ww rr ss tt uu vv xx yy"))                  // LM soup
+      .toDF("doc_id", "text")
+    val cDir = tmp("curd_corpus"); val lDir = tmp("curd_lmcorp")
+    val inDir = tmp("curd_in"); val ndIdx = tmp("curd_nd")
+    val lmIdx = tmp("curd_lm"); val outDir = tmp("curd_out")
+    corpus.write.mode("overwrite").parquet(cDir)
+    lmCorpus.write.mode("overwrite").parquet(lDir)
+    batch.write.mode("overwrite").parquet(inDir)
+    graft.cli.Cli.main(Array("wpindex", "build", "neardup", cDir, ndIdx))
+    graft.cli.Cli.main(Array("wpindex", "build", "lm", lDir, lmIdx))
+    graft.cli.Cli.main(Array("wpcurate", "daemon", inDir, outDir,
+      "--index", ndIdx, "--lm", lmIdx, "--once",
+      "--min-words", "3", "--min-entropy", "2.0", "--min-score", "-1000000",
+      "--min-logprob", "-4.0"))
+    val kept = spark.read.parquet(s"$outDir/accepted")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L), s"kept=$kept")
+  }
 }
