@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.unsafe.types.UTF8String
-import graft.functions.{Ip4ToInt, ParseWpl, SplitMix64}
+import graft.functions.{BpeApply, CharEntropy, DocFingerprint, Ip4ToInt,
+  LangId, MediaMeta, MinHashSig, ParseWpl, SimHash64, SplitMix64, VecDot}
 
 /** SparkSessionExtensions entry point — registers the engine's custom
   * expressions for SQL use:
@@ -36,5 +37,57 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("splitmix64"),
       new ExpressionInfo(classOf[SplitMix64].getName, "splitmix64"),
       (args: Seq[Expression]) => SplitMix64(args.head)))
+    // text quality / identity signals
+    e.injectFunction((
+      FunctionIdentifier("char_entropy"),
+      new ExpressionInfo(classOf[CharEntropy].getName, "char_entropy"),
+      (args: Seq[Expression]) => CharEntropy(args.head)))
+    e.injectFunction((
+      FunctionIdentifier("lang_id"),
+      new ExpressionInfo(classOf[LangId].getName, "lang_id"),
+      (args: Seq[Expression]) => LangId(args.head)))
+    e.injectFunction((
+      FunctionIdentifier("doc_fingerprint"),
+      new ExpressionInfo(classOf[DocFingerprint].getName, "doc_fingerprint"),
+      (args: Seq[Expression]) => DocFingerprint(args.head)))
+    // dedup signature kernels
+    e.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => SimHash64(args.head)))
+    e.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => MinHashSig(args.head, args(1) match {
+        case Literal(n: Int, _) => n
+        case other => throw new IllegalArgumentException(
+          s"minhash_sig: second argument must be an int literal, got $other")
+      })))
+    // embeddings / multimodal
+    e.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (args: Seq[Expression]) => VecDot(args.head, args(1))))
+    e.injectFunction((
+      FunctionIdentifier("media_meta"),
+      new ExpressionInfo(classOf[MediaMeta].getName, "media_meta"),
+      (args: Seq[Expression]) => MediaMeta(args.head)))
+    // BPE apply: merges as one 'a b;c d;…' string literal (rank order)
+    e.injectFunction((
+      FunctionIdentifier("bpe_apply"),
+      new ExpressionInfo(classOf[BpeApply].getName, "bpe_apply"),
+      (args: Seq[Expression]) => {
+        val merges = args(1) match {
+          case Literal(s: UTF8String, _) =>
+            s.toString.split(';').toSeq.filter(_.nonEmpty).map { m =>
+              val p = m.trim.split("\\s+")
+              require(p.length == 2, s"bpe_apply: bad merge '$m'")
+              (p(0), p(1))
+            }
+          case other => throw new IllegalArgumentException(
+            s"bpe_apply: second argument must be a string literal, got $other")
+        }
+        BpeApply(args.head, merges)
+      }))
   }
 }

@@ -162,6 +162,34 @@ class SparkPipelineSpec extends AnyFunSuite {
     assert(sm == 0xE220A8397B1DCDAFL)
   }
 
+  test("r8 expression registrations: SQL surface for quality/dedup/vector kernels") {
+    // the injector itself (covers every builder lambda incl. the
+    // literal-argument parsers)
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    val fr = spark.sessionState.functionRegistry
+    fr.createOrReplaceTempFunction("char_entropy",
+      es => graft.functions.CharEntropy(es.head), "built-in")
+    fr.createOrReplaceTempFunction("lang_id",
+      es => graft.functions.LangId(es.head), "built-in")
+    fr.createOrReplaceTempFunction("simhash64",
+      es => graft.functions.SimHash64(es.head), "built-in")
+    fr.createOrReplaceTempFunction("vec_dot",
+      es => graft.functions.VecDot(es.head, es(1)), "built-in")
+    fr.createOrReplaceTempFunction("bpe_apply",
+      es => graft.functions.BpeApply(es.head, Seq(("a", "b"))), "built-in")
+    assert(spark.sql("SELECT char_entropy('aabb') AS v").head().getDouble(0) == 1.0)
+    assert(spark.sql("SELECT lang_id('the of and to in is') AS v")
+      .head().getString(0) == "en")
+    assert(spark.sql("SELECT simhash64('x y z') AS v").head().getLong(0) ==
+      graft.operators.Dedup.simhash64("x y z"))
+    assert(spark.sql(
+      "SELECT vec_dot(array(cast(1.0 AS FLOAT), cast(2.0 AS FLOAT))," +
+      " array(cast(3.0 AS FLOAT), cast(4.0 AS FLOAT))) AS v")
+      .head().getDouble(0) == 11.0)
+    assert(spark.sql("SELECT bpe_apply('a b c') AS v")
+      .head().getSeq[String](0) == Seq("a_b", "c"))
+  }
+
   test("streaming exact dedup with watermark-bounded state") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-dedup").toString
