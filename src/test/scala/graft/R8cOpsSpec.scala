@@ -216,6 +216,42 @@ class R8cOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("compactParquet: many small files become few; rows unchanged") {
+    import spark.implicits._
+    import graft.operators.Maintenance
+    val in = java.nio.file.Files.createTempDirectory("cmp_in").toString
+    val out = java.nio.file.Files.createTempDirectory("cmp_out").toString
+    (0L until 5000L).toDF("id").repartition(64)
+      .write.mode("overwrite").parquet(in)
+    def files(p: String) = new java.io.File(p).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files(in) == 64)
+    Maintenance.compactParquet(spark, in, out, targetBytes = 1L << 30)
+    assert(files(out) == 1)
+    assert(spark.read.parquet(out).count() == 5000)
+  }
+
+  test("writeSorted: output files cover disjoint key ranges (prunable stats)") {
+    import spark.implicits._
+    import graft.operators.Maintenance
+    val out = java.nio.file.Files.createTempDirectory("sorted_out").toString
+    val df = (0L until 10000L).map(i => (i * 2654435761L % 10000, i))
+      .toDF("k", "v")
+    Maintenance.writeSorted(df, Seq("k"), nFiles = 4, out)
+    val fs = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(fs.length == 4)
+    val ranges = fs.map { f =>
+      val r = spark.read.parquet(f).agg(min(col("k")), max(col("k"))).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    // disjoint, ordered ranges ⇒ a point filter prunes to ONE file
+    ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      assert(hi < lo, s"overlapping file ranges: $hi vs $lo")
+    }
+    assert(spark.read.parquet(out).count() == 10000)
+  }
+
   test("hostOf / registeredDomain") {
     import spark.implicits._
     val got = Seq("https://a.b.example.io/x?q=1").toDF("u")
