@@ -17,6 +17,20 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Bounded-memory hot-key report via the SpaceSaving aggregate
+    * ([[graft.functions.HeavyHitters]]): the detection step that
+    * DECIDES salting, without a full groupBy over the key space. Each
+    * reported key's true count lies in [count_lo, count_hi]; any key
+    * with true count > N/capacity is guaranteed present. */
+  def hotKeys(df: DataFrame, keyCol: String, k: Int,
+              capacity: Int = 1024): DataFrame =
+    df.agg(graft.functions.HeavyHitters
+        .heavy_hitters(col(keyCol).cast("string"), k, capacity).as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select(col("h.item").as("key"),
+        (col("h.count") - col("h.err")).as("count_lo"),
+        col("h.count").as("count_hi"))
+
   /** Deterministic salt in [0, salts) — derived from a stable row column
     * (NOT rand(): retries/speculative tasks must agree). */
   def salt(stableCol: Column, salts: Int): Column =

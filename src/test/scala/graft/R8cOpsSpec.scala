@@ -252,6 +252,26 @@ class R8cOpsSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 10000)
   }
 
+  test("heavy_hitters: hot keys surface with bracketing counts under any partitioning") {
+    import spark.implicits._
+    import graft.operators.Skew
+    val rows = Seq.fill(5000)("hot") ++ Seq.fill(1000)("warm") ++
+      (0 until 2000).map(i => s"cold_$i")
+    val df = rows.toDF("k").repartition(13)
+    val out = Skew.hotKeys(df, "k", k = 2, capacity = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 2)
+    val (h, hLo, hHi) = out(0)
+    assert(h == "hot" && hLo <= 5000 && 5000 <= hHi,
+      s"hot bracket [$hLo,$hHi] misses 5000")
+    val (w, wLo, wHi) = out(1)
+    assert(w == "warm" && wLo <= 1000 && 1000 <= wHi)
+    // partitioning must not change WHICH clearly-hot keys surface
+    val out2 = Skew.hotKeys(rows.reverse.toDF("k").repartition(3), "k", 2, 64)
+      .collect().map(_.getString(0)).toSeq
+    assert(out2 == Seq("hot", "warm"))
+  }
+
   test("hostOf / registeredDomain") {
     import spark.implicits._
     val got = Seq("https://a.b.example.io/x?q=1").toDF("u")
