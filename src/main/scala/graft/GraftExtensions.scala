@@ -72,6 +72,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("media_meta"),
       new ExpressionInfo(classOf[MediaMeta].getName, "media_meta"),
       (args: Seq[Expression]) => MediaMeta(args.head)))
+    // SpaceSaving heavy hitters: k and capacity as int literals; the
+    // analyzer wraps the returned AggregateFunction itself
+    e.injectFunction((
+      FunctionIdentifier("heavy_hitters"),
+      new ExpressionInfo(classOf[graft.functions.HeavyHitters].getName,
+        "heavy_hitters"),
+      (args: Seq[Expression]) => {
+        def intLit(x: Expression, what: String): Int = x match {
+          case Literal(n: Int, _) => n
+          case other => throw new IllegalArgumentException(
+            s"heavy_hitters: $what must be an int literal, got $other")
+        }
+        graft.functions.HeavyHitters(args.head,
+          intLit(args(1), "k"), intLit(args(2), "capacity"))
+      }))
     // BPE apply: merges as one 'a b;c d;…' string literal (rank order)
     e.injectFunction((
       FunctionIdentifier("bpe_apply"),

@@ -383,6 +383,20 @@ object Cli {
         flag("--shards", "8").toInt)
       println(s"wpcurate: curated shards written to $out")
 
+    // Publication card for a (curated) corpus dir: per source×lang
+    // docs/tokens/dup-rate — the dataset_card rollup as a CLI step.
+    case "wpcurate" :: "stats" :: in :: out :: rest =>
+      import graft.operators.TextAnalysis
+      def flag(name: String, default: String): String = {
+        val i = rest.indexOf(name); if (i >= 0 && i + 1 < rest.length) rest(i + 1) else default
+      }
+      val spark = session()
+      TextAnalysis.datasetCard(spark.read.parquet(in),
+          flag("--text-col", "text"),
+          flag("--source-col", "source"), flag("--lang-col", "lang"))
+        .write.mode("overwrite").parquet(out)
+      println(s"wpcurate: dataset card written to $out")
+
     // Continual-ingest curation daemon — parquet files landing in <in>
     // stream through the same stage chain per micro-batch (schema taken
     // from the files already present); accepted rows append under

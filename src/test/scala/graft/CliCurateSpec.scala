@@ -87,4 +87,18 @@ class CliCurateSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L), s"kept=$kept")
   }
+
+  test("wpcurate stats: dataset card lands as parquet") {
+    import spark.implicits._
+    spark
+    val inDir = tmp("card_in"); val outDir = tmp("card_out")
+    Seq((1L, "alpha beta gamma", "en", "s1"), (2L, "alpha beta gamma", "en", "s1"),
+        (3L, "uno dos tres", "es", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(inDir)
+    graft.cli.Cli.main(Array("wpcurate", "stats", inDir, outDir))
+    val card = spark.read.parquet(outDir)
+    assert(card.count() == 2)
+    assert(card.columns.contains("n_docs"))
+  }
 }

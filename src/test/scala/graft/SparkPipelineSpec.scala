@@ -188,6 +188,12 @@ class SparkPipelineSpec extends AnyFunSuite {
       .head().getDouble(0) == 11.0)
     assert(spark.sql("SELECT bpe_apply('a b c') AS v")
       .head().getSeq[String](0) == Seq("a_b", "c"))
+    fr.createOrReplaceTempFunction("heavy_hitters",
+      es => graft.functions.HeavyHitters(es.head, 1, 8), "built-in")
+    val hh = spark.sql(
+      "SELECT heavy_hitters(k, 1, 8) AS v FROM VALUES ('a'),('a'),('b') t(k)")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(hh.head.getString(0) == "a" && hh.head.getLong(1) == 2)
   }
 
   test("streaming exact dedup with watermark-bounded state") {
