@@ -829,6 +829,16 @@ object SparkEntry {
       .orderBy(col("anchor"), col("positive"))
   }
 
+  /** SpaceSaving hot-key report over event types. With capacity ≥ the
+    * distinct-key count no eviction ever fires, so the summary is EXACT
+    * (err 0) and the aggregate becomes oracle-able — the same operator
+    * that runs approximately when the key space exceeds capacity
+    * (spec-pinned in R8cOpsSpec). */
+  private def qHotKeys(s: SparkSession, dir: String): DataFrame =
+    Skew.hotKeys(t(s, dir, "events").select(col("event_type")),
+        "event_type", k = 3, capacity = 64)
+      .orderBy(col("count_hi").desc, col("key"))
+
   private val lmIndexPaths =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -2057,6 +2067,7 @@ object SparkEntry {
     "source_overlap_matrix" -> (qSourceOverlapMatrix _),
     "source_pagerank" -> (qSourcePagerank _),
     "contrastive_triplets" -> (qContrastiveTriplets _),
+    "q_hot_keys" -> (qHotKeys _),
     "q_events_rolling_stats" -> (qEventsRollingStats _),
     "q_events_psi" -> (qEventsPsi _),
     "lang_confusion" -> (qLangConfusion _)
@@ -4365,6 +4376,10 @@ object SparkEntry {
                  FROM t1, nn)
           SELECT id_a AS anchor, id_b AS positive, negative, jaccard
           FROM t2 ORDER BY anchor, positive""",
+    "q_hot_keys" ->
+      """SELECT event_type AS key, count(*) AS count_lo, count(*) AS count_hi
+         FROM events GROUP BY event_type
+         ORDER BY count_hi DESC, key LIMIT 3""",
     "training_order" ->
       s"""WITH ${splitmixStagesSql("documents", "doc_id", "doc_id")},
           sh AS (SELECT doc_id, CAST(u53 % 8 AS INT) AS shard, u53 FROM s3)
