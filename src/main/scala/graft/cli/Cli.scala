@@ -421,6 +421,16 @@ object Cli {
         case p => Some(Lm.LmRef.load(spark, p))
       }
       val minLp = flag("--min-logprob", "-8.0").toDouble
+      // optional drift watch: PSI of each ACCEPTED batch's value
+      // distribution vs a persisted drift reference (wpindex drift) —
+      // an alert line prints per drifting group; curation keeps flowing
+      val driftRef = flag("--drift", "") match {
+        case "" => None
+        case p => Some(graft.operators.Drift.DriftRef.load(spark, p))
+      }
+      val driftGrp = flag("--drift-grp", "lang")
+      val driftVal = flag("--drift-val", "n_chars")
+      val driftMax = flag("--drift-max", "0.2").toDouble
       val q = spark.readStream.schema(schema).parquet(in)
         .writeStream
         .option("checkpointLocation", s"$out/_checkpoint")
@@ -445,6 +455,13 @@ object Cli {
             case None => gated
           }
           accepted.write.mode("append").parquet(s"$out/accepted")
+          driftRef.foreach { ref =>
+            ref.psiOf(accepted, driftGrp, driftVal)
+              .filter(org.apache.spark.sql.functions.col("psi") > driftMax)
+              .collect() // bins-sized frame: a handful of groups
+              .foreach(r => println(
+                s"wpcurate: DRIFT ${r.getString(0)} psi=${r.getDouble(2)}"))
+          }
           ()
         }.start()
       q.awaitTermination()

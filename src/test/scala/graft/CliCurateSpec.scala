@@ -88,6 +88,32 @@ class CliCurateSpec extends AnyFunSuite {
     assert(kept == Set(1L), s"kept=$kept")
   }
 
+  test("wpcurate daemon --drift: alert prints when the batch distribution shifts") {
+    import spark.implicits._
+    spark
+    val refDir = tmp("drift_ref"); val idxDir = tmp("drift_idx")
+    val inDir = tmp("drift_in"); val outDir = tmp("drift_out")
+    // reference: en docs with n_chars clustered near 100
+    (0 until 50).map(i => (i.toLong, "ref text", "en", 100L + (i % 3) * 5))
+      .toDF("doc_id", "text", "lang", "n_chars")
+      .write.mode("overwrite").parquet(refDir)
+    graft.cli.Cli.main(Array("wpindex", "build", "drift", refDir, idxDir,
+      "--grp-col", "lang", "--val-col", "n_chars", "--bin-width", "20.0"))
+    // incoming batch: same lang, n_chars an order of magnitude away
+    (100 until 120).map(i => (i.toLong, "new text", "en", 900L + i))
+      .toDF("doc_id", "text", "lang", "n_chars")
+      .write.mode("overwrite").parquet(inDir)
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf)) {
+      graft.cli.Cli.main(Array("wpcurate", "daemon", inDir, outDir,
+        "--drift", idxDir, "--drift-grp", "lang", "--drift-val", "n_chars",
+        "--once"))
+    }
+    assert(buf.toString.contains("DRIFT en"), s"stdout was: ${buf.toString}")
+    // and the rows still flowed through
+    assert(spark.read.parquet(s"$outDir/accepted").count() == 20)
+  }
+
   test("wpcurate stats: dataset card lands as parquet") {
     import spark.implicits._
     spark
