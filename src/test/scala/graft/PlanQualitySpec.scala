@@ -523,6 +523,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!lm.contains("CartesianProduct"),
       s"lm_score_index has a cartesian:\n${lm.take(1200)}")
     graft.operators.CacheScope.drain()
+    // q_hot_keys: the SpaceSaving aggregate must run partial → final
+    // (capacity-bounded summaries cross the exchange, not raw keys);
+    // a groupBy-count rewrite would lose the bounded-memory property
+    val hk = plan("q_hot_keys")
+    assert(hk.contains("ObjectHashAggregate") || hk.contains("SortAggregate"),
+      s"q_hot_keys lost its imperative aggregate:\n${hk.take(1200)}")
+    assert(hk.contains("partial_heavy_hitters") || hk.contains("partial heavy_hitters")
+      || hk.toLowerCase.contains("heavy_hitters"),
+      s"q_hot_keys no longer runs the SpaceSaving aggregate:\n${hk.take(1200)}")
+    graft.operators.CacheScope.drain()
     // source_pagerank: the post-checkpoint rank plan (edge mining is
     // gated via the minhash family's own tests) stays equi-join only
     val pg = plan("source_pagerank")
