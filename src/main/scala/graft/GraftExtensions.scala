@@ -5,8 +5,9 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.unsafe.types.UTF8String
-import graft.functions.{BpeApply, CharEntropy, DocFingerprint, Ip4ToInt,
-  LangId, MediaMeta, MinHashSig, ParseWpl, SimHash64, SplitMix64, VecDot}
+import graft.functions.{BpeApply, CharEntropy, DocFingerprint, Fnv1a64Expr,
+  Ip4ToInt, LangId, MediaMeta, MinHashSig, ParseWpl, SimHash64, SplitMix64,
+  VecDot}
 
 /** SparkSessionExtensions entry point — registers the engine's custom
   * expressions for SQL use:
@@ -37,6 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("splitmix64"),
       new ExpressionInfo(classOf[SplitMix64].getName, "splitmix64"),
       (args: Seq[Expression]) => SplitMix64(args.head)))
+    e.injectFunction((
+      FunctionIdentifier("fnv1a64"),
+      new ExpressionInfo(classOf[Fnv1a64Expr].getName, "fnv1a64"),
+      (args: Seq[Expression]) => Fnv1a64Expr(args.head)))
     // text quality / identity signals
     e.injectFunction((
       FunctionIdentifier("char_entropy"),

@@ -858,6 +858,61 @@ object SparkEntry {
     Lm.LmRef.load(s, path).scoreOf(d, "text", "doc_id").orderBy(col("doc_id"))
   }
 
+  /** Fixed BM25 query set (query_id, term): three multi-term topical
+    * queries over the corpus vocabulary. */
+  private val bm25QueryTerms: Seq[(String, String)] = Seq(
+    "wq1" -> "spark", "wq1" -> "window", "wq1" -> "agg",
+    "wq2" -> "customer", "wq2" -> "query", "wq2" -> "table",
+    "wq3" -> "vector", "wq3" -> "scan", "wq3" -> "slow")
+
+  private def bm25QueryDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    bm25QueryTerms.toDF("query_id", "term")
+  }
+
+  /** BM25 top-5 per query, computed in-query over the whole corpus
+    * (idf/tf-norm constants written so both engines fold the same
+    * doubles; scores round to 4 dp with doc-id rank tie-break). */
+  private def qBm25TopK(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Retrieval.bm25TopK(t(s, dir, "documents"), "text",
+        "doc_id", bm25QueryDf(s), k = 5)
+      .orderBy(col("query_id"), col("rank"))
+
+  private val bm25IndexPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** BM25 SERVED FROM the persisted postings index: build on the
+    * even-id half (frozen vocabulary + totals), save → load, probe with
+    * the same query set. The probe's postings scan prunes to the query
+    * terms' hash buckets; the odd half's absence pins that scoring uses
+    * ONLY frozen index state. The oracle replays the even-half stats. */
+  private def qBm25IndexTopK(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Retrieval
+    val d = t(s, dir, "documents")
+    val path = bm25IndexPaths.computeIfAbsent(dir, { _ =>
+      val p = java.nio.file.Files.createTempDirectory("graft_bm25_idx").toString
+      Retrieval.Bm25Index.build(d.filter(col("doc_id") % 2 === 0),
+        "text", "doc_id").save(p)
+      p
+    })
+    Retrieval.Bm25Index.load(s, path).topK(bm25QueryDf(s), k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** DSIR importance weights (Xie et al. 2023): hashed-bigram
+    * log-likelihood ratio of each doc under the English slice (target)
+    * vs the whole pool (raw), add-one smoothed over 256 buckets. */
+  private def qDsirWeights(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dsir.importanceWeights(t(s, dir, "documents"), "text",
+        "doc_id", col("lang") === "en", nBuckets = 256)
+      .orderBy(col("doc_id"))
+
+  /** DSIR selection: top-100 docs by `logw + Gumbel(splitmix64(id))` —
+    * the deterministic importance resample toward the English target. */
+  private def qDsirSelect(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dsir.select(t(s, dir, "documents"), "text", "doc_id",
+      col("lang") === "en", n = 100, nBuckets = 256)
+
   /** Sequence packing: greedy 256-token bins per (lang, doc_id%4 shard)
     * cell in doc_id order — deterministic, so the oracle replays the
     * same scan with a recursive CTE. */
@@ -2070,7 +2125,11 @@ object SparkEntry {
     "q_hot_keys" -> (qHotKeys _),
     "q_events_rolling_stats" -> (qEventsRollingStats _),
     "q_events_psi" -> (qEventsPsi _),
-    "lang_confusion" -> (qLangConfusion _)
+    "lang_confusion" -> (qLangConfusion _),
+    "bm25_topk" -> (qBm25TopK _),
+    "bm25_index_topk" -> (qBm25IndexTopK _),
+    "dsir_weights" -> (qDsirWeights _),
+    "dsir_select" -> (qDsirSelect _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -4456,8 +4515,105 @@ object SparkEntry {
           SELECT lang, lang_pred, n_docs,
             round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (PARTITION BY lang), 4)
               AS share_of_actual
-          FROM c ORDER BY lang, lang_pred"""
+          FROM c ORDER BY lang, lang_pred""",
+    "bm25_topk" -> bm25Oracle(""),
+    "bm25_index_topk" -> bm25Oracle("WHERE doc_id % 2 = 0"),
+    "dsir_weights" ->
+      s"""WITH $dsirWeightsCte
+          SELECT doc_id, n_feats, logw FROM wts ORDER BY doc_id""",
+    "dsir_select" -> dsirSelectOracle
   )
+
+  /** BM25 oracle over an optionally restricted corpus: full replay of
+    * the postings/df/idf/tf-norm fold. The constants are written as the
+    * SAME double folds Spark performs — `(1.2 + 1.0)` is the Scala
+    * `k1 + 1.0` sum (one ulp off the literal 2.2), `0.25` is the exact
+    * `1.0 − b`, and the `(idf · (num/denom))` association matches the
+    * Column tree, so 4-dp rounding sees identical doubles. */
+  private def bm25Oracle(where: String): String = {
+    val vals = bm25QueryTerms.map { case (q, term) => s"('$q','$term')" }
+      .mkString(", ")
+    s"""WITH qt(query_id, term) AS (VALUES $vals),
+        d AS (
+          SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+            x -> len(x) > 0) AS t
+          FROM documents $where),
+        lens AS (SELECT doc_id, len(t) AS dl FROM d),
+        stats AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM lens),
+        post AS (
+          SELECT doc_id, term, count(*) AS tf
+          FROM (SELECT doc_id, unnest(t) AS term FROM d)
+          GROUP BY doc_id, term),
+        dfs AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+        scored AS (
+          SELECT q.query_id, p.doc_id,
+            round(sum(
+              ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)) *
+              ((tf * (1.2 + 1.0)) /
+               (tf + 1.2 * (0.25 + 0.75 * dl /
+                  (CAST(sumdl AS DOUBLE) / n))))), 4) AS score
+          FROM post p
+          JOIN qt q USING (term)
+          JOIN dfs USING (term)
+          JOIN lens l ON p.doc_id = l.doc_id
+          CROSS JOIN stats
+          GROUP BY q.query_id, p.doc_id),
+        ranked AS (
+          SELECT query_id, doc_id, score,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, doc_id) AS rank
+          FROM scored)
+        SELECT query_id, rank, doc_id, score FROM ranked
+        WHERE rank <= 5 ORDER BY query_id, rank"""
+  }
+
+  /** DSIR weight CTE chain ending in `wts(doc_id, n_feats, logw)`:
+    * hashed-bigram buckets (FNV low 8 bits), add-one smoothed bucket
+    * likelihoods for the English target vs the raw pool, per-doc
+    * summed log-ratio at 4 dp. */
+  private def dsirWeightsCte: String =
+    s"""toks AS (
+          SELECT doc_id, lang,
+            list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+              x -> len(x) > 0) AS t
+          FROM documents),
+        g0 AS (
+          SELECT doc_id, lang, t,
+            unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+          FROM toks),
+        grams AS (
+          SELECT doc_id, lang, t[i] || ' ' || t[i+1] AS gram FROM g0),
+        bk AS (SELECT doc_id, lang, ${fnvSql("gram")} % 256 AS bucket FROM grams),
+        raw AS (SELECT bucket, count(*) AS cr FROM bk GROUP BY bucket),
+        tgt AS (SELECT bucket, count(*) AS ct
+                FROM bk WHERE lang = 'en' GROUP BY bucket),
+        tot AS (SELECT (SELECT sum(cr) FROM raw) AS tr,
+                       (SELECT sum(ct) FROM tgt) AS tt),
+        ratio AS (
+          SELECT bucket,
+            ln((coalesce(ct, 0) + 1) / (tt + 256)) -
+            ln((cr + 1) / (tr + 256)) AS lr
+          FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tot),
+        perdoc AS (
+          SELECT doc_id, count(*) AS n_feats, round(sum(lr), 4) AS logw
+          FROM bk JOIN ratio USING (bucket) GROUP BY doc_id),
+        wts AS (
+          SELECT d.doc_id, coalesce(n_feats, 0) AS n_feats,
+            coalesce(logw, 0.0) AS logw
+          FROM documents d LEFT JOIN perdoc USING (doc_id))"""
+
+  /** Replays [[qDsirSelect]]: the weight chain, the splitmix64 53-bit
+    * uniform, the Gumbel key at 4 dp, and the (key DESC, id) top-100. */
+  private def dsirSelectOracle: String =
+    s"""WITH $dsirWeightsCte,
+        ${splitmixStagesSql("wts", "doc_id", "doc_id, n_feats, logw")},
+        keyed AS (
+          SELECT doc_id, n_feats, logw,
+            round(logw - ln(-ln(CAST(greatest(u53, 1) AS DOUBLE)
+              / 9007199254740992.0)), 4) AS gumbel_key
+          FROM s3)
+        SELECT doc_id, n_feats, logw, gumbel_key FROM keyed
+        ORDER BY gumbel_key DESC, doc_id LIMIT 100"""
 
   /** The ensemble oracle composes the gopher gate CTE, the DuckDB log₂
     * `entropy()` replay of CharEntropy, and the logistic score with the

@@ -27,11 +27,13 @@ import graft.streaming.StreamingPipeline
   * side's persisted dedup/ANN artifacts, operable like everything
   * else):
   *
-  *   wpindex build  neardup|emb|ann|drift <corpus.parquet> <indexDir> [--dim D]
-  *   wpindex append neardup|emb|ann|drift <new.parquet> <indexDir>
+  *   wpindex build  neardup|emb|ann|drift|lm|bm25 <corpus.parquet> <indexDir> [--dim D]
+  *   wpindex append neardup|emb|ann|drift|lm|bm25 <new.parquet> <indexDir>
   *   wpindex probe  neardup|emb     <batch.parquet> <indexDir> <outDir> [--threshold T]
   *   wpindex probe  ann             <queries.parquet> <indexDir> <outDir> [--nprobe N] [--topk K]
   *   wpindex probe  drift           <batch.parquet> <indexDir> <outDir> [--grp-col G --val-col V]
+  *   wpindex probe  lm              <batch.parquet> <indexDir> <outDir> [--text-col C]
+  *   wpindex probe  bm25            <queries.parquet> <indexDir> <outDir> [--topk K]
   */
 object Cli {
 
@@ -561,9 +563,29 @@ object Cli {
               flag("--text-col", "text"), flag("--id-col", "doc_id"))
             .write.mode("overwrite").parquet(out)
           println(s"wpindex: lm scores written to $out")
+        case ("build", "bm25", corpus :: path :: _) =>
+          graft.operators.Retrieval.Bm25Index.build(spark.read.parquet(corpus),
+              flag("--text-col", "text"), flag("--id-col", "doc_id"),
+              k1 = flag("--k1", "1.2").toDouble,
+              b = flag("--b", "0.75").toDouble,
+              nBuckets = flag("--buckets", "64").toInt)
+            .save(path)
+          println(s"wpindex: built bm25 index at $path")
+        case ("append", "bm25", newData :: path :: _) =>
+          graft.operators.Retrieval.Bm25Index.load(spark, path).appendTo(path,
+            spark.read.parquet(newData),
+            flag("--text-col", "text"), flag("--id-col", "doc_id"))
+          println(s"wpindex: appended to bm25 index at $path")
+        case ("probe", "bm25", queries :: path :: out :: _) =>
+          // queries parquet: (query_id, term) relation
+          graft.operators.Retrieval.Bm25Index.load(spark, path)
+            .topK(spark.read.parquet(queries),
+              k = flag("--topk", "10").toInt)
+            .write.mode("overwrite").parquet(out)
+          println(s"wpindex: bm25 top-k written to $out")
         case _ =>
           System.err.println(
-            "usage: wpindex build|append|probe neardup|emb|ann|drift|lm <in.parquet> <indexDir> [<outDir>] [flags]")
+            "usage: wpindex build|append|probe neardup|emb|ann|drift|lm|bm25 <in.parquet> <indexDir> [<outDir>] [flags]")
           sys.exit(2)
       }
 

@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis.tokens
+import graft.functions.Fnv1a64Expr.fnv1a64
+
+/** BM25 full-text retrieval over the corpus — the lexical half of the
+  * contamination / eval-similar mining toolkit (the embedding half is
+  * [[Similarity]]). Used in curation to pull the training documents
+  * most similar to an eval set (decontamination beyond exact n-gram
+  * overlap) and to mine hard negatives for contrastive training.
+  *
+  * Scoring is the standard Okapi/Lucene form:
+  * `idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))`,
+  * `score(q,d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`.
+  *
+  * Scale posture: the postings table (term, doc, tf, dl) is the index —
+  * doc length rides every posting row so probing never joins the corpus.
+  * The per-(query,doc) score is one equi-join of postings against a
+  * broadcast query-term dim plus a (query,doc)-keyed partial agg; top-k
+  * is a window over groups bounded by k·|matched docs per query|. The
+  * persisted form ([[Bm25Index]]) bucket-partitions postings by term
+  * hash so a probe's scan prunes to the query terms' buckets.
+  */
+object Retrieval {
+
+  /** Postings (term, id, tf, dl) with doc length denormalized onto each
+    * row — the probe-side join never needs the corpus again. */
+  def postings(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("id"), tokens(lower(col(textCol))).as("tk"))
+      .select(col("id"), size(col("tk")).cast("long").as("dl"),
+        explode(col("tk")).as("term"))
+      .groupBy(col("term"), col("id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Document frequency per term. */
+  def docFreq(post: DataFrame): DataFrame =
+    post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+  private[operators] def idfCol(n: Long): Column =
+    log(lit(1.0) + (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+
+  private[operators] def tfNorm(avgdl: Double, k1: Double, b: Double): Column =
+    col("tf") * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
+
+  /** BM25 top-k per query, computed in-query over the corpus.
+    * `queries` is a (query_id, term) relation (distinct terms per
+    * query). Scores are rounded to 4 dp and rank ties break by doc id,
+    * so the ordering is engine-independent. */
+  def bm25TopK(df: DataFrame, textCol: String, idCol: String,
+               queries: DataFrame, k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val post = postings(df, textCol, idCol)
+    val stats = df.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(tokens(lower(col(textCol)))).cast("long")).as("sum_dl"))
+      .head()
+    val n = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / n
+    topKFrom(post, docFreq(post), queries, n, avgdl, k, k1, b, idCol)
+  }
+
+  /** Shared scoring tail: postings ⋈ broadcast query terms ⋈ df, one
+    * (query,doc) partial agg, windowed top-k on the rounded score. The
+    * df table is semi-joined down to the query terms BEFORE broadcast,
+    * so what ships is |query terms| rows, not the vocabulary. */
+  private[operators] def topKFrom(post: DataFrame, terms: DataFrame,
+      queries: DataFrame, n: Long, avgdl: Double, k: Int,
+      k1: Double, b: Double, idOut: String): DataFrame = {
+    val qTerms = terms.select(col("term"), col("df"))
+      .join(broadcast(queries.select(col("term")).distinct()), Seq("term"))
+    val scored = post
+      .join(broadcast(queries.select(col("query_id"), col("term"))), Seq("term"))
+      .join(broadcast(qTerms), Seq("term"))
+      .select(col("query_id"), col("id"),
+        (idfCol(n) * tfNorm(avgdl, k1, b)).as("s"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(round(sum(col("s")), 4).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as(idOut), col("score"))
+  }
+
+  /** Persisted BM25 postings index — the SIXTH operable index (text
+    * bands, embedding buckets, PQ codes, drift histogram, LM counts,
+    * now lexical postings). Artifacts:
+    *  - `post/`  (term, id, tf, dl) partitionBy(bucket = fnv1a64(term)
+    *    & (nBuckets−1)) — a probe prunes the scan to its query terms'
+    *    buckets;
+    *  - `terms/` (term, df) partitionBy(bucket) — vocabulary-sized;
+    *  - `meta.properties` — nDocs, sumDl (exact longs so append keeps
+    *    avgdl exact), k1, b, nBuckets.
+    * Append unions new postings in (disjoint doc ids), folds df with
+    * term-keyed exact sums, and updates the meta totals —
+    * `localCheckpoint`ed before overwriting its own source files (the
+    * DriftRef/LmRef append contract). */
+  final case class Bm25Index(post: DataFrame, terms: DataFrame,
+                             nDocs: Long, sumDl: Long,
+                             k1: Double, b: Double, nBuckets: Int) {
+    def avgdl: Double = sumDl.toDouble / nDocs
+
+    def save(path: String): Unit = {
+      new java.io.File(path).mkdirs()
+      post.write.mode("overwrite").partitionBy("bucket").parquet(s"$path/post")
+      terms.write.mode("overwrite").partitionBy("bucket").parquet(s"$path/terms")
+      val props = new java.util.Properties()
+      props.setProperty("nDocs", nDocs.toString)
+      props.setProperty("sumDl", sumDl.toString)
+      props.setProperty("k1", k1.toString)
+      props.setProperty("b", b.toString)
+      props.setProperty("nBuckets", nBuckets.toString)
+      val w = new java.io.FileWriter(s"$path/meta.properties")
+      try props.store(w, "graft bm25 postings index") finally w.close()
+    }
+
+    def appendTo(path: String, newData: DataFrame,
+                 textCol: String, idCol: String): Unit = {
+      val np = Bm25Index.bucketed(postings(newData, textCol, idCol), nBuckets)
+      val mergedPost = post.unionByName(np).localCheckpoint()
+      val mergedTerms = terms.select(col("term"), col("df"), col("bucket"))
+        .unionByName(Bm25Index.bucketed(docFreq(np.drop("bucket")), nBuckets))
+        .groupBy(col("term"), col("bucket")).agg(sum(col("df")).as("df"))
+        .localCheckpoint()
+      val add = newData.agg(
+        count(lit(1)).as("n"),
+        sum(size(tokens(lower(col(textCol)))).cast("long")).as("s")).head()
+      mergedPost.write.mode("overwrite").partitionBy("bucket").parquet(s"$path/post")
+      mergedTerms.write.mode("overwrite").partitionBy("bucket").parquet(s"$path/terms")
+      copy(nDocs = nDocs + add.getLong(0), sumDl = sumDl + add.getLong(1))
+        .saveMetaOnly(path)
+    }
+
+    private def saveMetaOnly(path: String): Unit = {
+      val props = new java.util.Properties()
+      props.setProperty("nDocs", nDocs.toString)
+      props.setProperty("sumDl", sumDl.toString)
+      props.setProperty("k1", k1.toString)
+      props.setProperty("b", b.toString)
+      props.setProperty("nBuckets", nBuckets.toString)
+      val w = new java.io.FileWriter(s"$path/meta.properties")
+      try props.store(w, "graft bm25 postings index") finally w.close()
+    }
+
+    /** Probe the index: the postings/terms scans carry a `bucket IN
+      * (query-term buckets)` partition filter, so only the probed
+      * buckets' files are read. */
+    def topK(queries: DataFrame, k: Int): DataFrame = {
+      val q = queries.select(col("query_id"), col("term"),
+        Bm25Index.bucketOf(col("term"), nBuckets).as("bucket"))
+      val buckets = q.select(col("bucket")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      topKFrom(
+        post.filter(col("bucket").isin(buckets: _*)).drop("bucket"),
+        terms.filter(col("bucket").isin(buckets: _*)).drop("bucket"),
+        q.drop("bucket"), nDocs, avgdl, k, k1, b, "doc_id")
+    }
+  }
+
+  object Bm25Index {
+    def bucketOf(term: Column, nBuckets: Int): Column =
+      fnv1a64(term).bitwiseAND(lit(nBuckets.toLong - 1))
+
+    private[operators] def bucketed(df: DataFrame, nBuckets: Int): DataFrame =
+      df.withColumn("bucket", bucketOf(col("term"), nBuckets))
+
+    /** nBuckets must be a power of two (bucket = low bits of the term
+      * hash — the same fold in both engines). */
+    def build(df: DataFrame, textCol: String, idCol: String,
+              k1: Double = 1.2, b: Double = 0.75,
+              nBuckets: Int = 64): Bm25Index = {
+      require((nBuckets & (nBuckets - 1)) == 0, "nBuckets must be a power of 2")
+      val post = bucketed(postings(df, textCol, idCol), nBuckets)
+      val terms = bucketed(docFreq(post.drop("bucket")), nBuckets)
+      val stats = df.agg(
+        count(lit(1)).as("n"),
+        sum(size(tokens(lower(col(textCol)))).cast("long")).as("s")).head()
+      Bm25Index(post, terms, stats.getLong(0), stats.getLong(1), k1, b, nBuckets)
+    }
+
+    def load(spark: SparkSession, path: String): Bm25Index = {
+      val props = new java.util.Properties()
+      val r = new java.io.FileReader(s"$path/meta.properties")
+      try props.load(r) finally r.close()
+      Bm25Index(
+        spark.read.parquet(s"$path/post"),
+        spark.read.parquet(s"$path/terms"),
+        props.getProperty("nDocs").toLong,
+        props.getProperty("sumDl").toLong,
+        props.getProperty("k1").toDouble,
+        props.getProperty("b").toDouble,
+        props.getProperty("nBuckets").toInt)
+    }
+  }
+}

@@ -1,0 +1,144 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{Dsir, Retrieval}
+
+/** BM25 retrieval (in-query + persisted postings index) and DSIR
+  * importance resampling. Hand-checkable corpora here; the DuckDB
+  * oracles re-verify both on the real corpus. */
+class RetrievalDsirSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (0L, "spark window agg window window"),
+      (1L, "spark table scan scan"),
+      (2L, "customer table query table"),
+      (3L, "the quick brown fox"),
+      (4L, "spark spark spark window agg agg")
+    ).toDF("doc_id", "text")
+  }
+
+  private def queries = {
+    import spark.implicits._
+    Seq(("q1", "spark"), ("q1", "window"), ("q2", "customer")).toDF("query_id", "term")
+  }
+
+  test("bm25TopK: rarer terms outrank common ones; rank is dense per query") {
+    import spark.implicits._
+    val got = Retrieval.bm25TopK(docs, "text", "doc_id", queries, k = 10)
+      .as[(String, Int, Long, Double)].collect()
+    val q2 = got.filter(_._1 == "q2")
+    assert(q2.map(_._3).toSet == Set(2L), "only doc 2 contains 'customer'")
+    val q1 = got.filter(_._1 == "q1").sortBy(_._2)
+    assert(q1.map(_._2).toList == (1 to q1.length).toList, "dense ranks")
+    // docs 0 and 4 match both query terms; doc 3 matches neither
+    assert(q1.map(_._3).toSet == Set(0L, 1L, 4L))
+    assert(q1.head._3 == 4L || q1.head._3 == 0L,
+      "a two-term doc must outrank the single-term doc 1")
+  }
+
+  test("bm25 scores are scale-monotone in tf and inversely in df") {
+    import spark.implicits._
+    val got = Retrieval.bm25TopK(docs, "text", "doc_id", queries, k = 10)
+      .as[(String, Int, Long, Double)].collect()
+    val scoreOf = got.map(r => (r._1, r._3) -> r._4).toMap
+    // 'customer' (df=1) in doc2 must beat any 'spark' (df=3) single hit
+    assert(scoreOf(("q2", 2L)) > 0.0)
+  }
+
+  test("Bm25Index: build→save→load→probe equals the in-query operator") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    Retrieval.Bm25Index.build(docs, "text", "doc_id", nBuckets = 8).save(dir)
+    val served = Retrieval.Bm25Index.load(spark, dir).topK(queries, k = 10)
+      .as[(String, Int, Long, Double)].collect().toSet
+    val direct = Retrieval.bm25TopK(docs, "text", "doc_id", queries, k = 10)
+      .as[(String, Int, Long, Double)].collect().toSet
+    assert(served == direct)
+  }
+
+  test("Bm25Index probe prunes the postings scan to the query-term buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx2").toString
+    Retrieval.Bm25Index.build(docs, "text", "doc_id", nBuckets = 8).save(dir)
+    val idx = Retrieval.Bm25Index.load(spark, dir)
+    val plan = idx.topK(queries, k = 5).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [bucket"),
+      s"postings scan must carry a bucket partition filter:\n$plan")
+  }
+
+  test("Bm25Index.appendTo: incremental build equals full rebuild") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx3").toString
+    val first = docs.filter(col("doc_id") < 3)
+    val rest = docs.filter(col("doc_id") >= 3)
+    Retrieval.Bm25Index.build(first, "text", "doc_id", nBuckets = 8).save(dir)
+    Retrieval.Bm25Index.load(spark, dir).appendTo(dir, rest, "text", "doc_id")
+    val appended = Retrieval.Bm25Index.load(spark, dir).topK(queries, k = 10)
+      .as[(String, Int, Long, Double)].collect().toSet
+    val full = Retrieval.bm25TopK(docs, "text", "doc_id", queries, k = 10)
+      .as[(String, Int, Long, Double)].collect().toSet
+    assert(appended == full)
+  }
+
+  test("dsir importanceWeights: docs matching the target score higher") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "good clean prose with structure", "tgt"),
+      (1L, "good clean prose with style", "tgt"),
+      (2L, "good clean prose with care", "raw"),
+      (3L, "zz xx qq ww vv kk", "raw"),
+      (4L, "zz xx qq ww vv jj", "raw")
+    ).toDF("doc_id", "text", "pool")
+    val w = Dsir.importanceWeights(d, "text", "doc_id",
+        col("pool") === "tgt", nBuckets = 16)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(w(2L) > w(3L),
+      "target-like raw doc must outweigh the junk docs: " + w)
+    assert(w(0L) > w(4L))
+  }
+
+  test("dsir importanceWeights: featureless docs carry zero weight") {
+    import spark.implicits._
+    val d = Seq((0L, "a b c"), (1L, "x")).toDF("doc_id", "text")
+    val w = Dsir.importanceWeights(d, "text", "doc_id",
+        col("doc_id") === 0L, nBuckets = 16)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(w(1L) == ((0L, 0.0)), "single-token doc has no bigram features")
+  }
+
+  test("dsir select: deterministic, ordered by gumbel key, n rows") {
+    import spark.implicits._
+    val d = (0L until 40L).map(i =>
+      (i, if (i % 2 == 0) "alpha beta gamma delta" else "noise blob junk spam"))
+      .toDF("doc_id", "text")
+    val s1 = Dsir.select(d, "text", "doc_id", col("doc_id") % 2 === 0, n = 10,
+      nBuckets = 16).collect()
+    val s2 = Dsir.select(d, "text", "doc_id", col("doc_id") % 2 === 0, n = 10,
+      nBuckets = 16).collect()
+    assert(s1.map(_.getLong(0)).toList == s2.map(_.getLong(0)).toList)
+    assert(s1.length == 10)
+    val keys = s1.map(_.getDouble(3))
+    assert(keys.zip(keys.tail).forall { case (a, b) => a >= b }, "desc keys")
+    // the target-like half should dominate the selection
+    val even = s1.count(_.getLong(0) % 2 == 0)
+    assert(even > 5, s"importance resample should favor the target: $even/10")
+  }
+
+  test("dsir/bm25 plans: no ScalaUDF, feature hashing stays codegen") {
+    val dPlan = Dsir.importanceWeights(docs, "text", "doc_id",
+      col("doc_id") < 2, nBuckets = 16).queryExecution.executedPlan.toString
+    val bPlan = Retrieval.bm25TopK(docs, "text", "doc_id", queries, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!dPlan.contains("ScalaUDF") && !bPlan.contains("ScalaUDF"))
+    assert(!dPlan.contains("CartesianProduct") && !bPlan.contains("CartesianProduct"))
+  }
+}
