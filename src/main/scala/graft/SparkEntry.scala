@@ -913,6 +913,16 @@ object SparkEntry {
     graft.operators.Dsir.select(t(s, dir, "documents"), "text", "doc_id",
       col("lang") === "en", n = 100, nBuckets = 256)
 
+  /** Exact-substring duplicate spans: maximal repeated token spans at
+    * any offset (8-token sliding windows, global first occurrence
+    * keeps). The oracle replays windows/first-occurrence/islands on the
+    * window STRINGS — agreeing with the Spark hash-keyed run unless an
+    * FNV collision fabricates a span. */
+  private def qExactSubstrSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactSubstrSpans(t(s, dir, "documents"), "text", "doc_id",
+        winTokens = 8)
+      .orderBy(col("doc_id"), col("span_start"))
+
   /** Sequence packing: greedy 256-token bins per (lang, doc_id%4 shard)
     * cell in doc_id order — deterministic, so the oracle replays the
     * same scan with a recursive CTE. */
@@ -2129,7 +2139,8 @@ object SparkEntry {
     "bm25_topk" -> (qBm25TopK _),
     "bm25_index_topk" -> (qBm25IndexTopK _),
     "dsir_weights" -> (qDsirWeights _),
-    "dsir_select" -> (qDsirSelect _)
+    "dsir_select" -> (qDsirSelect _),
+    "exact_substring_spans" -> (qExactSubstrSpans _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -4521,7 +4532,40 @@ object SparkEntry {
     "dsir_weights" ->
       s"""WITH $dsirWeightsCte
           SELECT doc_id, n_feats, logw FROM wts ORDER BY doc_id""",
-    "dsir_select" -> dsirSelectOracle
+    "dsir_select" -> dsirSelectOracle,
+    "exact_substring_spans" ->
+      """WITH d AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+             x -> len(x) > 0) AS t
+           FROM documents),
+         w0 AS (
+           SELECT doc_id, t,
+             unnest(generate_series(1, greatest(len(t) - 7, 0))) AS i
+           FROM d),
+         wins AS (
+           SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS wt
+           FROM w0),
+         dups AS (
+           SELECT doc_id, pos FROM (
+             SELECT doc_id, pos,
+               count(*) OVER (PARTITION BY wt) AS cnt,
+               row_number() OVER (PARTITION BY wt ORDER BY doc_id, pos) AS rn
+             FROM wins)
+           WHERE cnt >= 2 AND rn > 1),
+         flg AS (
+           SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                    OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+                  THEN 1 ELSE 0 END AS ns
+           FROM dups),
+         sp AS (
+           SELECT doc_id, pos,
+             sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+           FROM flg)
+         SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 7 AS BIGINT) AS span_end, count(*) AS n_windows
+         FROM sp GROUP BY doc_id, span_id
+         ORDER BY doc_id, span_start"""
   )
 
   /** BM25 oracle over an optionally restricted corpus: full replay of

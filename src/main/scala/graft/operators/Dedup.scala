@@ -781,4 +781,54 @@ object Dedup {
         round(coalesce(col("n_novel").cast("double") / col("n_shingles"),
           lit(0.0)), 4).as("novelty"))
   }
+
+  /** Exact-substring duplicate spans (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499):
+    * find every maximal token span whose `winTokens`-token sliding
+    * windows ALL occur earlier in the corpus — repeated substrings at
+    * ANY offset, which the aligned-segment operators ([[dupSpans]] /
+    * [[segmentDedup]]) miss when a duplicate shifts by one token.
+    *
+    * The paper builds a suffix array; the Spark-shaped equivalent is a
+    * stride-1 window relation keyed by an 8-byte FNV window hash: one
+    * hash exchange computes each window's global first occurrence
+    * (lexicographic min (doc, pos) — the suffix array's "keep the
+    * first" rule), every later occurrence is a duplicate window, and a
+    * per-doc gaps-and-islands pass (window partitions bounded by doc
+    * length) merges overlapping windows into maximal spans
+    * `[start, start+win−1] ∪ …`. No text crosses the shuffle — only
+    * (hash, id, pos). A 2⁻⁶⁴ hash collision would fabricate a spurious
+    * span; at the paper's 50-token windows the verify step would be an
+    * id-keyed text re-check, elided here as in the other hash-keyed
+    * dedups. Output: (id, span_start, span_end, n_windows) in token
+    * coordinates, one row per maximal duplicated span. */
+  def exactSubstrSpans(df: DataFrame, textCol: String, idCol: String,
+                       winTokens: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = df
+      .select(col(idCol).as("es_id"), TextAnalysis.tokens(col(textCol)).as("tk"))
+      .select(col("es_id"),
+        posexplode(TextAnalysis.ngramsWithMultiplicity(col("tk"), winTokens)))
+      .select(col("es_id"), col("pos"),
+        graft.functions.Fnv1a64Expr.fnv1a64(col("col")).as("h"))
+    val wHash = Window.partitionBy(col("h"))
+    val dups = wins
+      .withColumn("cnt", count(lit(1)).over(wHash))
+      .withColumn("rn", row_number().over(
+        wHash.orderBy(col("es_id"), col("pos"))))
+      .filter(col("cnt") >= 2 && col("rn") > 1)
+      .select(col("es_id"), col("pos"))
+    val wDoc = Window.partitionBy(col("es_id")).orderBy(col("pos"))
+    val prev = lag(col("pos"), 1).over(wDoc)
+    val spans = dups
+      .withColumn("ns",
+        when(prev.isNull || col("pos") > prev + winTokens, 1).otherwise(0))
+      .withColumn("span_id", sum(col("ns")).over(wDoc))
+      .groupBy(col("es_id"), col("span_id"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + winTokens - 1).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+    spans.select(col("es_id").as(idCol), col("span_start"),
+      col("span_end"), col("n_windows"))
+  }
 }
