@@ -913,6 +913,28 @@ object SparkEntry {
     graft.operators.Dsir.select(t(s, dir, "documents"), "text", "doc_id",
       col("lang") === "en", n = 100, nBuckets = 256)
 
+  private val dsirRefPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** DSIR scoring SERVED FROM the persisted reference: fit the bucket
+    * counts on the even-id half (target = its English slice), save →
+    * load, score EVERY doc against the frozen counts — odd-half docs
+    * can hit buckets the reference never saw, exercising the uniform
+    * ct=cr=0 smoothing the in-query operator can't reach. The oracle
+    * replays the even-half counts. */
+  private def qDsirScoreIndex(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dsir
+    val d = t(s, dir, "documents")
+    val path = dsirRefPaths.computeIfAbsent(dir, { _ =>
+      val p = java.nio.file.Files.createTempDirectory("graft_dsir_ref").toString
+      Dsir.DsirRef.build(d.filter(col("doc_id") % 2 === 0), "text", "doc_id",
+        col("lang") === "en", nBuckets = 256).save(p)
+      p
+    })
+    Dsir.DsirRef.load(s, path).scoreOf(d, "text", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact-substring duplicate spans: maximal repeated token spans at
     * any offset (8-token sliding windows, global first occurrence
     * keeps). The oracle replays windows/first-occurrence/islands on the
@@ -2140,6 +2162,7 @@ object SparkEntry {
     "bm25_index_topk" -> (qBm25IndexTopK _),
     "dsir_weights" -> (qDsirWeights _),
     "dsir_select" -> (qDsirSelect _),
+    "dsir_score_index" -> (qDsirScoreIndex _),
     "exact_substring_spans" -> (qExactSubstrSpans _)
   )
 
@@ -4533,6 +4556,36 @@ object SparkEntry {
       s"""WITH $dsirWeightsCte
           SELECT doc_id, n_feats, logw FROM wts ORDER BY doc_id""",
     "dsir_select" -> dsirSelectOracle,
+    "dsir_score_index" ->
+      s"""WITH toks AS (
+            SELECT doc_id, lang,
+              list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                x -> len(x) > 0) AS t
+            FROM documents),
+          g0 AS (
+            SELECT doc_id, lang, t,
+              unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+            FROM toks),
+          grams AS (
+            SELECT doc_id, lang, t[i] || ' ' || t[i+1] AS gram FROM g0),
+          bk AS (SELECT doc_id, lang, ${fnvSql("gram")} % 256 AS bucket
+                 FROM grams),
+          ref AS (
+            SELECT bucket, count(*) AS cr,
+              count(*) FILTER (WHERE lang = 'en') AS ct
+            FROM bk WHERE doc_id % 2 = 0 GROUP BY bucket),
+          tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM ref),
+          scored AS (
+            SELECT doc_id, count(*) AS n_feats,
+              round(sum(
+                ln((coalesce(ct, 0) + 1) / (tt + 256)) -
+                ln((coalesce(cr, 0) + 1) / (tr + 256))), 4) AS logw
+            FROM bk LEFT JOIN ref USING (bucket) CROSS JOIN tot
+            GROUP BY doc_id)
+          SELECT d.doc_id, coalesce(n_feats, 0) AS n_feats,
+            coalesce(logw, 0.0) AS logw
+          FROM documents d LEFT JOIN scored USING (doc_id)
+          ORDER BY doc_id""",
     "exact_substring_spans" ->
       """WITH d AS (
            SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),

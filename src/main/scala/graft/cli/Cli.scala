@@ -27,8 +27,8 @@ import graft.streaming.StreamingPipeline
   * side's persisted dedup/ANN artifacts, operable like everything
   * else):
   *
-  *   wpindex build  neardup|emb|ann|drift|lm|bm25 <corpus.parquet> <indexDir> [--dim D]
-  *   wpindex append neardup|emb|ann|drift|lm|bm25 <new.parquet> <indexDir>
+  *   wpindex build  neardup|emb|ann|drift|lm|bm25|dsir <corpus.parquet> <indexDir> [--dim D]
+  *   wpindex append neardup|emb|ann|drift|lm|bm25|dsir <new.parquet> <indexDir>
   *   wpindex probe  neardup|emb     <batch.parquet> <indexDir> <outDir> [--threshold T]
   *   wpindex probe  ann             <queries.parquet> <indexDir> <outDir> [--nprobe N] [--topk K]
   *   wpindex probe  drift           <batch.parquet> <indexDir> <outDir> [--grp-col G --val-col V]
@@ -583,9 +583,30 @@ object Cli {
               k = flag("--topk", "10").toInt)
             .write.mode("overwrite").parquet(out)
           println(s"wpindex: bm25 top-k written to $out")
+        case ("build", "dsir", corpus :: path :: _) =>
+          graft.operators.Dsir.DsirRef.build(spark.read.parquet(corpus),
+              flag("--text-col", "text"), flag("--id-col", "doc_id"),
+              org.apache.spark.sql.functions.col(flag("--target-col", "lang"))
+                === flag("--target-val", "en"),
+              nBuckets = flag("--buckets", "256").toInt)
+            .save(path)
+          println(s"wpindex: built dsir reference at $path")
+        case ("append", "dsir", newData :: path :: _) =>
+          graft.operators.Dsir.DsirRef.load(spark, path).appendTo(path,
+            spark.read.parquet(newData),
+            flag("--text-col", "text"), flag("--id-col", "doc_id"),
+            org.apache.spark.sql.functions.col(flag("--target-col", "lang"))
+              === flag("--target-val", "en"))
+          println(s"wpindex: appended to dsir reference at $path")
+        case ("probe", "dsir", batch :: path :: out :: _) =>
+          graft.operators.Dsir.DsirRef.load(spark, path)
+            .scoreOf(spark.read.parquet(batch),
+              flag("--text-col", "text"), flag("--id-col", "doc_id"))
+            .write.mode("overwrite").parquet(out)
+          println(s"wpindex: dsir weights written to $out")
         case _ =>
           System.err.println(
-            "usage: wpindex build|append|probe neardup|emb|ann|drift|lm|bm25 <in.parquet> <indexDir> [<outDir>] [flags]")
+            "usage: wpindex build|append|probe neardup|emb|ann|drift|lm|bm25|dsir <in.parquet> <indexDir> [<outDir>] [flags]")
           sys.exit(2)
       }
 

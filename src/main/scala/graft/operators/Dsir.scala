@@ -91,4 +91,87 @@ object Dsir {
       .orderBy(col("gumbel_key").desc, col(idCol))
       .limit(n)
   }
+
+  /** Persisted DSIR reference — the SEVENTH operable index (text bands,
+    * embedding buckets, PQ codes, drift histogram, LM counts, BM25
+    * postings, now DSIR bucket counts). [[importanceWeights]] re-derives
+    * both distributions from its own pool every run; production DSIR
+    * fits target/raw ONCE, freezes the bucket-count table (nBuckets
+    * rows — it fits in a broadcast by construction), and scores every
+    * incoming batch map-only against it.
+    *
+    * Scoring on the frozen counts needs defined behavior for buckets
+    * the reference never saw (the in-query operator can't hit them):
+    * the SAME add-one-smoothed formula with ct = cr = 0, which the
+    * left-join + coalesce makes uniform rather than a special case.
+    * Append folds a new slice in with bucket-keyed exact integer sums
+    * (order-independent), `localCheckpoint`ed before overwriting its
+    * own source files — the DriftRef/LmRef append contract. */
+  final case class DsirRef(counts: DataFrame, nBuckets: Int) {
+
+    def save(path: String): Unit = {
+      new java.io.File(path).mkdirs()
+      counts.write.mode("overwrite").parquet(s"$path/counts")
+      val props = new java.util.Properties()
+      props.setProperty("nBuckets", nBuckets.toString)
+      val w = new java.io.FileWriter(s"$path/meta.properties")
+      try props.store(w, "graft dsir reference bucket counts") finally w.close()
+    }
+
+    def appendTo(path: String, newData: DataFrame, textCol: String,
+                 idCol: String, isTarget: Column): Unit = {
+      val add = DsirRef.countsOf(newData, textCol, idCol, isTarget, nBuckets)
+      val merged = counts.unionByName(add)
+        .groupBy(col("bucket"))
+        .agg(sum(col("cr")).as("cr"), sum(col("ct")).as("ct"))
+        .localCheckpoint()
+      merged.write.mode("overwrite").parquet(s"$path/counts")
+    }
+
+    /** Importance weight of every batch doc against the frozen
+      * reference: one broadcast left join of the feature stream to the
+      * count table, per-doc sum at 4 dp. Featureless docs carry 0. */
+    def scoreOf(batch: DataFrame, textCol: String, idCol: String): DataFrame = {
+      val t = counts.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt")).head()
+      val (totR, totT) = (t.getLong(0), t.getLong(1))
+      val feats = buckets(batch, textCol, idCol, lit(false), nBuckets)
+      val perDoc = feats
+        .join(broadcast(counts), Seq("bucket"), "left")
+        .select(col("ds_id"),
+          (log((coalesce(col("ct"), lit(0L)) + lit(1L)) /
+               (lit(totT) + lit(nBuckets.toLong))) -
+           log((coalesce(col("cr"), lit(0L)) + lit(1L)) /
+               (lit(totR) + lit(nBuckets.toLong)))).as("lr"))
+        .groupBy(col("ds_id"))
+        .agg(count(lit(1)).as("n_feats"), round(sum(col("lr")), 4).as("logw"))
+      batch.select(col(idCol))
+        .join(perDoc, col(idCol) === col("ds_id"), "left")
+        .select(col(idCol),
+          coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+          coalesce(col("logw"), lit(0.0)).as("logw"))
+    }
+  }
+
+  object DsirRef {
+    private[operators] def countsOf(df: DataFrame, textCol: String,
+        idCol: String, isTarget: Column, nBuckets: Int): DataFrame =
+      buckets(df, textCol, idCol, isTarget, nBuckets)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("cr"),
+          sum(when(col("is_tgt"), lit(1L)).otherwise(lit(0L))).as("ct"))
+
+    def build(df: DataFrame, textCol: String, idCol: String,
+              isTarget: Column, nBuckets: Int = 256): DsirRef = {
+      require((nBuckets & (nBuckets - 1)) == 0, "nBuckets must be a power of 2")
+      DsirRef(countsOf(df, textCol, idCol, isTarget, nBuckets), nBuckets)
+    }
+
+    def load(spark: org.apache.spark.sql.SparkSession, path: String): DsirRef = {
+      val props = new java.util.Properties()
+      val r = new java.io.FileReader(s"$path/meta.properties")
+      try props.load(r) finally r.close()
+      DsirRef(spark.read.parquet(s"$path/counts"),
+        props.getProperty("nBuckets").toInt)
+    }
+  }
 }

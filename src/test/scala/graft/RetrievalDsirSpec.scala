@@ -133,6 +133,59 @@ class RetrievalDsirSpec extends AnyFunSuite {
     assert(even > 5, s"importance resample should favor the target: $even/10")
   }
 
+  test("DsirRef: build→save→load→scoreOf equals the in-query weights") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "good clean prose here", "en"),
+      (1L, "good clean prose there", "en"),
+      (2L, "zz xx qq ww", "de"),
+      (3L, "good clean zz xx", "de")
+    ).toDF("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("dsirref").toString
+    Dsir.DsirRef.build(d, "text", "doc_id", col("lang") === "en",
+      nBuckets = 16).save(dir)
+    val served = Dsir.DsirRef.load(spark, dir).scoreOf(d, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().toSet
+    val direct = Dsir.importanceWeights(d, "text", "doc_id",
+      col("lang") === "en", nBuckets = 16)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(served == direct)
+  }
+
+  test("DsirRef.appendTo: incremental reference equals full rebuild") {
+    import spark.implicits._
+    val d = (0L until 20L).map(i =>
+      (i, s"tok${i % 5} tok${(i + 1) % 5} tok${(i + 2) % 7}",
+        if (i % 3 == 0) "en" else "de")).toDF("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("dsirref2").toString
+    val tgt = col("lang") === "en"
+    Dsir.DsirRef.build(d.filter(col("doc_id") < 10), "text", "doc_id", tgt,
+      nBuckets = 16).save(dir)
+    Dsir.DsirRef.load(spark, dir)
+      .appendTo(dir, d.filter(col("doc_id") >= 10), "text", "doc_id", tgt)
+    val appended = Dsir.DsirRef.load(spark, dir).scoreOf(d, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().toSet
+    val dir2 = java.nio.file.Files.createTempDirectory("dsirref3").toString
+    Dsir.DsirRef.build(d, "text", "doc_id", tgt, nBuckets = 16).save(dir2)
+    val full = Dsir.DsirRef.load(spark, dir2).scoreOf(d, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(appended == full)
+  }
+
+  test("DsirRef: out-of-reference buckets score the uniform smoothing, finite") {
+    import spark.implicits._
+    val ref = Seq((0L, "alpha beta gamma", "en")).toDF("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("dsirref4").toString
+    Dsir.DsirRef.build(ref, "text", "doc_id", col("lang") === "en",
+      nBuckets = 256).save(dir)
+    // a batch doc whose bigrams the tiny reference never saw
+    val batch = Seq((7L, "nu xi omicron pi rho")).toDF("doc_id", "text")
+    val got = Dsir.DsirRef.load(spark, dir).scoreOf(batch, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().head
+    assert(got._2 == 4L)
+    assert(!got._3.isNaN && !got._3.isInfinite, s"finite OOV score: $got")
+  }
+
   test("dsir/bm25 plans: no ScalaUDF, feature hashing stays codegen") {
     val dPlan = Dsir.importanceWeights(docs, "text", "doc_id",
       col("doc_id") < 2, nBuckets = 16).queryExecution.executedPlan.toString
