@@ -99,6 +99,20 @@ object GrowthScaleSmoke {
         shingleN = 3, nPerm = 64, bands = 16)
       Clustering.dupClusters(pairs, "id_a", "id_b").count()
     }
+    // exact-substring spans: shuffle rows ∝ sliding windows (∝ tokens,
+    // linear); the planted every-10th near-copies guarantee dup windows
+    // keep appearing at scale. A quadratic trap here would be the
+    // window-hash partitions degenerating (hot hash × occurrences).
+    val ess = phase("exact_substr") {
+      Dedup.exactSubstrSpans(docs, "text", "doc_id", winTokens = 8).count()
+    }
+    // DSIR scoring: two corpus scans (bucket-count agg + per-doc sum),
+    // both ∝ bigram features; the ratio table is nBuckets rows and rides
+    // a broadcast, so shuffle rows must stay ∝ docs, never ∝ docs×buckets
+    val dsir = phase("dsir_score") {
+      graft.operators.Dsir.importanceWeights(docs, "text", "doc_id",
+        col("doc_id") % 10 === 0, nBuckets = 256).count()
+    }
     docs.unpersist()
 
     // event-chain phases (r7 verdict ask #7): attribution + funnel on a
@@ -145,7 +159,7 @@ object GrowthScaleSmoke {
       val nodes = spark.range(nNodes).select(col("id").as("node0"))
       Graph.pageRank(edges, "s", "d", "w", nodes, "node0", iters = 3).count()
     }
-    Seq(minhash, cross, cc, attr, fun, ij, pg)
+    Seq(minhash, cross, cc, ess, dsir, attr, fun, ij, pg)
   }
 
   /** Skewed event stream: (event_id, user_id, ts, event_type); ~10% of
