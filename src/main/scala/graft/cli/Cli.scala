@@ -381,7 +381,13 @@ object Cli {
           idCol, Lm.LmRef.load(spark, p),
           flag("--min-logprob", "-8.0").toDouble)
       }
-      Sampling.writeTrainingShards(afterLm, idCol, out,
+      val afterDsir = flag("--dsir", "") match {
+        case "" => afterLm
+        case p => graft.streaming.StreamingCuration.dsirGate(afterLm, textCol,
+          idCol, graft.operators.Dsir.DsirRef.load(spark, p),
+          flag("--min-logw", "0.0").toDouble)
+      }
+      Sampling.writeTrainingShards(afterDsir, idCol, out,
         flag("--shards", "8").toInt)
       println(s"wpcurate: curated shards written to $out")
 
@@ -423,6 +429,11 @@ object Cli {
         case p => Some(Lm.LmRef.load(spark, p))
       }
       val minLp = flag("--min-logprob", "-8.0").toDouble
+      val dsirRef = flag("--dsir", "") match {
+        case "" => None
+        case p => Some(graft.operators.Dsir.DsirRef.load(spark, p))
+      }
+      val minLogw = flag("--min-logw", "0.0").toDouble
       // optional drift watch: PSI of each ACCEPTED batch's value
       // distribution vs a persisted drift reference (wpindex drift) —
       // an alert line prints per drifting group; curation keeps flowing
@@ -451,10 +462,15 @@ object Cli {
               nearDupThreshold = flag("--threshold", "0.5").toDouble)
             case None => b
           }
-          val accepted = lmRef match {
+          val lmGated = lmRef match {
             case Some(ref) => graft.streaming.StreamingCuration.lmGate(
               gated, textCol, idCol, ref, minLp)
             case None => gated
+          }
+          val accepted = dsirRef match {
+            case Some(ref) => graft.streaming.StreamingCuration.dsirGate(
+              lmGated, textCol, idCol, ref, minLogw)
+            case None => lmGated
           }
           accepted.write.mode("append").parquet(s"$out/accepted")
           driftRef.foreach { ref =>

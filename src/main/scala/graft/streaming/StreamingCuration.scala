@@ -68,4 +68,21 @@ object StreamingCuration {
         .filter(col("n_bigrams") === 0 || col("avg_logprob") >= minAvgLogprob)
         .select(col(idCol)),
       Seq(idCol))
+
+  /** DSIR gate against the persisted reference counts
+    * ([[graft.operators.Dsir.DsirRef]]) — the data-selection stage of
+    * the continual pipeline: keep batch docs whose importance weight
+    * under the FROZEN target/raw bucket counts clears the floor (docs
+    * that look like the target corpus survive; off-distribution text
+    * drops). Stateless per batch; the nBuckets-row count table is the
+    * on-disk cross-batch state, loaded once. Featureless docs pass
+    * through (their weight is the uninformative 0). */
+  def dsirGate(batch: DataFrame, textCol: String, idCol: String,
+               ref: graft.operators.Dsir.DsirRef,
+               minLogw: Double): DataFrame =
+    batch.join(
+      ref.scoreOf(batch, textCol, idCol)
+        .filter(col("n_feats") === 0 || col("logw") >= minLogw)
+        .select(col(idCol)),
+      Seq(idCol))
 }

@@ -57,6 +57,41 @@ class CliCurateSpec extends AnyFunSuite {
     assert(kept == Set(1L, 5L), s"kept=$kept")
   }
 
+  test("wpcurate batch --dsir: off-target docs drop at the importance gate") {
+    import spark.implicits._
+    spark
+    // reference pool: the English slice is the target distribution,
+    // the German slice contributes junk bigrams to the raw pool only
+    val refPool = Seq(
+      (300L, "good clean prose with structure and care", "en"),
+      (301L, "good clean prose with style and structure", "en"),
+      (302L, "zz xx qq ww vv kk zz xx", "de"),
+      (303L, "zz xx qq ww vv jj zz xx", "de"))
+      .toDF("doc_id", "text", "lang")
+    val batch = Seq(
+      (1L, "good clean prose with care and style"), // target-like: keep
+      (2L, "zz xx qq ww vv kk qq ww"))              // raw-junk: drop
+      .toDF("doc_id", "text")
+
+    val rDir = tmp("dsir_ref_pool"); val dsirIdx = tmp("dsir_ref_idx")
+    val bDir = tmp("dsir_batch"); val outDir = tmp("dsir_out")
+    refPool.write.mode("overwrite").parquet(rDir)
+    batch.write.mode("overwrite").parquet(bDir)
+    graft.cli.Cli.main(Array("wpindex", "build", "dsir", rDir, dsirIdx,
+      "--buckets", "64"))
+    // floor −1.0: the target-like doc lands at ≈ −0.19 (64-bucket
+    // collisions smear a little junk mass onto its grams), the junk doc
+    // at ≈ −4.1 — the gate must separate them
+    graft.cli.Cli.main(Array("wpcurate", "batch", bDir, outDir,
+      "--dsir", dsirIdx, "--min-logw", "-1.0",
+      "--min-words", "3", "--min-entropy", "2.0", "--min-score", "-1000000",
+      "--shards", "1"))
+
+    val kept = spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L), s"kept=$kept")
+  }
+
   test("wpcurate daemon --once: drains the landing dir through the same stages") {
     import spark.implicits._
     spark
