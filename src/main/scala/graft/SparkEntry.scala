@@ -945,6 +945,27 @@ object SparkEntry {
         winTokens = 8)
       .orderBy(col("doc_id"), col("span_start"))
 
+  private val substrIndexPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Exact-substring spans SERVED FROM the persisted window index:
+    * corpus = even-id docs (hashes frozen on disk), batch = odd-id
+    * docs; the probe semi-joins the loaded hash set and reports which
+    * batch spans exist verbatim in the corpus. The oracle replays the
+    * window-set membership on strings. */
+  private def qExactSubstrIndex(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val path = substrIndexPaths.computeIfAbsent(dir, { _ =>
+      val p = java.nio.file.Files.createTempDirectory("graft_substr_idx").toString
+      Dedup.SubstrCorpusIndex.build(d.filter(col("doc_id") % 2 === 0),
+        "text", "doc_id", winTokens = 8).save(p)
+      p
+    })
+    Dedup.SubstrCorpusIndex.load(s, path)
+      .spansOf(d.filter(col("doc_id") % 2 === 1), "text", "doc_id")
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
   /** Sequence packing: greedy 256-token bins per (lang, doc_id%4 shard)
     * cell in doc_id order — deterministic, so the oracle replays the
     * same scan with a recursive CTE. */
@@ -2163,7 +2184,8 @@ object SparkEntry {
     "dsir_weights" -> (qDsirWeights _),
     "dsir_select" -> (qDsirSelect _),
     "dsir_score_index" -> (qDsirScoreIndex _),
-    "exact_substring_spans" -> (qExactSubstrSpans _)
+    "exact_substring_spans" -> (qExactSubstrSpans _),
+    "exact_substring_index" -> (qExactSubstrIndex _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -4605,6 +4627,36 @@ object SparkEntry {
                row_number() OVER (PARTITION BY wt ORDER BY doc_id, pos) AS rn
              FROM wins)
            WHERE cnt >= 2 AND rn > 1),
+         flg AS (
+           SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                    OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+                  THEN 1 ELSE 0 END AS ns
+           FROM dups),
+         sp AS (
+           SELECT doc_id, pos,
+             sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+           FROM flg)
+         SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 7 AS BIGINT) AS span_end, count(*) AS n_windows
+         FROM sp GROUP BY doc_id, span_id
+         ORDER BY doc_id, span_start""",
+    "exact_substring_index" ->
+      """WITH d AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+             x -> len(x) > 0) AS t
+           FROM documents),
+         w0 AS (
+           SELECT doc_id, t,
+             unnest(generate_series(1, greatest(len(t) - 7, 0))) AS i
+           FROM d),
+         wins AS (
+           SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS wt
+           FROM w0),
+         corpus AS (SELECT DISTINCT wt FROM wins WHERE doc_id % 2 = 0),
+         dups AS (
+           SELECT doc_id, pos FROM wins
+           WHERE doc_id % 2 = 1 AND wt IN (SELECT wt FROM corpus)),
          flg AS (
            SELECT doc_id, pos,
              CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL

@@ -27,8 +27,8 @@ import graft.streaming.StreamingPipeline
   * side's persisted dedup/ANN artifacts, operable like everything
   * else):
   *
-  *   wpindex build  neardup|emb|ann|drift|lm|bm25|dsir <corpus.parquet> <indexDir> [--dim D]
-  *   wpindex append neardup|emb|ann|drift|lm|bm25|dsir <new.parquet> <indexDir>
+  *   wpindex build  neardup|emb|ann|drift|lm|bm25|dsir|substr <corpus.parquet> <indexDir> [--dim D]
+  *   wpindex append neardup|emb|ann|drift|lm|bm25|dsir|substr <new.parquet> <indexDir>
   *   wpindex probe  neardup|emb     <batch.parquet> <indexDir> <outDir> [--threshold T]
   *   wpindex probe  ann             <queries.parquet> <indexDir> <outDir> [--nprobe N] [--topk K]
   *   wpindex probe  drift           <batch.parquet> <indexDir> <outDir> [--grp-col G --val-col V]
@@ -620,9 +620,26 @@ object Cli {
               flag("--text-col", "text"), flag("--id-col", "doc_id"))
             .write.mode("overwrite").parquet(out)
           println(s"wpindex: dsir weights written to $out")
+        case ("build", "substr", corpus :: path :: _) =>
+          Dedup.SubstrCorpusIndex.build(spark.read.parquet(corpus),
+              flag("--text-col", "text"), flag("--id-col", "doc_id"),
+              winTokens = flag("--win", "8").toInt)
+            .save(path)
+          println(s"wpindex: built substr index at $path")
+        case ("append", "substr", newData :: path :: _) =>
+          Dedup.SubstrCorpusIndex.load(spark, path).appendTo(path,
+            spark.read.parquet(newData),
+            flag("--text-col", "text"), flag("--id-col", "doc_id"))
+          println(s"wpindex: appended to substr index at $path")
+        case ("probe", "substr", batch :: path :: out :: _) =>
+          Dedup.SubstrCorpusIndex.load(spark, path)
+            .spansOf(spark.read.parquet(batch),
+              flag("--text-col", "text"), flag("--id-col", "doc_id"))
+            .write.mode("overwrite").parquet(out)
+          println(s"wpindex: duplicated spans written to $out")
         case _ =>
           System.err.println(
-            "usage: wpindex build|append|probe neardup|emb|ann|drift|lm|bm25|dsir <in.parquet> <indexDir> [<outDir>] [flags]")
+            "usage: wpindex build|append|probe neardup|emb|ann|drift|lm|bm25|dsir|substr <in.parquet> <indexDir> [<outDir>] [flags]")
           sys.exit(2)
       }
 

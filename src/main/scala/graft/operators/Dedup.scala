@@ -805,12 +805,7 @@ object Dedup {
   def exactSubstrSpans(df: DataFrame, textCol: String, idCol: String,
                        winTokens: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val wins = df
-      .select(col(idCol).as("es_id"), TextAnalysis.tokens(col(textCol)).as("tk"))
-      .select(col("es_id"),
-        posexplode(TextAnalysis.ngramsWithMultiplicity(col("tk"), winTokens)))
-      .select(col("es_id"), col("pos"),
-        graft.functions.Fnv1a64Expr.fnv1a64(col("col")).as("h"))
+    val wins = windowHashes(df, textCol, idCol, winTokens)
     val wHash = Window.partitionBy(col("h"))
     val dups = wins
       .withColumn("cnt", count(lit(1)).over(wHash))
@@ -818,9 +813,27 @@ object Dedup {
         wHash.orderBy(col("es_id"), col("pos"))))
       .filter(col("cnt") >= 2 && col("rn") > 1)
       .select(col("es_id"), col("pos"))
+    mergeSpans(dups, winTokens, idCol)
+  }
+
+  /** (es_id, pos, h) stride-1 sliding-window hash relation. */
+  private def windowHashes(df: DataFrame, textCol: String, idCol: String,
+                           winTokens: Int): DataFrame =
+    df.select(col(idCol).as("es_id"), TextAnalysis.tokens(col(textCol)).as("tk"))
+      .select(col("es_id"),
+        posexplode(TextAnalysis.ngramsWithMultiplicity(col("tk"), winTokens)))
+      .select(col("es_id"), col("pos"),
+        graft.functions.Fnv1a64Expr.fnv1a64(col("col")).as("h"))
+
+  /** Merge duplicated window positions (es_id, pos) into maximal spans:
+    * gaps-and-islands per doc, new span iff the next window starts past
+    * the previous covered range (+adjacency). */
+  private def mergeSpans(dups: DataFrame, winTokens: Int,
+                         idOut: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wDoc = Window.partitionBy(col("es_id")).orderBy(col("pos"))
     val prev = lag(col("pos"), 1).over(wDoc)
-    val spans = dups
+    dups
       .withColumn("ns",
         when(prev.isNull || col("pos") > prev + winTokens, 1).otherwise(0))
       .withColumn("span_id", sum(col("ns")).over(wDoc))
@@ -828,7 +841,75 @@ object Dedup {
       .agg(min(col("pos")).cast("long").as("span_start"),
         (max(col("pos")) + winTokens - 1).cast("long").as("span_end"),
         count(lit(1)).as("n_windows"))
-    spans.select(col("es_id").as(idCol), col("span_start"),
-      col("span_end"), col("n_windows"))
+      .select(col("es_id").as(idOut), col("span_start"),
+        col("span_end"), col("n_windows"))
+  }
+
+  /** Persisted exact-substring window index — the EIGHTH operable index:
+    * the distinct window-hash set of the corpus, bucket-partitioned by
+    * the hash's low bits. The continual-ingest twin of
+    * [[exactSubstrSpans]]: a new batch's windows semi-join the loaded
+    * hash set (stream-static composable, duplicate index rows harmless
+    * by construction) and the shared gaps-and-islands merge reports
+    * which batch spans already exist verbatim in the corpus. Append
+    * unions a new slice's window hashes in `mode(append)` — no rebuild,
+    * and the semi-join makes appended duplicates a non-event. Only
+    * 8-byte hashes live in the index: corpus text never persists. */
+  final case class SubstrCorpusIndex(wins: DataFrame, winTokens: Int,
+                                     diskBuckets: Int) {
+    def save(path: String): Unit = {
+      new java.io.File(path).mkdirs()
+      wins
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/wins")
+      val props = new java.util.Properties()
+      props.setProperty("winTokens", winTokens.toString)
+      props.setProperty("diskBuckets", diskBuckets.toString)
+      val w = new java.io.FileWriter(s"$path/meta.properties")
+      try props.store(w, "graft exact-substring window index") finally w.close()
+    }
+
+    def appendTo(path: String, newDocs: DataFrame, textCol: String,
+                 idCol: String): Unit = {
+      SubstrCorpusIndex.winsOf(newDocs, textCol, idCol, winTokens, diskBuckets)
+        .repartition(col("bucket"))
+        .write.mode("append").partitionBy("bucket").parquet(s"$path/wins")
+    }
+
+    /** Spans of the batch already present verbatim in the corpus. */
+    def spansOf(batch: DataFrame, textCol: String, idCol: String): DataFrame = {
+      val bw = windowHashes(batch, textCol, idCol, winTokens)
+        .withColumn("bucket",
+          col("h").bitwiseAND(lit(diskBuckets.toLong - 1)).cast("int"))
+      val dups = bw
+        .join(wins, Seq("bucket", "h"), "left_semi")
+        .select(col("es_id"), col("pos"))
+      mergeSpans(dups, winTokens, idCol)
+    }
+  }
+
+  object SubstrCorpusIndex {
+    val DiskBuckets = 64
+
+    private[operators] def winsOf(df: DataFrame, textCol: String,
+        idCol: String, winTokens: Int, diskBuckets: Int): DataFrame =
+      windowHashes(df, textCol, idCol, winTokens)
+        .select(col("h")).distinct()
+        .withColumn("bucket",
+          col("h").bitwiseAND(lit(diskBuckets.toLong - 1)).cast("int"))
+
+    def build(df: DataFrame, textCol: String, idCol: String,
+              winTokens: Int = 8): SubstrCorpusIndex =
+      SubstrCorpusIndex(winsOf(df, textCol, idCol, winTokens, DiskBuckets),
+        winTokens, DiskBuckets)
+
+    def load(spark: SparkSession, path: String): SubstrCorpusIndex = {
+      val props = new java.util.Properties()
+      val r = new java.io.FileReader(s"$path/meta.properties")
+      try props.load(r) finally r.close()
+      SubstrCorpusIndex(spark.read.parquet(s"$path/wins"),
+        props.getProperty("winTokens").toInt,
+        props.getProperty("diskBuckets").toInt)
+    }
   }
 }

@@ -62,6 +62,43 @@ class ExactSubstrSpec extends AnyFunSuite {
     assert(got.isEmpty)
   }
 
+  test("SubstrCorpusIndex: build→save→load→probe finds corpus-verbatim spans") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "a b c d e f g"),
+      (1L, "h i j k l m n")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "x y a b c d e z"),   // tokens 2..6 verbatim in doc0
+      (11L, "u v w q r s t")      // novel
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("substridx").toString
+    Dedup.SubstrCorpusIndex.build(corpus, "text", "doc_id", winTokens = 3)
+      .save(dir)
+    val got = Dedup.SubstrCorpusIndex.load(spark, dir)
+      .spansOf(batch, "text", "doc_id")
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(got == List((10L, 2L, 6L, 3L)), s"got=$got")
+  }
+
+  test("SubstrCorpusIndex.appendTo: later batches see appended corpus; dup rows harmless") {
+    import spark.implicits._
+    val corpus = Seq((0L, "a b c d e")).toDF("doc_id", "text")
+    val more = Seq((1L, "p q r s t"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("substridx2").toString
+    Dedup.SubstrCorpusIndex.build(corpus, "text", "doc_id", winTokens = 3)
+      .save(dir)
+    // append includes hashes already present (doc2 repeats doc0) — the
+    // semi-join must not double-count them
+    Dedup.SubstrCorpusIndex.load(spark, dir)
+      .appendTo(dir, more, "text", "doc_id")
+    val batch = Seq((10L, "z p q r s w"), (11L, "z a b c d w"))
+      .toDF("doc_id", "text")
+    val got = Dedup.SubstrCorpusIndex.load(spark, dir)
+      .spansOf(batch, "text", "doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((10L, 1L, 4L, 2L), (11L, 1L, 4L, 2L)), s"got=$got")
+  }
+
   test("plan: hash-keyed windows, no ScalaUDF, no cartesian") {
     import spark.implicits._
     val df = Seq((0L, "a b c d e"), (1L, "a b c d e")).toDF("doc_id", "text")
