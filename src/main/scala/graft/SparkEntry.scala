@@ -966,6 +966,17 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("span_start"))
   }
 
+  /** The exact-substring APPLY step: every doc's text rebuilt with the
+    * duplicated spans cut out (later occurrences removed, first kept).
+    * Composes the span miner with the span consumer — the pair a real
+    * pipeline runs. */
+  private def qExactSubstrApply(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    Dedup.exactSubstrApply(d, "text", "doc_id",
+        Dedup.exactSubstrSpans(d, "text", "doc_id", winTokens = 8))
+      .orderBy(col("doc_id"))
+  }
+
   /** Sequence packing: greedy 256-token bins per (lang, doc_id%4 shard)
     * cell in doc_id order — deterministic, so the oracle replays the
     * same scan with a recursive CTE. */
@@ -2185,7 +2196,8 @@ object SparkEntry {
     "dsir_select" -> (qDsirSelect _),
     "dsir_score_index" -> (qDsirScoreIndex _),
     "exact_substring_spans" -> (qExactSubstrSpans _),
-    "exact_substring_index" -> (qExactSubstrIndex _)
+    "exact_substring_index" -> (qExactSubstrIndex _),
+    "exact_substring_apply" -> (qExactSubstrApply _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -4670,7 +4682,58 @@ object SparkEntry {
          SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
            CAST(max(pos) + 7 AS BIGINT) AS span_end, count(*) AS n_windows
          FROM sp GROUP BY doc_id, span_id
-         ORDER BY doc_id, span_start"""
+         ORDER BY doc_id, span_start""",
+    "exact_substring_apply" ->
+      """WITH d AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+             x -> len(x) > 0) AS t
+           FROM documents),
+         w0 AS (
+           SELECT doc_id, t,
+             unnest(generate_series(1, greatest(len(t) - 7, 0))) AS i
+           FROM d),
+         wins AS (
+           SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS wt
+           FROM w0),
+         dups AS (
+           SELECT doc_id, pos FROM (
+             SELECT doc_id, pos,
+               count(*) OVER (PARTITION BY wt) AS cnt,
+               row_number() OVER (PARTITION BY wt ORDER BY doc_id, pos) AS rn
+             FROM wins)
+           WHERE cnt >= 2 AND rn > 1),
+         flg AS (
+           SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                    OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+                  THEN 1 ELSE 0 END AS ns
+           FROM dups),
+         sp AS (
+           SELECT doc_id, pos,
+             sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+           FROM flg),
+         spans AS (
+           SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+           FROM sp GROUP BY doc_id, span_id),
+         cov AS (
+           SELECT DISTINCT doc_id, unnest(generate_series(s, e)) AS pos
+           FROM spans),
+         toks AS (
+           SELECT doc_id, t[i] AS tok, i - 1 AS pos
+           FROM (SELECT doc_id, t,
+                   unnest(generate_series(1, len(t))) AS i FROM d)),
+         kept AS (
+           SELECT k.doc_id, k.tok, k.pos FROM toks k
+           ANTI JOIN cov c ON k.doc_id = c.doc_id AND k.pos = c.pos),
+         reb AS (
+           SELECT doc_id, count(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+           FROM kept GROUP BY doc_id)
+         SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+           CAST(len(d.t) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(cleaned_text, '') AS cleaned_text
+         FROM d LEFT JOIN reb USING (doc_id)
+         ORDER BY doc_id"""
   )
 
   /** BM25 oracle over an optionally restricted corpus: full replay of

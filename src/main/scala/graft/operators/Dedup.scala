@@ -845,6 +845,44 @@ object Dedup {
         col("span_end"), col("n_windows"))
   }
 
+  /** The APPLY step of exact-substring dedup: rebuild each doc's text
+    * with the duplicated spans cut out (the paper's actual training-set
+    * transformation — later occurrences of repeated substrings are
+    * removed, first occurrences stay). `spans` is any
+    * (id, span_start, span_end, …) frame from [[exactSubstrSpans]] or
+    * [[SubstrCorpusIndex.spansOf]] — the one-shot and continual miners
+    * share this consumer.
+    *
+    * Shape: spans explode to covered token positions (bounded by doc
+    * length, ∝ removed tokens), one id-keyed join against the token
+    * stream, and a per-doc sorted rebuild whose groups are bounded by
+    * doc length. Docs with no spans pass through unchanged. */
+  def exactSubstrApply(df: DataFrame, textCol: String, idCol: String,
+                       spans: DataFrame): DataFrame = {
+    val covered = spans
+      .select(col(idCol).as("ea_id"),
+        explode(sequence(col("span_start"), col("span_end"))).as("pos"))
+      .distinct()
+    val toks = df
+      .select(col(idCol).as("ea_id"), TextAnalysis.tokens(col(textCol)).as("tk"))
+      .select(col("ea_id"), posexplode(col("tk")))
+      .select(col("ea_id"), col("pos").cast("long").as("pos"),
+        col("col").as("tok"))
+    val kept = toks.join(covered, Seq("ea_id", "pos"), "left_anti")
+    val rebuilt = kept
+      .groupBy(col("ea_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("cleaned_text"))
+    df.select(col(idCol),
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(rebuilt, col(idCol) === col("ea_id"), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
+
   /** Persisted exact-substring window index — the EIGHTH operable index:
     * the distinct window-hash set of the corpus, bucket-partitioned by
     * the hash's low bits. The continual-ingest twin of

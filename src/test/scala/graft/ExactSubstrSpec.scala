@@ -99,6 +99,34 @@ class ExactSubstrSpec extends AnyFunSuite {
     assert(got == Set((10L, 1L, 4L, 2L), (11L, 1L, 4L, 2L)), s"got=$got")
   }
 
+  test("exactSubstrApply: cuts the dup span, keeps first occurrence and edges") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "a b c d e x y"),
+      (1L, "z a b c d e w")).toDF("doc_id", "text")
+    val spans = Dedup.exactSubstrSpans(df, "text", "doc_id", 3)
+    val got = Dedup.exactSubstrApply(df, "text", "doc_id", spans)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toList
+    assert(got == List(
+      (0L, 7L, 0L, "a b c d e x y"),
+      (1L, 7L, 5L, "z w")), s"got=$got")
+  }
+
+  test("exactSubstrApply: fully-duplicated doc empties; span-less doc unchanged") {
+    import spark.implicits._
+    val base = "m n o p q"
+    val df = Seq((0L, base), (1L, base), (2L, "u v w x y")).toDF("doc_id", "text")
+    val spans = Dedup.exactSubstrSpans(df, "text", "doc_id", 3)
+    val got = Dedup.exactSubstrApply(df, "text", "doc_id", spans)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toList
+    assert(got == List(
+      (0L, 5L, 0L, base),
+      (1L, 5L, 5L, ""),
+      (2L, 5L, 0L, "u v w x y")), s"got=$got")
+  }
+
   test("plan: hash-keyed windows, no ScalaUDF, no cartesian") {
     import spark.implicits._
     val df = Seq((0L, "a b c d e"), (1L, "a b c d e")).toDF("doc_id", "text")
