@@ -92,6 +92,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.HeavyHitters(args.head,
           intLit(args(1), "k"), intLit(args(2), "capacity"))
       }))
+    // quantile sketch: SQL form takes ONE quantile literal (the Column
+    // API accepts a Seq); capacity as an int literal
+    e.injectFunction((
+      FunctionIdentifier("quantile_sketch"),
+      new ExpressionInfo(classOf[graft.functions.QuantileSketch].getName,
+        "quantile_sketch"),
+      (args: Seq[Expression]) => {
+        val q = args(1) match {
+          case Literal(d: Double, _) => d
+          case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toDouble
+          case other => throw new IllegalArgumentException(
+            s"quantile_sketch: q must be a double literal, got $other")
+        }
+        val cap = args(2) match {
+          case Literal(n: Int, _) => n
+          case other => throw new IllegalArgumentException(
+            s"quantile_sketch: capacity must be an int literal, got $other")
+        }
+        graft.functions.QuantileSketch(args.head, Seq(q), cap)
+      }))
     // BPE apply: merges as one 'a b;c d;…' string literal (rank order)
     e.injectFunction((
       FunctionIdentifier("bpe_apply"),

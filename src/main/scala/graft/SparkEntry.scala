@@ -966,6 +966,17 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("span_start"))
   }
 
+  /** Per-type value quantiles via the mergeable bounded-memory sketch —
+    * capacity 16384 ≥ any sf0.01 group, so the summary never compacts
+    * and reports the EXACT nearest-rank-lower order statistic (the same
+    * operator runs approximately when groups exceed capacity;
+    * spec-pinned in QuantileSketchSpec). */
+  private def qQuantileSketch(s: SparkSession, dir: String): DataFrame =
+    graft.stats.Stats.quantileProfile(
+        t(s, dir, "events").filter(col("value").isNotNull),
+        "event_type", "value", qs = Seq(0.5, 0.9, 0.99), capacity = 16384)
+      .orderBy(col("event_type"), col("q"))
+
   /** The exact-substring APPLY step: every doc's text rebuilt with the
     * duplicated spans cut out (later occurrences removed, first kept).
     * Composes the span miner with the span consumer — the pair a real
@@ -2197,7 +2208,8 @@ object SparkEntry {
     "dsir_score_index" -> (qDsirScoreIndex _),
     "exact_substring_spans" -> (qExactSubstrSpans _),
     "exact_substring_index" -> (qExactSubstrIndex _),
-    "exact_substring_apply" -> (qExactSubstrApply _)
+    "exact_substring_apply" -> (qExactSubstrApply _),
+    "q_quantile_sketch" -> (qQuantileSketch _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -4733,7 +4745,18 @@ object SparkEntry {
            CAST(len(d.t) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
            coalesce(cleaned_text, '') AS cleaned_text
          FROM d LEFT JOIN reb USING (doc_id)
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+    "q_quantile_sketch" ->
+      """WITH vals AS (
+           SELECT event_type, list_sort(list(CAST(value AS DOUBLE))) AS v,
+             count(*) AS n
+           FROM events WHERE value IS NOT NULL GROUP BY event_type),
+         qs(q) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+           (CAST(0.99 AS DOUBLE)))
+         SELECT event_type, q,
+           v[CAST(floor(q * (n - 1)) AS INT) + 1] AS value
+         FROM vals CROSS JOIN qs
+         ORDER BY event_type, q"""
   )
 
   /** BM25 oracle over an optionally restricted corpus: full replay of

@@ -32,6 +32,20 @@ object Stats {
   def ruleStats(parsed: DataFrame): DataFrame =
     parsed.groupBy(col("rule_key"), col("status")).count()
 
+  /** Per-group quantile profile via the mergeable bounded-memory sketch
+    * ([[graft.functions.QuantileSketch]]): the "p50/p90/p99 of this
+    * column per key" card WITHOUT a global sort — partials carry at most
+    * `capacity` weighted samples per task through the exchange. Exact
+    * (and oracle-able) while each group's row count ≤ capacity; degrades
+    * to bounded rank error beyond. Output: one row per (group, q). */
+  def quantileProfile(df: DataFrame, grpCol: String, valCol: String,
+                      qs: Seq[Double], capacity: Int = 4096): DataFrame =
+    df.groupBy(col(grpCol))
+      .agg(graft.functions.QuantileSketch
+        .quantile_sketch(col(valCol).cast("double"), qs, capacity).as("qv"))
+      .select(col(grpCol), explode(col("qv")).as("e"))
+      .select(col(grpCol), col("e.q").as("q"), col("e.value").as("value"))
+
   /** Collect observed metrics synchronously for a batch frame via the
     * Observation API (metrics ride the same job as the action — no second
     * pass over the data). */
