@@ -387,7 +387,13 @@ object Cli {
           idCol, graft.operators.Dsir.DsirRef.load(spark, p),
           flag("--min-logw", "0.0").toDouble)
       }
-      Sampling.writeTrainingShards(afterDsir, idCol, out,
+      val afterSubstr = flag("--substr", "") match {
+        case "" => afterDsir
+        case p => graft.streaming.StreamingCuration.substrGate(afterDsir,
+          textCol, idCol, Dedup.SubstrCorpusIndex.load(spark, p),
+          flag("--max-dupfrac", "0.5").toDouble)
+      }
+      Sampling.writeTrainingShards(afterSubstr, idCol, out,
         flag("--shards", "8").toInt)
       println(s"wpcurate: curated shards written to $out")
 
@@ -434,6 +440,11 @@ object Cli {
         case p => Some(graft.operators.Dsir.DsirRef.load(spark, p))
       }
       val minLogw = flag("--min-logw", "0.0").toDouble
+      val substrIdx = flag("--substr", "") match {
+        case "" => None
+        case p => Some(Dedup.SubstrCorpusIndex.load(spark, p))
+      }
+      val maxDupFrac = flag("--max-dupfrac", "0.5").toDouble
       // optional drift watch: PSI of each ACCEPTED batch's value
       // distribution vs a persisted drift reference (wpindex drift) —
       // an alert line prints per drifting group; curation keeps flowing
@@ -467,10 +478,15 @@ object Cli {
               gated, textCol, idCol, ref, minLp)
             case None => gated
           }
-          val accepted = dsirRef match {
+          val dsirGated = dsirRef match {
             case Some(ref) => graft.streaming.StreamingCuration.dsirGate(
               lmGated, textCol, idCol, ref, minLogw)
             case None => lmGated
+          }
+          val accepted = substrIdx match {
+            case Some(idx) => graft.streaming.StreamingCuration.substrGate(
+              dsirGated, textCol, idCol, idx, maxDupFrac)
+            case None => dsirGated
           }
           accepted.write.mode("append").parquet(s"$out/accepted")
           driftRef.foreach { ref =>

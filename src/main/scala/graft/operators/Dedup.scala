@@ -924,6 +924,23 @@ object Dedup {
         .select(col("es_id"), col("pos"))
       mergeSpans(dups, winTokens, idCol)
     }
+
+    /** Per-doc duplicated-token share of a batch vs the corpus: span
+      * token coverage over token count — the gate signal ("drop docs
+      * that are mostly already in the corpus"). Spans never overlap by
+      * construction (maximal merge), so coverage is a plain sum. */
+    def dupStatsOf(batch: DataFrame, textCol: String, idCol: String): DataFrame = {
+      val perDoc = spansOf(batch, textCol, idCol)
+        .groupBy(col(idCol).as("ds_id"))
+        .agg(sum(col("span_end") - col("span_start") + 1).as("n_dup_tokens"))
+      batch.select(col(idCol),
+          size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
+        .join(perDoc, col(idCol) === col("ds_id"), "left")
+        .select(col(idCol), col("n_tokens"),
+          coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+          round(coalesce(col("n_dup_tokens").cast("double") / col("n_tokens"),
+            lit(0.0)), 4).as("dup_frac"))
+    }
   }
 
   object SubstrCorpusIndex {

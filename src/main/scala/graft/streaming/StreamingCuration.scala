@@ -85,4 +85,19 @@ object StreamingCuration {
         .filter(col("n_feats") === 0 || col("logw") >= minLogw)
         .select(col(idCol)),
       Seq(idCol))
+
+  /** Exact-substring gate against the persisted window index
+    * ([[Dedup.SubstrCorpusIndex]]): drop batch docs whose corpus-
+    * verbatim token share exceeds `maxDupFrac` — the "mostly already in
+    * the corpus" filter a near-dup probe can miss when a doc is a
+    * mosaic of copied spans below the Jaccard threshold. Stateless per
+    * batch; the window-hash set is the on-disk cross-batch state. */
+  def substrGate(batch: DataFrame, textCol: String, idCol: String,
+                 idx: graft.operators.Dedup.SubstrCorpusIndex,
+                 maxDupFrac: Double): DataFrame =
+    batch.join(
+      idx.dupStatsOf(batch, textCol, idCol)
+        .filter(col("dup_frac") <= maxDupFrac)
+        .select(col(idCol)),
+      Seq(idCol))
 }

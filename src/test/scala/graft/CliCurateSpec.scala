@@ -92,6 +92,35 @@ class CliCurateSpec extends AnyFunSuite {
     assert(kept == Set(1L), s"kept=$kept")
   }
 
+  test("wpcurate batch --substr: mosaic-of-corpus docs drop at the dup-fraction gate") {
+    import spark.implicits._
+    spark
+    val corpus = Seq(
+      (400L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (401L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    // both docs carry stopwords so the upstream quality gate passes them —
+    // the substr gate must be what separates them
+    val batch = Seq(
+      // 8 of 11 tokens verbatim from doc400 (dup_frac ≈ 0.73) → drop
+      (1L, "alpha beta gamma delta epsilon zeta eta theta and the of"),
+      // entirely novel → keep
+      (2L, "the fresh material with no overlap of corpus at all"))
+      .toDF("doc_id", "text")
+    val cDir = tmp("ss_corpus"); val ssIdx = tmp("ss_idx")
+    val bDir = tmp("ss_batch"); val outDir = tmp("ss_out")
+    corpus.write.mode("overwrite").parquet(cDir)
+    batch.write.mode("overwrite").parquet(bDir)
+    graft.cli.Cli.main(Array("wpindex", "build", "substr", cDir, ssIdx,
+      "--win", "4"))
+    graft.cli.Cli.main(Array("wpcurate", "batch", bDir, outDir,
+      "--substr", ssIdx, "--max-dupfrac", "0.5",
+      "--min-words", "3", "--min-entropy", "2.0", "--min-score", "-1000000",
+      "--shards", "1"))
+    val kept = spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L), s"kept=$kept")
+  }
+
   test("wpcurate daemon --once: drains the landing dir through the same stages") {
     import spark.implicits._
     spark
