@@ -405,11 +405,25 @@ object Cli {
         val i = rest.indexOf(name); if (i >= 0 && i + 1 < rest.length) rest(i + 1) else default
       }
       val spark = session()
-      TextAnalysis.datasetCard(spark.read.parquet(in),
+      val corpus = spark.read.parquet(in)
+      TextAnalysis.datasetCard(corpus,
           flag("--text-col", "text"),
           flag("--source-col", "source"), flag("--lang-col", "lang"))
         .write.mode("overwrite").parquet(out)
       println(s"wpcurate: dataset card written to $out")
+      // optional length-quantile profile per language via the mergeable
+      // sketch — summaries, not rows, through the exchange
+      flag("--quantile-col", "") match {
+        case "" => ()
+        case qc =>
+          graft.stats.Stats.quantileProfile(
+              corpus.filter(org.apache.spark.sql.functions.col(qc).isNotNull),
+              flag("--lang-col", "lang"), qc,
+              qs = Seq(0.5, 0.9, 0.99),
+              capacity = flag("--quantile-capacity", "4096").toInt)
+            .write.mode("overwrite").parquet(s"$out/_quantiles")
+          println(s"wpcurate: $qc quantiles written to $out/_quantiles")
+      }
 
     // Continual-ingest curation daemon — parquet files landing in <in>
     // stream through the same stage chain per micro-batch (schema taken

@@ -191,4 +191,21 @@ class CliCurateSpec extends AnyFunSuite {
     assert(card.count() == 2)
     assert(card.columns.contains("n_docs"))
   }
+
+  test("wpcurate stats --quantile-col: length percentiles land beside the card") {
+    import spark.implicits._
+    spark
+    val inDir = tmp("cardq_in"); val outDir = tmp("cardq_out")
+    (1L to 20L).map(i => (i, "w " * i.toInt, "en", "s1", i * 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(inDir)
+    graft.cli.Cli.main(Array("wpcurate", "stats", inDir, outDir,
+      "--quantile-col", "n_chars"))
+    // the `_`-prefixed subdir is invisible to the card read…
+    assert(spark.read.parquet(outDir).count() == 1)
+    // …and holds the per-lang profile (exact regime: 20 ≤ capacity)
+    val q = spark.read.parquet(s"$outDir/_quantiles")
+      .as[(String, Double, Double)].collect().map(r => r._2 -> r._3).toMap
+    assert(q(0.5) == 100.0 && q(0.99) == 190.0, s"q=$q")
+  }
 }

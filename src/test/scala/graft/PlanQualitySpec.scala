@@ -549,6 +549,52 @@ class PlanQualitySpec extends AnyFunSuite {
     graft.operators.CacheScope.drain()
   }
 
+  test("r8 session-5 queries keep their scale shapes") {
+    // bm25_topk: postings ⋈ query terms and ⋈ df both BROADCAST (the
+    // query dim and the pruned df table are tiny); rank is a window
+    // over per-query groups, no global sort
+    val bm = plan("bm25_topk")
+    assert(bm.contains("BroadcastHashJoin"),
+      s"bm25_topk lost its broadcast query-term join:\n${bm.take(1200)}")
+    assert(!bm.contains("CartesianProduct"))
+    graft.operators.CacheScope.drain()
+    // bm25_index_topk: the probe reads the bucket-partitioned postings
+    // with a partition filter on the query terms' buckets
+    val bi = plan("bm25_index_topk")
+    assert(bi.contains("PartitionFilters: [bucket"),
+      s"bm25_index_topk probe lost partition pruning:\n${bi.take(1500)}")
+    graft.operators.CacheScope.drain()
+    // dsir: the nBuckets-row ratio table broadcasts; the only nested-
+    // loop shape allowed is the 1-row totals broadcast
+    val dw = plan("dsir_weights")
+    assert(dw.contains("BroadcastHashJoin"),
+      s"dsir_weights lost its broadcast ratio join:\n${dw.take(1200)}")
+    assert(!dw.contains("CartesianProduct"))
+    graft.operators.CacheScope.drain()
+    // dsir_select: the top-n draw is a TakeOrdered, not a global sort
+    val ds = plan("dsir_select")
+    assert(ds.contains("TakeOrderedAndProject"),
+      s"dsir_select sorts globally:\n${ds.take(1200)}")
+    graft.operators.CacheScope.drain()
+    // exact-substring family: window-hash equi-joins only — a regression
+    // to a text-keyed or nested-loop candidate search is a scale killer
+    for (q <- Seq("exact_substring_spans", "exact_substring_index",
+        "exact_substring_apply")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q has a quadratic join:\n${p.take(1200)}")
+      graft.operators.CacheScope.drain()
+    }
+    // q_quantile_sketch: two-phase aggregate — partial summaries, not
+    // rows, cross the exchange
+    val qp = plan("q_quantile_sketch")
+    assert(qp.contains("partial_quantile_sketch") ||
+      qp.contains("ObjectHashAggregate"),
+      s"q_quantile_sketch lost its partial aggregation:\n${qp.take(1200)}")
+    graft.operators.CacheScope.drain()
+  }
+
   test("dedup signature kernels are native expressions — no ScalaUDF in the plan") {
     // SimHash and MinHash signatures used to be Scala UDFs: the only
     // opaque scan-side projections left outside whole-stage codegen,
