@@ -966,6 +966,74 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("span_start"))
   }
 
+  /** Dedup-aware sampling weights: weight 1/|near-dup cluster| per doc,
+    * so duplicated content is trained once in expectation instead of
+    * |cluster| times — the multi-epoch counterpart of the keep-list
+    * (which drops; this reweights). Unclustered docs are singletons. */
+  private def qDedupWeights(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Clustering
+    val d = t(s, dir, "documents")
+    val pairs = Dedup.minhashLshJaccardPairs(d, "text", "doc_id",
+      n = 3, threshold = 0.5)
+    val comp = Clustering.dupClusters(pairs, "id_a", "id_b")
+      .select(col("doc_id").as("cw_id"), col("n_members"))
+    d.select(col("doc_id"))
+      .join(comp, col("doc_id") === col("cw_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_members"), lit(1L)).as("cluster_size"),
+        round(lit(1.0) / coalesce(col("n_members"), lit(1L)), 6)
+          .as("sample_weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Heap's-law vocabulary growth: cumulative distinct token types vs
+    * cumulative token count over doc-id deciles of the corpus — the
+    * "is more data still adding vocabulary" curve. First occurrence per
+    * type is a min-decile agg (no global token ordering, no prefix
+    * sort); the cumulative window runs over the TEN decile rows. */
+  private def qVocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = t(s, dir, "documents")
+    val n = d.count()
+    // exact integer floor-div (the IntervalJoin form): subtract the
+    // Euclidean remainder so the decimal division is exact
+    val a = col("doc_id") * 10
+    val decile = ((a - pmod(a, lit(n))).cast("decimal(38,0)") / lit(n))
+      .cast("long")
+    val toks = d.select(decile.as("decile"),
+      explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+    val perDec = toks.groupBy(col("decile")).agg(count(lit(1)).as("n_toks"))
+    val newTypes = toks.groupBy(col("tok"))
+      .agg(min(col("decile")).as("first_decile"))
+      .groupBy(col("first_decile")).agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDec
+      .join(newTypes, col("decile") === col("first_decile"), "left")
+      .select(col("decile"), col("n_toks"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("n_tokens_cum", sum(col("n_toks")).over(w))
+      .withColumn("vocab_cum", sum(col("n_new")).over(w))
+      .select(col("decile"), col("n_tokens_cum"), col("vocab_cum"),
+        round(col("vocab_cum").cast("double") / col("n_tokens_cum"), 6)
+          .as("type_token_ratio"))
+      .orderBy(col("decile"))
+  }
+
+  /** Token-level decontamination: spans of TRAINING docs verbatim in
+    * the eval slice (doc_id % 50 = 0, the `contamination_*` family's
+    * split) are cut out of the training text — the surgical alternative
+    * to dropping whole contaminated docs. 4-token windows so short
+    * verbatim quotes are caught. */
+  private def qDecontamSpansApply(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val eval = d.filter(col("doc_id") % 50 === 0)
+    val train = d.filter(col("doc_id") % 50 =!= 0)
+    Dedup.exactSubstrApply(train, "text", "doc_id",
+        Dedup.substrSpansVsCorpus(train, eval, "text", "doc_id", winTokens = 4))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-type value quantiles via the mergeable bounded-memory sketch —
     * capacity 16384 ≥ any sf0.01 group, so the summary never compacts
     * and reports the EXACT nearest-rank-lower order statistic (the same
@@ -2209,7 +2277,10 @@ object SparkEntry {
     "exact_substring_spans" -> (qExactSubstrSpans _),
     "exact_substring_index" -> (qExactSubstrIndex _),
     "exact_substring_apply" -> (qExactSubstrApply _),
-    "q_quantile_sketch" -> (qQuantileSketch _)
+    "q_quantile_sketch" -> (qQuantileSketch _),
+    "dedup_weights" -> (qDedupWeights _),
+    "vocab_growth" -> (qVocabGrowth _),
+    "decontaminate_spans_apply" -> (qDecontamSpansApply _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -4746,6 +4817,100 @@ object SparkEntry {
            coalesce(cleaned_text, '') AS cleaned_text
          FROM d LEFT JOIN reb USING (doc_id)
          ORDER BY doc_id""",
+    "dedup_weights" ->
+      s"""WITH RECURSIVE
+          pairs AS (SELECT id_a, id_b FROM ($ngramJaccardOracle)),
+          edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+          reach(u, v) AS (
+            SELECT DISTINCT u, u FROM edges
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+          comp AS (SELECT u AS doc_id, min(v) AS cluster_id
+                   FROM reach GROUP BY u),
+          cs AS (SELECT cluster_id, count(*) AS sz FROM comp
+                 GROUP BY cluster_id),
+          m AS (SELECT doc_id, sz FROM comp JOIN cs USING (cluster_id))
+          SELECT d.doc_id, CAST(coalesce(sz, 1) AS BIGINT) AS cluster_size,
+            round(CAST(1.0 AS DOUBLE) / coalesce(sz, 1), 6) AS sample_weight
+          FROM documents d LEFT JOIN m USING (doc_id)
+          ORDER BY d.doc_id""",
+    "vocab_growth" ->
+      """WITH n AS (SELECT count(*) AS nd FROM documents),
+         d AS (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(trim(lower(text)), '\s+'),
+             x -> len(x) > 0) AS t
+           FROM documents),
+         toks AS (
+           SELECT CAST((doc_id * 10) // nd AS BIGINT) AS decile,
+             unnest(t) AS tok
+           FROM d CROSS JOIN n),
+         perdec AS (SELECT decile, count(*) AS n_toks FROM toks
+                    GROUP BY decile),
+         firstd AS (SELECT tok, min(decile) AS first_decile FROM toks
+                    GROUP BY tok),
+         newt AS (SELECT first_decile AS decile, count(*) AS n_new
+                  FROM firstd GROUP BY first_decile),
+         j AS (
+           SELECT p.decile, n_toks, coalesce(n_new, 0) AS n_new
+           FROM perdec p LEFT JOIN newt USING (decile))
+         SELECT decile,
+           CAST(sum(n_toks) OVER (ORDER BY decile) AS BIGINT) AS n_tokens_cum,
+           CAST(sum(n_new) OVER (ORDER BY decile) AS BIGINT) AS vocab_cum,
+           round(CAST(sum(n_new) OVER (ORDER BY decile) AS DOUBLE)
+             / sum(n_toks) OVER (ORDER BY decile), 6) AS type_token_ratio
+         FROM j ORDER BY decile""",
+    "decontaminate_spans_apply" ->
+      """WITH d AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+             x -> len(x) > 0) AS t
+           FROM documents),
+         w0 AS (
+           SELECT doc_id, t,
+             unnest(generate_series(1, greatest(len(t) - 3, 0))) AS i
+           FROM d),
+         wins AS (
+           SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+3], ' ') AS wt
+           FROM w0),
+         ev AS (SELECT DISTINCT wt FROM wins WHERE doc_id % 50 = 0),
+         dups AS (
+           SELECT doc_id, pos FROM wins
+           WHERE doc_id % 50 <> 0 AND wt IN (SELECT wt FROM ev)),
+         flg AS (
+           SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                    OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 4
+                  THEN 1 ELSE 0 END AS ns
+           FROM dups),
+         sp AS (
+           SELECT doc_id, pos,
+             sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+           FROM flg),
+         spans AS (
+           SELECT doc_id, min(pos) AS s, max(pos) + 3 AS e
+           FROM sp GROUP BY doc_id, span_id),
+         cov AS (
+           SELECT DISTINCT doc_id, unnest(generate_series(s, e)) AS pos
+           FROM spans),
+         toks AS (
+           SELECT doc_id, t[i] AS tok, i - 1 AS pos
+           FROM (SELECT doc_id, t,
+                   unnest(generate_series(1, len(t))) AS i FROM d
+                 WHERE doc_id % 50 <> 0)),
+         kept AS (
+           SELECT k.doc_id, k.tok, k.pos FROM toks k
+           ANTI JOIN cov c ON k.doc_id = c.doc_id AND k.pos = c.pos),
+         reb AS (
+           SELECT doc_id, count(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+           FROM kept GROUP BY doc_id)
+         SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+           CAST(len(d.t) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(cleaned_text, '') AS cleaned_text
+         FROM d LEFT JOIN reb USING (doc_id)
+         WHERE d.doc_id % 50 <> 0
+         ORDER BY d.doc_id""",
     "q_quantile_sketch" ->
       """WITH vals AS (
            SELECT event_type, list_sort(list(CAST(value AS DOUBLE))) AS v,

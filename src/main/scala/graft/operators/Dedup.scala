@@ -845,6 +845,23 @@ object Dedup {
         col("span_end"), col("n_windows"))
   }
 
+  /** Spans of `batch` docs appearing verbatim anywhere in `corpus` —
+    * the in-query (non-persisted) form of
+    * [[SubstrCorpusIndex.spansOf]]: token-level decontamination mining
+    * (batch = training docs, corpus = eval sets) and one-off
+    * batch-vs-snapshot audits. One distinct over corpus window hashes,
+    * one hash semi-join, the shared island merge. */
+  def substrSpansVsCorpus(batch: DataFrame, corpus: DataFrame,
+                          textCol: String, idCol: String,
+                          winTokens: Int): DataFrame = {
+    val cw = windowHashes(corpus, textCol, idCol, winTokens)
+      .select(col("h")).distinct()
+    val dups = windowHashes(batch, textCol, idCol, winTokens)
+      .join(cw, Seq("h"), "left_semi")
+      .select(col("es_id"), col("pos"))
+    mergeSpans(dups, winTokens, idCol)
+  }
+
   /** The APPLY step of exact-substring dedup: rebuild each doc's text
     * with the duplicated spans cut out (the paper's actual training-set
     * transformation — later occurrences of repeated substrings are

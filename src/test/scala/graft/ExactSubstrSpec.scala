@@ -127,6 +127,18 @@ class ExactSubstrSpec extends AnyFunSuite {
       (2L, 5L, 0L, "u v w x y")), s"got=$got")
   }
 
+  test("substrSpansVsCorpus: batch-vs-corpus spans, batch-internal repeats ignored") {
+    import spark.implicits._
+    val corpus = Seq((0L, "a b c d e")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "x a b c y"),          // corpus-verbatim window
+      (11L, "p q r p q r p q r")   // only batch-internal repeats → no span
+    ).toDF("doc_id", "text")
+    val got = Dedup.substrSpansVsCorpus(batch, corpus, "text", "doc_id", 3)
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(got == List((10L, 1L, 3L, 1L)), s"got=$got")
+  }
+
   test("plan: hash-keyed windows, no ScalaUDF, no cartesian") {
     import spark.implicits._
     val df = Seq((0L, "a b c d e"), (1L, "a b c d e")).toDF("doc_id", "text")
