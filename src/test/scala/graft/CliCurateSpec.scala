@@ -152,6 +152,41 @@ class CliCurateSpec extends AnyFunSuite {
     assert(kept == Set(1L), s"kept=$kept")
   }
 
+  test("wpcurate daemon --once with --dsir and --substr: all five gates stream") {
+    import spark.implicits._
+    spark
+    val refPool = Seq(
+      (300L, "good clean prose with structure and care", "en"),
+      (301L, "good clean prose with style and structure", "en"),
+      (302L, "zz xx qq ww vv kk zz xx", "de"))
+      .toDF("doc_id", "text", "lang")
+    val ssCorpus = Seq(
+      (400L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "good clean prose with care and style"),                  // keep
+      (2L, "zz xx qq ww vv kk qq ww"),                               // DSIR drop
+      (3L, "alpha beta gamma delta epsilon zeta eta theta and the")) // substr drop
+      .toDF("doc_id", "text")
+    val rDir = tmp("d5_ref"); val sDir = tmp("d5_ss"); val inDir = tmp("d5_in")
+    val dsirIdx = tmp("d5_dsir"); val ssIdx = tmp("d5_ssidx")
+    val outDir = tmp("d5_out")
+    refPool.write.mode("overwrite").parquet(rDir)
+    ssCorpus.write.mode("overwrite").parquet(sDir)
+    batch.write.mode("overwrite").parquet(inDir)
+    graft.cli.Cli.main(Array("wpindex", "build", "dsir", rDir, dsirIdx,
+      "--buckets", "64"))
+    graft.cli.Cli.main(Array("wpindex", "build", "substr", sDir, ssIdx,
+      "--win", "4"))
+    graft.cli.Cli.main(Array("wpcurate", "daemon", inDir, outDir,
+      "--dsir", dsirIdx, "--min-logw", "-1.0",
+      "--substr", ssIdx, "--max-dupfrac", "0.5", "--once",
+      "--min-words", "3", "--min-entropy", "2.0", "--min-score", "-1000000"))
+    val kept = spark.read.parquet(s"$outDir/accepted")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L), s"kept=$kept")
+  }
+
   test("wpcurate daemon --drift: alert prints when the batch distribution shifts") {
     import spark.implicits._
     spark
