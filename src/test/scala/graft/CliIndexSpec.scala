@@ -101,4 +101,75 @@ class CliIndexSpec extends AnyFunSuite {
     assert(psis.size == 5 && psis.values.forall(_ == 0.0),
       s"probing the reference's own rows must be PSI 0, got $psis")
   }
+
+  test("wpindex bm25: build, append, probe writes per-query top-k from pruned buckets") {
+    import spark.implicits._
+    spark
+    val idxDir = tmp("cli_bm_idx")
+    val half1 = tmp("cli_bm_h1"); val half2 = tmp("cli_bm_h2")
+    val qDir = tmp("cli_bm_q"); val outDir = tmp("cli_bm_out")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(half1)
+    docs.filter(col("doc_id") % 2 === 1).write.mode("overwrite").parquet(half2)
+    Seq(("q1", "spark"), ("q1", "table"), ("q2", "customer"))
+      .toDF("query_id", "term").write.mode("overwrite").parquet(qDir)
+    graft.cli.Cli.main(Array("wpindex", "build", "bm25", half1, idxDir))
+    graft.cli.Cli.main(Array("wpindex", "append", "bm25", half2, idxDir))
+    graft.cli.Cli.main(Array("wpindex", "probe", "bm25", qDir, idxDir, outDir,
+      "--topk", "3"))
+    val out = spark.read.parquet(outDir)
+    assert(out.columns.toSet == Set("query_id", "rank", "doc_id", "score"))
+    // append must make odd docs retrievable
+    val ids = out.select("doc_id").as[Long].collect()
+    assert(ids.nonEmpty && ids.exists(_ % 2 == 1), s"ids=${ids.toList}")
+    // appended index == full rebuild, through the CLI artifacts
+    val fullIdx = tmp("cli_bm_full"); val out2 = tmp("cli_bm_out2")
+    val allDir = tmp("cli_bm_all")
+    docs.write.mode("overwrite").parquet(allDir)
+    graft.cli.Cli.main(Array("wpindex", "build", "bm25", allDir, fullIdx))
+    graft.cli.Cli.main(Array("wpindex", "probe", "bm25", qDir, fullIdx, out2,
+      "--topk", "3"))
+    val a = spark.read.parquet(outDir).collect().map(_.toString).sorted.toList
+    val b = spark.read.parquet(out2).collect().map(_.toString).sorted.toList
+    assert(a == b)
+  }
+
+  test("wpindex dsir: build, append, probe scores a batch against frozen counts") {
+    spark
+    val idxDir = tmp("cli_ds_idx")
+    val half1 = tmp("cli_ds_h1"); val half2 = tmp("cli_ds_h2")
+    val outDir = tmp("cli_ds_out")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(half1)
+    docs.filter(col("doc_id") % 2 === 1).write.mode("overwrite").parquet(half2)
+    graft.cli.Cli.main(Array("wpindex", "build", "dsir", half1, idxDir))
+    graft.cli.Cli.main(Array("wpindex", "append", "dsir", half2, idxDir))
+    graft.cli.Cli.main(Array("wpindex", "probe", "dsir",
+      half1, idxDir, outDir))
+    val out = spark.read.parquet(outDir)
+    assert(out.columns.toSet == Set("doc_id", "n_feats", "logw"))
+    assert(out.count() == docs.filter(col("doc_id") % 2 === 0).count())
+  }
+
+  test("wpindex substr: build, append, probe reports corpus-verbatim spans") {
+    import spark.implicits._
+    spark
+    val idxDir = tmp("cli_ss_idx")
+    val cDir = tmp("cli_ss_c"); val aDir = tmp("cli_ss_a")
+    val bDir = tmp("cli_ss_b"); val outDir = tmp("cli_ss_out")
+    Seq((0L, "a b c d e f")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(cDir)
+    Seq((1L, "p q r s t u")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(aDir)
+    Seq((10L, "x a b c d y"), (11L, "x p q r s y"), (12L, "m n o w v k"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(bDir)
+    graft.cli.Cli.main(Array("wpindex", "build", "substr", cDir, idxDir,
+      "--win", "3"))
+    graft.cli.Cli.main(Array("wpindex", "append", "substr", aDir, idxDir))
+    graft.cli.Cli.main(Array("wpindex", "probe", "substr",
+      bDir, idxDir, outDir))
+    val got = spark.read.parquet(outDir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((10L, 1L, 4L, 2L), (11L, 1L, 4L, 2L)), s"got=$got")
+  }
 }
