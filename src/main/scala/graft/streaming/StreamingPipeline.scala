@@ -87,4 +87,25 @@ object StreamingPipeline {
       .groupBy(window(col("observed_at"), s"$windowSec seconds"),
         col("status"), col("rule_key"))
       .count()
+
+  /** Event-time windowed quantiles as a TRUE streaming stateful
+    * aggregation (not foreachBatch): the mergeable bounded-memory
+    * sketch ([[graft.functions.QuantileSketch]]) is the aggregation
+    * buffer, so per-(window, group) state in the store is ≤ capacity
+    * weighted samples — the "p95 latency per 10-s window" monitor
+    * without keeping the window's rows. Watermark bounds state: closed
+    * windows emit once (append mode) and their state evicts. Output:
+    * one row per (window_start, group, q). */
+  def windowedQuantiles(events: DataFrame, tsCol: String, grpCol: String,
+                        valCol: String, windowDur: String, watermark: String,
+                        qs: Seq[Double], capacity: Int = 1024): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur), col(grpCol))
+      .agg(graft.functions.QuantileSketch
+        .quantile_sketch(col(valCol).cast("double"), qs, capacity).as("qv"))
+      .select(col("window.start").as("window_start"), col(grpCol),
+        explode(col("qv")).as("e"))
+      .select(col("window_start"), col(grpCol),
+        col("e.q").as("q"), col("e.value").as("value"))
 }
