@@ -108,4 +108,26 @@ object StreamingPipeline {
         explode(col("qv")).as("e"))
       .select(col("window_start"), col(grpCol),
         col("e.q").as("q"), col("e.value").as("value"))
+
+  /** Event-time windowed hot keys — the SpaceSaving aggregate
+    * ([[graft.functions.HeavyHitters]]) as streaming aggregation state:
+    * "which keys dominate this window" with ≤ capacity counters per
+    * window in the store, closed windows emitted once under the
+    * watermark. The streaming twin of [[graft.operators.Skew.hotKeys]],
+    * feeding the same salting/partitioning decisions continuously.
+    * Output: one row per (window_start, key) in the window's top-k,
+    * with the [count_lo, count_hi] bracket. */
+  def windowedHotKeys(events: DataFrame, tsCol: String, keyCol: String,
+                      windowDur: String, watermark: String,
+                      k: Int, capacity: Int = 1024): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(graft.functions.HeavyHitters
+        .heavy_hitters(col(keyCol).cast("string"), k, capacity).as("hh"))
+      .select(col("window.start").as("window_start"),
+        explode(col("hh")).as("h"))
+      .select(col("window_start"), col("h.item").as("key"),
+        (col("h.count") - col("h.err")).as("count_lo"),
+        col("h.count").as("count_hi"))
 }

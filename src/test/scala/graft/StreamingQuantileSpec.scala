@@ -49,4 +49,30 @@ class StreamingQuantileSpec extends AnyFunSuite {
       assert(rows.contains(("g2", 0.5, 42.0)) && rows.contains(("g2", 0.9, 42.0)))
     } finally q.stop()
   }
+
+  test("windowed hot keys: top-k per closed window, exact below capacity") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Timestamp, String)]
+    val out = graft.streaming.StreamingPipeline.windowedHotKeys(
+      input.toDF().toDF("ts", "k"),
+      "ts", "k", windowDur = "10 seconds", watermark = "5 seconds",
+      k = 2, capacity = 64)
+    val q = out.writeStream.format("memory").queryName("whk")
+      .outputMode("append").start()
+    try {
+      val keys = Seq.fill(5)("hot") ++ Seq.fill(3)("warm") ++ Seq("cold")
+      input.addData(keys.zipWithIndex.map { case (k, i) => (ts(i), k) }: _*)
+      q.processAllAvailable()
+      input.addData(Seq((ts(40), "later")): _*)
+      q.processAllAvailable()
+      val rows = spark.table("whk")
+        .select("key", "count_lo", "count_hi")
+        .as[(String, Long, Long)].collect().toSet
+      assert(rows.contains(("hot", 5L, 5L)) && rows.contains(("warm", 3L, 3L)),
+        s"rows=$rows")
+      assert(!rows.exists(_._1 == "cold"), "k=2 must cut the tail")
+    } finally q.stop()
+  }
 }
