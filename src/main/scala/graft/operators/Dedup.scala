@@ -931,14 +931,24 @@ object Dedup {
         .write.mode("append").partitionBy("bucket").parquet(s"$path/wins")
     }
 
-    /** Spans of the batch already present verbatim in the corpus. */
+    /** Spans of the batch already present verbatim in the corpus.
+      *
+      * Join direction matters at scale: the index's hash set is
+      * corpus-sized, the batch is an ingest slice — so the BATCH
+      * windows broadcast and the index scan streams map-side against
+      * them (inner join on the hash, then a batch-sized distinct on
+      * (id, pos) — append can leave duplicate hash rows in the index,
+      * and each must stay a non-event). The naive
+      * batch-semi-join-index direction would shuffle the entire corpus
+      * hash set on every probe. */
     def spansOf(batch: DataFrame, textCol: String, idCol: String): DataFrame = {
       val bw = windowHashes(batch, textCol, idCol, winTokens)
         .withColumn("bucket",
           col("h").bitwiseAND(lit(diskBuckets.toLong - 1)).cast("int"))
-      val dups = bw
-        .join(wins, Seq("bucket", "h"), "left_semi")
+      val dups = wins
+        .join(broadcast(bw), Seq("bucket", "h"))
         .select(col("es_id"), col("pos"))
+        .distinct()
       mergeSpans(dups, winTokens, idCol)
     }
 

@@ -139,6 +139,20 @@ class ExactSubstrSpec extends AnyFunSuite {
     assert(got == List((10L, 1L, 3L, 1L)), s"got=$got")
   }
 
+  test("SubstrCorpusIndex probe: the corpus-sided scan streams against a broadcast batch") {
+    import spark.implicits._
+    val corpus = Seq((0L, "a b c d e f g h")).toDF("doc_id", "text")
+    val batch = Seq((10L, "x a b c y")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("substridx3").toString
+    Dedup.SubstrCorpusIndex.build(corpus, "text", "doc_id", winTokens = 3)
+      .save(dir)
+    val plan = Dedup.SubstrCorpusIndex.load(spark, dir)
+      .spansOf(batch, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe must broadcast the batch windows, not shuffle the index:\n$plan")
+  }
+
   test("plan: hash-keyed windows, no ScalaUDF, no cartesian") {
     import spark.implicits._
     val df = Seq((0L, "a b c d e"), (1L, "a b c d e")).toDF("doc_id", "text")
