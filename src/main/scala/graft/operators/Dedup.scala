@@ -854,10 +854,13 @@ object Dedup {
   def substrSpansVsCorpus(batch: DataFrame, corpus: DataFrame,
                           textCol: String, idCol: String,
                           winTokens: Int): DataFrame = {
+    // decontamination shape: `corpus` is the eval set — small by
+    // definition — so its hash set broadcasts and the (huge) batch
+    // side streams map-only through the semi-join
     val cw = windowHashes(corpus, textCol, idCol, winTokens)
       .select(col("h")).distinct()
     val dups = windowHashes(batch, textCol, idCol, winTokens)
-      .join(cw, Seq("h"), "left_semi")
+      .join(broadcast(cw), Seq("h"), "left_semi")
       .select(col("es_id"), col("pos"))
     mergeSpans(dups, winTokens, idCol)
   }
