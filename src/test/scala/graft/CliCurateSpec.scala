@@ -213,6 +213,39 @@ class CliCurateSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$outDir/accepted").count() == 20)
   }
 
+  test("wpcurate daemon restart: checkpoint replays nothing, drains only new files") {
+    import spark.implicits._
+    spark
+    val inDir = tmp("restart_in"); val outDir = tmp("restart_out")
+    // land parquet FILES flat in the dir, like a real file drop
+    def land(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val stage = tmp(s"restart_stage_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      java.nio.file.Files.copy(part,
+        java.nio.file.Paths.get(inDir, s"$name.parquet"))
+      ()
+    }
+    land("b1", Seq((1L, "the first doc with plenty of good and clean words"))
+      .toDF("doc_id", "text"))
+    // run 1: drains b1
+    graft.cli.Cli.main(Array("wpcurate", "daemon", inDir, outDir, "--once",
+      "--min-words", "3", "--min-entropy", "2.0", "--min-score", "-1000000"))
+    val after1 = spark.read.parquet(s"$outDir/accepted")
+      .select("doc_id").as[Long].collect().toList
+    assert(after1 == List(1L), s"after1=$after1")
+    // land a second file, run 2 with the SAME checkpoint
+    land("b2", Seq((2L, "the second doc with plenty of good and clean words"))
+      .toDF("doc_id", "text"))
+    graft.cli.Cli.main(Array("wpcurate", "daemon", inDir, outDir, "--once",
+      "--min-words", "3", "--min-entropy", "2.0", "--min-score", "-1000000"))
+    val after2 = spark.read.parquet(s"$outDir/accepted")
+      .select("doc_id").as[Long].collect().sorted.toList
+    // doc 1 must appear exactly once: the checkpoint saw b1 already
+    assert(after2 == List(1L, 2L), s"after2=$after2")
+  }
+
   test("wpcurate stats: dataset card lands as parquet") {
     import spark.implicits._
     spark
