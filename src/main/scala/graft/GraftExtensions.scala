@@ -112,6 +112,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         graft.functions.QuantileSketch(args.head, Seq(q), cap)
       }))
+    // HyperLogLog distinct: p (register index bits) as an int literal
+    e.injectFunction((
+      FunctionIdentifier("hll_distinct"),
+      new ExpressionInfo(classOf[graft.functions.HllSketch].getName,
+        "hll_distinct"),
+      (args: Seq[Expression]) => {
+        val p = args(1) match {
+          case Literal(n: Int, _) => n
+          case other => throw new IllegalArgumentException(
+            s"hll_distinct: p must be an int literal, got $other")
+        }
+        graft.functions.HllSketch(args.head, p)
+      }))
     // BPE apply: merges as one 'a b;c d;…' string literal (rank order)
     e.injectFunction((
       FunctionIdentifier("bpe_apply"),

@@ -2136,6 +2136,97 @@ object SparkEntry {
       .orderBy(col("lang"), col("lang_pred"))
   }
 
+  /** HLL distinct-cardinality profile per event type, BOTH branches of
+    * the estimator exercised in one query: user_id (~150 distinct ⇒
+    * the small-range linear-counting branch) and event_id (~2000
+    * distinct ⇒ the raw harmonic branch). `reg_sum` pins every
+    * register exactly; `exact_users` is the ground-truth countDistinct
+    * the sketch replaces at scale. */
+  private def qHllDistinct(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HllSketch.hll_distinct
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(hll_distinct(col("user_id").cast("string"), 9).as("hu"),
+        hll_distinct(col("event_id").cast("string"), 9).as("he"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .select(col("event_type"),
+        round(col("hu.est"), 4).as("est_users"),
+        col("hu.reg_sum").as("reg_sum_users"),
+        col("hu.nonzero").cast("long").as("nonzero_users"),
+        round(col("he.est"), 4).as("est_events"),
+        col("he.reg_sum").as("reg_sum_events"),
+        col("exact_users"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Relational pivot: daily event counts spread to one column per
+    * type (`groupBy(day).pivot(type, values).count()` — explicit value
+    * list so the plan is a single pass, no distinct-values pre-query). */
+  private def qPivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("ts").cast("date").as("day"), col("event_type"))
+      .groupBy(col("day"))
+      .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("day"))
+
+  /** Relational unpivot (melt): the per-flag measure columns back to
+    * (flag, measure, value) long form via Dataset.unpivot. */
+  private def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("avg_disc")),
+        "measure", "value")
+      .orderBy(col("l_returnflag"), col("measure"))
+
+  /** UniMax epoch-capped allocation over languages: budget = 1.5× the
+    * corpus tokens, cap = 2 epochs — at this corpus shape every
+    * low-resource language caps at 2 epochs and `en` absorbs the
+    * remainder (mixed regime: both water-filling branches taken). */
+  private def qMixUnimax(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val d = t(s, dir, "documents").select(col("lang"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val total = d.agg(sum(col("n_tokens"))).head().getLong(0)
+    Sampling.unimaxAllocation(d, "lang", col("n_tokens"),
+      budgetTokens = total + total / 2, epochCap = 2)
+      .orderBy(col("domain"))
+  }
+
+  /** Leakage-safe train/eval split: near-dup clusters (3-gram Jaccard
+    * ≥ 0.5 pairs → connected components) draw ONE splitmix64 side per
+    * cluster, so no near-duplicate pair straddles the boundary. */
+  private def qSplitClusterSafe(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Clustering, Sampling}
+    val d = t(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(d, "text", "doc_id",
+      n = 3, threshold = 0.5)
+    val clusters = Clustering.dupClusters(pairs, "id_a", "id_b")
+    Sampling.clusterSafeSplit(d.select(col("doc_id")), "doc_id",
+        clusters, "doc_id", "cluster_id", evalRate = 0.1)
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Late-interaction MaxSim retrieval: 4 query vectors vs label-grouped
+    * chunk sets — one partial aggregation with a max(cos) column per
+    * query vector, fixed-association final sum (see
+    * [[graft.operators.Retrieval.maxSimTopK]]). */
+  private def qRetrievalMaxsim(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Retrieval
+    val e = t(s, dir, "embeddings")
+    val qs: Seq[Seq[Double]] = e.filter(col("vec_id") < 4)
+      .orderBy(col("vec_id")).select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    Retrieval.maxSimTopK(e, "label", "embedding", qs, k = 5)
+      .select(col("label").cast("long").as("doc_group"), col("maxsim_score"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ip_range_lookup" -> (qIpRange _),
     "emb_outliers" -> (qEmbOutliers _),
@@ -2280,7 +2371,13 @@ object SparkEntry {
     "q_quantile_sketch" -> (qQuantileSketch _),
     "dedup_weights" -> (qDedupWeights _),
     "vocab_growth" -> (qVocabGrowth _),
-    "decontaminate_spans_apply" -> (qDecontamSpansApply _)
+    "decontaminate_spans_apply" -> (qDecontamSpansApply _),
+    "q_hll_distinct" -> (qHllDistinct _),
+    "q_pivot" -> (qPivot _),
+    "q_unpivot" -> (qUnpivot _),
+    "mix_unimax" -> (qMixUnimax _),
+    "split_cluster_safe" -> (qSplitClusterSafe _),
+    "retrieval_maxsim" -> (qRetrievalMaxsim _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -3204,7 +3301,141 @@ object SparkEntry {
         FROM pack ORDER BY doc_id"""
   }
 
+  /** HLL p=9 register replay (per event_type, key = `keySql`):
+    * h = splitmix64(fnv1a64(key)) — the same FNV byte fold + splitmix
+    * finalizer stages the sampling oracles replay (z0..z2 + final xor,
+    * WITHOUT the u53 truncation: HLL reads all 64 bits). Then
+    * j = h // 2^55, w = h % 2^55 (fits BIGINT), rho = 56 − bitlength(w)
+    * with bitlength = length(bin(w)) (bin() has no leading zeros),
+    * registers = max(rho) per (group, j), harmonic sum EXACT in HUGEINT
+    * as Σ 2^(56 − M_j) + 2^56 per empty register, then the single
+    * double division + small-range branch — mirrors
+    * [[graft.functions.HllSketch]].eval step for step. DISTINCT keys
+    * first: register max is idempotent per key, so pre-dedup is free. */
+  private def hllOracleCtes(pfx: String, keySql: String): String =
+    s"""${pfx}h AS (SELECT DISTINCT event_type, $keySql AS k FROM events),
+       ${pfx}f AS (SELECT event_type, ${fnvSql("k")} AS fv FROM ${pfx}h),
+       ${pfx}z0 AS (SELECT event_type, (fv + 11400714819323198485)
+           % 18446744073709551616::HUGEINT AS z0 FROM ${pfx}f),
+       ${pfx}z1 AS (SELECT event_type, ${mulcSql("xor(z0, z0 // 1073741824)",
+             BigInt("BF58476D1CE4E5B9", 16))} AS z1 FROM ${pfx}z0),
+       ${pfx}z2 AS (SELECT event_type, ${mulcSql("xor(z1, z1 // 134217728)",
+             BigInt("94D049BB133111EB", 16))} AS z2 FROM ${pfx}z1),
+       ${pfx}hh AS (SELECT event_type,
+           xor(z2, z2 // 2147483648) AS hv FROM ${pfx}z2),
+       ${pfx}br AS (SELECT event_type, hv // 36028797018963968 AS j,
+           CAST(hv % 36028797018963968 AS BIGINT) AS w FROM ${pfx}hh),
+       ${pfx}rr AS (SELECT event_type, j,
+           CASE WHEN w = 0 THEN 56 ELSE 56 - length(bin(w)) END AS rho
+         FROM ${pfx}br),
+       ${pfx}regs AS (SELECT event_type, j, max(rho) AS mj
+         FROM ${pfx}rr GROUP BY event_type, j),
+       ${pfx}agg AS (SELECT event_type,
+           count(*) AS nonzero,
+           CAST(sum(mj) AS BIGINT) AS reg_sum,
+           sum(CAST(1::BIGINT << (56 - mj) AS HUGEINT))
+             + CAST(512 - count(*) AS HUGEINT) * (1::BIGINT << 56) AS s
+         FROM ${pfx}regs GROUP BY event_type),
+       ${pfx}fin AS (SELECT event_type, reg_sum,
+           CAST(nonzero AS BIGINT) AS nonzero,
+           CASE WHEN (0.7213 / (1.0 + 1.079 / 512.0)) * 512 * 512
+                  * power(2.0, 56.0) / CAST(s AS DOUBLE) <= 2.5 * 512
+                 AND 512 - nonzero > 0
+                THEN 512 * ln(CAST(512 AS DOUBLE) / (512 - nonzero))
+                ELSE (0.7213 / (1.0 + 1.079 / 512.0)) * 512 * 512
+                  * power(2.0, 56.0) / CAST(s AS DOUBLE) END AS est
+         FROM ${pfx}agg)"""
+
   def oracleSql: Map[String, String] = Map(
+    "q_hll_distinct" ->
+      s"""WITH ${hllOracleCtes("u", "CAST(user_id AS VARCHAR)")},
+          ${hllOracleCtes("e", "CAST(event_id AS VARCHAR)")},
+          ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
+                 FROM events GROUP BY event_type)
+          SELECT uf.event_type, round(uf.est, 4) AS est_users,
+            uf.reg_sum AS reg_sum_users, uf.nonzero AS nonzero_users,
+            round(ef.est, 4) AS est_events, ef.reg_sum AS reg_sum_events,
+            ex.exact_users
+          FROM ufin uf JOIN efin ef ON uf.event_type = ef.event_type
+          JOIN ex ON uf.event_type = ex.event_type
+          ORDER BY uf.event_type""",
+    "q_pivot" ->
+      """SELECT CAST(ts AS DATE) AS day,
+           count(*) FILTER (WHERE event_type = 'view') AS "view",
+           count(*) FILTER (WHERE event_type = 'click') AS "click",
+           count(*) FILTER (WHERE event_type = 'purchase') AS "purchase",
+           count(*) FILTER (WHERE event_type = 'signup') AS "signup",
+           count(*) FILTER (WHERE event_type = 'error') AS "error"
+         FROM events GROUP BY CAST(ts AS DATE) ORDER BY day""",
+    "q_unpivot" ->
+      """WITH a AS (
+           SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_qty,
+             round(sum(l_extendedprice), 4) AS sum_price,
+             round(avg(l_discount), 6) AS avg_disc
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM a
+         UNION ALL
+         SELECT l_returnflag, 'sum_price', sum_price FROM a
+         UNION ALL
+         SELECT l_returnflag, 'avg_disc', avg_disc FROM a
+         ORDER BY l_returnflag, measure""",
+    "mix_unimax" ->
+      """WITH tok AS (
+           SELECT lang, CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             x -> len(x) > 0)) AS BIGINT) AS n
+           FROM documents),
+         base AS (SELECT lang AS domain, count(*) AS n_docs,
+             CAST(sum(n) AS BIGINT) AS n_tokens FROM tok GROUP BY lang),
+         tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM base),
+         f AS (SELECT domain, n_docs, n_tokens, 2 * n_tokens AS n_full,
+             CAST(row_number() OVER (ORDER BY 2 * n_tokens, domain) AS BIGINT) AS idx,
+             coalesce(sum(2 * n_tokens) OVER (ORDER BY 2 * n_tokens, domain
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix,
+             count(*) OVER () AS nl
+           FROM base),
+         g AS (SELECT f.*, t + t // 2 AS b FROM f, tot),
+         h AS (SELECT *, CAST(b - prefix AS DOUBLE) / (nl - idx + 1) AS share_cand
+           FROM g),
+         i AS (SELECT *, CAST(n_full AS DOUBLE) <= share_cand AS capped FROM h),
+         j AS (SELECT *,
+             sum(CASE WHEN capped THEN n_full ELSE 0 END) OVER () AS capped_total,
+             sum(CASE WHEN capped THEN 0 ELSE 1 END) OVER () AS n_uncapped
+           FROM i),
+         k AS (SELECT domain, n_docs, n_tokens, capped, b,
+             CASE WHEN capped THEN CAST(n_full AS DOUBLE)
+                  ELSE CAST(b - capped_total AS DOUBLE) / n_uncapped END AS alloc
+           FROM j)
+         SELECT domain, n_docs, n_tokens, capped,
+           round(alloc, 4) AS alloc_tokens,
+           round(alloc / n_tokens, 6) AS epochs,
+           round(alloc / b, 6) AS weight
+         FROM k ORDER BY domain""",
+    "split_cluster_safe" ->
+      s"""WITH comp AS (SELECT doc_id, cluster_id FROM ($dedupClustersOracle)),
+          cl AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+                 FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+          ${splitmixStagesSql("cl", "cluster_id", "doc_id, cluster_id")}
+          SELECT doc_id, cluster_id,
+            CASE WHEN u53 < ${graft.operators.Sampling.thresholdFor(0.1)}
+              THEN 'eval' ELSE 'train' END AS split
+          FROM s3 ORDER BY doc_id""",
+    "retrieval_maxsim" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 4),
+         c AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         s AS (SELECT label, qid,
+             max(list_dot_product(v, qv) /
+               (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))) AS mx
+           FROM c, q GROUP BY label, qid),
+         p AS (SELECT label,
+             max(CASE WHEN qid = 0 THEN mx END) AS m0,
+             max(CASE WHEN qid = 1 THEN mx END) AS m1,
+             max(CASE WHEN qid = 2 THEN mx END) AS m2,
+             max(CASE WHEN qid = 3 THEN mx END) AS m3
+           FROM s GROUP BY label)
+         SELECT CAST(label AS BIGINT) AS doc_group,
+           round(m0 + m1 + m2 + m3, 6) AS maxsim_score
+         FROM p ORDER BY maxsim_score DESC, doc_group LIMIT 5""",
     "curation_pipeline" -> curationPipelineOracle,
     "q_asof_join" ->
       """WITH r AS (SELECT user_id, ts, max(value) AS pv FROM events

@@ -197,4 +197,32 @@ object Retrieval {
         props.getProperty("nBuckets").toInt)
     }
   }
+
+  /** Late-interaction (ColBERT-style, Khattab & Zaharia, SIGIR'20)
+    * MaxSim retrieval: a query is a SET of vectors, a document a set of
+    * chunk vectors, and score(q, d) = Σ_{u∈q} max_{c∈d} cos(u, c) —
+    * token/chunk-level matching that single-vector cosine collapses
+    * away. The dense counterpart of [[bm25TopK]]'s per-term sum.
+    *
+    * Scale shape — deliberately NOT the naive chunks×queries cross
+    * join: each query vector becomes its own `max(cos)` AGGREGATION
+    * COLUMN over the chunk scan, so the whole scoring pass is one
+    * map-side-combining partial aggregation — |docs|·|q| doubles cross
+    * the shuffle, the chunk table is scanned once, and the final score
+    * is a fixed-association m_0 + m_1 + … sum (no order-dependent
+    * double summation anywhere, which is what makes the result
+    * engine-replayable). Top-k collapses to TakeOrderedAndProject. */
+  def maxSimTopK(chunks: DataFrame, groupCol: String, vecCol: String,
+                 queryVecs: Seq[Seq[Double]], k: Int): DataFrame = {
+    require(queryVecs.nonEmpty, "maxSimTopK: need at least one query vector")
+    val maxCols = queryVecs.zipWithIndex.map { case (q, i) =>
+      max(Similarity.cosineToConst(col(vecCol), q)).as(s"m_$i")
+    }
+    val score = queryVecs.indices.map(i => col(s"m_$i")).reduce(_ + _)
+    chunks.groupBy(col(groupCol))
+      .agg(maxCols.head, maxCols.tail: _*)
+      .select(col(groupCol), round(score, 6).as("maxsim_score"))
+      .orderBy(col("maxsim_score").desc, col(groupCol))
+      .limit(k)
+  }
 }

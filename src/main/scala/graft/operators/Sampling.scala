@@ -142,6 +142,85 @@ object Sampling {
       alphas.map(a => round(col(qName(a)), 6).as(qName(a))): _*)
   }
 
+  /** UniMax epoch-capped mixture allocation (Chung et al., "UniMax:
+    * Fairer and More Effective Language Sampling for Large-Scale
+    * Multilingual Pretraining", arXiv:2304.09151): split a token
+    * budget as uniformly as possible across domains, except no domain
+    * repeats more than `epochCap` epochs — the principled alternative
+    * to temperature sampling when low-resource domains would otherwise
+    * be over-epoched into memorization. Water-filling, closed form:
+    * process domains by ascending capped size C·n_d; at step i the
+    * uniform share of the remaining budget is (B − prefix)/(L − i + 1);
+    * a domain whose full C·n_d fits under that share is capped (takes
+    * C·n_d), and by monotonicity every later domain splits the
+    * remainder evenly. All comparisons run on exact integers widened
+    * to double, so the branch taken is engine-independent and the
+    * DuckDB oracle replays the allocation bit-for-bit.
+    *
+    * Scale shape: identical to [[domainWeights]] — ONE partial
+    * aggregation on the domain key; the water-filling windows run over
+    * the aggregated domains-sized frame (constant for any corpus). */
+  def unimaxAllocation(df: DataFrame, domainCol: String, nTokens: Column,
+                       budgetTokens: Long, epochCap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy()
+    val wAsc = Window.partitionBy().orderBy(col("n_full"), col("domain"))
+    df.groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(nTokens).as("n_tokens"))
+      .withColumn("n_full", lit(epochCap.toLong) * col("n_tokens"))
+      .withColumn("idx", row_number().over(wAsc))
+      .withColumn("prefix", coalesce(
+        sum(col("n_full")).over(wAsc.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("n_domains", count(lit(1)).over(wAll))
+      .withColumn("share_cand",
+        (lit(budgetTokens) - col("prefix")).cast("double") /
+          (col("n_domains") - col("idx") + 1))
+      .withColumn("capped", col("n_full").cast("double") <= col("share_cand"))
+      .withColumn("capped_total",
+        sum(when(col("capped"), col("n_full")).otherwise(lit(0L))).over(wAll))
+      .withColumn("n_uncapped",
+        sum(when(col("capped"), lit(0)).otherwise(lit(1))).over(wAll))
+      .withColumn("alloc", when(col("capped"), col("n_full").cast("double"))
+        .otherwise((lit(budgetTokens) - col("capped_total")).cast("double") /
+          col("n_uncapped")))
+      .select(col("domain"), col("n_docs"), col("n_tokens"),
+        col("capped"),
+        round(col("alloc"), 4).as("alloc_tokens"),
+        round(col("alloc") / col("n_tokens"), 6).as("epochs"),
+        round(col("alloc") / lit(budgetTokens).cast("double"), 6).as("weight"))
+  }
+
+  /** Leakage-safe train/eval split: the split key is the NEAR-DUP
+    * CLUSTER, not the document, so two near-duplicate documents can
+    * never straddle the boundary — the standard guard against eval
+    * contamination that a per-doc random split silently violates
+    * (a doc's near-twin in train inflates every eval metric).
+    * `clusters` is a precomputed (doc, cluster) labeling (e.g.
+    * [[graft.operators.Clustering.dupClusters]] over verified near-dup
+    * pairs — the same consume-precomputed-pairs discipline as
+    * `dedupKeepListFromPairs`); unlabeled docs are singleton clusters
+    * of themselves. The draw is `splitmix64(cluster_id)` against an
+    * exact-rational threshold, so membership is reproducible across
+    * engines and runs and every cluster member draws the same side.
+    *
+    * Scale shape: one equi-join against the cluster labeling (only
+    * docs that appear in a near-dup pair — typically a small fraction;
+    * broadcast when small) + a map-only hash draw. No window, no
+    * driver state. */
+  def clusterSafeSplit(docs: DataFrame, idCol: String,
+                       clusters: DataFrame, clusterDocCol: String,
+                       clusterIdCol: String, evalRate: Double): DataFrame = {
+    val c = clusters.select(col(clusterDocCol).as("__split_doc"),
+      col(clusterIdCol).as("__split_cluster"))
+    docs.join(c, docs(idCol) === col("__split_doc"), "left")
+      .withColumn("cluster_id", coalesce(col("__split_cluster"), col(idCol)))
+      .withColumn("split",
+        when(unitUniform53(col("cluster_id")) < thresholdFor(evalRate),
+          lit("eval")).otherwise(lit("train")))
+      .drop("__split_doc", "__split_cluster")
+  }
+
   /** Token-budget corpus selection: per group (lang/source), keep the
     * highest-quality docs whose cumulative token count stays within
     * `frac` of the group's total — the "take the best N tokens" step

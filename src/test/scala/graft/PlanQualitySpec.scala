@@ -595,6 +595,43 @@ class PlanQualitySpec extends AnyFunSuite {
     graft.operators.CacheScope.drain()
   }
 
+  test("r8 session-6 queries keep their scale shapes") {
+    // q_hll_distinct: the sketches run as TWO-PHASE aggregation —
+    // 512-byte register arrays, not key sets, cross the exchange
+    val hll = plan("q_hll_distinct")
+    assert(hll.contains("partial_hll_distinct") ||
+      hll.contains("ObjectHashAggregate"),
+      s"q_hll_distinct lost its partial aggregation:\n${hll.take(1200)}")
+    graft.operators.CacheScope.drain()
+    // q_pivot: one aggregation pass over the scan, no join
+    val pv = plan("q_pivot")
+    assert(!pv.contains("Join") && !pv.contains("CartesianProduct"),
+      s"q_pivot should be a single aggregation:\n${pv.take(1200)}")
+    graft.operators.CacheScope.drain()
+    // retrieval_maxsim: one partial aggregation + TakeOrdered — the
+    // chunks×queries cross join this operator exists to avoid must
+    // never reappear
+    val ms = plan("retrieval_maxsim")
+    assert(!ms.contains("Join") && !ms.contains("CartesianProduct"),
+      s"retrieval_maxsim re-grew a join:\n${ms.take(1200)}")
+    assert(ms.contains("TakeOrderedAndProject"),
+      s"retrieval_maxsim sorts globally:\n${ms.take(1200)}")
+    graft.operators.CacheScope.drain()
+    // split_cluster_safe: the split draw is a hash expression, not a
+    // window or RNG — no Window node, no quadratic join
+    val sp = plan("split_cluster_safe")
+    assert(!sp.contains("CartesianProduct") &&
+      !sp.contains("BroadcastNestedLoopJoin"),
+      s"split_cluster_safe has a quadratic join:\n${sp.take(1200)}")
+    graft.operators.CacheScope.drain()
+    // mix_unimax: ONE partial aggregation on the domain key; windows
+    // run over the domains-sized aggregated frame only
+    val ux = plan("mix_unimax")
+    assert(!ux.contains("Join") && !ux.contains("CartesianProduct"),
+      s"mix_unimax should be agg+window only:\n${ux.take(1200)}")
+    graft.operators.CacheScope.drain()
+  }
+
   test("dedup signature kernels are native expressions — no ScalaUDF in the plan") {
     // SimHash and MinHash signatures used to be Scala UDFs: the only
     // opaque scan-side projections left outside whole-stage codegen,

@@ -1,0 +1,138 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions.HllSketch.hll_distinct
+import graft.operators.{Retrieval, Sampling}
+
+/** Round-8 session-6 operators: HLL cardinality sketch, UniMax
+  * epoch-capped mixture, leakage-safe cluster split, MaxSim
+  * late-interaction retrieval. Hand-checkable inputs here; the DuckDB
+  * oracles re-verify each on the real corpus. */
+class R8dOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // ---- HLL sketch ----
+
+  test("hll_distinct: estimate within 10% at 5000 distinct keys") {
+    import spark.implicits._
+    val df = (1 to 5000).map(i => s"key_$i").toDF("k")
+    val row = df.agg(hll_distinct(col("k"), 9).as("h"))
+      .select(col("h.est"), col("h.nonzero")).head()
+    val est = row.getDouble(0)
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.10, s"est=$est")
+  }
+
+  test("hll_distinct: partition-invariant (merge == single-pass)") {
+    import spark.implicits._
+    val df = (1 to 3000).map(i => s"k${i % 1100}").toDF("k")
+    def run(parts: Int) =
+      df.repartition(parts).agg(hll_distinct(col("k"), 9)).head().getStruct(0)
+    assert(run(1) == run(7))
+  }
+
+  test("hll_distinct: duplicate keys do not move the registers") {
+    import spark.implicits._
+    val once = (1 to 400).map(i => s"u$i").toDF("k")
+    val many = (1 to 400).flatMap(i => Seq.fill(5)(s"u$i")).toDF("k")
+    assert(once.agg(hll_distinct(col("k"), 9)).head().getStruct(0) ==
+      many.agg(hll_distinct(col("k"), 9)).head().getStruct(0))
+  }
+
+  test("hll_distinct: small sets take the linear-counting branch exactly") {
+    import spark.implicits._
+    val df = Seq("a", "b", "c").toDF("k")
+    val r = df.agg(hll_distinct(col("k"), 9).as("h"))
+      .select(col("h.est"), col("h.nonzero")).head()
+    // 3 distinct keys with no register collision: nonzero = 3 and the
+    // linear-counting estimate 512·ln(512/509) computed literally
+    assert(r.getInt(1) == 3)
+    assert(math.abs(r.getDouble(0) - 512.0 * math.log(512.0 / 509.0)) < 1e-9)
+  }
+
+  // ---- UniMax allocation ----
+
+  private def unimaxOf(budget: Long): Map[String, (Boolean, Double, Double)] = {
+    import spark.implicits._
+    val d = Seq(("a", 10L), ("b", 20L), ("c", 100L))
+      .flatMap { case (dom, n) => Seq((dom, n)) }.toDF("domain0", "n")
+    Sampling.unimaxAllocation(d, "domain0", col("n"), budget, epochCap = 2)
+      .select(col("domain"), col("capped"), col("alloc_tokens"), col("epochs"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getBoolean(1), r.getDouble(2), r.getDouble(3)))).toMap
+  }
+
+  test("unimaxAllocation: mixed regime — small domains cap, the big one splits the rest") {
+    // caps 2·n = (20, 40, 200), budget 150: a and b cap, c gets 90
+    val m = unimaxOf(150L)
+    assert(m("a") == ((true, 20.0, 2.0)))
+    assert(m("b") == ((true, 40.0, 2.0)))
+    assert(m("c") == ((false, 90.0, 0.9)))
+  }
+
+  test("unimaxAllocation: budget above every cap leaves it unfilled") {
+    val m = unimaxOf(1000L)
+    assert(m.values.forall(_._1) && m.values.map(_._2).sum == 260.0)
+  }
+
+  test("unimaxAllocation: tight budget splits uniformly, nobody capped") {
+    val m = unimaxOf(30L)
+    assert(m.values.forall(!_._1) && m.values.forall(_._2 == 10.0))
+  }
+
+  // ---- leakage-safe split ----
+
+  test("clusterSafeSplit: cluster members never straddle; singletons covered") {
+    import spark.implicits._
+    val docs = (1L to 40L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val clusters = graft.operators.Clustering.dupClusters(pairs, "id_a", "id_b")
+    val out = Sampling.clusterSafeSplit(docs, "doc_id",
+        clusters, "doc_id", "cluster_id", evalRate = 0.5)
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length == 40)
+    val byDoc = out.map(r => r._1 -> r._3).toMap
+    assert(byDoc(1L) == byDoc(2L) && byDoc(2L) == byDoc(3L))
+    assert(byDoc(10L) == byDoc(11L))
+    // at evalRate 0.5 over 37 clusters both sides must appear
+    assert(out.map(_._3).toSet == Set("train", "eval"))
+    // deterministic: a rerun draws identical sides
+    val rerun = Sampling.clusterSafeSplit(docs, "doc_id",
+        clusters, "doc_id", "cluster_id", evalRate = 0.5)
+      .select(col("doc_id"), col("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rerun == byDoc)
+  }
+
+  // ---- MaxSim retrieval ----
+
+  test("maxSimTopK: per-query max then sum, hand-checked") {
+    import spark.implicits._
+    val chunks = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(-1.0f, 0.0f))).toDF("g", "v")
+    val qs = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val got = Retrieval.maxSimTopK(chunks, "g", "v", qs, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    // g2: 1 + 1 = 2; g1: 1 + 0 = 1; g3: −1 + 0 = −1
+    assert(got == List((2L, 2.0), (1L, 1.0), (3L, -1.0)))
+  }
+
+  test("maxSimTopK: single aggregation — no join or cartesian in the plan") {
+    import spark.implicits._
+    val chunks = (1 to 50).map(i => ((i % 5).toLong,
+      Array(i.toFloat, (i * 2).toFloat))).toDF("g", "v")
+    val plan = Retrieval.maxSimTopK(chunks, "g", "v",
+      Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Join"))
+  }
+}

@@ -75,4 +75,36 @@ class StreamingQuantileSpec extends AnyFunSuite {
       assert(!rows.exists(_._1 == "cold"), "k=2 must cut the tail")
     } finally q.stop()
   }
+
+  test("windowed distinct: HLL registers as window state, exact in the small regime") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Timestamp, String, String)]
+    val out = graft.streaming.StreamingPipeline.windowedDistinct(
+      input.toDF().toDF("ts", "grp", "k"),
+      "ts", "grp", "k", windowDur = "10 seconds", watermark = "5 seconds",
+      p = 9)
+    val q = out.writeStream.format("memory").queryName("wdx")
+      .outputMode("append").start()
+    try {
+      // window [0,10): g1 sees keys a,b,c (each repeated), g2 sees only z
+      input.addData(Seq("a", "b", "c", "a", "b").zipWithIndex.map {
+        case (k, i) => (ts(i), "g1", k) }: _*)
+      input.addData(Seq((ts(2), "g2", "z"), (ts(4), "g2", "z")): _*)
+      q.processAllAvailable()
+      input.addData(Seq((ts(40), "g1", "later")): _*)
+      q.processAllAvailable()
+      val rows = spark.table("wdx")
+        .select("grp", "est_distinct", "nonzero")
+        .as[(String, Double, Int)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      // mirror Spark's round(): BigDecimal.valueOf + HALF_UP at scale 4
+      def lin(v: Int) = java.math.BigDecimal
+        .valueOf(512.0 * math.log(512.0 / (512 - v)))
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+      assert(rows("g1") == ((lin(3), 3)), s"rows=$rows")
+      assert(rows("g2") == ((lin(1), 1)))
+    } finally q.stop()
+  }
 }
