@@ -74,6 +74,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (args: Seq[Expression]) => VecDot(args.head, args(1))))
     e.injectFunction((
+      FunctionIdentifier("media_dhash"),
+      new ExpressionInfo(classOf[graft.functions.MediaDHash].getName,
+        "media_dhash"),
+      (args: Seq[Expression]) => graft.functions.MediaDHash(args.head)))
+    e.injectFunction((
       FunctionIdentifier("media_meta"),
       new ExpressionInfo(classOf[MediaMeta].getName, "media_meta"),
       (args: Seq[Expression]) => MediaMeta(args.head)))

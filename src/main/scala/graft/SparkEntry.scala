@@ -2227,6 +2227,45 @@ object SparkEntry {
       .select(col("label").cast("long").as("doc_group"), col("maxsim_score"))
   }
 
+  /** Perceptual dHash of every synthetic BMP (real encode → real pixel
+    * decode → integer luma → 9×8 grid difference bits); the oracle
+    * replays the known pixel formula through the identical integer
+    * pipeline. Hash published as two 32-bit halves (bit 63 would
+    * overflow a signed SQL BIGINT built by Σ 2^k). */
+  private def qImageDhash(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MediaDHash.media_dhash
+    import graft.operators.Multimodal
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        Multimodal.synthBmpUdf(col("doc_id"),
+          (col("doc_id") % 8 + 1).cast("int"),
+          (col("doc_id") % 6 + 1).cast("int")).as("media"))
+      .select(col("doc_id"), media_dhash(col("media")).as("sig"))
+      .select(col("doc_id"),
+        shiftrightunsigned(col("sig"), 32).as("hash_hi"),
+        col("sig").bitwiseAND(lit(0xFFFFFFFFL)).as("hash_lo"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Image near-dup pairs over the ≥4×4 synthetic BMPs (below that the
+    * 9-point sample grid collapses and every tiny image hashes to ~0 —
+    * trivially "identical"; the resolution floor keeps the pair set
+    * meaningful, mirrored in the oracle). Same-dimension classes with
+    * constant luma shifts produce genuine near-dup structure: dHash is
+    * a DIFFERENCE hash, so a uniform brightness shift only flips bits
+    * where the mod-256 pixel wrap lands on a sampled cell. */
+  private def qImageDhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val imgs = t(s, dir, "documents")
+      .filter(col("doc_id") % 8 >= 3 && col("doc_id") % 6 >= 3)
+      .select(col("doc_id"),
+        Multimodal.synthBmpUdf(col("doc_id"),
+          (col("doc_id") % 8 + 1).cast("int"),
+          (col("doc_id") % 6 + 1).cast("int")).as("media"))
+    Multimodal.imageDHashPairs(imgs, "media", "doc_id", maxDist = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ip_range_lookup" -> (qIpRange _),
     "emb_outliers" -> (qEmbOutliers _),
@@ -2377,7 +2416,9 @@ object SparkEntry {
     "q_unpivot" -> (qUnpivot _),
     "mix_unimax" -> (qMixUnimax _),
     "split_cluster_safe" -> (qSplitClusterSafe _),
-    "retrieval_maxsim" -> (qRetrievalMaxsim _)
+    "retrieval_maxsim" -> (qRetrievalMaxsim _),
+    "image_dhash" -> (qImageDhash _),
+    "image_dhash_pairs" -> (qImageDhashPairs _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -3346,7 +3387,56 @@ object SparkEntry {
                   * power(2.0, 56.0) / CAST(s AS DOUBLE) END AS est
          FROM ${pfx}agg)"""
 
+  /** dHash replay over the synthetic BMPs: the same integer pipeline as
+    * [[graft.functions.MediaDHash]] on the KNOWN pixel formula
+    * (synthBmp stores formula-row y bottom-up and the decoder re-emits
+    * top-down, so decoded row y == formula y — verified in
+    * Multimodal.synthBmp / BmpCodec.samples). Luma and grid sampling
+    * are pure integer division; the hash is published as two 32-bit
+    * halves (Σ 2^63 would overflow signed BIGINT). */
+  private def dhashOracleCtes(whereSql: String): String =
+    s"""dims AS (SELECT doc_id, (doc_id % 8) + 1 AS w, (doc_id % 6) + 1 AS h
+          FROM documents $whereSql),
+       grid AS (
+         SELECT doc_id, jj.j, ii.i,
+           (ii.i * w) // 9 AS xl, ((ii.i + 1) * w) // 9 AS xr,
+           (jj.j * h) // 8 AS sy
+         FROM dims,
+           (SELECT unnest(generate_series(0, 7)) AS j) jj,
+           (SELECT unnest(generate_series(0, 7)) AS i) ii),
+       gb AS (
+         SELECT doc_id, j, i,
+           (299*((doc_id*31 + sy*7 + xl*3) % 256)
+            + 587*((doc_id*31 + sy*7 + xl*3 + 11) % 256)
+            + 114*((doc_id*31 + sy*7 + xl*3 + 22) % 256)) // 1000 AS gl,
+           (299*((doc_id*31 + sy*7 + xr*3) % 256)
+            + 587*((doc_id*31 + sy*7 + xr*3 + 11) % 256)
+            + 114*((doc_id*31 + sy*7 + xr*3 + 22) % 256)) // 1000 AS gr
+         FROM grid),
+       hh AS (SELECT doc_id,
+           CAST(sum(CASE WHEN j*8 + i >= 32 AND gr > gl
+             THEN 1::BIGINT << (j*8 + i - 32) ELSE 0 END) AS BIGINT) AS hash_hi,
+           CAST(sum(CASE WHEN j*8 + i < 32 AND gr > gl
+             THEN 1::BIGINT << (j*8 + i) ELSE 0 END) AS BIGINT) AS hash_lo
+         FROM gb GROUP BY doc_id)"""
+
   def oracleSql: Map[String, String] = Map(
+    "image_dhash" ->
+      s"""WITH ${dhashOracleCtes("")}
+          SELECT doc_id, hash_hi, hash_lo FROM hh ORDER BY doc_id""",
+    // hamming <= 3 with 4 blocks: pigeonhole makes the Spark side's
+    // (block, value) candidate equi-join complete, so the oracle is the
+    // plain all-pairs hamming filter over the replayed hashes
+    "image_dhash_pairs" ->
+      s"""WITH ${dhashOracleCtes(
+            "WHERE doc_id % 8 >= 3 AND doc_id % 6 >= 3")}
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(bit_count(xor(a.hash_hi, b.hash_hi))
+              + bit_count(xor(a.hash_lo, b.hash_lo)) AS INT) AS hamming
+          FROM hh a JOIN hh b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.hash_hi, b.hash_hi))
+              + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3
+          ORDER BY id_a, id_b""",
     "q_hll_distinct" ->
       s"""WITH ${hllOracleCtes("u", "CAST(user_id AS VARCHAR)")},
           ${hllOracleCtes("e", "CAST(event_id AS VARCHAR)")},

@@ -144,3 +144,70 @@ object MediaChannelStats {
     new Stats(means, rms)
   }
 }
+
+/** `media_dhash(bin)` → the 64-bit DIFFERENCE HASH (dHash, the
+  * perceptual near-dup signature: Krawetz, "Kind of Like That", 2013)
+  * of a decodable RGB image; null for audio/undecodable media. The
+  * image-side counterpart of [[SimHash64]]: constant-luma shifts and
+  * re-encodes leave the hash nearly unchanged, so hamming-distance
+  * pairs find visually-duplicated images the byte-hash dedup misses.
+  *
+  * Deterministic by construction — and therefore DuckDB-replayable on
+  * the synthetic corpus: integer BT.601 luma ((299R+587G+114B)/1000,
+  * pure Long math, no FP), nearest-neighbor 9×8 grid sampling
+  * (sx_i = i·w/9, sy_j = j·h/8 — integer division, no interpolation
+  * kernel to disagree over), bit (j,i) set iff gray(sx_{i+1}) >
+  * gray(sx_i) on row sy_j. Tiny images degrade gracefully (w=1 ⇒ all
+  * zero bits): callers that mine pairs should floor the resolution. */
+case class MediaDHash(child: Expression) extends UnaryExpression with MediaExprHelper {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "media_dhash"
+
+  override def nullSafeEval(a: Any): Any =
+    MediaDHash.dhashOf(a.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"""
+      java.lang.Long dh_v = graft.functions.MediaDHash.dhashOf($a);
+      ${ev.isNull} = dh_v == null;
+      ${ev.value} = ${ev.isNull} ? -1L : dh_v.longValue();""")
+
+  override protected def withNewChildInternal(newChild: Expression): MediaDHash =
+    copy(child = newChild)
+}
+
+object MediaDHash {
+  def dhashOf(b: Array[Byte]): java.lang.Long = {
+    val codec = MediaCodecs.find(b).orNull
+    if (codec == null) return null
+    val m = codec.meta(b)
+    if (m.width <= 0 || m.height <= 0) return null
+    val s = codec.samples(b).orNull
+    if (s == null || s.channels.length != 3) return null
+    val r = s.channels(0); val g = s.channels(1); val bl = s.channels(2)
+    val w = m.width; val h = m.height
+    if (r.length < w * h) return null
+    def gray(x: Int, y: Int): Long = {
+      val i = y * w + x
+      (299L * r(i).toLong + 587L * g(i).toLong + 114L * bl(i).toLong) / 1000L
+    }
+    var hash = 0L
+    var j = 0
+    while (j < 8) {
+      val sy = j * h / 8
+      var i = 0
+      while (i < 8) {
+        if (gray((i + 1) * w / 9, sy) > gray(i * w / 9, sy))
+          hash |= 1L << (j * 8 + i)
+        i += 1
+      }
+      j += 1
+    }
+    java.lang.Long.valueOf(hash)
+  }
+
+  def media_dhash(bin: Column): Column =
+    org.apache.spark.sql.GraftExprBridge.column(
+      MediaDHash(org.apache.spark.sql.GraftExprBridge.expression(bin)))
+}

@@ -520,9 +520,21 @@ object Dedup {
   /** SimHash near-dup pairs with hamming(sig) <= maxDist, using 16-bit
     * block bucketing (pigeonhole over 4 blocks covers maxDist <= 3). */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxDist: Int = 3): DataFrame = {
-    val sigd = df.select(col(idCol).as("sh_id"),
-      graft.functions.SimHash64.simhash(col(textCol)).as("sig"))
+                   maxDist: Int = 3): DataFrame =
+    hammingPairsFromSig(df.select(col(idCol).as("sh_id"),
+      graft.functions.SimHash64.simhash(col(textCol)).as("sig")),
+      "sh_id", "sig", maxDist)
+
+  /** Hamming-distance pairs over ANY 64-bit signature column (SimHash
+    * for text, dHash for images): 16-bit block pigeonhole — at
+    * maxDist ≤ 3 a pair within distance always agrees on ≥ 1 of the 4
+    * blocks, so the (block, value) equi-join is a complete candidate
+    * set and the bit_count verify makes it exact. Shared kernel of
+    * [[simhashPairs]] and `Multimodal.imageDHashPairs`. */
+  def hammingPairsFromSig(sigd0: DataFrame, idCol: String, sigCol: String,
+                          maxDist: Int = 3): DataFrame = {
+    require(maxDist < 4, "16-bit block pigeonhole is complete only for maxDist <= 3")
+    val sigd = sigd0.select(col(idCol).as("sh_id"), col(sigCol).as("sig"))
     val blocked = sigd.select(col("sh_id"), col("sig"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))

@@ -366,4 +366,22 @@ object Multimodal {
   }
 
   val synthJpegUdf = udf(synthJpeg _)
+
+  /** Image near-dup pairs by perceptual difference hash: dHash each
+    * decodable RGB image ([[graft.functions.MediaDHash]], a codegen
+    * expression — the scan stays narrow), then mine hamming-distance
+    * pairs through the shared 16-bit block pigeonhole kernel
+    * ([[Dedup.hammingPairsFromSig]]). This is the missing half of
+    * multimodal dedup: exact byte-hash dedup catches re-uploads,
+    * dHash catches re-ENCODES (format/quality/gamma shifts) of the
+    * same picture. Scale shape identical to text SimHash: map-only
+    * signature + bounded (block, value) equi-join — no image bytes
+    * cross the shuffle, only (id, sig) pairs. */
+  def imageDHashPairs(df: DataFrame, binCol: String, idCol: String,
+                      maxDist: Int = 3): DataFrame =
+    Dedup.hammingPairsFromSig(
+      df.select(col(idCol).as("dh_id"),
+          graft.functions.MediaDHash.media_dhash(col(binCol)).as("sig"))
+        .filter(col("sig").isNotNull),
+      "dh_id", "sig", maxDist)
 }

@@ -126,6 +126,45 @@ class R8dOpsSpec extends AnyFunSuite {
     assert(got == List((2L, 2.0), (1L, 1.0), (3L, -1.0)))
   }
 
+  // ---- image dHash ----
+
+  test("media_dhash: hand-checked gradient image; shift invariance; audio null") {
+    import graft.operators.Multimodal
+    // 9×8 horizontal gradient: every right sample strictly brighter ⇒
+    // all 64 bits set (pixel = x*3 grows left→right within a row and
+    // the +7·y row offset never reverses the x ordering at these dims)
+    val grad = Multimodal.synthBmp(0L, 9, 8)
+    assert(graft.functions.MediaDHash.dhashOf(grad) == -1L) // all 64 bits
+    // dHash is a DIFFERENCE hash: a constant luma shift that never
+    // wraps mod 256 leaves every bit unchanged (seeds 0 and 1 shift
+    // all pixels by 31; dims 5×5 keeps base+22 < 256 wrap-free)
+    val a = graft.functions.MediaDHash.dhashOf(Multimodal.synthBmp(0L, 5, 5))
+    val b = graft.functions.MediaDHash.dhashOf(Multimodal.synthBmp(1L, 5, 5))
+    assert(a == b)
+    // w=1 degrades to the all-zero hash (grid collapses), not null
+    assert(graft.functions.MediaDHash.dhashOf(Multimodal.synthBmp(3L, 1, 4)) == 0L)
+    // audio has no RGB planes ⇒ null
+    assert(graft.functions.MediaDHash.dhashOf(
+      Multimodal.synthWav(1L, 1, 16)) == null)
+  }
+
+  test("imageDHashPairs: identical and shift-twin images all pair at hamming 0") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // two identical 6×6 images (same seed) plus a +31-luma shifted twin
+    // (both seeds wrap mod 256 exactly once across the 6×6 ramp, so the
+    // shift is uniform and the difference hash is identical)
+    val rows = Seq(
+      (1L, Multimodal.synthBmp(10L, 6, 6)),
+      (2L, Multimodal.synthBmp(10L, 6, 6)),
+      (3L, Multimodal.synthBmp(11L, 6, 6)))
+    val df = rows.toDF("img_id", "media")
+    val got = Multimodal.imageDHashPairs(df, "media", "img_id", maxDist = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(got == Set((1L, 2L, 0), (1L, 3L, 0), (2L, 3L, 0)), s"got=$got")
+  }
+
   test("maxSimTopK: single aggregation — no join or cartesian in the plan") {
     import spark.implicits._
     val chunks = (1 to 50).map(i => ((i % 5).toLong,
