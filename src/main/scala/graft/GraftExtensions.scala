@@ -79,6 +79,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "media_dhash"),
       (args: Seq[Expression]) => graft.functions.MediaDHash(args.head)))
     e.injectFunction((
+      FunctionIdentifier("media_audio_fp"),
+      new ExpressionInfo(classOf[graft.functions.MediaAudioFp].getName,
+        "media_audio_fp"),
+      (args: Seq[Expression]) => graft.functions.MediaAudioFp(args.head)))
+    e.injectFunction((
       FunctionIdentifier("media_meta"),
       new ExpressionInfo(classOf[MediaMeta].getName, "media_meta"),
       (args: Seq[Expression]) => MediaMeta(args.head)))

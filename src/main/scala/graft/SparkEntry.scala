@@ -2266,6 +2266,25 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Sign-of-derivative audio fingerprint of every synthetic WAV (real
+    * RIFF encode → real PCM decode → 65-anchor waveform-shape hash);
+    * the oracle replays the known sample formula — the −1024 DC shift
+    * cancels in the comparisons, so only the mod-2048 ramp matters. */
+  private def qAudioFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MediaAudioFp.media_audio_fp
+    import graft.operators.Multimodal
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        Multimodal.synthWavUdf(col("doc_id"),
+          (col("doc_id") % 2 + 1).cast("int"),
+          (col("doc_id") % 40 + 25).cast("int")).as("media"))
+      .select(col("doc_id"), media_audio_fp(col("media")).as("sig"))
+      .select(col("doc_id"),
+        shiftrightunsigned(col("sig"), 32).as("hash_hi"),
+        col("sig").bitwiseAND(lit(0xFFFFFFFFL)).as("hash_lo"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ip_range_lookup" -> (qIpRange _),
     "emb_outliers" -> (qEmbOutliers _),
@@ -2418,7 +2437,8 @@ object SparkEntry {
     "split_cluster_safe" -> (qSplitClusterSafe _),
     "retrieval_maxsim" -> (qRetrievalMaxsim _),
     "image_dhash" -> (qImageDhash _),
-    "image_dhash_pairs" -> (qImageDhashPairs _)
+    "image_dhash_pairs" -> (qImageDhashPairs _),
+    "audio_fingerprint" -> (qAudioFingerprint _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -3421,6 +3441,21 @@ object SparkEntry {
          FROM gb GROUP BY doc_id)"""
 
   def oracleSql: Map[String, String] = Map(
+    "audio_fingerprint" ->
+      """WITH dims AS (SELECT doc_id, (doc_id % 40) + 25 AS n FROM documents),
+         bits AS (
+           SELECT doc_id, kk.k,
+             CASE WHEN ((doc_id*131 + (((kk.k + 1) * n) // 65) * 17) % 2048) >
+                       ((doc_id*131 + ((kk.k * n) // 65) * 17) % 2048)
+               THEN 1 ELSE 0 END AS bit
+           FROM dims, (SELECT unnest(generate_series(0, 63)) AS k) kk),
+         hh AS (SELECT doc_id,
+             CAST(sum(CASE WHEN k >= 32 AND bit = 1
+               THEN 1::BIGINT << (k - 32) ELSE 0 END) AS BIGINT) AS hash_hi,
+             CAST(sum(CASE WHEN k < 32 AND bit = 1
+               THEN 1::BIGINT << k ELSE 0 END) AS BIGINT) AS hash_lo
+           FROM bits GROUP BY doc_id)
+         SELECT doc_id, hash_hi, hash_lo FROM hh ORDER BY doc_id""",
     "image_dhash" ->
       s"""WITH ${dhashOracleCtes("")}
           SELECT doc_id, hash_hi, hash_lo FROM hh ORDER BY doc_id""",

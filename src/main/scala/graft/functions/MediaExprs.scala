@@ -211,3 +211,54 @@ object MediaDHash {
     org.apache.spark.sql.GraftExprBridge.column(
       MediaDHash(org.apache.spark.sql.GraftExprBridge.expression(bin)))
 }
+
+/** `media_audio_fp(bin)` → 64-bit sign-of-derivative audio fingerprint
+  * of a decodable PCM stream (the Shazam-family intuition reduced to
+  * its deterministic core: the SHAPE of the waveform, not its level):
+  * 65 anchor samples at t_k = k·n/65 over channel 0, bit k set iff
+  * x(t_{k+1}) > x(t_k). Level-invariant by construction — a DC offset
+  * or re-gain that preserves ordering leaves every bit unchanged, so
+  * hamming pairs (via [[graft.operators.Dedup.hammingPairsFromSig]])
+  * find re-encoded/re-leveled copies the byte hash misses. The audio
+  * twin of [[MediaDHash]]; pure integer index math + exact PCM integer
+  * comparisons ⇒ DuckDB-replayable on the synthetic WAV formula. */
+case class MediaAudioFp(child: Expression) extends UnaryExpression with MediaExprHelper {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "media_audio_fp"
+
+  override def nullSafeEval(a: Any): Any =
+    MediaAudioFp.afpOf(a.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"""
+      java.lang.Long afp_v = graft.functions.MediaAudioFp.afpOf($a);
+      ${ev.isNull} = afp_v == null;
+      ${ev.value} = ${ev.isNull} ? -1L : afp_v.longValue();""")
+
+  override protected def withNewChildInternal(newChild: Expression): MediaAudioFp =
+    copy(child = newChild)
+}
+
+object MediaAudioFp {
+  def afpOf(b: Array[Byte]): java.lang.Long = {
+    val codec = MediaCodecs.find(b).orNull
+    if (codec == null || codec.format != "wav") return null
+    val s = codec.samples(b).orNull
+    if (s == null || s.channels.isEmpty) return null
+    val x = s.channels(0)
+    val n = x.length
+    if (n == 0) return null
+    var hash = 0L
+    var k = 0
+    while (k < 64) {
+      if (x((k + 1) * n / 65) > x(k * n / 65)) hash |= 1L << k
+      k += 1
+    }
+    java.lang.Long.valueOf(hash)
+  }
+
+  def media_audio_fp(bin: Column): Column =
+    org.apache.spark.sql.GraftExprBridge.column(
+      MediaAudioFp(org.apache.spark.sql.GraftExprBridge.expression(bin)))
+}

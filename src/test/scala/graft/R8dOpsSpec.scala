@@ -165,6 +165,22 @@ class R8dOpsSpec extends AnyFunSuite {
     assert(got == Set((1L, 2L, 0), (1L, 3L, 0), (2L, 3L, 0)), s"got=$got")
   }
 
+  test("media_audio_fp: waveform-shape hash — level-invariant, image null") {
+    import graft.operators.Multimodal
+    import graft.functions.MediaAudioFp.afpOf
+    // same waveform at two DC levels: seeds 0 and 1 shift every sample
+    // by 131 (no mod-2048 wrap over 65 frames: max 64·17+131 < 2048)
+    // ⇒ sample ordering — and the hash — is identical
+    val a = afpOf(Multimodal.synthWav(0L, 1, 65))
+    val b = afpOf(Multimodal.synthWav(1L, 1, 65))
+    assert(a == b && a != null)
+    // 65 frames ⇒ anchors t_k = k exactly; the strictly rising ramp
+    // (+17 per frame, wrap-free) sets every one of the 64 bits
+    assert(a == -1L)
+    // images and nulls fall through
+    assert(afpOf(Multimodal.synthBmp(1L, 4, 4)) == null)
+  }
+
   test("maxSimTopK: single aggregation — no join or cartesian in the plan") {
     import spark.implicits._
     val chunks = (1 to 50).map(i => ((i % 5).toLong,
