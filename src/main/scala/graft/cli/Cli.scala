@@ -393,9 +393,30 @@ object Cli {
           textCol, idCol, Dedup.SubstrCorpusIndex.load(spark, p),
           flag("--max-dupfrac", "0.5").toDouble)
       }
-      Sampling.writeTrainingShards(afterSubstr, idCol, out,
-        flag("--shards", "8").toInt)
-      println(s"wpcurate: curated shards written to $out")
+      // --split <evalRate>: leakage-safe train/eval split BEFORE
+      // sharding — near-dup clusters mined within the curated batch
+      // draw one splitmix side per cluster, so a doc and its near-twin
+      // can never end up on opposite sides of the boundary
+      flag("--split", "") match {
+        case "" =>
+          Sampling.writeTrainingShards(afterSubstr, idCol, out,
+            flag("--shards", "8").toInt)
+          println(s"wpcurate: curated shards written to $out")
+        case rate =>
+          import org.apache.spark.sql.functions.col
+          val pairs = Dedup.ngramJaccardPairs(afterSubstr, textCol, idCol,
+            n = 3, threshold = flag("--threshold", "0.5").toDouble)
+          val clusters = graft.operators.Clustering.dupClusters(
+            pairs, "id_a", "id_b")
+          val withSplit = Sampling.clusterSafeSplit(afterSubstr, idCol,
+            clusters, "doc_id", "cluster_id", rate.toDouble)
+          for (side <- Seq("train", "eval"))
+            Sampling.writeTrainingShards(
+              withSplit.filter(col("split") === side)
+                .drop("cluster_id", "split"),
+              idCol, s"$out/$side", flag("--shards", "8").toInt)
+          println(s"wpcurate: curated $rate-eval split shards written to $out")
+      }
 
     // Publication card for a (curated) corpus dir: per source×lang
     // docs/tokens/dup-rate — the dataset_card rollup as a CLI step.

@@ -57,6 +57,34 @@ class CliCurateSpec extends AnyFunSuite {
     assert(kept == Set(1L, 5L), s"kept=$kept")
   }
 
+  test("wpcurate batch --split: near-dup twins land on the same side") {
+    import spark.implicits._
+    spark
+    // every text needs >= 2 stopwords or the upstream quality gate —
+    // not the split under test — drops it (see the --dsir fixture note)
+    val batch = Seq(
+      (1L, "the alpha and beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "the alpha and beta gamma delta epsilon zeta eta theta iota lambda"), // near-dup of 1
+      (3L, "the one and two three four five six seven eight nine"),
+      (4L, "the red and orange yellow green blue indigo violet pink"),
+      (5L, "the north and south east west upward down left right"),
+      (6L, "the cat and dog bird fish horse cow sheep goat"))
+      .toDF("doc_id", "text")
+    val bDir = tmp("split_batch"); val outDir = tmp("split_out")
+    batch.write.mode("overwrite").parquet(bDir)
+    graft.cli.Cli.main(Array("wpcurate", "batch", bDir, outDir,
+      "--min-words", "3", "--min-entropy", "2.0", "--min-score", "-1000000",
+      "--split", "0.5", "--shards", "2"))
+    val train = spark.read.parquet(s"$outDir/train")
+    val eval_ = spark.read.parquet(s"$outDir/eval")
+    val tIds = train.select("doc_id").as[Long].collect().toSet
+    val eIds = eval_.select("doc_id").as[Long].collect().toSet
+    assert((tIds ++ eIds) == Set(1L, 2L, 3L, 4L, 5L, 6L), s"t=$tIds e=$eIds")
+    assert((tIds & eIds).isEmpty)
+    assert(tIds.contains(1L) == tIds.contains(2L), "near-dup twins split apart")
+    assert(train.columns.contains("shard") && eval_.columns.contains("shard"))
+  }
+
   test("wpcurate batch --dsir: off-target docs drop at the importance gate") {
     import spark.implicits._
     spark
