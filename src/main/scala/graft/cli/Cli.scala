@@ -524,6 +524,21 @@ object Cli {
             case None => dsirGated
           }
           accepted.write.mode("append").parquet(s"$out/accepted")
+          // --monitor-key <col>: per-batch cardinality line via the HLL
+          // sketch — 512 B of state per aggregate regardless of key
+          // count, so the monitor never becomes the memory bound the
+          // gates were built to avoid
+          flag("--monitor-key", "") match {
+            case "" => ()
+            case mk =>
+              import org.apache.spark.sql.functions.{col, count, lit}
+              val r = accepted.agg(count(lit(1)),
+                graft.functions.HllSketch.hll_distinct(
+                  col(mk).cast("string"), 9)).head()
+              val est = r.getStruct(1).getDouble(0)
+              println(f"wpcurate: MONITOR accepted=${r.getLong(0)} " +
+                f"distinct_$mk%s=$est%.1f")
+          }
           driftRef.foreach { ref =>
             ref.psiOf(accepted, driftGrp, driftVal)
               .filter(org.apache.spark.sql.functions.col("psi") > driftMax)

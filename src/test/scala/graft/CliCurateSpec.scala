@@ -241,6 +241,27 @@ class CliCurateSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$outDir/accepted").count() == 20)
   }
 
+  test("wpcurate daemon --monitor-key: per-batch HLL cardinality line prints") {
+    import spark.implicits._
+    spark
+    val inDir = tmp("mon_in"); val outDir = tmp("mon_out")
+    // 40 rows over 7 distinct langs — small regime: HLL linear counting
+    // is exact on register count, estimate lands within a hair of 7
+    (0 until 40).map(i => (i.toLong, "some text", s"lang${i % 7}"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(inDir)
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf)) {
+      graft.cli.Cli.main(Array("wpcurate", "daemon", inDir, outDir,
+        "--monitor-key", "lang", "--once"))
+    }
+    val line = buf.toString.linesIterator
+      .find(_.contains("MONITOR")).getOrElse("")
+    assert(line.contains("accepted=40"), s"stdout was: ${buf.toString}")
+    val est = line.split("distinct_lang=").last.trim.toDouble
+    assert(math.abs(est - 7.0) < 0.1, s"est=$est")
+  }
+
   test("wpcurate daemon restart: checkpoint replays nothing, drains only new files") {
     import spark.implicits._
     spark
