@@ -2285,6 +2285,33 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  private val cardIndexPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Batch novelty SERVED FROM the persisted cardinality profile (the
+    * ninth index): registers built on the even-id half, saved → loaded,
+    * probed with the odd-id half — est(union) − est(corpus) per source
+    * is "how many of the batch's texts are NEW". The oracle replays all
+    * three register pipelines (corpus / batch / union) literally. */
+  private def qCorpusNovelty(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Cardinality
+    val d = t(s, dir, "documents")
+    val path = cardIndexPaths.computeIfAbsent(dir, { _ =>
+      val p = java.nio.file.Files.createTempDirectory("graft_card_idx").toString
+      Cardinality.CardRef.build(d.filter(col("doc_id") % 2 === 0),
+        "source", "text", p = 9).save(p)
+      p
+    })
+    Cardinality.CardRef.load(s, path)
+      .noveltyOf(d.filter(col("doc_id") % 2 === 1), "source", "text")
+      .select(col("grp").as("source"),
+        round(col("est_corpus"), 4).as("est_corpus"),
+        round(col("est_batch"), 4).as("est_batch"),
+        round(col("est_union"), 4).as("est_union"),
+        round(col("novelty"), 4).as("novelty"))
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ip_range_lookup" -> (qIpRange _),
     "emb_outliers" -> (qEmbOutliers _),
@@ -2438,7 +2465,8 @@ object SparkEntry {
     "retrieval_maxsim" -> (qRetrievalMaxsim _),
     "image_dhash" -> (qImageDhash _),
     "image_dhash_pairs" -> (qImageDhashPairs _),
-    "audio_fingerprint" -> (qAudioFingerprint _)
+    "audio_fingerprint" -> (qAudioFingerprint _),
+    "corpus_novelty" -> (qCorpusNovelty _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -3373,31 +3401,31 @@ object SparkEntry {
     * double division + small-range branch — mirrors
     * [[graft.functions.HllSketch]].eval step for step. DISTINCT keys
     * first: register max is idempotent per key, so pre-dedup is free. */
-  private def hllOracleCtes(pfx: String, keySql: String): String =
-    s"""${pfx}h AS (SELECT DISTINCT event_type, $keySql AS k FROM events),
-       ${pfx}f AS (SELECT event_type, ${fnvSql("k")} AS fv FROM ${pfx}h),
-       ${pfx}z0 AS (SELECT event_type, (fv + 11400714819323198485)
+  private def hllOracleCtes(pfx: String, selSql: String): String =
+    s"""${pfx}h AS (SELECT DISTINCT grp, k FROM ($selSql)),
+       ${pfx}f AS (SELECT grp, ${fnvSql("k")} AS fv FROM ${pfx}h),
+       ${pfx}z0 AS (SELECT grp, (fv + 11400714819323198485)
            % 18446744073709551616::HUGEINT AS z0 FROM ${pfx}f),
-       ${pfx}z1 AS (SELECT event_type, ${mulcSql("xor(z0, z0 // 1073741824)",
+       ${pfx}z1 AS (SELECT grp, ${mulcSql("xor(z0, z0 // 1073741824)",
              BigInt("BF58476D1CE4E5B9", 16))} AS z1 FROM ${pfx}z0),
-       ${pfx}z2 AS (SELECT event_type, ${mulcSql("xor(z1, z1 // 134217728)",
+       ${pfx}z2 AS (SELECT grp, ${mulcSql("xor(z1, z1 // 134217728)",
              BigInt("94D049BB133111EB", 16))} AS z2 FROM ${pfx}z1),
-       ${pfx}hh AS (SELECT event_type,
+       ${pfx}hh AS (SELECT grp,
            xor(z2, z2 // 2147483648) AS hv FROM ${pfx}z2),
-       ${pfx}br AS (SELECT event_type, hv // 36028797018963968 AS j,
+       ${pfx}br AS (SELECT grp, hv // 36028797018963968 AS j,
            CAST(hv % 36028797018963968 AS BIGINT) AS w FROM ${pfx}hh),
-       ${pfx}rr AS (SELECT event_type, j,
+       ${pfx}rr AS (SELECT grp, j,
            CASE WHEN w = 0 THEN 56 ELSE 56 - length(bin(w)) END AS rho
          FROM ${pfx}br),
-       ${pfx}regs AS (SELECT event_type, j, max(rho) AS mj
-         FROM ${pfx}rr GROUP BY event_type, j),
-       ${pfx}agg AS (SELECT event_type,
+       ${pfx}regs AS (SELECT grp, j, max(rho) AS mj
+         FROM ${pfx}rr GROUP BY grp, j),
+       ${pfx}agg AS (SELECT grp,
            count(*) AS nonzero,
            CAST(sum(mj) AS BIGINT) AS reg_sum,
            sum(CAST(1::BIGINT << (56 - mj) AS HUGEINT))
              + CAST(512 - count(*) AS HUGEINT) * (1::BIGINT << 56) AS s
-         FROM ${pfx}regs GROUP BY event_type),
-       ${pfx}fin AS (SELECT event_type, reg_sum,
+         FROM ${pfx}regs GROUP BY grp),
+       ${pfx}fin AS (SELECT grp, reg_sum,
            CAST(nonzero AS BIGINT) AS nonzero,
            CASE WHEN (0.7213 / (1.0 + 1.079 / 512.0)) * 512 * 512
                   * power(2.0, 56.0) / CAST(s AS DOUBLE) <= 2.5 * 512
@@ -3473,17 +3501,38 @@ object SparkEntry {
               + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3
           ORDER BY id_a, id_b""",
     "q_hll_distinct" ->
-      s"""WITH ${hllOracleCtes("u", "CAST(user_id AS VARCHAR)")},
-          ${hllOracleCtes("e", "CAST(event_id AS VARCHAR)")},
-          ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
+      s"""WITH ${hllOracleCtes("u",
+            "SELECT event_type AS grp, CAST(user_id AS VARCHAR) AS k FROM events")},
+          ${hllOracleCtes("e",
+            "SELECT event_type AS grp, CAST(event_id AS VARCHAR) AS k FROM events")},
+          ex AS (SELECT event_type AS grp, count(DISTINCT user_id) AS exact_users
                  FROM events GROUP BY event_type)
-          SELECT uf.event_type, round(uf.est, 4) AS est_users,
+          SELECT uf.grp AS event_type, round(uf.est, 4) AS est_users,
             uf.reg_sum AS reg_sum_users, uf.nonzero AS nonzero_users,
             round(ef.est, 4) AS est_events, ef.reg_sum AS reg_sum_events,
             ex.exact_users
-          FROM ufin uf JOIN efin ef ON uf.event_type = ef.event_type
-          JOIN ex ON uf.event_type = ex.event_type
-          ORDER BY uf.event_type""",
+          FROM ufin uf JOIN efin ef ON uf.grp = ef.grp
+          JOIN ex ON uf.grp = ex.grp
+          ORDER BY event_type""",
+    // the union pipeline (no WHERE) covers every group by construction,
+    // so it drives the joins; absent sides estimate 0 from all-zero
+    // registers — the linear-counting branch at V = m is exactly 0.0
+    "corpus_novelty" ->
+      s"""WITH ${hllOracleCtes("c",
+            "SELECT source AS grp, text AS k FROM documents WHERE doc_id % 2 = 0")},
+          ${hllOracleCtes("b",
+            "SELECT source AS grp, text AS k FROM documents WHERE doc_id % 2 = 1")},
+          ${hllOracleCtes("u",
+            "SELECT source AS grp, text AS k FROM documents")}
+          SELECT uf.grp AS source,
+            round(coalesce(cf.est, 0.0), 4) AS est_corpus,
+            round(coalesce(bf.est, 0.0), 4) AS est_batch,
+            round(uf.est, 4) AS est_union,
+            round(uf.est - coalesce(cf.est, 0.0), 4) AS novelty
+          FROM ufin uf
+          LEFT JOIN cfin cf ON uf.grp = cf.grp
+          LEFT JOIN bfin bf ON uf.grp = bf.grp
+          ORDER BY source""",
     "q_pivot" ->
       """SELECT CAST(ts AS DATE) AS day,
            count(*) FILTER (WHERE event_type = 'view') AS "view",

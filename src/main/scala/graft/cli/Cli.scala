@@ -703,9 +703,26 @@ object Cli {
               flag("--text-col", "text"), flag("--id-col", "doc_id"))
             .write.mode("overwrite").parquet(out)
           println(s"wpindex: duplicated spans written to $out")
+        case ("build", "card", corpus :: path :: _) =>
+          graft.operators.Cardinality.CardRef.build(spark.read.parquet(corpus),
+              flag("--grp-col", "source"), flag("--key-col", "text"),
+              p = flag("--p", "9").toInt)
+            .save(path)
+          println(s"wpindex: built card index at $path")
+        case ("append", "card", newData :: path :: _) =>
+          graft.operators.Cardinality.CardRef.load(spark, path).appendTo(path,
+            spark.read.parquet(newData),
+            flag("--grp-col", "source"), flag("--key-col", "text"))
+          println(s"wpindex: appended to card index at $path")
+        case ("probe", "card", batch :: path :: out :: _) =>
+          graft.operators.Cardinality.CardRef.load(spark, path)
+            .noveltyOf(spark.read.parquet(batch),
+              flag("--grp-col", "source"), flag("--key-col", "text"))
+            .write.mode("overwrite").parquet(out)
+          println(s"wpindex: batch novelty written to $out")
         case _ =>
           System.err.println(
-            "usage: wpindex build|append|probe neardup|emb|ann|drift|lm|bm25|dsir|substr <in.parquet> <indexDir> [<outDir>] [flags]")
+            "usage: wpindex build|append|probe neardup|emb|ann|drift|lm|bm25|dsir|substr|card <in.parquet> <indexDir> [<outDir>] [flags]")
           sys.exit(2)
       }
 

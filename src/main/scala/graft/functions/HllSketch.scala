@@ -43,7 +43,6 @@ case class HllSketch(child: Expression, p: Int,
   require(p >= 4 && p <= 16, s"hll_distinct: p must be in [4,16], got $p")
 
   private val m = 1 << p
-  private val q = 64 - p
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
@@ -56,42 +55,17 @@ case class HllSketch(child: Expression, p: Int,
 
   override def update(b: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
-    if (v == null) return b
-    val h = SplitMix64.mix(graft.operators.TextAnalysis.fnv1a64(
-      v.asInstanceOf[UTF8String].toString))
-    val j = (h >>> q).toInt
-    val w = h & ((1L << q) - 1L)
-    // rho = leading-zero run of the q-bit remainder + 1
-    val rho = if (w == 0L) q + 1 else q - (64 - java.lang.Long.numberOfLeadingZeros(w)) + 1
-    if (rho > b(j)) b(j) = rho.toByte
+    if (v != null)
+      HllSketch.updateRegisters(b, v.asInstanceOf[UTF8String].toString, p)
     b
   }
 
-  override def merge(b: Array[Byte], o: Array[Byte]): Array[Byte] = {
-    var i = 0
-    while (i < m) { if (o(i) > b(i)) b(i) = o(i); i += 1 }
-    b
-  }
+  override def merge(b: Array[Byte], o: Array[Byte]): Array[Byte] =
+    HllSketch.mergeRegisters(b, o)
 
   override def eval(b: Array[Byte]): Any = {
-    // exact integer harmonic sum: Σ_j 2^-M_j = S / 2^(q+1)
-    var s = BigInt(0)
-    var regSum = 0L
-    var zeros = 0
-    var i = 0
-    while (i < m) {
-      val mj = b(i) & 0xFF
-      s += BigInt(1) << (q + 1 - mj)
-      regSum += mj
-      if (mj == 0) zeros += 1
-      i += 1
-    }
-    val alpha = 0.7213 / (1.0 + 1.079 / m) // m >= 128 constant
-    val raw = alpha * m * m * math.pow(2.0, (q + 1).toDouble) / s.toDouble
-    val est =
-      if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
-      else raw
-    InternalRow(est, regSum, m - zeros)
+    val (est, regSum, nonzero) = HllSketch.estimate(b, p)
+    InternalRow(est, regSum, nonzero)
   }
 
   override def serialize(b: Array[Byte]): Array[Byte] = b
@@ -110,5 +84,101 @@ object HllSketch {
   def hll_distinct(c: Column, p: Int): Column =
     org.apache.spark.sql.GraftExprBridge.column(
       HllSketch(org.apache.spark.sql.GraftExprBridge.expression(c),
+        p).toAggregateExpression())
+
+  /** Register update for one key — shared by the aggregates and any
+    * register-level consumer (e.g. the persisted cardinality index). */
+  def updateRegisters(regs: Array[Byte], key: String, p: Int): Unit = {
+    val q = 64 - p
+    val h = SplitMix64.mix(graft.operators.TextAnalysis.fnv1a64(key))
+    val j = (h >>> q).toInt
+    val w = h & ((1L << q) - 1L)
+    val rho = if (w == 0L) q + 1 else q - (64 - java.lang.Long.numberOfLeadingZeros(w)) + 1
+    if (rho > regs(j)) regs(j) = rho.toByte
+  }
+
+  /** Elementwise-max merge — HLL union: the merged registers estimate
+    * the cardinality of the UNION of the merged key sets exactly as if
+    * it had been sketched in one pass. */
+  def mergeRegisters(into: Array[Byte], from: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < into.length) { if (from(i) > into(i)) into(i) = from(i); i += 1 }
+    into
+  }
+
+  /** (estimate, register sum, nonzero count) from raw registers — the
+    * exact-integer harmonic sum (Σ_j 2^-M_j = S / 2^(q+1), S a BigInt)
+    * plus the small-range linear-counting branch; the DuckDB oracle
+    * replays this literally. */
+  def estimate(b: Array[Byte], p: Int): (Double, Long, Int) = {
+    val m = 1 << p
+    val q = 64 - p
+    var s = BigInt(0)
+    var regSum = 0L
+    var zeros = 0
+    var i = 0
+    while (i < m) {
+      val mj = b(i) & 0xFF
+      s += BigInt(1) << (q + 1 - mj)
+      regSum += mj
+      if (mj == 0) zeros += 1
+      i += 1
+    }
+    val alpha = 0.7213 / (1.0 + 1.079 / m) // m >= 128 constant
+    val raw = alpha * m * m * math.pow(2.0, (q + 1).toDouble) / s.toDouble
+    val est =
+      if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+      else raw
+    (est, regSum, m - zeros)
+  }
+}
+
+/** `hll_registers(key, p)` — the same sketch, evaluated to its RAW
+  * 2^p register bytes instead of the estimate: the storable/mergeable
+  * form. Registers from disjoint passes merge by elementwise max into
+  * the union sketch ([[HllSketch.mergeRegisters]]), which is what makes
+  * a PERSISTED cardinality profile incrementally maintainable — fold a
+  * new batch's registers in without touching the key sets. */
+case class HllRegisters(child: Expression, p: Int,
+                        mutableAggBufferOffset: Int = 0,
+                        inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] {
+  require(p >= 4 && p <= 16, s"hll_registers: p must be in [4,16], got $p")
+  private val m = 1 << p
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(b: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null)
+      HllSketch.updateRegisters(b, v.asInstanceOf[UTF8String].toString, p)
+    b
+  }
+
+  override def merge(b: Array[Byte], o: Array[Byte]): Array[Byte] =
+    HllSketch.mergeRegisters(b, o)
+
+  override def eval(b: Array[Byte]): Any = b
+
+  override def serialize(b: Array[Byte]): Array[Byte] = b
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(o: Int): HllRegisters =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllRegisters =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): HllRegisters =
+    copy(child = c.head)
+  override def prettyName: String = "hll_registers"
+}
+
+object HllRegisters {
+  def hll_registers(c: Column, p: Int): Column =
+    org.apache.spark.sql.GraftExprBridge.column(
+      HllRegisters(org.apache.spark.sql.GraftExprBridge.expression(c),
         p).toAggregateExpression())
 }
