@@ -539,6 +539,25 @@ object Cli {
               println(f"wpcurate: MONITOR accepted=${r.getLong(0)} " +
                 f"distinct_$mk%s=$est%.1f")
           }
+          // --card <indexDir>: continual novelty watch — each accepted
+          // batch probes the persisted cardinality profile (NOVELTY
+          // lines per group), then folds its registers in, so the
+          // profile tracks the full ingested history in 512 B/group
+          // and the novelty rate is always measured against everything
+          // seen before this batch
+          flag("--card", "") match {
+            case "" => ()
+            case cp =>
+              val ref = graft.operators.Cardinality.CardRef.load(spark, cp)
+              ref.noveltyOf(accepted,
+                  flag("--card-grp", "lang"), flag("--card-key", textCol))
+                .collect() // groups-sized frame
+                .foreach(r => println(
+                  f"wpcurate: NOVELTY ${r.getString(0)}%s " +
+                  f"new=${r.getDouble(4)}%.1f of=${r.getDouble(2)}%.1f"))
+              ref.appendTo(cp, accepted,
+                flag("--card-grp", "lang"), flag("--card-key", textCol))
+          }
           driftRef.foreach { ref =>
             ref.psiOf(accepted, driftGrp, driftVal)
               .filter(org.apache.spark.sql.functions.col("psi") > driftMax)

@@ -262,6 +262,37 @@ class CliCurateSpec extends AnyFunSuite {
     assert(math.abs(est - 7.0) < 0.1, s"est=$est")
   }
 
+  test("wpcurate daemon --card: novelty lines print and the profile folds the batch in") {
+    import spark.implicits._
+    spark
+    val refDir = tmp("card_ref"); val idxDir = tmp("card_didx")
+    val inDir = tmp("card_in"); val outDir = tmp("card_dout")
+    (1 to 20).map(i => (i.toLong, s"known text $i", "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(refDir)
+    graft.cli.Cli.main(Array("wpindex", "build", "card", refDir, idxDir,
+      "--grp-col", "lang", "--key-col", "text"))
+    Seq((100L, "known text 1", "en"), (101L, "brand new text", "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(inDir)
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf)) {
+      graft.cli.Cli.main(Array("wpcurate", "daemon", inDir, outDir,
+        "--card", idxDir, "--card-grp", "lang", "--once"))
+    }
+    val line = buf.toString.linesIterator
+      .find(_.contains("NOVELTY en")).getOrElse("")
+    assert(line.nonEmpty, s"stdout was: ${buf.toString}")
+    val newEst = line.split("new=").last.split(" ").head.toDouble
+    assert(newEst > 0.4 && newEst < 2.0, s"line=$line")
+    // the daemon folded the batch in: a fresh probe of the same batch
+    // against the updated profile finds nothing new
+    val nov2 = graft.operators.Cardinality.CardRef.load(spark, idxDir)
+      .noveltyOf(spark.read.parquet(inDir), "lang", "text")
+      .select("novelty").head().getDouble(0)
+    assert(nov2 == 0.0)
+  }
+
   test("wpcurate daemon restart: checkpoint replays nothing, drains only new files") {
     import spark.implicits._
     spark
