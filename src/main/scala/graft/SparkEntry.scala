@@ -2312,6 +2312,18 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** Explicit GROUPING SETS (the general form cube/rollup specialize):
+    * per-flag totals, per-status totals, and the grand total in ONE
+    * aggregation pass over the scan — not three unioned scans. */
+  private def qGroupingSets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 4).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ip_range_lookup" -> (qIpRange _),
     "emb_outliers" -> (qEmbOutliers _),
@@ -2466,7 +2478,8 @@ object SparkEntry {
     "image_dhash" -> (qImageDhash _),
     "image_dhash_pairs" -> (qImageDhashPairs _),
     "audio_fingerprint" -> (qAudioFingerprint _),
-    "corpus_novelty" -> (qCorpusNovelty _)
+    "corpus_novelty" -> (qCorpusNovelty _),
+    "q_grouping_sets" -> (qGroupingSets _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -3469,6 +3482,12 @@ object SparkEntry {
          FROM gb GROUP BY doc_id)"""
 
   def oracleSql: Map[String, String] = Map(
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty, count(*) AS n_rows
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         ORDER BY l_returnflag, l_linestatus""",
     "audio_fingerprint" ->
       """WITH dims AS (SELECT doc_id, (doc_id % 40) + 25 AS n FROM documents),
          bits AS (

@@ -159,7 +159,61 @@ object GrowthScaleSmoke {
       val nodes = spark.range(nNodes).select(col("id").as("node0"))
       Graph.pageRank(edges, "s", "d", "w", nodes, "node0", iters = 3).count()
     }
-    Seq(minhash, cross, cc, ess, dsir, attr, fun, ij, pg)
+    // image dHash pair mining on n/10 RANDOM-pixel BMPs with every 10th
+    // a planted identical copy of its decade base: pairs ∝ images, and
+    // the 16-bit-block buckets stay bounded — a quadratic regression
+    // (all-pairs hamming) shows as ~100× growth. The oracle-corpus
+    // generator (linear-ramp pixels) is deliberately NOT used here: its
+    // same-dims images are all brightness shifts of each other, so its
+    // true dHash pair set IS quadratic — correct for the operator,
+    // useless as a linear-growth probe (first run of this smoke proved
+    // it at exactly 100× result growth).
+    val dh = phase("image_dhash") {
+      import graft.operators.Multimodal
+      def randBmp(seed: Long, w: Int, h: Int): Array[Byte] = {
+        val b = Multimodal.synthBmp(seed, w, h)
+        val stride = (w * 3 + 3) & ~3
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w * 3) {
+            b(54 + y * stride + x) = (graft.functions.SplitMix64
+              .mix(seed * 1000003L + y * 512L + x) & 0xFF).toByte
+            x += 1
+          }
+          y += 1
+        }
+        b
+      }
+      val randBmpUdf = udf(randBmp _)
+      val seed = when(col("id") % 10 === 9, col("id") - 9).otherwise(col("id"))
+      // w ≥ 9, h ≥ 8 so the 9×8 sample grid hits distinct pixels and
+      // all 64 hash bits are live random bits: cross-image hamming ≤ 3
+      // collisions are then ~2^-50 rare, leaving the planted copies as
+      // the pair set (smaller images collapse to ~24 effective bits
+      // and random collisions alone re-grow quadratically)
+      val imgs = spark.range(n / 10).select(col("id").as("img_id"),
+        randBmpUdf(seed,
+          (pmod(seed, lit(4)) + 9).cast("int"),
+          (pmod(seed, lit(3)) + 8).cast("int")).as("media"))
+      Multimodal.imageDHashPairs(imgs, "media", "img_id", maxDist = 3).count()
+    }
+    // cardinality-profile novelty: register aggregation ships ONE
+    // 512-byte buffer per (group × task) through the exchange, so
+    // shuffle ROWS stay ~constant while data grows 10× — the whole
+    // point of sketch-backed profiling; result rows = group count
+    val card = phase("card_novelty") {
+      import graft.operators.Cardinality
+      val corpus = spark.range(n).select(
+        pmod(col("id"), lit(20)).cast("string").as("grp"),
+        concat(lit("t"), col("id")).as("text"))
+      val batch = spark.range(n / 10).select(
+        pmod(col("id"), lit(20)).cast("string").as("grp"),
+        concat(lit("t"), col("id") * 2).as("text"))
+      Cardinality.CardRef.build(corpus, "grp", "text")
+        .noveltyOf(batch, "grp", "text").count()
+    }
+    Seq(minhash, cross, cc, ess, dsir, attr, fun, ij, pg, dh, card)
   }
 
   /** Skewed event stream: (event_id, user_id, ts, event_type); ~10% of

@@ -632,6 +632,34 @@ class PlanQualitySpec extends AnyFunSuite {
     graft.operators.CacheScope.drain()
   }
 
+  test("r8 session-6 media/cardinality queries keep their scale shapes") {
+    // image_dhash / audio_fingerprint: map-only signature scans — the
+    // only UDF allowed is the synthetic-media GENERATOR (test-data
+    // side); the hash kernels themselves are codegen expressions
+    for (q <- Seq("image_dhash", "audio_fingerprint")) {
+      val p = plan(q)
+      assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+        s"$q should be a map-only signature scan:\n${p.take(1200)}")
+      graft.operators.CacheScope.drain()
+    }
+    // image_dhash_pairs: 16-bit block equi-join only — the quadratic
+    // all-pairs hamming compare must never appear as a plan shape
+    val ip = plan("image_dhash_pairs")
+    assert(!ip.contains("CartesianProduct") &&
+      !ip.contains("BroadcastNestedLoopJoin"),
+      s"image_dhash_pairs has a quadratic join:\n${ip.take(1200)}")
+    graft.operators.CacheScope.drain()
+    // corpus_novelty: register aggregation is two-phase (512-byte
+    // buffers through the exchange); the register-pair work joins two
+    // groups-sized frames — never a cartesian
+    val cn = plan("corpus_novelty")
+    assert(cn.contains("ObjectHashAggregate"),
+      s"corpus_novelty lost its partial register aggregation:\n${cn.take(1200)}")
+    assert(!cn.contains("CartesianProduct"),
+      s"corpus_novelty grew a cartesian:\n${cn.take(1200)}")
+    graft.operators.CacheScope.drain()
+  }
+
   test("dedup signature kernels are native expressions — no ScalaUDF in the plan") {
     // SimHash and MinHash signatures used to be Scala UDFs: the only
     // opaque scan-side projections left outside whole-stage codegen,
