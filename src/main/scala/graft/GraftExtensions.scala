@@ -84,6 +84,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "media_audio_fp"),
       (args: Seq[Expression]) => graft.functions.MediaAudioFp(args.head)))
     e.injectFunction((
+      FunctionIdentifier("media_video_fp"),
+      new ExpressionInfo(classOf[graft.functions.MediaVideoFp].getName,
+        "media_video_fp"),
+      (args: Seq[Expression]) => graft.functions.MediaVideoFp(args.head)))
+    e.injectFunction((
       FunctionIdentifier("media_meta"),
       new ExpressionInfo(classOf[MediaMeta].getName, "media_meta"),
       (args: Seq[Expression]) => MediaMeta(args.head)))

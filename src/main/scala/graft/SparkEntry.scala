@@ -2324,6 +2324,25 @@ object SparkEntry {
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
+  /** Per-sample byte-sum shape hash of every synthetic MP4 (real
+    * ISO-BMFF encode → real stsz/stsc/stco sample-table walk → 65-anchor
+    * difference hash); the oracle replays the closed-form per-sample
+    * byte sums. 16–65 samples per doc so the anchor grid has real
+    * structure to bite on. */
+  private def qVideoFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MediaVideoFp.media_video_fp
+    import graft.operators.Multimodal
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        Multimodal.synthMp4Udf(col("doc_id"),
+          (col("doc_id") % 50 + 16).cast("int"), lit(64), lit(48)).as("media"))
+      .select(col("doc_id"), media_video_fp(col("media")).as("sig"))
+      .select(col("doc_id"),
+        shiftrightunsigned(col("sig"), 32).as("hash_hi"),
+        col("sig").bitwiseAND(lit(0xFFFFFFFFL)).as("hash_lo"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ip_range_lookup" -> (qIpRange _),
     "emb_outliers" -> (qEmbOutliers _),
@@ -2479,7 +2498,8 @@ object SparkEntry {
     "image_dhash_pairs" -> (qImageDhashPairs _),
     "audio_fingerprint" -> (qAudioFingerprint _),
     "corpus_novelty" -> (qCorpusNovelty _),
-    "q_grouping_sets" -> (qGroupingSets _)
+    "q_grouping_sets" -> (qGroupingSets _),
+    "video_fingerprint" -> (qVideoFingerprint _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -3488,6 +3508,38 @@ object SparkEntry {
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
          ORDER BY l_returnflag, l_linestatus""",
+    // anchors need only the sampled indices' byte sums, so the replay
+    // computes sums for the (≤ 130 per doc) anchor samples, not all
+    "video_fingerprint" ->
+      """WITH dims AS (SELECT doc_id, (doc_id % 50) + 16 AS n FROM documents),
+         anchors AS (
+           SELECT doc_id, n, kk.k,
+             (kk.k * n) // 65 AS ta, ((kk.k + 1) * n) // 65 AS tb
+           FROM dims, (SELECT unnest(generate_series(0, 63)) AS k) kk),
+         needed AS (
+           SELECT DISTINCT doc_id, i FROM (
+             SELECT doc_id, ta AS i FROM anchors
+             UNION ALL SELECT doc_id, tb FROM anchors)),
+         sv AS (
+           SELECT s.doc_id, s.i,
+             sum((s.doc_id*31 + s.i*7 + g.j*3) % 256) AS bsum
+           FROM needed s,
+             LATERAL (SELECT unnest(generate_series(0,
+               ((s.doc_id + s.i*5) % 24) + 7)) AS j) g
+           GROUP BY s.doc_id, s.i),
+         bits AS (
+           SELECT a.doc_id, a.k,
+             CASE WHEN sb.bsum > sa.bsum THEN 1 ELSE 0 END AS bit
+           FROM anchors a
+           JOIN sv sa ON sa.doc_id = a.doc_id AND sa.i = a.ta
+           JOIN sv sb ON sb.doc_id = a.doc_id AND sb.i = a.tb),
+         hh AS (SELECT doc_id,
+             CAST(sum(CASE WHEN k >= 32 AND bit = 1
+               THEN 1::BIGINT << (k - 32) ELSE 0 END) AS BIGINT) AS hash_hi,
+             CAST(sum(CASE WHEN k < 32 AND bit = 1
+               THEN 1::BIGINT << k ELSE 0 END) AS BIGINT) AS hash_lo
+           FROM bits GROUP BY doc_id)
+         SELECT doc_id, hash_hi, hash_lo FROM hh ORDER BY doc_id""",
     "audio_fingerprint" ->
       """WITH dims AS (SELECT doc_id, (doc_id % 40) + 25 AS n FROM documents),
          bits AS (

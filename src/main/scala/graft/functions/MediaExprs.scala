@@ -241,24 +241,70 @@ case class MediaAudioFp(child: Expression) extends UnaryExpression with MediaExp
 }
 
 object MediaAudioFp {
-  def afpOf(b: Array[Byte]): java.lang.Long = {
-    val codec = MediaCodecs.find(b).orNull
-    if (codec == null || codec.format != "wav") return null
-    val s = codec.samples(b).orNull
-    if (s == null || s.channels.isEmpty) return null
-    val x = s.channels(0)
+  /** Shared 65-anchor sign-of-derivative hash over any sample sequence
+    * — bit k set iff x(t_{k+1}) > x(t_k), t_k = k·n/65 (pure integer
+    * index math; both fingerprints and their oracles use it). */
+  private[functions] def seqDiffHash(x: Array[Double]): Long = {
     val n = x.length
-    if (n == 0) return null
     var hash = 0L
     var k = 0
     while (k < 64) {
       if (x((k + 1) * n / 65) > x(k * n / 65)) hash |= 1L << k
       k += 1
     }
-    java.lang.Long.valueOf(hash)
+    hash
+  }
+
+  def afpOf(b: Array[Byte]): java.lang.Long = {
+    val codec = MediaCodecs.find(b).orNull
+    if (codec == null || codec.format != "wav") return null
+    val s = codec.samples(b).orNull
+    if (s == null || s.channels.isEmpty || s.channels(0).length == 0) return null
+    java.lang.Long.valueOf(seqDiffHash(s.channels(0)))
   }
 
   def media_audio_fp(bin: Column): Column =
     org.apache.spark.sql.GraftExprBridge.column(
       MediaAudioFp(org.apache.spark.sql.GraftExprBridge.expression(bin)))
+}
+
+/** `media_video_fp(bin)` → 64-bit sign-of-derivative fingerprint over
+  * an MP4 track's per-sample BYTE-SUM sequence (the sample-table walk
+  * is the deterministic, codec-independent part of video decode — see
+  * [[graft.operators.Mp4Codec.samples]]): the shape of the bitstream's
+  * per-frame "energy" over time. Re-muxed or offset-shifted copies
+  * preserve the sample ordering and hash identically; a re-cut stream
+  * does not. Completes the multimodal fingerprint trio (image dHash /
+  * audio PCM shape / video sample-sum shape), all three mined for
+  * pairs by the same 16-bit-block hamming kernel. */
+case class MediaVideoFp(child: Expression) extends UnaryExpression with MediaExprHelper {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "media_video_fp"
+
+  override def nullSafeEval(a: Any): Any =
+    MediaVideoFp.vfpOf(a.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"""
+      java.lang.Long vfp_v = graft.functions.MediaVideoFp.vfpOf($a);
+      ${ev.isNull} = vfp_v == null;
+      ${ev.value} = ${ev.isNull} ? -1L : vfp_v.longValue();""")
+
+  override protected def withNewChildInternal(newChild: Expression): MediaVideoFp =
+    copy(child = newChild)
+}
+
+object MediaVideoFp {
+  def vfpOf(b: Array[Byte]): java.lang.Long = {
+    val codec = MediaCodecs.find(b).orNull
+    if (codec == null || codec.format != "mp4") return null
+    val s = codec.samples(b).orNull
+    if (s == null || s.channels.isEmpty || s.channels(0).length == 0) return null
+    java.lang.Long.valueOf(MediaAudioFp.seqDiffHash(s.channels(0)))
+  }
+
+  def media_video_fp(bin: Column): Column =
+    org.apache.spark.sql.GraftExprBridge.column(
+      MediaVideoFp(org.apache.spark.sql.GraftExprBridge.expression(bin)))
 }

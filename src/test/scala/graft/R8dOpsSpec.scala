@@ -181,6 +181,20 @@ class R8dOpsSpec extends AnyFunSuite {
     assert(afpOf(Multimodal.synthBmp(1L, 4, 4)) == null)
   }
 
+  test("media_video_fp: sample-sum shape hash — deterministic, wav/image null") {
+    import graft.operators.Multimodal
+    import graft.functions.MediaVideoFp.vfpOf
+    val v = vfpOf(Multimodal.synthMp4(5L, 40, 64, 48))
+    assert(v != null)
+    // byte-identical re-encode hashes identically
+    assert(v == vfpOf(Multimodal.synthMp4(5L, 40, 64, 48)))
+    // a different stream does not (40 samples ⇒ plenty of live bits)
+    assert(v != vfpOf(Multimodal.synthMp4(6L, 40, 64, 48)))
+    // non-mp4 media fall through
+    assert(vfpOf(Multimodal.synthWav(1L, 1, 30)) == null)
+    assert(vfpOf(Multimodal.synthBmp(1L, 5, 5)) == null)
+  }
+
   test("maxSimTopK: single aggregation — no join or cartesian in the plan") {
     import spark.implicits._
     val chunks = (1 to 50).map(i => ((i % 5).toLong,
