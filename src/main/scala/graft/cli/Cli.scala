@@ -43,6 +43,20 @@ object Cli {
     .config("spark.sql.adaptive.enabled", "true")
     .getOrCreate()
 
+  /** Signature expression for the mediasig index kinds: which 64-bit
+    * perceptual hash to derive from the binary column. */
+  private def mediaSigCol(kind: String, binCol: String): org.apache.spark.sql.Column =
+    kind match {
+      case "image" => graft.functions.MediaDHash.media_dhash(
+        org.apache.spark.sql.functions.col(binCol))
+      case "audio" => graft.functions.MediaAudioFp.media_audio_fp(
+        org.apache.spark.sql.functions.col(binCol))
+      case "video" => graft.functions.MediaVideoFp.media_video_fp(
+        org.apache.spark.sql.functions.col(binCol))
+      case other => throw new IllegalArgumentException(
+        s"--sig must be image|audio|video, got $other")
+    }
+
   private def read(path: String): String =
     new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
 
@@ -722,6 +736,26 @@ object Cli {
               flag("--text-col", "text"), flag("--id-col", "doc_id"))
             .write.mode("overwrite").parquet(out)
           println(s"wpindex: duplicated spans written to $out")
+        case ("build", "mediasig", corpus :: path :: _) =>
+          graft.operators.Multimodal.MediaSigIndex.build(
+              spark.read.parquet(corpus), flag("--id-col", "doc_id"),
+              mediaSigCol(flag("--sig", "image"), flag("--bin-col", "media")))
+            .save(path)
+          println(s"wpindex: built mediasig index at $path")
+        case ("append", "mediasig", newData :: path :: _) =>
+          graft.operators.Multimodal.MediaSigIndex.load(spark, path)
+            .appendTo(path, spark.read.parquet(newData),
+              flag("--id-col", "doc_id"),
+              mediaSigCol(flag("--sig", "image"), flag("--bin-col", "media")))
+          println(s"wpindex: appended to mediasig index at $path")
+        case ("probe", "mediasig", batch :: path :: out :: _) =>
+          graft.operators.Multimodal.MediaSigIndex.load(spark, path)
+            .matchesOf(spark.read.parquet(batch),
+              flag("--id-col", "doc_id"),
+              mediaSigCol(flag("--sig", "image"), flag("--bin-col", "media")),
+              maxDist = flag("--max-dist", "3").toInt)
+            .write.mode("overwrite").parquet(out)
+          println(s"wpindex: media matches written to $out")
         case ("build", "card", corpus :: path :: _) =>
           graft.operators.Cardinality.CardRef.build(spark.read.parquet(corpus),
               flag("--grp-col", "source"), flag("--key-col", "text"),

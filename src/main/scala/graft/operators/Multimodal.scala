@@ -384,4 +384,96 @@ object Multimodal {
           graft.functions.MediaDHash.media_dhash(col(binCol)).as("sig"))
         .filter(col("sig").isNotNull),
       "dh_id", "sig", maxDist)
+
+  /** Persisted media-signature index — the TENTH build-once/probe-many
+    * artifact: 64-bit perceptual signatures (image dHash, audio or
+    * video fingerprint — caller picks the signature expression) with
+    * their four 16-bit blocks exploded, partitioned on disk by
+    * (blk, bv_bucket). A probe broadcasts the BATCH side with the
+    * storage partition keys re-derived, so the index scan carries a
+    * dynamic-partition-pruning subquery and reads only the batch's
+    * colliding block partitions — the same probe discipline as the
+    * text near-dup index, sized for "is this image/clip a re-encode of
+    * anything we already ingested" against a 100 TB media corpus. */
+  final case class MediaSigIndex(blocks: DataFrame, diskBuckets: Int = 0) {
+    import MediaSigIndex._
+
+    def save(path: String): Unit = {
+      val nb = DiskBuckets
+      blocks
+        .withColumn("bv_bucket", pmod(col("blk_val"), lit(nb)).cast("int"))
+        .repartition(col("blk"), col("bv_bucket"))
+        .write.mode("overwrite").partitionBy("blk", "bv_bucket")
+        .parquet(s"$path/blocks")
+      val props = new java.util.Properties()
+      props.setProperty("diskBuckets", nb.toString)
+      val w = new java.io.FileWriter(s"$path/meta.properties")
+      try props.store(w, "graft media signature index") finally w.close()
+    }
+
+    /** Sign+block a new batch and append into the same partition dirs —
+      * the next probe sees it without a rebuild. */
+    def appendTo(path: String, newMedia: DataFrame, idCol: String,
+                 sig: Column): Unit = {
+      val nb = if (diskBuckets > 0) diskBuckets else DiskBuckets
+      explodeBlocks(newMedia.select(col(idCol).as("ms_id"), sig.as("sig"))
+          .filter(col("sig").isNotNull), "ms_id", "sig")
+        .withColumn("bv_bucket", pmod(col("blk_val"), lit(nb)).cast("int"))
+        .repartition(col("blk"), col("bv_bucket"))
+        .write.mode("append").partitionBy("blk", "bv_bucket")
+        .parquet(s"$path/blocks")
+    }
+
+    /** (id_batch, id_corpus, hamming) for every batch signature within
+      * `maxDist` of an indexed one (16-bit block pigeonhole candidate
+      * set — complete for maxDist ≤ 3 — then exact bit_count verify). */
+    def matchesOf(batch: DataFrame, idCol: String, sig: Column,
+                  maxDist: Int = 3): DataFrame = {
+      require(maxDist < 4, "block pigeonhole is complete only for maxDist <= 3")
+      val bblk = explodeBlocks(batch.select(col(idCol).as("mb_id"),
+        sig.as("sig_b")).filter(col("sig_b").isNotNull), "mb_id", "sig_b")
+      val probe =
+        if (diskBuckets > 0)
+          broadcast(bblk.withColumn("bv_bucket",
+              pmod(col("blk_val"), lit(diskBuckets)).cast("int")))
+            .join(blocks, Seq("blk", "bv_bucket", "blk_val"))
+        else bblk.join(blocks, Seq("blk", "blk_val"))
+      val ham = bit_count(col("sig_b").bitwiseXOR(col("sig")))
+      probe.filter(ham <= maxDist)
+        .select(col("mb_id").as("id_batch"), col("ms_id").as("id_corpus"),
+          ham.cast("int").as("hamming"))
+        .distinct()
+    }
+
+    /** Batch minus everything perceptually known to the corpus. */
+    def dropKnown(batch: DataFrame, idCol: String, sig: Column,
+                  maxDist: Int = 3): DataFrame = {
+      val known = matchesOf(batch, idCol, sig, maxDist)
+        .select(col("id_batch")).distinct()
+      batch.join(known, batch(idCol) === known("id_batch"), "left_anti")
+    }
+  }
+
+  object MediaSigIndex {
+    val DiskBuckets = 16
+
+    private[operators] def explodeBlocks(sigs: DataFrame, idName: String,
+                                         sigName: String): DataFrame =
+      sigs.select(col(idName), col(sigName),
+        posexplode(array((0 until 4).map(b =>
+          shiftrightunsigned(col(sigName), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+        .toDF(idName, sigName, "blk", "blk_val")
+
+    def build(df: DataFrame, idCol: String, sig: Column): MediaSigIndex =
+      MediaSigIndex(explodeBlocks(df.select(col(idCol).as("ms_id"),
+        sig.as("sig")).filter(col("sig").isNotNull), "ms_id", "sig"))
+
+    def load(spark: org.apache.spark.sql.SparkSession, path: String): MediaSigIndex = {
+      val props = new java.util.Properties()
+      val r = new java.io.FileReader(s"$path/meta.properties")
+      try props.load(r) finally r.close()
+      MediaSigIndex(spark.read.parquet(s"$path/blocks"),
+        props.getProperty("diskBuckets").toInt)
+    }
+  }
 }

@@ -1,0 +1,111 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions.MediaDHash.media_dhash
+import graft.operators.Multimodal
+import graft.operators.Multimodal.MediaSigIndex
+
+/** The persisted media-signature index (tenth artifact): build → save →
+  * load → probe with partition pruning, dropKnown anti-join, appendTo
+  * closure, and the wpindex CLI round trip.
+  *
+  * Fixtures are RANDOM-pixel BMPs (12×10 ⇒ all 64 dHash bits live),
+  * not the oracle corpus's linear-ramp generator — ramp images of equal
+  * dims are all brightness shifts of each other, so under a DIFFERENCE
+  * hash everything would match everything (the growth smoke measured
+  * that family at exactly quadratic pair growth). The "re-encode twin"
+  * is a one-pixel perturbation: it can flip at most the couple of
+  * difference bits that reference the touched sample point. */
+class MediaSigIndexSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def randBmp(seed: Long, bump: Boolean = false): Array[Byte] = {
+    val (w, h) = (12, 10)
+    val b = Multimodal.synthBmp(seed, w, h)
+    val stride = (w * 3 + 3) & ~3
+    for (y <- 0 until h; x <- 0 until w * 3)
+      b(54 + y * stride + x) = (graft.functions.SplitMix64
+        .mix(seed * 1000003L + y * 512L + x) & 0xFF).toByte
+    if (bump) b(54) = ((b(54) & 0xFF) ^ 0x40).toByte // pixel (0,0), one channel
+    b
+  }
+
+  private def imgDf(rows: Seq[(Long, Array[Byte])]) = {
+    import spark.implicits._
+    rows.toDF("img_id", "media")
+  }
+
+  test("save → load → probe finds re-encodes; dropKnown; appendTo closes the loop") {
+    import spark.implicits._
+    val dir = tmp("mediasig")
+    val corpus = imgDf(Seq((1L, randBmp(10L)), (2L, randBmp(50L)),
+      (3L, randBmp(90L))))
+    MediaSigIndex.build(corpus, "img_id", media_dhash(col("media"))).save(dir)
+    val idx = MediaSigIndex.load(spark, dir)
+    // batch: a one-pixel re-encode of corpus img 1, one novel image
+    val batch = imgDf(Seq((100L, randBmp(10L, bump = true)),
+      (101L, randBmp(7777L))))
+    val m = idx.matchesOf(batch, "img_id", media_dhash(col("media")))
+      .select("id_batch", "id_corpus").as[(Long, Long)].collect().toSet
+    assert(m.contains((100L, 1L)), s"matches=$m")
+    assert(!m.exists(_._1 == 101L), s"novel image matched: $m")
+    val kept = idx.dropKnown(batch, "img_id", media_dhash(col("media")))
+      .select("img_id").as[Long].collect().toSet
+    assert(kept == Set(101L))
+    // fold the novel image in; a re-probe now catches its twin
+    idx.appendTo(dir, imgDf(Seq((101L, randBmp(7777L)))), "img_id",
+      media_dhash(col("media")))
+    val idx2 = MediaSigIndex.load(spark, dir)
+    val m2 = idx2.matchesOf(imgDf(Seq((200L, randBmp(7777L, bump = true)))),
+        "img_id", media_dhash(col("media")))
+      .select("id_corpus").as[Long].collect().toSet
+    assert(m2.contains(101L), s"appended image not probed: $m2")
+  }
+
+  test("probe plan prunes the index scan to the batch's block partitions") {
+    val dir = tmp("mediasig_pp")
+    MediaSigIndex.build(imgDf((1L to 40L).map(i => (i, randBmp(i * 97L)))),
+      "img_id", media_dhash(col("media"))).save(dir)
+    val idx = MediaSigIndex.load(spark, dir)
+    val plan = idx.matchesOf(imgDf(Seq((500L, randBmp(97L)))), "img_id",
+        media_dhash(col("media")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") ||
+      plan.contains("PartitionFilters: [blk") ||
+      plan.contains("PartitionFilters: [isnotnull(blk"),
+      s"index scan not partition-pruned:\n${plan.take(2000)}")
+  }
+
+  test("wpindex mediasig CLI: build → probe → append round trip") {
+    import spark.implicits._
+    spark
+    val cDir = tmp("ms_c"); val bDir = tmp("ms_b")
+    val idx = tmp("ms_i"); val out = tmp("ms_o")
+    imgDf(Seq((1L, randBmp(10L)), (2L, randBmp(50L))))
+      .write.mode("overwrite").parquet(cDir)
+    imgDf(Seq((100L, randBmp(10L, bump = true)), (101L, randBmp(9999L))))
+      .write.mode("overwrite").parquet(bDir)
+    graft.cli.Cli.main(Array("wpindex", "build", "mediasig", cDir, idx,
+      "--id-col", "img_id"))
+    graft.cli.Cli.main(Array("wpindex", "probe", "mediasig", bDir, idx, out,
+      "--id-col", "img_id"))
+    val got = spark.read.parquet(out)
+      .select("id_batch", "id_corpus").as[(Long, Long)].collect().toSet
+    assert(got.contains((100L, 1L)) && !got.exists(_._1 == 101L), s"got=$got")
+    graft.cli.Cli.main(Array("wpindex", "append", "mediasig", bDir, idx,
+      "--id-col", "img_id"))
+    graft.cli.Cli.main(Array("wpindex", "probe", "mediasig", bDir, idx, out,
+      "--id-col", "img_id"))
+    assert(spark.read.parquet(out).filter(col("id_batch") === 101L).count() > 0)
+  }
+}
