@@ -100,4 +100,61 @@ object R8PropSpec extends Properties("r8-invariants") {
       val identity = run(df, lit(true)).forall(_._3 == 0.0)
       stable && identity
     }
+
+  private val domainsGen: Gen[List[(String, Long)]] = for {
+    n <- Gen.choose(1, 8)
+    sizes <- Gen.listOfN(n, Gen.choose(1L, 5000L))
+  } yield sizes.zipWithIndex.map { case (s, i) => (s"d$i", s) }
+
+  property("unimax water-filling: caps honored, budget filled iff fillable, uncapped equal") =
+    Prop.forAll(domainsGen, Gen.choose(1L, 40000L), Gen.choose(1, 4)) {
+      (doms, budget, cap) =>
+        import spark.implicits._
+        val df = doms.toDF("domain0", "n")
+        val rows = graft.operators.Sampling
+          .unimaxAllocation(df, "domain0", col("n"), budget, cap)
+          .select("domain", "n_tokens", "capped", "alloc_tokens", "epochs")
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2),
+            r.getDouble(3), r.getDouble(4)))
+        val eps = 1e-4
+        // (a) no domain exceeds its epoch cap
+        val capsHeld = rows.forall { case (_, n, _, a, _) => a <= cap * n + eps }
+        // (b) capped domains take EXACTLY their cap
+        val cappedExact = rows.filter(_._3)
+          .forall { case (_, n, _, a, e) =>
+            a == (cap * n).toDouble && math.abs(e - cap) < eps }
+        // (c) total allocation never exceeds the budget, and equals it
+        //     whenever at least one domain is uncapped
+        val total = rows.map(_._4).sum
+        val budgetHeld = total <= budget + eps * rows.length
+        val filled = !rows.exists(!_._3) ||
+          math.abs(total - budget) < eps * (rows.length + 1)
+        // (d) all uncapped domains draw the same share
+        val un = rows.filter(!_._3).map(_._4)
+        val unEqual = un.isEmpty || un.forall(a => math.abs(a - un.head) < eps)
+        capsHeld && cappedExact && budgetHeld && filled && unEqual
+    }
+
+  private val edgesGen: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(0, 25)
+    es <- Gen.listOfN(n, for {
+      a <- Gen.choose(1L, 30L); b <- Gen.choose(1L, 30L)
+    } yield (math.min(a, b), math.max(a, b)))
+  } yield es.filter(e => e._1 != e._2)
+
+  property("clusterSafeSplit: no edge straddles the boundary, any graph, any rate") =
+    Prop.forAll(edgesGen, Gen.choose(0.05, 0.95)) { (edges, rate) =>
+      import spark.implicits._
+      val docs = (1L to 30L).toDF("doc_id")
+      val clusters =
+        if (edges.isEmpty)
+          Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")
+        else graft.operators.Clustering
+          .dupClusters(edges.toDF("id_a", "id_b"), "id_a", "id_b")
+      val side = graft.operators.Sampling
+        .clusterSafeSplit(docs, "doc_id", clusters, "doc_id", "cluster_id", rate)
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+      side.size == 30 && edges.forall { case (a, b) => side(a) == side(b) }
+    }
 }
