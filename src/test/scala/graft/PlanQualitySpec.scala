@@ -636,7 +636,7 @@ class PlanQualitySpec extends AnyFunSuite {
     // image_dhash / audio_fingerprint: map-only signature scans — the
     // only UDF allowed is the synthetic-media GENERATOR (test-data
     // side); the hash kernels themselves are codegen expressions
-    for (q <- Seq("image_dhash", "audio_fingerprint")) {
+    for (q <- Seq("image_dhash", "audio_fingerprint", "video_fingerprint")) {
       val p = plan(q)
       assert(!p.contains("Join") && !p.contains("CartesianProduct"),
         s"$q should be a map-only signature scan:\n${p.take(1200)}")
