@@ -407,22 +407,32 @@ object Cli {
           textCol, idCol, Dedup.SubstrCorpusIndex.load(spark, p),
           flag("--max-dupfrac", "0.5").toDouble)
       }
+      // --mediasig <idx>: perceptual media gate — drop rows whose
+      // media column is a re-encode of anything in the signature index
+      // (the multimodal counterpart of the near-dup text gate)
+      val afterMedia = flag("--mediasig", "") match {
+        case "" => afterSubstr
+        case p => graft.operators.Multimodal.MediaSigIndex.load(spark, p)
+          .dropKnown(afterSubstr, idCol,
+            mediaSigCol(flag("--sig", "image"), flag("--media-col", "media")),
+            maxDist = flag("--max-dist", "3").toInt)
+      }
       // --split <evalRate>: leakage-safe train/eval split BEFORE
       // sharding — near-dup clusters mined within the curated batch
       // draw one splitmix side per cluster, so a doc and its near-twin
       // can never end up on opposite sides of the boundary
       flag("--split", "") match {
         case "" =>
-          Sampling.writeTrainingShards(afterSubstr, idCol, out,
+          Sampling.writeTrainingShards(afterMedia, idCol, out,
             flag("--shards", "8").toInt)
           println(s"wpcurate: curated shards written to $out")
         case rate =>
           import org.apache.spark.sql.functions.col
-          val pairs = Dedup.ngramJaccardPairs(afterSubstr, textCol, idCol,
+          val pairs = Dedup.ngramJaccardPairs(afterMedia, textCol, idCol,
             n = 3, threshold = flag("--threshold", "0.5").toDouble)
           val clusters = graft.operators.Clustering.dupClusters(
             pairs, "id_a", "id_b")
-          val withSplit = Sampling.clusterSafeSplit(afterSubstr, idCol,
+          val withSplit = Sampling.clusterSafeSplit(afterMedia, idCol,
             clusters, "doc_id", "cluster_id", rate.toDouble)
           for (side <- Seq("train", "eval"))
             Sampling.writeTrainingShards(

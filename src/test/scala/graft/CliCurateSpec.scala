@@ -262,6 +262,34 @@ class CliCurateSpec extends AnyFunSuite {
     assert(math.abs(est - 7.0) < 0.1, s"est=$est")
   }
 
+  test("wpcurate batch --mediasig: perceptual re-encodes drop at the media gate") {
+    import spark.implicits._
+    import TestMedia.randBmp
+    spark
+    val mDir = tmp("mg_media"); val bDir = tmp("mg_batch")
+    val idxDir = tmp("mg_idx"); val outDir = tmp("mg_out")
+    // media corpus: two known images
+    Seq((900L, randBmp(10L)), (901L, randBmp(50L)))
+      .toDF("img_id", "media")
+      .write.mode("overwrite").parquet(mDir)
+    graft.cli.Cli.main(Array("wpindex", "build", "mediasig", mDir, idxDir,
+      "--id-col", "img_id"))
+    // batch: doc 1 carries a re-encode of a known image, doc 2 is novel
+    Seq(
+      (1L, "the quick and brown fox jumps over the lazy dog today",
+        randBmp(10L, bump = true)),
+      (2L, "the slow and gray wolf walks under the bright moon tonight",
+        randBmp(4242L)))
+      .toDF("doc_id", "text", "media")
+      .write.mode("overwrite").parquet(bDir)
+    graft.cli.Cli.main(Array("wpcurate", "batch", bDir, outDir,
+      "--min-words", "3", "--min-entropy", "2.0", "--min-score", "-1000000",
+      "--mediasig", idxDir, "--shards", "1"))
+    val kept = spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L), s"kept=$kept")
+  }
+
   test("wpcurate daemon --card: novelty lines print and the profile folds the batch in") {
     import spark.implicits._
     spark

@@ -29,16 +29,7 @@ class MediaSigIndexSpec extends AnyFunSuite {
   private def tmp(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
-  private def randBmp(seed: Long, bump: Boolean = false): Array[Byte] = {
-    val (w, h) = (12, 10)
-    val b = Multimodal.synthBmp(seed, w, h)
-    val stride = (w * 3 + 3) & ~3
-    for (y <- 0 until h; x <- 0 until w * 3)
-      b(54 + y * stride + x) = (graft.functions.SplitMix64
-        .mix(seed * 1000003L + y * 512L + x) & 0xFF).toByte
-    if (bump) b(54) = ((b(54) & 0xFF) ^ 0x40).toByte // pixel (0,0), one channel
-    b
-  }
+  import TestMedia.randBmp
 
   private def imgDf(rows: Seq[(Long, Array[Byte])]) = {
     import spark.implicits._
