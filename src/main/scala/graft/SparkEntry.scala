@@ -2343,6 +2343,26 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Equi-depth (ntile) value histogram per event type — the
+    * data-dependent-boundary profile that the fixed-width PSI bins and
+    * the quantile sketch bracket from either side. Deterministic
+    * binning: the window orders by (value, event_id), so ties split
+    * identically in any engine. */
+  private def qEquidepthHist(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    t(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("bin", ntile(10).over(w).cast("long"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("value")), 4).as("lo"),
+        round(max(col("value")), 4).as("hi"),
+        round(avg(col("value")), 4).as("mean"))
+      .orderBy(col("event_type"), col("bin"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ip_range_lookup" -> (qIpRange _),
     "emb_outliers" -> (qEmbOutliers _),
@@ -2499,7 +2519,8 @@ object SparkEntry {
     "audio_fingerprint" -> (qAudioFingerprint _),
     "corpus_novelty" -> (qCorpusNovelty _),
     "q_grouping_sets" -> (qGroupingSets _),
-    "video_fingerprint" -> (qVideoFingerprint _)
+    "video_fingerprint" -> (qVideoFingerprint _),
+    "q_equidepth_hist" -> (qEquidepthHist _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -3502,6 +3523,17 @@ object SparkEntry {
          FROM gb GROUP BY doc_id)"""
 
   def oracleSql: Map[String, String] = Map(
+    "q_equidepth_hist" ->
+      """WITH e AS (SELECT event_type, event_id, value FROM events
+           WHERE value IS NOT NULL),
+         b AS (SELECT event_type, value,
+             CAST(ntile(10) OVER (PARTITION BY event_type
+               ORDER BY value, event_id) AS BIGINT) AS bin
+           FROM e)
+         SELECT event_type, bin, count(*) AS n,
+           round(min(value), 4) AS lo, round(max(value), 4) AS hi,
+           round(avg(value), 4) AS mean
+         FROM b GROUP BY event_type, bin ORDER BY event_type, bin""",
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 4) AS sum_qty, count(*) AS n_rows

@@ -514,6 +514,15 @@ object Cli {
       val driftGrp = flag("--drift-grp", "lang")
       val driftVal = flag("--drift-val", "n_chars")
       val driftMax = flag("--drift-max", "0.2").toDouble
+      // perceptual media gate, stream-static per micro-batch (the
+      // daemon twin of batch --mediasig)
+      val mediaIdx = flag("--mediasig", "") match {
+        case "" => None
+        case p => Some(graft.operators.Multimodal.MediaSigIndex.load(spark, p))
+      }
+      val mediaSig = mediaSigCol(flag("--sig", "image"),
+        flag("--media-col", "media"))
+      val mediaMaxDist = flag("--max-dist", "3").toInt
       val q = spark.readStream.schema(schema).parquet(in)
         .writeStream
         .option("checkpointLocation", s"$out/_checkpoint")
@@ -542,10 +551,15 @@ object Cli {
               lmGated, textCol, idCol, ref, minLogw)
             case None => lmGated
           }
-          val accepted = substrIdx match {
+          val substrGated = substrIdx match {
             case Some(idx) => graft.streaming.StreamingCuration.substrGate(
               dsirGated, textCol, idCol, idx, maxDupFrac)
             case None => dsirGated
+          }
+          val accepted = mediaIdx match {
+            case Some(idx) =>
+              idx.dropKnown(substrGated, idCol, mediaSig, mediaMaxDist)
+            case None => substrGated
           }
           accepted.write.mode("append").parquet(s"$out/accepted")
           // --monitor-key <col>: per-batch cardinality line via the HLL

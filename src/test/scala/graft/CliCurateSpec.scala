@@ -290,6 +290,27 @@ class CliCurateSpec extends AnyFunSuite {
     assert(kept == Set(2L), s"kept=$kept")
   }
 
+  test("wpcurate daemon --mediasig: the media gate streams per micro-batch") {
+    import spark.implicits._
+    import TestMedia.randBmp
+    spark
+    val mDir = tmp("dmg_media"); val inDir = tmp("dmg_in")
+    val idxDir = tmp("dmg_idx"); val outDir = tmp("dmg_out")
+    Seq((900L, randBmp(10L))).toDF("img_id", "media")
+      .write.mode("overwrite").parquet(mDir)
+    graft.cli.Cli.main(Array("wpindex", "build", "mediasig", mDir, idxDir,
+      "--id-col", "img_id"))
+    Seq((1L, "re-encode text", randBmp(10L, bump = true)),
+        (2L, "novel text", randBmp(4242L)))
+      .toDF("doc_id", "text", "media")
+      .write.mode("overwrite").parquet(inDir)
+    graft.cli.Cli.main(Array("wpcurate", "daemon", inDir, outDir,
+      "--mediasig", idxDir, "--once"))
+    val kept = spark.read.parquet(s"$outDir/accepted")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L), s"kept=$kept")
+  }
+
   test("wpcurate daemon --card: novelty lines print and the profile folds the batch in") {
     import spark.implicits._
     spark
