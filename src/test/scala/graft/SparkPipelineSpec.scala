@@ -196,6 +196,38 @@ class SparkPipelineSpec extends AnyFunSuite {
     assert(hh.head.getString(0) == "a" && hh.head.getLong(1) == 2)
   }
 
+  test("session-6 registrations: SQL surface for the sketch and media kernels") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    val fr = spark.sessionState.functionRegistry
+    fr.createOrReplaceTempFunction("hll_distinct",
+      es => graft.functions.HllSketch(es.head, 9), "built-in")
+    fr.createOrReplaceTempFunction("hll_registers",
+      es => graft.functions.HllRegisters(es.head, 9), "built-in")
+    fr.createOrReplaceTempFunction("media_dhash",
+      es => graft.functions.MediaDHash(es.head), "built-in")
+    fr.createOrReplaceTempFunction("media_audio_fp",
+      es => graft.functions.MediaAudioFp(es.head), "built-in")
+    fr.createOrReplaceTempFunction("media_video_fp",
+      es => graft.functions.MediaVideoFp(es.head), "built-in")
+    val h = spark.sql(
+      "SELECT hll_distinct(k, 9) AS s FROM VALUES ('a'),('b'),('c'),('a') t(k)")
+      .head().getStruct(0)
+    assert(h.getInt(2) == 3, s"nonzero=${h.getInt(2)}")
+    val regs = spark.sql(
+      "SELECT hll_registers(k, 9) AS r FROM VALUES ('a'),('b') t(k)")
+      .head().getAs[Array[Byte]](0)
+    assert(regs.length == 512 && regs.count(_ != 0) == 2)
+    Seq((1L, Multimodal.synthBmp(0L, 9, 8), Multimodal.synthWav(0L, 1, 65),
+        Multimodal.synthMp4(5L, 40, 64, 48)))
+      .toDF("id", "img", "wav", "mp4").createOrReplaceTempView("mediav")
+    val r = spark.sql("SELECT media_dhash(img) AS a, media_audio_fp(wav) AS b," +
+      " media_video_fp(mp4) AS c FROM mediav").head()
+    // the 9×8 gradient and the 65-frame ramp both set all 64 bits
+    assert(r.getLong(0) == -1L && r.getLong(1) == -1L && !r.isNullAt(2))
+  }
+
   test("streaming exact dedup with watermark-bounded state") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-dedup").toString
