@@ -2363,6 +2363,19 @@ object SparkEntry {
       .orderBy(col("event_type"), col("bin"))
   }
 
+  /** Stride-scheduled weighted mixing order over 4 shards: the
+    * schedule every prefix of which carries languages in proportion to
+    * the (config) mixture weights. */
+  private def qMixSchedule(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    Sampling.mixSchedule(t(s, dir, "documents"), "lang", "doc_id",
+        mixScheduleWeights, nShards = 4)
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  private val mixScheduleWeights: Map[String, Double] = Map(
+    "en" -> 0.3, "zh" -> 0.25, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ip_range_lookup" -> (qIpRange _),
     "emb_outliers" -> (qEmbOutliers _),
@@ -2520,7 +2533,8 @@ object SparkEntry {
     "corpus_novelty" -> (qCorpusNovelty _),
     "q_grouping_sets" -> (qGroupingSets _),
     "video_fingerprint" -> (qVideoFingerprint _),
-    "q_equidepth_hist" -> (qEquidepthHist _)
+    "q_equidepth_hist" -> (qEquidepthHist _),
+    "mix_schedule" -> (qMixSchedule _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -3523,6 +3537,22 @@ object SparkEntry {
          FROM gb GROUP BY doc_id)"""
 
   def oracleSql: Map[String, String] = Map(
+    "mix_schedule" ->
+      s"""WITH ${splitmixStagesSql("documents", "doc_id", "doc_id, lang")},
+          d AS (SELECT doc_id, lang AS domain, u53,
+              CAST(u53 % 4 AS INT) AS shard FROM s3),
+          w AS (SELECT *, CASE domain WHEN 'en' THEN 0.3 WHEN 'zh' THEN 0.25
+              WHEN 'de' THEN 0.15 WHEN 'es' THEN 0.15 WHEN 'fr' THEN 0.15
+              END AS wt FROM d),
+          r AS (SELECT *, CAST(row_number() OVER (
+              PARTITION BY shard, domain ORDER BY u53, doc_id) AS BIGINT)
+              AS domain_rank FROM w WHERE wt IS NOT NULL),
+          v AS (SELECT *, (CAST(domain_rank AS DOUBLE) - 0.5) / wt AS vpos
+            FROM r)
+          SELECT shard, CAST(row_number() OVER (
+              PARTITION BY shard ORDER BY vpos, doc_id) AS BIGINT) AS pos,
+            doc_id, domain, domain_rank, round(vpos, 6) AS vpos
+          FROM v ORDER BY shard, pos""",
     "q_equidepth_hist" ->
       """WITH e AS (SELECT event_type, event_id, value FROM events
            WHERE value IS NOT NULL),

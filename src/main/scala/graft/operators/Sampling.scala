@@ -298,4 +298,44 @@ object Sampling {
       .withColumn("pos", row_number().over(w).cast("long"))
       .drop("__draw")
   }
+
+  /** Weighted interleaved training schedule — STRIDE SCHEDULING over
+    * domains (the classic fair-queueing discipline, Waldspurger &
+    * Weihl, OSDI'94, applied to data mixing): each domain's k-th doc
+    * takes virtual position (k − ½)/w_d, and the schedule is the
+    * virtual-position order. Every prefix of the schedule then carries
+    * domains in proportion to their weights (max deviation < 1 doc per
+    * domain) — the property that makes a mixture weight ACTUALLY hold
+    * batch-by-batch during training instead of only in expectation.
+    * Composes with [[domainWeights]]/[[temperatureWeights]]/
+    * [[unimaxAllocation]]: their `weight` column is this operator's
+    * input map.
+    *
+    * Scale shape: same as [[trainingOrder]] — per-domain ranks are
+    * splitmix-shuffled windows inside (shard, domain) partitions, the
+    * final interleave sorts inside each shard only; no global sort, no
+    * driver state. Fully deterministic ⇒ DuckDB-replayable. */
+  def mixSchedule(df: DataFrame, domainCol: String, idCol: String,
+                  weights: Map[String, Double], nShards: Int): DataFrame = {
+    val wExpr = weights.foldLeft(lit(null).cast("double")) {
+      case (acc, (d, q)) => when(col("domain") === d, lit(q)).otherwise(acc)
+    }
+    val wDom = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"), col("domain"))
+      .orderBy(col("__draw"), col(idCol))
+    val wShard = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("vpos"), col(idCol))
+    df.select(col(idCol), col(domainCol).as("domain"),
+        unitUniform53(col(idCol)).as("__draw"),
+        pmod(unitUniform53(col(idCol)), lit(nShards.toLong)).cast("int")
+          .as("shard"))
+      .withColumn("w", wExpr)
+      .filter(col("w").isNotNull)
+      .withColumn("domain_rank", row_number().over(wDom).cast("long"))
+      .withColumn("vpos",
+        (col("domain_rank").cast("double") - 0.5) / col("w"))
+      .withColumn("pos", row_number().over(wShard).cast("long"))
+      .select(col("shard"), col("pos"), col(idCol), col("domain"),
+        col("domain_rank"), round(col("vpos"), 6).as("vpos"))
+  }
 }

@@ -86,6 +86,27 @@ class R8dOpsSpec extends AnyFunSuite {
     assert(m.values.forall(!_._1) && m.values.forall(_._2 == 10.0))
   }
 
+  test("mixSchedule: every prefix carries domains in weight proportion") {
+    import spark.implicits._
+    // 300/200/100 docs at weights 0.5/0.3/0.2 — supply outlasts the
+    // checked prefixes, so the stride bound |count − L·w| ≤ 2 holds
+    val docs = ((1L to 300L).map((_, "a")) ++ (301L to 500L).map((_, "b")) ++
+      (501L to 600L).map((_, "c"))).toDF("id", "dom")
+    val sched = Sampling.mixSchedule(docs, "dom", "id",
+        Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2), nShards = 1)
+      .orderBy(col("pos")).select("domain").collect().map(_.getString(0))
+    assert(sched.length == 600)
+    val counts = collection.mutable.Map("a" -> 0, "b" -> 0, "c" -> 0)
+    val w = Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2)
+    for ((d, i) <- sched.zipWithIndex.take(400)) {
+      counts(d) += 1
+      val l = i + 1
+      for ((dom, q) <- w)
+        assert(math.abs(counts(dom) - l * q) <= 2.0,
+          s"prefix $l: $dom=${counts(dom)} expected ~${l * q}")
+    }
+  }
+
   // ---- leakage-safe split ----
 
   test("clusterSafeSplit: cluster members never straddle; singletons covered") {
