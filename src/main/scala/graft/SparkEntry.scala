@@ -737,6 +737,19 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** Forward as-of: every event's NEXT purchase value per user
+    * (inclusive at the same instant) — the "label at horizon" join. */
+  private def qAsofForward(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AsOfJoin
+    val e = t(s, dir, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("pv"))
+    AsOfJoin.asOfForward(e, purchases, Seq("user_id"), "ts", "ts", Seq("pv"))
+      .select(col("event_id"), col("user_id"),
+        round(col("pv"), 2).as("next_purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** Point-in-interval join via the bucketized equi-join encoding
     * ([[graft.operators.IntervalJoin]]) — a raw `ts BETWEEN lo AND hi`
     * predicate would plan as BroadcastNestedLoopJoin (quadratic).
@@ -2534,7 +2547,8 @@ object SparkEntry {
     "q_grouping_sets" -> (qGroupingSets _),
     "video_fingerprint" -> (qVideoFingerprint _),
     "q_equidepth_hist" -> (qEquidepthHist _),
-    "mix_schedule" -> (qMixSchedule _)
+    "mix_schedule" -> (qMixSchedule _),
+    "q_asof_forward" -> (qAsofForward _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -3749,6 +3763,12 @@ object SparkEntry {
            WHERE event_type = 'purchase' GROUP BY user_id, ts)
          SELECT e.event_id, e.user_id, round(r.pv, 2) AS last_purchase_value
          FROM events e ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.ts
+         ORDER BY e.event_id""",
+    "q_asof_forward" ->
+      """WITH r AS (SELECT user_id, ts, max(value) AS pv FROM events
+           WHERE event_type = 'purchase' GROUP BY user_id, ts)
+         SELECT e.event_id, e.user_id, round(r.pv, 2) AS next_purchase_value
+         FROM events e ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts <= r.ts
          ORDER BY e.event_id""",
     "q_interval_join" ->
       """WITH ev AS (SELECT epoch_us(ts) AS tsus, user_id, value FROM events),

@@ -49,4 +49,35 @@ object AsOfJoin {
     filled.filter(col("__side") === 1)
       .select(leftPayload.map(c => col(s"__l.$c").as(c)) ++ valCols.map(col): _*)
   }
+
+  /** Forward as-of: each left row takes the value of the EARLIEST right
+    * row at-or-after its timestamp (inclusive) — "what happens next"
+    * (time-to-next-purchase, next sensor reading, label-at-horizon)
+    * where [[asOf]] answers "what happened last". Same
+    * union-plus-single-window shape, mirrored: the right side sorts
+    * AFTER the left at an equal instant (so same-instant right rows
+    * match, inclusive), and the fill is `first(ignoreNulls)` over the
+    * current-row→following frame. One shuffle on the keys, no range
+    * explosion — the same scale argument as the backward form. */
+  def asOfForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  leftTs: String, rightTs: String,
+                  valCols: Seq[String]): DataFrame = {
+    val leftPayload = left.columns.toSeq
+    val l2 = left.select(
+      (keys.map(col) :+ col(leftTs).as("__ts") :+ lit(0).as("__side") :+
+        struct(leftPayload.map(col): _*).as("__l")) ++
+        valCols.map(v => lit(null).cast(right.schema(v).dataType).as(v)): _*)
+    val r2 = right.select(
+      (keys.map(col) :+ col(rightTs).as("__ts") :+ lit(1).as("__side") :+
+        lit(null).cast(l2.schema("__l").dataType).as("__l")) ++
+        valCols.map(col): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = valCols.foldLeft(l2.unionByName(r2)) { (df, v) =>
+      df.withColumn(v, first(col(v), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 0)
+      .select(leftPayload.map(c => col(s"__l.$c").as(c)) ++ valCols.map(col): _*)
+  }
 }

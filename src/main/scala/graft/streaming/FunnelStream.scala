@@ -59,4 +59,25 @@ object FunnelStream {
           out.result().iterator
       }
   }
+
+  /** Live funnel dashboard: event-time windowed per-stage advance
+    * counts — a second stateful operator (windowed aggregation)
+    * chained after the per-user fold, with the watermark re-anchored
+    * on the advance's event time. Closed windows emit once; dividing
+    * window counts stage-over-stage gives live conversion rates. */
+  def windowedStageCounts(events: DataFrame, stages: Seq[String],
+                          windowDur: String, watermark: String,
+                          userCol: String = "user_id", tsCol: String = "ts",
+                          typeCol: String = "event_type",
+                          idCol: String = "event_id"): DataFrame =
+    stageAdvances(
+        events.withWatermark(tsCol, watermark),
+        stages, userCol, tsCol, typeCol, idCol)
+      .toDF()
+      .withColumn("ats", timestamp_micros(col("ts_us")))
+      .withWatermark("ats", watermark)
+      .groupBy(window(col("ats"), windowDur), col("stage_idx"), col("stage"))
+      .agg(count(lit(1)).as("n_advances"))
+      .select(col("window.start").as("window_start"),
+        col("stage_idx"), col("stage"), col("n_advances"))
 }

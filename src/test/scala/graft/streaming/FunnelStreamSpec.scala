@@ -53,6 +53,35 @@ class FunnelStreamSpec extends AnyFunSuite {
     assert(out == Seq((9L, 1, 1000L), (9L, 2, 2000L)))
   }
 
+  test("windowed stage counts: stateful chain emits once per closed window") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long, String)]
+    val base = 1700000000L * 1000000L
+    val df = input.toDF().toDF("event_id", "user_id", "us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val out = FunnelStream.windowedStageCounts(df, stages,
+      windowDur = "10 seconds", watermark = "5 seconds")
+    val q = out.writeStream.format("memory").queryName("wfc")
+      .outputMode("append").start()
+    try {
+      // window [0,10): two users reach stage 1, one reaches stage 2
+      input.addData(
+        (1L, 1L, base + 1000000L, "view"), (2L, 1L, base + 2000000L, "click"),
+        (3L, 2L, base + 3000000L, "view"))
+      q.processAllAvailable()
+      // advance the watermark past window end
+      input.addData((9L, 9L, base + 40000000L, "view"))
+      q.processAllAvailable()
+      input.addData((10L, 9L, base + 80000000L, "view"))
+      q.processAllAvailable()
+      val rows = spark.table("wfc")
+        .select("stage_idx", "n_advances").as[(Int, Long)]
+        .collect().toMap
+      assert(rows.get(1).contains(2L) && rows.get(2).contains(1L), s"rows=$rows")
+    } finally q.stop()
+  }
+
   test("advance counts equal the batch orderedFunnel stage counts") {
     import spark.implicits._
     val rows = Seq(
