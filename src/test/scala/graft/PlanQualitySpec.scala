@@ -660,6 +660,27 @@ class PlanQualitySpec extends AnyFunSuite {
     graft.operators.CacheScope.drain()
   }
 
+  test("r8 session-6 closing queries keep their scale shapes") {
+    // q_asof_forward: union + ONE window pass — a range-join regression
+    // would appear as a BNLJ/cartesian
+    val af = plan("q_asof_forward")
+    assert(!af.contains("CartesianProduct") &&
+      !af.contains("BroadcastNestedLoopJoin"),
+      s"q_asof_forward grew a range join:\n${af.take(1200)}")
+    graft.operators.CacheScope.drain()
+    // mix_schedule: per-(shard, domain) windows only — no join, no
+    // global (empty-partition) sort window
+    val ms = plan("mix_schedule")
+    assert(!ms.contains("Join") && !ms.contains("CartesianProduct"),
+      s"mix_schedule should be windows over the scan only:\n${ms.take(1200)}")
+    graft.operators.CacheScope.drain()
+    // q_equidepth_hist: one window + one aggregation, no join
+    val eh = plan("q_equidepth_hist")
+    assert(!eh.contains("Join") && !eh.contains("CartesianProduct"),
+      s"q_equidepth_hist should be window+agg only:\n${eh.take(1200)}")
+    graft.operators.CacheScope.drain()
+  }
+
   test("dedup signature kernels are native expressions — no ScalaUDF in the plan") {
     // SimHash and MinHash signatures used to be Scala UDFs: the only
     // opaque scan-side projections left outside whole-stage codegen,
