@@ -912,6 +912,44 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Hybrid retrieval: reciprocal-rank fusion (c=60) of the BM25
+    * sparse ranking and a dense cosine ranking whose per-query anchor
+    * is a designated corpus embedding (more-like-this grounded by
+    * keywords). Both sides top-20, fused top-10. The dense side here
+    * is the exact brute-force baseline so the oracle can replay it; at
+    * corpus scale it swaps for the persisted IVF-PQ probe —
+    * `rrfFuse` is ranking-source-agnostic. */
+  private def qHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Retrieval
+    val sparse = Retrieval.bm25TopK(t(s, dir, "documents"), "text",
+      "doc_id", bm25QueryDf(s), k = 20)
+    val anchorMap = Seq(("wq1", 0L), ("wq2", 1L), ("wq3", 2L))
+      .toDF("query_id", "anchor")
+    val anchors = t(s, dir, "embeddings")
+      .join(broadcast(anchorMap), col("vec_id") === col("anchor"))
+      .select(col("query_id"), col("embedding").as("qv"))
+    val dense = Retrieval.denseTopK(t(s, dir, "embeddings"), "embedding",
+      "vec_id", anchors, k = 20, idOut = "doc_id")
+    Retrieval.rrfFuse(sparse, dense, "doc_id", k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Blocked-Levenshtein record linkage over the part-name dictionary:
+    * distinct names (with row counts) block on their last token, pairs
+    * verify with edit distance ≤ 3. Dictionary-first — the only
+    * quadratic work is within-block distinct-name pairs. */
+  private def qFuzzyMatchNames(s: SparkSession, dir: String): DataFrame =
+    graft.operators.FuzzyLink.blockedPairs(t(s, dir, "part"), "p_name",
+        regexp_extract(col("name"), "[^ ]+$", 0), maxDist = 3)
+      .orderBy(col("name_a"), col("name_b"))
+
+  /** First-order Markov transition matrix over per-user event
+    * sequences (count + row-normalized P(next | prev)). */
+  private def qEventsTransitions(s: SparkSession, dir: String): DataFrame =
+    Funnel.transitionMatrix(t(s, dir, "events"))
+      .orderBy(col("prev_type"), col("next_type"))
+
   /** DSIR importance weights (Xie et al. 2023): hashed-bigram
     * log-likelihood ratio of each doc under the English slice (target)
     * vs the whole pool (raw), add-one smoothed over 256 buckets. */
@@ -2548,7 +2586,10 @@ object SparkEntry {
     "video_fingerprint" -> (qVideoFingerprint _),
     "q_equidepth_hist" -> (qEquidepthHist _),
     "mix_schedule" -> (qMixSchedule _),
-    "q_asof_forward" -> (qAsofForward _)
+    "q_asof_forward" -> (qAsofForward _),
+    "hybrid_retrieval_rrf" -> (qHybridRrf _),
+    "fuzzy_match_names" -> (qFuzzyMatchNames _),
+    "q_events_transitions" -> (qEventsTransitions _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -5479,7 +5520,31 @@ object SparkEntry {
          SELECT event_type, q,
            v[CAST(floor(q * (n - 1)) AS INT) + 1] AS value
          FROM vals CROSS JOIN qs
-         ORDER BY event_type, q"""
+         ORDER BY event_type, q""",
+    "hybrid_retrieval_rrf" -> hybridRrfOracle,
+    "fuzzy_match_names" ->
+      """WITH dim AS (SELECT p_name AS name, count(*) AS cnt
+                      FROM part GROUP BY 1),
+         blk AS (SELECT name, cnt, regexp_extract(name, '[^ ]+$') AS block
+                 FROM dim)
+         SELECT a.name AS name_a, b.name AS name_b,
+           levenshtein(a.name, b.name) AS dist,
+           a.cnt * b.cnt AS pair_rows
+         FROM blk a JOIN blk b ON a.block = b.block AND a.name < b.name
+         WHERE levenshtein(a.name, b.name) <= 3
+         ORDER BY name_a, name_b""",
+    "q_events_transitions" ->
+      """WITH seq AS (
+           SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev_type
+           FROM events),
+         c AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+               FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+         SELECT prev_type, next_type, n,
+           round(n / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 4)
+             AS p
+         FROM c ORDER BY prev_type, next_type"""
   )
 
   /** BM25 oracle over an optionally restricted corpus: full replay of
@@ -5488,6 +5553,77 @@ object SparkEntry {
     * `k1 + 1.0` sum (one ulp off the literal 2.2), `0.25` is the exact
     * `1.0 − b`, and the `(idf · (num/denom))` association matches the
     * Column tree, so 4-dp rounding sees identical doubles. */
+  /** Hybrid RRF oracle: the bm25Oracle scoring chain truncated at
+    * rank ≤ 20, a dense cosine ranking per anchored query (anchors =
+    * embeddings 0/1/2 for wq1/wq2/wq3), both fused with
+    * Σ 1/(60 + rank) and re-ranked on the 6-dp-rounded fusion score
+    * with doc-id tie-break — exactly what `Retrieval.rrfFuse` emits. */
+  private def hybridRrfOracle: String = {
+    val vals = bm25QueryTerms.map { case (q, term) => s"('$q','$term')" }
+      .mkString(", ")
+    s"""WITH qt(query_id, term) AS (VALUES $vals),
+        d AS (
+          SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+            x -> len(x) > 0) AS t
+          FROM documents),
+        lens AS (SELECT doc_id, len(t) AS dl FROM d),
+        stats AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM lens),
+        post AS (
+          SELECT doc_id, term, count(*) AS tf
+          FROM (SELECT doc_id, unnest(t) AS term FROM d)
+          GROUP BY doc_id, term),
+        dfs AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+        scored AS (
+          SELECT q.query_id, p.doc_id,
+            round(sum(
+              ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)) *
+              ((tf * (1.2 + 1.0)) /
+               (tf + 1.2 * (0.25 + 0.75 * dl /
+                  (CAST(sumdl AS DOUBLE) / n))))), 4) AS score
+          FROM post p
+          JOIN qt q USING (term)
+          JOIN dfs USING (term)
+          JOIN lens l ON p.doc_id = l.doc_id
+          CROSS JOIN stats
+          GROUP BY q.query_id, p.doc_id),
+        sparse AS (
+          SELECT * FROM (
+            SELECT query_id, doc_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, doc_id) AS rank
+            FROM scored) WHERE rank <= 20),
+        qa(query_id, anchor) AS (VALUES ('wq1', 0), ('wq2', 1), ('wq3', 2)),
+        av AS (
+          SELECT query_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings JOIN qa ON vec_id = anchor),
+        dcos AS (
+          SELECT av.query_id, vec_id AS doc_id,
+            round(list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+              (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) *
+               sqrt(list_dot_product(qv, qv))), 6) AS score
+          FROM embeddings CROSS JOIN av),
+        dense AS (
+          SELECT * FROM (
+            SELECT query_id, doc_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, doc_id) AS rank
+            FROM dcos) WHERE rank <= 20),
+        fused AS (
+          SELECT coalesce(s.query_id, dn.query_id) AS query_id,
+                 coalesce(s.doc_id, dn.doc_id) AS doc_id,
+            round(coalesce(1.0 / (60 + s.rank), 0) +
+                  coalesce(1.0 / (60 + dn.rank), 0), 6) AS rrf
+          FROM sparse s FULL OUTER JOIN dense dn
+            ON s.query_id = dn.query_id AND s.doc_id = dn.doc_id)
+        SELECT query_id, rank, doc_id, rrf FROM (
+          SELECT query_id, doc_id, rrf,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY rrf DESC, doc_id) AS rank
+          FROM fused)
+        WHERE rank <= 10 ORDER BY query_id, rank"""
+  }
+
   private def bm25Oracle(where: String): String = {
     val vals = bm25QueryTerms.map { case (q, term) => s"('$q','$term')" }
       .mkString(", ")

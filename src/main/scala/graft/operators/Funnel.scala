@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ordered-funnel and cohort-retention analytics over an event stream —
@@ -237,5 +238,33 @@ object Funnel {
       .select(col("day"), col("dau"),
         col("wau").as(s"wau_${windowDays}d"),
         round(col("dau").cast("double") / col("wau"), 4).as("stickiness"))
+  }
+
+  /** First-order Markov transition matrix over per-user event
+    * sequences: for every adjacent (prev → next) event-type pair, the
+    * observed count and the row-normalized transition probability
+    * P(next | prev). The user-journey summary the funnel/attribution
+    * operators specialize (a funnel is a path through this matrix).
+    *
+    * Scale shape: one window (partitioned by user, ordered by event
+    * time with id tie-break — deterministic under same-µs ties) for
+    * the lag, then a types²-bounded aggregation; the normalizing sum
+    * windows over the prev-type groups of that tiny frame, never the
+    * event scan. Per-user partitions bound the sort; a hot user is a
+    * skew concern for the lag window only, same posture as sessionize.
+    */
+  def transitionMatrix(events: DataFrame, userCol: String = "user_id",
+                       typeCol: String = "event_type",
+                       tsCol: String = "ts",
+                       idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val counts = events
+      .withColumn("prev_type", lag(col(typeCol), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col(typeCol).as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("p", round(col("n") /
+        sum(col("n")).over(Window.partitionBy(col("prev_type"))), 4))
   }
 }

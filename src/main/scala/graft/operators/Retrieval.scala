@@ -225,4 +225,53 @@ object Retrieval {
       .orderBy(col("maxsim_score").desc, col(groupCol))
       .limit(k)
   }
+
+  /** Dense brute-force cosine top-k per query, where each query carries
+    * its own anchor vector (`anchors` = (query_id, qv ARRAY<DOUBLE>)).
+    * The exact baseline for hybrid fusion — at corpus scale swap in the
+    * IVF-PQ index probe ([[Similarity]] / `AnnIndex.probe`) for this
+    * side; the fusion ([[rrfFuse]]) is ranking-source-agnostic.
+    *
+    * Scale shape: the anchors dim broadcasts (a handful of rows), the
+    * corpus scans once map-only, and the per-query ranking is a window
+    * over the rounded score (rank ties break on id), so the output is
+    * engine-replayable. */
+  def denseTopK(df: DataFrame, vecCol: String, idCol: String,
+                anchors: DataFrame, k: Int, idOut: String): DataFrame = {
+    val scored = df.crossJoin(broadcast(anchors))
+      .select(col("query_id"), col(idCol).as(idOut),
+        round(Similarity.cosine(col(vecCol), col("qv")), 6).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(idOut))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idOut), col("score"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR'09) of
+    * two ranked lists — the standard hybrid-retrieval combiner for a
+    * sparse (BM25) and a dense (embedding) ranking, score-scale-free by
+    * construction: `rrf(d) = Σ_lists 1/(c + rank_list(d))` over the
+    * lists that retrieved d (absent-list terms contribute 0).
+    *
+    * Inputs are (query_id, rank, `idCol`) relations — any rankers work
+    * ([[bm25TopK]], [[denseTopK]], an index probe). Both lists are
+    * already top-m-truncated (m·|queries| rows), so the full-outer join
+    * and the final window run on a frame bounded by the query count,
+    * never the corpus. */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String, k: Int,
+              c: Int = 60): DataFrame = {
+    val ra = a.select(col("query_id"), col(idCol), col("rank").as("rank_a"))
+    val rb = b.select(col("query_id"), col(idCol), col("rank").as("rank_b"))
+    val fused = ra.join(rb, Seq("query_id", idCol), "full_outer")
+      .select(col("query_id"), col(idCol),
+        round(coalesce(lit(1.0) / (lit(c) + col("rank_a")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(c) + col("rank_b")), lit(0.0)), 6)
+          .as("rrf"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col(idCol))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol), col("rrf"))
+  }
 }

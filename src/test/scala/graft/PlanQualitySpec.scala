@@ -681,6 +681,34 @@ class PlanQualitySpec extends AnyFunSuite {
     graft.operators.CacheScope.drain()
   }
 
+  test("session-7 additions: fusion/linkage/transition plan shapes") {
+    // hybrid_retrieval_rrf: the only joins are the broadcast query-term
+    // dims, the tiny anchor cross join, and the top-m×top-m full-outer
+    // fusion — never corpus×corpus (no nested-loop join except the
+    // 3-row broadcast anchor product)
+    val hr = plan("hybrid_retrieval_rrf")
+    assert(!hr.contains("CartesianProduct"),
+      s"hybrid_retrieval_rrf grew a cartesian:\n${hr.take(1500)}")
+    assert(hr.contains("SortMergeJoin") || hr.contains("ShuffledHashJoin"),
+      s"hybrid fusion should full-outer join the two rankings:\n${hr.take(1500)}")
+    graft.operators.CacheScope.drain()
+    // fuzzy_match_names: pairs mined over the distinct-name dictionary
+    // via a block equi-join — no cartesian, no nested loop
+    val fz = plan("fuzzy_match_names")
+    assert(!fz.contains("CartesianProduct") &&
+      !fz.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy_match_names must block-equi-join the dictionary:\n${fz.take(1500)}")
+    assert(fz.contains("HashAggregate"),
+      s"fuzzy_match_names should aggregate to the distinct-name dim first:\n${fz.take(1500)}")
+    graft.operators.CacheScope.drain()
+    // q_events_transitions: one lag window over the scan + a types²
+    // aggregation — no join anywhere
+    val tr = plan("q_events_transitions")
+    assert(!tr.contains("Join") && !tr.contains("CartesianProduct"),
+      s"q_events_transitions should be window+agg only:\n${tr.take(1200)}")
+    graft.operators.CacheScope.drain()
+  }
+
   test("dedup signature kernels are native expressions — no ScalaUDF in the plan") {
     // SimHash and MinHash signatures used to be Scala UDFs: the only
     // opaque scan-side projections left outside whole-stage codegen,
