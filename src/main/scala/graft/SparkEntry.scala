@@ -950,6 +950,42 @@ object SparkEntry {
     Funnel.transitionMatrix(t(s, dir, "events"))
       .orderBy(col("prev_type"), col("next_type"))
 
+  /** Classifier evaluation: confusion-matrix metrics (per-class P/R/F1,
+    * accuracy, Cohen's κ) of the native lang_id expression against the
+    * labeled lang column — the scorecard for any model-in-the-loop
+    * curation gate. All integer counts until the final divisions. */
+  private def qClassifierMetrics(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Metrics.classifierMetrics(
+        t(s, dir, "documents")
+          .select(col("lang"),
+            graft.functions.TextSignals.lang_id(col("text")).as("pred")),
+        "lang", "pred")
+      .orderBy(col("label"))
+
+  /** Tie-corrected Mann–Whitney AUC of the English-stopword-count
+    * signal ranking English docs above the rest — exact integer
+    * rank-sum arithmetic, one final division. */
+  private def qScoreAuc(s: SparkSession, dir: String): DataFrame = {
+    val en10 = Seq("the", "and", "of", "to", "in", "is", "that", "it",
+      "for", "with")
+    val score = size(filter(
+      graft.operators.TextAnalysis.tokens(lower(col("text"))),
+      tok => tok.isInCollection(en10))).cast("long")
+    graft.operators.Metrics.rankSumAuc(
+      t(s, dir, "documents").select(score.as("s"),
+        (col("lang") === "en").as("y")),
+      "s", col("y"))
+  }
+
+  /** In-engine LR training: 3 deterministic full-batch gradient steps
+    * over hashed binary unigram features (64 buckets + bias), label =
+    * lang=='en'. The oracle replays training as 3 unrolled SQL
+    * iterations under the 12-dp per-step rounding contract. */
+  private def qQualityLrTrain(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Classifier.trainLogReg(t(s, dir, "documents"), "text",
+        "doc_id", col("lang") === "en", nBuckets = 64, iters = 3, lr = 1.0)
+      .orderBy(col("bucket"))
+
   /** DSIR importance weights (Xie et al. 2023): hashed-bigram
     * log-likelihood ratio of each doc under the English slice (target)
     * vs the whole pool (raw), add-one smoothed over 256 buckets. */
@@ -2589,7 +2625,10 @@ object SparkEntry {
     "q_asof_forward" -> (qAsofForward _),
     "hybrid_retrieval_rrf" -> (qHybridRrf _),
     "fuzzy_match_names" -> (qFuzzyMatchNames _),
-    "q_events_transitions" -> (qEventsTransitions _)
+    "q_events_transitions" -> (qEventsTransitions _),
+    "classifier_metrics" -> (qClassifierMetrics _),
+    "score_auc" -> (qScoreAuc _),
+    "quality_lr_train" -> (qQualityLrTrain _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -5544,7 +5583,74 @@ object SparkEntry {
          SELECT prev_type, next_type, n,
            round(n / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 4)
              AS p
-         FROM c ORDER BY prev_type, next_type"""
+         FROM c ORDER BY prev_type, next_type""",
+    "classifier_metrics" ->
+      s"""WITH pred AS ($langIdOracle),
+          j AS (SELECT d.lang AS gold, p.lang_pred AS pred
+                FROM documents d JOIN pred p USING (doc_id)),
+          cm AS (SELECT gold, pred, count(*) AS n FROM j GROUP BY 1, 2),
+          g AS (SELECT gold AS label, CAST(sum(n) AS BIGINT) AS n_gold
+                FROM cm GROUP BY 1),
+          pr AS (SELECT pred AS label, CAST(sum(n) AS BIGINT) AS n_pred
+                 FROM cm GROUP BY 1),
+          tp AS (SELECT gold AS label, n AS n_correct FROM cm
+                 WHERE gold = pred),
+          per AS (SELECT label, coalesce(n_gold, 0) AS n_gold,
+                    coalesce(n_pred, 0) AS n_pred,
+                    coalesce(n_correct, 0) AS n_correct
+                  FROM g FULL OUTER JOIN pr USING (label)
+                  LEFT JOIN tp USING (label)),
+          tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total,
+                    CAST(sum(CASE WHEN gold = pred THEN n ELSE 0 END)
+                      AS BIGINT) AS n_ok FROM cm),
+          pe AS (SELECT sum(CAST(n_gold AS DOUBLE) * n_pred) AS pe_num
+                 FROM per),
+          calc AS (SELECT label, n_gold, n_pred, n_correct,
+                     CASE WHEN n_pred > 0
+                       THEN CAST(n_correct AS DOUBLE) / n_pred
+                       ELSE 0.0 END AS p_,
+                     CASE WHEN n_gold > 0
+                       THEN CAST(n_correct AS DOUBLE) / n_gold
+                       ELSE 0.0 END AS r_
+                   FROM per)
+          SELECT label, n_gold, n_pred, n_correct,
+            round(p_, 4) AS "precision", round(r_, 4) AS recall,
+            round(CASE WHEN p_ + r_ > 0 THEN 2.0 * p_ * r_ / (p_ + r_)
+                  ELSE 0.0 END, 4) AS f1,
+            round(CAST(n_ok AS DOUBLE) / n_total, 4) AS accuracy,
+            round((CAST(n_ok AS DOUBLE) / n_total -
+                   pe_num / (CAST(n_total AS DOUBLE) * n_total)) /
+                  (1.0 - pe_num / (CAST(n_total AS DOUBLE) * n_total)), 4)
+              AS kappa
+          FROM calc CROSS JOIN tot CROSS JOIN pe ORDER BY label""",
+    "score_auc" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_transform(
+             list_filter(regexp_split_to_array(trim(text), '\s+'),
+               x -> len(x) > 0), y -> lower(y))) AS tok
+           FROM documents),
+         sc AS (
+           SELECT d.doc_id,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+             coalesce(h.c, 0) AS s
+           FROM documents d LEFT JOIN (
+             SELECT doc_id, count(CASE WHEN tok IN ('the','and','of','to',
+               'in','is','that','it','for','with') THEN 1 END) AS c
+             FROM toks GROUP BY doc_id) h USING (doc_id)),
+         bys AS (SELECT s, count(*) AS cnt, sum(y) AS cpos
+                 FROM sc GROUP BY s),
+         r AS (SELECT s, cnt, cpos,
+                 coalesce(sum(cnt) OVER (ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum
+               FROM bys)
+         SELECT CAST(sum(cpos) AS BIGINT) AS n_pos,
+           CAST(sum(cnt - cpos) AS BIGINT) AS n_neg,
+           round(CAST(sum(cpos * (2 * cum + cnt + 1)) -
+                      sum(cpos) * (sum(cpos) + 1) AS DOUBLE) /
+                 (2.0 * sum(cpos) * sum(cnt - cpos)), 6) AS auc
+         FROM r""",
+    "quality_lr_train" -> lrTrainOracle
   )
 
   /** BM25 oracle over an optionally restricted corpus: full replay of
@@ -5553,6 +5659,50 @@ object SparkEntry {
     * `k1 + 1.0` sum (one ulp off the literal 2.2), `0.25` is the exact
     * `1.0 − b`, and the `(idf · (num/denom))` association matches the
     * Column tree, so 4-dp rounding sees identical doubles. */
+  /** LR-training oracle: replays Classifier.trainLogReg's 3 full-batch
+    * gradient steps as unrolled CTEs under the 12-dp per-step rounding
+    * contract (margins, gradient means, weight updates all round to
+    * 12 dp — the pagerank determinism precedent, so hash-agg vs sort
+    * summation order and libm exp ULP differences are absorbed).
+    * Features = distinct hashed unigram buckets (FNV-1a low 6 bits,
+    * the dsir bucket replay) + the always-on bias bucket −1. */
+  private def lrTrainOracle: String =
+    s"""WITH toks AS (
+          SELECT doc_id,
+            CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+            unnest(list_filter(
+              regexp_split_to_array(trim(lower(text)), '\\s+'),
+              x -> len(x) > 0)) AS tok
+          FROM documents),
+        db0 AS (SELECT DISTINCT doc_id, y,
+                  CAST(${fnvSql("tok")} % 64 AS BIGINT) AS b FROM toks),
+        dbias AS (SELECT doc_id,
+                    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                    CAST(-1 AS BIGINT) AS b
+                  FROM documents),
+        db AS (SELECT * FROM db0 UNION ALL SELECT * FROM dbias),
+        nn AS (SELECT count(*) AS n FROM documents),
+        g1 AS (SELECT b, round(sum(0.5 - y) / n, 12) AS g
+               FROM db CROSS JOIN nn GROUP BY b, n),
+        w1 AS (SELECT b, round(0.0 - g, 12) AS w FROM g1),
+        m2 AS (SELECT doc_id, y, round(sum(w), 12) AS m
+               FROM db JOIN w1 USING (b) GROUP BY doc_id, y),
+        p2 AS (SELECT doc_id, y, 1.0 / (1.0 + exp(-m)) AS p FROM m2),
+        g2 AS (SELECT b, round(sum(p - y) / n, 12) AS g
+               FROM db JOIN p2 USING (doc_id, y) CROSS JOIN nn
+               GROUP BY b, n),
+        w2 AS (SELECT b, round(w - g, 12) AS w
+               FROM w1 JOIN g2 USING (b)),
+        m3 AS (SELECT doc_id, y, round(sum(w), 12) AS m
+               FROM db JOIN w2 USING (b) GROUP BY doc_id, y),
+        p3 AS (SELECT doc_id, y, 1.0 / (1.0 + exp(-m)) AS p FROM m3),
+        g3 AS (SELECT b, round(sum(p - y) / n, 12) AS g
+               FROM db JOIN p3 USING (doc_id, y) CROSS JOIN nn
+               GROUP BY b, n),
+        w3 AS (SELECT b, round(w - g, 12) AS w
+               FROM w2 JOIN g3 USING (b))
+        SELECT b AS bucket, w AS weight FROM w3 ORDER BY bucket"""
+
   /** Hybrid RRF oracle: the bm25Oracle scoring chain truncated at
     * rank ≤ 20, a dense cosine ranking per anchored query (anchors =
     * embeddings 0/1/2 for wq1/wq2/wq3), both fused with

@@ -1,0 +1,132 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{Classifier, Metrics}
+
+/** Model-in-the-loop curation: confusion-matrix metrics, rank-sum AUC,
+  * and the in-engine LR trainer. Hand-checkable fixtures here; the
+  * DuckDB oracles re-verify on the real corpus. */
+class MetricsClassifierSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // ---- classifierMetrics ----
+
+  test("classifierMetrics: perfect classifier scores 1.0 everywhere, kappa 1") {
+    import spark.implicits._
+    val df = Seq(("a", "a"), ("b", "b"), ("a", "a")).toDF("gold", "pred")
+    val m = Metrics.classifierMetrics(df, "gold", "pred").collect()
+    assert(m.forall(r => r.getDouble(4) == 1.0 && r.getDouble(5) == 1.0 &&
+      r.getDouble(6) == 1.0 && r.getDouble(7) == 1.0 && r.getDouble(8) == 1.0))
+  }
+
+  test("classifierMetrics: constant predictor has kappa 0") {
+    import spark.implicits._
+    // gold a/b 50:50, predicts always 'a': p_o = 0.5, p_e = 0.5, κ = 0.
+    val df = Seq(("a", "a"), ("b", "a"), ("a", "a"), ("b", "a"))
+      .toDF("gold", "pred")
+    val m = Metrics.classifierMetrics(df, "gold", "pred").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(m("a").getDouble(8) == 0.0) // kappa
+    assert(m("a").getDouble(4) == 0.5) // precision of 'a' = 2/4
+    assert(m("a").getDouble(5) == 1.0) // recall of 'a' = 2/2
+    assert(m("b").getLong(2) == 0L)    // n_pred for 'b'
+    assert(m("b").getDouble(4) == 0.0 && m("b").getDouble(6) == 0.0)
+  }
+
+  test("classifierMetrics: hand-checked asymmetric confusion") {
+    import spark.implicits._
+    // gold: a×3 b×1; pred: a correct ×2, a→b ×1, b correct ×1
+    val df = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"))
+      .toDF("gold", "pred")
+    val m = Metrics.classifierMetrics(df, "gold", "pred").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(m("a").getDouble(4) == 1.0)    // precision a = 2/2
+    assert(m("a").getDouble(5) == 0.6667) // recall a = 2/3
+    assert(m("b").getDouble(4) == 0.5)    // precision b = 1/2
+    assert(m("a").getDouble(7) == 0.75)   // accuracy = 3/4
+    // p_e = (3·2 + 1·2)/16 = 0.5 ⇒ κ = (0.75−0.5)/0.5 = 0.5
+    assert(m("a").getDouble(8) == 0.5)
+  }
+
+  // ---- rankSumAuc ----
+
+  test("rankSumAuc: perfect separation is 1.0, reversed is 0.0") {
+    import spark.implicits._
+    val up = Seq((1L, false), (2L, false), (3L, true), (4L, true))
+      .toDF("s", "y")
+    assert(Metrics.rankSumAuc(up, "s", col("y")).head().getDouble(2) == 1.0)
+    val down = Seq((4L, false), (3L, false), (2L, true), (1L, true))
+      .toDF("s", "y")
+    assert(Metrics.rankSumAuc(down, "s", col("y")).head().getDouble(2) == 0.0)
+  }
+
+  test("rankSumAuc: all-tied scores give exactly 0.5 via average ranks") {
+    import spark.implicits._
+    val df = Seq((7L, true), (7L, false), (7L, true), (7L, false))
+      .toDF("s", "y")
+    val r = Metrics.rankSumAuc(df, "s", col("y")).head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 0.5)
+  }
+
+  test("rankSumAuc: partial tie hand-check") {
+    import spark.implicits._
+    // scores: 1(neg), 2(neg), 2(pos), 3(pos). avg rank of the 2-tie =
+    // 2.5. R+ = 2.5 + 4 = 6.5 ⇒ AUC = (13 − 2·3)/(2·2·2) = 0.875
+    val df = Seq((1L, false), (2L, false), (2L, true), (3L, true))
+      .toDF("s", "y")
+    assert(Metrics.rankSumAuc(df, "s", col("y")).head().getDouble(2) == 0.875)
+  }
+
+  // ---- trainLogReg ----
+
+  private def corpus = {
+    import spark.implicits._
+    // planted separable vocab: positives say "good", negatives "bad"
+    (1 to 40).map { i =>
+      if (i % 2 == 0) (i.toLong, "good stuff here", 1)
+      else (i.toLong, "bad junk there", 0)
+    }.toDF("id", "text", "y")
+  }
+
+  test("trainLogReg: learns to separate planted vocab (train acc 100%)") {
+    val w = Classifier.trainLogReg(corpus, "text", "id", col("y") === 1,
+      nBuckets = 64, iters = 3, lr = 1.0)
+    val scored = Classifier.scoreLogReg(corpus, "text", "id", w, nBuckets = 64)
+      .join(corpus.select(col("id"), col("y")), "id")
+    val acc = scored
+      .filter((col("margin") > 0) === (col("y") === 1)).count()
+    assert(acc == 40L, s"train accuracy ${acc}/40")
+  }
+
+  test("trainLogReg: weights are partition-invariant (12-dp contract)") {
+    val w1 = Classifier.trainLogReg(corpus.repartition(1), "text", "id",
+      col("y") === 1, nBuckets = 64, iters = 3, lr = 1.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val w7 = Classifier.trainLogReg(corpus.repartition(7), "text", "id",
+      col("y") === 1, nBuckets = 64, iters = 3, lr = 1.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w1 == w7)
+  }
+
+  test("trainLogReg: bias-only corpus converges toward the base rate") {
+    import spark.implicits._
+    // identical text everywhere: only the shared buckets + bias can
+    // move, and they move toward log-odds of the 25% positive rate
+    // (negative margin for every doc)
+    val df = (1 to 40).map(i => (i.toLong, "same same", i % 4 == 0))
+      .toDF("id", "text", "y")
+    val w = Classifier.trainLogReg(df, "text", "id", col("y"),
+      nBuckets = 64, iters = 3, lr = 1.0)
+    val margins = Classifier.scoreLogReg(df, "text", "id", w, nBuckets = 64)
+      .select(col("margin")).distinct().collect()
+    assert(margins.length == 1 && margins.head.getDouble(0) < 0)
+  }
+}

@@ -707,6 +707,20 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!tr.contains("Join") && !tr.contains("CartesianProduct"),
       s"q_events_transitions should be window+agg only:\n${tr.take(1200)}")
     graft.operators.CacheScope.drain()
+    // score_auc: one corpus agg + a distinct-scores window — no join
+    val au = plan("score_auc")
+    assert(!au.contains("Join") && !au.contains("CartesianProduct"),
+      s"score_auc should be agg+window only:\n${au.take(1200)}")
+    graft.operators.CacheScope.drain()
+    // classifier_metrics / quality_lr_train: classes²- and bucket-sized
+    // joins only (1-row aggregates ride broadcast NLJ — documented
+    // precedent); never a cartesian on the scan
+    for (q <- Seq("classifier_metrics", "quality_lr_train")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q grew a cartesian:\n${p.take(1500)}")
+      graft.operators.CacheScope.drain()
+    }
   }
 
   test("dedup signature kernels are native expressions — no ScalaUDF in the plan") {
