@@ -27,13 +27,14 @@ import graft.streaming.StreamingPipeline
   * side's persisted dedup/ANN artifacts, operable like everything
   * else):
   *
-  *   wpindex build  neardup|emb|ann|drift|lm|bm25|dsir|substr <corpus.parquet> <indexDir> [--dim D]
-  *   wpindex append neardup|emb|ann|drift|lm|bm25|dsir|substr <new.parquet> <indexDir>
+  *   wpindex build  neardup|emb|ann|drift|lm|bm25|dsir|substr|lr <corpus.parquet> <indexDir> [--dim D]
+  *   wpindex append neardup|emb|ann|drift|lm|bm25|dsir|substr|lr <new.parquet> <indexDir>
   *   wpindex probe  neardup|emb     <batch.parquet> <indexDir> <outDir> [--threshold T]
   *   wpindex probe  ann             <queries.parquet> <indexDir> <outDir> [--nprobe N] [--topk K]
   *   wpindex probe  drift           <batch.parquet> <indexDir> <outDir> [--grp-col G --val-col V]
   *   wpindex probe  lm              <batch.parquet> <indexDir> <outDir> [--text-col C]
   *   wpindex probe  bm25            <queries.parquet> <indexDir> <outDir> [--topk K]
+  *   wpindex probe  lr              <batch.parquet> <indexDir> <outDir> [--text-col C]
   */
 object Cli {
 
@@ -417,22 +418,30 @@ object Cli {
             mediaSigCol(flag("--sig", "image"), flag("--media-col", "media")),
             maxDist = flag("--max-dist", "3").toInt)
       }
+      // --lr <modelDir>: trained-classifier gate (wpindex lr) — keep
+      // rows whose LR margin clears --lr-threshold (log-odds)
+      val afterLr = flag("--lr", "") match {
+        case "" => afterMedia
+        case p => graft.operators.Classifier.LrModel.load(spark, p)
+          .gate(afterMedia, textCol, idCol,
+            flag("--lr-threshold", "0.0").toDouble)
+      }
       // --split <evalRate>: leakage-safe train/eval split BEFORE
       // sharding — near-dup clusters mined within the curated batch
       // draw one splitmix side per cluster, so a doc and its near-twin
       // can never end up on opposite sides of the boundary
       flag("--split", "") match {
         case "" =>
-          Sampling.writeTrainingShards(afterMedia, idCol, out,
+          Sampling.writeTrainingShards(afterLr, idCol, out,
             flag("--shards", "8").toInt)
           println(s"wpcurate: curated shards written to $out")
         case rate =>
           import org.apache.spark.sql.functions.col
-          val pairs = Dedup.ngramJaccardPairs(afterMedia, textCol, idCol,
+          val pairs = Dedup.ngramJaccardPairs(afterLr, textCol, idCol,
             n = 3, threshold = flag("--threshold", "0.5").toDouble)
           val clusters = graft.operators.Clustering.dupClusters(
             pairs, "id_a", "id_b")
-          val withSplit = Sampling.clusterSafeSplit(afterMedia, idCol,
+          val withSplit = Sampling.clusterSafeSplit(afterLr, idCol,
             clusters, "doc_id", "cluster_id", rate.toDouble)
           for (side <- Seq("train", "eval"))
             Sampling.writeTrainingShards(
@@ -523,6 +532,14 @@ object Cli {
       val mediaSig = mediaSigCol(flag("--sig", "image"),
         flag("--media-col", "media"))
       val mediaMaxDist = flag("--max-dist", "3").toInt
+      // trained-classifier gate, stream-static per micro-batch (the
+      // daemon twin of batch --lr): weights load once, broadcast per
+      // batch
+      val lrModel = flag("--lr", "") match {
+        case "" => None
+        case p => Some(graft.operators.Classifier.LrModel.load(spark, p))
+      }
+      val lrThreshold = flag("--lr-threshold", "0.0").toDouble
       val q = spark.readStream.schema(schema).parquet(in)
         .writeStream
         .option("checkpointLocation", s"$out/_checkpoint")
@@ -556,10 +573,14 @@ object Cli {
               dsirGated, textCol, idCol, idx, maxDupFrac)
             case None => dsirGated
           }
-          val accepted = mediaIdx match {
+          val mediaGated = mediaIdx match {
             case Some(idx) =>
               idx.dropKnown(substrGated, idCol, mediaSig, mediaMaxDist)
             case None => substrGated
+          }
+          val accepted = lrModel match {
+            case Some(m) => m.gate(mediaGated, textCol, idCol, lrThreshold)
+            case None => mediaGated
           }
           accepted.write.mode("append").parquet(s"$out/accepted")
           // --monitor-key <col>: per-batch cardinality line via the HLL
@@ -702,6 +723,33 @@ object Cli {
               flag("--text-col", "text"), flag("--id-col", "doc_id"))
             .write.mode("overwrite").parquet(out)
           println(s"wpindex: lm scores written to $out")
+        case ("build", "lr", corpus :: path :: _) =>
+          // label = (--target-col == --target-val), the dsir convention
+          graft.operators.Classifier.LrModel.train(spark.read.parquet(corpus),
+              flag("--text-col", "text"), flag("--id-col", "doc_id"),
+              org.apache.spark.sql.functions.col(flag("--target-col", "lang"))
+                === flag("--target-val", "en"),
+              nBuckets = flag("--buckets", "64").toInt,
+              iters = flag("--iters", "3").toInt,
+              lr = flag("--lr-rate", "1.0").toDouble)
+            .save(path)
+          println(s"wpindex: built lr model at $path")
+        case ("append", "lr", newData :: path :: _) =>
+          // online refinement: warm-start steps on the new labeled batch
+          graft.operators.Classifier.LrModel.load(spark, path).refine(path,
+            spark.read.parquet(newData),
+            flag("--text-col", "text"), flag("--id-col", "doc_id"),
+            org.apache.spark.sql.functions.col(flag("--target-col", "lang"))
+              === flag("--target-val", "en"),
+            iters = flag("--iters", "1").toInt,
+            lr = flag("--lr-rate", "1.0").toDouble)
+          println(s"wpindex: refined lr model at $path")
+        case ("probe", "lr", batch :: path :: out :: _) =>
+          graft.operators.Classifier.LrModel.load(spark, path)
+            .scoreOf(spark.read.parquet(batch),
+              flag("--text-col", "text"), flag("--id-col", "doc_id"))
+            .write.mode("overwrite").parquet(out)
+          println(s"wpindex: lr margins written to $out")
         case ("build", "bm25", corpus :: path :: _) =>
           graft.operators.Retrieval.Bm25Index.build(spark.read.parquet(corpus),
               flag("--text-col", "text"), flag("--id-col", "doc_id"),

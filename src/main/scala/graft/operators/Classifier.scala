@@ -41,18 +41,31 @@ object Classifier {
       .unionByName(docs.select(col("id"), col("y"), lit(-1L).as("b")))
   }
 
-  /** Train `iters` full-batch LR steps from w = 0; returns the final
-    * (bucket, weight) vector (bucket −1 = bias), 12-dp values. */
+  /** Train `iters` full-batch LR steps from w = 0 (or from `init` for
+    * a warm start — the online-refinement path [[LrModel.refine]]
+    * uses); returns the final (bucket, weight) vector (bucket −1 =
+    * bias), 12-dp values. With a warm start, buckets seen only in the
+    * new batch enter at 0 and trained buckets absent from the batch
+    * keep their weight (no decay). */
   def trainLogReg(df: DataFrame, textCol: String, idCol: String,
                   label: Column, nBuckets: Int = 64, iters: Int = 3,
-                  lr: Double = 1.0): DataFrame = {
+                  lr: Double = 1.0,
+                  init: Option[DataFrame] = None): DataFrame = {
     require((nBuckets & (nBuckets - 1)) == 0,
       "nBuckets must be a power of 2")
     val feats = features(df, textCol, idCol, label, nBuckets)
       .localCheckpoint()
     val n = df.count()
-    var wts = feats.select(col("b")).distinct()
-      .withColumn("w", lit(0.0)).localCheckpoint()
+    val zero = feats.select(col("b")).distinct()
+      .withColumn("w", lit(0.0))
+    var wts = (init match {
+      case None => zero
+      case Some(w0) =>
+        val prior = w0.select(col("bucket").as("b"), col("weight").as("w"))
+        zero.select(col("b")).unionByName(prior.select(col("b"))).distinct()
+          .join(prior, Seq("b"), "left")
+          .select(col("b"), coalesce(col("w"), lit(0.0)).as("w"))
+    }).localCheckpoint()
     for (_ <- 1 to iters) {
       val pd = feats.join(broadcast(wts), Seq("b"))
         .groupBy(col("id"), col("y"))
@@ -64,8 +77,11 @@ object Classifier {
         .groupBy(col("b"))
         .agg(round(lit(lr) * sum(col("p") - col("y")) / lit(n.toDouble), 12)
           .as("g"))
-      wts = wts.join(grad, Seq("b"))
-        .select(col("b"), round(col("w") - col("g"), 12).as("w"))
+      // left join: a warm-started bucket with no rows in this batch
+      // has zero gradient and keeps its weight
+      wts = wts.join(grad, Seq("b"), "left")
+        .select(col("b"),
+          round(col("w") - coalesce(col("g"), lit(0.0)), 12).as("w"))
         .localCheckpoint()
     }
     wts.select(col("b").as("bucket"), col("w").as("weight"))
@@ -74,14 +90,78 @@ object Classifier {
   /** Score docs with a trained weight vector: the 12-dp margin (log
     * odds) per doc — threshold at 0 for the hard gate, or keep as a
     * soft curation signal. Map-only over the feature rows plus one
-    * doc-keyed agg; weights broadcast. */
+    * doc-keyed agg; weights broadcast. Buckets the model never saw
+    * (OOV under a warm-started model) contribute 0. */
   def scoreLogReg(df: DataFrame, textCol: String, idCol: String,
                   weights: DataFrame, nBuckets: Int = 64): DataFrame = {
     val feats = features(df, textCol, idCol, lit(0L), nBuckets)
     feats.join(broadcast(weights.select(col("bucket").as("b"),
-        col("weight").as("w"))), Seq("b"))
+        col("weight").as("w"))), Seq("b"), "left")
       .groupBy(col("id"))
-      .agg(round(sum(col("w")), 12).as("margin"))
+      .agg(round(sum(coalesce(col("w"), lit(0.0))), 12).as("margin"))
       .select(col("id"), col("margin"))
+  }
+
+  /** Persisted LR model — the ELEVENTH operable artifact (text bands,
+    * embedding buckets, PQ codes, drift histogram, LM counts, BM25
+    * postings, DSIR reference, substring corpus hashes, cardinality
+    * registers, media signatures, now classifier weights). Artifacts:
+    * `weights/` parquet (bucket, weight) + `meta.properties` pinning
+    * nBuckets so a probe can never hash into a different feature
+    * space than the model was trained in. */
+  final case class LrModel(weights: DataFrame, nBuckets: Int) {
+
+    def save(path: String): Unit = {
+      new java.io.File(path).mkdirs()
+      weights.write.mode("overwrite").parquet(s"$path/weights")
+      val props = new java.util.Properties()
+      props.setProperty("nBuckets", nBuckets.toString)
+      val w = new java.io.FileWriter(s"$path/meta.properties")
+      try props.store(w, "graft LR classifier model") finally w.close()
+    }
+
+    /** Margin (log-odds) per doc under the frozen weights. */
+    def scoreOf(df: DataFrame, textCol: String, idCol: String): DataFrame =
+      scoreLogReg(df, textCol, idCol, weights, nBuckets)
+
+    /** Hard gate: keep rows whose margin exceeds `threshold`. Keeps
+      * the input schema (the margin is internal to the decision). */
+    def gate(df: DataFrame, textCol: String, idCol: String,
+             threshold: Double = 0.0): DataFrame = {
+      val kept = scoreOf(df, textCol, idCol)
+        .filter(col("margin") > threshold).select(col("id"))
+      df.join(kept, df(idCol) === kept("id"), "left_semi")
+    }
+
+    /** Online refinement: warm-start `iters` full-batch steps on a new
+      * labeled batch, persisting back. Trained buckets absent from the
+      * batch keep their weight; novel buckets enter at 0.
+      * localCheckpoint materializes before overwriting the source. */
+    def refine(path: String, newData: DataFrame, textCol: String,
+               idCol: String, label: Column, iters: Int = 1,
+               lr: Double = 1.0): LrModel = {
+      val w2 = trainLogReg(newData, textCol, idCol, label, nBuckets,
+        iters, lr, init = Some(weights)).localCheckpoint()
+      val m = LrModel(w2, nBuckets)
+      m.save(path)
+      m
+    }
+  }
+
+  object LrModel {
+    def train(df: DataFrame, textCol: String, idCol: String, label: Column,
+              nBuckets: Int = 64, iters: Int = 3,
+              lr: Double = 1.0): LrModel =
+      LrModel(trainLogReg(df, textCol, idCol, label, nBuckets, iters, lr),
+        nBuckets)
+
+    def load(spark: org.apache.spark.sql.SparkSession,
+             path: String): LrModel = {
+      val props = new java.util.Properties()
+      val r = new java.io.FileReader(s"$path/meta.properties")
+      try props.load(r) finally r.close()
+      LrModel(spark.read.parquet(s"$path/weights"),
+        props.getProperty("nBuckets").toInt)
+    }
   }
 }

@@ -120,6 +120,33 @@ class CliCurateSpec extends AnyFunSuite {
     assert(kept == Set(1L), s"kept=$kept")
   }
 
+  test("wpcurate batch --lr: the trained-classifier gate drops off-target docs") {
+    import spark.implicits._
+    spark
+    val pool = ((1 to 10).map(i =>
+        (100L + i, "good clean prose with structure and care", "en")) ++
+      (11 to 20).map(i =>
+        (100L + i, "zz xx qq ww vv kk zz xx", "de")))
+      .toDF("doc_id", "text", "lang")
+    val batch = Seq(
+      (1L, "good clean prose with care and structure"), // target-like: keep
+      (2L, "zz xx qq ww vv kk qq ww"))                  // junk: drop
+      .toDF("doc_id", "text")
+    val poolDir = tmp("lr_gate_pool"); val modelDir = tmp("lr_gate_model")
+    val bDir = tmp("lr_gate_batch"); val outDir = tmp("lr_gate_out")
+    pool.write.mode("overwrite").parquet(poolDir)
+    batch.write.mode("overwrite").parquet(bDir)
+    graft.cli.Cli.main(Array("wpindex", "build", "lr", poolDir, modelDir,
+      "--iters", "3"))
+    graft.cli.Cli.main(Array("wpcurate", "batch", bDir, outDir,
+      "--lr", modelDir,
+      "--min-words", "3", "--min-entropy", "2.0", "--min-score", "-1000000",
+      "--shards", "1"))
+    val kept = spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L), s"kept=$kept")
+  }
+
   test("wpcurate batch --substr: mosaic-of-corpus docs drop at the dup-fraction gate") {
     import spark.implicits._
     spark

@@ -151,6 +151,44 @@ class CliIndexSpec extends AnyFunSuite {
     assert(out.count() == docs.filter(col("doc_id") % 2 === 0).count())
   }
 
+  test("wpindex lr: build, probe scores margins, append refines in place") {
+    import spark.implicits._
+    spark
+    // separable planted vocab labeled by lang
+    val pool = ((1 to 10).map(i => (i.toLong, "good clean prose here", "en")) ++
+      (11 to 20).map(i => (i.toLong, "zz xx junk noise there", "de")))
+      .toDF("doc_id", "text", "lang")
+    val poolDir = tmp("cli_lr_pool"); val modelDir = tmp("cli_lr_model")
+    pool.write.mode("overwrite").parquet(poolDir)
+    graft.cli.Cli.main(Array("wpindex", "build", "lr", poolDir, modelDir,
+      "--iters", "3"))
+
+    val outDir = tmp("cli_lr_out")
+    graft.cli.Cli.main(Array("wpindex", "probe", "lr", poolDir, modelDir,
+      outDir))
+    val margins = spark.read.parquet(outDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert((1 to 10).forall(i => margins(i.toLong) > 0) &&
+      (11 to 20).forall(i => margins(i.toLong) < 0),
+      s"trained margins must separate the planted vocab: $margins")
+
+    // refine on a batch where the junk vocab is now the TARGET —
+    // weights move, the model file is overwritten in place
+    val batch = (21 to 30).map(i =>
+      (i.toLong, "zz xx junk noise there", "en")).toDF("doc_id", "text", "lang")
+    val bDir = tmp("cli_lr_batch")
+    batch.write.mode("overwrite").parquet(bDir)
+    graft.cli.Cli.main(Array("wpindex", "append", "lr", bDir, modelDir,
+      "--iters", "2"))
+    val outDir2 = tmp("cli_lr_out2")
+    graft.cli.Cli.main(Array("wpindex", "probe", "lr", poolDir, modelDir,
+      outDir2))
+    val margins2 = spark.read.parquet(outDir2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert((11 to 20).forall(i => margins2(i.toLong) > margins(i.toLong)),
+      "refinement toward the junk vocab must raise its margins")
+  }
+
   test("wpindex substr: build, append, probe reports corpus-verbatim spans") {
     import spark.implicits._
     spark

@@ -116,6 +116,59 @@ class MetricsClassifierSpec extends AnyFunSuite {
     assert(w1 == w7)
   }
 
+  test("LrModel: save → load → scoreOf matches in-memory scoring") {
+    val m = Classifier.LrModel.train(corpus, "text", "id", col("y") === 1,
+      nBuckets = 64, iters = 3)
+    val dir = java.nio.file.Files.createTempDirectory("lr_model").toString
+    m.save(dir)
+    val loaded = Classifier.LrModel.load(spark, dir)
+    assert(loaded.nBuckets == 64)
+    val a = m.scoreOf(corpus, "text", "id").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = loaded.scoreOf(corpus, "text", "id").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a == b)
+  }
+
+  test("LrModel.refine: warm start keeps absent buckets, novel buckets enter") {
+    import spark.implicits._
+    val m = Classifier.LrModel.train(corpus, "text", "id", col("y") === 1,
+      nBuckets = 64, iters = 3)
+    val dir = java.nio.file.Files.createTempDirectory("lr_refine").toString
+    m.save(dir)
+    val w0 = m.weights.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the refinement batch shares NO vocabulary with the corpus
+    val batch = (1 to 10).map(i =>
+      (1000L + i, if (i % 2 == 0) "novel positive words" else "other negative words",
+        i % 2 == 0)).toDF("id", "text", "y")
+    val m2 = m.refine(dir, batch, "text", "id", col("y"), iters = 2)
+    val w1 = m2.weights.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // original vocab buckets absent from the batch keep their weight
+    assert(w0.filter { case (k, _) => k != -1L && !w1.contains(k) }.isEmpty)
+    val kept = (w0.keySet - (-1L)).filter(k => w1.contains(k) && w0(k) != 0.0)
+    // batch vocab hashes to different buckets with overwhelming odds;
+    // any shared bucket would be a collision — require MOST kept
+    assert(kept.count(k => w1(k) == w0(k)) >= kept.size - 2,
+      "absent buckets must keep their weights")
+    // the persisted model was overwritten with the refined weights
+    val reloaded = Classifier.LrModel.load(spark, dir).weights.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(reloaded == w1)
+    assert(w1.size >= w0.size, "novel buckets enter the vector")
+  }
+
+  test("LrModel.gate: keeps rows above the margin threshold, schema intact") {
+    val m = Classifier.LrModel.train(corpus, "text", "id", col("y") === 1,
+      nBuckets = 64, iters = 3)
+    val gated = m.gate(corpus, "text", "id", threshold = 0.0)
+    assert(gated.columns.toSeq == corpus.columns.toSeq)
+    val keptY = gated.select(col("y")).distinct().collect().map(_.getInt(0))
+    assert(keptY.toSeq == Seq(1), "only positives clear the 0 threshold")
+    assert(gated.count() == 20)
+  }
+
   test("trainLogReg: bias-only corpus converges toward the base rate") {
     import spark.implicits._
     // identical text everywhere: only the shared buckets + bias can
