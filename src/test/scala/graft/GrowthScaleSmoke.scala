@@ -113,6 +113,15 @@ object GrowthScaleSmoke {
       graft.operators.Dsir.importanceWeights(docs, "text", "doc_id",
         col("doc_id") % 10 === 0, nBuckets = 256).count()
     }
+    // in-engine LR training: per iteration one doc-keyed margin agg and
+    // one bucket-keyed gradient agg over the feature rows — shuffle rows
+    // ∝ tokens × iters (linear); result = bucket-vector size (constant).
+    // A regression that joins features against features (instead of the
+    // broadcast weight vector) would show as tokens² growth here.
+    val lrt = phase("lr_train") {
+      graft.operators.Classifier.trainLogReg(docs, "text", "doc_id",
+        col("doc_id") % 10 === 0, nBuckets = 64, iters = 2).count()
+    }
     docs.unpersist()
 
     // event-chain phases (r7 verdict ask #7): attribution + funnel on a
@@ -145,7 +154,27 @@ object GrowthScaleSmoke {
       IntervalJoin.pointInInterval(pts, "tsus", wins, "ws", "we",
         1800000000L).count()
     }
+    // Markov transition matrix on the same skewed stream: one lag
+    // window (per-user sort, linear) + a types²-bounded agg — result
+    // rows stay ≤ 9 while events grow 10×
+    val trn = phase("transitions") {
+      Funnel.transitionMatrix(events).count()
+    }
     events.unpersist()
+    // blocked fuzzy linkage with a FIXED dictionary (4k distinct names
+    // over any row count): the dictionary-first discipline means the
+    // within-block pair work is CONSTANT as rows grow 10× — only the
+    // distinct-name aggregation scans more. A regression that pairs at
+    // the row level instead of the dictionary shows as rows² here.
+    val fz = phase("fuzzy_link") {
+      import graft.operators.FuzzyLink
+      val names = spark.range(n).select(concat(
+        lit("adj"), pmod(splitmix64(col("id") * 23L + 1), lit(200)),
+        lit(" noun"), pmod(splitmix64(col("id") * 41L + 9), lit(20)))
+        .as("p_name"))
+      FuzzyLink.blockedPairs(names, "p_name",
+        regexp_extract(col("name"), "[^ ]+$", 0), maxDist = 2).count()
+    }
     // join-iterated pagerank on a synthetic 5-regular-ish digraph that
     // scales with the corpus: shuffle rows ∝ edges × iterations (linear);
     // result rows = node count
@@ -213,7 +242,8 @@ object GrowthScaleSmoke {
       Cardinality.CardRef.build(corpus, "grp", "text")
         .noveltyOf(batch, "grp", "text").count()
     }
-    Seq(minhash, cross, cc, ess, dsir, attr, fun, ij, pg, dh, card)
+    Seq(minhash, cross, cc, ess, dsir, lrt, attr, fun, trn, ij, fz, pg,
+      dh, card)
   }
 
   /** Skewed event stream: (event_id, user_id, ts, event_type); ~10% of
