@@ -986,6 +986,24 @@ object SparkEntry {
         "doc_id", col("lang") === "en", nBuckets = 64, iters = 3, lr = 1.0)
       .orderBy(col("bucket"))
 
+  /** Calibration curve of the trained LR: probability-decile bins with
+    * mean predicted p vs observed positive rate. The oracle scores with
+    * the same replayed weights (shared training CTE chain). */
+  private def qLrCalibration(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Classifier
+    val d = t(s, dir, "documents")
+    val w = Classifier.trainLogReg(d, "text", "doc_id",
+      col("lang") === "en", nBuckets = 64, iters = 3, lr = 1.0)
+    Classifier.calibration(d, "text", "doc_id", col("lang") === "en", w,
+        nBuckets = 64, nBins = 10)
+      .orderBy(col("bin"))
+  }
+
+  /** Top-10 most common 3-step event-type paths (sequence mining over
+    * per-user order; two lags + a types³ agg + TakeOrdered). */
+  private def qEventsPaths(s: SparkSession, dir: String): DataFrame =
+    Funnel.topPaths(t(s, dir, "events"), k = 10)
+
   /** DSIR importance weights (Xie et al. 2023): hashed-bigram
     * log-likelihood ratio of each doc under the English slice (target)
     * vs the whole pool (raw), add-one smoothed over 256 buckets. */
@@ -2628,7 +2646,9 @@ object SparkEntry {
     "q_events_transitions" -> (qEventsTransitions _),
     "classifier_metrics" -> (qClassifierMetrics _),
     "score_auc" -> (qScoreAuc _),
-    "quality_lr_train" -> (qQualityLrTrain _)
+    "quality_lr_train" -> (qQualityLrTrain _),
+    "lr_calibration" -> (qLrCalibration _),
+    "q_events_paths" -> (qEventsPaths _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -5650,7 +5670,30 @@ object SparkEntry {
                       sum(cpos) * (sum(cpos) + 1) AS DOUBLE) /
                  (2.0 * sum(cpos) * sum(cnt - cpos)), 6) AS auc
          FROM r""",
-    "quality_lr_train" -> lrTrainOracle
+    "quality_lr_train" -> lrTrainOracle,
+    "lr_calibration" ->
+      s"""WITH $lrTrainCte,
+          sc AS (SELECT doc_id, y, round(sum(w), 12) AS m
+                 FROM db JOIN w3 USING (b) GROUP BY doc_id, y),
+          pb AS (SELECT doc_id, y, 1.0 / (1.0 + exp(-m)) AS p FROM sc),
+          binned AS (SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin,
+                       p, y
+                     FROM pb)
+          SELECT bin, count(*) AS n, round(avg(p), 4) AS mean_p,
+            round(avg(y), 4) AS obs_rate
+          FROM binned GROUP BY bin ORDER BY bin""",
+    "q_events_paths" ->
+      """WITH seq AS (
+           SELECT user_id, event_type,
+             lag(event_type, 2) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS t1,
+             lag(event_type, 1) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS t2
+           FROM events)
+         SELECT t1, t2, event_type AS t3, count(*) AS n
+         FROM seq WHERE t1 IS NOT NULL
+         GROUP BY t1, t2, t3
+         ORDER BY n DESC, t1, t2, t3 LIMIT 10"""
   )
 
   /** BM25 oracle over an optionally restricted corpus: full replay of
@@ -5665,9 +5708,16 @@ object SparkEntry {
     * 12 dp — the pagerank determinism precedent, so hash-agg vs sort
     * summation order and libm exp ULP differences are absorbed).
     * Features = distinct hashed unigram buckets (FNV-1a low 6 bits,
-    * the dsir bucket replay) + the always-on bias bucket −1. */
+    * the dsir bucket replay) + the always-on bias bucket −1.
+    * [[lrTrainCte]] is the shared WITH-body ending in `w3(b, w)` and
+    * `db(doc_id, y, b)` so the calibration oracle can score with the
+    * same trained weights. */
   private def lrTrainOracle: String =
-    s"""WITH toks AS (
+    s"""WITH $lrTrainCte
+        SELECT b AS bucket, w AS weight FROM w3 ORDER BY bucket"""
+
+  private def lrTrainCte: String =
+    s"""toks AS (
           SELECT doc_id,
             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
             unnest(list_filter(
@@ -5700,8 +5750,7 @@ object SparkEntry {
                FROM db JOIN p3 USING (doc_id, y) CROSS JOIN nn
                GROUP BY b, n),
         w3 AS (SELECT b, round(w - g, 12) AS w
-               FROM w2 JOIN g3 USING (b))
-        SELECT b AS bucket, w AS weight FROM w3 ORDER BY bucket"""
+               FROM w2 JOIN g3 USING (b))"""
 
   /** Hybrid RRF oracle: the bm25Oracle scoring chain truncated at
     * rank ≤ 20, a dense cosine ranking per anchored query (anchors =

@@ -102,6 +102,32 @@ object Classifier {
       .select(col("id"), col("margin"))
   }
 
+  /** Reliability diagram (calibration curve) of a trained model on a
+    * labeled frame: fixed-width probability bins of σ(margin) with per-
+    * bin count, mean predicted probability, and observed positive rate.
+    * A well-calibrated gate has mean_p ≈ obs_rate per bin — the check
+    * that says whether the LR threshold means what it claims.
+    *
+    * One scan to score + one bins-sized aggregation. Bin ids are
+    * floor(p·nBins) clamped to nBins−1; p is a deterministic function
+    * of the 12-dp margin (a libm exp ULP flip across a bin edge needs
+    * p within 1 ulp of a decimal boundary — measure-zero in practice,
+    * same acceptance as the trainer's rounding contract). */
+  def calibration(df: DataFrame, textCol: String, idCol: String,
+                  label: Column, weights: DataFrame, nBuckets: Int = 64,
+                  nBins: Int = 10): DataFrame = {
+    val scored = scoreLogReg(df, textCol, idCol, weights, nBuckets)
+    val lab = df.select(col(idCol).as("id"), label.cast("long").as("y"))
+    scored.join(lab, "id")
+      .select((lit(1.0) / (lit(1.0) + exp(-col("margin")))).as("p"),
+        col("y"))
+      .withColumn("bin",
+        least(floor(col("p") * nBins).cast("long"), lit(nBins - 1L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), round(avg(col("p")), 4).as("mean_p"),
+        round(avg(col("y")), 4).as("obs_rate"))
+  }
+
   /** Persisted LR model — the ELEVENTH operable artifact (text bands,
     * embedding buckets, PQ codes, drift histogram, LM counts, BM25
     * postings, DSIR reference, substring corpus hashes, cardinality

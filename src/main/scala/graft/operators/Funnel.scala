@@ -267,4 +267,22 @@ object Funnel {
       .withColumn("p", round(col("n") /
         sum(col("n")).over(Window.partitionBy(col("prev_type"))), 4))
   }
+
+  /** Top-k most common 3-step event-type paths across users — the
+    * sequence-mining view of [[transitionMatrix]] (which only sees
+    * adjacent pairs). Two lag windows over the same per-user sort, a
+    * types³-bounded aggregation, TakeOrdered top-k. */
+  def topPaths(events: DataFrame, k: Int = 10,
+               userCol: String = "user_id", typeCol: String = "event_type",
+               tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    events
+      .withColumn("t1", lag(col(typeCol), 2).over(w))
+      .withColumn("t2", lag(col(typeCol), 1).over(w))
+      .filter(col("t1").isNotNull)
+      .groupBy(col("t1"), col("t2"), col(typeCol).as("t3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+      .limit(k)
+  }
 }

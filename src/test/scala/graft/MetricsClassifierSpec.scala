@@ -169,6 +169,38 @@ class MetricsClassifierSpec extends AnyFunSuite {
     assert(gated.count() == 20)
   }
 
+  test("calibration: bins partition the corpus and rates are hand-checkable") {
+    val w = Classifier.trainLogReg(corpus, "text", "id", col("y") === 1,
+      nBuckets = 64, iters = 3)
+    val cal = Classifier.calibration(corpus, "text", "id", col("y") === 1,
+      w, nBuckets = 64, nBins = 10).collect()
+    assert(cal.map(_.getLong(1)).sum == 40L, "bins must partition the corpus")
+    // planted vocab separates perfectly: every doc's bin is pure
+    cal.foreach { r =>
+      val obs = r.getDouble(3)
+      assert(obs == 0.0 || obs == 1.0, s"pure corpus must give pure bins: $r")
+      val meanP = r.getDouble(2)
+      // predicted mass must sit on the same side as the observations
+      assert((obs == 1.0) == (meanP > 0.5), s"calibrated side: $r")
+    }
+  }
+
+  test("topPaths: counts 3-step paths per user with top-k tie-break") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(sec: Int) = new java.sql.Timestamp(ts.getTime + sec * 1000L)
+    // user 1: a b c d  → paths abc, bcd ; user 2: a b c → abc
+    val ev = Seq(
+      (1L, 1L, "a", at(0)), (2L, 1L, "b", at(1)), (3L, 1L, "c", at(2)),
+      (4L, 1L, "d", at(3)),
+      (5L, 2L, "a", at(0)), (6L, 2L, "b", at(1)), (7L, 2L, "c", at(2))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = graft.operators.Funnel.topPaths(ev, k = 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.head == ("a", "b", "c", 2L))
+    assert(out.toSet == Set(("a", "b", "c", 2L), ("b", "c", "d", 1L)))
+  }
+
   test("trainLogReg: bias-only corpus converges toward the base rate") {
     import spark.implicits._
     // identical text everywhere: only the shared buckets + bias can

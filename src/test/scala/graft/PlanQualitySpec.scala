@@ -715,12 +715,19 @@ class PlanQualitySpec extends AnyFunSuite {
     // classifier_metrics / quality_lr_train: classes²- and bucket-sized
     // joins only (1-row aggregates ride broadcast NLJ — documented
     // precedent); never a cartesian on the scan
-    for (q <- Seq("classifier_metrics", "quality_lr_train")) {
+    for (q <- Seq("classifier_metrics", "quality_lr_train",
+        "lr_calibration")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),
         s"$q grew a cartesian:\n${p.take(1500)}")
       graft.operators.CacheScope.drain()
     }
+    // q_events_paths: two lags over one per-user window + types³ agg +
+    // top-k — TakeOrdered, no join
+    val ep = plan("q_events_paths")
+    assert(!ep.contains("Join") && ep.contains("TakeOrderedAndProject"),
+      s"q_events_paths should be window+agg+TakeOrdered:\n${ep.take(1200)}")
+    graft.operators.CacheScope.drain()
   }
 
   test("dedup signature kernels are native expressions — no ScalaUDF in the plan") {
