@@ -24,12 +24,23 @@ object UdfSweep {
     *  - multimodal_*: binary media decodes — cost is the codec, not
     *    the call boundary;
     *  - syslog_normalize: the RFC5424/3164 fallthrough parser (one
-    *    call/row, the parse IS the work). */
+    *    call/row, the parse IS the work);
+    *  - image_dhash / image_dhash_pairs / audio_fingerprint /
+    *    video_fingerprint: the UDF is the synthBmp/Wav/Mp4 FIXTURE
+    *    SYNTHESIS (no real media ships in the container) — the
+    *    signature kernels themselves (media_dhash / media_audio_fp /
+    *    media_video_fp) are codegen expressions; a production run over
+    *    a real binary column carries no UDF;
+    *  - corpus_novelty: the register-pair union/estimate UDFs run on
+    *    the GROUPS-sized frame (three 512-byte arrays per group), never
+    *    the scan — the scan side is the HLL TypedImperativeAggregate. */
   private val allowed = Set(
     "cdc_dedup", "contamination_bloom", "syslog_normalize",
     "multimodal_meta", "multimodal_bmp_decode", "multimodal_gif_decode",
     "multimodal_jpeg_decode", "multimodal_mp4_decode",
-    "multimodal_png_decode", "multimodal_wav_decode")
+    "multimodal_png_decode", "multimodal_wav_decode",
+    "image_dhash", "image_dhash_pairs", "audio_fingerprint",
+    "video_fingerprint", "corpus_novelty")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
