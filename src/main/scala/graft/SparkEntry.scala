@@ -1004,6 +1004,12 @@ object SparkEntry {
   private def qEventsPaths(s: SparkSession, dir: String): DataFrame =
     Funnel.topPaths(t(s, dir, "events"), k = 10)
 
+  /** Kaplan–Meier time-to-first-purchase curve (hour granularity,
+    * right-censored at the corpus horizon). */
+  private def qEventsSurvival(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Survival.kaplanMeier(t(s, dir, "events"), "purchase")
+      .orderBy(col("dur_h"))
+
   /** DSIR importance weights (Xie et al. 2023): hashed-bigram
     * log-likelihood ratio of each doc under the English slice (target)
     * vs the whole pool (raw), add-one smoothed over 256 buckets. */
@@ -2648,7 +2654,8 @@ object SparkEntry {
     "score_auc" -> (qScoreAuc _),
     "quality_lr_train" -> (qQualityLrTrain _),
     "lr_calibration" -> (qLrCalibration _),
-    "q_events_paths" -> (qEventsPaths _)
+    "q_events_paths" -> (qEventsPaths _),
+    "q_events_survival" -> (qEventsSurvival _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -5693,7 +5700,43 @@ object SparkEntry {
          SELECT t1, t2, event_type AS t3, count(*) AS n
          FROM seq WHERE t1 IS NOT NULL
          GROUP BY t1, t2, t3
-         ORDER BY n DESC, t1, t2, t3 LIMIT 10"""
+         ORDER BY n DESC, t1, t2, t3 LIMIT 10""",
+    "q_events_survival" ->
+      """WITH pu AS (
+           SELECT user_id, min(epoch_us(ts)) AS t0,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               AS te
+           FROM events GROUP BY user_id),
+         cens AS (SELECT max(epoch_us(ts)) AS tc FROM events),
+         durs AS (
+           SELECT (coalesce(te, tc) - t0) // 3600000000 AS dur,
+             CASE WHEN te IS NOT NULL THEN 1 ELSE 0 END AS ev
+           FROM pu CROSS JOIN cens),
+         bydur AS (SELECT dur, count(*) AS total, sum(ev) AS d
+                   FROM durs GROUP BY dur),
+         km AS (
+           SELECT dur, total, d,
+             sum(total) OVER () - coalesce(sum(total) OVER (ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+           FROM bydur),
+         km2 AS (
+           SELECT dur, n_risk, d,
+             CASE WHEN d > 0 AND d < n_risk
+               THEN ln(1.0 - CAST(d AS DOUBLE)/n_risk) ELSE 0.0 END AS lnf,
+             CASE WHEN d > 0 AND d >= n_risk THEN 1 ELSE 0 END AS zf
+           FROM km),
+         km3 AS (
+           SELECT dur, n_risk, d,
+             CASE WHEN max(zf) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) = 1 THEN 0.0
+               ELSE round(exp(sum(lnf) OVER (ORDER BY dur ROWS BETWEEN
+                 UNBOUNDED PRECEDING AND CURRENT ROW)), 6) END AS surv
+           FROM km2)
+         SELECT CAST(dur AS BIGINT) AS dur_h, CAST(n_risk AS BIGINT)
+             AS n_risk,
+           CAST(d AS BIGINT) AS d_events, surv
+         FROM km3 WHERE d > 0 ORDER BY dur_h"""
   )
 
   /** BM25 oracle over an optionally restricted corpus: full replay of

@@ -201,6 +201,38 @@ class MetricsClassifierSpec extends AnyFunSuite {
     assert(out.toSet == Set(("a", "b", "c", 2L), ("b", "c", "d", 1L)))
   }
 
+  test("kaplanMeier: hand-checked curve with a censored user at risk") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Int) = new java.sql.Timestamp(ts.getTime + min * 60000L)
+    // u1 converts in hour 1, u2+u4 in hour 2, u3 never (censored at the
+    // corpus horizon 02:30 → duration 2, still at risk through hour 2)
+    val ev = Seq(
+      (1L, 1L, "view", at(0)), (2L, 1L, "purchase", at(90)),
+      (3L, 2L, "view", at(0)), (4L, 2L, "purchase", at(130)),
+      (5L, 3L, "view", at(0)),
+      (6L, 4L, "view", at(0)), (7L, 4L, "purchase", at(150))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val km = graft.operators.Survival.kaplanMeier(ev, "purchase")
+      .orderBy(col("dur_h")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // S(1) = 1 − 1/4 = 0.75 ; S(2) = 0.75 · (1 − 2/3) = 0.25
+    assert(km.toSeq == Seq((1L, 4L, 1L, 0.75), (2L, 3L, 2L, 0.25)))
+  }
+
+  test("kaplanMeier: all-remaining-convert tail hits exactly 0.0") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Int) = new java.sql.Timestamp(ts.getTime + min * 60000L)
+    val ev = Seq(
+      (1L, 1L, "view", at(0)), (2L, 1L, "purchase", at(10)),
+      (3L, 2L, "view", at(0)), (4L, 2L, "purchase", at(20))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val km = graft.operators.Survival.kaplanMeier(ev, "purchase").collect()
+    assert(km.length == 1 && km.head.getDouble(3) == 0.0 &&
+      km.head.getLong(2) == 2L)
+  }
+
   test("trainLogReg: bias-only corpus converges toward the base rate") {
     import spark.implicits._
     // identical text everywhere: only the shared buckets + bias can

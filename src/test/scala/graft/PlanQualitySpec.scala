@@ -728,6 +728,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!ep.contains("Join") && ep.contains("TakeOrderedAndProject"),
       s"q_events_paths should be window+agg+TakeOrdered:\n${ep.take(1200)}")
     graft.operators.CacheScope.drain()
+    // q_events_survival: user-keyed agg + 1-row horizon broadcast +
+    // duration-frame windows — the only join is the broadcast NLJ on
+    // the 1-row censor aggregate
+    val km = plan("q_events_survival")
+    assert(!km.contains("CartesianProduct") &&
+      !km.contains("SortMergeJoin"),
+      s"q_events_survival must not join beyond the 1-row broadcast:\n${km.take(1500)}")
+    graft.operators.CacheScope.drain()
   }
 
   test("dedup signature kernels are native expressions — no ScalaUDF in the plan") {
