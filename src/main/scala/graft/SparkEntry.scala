@@ -1010,6 +1010,13 @@ object SparkEntry {
     graft.operators.Survival.kaplanMeier(t(s, dir, "events"), "purchase")
       .orderBy(col("dur_h"))
 
+  /** One-pass Deequ-style numeric column profile of lineitem
+    * (completeness / cardinality / range / mean per column). */
+  private def qProfileLineitem(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.numericProfile(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .orderBy(col("column"))
+
   /** DSIR importance weights (Xie et al. 2023): hashed-bigram
     * log-likelihood ratio of each doc under the English slice (target)
     * vs the whole pool (raw), add-one smoothed over 256 buckets. */
@@ -2655,7 +2662,8 @@ object SparkEntry {
     "quality_lr_train" -> (qQualityLrTrain _),
     "lr_calibration" -> (qLrCalibration _),
     "q_events_paths" -> (qEventsPaths _),
-    "q_events_survival" -> (qEventsSurvival _)
+    "q_events_survival" -> (qEventsSurvival _),
+    "q_profile_lineitem" -> (qProfileLineitem _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -5736,7 +5744,30 @@ object SparkEntry {
          SELECT CAST(dur AS BIGINT) AS dur_h, CAST(n_risk AS BIGINT)
              AS n_risk,
            CAST(d AS BIGINT) AS d_events, surv
-         FROM km3 WHERE d > 0 ORDER BY dur_h"""
+         FROM km3 WHERE d > 0 ORDER BY dur_h""",
+    "q_profile_lineitem" ->
+      """SELECT 'l_quantity' AS "column", count(*) AS n_rows,
+           count(*) - count(l_quantity) AS n_null,
+           count(DISTINCT l_quantity) AS n_distinct,
+           round(min(l_quantity), 4) AS min_v,
+           round(max(l_quantity), 4) AS max_v,
+           round(avg(l_quantity), 4) AS mean_v FROM lineitem
+         UNION ALL
+         SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+           count(DISTINCT l_extendedprice), round(min(l_extendedprice), 4),
+           round(max(l_extendedprice), 4), round(avg(l_extendedprice), 4)
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_discount', count(*), count(*) - count(l_discount),
+           count(DISTINCT l_discount), round(min(l_discount), 4),
+           round(max(l_discount), 4), round(avg(l_discount), 4)
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_tax', count(*), count(*) - count(l_tax),
+           count(DISTINCT l_tax), round(min(l_tax), 4),
+           round(max(l_tax), 4), round(avg(l_tax), 4)
+         FROM lineitem
+         ORDER BY "column""""
   )
 
   /** BM25 oracle over an optionally restricted corpus: full replay of

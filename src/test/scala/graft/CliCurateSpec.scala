@@ -338,6 +338,28 @@ class CliCurateSpec extends AnyFunSuite {
     assert(kept == Set(2L), s"kept=$kept")
   }
 
+  test("wpcurate daemon --lr: the trained-classifier gate streams per micro-batch") {
+    import spark.implicits._
+    spark
+    val poolDir = tmp("dlr_pool"); val modelDir = tmp("dlr_model")
+    val inDir = tmp("dlr_in"); val outDir = tmp("dlr_out")
+    ((1 to 10).map(i => (100L + i, "good clean prose with structure", "en")) ++
+      (11 to 20).map(i => (100L + i, "zz xx qq ww vv kk", "de")))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(poolDir)
+    graft.cli.Cli.main(Array("wpindex", "build", "lr", poolDir, modelDir,
+      "--iters", "3"))
+    Seq((1L, "good clean prose with structure intact"),
+        (2L, "zz xx qq ww vv kk vv ww"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(inDir)
+    graft.cli.Cli.main(Array("wpcurate", "daemon", inDir, outDir,
+      "--lr", modelDir, "--once"))
+    val kept = spark.read.parquet(s"$outDir/accepted")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L), s"kept=$kept")
+  }
+
   test("wpcurate daemon --card: novelty lines print and the profile folds the batch in") {
     import spark.implicits._
     spark

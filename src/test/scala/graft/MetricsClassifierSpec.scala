@@ -233,6 +233,22 @@ class MetricsClassifierSpec extends AnyFunSuite {
       km.head.getLong(2) == 2L)
   }
 
+  test("numericProfile: completeness/cardinality/range per column in one pass") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 10.0), (2.0, 10.0), (null, 30.0), (2.0, null))
+      .toDF("a", "b")
+    val p = graft.operators.Profile.numericProfile(df, Seq("a", "b"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(p("a").getLong(1) == 4L && p("a").getLong(2) == 1L &&
+      p("a").getLong(3) == 2L)
+    assert(p("a").getDouble(4) == 1.0 && p("a").getDouble(5) == 2.0)
+    assert(p("a").getDouble(6) == 1.6667) // mean of 1,2,2
+    assert(p("b").getLong(2) == 1L && p("b").getDouble(6) == 16.6667)
+    // one row per column, never per data row
+    assert(graft.operators.Profile.numericProfile(df, Seq("a")).count() == 1L)
+  }
+
   test("trainLogReg: bias-only corpus converges toward the base rate") {
     import spark.implicits._
     // identical text everywhere: only the shared buckets + bias can

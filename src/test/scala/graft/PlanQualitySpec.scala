@@ -736,6 +736,12 @@ class PlanQualitySpec extends AnyFunSuite {
       !km.contains("SortMergeJoin"),
       s"q_events_survival must not join beyond the 1-row broadcast:\n${km.take(1500)}")
     graft.operators.CacheScope.drain()
+    // q_profile_lineitem: ONE aggregation pass (the multi-distinct
+    // Expand), no join, no per-column rescans
+    val pf = plan("q_profile_lineitem")
+    assert(!pf.contains("Join") && !pf.contains("Union"),
+      s"q_profile_lineitem must profile in one pass, not unioned scans:\n${pf.take(1500)}")
+    graft.operators.CacheScope.drain()
   }
 
   test("dedup signature kernels are native expressions — no ScalaUDF in the plan") {
