@@ -1010,6 +1010,25 @@ object SparkEntry {
     graft.operators.Survival.kaplanMeier(t(s, dir, "events"), "purchase")
       .orderBy(col("dur_h"))
 
+  /** Experiment readout: two-proportion z-test under a deterministic
+    * A/B assignment (user parity). Conversion = "heavy purchaser"
+    * (>= 14 purchase events) — a has-any flag saturates at this event
+    * density (P(no purchase) ~ 4e-7 per user), degenerating the pooled
+    * SE to 0. */
+  private def qEventsAb(s: SparkSession, dir: String): DataFrame = {
+    val units = t(s, dir, "events").groupBy(col("user_id"))
+      .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        >= 14L).cast("long").as("conv"))
+    graft.operators.Metrics.twoProportionZ(units, col("user_id") % 2,
+      col("conv"))
+  }
+
+  /** Pearson chi-square independence of event_type x A/B variant
+    * (full-grid expected counts; one contingency agg over the scan). */
+  private def qEventsChi2(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Metrics.chiSquare(t(s, dir, "events"),
+      col("event_type"), (col("user_id") % 2).cast("int"))
+
   /** One-pass Deequ-style numeric column profile of lineitem
     * (completeness / cardinality / range / mean per column). */
   private def qProfileLineitem(s: SparkSession, dir: String): DataFrame =
@@ -2663,7 +2682,9 @@ object SparkEntry {
     "lr_calibration" -> (qLrCalibration _),
     "q_events_paths" -> (qEventsPaths _),
     "q_events_survival" -> (qEventsSurvival _),
-    "q_profile_lineitem" -> (qProfileLineitem _)
+    "q_profile_lineitem" -> (qProfileLineitem _),
+    "q_events_ab" -> (qEventsAb _),
+    "q_events_chi2" -> (qEventsChi2 _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -5767,7 +5788,47 @@ object SparkEntry {
            count(DISTINCT l_tax), round(min(l_tax), 4),
            round(max(l_tax), 4), round(avg(l_tax), 4)
          FROM lineitem
-         ORDER BY "column""""
+         ORDER BY "column"""",
+    "q_events_ab" ->
+      """WITH u AS (
+           SELECT user_id, CAST(user_id % 2 AS INT) AS v,
+             CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1
+               ELSE 0 END) >= 14 THEN 1 ELSE 0 END AS f
+           FROM events GROUP BY user_id),
+         a AS (SELECT
+           CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(sum(CASE WHEN v = 0 THEN f ELSE 0 END) AS BIGINT) AS conv_a,
+           CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           CAST(sum(CASE WHEN v = 1 THEN f ELSE 0 END) AS BIGINT) AS conv_b
+           FROM u)
+         SELECT n_a, conv_a, round(CAST(conv_a AS DOUBLE)/n_a, 4) AS rate_a,
+           n_b, conv_b, round(CAST(conv_b AS DOUBLE)/n_b, 4) AS rate_b,
+           round(CAST(conv_a AS DOUBLE)/n_a - CAST(conv_b AS DOUBLE)/n_b, 4)
+             AS rate_diff,
+           round((CAST(conv_a AS DOUBLE)/n_a - CAST(conv_b AS DOUBLE)/n_b) /
+             sqrt((CAST(conv_a + conv_b AS DOUBLE)/(n_a + n_b)) *
+               (1.0 - CAST(conv_a + conv_b AS DOUBLE)/(n_a + n_b)) *
+               (1.0/n_a + 1.0/n_b)), 4) AS z
+         FROM a""",
+    "q_events_chi2" ->
+      """WITH cells AS (
+           SELECT event_type AS r, CAST(user_id % 2 AS INT) AS c,
+             count(*) AS o
+           FROM events GROUP BY 1, 2),
+         grid AS (
+           SELECT r, c, coalesce(o, 0) AS o
+           FROM (SELECT DISTINCT r FROM cells)
+           CROSS JOIN (SELECT DISTINCT c FROM cells)
+           LEFT JOIN cells USING (r, c)),
+         en AS (
+           SELECT r, c, o,
+             (CAST(sum(o) OVER (PARTITION BY r) AS DOUBLE) *
+              sum(o) OVER (PARTITION BY c)) / sum(o) OVER () AS e
+           FROM grid)
+         SELECT round(sum((o - e) * (o - e) / e), 4) AS chi2,
+           CAST((count(DISTINCT r) - 1) * (count(DISTINCT c) - 1) AS BIGINT)
+             AS dof
+         FROM en"""
   )
 
   /** BM25 oracle over an optionally restricted corpus: full replay of

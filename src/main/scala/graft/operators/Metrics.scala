@@ -59,6 +59,70 @@ object Metrics {
         round((po - peC) / (lit(1.0) - peC), 4).as("kappa"))
   }
 
+  /** Two-proportion z-test over a binary unit-level frame
+    * (`variantCol` ∈ {0 = A, 1 = B}, `flagCol` = converted): the
+    * experiment readout. Counts aggregate exactly; the z statistic
+    * `(p_a − p_b)/√(p̂(1−p̂)(1/n_a + 1/n_b))` with pooled p̂ is a fixed
+    * dag of IEEE-correctly-rounded ops over those counts, so both
+    * engines produce identical doubles. One unit-keyed aggregation,
+    * then arithmetic on a 2-row frame. */
+  def twoProportionZ(units: DataFrame, variantCol: Column,
+                     flagCol: Column): DataFrame = {
+    val agg = units.select(variantCol.cast("int").as("v"),
+        flagCol.cast("long").as("f"))
+      .agg(
+        sum(when(col("v") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("v") === 0, col("f")).otherwise(0L)).as("conv_a"),
+        sum(when(col("v") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("v") === 1, col("f")).otherwise(0L)).as("conv_b"))
+    val pa = col("conv_a").cast("double") / col("n_a")
+    val pb = col("conv_b").cast("double") / col("n_b")
+    val pp = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    val se = sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    // degenerate experiments (0% or 100% pooled conversion, or an empty
+    // arm) have no defined z — emit NULL rather than divide by zero
+    // (Spark 4 ANSI mode makes that an error, not an Inf)
+    agg.select(col("n_a"), col("conv_a"),
+      when(col("n_a") > 0, round(pa, 4)).as("rate_a"),
+      col("n_b"), col("conv_b"),
+      when(col("n_b") > 0, round(pb, 4)).as("rate_b"),
+      when(col("n_a") > 0 && col("n_b") > 0, round(pa - pb, 4))
+        .as("rate_diff"),
+      when(col("n_a") > 0 && col("n_b") > 0 && se > 0,
+        round((pa - pb) / se, 4)).as("z"))
+  }
+
+  /** Pearson chi-square independence statistic for two categorical
+    * columns: χ² = Σ (O − E)²/E with E = row·col/N, plus the degrees
+    * of freedom. One contingency aggregation over the scan; the
+    * expected-count arithmetic runs on the cells-sized frame (margins
+    * ride broadcast window sums over it). */
+  def chiSquare(df: DataFrame, rowCol: Column, colCol: Column): DataFrame = {
+    val cells = df.select(rowCol.as("r"), colCol.as("c"))
+      .groupBy(col("r"), col("c")).agg(count(lit(1)).as("o"))
+    // materialize the FULL r×c grid (cross join of the two tiny label
+    // dims): a category pair that never co-occurs still contributes
+    // its expected count to the statistic — (0 − E)²/E = E
+    val full = cells.select(col("r")).distinct()
+      .crossJoin(cells.select(col("c")).distinct())
+      .join(cells, Seq("r", "c"), "left")
+      .na.fill(0L, Seq("o"))
+    val wr = Window.partitionBy(col("r"))
+    val wc = Window.partitionBy(col("c"))
+    val wAll = Window.partitionBy()
+    val e = (sum(col("o")).over(wr).cast("double") *
+      sum(col("o")).over(wc)) / sum(col("o")).over(wAll)
+    val enriched = full.select(col("r"), col("c"), col("o"), e.as("e"))
+    val dims = enriched.agg(
+      countDistinct(col("r")).as("nr"), countDistinct(col("c")).as("nc"),
+      sum((col("o") - col("e")) * (col("o") - col("e")) / col("e"))
+        .as("chi2raw"))
+    dims.select(round(col("chi2raw"), 4).as("chi2"),
+      ((col("nr") - 1) * (col("nc") - 1)).as("dof"))
+  }
+
   /** Tie-corrected Mann–Whitney AUC of `scoreCol` ranking `labelCol`
     * (boolean/0-1) positives above negatives. Exact integer rank-sum
     * arithmetic: per distinct score, 2·avg_rank = 2·cum_before + cnt + 1

@@ -249,6 +249,39 @@ class MetricsClassifierSpec extends AnyFunSuite {
     assert(graft.operators.Profile.numericProfile(df, Seq("a")).count() == 1L)
   }
 
+  test("twoProportionZ: hand-checked z and NULL on the degenerate case") {
+    import spark.implicits._
+    // A: 5/10 convert, B: 2/10. pooled p = 0.35, se = √(0.2275·0.2),
+    // z = 0.3/0.2133074 = 1.4064
+    val units = ((1 to 10).map(i => (0, i <= 5)) ++
+      (1 to 10).map(i => (1, i <= 2))).toDF("v", "f")
+    val r = graft.operators.Metrics.twoProportionZ(units, col("v"), col("f"))
+      .head()
+    assert(r.getLong(0) == 10L && r.getLong(1) == 5L)
+    assert(r.getDouble(2) == 0.5 && r.getDouble(5) == 0.2)
+    assert(r.getDouble(6) == 0.3 && r.getDouble(7) == 1.4064)
+    // everyone converts: pooled variance 0 ⇒ z undefined, NULL not error
+    val sat = Seq((0, true), (1, true)).toDF("v", "f")
+    assert(graft.operators.Metrics.twoProportionZ(sat, col("v"), col("f"))
+      .head().isNullAt(7))
+  }
+
+  test("chiSquare: hand-checked 2x2 and zero-cell grid materialization") {
+    import spark.implicits._
+    // O = [[10,20],[20,10]] ⇒ E = 15 everywhere ⇒ χ² = 4·25/15 = 6.6667
+    val df = (Seq.fill(10)(("x", 0)) ++ Seq.fill(20)(("x", 1)) ++
+      Seq.fill(20)(("y", 0)) ++ Seq.fill(10)(("y", 1))).toDF("r", "c")
+    val r1 = graft.operators.Metrics.chiSquare(df, col("r"), col("c")).head()
+    assert(r1.getDouble(0) == 6.6667 && r1.getLong(1) == 1L)
+    // (y,1) never occurs: its E = 2.5 still contributes (0−E)²/E = 2.5;
+    // χ² = 0.8333+2.5+0.8333+2.5 = 6.6667 (an absent-cell implementation
+    // would read 4.1667)
+    val dz = (Seq.fill(5)(("x", 0)) ++ Seq.fill(5)(("x", 1)) ++
+      Seq.fill(10)(("y", 0))).toDF("r", "c")
+    val r2 = graft.operators.Metrics.chiSquare(dz, col("r"), col("c")).head()
+    assert(r2.getDouble(0) == 6.6667 && r2.getLong(1) == 1L)
+  }
+
   test("trainLogReg: bias-only corpus converges toward the base rate") {
     import spark.implicits._
     // identical text everywhere: only the shared buckets + bias can
