@@ -1029,6 +1029,13 @@ object SparkEntry {
     graft.operators.Metrics.chiSquare(t(s, dir, "events"),
       col("event_type"), (col("user_id") % 2).cast("int"))
 
+  /** Fill-in-the-middle rewrite over the documents corpus (PSM render,
+    * splitmix pivots replayed by the oracle in HUGEINT). */
+  private def qFimTransform(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.fimTransform(t(s, dir, "documents"), "text",
+        "doc_id", minChars = 20)
+      .orderBy(col("doc_id"))
+
   /** One-pass Deequ-style numeric column profile of lineitem
     * (completeness / cardinality / range / mean per column). */
   private def qProfileLineitem(s: SparkSession, dir: String): DataFrame =
@@ -2684,7 +2691,8 @@ object SparkEntry {
     "q_events_survival" -> (qEventsSurvival _),
     "q_profile_lineitem" -> (qProfileLineitem _),
     "q_events_ab" -> (qEventsAb _),
-    "q_events_chi2" -> (qEventsChi2 _)
+    "q_events_chi2" -> (qEventsChi2 _),
+    "fim_transform" -> (qFimTransform _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -3022,6 +3030,38 @@ object SparkEntry {
        s1 AS (SELECT $keep, ${mulcSql("xor(z0, z0 // 1073741824)", BigInt("BF58476D1CE4E5B9", 16))} AS z1 FROM s0),
        s2 AS (SELECT $keep, ${mulcSql("xor(z1, z1 // 134217728)", BigInt("94D049BB133111EB", 16))} AS z2 FROM s1),
        s3 AS (SELECT $keep, xor(z2, z2 // 2147483648) // 2048 AS u53 FROM s2)"""
+
+  /** FIM oracle: two independent splitmix64 chains (ids 2k+1 / 2k+2),
+    * pivot arithmetic in HUGEINT, PSM re-render with the same
+    * character-based substr on both engines. */
+  private def fimOracle: String = {
+    val chainA = splitmixStagesSql("documents", "doc_id * 2 + 1", "doc_id")
+      .replaceAll("\\bs([0-3])\\b", "fa$1")
+    val chainB = splitmixStagesSql("documents", "doc_id * 2 + 2", "doc_id")
+      .replaceAll("\\bs([0-3])\\b", "fb$1")
+    s"""WITH $chainA,
+        $chainB,
+        base AS (
+          SELECT d.doc_id, d.text, CAST(length(d.text) AS BIGINT) AS n,
+            greatest(length(d.text) // 3, 1) AS third,
+            a.u53 AS ua, b.u53 AS ub
+          FROM documents d
+          JOIN fa3 a USING (doc_id) JOIN fb3 b USING (doc_id)),
+        pv AS (
+          SELECT doc_id, text, n,
+            CASE WHEN n >= 20 THEN CAST(ua % third + 1 AS BIGINT) END AS p1,
+            CASE WHEN n >= 20
+              THEN CAST(ua % third + ub % third + 2 AS BIGINT) END AS p2
+          FROM base)
+        SELECT doc_id, n AS n_chars, p1, p2,
+          CASE WHEN p1 IS NOT NULL THEN
+            '<|fim_prefix|>' || substr(text, 1, CAST(p1 AS INT)) ||
+            '<|fim_suffix|>' || substr(text, CAST(p2 + 1 AS INT)) ||
+            '<|fim_middle|>' ||
+              substr(text, CAST(p1 + 1 AS INT), CAST(p2 - p1 AS INT))
+          ELSE text END AS fim_text
+        FROM pv ORDER BY doc_id"""
+  }
 
   private def sampleOracle: String = {
     import graft.operators.Sampling.thresholdFor
@@ -5828,7 +5868,8 @@ object SparkEntry {
          SELECT round(sum((o - e) * (o - e) / e), 4) AS chi2,
            CAST((count(DISTINCT r) - 1) * (count(DISTINCT c) - 1) AS BIGINT)
              AS dof
-         FROM en"""
+         FROM en""",
+    "fim_transform" -> fimOracle
   )
 
   /** BM25 oracle over an optionally restricted corpus: full replay of

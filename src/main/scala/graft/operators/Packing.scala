@@ -82,4 +82,40 @@ object Packing {
         col("sum_fill").cast("double") / col("n_bins"))
       .withColumn("utilization",
         col("capped_fill").cast("double") / (col("n_bins") * budget))
+
+  /** Fill-in-the-middle transform (Bavarian et al. 2022, PSM order):
+    * deterministically split each doc into prefix/middle/suffix at two
+    * splitmix64-drawn character pivots and re-render as
+    * `<|fim_prefix|>P<|fim_suffix|>S<|fim_middle|>M` — the training-
+    * data rewrite that teaches infilling. Docs shorter than `minChars`
+    * pass through untransformed (null pivots).
+    *
+    * Pivot contract: p1 ∈ [1, n/3], span ∈ [1, n/3] (so the middle is
+    * never empty and the suffix keeps ≥ a third), each from an
+    * independent splitmix64 stream keyed off the doc id — map-only,
+    * reproducible on any engine that can replay splitmix64 (the DuckDB
+    * oracle does, in HUGEINT). */
+  def fimTransform(df: DataFrame, textCol: String, idCol: String,
+                   minChars: Int = 20): DataFrame = {
+    import graft.functions.SplitMix64.splitmix64
+    val n = length(col(textCol)).cast("long")
+    val third = greatest(expr(s"CAST(length($textCol) AS BIGINT) DIV 3"),
+      lit(1L))
+    val u1 = shiftrightunsigned(splitmix64(col(idCol) * 2 + 1), 11)
+    val u2 = shiftrightunsigned(splitmix64(col(idCol) * 2 + 2), 11)
+    val long = n >= minChars
+    df.select(col(idCol), col(textCol), n.as("n_chars"),
+        when(long, pmod(u1, third) + 1L).as("p1"),
+        when(long, pmod(u1, third) + pmod(u2, third) + 2L).as("p2"))
+      .withColumn("fim_text", when(col("p1").isNotNull,
+          concat(lit("<|fim_prefix|>"),
+            expr(s"substring($textCol, 1, CAST(p1 AS INT))"),
+            lit("<|fim_suffix|>"),
+            expr(s"substring($textCol, CAST(p2 + 1 AS INT))"),
+            lit("<|fim_middle|>"),
+            expr(s"substring($textCol, CAST(p1 + 1 AS INT), CAST(p2 - p1 AS INT))")))
+        .otherwise(col(textCol)))
+      .select(col(idCol), col("n_chars"), col("p1"), col("p2"),
+        col("fim_text"))
+  }
 }

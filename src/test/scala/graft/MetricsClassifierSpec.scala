@@ -282,6 +282,27 @@ class MetricsClassifierSpec extends AnyFunSuite {
     assert(r2.getDouble(0) == 6.6667 && r2.getLong(1) == 1L)
   }
 
+  test("fimTransform: PSM pieces reassemble the original; short docs pass through") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "tiny")).toDF("doc_id", "text")
+    val out = graft.operators.Packing.fimTransform(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val orig = "the quick brown fox jumps over the lazy dog again and again"
+    val r1 = out(1L)
+    val fim = r1.getString(4)
+    val pre = fim.stripPrefix("<|fim_prefix|>").split("<\\|fim_suffix\\|>")(0)
+    val suf = fim.split("<\\|fim_suffix\\|>")(1).split("<\\|fim_middle\\|>")(0)
+    val mid = fim.split("<\\|fim_middle\\|>")(1)
+    assert(pre + mid + suf == orig, "P+M+S must reassemble the doc")
+    assert(pre.length == r1.getLong(2) && mid.nonEmpty &&
+      mid.length == (r1.getLong(3) - r1.getLong(2)))
+    assert(suf.length >= orig.length / 3 - 1, "suffix keeps >= ~a third")
+    // short doc: untouched, null pivots
+    assert(out(2L).getString(4) == "tiny" && out(2L).isNullAt(2))
+  }
+
   test("trainLogReg: bias-only corpus converges toward the base rate") {
     import spark.implicits._
     // identical text everywhere: only the shared buckets + bias can
