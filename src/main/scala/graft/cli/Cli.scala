@@ -420,12 +420,29 @@ object Cli {
       }
       // --lr <modelDir>: trained-classifier gate (wpindex lr) — keep
       // rows whose LR margin clears --lr-threshold (log-odds)
-      val afterLr = flag("--lr", "") match {
+      val afterLrGate = flag("--lr", "") match {
         case "" => afterMedia
         case p => graft.operators.Classifier.LrModel.load(spark, p)
           .gate(afterMedia, textCol, idCol,
             flag("--lr-threshold", "0.0").toDouble)
       }
+      // --fim: rewrite surviving docs as fill-in-the-middle training
+      // examples (PSM render) before sharding — the final-format step.
+      // Not combinable with --split: the leakage-safe split mines
+      // near-dup clusters on the ORIGINAL text; rewrite after splitting
+      // instead (run batch --fim on each side dir).
+      require(!(rest.contains("--fim") && flag("--split", "").nonEmpty),
+        "wpcurate: --fim and --split do not compose; split first, then " +
+          "run batch --fim per side")
+      val afterLr = if (rest.contains("--fim")) {
+        val keep = afterLrGate.columns.filterNot(c =>
+          c == textCol || c == idCol)
+        graft.operators.Packing.fimTransform(afterLrGate, textCol, idCol,
+            minChars = flag("--fim-min-chars", "20").toInt)
+          .select(org.apache.spark.sql.functions.col(idCol),
+            org.apache.spark.sql.functions.col("fim_text").as(textCol))
+          .join(afterLrGate.select(idCol, keep: _*), Seq(idCol))
+      } else afterLrGate
       // --split <evalRate>: leakage-safe train/eval split BEFORE
       // sharding — near-dup clusters mined within the curated batch
       // draw one splitmix side per cluster, so a doc and its near-twin

@@ -147,6 +147,29 @@ class CliCurateSpec extends AnyFunSuite {
     assert(kept == Set(1L), s"kept=$kept")
   }
 
+  test("wpcurate batch --fim: survivors land sharded in PSM render") {
+    import spark.implicits._
+    spark
+    val bDir = tmp("fim_batch"); val outDir = tmp("fim_out")
+    Seq((1L, "the quick brown fox jumps over the lazy dog again today"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(bDir)
+    graft.cli.Cli.main(Array("wpcurate", "batch", bDir, outDir, "--fim",
+      "--min-words", "3", "--min-entropy", "2.0", "--min-score", "-1000000",
+      "--shards", "1"))
+    val rows = spark.read.parquet(outDir).collect()
+    assert(rows.length == 1)
+    val text = rows.head.getAs[String]("text")
+    assert(text.startsWith("<|fim_prefix|>") &&
+      text.contains("<|fim_suffix|>") && text.contains("<|fim_middle|>"),
+      s"sharded text must be the PSM render: $text")
+    // --fim + --split must refuse (split mines clusters on original text)
+    val err = intercept[IllegalArgumentException] {
+      graft.cli.Cli.main(Array("wpcurate", "batch", bDir, tmp("fim_out2"),
+        "--fim", "--split", "0.1"))
+    }
+    assert(err.getMessage.contains("--fim and --split"))
+  }
+
   test("wpcurate batch --substr: mosaic-of-corpus docs drop at the dup-fraction gate") {
     import spark.implicits._
     spark
