@@ -1029,6 +1029,14 @@ object SparkEntry {
     graft.operators.Metrics.chiSquare(t(s, dir, "events"),
       col("event_type"), (col("user_id") % 2).cast("int"))
 
+  /** Triangle count + clustering coefficient of the fuzzy-name pair
+    * graph (a<b<c oriented wedge join closed against the edge set). */
+  private def qGraphTriangles(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.operators.FuzzyLink.blockedPairs(t(s, dir, "part"),
+      "p_name", regexp_extract(col("name"), "[^ ]+$", 0), maxDist = 3)
+    graft.operators.Graph.triangleStats(pairs, "name_a", "name_b")
+  }
+
   /** Fill-in-the-middle rewrite over the documents corpus (PSM render,
     * splitmix pivots replayed by the oracle in HUGEINT). */
   private def qFimTransform(s: SparkSession, dir: String): DataFrame =
@@ -2692,7 +2700,8 @@ object SparkEntry {
     "q_profile_lineitem" -> (qProfileLineitem _),
     "q_events_ab" -> (qEventsAb _),
     "q_events_chi2" -> (qEventsChi2 _),
-    "fim_transform" -> (qFimTransform _)
+    "fim_transform" -> (qFimTransform _),
+    "graph_triangles" -> (qGraphTriangles _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -5869,7 +5878,32 @@ object SparkEntry {
            CAST((count(DISTINCT r) - 1) * (count(DISTINCT c) - 1) AS BIGINT)
              AS dof
          FROM en""",
-    "fim_transform" -> fimOracle
+    "fim_transform" -> fimOracle,
+    "graph_triangles" ->
+      """WITH dim AS (SELECT p_name AS name, count(*) AS cnt
+                      FROM part GROUP BY 1),
+         blk AS (SELECT name, regexp_extract(name, '[^ ]+$') AS block
+                 FROM dim),
+         prs AS (SELECT a.name AS na, b.name AS nb
+                 FROM blk a JOIN blk b
+                   ON a.block = b.block AND a.name < b.name
+                 WHERE levenshtein(a.name, b.name) <= 3),
+         deg AS (SELECT v, count(*) AS d FROM (
+                   SELECT na AS v FROM prs
+                   UNION ALL SELECT nb FROM prs) GROUP BY v),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                   CAST(sum(d) / 2 AS BIGINT) AS n_edges,
+                   CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+                 FROM deg),
+         tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+                 FROM prs e1
+                 JOIN prs e2 ON e1.nb = e2.na
+                 JOIN prs e3 ON e3.na = e1.na AND e3.nb = e2.nb)
+         SELECT n_nodes, n_edges, n_triangles,
+           round(CASE WHEN n_wedges > 0
+             THEN 3.0 * n_triangles / n_wedges ELSE 0.0 END, 4)
+             AS clustering_coeff
+         FROM tot CROSS JOIN tri"""
   )
 
   /** BM25 oracle over an optionally restricted corpus: full replay of

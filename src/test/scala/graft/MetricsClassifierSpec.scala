@@ -303,6 +303,21 @@ class MetricsClassifierSpec extends AnyFunSuite {
     assert(out(2L).getString(4) == "tiny" && out(2L).isNullAt(2))
   }
 
+  test("triangleStats: hand-checked triangle, wedge, and coefficient counts") {
+    import spark.implicits._
+    // K3 on {1,2,3} plus pendant edge (3,4): Δ=1, wedges = 1+1+3+0 = 5,
+    // C = 3/5 = 0.6. Duplicate + reversed edges must canonicalize away.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (2L, 1L),
+      (1L, 2L)).toDF("a", "b")
+    val r = graft.operators.Graph.triangleStats(edges, "a", "b").head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 4L)
+    assert(r.getLong(2) == 1L && r.getDouble(3) == 0.6)
+    // triangle-free graph: zero triangles, zero coefficient
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val r2 = graft.operators.Graph.triangleStats(path, "a", "b").head()
+    assert(r2.getLong(2) == 0L && r2.getDouble(3) == 0.0)
+  }
+
   test("trainLogReg: bias-only corpus converges toward the base rate") {
     import spark.implicits._
     // identical text everywhere: only the shared buckets + bias can
