@@ -2117,9 +2117,30 @@ object SparkEntry {
       .orderBy(col("lang"), col("ppl_bucket"))
 
   /** Directional containment pairs over MinHash-LSH candidates. */
+  /** Containment sweep artifacts (pairs + capped-shingle sizes),
+    * memoized per (JVM, sf dir) like the n-gram pair set — the sweep is
+    * one persisted artifact, its consumers (the pairs query and the
+    * superset keep-list) load it. */
+  private val containPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def minedContainment(s: SparkSession,
+                               dir: String): (DataFrame, DataFrame) = {
+    val (pp, sp) = containPaths.computeIfAbsent(dir, { _ =>
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_contain").toString
+      val (pairs, sizes) = Dedup.containmentArtifacts(
+        t(s, dir, "documents"), "text", "doc_id", n = 3, threshold = 0.8)
+      pairs.write.mode("overwrite").parquet(s"$base/pairs")
+      sizes.write.mode("overwrite").parquet(s"$base/sizes")
+      graft.operators.CacheScope.drain()
+      (s"$base/pairs", s"$base/sizes")
+    })
+    (s.read.parquet(pp), s.read.parquet(sp))
+  }
+
   private def qDedupContainment(s: SparkSession, dir: String): DataFrame =
-    Dedup.containmentPairs(t(s, dir, "documents"), "text", "doc_id",
-        n = 3, threshold = 0.8)
+    minedContainment(s, dir)._1
       .orderBy(col("id_a"), col("id_b"))
 
   /** Dedup apply step: per-doc keep/drop + cluster representative. */
@@ -2131,10 +2152,12 @@ object SparkEntry {
   /** Containment-aware keep-list: within a containment component the
     * representative is the superset doc (max capped-shingle count,
     * ties min id) — keep the container, drop the contained. */
-  private def qDedupKeepListContainment(s: SparkSession, dir: String): DataFrame =
-    Dedup.dedupKeepListContainment(t(s, dir, "documents"), "text", "doc_id",
-        n = 3, threshold = 0.8)
+  private def qDedupKeepListContainment(s: SparkSession, dir: String): DataFrame = {
+    val (pairs, sizes) = minedContainment(s, dir)
+    Dedup.dedupKeepListContainmentFromPairs(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id", pairs, sizes)
       .orderBy(col("doc_id"))
+  }
 
   /** Last-touch attribution: purchases attributed to the latest
     * view/click by the same user within 7 days. */

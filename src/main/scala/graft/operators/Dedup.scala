@@ -416,6 +416,14 @@ object Dedup {
                        maxDocFreq: Int = 100): DataFrame =
     containmentCore(df, textCol, idCol, n, threshold, maxDocFreq)._1
 
+  /** Both containment artifacts — (pairs, per-doc capped-shingle
+    * sizes) — for callers that persist the sweep output and apply the
+    * keep-list later ([[dedupKeepListContainmentFromPairs]]). */
+  def containmentArtifacts(df: DataFrame, textCol: String, idCol: String,
+                           n: Int = 3, threshold: Double = 0.8,
+                           maxDocFreq: Int = 100): (DataFrame, DataFrame) =
+    containmentCore(df, textCol, idCol, n, threshold, maxDocFreq)
+
   /** (pairs, per-doc capped-shingle sizes) off ONE scratch-cached capped
     * shingle relation — shared by [[containmentPairs]] and the
     * containment keep-list, whose superset-rep choice needs the same
@@ -499,6 +507,16 @@ object Dedup {
                                maxDocFreq: Int = 100): DataFrame = {
     val (pairs, sizes) =
       containmentCore(df, textCol, idCol, n, threshold, maxDocFreq)
+    dedupKeepListContainmentFromPairs(df, idCol, pairs, sizes)
+  }
+
+  /** The containment apply step over PRECOMPUTED artifacts — pairs
+    * (`id_a`, `id_b`) and per-doc capped-shingle sizes
+    * (`jc_id`, `n_sh`), e.g. a persisted containment-sweep output. Same
+    * never-re-mine discipline as [[dedupKeepListFromPairs]]. */
+  def dedupKeepListContainmentFromPairs(df: DataFrame, idCol: String,
+                                        pairs: DataFrame,
+                                        sizes: DataFrame): DataFrame = {
     val comp = Clustering.dupClusters(pairs, "id_a", "id_b")
       .select(col("doc_id").as("__cid"), col("cluster_id"))
     // superset-first representative: max shingle-set size, ties min id
