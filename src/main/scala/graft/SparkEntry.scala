@@ -547,6 +547,27 @@ object SparkEntry {
     s.read.parquet(p)
   }
 
+  /** The banded-miner twin of [[minedNgramPairs]] (output-identical at
+    * these params — DedupSpec pins it): consumers that want the
+    * banded-join provenance share ONE persisted sweep. The
+    * `dedup_minhash_lsh` query itself still mines live — the miner is
+    * its subject. */
+  private val bandedPairsPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def minedBandedPairs(s: SparkSession, dir: String): DataFrame = {
+    val p = bandedPairsPaths.computeIfAbsent(dir, { _ =>
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_banded_pairs").toString
+      Dedup.minhashLshJaccardPairs(t(s, dir, "documents"), "text",
+          "doc_id", n = 3, threshold = 0.5)
+        .write.mode("overwrite").parquet(path)
+      graft.operators.CacheScope.drain()
+      path
+    })
+    s.read.parquet(p)
+  }
+
   private def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Clustering
     Clustering.dupClusters(minedNgramPairs(s, dir), "id_a", "id_b")
@@ -844,8 +865,7 @@ object SparkEntry {
     import graft.operators.Sampling
     val d = t(s, dir, "documents")
     val nDocs = d.agg(count(lit(1)).as("n_docs"))
-    val pairs = Dedup.minhashLshJaccardPairs(d, "text", "doc_id", n = 3,
-      threshold = 0.5)
+    val pairs = minedBandedPairs(s, dir)
     val draw = Sampling.unitUniform53(col("id_a") * 1000003L + col("id_b"))
     pairs.crossJoin(broadcast(nDocs))
       .withColumn("neg0", pmod(draw, col("n_docs")))
@@ -1143,9 +1163,8 @@ object SparkEntry {
   private def qDedupWeights(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Clustering
     val d = t(s, dir, "documents")
-    val pairs = Dedup.minhashLshJaccardPairs(d, "text", "doc_id",
-      n = 3, threshold = 0.5)
-    val comp = Clustering.dupClusters(pairs, "id_a", "id_b")
+    val comp = Clustering.dupClusters(minedBandedPairs(s, dir),
+        "id_a", "id_b")
       .select(col("doc_id").as("cw_id"), col("n_members"))
     d.select(col("doc_id"))
       .join(comp, col("doc_id") === col("cw_id"), "left")
@@ -2145,8 +2164,8 @@ object SparkEntry {
 
   /** Dedup apply step: per-doc keep/drop + cluster representative. */
   private def qDedupKeepList(s: SparkSession, dir: String): DataFrame =
-    Dedup.dedupKeepList(t(s, dir, "documents"), "text", "doc_id",
-        n = 3, threshold = 0.5)
+    Dedup.dedupKeepListFromPairs(t(s, dir, "documents"), "doc_id",
+        minedBandedPairs(s, dir))
       .orderBy(col("doc_id"))
 
   /** Containment-aware keep-list: within a containment component the
@@ -2225,10 +2244,9 @@ object SparkEntry {
   private def qDupClusterSizes(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Clustering
     val d = t(s, dir, "documents")
-    val pairs = Dedup.minhashLshJaccardPairs(d, "text", "doc_id",
-      n = 3, threshold = 0.5)
     Clustering.clusterSizeProfile(
-        Clustering.dupClusters(pairs, "id_a", "id_b"), d, "doc_id")
+        Clustering.dupClusters(minedBandedPairs(s, dir), "id_a", "id_b"),
+        d, "doc_id")
       .orderBy(col("cluster_size"))
   }
 
@@ -2255,9 +2273,9 @@ object SparkEntry {
   private def qSourceOverlapMatrix(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     val src = d.select(col("doc_id"), col("source"))
-    // banded MinHash miner — output-identical to the direct shingle
-    // join at these params (DedupSpec), cheaper pair generation
-    Dedup.minhashLshJaccardPairs(d, "text", "doc_id", n = 3, threshold = 0.5)
+    // the shared banded-sweep artifact (output-identical to the direct
+    // shingle join at these params — DedupSpec)
+    minedBandedPairs(s, dir)
       .join(src.select(col("doc_id").as("id_a"), col("source").as("src_a")), "id_a")
       .join(src.select(col("doc_id").as("id_b"), col("source").as("src_b")), "id_b")
       .select(least(col("src_a"), col("src_b")).as("source_a"),
@@ -2280,8 +2298,7 @@ object SparkEntry {
     import graft.operators.Graph
     val d = t(s, dir, "documents")
     val src = d.select(col("doc_id"), col("source"))
-    val edges = Dedup.minhashLshJaccardPairs(d, "text", "doc_id", n = 3,
-        threshold = 0.5)
+    val edges = minedBandedPairs(s, dir)
       .join(src.select(col("doc_id").as("id_a"), col("source").as("src_a")), "id_a")
       .join(src.select(col("doc_id").as("id_b"), col("source").as("src_b")), "id_b")
       .filter(col("src_a") =!= col("src_b"))
