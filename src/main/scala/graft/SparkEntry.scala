@@ -1082,6 +1082,12 @@ object SparkEntry {
         "doc_id", minChars = 20)
       .orderBy(col("doc_id"))
 
+  /** Per-type exponential smoothing of hourly event volume (alpha=0.3;
+    * the one-step forecast level; list_reduce-replayable fold). */
+  private def qEventsSmoothing(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.expSmoothing(t(s, dir, "events"))
+      .orderBy(col("event_type"))
+
   /** One-pass Deequ-style numeric column profile of lineitem
     * (completeness / cardinality / range / mean per column). */
   private def qProfileLineitem(s: SparkSession, dir: String): DataFrame =
@@ -2773,7 +2779,8 @@ object SparkEntry {
     "q_events_ab" -> (qEventsAb _),
     "q_events_chi2" -> (qEventsChi2 _),
     "fim_transform" -> (qFimTransform _),
-    "graph_triangles" -> (qGraphTriangles _)
+    "graph_triangles" -> (qGraphTriangles _),
+    "q_events_smoothing" -> (qEventsSmoothing _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -5975,7 +5982,20 @@ object SparkEntry {
            round(CASE WHEN n_wedges > 0
              THEN 3.0 * n_triangles / n_wedges ELSE 0.0 END, 4)
              AS clustering_coeff
-         FROM tot CROSS JOIN tri"""
+         FROM tot CROSS JOIN tri""",
+    "q_events_smoothing" ->
+      """WITH hourly AS (
+           SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+             CAST(count(*) AS DOUBLE) AS cnt
+           FROM events GROUP BY 1, 2),
+         seq AS (
+           SELECT event_type, count(*) AS n_buckets,
+             list(cnt ORDER BY hour) AS xs
+           FROM hourly GROUP BY event_type)
+         SELECT event_type, CAST(n_buckets AS BIGINT) AS n_buckets,
+           round(list_reduce(xs, (acc, x) -> 0.3 * x + 0.7 * acc), 6)
+             AS level
+         FROM seq ORDER BY event_type"""
   )
 
   /** BM25 oracle over an optionally restricted corpus: full replay of

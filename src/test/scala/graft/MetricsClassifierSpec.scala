@@ -318,6 +318,30 @@ class MetricsClassifierSpec extends AnyFunSuite {
     assert(r2.getLong(2) == 0L && r2.getDouble(3) == 0.0)
   }
 
+  test("expSmoothing: hand-checked fold, init-from-first, order-independence") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(h: Int) = new java.sql.Timestamp(ts.getTime + h * 3600000L)
+    // hour counts per type "a": [2, 1, 4] ⇒ s1=2, s2=0.3+1.4=1.7,
+    // s3=1.2+1.19=2.39
+    val rows = Seq.fill(2)(("a", at(0))) ++ Seq(("a", at(1))) ++
+      Seq.fill(4)(("a", at(2)))
+    val ev = rows.zipWithIndex
+      .map { case ((k, t0), i) => (i.toLong, k, t0) }
+      .toDF("event_id", "event_type", "ts")
+    val out = graft.operators.TimeSeries.expSmoothing(ev).head()
+    assert(out.getLong(1) == 3L && out.getDouble(2) == 2.39)
+    // shuffled input order folds identically (sort_array fixes it)
+    val out2 = graft.operators.TimeSeries
+      .expSmoothing(ev.orderBy(rand(42))).head()
+    assert(out2.getDouble(2) == 2.39)
+    // single bucket: level = the first (only) count
+    val one = Seq((1L, "b", at(0)), (2L, "b", at(0)))
+      .toDF("event_id", "event_type", "ts")
+    assert(graft.operators.TimeSeries.expSmoothing(one).head()
+      .getDouble(2) == 2.0)
+  }
+
   test("trainLogReg: bias-only corpus converges toward the base rate") {
     import spark.implicits._
     // identical text everywhere: only the shared buckets + bias can
