@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming exponential smoothing — the continuous twin of
+  * [[graft.operators.TimeSeries.expSmoothing]]: per-key volume level
+  * maintained AS THE STREAM RUNS, folding each time bucket into the
+  * level exactly once, WHEN THE WATERMARK SEALS IT (no bucket is
+  * folded while late events could still raise its count). State per
+  * key is the level plus the open (unsealed) buckets inside the
+  * lateness horizon — O(horizon/bucket) entries, not history.
+  *
+  * Exactness: buckets seal in event-time order (the watermark is
+  * monotone and buckets are folded smallest-first), so the fold
+  * sequence equals the batch operator's sorted-array fold — identical
+  * doubles for the shared prefix of sealed buckets. An event arriving
+  * after its bucket sealed is DROPPED by the watermark upstream, the
+  * standard lateness contract ([[Attribution.attributeBounded]]'s).
+  * EventTimeTimeout wakes idle keys so trailing buckets seal without
+  * new traffic. */
+object ForecastStream {
+
+  case class LevelUpdate(key: String, bucket_start_us: Long, cnt: Double,
+                         level: Double)
+
+  case class EsState(level: Double, hasLevel: Boolean,
+                     open: Map[Long, Double])
+
+  def levels(events: DataFrame, alpha: Double = 0.3,
+             bucketUs: Long = 3600000000L, latenessDelay: String = "1 hour",
+             keyCol: String = "event_type",
+             tsCol: String = "ts"): Dataset[LevelUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ds = events.withWatermark(tsCol, latenessDelay)
+      .select(col(keyCol).as("k"), unix_micros(col(tsCol)).as("tsUs"),
+        col(tsCol).as("wm_ts"))
+      .as[(String, Long, java.sql.Timestamp)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.EventTimeTimeout) {
+        (key: String, it: Iterator[(String, Long, java.sql.Timestamp)],
+         state: GroupState[EsState]) =>
+          val st0 = state.getOption.getOrElse(EsState(0.0, false, Map.empty))
+          val open = scala.collection.mutable.Map(st0.open.toSeq: _*)
+          if (!state.hasTimedOut)
+            for ((_, tsUs, _) <- it) {
+              val b = Math.floorDiv(tsUs, bucketUs) * bucketUs
+              open(b) = open.getOrElse(b, 0.0) + 1.0
+            }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          var level = st0.level
+          var has = st0.hasLevel
+          val sealed0 = open.keys.filter(_ + bucketUs <= wmUs).toSeq.sorted
+          val out = sealed0.map { b =>
+            val cnt = open.remove(b).get
+            level = if (has) alpha * cnt + (1.0 - alpha) * level else cnt
+            has = true
+            LevelUpdate(key, b, cnt,
+              BigDecimal(level).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+                .toDouble)
+          }
+          if (open.isEmpty && !has) state.remove()
+          else {
+            state.update(EsState(level, has, open.toMap))
+            // wake when the earliest open bucket seals
+            if (open.nonEmpty)
+              state.setTimeoutTimestamp(
+                ((open.keys.min + bucketUs) / 1000L + 1L)
+                  .max(state.getCurrentWatermarkMs() + 1L))
+          }
+          out.iterator
+      }
+  }
+}

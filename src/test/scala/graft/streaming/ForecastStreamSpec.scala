@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Streaming exponential smoothing: buckets fold into the per-key
+  * level exactly once, when the watermark seals them, in event-time
+  * order — agreeing with the batch fold on the sealed prefix. */
+class ForecastStreamSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val H = 3600000000L // 1h in µs
+
+  private def run(batches: Seq[Seq[(String, Long)]]): Seq[ForecastStream.LevelUpdate] = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val df = input.toDF().toDF("event_type", "us")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val out = ForecastStream.levels(df, alpha = 0.3, bucketUs = H,
+      latenessDelay = "0 seconds")
+    val qname = s"fc_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(qname)
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      spark.table(qname).as[ForecastStream.LevelUpdate].collect().toSeq
+        .sortBy(u => (u.key, u.bucket_start_us))
+    } finally q.stop()
+  }
+
+  test("buckets seal in order and fold to the batch levels") {
+    // hour 1: 2 events, hour 2: 1, hour 3: 4; a hour-4 heartbeat
+    // advances the watermark past hour 3's end so all three seal.
+    // Batch fold: s1=2, s2=0.3+1.4=1.7, s3=1.2+1.19=2.39.
+    val out = run(Seq(
+      Seq(("a", 1 * H), ("a", 1 * H + 5), ("a", 2 * H + 1)),
+      Seq(("a", 3 * H + 1), ("a", 3 * H + 2), ("a", 3 * H + 3), ("a", 3 * H + 4)),
+      Seq(("a", 5 * H)))) // heartbeat: watermark passes 4·H
+    val a = out.filter(_.key == "a")
+    assert(a.map(_.cnt) == Seq(2.0, 1.0, 4.0))
+    assert(a.map(_.level) == Seq(2.0, 1.7, 2.39))
+  }
+
+  test("agrees with the batch operator on a multi-key random-ish stream") {
+    import spark.implicits._
+    val rows = for {
+      k <- Seq("x", "y"); h <- 1 to 6
+      i <- 0 until ((h * 7 + k.length) % 5 + 1)
+    } yield (k, h * H + i * 1000L)
+    val out = run(Seq(rows, Seq(("x", 9 * H), ("y", 9 * H)))) // seal 1..6
+    val streamLevels = out.groupBy(_.key)
+      .view.mapValues(_.maxBy(_.bucket_start_us).level).toMap
+    val batch = graft.operators.TimeSeries.expSmoothing(
+        (rows ++ Seq(("x", 9 * H), ("y", 9 * H))).toDF("event_type", "us")
+          .withColumn("ts", timestamp_micros(col("us"))).drop("us"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // the stream has NOT sealed hour 9 (nothing after it) — compare
+    // against the batch fold over hours 1..6 only
+    val batch6 = graft.operators.TimeSeries.expSmoothing(
+        rows.toDF("event_type", "us")
+          .withColumn("ts", timestamp_micros(col("us"))).drop("us"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(streamLevels == batch6)
+    assert(batch.keySet == Set("x", "y")) // sanity: full-fold differs
+  }
+
+  test("a bucket never folds twice and idle keys seal via timeout") {
+    val out = run(Seq(
+      Seq(("z", 1 * H)),
+      Seq(("z", 4 * H)),  // watermark jumps: hour 1 seals exactly once
+      Seq(("z", 7 * H)))) // hour 4 seals
+    val z = out.filter(_.key == "z")
+    assert(z.map(_.bucket_start_us) == Seq(1 * H, 4 * H))
+    assert(z.map(_.cnt) == Seq(1.0, 1.0))
+    assert(z.map(_.level) == Seq(1.0, 1.0))
+  }
+}
