@@ -27,14 +27,15 @@ import graft.streaming.StreamingPipeline
   * side's persisted dedup/ANN artifacts, operable like everything
   * else):
   *
-  *   wpindex build  neardup|emb|ann|drift|lm|bm25|dsir|substr|lr <corpus.parquet> <indexDir> [--dim D]
-  *   wpindex append neardup|emb|ann|drift|lm|bm25|dsir|substr|lr <new.parquet> <indexDir>
+  *   wpindex build  neardup|emb|ann|drift|lm|bm25|dsir|substr|lr|bpe <corpus.parquet> <indexDir> [--dim D]
+  *   wpindex append neardup|emb|ann|drift|lm|bm25|dsir|substr|lr|bpe <new.parquet> <indexDir>
   *   wpindex probe  neardup|emb     <batch.parquet> <indexDir> <outDir> [--threshold T]
   *   wpindex probe  ann             <queries.parquet> <indexDir> <outDir> [--nprobe N] [--topk K]
   *   wpindex probe  drift           <batch.parquet> <indexDir> <outDir> [--grp-col G --val-col V]
   *   wpindex probe  lm              <batch.parquet> <indexDir> <outDir> [--text-col C]
   *   wpindex probe  bm25            <queries.parquet> <indexDir> <outDir> [--topk K]
   *   wpindex probe  lr              <batch.parquet> <indexDir> <outDir> [--text-col C]
+  *   wpindex probe  bpe             <batch.parquet> <indexDir> <outDir> [--topn N]
   */
 object Cli {
 
@@ -740,6 +741,23 @@ object Cli {
               flag("--text-col", "text"), flag("--id-col", "doc_id"))
             .write.mode("overwrite").parquet(out)
           println(s"wpindex: lm scores written to $out")
+        case ("build", "bpe", corpus :: path :: _) =>
+          graft.operators.Tokenizer.TokenizerRef
+            .train(spark.read.parquet(corpus), flag("--text-col", "text"))
+            .save(path)
+          println(s"wpindex: built bpe tokenizer at $path")
+        case ("append", "bpe", newData :: path :: _) =>
+          graft.operators.Tokenizer.TokenizerRef.load(spark, path)
+            .appendTo(path, spark.read.parquet(newData),
+              flag("--text-col", "text"))
+          println(s"wpindex: appended to bpe tokenizer at $path")
+        case ("probe", "bpe", batch :: path :: out :: _) =>
+          graft.operators.Tokenizer.TokenizerRef.load(spark, path)
+            .encode(spark.read.parquet(batch),
+              flag("--text-col", "text"), flag("--id-col", "doc_id"),
+              topN = flag("--topn", "50").toInt)
+            .write.mode("overwrite").parquet(out)
+          println(s"wpindex: bpe encodings written to $out")
         case ("build", "lr", corpus :: path :: _) =>
           // label = (--target-col == --target-val), the dsir convention
           graft.operators.Classifier.LrModel.train(spark.read.parquet(corpus),

@@ -189,6 +189,37 @@ class CliIndexSpec extends AnyFunSuite {
       "refinement toward the junk vocab must raise its margins")
   }
 
+  test("wpindex bpe: build, probe encodes with frozen merges, append reranks") {
+    import spark.implicits._
+    spark
+    // "a b" dominates: top-1 merge is (a, b) ⇒ "a b c" encodes to 2 tokens
+    val pool = (1 to 10).map(i => (i.toLong, "a b c")) :+ (11L, "x y")
+    val poolDir = tmp("cli_bpe_pool"); val tokDir = tmp("cli_bpe_tok")
+    pool.toDF("doc_id", "text").write.mode("overwrite").parquet(poolDir)
+    graft.cli.Cli.main(Array("wpindex", "build", "bpe", poolDir, tokDir))
+
+    val outDir = tmp("cli_bpe_out")
+    graft.cli.Cli.main(Array("wpindex", "probe", "bpe", poolDir, tokDir,
+      outDir, "--topn", "1"))
+    val enc = spark.read.parquet(outDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(enc(1L) == (3L, 2L), s"'a b c' must merge to 2 tokens: $enc")
+    assert(enc(11L) == (2L, 2L), "'x y' is untouched by the (a,b) merge")
+
+    // append a slice where "x y" dominates: top-1 merge flips
+    val slice = (21 to 60).map(i => (i.toLong, "x y"))
+    val sDir = tmp("cli_bpe_slice")
+    slice.toDF("doc_id", "text").write.mode("overwrite").parquet(sDir)
+    graft.cli.Cli.main(Array("wpindex", "append", "bpe", sDir, tokDir))
+    val outDir2 = tmp("cli_bpe_out2")
+    graft.cli.Cli.main(Array("wpindex", "probe", "bpe", poolDir, tokDir,
+      outDir2, "--topn", "1"))
+    val enc2 = spark.read.parquet(outDir2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(enc2(11L) == (2L, 1L), s"after append the (x,y) merge wins: $enc2")
+    assert(enc2(1L) == (3L, 3L))
+  }
+
   test("wpindex substr: build, append, probe reports corpus-verbatim spans") {
     import spark.implicits._
     spark
