@@ -1088,6 +1088,17 @@ object SparkEntry {
     graft.operators.TimeSeries.expSmoothing(t(s, dir, "events"))
       .orderBy(col("event_type"))
 
+  /** Market-basket association rules over order baskets (top-20 by
+    * lift at support >= 3). */
+  private def qBasketRules(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Basket.associationRules(t(s, dir, "lineitem"),
+      "l_orderkey", "l_partkey", minSupport = 3, topK = 20)
+
+  /** Cohort LTV matrix: purchase revenue accumulated over cohort age. */
+  private def qEventsCohortLtv(s: SparkSession, dir: String): DataFrame =
+    Funnel.cohortLtv(t(s, dir, "events"))
+      .orderBy(col("cohort_day"), col("age_d"))
+
   /** One-pass Deequ-style numeric column profile of lineitem
     * (completeness / cardinality / range / mean per column). */
   private def qProfileLineitem(s: SparkSession, dir: String): DataFrame =
@@ -2780,7 +2791,9 @@ object SparkEntry {
     "q_events_chi2" -> (qEventsChi2 _),
     "fim_transform" -> (qFimTransform _),
     "graph_triangles" -> (qGraphTriangles _),
-    "q_events_smoothing" -> (qEventsSmoothing _)
+    "q_events_smoothing" -> (qEventsSmoothing _),
+    "q_basket_rules" -> (qBasketRules _),
+    "q_events_cohort_ltv" -> (qEventsCohortLtv _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -5995,7 +6008,43 @@ object SparkEntry {
          SELECT event_type, CAST(n_buckets AS BIGINT) AS n_buckets,
            round(list_reduce(xs, (acc, x) -> 0.3 * x + 0.7 * acc), 6)
              AS level
-         FROM seq ORDER BY event_type"""
+         FROM seq ORDER BY event_type""",
+    "q_basket_rules" ->
+      """WITH items AS (
+           SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         n AS (SELECT count(DISTINCT o) AS n_orders FROM items),
+         pc AS (SELECT p, count(*) AS c FROM items GROUP BY p),
+         pairs AS (
+           SELECT a.p AS item_a, b.p AS item_b, count(*) AS support
+           FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+           GROUP BY 1, 2 HAVING count(*) >= 3)
+         SELECT item_a, item_b, support,
+           round(CAST(support AS DOUBLE) / c_a, 4) AS confidence,
+           round(CAST(support AS DOUBLE) * n_orders /
+             (CAST(c_a AS DOUBLE) * c_b), 4) AS lift
+         FROM pairs
+         JOIN (SELECT p AS item_a, c AS c_a FROM pc) USING (item_a)
+         JOIN (SELECT p AS item_b, c AS c_b FROM pc) USING (item_b)
+         CROSS JOIN n
+         ORDER BY lift DESC, item_a, item_b LIMIT 20""",
+    "q_events_cohort_ltv" ->
+      """WITH cohorts AS (
+           SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+           FROM events GROUP BY user_id),
+         rev AS (SELECT user_id, CAST(ts AS DATE) AS day, value
+                 FROM events WHERE event_type = 'purchase'),
+         j AS (SELECT c.cohort, datediff('day', c.cohort, r.day) AS age_d,
+                 r.user_id, r.value
+               FROM rev r JOIN cohorts c USING (user_id)),
+         g AS (SELECT cohort, age_d, count(DISTINCT user_id) AS n_buyers,
+                 sum(value) AS rev
+               FROM j GROUP BY 1, 2)
+         SELECT cohort AS cohort_day, age_d, n_buyers,
+           round(rev, 2) AS revenue,
+           round(sum(rev) OVER (PARTITION BY cohort ORDER BY age_d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS cum_revenue
+         FROM g ORDER BY cohort_day, age_d"""
   )
 
   /** BM25 oracle over an optionally restricted corpus: full replay of

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Market-basket association rules over (order, item) facts: pair
+  * support, confidence, and lift — the classic co-occurrence miner
+  * (Agrawal & Srikant's Apriori output for itemsets of size 2, which
+  * is the level that matters for cross-sell / co-retrieval analytics).
+  *
+  * lift(a,b) = P(a,b)/(P(a)·P(b)) = c_ab·N/(c_a·c_b) — exact integer
+  * counts until the final divisions.
+  *
+  * Scale shape: distinct (order, item) first (dictionary discipline —
+  * quantity repeats don't inflate support), then the pair join is a
+  * self equi-join ON THE ORDER KEY, bounded by basket size squared per
+  * order — never item×item. The min-support HAVING prunes before the
+  * per-item count joins; top-k is a rounded-lift TakeOrdered. */
+object Basket {
+
+  def associationRules(df: DataFrame, orderCol: String, itemCol: String,
+                       minSupport: Long = 3, topK: Int = 20): DataFrame = {
+    val items = df.select(col(orderCol).as("o"), col(itemCol).as("p"))
+      .distinct()
+    val n = items.agg(countDistinct(col("o")).as("n_orders"))
+    val pc = items.groupBy(col("p")).agg(count(lit(1)).as("c"))
+    val pairs = items.alias("a")
+      .join(items.alias("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("item_a"), col("b.p").as("item_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    pairs
+      .join(pc.select(col("p").as("item_a"), col("c").as("c_a")), "item_a")
+      .join(pc.select(col("p").as("item_b"), col("c").as("c_b")), "item_b")
+      .crossJoin(broadcast(n))
+      .select(col("item_a"), col("item_b"), col("support"),
+        round(col("support").cast("double") / col("c_a"), 4)
+          .as("confidence"),
+        round(col("support").cast("double") * col("n_orders") /
+          (col("c_a").cast("double") * col("c_b")), 4).as("lift"))
+      .orderBy(col("lift").desc, col("item_a"), col("item_b"))
+      .limit(topK)
+  }
+}

@@ -268,6 +268,30 @@ object Funnel {
         sum(col("n")).over(Window.partitionBy(col("prev_type"))), 4))
   }
 
+  /** Cohort lifetime-value matrix: users cohorted by first-event day,
+    * revenue (the value of `valueType` events) accumulated over cohort
+    * age — the money view of [[cohortRetention]]. Two aggregations
+    * (per-user cohort, then (cohort, age) revenue) and one cumulative
+    * window over the cohorts×ages frame, never the scan. */
+  def cohortLtv(events: DataFrame, valueType: String = "purchase",
+                userCol: String = "user_id", tsCol: String = "ts",
+                typeCol: String = "event_type",
+                valueCol: String = "value"): DataFrame = {
+    val cohorts = events.groupBy(col(userCol).as("u"))
+      .agg(min(to_date(col(tsCol))).as("cohort"))
+    val rev = events.filter(col(typeCol) === valueType)
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("day"),
+        col(valueCol).as("v"))
+    val g = rev.join(cohorts, "u")
+      .groupBy(col("cohort"), datediff(col("day"), col("cohort")).as("age_d"))
+      .agg(countDistinct(col("u")).as("n_buyers"), sum(col("v")).as("rev"))
+    val w = Window.partitionBy(col("cohort")).orderBy(col("age_d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.select(col("cohort").as("cohort_day"), col("age_d"), col("n_buyers"),
+      round(col("rev"), 2).as("revenue"),
+      round(sum(col("rev")).over(w), 2).as("cum_revenue"))
+  }
+
   /** Top-k most common 3-step event-type paths across users — the
     * sequence-mining view of [[transitionMatrix]] (which only sees
     * adjacent pairs). Two lag windows over the same per-user sort, a

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.operators.{Classifier, Metrics}
+import graft.operators.{Classifier, Funnel, Metrics}
 
 /** Model-in-the-loop curation: confusion-matrix metrics, rank-sum AUC,
   * and the in-engine LR trainer. Hand-checkable fixtures here; the
@@ -340,6 +340,39 @@ class MetricsClassifierSpec extends AnyFunSuite {
       .toDF("event_id", "event_type", "ts")
     assert(graft.operators.TimeSeries.expSmoothing(one).head()
       .getDouble(2) == 2.0)
+  }
+
+  test("associationRules: hand-checked support/confidence/lift; quantity rows don't inflate") {
+    import spark.implicits._
+    // orders: {1:AB, 2:AB, 3:ABC, 4:C} with item A duplicated in order 1
+    // (two lineitem rows) — support must stay DISTINCT-based.
+    val rows = Seq((1L, "A"), (1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "B"), (3L, "C"), (4L, "C"))
+    val df = rows.toDF("o", "p")
+    val out = graft.operators.Basket.associationRules(df, "o", "p",
+      minSupport = 2, topK = 10).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // (A,B): support 3, conf 3/3 = 1.0, lift = 3·4/(3·3) = 1.3333
+    assert(out(("A", "B")) == (3L, 1.0, 1.3333))
+    assert(!out.contains(("A", "C")), "support 1 must prune at minSupport 2")
+  }
+
+  test("cohortLtv: revenue accumulates per cohort over age") {
+    import spark.implicits._
+    val d0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def at(day: Int) = new java.sql.Timestamp(d0.getTime + day * 86400000L)
+    val ev = Seq(
+      (1L, 1L, "view", at(0), 0.0), (2L, 1L, "purchase", at(0), 10.0),
+      (3L, 1L, "purchase", at(2), 5.0),
+      (4L, 2L, "signup", at(1), 0.0), (5L, 2L, "purchase", at(3), 7.0)
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+    val m = Funnel.cohortLtv(ev).collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(m(("2024-01-01", 0)) == (1L, 10.0, 10.0))
+    assert(m(("2024-01-01", 2)) == (1L, 5.0, 15.0))
+    assert(m(("2024-01-02", 2)) == (1L, 7.0, 7.0))
   }
 
   test("trainLogReg: bias-only corpus converges toward the base rate") {
