@@ -742,6 +742,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!pf.contains("Join") && !pf.contains("Union"),
       s"q_profile_lineitem must profile in one pass, not unioned scans:\n${pf.take(1500)}")
     graft.operators.CacheScope.drain()
+    // fim_transform / q_events_smoothing: map-only or agg-only — no join
+    for (q <- Seq("fim_transform", "q_events_smoothing")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q grew a join:\n${p.take(1200)}")
+      graft.operators.CacheScope.drain()
+    }
+    // basket rules / cohort LTV / triangles: equi-joins only (1-row
+    // aggregates ride broadcast NLJ — documented precedent)
+    for (q <- Seq("q_basket_rules", "q_events_cohort_ltv",
+        "graph_triangles")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q grew a cartesian:\n${p.take(1500)}")
+      graft.operators.CacheScope.drain()
+    }
   }
 
   test("dedup signature kernels are native expressions — no ScalaUDF in the plan") {
