@@ -1099,6 +1099,19 @@ object SparkEntry {
     Funnel.cohortLtv(t(s, dir, "events"))
       .orderBy(col("cohort_day"), col("age_d"))
 
+  /** Revenue concentration: Gini coefficient over per-customer order
+    * revenue (cents-exact values ranked deterministically). */
+  private def qGiniRevenue(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "orders").groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"))
+    graft.operators.Metrics.gini(rev, "revenue", "o_custkey")
+  }
+
+  /** Corpus mixture diversity: Shannon entropy, Simpson index, and the
+    * effective source count of the documents source distribution. */
+  private def qCorpusDiversity(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Metrics.diversity(t(s, dir, "documents"), "source")
+
   /** One-pass Deequ-style numeric column profile of lineitem
     * (completeness / cardinality / range / mean per column). */
   private def qProfileLineitem(s: SparkSession, dir: String): DataFrame =
@@ -2793,7 +2806,9 @@ object SparkEntry {
     "graph_triangles" -> (qGraphTriangles _),
     "q_events_smoothing" -> (qEventsSmoothing _),
     "q_basket_rules" -> (qBasketRules _),
-    "q_events_cohort_ltv" -> (qEventsCohortLtv _)
+    "q_events_cohort_ltv" -> (qEventsCohortLtv _),
+    "q_gini_revenue" -> (qGiniRevenue _),
+    "corpus_diversity" -> (qCorpusDiversity _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -6044,7 +6059,31 @@ object SparkEntry {
            round(sum(rev) OVER (PARTITION BY cohort ORDER BY age_d
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
              AS cum_revenue
-         FROM g ORDER BY cohort_day, age_d"""
+         FROM g ORDER BY cohort_day, age_d""",
+    "q_gini_revenue" ->
+      """WITH rev AS (
+           SELECT o_custkey, round(sum(o_totalprice), 2) AS x
+           FROM orders GROUP BY 1),
+         r AS (SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS i
+               FROM rev)
+         SELECT CAST(count(*) AS BIGINT) AS n, round(sum(x), 2) AS total,
+           round(2.0 * sum(i * x) / (count(*) * round(sum(x), 2)) -
+             (count(*) + 1.0) / count(*), 6) AS gini
+         FROM r""",
+    "corpus_diversity" ->
+      """WITH c AS (SELECT source, count(*) AS c
+                    FROM documents GROUP BY 1),
+         tot AS (SELECT sum(c) AS n_total FROM c),
+         p AS (SELECT CAST(c AS DOUBLE) / n_total AS p, n_total
+               FROM c CROSS JOIN tot),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n_categories,
+                 CAST(max(n_total) AS BIGINT) AS n_total,
+                 round(-sum(p * ln(p)), 6) AS shannon,
+                 round(sum(p * p), 6) AS simpson
+               FROM p)
+         SELECT n_categories, n_total, shannon, simpson,
+           round(exp(shannon), 4) AS effective_n
+         FROM a"""
   )
 
   /** BM25 oracle over an optionally restricted corpus: full replay of

@@ -59,6 +59,45 @@ object Metrics {
         round((po - peC) / (lit(1.0) - peC), 4).as("kappa"))
   }
 
+  /** Gini coefficient of a non-negative value distribution (revenue
+    * concentration, source-size inequality):
+    * `G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n` over ascending ranks.
+    * Values round to cents BEFORE ranking so the sort order is
+    * engine-stable (the exact-cents discipline); rank ties break on
+    * the unit id. One unit-keyed agg, one rank window over the units
+    * frame, one final aggregation. */
+  def gini(units: DataFrame, valueCol: String, idCol: String): DataFrame = {
+    val v = units.select(col(idCol).as("id"),
+      round(col(valueCol), 2).as("x"))
+    val w = Window.orderBy(col("x"), col("id"))
+    v.withColumn("i", row_number().over(w).cast("long"))
+      .agg(count(lit(1)).as("n"), round(sum(col("x")), 2).as("total"),
+        sum(col("i").cast("double") * col("x")).as("ix"))
+      .select(col("n"), col("total"),
+        round(lit(2.0) * col("ix") / (col("n") * col("total")) -
+          (col("n") + lit(1.0)) / col("n"), 6).as("gini"))
+  }
+
+  /** Diversity indices of a categorical distribution (corpus source
+    * mixture, label balance): Shannon entropy H = −Σ p·ln p, Simpson
+    * index Σ p², and the effective category count e^H. One group
+    * count over the scan; everything else on the categories frame. */
+  def diversity(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("k"))
+      .agg(count(lit(1)).as("c"))
+    val tot = counts.agg(sum(col("c")).as("n_total"))
+    counts.crossJoin(broadcast(tot))
+      .select((col("c").cast("double") / col("n_total")).as("p"),
+        col("n_total"))
+      .agg(count(lit(1)).as("n_categories"),
+        first(col("n_total")).as("n_total"),
+        round(-sum(col("p") * log(col("p"))), 6).as("shannon"),
+        round(sum(col("p") * col("p")), 6).as("simpson"))
+      // e^H from the ROUNDED H so both engines exponentiate the same
+      // double
+      .withColumn("effective_n", round(exp(col("shannon")), 4))
+  }
+
   /** Two-proportion z-test over a binary unit-level frame
     * (`variantCol` ∈ {0 = A, 1 = B}, `flagCol` = converted): the
     * experiment readout. Counts aggregate exactly; the z statistic

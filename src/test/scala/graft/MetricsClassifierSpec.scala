@@ -375,6 +375,33 @@ class MetricsClassifierSpec extends AnyFunSuite {
     assert(m(("2024-01-02", 2)) == (1L, 7.0, 7.0))
   }
 
+  test("gini: 0 on perfect equality, known value on hand distribution") {
+    import spark.implicits._
+    val eq = Seq((1L, 5.0), (2L, 5.0), (3L, 5.0)).toDF("id", "v")
+    assert(Metrics.gini(eq, "v", "id").head().getDouble(2) == 0.0)
+    // x = [1,2,3,4]: G = 2·(1+4+9+16)/(4·10) − 5/4 = 1.5 − 1.25 = 0.25
+    val sk = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0)).toDF("id", "v")
+    assert(Metrics.gini(sk, "v", "id").head().getDouble(2) == 0.25)
+    // one unit holds everything: G = (n−1)/n
+    val mono = Seq((1L, 0.0), (2L, 0.0), (3L, 0.0), (4L, 12.0)).toDF("id", "v")
+    assert(Metrics.gini(mono, "v", "id").head().getDouble(2) == 0.75)
+  }
+
+  test("diversity: uniform maximizes entropy, degenerate collapses") {
+    import spark.implicits._
+    val uni = (1 to 40).map(i => s"s${i % 4}").toDF("k")
+    val r = Metrics.diversity(uni, "k").head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 40L)
+    assert(r.getDouble(2) ==
+      BigDecimal(math.log(4.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    assert(r.getDouble(3) == 0.25 && r.getDouble(4) == 4.0)
+    val one = Seq.fill(10)("only").toDF("k")
+    val r1 = Metrics.diversity(one, "k").head()
+    assert(r1.getDouble(2) == 0.0 && r1.getDouble(3) == 1.0 &&
+      r1.getDouble(4) == 1.0)
+  }
+
   test("trainLogReg: bias-only corpus converges toward the base rate") {
     import spark.implicits._
     // identical text everywhere: only the shared buckets + bias can
