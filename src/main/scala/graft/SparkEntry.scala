@@ -1112,6 +1112,19 @@ object SparkEntry {
   private def qCorpusDiversity(s: SparkSession, dir: String): DataFrame =
     graft.operators.Metrics.diversity(t(s, dir, "documents"), "source")
 
+  /** Morton (Z-order) layout key over (orderkey, partkey) low 16 bits
+    * — the multi-column-pruning sort key, exact integer interleave. */
+  private def qZorderKey(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Maintenance
+    val a = col("l_orderkey").bitwiseAND(lit(65535L))
+    val b = col("l_partkey").bitwiseAND(lit(65535L))
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+        Maintenance.zValue(a, b).as("z"))
+      .orderBy(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+        col("z"))
+  }
+
   /** One-pass Deequ-style numeric column profile of lineitem
     * (completeness / cardinality / range / mean per column). */
   private def qProfileLineitem(s: SparkSession, dir: String): DataFrame =
@@ -2808,7 +2821,8 @@ object SparkEntry {
     "q_basket_rules" -> (qBasketRules _),
     "q_events_cohort_ltv" -> (qEventsCohortLtv _),
     "q_gini_revenue" -> (qGiniRevenue _),
-    "corpus_diversity" -> (qCorpusDiversity _)
+    "corpus_diversity" -> (qCorpusDiversity _),
+    "q_zorder_key" -> (qZorderKey _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -6083,7 +6097,12 @@ object SparkEntry {
                FROM p)
          SELECT n_categories, n_total, shannon, simpson,
            round(exp(shannon), 4) AS effective_n
-         FROM a"""
+         FROM a""",
+    "q_zorder_key" ->
+      """SELECT l_orderkey, l_partkey, l_linenumber,
+           ((((l_orderkey & 65535) >> 0) & 1) << 0) | ((((l_partkey & 65535) >> 0) & 1) << 1) | ((((l_orderkey & 65535) >> 1) & 1) << 2) | ((((l_partkey & 65535) >> 1) & 1) << 3) | ((((l_orderkey & 65535) >> 2) & 1) << 4) | ((((l_partkey & 65535) >> 2) & 1) << 5) | ((((l_orderkey & 65535) >> 3) & 1) << 6) | ((((l_partkey & 65535) >> 3) & 1) << 7) | ((((l_orderkey & 65535) >> 4) & 1) << 8) | ((((l_partkey & 65535) >> 4) & 1) << 9) | ((((l_orderkey & 65535) >> 5) & 1) << 10) | ((((l_partkey & 65535) >> 5) & 1) << 11) | ((((l_orderkey & 65535) >> 6) & 1) << 12) | ((((l_partkey & 65535) >> 6) & 1) << 13) | ((((l_orderkey & 65535) >> 7) & 1) << 14) | ((((l_partkey & 65535) >> 7) & 1) << 15) | ((((l_orderkey & 65535) >> 8) & 1) << 16) | ((((l_partkey & 65535) >> 8) & 1) << 17) | ((((l_orderkey & 65535) >> 9) & 1) << 18) | ((((l_partkey & 65535) >> 9) & 1) << 19) | ((((l_orderkey & 65535) >> 10) & 1) << 20) | ((((l_partkey & 65535) >> 10) & 1) << 21) | ((((l_orderkey & 65535) >> 11) & 1) << 22) | ((((l_partkey & 65535) >> 11) & 1) << 23) | ((((l_orderkey & 65535) >> 12) & 1) << 24) | ((((l_partkey & 65535) >> 12) & 1) << 25) | ((((l_orderkey & 65535) >> 13) & 1) << 26) | ((((l_partkey & 65535) >> 13) & 1) << 27) | ((((l_orderkey & 65535) >> 14) & 1) << 28) | ((((l_partkey & 65535) >> 14) & 1) << 29) | ((((l_orderkey & 65535) >> 15) & 1) << 30) | ((((l_partkey & 65535) >> 15) & 1) << 31) AS z
+         FROM lineitem
+         ORDER BY l_orderkey, l_partkey, l_linenumber, z"""
   )
 
   /** BM25 oracle over an optionally restricted corpus: full replay of

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Table-maintenance operators — the unglamorous half of running a
@@ -42,4 +42,34 @@ object Maintenance {
     df.repartitionByRange(nFiles, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode("overwrite").parquet(out)
+
+  /** Morton (Z-order) key: interleave the low `bits` bits of two
+    * non-negative long columns — a in the even positions, b in the
+    * odd. Locality in z-value ⇒ locality in BOTH dimensions, which is
+    * what makes [[zOrderWrite]]'s per-file min/max stats prunable on
+    * either column. Pure integer bit ops, engine-replayable. */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftrightunsigned(a, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(
+          shiftleft(shiftrightunsigned(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** Rewrite range-partitioned and sorted by the Morton key of
+    * (`colA` & 2^bits−1, `colB` & 2^bits−1): each output file covers a
+    * small RECTANGLE of the (a, b) plane instead of a slab, so
+    * point/range predicates on EITHER column prune to a few files —
+    * the multi-dimensional generalization of [[writeSorted]] (which
+    * prunes only on its leading column). Same terasort exchange shape;
+    * the masked key is a map-side expression. */
+  def zOrderWrite(df: DataFrame, colA: String, colB: String, nFiles: Int,
+                  out: String, bits: Int = 16): Unit = {
+    val mask = (1L << bits) - 1
+    df.withColumn("__z", zValue(col(colA).bitwiseAND(lit(mask)),
+        col(colB).bitwiseAND(lit(mask)), bits))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(out)
+  }
 }

@@ -402,6 +402,47 @@ class MetricsClassifierSpec extends AnyFunSuite {
       r1.getDouble(4) == 1.0)
   }
 
+  test("zOrderWrite: files cover rectangles — both columns prune, not just the leading one") {
+    import spark.implicits._
+    import graft.operators.Maintenance
+    // 64×64 grid: every (a, b) point once
+    val grid = (for { a <- 0 until 64; b <- 0 until 64 }
+      yield (a.toLong, b.toLong)).toDF("a", "b")
+    def avgRange(path: String, c: String): Double = {
+      val spans = spark.read.parquet(path)
+        .withColumn("f", input_file_name())
+        .groupBy(col("f"))
+        .agg((max(col(c)) - min(col(c))).as("span"))
+        .collect().map(_.getLong(1))
+      spans.sum.toDouble / spans.length
+    }
+    val zDir = java.nio.file.Files.createTempDirectory("zord").toString
+    val linDir = java.nio.file.Files.createTempDirectory("lin").toString
+    Maintenance.zOrderWrite(grid, "a", "b", nFiles = 16, zDir, bits = 6)
+    Maintenance.writeSorted(grid, Seq("a"), nFiles = 16, linDir)
+    // linear sort by a: each file is a slab — full b range (~63) per
+    // file; z-order: each file is a ~16×16 rectangle — both ranges small
+    assert(avgRange(linDir, "b") > 50.0, "slab baseline sanity")
+    assert(avgRange(zDir, "a") < 32.0 && avgRange(zDir, "b") < 32.0,
+      s"z-order must bound BOTH dims: a=${avgRange(zDir, "a")} b=${avgRange(zDir, "b")}")
+    // nothing lost in the rewrite
+    assert(spark.read.parquet(zDir).count() == 64L * 64L)
+  }
+
+  test("zValue: hand-checked interleave") {
+    import spark.implicits._
+    import graft.operators.Maintenance
+    // a=0b11 (even positions), b=0b01 (odd): z = 1 + 2·1 + 4·1 + 8·0 = 7
+    val df = Seq((3L, 1L)).toDF("a", "b")
+    assert(df.select(Maintenance.zValue(col("a"), col("b"), 4))
+      .head().getLong(0) == 7L)
+    // pure a ⇒ even bits only; pure b ⇒ odd bits only
+    val d2 = Seq((15L, 0L), (0L, 15L)).toDF("a", "b")
+    val zs = d2.select(Maintenance.zValue(col("a"), col("b"), 4))
+      .collect().map(_.getLong(0)).toSet
+    assert(zs == Set(0x55L, 0xAAL))
+  }
+
   test("trainLogReg: bias-only corpus converges toward the base rate") {
     import spark.implicits._
     // identical text everywhere: only the shared buckets + bias can
