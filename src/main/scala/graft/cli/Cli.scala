@@ -471,6 +471,32 @@ object Cli {
 
     // Publication card for a (curated) corpus dir: per source×lang
     // docs/tokens/dup-rate — the dataset_card rollup as a CLI step.
+    // table maintenance: small-file compaction, range-sorted layout, or
+    // Z-order layout (rectangle pruning on both key columns)
+    //   wpcurate compact <in> <out> [--target-bytes N]
+    //                              [--sort c1[,c2...] --files N]
+    //                              [--zorder a,b --files N]
+    case "wpcurate" :: "compact" :: in :: out :: rest =>
+      import graft.operators.Maintenance
+      def flag(name: String, default: String): String = {
+        val i = rest.indexOf(name); if (i >= 0 && i + 1 < rest.length) rest(i + 1) else default
+      }
+      val spark = session()
+      val nFiles = flag("--files", "8").toInt
+      (flag("--zorder", ""), flag("--sort", "")) match {
+        case (zc, _) if zc.nonEmpty =>
+          val Array(a, b) = zc.split(',')
+          Maintenance.zOrderWrite(spark.read.parquet(in), a, b, nFiles, out)
+          println(s"wpcurate: z-ordered ($a, $b) layout written to $out")
+        case (_, sc) if sc.nonEmpty =>
+          Maintenance.writeSorted(spark.read.parquet(in),
+            sc.split(',').toSeq, nFiles, out)
+          println(s"wpcurate: sorted ($sc) layout written to $out")
+        case _ =>
+          Maintenance.compactParquet(spark, in, out,
+            flag("--target-bytes", (128L * 1024 * 1024).toString).toLong)
+          println(s"wpcurate: compacted layout written to $out")
+      }
     case "wpcurate" :: "stats" :: in :: out :: rest =>
       import graft.operators.TextAnalysis
       def flag(name: String, default: String): String = {

@@ -170,6 +170,40 @@ class CliCurateSpec extends AnyFunSuite {
     assert(err.getMessage.contains("--fim and --split"))
   }
 
+  test("wpcurate compact: compaction, sorted, and z-order layouts through the CLI") {
+    import spark.implicits._
+    spark
+    val inDir = tmp("cmp_in")
+    (for { a <- 0 until 32; b <- 0 until 32 } yield (a.toLong, b.toLong))
+      .toDF("a", "b").repartition(20)
+      .write.mode("overwrite").parquet(inDir)
+    // default compaction: fewer files, same rows
+    val cDir = tmp("cmp_out")
+    graft.cli.Cli.main(Array("wpcurate", "compact", inDir, cDir))
+    assert(spark.read.parquet(cDir).count() == 1024L)
+    assert(new java.io.File(cDir).listFiles()
+      .count(_.getName.endsWith(".parquet")) <
+      new java.io.File(inDir).listFiles()
+        .count(_.getName.endsWith(".parquet")))
+    // z-order: both dims bounded per file
+    val zDir = tmp("cmp_z")
+    graft.cli.Cli.main(Array("wpcurate", "compact", inDir, zDir,
+      "--zorder", "a,b", "--files", "8"))
+    val spans = spark.read.parquet(zDir)
+      .withColumn("f", input_file_name())
+      .groupBy(col("f"))
+      .agg((max(col("a")) - min(col("a"))).as("sa"),
+        (max(col("b")) - min(col("b"))).as("sb"))
+      .collect()
+    assert(spans.forall(r => r.getLong(1) < 32L && r.getLong(2) < 32L),
+      "each z-ordered file must cover a sub-rectangle")
+    // sorted layout: leading column spans are disjoint-ish slabs
+    val sDir = tmp("cmp_s")
+    graft.cli.Cli.main(Array("wpcurate", "compact", inDir, sDir,
+      "--sort", "a", "--files", "8"))
+    assert(spark.read.parquet(sDir).count() == 1024L)
+  }
+
   test("wpcurate batch --substr: mosaic-of-corpus docs drop at the dup-fraction gate") {
     import spark.implicits._
     spark
