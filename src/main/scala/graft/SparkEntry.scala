@@ -1125,6 +1125,13 @@ object SparkEntry {
         col("z"))
   }
 
+  /** Benford first-digit profile of order totals (exact-integer-cents
+    * digit extraction; flags synthetic/clamped amount generators). */
+  private def qBenford(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.benfordProfile(t(s, dir, "orders"),
+        "o_totalprice")
+      .orderBy(col("d"))
+
   /** One-pass Deequ-style numeric column profile of lineitem
     * (completeness / cardinality / range / mean per column). */
   private def qProfileLineitem(s: SparkSession, dir: String): DataFrame =
@@ -2822,7 +2829,8 @@ object SparkEntry {
     "q_events_cohort_ltv" -> (qEventsCohortLtv _),
     "q_gini_revenue" -> (qGiniRevenue _),
     "corpus_diversity" -> (qCorpusDiversity _),
-    "q_zorder_key" -> (qZorderKey _)
+    "q_zorder_key" -> (qZorderKey _),
+    "q_benford" -> (qBenford _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -6102,7 +6110,21 @@ object SparkEntry {
       """SELECT l_orderkey, l_partkey, l_linenumber,
            ((((l_orderkey & 65535) >> 0) & 1) << 0) | ((((l_partkey & 65535) >> 0) & 1) << 1) | ((((l_orderkey & 65535) >> 1) & 1) << 2) | ((((l_partkey & 65535) >> 1) & 1) << 3) | ((((l_orderkey & 65535) >> 2) & 1) << 4) | ((((l_partkey & 65535) >> 2) & 1) << 5) | ((((l_orderkey & 65535) >> 3) & 1) << 6) | ((((l_partkey & 65535) >> 3) & 1) << 7) | ((((l_orderkey & 65535) >> 4) & 1) << 8) | ((((l_partkey & 65535) >> 4) & 1) << 9) | ((((l_orderkey & 65535) >> 5) & 1) << 10) | ((((l_partkey & 65535) >> 5) & 1) << 11) | ((((l_orderkey & 65535) >> 6) & 1) << 12) | ((((l_partkey & 65535) >> 6) & 1) << 13) | ((((l_orderkey & 65535) >> 7) & 1) << 14) | ((((l_partkey & 65535) >> 7) & 1) << 15) | ((((l_orderkey & 65535) >> 8) & 1) << 16) | ((((l_partkey & 65535) >> 8) & 1) << 17) | ((((l_orderkey & 65535) >> 9) & 1) << 18) | ((((l_partkey & 65535) >> 9) & 1) << 19) | ((((l_orderkey & 65535) >> 10) & 1) << 20) | ((((l_partkey & 65535) >> 10) & 1) << 21) | ((((l_orderkey & 65535) >> 11) & 1) << 22) | ((((l_partkey & 65535) >> 11) & 1) << 23) | ((((l_orderkey & 65535) >> 12) & 1) << 24) | ((((l_partkey & 65535) >> 12) & 1) << 25) | ((((l_orderkey & 65535) >> 13) & 1) << 26) | ((((l_partkey & 65535) >> 13) & 1) << 27) | ((((l_orderkey & 65535) >> 14) & 1) << 28) | ((((l_partkey & 65535) >> 14) & 1) << 29) | ((((l_orderkey & 65535) >> 15) & 1) << 30) | ((((l_partkey & 65535) >> 15) & 1) << 31) AS z
          FROM lineitem
-         ORDER BY l_orderkey, l_partkey, l_linenumber, z"""
+         ORDER BY l_orderkey, l_partkey, l_linenumber, z""",
+    "q_benford" ->
+      """WITH cents AS (
+           SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS n
+           FROM orders WHERE o_totalprice > 0),
+         fd AS (SELECT CAST(substr(CAST(n AS VARCHAR), 1, 1) AS INT) AS d
+                FROM cents),
+         c AS (SELECT d, count(*) AS cnt FROM fd GROUP BY d),
+         tot AS (SELECT sum(cnt) AS n_total FROM c)
+         SELECT d, cnt,
+           round(CAST(cnt AS DOUBLE) / n_total, 4) AS share,
+           round(log10(1.0 + 1.0 / d), 4) AS benford,
+           round(CAST(cnt AS DOUBLE) / n_total - log10(1.0 + 1.0 / d), 4)
+             AS deviation
+         FROM c CROSS JOIN tot ORDER BY d"""
   )
 
   /** BM25 oracle over an optionally restricted corpus: full replay of

@@ -41,4 +41,28 @@ object Profile {
     }
     one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
   }
+
+  /** Benford first-significant-digit profile of a positive monetary
+    * column — the classic fabricated-/synthetic-data flag: naturally
+    * occurring multi-scale amounts follow P(d) = log10(1 + 1/d);
+    * uniform or clamped generators don't. Digit extraction goes
+    * through EXACT INTEGER cents and integer-to-string (identical on
+    * any engine) — never float log10 of the value, whose power-of-ten
+    * edge cases are engine-dependent. One scan aggregation; everything
+    * after runs on the 9-row digit frame. */
+  def benfordProfile(df: DataFrame, valueCol: String): DataFrame = {
+    val cents = df.filter(col(valueCol) > 0)
+      .select(round(col(valueCol) * 100, 0).cast("long").as("n"))
+    val c = cents
+      .select(substring(col("n").cast("string"), 1, 1).cast("int").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("cnt"))
+    val tot = c.agg(sum(col("cnt")).as("n_total"))
+    c.crossJoin(broadcast(tot))
+      .select(col("d"), col("cnt"),
+        round(col("cnt").cast("double") / col("n_total"), 4).as("share"),
+        round(log(10.0, lit(1.0) + lit(1.0) / col("d")), 4)
+          .as("benford"),
+        round(col("cnt").cast("double") / col("n_total") -
+          log(10.0, lit(1.0) + lit(1.0) / col("d")), 4).as("deviation"))
+  }
 }

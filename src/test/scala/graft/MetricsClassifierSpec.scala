@@ -443,6 +443,26 @@ class MetricsClassifierSpec extends AnyFunSuite {
     assert(zs == Set(0x55L, 0xAAL))
   }
 
+  test("benfordProfile: exact digit extraction, shares sum to 1, Benford data fits") {
+    import spark.implicits._
+    import graft.operators.Profile
+    // values crossing scales; 0.095 → 9.5 cents → HALF_UP 10 cents →
+    // digit 1 (cents-domain extraction, not the raw string);
+    // non-positive rows drop
+    val df = Seq(1.23, 12.3, 123.0, 9999.99, 0.095, -5.0, 0.0).toDF("v")
+    val p = Profile.benfordProfile(df, "v").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(p == Map(1 -> 4L, 9 -> 1L))
+    val shares = Profile.benfordProfile(df, "v").collect()
+      .map(_.getDouble(2)).sum
+    assert(math.abs(shares - 1.0) < 1e-3)
+    // a geometric series IS Benford-distributed: deviations stay small
+    val geo = (0 until 2000).map(i => math.pow(1.007, i)).toDF("v")
+    val dev = Profile.benfordProfile(geo, "v").collect()
+      .map(r => math.abs(r.getDouble(4))).max
+    assert(dev < 0.02, s"geometric series must fit Benford, max dev $dev")
+  }
+
   test("trainLogReg: bias-only corpus converges toward the base rate") {
     import spark.implicits._
     // identical text everywhere: only the shared buckets + bias can
