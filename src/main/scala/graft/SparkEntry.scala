@@ -1132,6 +1132,51 @@ object SparkEntry {
         "o_totalprice")
       .orderBy(col("d"))
 
+  /** Leakage-safe k-fold assignment over near-dup clusters (k=5; the
+    * cluster-keyed generalization of split_cluster_safe, consuming the
+    * shared mined pairs). */
+  private def qSplitKfold(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Clustering, Sampling}
+    val d = t(s, dir, "documents")
+    val clusters = Clustering.dupClusters(minedNgramPairs(s, dir),
+      "id_a", "id_b")
+    Sampling.clusterSafeFolds(d.select(col("doc_id")), "doc_id",
+        clusters, "doc_id", "cluster_id", k = 5)
+      .select(col("doc_id"), col("cluster_id"), col("fold"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Robust center/scale per event type: exact nearest-rank-lower
+    * median and MAD (median absolute deviation) via order statistics
+    * on the per-group sorted array (groups are type-bounded; swap the
+    * KLL sketch past memory bounds). */
+  private def qEventsRobustStats(s: SparkSession, dir: String): DataFrame = {
+    val g = t(s, dir, "events").filter(col("value").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(col("value").cast("double"))).as("v"),
+        count(lit(1)).as("n"))
+    val idx = (floor(lit(0.5) * (col("n") - 1)) + 1).cast("int")
+    val withM = g.withColumn("m", element_at(col("v"), idx))
+    withM
+      .withColumn("dv", sort_array(transform(col("v"),
+        x => abs(x - col("m")))))
+      .select(col("event_type"), col("n"),
+        round(col("m"), 4).as("median"),
+        round(element_at(col("dv"), idx), 4).as("mad"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Hour-of-day × day-of-week volume seasonality profile. */
+  private def qEventsSeasonality(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "events")
+      .groupBy(dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hod"))
+      .agg(count(lit(1)).as("n"))
+    c.crossJoin(broadcast(c.agg(sum(col("n")).as("n_total"))))
+      .select(col("dow"), col("hod"), col("n"),
+        round(col("n").cast("double") / col("n_total"), 6).as("share"))
+      .orderBy(col("dow"), col("hod"))
+  }
+
   /** One-pass Deequ-style numeric column profile of lineitem
     * (completeness / cardinality / range / mean per column). */
   private def qProfileLineitem(s: SparkSession, dir: String): DataFrame =
@@ -2830,7 +2875,10 @@ object SparkEntry {
     "q_gini_revenue" -> (qGiniRevenue _),
     "corpus_diversity" -> (qCorpusDiversity _),
     "q_zorder_key" -> (qZorderKey _),
-    "q_benford" -> (qBenford _)
+    "q_benford" -> (qBenford _),
+    "split_kfold" -> (qSplitKfold _),
+    "q_events_robust_stats" -> (qEventsRobustStats _),
+    "q_events_seasonality" -> (qEventsSeasonality _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -6124,7 +6172,38 @@ object SparkEntry {
            round(log10(1.0 + 1.0 / d), 4) AS benford,
            round(CAST(cnt AS DOUBLE) / n_total - log10(1.0 + 1.0 / d), 4)
              AS deviation
-         FROM c CROSS JOIN tot ORDER BY d"""
+         FROM c CROSS JOIN tot ORDER BY d""",
+    "split_kfold" ->
+      s"""WITH comp AS (SELECT doc_id, cluster_id FROM ($dedupClustersOracle)),
+          cl AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+                 FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+          ${splitmixStagesSql("cl", "cluster_id", "doc_id, cluster_id")}
+          SELECT doc_id, cluster_id,
+            CAST(u53 * 5 // ${1L << 53} AS BIGINT) AS fold
+          FROM s3 ORDER BY doc_id""",
+    "q_events_robust_stats" ->
+      """WITH vals AS (
+           SELECT event_type, list_sort(list(CAST(value AS DOUBLE))) AS v,
+             count(*) AS n
+           FROM events WHERE value IS NOT NULL GROUP BY 1),
+         med AS (SELECT event_type, n, v,
+                   v[CAST(floor(0.5 * (n - 1)) AS INT) + 1] AS m
+                 FROM vals),
+         mad0 AS (SELECT event_type, n, m,
+                    list_sort(list_transform(v, x -> abs(x - m))) AS dv
+                  FROM med)
+         SELECT event_type, CAST(n AS BIGINT) AS n, round(m, 4) AS median,
+           round(dv[CAST(floor(0.5 * (n - 1)) AS INT) + 1], 4) AS mad
+         FROM mad0 ORDER BY event_type""",
+    "q_events_seasonality" ->
+      """WITH c AS (
+           SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hod,
+             count(*) AS n
+           FROM events GROUP BY 1, 2),
+         tot AS (SELECT sum(n) AS n_total FROM c)
+         SELECT dow, hod, n,
+           round(CAST(n AS DOUBLE) / n_total, 6) AS share
+         FROM c CROSS JOIN tot ORDER BY dow, hod"""
   )
 
   /** BM25 oracle over an optionally restricted corpus: full replay of

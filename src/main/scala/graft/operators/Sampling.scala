@@ -221,6 +221,29 @@ object Sampling {
       .drop("__split_doc", "__split_cluster")
   }
 
+  /** Leakage-safe k-fold assignment: the whole near-dup cluster draws
+    * ONE fold (splitmix64 of the cluster id, mod k), so a doc and its
+    * near-twin can never land in different cross-validation folds —
+    * the k-way generalization of [[clusterSafeSplit]]. Singletons fall
+    * through to their own id. Map-only after the id-keyed cluster
+    * join. */
+  def clusterSafeFolds(docs: DataFrame, idCol: String,
+                       clusters: DataFrame, clusterDocCol: String,
+                       clusterIdCol: String, k: Int): DataFrame = {
+    require(k > 1, "clusterSafeFolds: need k > 1")
+    val c = clusters.select(col(clusterDocCol).as("__f_doc"),
+      col(clusterIdCol).as("__f_cluster"))
+    docs.join(c, docs(idCol) === col("__f_doc"), "left")
+      .withColumn("cluster_id", coalesce(col("__f_cluster"), col(idCol)))
+      .withColumn("u53_fold", unitUniform53(col("cluster_id")))
+      // fold = ⌊u53·k / 2⁵³⌋ — exact integer range partition of the
+      // 53-bit draw (a signed-pmod of the raw 64-bit mix would diverge
+      // from the unsigned HUGEINT replay for k ∤ 2⁶⁴)
+      .withColumn("fold",
+        expr(s"(u53_fold * $k) DIV ${1L << 53}"))
+      .drop("__f_doc", "__f_cluster", "u53_fold")
+  }
+
   /** Token-budget corpus selection: per group (lang/source), keep the
     * highest-quality docs whose cumulative token count stays within
     * `frac` of the group's total — the "take the best N tokens" step

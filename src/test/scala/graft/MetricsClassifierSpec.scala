@@ -463,6 +463,41 @@ class MetricsClassifierSpec extends AnyFunSuite {
     assert(dev < 0.02, s"geometric series must fit Benford, max dev $dev")
   }
 
+  test("clusterSafeFolds: twins share a fold; folds bounded and populated") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val docs = (1L to 400L).toDF("doc_id")
+    // clusters: (2i, 2i+1) are twins
+    val clusters = (1L to 400L).map(i => (i, i / 2 * 2))
+      .toDF("doc_id", "cluster_id")
+    val f = Sampling.clusterSafeFolds(docs, "doc_id", clusters, "doc_id",
+      "cluster_id", k = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(f.values.forall(v => v >= 0 && v < 5))
+    assert((1L to 199L).forall(i => f(2 * i) == f(2 * i + 1)),
+      "near-twins must share a fold")
+    assert(f.values.toSet.size == 5, "all folds populated at this scale")
+  }
+
+  test("robust stats convention: nearest-rank-lower median and MAD") {
+    import spark.implicits._
+    // values [1, 2, 100, 1000]: n=4, idx = floor(1.5)+1 = 2 ⇒ median 2;
+    // deviations sorted [0, 1, 98, 998] ⇒ mad = 1. The outliers that
+    // wreck mean/stddev leave median/MAD at the bulk.
+    val ev = Seq(1.0, 2.0, 100.0, 1000.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, "t", v) }
+      .toDF("event_id", "event_type", "value")
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    val g = ev.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(col("value"))).as("v"),
+        count(lit(1)).as("n"))
+    val idx = (floor(lit(0.5) * (col("n") - 1)) + 1).cast("int")
+    val r = g.withColumn("m", element_at(col("v"), idx))
+      .withColumn("dv", sort_array(transform(col("v"), x => abs(x - col("m")))))
+      .select(col("m"), element_at(col("dv"), idx)).head()
+    assert(r.getDouble(0) == 2.0 && r.getDouble(1) == 1.0)
+  }
+
   test("trainLogReg: bias-only corpus converges toward the base rate") {
     import spark.implicits._
     // identical text everywhere: only the shared buckets + bias can
