@@ -757,6 +757,22 @@ class PlanQualitySpec extends AnyFunSuite {
         s"$q grew a cartesian:\n${p.take(1500)}")
       graft.operators.CacheScope.drain()
     }
+    // the closing scan-side queries: aggregations (+ the documented
+    // 1-row broadcast) — no real join, no cartesian
+    for (q <- Seq("q_benford", "q_gini_revenue", "corpus_diversity",
+        "q_events_robust_stats", "q_events_seasonality", "q_zorder_key")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("SortMergeJoin"),
+        s"$q should not shuffle-join:\n${p.take(1500)}")
+      graft.operators.CacheScope.drain()
+    }
+    // split_kfold: the id-keyed cluster join is the one legitimate
+    // shuffle — forbid only a cartesian
+    val kf = plan("split_kfold")
+    assert(!kf.contains("CartesianProduct"),
+      s"split_kfold grew a cartesian:\n${kf.take(1200)}")
+    graft.operators.CacheScope.drain()
   }
 
   test("dedup signature kernels are native expressions — no ScalaUDF in the plan") {
