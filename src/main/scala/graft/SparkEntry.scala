@@ -1177,6 +1177,12 @@ object SparkEntry {
       .orderBy(col("dow"), col("hod"))
   }
 
+  /** Funnel transition-latency distribution (p50/p90 seconds per
+    * adjacent stage pair over the earliest-completion chain). */
+  private def qFunnelLatency(s: SparkSession, dir: String): DataFrame =
+    Funnel.funnelStageLatency(t(s, dir, "events"),
+      Seq("signup", "view", "click", "purchase"))
+
   /** One-pass Deequ-style numeric column profile of lineitem
     * (completeness / cardinality / range / mean per column). */
   private def qProfileLineitem(s: SparkSession, dir: String): DataFrame =
@@ -2878,7 +2884,8 @@ object SparkEntry {
     "q_benford" -> (qBenford _),
     "split_kfold" -> (qSplitKfold _),
     "q_events_robust_stats" -> (qEventsRobustStats _),
-    "q_events_seasonality" -> (qEventsSeasonality _)
+    "q_events_seasonality" -> (qEventsSeasonality _),
+    "q_funnel_latency" -> (qFunnelLatency _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -6203,7 +6210,39 @@ object SparkEntry {
          tot AS (SELECT sum(n) AS n_total FROM c)
          SELECT dow, hod, n,
            round(CAST(n AS DOUBLE) / n_total, 6) AS share
-         FROM c CROSS JOIN tot ORDER BY dow, hod"""
+         FROM c CROSS JOIN tot ORDER BY dow, hod""",
+    "q_funnel_latency" ->
+      """WITH s1 AS (SELECT user_id AS u, min(ts) AS ct FROM events
+           WHERE event_type = 'signup' GROUP BY 1),
+         s2 AS (SELECT e.user_id AS u, min(e.ts) AS ct FROM events e
+           JOIN s1 ON e.user_id = s1.u
+           WHERE e.event_type = 'view' AND e.ts > s1.ct GROUP BY 1),
+         s3 AS (SELECT e.user_id AS u, min(e.ts) AS ct FROM events e
+           JOIN s2 ON e.user_id = s2.u
+           WHERE e.event_type = 'click' AND e.ts > s2.ct GROUP BY 1),
+         s4 AS (SELECT e.user_id AS u, min(e.ts) AS ct FROM events e
+           JOIN s3 ON e.user_id = s3.u
+           WHERE e.event_type = 'purchase' AND e.ts > s3.ct GROUP BY 1),
+         gaps AS (
+           SELECT 2 AS stage_idx, 'view' AS stage,
+             epoch_us(b.ct) - epoch_us(a.ct) AS gap_us
+           FROM s2 b JOIN s1 a USING (u)
+           UNION ALL
+           SELECT 3, 'click', epoch_us(b.ct) - epoch_us(a.ct)
+           FROM s3 b JOIN s2 a USING (u)
+           UNION ALL
+           SELECT 4, 'purchase', epoch_us(b.ct) - epoch_us(a.ct)
+           FROM s4 b JOIN s3 a USING (u)),
+         g AS (SELECT stage_idx, stage, list_sort(list(gap_us)) AS v,
+                 count(*) AS n_users
+               FROM gaps GROUP BY 1, 2)
+         SELECT CAST(stage_idx AS INT) AS stage_idx, stage,
+           CAST(n_users AS BIGINT) AS n_users,
+           round(v[CAST(floor(0.5 * (n_users - 1)) AS INT) + 1] /
+             1000000.0, 6) AS p50_s,
+           round(v[CAST(floor(0.9 * (n_users - 1)) AS INT) + 1] /
+             1000000.0, 6) AS p90_s
+         FROM g ORDER BY stage_idx"""
   )
 
   /** BM25 oracle over an optionally restricted corpus: full replay of

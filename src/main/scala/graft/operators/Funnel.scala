@@ -35,16 +35,17 @@ object Funnel {
     * The per-stage counts are 1-row aggregates combined via union +
     * a broadcast of the 1-row stage-1 count for the rate.
     */
-  def orderedFunnel(events: DataFrame, stages: Seq[String],
-                    userCol: String = "user_id", tsCol: String = "ts",
-                    typeCol: String = "event_type"): DataFrame = {
-    require(stages.nonEmpty, "orderedFunnel needs at least one stage")
+  /** conv(i): per-user earliest instant of completing stages 0..i in
+    * order — the shared chain of [[orderedFunnel]] and
+    * [[funnelStageLatency]]. Each step is one stage-filtered scan
+    * joined to the previous (shrinking) completion frame. */
+  private def stageCompletions(events: DataFrame, stages: Seq[String],
+                               userCol: String, tsCol: String,
+                               typeCol: String): Seq[DataFrame] = {
     val ev = events
       .filter(col(typeCol).isin(stages: _*))
       .select(col(userCol).as("u"), col(typeCol).as("et"), col(tsCol).as("t"))
-
-    // conv(i): per-user earliest instant of completing stages 0..i in order
-    val convs = stages.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+    stages.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
       case (prev, (stage, _)) =>
         val stageEv = ev.filter(col("et") === stage)
         Some(prev match {
@@ -56,6 +57,13 @@ object Funnel {
               .groupBy(col("u")).agg(min(col("t")).as("ct"))
         })
     }.flatten
+  }
+
+  def orderedFunnel(events: DataFrame, stages: Seq[String],
+                    userCol: String = "user_id", tsCol: String = "ts",
+                    typeCol: String = "event_type"): DataFrame = {
+    require(stages.nonEmpty, "orderedFunnel needs at least one stage")
+    val convs = stageCompletions(events, stages, userCol, tsCol, typeCol)
 
     val counts = convs.zip(stages).zipWithIndex.map { case ((c, stage), i) =>
       c.agg(count(lit(1)).as("n_users"))
@@ -266,6 +274,37 @@ object Funnel {
     counts
       .withColumn("p", round(col("n") /
         sum(col("n")).over(Window.partitionBy(col("prev_type"))), 4))
+  }
+
+  /** Time-to-advance distribution per funnel transition: for each
+    * adjacent stage pair, exact nearest-rank-lower p50 and p90 of the
+    * gap between the earliest-completion instants (seconds). The
+    * latency view [[orderedFunnel]]'s counts collapse away — "users
+    * convert" vs "users take a week to convert" read identically
+    * there. Per-transition gap arrays are completer-bounded; swap the
+    * KLL sketch past memory bounds. */
+  def funnelStageLatency(events: DataFrame, stages: Seq[String],
+                         userCol: String = "user_id", tsCol: String = "ts",
+                         typeCol: String = "event_type"): DataFrame = {
+    require(stages.length >= 2, "funnelStageLatency needs >= 2 stages")
+    val convs = stageCompletions(events, stages, userCol, tsCol, typeCol)
+    val gaps = (1 until stages.length).map { i =>
+      convs(i).select(col("u"), col("ct"))
+        .join(convs(i - 1).select(col("u"), col("ct").as("prev_ct")),
+          Seq("u"))
+        .select(lit(i + 1).as("stage_idx"), lit(stages(i)).as("stage"),
+          (unix_micros(col("ct")) - unix_micros(col("prev_ct")))
+            .as("gap_us"))
+    }.reduce(_ unionByName _)
+    val g = gaps.groupBy(col("stage_idx"), col("stage"))
+      .agg(sort_array(collect_list(col("gap_us"))).as("v"),
+        count(lit(1)).as("n_users"))
+    def q(p: Double) = element_at(col("v"),
+      (floor(lit(p) * (col("n_users") - 1)) + 1).cast("int"))
+    g.select(col("stage_idx"), col("stage"), col("n_users"),
+        round(q(0.5) / lit(1000000.0), 6).as("p50_s"),
+        round(q(0.9) / lit(1000000.0), 6).as("p90_s"))
+      .orderBy(col("stage_idx"))
   }
 
   /** Cohort lifetime-value matrix: users cohorted by first-event day,

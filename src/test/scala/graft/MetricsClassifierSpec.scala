@@ -498,6 +498,23 @@ class MetricsClassifierSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 2.0 && r.getDouble(1) == 1.0)
   }
 
+  test("funnelStageLatency: hand-checked gaps over the earliest-completion chain") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(sec: Int) = new java.sql.Timestamp(ts.getTime + sec * 1000L)
+    // u1: a@0 → b@10 (gap 10 s); u2: a@0 → b@30 (gap 30 s); u3: a only
+    val ev = Seq(
+      (1L, 1L, "a", at(0)), (2L, 1L, "b", at(10)),
+      (3L, 2L, "a", at(0)), (4L, 2L, "b", at(30)),
+      (5L, 3L, "a", at(0))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = Funnel.funnelStageLatency(ev, Seq("a", "b")).head()
+    assert(out.getLong(2) == 2L)
+    // sorted gaps [10, 30]: p50 idx = floor(0.5)+1 = 1 ⇒ 10 s;
+    // p90 idx = floor(0.9)+1 = 1 ⇒ 10 s (nearest-rank-lower at n=2)
+    assert(out.getDouble(3) == 10.0 && out.getDouble(4) == 10.0)
+  }
+
   test("trainLogReg: bias-only corpus converges toward the base rate") {
     import spark.implicits._
     // identical text everywhere: only the shared buckets + bias can
