@@ -175,6 +175,17 @@ object GrowthScaleSmoke {
       FuzzyLink.blockedPairs(names, "p_name",
         regexp_extract(col("name"), "[^ ]+$", 0), maxDist = 2).count()
     }
+    // market-basket pair mining: baskets of ≤ 6 items over a 10k-item
+    // catalog — pair rows ∝ orders × basket² (constant basket bound ⇒
+    // linear); an item×item regression would blow up on the hot items
+    val bk = phase("basket_rules") {
+      import graft.operators.Basket
+      val facts = spark.range(n).select(
+        (col("id") / 4L).cast("long").as("o"),
+        pmod(splitmix64(col("id") * 37L + 3), lit(10000)).as("p"))
+      Basket.associationRules(facts, "o", "p", minSupport = 2,
+        topK = 50).count()
+    }
     // join-iterated pagerank on a synthetic 5-regular-ish digraph that
     // scales with the corpus: shuffle rows ∝ edges × iterations (linear);
     // result rows = node count
@@ -242,8 +253,8 @@ object GrowthScaleSmoke {
       Cardinality.CardRef.build(corpus, "grp", "text")
         .noveltyOf(batch, "grp", "text").count()
     }
-    Seq(minhash, cross, cc, ess, dsir, lrt, attr, fun, trn, ij, fz, pg,
-      dh, card)
+    Seq(minhash, cross, cc, ess, dsir, lrt, attr, fun, trn, ij, fz, bk,
+      pg, dh, card)
   }
 
   /** Skewed event stream: (event_id, user_id, ts, event_type); ~10% of
