@@ -1183,6 +1183,23 @@ object SparkEntry {
     Funnel.funnelStageLatency(t(s, dir, "events"),
       Seq("signup", "view", "click", "purchase"))
 
+  /** Cross-dataset enrichment: event stream joined to the customer
+    * dimension (user_id = c_custkey, broadcast) — engagement and
+    * conversion per market segment. */
+  private def qEventsBySegment(s: SparkSession, dir: String): DataFrame = {
+    val seg = t(s, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    t(s, dir, "events").join(broadcast(seg), Seq("user_id"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"),
+        round(sum(when(col("event_type") === "purchase", col("value"))
+          .otherwise(lit(0.0))), 2).as("purchase_value"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** One-pass Deequ-style numeric column profile of lineitem
     * (completeness / cardinality / range / mean per column). */
   private def qProfileLineitem(s: SparkSession, dir: String): DataFrame =
@@ -2885,7 +2902,8 @@ object SparkEntry {
     "split_kfold" -> (qSplitKfold _),
     "q_events_robust_stats" -> (qEventsRobustStats _),
     "q_events_seasonality" -> (qEventsSeasonality _),
-    "q_funnel_latency" -> (qFunnelLatency _)
+    "q_funnel_latency" -> (qFunnelLatency _),
+    "q_events_by_segment" -> (qEventsBySegment _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -6242,7 +6260,16 @@ object SparkEntry {
              1000000.0, 6) AS p50_s,
            round(v[CAST(floor(0.9 * (n_users - 1)) AS INT) + 1] /
              1000000.0, 6) AS p90_s
-         FROM g ORDER BY stage_idx"""
+         FROM g ORDER BY stage_idx""",
+    "q_events_by_segment" ->
+      """SELECT c_mktsegment, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_purchases,
+           round(sum(CASE WHEN event_type = 'purchase' THEN value
+             ELSE 0.0 END), 2) AS purchase_value
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment"""
   )
 
   /** BM25 oracle over an optionally restricted corpus: full replay of
