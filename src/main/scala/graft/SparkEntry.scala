@@ -1075,6 +1075,15 @@ object SparkEntry {
     graft.operators.Graph.triangleStats(pairs, "name_a", "name_b")
   }
 
+  /** Degree distribution of the fuzzy-name pair graph (hub/skew
+    * profile; decides when per-key joins need salting). */
+  private def qGraphDegrees(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.operators.FuzzyLink.blockedPairs(t(s, dir, "part"),
+      "p_name", regexp_extract(col("name"), "[^ ]+$", 0), maxDist = 3)
+    graft.operators.Graph.degreeHistogram(pairs, "name_a", "name_b")
+      .orderBy(col("degree"))
+  }
+
   /** Fill-in-the-middle rewrite over the documents corpus (PSM render,
     * splitmix pivots replayed by the oracle in HUGEINT). */
   private def qFimTransform(s: SparkSession, dir: String): DataFrame =
@@ -2903,7 +2912,8 @@ object SparkEntry {
     "q_events_robust_stats" -> (qEventsRobustStats _),
     "q_events_seasonality" -> (qEventsSeasonality _),
     "q_funnel_latency" -> (qFunnelLatency _),
-    "q_events_by_segment" -> (qEventsBySegment _)
+    "q_events_by_segment" -> (qEventsBySegment _),
+    "graph_degree_dist" -> (qGraphDegrees _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -6269,7 +6279,25 @@ object SparkEntry {
            round(sum(CASE WHEN event_type = 'purchase' THEN value
              ELSE 0.0 END), 2) AS purchase_value
          FROM events e JOIN customer c ON e.user_id = c.c_custkey
-         GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "graph_degree_dist" ->
+      """WITH dim AS (SELECT p_name AS name, count(*) AS cnt
+                      FROM part GROUP BY 1),
+         blk AS (SELECT name, regexp_extract(name, '[^ ]+$') AS block
+                 FROM dim),
+         prs AS (SELECT a.name AS na, b.name AS nb
+                 FROM blk a JOIN blk b
+                   ON a.block = b.block AND a.name < b.name
+                 WHERE levenshtein(a.name, b.name) <= 3),
+         deg AS (SELECT v, count(*) AS d FROM (
+                   SELECT na AS v FROM prs
+                   UNION ALL SELECT nb FROM prs) GROUP BY v),
+         h AS (SELECT d AS degree, count(*) AS n_nodes
+               FROM deg GROUP BY d),
+         tot AS (SELECT sum(n_nodes) AS n_total FROM h)
+         SELECT degree, n_nodes,
+           round(CAST(n_nodes AS DOUBLE) / n_total, 6) AS share
+         FROM h CROSS JOIN tot ORDER BY degree"""
   )
 
   /** BM25 oracle over an optionally restricted corpus: full replay of

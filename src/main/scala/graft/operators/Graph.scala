@@ -65,6 +65,29 @@ object Graph {
     pr
   }
 
+  /** Degree distribution of an undirected graph: per-degree node
+    * counts with shares — the hub/skew profile that decides whether
+    * the wedge join ([[triangleStats]]) or a per-key equi-join needs
+    * salting. Canonical distinct edges, one degree agg, one
+    * histogram agg on the degrees frame. */
+  def degreeHistogram(edges: DataFrame, aCol: String,
+                      bCol: String): DataFrame = {
+    val canon = edges
+      .select(least(col(aCol), col(bCol)).as("lo"),
+        greatest(col(aCol), col(bCol)).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+    val deg = canon.select(col("lo").as("v"))
+      .unionAll(canon.select(col("hi").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val h = deg.groupBy(col("d").as("degree"))
+      .agg(count(lit(1)).as("n_nodes"))
+    h.crossJoin(broadcast(h.agg(sum(col("n_nodes")).as("n_total"))))
+      .select(col("degree"), col("n_nodes"),
+        round(col("n_nodes").cast("double") / col("n_total"), 6)
+          .as("share"))
+  }
+
   /** Triangle count + global clustering coefficient over an undirected
     * graph: canonicalize each edge to (lo, hi), enumerate wedges by
     * joining edges on the shared middle vertex with the a < b < c

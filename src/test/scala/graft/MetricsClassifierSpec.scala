@@ -515,6 +515,19 @@ class MetricsClassifierSpec extends AnyFunSuite {
     assert(out.getDouble(3) == 10.0 && out.getDouble(4) == 10.0)
   }
 
+  test("degreeHistogram: canonicalized degrees; shares sum to 1") {
+    import spark.implicits._
+    // K3 + pendant (with a duplicate + reversed edge): degrees
+    // {1:2, 2:2, 3:3, 4:1} ⇒ histogram {1→1, 2→2, 3→1}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (2L, 1L))
+      .toDF("a", "b")
+    val h = graft.operators.Graph.degreeHistogram(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(h.view.mapValues(_._1).toMap == Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+    assert(math.abs(h.values.map(_._2).sum - 1.0) < 1e-9)
+  }
+
   test("trainLogReg: bias-only corpus converges toward the base rate") {
     import spark.implicits._
     // identical text everywhere: only the shared buckets + bias can
