@@ -113,6 +113,80 @@ object R8ePropSpec extends Properties("r8e-invariants") {
     cm <- Gen.listOfN(nc, Gen.choose(1, 5))
   } yield (rm, cm)
 
+  private val namesGen: Gen[List[String]] = for {
+    n <- Gen.choose(2, 25)
+    names <- Gen.listOfN(n, for {
+      adj <- Gen.oneOf("red", "ted", "blue", "blu", "old", "bold", "hot")
+      noun <- Gen.oneOf("bolt", "gear", "ring")
+    } yield s"$adj $noun")
+  } yield names
+
+  property("blockedPairs: canonical order, threshold bound, monotone in maxDist") =
+    Prop.forAll(namesGen) { names =>
+      import spark.implicits._
+      import graft.operators.FuzzyLink
+      val df = names.toDF("p_name")
+      val blockExpr = regexp_extract(col("name"), "[^ ]+$", 0)
+      def pairs(d: Int) = FuzzyLink.blockedPairs(df, "p_name", blockExpr, d)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      val p2 = pairs(2)
+      val p3 = pairs(3)
+      p2.forall { case (a, b, d) => a < b && d <= 2 } :| "canonical+bound" &&
+        p2.map(t => (t._1, t._2)).toSet
+          .subsetOf(p3.map(t => (t._1, t._2)).toSet) :| "monotone in maxDist"
+    }
+
+  private val textGen: Gen[(Long, String)] = for {
+    id <- Gen.choose(0L, 100000L)
+    n <- Gen.choose(0, 120)
+    cs <- Gen.listOfN(n, Gen.alphaNumChar)
+  } yield (id, cs.mkString)
+
+  property("fimTransform: P+M+S reassembles the doc; pivots respect the contract") =
+    Prop.forAll(Gen.listOfN(6, textGen)) { rows0 =>
+      import spark.implicits._
+      val rows = rows0.zipWithIndex.map { case ((_, t), i) => (i.toLong, t) }
+      val out = graft.operators.Packing
+        .fimTransform(rows.toDF("doc_id", "text"), "text", "doc_id")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+            if (r.isNullAt(3)) -1L else r.getLong(3), r.getString(4)))
+        .toMap
+      rows.forall { case (id, text) =>
+        val (n, p1, p2, fim) = out(id)
+        if (text.length < 20) fim == text && p1 == -1L
+        else {
+          val pre = fim.stripPrefix("<|fim_prefix|>")
+            .split("<\\|fim_suffix\\|>")(0)
+          val suf = fim.split("<\\|fim_suffix\\|>")(1)
+            .split("<\\|fim_middle\\|>")(0)
+          val mid = if (fim.endsWith("<|fim_middle|>")) ""
+            else fim.split("<\\|fim_middle\\|>")(1)
+          pre + mid + suf == text && p1 >= 1 && p1 <= n / 3 &&
+            p2 > p1 && p2 - p1 <= n / 3 + 1 && mid.nonEmpty
+        }
+      } :| s"rows=$rows"
+    }
+
+  private val valuesGen: Gen[List[Double]] = for {
+    n <- Gen.choose(2, 30)
+    vs <- Gen.listOfN(n, Gen.choose(0, 10000).map(_ / 100.0))
+    if vs.sum > 0
+  } yield vs
+
+  property("gini: bounded in [0, 1), scale-invariant") =
+    Prop.forAll(valuesGen) { vs =>
+      import spark.implicits._
+      import graft.operators.Metrics
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+      val g = Metrics.gini(df, "v", "id").head().getDouble(2)
+      val g3 = Metrics.gini(df.select(col("id"), (col("v") * 4).as("v")),
+        "v", "id").head().getDouble(2)
+      (g >= -1e-9 && g < 1.0) :| s"bounded: $g" &&
+        (math.abs(g - g3) < 1e-4) :| s"scale-invariant: $g vs $g3"
+    }
+
   property("chi-square: exactly 0 on a product table, never negative") =
     Prop.forAll(tableGen) { case (rm, cm) =>
       import spark.implicits._
