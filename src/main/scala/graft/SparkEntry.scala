@@ -1116,6 +1116,14 @@ object SparkEntry {
     graft.operators.Metrics.gini(rev, "revenue", "o_custkey")
   }
 
+  /** Pareto concentration of customer revenue: the share held by the
+    * top 1/5/10/20 percent of customers. */
+  private def qParetoRevenue(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "orders").groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"))
+    graft.operators.Metrics.topShares(rev, "revenue", "o_custkey")
+  }
+
   /** Corpus mixture diversity: Shannon entropy, Simpson index, and the
     * effective source count of the documents source distribution. */
   private def qCorpusDiversity(s: SparkSession, dir: String): DataFrame =
@@ -2913,7 +2921,8 @@ object SparkEntry {
     "q_events_seasonality" -> (qEventsSeasonality _),
     "q_funnel_latency" -> (qFunnelLatency _),
     "q_events_by_segment" -> (qEventsBySegment _),
-    "graph_degree_dist" -> (qGraphDegrees _)
+    "graph_degree_dist" -> (qGraphDegrees _),
+    "q_pareto_revenue" -> (qParetoRevenue _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -6297,7 +6306,25 @@ object SparkEntry {
          tot AS (SELECT sum(n_nodes) AS n_total FROM h)
          SELECT degree, n_nodes,
            round(CAST(n_nodes AS DOUBLE) / n_total, 6) AS share
-         FROM h CROSS JOIN tot ORDER BY degree"""
+         FROM h CROSS JOIN tot ORDER BY degree""",
+    "q_pareto_revenue" ->
+      """WITH rev AS (
+           SELECT o_custkey, round(sum(o_totalprice), 2) AS x
+           FROM orders GROUP BY 1),
+         r AS (SELECT x, row_number() OVER (ORDER BY x DESC, o_custkey)
+                 AS rk
+               FROM rev),
+         t AS (SELECT count(*) AS n, round(sum(x), 2) AS total FROM r)
+         SELECT CAST(t.n AS BIGINT) AS n, t.total,
+           round((SELECT sum(x) FROM r WHERE rk <= (t.n * 1 + 99) // 100)
+             / t.total, 6) AS top1_share,
+           round((SELECT sum(x) FROM r WHERE rk <= (t.n * 5 + 99) // 100)
+             / t.total, 6) AS top5_share,
+           round((SELECT sum(x) FROM r WHERE rk <= (t.n * 10 + 99) // 100)
+             / t.total, 6) AS top10_share,
+           round((SELECT sum(x) FROM r WHERE rk <= (t.n * 20 + 99) // 100)
+             / t.total, 6) AS top20_share
+         FROM t"""
   )
 
   /** BM25 oracle over an optionally restricted corpus: full replay of

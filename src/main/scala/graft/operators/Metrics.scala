@@ -78,6 +78,29 @@ object Metrics {
           (col("n") + lit(1.0)) / col("n"), 6).as("gini"))
   }
 
+  /** Pareto concentration: the revenue share held by the top 1/5/10/20
+    * percent of units — the interpretable cut-point companion to
+    * [[gini]]. Top-k counts are exact integers (⌈n·p/100⌉ =
+    * (n·p+99) div 100); values round to cents before the
+    * (value desc, id) ranking so the order is engine-stable. One rank
+    * window over the units frame, one conditional aggregation. */
+  def topShares(units: DataFrame, valueCol: String, idCol: String,
+                pcts: Seq[Int] = Seq(1, 5, 10, 20)): DataFrame = {
+    val v = units.select(col(idCol).as("id"),
+      round(col(valueCol), 2).as("x"))
+    val w = Window.orderBy(col("x").desc, col("id"))
+    val ranked = v.withColumn("rk", row_number().over(w).cast("long"))
+    val tot = ranked.agg(count(lit(1)).as("n"),
+      round(sum(col("x")), 2).as("total"))
+    val shares = pcts.map { p =>
+      round(sum(when(col("rk") <= expr(s"(n * $p + 99) DIV 100"), col("x"))
+        .otherwise(lit(0.0))) / col("total"), 6).as(s"top${p}_share")
+    }
+    ranked.crossJoin(broadcast(tot))
+      .groupBy(col("n"), col("total"))
+      .agg(shares.head, shares.tail: _*)
+  }
+
   /** Diversity indices of a categorical distribution (corpus source
     * mixture, label balance): Shannon entropy H = −Σ p·ln p, Simpson
     * index Σ p², and the effective category count e^H. One group

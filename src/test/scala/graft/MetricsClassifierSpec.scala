@@ -528,6 +528,20 @@ class MetricsClassifierSpec extends AnyFunSuite {
     assert(math.abs(h.values.map(_._2).sum - 1.0) < 1e-9)
   }
 
+  test("topShares: hand-checked concentration with ceil top-k counts") {
+    import spark.implicits._
+    // 10 units: one holds 91, the rest 1 each. top-1% of 10 = ceil(0.1)
+    // = 1 unit ⇒ 91/100; top-20% = 2 units ⇒ 92/100.
+    val df = ((1L, 91.0) +: (2L to 10L).map(i => (i, 1.0))).toDF("id", "v")
+    val r = Metrics.topShares(df, "v", "id").head()
+    assert(r.getLong(0) == 10L && r.getDouble(1) == 100.0)
+    assert(r.getDouble(2) == 0.91 && r.getDouble(5) == 0.92)
+    // uniform: top-p% holds exactly ceil(n·p/100)/n of the mass
+    val u = (1L to 100L).map(i => (i, 2.0)).toDF("id", "v")
+    val ru = Metrics.topShares(u, "v", "id").head()
+    assert(ru.getDouble(2) == 0.01 && ru.getDouble(5) == 0.2)
+  }
+
   test("trainLogReg: bias-only corpus converges toward the base rate") {
     import spark.implicits._
     // identical text everywhere: only the shared buckets + bias can
