@@ -1124,6 +1124,11 @@ object SparkEntry {
     graft.operators.Metrics.topShares(rev, "revenue", "o_custkey")
   }
 
+  /** Zipf rank-frequency profile of the corpus vocabulary (flat slope
+    * flags templated/synthetic text). */
+  private def qVocabZipf(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.zipfProfile(t(s, dir, "documents"), "text", topN = 100)
+
   /** Corpus mixture diversity: Shannon entropy, Simpson index, and the
     * effective source count of the documents source distribution. */
   private def qCorpusDiversity(s: SparkSession, dir: String): DataFrame =
@@ -2922,7 +2927,8 @@ object SparkEntry {
     "q_funnel_latency" -> (qFunnelLatency _),
     "q_events_by_segment" -> (qEventsBySegment _),
     "graph_degree_dist" -> (qGraphDegrees _),
-    "q_pareto_revenue" -> (qParetoRevenue _)
+    "q_pareto_revenue" -> (qParetoRevenue _),
+    "vocab_zipf" -> (qVocabZipf _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -6324,7 +6330,30 @@ object SparkEntry {
              / t.total, 6) AS top10_share,
            round((SELECT sum(x) FROM r WHERE rk <= (t.n * 20 + 99) // 100)
              / t.total, 6) AS top20_share
-         FROM t"""
+         FROM t""",
+    "vocab_zipf" ->
+      """WITH toks AS (
+           SELECT unnest(list_filter(
+             regexp_split_to_array(trim(lower(text)), '\s+'),
+             x -> len(x) > 0)) AS tok
+           FROM documents),
+         tc AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+         top AS (SELECT tok, c, rk FROM (
+                   SELECT tok, c, row_number() OVER
+                     (ORDER BY c DESC, tok) AS rk
+                   FROM tc) WHERE rk <= 100),
+         pts AS (SELECT ln(CAST(rk AS DOUBLE)) AS x,
+                   ln(CAST(c AS DOUBLE)) AS y
+                 FROM top),
+         agg AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+                   sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+                 FROM pts)
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM tc) AS n_vocab,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+             AS zipf_slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+             / n, 4) AS intercept
+         FROM agg"""
   )
 
   /** BM25 oracle over an optionally restricted corpus: full replay of

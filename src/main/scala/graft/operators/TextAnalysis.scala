@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines.
@@ -720,5 +721,31 @@ object TextAnalysis {
         sum(col("n_out")).as("tokens_out"),
         round(sum(col("n_out")).cast("double") / sum(col("n_in")), 4)
           .as("compression"))
+  }
+
+  /** Zipf rank-frequency profile: OLS slope of ln(freq) on ln(rank)
+    * over the top-N vocabulary — natural corpora slope toward −1
+    * (Zipf's law); a flat slope flags synthetic/templated text the
+    * same way a Benford miss flags fabricated amounts. One term-count
+    * aggregation over the scan; the regression runs on the N-point
+    * frame (closed-form sums, deterministic under the
+    * (freq desc, term) rank order). */
+  def zipfProfile(df: DataFrame, textCol: String,
+                  topN: Int = 100): DataFrame = {
+    val tc = df.select(explode(tokens(lower(col(textCol)))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("c").desc, col("tok"))
+    val top = tc.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topN)
+    val pts = top.select(log(col("rk").cast("double")).as("x"),
+      log(col("c").cast("double")).as("y"))
+    val agg = pts.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    agg.crossJoin(broadcast(tc.agg(count(lit(1)).as("n_vocab"))))
+      .select(col("n_vocab"), round(slope, 4).as("zipf_slope"),
+        round((col("sy") - slope * col("sx")) / col("n"), 4).as("intercept"))
   }
 }

@@ -542,6 +542,24 @@ class MetricsClassifierSpec extends AnyFunSuite {
     assert(ru.getDouble(2) == 0.01 && ru.getDouble(5) == 0.2)
   }
 
+  test("zipfProfile: harmonic corpus slopes to -1, uniform corpus is flat") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // token w_k appears floor(1000/k) times: frequencies ARE 1/rank
+    val harmonic = (1 to 50).flatMap(k =>
+      Seq.fill(1000 / k)(s"w$k")).mkString(" ")
+    val hz = TextAnalysis.zipfProfile(Seq(harmonic).toDF("text"), "text")
+      .head()
+    assert(math.abs(hz.getDouble(1) - (-1.0)) < 0.05,
+      s"harmonic slope ${hz.getDouble(1)}")
+    // every token equally frequent: slope ~ 0
+    val uniform = (1 to 50).flatMap(k => Seq.fill(20)(s"u$k")).mkString(" ")
+    val uz = TextAnalysis.zipfProfile(Seq(uniform).toDF("text"), "text")
+      .head()
+    assert(math.abs(uz.getDouble(1)) < 0.01, s"uniform slope ${uz.getDouble(1)}")
+    assert(uz.getLong(0) == 50L)
+  }
+
   test("trainLogReg: bias-only corpus converges toward the base rate") {
     import spark.implicits._
     // identical text everywhere: only the shared buckets + bias can
