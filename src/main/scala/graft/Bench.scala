@@ -77,13 +77,20 @@ object Bench {
     // rerun vs 527k recorded); a spike can poison one pass, not the best
     // of three spread across the wall-clock tail
     val sentinelPasses = 3
-    val (lpsNginx, lps25) = (1 to sentinelPasses).map { _ =>
+    val passPairs = (1 to sentinelPasses).map { _ =>
       (graft.wpl.ParserBench.linesPerSec(
          graft.wpl.ParserBench.nginxWpl, graft.wpl.ParserBench.nginxLine, 300000),
        graft.wpl.ParserBench.linesPerSec(
          graft.wpl.ParserBench.bench25Wpl, graft.wpl.ParserBench.bench25Line,
          50000, warmup = 100000))
-    }.reduce((a, b) => (a._1 max b._1, a._2 max b._2))
+    }
+    val (lpsNginx, lps25) =
+      passPairs.reduce((a, b) => (a._1 max b._1, a._2 max b._2))
+    // publish EVERY pass alongside the best (r8 judge ask): a loaded
+    // driver window then self-identifies — three depressed passes means
+    // sustained host load, one means a spike the best already absorbed
+    val passesJson = passPairs.map(p => f"${p._1}%.0f").mkString("[", ",", "]")
+    val passes25Json = passPairs.map(p => f"${p._2}%.0f").mkString("[", ",", "]")
     // bytes/s companions: the varied-line corpus (r6, seed-fixed wpgen
     // lines) has a different mean length than the old single sample
     // line, so MB/s is the cross-round-stable view of parser speed
@@ -91,7 +98,7 @@ object Bench {
       graft.wpl.ParserBench.nginxWpl, graft.wpl.ParserBench.nginxLine) / 1e6
     val mbs25 = lps25 * graft.wpl.ParserBench.corpusMeanLen(
       graft.wpl.ParserBench.bench25Wpl, graft.wpl.ParserBench.bench25Line) / 1e6
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread_min_max":$spread,"lines_per_sec_core":$lpsNginx%.0f,"lines_per_sec_core_25field":$lps25%.0f,"parser_mb_per_sec_core":$mbsNginx%.1f,"parser_mb_per_sec_core_25field":$mbs25%.1f,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread_min_max":$spread,"lines_per_sec_core":$lpsNginx%.0f,"lines_per_sec_core_passes":$passesJson%s,"lines_per_sec_core_25field":$lps25%.0f,"lines_per_sec_core_25field_passes":$passes25Json%s,"parser_mb_per_sec_core":$mbsNginx%.1f,"parser_mb_per_sec_core_25field":$mbs25%.1f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -4814,12 +4814,15 @@ object SparkEntry {
                (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
            FROM events) ORDER BY user_id, event_id""",
     "dedup_exact" ->
-      """SELECT md5(text) AS content_md5, min(doc_id) AS keep_id,
-         count(*) AS dup_count
-         FROM documents GROUP BY md5(text) ORDER BY keep_id""",
+      s"""WITH q AS (SELECT doc_id, ${fnvSql("text")} AS hv FROM documents)
+         SELECT CAST(CASE WHEN hv >= 9223372036854775808::HUGEINT
+                          THEN hv - 18446744073709551616::HUGEINT
+                          ELSE hv END AS BIGINT) AS content_h,
+           min(doc_id) AS keep_id, count(*) AS dup_count
+         FROM q GROUP BY 1 ORDER BY keep_id""",
     "dedup_incremental" ->
-      """WITH b AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 >= 8),
-         c AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 < 8),
+      s"""WITH b AS (SELECT doc_id, ${fnvSql("text")} AS h FROM documents WHERE doc_id % 10 >= 8),
+         c AS (SELECT DISTINCT ${fnvSql("text")} AS h FROM documents WHERE doc_id % 10 < 8),
          f AS (SELECT doc_id, h, min(doc_id) OVER (PARTITION BY h) AS first_id FROM b)
          SELECT f.doc_id,
            CASE WHEN c.h IS NOT NULL THEN 'dup_of_corpus'
@@ -6076,16 +6079,25 @@ object SparkEntry {
            CAST(sum(CASE WHEN v = 0 THEN f ELSE 0 END) AS BIGINT) AS conv_a,
            CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
            CAST(sum(CASE WHEN v = 1 THEN f ELSE 0 END) AS BIGINT) AS conv_b
-           FROM u)
-         SELECT n_a, conv_a, round(CAST(conv_a AS DOUBLE)/n_a, 4) AS rate_a,
-           n_b, conv_b, round(CAST(conv_b AS DOUBLE)/n_b, 4) AS rate_b,
-           round(CAST(conv_a AS DOUBLE)/n_a - CAST(conv_b AS DOUBLE)/n_b, 4)
-             AS rate_diff,
-           round((CAST(conv_a AS DOUBLE)/n_a - CAST(conv_b AS DOUBLE)/n_b) /
-             sqrt((CAST(conv_a + conv_b AS DOUBLE)/(n_a + n_b)) *
-               (1.0 - CAST(conv_a + conv_b AS DOUBLE)/(n_a + n_b)) *
-               (1.0/n_a + 1.0/n_b)), 4) AS z
-         FROM a""",
+           FROM u),
+         s AS (SELECT *,
+           sqrt((CAST(conv_a + conv_b AS DOUBLE)/(n_a + n_b)) *
+             (1.0 - CAST(conv_a + conv_b AS DOUBLE)/(n_a + n_b)) *
+             (1.0/nullif(n_a, 0) + 1.0/nullif(n_b, 0))) AS se
+           FROM a)
+         SELECT n_a, conv_a,
+           CASE WHEN n_a > 0
+             THEN round(CAST(conv_a AS DOUBLE)/n_a, 4) END AS rate_a,
+           n_b, conv_b,
+           CASE WHEN n_b > 0
+             THEN round(CAST(conv_b AS DOUBLE)/n_b, 4) END AS rate_b,
+           CASE WHEN n_a > 0 AND n_b > 0
+             THEN round(CAST(conv_a AS DOUBLE)/n_a
+               - CAST(conv_b AS DOUBLE)/n_b, 4) END AS rate_diff,
+           CASE WHEN n_a > 0 AND n_b > 0 AND se > 0
+             THEN round((CAST(conv_a AS DOUBLE)/n_a
+               - CAST(conv_b AS DOUBLE)/n_b) / se, 4) END AS z
+         FROM s""",
     "q_events_chi2" ->
       """WITH cells AS (
            SELECT event_type AS r, CAST(user_id % 2 AS INT) AS c,

@@ -622,10 +622,18 @@ object Cli {
               idx.dropKnown(substrGated, idCol, mediaSig, mediaMaxDist)
             case None => substrGated
           }
-          val accepted = lrModel match {
+          val acceptedPlan = lrModel match {
             case Some(m) => m.gate(mediaGated, textCol, idCol, lrThreshold)
             case None => mediaGated
           }
+          // the full gate chain (dedup probes, media decode+dHash, LR
+          // scoring) feeds up to four consumers per micro-batch — the
+          // parquet write, the monitor agg, the novelty probe+append,
+          // the drift probe. Materialize it ONCE so the chain is not
+          // re-evaluated per consumer.
+          val accepted = acceptedPlan.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
           accepted.write.mode("append").parquet(s"$out/accepted")
           // --monitor-key <col>: per-batch cardinality line via the HLL
           // sketch — 512 B of state per aggregate regardless of key
@@ -668,6 +676,7 @@ object Cli {
               .foreach(r => println(
                 s"wpcurate: DRIFT ${r.getString(0)} psi=${r.getDouble(2)}"))
           }
+          } finally accepted.unpersist()
           ()
         }.start()
       q.awaitTermination()

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.types._
@@ -43,6 +44,13 @@ case class HllSketch(child: Expression, p: Int,
   require(p >= 4 && p <= 16, s"hll_distinct: p must be in [4,16], got $p")
 
   private val m = 1 << p
+
+  // analysis-time type error (not a runtime ClassCastException) when
+  // SQL-registered callers pass a non-string key
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hll_distinct expects STRING, got ${child.dataType.catalogString}")
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
@@ -124,7 +132,14 @@ object HllSketch {
       if (mj == 0) zeros += 1
       i += 1
     }
-    val alpha = 0.7213 / (1.0 + 1.079 / m) // m >= 128 constant
+    // Flajolet AofA'07 Fig.3: the 0.7213/(1+1.079/m) closed form is the
+    // m >= 128 asymptote; the small-m bias corrections are tabulated.
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
     val raw = alpha * m * m * math.pow(2.0, (q + 1).toDouble) / s.toDouble
     val est =
       if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
@@ -145,6 +160,11 @@ case class HllRegisters(child: Expression, p: Int,
     extends TypedImperativeAggregate[Array[Byte]] {
   require(p >= 4 && p <= 16, s"hll_registers: p must be in [4,16], got $p")
   private val m = 1 << p
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hll_registers expects STRING, got ${child.dataType.catalogString}")
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false

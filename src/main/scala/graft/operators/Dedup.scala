@@ -19,9 +19,13 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Exact dedup: keep the lowest-id row per identical content. */
+  /** Exact dedup: keep the lowest-id row per identical content. Keys on
+    * the engine's fnv1a64 (the shared scan-side hash family — same fold
+    * every signature kernel uses, codegen'd, and cheaper per byte than
+    * md5); 64 bits is collision-negligible at corpus scale for a
+    * keep-list, and the DuckDB oracle replays the identical fold. */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.groupBy(md5(col(textCol)).as("content_md5"))
+    df.groupBy(graft.functions.Fnv1a64Expr.fnv1a64(col(textCol)).as("content_h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
   /** Incremental (batch-vs-corpus) exact dedup — the daily-ingest shape:
@@ -38,8 +42,10 @@ object Dedup {
     * small by definition. */
   def incremental(batch: DataFrame, corpus: DataFrame,
                   textCol: String, idCol: String): DataFrame = {
-    val b = batch.select(col(idCol), md5(col(textCol)).as("__h"))
-    val c = corpus.select(md5(col(textCol)).as("__h")).distinct()
+    val b = batch.select(col(idCol),
+      graft.functions.Fnv1a64Expr.fnv1a64(col(textCol)).as("__h"))
+    val c = corpus.select(
+      graft.functions.Fnv1a64Expr.fnv1a64(col(textCol)).as("__h")).distinct()
       .withColumn("__in_corpus", lit(true))
     // first-occurrence via groupBy-min + join back, NOT min-over-window:
     // partial aggregation absorbs a hyper-duplicated content hash (empty
@@ -61,9 +67,9 @@ object Dedup {
     * — without it, state grows without bound at 100 TB/day ingest). */
   def streamingExact(df: DataFrame, textCol: String, tsCol: String,
                      watermark: String = "10 minutes"): DataFrame =
-    df.withColumn("content_md5", md5(col(textCol)))
+    df.withColumn("content_h", graft.functions.Fnv1a64Expr.fnv1a64(col(textCol)))
       .withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark("content_md5")
+      .dropDuplicatesWithinWatermark("content_h")
 
   /** Streaming incremental dedup: drop stream rows whose content already
     * exists in a STATIC historical corpus — the live-ingest shape of
@@ -74,8 +80,9 @@ object Dedup {
     * drop within-stream repeats. */
   def streamingAgainstCorpus(stream: DataFrame, corpus: DataFrame,
                              textCol: String, corpusTextCol: String): DataFrame = {
-    val idx = corpus.select(md5(col(corpusTextCol)).as("__h")).distinct()
-    stream.withColumn("__h", md5(col(textCol)))
+    val idx = corpus.select(
+      graft.functions.Fnv1a64Expr.fnv1a64(col(corpusTextCol)).as("__h")).distinct()
+    stream.withColumn("__h", graft.functions.Fnv1a64Expr.fnv1a64(col(textCol)))
       .join(idx, Seq("__h"), "left_anti")
       .drop("__h")
   }

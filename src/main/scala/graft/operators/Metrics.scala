@@ -59,18 +59,46 @@ object Metrics {
         round((po - peC) / (lit(1.0) - peC), 4).as("kappa"))
   }
 
+  /** Distributed global rank over `sortCols` (unique per row): range-
+    * partition on the sort key, rank locally inside each range, then
+    * add the cumulative count of all earlier ranges. The only
+    * unbounded-frame work is the per-range local rank (~n/parts rows
+    * per task); the offset cascade runs over the partition-count frame
+    * (#partitions rows). This is the scale-safe replacement for a
+    * single `Window.orderBy` over the whole frame, which funnels every
+    * row through one task. Rank values are identical to the one-task
+    * form for any unique sort key, regardless of where the range
+    * sampler drew its boundaries. */
+  private def globalRank(df: DataFrame, sortCols: Seq[Column],
+                         rankName: String): DataFrame = {
+    val parts = df.repartitionByRange(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val local = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
+    val withLocal = parts.withColumn("__lr",
+      row_number().over(local).cast("long"))
+    val offW = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = withLocal.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__pc"))
+      .withColumn("__off", coalesce(sum(col("__pc")).over(offW), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    withLocal.join(broadcast(offs), Seq("__pid"))
+      .withColumn(rankName, col("__off") + col("__lr"))
+      .drop("__pid", "__lr")
+  }
+
   /** Gini coefficient of a non-negative value distribution (revenue
     * concentration, source-size inequality):
     * `G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n` over ascending ranks.
     * Values round to cents BEFORE ranking so the sort order is
     * engine-stable (the exact-cents discipline); rank ties break on
-    * the unit id. One unit-keyed agg, one rank window over the units
-    * frame, one final aggregation. */
+    * the unit id. One unit-keyed agg, a range-partitioned two-phase
+    * [[globalRank]] (no single-task sort of the units frame), one
+    * final aggregation. */
   def gini(units: DataFrame, valueCol: String, idCol: String): DataFrame = {
     val v = units.select(col(idCol).as("id"),
       round(col(valueCol), 2).as("x"))
-    val w = Window.orderBy(col("x"), col("id"))
-    v.withColumn("i", row_number().over(w).cast("long"))
+    globalRank(v, Seq(col("x"), col("id")), "i")
       .agg(count(lit(1)).as("n"), round(sum(col("x")), 2).as("total"),
         sum(col("i").cast("double") * col("x")).as("ix"))
       .select(col("n"), col("total"),
@@ -82,14 +110,14 @@ object Metrics {
     * percent of units — the interpretable cut-point companion to
     * [[gini]]. Top-k counts are exact integers (⌈n·p/100⌉ =
     * (n·p+99) div 100); values round to cents before the
-    * (value desc, id) ranking so the order is engine-stable. One rank
-    * window over the units frame, one conditional aggregation. */
+    * (value desc, id) ranking so the order is engine-stable. One
+    * range-partitioned two-phase [[globalRank]] (no single-task sort),
+    * one conditional aggregation. */
   def topShares(units: DataFrame, valueCol: String, idCol: String,
                 pcts: Seq[Int] = Seq(1, 5, 10, 20)): DataFrame = {
     val v = units.select(col(idCol).as("id"),
       round(col(valueCol), 2).as("x"))
-    val w = Window.orderBy(col("x").desc, col("id"))
-    val ranked = v.withColumn("rk", row_number().over(w).cast("long"))
+    val ranked = globalRank(v, Seq(col("x").desc, col("id")), "rk")
     val tot = ranked.agg(count(lit(1)).as("n"),
       round(sum(col("x")), 2).as("total"))
     val shares = pcts.map { p =>
