@@ -535,13 +535,22 @@ object Cli {
         val i = rest.indexOf(name); if (i >= 0 && i + 1 < rest.length) rest(i + 1) else default
       }
       val spark = session()
+      // auto-compaction threshold for every per-batch index append
+      // below (Maintenance.autoCompact reads this conf); 0 disables
+      spark.conf.set(graft.operators.Maintenance.AutoCompactConf,
+        flag("--compact-max-files", "256"))
       val textCol = flag("--text-col", "text")
       val idCol = flag("--id-col", "doc_id")
       val schema = spark.read.parquet(in).schema
-      val ndIdx = flag("--index", "") match {
+      val ndIdxPath = flag("--index", "")
+      val ndIdx = ndIdxPath match {
         case "" => None
         case p => Some(Dedup.NearDupCorpusIndex.load(spark, p))
       }
+      // --append-index: close the continual-ingest loop — each batch's
+      // ACCEPTED docs band into the near-dup index, so the NEXT batch's
+      // probe sees them (appendTo auto-compacts past the threshold)
+      val appendIndex = rest.contains("--append-index")
       val lmRef = flag("--lm", "") match {
         case "" => None
         case p => Some(Lm.LmRef.load(spark, p))
@@ -592,7 +601,14 @@ object Cli {
         else org.apache.spark.sql.streaming.Trigger.ProcessingTime(
           flag("--trigger-ms", "1000").toLong))
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-          val gated = ndIdx match {
+          // under --append-index the index GROWS (and compacts) between
+          // batches — reload per batch so the probe's file listing sees
+          // the appended files and never references compacted-away ones
+          val batchNdIdx =
+            if (appendIndex && ndIdxPath.nonEmpty)
+              Some(Dedup.NearDupCorpusIndex.load(spark, ndIdxPath))
+            else ndIdx
+          val gated = batchNdIdx match {
             case Some(idx) => graft.streaming.StreamingCuration.curateBatch(
               b, textCol, idCol, idx,
               minWords = flag("--min-words", "10").toInt,
@@ -627,14 +643,23 @@ object Cli {
             case None => mediaGated
           }
           // the full gate chain (dedup probes, media decode+dHash, LR
-          // scoring) feeds up to four consumers per micro-batch — the
-          // parquet write, the monitor agg, the novelty probe+append,
-          // the drift probe. Materialize it ONCE so the chain is not
-          // re-evaluated per consumer.
-          val accepted = acceptedPlan.persist(
-            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          try {
+          // scoring) feeds up to five consumers per micro-batch — the
+          // parquet write, the index append, the monitor agg, the
+          // novelty probe+append, the drift probe. Materialize it ONCE,
+          // and with localCheckpoint rather than persist: the appends
+          // write into the very paths the gate plan reads, and Spark's
+          // cache manager invalidates (and silently RE-EVALUATES) a
+          // persisted plan whose source files changed — against the
+          // already-appended index every doc is a dup and the later
+          // consumers would see an empty batch. Checkpointing truncates
+          // the lineage so the materialized rows can't be re-derived.
+          // (Block cleanup: the checkpoint RDD is released by the
+          // context cleaner once the batch's reference drops.)
+          val accepted = acceptedPlan.localCheckpoint()
           accepted.write.mode("append").parquet(s"$out/accepted")
+          if (appendIndex) batchNdIdx.foreach { idx =>
+            idx.appendTo(ndIdxPath, accepted, textCol, idCol)
+          }
           // --monitor-key <col>: per-batch cardinality line via the HLL
           // sketch — 512 B of state per aggregate regardless of key
           // count, so the monitor never becomes the memory bound the
@@ -676,7 +701,6 @@ object Cli {
               .foreach(r => println(
                 s"wpcurate: DRIFT ${r.getString(0)} psi=${r.getDouble(2)}"))
           }
-          } finally accepted.unpersist()
           ()
         }.start()
       q.awaitTermination()
@@ -688,6 +712,20 @@ object Cli {
       }
       val spark = session()
       (sub, kind, rest) match {
+        // `wpindex ls <root>`: one line per artifact directly under (or
+        // at) root — kind / format version / builder fingerprint /
+        // params, from each meta.properties
+        case ("ls", root, _) =>
+          val lines = graft.operators.ArtifactMeta.ls(root)
+          if (lines.isEmpty) println(s"wpindex: no artifacts under $root")
+          else lines.foreach(l => println(s"wpindex: $l"))
+        // `wpindex compact <indexDir>`: layout-preserving compaction of
+        // an appended artifact's over-threshold subdirs
+        case ("compact", path, _) =>
+          val done = graft.operators.Maintenance.compactArtifact(spark, path,
+            flag("--max-files", "64").toInt)
+          if (done.isEmpty) println(s"wpindex: nothing over threshold at $path")
+          else println(s"wpindex: compacted ${done.mkString(",")} at $path")
         case ("build", "neardup", corpus :: path :: _) =>
           Dedup.nearDupCorpusIndex(spark.read.parquet(corpus),
             flag("--text-col", "text"), flag("--id-col", "doc_id")).save(path)
@@ -917,7 +955,8 @@ object Cli {
           println(s"wpindex: batch novelty written to $out")
         case _ =>
           System.err.println(
-            "usage: wpindex build|append|probe neardup|emb|ann|drift|lm|bm25|dsir|substr|card <in.parquet> <indexDir> [<outDir>] [flags]")
+            "usage: wpindex build|append|probe neardup|emb|ann|drift|lm|bm25|dsir|substr|card <in.parquet> <indexDir> [<outDir>] [flags]\n" +
+            "       wpindex ls <root> | wpindex compact <indexDir> [--max-files N]")
           sys.exit(2)
       }
 

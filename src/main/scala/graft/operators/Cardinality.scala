@@ -39,10 +39,8 @@ object Cardinality {
     def save(path: String): Unit = {
       new java.io.File(path).mkdirs()
       regs.write.mode("overwrite").parquet(s"$path/regs")
-      val props = new java.util.Properties()
-      props.setProperty("p", p.toString)
-      val w = new java.io.FileWriter(s"$path/meta.properties")
-      try props.store(w, "graft cardinality profile (HLL registers)") finally w.close()
+      ArtifactMeta.store(path, "card", Seq("p" -> p.toString),
+        layout = Seq("regs" -> ""))
     }
 
     private def mergeUdf = {
@@ -100,9 +98,7 @@ object Cardinality {
       CardRef(registersOf(df, grpCol, keyCol, p), p)
 
     def load(spark: SparkSession, path: String): CardRef = {
-      val props = new java.util.Properties()
-      val r = new java.io.FileReader(s"$path/meta.properties")
-      try props.load(r) finally r.close()
+      val props = ArtifactMeta.load(path, "card")
       CardRef(spark.read.parquet(s"$path/regs"),
         props.getProperty("p").toInt)
     }

@@ -140,10 +140,8 @@ object Classifier {
     def save(path: String): Unit = {
       new java.io.File(path).mkdirs()
       weights.write.mode("overwrite").parquet(s"$path/weights")
-      val props = new java.util.Properties()
-      props.setProperty("nBuckets", nBuckets.toString)
-      val w = new java.io.FileWriter(s"$path/meta.properties")
-      try props.store(w, "graft LR classifier model") finally w.close()
+      ArtifactMeta.store(path, "lr", Seq("nBuckets" -> nBuckets.toString),
+        layout = Seq("weights" -> ""))
     }
 
     /** Margin (log-odds) per doc under the frozen weights. */
@@ -183,9 +181,7 @@ object Classifier {
 
     def load(spark: org.apache.spark.sql.SparkSession,
              path: String): LrModel = {
-      val props = new java.util.Properties()
-      val r = new java.io.FileReader(s"$path/meta.properties")
-      try props.load(r) finally r.close()
+      val props = ArtifactMeta.load(path, "lr")
       LrModel(spark.read.parquet(s"$path/weights"),
         props.getProperty("nBuckets").toInt)
     }

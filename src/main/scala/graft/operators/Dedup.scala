@@ -134,14 +134,11 @@ object Dedup {
         .sortWithinPartitions(col("nd_cid"))
         .write.mode("overwrite").partitionBy("id_bucket")
         .parquet(s"$path/sets")
-      val props = new java.util.Properties()
-      props.setProperty("shingleN", shingleN.toString)
-      props.setProperty("nPerm", nPerm.toString)
-      props.setProperty("nBands", nBands.toString)
-      props.setProperty("diskBuckets", nb.toString)
-      val f = new java.io.File(s"$path/meta.properties")
-      val w = new java.io.FileWriter(f)
-      try props.store(w, "graft near-dup corpus index") finally w.close()
+      ArtifactMeta.store(path, "neardup",
+        Seq("shingleN" -> shingleN.toString, "nPerm" -> nPerm.toString,
+          "nBands" -> nBands.toString, "diskBuckets" -> nb.toString),
+        layout = Seq("bands" -> "parts:band,bh_bucket",
+          "sets" -> "parts:id_bucket;sort:nd_cid"))
     }
 
     /** Band+set the NEW docs with this index's config and append them
@@ -167,6 +164,8 @@ object Dedup {
         .sortWithinPartitions(col("nd_cid"))
         .write.mode("append").partitionBy("id_bucket")
         .parquet(s"$path/sets")
+      Maintenance.autoCompact(newDocs.sparkSession, path)
+      ()
     }
 
     /** Release the in-memory caches (no-op for a loaded disk index). */
@@ -185,9 +184,7 @@ object Dedup {
       * dynamic-partition-pruning subquery restricts the scan to the
       * batch's colliding (band, bh_bucket) / id_bucket partitions. */
     def load(spark: SparkSession, path: String): NearDupCorpusIndex = {
-      val props = new java.util.Properties()
-      val r = new java.io.FileReader(s"$path/meta.properties")
-      try props.load(r) finally r.close()
+      val props = ArtifactMeta.load(path, "neardup")
       NearDupCorpusIndex(
         bands = spark.read.parquet(s"$path/bands"),
         sets = spark.read.parquet(s"$path/sets"),
@@ -957,11 +954,10 @@ object Dedup {
       wins
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/wins")
-      val props = new java.util.Properties()
-      props.setProperty("winTokens", winTokens.toString)
-      props.setProperty("diskBuckets", diskBuckets.toString)
-      val w = new java.io.FileWriter(s"$path/meta.properties")
-      try props.store(w, "graft exact-substring window index") finally w.close()
+      ArtifactMeta.store(path, "substr",
+        Seq("winTokens" -> winTokens.toString,
+          "diskBuckets" -> diskBuckets.toString),
+        layout = Seq("wins" -> "parts:bucket"))
     }
 
     def appendTo(path: String, newDocs: DataFrame, textCol: String,
@@ -969,6 +965,8 @@ object Dedup {
       SubstrCorpusIndex.winsOf(newDocs, textCol, idCol, winTokens, diskBuckets)
         .repartition(col("bucket"))
         .write.mode("append").partitionBy("bucket").parquet(s"$path/wins")
+      Maintenance.autoCompact(newDocs.sparkSession, path)
+      ()
     }
 
     /** Spans of the batch already present verbatim in the corpus.
@@ -1026,9 +1024,7 @@ object Dedup {
         winTokens, DiskBuckets)
 
     def load(spark: SparkSession, path: String): SubstrCorpusIndex = {
-      val props = new java.util.Properties()
-      val r = new java.io.FileReader(s"$path/meta.properties")
-      try props.load(r) finally r.close()
+      val props = ArtifactMeta.load(path, "substr")
       SubstrCorpusIndex(spark.read.parquet(s"$path/wins"),
         props.getProperty("winTokens").toInt,
         props.getProperty("diskBuckets").toInt)

@@ -95,10 +95,8 @@ object Drift {
     def save(path: String): Unit = {
       new java.io.File(path).mkdirs()
       hist.write.mode("overwrite").parquet(s"$path/hist")
-      val props = new java.util.Properties()
-      props.setProperty("binWidth", binWidth.toString)
-      val w = new java.io.FileWriter(s"$path/meta.properties")
-      try props.store(w, "graft drift reference histogram") finally w.close()
+      ArtifactMeta.store(path, "drift", Seq("binWidth" -> binWidth.toString),
+        layout = Seq("hist" -> ""))
     }
 
     /** Fold a new slice's counts into the saved histogram (bin-keyed
@@ -125,9 +123,7 @@ object Drift {
       DriftRef(referenceHistogram(df, grpCol, valCol, binWidth), binWidth)
 
     def load(spark: SparkSession, path: String): DriftRef = {
-      val props = new java.util.Properties()
-      val r = new java.io.FileReader(s"$path/meta.properties")
-      try props.load(r) finally r.close()
+      val props = ArtifactMeta.load(path, "drift")
       DriftRef(spark.read.parquet(s"$path/hist"),
         props.getProperty("binWidth").toDouble)
     }

@@ -112,10 +112,8 @@ object Dsir {
     def save(path: String): Unit = {
       new java.io.File(path).mkdirs()
       counts.write.mode("overwrite").parquet(s"$path/counts")
-      val props = new java.util.Properties()
-      props.setProperty("nBuckets", nBuckets.toString)
-      val w = new java.io.FileWriter(s"$path/meta.properties")
-      try props.store(w, "graft dsir reference bucket counts") finally w.close()
+      ArtifactMeta.store(path, "dsir", Seq("nBuckets" -> nBuckets.toString),
+        layout = Seq("counts" -> ""))
     }
 
     def appendTo(path: String, newData: DataFrame, textCol: String,
@@ -167,9 +165,7 @@ object Dsir {
     }
 
     def load(spark: org.apache.spark.sql.SparkSession, path: String): DsirRef = {
-      val props = new java.util.Properties()
-      val r = new java.io.FileReader(s"$path/meta.properties")
-      try props.load(r) finally r.close()
+      val props = ArtifactMeta.load(path, "dsir")
       DsirRef(spark.read.parquet(s"$path/counts"),
         props.getProperty("nBuckets").toInt)
     }

@@ -58,11 +58,9 @@ object Lm {
       new java.io.File(path).mkdirs()
       uni.write.mode("overwrite").parquet(s"$path/uni")
       bi.write.mode("overwrite").parquet(s"$path/bi")
-      val props = new java.util.Properties()
-      props.setProperty("lambda", lambda.toString)
-      props.setProperty("residual", residual.toString)
-      val w = new java.io.FileWriter(s"$path/meta.properties")
-      try props.store(w, "graft bigram LM reference counts") finally w.close()
+      ArtifactMeta.store(path, "lm",
+        Seq("lambda" -> lambda.toString, "residual" -> residual.toString),
+        layout = Seq("uni" -> "", "bi" -> ""))
     }
 
     /** Fold a new slice's counts into the saved tables (gram-keyed
@@ -112,9 +110,7 @@ object Lm {
         lambda, residual)
 
     def load(spark: SparkSession, path: String): LmRef = {
-      val props = new java.util.Properties()
-      val r = new java.io.FileReader(s"$path/meta.properties")
-      try props.load(r) finally r.close()
+      val props = ArtifactMeta.load(path, "lm")
       LmRef(spark.read.parquet(s"$path/uni"), spark.read.parquet(s"$path/bi"),
         props.getProperty("lambda").toDouble,
         props.getProperty("residual").toDouble)

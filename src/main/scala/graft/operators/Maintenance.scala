@@ -18,17 +18,157 @@ object Maintenance {
     fs.getContentSummary(new org.apache.hadoop.fs.Path(path)).getLength
   }
 
-  /** Compact a parquet directory to ~`targetBytes` files: one read,
-    * one round-robin repartition to the computed file count, one
-    * write. At corpus scale run it per partition directory (the write
-    * is a full shuffle of the data being compacted — that is the cost
-    * of compaction on any engine; the small-file READ overhead it
-    * removes is paid on every query forever). */
+  /** Number of parquet data files under `path` (recursive) — the
+    * small-file accretion signal [[compactArtifact]] triggers on. */
+  def parquetFileCount(spark: SparkSession, path: String): Int =
+    fileAndLeafDirCount(spark, path)._1
+
+  /** (parquet file count, distinct leaf dir count) under `path`. The
+    * leaf-dir count is the floor compaction can reach on a partitioned
+    * layout (one file per partition dir is the healthy steady state),
+    * so the trigger compares against it, not just a flat threshold. */
+  def fileAndLeafDirCount(spark: SparkSession, path: String): (Int, Int) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) (0, 0)
+    else {
+      val it = fs.listFiles(p, true)
+      var n = 0
+      val dirs = scala.collection.mutable.HashSet.empty[String]
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet")) { n += 1; dirs += f.getParent.toString }
+      }
+      (n, dirs.size)
+    }
+  }
+
+  /** Marker file recording the layout a directory was WRITTEN with
+    * (underscore-prefixed so parquet listing ignores it, like
+    * _SUCCESS). [[writeSorted]]/[[zOrderWrite]] drop one;
+    * [[compactParquet]] reads it so a blind round-robin rewrite can
+    * never silently destroy clustering it doesn't know about. */
+  private val LayoutFile = "_layout.properties"
+
+  private def writeLayoutMarker(out: String, kv: (String, String)*): Unit = {
+    val props = new java.util.Properties()
+    kv.foreach { case (k, v) => props.setProperty(k, v) }
+    val w = new java.io.FileWriter(s"$out/$LayoutFile")
+    try props.store(w, "graft directory layout") finally w.close()
+  }
+
+  private def readLayoutMarker(in: String): Option[java.util.Properties] = {
+    val f = new java.io.File(s"$in/$LayoutFile")
+    if (!f.exists()) None
+    else {
+      val props = new java.util.Properties()
+      val r = new java.io.FileReader(f)
+      try props.load(r) finally r.close()
+      Some(props)
+    }
+  }
+
+  /** Compact a parquet directory to ~`targetBytes` files. LAYOUT
+    * AWARE: a directory whose `_layout.properties` declares a sorted
+    * or z-ordered layout is auto-upgraded to the matching clustered
+    * rewrite ([[writeSorted]]/[[zOrderWrite]] with the recorded
+    * columns) instead of the round-robin repartition, which would
+    * silently destroy the clustering — and the pruning — the original
+    * write paid for. Unmarked directories compact round-robin: one
+    * read, one repartition to the computed file count, one write. At
+    * corpus scale run it per partition directory (the write is a full
+    * shuffle of the data being compacted — that is the cost of
+    * compaction on any engine; the small-file READ overhead it removes
+    * is paid on every query forever). */
   def compactParquet(spark: SparkSession, in: String, out: String,
                      targetBytes: Long = 128L << 20): Unit = {
-    val n = math.max(1L, (bytesUnder(spark, in) + targetBytes - 1) / targetBytes)
-    spark.read.parquet(in).repartition(n.toInt)
-      .write.mode("overwrite").parquet(out)
+    val n = math.max(1L,
+      (bytesUnder(spark, in) + targetBytes - 1) / targetBytes).toInt
+    readLayoutMarker(in) match {
+      case Some(p) if p.getProperty("layout") == "zorder" =>
+        zOrderWrite(spark.read.parquet(in), p.getProperty("colA"),
+          p.getProperty("colB"), n, out, p.getProperty("bits").toInt)
+      case Some(p) if p.getProperty("layout") == "sorted" =>
+        writeSorted(spark.read.parquet(in),
+          p.getProperty("sortCols").split(',').toSeq, n, out)
+      case _ =>
+        spark.read.parquet(in).repartition(n)
+          .write.mode("overwrite").parquet(out)
+    }
+  }
+
+  /** Conf key for [[autoCompact]]'s file-count threshold. Default 256;
+    * 0 disables. Specs set it low to exercise the trigger. */
+  val AutoCompactConf = "spark.graft.artifact.autoCompactMaxFiles"
+
+  /** The auto-compaction hook every append-mode artifact `appendTo`
+    * ends with: when the session conf's threshold is exceeded in any
+    * of the artifact's layout subdirs, compact them layout-preserving
+    * ([[compactArtifact]]). The steady-state cost is one file-count
+    * listing per append; the occasional compaction amortizes to O(1)
+    * rewrites per file ever written (each file participates in
+    * ~log-many compactions). This is what keeps a long-running
+    * `wpcurate daemon` from accreting one delta file set per
+    * micro-batch in every index dir forever. */
+  def autoCompact(spark: SparkSession, path: String): Seq[String] = {
+    val max = spark.conf.get(AutoCompactConf, "256").toInt
+    if (max <= 0 || ArtifactMeta.read(path).isEmpty) Nil
+    else {
+      val done = compactArtifact(spark, path, max)
+      if (done.nonEmpty)
+        println(s"graft: auto-compacted ${done.mkString(",")} at $path")
+      done
+    }
+  }
+
+  /** Threshold-triggered, layout-preserving compaction of a persisted
+    * artifact (near-dup bands, substring windows, media blocks, …):
+    * every data subdir listed in the artifact's `layout.*` meta whose
+    * parquet file count exceeds `maxFiles` is rewritten with its
+    * RECORDED partitioning and intra-file sort, then atomically
+    * swapped in. This is what keeps a long-running `wpcurate daemon`'s
+    * per-batch `appendTo` deltas from accreting unboundedly — call it
+    * after appends (the CLI append/daemon paths do). Single-writer
+    * discipline: the swap assumes no concurrent appender on the same
+    * artifact, which is the daemon's model. Returns the subdirs
+    * compacted. */
+  def compactArtifact(spark: SparkSession, path: String,
+                      maxFiles: Int = 64): Seq[String] = {
+    val props = ArtifactMeta.read(path).getOrElse(
+      throw new IllegalStateException(
+        s"compactArtifact: no meta.properties at $path — not a graft " +
+          "artifact (for a plain parquet dir use compactParquet)"))
+    ArtifactMeta.layoutsOf(props).flatMap { case (sub, parts, sort) =>
+      val dir = s"$path/$sub"
+      val (files, leafDirs) = fileAndLeafDirCount(spark, dir)
+      // second guard: a partitioned layout's floor is one file per
+      // leaf dir — when the fan-out itself exceeds maxFiles, compacting
+      // on every append would thrash without ever getting under, so
+      // only rewrite when it can at least halve the file count
+      if (files <= maxFiles || files < 2 * math.max(1, leafDirs)) None
+      else {
+        val tmp = s"$path/__compact_$sub"
+        val df = spark.read.parquet(dir)
+        val arranged =
+          if (parts.nonEmpty) {
+            val re = df.repartition(parts.map(col): _*)
+            if (sort.nonEmpty) re.sortWithinPartitions(sort.map(col): _*)
+            else re
+          } else if (sort.nonEmpty)
+            df.repartitionByRange(sort.map(col): _*)
+              .sortWithinPartitions(sort.map(col): _*)
+          else df.coalesce(math.max(1,
+            (bytesUnder(spark, dir) / (128L << 20)).toInt))
+        val w = arranged.write.mode("overwrite")
+        (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(tmp)
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp),
+          new org.apache.hadoop.fs.Path(dir))
+        Some(sub)
+      }
+    }
   }
 
   /** Rewrite sorted by `sortCols` into `nFiles` range partitions: each
@@ -38,10 +178,13 @@ object Maintenance {
     * range-partitioned exchange (the terasort shape — sampled bounds,
     * no single-reducer funnel). */
   def writeSorted(df: DataFrame, sortCols: Seq[String], nFiles: Int,
-                  out: String): Unit =
+                  out: String): Unit = {
     df.repartitionByRange(nFiles, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode("overwrite").parquet(out)
+    writeLayoutMarker(out, "layout" -> "sorted",
+      "sortCols" -> sortCols.mkString(","))
+  }
 
   /** Morton (Z-order) key: interleave the low `bits` bits of two
     * non-negative long columns — a in the even positions, b in the
@@ -71,5 +214,7 @@ object Maintenance {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(out)
+    writeLayoutMarker(out, "layout" -> "zorder", "colA" -> colA,
+      "colB" -> colB, "bits" -> bits.toString)
   }
 }

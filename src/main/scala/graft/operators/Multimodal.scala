@@ -405,10 +405,9 @@ object Multimodal {
         .repartition(col("blk"), col("bv_bucket"))
         .write.mode("overwrite").partitionBy("blk", "bv_bucket")
         .parquet(s"$path/blocks")
-      val props = new java.util.Properties()
-      props.setProperty("diskBuckets", nb.toString)
-      val w = new java.io.FileWriter(s"$path/meta.properties")
-      try props.store(w, "graft media signature index") finally w.close()
+      graft.operators.ArtifactMeta.store(path, "mediasig",
+        Seq("diskBuckets" -> nb.toString),
+        layout = Seq("blocks" -> "parts:blk,bv_bucket"))
     }
 
     /** Sign+block a new batch and append into the same partition dirs —
@@ -422,6 +421,8 @@ object Multimodal {
         .repartition(col("blk"), col("bv_bucket"))
         .write.mode("append").partitionBy("blk", "bv_bucket")
         .parquet(s"$path/blocks")
+      graft.operators.Maintenance.autoCompact(newMedia.sparkSession, path)
+      ()
     }
 
     /** (id_batch, id_corpus, hamming) for every batch signature within
@@ -469,9 +470,7 @@ object Multimodal {
         sig.as("sig")).filter(col("sig").isNotNull), "ms_id", "sig"))
 
     def load(spark: org.apache.spark.sql.SparkSession, path: String): MediaSigIndex = {
-      val props = new java.util.Properties()
-      val r = new java.io.FileReader(s"$path/meta.properties")
-      try props.load(r) finally r.close()
+      val props = graft.operators.ArtifactMeta.load(path, "mediasig")
       MediaSigIndex(spark.read.parquet(s"$path/blocks"),
         props.getProperty("diskBuckets").toInt)
     }

@@ -109,14 +109,7 @@ object Retrieval {
       new java.io.File(path).mkdirs()
       post.write.mode("overwrite").partitionBy("bucket").parquet(s"$path/post")
       terms.write.mode("overwrite").partitionBy("bucket").parquet(s"$path/terms")
-      val props = new java.util.Properties()
-      props.setProperty("nDocs", nDocs.toString)
-      props.setProperty("sumDl", sumDl.toString)
-      props.setProperty("k1", k1.toString)
-      props.setProperty("b", b.toString)
-      props.setProperty("nBuckets", nBuckets.toString)
-      val w = new java.io.FileWriter(s"$path/meta.properties")
-      try props.store(w, "graft bm25 postings index") finally w.close()
+      saveMetaOnly(path)
     }
 
     def appendTo(path: String, newData: DataFrame,
@@ -136,16 +129,12 @@ object Retrieval {
         .saveMetaOnly(path)
     }
 
-    private def saveMetaOnly(path: String): Unit = {
-      val props = new java.util.Properties()
-      props.setProperty("nDocs", nDocs.toString)
-      props.setProperty("sumDl", sumDl.toString)
-      props.setProperty("k1", k1.toString)
-      props.setProperty("b", b.toString)
-      props.setProperty("nBuckets", nBuckets.toString)
-      val w = new java.io.FileWriter(s"$path/meta.properties")
-      try props.store(w, "graft bm25 postings index") finally w.close()
-    }
+    private def saveMetaOnly(path: String): Unit =
+      ArtifactMeta.store(path, "bm25",
+        Seq("k1" -> k1.toString, "b" -> b.toString,
+          "nBuckets" -> nBuckets.toString),
+        layout = Seq("post" -> "parts:bucket", "terms" -> "parts:bucket"),
+        stats = Seq("nDocs" -> nDocs.toString, "sumDl" -> sumDl.toString))
 
     /** Probe the index: the postings/terms scans carry a `bucket IN
       * (query-term buckets)` partition filter, so only the probed
@@ -184,9 +173,7 @@ object Retrieval {
     }
 
     def load(spark: SparkSession, path: String): Bm25Index = {
-      val props = new java.util.Properties()
-      val r = new java.io.FileReader(s"$path/meta.properties")
-      try props.load(r) finally r.close()
+      val props = ArtifactMeta.load(path, "bm25")
       Bm25Index(
         spark.read.parquet(s"$path/post"),
         spark.read.parquet(s"$path/terms"),

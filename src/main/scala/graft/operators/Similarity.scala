@@ -229,13 +229,11 @@ object Similarity {
         .sortWithinPartitions(col("nd_cid"))
         .write.mode("overwrite").partitionBy("id_bucket")
         .parquet(s"$path/vecs")
-      val props = new java.util.Properties()
-      props.setProperty("dim", dim.toString)
-      props.setProperty("nBits", nBits.toString)
-      props.setProperty("tables", tables.toString)
-      props.setProperty("diskBuckets", nb.toString)
-      val w = new java.io.FileWriter(s"$path/meta.properties")
-      try props.store(w, "graft embedding near-dup corpus index") finally w.close()
+      ArtifactMeta.store(path, "emb",
+        Seq("dim" -> dim.toString, "nBits" -> nBits.toString,
+          "tables" -> tables.toString, "diskBuckets" -> nb.toString),
+        layout = Seq("buckets" -> "parts:t,b_bucket",
+          "vecs" -> "parts:id_bucket;sort:nd_cid"))
     }
 
     /** Bucket the NEW vectors with this index's planes and append them
@@ -261,6 +259,8 @@ object Similarity {
         .sortWithinPartitions(col("nd_cid"))
         .write.mode("append").partitionBy("id_bucket")
         .parquet(s"$path/vecs")
+      Maintenance.autoCompact(newVecs.sparkSession, path)
+      ()
     }
 
     /** Release the in-memory caches (no-op for a loaded disk index). */
@@ -271,9 +271,7 @@ object Similarity {
     val DiskBuckets = 32
 
     def load(spark: SparkSession, path: String): EmbCorpusIndex = {
-      val props = new java.util.Properties()
-      val r = new java.io.FileReader(s"$path/meta.properties")
-      try props.load(r) finally r.close()
+      val props = ArtifactMeta.load(path, "emb")
       EmbCorpusIndex(
         buckets = spark.read.parquet(s"$path/buckets"),
         vecs = spark.read.parquet(s"$path/vecs"),
@@ -694,13 +692,11 @@ object Similarity {
         yield (s, c, codebooks(s)(c)))
         .toDF("sub", "code", "cv").coalesce(1)
         .write.mode("overwrite").parquet(s"$path/codebooks")
-      val props = new java.util.Properties()
-      props.setProperty("dim", dim.toString)
-      props.setProperty("m", m.toString)
-      props.setProperty("coarseK", coarse.length.toString)
-      props.setProperty("k", codebooks.head.length.toString)
-      val w = new java.io.FileWriter(s"$path/meta.properties")
-      try props.store(w, "graft IVF-PQ ANN index") finally w.close()
+      ArtifactMeta.store(path, "ann",
+        Seq("dim" -> dim.toString, "m" -> m.toString,
+          "coarseK" -> coarse.length.toString,
+          "k" -> codebooks.head.length.toString),
+        layout = Seq("codes" -> "parts:cell;sort:vec_id"))
     }
 
     /** PQ-encode NEW vectors with this index's FROZEN quantizers
@@ -716,6 +712,8 @@ object Similarity {
         .repartition(col("cell"))
         .sortWithinPartitions(col("vec_id"))
         .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+      Maintenance.autoCompact(df.sparkSession, path)
+      ()
     }
 
     /** ADC top-k against this index. Queries are the only raw vectors
@@ -804,9 +802,7 @@ object Similarity {
       * doubles — a few KB), never by corpus size. */
     def load(spark: SparkSession, path: String): AnnIndex = {
       import spark.implicits._
-      val props = new java.util.Properties()
-      val r = new java.io.FileReader(s"$path/meta.properties")
-      try props.load(r) finally r.close()
+      val props = ArtifactMeta.load(path, "ann")
       val dim = props.getProperty("dim").toInt
       val m = props.getProperty("m").toInt
       val coarse = spark.read.parquet(s"$path/coarse")

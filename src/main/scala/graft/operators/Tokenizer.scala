@@ -24,6 +24,8 @@ object Tokenizer {
     def save(path: String): Unit = {
       new java.io.File(path).mkdirs()
       counts.write.mode("overwrite").parquet(s"$path/pair_counts")
+      ArtifactMeta.store(path, "bpe", Nil,
+        layout = Seq("pair_counts" -> ""))
     }
 
     /** Top-N merge table (n desc, then pair — the induction order). */
@@ -74,7 +76,9 @@ object Tokenizer {
     def train(df: DataFrame, textCol: String): TokenizerRef =
       TokenizerRef(pairCounts(df, textCol))
 
-    def load(spark: SparkSession, path: String): TokenizerRef =
+    def load(spark: SparkSession, path: String): TokenizerRef = {
+      ArtifactMeta.load(path, "bpe")
       TokenizerRef(spark.read.parquet(s"$path/pair_counts"))
+    }
   }
 }

@@ -495,6 +495,91 @@ class CliCurateSpec extends AnyFunSuite {
     assert(card.columns.contains("n_docs"))
   }
 
+  test("wpcurate daemon multi-batch: --append-index closes the ingest loop and auto-compaction bounds the index dirs") {
+    import spark.implicits._
+    spark
+    def doc(b: Int, i: Int): (Long, String, String) =
+      (b * 1000L + i,
+        s"the unique alpha$b of beta$i gamma gamma$b delta$i epsilon zeta",
+        "en")
+    val corpus = (1 to 10).map(i => doc(0, i)).toDF("doc_id", "text", "lang")
+    val cDir = tmp("curm_corpus"); val inDir = tmp("curm_in")
+    val ndIdx = tmp("curm_nd"); val cardIdx = tmp("curm_card")
+    val outDir = tmp("curm_out")
+    corpus.write.mode("overwrite").parquet(cDir)
+    graft.cli.Cli.main(Array("wpindex", "build", "neardup", cDir, ndIdx))
+    graft.cli.Cli.main(Array("wpindex", "build", "card", cDir, cardIdx,
+      "--grp-col", "lang", "--key-col", "text"))
+
+    // 5 landing batches: 8 novel docs each, plus 2 exact copies of the
+    // PREVIOUS batch's docs — only --append-index can catch those,
+    // because they were never in the built corpus index
+    val stage = tmp("curm_stage")
+    for (b <- 1 to 5) {
+      val novel = (1 to 8).map(i => doc(b, i))
+      val repeats =
+        if (b == 1) Seq.empty else (1 to 2).map(i => (b * 1000L + 100 + i,
+          doc(b - 1, i)._2, "en"))
+      val sd = s"$stage/b$b"
+      (novel ++ repeats).toDF("doc_id", "text", "lang").coalesce(1)
+        .write.mode("overwrite").parquet(sd)
+      // land the data files under unique names, as an ingest would
+      Option(new java.io.File(sd).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).zipWithIndex
+        .foreach { case (f, i) =>
+          java.nio.file.Files.copy(f.toPath,
+            new java.io.File(inDir, s"b$b-$i.parquet").toPath)
+        }
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf)) {
+        graft.cli.Cli.main(Array("wpcurate", "daemon", inDir, outDir,
+          "--index", ndIdx, "--card", cardIdx, "--once",
+          "--append-index", "--compact-max-files", "8",
+          "--min-words", "3", "--min-entropy", "2.0",
+          "--min-score", "-1000000", "--threshold", "0.8"))
+      }
+      // the novelty probe must see the MATERIALIZED accepted batch —
+      // not a re-evaluation against the already-appended index, which
+      // reads as an empty batch (the localCheckpoint regression guard)
+      val nvLine = buf.toString.linesIterator
+        .find(_.contains("NOVELTY en")).getOrElse("")
+      assert(nvLine.nonEmpty, s"no NOVELTY line in: ${buf.toString}")
+      val ofEst = nvLine.split("of=").last.trim.toDouble
+      assert(ofEst > 5.0, s"novelty saw an empty batch: $nvLine")
+    }
+
+    // loop closure: every cross-batch repeat was dropped by the probe
+    // against the APPENDED index — accepted texts are exactly the 40
+    // novel ones, none twice
+    val accepted = spark.read.parquet(s"$outDir/accepted")
+      .select("text").as[String].collect()
+    assert(accepted.length == 40, s"accepted=${accepted.length}")
+    assert(accepted.distinct.length == accepted.length)
+
+    // bounded accretion: the appended band index stayed within the
+    // auto-compaction envelope (halving floor + one batch's delta)
+    import graft.operators.Maintenance
+    for (sub <- Seq("bands", "sets")) {
+      val (files, leafDirs) =
+        Maintenance.fileAndLeafDirCount(spark, s"$ndIdx/$sub")
+      assert(files <= 2 * leafDirs + 16,
+        s"$sub files=$files leafDirs=$leafDirs")
+    }
+    // the card profile is overwrite-maintained: file count stays at one
+    // write's worth regardless of batch count
+    assert(Maintenance.parquetFileCount(spark, s"$cardIdx/regs") <= 8)
+
+    // and a fresh probe against the final index still verdicts green
+    val probe = Seq((9999L, doc(5, 1)._2), (10000L,
+      "totally novel omega psi chi words here now")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+    val survivors = graft.operators.Dedup.dropNearDupsOfCorpus(probe,
+        "text", "doc_id",
+        graft.operators.Dedup.NearDupCorpusIndex.load(spark, ndIdx), 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(10000L), s"survivors=$survivors")
+  }
+
   test("wpcurate stats --quantile-col: length percentiles land beside the card") {
     import spark.implicits._
     spark

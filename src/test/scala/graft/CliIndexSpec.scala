@@ -241,4 +241,37 @@ class CliIndexSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(got == Set((10L, 1L, 4L, 2L), (11L, 1L, 4L, 2L)), s"got=$got")
   }
+
+  test("wpindex ls: lists each artifact's kind/version/fingerprint; probe refuses a bumped version") {
+    import spark.implicits._
+    spark
+    val root = tmp("cli_ls_root")
+    val cDir = tmp("cli_ls_c")
+    (1L to 20L).map(i => (i, s"the corpus doc $i with words in it"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(cDir)
+    graft.cli.Cli.main(Array("wpindex", "build", "substr", cDir,
+      s"$root/substr", "--win", "3"))
+    graft.cli.Cli.main(Array("wpindex", "build", "lm", cDir, s"$root/lm"))
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf)) {
+      graft.cli.Cli.main(Array("wpindex", "ls", root))
+    }
+    val lines = buf.toString.linesIterator.filter(_.contains("kind=")).toSeq
+    assert(lines.size == 2, s"ls printed: ${buf.toString}")
+    assert(lines.exists(l => l.contains("kind=substr") &&
+      l.contains("version=1") && l.contains("winTokens=3") &&
+      l.contains("fingerprint=")), lines.mkString("\n"))
+
+    // a future builder bumps the version: every loader refuses loudly
+    val props = graft.operators.ArtifactMeta.read(s"$root/lm").get
+    props.setProperty("format_version",
+      (graft.operators.ArtifactMeta.FormatVersion + 1).toString)
+    val w = new java.io.FileWriter(s"$root/lm/meta.properties")
+    try props.store(w, "bumped") finally w.close()
+    val e = intercept[IllegalStateException] {
+      graft.cli.Cli.main(Array("wpindex", "probe", "lm", cDir,
+        s"$root/lm", tmp("cli_ls_out")))
+    }
+    assert(e.getMessage.contains("format_version"), e.getMessage)
+  }
 }

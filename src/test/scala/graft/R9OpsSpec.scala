@@ -1,0 +1,206 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{ArtifactMeta, Dedup, Maintenance}
+
+/** Round-9 operational layer: the shared artifact meta
+  * (format_version / kind / builder fingerprint), layout-preserving
+  * threshold compaction of appended artifacts, and the layout-aware
+  * compactParquet upgrade path. */
+class R9OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  // ---------------------------------------------------------------- meta
+
+  test("ArtifactMeta: store/load roundtrip carries header + params") {
+    val dir = tmp("am_rt")
+    ArtifactMeta.store(dir, "card", Seq("p" -> "9"),
+      layout = Seq("regs" -> ""))
+    val props = ArtifactMeta.load(dir, "card")
+    assert(props.getProperty("p") == "9")
+    assert(props.getProperty("kind") == "card")
+    assert(props.getProperty("format_version") ==
+      ArtifactMeta.FormatVersion.toString)
+    assert(props.getProperty("builder_fingerprint") ==
+      ArtifactMeta.fingerprintOf(Seq("p" -> "9")))
+  }
+
+  test("ArtifactMeta: fingerprint is param-order independent and excludes stats") {
+    assert(ArtifactMeta.fingerprintOf(Seq("a" -> "1", "b" -> "2")) ==
+      ArtifactMeta.fingerprintOf(Seq("b" -> "2", "a" -> "1")))
+    val d1 = tmp("am_fp1"); val d2 = tmp("am_fp2")
+    ArtifactMeta.store(d1, "bm25", Seq("k1" -> "1.2"),
+      stats = Seq("nDocs" -> "10"))
+    ArtifactMeta.store(d2, "bm25", Seq("k1" -> "1.2"),
+      stats = Seq("nDocs" -> "99999"))
+    assert(ArtifactMeta.load(d1, "bm25").getProperty("builder_fingerprint") ==
+      ArtifactMeta.load(d2, "bm25").getProperty("builder_fingerprint"))
+  }
+
+  test("ArtifactMeta: load refuses missing meta, bumped version, wrong kind — explicitly") {
+    val none = intercept[IllegalStateException] {
+      ArtifactMeta.load(tmp("am_none"), "card")
+    }
+    assert(none.getMessage.contains("no meta.properties"))
+
+    val dir = tmp("am_ver")
+    ArtifactMeta.store(dir, "card", Seq("p" -> "9"))
+    // bump the version on disk — a future incompatible builder
+    val props = ArtifactMeta.read(dir).get
+    props.setProperty("format_version",
+      (ArtifactMeta.FormatVersion + 1).toString)
+    val w = new java.io.FileWriter(s"$dir/meta.properties")
+    try props.store(w, "bumped") finally w.close()
+    val ver = intercept[IllegalStateException] {
+      graft.operators.Cardinality.CardRef.load(spark, dir)
+    }
+    assert(ver.getMessage.contains("format_version") &&
+      ver.getMessage.contains(dir))
+
+    val kdir = tmp("am_kind")
+    ArtifactMeta.store(kdir, "lm",
+      Seq("lambda" -> "0.7", "residual" -> "0.3"))
+    val kind = intercept[IllegalStateException] {
+      ArtifactMeta.load(kdir, "card")
+    }
+    assert(kind.getMessage.contains("'lm'") &&
+      kind.getMessage.contains("'card'"))
+  }
+
+  test("every persisted artifact kind writes a versioned, kind-tagged meta") {
+    import spark.implicits._
+    val docs = (1L to 30L).map(i =>
+      (i, s"alpha beta gamma doc$i tail one two three four five"))
+      .toDF("doc_id", "text")
+    val ndDir = tmp("am_all_nd")
+    Dedup.nearDupCorpusIndex(docs, "text", "doc_id").save(ndDir)
+    val suDir = tmp("am_all_su")
+    Dedup.SubstrCorpusIndex.build(docs, "text", "doc_id", 3).save(suDir)
+    val lmDir = tmp("am_all_lm")
+    graft.operators.Lm.LmRef.build(docs, "text").save(lmDir)
+    for ((d, k) <- Seq(ndDir -> "neardup", suDir -> "substr", lmDir -> "lm")) {
+      val p = ArtifactMeta.load(d, k)
+      assert(p.getProperty("format_version") ==
+        ArtifactMeta.FormatVersion.toString, s"$k version")
+    }
+    // ls lists them all with kind/version/fingerprint
+    val root = tmp("am_all_root")
+    for ((d, k) <- Seq(ndDir -> "neardup", suDir -> "substr", lmDir -> "lm")) {
+      val tgt = new java.io.File(root, k)
+      java.nio.file.Files.move(new java.io.File(d).toPath, tgt.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val lines = ArtifactMeta.ls(root)
+    assert(lines.size == 3, lines.mkString("\n"))
+    assert(lines.exists(l => l.contains("kind=neardup") &&
+      l.contains("version=1") && l.contains("shingleN=")))
+  }
+
+  // ---------------------------------------------- layout-aware compaction
+
+  test("compactParquet: round-robin on plain dirs, auto-upgrades sorted/zorder-marked dirs") {
+    import spark.implicits._
+    val df = (1L to 4000L).map(i => (i, i % 97, s"row$i"))
+      .toDF("a", "b", "s")
+
+    // plain: round-robin, row-identical
+    val plainIn = tmp("mc_plain_in"); val plainOut = tmp("mc_plain_out")
+    df.repartition(16).write.mode("overwrite").parquet(plainIn)
+    Maintenance.compactParquet(spark, plainIn, plainOut)
+    assert(spark.read.parquet(plainOut).count() == 4000)
+    assert(Maintenance.parquetFileCount(spark, plainOut) <
+      Maintenance.parquetFileCount(spark, plainIn))
+
+    // sorted-marked: the rewrite PRESERVES clustering (files cover
+    // disjoint key ranges) instead of round-robining it away
+    val sortIn = tmp("mc_sort_in"); val sortOut = tmp("mc_sort_out")
+    Maintenance.writeSorted(df, Seq("a"), 4, sortIn)
+    // small targetBytes so the rewrite lands in several range files
+    Maintenance.compactParquet(spark, sortIn, sortOut, targetBytes = 8L << 10)
+    assert(spark.read.parquet(sortOut).count() == 4000)
+    val ranges = spark.read.parquet(sortOut)
+      .select(input_file_name().as("f"), col("a"))
+      .groupBy("f").agg(min("a").as("lo"), max("a").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length > 1, "sorted compaction kept multiple range files")
+    ranges.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+      assert(hi1 < lo2, s"file ranges overlap: $hi1 vs $lo2")
+    case _ => ()
+    }
+    // and the output is re-marked, so a SECOND compaction stays sorted
+    assert(new java.io.File(s"$sortOut/_layout.properties").exists())
+
+    // zorder-marked: upgrade path runs and re-marks
+    val zIn = tmp("mc_z_in"); val zOut = tmp("mc_z_out")
+    Maintenance.zOrderWrite(df, "a", "b", 4, zIn, bits = 8)
+    Maintenance.compactParquet(spark, zIn, zOut)
+    assert(spark.read.parquet(zOut).count() == 4000)
+    assert(new java.io.File(s"$zOut/_layout.properties").exists())
+  }
+
+  test("compactArtifact: bounded file count across appends, probe results identical") {
+    import spark.implicits._
+    def slice(lo: Long, hi: Long) = (lo to hi).map(i =>
+      (i, s"alpha beta gamma delta epsilon zeta eta theta doc$i"))
+      .toDF("doc_id", "text")
+
+    val path = tmp("mc_art_nd")
+    Dedup.nearDupCorpusIndex(slice(1, 40), "text", "doc_id").save(path)
+    // appends with auto-compaction OFF: accretes one delta per append
+    spark.conf.set(Maintenance.AutoCompactConf, "0")
+    for (k <- 1 to 6)
+      Dedup.NearDupCorpusIndex.load(spark, path)
+        .appendTo(path, slice(40L + k * 20, 59L + k * 20), "text", "doc_id")
+    val before = Maintenance.parquetFileCount(spark, s"$path/bands")
+    val probeB = slice(1, 200)
+    val survivorsBefore = Dedup.dropNearDupsOfCorpus(probeB, "text",
+      "doc_id", Dedup.NearDupCorpusIndex.load(spark, path), 0.8)
+      .select("doc_id").as[Long].collect().toSet
+
+    val compacted = Maintenance.compactArtifact(spark, path, maxFiles = 8)
+    assert(compacted.nonEmpty, "something was over threshold")
+    val after = Maintenance.parquetFileCount(spark, s"$path/bands")
+    assert(after < before, s"bands files $before -> $after")
+    // identical probe verdicts from the compacted index
+    val survivorsAfter = Dedup.dropNearDupsOfCorpus(probeB, "text",
+      "doc_id", Dedup.NearDupCorpusIndex.load(spark, path), 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivorsAfter == survivorsBefore)
+    spark.conf.unset(Maintenance.AutoCompactConf)
+  }
+
+  test("autoCompact: appendTo self-compacts past the conf threshold") {
+    import spark.implicits._
+    def slice(lo: Long, hi: Long) = (lo to hi).map(i =>
+      (i, s"omega psi chi phi upsilon tau doc$i one two three"))
+      .toDF("doc_id", "text")
+    val path = tmp("mc_auto_su")
+    Dedup.SubstrCorpusIndex.build(slice(1, 40), "text", "doc_id", 3)
+      .save(path)
+    spark.conf.set(Maintenance.AutoCompactConf, "8")
+    for (k <- 1 to 8)
+      Dedup.SubstrCorpusIndex.load(spark, path)
+        .appendTo(path, slice(40L + k * 20, 59L + k * 20), "text", "doc_id")
+    val (files, leafDirs) =
+      Maintenance.fileAndLeafDirCount(spark, s"$path/wins")
+    // bounded: never more than one uncompacted append over the halving
+    // floor — concretely, 2×leafDirs + one batch's delta
+    assert(files <= 2 * leafDirs + 8, s"wins files=$files leafDirs=$leafDirs")
+    // probes still green after in-place swaps
+    val spans = Dedup.SubstrCorpusIndex.load(spark, path)
+      .spansOf(slice(50, 60), "text", "doc_id")
+    assert(spans.count() > 0)
+    spark.conf.unset(Maintenance.AutoCompactConf)
+  }
+}
