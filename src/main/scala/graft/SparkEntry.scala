@@ -263,6 +263,23 @@ object SparkEntry {
       .withColumnRenamed("__key", "event_type")
       .orderBy(col("event_type"))
 
+  /** Adaptive salted join: SpaceSaving detects the hot event types,
+    * only those salt (dim rows replicate per salt); results are
+    * EXACTLY the unsalted equi-join's, which is what makes the
+    * adaptive exchange shape oracle-able by the plain SQL join. */
+  private def qSkewAdaptiveJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val dim = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_type"))
+    val (f, d, cond) = Skew.adaptiveSaltedJoin(
+      ev, dim, "event_type", salts = 8, saltSource = col("event_id"),
+      k = 16, capacity = 256)
+    f.join(d, cond)
+      .groupBy(f("event_type"))
+      .agg(count(lit(1)).as("n"), first(col("n_type")).as("n_type"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(f("event_type"))
+  }
+
   private def qEventsJson(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
@@ -2781,6 +2798,7 @@ object SparkEntry {
     "source_neardup_stats" -> (qSourceNearDupStats _),
     "q_events_json" -> (qEventsJson _),
     "q_skew_salted_agg" -> (qSkewSaltedAgg _),
+    "q_skew_adaptive_join" -> (qSkewAdaptiveJoin _),
     "q_events_lag" -> (qEventsLag _),
     "dedup_exact" -> (qDedupExact _),
     "dedup_incremental" -> (qDedupIncremental _),
@@ -4807,6 +4825,13 @@ object SparkEntry {
     "q_skew_salted_agg" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_skew_adaptive_join" ->
+      """WITH dim AS (SELECT event_type, count(*) AS n_type
+                      FROM events GROUP BY event_type)
+         SELECT e.event_type, count(*) AS n, first(d.n_type) AS n_type,
+           round(sum(e.value), 2) AS sum_value
+         FROM events e JOIN dim d ON e.event_type = d.event_type
+         GROUP BY e.event_type ORDER BY e.event_type""",
     "q_events_lag" ->
       """SELECT user_id, event_id, sec - prev_sec AS gap_sec FROM (
            SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,

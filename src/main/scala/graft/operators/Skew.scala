@@ -55,4 +55,51 @@ object Skew {
     val d = dim.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
     (f, d, f(key) === d(key) && f("__salt") === d("__salt"))
   }
+
+  /** ADAPTIVE salted join — the form the SpaceSaving aggregate exists
+    * to enable: detect the hot keys first ([[hotKeys]] — one bounded
+    * agg over the fact scan, never a key-space groupBy), then salt
+    * ONLY those. Blanket salting replicates the whole dim `salts`×
+    * and re-shuffles every cold key for nothing; adaptive salting
+    * leaves the cold path untouched (salt 0, dim row replicated once)
+    * and spreads each hot key over `salts` reducers.
+    *
+    * Hot = reported keys whose count LOWER bound clears the
+    * N/capacity survivor floor: count_lo ≤ true count, so every
+    * selected key is certainly above the floor, and SpaceSaving
+    * guarantees every key with true count > N/capacity is in the
+    * report — no hot key can be missed. The hot list is ≤ k entries
+    * (driver-bounded by the sketch config, never by the data) and
+    * rides the plan as an isin literal, inside codegen.
+    *
+    * The salts are transparent to RESULTS: the returned join emits
+    * exactly the rows of the unsalted equi-join (spec-pinned), so the
+    * caller swaps this in purely for the exchange shape. */
+  def adaptiveSaltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                         salts: Int, saltSource: Column,
+                         k: Int = 64, capacity: Int = 1024)
+      : (DataFrame, DataFrame, Column) = {
+    val det = fact.agg(
+      graft.functions.HeavyHitters
+        .heavy_hitters(col(key).cast("string"), k, capacity).as("hh"),
+      count(lit(1)).as("n")).head()
+    val n = det.getLong(1)
+    val floor = n / capacity
+    val hot: Seq[String] = det.getSeq[org.apache.spark.sql.Row](0)
+      .filter(h => h.getLong(1) - h.getLong(2) > floor)
+      .map(_.getString(0))
+    if (hot.isEmpty) {
+      // nothing above the floor: the plain equi-join IS the right plan
+      (fact, dim, fact(key) === dim(key))
+    } else {
+      val f = fact.withColumn("__salt",
+        when(col(key).cast("string").isin(hot: _*), salt(saltSource, salts))
+          .otherwise(lit(0)))
+      val d = dim.withColumn("__salt", explode(
+        when(col(key).cast("string").isin(hot: _*),
+          sequence(lit(0), lit(salts - 1)))
+          .otherwise(sequence(lit(0), lit(0)))))
+      (f, d, f(key) === d(key) && f("__salt") === d("__salt"))
+    }
+  }
 }

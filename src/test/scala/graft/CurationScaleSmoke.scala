@@ -3,11 +3,26 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Curation-suite scaling smoke: the round-3 training-data operators at
-  * 1M+ docs — the check that the map-only ops (PII, sampling, quality)
-  * run at scan speed, packing stays a single exchange + linear scan,
-  * and connected components converge in few rounds with bounded
-  * shuffles. Run: sbt "Test/runMain graft.CurationScaleSmoke" */
+/** Curation-suite scaling smoke, two sections:
+  *
+  * 1. Per-operator scan-speed checks at 1M+ docs — map-only ops (PII,
+  *    sampling, quality) at scan speed, packing a single exchange +
+  *    linear scan, connected components converging in few rounds.
+  *
+  * 2. EVERYTHING-ON daemon rehearsal (r8 verdict ask #2): `wpcurate
+  *    daemon` with ALL gates enabled — quality ensemble (gopher rules +
+  *    entropy + classifier score), near-dup index probe, LM gate, DSIR
+  *    gate, exact-substring gate, media-signature gate, trained-LR
+  *    gate, cardinality novelty watch, drift watch — over a generated
+  *    skewed corpus (hot template content, skewed langs, occasional
+  *    media) of ≥5M landing docs in 5 micro-batch waves, with
+  *    `--append-index` + auto-compaction on. Asserts a throughput
+  *    floor, bounded per-batch wall time (a state/accretion leak shows
+  *    as later waves slowing), bounded index-dir file counts, and that
+  *    the gates actually drop the planted duplicates. This is the
+  *    "survives 100×" proof for the COMPOSED pipeline, not each stage.
+  *
+  * Run: sbt "Test/runMain graft.CurationScaleSmoke [landingDocs]" */
 object CurationScaleSmoke {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

@@ -304,6 +304,33 @@ object GrowthScaleSmoke {
       println(s"GROWTH FAIL: candidate pairs ${small.head.result} -> ${big.head.result}, expected ≥5×")
       failed = true
     }
+    // adaptive salted join (r8 ask #5): the hot reducer's row share of
+    // the join exchange must drop ~salts× once SpaceSaving-detected hot
+    // keys are salted. The event stream's type key is massively hot
+    // (~60% of rows on one value), the canonical un-splittable skew.
+    {
+      import graft.operators.Skew
+      val salts = 8
+      val ev = genEvents(spark, nSmall)
+      val dim = ev.select(col("event_type")).distinct()
+        .withColumn("n_type", lit(1L))
+      def maxShare(df: DataFrame, keys: Column*): Double = {
+        val r = df.repartition(32, keys: _*)
+          .groupBy(spark_partition_id().as("p"))
+          .agg(count(lit(1)).as("c"))
+          .agg(max(col("c")).as("mx"), sum(col("c")).as("tot")).head()
+        r.getLong(0).toDouble / r.getLong(1)
+      }
+      val before = maxShare(ev, col("event_type"))
+      val (f, _, _) = Skew.adaptiveSaltedJoin(ev, dim, "event_type",
+        salts, col("event_id"))
+      val after = maxShare(f, col("event_type"), col("__salt"))
+      println(f"GROWTH salted-exchange hot-reducer share $before%.3f -> $after%.3f (salts=$salts)")
+      if (after > before / (salts / 2)) {
+        println(f"GROWTH FAIL salted-exchange: share only $before%.3f -> $after%.3f at salts=$salts")
+        failed = true
+      }
+    }
     spark.stop()
     assert(!failed, "growth assertions failed — see GROWTH FAIL lines")
     println("GROWTH OK: all phases ~linear at 10× data")

@@ -180,6 +180,50 @@ class R9OpsSpec extends AnyFunSuite {
     spark.conf.unset(Maintenance.AutoCompactConf)
   }
 
+  // ------------------------------------------------ adaptive salted join
+
+  test("adaptiveSaltedJoin: rows identical to the unsalted join; only hot keys replicate the dim") {
+    import spark.implicits._
+    import graft.operators.Skew
+    // one massive key (80%) + 50 cold keys
+    // hot key: 8000 rows (>> floor = 10000/64 ≈ 156); cold keys: 40
+    // rows each (< floor)
+    val fact = spark.range(10000).select(col("id").as("rid"),
+      when(col("id") % 5 =!= 0, lit("hotkey"))
+        .otherwise(concat(lit("cold"), (col("id") / 5) % 50)).as("k"),
+      (col("id") % 97).cast("double").as("v"))
+    val dim = fact.select(col("k")).distinct()
+      .withColumn("dv", length(col("k")).cast("long"))
+
+    val plain = fact.join(dim, "k")
+      .groupBy(col("k")).agg(count(lit(1)).as("n"),
+        round(sum(col("v")), 2).as("sv"), first(col("dv")).as("dv"))
+      .as[(String, Long, Double, Long)].collect().toSet
+
+    val (f, d, cond) = Skew.adaptiveSaltedJoin(fact, dim, "k",
+      salts = 8, saltSource = col("rid"), k = 16, capacity = 64)
+    val salted = f.join(d, cond)
+      .groupBy(f("k")).agg(count(lit(1)).as("n"),
+        round(sum(col("v")), 2).as("sv"), first(col("dv")).as("dv"))
+      .as[(String, Long, Double, Long)].collect().toSet
+    assert(salted == plain)
+
+    // replication is selective: the hot key's dim row fans to 8 salts,
+    // cold keys stay single
+    val dCounts = d.groupBy(col("k")).agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect().toMap
+    assert(dCounts("hotkey") == 8L, s"hot dim fan-out: $dCounts")
+    assert(dCounts.filter(_._1.startsWith("cold")).values.forall(_ == 1L))
+
+    // and with no skew present, the helper returns the PLAIN join
+    val uniform = spark.range(1000).select(col("id").as("rid"),
+      concat(lit("u"), col("id") % 500).as("k"), lit(1.0).as("v"))
+    val (fu, du, _) = Skew.adaptiveSaltedJoin(uniform,
+      uniform.select(col("k")).distinct(), "k", 8, col("rid"),
+      k = 16, capacity = 64)
+    assert(!fu.columns.contains("__salt") && !du.columns.contains("__salt"))
+  }
+
   test("autoCompact: appendTo self-compacts past the conf threshold") {
     import spark.implicits._
     def slice(lo: Long, hi: Long) = (lo to hi).map(i =>
