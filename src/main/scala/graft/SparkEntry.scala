@@ -3100,7 +3100,9 @@ object SparkEntry {
              round(CAST(0.15 AS DOUBLE) / nn.n +
                0.85 * coalesce(m.inmass, 0.0), 12) AS pr
            FROM nodes CROSS JOIN nn LEFT JOIN (
-             SELECT norm.v, sum(pr${i - 1}.pr * norm.p) AS inmass
+             SELECT norm.v,
+               sum(CAST(round(pr${i - 1}.pr * norm.p * 1e15, 0) AS BIGINT))
+                 / 1e15 AS inmass
              FROM norm JOIN pr${i - 1} ON norm.u = pr${i - 1}.node
              GROUP BY norm.v) m ON m.v = nodes.node)"""
     }.mkString(",\n         ")

@@ -17,10 +17,17 @@ import org.apache.spark.sql.functions._
   * the lineage stays O(1) deep. No driver-side state beyond the node
   * count scalar.
   *
-  * Determinism: every iteration rounds ranks to 12 dp, so summation
-  * order inside the partial aggs (which Spark does not fix) cannot
-  * accumulate across iterations, and an external engine replaying the
-  * same rounded recurrence reproduces the scores bit-for-bit.
+  * Determinism: the per-node in-mass is INTEGER mass accounting — each
+  * rank·p term quantizes to a long at 10⁻¹⁵ resolution and the longs
+  * sum exactly (long addition is associative, so the result is
+  * bit-identical under ANY partitioning or merge order; total mass ≤ 1
+  * keeps the sum < 10¹⁵, far inside long range and exact-double
+  * range). Ranks then round to 12 dp per iteration. A double sum here
+  * is NOT partition-invariant at scale: the RoundingScaleSmoke caught
+  * a 12-dp boundary straddle at 10⁵ nodes (one node's last digit
+  * flipped between 8- and 32-partition runs) — the quantized form is
+  * what makes an external engine's replay, and any re-partitioning,
+  * reproduce the scores bit-for-bit.
   */
 object Graph {
 
@@ -51,7 +58,8 @@ object Graph {
     for (i <- 1 to iters) {
       val inMass = norm.join(pr.withColumnRenamed("node", "u"), "u")
         .groupBy(col("v"))
-        .agg(sum(col("pr") * col("p")).as("inmass"))
+        .agg((sum(round(col("pr") * col("p") * lit(1e15)).cast("long")) /
+          lit(1e15)).as("inmass"))
       val next = n.join(inMass.withColumnRenamed("v", "node"), Seq("node"), "left")
         .select(col("node"),
           round(lit(base) / lit(nCount) +

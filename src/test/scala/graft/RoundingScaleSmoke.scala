@@ -15,14 +15,15 @@ import graft.functions.SplitMix64.splitmix64
   * different merge orders) — and asserting the trained weights/ranks
   * are IDENTICAL doubles.
   *
-  * Why the contract scales: the only unbounded-length sums are
-  * immediately divided by their length (LR's gradient is a MEAN;
-  * PageRank's in-mass terms are ~1/n each), so the reordering error is
-  * ~eps·log(n)·mean|x| — nearly independent of row count — while the
-  * rounding grid is fixed at 5·10⁻¹³. The documented 9-dp fallback
-  * past ~10⁸ rows covers the regime where log(n) growth plus
-  * boundary-straddle probability accumulated over all rounded values
-  * stops being negligible.
+  * Why the contract scales: LR's only unbounded-length sum is
+  * immediately divided by its length (the gradient is a MEAN), so the
+  * reordering error is ~eps·log(n)·mean|x| — nearly independent of row
+  * count — while the rounding grid is fixed at 5·10⁻¹³. PageRank's
+  * in-mass is INTEGER mass accounting (terms quantized to longs at
+  * 10⁻¹⁵, summed exactly): the first run of this smoke caught a double
+  * sum straddling a 12-dp boundary at 10⁵ nodes — one node's last
+  * digit flipped between the 8- and 32-partition runs — which is
+  * exactly the failure mode the quantized form removes.
   *
   * Run: sbt "Test/runMain graft.RoundingScaleSmoke [nDocs]"
   */
