@@ -675,6 +675,21 @@ object Cli {
               println(f"wpcurate: MONITOR accepted=${r.getLong(0)} " +
                 f"distinct_$mk%s=$est%.1f")
           }
+          // --monitor-hot <col>: per-batch heavy-hitter line via the
+          // SpaceSaving sketch — capacity-bounded state like the HLL
+          // monitor, so a skewed landing batch (one domain flooding
+          // the ingest) is visible the batch it happens
+          flag("--monitor-hot", "") match {
+            case "" => ()
+            case hk =>
+              import org.apache.spark.sql.functions.col
+              graft.operators.Skew.hotKeys(
+                  accepted.select(col(hk)), hk, k = 3, capacity = 1024)
+                .collect() // k rows
+                .foreach(r => println(
+                  s"wpcurate: HOT $hk=${r.getString(0)} " +
+                  s"count=[${r.getLong(1)},${r.getLong(2)}]"))
+          }
           // --card <indexDir>: continual novelty watch — each accepted
           // batch probes the persisted cardinality profile (NOVELTY
           // lines per group), then folds its registers in, so the

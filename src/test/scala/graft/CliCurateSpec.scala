@@ -495,6 +495,25 @@ class CliCurateSpec extends AnyFunSuite {
     assert(card.columns.contains("n_docs"))
   }
 
+  test("wpcurate daemon --monitor-hot: per-batch SpaceSaving hot-key line prints") {
+    import spark.implicits._
+    spark
+    val inDir = tmp("hot_in"); val outDir = tmp("hot_out")
+    ((1 to 30).map(i => (i.toLong, s"the doc number $i with words", "spamsrc")) ++
+      (31 to 40).map(i => (i.toLong, s"the doc number $i with words", s"src$i")))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(inDir)
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf)) {
+      graft.cli.Cli.main(Array("wpcurate", "daemon", inDir, outDir,
+        "--monitor-hot", "source", "--once"))
+    }
+    val hot = buf.toString.linesIterator.filter(_.contains("HOT source=")).toSeq
+    assert(hot.nonEmpty, s"stdout was: ${buf.toString}")
+    assert(hot.head.contains("source=spamsrc") &&
+      hot.head.contains("count=[30,30]"), hot.mkString("\n"))
+  }
+
   test("wpcurate daemon multi-batch: --append-index closes the ingest loop and auto-compaction bounds the index dirs") {
     import spark.implicits._
     spark
