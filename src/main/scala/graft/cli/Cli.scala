@@ -377,37 +377,44 @@ object Cli {
           .select(org.apache.spark.sql.functions.col(idCol)), Seq(idCol))
       // in-batch exact dedup: first occurrence per content hash (the
       // StreamingCuration stage-2 shape — groupBy-min + join, no window)
+      // each gate is a self-join (batch ⋈ f(batch)) — localCheckpoint
+      // after every ACTIVE gate so the plan tree stays O(gates), not
+      // 2^gates (the everything-on scale rehearsal caught task closures
+      // carrying 2^7 copies of the chain and spending minutes in
+      // deserialization; same fix as the daemon path)
       val uniq = {
-        import org.apache.spark.sql.functions.{col, md5, min}
-        val hashed = passed.withColumn("__h", md5(col(textCol)))
+        import org.apache.spark.sql.functions.{col, min}
+        val hashed = passed.withColumn("__h",
+          graft.functions.Fnv1a64Expr.fnv1a64(col(textCol)))
         hashed.join(hashed.groupBy(col("__h"))
             .agg(min(col(idCol)).as("__keep_id")), "__h")
           .filter(col(idCol) === col("__keep_id"))
           .drop("__h", "__keep_id")
+          .localCheckpoint()
       }
       val afterNd = flag("--index", "") match {
         case "" => uniq
         case p => Dedup.dropNearDupsOfCorpus(uniq, textCol, idCol,
           Dedup.NearDupCorpusIndex.load(spark, p),
-          flag("--threshold", "0.5").toDouble)
+          flag("--threshold", "0.5").toDouble).localCheckpoint()
       }
       val afterLm = flag("--lm", "") match {
         case "" => afterNd
         case p => graft.streaming.StreamingCuration.lmGate(afterNd, textCol,
           idCol, Lm.LmRef.load(spark, p),
-          flag("--min-logprob", "-8.0").toDouble)
+          flag("--min-logprob", "-8.0").toDouble).localCheckpoint()
       }
       val afterDsir = flag("--dsir", "") match {
         case "" => afterLm
         case p => graft.streaming.StreamingCuration.dsirGate(afterLm, textCol,
           idCol, graft.operators.Dsir.DsirRef.load(spark, p),
-          flag("--min-logw", "0.0").toDouble)
+          flag("--min-logw", "0.0").toDouble).localCheckpoint()
       }
       val afterSubstr = flag("--substr", "") match {
         case "" => afterDsir
         case p => graft.streaming.StreamingCuration.substrGate(afterDsir,
           textCol, idCol, Dedup.SubstrCorpusIndex.load(spark, p),
-          flag("--max-dupfrac", "0.5").toDouble)
+          flag("--max-dupfrac", "0.5").toDouble).localCheckpoint()
       }
       // --mediasig <idx>: perceptual media gate — drop rows whose
       // media column is a re-encode of anything in the signature index
@@ -417,7 +424,7 @@ object Cli {
         case p => graft.operators.Multimodal.MediaSigIndex.load(spark, p)
           .dropKnown(afterSubstr, idCol,
             mediaSigCol(flag("--sig", "image"), flag("--media-col", "media")),
-            maxDist = flag("--max-dist", "3").toInt)
+            maxDist = flag("--max-dist", "3").toInt).localCheckpoint()
       }
       // --lr <modelDir>: trained-classifier gate (wpindex lr) — keep
       // rows whose LR margin clears --lr-threshold (log-odds)
@@ -608,6 +615,14 @@ object Cli {
             if (appendIndex && ndIdxPath.nonEmpty)
               Some(Dedup.NearDupCorpusIndex.load(spark, ndIdxPath))
             else ndIdx
+          // every gate below is a SELF-join — batch ⋈ f(batch) — so an
+          // untruncated chain doubles the plan tree per gate: with all
+          // seven gates on, every task closure carries 2^7 copies of
+          // the upstream plan, and the everything-on scale rehearsal
+          // measured tasks spending MINUTES deserializing closures
+          // before doing any work. localCheckpoint after each active
+          // gate keeps every gate's plan O(gate): the next gate reads
+          // a materialized scan, not the whole chain twice.
           val gated = batchNdIdx match {
             case Some(idx) => graft.streaming.StreamingCuration.curateBatch(
               b, textCol, idCol, idx,
@@ -616,26 +631,28 @@ object Cli {
               minEntropy = flag("--min-entropy", "3.5").toDouble,
               minScore = flag("--min-score", "0.5").toDouble,
               nearDupThreshold = flag("--threshold", "0.5").toDouble)
+              .localCheckpoint()
             case None => b
           }
           val lmGated = lmRef match {
             case Some(ref) => graft.streaming.StreamingCuration.lmGate(
-              gated, textCol, idCol, ref, minLp)
+              gated, textCol, idCol, ref, minLp).localCheckpoint()
             case None => gated
           }
           val dsirGated = dsirRef match {
             case Some(ref) => graft.streaming.StreamingCuration.dsirGate(
-              lmGated, textCol, idCol, ref, minLogw)
+              lmGated, textCol, idCol, ref, minLogw).localCheckpoint()
             case None => lmGated
           }
           val substrGated = substrIdx match {
             case Some(idx) => graft.streaming.StreamingCuration.substrGate(
-              dsirGated, textCol, idCol, idx, maxDupFrac)
+              dsirGated, textCol, idCol, idx, maxDupFrac).localCheckpoint()
             case None => dsirGated
           }
           val mediaGated = mediaIdx match {
             case Some(idx) =>
               idx.dropKnown(substrGated, idCol, mediaSig, mediaMaxDist)
+                .localCheckpoint()
             case None => substrGated
           }
           val acceptedPlan = lrModel match {

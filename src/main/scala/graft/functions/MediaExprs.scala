@@ -168,10 +168,16 @@ case class MediaDHash(child: Expression) extends UnaryExpression with MediaExprH
     MediaDHash.dhashOf(a.asInstanceOf[Array[Byte]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a => s"""
-      java.lang.Long dh_v = graft.functions.MediaDHash.dhashOf($a);
-      ${ev.isNull} = dh_v == null;
-      ${ev.value} = ${ev.isNull} ? -1L : dh_v.longValue();""")
+    nullSafeCodeGen(ctx, ev, a => {
+      // freshName: a fixed local here redefines itself when the
+      // expression appears twice in one codegen function (the daemon's
+      // media gate hit exactly that)
+      val v = ctx.freshName("dhv")
+      s"""
+      java.lang.Long $v = graft.functions.MediaDHash.dhashOf($a);
+      ${ev.isNull} = $v == null;
+      ${ev.value} = ${ev.isNull} ? -1L : $v.longValue();"""
+    })
 
   override protected def withNewChildInternal(newChild: Expression): MediaDHash =
     copy(child = newChild)
@@ -231,10 +237,13 @@ case class MediaAudioFp(child: Expression) extends UnaryExpression with MediaExp
     MediaAudioFp.afpOf(a.asInstanceOf[Array[Byte]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a => s"""
-      java.lang.Long afp_v = graft.functions.MediaAudioFp.afpOf($a);
-      ${ev.isNull} = afp_v == null;
-      ${ev.value} = ${ev.isNull} ? -1L : afp_v.longValue();""")
+    nullSafeCodeGen(ctx, ev, a => {
+      val v = ctx.freshName("afpv")
+      s"""
+      java.lang.Long $v = graft.functions.MediaAudioFp.afpOf($a);
+      ${ev.isNull} = $v == null;
+      ${ev.value} = ${ev.isNull} ? -1L : $v.longValue();"""
+    })
 
   override protected def withNewChildInternal(newChild: Expression): MediaAudioFp =
     copy(child = newChild)
@@ -286,10 +295,13 @@ case class MediaVideoFp(child: Expression) extends UnaryExpression with MediaExp
     MediaVideoFp.vfpOf(a.asInstanceOf[Array[Byte]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a => s"""
-      java.lang.Long vfp_v = graft.functions.MediaVideoFp.vfpOf($a);
-      ${ev.isNull} = vfp_v == null;
-      ${ev.value} = ${ev.isNull} ? -1L : vfp_v.longValue();""")
+    nullSafeCodeGen(ctx, ev, a => {
+      val v = ctx.freshName("vfpv")
+      s"""
+      java.lang.Long $v = graft.functions.MediaVideoFp.vfpOf($a);
+      ${ev.isNull} = $v == null;
+      ${ev.value} = ${ev.isNull} ? -1L : $v.longValue();"""
+    })
 
   override protected def withNewChildInternal(newChild: Expression): MediaVideoFp =
     copy(child = newChild)

@@ -42,7 +42,8 @@ object StreamingCuration {
     val passed = batch.join(
       verdict.filter(col("keep")).select(col(idCol)), Seq(idCol))
     // 2. in-batch exact dedup: first occurrence per content hash
-    val hashed = passed.withColumn("__h", md5(col(textCol)))
+    val hashed = passed.withColumn("__h",
+      graft.functions.Fnv1a64Expr.fnv1a64(col(textCol)))
     val firsts = hashed.groupBy(col("__h"))
       .agg(min(col(idCol)).as("__keep_id"))
     val uniq = hashed.join(firsts, "__h")

@@ -140,6 +140,28 @@ class MediaSigIndexSpec extends AnyFunSuite {
     assert(!plan.contains("ScalaUDF"), "fixture UDFs leaked into the plan")
   }
 
+  test("media signature expressions codegen-compile when one appears twice in a projection") {
+    // regression: the fingerprint expressions used FIXED local variable
+    // names in doGenCode, so two occurrences in one generated function
+    // (the daemon's media gate plan) failed janino compilation and
+    // silently fell back to the interpreter. GenerateUnsafeProjection
+    // THROWS on compile failure, so this pins the fix.
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.types.BinaryType
+    import graft.functions.{MediaAudioFp, MediaDHash, MediaVideoFp}
+    val a = BoundReference(0, BinaryType, nullable = true)
+    val b = BoundReference(1, BinaryType, nullable = true)
+    val proj = GenerateUnsafeProjection.generate(Seq(
+      MediaDHash(a), MediaDHash(b), MediaAudioFp(a), MediaAudioFp(b),
+      MediaVideoFp(a), MediaVideoFp(b)))
+    val row = org.apache.spark.sql.catalyst.InternalRow(
+      randBmp(1L), randBmp(2L))
+    val out = proj(row)
+    assert(out.getLong(0) == MediaDHash.dhashOf(randBmp(1L)).longValue)
+    assert(out.getLong(1) == MediaDHash.dhashOf(randBmp(2L)).longValue)
+  }
+
   test("wpindex mediasig CLI: build → probe → append round trip") {
     import spark.implicits._
     spark
