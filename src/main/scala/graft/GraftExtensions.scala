@@ -127,6 +127,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         graft.functions.QuantileSketch(args.head, Seq(q), cap)
       }))
+    // Count–Min sketch: d (rows) and wExp (log2 width) as int literals
+    e.injectFunction((
+      FunctionIdentifier("cms_sketch"),
+      new ExpressionInfo(classOf[graft.functions.CmsSketch].getName,
+        "cms_sketch"),
+      (args: Seq[Expression]) => {
+        def intLit(x: Expression, what: String): Int = x match {
+          case Literal(n: Int, _) => n
+          case other => throw new IllegalArgumentException(
+            s"cms_sketch: $what must be an int literal, got $other")
+        }
+        graft.functions.CmsSketch(args.head,
+          intLit(args(1), "d"), intLit(args(2), "wExp"))
+      }))
     // HyperLogLog distinct: p (register index bits) as an int literal
     e.injectFunction((
       FunctionIdentifier("hll_distinct"),

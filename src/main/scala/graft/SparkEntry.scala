@@ -2541,6 +2541,30 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Count–Min point-frequency estimates for the exact top-10 users:
+    * one `cms_sketch` pass builds the 3×1024 counter table (the only
+    * sketch whose merge is exactly elementwise ⇒ the table is
+    * bit-identical under any partitioning), the 1-row table broadcasts,
+    * and the probe estimates are plain `element_at` + splitmix/fnv
+    * Column math — no custom probe kernel. `overestimate ≥ 0` is the
+    * CMS one-sided guarantee; the oracle rebuilds the identical table
+    * from per-key counts and replays the min-over-rows reads. */
+  private def qCmsFreq(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CmsSketch.{cms_sketch, cmsEstimate}
+    val ev = t(s, dir, "events")
+    val sketch = ev.agg(
+      cms_sketch(col("user_id").cast("string"), 3, 10).as("cms"))
+    val top = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("user_id")).limit(10)
+    top.crossJoin(broadcast(sketch))
+      .select(col("user_id"), col("exact_cnt"),
+        cmsEstimate(col("cms"), col("user_id").cast("string"), 3, 10)
+          .as("est_cnt"))
+      .withColumn("overestimate", col("est_cnt") - col("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("user_id"))
+  }
+
   /** Relational pivot: daily event counts spread to one column per
     * type (`groupBy(day).pivot(type, values).count()` — explicit value
     * list so the plan is a single pass, no distinct-values pre-query). */
@@ -2904,6 +2928,7 @@ object SparkEntry {
     "vocab_growth" -> (qVocabGrowth _),
     "decontaminate_spans_apply" -> (qDecontamSpansApply _),
     "q_hll_distinct" -> (qHllDistinct _),
+    "q_cms_freq" -> (qCmsFreq _),
     "q_pivot" -> (qPivot _),
     "q_unpivot" -> (qUnpivot _),
     "mix_unimax" -> (qMixUnimax _),
@@ -4093,6 +4118,37 @@ object SparkEntry {
           FROM ufin uf JOIN efin ef ON uf.grp = ef.grp
           JOIN ex ON uf.grp = ex.grp
           ORDER BY event_type""",
+    // CMS replay: counter(r,c) = Σ cnt over keys whose hash bit-field r
+    // addresses c — identical to the aggregate's +1-per-row updates
+    // summed per key; estimates are min-over-rows reads on the probes
+    "q_cms_freq" ->
+      s"""WITH keys AS (SELECT user_id, CAST(user_id AS VARCHAR) AS k,
+               count(*) AS cnt FROM events GROUP BY user_id),
+          cf AS (SELECT user_id, cnt, ${fnvSql("k")} AS fv FROM keys),
+          cz0 AS (SELECT user_id, cnt, (fv + 11400714819323198485)
+              % 18446744073709551616::HUGEINT AS z0 FROM cf),
+          cz1 AS (SELECT user_id, cnt, ${mulcSql("xor(z0, z0 // 1073741824)",
+                BigInt("BF58476D1CE4E5B9", 16))} AS z1 FROM cz0),
+          cz2 AS (SELECT user_id, cnt, ${mulcSql("xor(z1, z1 // 134217728)",
+                BigInt("94D049BB133111EB", 16))} AS z2 FROM cz1),
+          chh AS (SELECT user_id, cnt,
+              xor(z2, z2 // 2147483648) AS hv FROM cz2),
+          cells AS (SELECT user_id, cnt, rr.r,
+              CAST((hv // (CASE rr.r WHEN 0 THEN 1 WHEN 1 THEN 1024
+                           ELSE 1048576 END)) % 1024 AS BIGINT) AS c
+            FROM chh, (SELECT unnest([0, 1, 2]) AS r) rr),
+          counters AS (SELECT r, c, sum(cnt) AS v
+            FROM cells GROUP BY r, c),
+          top AS (SELECT user_id, cnt FROM keys
+            ORDER BY cnt DESC, user_id LIMIT 10)
+          SELECT t.user_id, t.cnt AS exact_cnt,
+            CAST(min(co.v) AS BIGINT) AS est_cnt,
+            CAST(min(co.v) - t.cnt AS BIGINT) AS overestimate
+          FROM top t
+          JOIN cells ce ON ce.user_id = t.user_id
+          JOIN counters co ON co.r = ce.r AND co.c = ce.c
+          GROUP BY t.user_id, t.cnt
+          ORDER BY exact_cnt DESC, t.user_id""",
     // the union pipeline (no WHERE) covers every group by construction,
     // so it drives the joins; absent sides estimate 0 from all-zero
     // registers — the linear-counting branch at V = m is exactly 0.0

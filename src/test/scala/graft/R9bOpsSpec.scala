@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.CmsSketch
+
+/** Round-9 widening: Count–Min sketch (the fourth mergeable sketch —
+  * the point-frequency primitive) and the session's new scan-side
+  * operators. */
+class R9bOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  /** 500 keys, key i occurring i+1 times — skewed, deterministic. */
+  private lazy val freqDf: DataFrame =
+    (0 until 500).flatMap(i => Seq.fill(i + 1)(s"key$i")).toDF("k")
+
+  // ------------------------------------------------------- count–min
+
+  test("cms_sketch: counter table is bit-identical under any partitioning") {
+    def table(parts: Int): Seq[Long] =
+      freqDf.repartition(parts)
+        .agg(CmsSketch.cms_sketch(col("k"), 3, 10).as("t"))
+        .head.getSeq[Long](0)
+    val t1 = table(1)
+    val t4 = table(4)
+    val t13 = table(13)
+    assert(t1 == t4 && t4 == t13,
+      "CMS merge is elementwise addition — exact under any merge order")
+    assert(t1.length == 3 * 1024)
+    // every row of counters holds the full update mass
+    val n = 500 * 501 / 2
+    (0 until 3).foreach { r =>
+      assert(t1.slice(r * 1024, (r + 1) * 1024).sum == n.toLong,
+        s"row $r must sum to N=$n")
+    }
+  }
+
+  test("cms_sketch: estimates are one-sided (est >= exact) with bounded overestimate") {
+    val sketch = freqDf.agg(CmsSketch.cms_sketch(col("k"), 3, 10).as("t"))
+    val exact = freqDf.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+    val est = exact.crossJoin(broadcast(sketch))
+      .select(col("k"), col("cnt"),
+        CmsSketch.cmsEstimate(col("t"), col("k"), 3, 10).as("est"))
+      .collect()
+    assert(est.length == 500)
+    val n = 500 * 501 / 2
+    est.foreach { row =>
+      val (cnt, e) = (row.getLong(1), row.getLong(2))
+      assert(e >= cnt, s"${row.getString(0)}: CMS never underestimates")
+      // deterministic hash family => this generous epsilon*N bound
+      // (epsilon = 5/w vs the e/w theory bound; the worst key in this
+      // fixture lands at 382 = 3.1·N/w) is stable, not flaky
+      assert(e - cnt <= 5L * n / 1024,
+        s"${row.getString(0)}: overestimate ${e - cnt} too large")
+    }
+    // min-over-rows should beat any single row on aggregate: the mean
+    // overestimate stays well under one row's expected collision mass N/w
+    val meanOver = est.map(r => r.getLong(2) - r.getLong(1)).sum.toDouble / 500
+    assert(meanOver <= n.toDouble / 1024, f"mean overestimate $meanOver%.1f")
+  }
+
+  test("cms_sketch: SQL registration via GraftExtensions") {
+    freqDf.createOrReplaceTempView("cms_in")
+    val t = spark.sql(
+      "SELECT cms_sketch(k, 3, 10) AS t FROM cms_in").head.getSeq[Long](0)
+    assert(t.length == 3 * 1024 && t.slice(0, 1024).sum == 500L * 501 / 2)
+  }
+
+  test("cms_sketch: rejects non-string keys at analysis time") {
+    val e = intercept[Exception] {
+      freqDf.select(length(col("k")).as("n"))
+        .agg(CmsSketch.cms_sketch(col("n"), 3, 10)).collect()
+    }
+    assert(e.getMessage.contains("STRING") ||
+      e.getMessage.toLowerCase.contains("type"), e.getMessage)
+  }
+
+  test("q_cms_freq: top-k via TakeOrdered; sketch side broadcast") {
+    val df = SparkEntry.queries("q_cms_freq")(spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(!p.contains("CartesianProduct"),
+      "1-row sketch must broadcast, not cartesian")
+    assert(df.count() == 10)
+  }
+}
