@@ -127,6 +127,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         graft.functions.QuantileSketch(args.head, Seq(q), cap)
       }))
+    // Aho–Corasick multi-pattern scan: patterns as one ';'-separated
+    // string literal (the blocklist is a plan-time constant)
+    e.injectFunction((
+      FunctionIdentifier("multi_match"),
+      new ExpressionInfo(classOf[graft.functions.MultiPatternStats].getName,
+        "multi_match"),
+      (args: Seq[Expression]) => {
+        val pats = args(1) match {
+          case Literal(s: UTF8String, _) =>
+            s.toString.split(';').toSeq.filter(_.nonEmpty)
+          case other => throw new IllegalArgumentException(
+            s"multi_match: patterns must be a string literal, got $other")
+        }
+        graft.functions.MultiPatternStats(args.head, pats)
+      }))
     // Count–Min sketch: d (rows) and wExp (log2 width) as int literals
     e.injectFunction((
       FunctionIdentifier("cms_sketch"),

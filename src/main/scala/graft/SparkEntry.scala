@@ -2565,6 +2565,32 @@ object SparkEntry {
       .orderBy(col("exact_cnt").desc, col("user_id"))
   }
 
+  /** The demo blocklist: phrases from the synthetic vocabulary (some
+    * present, one never), including an overlapping-prefix pair — the
+    * shapes that separate Aho–Corasick from naive scans. */
+  private val blocklistPhrases = Seq(
+    "slow scan", "big query", "table table", "value table part",
+    "fast key", "quantum blockchain")
+
+  /** Aho–Corasick blocklist scan over documents: ONE automaton pass
+    * per doc counts leftmost-non-overlapping occurrences of every
+    * blocklist phrase — O(len + matches) per doc no matter how large
+    * the blocklist, where per-phrase scans are O(len × phrases). The
+    * oracle replays the counts as replace() arithmetic and the
+    * first-hit phrase as min-by-(position, list-order). */
+  private def qBlocklistHits(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MultiPatternStats.multi_match
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        multi_match(col("text"), blocklistPhrases).as("m"))
+      .select(col("doc_id"),
+        col("m.total_hits").as("total_hits"),
+        col("m.n_patterns").as("n_patterns"),
+        col("m.first_pattern").as("first_pattern"),
+        (col("m.total_hits") > 0).as("blocked"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Relational pivot: daily event counts spread to one column per
     * type (`groupBy(day).pivot(type, values).count()` — explicit value
     * list so the plan is a single pass, no distinct-values pre-query). */
@@ -2929,6 +2955,7 @@ object SparkEntry {
     "decontaminate_spans_apply" -> (qDecontamSpansApply _),
     "q_hll_distinct" -> (qHllDistinct _),
     "q_cms_freq" -> (qCmsFreq _),
+    "blocklist_hits" -> (qBlocklistHits _),
     "q_pivot" -> (qPivot _),
     "q_unpivot" -> (qUnpivot _),
     "mix_unimax" -> (qMixUnimax _),
@@ -4149,6 +4176,26 @@ object SparkEntry {
           JOIN counters co ON co.r = ce.r AND co.c = ce.c
           GROUP BY t.user_id, t.cnt
           ORDER BY exact_cnt DESC, t.user_id""",
+    // Aho–Corasick replay: non-overlapping counts are replace()
+    // arithmetic (both engines scan leftmost-first); first hit is
+    // min-by (position, pattern order) with pi < 100 packed
+    "blocklist_hits" -> {
+      val vals = blocklistPhrases.zipWithIndex
+        .map { case (p, i) => s"('$p', $i)" }.mkString(", ")
+      s"""WITH pats AS (SELECT * FROM (VALUES $vals) AS pt(p, pi)),
+          ph AS (SELECT d.doc_id, pats.p, pats.pi,
+              (length(d.text) - length(replace(d.text, pats.p, '')))
+                // length(pats.p) AS cnt,
+              strpos(d.text, pats.p) AS pos
+            FROM documents d, pats)
+          SELECT doc_id,
+            CAST(sum(cnt) AS BIGINT) AS total_hits,
+            CAST(count(*) FILTER (WHERE cnt > 0) AS INT) AS n_patterns,
+            min_by(p, pos * 100 + pi) FILTER (WHERE pos > 0)
+              AS first_pattern,
+            sum(cnt) > 0 AS blocked
+          FROM ph GROUP BY doc_id ORDER BY doc_id"""
+    },
     // the union pipeline (no WHERE) covers every group by construction,
     // so it drives the joins; absent sides estimate 0 from all-zero
     // registers — the linear-counting branch at V = m is exactly 0.0

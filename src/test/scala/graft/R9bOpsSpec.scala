@@ -85,6 +85,66 @@ class R9bOpsSpec extends AnyFunSuite {
       e.getMessage.toLowerCase.contains("type"), e.getMessage)
   }
 
+  // --------------------------------------------- aho–corasick blocklist
+
+  import graft.functions.MultiPatternStats
+
+  /** Greedy leftmost non-overlapping count — the contract reference. */
+  private def naiveCount(text: String, p: String): Long = {
+    var n = 0L; var i = text.indexOf(p)
+    while (i >= 0) { n += 1; i = text.indexOf(p, i + p.length) }
+    n
+  }
+
+  test("multi_match: equals per-pattern indexOf greedy scan, incl. overlap shapes") {
+    // classic AC fixture: patterns that are suffixes/prefixes of each
+    // other, plus self-overlapping "aa" (non-overlap: "aaaa" -> 2)
+    val pats = Seq("he", "she", "his", "hers", "aa")
+    val texts = Seq(
+      "ushers", "she sells seashells", "aaaa", "hishers",
+      "", "xyz", "hehehehe", "shehisheraa aahers")
+    val rows = texts.toDF("t")
+      .select(col("t"), MultiPatternStats.multi_match(col("t"), pats).as("m"))
+      .select(col("t"), col("m.total_hits"), col("m.n_patterns"),
+        col("m.first_pattern"))
+      .collect()
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val expTotal = pats.map(naiveCount(t, _)).sum
+      val expN = pats.count(naiveCount(t, _) > 0)
+      val expFirst = pats.zipWithIndex
+        .map { case (p, i) => (t.indexOf(p), i, p) }
+        .filter(_._1 >= 0)
+        .sortBy { case (pos, i, _) => (pos, i) }
+        .headOption.map(_._3).orNull
+      assert(r.getLong(1) == expTotal, s"'$t' total")
+      assert(r.getInt(2) == expN, s"'$t' n_patterns")
+      assert(r.getString(3) == expFirst, s"'$t' first")
+    }
+  }
+
+  test("multi_match: two occurrences in one projection codegen-compile cleanly") {
+    // regression shape from the media fingerprint janino collision:
+    // GenerateUnsafeProjection throws on codegen failure instead of
+    // silently falling back to the interpreter
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, CreateNamedStruct, Literal}
+    import org.apache.spark.sql.types.StringType
+    val in = BoundReference(0, StringType, nullable = true)
+    val e1 = MultiPatternStats(in, Seq("ab", "ba"))
+    val e2 = MultiPatternStats(in, Seq("cd"))
+    GenerateUnsafeProjection.generate(Seq(
+      CreateNamedStruct(Seq(Literal("a"), e1, Literal("b"), e2))))
+  }
+
+  test("blocklist_hits: map-only plan, no exchanges, no UDFs") {
+    val df = SparkEntry.queries("blocklist_hits")(spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p.take(600))
+    assert(!p.contains("Join"), "scan-side gate must not join")
+    assert(df.where(col("blocked")).count() > 0, "fixture phrases must hit")
+  }
+
   test("q_cms_freq: top-k via TakeOrdered; sketch side broadcast") {
     val df = SparkEntry.queries("q_cms_freq")(spark, "/root/testdata/sf0.001")
     val p = df.queryExecution.executedPlan.toString
