@@ -2591,6 +2591,21 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** ARI readability per document — count-only inputs (chars / words /
+    * sentence-punctuation runs), so both engines compute from the same
+    * integers; the readability gate next to the Gopher length rules. */
+  private def qTextReadability(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.readability(t(s, dir, "documents"), "text")
+
+  /** Vocabulary-distribution divergence between the even/odd doc_id
+    * halves: KL both ways + Jensen–Shannon over the union top-100
+    * vocab, add-one smoothed, per-term contributions quantized to
+    * longs at 1e-12 (the PageRank integer-mass contract) so the sums
+    * are partition-invariant and DuckDB-replayable. */
+  private def qVocabDivergence(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabDivergence(t(s, dir, "documents"), "text",
+      col("doc_id") % 2 === 0, topN = 100)
+
   /** Relational pivot: daily event counts spread to one column per
     * type (`groupBy(day).pivot(type, values).count()` — explicit value
     * list so the plan is a single pass, no distinct-values pre-query). */
@@ -2956,6 +2971,8 @@ object SparkEntry {
     "q_hll_distinct" -> (qHllDistinct _),
     "q_cms_freq" -> (qCmsFreq _),
     "blocklist_hits" -> (qBlocklistHits _),
+    "text_readability" -> (qTextReadability _),
+    "vocab_divergence" -> (qVocabDivergence _),
     "q_pivot" -> (qPivot _),
     "q_unpivot" -> (qUnpivot _),
     "mix_unimax" -> (qMixUnimax _),
@@ -4196,6 +4213,51 @@ object SparkEntry {
             sum(cnt) > 0 AS blocked
           FROM ph GROUP BY doc_id ORDER BY doc_id"""
     },
+    "text_readability" ->
+      """WITH c AS (SELECT doc_id,
+           length(regexp_replace(text, '\s', '', 'g')) AS n_chars,
+           length(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             x -> length(x) > 0)) AS n_words,
+           greatest(1, length(regexp_split_to_array(text, '[.!?]+')) - 1)
+             AS n_sentences
+         FROM documents)
+         SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CASE WHEN n_words > 0 THEN
+             floor((4.71 * n_chars / n_words
+               + 0.5 * n_words / n_sentences - 21.43) * 1e4 + 0.5) / 1e4
+           END AS ari
+         FROM c ORDER BY doc_id""",
+    // per-term contributions quantized to BIGINT at 1e-12 before the
+    // sum — associative, so partitioning can't move the 6-dp rounding
+    "vocab_divergence" ->
+      """WITH toks AS (SELECT doc_id % 2 = 0 AS is_a,
+           unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             x -> length(x) > 0)) AS tok
+         FROM documents),
+         vcounts AS (SELECT tok,
+             sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS cb
+           FROM toks GROUP BY tok),
+         vtop AS (SELECT tok, ca, cb FROM vcounts
+           QUALIFY row_number() OVER (ORDER BY ca + cb DESC, tok) <= 100),
+         vtot AS (SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS v
+           FROM vtop),
+         terms AS (SELECT v,
+             CAST(ca + 1 AS DOUBLE) / (na + v) AS p,
+             CAST(cb + 1 AS DOUBLE) / (nb + v) AS q
+           FROM vtop, vtot),
+         t2 AS (SELECT v, p, q, (p + q) / 2 AS m FROM terms)
+         SELECT CAST(max(v) AS BIGINT) AS vocab_size,
+           round(CAST(sum(CAST(round(p * ln(p / q) * 1e12) AS BIGINT))
+             AS DOUBLE) / 1e12, 6) AS kl_ab,
+           round(CAST(sum(CAST(round(q * ln(q / p) * 1e12) AS BIGINT))
+             AS DOUBLE) / 1e12, 6) AS kl_ba,
+           round(CAST(sum(CAST(round((p * ln(p / m) / 2
+             + q * ln(q / m) / 2) * 1e12) AS BIGINT))
+             AS DOUBLE) / 1e12, 6) AS js
+         FROM t2""",
     // the union pipeline (no WHERE) covers every group by construction,
     // so it drives the joins; absent sides estimate 0 from all-zero
     // registers — the linear-counting branch at V = m is exactly 0.0

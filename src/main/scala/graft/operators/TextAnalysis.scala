@@ -730,6 +730,73 @@ object TextAnalysis {
     * aggregation over the scan; the regression runs on the N-point
     * frame (closed-form sums, deterministic under the
     * (freq desc, term) rank order). */
+  /** Automated Readability Index (Senter & Smith 1967) per document —
+    * the count-only readability score (no syllable heuristics, so the
+    * integer inputs are engine-exact): ARI = 4.71·chars/words +
+    * 0.5·words/sentences − 21.43, chars = non-whitespace characters,
+    * sentences = runs of sentence punctuation (floor 1). Map-only,
+    * zero exchanges; the readability twin of the Gopher length gates. */
+  def readability(df: DataFrame, textCol: String,
+                  idCol: String = "doc_id"): DataFrame = {
+    val nChars = length(regexp_replace(col(textCol), "\\s", ""))
+    val nWords = size(tokens(col(textCol)))
+    val nSent = greatest(lit(1),
+      size(split(col(textCol), "[.!?]+")) - 1)
+    df.select(col(idCol),
+        nChars.cast("long").as("n_chars"),
+        nWords.cast("long").as("n_words"),
+        nSent.cast("long").as("n_sentences"))
+      .withColumn("ari",
+        // explicit floor(x·1e4 + 0.5)/1e4 instead of round(): the raw
+        // score lands on 4-dp midpoints (0.5·words/sentences is exact
+        // halves), where BigDecimal HALF_UP and DuckDB's scaled round
+        // disagree by 1 ulp — this form is the same IEEE ops on both
+        when(col("n_words") > 0,
+          floor((lit(4.71) * col("n_chars").cast("double") / col("n_words")
+            + lit(0.5) * col("n_words").cast("double") / col("n_sentences")
+            - lit(21.43)) * 1e4 + 0.5) / 1e4))
+      .orderBy(col(idCol))
+  }
+
+  /** Unigram-distribution divergence between two corpus slices —
+    * KL(A‖B), KL(B‖A), and the symmetric bounded Jensen–Shannon
+    * divergence over the union top-N vocabulary with add-one
+    * smoothing: the vocabulary-level domain-shift signal (PSI's text
+    * twin; DSIR's importance weights are the per-doc form of the same
+    * ratio). Shapes: one token agg (vocabulary-bounded, the zipf
+    * frame), a topN window on that frame, then term math with each
+    * term QUANTIZED to a long at 1e-12 so the sums are associative —
+    * bit-identical under any partitioning, the PageRank integer-mass
+    * contract. */
+  def vocabDivergence(df: DataFrame, textCol: String, sliceACond: Column,
+                      topN: Int = 100): DataFrame = {
+    val toks = df.select(sliceACond.as("is_a"),
+      explode(tokens(lower(col(textCol)))).as("tok"))
+    val counts = toks.groupBy(col("tok")).agg(
+      sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+      sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy((col("ca") + col("cb")).desc, col("tok"))
+    val top = counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topN)
+    val tot = top.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+      count(lit(1)).as("v"))
+    def quant(x: Column): Column = round(x * lit(1e12), 0).cast("long")
+    val terms = top.crossJoin(broadcast(tot))
+      .withColumn("p", (col("ca") + 1).cast("double") / (col("na") + col("v")))
+      .withColumn("q", (col("cb") + 1).cast("double") / (col("nb") + col("v")))
+      .withColumn("m", (col("p") + col("q")) / 2)
+    terms.agg(
+        first(col("v")).as("vocab_size"),
+        sum(quant(col("p") * log(col("p") / col("q")))).as("skl_ab"),
+        sum(quant(col("q") * log(col("q") / col("p")))).as("skl_ba"),
+        sum(quant(col("p") * log(col("p") / col("m")) / 2
+          + col("q") * log(col("q") / col("m")) / 2)).as("sjs"))
+      .select(col("vocab_size"),
+        round(col("skl_ab").cast("double") / 1e12, 6).as("kl_ab"),
+        round(col("skl_ba").cast("double") / 1e12, 6).as("kl_ba"),
+        round(col("sjs").cast("double") / 1e12, 6).as("js"))
+  }
+
   def zipfProfile(df: DataFrame, textCol: String,
                   topN: Int = 100): DataFrame = {
     val tc = df.select(explode(tokens(lower(col(textCol)))).as("tok"))

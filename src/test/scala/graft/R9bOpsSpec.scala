@@ -145,6 +145,63 @@ class R9bOpsSpec extends AnyFunSuite {
     assert(df.where(col("blocked")).count() > 0, "fixture phrases must hit")
   }
 
+  // -------------------------------------------- readability / divergence
+
+  import graft.operators.TextAnalysis
+
+  test("readability: ARI from exact counts on a known fixture") {
+    val df = Seq(
+      (1L, "the cat sat on mats. it was a big cat!"),
+      (2L, "word"),
+      (3L, "   ")).toDF("doc_id", "text")
+    val out = TextAnalysis.readability(df, "text").collect()
+    val r1 = out.find(_.getLong(0) == 1L).get
+    // chars: 29 non-ws; words: 10; sentences: 2
+    assert(r1.getLong(1) == 29 && r1.getLong(2) == 10 && r1.getLong(3) == 2)
+    val exp = math.floor((4.71 * 29.0 / 10 + 0.5 * 10.0 / 2 - 21.43) * 1e4 + 0.5) / 1e4
+    assert(r1.getDouble(4) == exp)
+    val r2 = out.find(_.getLong(0) == 2L).get
+    assert(r2.getLong(3) == 1, "no punctuation -> sentence floor 1")
+    val r3 = out.find(_.getLong(0) == 3L).get
+    assert(r3.isNullAt(4), "zero words -> null ARI, not a div-by-zero")
+  }
+
+  test("vocabDivergence: zero on identical halves, ~ln 2 on disjoint vocab") {
+    val same = (0L until 40L).map(i => (i, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val zero = TextAnalysis.vocabDivergence(same, "text",
+      col("doc_id") % 2 === 0).head
+    assert(zero.getDouble(1) == 0.0 && zero.getDouble(3) == 0.0)
+    // halves share no tokens: JS approaches its ln(2) upper bound
+    val disj = (0L until 40L).map(i =>
+      (i, if (i % 2 == 0) "aa bb cc dd" else "xx yy zz ww"))
+      .toDF("doc_id", "text")
+    val d = TextAnalysis.vocabDivergence(disj, "text",
+      col("doc_id") % 2 === 0).head
+    // add-one smoothing leaks ~1/(N+V) mass to the absent side at these
+    // small counts, pulling JS (0.508 here) below the asymptotic ln 2
+    assert(d.getDouble(3) > 0.4 && d.getDouble(3) <= math.log(2) + 1e-9,
+      s"js=${d.getDouble(3)}")
+    assert(d.getDouble(1) > 0 && d.getDouble(2) > 0)
+  }
+
+  test("vocabDivergence: quantized sums are partition-invariant") {
+    val docs = (0L until 200L).map(i =>
+      (i, s"tok${i % 37} tok${i % 11} tok${(i * 7) % 23} filler common"))
+      .toDF("doc_id", "text")
+    val a = TextAnalysis.vocabDivergence(docs.repartition(1), "text",
+      col("doc_id") % 2 === 0).head
+    val b = TextAnalysis.vocabDivergence(docs.repartition(13), "text",
+      col("doc_id") % 2 === 0).head
+    assert(a == b, "long-quantized term sums must not move with partitioning")
+  }
+
+  test("text_readability: map-only plan, no exchanges") {
+    val df = SparkEntry.queries("text_readability")(spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF") && !p.contains("Join"), p.take(600))
+  }
+
   test("q_cms_freq: top-k via TakeOrdered; sketch side broadcast") {
     val df = SparkEntry.queries("q_cms_freq")(spark, "/root/testdata/sf0.001")
     val p = df.queryExecution.executedPlan.toString
