@@ -2606,6 +2606,20 @@ object SparkEntry {
     TextAnalysis.vocabDivergence(t(s, dir, "documents"), "text",
       col("doc_id") % 2 === 0, topN = 100)
 
+  /** Simplified silhouette over the deterministic k-means cells —
+    * cluster-quality card; 1e-9 long quantization keeps the per-cell
+    * means partition-invariant and oracle-replayable. */
+  private def qClusterSilhouette(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.clusterSilhouette(
+      t(s, dir, "embeddings"), "embedding", "vec_id", k = 8, iters = 2)
+
+  /** k-distance outliers: the 20 most isolated embeddings by 5-NN
+    * cosine — the density outlier view next to emb_outliers'
+    * centroid-distance view. */
+  private def qEmbKnnOutliers(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.knnDistOutliers(
+      t(s, dir, "embeddings"), "embedding", "vec_id", k = 5, topN = 20)
+
   /** Relational pivot: daily event counts spread to one column per
     * type (`groupBy(day).pivot(type, values).count()` — explicit value
     * list so the plan is a single pass, no distinct-values pre-query). */
@@ -2973,6 +2987,8 @@ object SparkEntry {
     "blocklist_hits" -> (qBlocklistHits _),
     "text_readability" -> (qTextReadability _),
     "vocab_divergence" -> (qVocabDivergence _),
+    "cluster_silhouette" -> (qClusterSilhouette _),
+    "emb_knn_outliers" -> (qEmbKnnOutliers _),
     "q_pivot" -> (qPivot _),
     "q_unpivot" -> (qUnpivot _),
     "mix_unimax" -> (qMixUnimax _),
@@ -5353,6 +5369,50 @@ object SparkEntry {
          FROM j JOIN cs USING (cohort_week)
          GROUP BY j.cohort_week, week_offset, cs.n_cohort
          ORDER BY cohort_week, week_offset""",
+    // simplified silhouette on the same deterministic-centroid replay:
+    // rk=1/rk=2 of the (s, cell)-ordered scores are home/nearest-other;
+    // per-point s quantizes to BIGINT at 1e-9 before the mean
+    "cluster_silhouette" ->
+      s"""WITH ${detKmeansCtes(dim = 64, k = 8, iters = 2, where = "")},
+          rnk AS (SELECT vec_id, cell, s, row_number() OVER
+              (PARTITION BY vec_id ORDER BY s, cell) AS rk FROM sf),
+          ab AS (SELECT r1.vec_id, r1.cell,
+              sqrt(greatest(list_dot_product(e.v, e.v) + r1.s, 0.0)) AS a,
+              sqrt(greatest(list_dot_product(e.v, e.v) + r2.s, 0.0)) AS b
+            FROM rnk r1
+            JOIN rnk r2 ON r2.vec_id = r1.vec_id AND r2.rk = 2
+            JOIN e ON e.vec_id = r1.vec_id
+            WHERE r1.rk = 1),
+          sil AS (SELECT vec_id, cell,
+              CASE WHEN greatest(a, b) > 0
+                THEN (b - a) / greatest(a, b) ELSE 0.0 END AS sil
+            FROM ab)
+          SELECT CAST(cell AS INT) AS cell,
+            CAST(count(*) AS BIGINT) AS n_vecs,
+            round(CAST(sum(CAST(floor(sil * 1e9 + 0.5) AS BIGINT))
+              AS DOUBLE) / 1e9 / count(*), 6) AS mean_sil
+          FROM sil GROUP BY cell ORDER BY cell""",
+    // k-distance outliers: full pairwise cosine at oracle scale; the
+    // engine's blocked sweep meets every pair exactly once
+    "emb_knn_outliers" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+         nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+           FROM e),
+         p AS (SELECT a.vec_id AS id, b.vec_id AS nb,
+             round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+               AS cos_sim
+           FROM nn a JOIN nn b ON a.vec_id < b.vec_id),
+         sym AS (SELECT id, nb, cos_sim FROM p
+           UNION ALL SELECT nb AS id, id AS nb, cos_sim FROM p),
+         kth AS (SELECT id, cos_sim FROM (
+             SELECT id, cos_sim, row_number() OVER
+               (PARTITION BY id ORDER BY cos_sim DESC, nb ASC) AS rk
+             FROM sym)
+           WHERE rk = 5)
+         SELECT id AS vec_id, cos_sim AS kth_cos,
+           round(1.0 - cos_sim, 6) AS knn_dist
+         FROM kth ORDER BY kth_cos ASC, vec_id ASC LIMIT 20""",
     "topic_cluster_stats" ->
       s"""WITH ${detKmeansCtes(dim = 64, k = 8, iters = 2, where = "")},
           home AS (SELECT vec_id, cell, s FROM (

@@ -580,6 +580,70 @@ object Similarity {
         round(col("top.n").cast("double") / col("n_vecs"), 6).as("top_label_frac"))
   }
 
+  /** Simplified silhouette per cell (Hruschka et al. 2004 — the
+    * centroid-distance silhouette: a = dist to own centroid, b = dist
+    * to the nearest OTHER centroid, s = (b−a)/max(a,b)) over the
+    * deterministic k-means cells. The full silhouette needs all
+    * pairwise distances (O(n²) — never at corpus scale); the
+    * simplified form is one map-only pass over the ranked cell scores
+    * [[detCellRanking]] already computes: a² = v·v + score₀,
+    * b² = v·v + score₁. Per-point values quantize to longs at 1e-9
+    * before the mean (associative ⇒ partition-invariant; |s| ≤ 1, so
+    * overflow needs > 9·10⁹ members per cell — documented bound).
+    * The "are my topic clusters real" gate next to [[clusterCards]]. */
+  def clusterSilhouette(df: DataFrame, vecCol: String, idCol: String,
+                        k: Int, iters: Int): DataFrame = {
+    import graft.functions.VecDot.vec_dot
+    require(k >= 2, "silhouette needs at least two cells")
+    val cents = kmeansCentroidsDet(df, vecCol, idCol, k, iters)
+    val vv = vec_dot(col("v"), col("v"))
+    val sil = df.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+        detCellRanking(col(vecCol), cents).as("cr"))
+      .select(col("vec_id"),
+        col("cr").getItem(0).getField("cell").as("cell"),
+        sqrt(greatest(vv + col("cr").getItem(0).getField("s"), lit(0.0))).as("a"),
+        sqrt(greatest(vv + col("cr").getItem(1).getField("s"), lit(0.0))).as("b"))
+      .withColumn("sil",
+        when(greatest(col("a"), col("b")) > 0,
+          (col("b") - col("a")) / greatest(col("a"), col("b")))
+          .otherwise(lit(0.0)))
+    sil.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(floor(col("sil") * 1e9 + 0.5).cast("long")).as("ssil"))
+      .select(col("cell"), col("n_vecs"),
+        round(col("ssil").cast("double") / 1e9 / col("n_vecs"), 6)
+          .as("mean_sil"))
+      .orderBy(col("cell"))
+  }
+
+  /** k-distance outliers: each vector's cosine similarity to its k-th
+    * nearest neighbor — the density-based outlier score (the
+    * k-distance at the core of LOF/DBSCAN) that catches junk sitting
+    * in a sparse region even when it is NEAR some centroid, the case
+    * [[embOutliers]]'s centroid distance misses. Candidates come from
+    * the block-exact pair sweep (swap in the LSH/IVF pair miners for
+    * the corpus-scale approximate path — same downstream shape); the
+    * per-vector rank frame is partition-pruned to k×#partitions.
+    * Output: the topN most isolated vectors (lowest k-th cosine). */
+  def knnDistOutliers(df: DataFrame, vecCol: String, idCol: String,
+                      k: Int, topN: Int, blocks: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = exactCosinePairs(df, vecCol, idCol, threshold = -1.0, blocks)
+    val nbrs = pairs.select(col("id_a").as("id"), col("id_b").as("nb"),
+        col("cos_sim"))
+      .union(pairs.select(col("id_b").as("id"), col("id_a").as("nb"),
+        col("cos_sim")))
+    val pruned = PartitionPrune.firstNPerKey(nbrs, "id",
+      Seq(col("cos_sim").desc, col("nb").asc), k)
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("cos_sim").desc, col("nb").asc)
+    pruned.withColumn("rn", row_number().over(w)).filter(col("rn") === k)
+      .select(col("id").as("vec_id"), col("cos_sim").as("kth_cos"),
+        round(lit(1.0) - col("cos_sim"), 6).as("knn_dist"))
+      .orderBy(col("kth_cos").asc, col("vec_id").asc)
+      .limit(topN)
+  }
+
   /** Product-quantization codebooks: m independent per-subspace
     * deterministic k-means codebooks (Jégou et al. 2011, "Product
     * quantization for nearest neighbor search" — public paper). Each

@@ -202,6 +202,51 @@ class R9bOpsSpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF") && !p.contains("Join"), p.take(600))
   }
 
+  // ------------------------------------- cluster quality / knn outliers
+
+  import graft.operators.Similarity
+
+  /** Two tight, well-separated direction clusters + one isolated vector. */
+  private lazy val clusteredVecs: DataFrame = {
+    def mk(base: Array[Float], i: Int): Array[Float] =
+      base.zipWithIndex.map { case (x, d) => x + 0.01f * ((i + d) % 3) }
+    val a = (0 until 20).map(i => (i.toLong, mk(Array(1f, 0f, 0f, 0f), i)))
+    val b = (0 until 20).map(i => (100L + i, mk(Array(0f, 1f, 0f, 0f), i)))
+    val outlier = Seq((999L, Array(0f, 0f, 1f, 0f)))
+    (a ++ b ++ outlier).toDF("vec_id", "embedding")
+  }
+
+  test("clusterSilhouette: high separation score on separated clusters, partition-invariant") {
+    val two = clusteredVecs.filter(col("vec_id") < 500)
+    val s1 = Similarity.clusterSilhouette(two.repartition(1),
+      "embedding", "vec_id", k = 2, iters = 3).collect()
+    val s7 = Similarity.clusterSilhouette(two.repartition(7),
+      "embedding", "vec_id", k = 2, iters = 3).collect()
+    assert(s1.toSeq == s7.toSeq, "quantized mean must not move with partitioning")
+    assert(s1.length == 2)
+    s1.foreach { r =>
+      assert(r.getLong(1) == 20)
+      assert(r.getDouble(2) > 0.8,
+        s"cell ${r.getInt(0)}: separated clusters score high, got ${r.getDouble(2)}")
+    }
+  }
+
+  test("knnDistOutliers: the isolated vector ranks first") {
+    val out = Similarity.knnDistOutliers(clusteredVecs,
+      "embedding", "vec_id", k = 5, topN = 3).collect()
+    assert(out.head.getLong(0) == 999L, s"got ${out.map(_.getLong(0)).toSeq}")
+    // orthogonal to both clusters: 5th-NN cosine near 0 vs near 1 inside
+    assert(out.head.getDouble(1) < 0.1)
+    assert(out(1).getDouble(1) > 0.9, "cluster members are dense")
+  }
+
+  test("emb_knn_outliers: TakeOrdered, no cartesian in the blocked sweep") {
+    val df = SparkEntry.queries("emb_knn_outliers")(spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(!p.contains("CartesianProduct"), "blocked equi-join, not cartesian")
+  }
+
   test("q_cms_freq: top-k via TakeOrdered; sketch side broadcast") {
     val df = SparkEntry.queries("q_cms_freq")(spark, "/root/testdata/sf0.001")
     val p = df.queryExecution.executedPlan.toString
