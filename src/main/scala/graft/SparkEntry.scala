@@ -2620,6 +2620,30 @@ object SparkEntry {
     graft.operators.Similarity.knnDistOutliers(
       t(s, dir, "embeddings"), "embedding", "vec_id", k = 5, topN = 20)
 
+  /** CMS join-cardinality estimate: |A ⋈ B on user_id| between the
+    * even/odd event_id halves from two 24 KB sketches — the CM
+    * inner-product estimator (one-sided, exact integer math), i.e.
+    * the broadcast-vs-salt decision WITHOUT executing the join. The
+    * exact size rides along for the comparison. */
+  private def qJoinSizeEst(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CmsSketch.{cms_sketch, cmsInnerProduct}
+    val ev = t(s, dir, "events")
+    val a = ev.filter(col("event_id") % 2 === 0)
+    val b = ev.filter(col("event_id") % 2 =!= 0)
+    val sa = a.agg(cms_sketch(col("user_id").cast("string"), 3, 10).as("ta"))
+    val sb = b.agg(cms_sketch(col("user_id").cast("string"), 3, 10).as("tb"))
+    val est = sa.crossJoin(broadcast(sb))
+      .select(cmsInnerProduct(col("ta"), col("tb"), 3, 10)
+        .as("est_join_size"))
+    val exact = a.groupBy(col("user_id")).agg(count(lit(1)).as("ca"))
+      .join(b.groupBy(col("user_id")).agg(count(lit(1)).as("cb")), "user_id")
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L))
+        .as("exact_join_size"))
+    est.crossJoin(broadcast(exact))
+      .select(col("est_join_size"), col("exact_join_size"),
+        (col("est_join_size") - col("exact_join_size")).as("overestimate"))
+  }
+
   /** Relational pivot: daily event counts spread to one column per
     * type (`groupBy(day).pivot(type, values).count()` — explicit value
     * list so the plan is a single pass, no distinct-values pre-query). */
@@ -2989,6 +3013,7 @@ object SparkEntry {
     "vocab_divergence" -> (qVocabDivergence _),
     "cluster_silhouette" -> (qClusterSilhouette _),
     "emb_knn_outliers" -> (qEmbKnnOutliers _),
+    "q_join_size_est" -> (qJoinSizeEst _),
     "q_pivot" -> (qPivot _),
     "q_unpivot" -> (qUnpivot _),
     "mix_unimax" -> (qMixUnimax _),
@@ -3338,6 +3363,28 @@ object SparkEntry {
         FROM bb, q WHERE $cond
         ORDER BY cos_sim DESC, vec_id LIMIT 10"""
   }
+
+  /** CMS replay CTEs: per-key counts under `selSql` (must yield column
+    * `k`), the fnv+splitmix hash chain, the d=3/w=1024 bit-field cells,
+    * and the summed counter table `${pfx}ctr(r, c, v)` — shared by the
+    * point-estimate and inner-product oracles. */
+  private def cmsCellsCtes(pfx: String, selSql: String): String =
+    s"""${pfx}k AS (SELECT k, count(*) AS cnt FROM ($selSql) GROUP BY k),
+       ${pfx}f AS (SELECT k, cnt, ${fnvSql("k")} AS fv FROM ${pfx}k),
+       ${pfx}z0 AS (SELECT k, cnt, (fv + 11400714819323198485)
+           % 18446744073709551616::HUGEINT AS z0 FROM ${pfx}f),
+       ${pfx}z1 AS (SELECT k, cnt, ${mulcSql("xor(z0, z0 // 1073741824)",
+             BigInt("BF58476D1CE4E5B9", 16))} AS z1 FROM ${pfx}z0),
+       ${pfx}z2 AS (SELECT k, cnt, ${mulcSql("xor(z1, z1 // 134217728)",
+             BigInt("94D049BB133111EB", 16))} AS z2 FROM ${pfx}z1),
+       ${pfx}hh AS (SELECT k, cnt,
+           xor(z2, z2 // 2147483648) AS hv FROM ${pfx}z2),
+       ${pfx}cells AS (SELECT k, cnt, rr.r,
+           CAST((hv // (CASE rr.r WHEN 0 THEN 1 WHEN 1 THEN 1024
+                        ELSE 1048576 END)) % 1024 AS BIGINT) AS c
+         FROM ${pfx}hh, (SELECT unnest([0, 1, 2]) AS r) rr),
+       ${pfx}ctr AS (SELECT r, c, sum(cnt) AS v
+         FROM ${pfx}cells GROUP BY r, c)"""
 
   /** FNV-1a 64 of a VARCHAR expression in DuckDB: fold the codepoints
     * (ASCII corpus ⇒ identical to JVM UTF-16 code units) through the
@@ -4274,6 +4321,23 @@ object SparkEntry {
              + q * ln(q / m) / 2) * 1e12) AS BIGINT))
              AS DOUBLE) / 1e12, 6) AS js
          FROM t2""",
+    // CM inner-product: est = min over rows of Σ_c A[r][c]·B[r][c];
+    // both counter tables rebuilt from per-key counts, all integers
+    "q_join_size_est" ->
+      s"""WITH ${cmsCellsCtes("ja",
+            "SELECT CAST(user_id AS VARCHAR) AS k FROM events WHERE event_id % 2 = 0")},
+          ${cmsCellsCtes("jb",
+            "SELECT CAST(user_id AS VARCHAR) AS k FROM events WHERE event_id % 2 <> 0")},
+          ip AS (SELECT ar.r, sum(ar.v * br.v) AS rp
+            FROM jactr ar JOIN jbctr br ON ar.r = br.r AND ar.c = br.c
+            GROUP BY ar.r),
+          est AS (SELECT CAST(min(rp) AS BIGINT) AS est_join_size FROM ip),
+          ex AS (SELECT CAST(coalesce(sum(a.cnt * b.cnt), 0) AS BIGINT)
+              AS exact_join_size
+            FROM jak a JOIN jbk b USING (k))
+          SELECT est.est_join_size, ex.exact_join_size,
+            est.est_join_size - ex.exact_join_size AS overestimate
+          FROM est, ex""",
     // the union pipeline (no WHERE) covers every group by construction,
     // so it drives the joins; absent sides estimate 0 from all-zero
     // registers — the linear-counting branch at V = m is exactly 0.0

@@ -27,8 +27,8 @@ import graft.streaming.StreamingPipeline
   * side's persisted dedup/ANN artifacts, operable like everything
   * else):
   *
-  *   wpindex build  neardup|emb|ann|drift|lm|bm25|dsir|substr|lr|bpe <corpus.parquet> <indexDir> [--dim D]
-  *   wpindex append neardup|emb|ann|drift|lm|bm25|dsir|substr|lr|bpe <new.parquet> <indexDir>
+  *   wpindex build  neardup|emb|ann|drift|lm|bm25|dsir|substr|lr|bpe|card|freq <corpus.parquet> <indexDir> [--dim D]
+  *   wpindex append neardup|emb|ann|drift|lm|bm25|dsir|substr|lr|bpe|card|freq <new.parquet> <indexDir>
   *   wpindex probe  neardup|emb     <batch.parquet> <indexDir> <outDir> [--threshold T]
   *   wpindex probe  ann             <queries.parquet> <indexDir> <outDir> [--nprobe N] [--topk K]
   *   wpindex probe  drift           <batch.parquet> <indexDir> <outDir> [--grp-col G --val-col V]
@@ -985,9 +985,26 @@ object Cli {
               flag("--grp-col", "source"), flag("--key-col", "text"))
             .write.mode("overwrite").parquet(out)
           println(s"wpindex: batch novelty written to $out")
+        case ("build", "freq", corpus :: path :: _) =>
+          graft.operators.FreqIndex.FreqRef.build(spark.read.parquet(corpus),
+              flag("--grp-col", "source"), flag("--key-col", "text"),
+              d = flag("--d", "3").toInt, wExp = flag("--w-exp", "10").toInt)
+            .save(path)
+          println(s"wpindex: built freq index at $path")
+        case ("append", "freq", newData :: path :: _) =>
+          graft.operators.FreqIndex.FreqRef.load(spark, path).appendTo(path,
+            spark.read.parquet(newData),
+            flag("--grp-col", "source"), flag("--key-col", "text"))
+          println(s"wpindex: appended to freq index at $path")
+        case ("probe", "freq", batch :: path :: out :: _) =>
+          graft.operators.FreqIndex.FreqRef.load(spark, path)
+            .estimateOf(spark.read.parquet(batch),
+              flag("--grp-col", "source"), flag("--key-col", "text"))
+            .write.mode("overwrite").parquet(out)
+          println(s"wpindex: frequency estimates written to $out")
         case _ =>
           System.err.println(
-            "usage: wpindex build|append|probe neardup|emb|ann|drift|lm|bm25|dsir|substr|card <in.parquet> <indexDir> [<outDir>] [flags]\n" +
+            "usage: wpindex build|append|probe neardup|emb|ann|drift|lm|bm25|dsir|substr|card|freq <in.parquet> <indexDir> [<outDir>] [flags]\n" +
             "       wpindex ls <root> | wpindex compact <indexDir> [--max-files N]")
           sys.exit(2)
       }

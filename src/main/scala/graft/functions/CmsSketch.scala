@@ -111,6 +111,25 @@ object CmsSketch {
       CmsSketch(org.apache.spark.sql.GraftExprBridge.expression(c),
         d, wExp).toAggregateExpression())
 
+  /** Join-cardinality estimate from two counter tables over the same
+    * (d, wExp) family: |A ⋈ B on key| = Σ_key cntA·cntB ≈ min over
+    * rows r of Σ_c A[r][c]·B[r][c] (Cormode & Muthukrishnan §4.2, the
+    * CM inner-product estimator — one-sided like the point estimate).
+    * Estimates the join SIZE without executing the join: the
+    * broadcast-vs-salt decision input at 100 TB, from two 24 KB
+    * sketches. Exact integer math ⇒ engine-replayable bit-for-bit. */
+  def cmsInnerProduct(tableA: Column, tableB: Column, d: Int, wExp: Int): Column = {
+    import org.apache.spark.sql.functions._
+    val w = 1 << wExp
+    val rows = (0 until d).map { r =>
+      aggregate(
+        zip_with(slice(tableA, r * w + 1, w), slice(tableB, r * w + 1, w),
+          (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x)
+    }
+    least(rows: _*)
+  }
+
   /** In-plan point estimate: min over the d rows of the broadcast
     * counter table addressed by the probe key's bit fields — plain
     * Column math over `element_at`, no custom probe kernel. */

@@ -55,6 +55,44 @@ class CliIndexSpec extends AnyFunSuite {
       "after append, every batch doc is a near-dup of the corpus")
   }
 
+  test("wpindex freq: build, probe estimates one-sided, append == rebuild exactly") {
+    spark
+    val idxDir = tmp("cli_fq_idx")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val halfA = tmp("cli_fq_a"); val halfB = tmp("cli_fq_b")
+    docs.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(halfA)
+    docs.filter(col("doc_id") % 2 =!= 0).write.mode("overwrite").parquet(halfB)
+    graft.cli.Cli.main(Array("wpindex", "build", "freq", halfA, idxDir,
+      "--grp-col", "source", "--key-col", "lang"))
+    graft.cli.Cli.main(Array("wpindex", "append", "freq", halfB, idxDir,
+      "--grp-col", "source", "--key-col", "lang"))
+    // exact-merge property: appended table == built-from-union table
+    val full = tmp("cli_fq_full")
+    graft.cli.Cli.main(Array("wpindex", "build", "freq", s"$sf/documents.parquet",
+      full, "--grp-col", "source", "--key-col", "lang"))
+    val appended = spark.read.parquet(s"$idxDir/cms")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val rebuilt = spark.read.parquet(s"$full/cms")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(appended == rebuilt,
+      "elementwise-sum append must be bit-identical to a rebuild")
+
+    // probe: batch-vs-corpus estimates, one-sided per (grp, key)
+    val outDir = tmp("cli_fq_out")
+    graft.cli.Cli.main(Array("wpindex", "probe", "freq", s"$sf/documents.parquet",
+      idxDir, outDir, "--grp-col", "source", "--key-col", "lang"))
+    val out = spark.read.parquet(outDir)
+    assert(out.columns.toSet == Set("grp", "key", "batch_cnt", "corpus_est"))
+    val exact = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    out.collect().foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      assert(r.getLong(3) >= exact(k),
+        s"$k: corpus estimate must never undercount")
+    }
+  }
+
   test("wpindex ann: build then probe writes per-query top-k") {
     spark
     val idxDir = tmp("cli_ann_idx")

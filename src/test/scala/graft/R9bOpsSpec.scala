@@ -69,6 +69,21 @@ class R9bOpsSpec extends AnyFunSuite {
     assert(meanOver <= n.toDouble / 1024, f"mean overestimate $meanOver%.1f")
   }
 
+  test("cmsInnerProduct: join-size estimate is one-sided and near-exact when sparse") {
+    val a = (0 until 100).flatMap(i => Seq.fill(i % 5 + 1)(s"u$i")).toDF("k")
+    val b = (50 until 150).flatMap(i => Seq.fill(i % 3 + 1)(s"u$i")).toDF("k")
+    val sa = a.agg(CmsSketch.cms_sketch(col("k"), 3, 10).as("ta"))
+    val sb = b.agg(CmsSketch.cms_sketch(col("k"), 3, 10).as("tb"))
+    val est = sa.crossJoin(sb)
+      .select(CmsSketch.cmsInnerProduct(col("ta"), col("tb"), 3, 10))
+      .head.getLong(0)
+    // exact join size on the shared keys u50..u99
+    val exact = (50 until 100).map(i => (i % 5 + 1).toLong * (i % 3 + 1)).sum
+    assert(est >= exact, s"inner product never underestimates: $est vs $exact")
+    // ~150 keys in 1024 cells: collisions are rare, estimate is tight
+    assert(est <= exact + exact / 2, s"est $est too loose for a sparse table")
+  }
+
   test("cms_sketch: SQL registration via GraftExtensions") {
     freqDf.createOrReplaceTempView("cms_in")
     val t = spark.sql(
