@@ -59,6 +59,15 @@ object Cli {
         s"--sig must be image|audio|video, got $other")
     }
 
+  /** Blocklist file: one phrase per line, blank lines and '#' comments
+    * skipped. Loaded driver-side once — the phrase list is a plan-time
+    * constant inside the Aho–Corasick expression. */
+  private def loadBlocklist(path: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path)).asScala
+      .toSeq.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+  }
+
   private def read(path: String): String =
     new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
 
@@ -372,9 +381,17 @@ object Cli {
       val verdict = TextAnalysis.qualityEnsemble(batch, textCol, idCol,
         flag("--min-words", "10").toInt, flag("--max-words", "100000").toInt,
         flag("--min-entropy", "3.5").toDouble, flag("--min-score", "0.5").toDouble)
-      val passed = batch.join(
+      val passed0 = batch.join(
         verdict.filter(org.apache.spark.sql.functions.col("keep"))
           .select(org.apache.spark.sql.functions.col(idCol)), Seq(idCol))
+      // --blocklist <file>: phrase blocklist gate (one phrase per line;
+      // '#' comments) — a pure map-side filter, so it slots in before
+      // the join gates at zero exchange cost
+      val passed = flag("--blocklist", "") match {
+        case "" => passed0
+        case f => graft.streaming.StreamingCuration.blocklistGate(
+          passed0, textCol, loadBlocklist(f))
+      }
       // in-batch exact dedup: first occurrence per content hash (the
       // StreamingCuration stage-2 shape — groupBy-min + join, no window)
       // each gate is a self-join (batch ⋈ f(batch)) — localCheckpoint
@@ -600,6 +617,12 @@ object Cli {
         case p => Some(graft.operators.Classifier.LrModel.load(spark, p))
       }
       val lrThreshold = flag("--lr-threshold", "0.0").toDouble
+      // phrase blocklist, loaded once (plan-time constant in the AC
+      // expression) — the daemon twin of batch --blocklist
+      val blPatterns = flag("--blocklist", "") match {
+        case "" => Seq.empty[String]
+        case f => loadBlocklist(f)
+      }
       val q = spark.readStream.schema(schema).parquet(in)
         .writeStream
         .option("checkpointLocation", s"$out/_checkpoint")
@@ -623,16 +646,19 @@ object Cli {
           // before doing any work. localCheckpoint after each active
           // gate keeps every gate's plan O(gate): the next gate reads
           // a materialized scan, not the whole chain twice.
+          // map-side filter, no self-join: no lineage truncation needed
+          val b0 = graft.streaming.StreamingCuration.blocklistGate(
+            b, textCol, blPatterns)
           val gated = batchNdIdx match {
             case Some(idx) => graft.streaming.StreamingCuration.curateBatch(
-              b, textCol, idCol, idx,
+              b0, textCol, idCol, idx,
               minWords = flag("--min-words", "10").toInt,
               maxWords = flag("--max-words", "100000").toInt,
               minEntropy = flag("--min-entropy", "3.5").toDouble,
               minScore = flag("--min-score", "0.5").toDouble,
               nearDupThreshold = flag("--threshold", "0.5").toDouble)
               .localCheckpoint()
-            case None => b
+            case None => b0
           }
           val lmGated = lmRef match {
             case Some(ref) => graft.streaming.StreamingCuration.lmGate(

@@ -87,6 +87,20 @@ object StreamingCuration {
         .select(col(idCol)),
       Seq(idCol))
 
+  /** Blocklist gate: drop docs containing ANY blocklist phrase — one
+    * Aho–Corasick pass per doc over the whole phrase list
+    * ([[graft.functions.MultiPatternStats]]), O(len + matches) no
+    * matter how many phrases. The only gate in the chain that is a
+    * pure map-side FILTER (no self-join, no artifact): the phrase
+    * list is a plan-time constant, so it needs no lineage truncation
+    * and costs nothing at the exchange. */
+  def blocklistGate(batch: DataFrame, textCol: String,
+                    patterns: Seq[String]): DataFrame =
+    if (patterns.isEmpty) batch
+    else batch.filter(
+      graft.functions.MultiPatternStats.multi_match(col(textCol), patterns)
+        .getField("total_hits") === 0)
+
   /** Exact-substring gate against the persisted window index
     * ([[Dedup.SubstrCorpusIndex]]): drop batch docs whose corpus-
     * verbatim token share exceeds `maxDupFrac` — the "mostly already in

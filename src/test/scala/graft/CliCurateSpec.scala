@@ -57,6 +57,29 @@ class CliCurateSpec extends AnyFunSuite {
     assert(kept == Set(1L, 5L), s"kept=$kept")
   }
 
+  test("wpcurate batch --blocklist: docs containing a listed phrase drop") {
+    import spark.implicits._
+    spark
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),  // keep
+      (2L, "buy cheap pills online now from the quick brown fox"), // blocked
+      (3L, "visit casino royale tonight for the lazy dog special"), // blocked
+      (4L, "an ordinary sentence about foxes and dogs and sheep")) // keep
+      .toDF("doc_id", "text")
+    val bDir = tmp("bl_batch"); val outDir = tmp("bl_out")
+    batch.write.mode("overwrite").parquet(bDir)
+    val blFile = java.nio.file.Files.createTempFile("bl", ".txt")
+    java.nio.file.Files.writeString(blFile,
+      "# demo blocklist\ncheap pills\ncasino royale\n\n")
+    graft.cli.Cli.main(Array("wpcurate", "batch", bDir, outDir,
+      "--blocklist", blFile.toString,
+      "--min-words", "3", "--min-entropy", "2.0", "--min-score", "-1000000",
+      "--shards", "1"))
+    val kept = spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L), s"kept=$kept")
+  }
+
   test("wpcurate batch --split: near-dup twins land on the same side") {
     import spark.implicits._
     spark
@@ -259,6 +282,25 @@ class CliCurateSpec extends AnyFunSuite {
       "--index", ndIdx, "--lm", lmIdx, "--once",
       "--min-words", "3", "--min-entropy", "2.0", "--min-score", "-1000000",
       "--min-logprob", "-4.0"))
+    val kept = spark.read.parquet(s"$outDir/accepted")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L), s"kept=$kept")
+  }
+
+  test("wpcurate daemon --once --blocklist: the phrase gate streams") {
+    import spark.implicits._
+    spark
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again"), // keep
+      (2L, "click here to buy cheap pills online right now ok")) // blocked
+      .toDF("doc_id", "text")
+    val inDir = tmp("curdb_in"); val outDir = tmp("curdb_out")
+    batch.write.mode("overwrite").parquet(inDir)
+    val blFile = java.nio.file.Files.createTempFile("bld", ".txt")
+    java.nio.file.Files.writeString(blFile, "cheap pills\n")
+    graft.cli.Cli.main(Array("wpcurate", "daemon", inDir, outDir,
+      "--blocklist", blFile.toString, "--once",
+      "--min-words", "3", "--min-entropy", "2.0", "--min-score", "-1000000"))
     val kept = spark.read.parquet(s"$outDir/accepted")
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L), s"kept=$kept")
