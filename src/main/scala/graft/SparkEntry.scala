@@ -2644,6 +2644,14 @@ object SparkEntry {
         (col("est_join_size") - col("exact_join_size")).as("overestimate"))
   }
 
+  /** CUPED variance-reduced A/B readout over the events stream:
+    * pre/post split at the integer time midpoint, per-user integer
+    * cents, arms = user parity — raw vs adjusted means plus the
+    * variance-reduction ratio. */
+  private def qEventsCuped(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Metrics.cuped(t(s, dir, "events"), col("ts"),
+      col("user_id"), col("user_id") % 2, col("value"))
+
   /** Relational pivot: daily event counts spread to one column per
     * type (`groupBy(day).pivot(type, values).count()` — explicit value
     * list so the plan is a single pass, no distinct-values pre-query). */
@@ -3014,6 +3022,7 @@ object SparkEntry {
     "cluster_silhouette" -> (qClusterSilhouette _),
     "emb_knn_outliers" -> (qEmbKnnOutliers _),
     "q_join_size_est" -> (qJoinSizeEst _),
+    "q_events_cuped" -> (qEventsCuped _),
     "q_pivot" -> (qPivot _),
     "q_unpivot" -> (qUnpivot _),
     "mix_unimax" -> (qMixUnimax _),
@@ -4338,6 +4347,61 @@ object SparkEntry {
           SELECT est.est_join_size, ex.exact_join_size,
             est.est_join_size - ex.exact_join_size AS overestimate
           FROM est, ex""",
+    // CUPED: every moment is an integer-cents sum; θ and the outputs
+    // are the identical double dag over those integers on both engines
+    "q_events_cuped" ->
+      """WITH r AS (SELECT user_id AS u, CAST(user_id % 2 AS INT) AS v,
+           epoch_us(ts) AS t,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),
+         b AS (SELECT (min(t) + max(t)) // 2 AS mid FROM r),
+         units AS (SELECT u, max(v) AS v,
+             sum(CASE WHEN t <= b.mid THEN c ELSE 0 END) AS x,
+             sum(CASE WHEN t > b.mid THEN c ELSE 0 END) AS y
+           FROM r, b GROUP BY u),
+         m AS (SELECT count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+             sum(x * x) AS sxx, sum(y * y) AS syy,
+             sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS n_a,
+             sum(CASE WHEN v = 0 THEN x ELSE 0 END) AS sx_a,
+             sum(CASE WHEN v = 0 THEN y ELSE 0 END) AS sy_a,
+             sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS n_b,
+             sum(CASE WHEN v = 1 THEN x ELSE 0 END) AS sx_b,
+             sum(CASE WHEN v = 1 THEN y ELSE 0 END) AS sy_b
+           FROM units),
+         d AS (SELECT n, n_a, n_b,
+             CAST(n * sxy - sx * sy AS DOUBLE) AS cov_num,
+             CAST(n * sxx - sx * sx AS DOUBLE) AS varx_num,
+             CAST(n * syy - sy * sy AS DOUBLE) AS vary_num,
+             CAST(sx AS DOUBLE) / n AS x_bar,
+             CAST(sx_a AS DOUBLE) AS dsx_a, CAST(sy_a AS DOUBLE) AS dsy_a,
+             CAST(sx_b AS DOUBLE) AS dsx_b, CAST(sy_b AS DOUBLE) AS dsy_b
+           FROM m),
+         d2 AS (SELECT *, cov_num / varx_num AS theta FROM d)
+         SELECT CAST(n AS BIGINT) AS n, CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CASE WHEN n > 0 AND varx_num > 0
+             THEN round(theta, 6) END AS theta,
+           CASE WHEN n_a > 0
+             THEN round(dsy_a / n_a / 100.0, 6) END AS mean_a,
+           CASE WHEN n_b > 0
+             THEN round(dsy_b / n_b / 100.0, 6) END AS mean_b,
+           CASE WHEN n > 0 AND varx_num > 0 AND n_a > 0
+             THEN round((dsy_a / n_a - theta * (dsx_a / n_a - x_bar)) / 100.0, 6)
+           END AS adj_mean_a,
+           CASE WHEN n > 0 AND varx_num > 0 AND n_b > 0
+             THEN round((dsy_b / n_b - theta * (dsx_b / n_b - x_bar)) / 100.0, 6)
+           END AS adj_mean_b,
+           CASE WHEN n_a > 0 AND n_b > 0
+             THEN round(dsy_a / n_a / 100.0 - dsy_b / n_b / 100.0, 6)
+           END AS diff,
+           CASE WHEN n > 0 AND varx_num > 0 AND n_a > 0 AND n_b > 0
+             THEN round((dsy_a / n_a - theta * (dsx_a / n_a - x_bar)) / 100.0
+               - (dsy_b / n_b - theta * (dsx_b / n_b - x_bar)) / 100.0, 6)
+           END AS adj_diff,
+           CASE WHEN n > 0 AND varx_num > 0 AND vary_num > 0
+             THEN round(theta * theta * (varx_num / vary_num), 6)
+           END AS var_reduction
+         FROM d2""",
     // the union pipeline (no WHERE) covers every group by construction,
     // so it drives the joins; absent sides estimate 0 from all-zero
     // registers — the linear-counting branch at V = m is exactly 0.0

@@ -184,6 +184,76 @@ object Metrics {
         round((pa - pb) / se, 4)).as("z"))
   }
 
+  /** CUPED variance-reduced experiment readout (Deng et al., "Improving
+    * the Sensitivity of Online Controlled Experiments by Utilizing
+    * Pre-Experiment Data", WSDM 2013): per unit, X = pre-period value,
+    * Y = experiment-period value; θ = Cov(X,Y)/Var(X) pooled;
+    * Y' = Y − θ·(X − X̄) removes the X-explained variance, shrinking
+    * the readout's error bars by ≈ ρ² with the SAME point estimate in
+    * expectation. The pre/post boundary is the integer midpoint of the
+    * event-time range (epoch µs, exact both engines).
+    *
+    * Determinism: per-unit sums are EXACT integer cents, every moment
+    * (Σx, Σy, Σxy, Σx², Σy², per-arm sums) is an integer sum — so θ
+    * and each output is one fixed dag of IEEE doubles over integers,
+    * engine-replayable at any partitioning. One unit-keyed agg + one
+    * 1-row moment agg. At extreme scale the cents products (xy ≤
+    * cents²) approach long range — swap the moment columns to
+    * DECIMAL(38) sums, same shape. Degenerate inputs (empty arm,
+    * Var(X) = 0) yield NULL adjusted columns, not a divide-by-zero. */
+  def cuped(events: DataFrame, tsCol: Column, unitCol: Column,
+            variantCol: Column, valueCol: Column): DataFrame = {
+    val cents = floor(valueCol * 100 + 0.5).cast("long")
+    val rows = events.select(unitCol.as("u"), variantCol.cast("int").as("v"),
+      unix_micros(tsCol).as("t"), cents.as("c"))
+    val bounds = rows.agg(((min(col("t")) + max(col("t"))) / 2)
+      .cast("long").as("mid"))
+    val units = rows.crossJoin(broadcast(bounds))
+      .groupBy(col("u"))
+      .agg(max(col("v")).as("v"),
+        sum(when(col("t") <= col("mid"), col("c")).otherwise(0L)).as("x"),
+        sum(when(col("t") > col("mid"), col("c")).otherwise(0L)).as("y"))
+    val m = units.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(when(col("v") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("v") === 0, col("x")).otherwise(0L)).as("sx_a"),
+      sum(when(col("v") === 0, col("y")).otherwise(0L)).as("sy_a"),
+      sum(when(col("v") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("v") === 1, col("x")).otherwise(0L)).as("sx_b"),
+      sum(when(col("v") === 1, col("y")).otherwise(0L)).as("sy_b"))
+    val covNum = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val varXNum = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val varYNum = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    val theta = covNum / varXNum
+    val xBar = col("sx").cast("double") / col("n")
+    def meanD(s: Column, n: Column): Column = s.cast("double") / n / 100.0
+    def adjMean(sy: Column, sx: Column, n: Column): Column =
+      (sy.cast("double") / n - theta * (sx.cast("double") / n - xBar)) / 100.0
+    val okTheta = col("n") > 0 && varXNum > 0
+    val okA = col("n_a") > 0
+    val okB = col("n_b") > 0
+    m.select(col("n"), col("n_a"), col("n_b"),
+      when(okTheta, round(theta, 6)).as("theta"),
+      when(okA, round(meanD(col("sy_a"), col("n_a")), 6)).as("mean_a"),
+      when(okB, round(meanD(col("sy_b"), col("n_b")), 6)).as("mean_b"),
+      when(okTheta && okA,
+        round(adjMean(col("sy_a"), col("sx_a"), col("n_a")), 6)).as("adj_mean_a"),
+      when(okTheta && okB,
+        round(adjMean(col("sy_b"), col("sx_b"), col("n_b")), 6)).as("adj_mean_b"),
+      when(okA && okB,
+        round(meanD(col("sy_a"), col("n_a")) - meanD(col("sy_b"), col("n_b")), 6))
+        .as("diff"),
+      when(okTheta && okA && okB,
+        round(adjMean(col("sy_a"), col("sx_a"), col("n_a"))
+          - adjMean(col("sy_b"), col("sx_b"), col("n_b")), 6)).as("adj_diff"),
+      when(okTheta && varYNum > 0,
+        round(theta * theta * (varXNum / varYNum), 6)).as("var_reduction"))
+  }
+
   /** Pearson chi-square independence statistic for two categorical
     * columns: χ² = Σ (O − E)²/E with E = row·col/N, plus the degrees
     * of freedom. One contingency aggregation over the scan; the

@@ -262,6 +262,55 @@ class R9bOpsSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "blocked equi-join, not cartesian")
   }
 
+  // --------------------------------------------------------- cuped
+
+  test("cuped: matches the closed-form reference; reduces variance on correlated units") {
+    import java.sql.Timestamp
+    import graft.operators.Metrics
+    // per-user pre value x correlated with post value y = 2x + unit drift;
+    // ts places each event deterministically before/after the midpoint
+    val rows = (0 until 40).flatMap { u =>
+      val x = 10.0 + (u % 7)
+      val y = 2.0 * x + (u % 3)
+      Seq((u.toLong, Timestamp.valueOf("2024-01-01 00:00:10"), x),
+        (u.toLong, Timestamp.valueOf("2024-01-01 00:10:00"), y))
+    }.toDF("user_id", "ts", "value")
+    val out = Metrics.cuped(rows, col("ts"), col("user_id"),
+      col("user_id") % 2, col("value")).head
+
+    // closed-form reference on the unit frame (exact integer cents)
+    val units = (0 until 40).map { u =>
+      val x = math.floor((10.0 + (u % 7)) * 100 + 0.5).toLong
+      val y = math.floor((2.0 * (10.0 + (u % 7)) + (u % 3)) * 100 + 0.5).toLong
+      (u % 2, x, y)
+    }
+    val n = units.length.toLong
+    val (sx, sy) = (units.map(_._2).sum, units.map(_._3).sum)
+    val sxy = units.map(t => t._2 * t._3).sum
+    val (sxx, syy) = (units.map(t => t._2 * t._2).sum, units.map(t => t._3 * t._3).sum)
+    val theta = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    assert(out.getDouble(3) == math.rint(theta * 1e6) / 1e6 ||
+      math.abs(out.getDouble(3) - theta) < 1e-6, s"theta ${out.getDouble(3)} vs $theta")
+    // y is nearly a linear function of x => variance reduction ~ rho^2 high
+    assert(out.getDouble(10) > 0.9, s"var_reduction ${out.getDouble(10)}")
+    // adjusted diff exists and both arms have units
+    assert(!out.isNullAt(9) && out.getLong(1) == 20 && out.getLong(2) == 20)
+  }
+
+  test("cuped: Var(X)=0 degenerates to NULL theta, raw means survive") {
+    import java.sql.Timestamp
+    import graft.operators.Metrics
+    val rows = (0 until 10).flatMap { u =>
+      Seq((u.toLong, Timestamp.valueOf("2024-01-01 00:00:10"), 5.0),
+        (u.toLong, Timestamp.valueOf("2024-01-01 00:10:00"), (u % 4).toDouble))
+    }.toDF("user_id", "ts", "value")
+    val out = Metrics.cuped(rows, col("ts"), col("user_id"),
+      col("user_id") % 2, col("value")).head
+    assert(out.isNullAt(3) && out.isNullAt(6) && out.isNullAt(7),
+      "constant X has no theta / adjusted means")
+    assert(!out.isNullAt(4) && !out.isNullAt(5), "raw means still report")
+  }
+
   test("q_cms_freq: top-k via TakeOrdered; sketch side broadcast") {
     val df = SparkEntry.queries("q_cms_freq")(spark, "/root/testdata/sf0.001")
     val p = df.queryExecution.executedPlan.toString
