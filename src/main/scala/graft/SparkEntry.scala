@@ -2652,6 +2652,11 @@ object SparkEntry {
     graft.operators.Metrics.cuped(t(s, dir, "events"), col("ts"),
       col("user_id"), col("user_id") % 2, col("value"))
 
+  /** Good–Turing missing mass + Chao1 richness per language — the
+    * "is this source's vocabulary exhausted" crawl-planning card. */
+  private def qVocabMissingMass(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabMissingMass(t(s, dir, "documents"), "lang", "text")
+
   /** Relational pivot: daily event counts spread to one column per
     * type (`groupBy(day).pivot(type, values).count()` — explicit value
     * list so the plan is a single pass, no distinct-values pre-query). */
@@ -3023,6 +3028,7 @@ object SparkEntry {
     "emb_knn_outliers" -> (qEmbKnnOutliers _),
     "q_join_size_est" -> (qJoinSizeEst _),
     "q_events_cuped" -> (qEventsCuped _),
+    "vocab_missing_mass" -> (qVocabMissingMass _),
     "q_pivot" -> (qPivot _),
     "q_unpivot" -> (qUnpivot _),
     "mix_unimax" -> (qMixUnimax _),
@@ -4347,6 +4353,24 @@ object SparkEntry {
           SELECT est.est_join_size, ex.exact_join_size,
             est.est_join_size - ex.exact_join_size AS overestimate
           FROM est, ex""",
+    "vocab_missing_mass" ->
+      """WITH toks AS (SELECT lang,
+           unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             x -> length(x) > 0)) AS tok
+         FROM documents),
+         tc AS (SELECT lang, tok, count(*) AS c FROM toks GROUP BY lang, tok),
+         f AS (SELECT lang,
+             CAST(count(*) AS BIGINT) AS vocab,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+           FROM tc GROUP BY lang)
+         SELECT lang, vocab, n_tokens, n1, n2,
+           round(CAST(n1 AS DOUBLE) / n_tokens, 6) AS missing_mass,
+           CASE WHEN n2 > 0 THEN
+             round(vocab + CAST(n1 AS DOUBLE) * n1 / (2.0 * n2), 4)
+           END AS chao1_vocab
+         FROM f ORDER BY lang""",
     // CUPED: every moment is an integer-cents sum; θ and the outputs
     // are the identical double dag over those integers on both engines
     "q_events_cuped" ->

@@ -797,6 +797,36 @@ object TextAnalysis {
         round(col("sjs").cast("double") / 1e12, 6).as("js"))
   }
 
+  /** Good–Turing missing mass + Chao1 richness per group — the
+    * "how much vocabulary have we NOT seen yet" crawl-planning card:
+    * P(next token is unseen) ≈ N₁/N (Good 1953), total-vocabulary
+    * estimate = V + N₁²/(2N₂) (Chao 1984). A collapsing missing mass
+    * says the source is exhausted; a high one says keep crawling —
+    * the token-level twin of the HLL novelty watch. All inputs are
+    * exact integer counts (V, N, singletons N₁, doubletons N₂);
+    * the two divisions are the only doubles. Two partial aggs
+    * (token counts → frequency-of-frequency), nothing else. */
+  def vocabMissingMass(df: DataFrame, grpCol: String,
+                       textCol: String): DataFrame = {
+    val tc = df.select(col(grpCol).as("grp"),
+        explode(tokens(lower(col(textCol)))).as("tok"))
+      .groupBy(col("grp"), col("tok")).agg(count(lit(1)).as("c"))
+    tc.groupBy(col("grp"))
+      .agg(count(lit(1)).as("vocab"),
+        sum(col("c")).as("n_tokens"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("n2"))
+      .select(col("grp").as(grpCol), col("vocab"), col("n_tokens"),
+        col("n1"), col("n2"),
+        round(col("n1").cast("double") / col("n_tokens"), 6)
+          .as("missing_mass"),
+        when(col("n2") > 0,
+          round(col("vocab") + col("n1").cast("double") * col("n1")
+            / (lit(2.0) * col("n2")), 4))
+          .as("chao1_vocab"))
+      .orderBy(col(grpCol))
+  }
+
   def zipfProfile(df: DataFrame, textCol: String,
                   topN: Int = 100): DataFrame = {
     val tc = df.select(explode(tokens(lower(col(textCol)))).as("tok"))

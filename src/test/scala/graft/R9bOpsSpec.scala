@@ -262,6 +262,23 @@ class R9bOpsSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "blocked equi-join, not cartesian")
   }
 
+  test("vocabMissingMass: Good-Turing N1/N and Chao1 on a counted fixture") {
+    val df = Seq(
+      ("en", "a a b c"),          // V=3 N=4 N1=2(b,c) N2=1(a? no a=2) ...
+      ("fr", "x x x y y y"))      // V=2 N=6 N1=0 N2=0 -> mass 0, chao1 null
+      .toDF("lang", "text")
+    val out = TextAnalysis.vocabMissingMass(df, "lang", "text").collect()
+    val en = out.find(_.getString(0) == "en").get
+    // en: counts a=2, b=1, c=1 -> V=3, N=4, N1=2, N2=1
+    assert(en.getLong(1) == 3 && en.getLong(2) == 4 &&
+      en.getLong(3) == 2 && en.getLong(4) == 1)
+    assert(en.getDouble(5) == 0.5)
+    assert(en.getDouble(6) == 3 + 2.0 * 2 / (2.0 * 1)) // chao1 = V + N1^2/(2 N2)
+    val fr = out.find(_.getString(0) == "fr").get
+    assert(fr.getDouble(5) == 0.0 && fr.isNullAt(6),
+      "no singletons -> zero missing mass; no doubletons -> no Chao1")
+  }
+
   // --------------------------------------------------------- cuped
 
   test("cuped: matches the closed-form reference; reduces variance on correlated units") {
