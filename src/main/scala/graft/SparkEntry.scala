@@ -2657,6 +2657,23 @@ object SparkEntry {
   private def qVocabMissingMass(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabMissingMass(t(s, dir, "documents"), "lang", "text")
 
+  /** Embedding-space drift: PSI per JL-projected component between the
+    * vec_id halves — the encoder-drift / corpus-shift monitor in
+    * embedding space (projection compresses 64 dims to 8 oracled
+    * components; PSI over fixed-width bins per component). Composes
+    * two already-oracled kernels: projectRandom + Drift.psiBetween. */
+  private def qEmbDriftPsi(s: SparkSession, dir: String): DataFrame = {
+    val proj = Similarity.projectRandom(t(s, dir, "embeddings"),
+        "embedding", dim = 64, k = 8, "reduced")
+      .select(col("vec_id"), posexplode(col("reduced")).as(Seq("comp", "x")))
+    graft.operators.Drift.psiBetween(
+        proj.filter(col("vec_id") % 2 === 0),
+        proj.filter(col("vec_id") % 2 =!= 0),
+        "comp", "x", binWidth = 0.5)
+      .select(col("grp").cast("int").as("comp"), col("n_bins"), col("psi"))
+      .orderBy(col("comp"))
+  }
+
   /** Relational pivot: daily event counts spread to one column per
     * type (`groupBy(day).pivot(type, values).count()` — explicit value
     * list so the plan is a single pass, no distinct-values pre-query). */
@@ -3029,6 +3046,7 @@ object SparkEntry {
     "q_join_size_est" -> (qJoinSizeEst _),
     "q_events_cuped" -> (qEventsCuped _),
     "vocab_missing_mass" -> (qVocabMissingMass _),
+    "emb_drift_psi" -> (qEmbDriftPsi _),
     "q_pivot" -> (qPivot _),
     "q_unpivot" -> (qUnpivot _),
     "mix_unimax" -> (qMixUnimax _),
@@ -3321,6 +3339,39 @@ object SparkEntry {
   /** The projection oracle replays the same splitmix64 plane constants
     * in SQL — list_dot_product folds elementwise exactly like the
     * VecDotConst kernel. */
+  /** Embedding-drift oracle: the hyperplane replay (identical plane
+    * constants inlined) unioned per component, then the standard PSI
+    * tail — fixed-width bins, ε-clamp, 4-dp rounded sum. */
+  private def embDriftPsiOracle(dim: Int, kProj: Int, binWidth: Double): String = {
+    val planes = graft.operators.Similarity.hyperplanes(dim, kProj)
+    val comps = (0 until kProj).map { j =>
+      s"""SELECT vec_id, $j AS comp,
+          list_dot_product(v, [${planes(j).mkString(",")}])
+            / sqrt($kProj / 3.0) AS x FROM base"""
+    }.mkString(" UNION ALL ")
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        proj AS ($comps),
+        binned AS (SELECT comp,
+            CASE WHEN vec_id % 2 = 0 THEN 'p' ELSE 'q' END AS half,
+            CAST(floor(x / $binWidth) AS BIGINT) AS bin FROM proj),
+        h AS (SELECT comp, half, bin, count(*) AS n
+          FROM binned GROUP BY comp, half, bin),
+        tt AS (SELECT comp, half, sum(n) AS tot FROM h GROUP BY comp, half),
+        sh AS (SELECT h.comp, h.half, h.bin, CAST(h.n AS DOUBLE) / t.tot AS share
+          FROM h JOIN tt t ON t.comp = h.comp AND t.half = h.half),
+        hp AS (SELECT comp, bin, share FROM sh WHERE half = 'p'),
+        hq AS (SELECT comp, bin, share FROM sh WHERE half = 'q'),
+        jj AS (SELECT coalesce(hp.comp, hq.comp) AS comp,
+            greatest(coalesce(hp.share, 0.0), 1e-6) AS pc,
+            greatest(coalesce(hq.share, 0.0), 1e-6) AS qc
+          FROM hp FULL OUTER JOIN hq
+            ON hp.comp = hq.comp AND hp.bin = hq.bin)
+        SELECT CAST(comp AS INT) AS comp, CAST(count(*) AS BIGINT) AS n_bins,
+          round(sum((pc - qc) * ln(pc / qc)), 4) AS psi
+        FROM jj GROUP BY comp ORDER BY comp"""
+  }
+
   private def embProjectOracle(dim: Int, k: Int): String = {
     val planes = graft.operators.Similarity.hyperplanes(dim, k)
     val cols = (0 until k).map { j =>
@@ -4842,6 +4893,7 @@ object SparkEntry {
     "dedup_crosscorpus_emb" ->
       crossCorpusEmbOracle(dim = 64, nBits = 2, tables = 8, threshold = 0.4),
     "emb_project" -> embProjectOracle(dim = 64, k = 8),
+    "emb_drift_psi" -> embDriftPsiOracle(dim = 64, kProj = 8, binWidth = 0.5),
     "ip_range_lookup" ->
       """WITH probe AS (
            SELECT c_custkey,

@@ -71,6 +71,17 @@ object Drift {
           .as("psi"))
   }
 
+  /** PSI between two frames' value distributions under the same
+    * binning — the two-sample form of the monitor (no time split, no
+    * persisted reference): p = `dfP`'s shares, q = `dfQ`'s. Same
+    * bins-sized tail as every other PSI path. */
+  def psiBetween(dfP: DataFrame, dfQ: DataFrame, grpCol: String,
+                 valCol: String, binWidth: Double,
+                 eps: Double = 1e-6): DataFrame =
+    psiOfShares(
+      shares(referenceHistogram(dfP, grpCol, valCol, binWidth)),
+      shares(referenceHistogram(dfQ, grpCol, valCol, binWidth)), eps)
+
   /** Reference-side histogram for the drift MONITOR: (grp, bin, n)
     * counts at `binWidth`. Built once from the reference corpus, then
     * persisted — probes never rescan the reference data; the histogram

@@ -279,6 +279,16 @@ class R9bOpsSpec extends AnyFunSuite {
       "no singletons -> zero missing mass; no doubletons -> no Chao1")
   }
 
+  test("psiBetween: near-zero on identical distributions, large on a planted shift") {
+    import graft.operators.Drift
+    val base = (0 until 400).map(i => ("m", (i % 20).toDouble)).toDF("g", "x")
+    val same = Drift.psiBetween(base, base, "g", "x", binWidth = 1.0).head
+    assert(same.getDouble(2) == 0.0, s"identical halves drift 0, got $same")
+    val shifted = (0 until 400).map(i => ("m", (i % 20) + 30.0)).toDF("g", "x")
+    val far = Drift.psiBetween(base, shifted, "g", "x", binWidth = 1.0).head
+    assert(far.getDouble(2) > 5.0, s"disjoint supports must alarm, got $far")
+  }
+
   // --------------------------------------------------------- cuped
 
   test("cuped: matches the closed-form reference; reduces variance on correlated units") {
