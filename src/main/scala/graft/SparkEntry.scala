@@ -2615,10 +2615,13 @@ object SparkEntry {
 
   /** k-distance outliers: the 20 most isolated embeddings by 5-NN
     * cosine — the density outlier view next to emb_outliers'
-    * centroid-distance view. */
+    * centroid-distance view. Even-id half as the exact anchor (the
+    * knn_label_vote convention — the full-corpus path swaps in the
+    * LSH/IVF pair miners, same downstream shape). */
   private def qEmbKnnOutliers(s: SparkSession, dir: String): DataFrame =
     graft.operators.Similarity.knnDistOutliers(
-      t(s, dir, "embeddings"), "embedding", "vec_id", k = 5, topN = 20)
+      t(s, dir, "embeddings").filter(col("vec_id") % 2 === 0),
+      "embedding", "vec_id", k = 5, topN = 20)
 
   /** CMS join-cardinality estimate: |A ⋈ B on user_id| between the
     * even/odd event_id halves from two 24 KB sketches — the CM
@@ -5600,7 +5603,7 @@ object SparkEntry {
     // engine's blocked sweep meets every pair exactly once
     "emb_knn_outliers" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-           FROM embeddings),
+           FROM embeddings WHERE vec_id % 2 = 0),
          nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
            FROM e),
          p AS (SELECT a.vec_id AS id, b.vec_id AS nb,
