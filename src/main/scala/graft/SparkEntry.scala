@@ -2432,6 +2432,16 @@ object SparkEntry {
       .orderBy(col("lang"), col("sample_rank"))
   }
 
+  /** Weighted sample without replacement (Efraimidis–Spirakis): 8 docs
+    * per lang, weight = n_chars — big docs sampled more often, never
+    * twice; ln-key ranking deterministic from the splitmix id hash. */
+  private def qSampleWeighted(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.weightedSampleN(t(s, dir, "documents"),
+        "doc_id", "lang", "n_chars", n = 8)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("es_key"), col("sample_rank"))
+      .orderBy(col("lang"), col("sample_rank"))
+
   /** DAU / 7-day WAU / stickiness per day over the events stream. */
   private def qEventsActiveUsers(s: SparkSession, dir: String): DataFrame =
     Funnel.activeUsers(t(s, dir, "events"), "ts", "user_id", windowDays = 7)
@@ -3019,6 +3029,7 @@ object SparkEntry {
     "seqlen_histogram" -> (qSeqLenHistogram _),
     "dup_cluster_sizes" -> (qDupClusterSizes _),
     "sample_exact_n" -> (qSampleExactN _),
+    "sample_weighted" -> (qSampleWeighted _),
     "q_events_active_users" -> (qEventsActiveUsers _),
     "source_overlap_matrix" -> (qSourceOverlapMatrix _),
     "source_pagerank" -> (qSourcePagerank _),
@@ -5994,6 +6005,18 @@ object SparkEntry {
           SELECT cluster_size, n_clusters, n_docs,
             round(CAST(n_docs AS DOUBLE) / n_total, 6) AS doc_share
           FROM allrows, tot ORDER BY cluster_size""",
+    "sample_weighted" ->
+      s"""WITH ${splitmixStagesSql("documents", "doc_id", "doc_id, lang, n_chars")},
+          keyed AS (SELECT doc_id, lang, n_chars,
+              ln((u53 + 1) / 9007199254740992.0) / n_chars AS k
+            FROM s3 WHERE n_chars > 0),
+          ranked AS (SELECT doc_id, lang, n_chars, k,
+              CAST(row_number() OVER
+                (PARTITION BY lang ORDER BY k DESC, doc_id) AS INT)
+                AS sample_rank
+            FROM keyed)
+          SELECT doc_id, lang, n_chars, round(k, 6) AS es_key, sample_rank
+          FROM ranked WHERE sample_rank <= 8 ORDER BY lang, sample_rank""",
     "sample_exact_n" ->
       s"""WITH ${splitmixStagesSql("documents", "doc_id", "doc_id, lang")},
           ranked AS (

@@ -76,6 +76,37 @@ object Sampling {
       .drop("__rnd")
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
+    * "Weighted random sampling with a reservoir", IPL 97(5)): per item
+    * draw u ∈ (0, 1] from the splitmix64 id hash and rank by
+    * ln(u)/w — the top-n per stratum are an EXACT weighted sample
+    * without replacement (the ln form is the monotone twin of the
+    * paper's u^(1/w) key, and ln is the one transcendental both
+    * engines already agree on bit-for-bit). The principled one-pass
+    * "sample big docs more often, but never twice" selector the
+    * Bernoulli/exact-N samplers can't express; deterministic ⇒
+    * reproducible shards AND a DuckDB-replayable oracle.
+    *
+    * Scale shape: map-only key computation, per-stratum top-n via the
+    * partition-pruned rank (frames bounded at n×#partitions per
+    * stratum). Non-positive weights are excluded (never sampled). */
+  def weightedSampleN(df: DataFrame, idCol: String, stratumCol: String,
+                      weightCol: String, n: Int): DataFrame = {
+    val u = (unitUniform53(col(idCol)) + 1).cast("double") /
+      lit(9007199254740992.0) // 2^53; +1 => u in (0, 1], ln defined
+    val keyed = df.filter(col(weightCol) > 0)
+      .withColumn("__es_key", log(u) / col(weightCol).cast("double"))
+    val pruned = PartitionPrune.firstNPerKey(keyed, stratumCol,
+      Seq(col("__es_key").desc, col(idCol)), n)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(col("__es_key").desc, col(idCol))
+    pruned.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= n)
+      .withColumn("es_key", round(col("__es_key"), 6))
+      .drop("__es_key")
+  }
+
   /** Domain-mixture weighting: the per-domain sampling/repeat factor
     * that reshapes the corpus's actual token distribution into a
     * target mixture (the step that decides how often each source is

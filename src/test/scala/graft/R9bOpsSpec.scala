@@ -289,6 +289,29 @@ class R9bOpsSpec extends AnyFunSuite {
     assert(far.getDouble(2) > 5.0, s"disjoint supports must alarm, got $far")
   }
 
+  test("weightedSampleN: weight-proportional inclusion, no replacement, no zero-weight rows") {
+    import graft.operators.Sampling
+    // 400 strata, each with item A (weight 3) and item B (weight 1):
+    // P(A sampled at n=1) = 3/4 — deterministic given the id hash
+    val df = (0 until 400).flatMap { s =>
+      Seq((s * 2L, s"s$s", "A", 3L), (s * 2L + 1, s"s$s", "B", 1L))
+    }.toDF("doc_id", "stratum", "item", "w")
+    val picked = Sampling.weightedSampleN(df, "doc_id", "stratum", "w", n = 1)
+      .select("stratum", "item").collect()
+    assert(picked.length == 400, "exactly one pick per stratum")
+    val aShare = picked.count(_.getString(1) == "A") / 400.0
+    assert(aShare > 0.65 && aShare < 0.85,
+      s"weight-3 item should win ~75%, got $aShare")
+    // without replacement at n = stratum size: every positive-weight row
+    // exactly once; zero-weight rows never appear
+    val withZero = df.withColumn("w",
+      when(col("item") === "B", 0L).otherwise(col("w")))
+    val all = Sampling.weightedSampleN(withZero, "doc_id", "stratum", "w", n = 2)
+    assert(all.count() == 400 &&
+      all.filter(col("item") === "B").count() == 0,
+      "zero-weight rows are never sampled")
+  }
+
   // --------------------------------------------------------- cuped
 
   test("cuped: matches the closed-form reference; reduces variance on correlated units") {
