@@ -2442,6 +2442,12 @@ object SparkEntry {
         col("es_key"), col("sample_rank"))
       .orderBy(col("lang"), col("sample_rank"))
 
+  /** Subword vocabulary seeding: top-50 within-token substrings by
+    * count·(len−1) compression gain — the unigram-LM seed vocabulary
+    * next to bpe_top_merges' bottom-up view. */
+  private def qSubwordVocab(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.subwordVocab(t(s, dir, "documents"), "text")
+
   /** DAU / 7-day WAU / stickiness per day over the events stream. */
   private def qEventsActiveUsers(s: SparkSession, dir: String): DataFrame =
     Funnel.activeUsers(t(s, dir, "events"), "ts", "user_id", windowDays = 7)
@@ -3030,6 +3036,7 @@ object SparkEntry {
     "dup_cluster_sizes" -> (qDupClusterSizes _),
     "sample_exact_n" -> (qSampleExactN _),
     "sample_weighted" -> (qSampleWeighted _),
+    "subword_vocab" -> (qSubwordVocab _),
     "q_events_active_users" -> (qEventsActiveUsers _),
     "source_overlap_matrix" -> (qSourceOverlapMatrix _),
     "source_pagerank" -> (qSourcePagerank _),
@@ -6005,6 +6012,22 @@ object SparkEntry {
           SELECT cluster_size, n_clusters, n_docs,
             round(CAST(n_docs AS DOUBLE) / n_total, 6) AS doc_share
           FROM allrows, tot ORDER BY cluster_size""",
+    "subword_vocab" ->
+      """WITH toks AS (SELECT unnest(list_filter(
+             regexp_split_to_array(trim(lower(text)), '\s+'),
+             x -> length(x) > 0)) AS tok FROM documents),
+         lens AS (SELECT tok, unnest(generate_series(2,
+             least(6, length(tok)))) AS l
+           FROM toks WHERE length(tok) >= 2),
+         pieces AS (SELECT unnest(list_transform(
+             generate_series(0, length(tok) - l),
+             i -> substr(tok, CAST(i + 1 AS INT), CAST(l AS INT)))) AS piece
+           FROM lens),
+         counts AS (SELECT piece, count(*) AS cnt FROM pieces
+           GROUP BY piece HAVING count(*) >= 2)
+         SELECT piece, CAST(cnt AS BIGINT) AS cnt,
+           CAST(cnt * (length(piece) - 1) AS BIGINT) AS score
+         FROM counts ORDER BY score DESC, piece ASC LIMIT 50""",
     "sample_weighted" ->
       s"""WITH ${splitmixStagesSql("documents", "doc_id", "doc_id, lang, n_chars")},
           keyed AS (SELECT doc_id, lang, n_chars,

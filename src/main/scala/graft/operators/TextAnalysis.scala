@@ -827,6 +827,37 @@ object TextAnalysis {
       .orderBy(col(grpCol))
   }
 
+  /** Subword-vocabulary seeding — the unigram-LM (SentencePiece,
+    * Kudo & Richardson 2018) counterpart to the BPE merge miner
+    * ([[topBigramMerges]]): enumerate every within-token character
+    * substring of length [minLen, maxLen], count corpus-wide, score
+    * by count·(len−1) (the compression gain of replacing the piece
+    * with one symbol), and keep the top-V above a count floor — the
+    * seed vocabulary the unigram-LM EM prune starts from. Where BPE
+    * grows pieces bottom-up one merge at a time, this surfaces
+    * high-value LONG pieces directly.
+    *
+    * Scale shape: map-side substring explode (bounded ≈ maxLen
+    * substrings per character), one count agg with map-side combine,
+    * count-floor prune BEFORE ranking, TakeOrdered top-V. */
+  def subwordVocab(df: DataFrame, textCol: String, minLen: Int = 2,
+                   maxLen: Int = 6, topV: Int = 50,
+                   minCount: Long = 2): DataFrame = {
+    val subs = df.select(explode(tokens(lower(col(textCol)))).as("tok"))
+      .filter(length(col("tok")) >= minLen)
+      .select(col("tok"),
+        explode(sequence(lit(minLen), least(lit(maxLen), length(col("tok")))))
+          .as("l"))
+      .select(explode(expr(
+        "transform(sequence(0, length(tok) - l), i -> substr(tok, i + 1, l))"))
+        .as("piece"))
+    subs.groupBy(col("piece")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .withColumn("score", col("cnt") * (length(col("piece")) - 1))
+      .orderBy(col("score").desc, col("piece").asc)
+      .limit(topV)
+  }
+
   def zipfProfile(df: DataFrame, textCol: String,
                   topN: Int = 100): DataFrame = {
     val tc = df.select(explode(tokens(lower(col(textCol)))).as("tok"))

@@ -312,6 +312,21 @@ class R9bOpsSpec extends AnyFunSuite {
       "zero-weight rows are never sampled")
   }
 
+  test("subwordVocab: counts and compression scores on a known fixture; TakeOrdered plan") {
+    val df = Seq((1L, "abab abab"), (2L, "abab xy")).toDF("doc_id", "text")
+    val out = TextAnalysis.subwordVocab(df, "text", minLen = 2, maxLen = 4,
+      topV = 10, minCount = 2)
+    val rows = out.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // "abab" x3 tokens: each yields ab(2), ba(1), aba(1), bab(1), abab(1)
+    assert(rows("ab") == (6L, 6L))
+    assert(rows("abab") == (3L, 9L), "long piece scores len-1 per occurrence")
+    assert(rows("aba") == (3L, 6L) && rows("bab") == (3L, 6L))
+    assert(!rows.contains("xy"), "below the count floor")
+    assert(out.head.getString(0) == "abab", "highest compression gain first")
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(500))
+  }
+
   // --------------------------------------------------------- cuped
 
   test("cuped: matches the closed-form reference; reduces variance on correlated units") {
