@@ -2448,6 +2448,19 @@ object SparkEntry {
   private def qSubwordVocab(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.subwordVocab(t(s, dir, "documents"), "text")
 
+  /** One-pass Pearson correlation matrix over the lineitem numerics —
+    * the multicollinearity card; exact decimal moments at cent scale. */
+  private def qCorrMatrix(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.corrMatrix(t(s, dir, "lineitem"),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+
+  /** Mutual information between event type and hour-of-day — "how
+    * predictive is the clock of what users do", the strength companion
+    * to the chi-square independence test. */
+  private def qEventsMi(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Metrics.mutualInformation(t(s, dir, "events"),
+      col("event_type"), hour(col("ts")))
+
   /** DAU / 7-day WAU / stickiness per day over the events stream. */
   private def qEventsActiveUsers(s: SparkSession, dir: String): DataFrame =
     Funnel.activeUsers(t(s, dir, "events"), "ts", "user_id", windowDays = 7)
@@ -3037,6 +3050,8 @@ object SparkEntry {
     "sample_exact_n" -> (qSampleExactN _),
     "sample_weighted" -> (qSampleWeighted _),
     "subword_vocab" -> (qSubwordVocab _),
+    "q_corr_matrix" -> (qCorrMatrix _),
+    "q_events_mi" -> (qEventsMi _),
     "q_events_active_users" -> (qEventsActiveUsers _),
     "source_overlap_matrix" -> (qSourceOverlapMatrix _),
     "source_pagerank" -> (qSourcePagerank _),
@@ -6012,6 +6027,62 @@ object SparkEntry {
           SELECT cluster_size, n_clusters, n_docs,
             round(CAST(n_docs AS DOUBLE) / n_total, 6) AS doc_share
           FROM allrows, tot ORDER BY cluster_size""",
+    // every log argument is a ratio of exact integers; every term
+    // quantizes to BIGINT at 1e-12 before the associative sum
+    "q_events_mi" ->
+      """WITH cells AS (SELECT event_type AS a, hour(ts) AS b, count(*) AS n
+           FROM events GROUP BY a, b),
+         ra AS (SELECT a, sum(n) AS na FROM cells GROUP BY a),
+         rb AS (SELECT b, sum(n) AS nb FROM cells GROUP BY b),
+         tot AS (SELECT sum(n) AS nn FROM cells),
+         terms AS (SELECT CAST(floor((CAST(c.n AS DOUBLE) / nn)
+             * ln(CAST(c.n * nn AS DOUBLE) / (ra.na * rb.nb)) * 1e12 + 0.5)
+             AS BIGINT) AS t
+           FROM cells c JOIN ra USING (a) JOIN rb USING (b), tot),
+         smi AS (SELECT sum(t) AS smi FROM terms),
+         sha AS (SELECT sum(CAST(floor((CAST(na AS DOUBLE) / nn)
+             * ln(CAST(nn AS DOUBLE) / na) * 1e12 + 0.5) AS BIGINT)) AS sha
+           FROM ra, tot),
+         shb AS (SELECT sum(CAST(floor((CAST(nb AS DOUBLE) / nn)
+             * ln(CAST(nn AS DOUBLE) / nb) * 1e12 + 0.5) AS BIGINT)) AS shb
+           FROM rb, tot)
+         SELECT round(CAST(smi AS DOUBLE) / 1e12, 6) AS mi,
+           round(CAST(sha AS DOUBLE) / 1e12, 6) AS h_a,
+           round(CAST(shb AS DOUBLE) / 1e12, 6) AS h_b,
+           CASE WHEN sha > 0 AND shb > 0 THEN
+             round(CAST(smi AS DOUBLE)
+               / sqrt(CAST(sha AS DOUBLE) * CAST(shb AS DOUBLE)), 6)
+           END AS nmi
+         FROM smi, sha, shb""",
+    // every moment an exact integer sum at cent scale; corr is the
+    // same double dag over those integers on both engines
+    "q_corr_matrix" -> {
+      val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val qs = cs.map(c => s"CAST(floor($c * 100 + 0.5) AS BIGINT) AS $c")
+        .mkString(", ")
+      val pairSel = (for {
+        i <- cs.indices; j <- cs.indices if i < j
+      } yield {
+        val (a, b) = (cs(i), cs(j))
+        s"""SELECT '$a' AS col_a, '$b' AS col_b,
+            CASE WHEN CAST(n * ss_$a - s_$a * s_$a AS DOUBLE) > 0
+                  AND CAST(n * ss_$b - s_$b * s_$b AS DOUBLE) > 0
+              THEN round(CAST(n * p_${a}_$b - s_$a * s_$b AS DOUBLE)
+                / sqrt(CAST(n * ss_$a - s_$a * s_$a AS DOUBLE)
+                     * CAST(n * ss_$b - s_$b * s_$b AS DOUBLE)), 6)
+            END AS corr FROM m"""
+      }).mkString(" UNION ALL ")
+      val moments =
+        cs.map(c => s"sum(CAST($c AS HUGEINT)) AS s_$c, " +
+          s"sum(CAST($c AS HUGEINT) * $c) AS ss_$c").mkString(", ") + ", " +
+        (for { i <- cs.indices; j <- cs.indices if i < j } yield {
+          val (a, b) = (cs(i), cs(j))
+          s"sum(CAST($a AS HUGEINT) * $b) AS p_${a}_$b"
+        }).mkString(", ")
+      s"""WITH qv AS (SELECT $qs FROM lineitem),
+          m AS (SELECT CAST(count(*) AS HUGEINT) AS n, $moments FROM qv)
+          SELECT * FROM ($pairSel) ORDER BY col_a, col_b"""
+    },
     "subword_vocab" ->
       """WITH toks AS (SELECT unnest(list_filter(
              regexp_split_to_array(trim(lower(text)), '\s+'),

@@ -254,6 +254,44 @@ object Metrics {
         round(theta * theta * (varXNum / varYNum), 6)).as("var_reduction"))
   }
 
+  /** Mutual information between two categorical columns — the
+    * strength-of-association companion to [[chiSquare]] (χ² answers
+    * "is there dependence", MI answers "how many nats does knowing A
+    * tell you about B" — and normalized MI is comparable across
+    * tables). I(A;B) = Σ p(a,b)·ln(p(a,b)·N²/(nₐ·n_b·N))… computed as
+    * (n/N)·ln(n·N/(nₐ·n_b)) — every log argument a ratio of exact
+    * integers, every term quantized to a long at 1e-12 before the sum
+    * (associative ⇒ partition-invariant, the engine's standard
+    * contract for information measures). One contingency agg over the
+    * scan; margins and entropies on the cells-sized frame. */
+  def mutualInformation(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    def quant(x: Column): Column = floor(x * lit(1e12) + 0.5).cast("long")
+    val cells = df.select(aCol.as("a"), bCol.as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+    val ra = cells.groupBy(col("a")).agg(sum(col("n")).as("na"))
+    val rb = cells.groupBy(col("b")).agg(sum(col("n")).as("nb"))
+    val tot = cells.agg(sum(col("n")).as("nn"))
+    val joined = cells.join(ra, "a").join(rb, "b").crossJoin(broadcast(tot))
+    val miTerm = (col("n").cast("double") / col("nn")) *
+      log((col("n") * col("nn")).cast("double") / (col("na") * col("nb")))
+    val mi = joined.agg(sum(quant(miTerm)).as("smi"))
+    val ha = ra.crossJoin(broadcast(tot))
+      .agg(sum(quant((col("na").cast("double") / col("nn")) *
+        log(col("nn").cast("double") / col("na")))).as("sha"))
+    val hb = rb.crossJoin(broadcast(tot))
+      .agg(sum(quant((col("nb").cast("double") / col("nn")) *
+        log(col("nn").cast("double") / col("nb")))).as("shb"))
+    mi.crossJoin(broadcast(ha)).crossJoin(broadcast(hb))
+      .select(
+        round(col("smi").cast("double") / 1e12, 6).as("mi"),
+        round(col("sha").cast("double") / 1e12, 6).as("h_a"),
+        round(col("shb").cast("double") / 1e12, 6).as("h_b"),
+        when(col("sha") > 0 && col("shb") > 0,
+          round(col("smi").cast("double") /
+            sqrt(col("sha").cast("double") * col("shb").cast("double")), 6))
+          .as("nmi"))
+  }
+
   /** Pearson chi-square independence statistic for two categorical
     * columns: χ² = Σ (O − E)²/E with E = row·col/N, plus the degrees
     * of freedom. One contingency aggregation over the scan; the

@@ -20,6 +20,44 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** Pearson correlation matrix over numeric columns in ONE aggregation
+    * pass — the multicollinearity / redundant-feature card next to
+    * [[numericProfile]]. Every value quantizes to integer units at
+    * `scale` decimal digits (exact for fixed-point business data), so
+    * all 2nd-order moments are EXACT decimal sums — the correlations
+    * are one fixed double dag over integers, partition-invariant and
+    * engine-replayable. Output: one row per unordered column pair.
+    * Degenerate (zero-variance) columns yield NULL, not NaN. */
+  def corrMatrix(df: DataFrame, cols: Seq[String],
+                 scale: Int = 100): DataFrame = {
+    require(cols.size >= 2, "corrMatrix: need at least two columns")
+    def q(c: String) =
+      floor(col(c).cast("double") * scale + 0.5).cast("decimal(18,0)")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs =
+      Seq(count(lit(1)).as("__n")) ++
+      cols.flatMap { c => Seq(
+        sum(q(c)).as(s"__s_$c"),
+        sum(q(c) * q(c)).as(s"__ss_$c")) } ++
+      pairs.map { case (a, b) => sum(q(a) * q(b)).as(s"__p_${a}__$b") }
+    // the 1-row moment frame feeds one select per pair below —
+    // materialize it once so the union doesn't re-run the scan agg
+    val m = df.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+    val rows = pairs.map { case (a, b) =>
+      val n = col("__n").cast("decimal(38,0)")
+      val covNum = (n * col(s"__p_${a}__$b") - col(s"__s_$a") * col(s"__s_$b"))
+        .cast("double")
+      def varNum(c: String) =
+        (n * col(s"__ss_$c") - col(s"__s_$c") * col(s"__s_$c")).cast("double")
+      m.select(lit(a).as("col_a"), lit(b).as("col_b"),
+        when(varNum(a) > 0 && varNum(b) > 0,
+          round(covNum / sqrt(varNum(a) * varNum(b)), 6)).as("corr"))
+    }
+    rows.reduce(_.unionByName(_)).orderBy(col("col_a"), col("col_b"))
+  }
+
   def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "numericProfile: need at least one column")
     val aggs = cols.flatMap { c =>

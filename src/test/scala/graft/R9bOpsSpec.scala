@@ -327,6 +327,35 @@ class R9bOpsSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(500))
   }
 
+  test("corrMatrix: exact +1/-1 on linear columns, NULL on zero variance") {
+    import graft.operators.Profile
+    val df = (1 to 50).map { i =>
+      (i.toDouble, 2.0 * i + 3, 100.0 - i, 7.0) }
+      .toDF("x", "y2x", "neg", "konst")
+    val out = Profile.corrMatrix(df, Seq("x", "y2x", "neg", "konst"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+    assert(out(("x", "y2x")) == 1.0)
+    assert(out.get(("neg", "x")).orElse(out.get(("x", "neg"))).contains(-1.0))
+    assert(out.get(("konst", "x")).orElse(out.get(("x", "konst"))).contains(null),
+      "zero-variance column yields NULL, not NaN")
+    assert(out.size == 6)
+  }
+
+  test("mutualInformation: 0 on independent, NMI 1 on identical columns") {
+    import graft.operators.Metrics
+    // perfectly independent uniform grid: every (a, b) cell equal count
+    val ind = (0 until 400).map(i => (s"a${i % 4}", s"b${(i / 4) % 5}"))
+      .toDF("u", "v")
+    val mi0 = Metrics.mutualInformation(ind, col("u"), col("v")).head
+    assert(mi0.getDouble(0) == 0.0, s"independent -> MI 0, got $mi0")
+    // identical columns: MI = H(A), NMI = 1
+    val same = (0 until 300).map(i => (s"k${i % 6}", s"k${i % 6}")).toDF("u", "v")
+    val mi1 = Metrics.mutualInformation(same, col("u"), col("v")).head
+    assert(mi1.getDouble(0) == mi1.getDouble(1), "MI(A;A) = H(A)")
+    assert(math.abs(mi1.getDouble(3) - 1.0) < 1e-9, s"NMI 1, got $mi1")
+  }
+
   // --------------------------------------------------------- cuped
 
   test("cuped: matches the closed-form reference; reduces variance on correlated units") {
