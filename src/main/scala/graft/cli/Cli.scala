@@ -443,12 +443,22 @@ object Cli {
             mediaSigCol(flag("--sig", "image"), flag("--media-col", "media")),
             maxDist = flag("--max-dist", "3").toInt).localCheckpoint()
       }
+      // --freq <idx>: CMS frequency-cap gate — drop rows whose
+      // (--freq-grp, --freq-key) the corpus has already seen
+      // >= --freq-cap times (per-key rate limit / source budget)
+      val afterFreq = flag("--freq", "") match {
+        case "" => afterMedia
+        case p => graft.streaming.StreamingCuration.freqGate(afterMedia,
+          flag("--freq-grp", "lang"), flag("--freq-key", "source"),
+          graft.operators.FreqIndex.FreqRef.load(spark, p),
+          flag("--freq-cap", "1000").toLong).localCheckpoint()
+      }
       // --lr <modelDir>: trained-classifier gate (wpindex lr) — keep
       // rows whose LR margin clears --lr-threshold (log-odds)
       val afterLrGate = flag("--lr", "") match {
-        case "" => afterMedia
+        case "" => afterFreq
         case p => graft.operators.Classifier.LrModel.load(spark, p)
-          .gate(afterMedia, textCol, idCol,
+          .gate(afterFreq, textCol, idCol,
             flag("--lr-threshold", "0.0").toDouble)
       }
       // --fim: rewrite surviving docs as fill-in-the-middle training
@@ -617,6 +627,12 @@ object Cli {
         case p => Some(graft.operators.Classifier.LrModel.load(spark, p))
       }
       val lrThreshold = flag("--lr-threshold", "0.0").toDouble
+      // frequency-cap gate config (the ref itself reloads per batch so
+      // wpindex append between batches is seen)
+      val freqIdxPath = flag("--freq", "")
+      val freqGrp = flag("--freq-grp", "lang")
+      val freqKey = flag("--freq-key", "source")
+      val freqCap = flag("--freq-cap", "1000").toLong
       // phrase blocklist, loaded once (plan-time constant in the AC
       // expression) — the daemon twin of batch --blocklist
       val blPatterns = flag("--blocklist", "") match {
@@ -681,9 +697,19 @@ object Cli {
                 .localCheckpoint()
             case None => substrGated
           }
+          // --freq: per-key rate limit vs the persisted CMS sketch
+          // (daemon twin of batch --freq); reload per batch when the
+          // index grows between batches
+          val freqGated = freqIdxPath match {
+            case "" => mediaGated
+            case p => graft.streaming.StreamingCuration.freqGate(mediaGated,
+              freqGrp, freqKey,
+              graft.operators.FreqIndex.FreqRef.load(spark, p), freqCap)
+              .localCheckpoint()
+          }
           val acceptedPlan = lrModel match {
-            case Some(m) => m.gate(mediaGated, textCol, idCol, lrThreshold)
-            case None => mediaGated
+            case Some(m) => m.gate(freqGated, textCol, idCol, lrThreshold)
+            case None => freqGated
           }
           // the full gate chain (dedup probes, media decode+dHash, LR
           // scoring) feeds up to five consumers per micro-batch — the

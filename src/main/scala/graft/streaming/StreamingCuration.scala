@@ -101,6 +101,27 @@ object StreamingCuration {
       graft.functions.MultiPatternStats.multi_match(col(textCol), patterns)
         .getField("total_hits") === 0)
 
+  /** Frequency-cap gate against the persisted CMS sketch
+    * ([[graft.operators.FreqIndex.FreqRef]]): drop batch rows whose
+    * (group, key) the corpus has already seen ≥ `maxCorpusCount`
+    * times — the per-key rate limit / source-budget cap (a crawler
+    * flooding one domain stops contributing once its budget is
+    * spent). The CMS estimate is one-sided, so the cap can only trip
+    * EARLY (conservative), never late. Stateless per batch; the
+    * 24 KB-per-group counter tables are the on-disk cross-batch
+    * state. */
+  def freqGate(batch: DataFrame, grpCol: String, keyCol: String,
+               ref: graft.operators.FreqIndex.FreqRef,
+               maxCorpusCount: Long): DataFrame = {
+    val ok = ref.estimateOf(batch, grpCol, keyCol)
+      .filter(col("corpus_est") < maxCorpusCount)
+      .select(col("grp").as("__fg"), col("key").as("__fk"))
+    batch.withColumn("__fg", col(grpCol))
+      .withColumn("__fk", col(keyCol).cast("string"))
+      .join(ok, Seq("__fg", "__fk"))
+      .drop("__fg", "__fk")
+  }
+
   /** Exact-substring gate against the persisted window index
     * ([[Dedup.SubstrCorpusIndex]]): drop batch docs whose corpus-
     * verbatim token share exceeds `maxDupFrac` — the "mostly already in

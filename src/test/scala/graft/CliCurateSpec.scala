@@ -306,6 +306,57 @@ class CliCurateSpec extends AnyFunSuite {
     assert(kept == Set(1L), s"kept=$kept")
   }
 
+  test("wpcurate batch --freq: rows from over-budget (grp, key) pairs drop") {
+    import spark.implicits._
+    spark
+    // corpus: srcA already has 3 en docs, srcB has 1
+    val corpus = (0 until 3).map(i => (100L + i, s"corpus doc number $i words", "en", "srcA")) :+
+      ((200L, "one corpus doc here now", "en", "srcB"))
+    val batch = Seq(
+      (1L, "this is a fresh doc and it is from the flooded source", "en", "srcA"),  // over cap
+      (2L, "this is a fresh doc and it is from the quiet source", "en", "srcB")) // under cap
+      .toDF("doc_id", "text", "lang", "source")
+    val cDir = tmp("fq_corpus"); val bDir = tmp("fq_batch")
+    val idx = tmp("fq_idx"); val outDir = tmp("fq_out")
+    corpus.toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(cDir)
+    batch.write.mode("overwrite").parquet(bDir)
+    graft.cli.Cli.main(Array("wpindex", "build", "freq", cDir, idx,
+      "--grp-col", "lang", "--key-col", "source"))
+    graft.cli.Cli.main(Array("wpcurate", "batch", bDir, outDir,
+      "--freq", idx, "--freq-grp", "lang", "--freq-key", "source",
+      "--freq-cap", "3",
+      "--min-words", "3", "--min-entropy", "2.0", "--min-score", "-1000000",
+      "--shards", "1"))
+    val kept = spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L), s"srcA is at its budget of 3, kept=$kept")
+  }
+
+  test("wpcurate daemon --freq: the per-key rate limit streams per micro-batch") {
+    import spark.implicits._
+    spark
+    val cDir = tmp("dfq_corpus"); val idx = tmp("dfq_idx")
+    val inDir = tmp("dfq_in"); val outDir = tmp("dfq_out")
+    ((0 until 5).map(i => (100L + i, s"corpus doc number $i words", "en", "srcA")) :+
+      ((200L, "one corpus doc here now", "en", "srcB")))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(cDir)
+    graft.cli.Cli.main(Array("wpindex", "build", "freq", cDir, idx,
+      "--grp-col", "lang", "--key-col", "source"))
+    Seq(
+      (1L, "this is a fresh doc and it is from the flooded source", "en", "srcA"),
+      (2L, "this is a fresh doc and it is from the quiet source", "en", "srcB"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(inDir)
+    graft.cli.Cli.main(Array("wpcurate", "daemon", inDir, outDir,
+      "--freq", idx, "--freq-grp", "lang", "--freq-key", "source",
+      "--freq-cap", "5", "--once"))
+    val kept = spark.read.parquet(s"$outDir/accepted")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L), s"srcA is at its budget of 5, kept=$kept")
+  }
+
   test("wpcurate daemon --once with --dsir and --substr: all five gates stream") {
     import spark.implicits._
     spark
