@@ -1295,6 +1295,35 @@ object SparkEntry {
   private val substrIndexPaths =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  private val memberIndexPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Exact-membership probe served from the persisted Bloom + hash-set
+    * index ([[graft.operators.MemberIndex]]): corpus = events with
+    * event_id % 5 != 0 (member keys frozen on disk), batch = the % 5 == 0
+    * slice; result = the batch rows whose (user, type, props) key the
+    * corpus has never seen — novel-key detection with the
+    * majority-novel traffic resolved map-side against the broadcast
+    * bit array and only bloom candidates paying the confirm join. The
+    * verdict is exact (no false negatives; false positives die at the
+    * confirm), so the oracle is a plain NOT IN on the key. */
+  private def qMemberNovelKeys(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.MemberIndex
+    val keyed = t(s, dir, "events").select(col("event_id"),
+      concat(col("user_id").cast("string"), lit(":"), col("event_type"),
+        lit(":"), col("props")).as("member_key"))
+    val path = memberIndexPaths.computeIfAbsent(dir, { _ =>
+      val p = java.nio.file.Files.createTempDirectory("graft_member_idx").toString
+      MemberIndex.MemberRef.build(keyed.filter(col("event_id") % 5 =!= 0),
+        col("member_key"), mExp = 16, k = 6).save(p)
+      p
+    })
+    MemberIndex.MemberRef.load(s, path)
+      .novelOf(keyed.filter(col("event_id") % 5 === 0), col("member_key"))
+      .select(col("event_id"), col("member_key"))
+      .orderBy(col("event_id"))
+  }
+
   /** Exact-substring spans SERVED FROM the persisted window index:
     * corpus = even-id docs (hashes frozen on disk), batch = odd-id
     * docs; the probe semi-joins the loaded hash set and reports which
@@ -3067,6 +3096,7 @@ object SparkEntry {
     "dsir_score_index" -> (qDsirScoreIndex _),
     "exact_substring_spans" -> (qExactSubstrSpans _),
     "exact_substring_index" -> (qExactSubstrIndex _),
+    "member_novel_keys" -> (qMemberNovelKeys _),
     "exact_substring_apply" -> (qExactSubstrApply _),
     "q_quantile_sketch" -> (qQuantileSketch _),
     "dedup_weights" -> (qDedupWeights _),
@@ -6285,6 +6315,16 @@ object SparkEntry {
            CAST(max(pos) + 7 AS BIGINT) AS span_end, count(*) AS n_windows
          FROM sp GROUP BY doc_id, span_id
          ORDER BY doc_id, span_start""",
+    "member_novel_keys" ->
+      """WITH e AS (
+           SELECT event_id,
+             CAST(user_id AS VARCHAR) || ':' || event_type || ':' || props
+               AS member_key
+           FROM events)
+         SELECT event_id, member_key FROM e
+         WHERE event_id % 5 = 0 AND member_key NOT IN (
+           SELECT member_key FROM e WHERE event_id % 5 <> 0)
+         ORDER BY event_id""",
     "exact_substring_index" ->
       """WITH d AS (
            SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),

@@ -27,8 +27,8 @@ import graft.streaming.StreamingPipeline
   * side's persisted dedup/ANN artifacts, operable like everything
   * else):
   *
-  *   wpindex build  neardup|emb|ann|drift|lm|bm25|dsir|substr|lr|bpe|card|freq <corpus.parquet> <indexDir> [--dim D]
-  *   wpindex append neardup|emb|ann|drift|lm|bm25|dsir|substr|lr|bpe|card|freq <new.parquet> <indexDir>
+  *   wpindex build  neardup|emb|ann|drift|lm|bm25|dsir|substr|lr|bpe|card|freq|member <corpus.parquet> <indexDir> [--dim D]
+  *   wpindex append neardup|emb|ann|drift|lm|bm25|dsir|substr|lr|bpe|card|freq|member <new.parquet> <indexDir>
   *   wpindex probe  neardup|emb     <batch.parquet> <indexDir> <outDir> [--threshold T]
   *   wpindex probe  ann             <queries.parquet> <indexDir> <outDir> [--nprobe N] [--topk K]
   *   wpindex probe  drift           <batch.parquet> <indexDir> <outDir> [--grp-col G --val-col V]
@@ -453,12 +453,22 @@ object Cli {
           graft.operators.FreqIndex.FreqRef.load(spark, p),
           flag("--freq-cap", "1000").toLong).localCheckpoint()
       }
+      // --member <idx>: exact corpus-membership gate — drop rows whose
+      // --member-key the corpus already holds verbatim (bloom-negative
+      // rows short-circuit map-side; only candidates pay the confirm)
+      val afterMember = flag("--member", "") match {
+        case "" => afterFreq
+        case p => graft.operators.MemberIndex.MemberRef.load(spark, p)
+          .novelOf(afterFreq,
+            org.apache.spark.sql.functions.col(flag("--member-key", textCol)))
+          .localCheckpoint()
+      }
       // --lr <modelDir>: trained-classifier gate (wpindex lr) — keep
       // rows whose LR margin clears --lr-threshold (log-odds)
       val afterLrGate = flag("--lr", "") match {
-        case "" => afterFreq
+        case "" => afterMember
         case p => graft.operators.Classifier.LrModel.load(spark, p)
-          .gate(afterFreq, textCol, idCol,
+          .gate(afterMember, textCol, idCol,
             flag("--lr-threshold", "0.0").toDouble)
       }
       // --fim: rewrite surviving docs as fill-in-the-middle training
@@ -633,6 +643,13 @@ object Cli {
       val freqGrp = flag("--freq-grp", "lang")
       val freqKey = flag("--freq-key", "source")
       val freqCap = flag("--freq-cap", "1000").toLong
+      // exact corpus-membership gate, stream-static per micro-batch
+      // (the daemon twin of batch --member)
+      val memberIdx = flag("--member", "") match {
+        case "" => None
+        case p => Some(graft.operators.MemberIndex.MemberRef.load(spark, p))
+      }
+      val memberKeyCol = flag("--member-key", textCol)
       // phrase blocklist, loaded once (plan-time constant in the AC
       // expression) — the daemon twin of batch --blocklist
       val blPatterns = flag("--blocklist", "") match {
@@ -707,9 +724,16 @@ object Cli {
               graft.operators.FreqIndex.FreqRef.load(spark, p), freqCap)
               .localCheckpoint()
           }
-          val acceptedPlan = lrModel match {
-            case Some(m) => m.gate(freqGated, textCol, idCol, lrThreshold)
+          val memberGated = memberIdx match {
+            case Some(m) =>
+              m.novelOf(freqGated,
+                org.apache.spark.sql.functions.col(memberKeyCol))
+                .localCheckpoint()
             case None => freqGated
+          }
+          val acceptedPlan = lrModel match {
+            case Some(m) => m.gate(memberGated, textCol, idCol, lrThreshold)
+            case None => memberGated
           }
           // the full gate chain (dedup probes, media decode+dHash, LR
           // scoring) feeds up to five consumers per micro-batch — the
@@ -1054,9 +1078,27 @@ object Cli {
               flag("--grp-col", "source"), flag("--key-col", "text"))
             .write.mode("overwrite").parquet(out)
           println(s"wpindex: frequency estimates written to $out")
+        case ("build", "member", corpus :: path :: _) =>
+          graft.operators.MemberIndex.MemberRef.build(
+              spark.read.parquet(corpus),
+              org.apache.spark.sql.functions.col(flag("--key-col", "text")),
+              mExp = flag("--m-exp", "20").toInt, k = flag("--k", "6").toInt)
+            .save(path)
+          println(s"wpindex: built member index at $path")
+        case ("append", "member", newData :: path :: _) =>
+          graft.operators.MemberIndex.MemberRef.load(spark, path).appendTo(path,
+            spark.read.parquet(newData),
+            org.apache.spark.sql.functions.col(flag("--key-col", "text")))
+          println(s"wpindex: appended to member index at $path")
+        case ("probe", "member", batch :: path :: out :: _) =>
+          graft.operators.MemberIndex.MemberRef.load(spark, path)
+            .verdictsOf(spark.read.parquet(batch),
+              org.apache.spark.sql.functions.col(flag("--key-col", "text")))
+            .write.mode("overwrite").parquet(out)
+          println(s"wpindex: membership verdicts written to $out")
         case _ =>
           System.err.println(
-            "usage: wpindex build|append|probe neardup|emb|ann|drift|lm|bm25|dsir|substr|card|freq <in.parquet> <indexDir> [<outDir>] [flags]\n" +
+            "usage: wpindex build|append|probe neardup|emb|ann|drift|lm|bm25|dsir|substr|card|freq|member <in.parquet> <indexDir> [<outDir>] [flags]\n" +
             "       wpindex ls <root> | wpindex compact <indexDir> [--max-files N]")
           sys.exit(2)
       }

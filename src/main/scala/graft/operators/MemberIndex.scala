@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{BloomSketch, Fnv1a64Expr}
+
+/** Persisted exact-membership index — Bloom pre-filter over the exact
+  * hash set: the corpus-level EXACT dedup gate ("drop rows whose key
+  * the corpus already holds verbatim") in a shape that never rescans
+  * or reshuffles the corpus at probe time.
+  *
+  * Two parts on disk:
+  *   - `bloom/` — ONE row: the m-bit filter over fnv1a64(key), built
+  *     by the mergeable [[graft.functions.BloomSketch]] aggregate
+  *     (merge = bitwise OR, exact, so append ≡ rebuild);
+  *   - `hashes/` — the distinct 8-byte key hashes, bucket-partitioned
+  *     by the hash's low bits (the [[Dedup.SubstrCorpusIndex]] layout;
+  *     key text never persists).
+  *
+  * Probe scale shape: every batch row tests the broadcast bit array
+  * map-side — a "no" is final (no false negatives), so the
+  * majority-novel traffic of a continual-ingest pipeline never reaches
+  * an exchange. Only bloom-positive candidates (true members + the
+  * ~(1−e^{−kn/m})^k false positives) pay the confirm join, and that
+  * join runs INDEX ⋈ broadcast(candidates) so the corpus-sized hash
+  * set streams map-side too — the final verdict is EXACT regardless of
+  * the filter's false-positive rate. At 100 TB the filter costs
+  * 2^mExp bits once (2^30 → 128 MB broadcast) while the hash set
+  * stays distributed and is only read on the candidate buckets.
+  */
+object MemberIndex {
+  val DiskBuckets = 64
+
+  private def keyHash(keyCol: Column): Column = Fnv1a64Expr.fnv1a64(keyCol)
+
+  private[operators] def hashesOf(df: DataFrame, keyCol: Column,
+                                  diskBuckets: Int): DataFrame =
+    df.select(keyHash(keyCol).as("h")).distinct()
+      .withColumn("bucket",
+        col("h").bitwiseAND(lit(diskBuckets.toLong - 1)).cast("int"))
+
+  private[operators] def bloomOf(df: DataFrame, keyCol: Column,
+                                 mExp: Int, k: Int): DataFrame =
+    df.agg(BloomSketch.bloom_sketch(keyHash(keyCol), mExp, k).as("bits"))
+
+  final case class MemberRef(bloom: DataFrame, hashes: DataFrame,
+                             mExp: Int, k: Int, diskBuckets: Int) {
+    def save(path: String): Unit = {
+      new java.io.File(path).mkdirs()
+      bloom.coalesce(1).write.mode("overwrite").parquet(s"$path/bloom")
+      hashes.repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/hashes")
+      ArtifactMeta.store(path, "member",
+        Seq("mExp" -> mExp.toString, "k" -> k.toString,
+          "diskBuckets" -> diskBuckets.toString),
+        layout = Seq("bloom" -> "", "hashes" -> "parts:bucket"))
+    }
+
+    /** Fold a new slice in: the bloom OR-merges (exact — result ≡
+      * rebuild from the union corpus) and the new slice's hashes append
+      * to their buckets (semi-join probes make duplicate hash rows a
+      * non-event). localCheckpoint materializes the merged bits before
+      * overwriting the file the plan read. */
+    def appendTo(path: String, newData: DataFrame, keyCol: Column): Unit = {
+      val spark = newData.sparkSession
+      val merged = bloom.select(col("bits").as("a"))
+        .crossJoin(bloomOf(newData, keyCol, mExp, k).select(col("bits").as("b")))
+        .select(zip_with(col("a"), col("b"), (x, y) => x.bitwiseOR(y)).as("bits"))
+        .localCheckpoint()
+      merged.coalesce(1).write.mode("overwrite").parquet(s"$path/bloom")
+      MemberIndex.hashesOf(newData, keyCol, diskBuckets)
+        .repartition(col("bucket"))
+        .write.mode("append").partitionBy("bucket").parquet(s"$path/hashes")
+      Maintenance.autoCompact(spark, path)
+      ()
+    }
+
+    /** Batch rows whose key is NOT in the corpus — exact. Bloom-negative
+      * rows short-circuit map-side; candidates anti-join the hash set
+      * with the batch side broadcast (probe slices are ingest-sized;
+      * the corpus-sized index never reshuffles). */
+    def novelOf(batch: DataFrame, keyCol: Column): DataFrame = {
+      val flagged = batch
+        .withColumn("__mh", keyHash(keyCol))
+        .crossJoin(broadcast(bloom))
+        .withColumn("__mc", graft.functions.BloomSketch.bloom_might_contain(
+          col("bits"), col("__mh"), mExp, k))
+        .drop("bits")
+      val fastNovel = flagged.filter(!col("__mc"))
+      val cand = flagged.filter(col("__mc"))
+        .withColumn("__mb",
+          col("__mh").bitwiseAND(lit(diskBuckets.toLong - 1)).cast("int"))
+      // known (bucket, h) pairs among the candidates: index ⋈ broadcast
+      // — the corpus hash set streams map-side against the probe keys
+      val knownKeys = hashes.join(
+          broadcast(cand.select(col("__mb").as("bucket"), col("__mh").as("h"))
+            .distinct()),
+          Seq("bucket", "h"))
+        .select(col("h").as("__kh"))
+      val confirmedNovel = cand
+        .join(broadcast(knownKeys), col("__mh") === col("__kh"), "left_anti")
+        .drop("__mb")
+      fastNovel.unionByName(confirmedNovel).drop("__mh", "__mc")
+    }
+
+    /** Per-batch membership verdicts: (known, bloom_candidate) per row
+      * — the monitoring shape (known share, bloom FP share). Exact on
+      * `known`; `bloom_candidate` exposes the filter's behavior. */
+    def verdictsOf(batch: DataFrame, keyCol: Column): DataFrame = {
+      val flagged = batch
+        .withColumn("__mh", keyHash(keyCol))
+        .crossJoin(broadcast(bloom))
+        .withColumn("bloom_candidate", graft.functions.BloomSketch.bloom_might_contain(
+          col("bits"), col("__mh"), mExp, k))
+        .drop("bits")
+      val cand = flagged.filter(col("bloom_candidate"))
+        .withColumn("__mb",
+          col("__mh").bitwiseAND(lit(diskBuckets.toLong - 1)).cast("int"))
+      val knownKeys = hashes.join(
+          broadcast(cand.select(col("__mb").as("bucket"), col("__mh").as("h"))
+            .distinct()),
+          Seq("bucket", "h"))
+        .select(col("h").as("__kh")).distinct()
+      flagged.join(broadcast(knownKeys), col("__mh") === col("__kh"), "left")
+        .withColumn("known", col("__kh").isNotNull)
+        .drop("__kh", "__mh")
+    }
+  }
+
+  object MemberRef {
+    def build(df: DataFrame, keyCol: Column,
+              mExp: Int = 20, k: Int = 6): MemberRef =
+      MemberRef(bloomOf(df, keyCol, mExp, k),
+        hashesOf(df, keyCol, DiskBuckets), mExp, k, DiskBuckets)
+
+    def load(spark: SparkSession, path: String): MemberRef = {
+      val props = ArtifactMeta.load(path, "member")
+      MemberRef(spark.read.parquet(s"$path/bloom"),
+        spark.read.parquet(s"$path/hashes"),
+        props.getProperty("mExp").toInt, props.getProperty("k").toInt,
+        props.getProperty("diskBuckets").toInt)
+    }
+  }
+}

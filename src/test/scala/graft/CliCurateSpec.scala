@@ -333,6 +333,54 @@ class CliCurateSpec extends AnyFunSuite {
     assert(kept == Set(2L), s"srcA is at its budget of 3, kept=$kept")
   }
 
+  test("wpcurate batch --member: rows whose key the corpus holds verbatim drop") {
+    import spark.implicits._
+    spark
+    val corpus = Seq(
+      (100L, "this is a doc of the corpus and it already holds it today"),
+      (101L, "this is some other doc of the corpus and it holds it now"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "this is a doc of the corpus and it already holds it today"), // member
+      (2L, "this is a brand new doc of the corpus and it is unseen")) // novel
+      .toDF("doc_id", "text")
+    val cDir = tmp("mb_corpus"); val bDir = tmp("mb_batch")
+    val idx = tmp("mb_idx"); val outDir = tmp("mb_out")
+    corpus.write.mode("overwrite").parquet(cDir)
+    batch.write.mode("overwrite").parquet(bDir)
+    graft.cli.Cli.main(Array("wpindex", "build", "member", cDir, idx,
+      "--key-col", "text", "--m-exp", "12"))
+    graft.cli.Cli.main(Array("wpcurate", "batch", bDir, outDir,
+      "--member", idx,
+      "--min-words", "3", "--min-entropy", "2.0", "--min-score", "-1000000",
+      "--shards", "1"))
+    val kept = spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L), s"doc 1 is already in the corpus, kept=$kept")
+  }
+
+  test("wpcurate daemon --member: the exact membership gate streams per micro-batch") {
+    import spark.implicits._
+    spark
+    val cDir = tmp("dmb_corpus"); val idx = tmp("dmb_idx")
+    val inDir = tmp("dmb_in"); val outDir = tmp("dmb_out")
+    Seq((100L, "this is a doc of the corpus and it already holds it today"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(cDir)
+    graft.cli.Cli.main(Array("wpindex", "build", "member", cDir, idx,
+      "--key-col", "text", "--m-exp", "12"))
+    Seq(
+      (1L, "this is a doc of the corpus and it already holds it today"),
+      (2L, "this is a brand new doc of the corpus and it is unseen"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(inDir)
+    graft.cli.Cli.main(Array("wpcurate", "daemon", inDir, outDir,
+      "--member", idx, "--once"))
+    val kept = spark.read.parquet(s"$outDir/accepted")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L), s"kept=$kept")
+  }
+
   test("wpcurate daemon --freq: the per-key rate limit streams per micro-batch") {
     import spark.implicits._
     spark
