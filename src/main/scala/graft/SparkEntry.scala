@@ -1078,6 +1078,37 @@ object SparkEntry {
       col("conv"))
   }
 
+  /** Mann–Whitney U per event type: did the A arm's value distribution
+    * shift vs B, nonparametrically (tie-corrected rank-sum z). */
+  private def qEventsMwu(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Metrics.mannWhitney(t(s, dir, "events"),
+        col("event_type"), (col("user_id") % 2).cast("int"), col("value"))
+      .select(col("g").as("event_type"), col("n_a"), col("n_b"),
+        col("u"), col("z"))
+      .orderBy(col("event_type"))
+
+  /** Kendall tau-b between daily purchase revenue (exact integer
+    * cents — per-item rounding, so cross-engine comparisons never sit
+    * on a float knife-edge) and daily active users. */
+  private def qEventsKendall(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(sum(when(col("event_type") === "purchase",
+          round(col("value") * 100, 0).cast("long")).otherwise(0L))
+          .as("rev_cents"),
+        countDistinct(col("user_id")).as("dau"))
+    graft.operators.Metrics.kendallTau(daily, col("d"),
+      col("rev_cents"), col("dau"))
+  }
+
+  /** Theil–Sen robust trend of each event type's daily volume (median
+    * of pairwise slopes over the calendar-bounded daily series). */
+  private def qEventsTheilSen(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.theilSen(t(s, dir, "events"),
+        col("event_type"), col("ts"), count(lit(1)))
+      .select(col("k").as("event_type"), col("n_pairs"), col("sen_slope"))
+      .orderBy(col("event_type"))
+
   /** Pearson chi-square independence of event_type x A/B variant
     * (full-grid expected counts; one contingency agg over the scan). */
   private def qEventsChi2(s: SparkSession, dir: String): DataFrame =
@@ -3138,6 +3169,9 @@ object SparkEntry {
     "q_events_survival" -> (qEventsSurvival _),
     "q_profile_lineitem" -> (qProfileLineitem _),
     "q_events_ab" -> (qEventsAb _),
+    "q_events_mwu" -> (qEventsMwu _),
+    "q_events_kendall" -> (qEventsKendall _),
+    "q_events_theilsen" -> (qEventsTheilSen _),
     "q_events_chi2" -> (qEventsChi2 _),
     "fim_transform" -> (qFimTransform _),
     "graph_triangles" -> (qGraphTriangles _),
@@ -6714,6 +6748,73 @@ object SparkEntry {
              THEN round((CAST(conv_a AS DOUBLE)/n_a
                - CAST(conv_b AS DOUBLE)/n_b) / se, 4) END AS z
          FROM s""",
+    "q_events_mwu" ->
+      """WITH e AS (
+           SELECT event_type AS g, CAST(user_id % 2 AS INT) AS v, value AS x
+           FROM events),
+         bv AS (
+           SELECT g, x, count(*) AS t,
+             sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS ta
+           FROM e GROUP BY g, x),
+         r AS (
+           SELECT g, t, ta,
+             coalesce(sum(t) OVER (PARTITION BY g ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+           FROM bv),
+         agg AS (
+           SELECT g, CAST(sum(ta) AS BIGINT) AS n_a,
+             CAST(sum(t - ta) AS BIGINT) AS n_b,
+             CAST(sum(ta * (2*cum + t + 1)) AS BIGINT) AS ra2,
+             CAST(sum(t*t*t - t) AS BIGINT) AS ties3
+           FROM r GROUP BY g),
+         s AS (
+           SELECT g, n_a, n_b,
+             ra2 / 2.0 - n_a * (n_a + 1) / 2.0 AS u,
+             n_a * CAST(n_b AS DOUBLE) / 12.0 *
+               ((n_a + n_b + 1) - CAST(ties3 AS DOUBLE) /
+                 ((n_a + n_b) * (n_a + n_b - 1.0))) AS sigma2
+           FROM agg)
+         SELECT g AS event_type, n_a, n_b, round(u, 4) AS u,
+           CASE WHEN n_a > 0 AND n_b > 0 AND sigma2 > 0
+             THEN round((u - n_a * CAST(n_b AS DOUBLE) / 2.0) / sqrt(sigma2), 4)
+           END AS z
+         FROM s ORDER BY event_type""",
+    "q_events_kendall" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+               THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS x,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS y
+           FROM events GROUP BY 1),
+         p AS (
+           SELECT CASE WHEN a.x < b.x THEN 1 WHEN a.x > b.x THEN -1 ELSE 0 END
+               AS cx,
+             CASE WHEN a.y < b.y THEN 1 WHEN a.y > b.y THEN -1 ELSE 0 END AS cy
+           FROM daily a JOIN daily b ON a.d < b.d),
+         agg AS (
+           SELECT CAST(count(*) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN cx * cy = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+             CAST(sum(CASE WHEN cx * cy = -1 THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+             CAST(sum(CASE WHEN cx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+             CAST(sum(CASE WHEN cy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ty
+           FROM p)
+         SELECT n0, nc, nd,
+           CASE WHEN n0 > tx AND n0 > ty
+             THEN round((nc - nd) / sqrt((n0 - tx) * CAST(n0 - ty AS DOUBLE)), 4)
+           END AS tau_b
+         FROM agg""",
+    "q_events_theilsen" ->
+      """WITH daily AS (
+           SELECT event_type AS k, CAST(ts AS DATE) - DATE '1970-01-01' AS d,
+             count(*) AS c
+           FROM events GROUP BY 1, 2),
+         p AS (
+           SELECT a.k, (b.c - a.c) / CAST(b.d - a.d AS DOUBLE) AS slope
+           FROM daily a JOIN daily b ON a.k = b.k AND a.d < b.d)
+         SELECT k AS event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(median(slope), 4) AS sen_slope
+         FROM p GROUP BY k ORDER BY event_type""",
     "q_events_chi2" ->
       """WITH cells AS (
            SELECT event_type AS r, CAST(user_id % 2 AS INT) AS c,

@@ -332,6 +332,83 @@ object Metrics {
     * by the score domain (integer signal scores here), not the corpus.
     * For unbounded real-valued scores, bucket or sketch first. Long
     * arithmetic holds to ~10⁹ positives; past that, widen to decimal. */
+  /** Mann–Whitney U (Wilcoxon rank-sum) per group with tie correction
+    * — the nonparametric two-sample location test: "did variant A's
+    * value distribution shift vs B" without the normality assumption
+    * the [[twoProportionZ]]/[[cuped]] readouts lean on. U for arm A,
+    * plus the tie-corrected normal approximation
+    * z = (U − n_a·n_b/2) / σ with
+    * σ² = n_a·n_b/12 · ((n+1) − Σ(t³−t)/(n(n−1))).
+    *
+    * Scale shape: the same average-rank trick as [[rankSumAuc]] — one
+    * groupBy onto (group, value) tie blocks, one cumulative window
+    * PARTITIONED BY group (never a global sort), then a groups-sized
+    * agg. Rank sums stay in integer math (Σ ta·(2·cum+t+1) is exact;
+    * the /2 happens once in double), so any engine replays the value
+    * bit-for-bit. Degenerate arms (empty, or all values tied) emit
+    * NULL z rather than a division by zero. */
+  def mannWhitney(df: DataFrame, grpCol: Column, variantCol: Column,
+                  valueCol: Column): DataFrame = {
+    val byVal = df
+      .select(grpCol.as("g"), variantCol.cast("int").as("v"), valueCol.as("x"))
+      .groupBy(col("g"), col("x"))
+      .agg(count(lit(1)).as("t"),
+        sum(when(col("v") === 0, 1L).otherwise(0L)).as("ta"))
+    val w = Window.partitionBy(col("g")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val agg = byVal
+      .withColumn("cum", coalesce(sum(col("t")).over(w), lit(0L)))
+      .groupBy(col("g"))
+      .agg(sum(col("ta")).as("n_a"),
+        sum(col("t") - col("ta")).as("n_b"),
+        sum(col("ta") * (lit(2L) * col("cum") + col("t") + lit(1L))).as("ra2"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("ties3"))
+    val n = col("n_a") + col("n_b")
+    val u = col("ra2").cast("double") / 2.0 -
+      col("n_a").cast("double") * (col("n_a") + lit(1L)) / 2.0
+    val sigma2 = col("n_a").cast("double") * col("n_b") / 12.0 *
+      ((n + lit(1L)).cast("double") -
+        col("ties3").cast("double") / (n * (n - lit(1L))).cast("double"))
+    agg.select(col("g"), col("n_a"), col("n_b"),
+      round(u, 4).as("u"),
+      when(col("n_a") > 0 && col("n_b") > 0 && sigma2 > 0.0,
+        round((u - col("n_a").cast("double") * col("n_b") / 2.0) /
+          sqrt(sigma2), 4)).as("z"))
+  }
+
+  /** Kendall tau-b rank correlation between two series observed on the
+    * same keys (e.g. daily revenue vs daily active users): concordant
+    * minus discordant pairs over the tie-corrected geometric-mean
+    * denominator. Exact integer pair counts → engine-replayable.
+    *
+    * Scale shape: tau is O(n²) by definition, so this runs on an
+    * ALREADY-AGGREGATED frame (days, cohorts, buckets — bounded by
+    * construction), never on raw events; the self-join is the
+    * documented bounded-frame cross shape ([[chiSquare]]'s grid
+    * argument). Callers aggregate first. */
+  def kendallTau(pairsFrame: DataFrame, keyCol: Column,
+                 xCol: Column, yCol: Column): DataFrame = {
+    val p = pairsFrame.select(keyCol.as("k"), xCol.as("x"), yCol.as("y"))
+    val a = p.select(col("k").as("k1"), col("x").as("x1"), col("y").as("y1"))
+    val b = p.select(col("k").as("k2"), col("x").as("x2"), col("y").as("y2"))
+    val joined = a.join(b, col("k1") < col("k2"))
+    val cmpX = when(col("x1") < col("x2"), 1).when(col("x1") > col("x2"), -1)
+      .otherwise(0)
+    val cmpY = when(col("y1") < col("y2"), 1).when(col("y1") > col("y2"), -1)
+      .otherwise(0)
+    joined.agg(
+        count(lit(1)).as("n0"),
+        sum(when(cmpX * cmpY === 1, 1L).otherwise(0L)).as("nc"),
+        sum(when(cmpX * cmpY === -1, 1L).otherwise(0L)).as("nd"),
+        sum(when(cmpX === 0, 1L).otherwise(0L)).as("tx"),
+        sum(when(cmpY === 0, 1L).otherwise(0L)).as("ty"))
+      .select(col("n0"), col("nc"), col("nd"),
+        when((col("n0") > col("tx")) && (col("n0") > col("ty")),
+          round((col("nc") - col("nd")).cast("double") /
+            sqrt((col("n0") - col("tx")).cast("double") *
+              (col("n0") - col("ty")).cast("double")), 4)).as("tau_b"))
+  }
+
   def rankSumAuc(df: DataFrame, scoreCol: String,
                  labelCol: Column): DataFrame = {
     val byScore = df

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Time-series smoothing over bucketed event counts — the forecasting
@@ -39,5 +39,33 @@ object TimeSeries {
         element_at(col("xs"), 1),
         (acc, x) => lit(alpha) * x + lit(1.0 - alpha) * acc), 6)
         .as("level"))
+  }
+
+  /** Theil–Sen robust trend per key: the MEDIAN of all pairwise slopes
+    * (c_j − c_i)/(d_j − d_i) over the key's daily-count series — the
+    * outlier-resistant answer to "is this event type growing", immune
+    * to the single traffic spike that wrecks an OLS fit (breakdown
+    * point 29.3%, Sen 1968).
+    *
+    * Scale shape: slopes are O(days²) per key, so the pair join runs on
+    * the aggregated per-(key, day) frame — bounded by the calendar, not
+    * the event count (a year is ~66k pairs/key) — and is an equi-join
+    * on the key, never a cartesian across keys. The median is Spark's
+    * exact interpolated `percentile` over that bounded pair frame,
+    * matching DuckDB's `median` for the oracle. */
+  def theilSen(events: DataFrame, keyCol: Column, tsCol: Column,
+               valueAgg: Column): DataFrame = {
+    val daily = events
+      .groupBy(keyCol.as("k"), unix_date(to_date(tsCol)).as("d"))
+      .agg(valueAgg.as("c"))
+    val a = daily.select(col("k"), col("d").as("d1"), col("c").as("c1"))
+    val b = daily.select(col("k").as("k2"), col("d").as("d2"), col("c").as("c2"))
+    a.join(b, col("k") === col("k2") && col("d1") < col("d2"))
+      .select(col("k"),
+        ((col("c2") - col("c1")).cast("double") /
+          (col("d2") - col("d1")).cast("double")).as("slope"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(expr("percentile(slope, 0.5)"), 4).as("sen_slope"))
   }
 }
