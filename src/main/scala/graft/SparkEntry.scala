@@ -1109,6 +1109,26 @@ object SparkEntry {
       .select(col("k").as("event_type"), col("n_pairs"), col("sen_slope"))
       .orderBy(col("event_type"))
 
+  /** Two-sample KS distance of the value distribution between A/B arms
+    * per event type — the shape-level experiment readout (exact integer
+    * sup-gap via tie-block cumulative windows). */
+  private def qEventsKs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Metrics.ksTest(t(s, dir, "events"),
+        col("event_type"), (col("user_id") % 2).cast("int"), col("value"))
+      .select(col("g").as("event_type"), col("n_a"), col("n_b"),
+        col("ks_d"), col("ks_stat"))
+      .orderBy(col("event_type"))
+
+  /** Spearman rank correlation between event value and event time per
+    * event type — "is spend drifting monotonically over the window",
+    * outlier-immune where raw Pearson is not (ranks via the MWU
+    * tie-block windows; scan-sized, unlike O(n²) Kendall). */
+  private def qEventsSpearman(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Metrics.spearman(t(s, dir, "events"),
+        col("event_type"), col("value"), unix_micros(col("ts")))
+      .select(col("g").as("event_type"), col("n"), col("rho"))
+      .orderBy(col("event_type"))
+
   /** Pearson chi-square independence of event_type x A/B variant
     * (full-grid expected counts; one contingency agg over the scan). */
   private def qEventsChi2(s: SparkSession, dir: String): DataFrame =
@@ -3172,6 +3192,8 @@ object SparkEntry {
     "q_events_mwu" -> (qEventsMwu _),
     "q_events_kendall" -> (qEventsKendall _),
     "q_events_theilsen" -> (qEventsTheilSen _),
+    "q_events_ks" -> (qEventsKs _),
+    "q_events_spearman" -> (qEventsSpearman _),
     "q_events_chi2" -> (qEventsChi2 _),
     "fim_transform" -> (qFimTransform _),
     "graph_triangles" -> (qGraphTriangles _),
@@ -6815,6 +6837,77 @@ object SparkEntry {
          SELECT k AS event_type, CAST(count(*) AS BIGINT) AS n_pairs,
            round(median(slope), 4) AS sen_slope
          FROM p GROUP BY k ORDER BY event_type""",
+    "q_events_ks" ->
+      """WITH e AS (
+           SELECT event_type AS g, CAST(user_id % 2 AS INT) AS v, value AS x
+           FROM events),
+         bv AS (
+           SELECT g, x,
+             CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN v <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+           FROM e GROUP BY g, x),
+         c AS (
+           SELECT g,
+             CAST(sum(ca) OVER (PARTITION BY g ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cuma,
+             CAST(sum(cb) OVER (PARTITION BY g ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cumb,
+             CAST(sum(ca) OVER (PARTITION BY g) AS BIGINT) AS n_a,
+             CAST(sum(cb) OVER (PARTITION BY g) AS BIGINT) AS n_b
+           FROM bv),
+         agg AS (
+           SELECT g, max(abs(cuma * n_b - cumb * n_a)) AS dnum,
+             min(n_a) AS n_a, min(n_b) AS n_b
+           FROM c GROUP BY g)
+         SELECT g AS event_type, n_a, n_b,
+           CASE WHEN n_a > 0 AND n_b > 0
+             THEN round(CAST(dnum AS DOUBLE) /
+               (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) END AS ks_d,
+           CASE WHEN n_a > 0 AND n_b > 0
+             THEN round(CAST(dnum AS DOUBLE) /
+               (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) *
+               sqrt(CAST(n_a AS DOUBLE) * n_b /
+                 CAST(n_a + n_b AS DOUBLE)), 4) END AS ks_stat
+         FROM agg ORDER BY event_type""",
+    "q_events_spearman" ->
+      """WITH e AS (
+           SELECT event_type AS g, value AS x, epoch_us(ts) AS y
+           FROM events),
+         bx AS (SELECT g, x, count(*) AS t FROM e GROUP BY g, x),
+         rx AS (
+           SELECT g, x,
+             2 * coalesce(sum(t) OVER (PARTITION BY g ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + t + 1 AS rx
+           FROM bx),
+         byy AS (SELECT g, y, count(*) AS t FROM e GROUP BY g, y),
+         ry AS (
+           SELECT g, y,
+             2 * coalesce(sum(t) OVER (PARTITION BY g ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + t + 1 AS ry
+           FROM byy),
+         j AS (
+           SELECT e.g, CAST(rx.rx AS HUGEINT) AS rx,
+             CAST(ry.ry AS HUGEINT) AS ry
+           FROM e
+           JOIN rx ON e.g = rx.g AND e.x = rx.x
+           JOIN ry ON e.g = ry.g AND e.y = ry.y),
+         m AS (
+           SELECT g, CAST(count(*) AS HUGEINT) AS n,
+             sum(rx) AS sx, sum(ry) AS sy,
+             sum(rx * rx) AS sxx, sum(ry * ry) AS syy,
+             sum(rx * ry) AS sxy
+           FROM j GROUP BY g)
+         SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+             THEN round(CAST(n * sxy - sx * sy AS DOUBLE) /
+               sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+                 CAST(n * syy - sy * sy AS DOUBLE)), 6)
+           END AS rho
+         FROM m ORDER BY event_type""",
     "q_events_chi2" ->
       """WITH cells AS (
            SELECT event_type AS r, CAST(user_id % 2 AS INT) AS c,

@@ -429,4 +429,94 @@ object Metrics {
             .cast("double") /
           (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov distance per group: the largest gap
+    * between the two arms' empirical CDFs — the distribution-level
+    * drift/experiment readout that sees shape changes (variance,
+    * bimodality) a mean-based z-test misses, and a location-free
+    * companion to [[mannWhitney]]. Emits the exact D plus the
+    * scaled statistic K = D·√(n_a·n_b/n) whose asymptotic critical
+    * values (1.36 at α=.05) are distribution-free.
+    *
+    * Scale shape: same tie-block discipline as [[mannWhitney]] — one
+    * groupBy onto (group, value) blocks with per-arm counts, INCLUSIVE
+    * cumulative windows partitioned by group, group totals as an
+    * unordered window over the same partition (no second scan). The
+    * sup-gap runs in EXACT integer math: D = max|cum_a·n_b − cum_b·n_a|
+    * / (n_a·n_b), so both engines agree bit-for-bit before the one
+    * final division. Degenerate arms emit NULL. */
+  def ksTest(df: DataFrame, grpCol: Column, variantCol: Column,
+             valueCol: Column): DataFrame = {
+    val byVal = df
+      .select(grpCol.as("g"), variantCol.cast("int").as("v"), valueCol.as("x"))
+      .groupBy(col("g"), col("x"))
+      .agg(sum(when(col("v") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("v") =!= 0, 1L).otherwise(0L)).as("cb"))
+    val wCum = Window.partitionBy(col("g")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("g"))
+    val gaps = byVal
+      .withColumn("cuma", sum(col("ca")).over(wCum))
+      .withColumn("cumb", sum(col("cb")).over(wCum))
+      .withColumn("n_a", sum(col("ca")).over(wAll))
+      .withColumn("n_b", sum(col("cb")).over(wAll))
+      .groupBy(col("g"))
+      .agg(max(abs(col("cuma") * col("n_b") - col("cumb") * col("n_a")))
+          .as("dnum"),
+        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
+    val d = col("dnum").cast("double") /
+      (col("n_a").cast("double") * col("n_b").cast("double"))
+    gaps.select(col("g"), col("n_a"), col("n_b"),
+      when(col("n_a") > 0 && col("n_b") > 0, round(d, 6)).as("ks_d"),
+      when(col("n_a") > 0 && col("n_b") > 0,
+        round(d * sqrt(col("n_a").cast("double") * col("n_b") /
+          (col("n_a") + col("n_b")).cast("double")), 4)).as("ks_stat"))
+  }
+
+  /** Spearman rank correlation per group between two columns: Pearson
+    * over tie-averaged ranks — the monotone-association readout that is
+    * outlier-immune where raw Pearson is not, and O(n log n) where
+    * [[kendallTau]]'s pair counting is O(n²) (so THIS is the form that
+    * runs on raw scan-sized data; tau stays on bounded frames).
+    *
+    * Scale shape: doubled average ranks 2r = 2·cum + t + 1 stay integer
+    * (the [[mannWhitney]] trick, applied per axis), and all 2nd-order
+    * moments accumulate as exact decimal(38,0) sums (the corrMatrix
+    * contract — n·(2n)² products overflow longs past ~3M rows/group),
+    * so rho is one fixed IEEE dag both engines replay. Two tie-block
+    * aggs + two cumulative windows per axis, one groups-sized finish;
+    * NULL rho when either axis is constant. */
+  def spearman(df: DataFrame, grpCol: Column, xCol: Column,
+               yCol: Column): DataFrame = {
+    val base = df.select(grpCol.as("g"), xCol.as("x"), yCol.as("y"))
+    // doubled tie-averaged rank of column c within group, joined back by
+    // (g, c) — the tie-block frame is distinct-values-sized
+    def ranked(in: DataFrame, c: String, out: String): DataFrame = {
+      val blocks = in.groupBy(col("g"), col(c))
+        .agg(count(lit(1)).as("t"))
+      val w = Window.partitionBy(col("g")).orderBy(col(c))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val r = blocks
+        .withColumn(out,
+          (lit(2L) * coalesce(sum(col("t")).over(w), lit(0L)) +
+            col("t") + lit(1L)).cast("decimal(18,0)"))
+        .drop("t")
+      in.join(r, Seq("g", c))
+    }
+    val withRanks = ranked(ranked(base, "x", "rx"), "y", "ry")
+    val m = withRanks.groupBy(col("g")).agg(
+      count(lit(1)).as("n"),
+      sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+      sum(col("rx") * col("rx")).as("sxx"),
+      sum(col("ry") * col("ry")).as("syy"),
+      sum(col("rx") * col("ry")).as("sxy"))
+    val n = col("n").cast("decimal(38,0)")
+    val covNum = (n * col("sxy") - col("sx") * col("sy")).cast("double")
+    def varNum(s: String, ss: String) =
+      (n * col(ss) - col(s) * col(s)).cast("double")
+    m.select(col("g"), col("n"),
+      when(varNum("sx", "sxx") > 0 && varNum("sy", "syy") > 0,
+        round(covNum /
+          sqrt(varNum("sx", "sxx") * varNum("sy", "syy")), 6)).as("rho"))
+  }
 }

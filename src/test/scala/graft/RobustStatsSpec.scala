@@ -82,4 +82,67 @@ class RobustStatsSpec extends AnyFunSuite {
     assert(plan.contains("windowspecdefinition(g"),
       s"window must partition by the group column:\n$plan")
   }
+
+  test("ksTest: exact sup-gap matches brute force") {
+    import spark.implicits._
+    // A = {1, 2, 3}, B = {2, 4}: sup gap at x = 3 is |3/3 - 1/2| = 0.5
+    val df = Seq((0, 1.0), (0, 2.0), (0, 3.0), (1, 2.0), (1, 4.0))
+      .map { case (v, x) => ("g1", v, x) }.toDF("grp", "v", "x")
+    val r = Metrics.ksTest(df, col("grp"), col("v"), col("x")).collect().head
+    assert(r.getLong(1) == 3L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 0.5, s"ks_d=${r.getDouble(3)}")
+    // K = 0.5 * sqrt(6/5) = 0.5477
+    assert(r.getDouble(4) == 0.5477, s"ks_stat=${r.getDouble(4)}")
+  }
+
+  test("ksTest: identical samples give D = 0; one-arm groups give NULL") {
+    import spark.implicits._
+    val same = Seq((0, 1.0), (0, 2.0), (1, 1.0), (1, 2.0))
+      .map { case (v, x) => ("g1", v, x) }.toDF("grp", "v", "x")
+    val r1 = Metrics.ksTest(same, col("grp"), col("v"), col("x")).collect().head
+    assert(r1.getDouble(3) == 0.0, s"identical arms must give D=0, got ${r1.getDouble(3)}")
+    val oneArm = Seq(("g1", 0, 1.0), ("g1", 0, 2.0)).toDF("grp", "v", "x")
+    val r2 = Metrics.ksTest(oneArm, col("grp"), col("v"), col("x")).collect().head
+    assert(r2.isNullAt(3) && r2.isNullAt(4), "empty arm must yield NULL D")
+  }
+
+  test("spearman: monotone ±1, tie-averaged ranks match brute force") {
+    import spark.implicits._
+    val mono = Seq((1.0, 10L), (2.0, 20L), (3.0, 30L), (4.0, 40L))
+      .map { case (x, y) => ("g1", x, y) }.toDF("grp", "x", "y")
+    val r1 = Metrics.spearman(mono, col("grp"), col("x"), col("y")).collect().head
+    assert(r1.getDouble(2) == 1.0, s"rho=${r1.getDouble(2)}")
+    val anti = Seq((1.0, 40L), (2.0, 30L), (3.0, 20L), (4.0, 10L))
+      .map { case (x, y) => ("g1", x, y) }.toDF("grp", "x", "y")
+    val r2 = Metrics.spearman(anti, col("grp"), col("x"), col("y")).collect().head
+    assert(r2.getDouble(2) == -1.0, s"rho=${r2.getDouble(2)}")
+    // x = (1, 2, 2, 3), y = (1, 3, 2, 4): avg ranks x = (1, 2.5, 2.5, 4),
+    // y = (1, 3, 2, 4) → rho = 18 / sqrt(18 * 20) = 0.948683
+    val tied = Seq((1.0, 1L), (2.0, 3L), (2.0, 2L), (3.0, 4L))
+      .map { case (x, y) => ("g1", x, y) }.toDF("grp", "x", "y")
+    val r3 = Metrics.spearman(tied, col("grp"), col("x"), col("y")).collect().head
+    assert(r3.getDouble(2) == 0.948683, s"rho=${r3.getDouble(2)}")
+  }
+
+  test("spearman: a constant axis yields NULL rho") {
+    import spark.implicits._
+    val df = Seq(("g1", 1.0, 7L), ("g1", 2.0, 7L), ("g1", 3.0, 7L))
+      .toDF("grp", "x", "y")
+    val r = Metrics.spearman(df, col("grp"), col("x"), col("y")).collect().head
+    assert(r.isNullAt(2), "constant y must yield NULL rho")
+  }
+
+  test("ksTest/spearman plans: rank windows are partitioned by group") {
+    import spark.implicits._
+    val df = Seq(("g1", 0, 1.0), ("g2", 1, 2.0)).toDF("grp", "v", "x")
+    val ksPlan = Metrics.ksTest(df, col("grp"), col("v"), col("x"))
+      .queryExecution.optimizedPlan.toString
+    assert(ksPlan.contains("windowspecdefinition(g"),
+      s"KS windows must partition by group:\n$ksPlan")
+    val df2 = Seq(("g1", 1.0, 2L), ("g2", 2.0, 3L)).toDF("grp", "x", "y")
+    val spPlan = Metrics.spearman(df2, col("grp"), col("x"), col("y"))
+      .queryExecution.optimizedPlan.toString
+    assert(spPlan.contains("windowspecdefinition(g"),
+      s"Spearman windows must partition by group:\n$spPlan")
+  }
 }
