@@ -1129,6 +1129,25 @@ object SparkEntry {
       .select(col("g").as("event_type"), col("n"), col("rho"))
       .orderBy(col("event_type"))
 
+  /** Poisson-bootstrap 95% CI of mean per-user spend by event type —
+    * all 64 replicates ride one explode + one partial agg (the
+    * Chamandy one-pass bootstrap); weights draw deterministically from
+    * splitmix64 against integer Poisson(1) CDF thresholds, so the
+    * oracle replays every replicate bit-for-bit. */
+  private def qBootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    val units = t(s, dir, "events")
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("ucents"))
+    graft.operators.Metrics.poissonBootstrapCI(units,
+        col("event_type"), col("user_id"), col("ucents"))
+      .select(col("g").as("event_type"), col("n_units"),
+        round(col("mean_c") / 100.0, 4).as("mean_v"),
+        col("n_rep"),
+        round(col("ci_lo") / 100.0, 4).as("ci_lo"),
+        round(col("ci_hi") / 100.0, 4).as("ci_hi"))
+      .orderBy(col("event_type"))
+  }
+
   /** Pearson chi-square independence of event_type x A/B variant
     * (full-grid expected counts; one contingency agg over the scan). */
   private def qEventsChi2(s: SparkSession, dir: String): DataFrame =
@@ -3194,6 +3213,7 @@ object SparkEntry {
     "q_events_theilsen" -> (qEventsTheilSen _),
     "q_events_ks" -> (qEventsKs _),
     "q_events_spearman" -> (qEventsSpearman _),
+    "q_bootstrap_ci" -> (qBootstrapCi _),
     "q_events_chi2" -> (qEventsChi2 _),
     "fim_transform" -> (qFimTransform _),
     "graph_triangles" -> (qGraphTriangles _),
@@ -3606,6 +3626,40 @@ object SparkEntry {
        s1 AS (SELECT $keep, ${mulcSql("xor(z0, z0 // 1073741824)", BigInt("BF58476D1CE4E5B9", 16))} AS z1 FROM s0),
        s2 AS (SELECT $keep, ${mulcSql("xor(z1, z1 // 134217728)", BigInt("94D049BB133111EB", 16))} AS z2 FROM s1),
        s3 AS (SELECT $keep, xor(z2, z2 // 2147483648) // 2048 AS u53 FROM s2)"""
+
+  /** Poisson-bootstrap oracle: replays the splitmix64 draw per
+    * (unit, replicate), the SAME integer Poisson(1) CDF thresholds the
+    * Spark expression compares against (interpolated from
+    * [[graft.operators.Metrics.poissonThresholds]] so the constants
+    * cannot drift), the long/long replicate means, and the exact
+    * nearest-rank CI order statistics. */
+  private def bootstrapOracle: String = {
+    val wSql = graft.operators.Metrics.poissonThresholds
+      .map(t => s"(CASE WHEN u53 >= $t THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH uu AS (
+         SELECT event_type AS g, user_id AS id,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+         FROM events GROUP BY 1, 2),
+       rr AS (
+         SELECT g, id, cents, unnest(generate_series(0, 63)) AS r FROM uu),
+       ${splitmixStagesSql("rr", "id * 64 + r + 1", "g, cents, r")},
+       w AS (SELECT g, r, cents, $wSql AS w FROM s3),
+       rm AS (SELECT g, r, CAST(sum(w * cents) AS BIGINT) AS swx,
+         CAST(sum(w) AS BIGINT) AS sw FROM w GROUP BY g, r),
+       m AS (SELECT g, CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE) AS m
+         FROM rm WHERE sw > 0),
+       ci AS (SELECT g, CAST(count(*) AS BIGINT) AS n_rep,
+         list_sort(list(m)) AS ms FROM m GROUP BY g),
+       pt AS (SELECT g, CAST(count(*) AS BIGINT) AS n_units,
+         CAST(sum(cents) AS BIGINT) AS tc FROM uu GROUP BY g)
+       SELECT pt.g AS event_type, n_units,
+         round(CAST(tc AS DOUBLE) / CAST(n_units AS DOUBLE) / 100.0, 4)
+           AS mean_v,
+         n_rep,
+         round(ms[CAST(ceil(n_rep * 0.025) AS INT)] / 100.0, 4) AS ci_lo,
+         round(ms[CAST(ceil(n_rep * 0.975) AS INT)] / 100.0, 4) AS ci_hi
+       FROM pt JOIN ci ON pt.g = ci.g ORDER BY event_type"""
+  }
 
   /** FIM oracle: two independent splitmix64 chains (ids 2k+1 / 2k+2),
     * pivot arithmetic in HUGEINT, PSM re-render with the same
@@ -6837,6 +6891,7 @@ object SparkEntry {
          SELECT k AS event_type, CAST(count(*) AS BIGINT) AS n_pairs,
            round(median(slope), 4) AS sen_slope
          FROM p GROUP BY k ORDER BY event_type""",
+    "q_bootstrap_ci" -> bootstrapOracle,
     "q_events_ks" ->
       """WITH e AS (
            SELECT event_type AS g, CAST(user_id % 2 AS INT) AS v, value AS x

@@ -473,6 +473,74 @@ object Metrics {
           (col("n_a") + col("n_b")).cast("double")), 4)).as("ks_stat"))
   }
 
+  /** 53-bit integer thresholds of the Poisson(1) CDF for k = 0..8:
+    * T_k = ⌊CDF(k)·2^53⌋. A bootstrap weight draws as
+    * w = Σ_k [u53 ≥ T_k] (so w = 0 below T_0, and the 1.1e-7 tail mass
+    * past k = 8 truncates to w = 9). Computed ONCE here and interpolated
+    * verbatim into the DuckDB oracle text, so both engines compare the
+    * same integer constants — the Sampling.thresholdFor contract. */
+  val poissonThresholds: Seq[Long] = {
+    var fact = 1.0
+    var s = 0.0
+    (0 until 9).map { k =>
+      if (k > 0) fact *= k
+      s += 1.0 / fact
+      (math.exp(-1.0) * s * (1L << 53)).toLong
+    }
+  }
+
+  /** Poisson-bootstrap confidence interval for the per-group mean —
+    * the bootstrap shape that survives 100 TB: classic resampling needs
+    * n draws WITH replacement per replicate (a shuffle per replicate);
+    * the Poisson(1) approximation (Chamandy et al., Google 2012) gives
+    * every unit an independent deterministic weight per replicate, so
+    * ALL b replicates ride one explode + one partial aggregation —
+    * map-side combine collapses to groups×b rows before the exchange,
+    * and the driver never sees unit-level data.
+    *
+    * Weights draw from splitmix64(id·b + r + 1) against the integer
+    * [[poissonThresholds]], so every replicate is bit-replayable by the
+    * oracle. `centsCol` must be an EXACT integer value column (caller
+    * quantizes — the corrMatrix contract); replicate means are then one
+    * long/long division both engines compute identically. CI bounds are
+    * exact nearest-rank order statistics over the ≤ b replicate means
+    * (empty replicates — every weight 0, only possible for tiny groups
+    * — drop, and the ranks adapt). */
+  def poissonBootstrapCI(units: DataFrame, grpCol: Column, idCol: Column,
+                         centsCol: Column, b: Int = 64): DataFrame = {
+    require(b >= 8, "poissonBootstrapCI: need at least 8 replicates")
+    val base = units.select(grpCol.as("g"), idCol.cast("long").as("id"),
+      centsCol.cast("long").as("cents"))
+    val reps = base
+      .withColumn("r", explode(array((0 until b).map(lit(_)): _*)))
+      .withColumn("u53", shiftrightunsigned(
+        graft.functions.SplitMix64.splitmix64(
+          col("id") * lit(b.toLong) + col("r") + lit(1L)), 11))
+    val wExpr = poissonThresholds.map(t =>
+      when(col("u53") >= t, 1L).otherwise(0L)).reduce(_ + _)
+    val repMeans = reps.withColumn("w", wExpr)
+      .groupBy(col("g"), col("r"))
+      .agg(sum(col("w") * col("cents")).as("swx"), sum(col("w")).as("sw"))
+      .where(col("sw") > 0)
+      .select(col("g"),
+        (col("swx").cast("double") / col("sw").cast("double")).as("m"))
+    val ci = repMeans.groupBy(col("g"))
+      .agg(sort_array(collect_list(col("m"))).as("ms"))
+      .select(col("g"), size(col("ms")).cast("long").as("n_rep"),
+        element_at(col("ms"),
+          ceil(size(col("ms")) * 0.025).cast("int")).as("ci_lo"),
+        element_at(col("ms"),
+          ceil(size(col("ms")) * 0.975).cast("int")).as("ci_hi"))
+    val pt = base.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_units"), sum(col("cents")).as("tc"))
+      .select(col("g"), col("n_units"),
+        (col("tc").cast("double") / col("n_units").cast("double"))
+          .as("mean_c"))
+    pt.join(ci, Seq("g"))
+      .select(col("g"), col("n_units"), col("mean_c"), col("n_rep"),
+        col("ci_lo"), col("ci_hi"))
+  }
+
   /** Spearman rank correlation per group between two columns: Pearson
     * over tie-averaged ranks — the monotone-association readout that is
     * outlier-immune where raw Pearson is not, and O(n log n) where

@@ -132,6 +132,46 @@ class RobustStatsSpec extends AnyFunSuite {
     assert(r.isNullAt(2), "constant y must yield NULL rho")
   }
 
+  test("poissonBootstrapCI: weights are Poisson(1)-shaped and the CI brackets the mean") {
+    import spark.implicits._
+    // 2000 units, values 0..1999 cents: true mean 999.5
+    val units = (0 until 2000).map(i => ("g1", i.toLong, i.toLong))
+      .toDF("grp", "id", "cents")
+    val r = Metrics.poissonBootstrapCI(units, col("grp"), col("id"),
+      col("cents")).collect().head
+    assert(r.getLong(1) == 2000L)
+    val mean = r.getDouble(2)
+    assert(mean == 999.5, s"mean_c=$mean")
+    assert(r.getLong(3) == 64L, s"n_rep=${r.getLong(3)}")
+    val (lo, hi) = (r.getDouble(4), r.getDouble(5))
+    assert(lo < mean && mean < hi, s"CI [$lo, $hi] must bracket $mean")
+    // bootstrap SE of the mean ~ sd/sqrt(n) = 577/44.7 ~ 12.9; the 95%
+    // band should be a small multiple of that, not degenerate or huge
+    assert(hi - lo > 10 && hi - lo < 120, s"CI width ${hi - lo}")
+  }
+
+  test("poissonBootstrapCI: partition-invariant (identical CI under any layout)") {
+    import spark.implicits._
+    val units = (0 until 500).map(i => ("g1", i.toLong, (i * 7 % 100).toLong))
+      .toDF("grp", "id", "cents")
+    val a = Metrics.poissonBootstrapCI(units.repartition(1), col("grp"),
+      col("id"), col("cents")).collect().head
+    val b = Metrics.poissonBootstrapCI(units.repartition(13), col("grp"),
+      col("id"), col("cents")).collect().head
+    assert(a.getDouble(4) == b.getDouble(4) && a.getDouble(5) == b.getDouble(5),
+      s"CI must be bit-identical under repartition: $a vs $b")
+  }
+
+  test("poissonThresholds: integer CDF steps match Poisson(1) masses") {
+    val t = Metrics.poissonThresholds
+    assert(t.size == 9 && t == t.sorted, "thresholds must be ascending")
+    // step k mass = pmf(k) = e^-1/k!: check k=0 and k=1 within 1 ulp-ish
+    val m0 = t.head.toDouble / (1L << 53)
+    assert(math.abs(m0 - math.exp(-1.0)) < 1e-12, s"P(w=0)=$m0")
+    val m1 = (t(1) - t(0)).toDouble / (1L << 53)
+    assert(math.abs(m1 - math.exp(-1.0)) < 1e-12, s"P(w=1)=$m1")
+  }
+
   test("ksTest/spearman plans: rank windows are partitioned by group") {
     import spark.implicits._
     val df = Seq(("g1", 0, 1.0), ("g2", 1, 2.0)).toDF("grp", "v", "x")
