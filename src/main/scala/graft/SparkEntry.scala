@@ -946,6 +946,31 @@ object SparkEntry {
         "doc_id", bm25QueryDf(s), k = 5)
       .orderBy(col("query_id"), col("rank"))
 
+  /** Ranker evaluation of the BM25 top-5 against corpus-recomputable
+    * graded relevance (rel = #distinct query terms in the doc):
+    * nDCG@5 vs the corpus-wide ideal ranking, MRR, precision@5.
+    * Discount constants interpolated as literals on both engines. */
+  private def qRetrievalNdcg(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Retrieval
+    val docs = t(s, dir, "documents")
+    val rels = Retrieval.gradedRels(docs, "text", "doc_id", bm25QueryDf(s))
+    val bm25 = Retrieval.bm25TopK(docs, "text", "doc_id",
+        bm25QueryDf(s), k = 5)
+      .withColumnRenamed("doc_id", "id")
+    // id-order baseline: first 5 matching docs by doc id — the naive
+    // ranker the BM25 numbers are read against
+    val wId = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("id"))
+    val naive = rels.withColumn("rank", row_number().over(wId))
+      .where(col("rank") <= 5).select(col("query_id"), col("rank"), col("id"))
+    Retrieval.evalTopK(bm25, rels, 5).withColumn("ranker", lit("bm25"))
+      .unionByName(
+        Retrieval.evalTopK(naive, rels, 5).withColumn("ranker", lit("id_order")))
+      .select(col("ranker"), col("query_id"), col("ndcg"), col("mrr"),
+        col("p_at_k"))
+      .orderBy(col("ranker"), col("query_id"))
+  }
+
   private val bm25IndexPaths =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -3214,6 +3239,7 @@ object SparkEntry {
     "q_events_ks" -> (qEventsKs _),
     "q_events_spearman" -> (qEventsSpearman _),
     "q_bootstrap_ci" -> (qBootstrapCi _),
+    "retrieval_ndcg" -> (qRetrievalNdcg _),
     "q_events_chi2" -> (qEventsChi2 _),
     "fim_transform" -> (qFimTransform _),
     "graph_triangles" -> (qGraphTriangles _),
@@ -3626,6 +3652,95 @@ object SparkEntry {
        s1 AS (SELECT $keep, ${mulcSql("xor(z0, z0 // 1073741824)", BigInt("BF58476D1CE4E5B9", 16))} AS z1 FROM s0),
        s2 AS (SELECT $keep, ${mulcSql("xor(z1, z1 // 134217728)", BigInt("94D049BB133111EB", 16))} AS z2 FROM s1),
        s3 AS (SELECT $keep, xor(z2, z2 // 2147483648) // 2048 AS u53 FROM s2)"""
+
+  /** Ranker-eval oracle: replays the BM25 top-5 (same CTEs as
+    * [[bm25Oracle]]), the graded term-containment relevance, and the
+    * quantized DCG folds — with the log2 rank discounts interpolated
+    * from [[graft.operators.Retrieval.ndcgDiscounts]] as literals, since
+    * libm log2 is not bit-identical across engines. */
+  private def retrievalNdcgOracle: String = {
+    val vals = bm25QueryTerms.map { case (q, term) => s"('$q','$term')" }
+      .mkString(", ")
+    val disc = graft.operators.Retrieval.ndcgDiscounts(5)
+    def discSql(rc: String) = "CASE " + disc.zipWithIndex
+      .map { case (d, i) => s"WHEN $rc = ${i + 1} THEN $d" }
+      .mkString(" ") + " END"
+    def contribSql(relc: String, rankc: String) =
+      s"""CAST(floor(CAST((1 << $relc) - 1 AS DOUBLE) /
+         (${discSql(rankc)}) * 1e12 + 0.5) AS BIGINT)"""
+    s"""WITH qt(query_id, term) AS (VALUES $vals),
+        d AS (
+          SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+            x -> len(x) > 0) AS t
+          FROM documents),
+        lens AS (SELECT doc_id, len(t) AS dl FROM d),
+        stats AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM lens),
+        post AS (
+          SELECT doc_id, term, count(*) AS tf
+          FROM (SELECT doc_id, unnest(t) AS term FROM d)
+          GROUP BY doc_id, term),
+        dfs AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+        scored AS (
+          SELECT q.query_id, p.doc_id,
+            round(sum(
+              ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)) *
+              ((tf * (1.2 + 1.0)) /
+               (tf + 1.2 * (0.25 + 0.75 * dl /
+                  (CAST(sumdl AS DOUBLE) / n))))), 4) AS score
+          FROM post p
+          JOIN qt q USING (term)
+          JOIN dfs USING (term)
+          JOIN lens l ON p.doc_id = l.doc_id
+          CROSS JOIN stats
+          GROUP BY q.query_id, p.doc_id),
+        ranked AS (
+          SELECT query_id, doc_id, score,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, doc_id) AS rank
+          FROM scored),
+        rels AS (
+          SELECT q.query_id, p.doc_id AS id, CAST(count(*) AS INT) AS rel
+          FROM post p JOIN qt q USING (term)
+          GROUP BY 1, 2),
+        naive AS (
+          SELECT query_id, id,
+            row_number() OVER (PARTITION BY query_id ORDER BY id) AS rank
+          FROM rels),
+        res AS (
+          SELECT 'bm25' AS ranker, r.query_id, r.rank, r.doc_id AS id,
+            coalesce(rel, 0) AS rel
+          FROM ranked r
+          LEFT JOIN rels ON r.query_id = rels.query_id AND r.doc_id = rels.id
+          WHERE r.rank <= 5
+          UNION ALL
+          SELECT 'id_order' AS ranker, n.query_id, n.rank, n.id,
+            coalesce(rel, 0) AS rel
+          FROM naive n
+          LEFT JOIN rels ON n.query_id = rels.query_id AND n.id = rels.id
+          WHERE n.rank <= 5),
+        got AS (
+          SELECT ranker, query_id, sum(${contribSql("rel", "rank")}) AS dcg_q,
+            min(CASE WHEN rel > 0 THEN rank END) AS first_rel,
+            CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel
+          FROM res GROUP BY ranker, query_id),
+        ideal0 AS (
+          SELECT query_id, rel,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY rel DESC, id) AS irank
+          FROM rels WHERE rel > 0),
+        ideal AS (
+          SELECT query_id, sum(${contribSql("rel", "irank")}) AS idcg_q
+          FROM ideal0 WHERE irank <= 5 GROUP BY query_id)
+        SELECT ranker, g.query_id,
+          CASE WHEN idcg_q > 0
+            THEN round(CAST(dcg_q AS DOUBLE) / CAST(idcg_q AS DOUBLE), 6)
+          END AS ndcg,
+          CASE WHEN first_rel IS NOT NULL
+            THEN round(1.0 / first_rel, 6) END AS mrr,
+          round(CAST(n_rel AS DOUBLE) / 5, 6) AS p_at_k
+        FROM got g LEFT JOIN ideal USING (query_id)
+        ORDER BY ranker, query_id"""
+  }
 
   /** Poisson-bootstrap oracle: replays the splitmix64 draw per
     * (unit, replicate), the SAME integer Poisson(1) CDF thresholds the
@@ -6892,6 +7007,7 @@ object SparkEntry {
            round(median(slope), 4) AS sen_slope
          FROM p GROUP BY k ORDER BY event_type""",
     "q_bootstrap_ci" -> bootstrapOracle,
+    "retrieval_ndcg" -> retrievalNdcgOracle,
     "q_events_ks" ->
       """WITH e AS (
            SELECT event_type AS g, CAST(user_id % 2 AS INT) AS v, value AS x

@@ -246,6 +246,72 @@ object Retrieval {
     * already top-m-truncated (m·|queries| rows), so the full-outer join
     * and the final window run on a frame bounded by the query count,
     * never the corpus. */
+  /** Graded relevance labels for a (query_id, term) query set: rel =
+    * number of DISTINCT query terms the doc contains — the deterministic
+    * label both engines can recompute, for ranker evaluation when no
+    * human judgments exist. One distinct-postings ⋈ broadcast-terms
+    * join + a (query, doc) count; only matching docs appear (rel ≥ 1). */
+  def gradedRels(df: DataFrame, textCol: String, idCol: String,
+                 queries: DataFrame): DataFrame =
+    postings(df, textCol, idCol)
+      .select(col("term"), col("id"))
+      .join(broadcast(queries.select(col("query_id"), col("term"))), Seq("term"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(count(lit(1)).cast("int").as("rel"))
+
+  /** log2(r + 1) discount constants for ranks 1..k, computed ONCE here
+    * and interpolated verbatim into the oracle text — libm log2 is not
+    * guaranteed bit-identical across engines, so neither side may call
+    * it at query time (the poissonThresholds contract, double form). */
+  def ndcgDiscounts(k: Int): Seq[Double] =
+    (1 to k).map(r => math.log(r + 1.0) / math.log(2.0))
+
+  /** Ranker evaluation: nDCG@k, MRR, precision@k per query, of a ranked
+    * result list against a graded relevance frame (e.g. [[gradedRels]]).
+    *
+    * DCG terms (2^rel − 1)/log2(rank+1) quantize to longs at 1e-12
+    * (associative sums ⇒ partition-invariant and engine-replayable —
+    * the PageRank integer-mass contract), with the rank discounts drawn
+    * from [[ndcgDiscounts]] literals rather than a runtime log2. Ideal
+    * DCG ranks the FULL relevance frame per query (rel desc, id asc),
+    * so nDCG is against the corpus-wide ideal, not the result list's
+    * own reordering. Queries with no relevant docs emit NULL ndcg/mrr. */
+  def evalTopK(results: DataFrame, rels: DataFrame, k: Int): DataFrame = {
+    val disc = ndcgDiscounts(k)
+    def discOf(rank: Column): Column =
+      disc.zipWithIndex.foldLeft(lit(Double.NaN)) { case (acc, (d, i)) =>
+        when(rank === (i + 1), lit(d)).otherwise(acc)
+      }
+    def gainOf(rel: Column): Column =
+      (call_function("shiftleft", lit(1L), rel.cast("int")) - lit(1L))
+        .cast("double")
+    def contribOf(rel: Column, rank: Column): Column =
+      floor(gainOf(rel) / discOf(rank) * 1e12 + 0.5).cast("long")
+    val res = results.select(col("query_id"), col("rank"), col("id"))
+      .join(rels, Seq("query_id", "id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0)))
+    val got = res
+      .groupBy(col("query_id"))
+      .agg(sum(contribOf(col("rel"), col("rank"))).as("dcg_q"),
+        min(when(col("rel") > 0, col("rank"))).as("first_rel"),
+        sum(when(col("rel") > 0, 1L).otherwise(0L)).as("n_rel"))
+    val wIdeal = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("id"))
+    val ideal = rels.where(col("rel") > 0)
+      .withColumn("irank", row_number().over(wIdeal))
+      .where(col("irank") <= k)
+      .groupBy(col("query_id"))
+      .agg(sum(contribOf(col("rel"), col("irank"))).as("idcg_q"))
+    got.join(ideal, Seq("query_id"), "left")
+      .select(col("query_id"),
+        when(col("idcg_q") > 0,
+          round(col("dcg_q").cast("double") / col("idcg_q").cast("double"),
+            6)).as("ndcg"),
+        when(col("first_rel").isNotNull,
+          round(lit(1.0) / col("first_rel"), 6)).as("mrr"),
+        round(col("n_rel").cast("double") / k, 6).as("p_at_k"))
+  }
+
   def rrfFuse(a: DataFrame, b: DataFrame, idCol: String, k: Int,
               c: Int = 60): DataFrame = {
     val ra = a.select(col("query_id"), col(idCol), col("rank").as("rank_a"))

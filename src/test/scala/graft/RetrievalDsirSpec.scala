@@ -194,4 +194,53 @@ class RetrievalDsirSpec extends AnyFunSuite {
     assert(!dPlan.contains("ScalaUDF") && !bPlan.contains("ScalaUDF"))
     assert(!dPlan.contains("CartesianProduct") && !bPlan.contains("CartesianProduct"))
   }
+
+  test("gradedRels: rel = distinct query terms contained, matchless docs absent") {
+    import spark.implicits._
+    val rels = Retrieval.gradedRels(docs, "text", "doc_id", queries)
+      .as[(String, Long, Int)].collect().toSet
+    // q1 {spark, window}: doc0 both, doc1 spark, doc4 both; q2 {customer}: doc2
+    assert(rels == Set(("q1", 0L, 2), ("q1", 1L, 1), ("q1", 4L, 2),
+      ("q2", 2L, 1)), s"got $rels")
+  }
+
+  test("evalTopK: a perfect ranking scores ndcg = mrr = 1.0") {
+    import spark.implicits._
+    val rels = Seq(("q1", 10L, 3), ("q1", 11L, 2), ("q1", 12L, 1))
+      .toDF("query_id", "id", "rel")
+    val results = Seq(("q1", 1, 10L), ("q1", 2, 11L), ("q1", 3, 12L))
+      .toDF("query_id", "rank", "id")
+    val r = Retrieval.evalTopK(results, rels, 3).collect().head
+    assert(r.getDouble(1) == 1.0 && r.getDouble(2) == 1.0 &&
+      r.getDouble(3) == 1.0, s"got $r")
+  }
+
+  test("evalTopK: quantized DCG fold matches hand math; unretrieved rel-3 doc caps the ideal") {
+    import spark.implicits._
+    // corpus rels: 20 -> 3 (NOT retrieved), 11 -> 2, 12 -> 1
+    val rels = Seq(("q1", 20L, 3), ("q1", 11L, 2), ("q1", 12L, 1))
+      .toDF("query_id", "id", "rel")
+    // retrieved: rank1 irrelevant, rank2 rel 2, rank3 rel 1
+    val results = Seq(("q1", 1, 99L), ("q1", 2, 11L), ("q1", 3, 12L))
+      .toDF("query_id", "rank", "id")
+    val disc = Retrieval.ndcgDiscounts(3)
+    def cQ(rel: Int, rank: Int): Long =
+      math.floor(((1L << rel) - 1).toDouble / disc(rank - 1) * 1e12 + 0.5).toLong
+    val expNdcg = BigDecimal((cQ(0, 1) + cQ(2, 2) + cQ(1, 3)).toDouble /
+      (cQ(3, 1) + cQ(2, 2) + cQ(1, 3)).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = Retrieval.evalTopK(results, rels, 3).collect().head
+    assert(r.getDouble(1) == expNdcg, s"ndcg=${r.getDouble(1)} exp=$expNdcg")
+    assert(r.getDouble(2) == 0.5, s"mrr=${r.getDouble(2)}")
+    assert(r.getDouble(3) == 0.666667, s"p_at_k=${r.getDouble(3)}")
+  }
+
+  test("evalTopK: a query with no relevant docs gives NULL ndcg/mrr, zero precision") {
+    import spark.implicits._
+    val rels = Seq(("qx", 50L, 1)).toDF("query_id", "id", "rel")
+      .where(col("rel") > 99) // empty relevance frame, typed
+    val results = Seq(("q1", 1, 7L), ("q1", 2, 8L)).toDF("query_id", "rank", "id")
+    val r = Retrieval.evalTopK(results, rels, 2).collect().head
+    assert(r.isNullAt(1) && r.isNullAt(2) && r.getDouble(3) == 0.0, s"got $r")
+  }
 }
