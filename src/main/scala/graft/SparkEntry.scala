@@ -1173,6 +1173,27 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Single changepoint per event type: the day whose split maximizes
+    * the between-segment SSE reduction over the daily volume series —
+    * the level-shift alarm the hourly z-score can't localize. */
+  private def qEventsChangepoint(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.changepoint(t(s, dir, "events"),
+        col("event_type"), col("ts"), count(lit(1)))
+      .select(col("k").as("event_type"), col("cp_day"), col("n_days"),
+        col("gain"), col("mean_before"), col("mean_after"))
+      .orderBy(col("event_type"))
+
+  /** Which event type moved total value period-over-period: exact
+    * cents deltas at the window's own date midpoint, share of the total
+    * move, magnitude rank. */
+  private def qEventsContribution(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Metrics.periodContribution(t(s, dir, "events"),
+        col("event_type"), col("ts"),
+        round(col("value") * 100, 0).cast("long"))
+      .select(col("seg").as("event_type"), col("rev_p1"), col("rev_p2"),
+        col("delta"), col("share_of_move"), col("seg_rank"))
+      .orderBy(col("seg_rank"))
+
   /** Pearson chi-square independence of event_type x A/B variant
     * (full-grid expected counts; one contingency agg over the scan). */
   private def qEventsChi2(s: SparkSession, dir: String): DataFrame =
@@ -3240,6 +3261,8 @@ object SparkEntry {
     "q_events_spearman" -> (qEventsSpearman _),
     "q_bootstrap_ci" -> (qBootstrapCi _),
     "retrieval_ndcg" -> (qRetrievalNdcg _),
+    "q_events_changepoint" -> (qEventsChangepoint _),
+    "q_events_contribution" -> (qEventsContribution _),
     "q_events_chi2" -> (qEventsChi2 _),
     "fim_transform" -> (qFimTransform _),
     "graph_triangles" -> (qGraphTriangles _),
@@ -7008,6 +7031,57 @@ object SparkEntry {
          FROM p GROUP BY k ORDER BY event_type""",
     "q_bootstrap_ci" -> bootstrapOracle,
     "retrieval_ndcg" -> retrievalNdcgOracle,
+    "q_events_changepoint" ->
+      """WITH daily AS (
+           SELECT event_type AS k, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         g AS (
+           SELECT k, d, c,
+             CAST(row_number() OVER (PARTITION BY k ORDER BY d) AS INT) AS i,
+             CAST(sum(c) OVER (PARTITION BY k ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS sl,
+             CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n,
+             CAST(sum(c) OVER (PARTITION BY k) AS BIGINT) AS s
+           FROM daily),
+         cand AS (
+           SELECT k, d, i, sl, n, s,
+             CAST(CAST(sl AS HUGEINT) * sl AS DOUBLE) / i +
+             CAST(CAST(s - sl AS HUGEINT) * (s - sl) AS DOUBLE) / (n - i) -
+             CAST(CAST(s AS HUGEINT) * s AS DOUBLE) / n AS gain
+           FROM g WHERE i < n),
+         best AS (
+           SELECT k, d, n, gain, sl, i, s,
+             row_number() OVER (PARTITION BY k ORDER BY gain DESC, d) AS rn
+           FROM cand)
+         SELECT k AS event_type, d AS cp_day, n AS n_days,
+           round(gain, 4) AS gain,
+           round(CAST(sl AS DOUBLE) / i, 4) AS mean_before,
+           round(CAST(s - sl AS DOUBLE) / (n - i), 4) AS mean_after
+         FROM best WHERE rn = 1 ORDER BY event_type""",
+    "q_events_contribution" ->
+      """WITH base AS (
+           SELECT event_type AS seg, CAST(ts AS DATE) AS d,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents
+           FROM events),
+         span AS (SELECT min(d) AS d0, max(d) AS d1 FROM base),
+         p AS (
+           SELECT seg,
+             CAST(sum(CASE WHEN d <= d0 + CAST(floor((d1 - d0) / 2) AS INT)
+               THEN cents ELSE 0 END) AS BIGINT) AS rev_p1,
+             CAST(sum(CASE WHEN d > d0 + CAST(floor((d1 - d0) / 2) AS INT)
+               THEN cents ELSE 0 END) AS BIGINT) AS rev_p2
+           FROM base CROSS JOIN span GROUP BY seg),
+         t AS (SELECT *, rev_p2 - rev_p1 AS delta FROM p),
+         tot AS (SELECT CAST(sum(delta) AS BIGINT) AS total_delta FROM t)
+         SELECT seg AS event_type, rev_p1, rev_p2, delta,
+           CASE WHEN total_delta <> 0
+             THEN round(CAST(delta AS DOUBLE) / CAST(total_delta AS DOUBLE), 4)
+           END AS share_of_move,
+           CAST(row_number() OVER (ORDER BY abs(delta) DESC, seg) AS INT)
+             AS seg_rank
+         FROM t CROSS JOIN tot ORDER BY seg_rank""",
     "q_events_ks" ->
       """WITH e AS (
            SELECT event_type AS g, CAST(user_id % 2 AS INT) AS v, value AS x

@@ -473,6 +473,39 @@ object Metrics {
           (col("n_a") + col("n_b")).cast("double")), 4)).as("ks_stat"))
   }
 
+  /** Period-over-period contribution decomposition: which segment moved
+    * the metric — Δtotal = Σ_seg Δ_seg exactly, each segment's delta,
+    * its share of the total move, and a magnitude rank. The window
+    * splits at its own date midpoint (floor-half of the observed span),
+    * so the readout is self-contained and engine-replayable.
+    *
+    * Scale shape: one 1-row min/max date agg broadcast back over the
+    * scan (the tiny-broadcast pattern), one (segment, period) partial
+    * agg, then segments-sized math. Cents stay exact longs; the one
+    * division guards the Δtotal = 0 degenerate window with NULL. */
+  def periodContribution(df: DataFrame, segCol: Column, tsCol: Column,
+                         centsCol: Column): DataFrame = {
+    val base = df.select(segCol.as("seg"), to_date(tsCol).as("d"),
+      centsCol.cast("long").as("cents"))
+    val span = base.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val mid = expr("date_add(d0, CAST(floor(datediff(d1, d0) / 2) AS INT))")
+    val byPeriod = base.crossJoin(broadcast(span))
+      .withColumn("p", when(col("d") <= mid, 1).otherwise(2))
+      .groupBy(col("seg"))
+      .agg(sum(when(col("p") === 1, col("cents")).otherwise(0L)).as("rev_p1"),
+        sum(when(col("p") === 2, col("cents")).otherwise(0L)).as("rev_p2"))
+      .withColumn("delta", col("rev_p2") - col("rev_p1"))
+    val total = byPeriod.agg(sum(col("delta")).as("total_delta"))
+    val ranked = byPeriod.crossJoin(broadcast(total))
+      .withColumn("seg_rank", row_number().over(
+        Window.orderBy(abs(col("delta")).desc, col("seg"))))
+    ranked.select(col("seg"), col("rev_p1"), col("rev_p2"), col("delta"),
+      when(col("total_delta") =!= 0,
+        round(col("delta").cast("double") /
+          col("total_delta").cast("double"), 4)).as("share_of_move"),
+      col("seg_rank"))
+  }
+
   /** 53-bit integer thresholds of the Poisson(1) CDF for k = 0..8:
     * T_k = ⌊CDF(k)·2^53⌋. A bootstrap weight draws as
     * w = Σ_k [u53 ≥ T_k] (so w = 0 below T_0, and the 1.1e-7 tail mass

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Time-series smoothing over bucketed event counts — the forecasting
@@ -67,5 +68,48 @@ object TimeSeries {
       .groupBy(col("k"))
       .agg(count(lit(1)).as("n_pairs"),
         round(expr("percentile(slope, 0.5)"), 4).as("sen_slope"))
+  }
+
+  /** Single-changepoint detection per key over the daily series: the
+    * split point that maximizes the between-segment SSE reduction
+    * gain(t) = S_L²/n_L + S_R²/n_R − S²/n (the depth-1 step of binary
+    * segmentation / CART's variance split — the level-shift alarm that
+    * the hourly z-score anomaly can't localize). `cp_day` is the LAST
+    * day of the left segment.
+    *
+    * Scale shape: one (key, day) partial agg, cumulative windows
+    * partitioned by key over the days-bounded frame, the argmax as a
+    * per-key rank window — never a scan-sized window. Prefix sums are
+    * exact longs squared in decimal(38,0) (longs overflow past ~3e9
+    * total volume per key), so the gain is one fixed IEEE dag both
+    * engines replay; ties break on the earlier day. */
+  def changepoint(events: DataFrame, keyCol: Column, tsCol: Column,
+                  valueAgg: Column): DataFrame = {
+    val daily = events
+      .groupBy(keyCol.as("k"), to_date(tsCol).as("d"))
+      .agg(valueAgg.cast("long").as("c"))
+    val byDay = Window.partitionBy(col("k")).orderBy(col("d"))
+    val wCum = byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("k"))
+    def sq(c: Column) =
+      (c.cast("decimal(38,0)") * c.cast("decimal(38,0)")).cast("double")
+    val cand = daily
+      .withColumn("i", row_number().over(byDay))
+      .withColumn("sl", sum(col("c")).over(wCum))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("s", sum(col("c")).over(wAll))
+      .where(col("i") < col("n"))
+      .withColumn("gain",
+        sq(col("sl")) / col("i") +
+          sq(col("s") - col("sl")) / (col("n") - col("i")) -
+          sq(col("s")) / col("n"))
+    val wBest = Window.partitionBy(col("k"))
+      .orderBy(col("gain").desc, col("d"))
+    cand.withColumn("rn", row_number().over(wBest)).where(col("rn") === 1)
+      .select(col("k"), col("d").as("cp_day"), col("n").as("n_days"),
+        round(col("gain"), 4).as("gain"),
+        round(col("sl").cast("double") / col("i"), 4).as("mean_before"),
+        round((col("s") - col("sl")).cast("double") / (col("n") - col("i")),
+          4).as("mean_after"))
   }
 }

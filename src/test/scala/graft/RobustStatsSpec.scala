@@ -172,6 +172,48 @@ class RobustStatsSpec extends AnyFunSuite {
     assert(math.abs(m1 - math.exp(-1.0)) < 1e-12, s"P(w=1)=$m1")
   }
 
+  test("changepoint: finds the level shift day; flat series degrade to the earliest tie") {
+    import spark.implicits._
+    // counts 2,2,2,2,2 then 10,10,10,10,10 → split after day 5
+    val rows = (1 to 10).flatMap { day =>
+      val c = if (day <= 5) 2 else 10
+      Seq.fill(c)(("evt", f"1970-01-$day%02d 12:00:00"))
+    }
+    val df = rows.toDF("event_type", "tss")
+      .withColumn("ts", to_timestamp(col("tss")))
+    val r = TimeSeries.changepoint(df, col("event_type"), col("ts"),
+      count(lit(1))).collect().head
+    assert(r.getDate(1).toString == "1970-01-05", s"cp_day=${r.getDate(1)}")
+    assert(r.getLong(2) == 10L)
+    assert(r.getDouble(4) == 2.0 && r.getDouble(5) == 10.0,
+      s"means=${r.getDouble(4)}/${r.getDouble(5)}")
+    // flat series: all gains 0 → earliest day wins the tie deterministically
+    val flat = (1 to 6).flatMap { day =>
+      Seq.fill(3)(("evt", f"1970-01-$day%02d 12:00:00"))
+    }.toDF("event_type", "tss").withColumn("ts", to_timestamp(col("tss")))
+    val rf = TimeSeries.changepoint(flat, col("event_type"), col("ts"),
+      count(lit(1))).collect().head
+    assert(rf.getDate(1).toString == "1970-01-01", s"flat cp=${rf.getDate(1)}")
+    assert(rf.getDouble(3) == 0.0, s"flat gain=${rf.getDouble(3)}")
+  }
+
+  test("periodContribution: exact deltas, shares sum to the move, magnitude rank") {
+    import spark.implicits._
+    // span 1970-01-01..04, midpoint day 2: p1 = days 1-2, p2 = days 3-4
+    val rows = Seq(
+      ("a", "1970-01-01", 100L), ("a", "1970-01-02", 0L),
+      ("a", "1970-01-03", 200L), ("a", "1970-01-04", 100L), // delta +200
+      ("b", "1970-01-01", 50L), ("b", "1970-01-04", -50L))  // delta -100
+    val df = rows.toDF("seg", "ds", "cents")
+      .withColumn("ts", to_timestamp(col("ds")))
+    val r = Metrics.periodContribution(df, col("seg"), col("ts"),
+      col("cents")).orderBy("seg_rank").collect()
+    assert(r(0).getString(0) == "a" && r(0).getLong(3) == 200L &&
+      r(0).getDouble(4) == 2.0 && r(0).getInt(5) == 1, s"got ${r(0)}")
+    assert(r(1).getString(0) == "b" && r(1).getLong(3) == -100L &&
+      r(1).getDouble(4) == -1.0 && r(1).getInt(5) == 2, s"got ${r(1)}")
+  }
+
   test("ksTest/spearman plans: rank windows are partitioned by group") {
     import spark.implicits._
     val df = Seq(("g1", 0, 1.0), ("g2", 1, 2.0)).toDF("grp", "v", "x")
