@@ -3067,6 +3067,18 @@ object SparkEntry {
   private val mixScheduleWeights: Map[String, Double] = Map(
     "en" -> 0.3, "zh" -> 0.25, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15)
 
+  /** SFT chat-template render + assistant loss-mask spans over events
+    * treated as dialog turns (conv = user, turn order = ts). */
+  private def qSftPack(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SftPack
+    val turns = SftPack.renderTurns(t(s, dir, "events"),
+      col("user_id"), col("ts"), col("event_id"),
+      when(col("event_id") % 2 === 0, lit("assistant"))
+        .otherwise(lit("user")),
+      concat(col("event_type"), lit("#"), col("event_id")))
+    SftPack.conversationCards(turns).orderBy(col("conv"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ip_range_lookup" -> (qIpRange _),
     "emb_outliers" -> (qEmbOutliers _),
@@ -3280,7 +3292,8 @@ object SparkEntry {
     "q_events_by_segment" -> (qEventsBySegment _),
     "graph_degree_dist" -> (qGraphDegrees _),
     "q_pareto_revenue" -> (qParetoRevenue _),
-    "vocab_zipf" -> (qVocabZipf _)
+    "vocab_zipf" -> (qVocabZipf _),
+    "sft_pack" -> (qSftPack _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -7420,7 +7433,49 @@ object SparkEntry {
              AS zipf_slope,
            round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
              / n, 4) AS intercept
-         FROM agg"""
+         FROM agg""",
+    "sft_pack" ->
+      """WITH turns AS (
+           SELECT user_id AS conv,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS turn_idx,
+             CASE WHEN event_id % 2 = 0 THEN 'assistant'
+                  ELSE 'user' END AS role,
+             event_type || '#' || CAST(event_id AS VARCHAR) AS content
+           FROM events),
+         p AS (
+           SELECT conv, turn_idx, role,
+             '<|' || role || '|>' || content || '<|end|>' AS piece
+           FROM turns),
+         o AS (
+           SELECT conv, turn_idx, role, piece,
+             CAST(len(piece) AS BIGINT) AS plen,
+             CAST(sum(len(piece)) OVER (PARTITION BY conv
+               ORDER BY turn_idx) AS BIGINT) AS cum
+           FROM p),
+         sp AS (
+           SELECT conv, turn_idx, role, piece, cum,
+             cum - plen + 1 + CAST(len(role) AS BIGINT) + 4
+               AS content_start,
+             cum - 7 AS content_end
+           FROM o)
+         SELECT conv,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_mask_turns,
+           max(cum) AS render_len,
+           CAST(sum(CASE WHEN role = 'assistant'
+               THEN content_end - content_start + 1 ELSE 0 END)
+             AS BIGINT) AS mask_chars,
+           round(CAST(sum(CASE WHEN role = 'assistant'
+               THEN content_end - content_start + 1 ELSE 0 END) AS DOUBLE)
+             / max(cum), 4) AS mask_ratio,
+           md5(string_agg(piece, '' ORDER BY turn_idx)) AS render_md5,
+           coalesce(string_agg(CASE WHEN role = 'assistant' THEN
+               CAST(content_start AS VARCHAR) || '-' ||
+               CAST(content_end AS VARCHAR) END, ';' ORDER BY turn_idx),
+             '') AS mask_spans
+         FROM sp GROUP BY conv"""
   )
 
   /** BM25 oracle over an optionally restricted corpus: full replay of

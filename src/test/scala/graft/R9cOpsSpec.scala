@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.SftPack
+
+/** Round-9 widening: SFT chat-template packing — render + loss-mask
+  * span offsets must be exact character arithmetic (a downstream
+  * tokenizer projects them to token masks without re-parsing). */
+class R9cOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  /** Three conversations with out-of-order input rows, a tie on the
+    * order column, and one conversation with no assistant turn. */
+  private lazy val turnsDf: DataFrame = Seq(
+    (1L, 2L, 20L, "assistant", "sure, here you go"),
+    (1L, 1L, 10L, "user", "hello?"),
+    (1L, 3L, 30L, "user", "thanks"),
+    (1L, 4L, 40L, "assistant", "np"),
+    (2L, 1L, 11L, "user", "solo"),
+    (3L, 1L, 5L, "user", "tie-a"),
+    (3L, 1L, 6L, "assistant", "tie-b")
+  ).toDF("conv_id", "ord_v", "tie_v", "role_v", "content_v")
+
+  private def rendered: DataFrame =
+    SftPack.renderTurns(turnsDf, col("conv_id"), col("ord_v"),
+      col("tie_v"), col("role_v"), col("content_v"))
+
+  test("sft: every content span indexes its own content in the render") {
+    // join each turn's span against the conversation render and check
+    // substring(render, start, len) == content — for ALL turns, not
+    // just masked ones (the mask is a filter over the same offsets)
+    val cards = SftPack.conversationCards(rendered)
+      .select(col("conv"), col("render_len"))
+    val full = rendered.groupBy(col("conv"))
+      .agg(concat_ws("", transform(
+        sort_array(collect_list(struct(col("turn_idx"), col("piece")))),
+        x => x.getField("piece"))).as("render"))
+    val checked = rendered.join(full, "conv")
+      .withColumn("cut", expr(
+        "substring(render, cast(content_start as int), " +
+          "cast(content_end - content_start + 1 as int))"))
+    assert(checked.where(col("cut") =!= col("content")).count() == 0)
+    // render_len equals the true rendered length
+    val lens = cards.join(full, "conv")
+      .where(col("render_len") =!= length(col("render")))
+    assert(lens.count() == 0)
+  }
+
+  test("sft: mask spans cover exactly the assistant turns, in order") {
+    val card = SftPack.conversationCards(rendered)
+      .where(col("conv") === 1L).head
+    assert(card.getAs[Long]("n_turns") == 4L)
+    assert(card.getAs[Long]("n_mask_turns") == 2L)
+    val spans = card.getAs[String]("mask_spans").split(";")
+    assert(spans.length == 2)
+    // manual render of conv 1 in (ord, tie) order
+    val render = "<|user|>hello?<|end|>" +
+      "<|assistant|>sure, here you go<|end|>" +
+      "<|user|>thanks<|end|>" + "<|assistant|>np<|end|>"
+    spans.foreach { s =>
+      val Array(a, b) = s.split("-").map(_.toInt)
+      val cut = render.substring(a - 1, b)
+      assert(cut == "sure, here you go" || cut == "np")
+    }
+    assert(card.getAs[Long]("mask_chars") == 17L + 2L)
+  }
+
+  test("sft: no-assistant conversation yields empty mask, ratio 0") {
+    val card = SftPack.conversationCards(rendered)
+      .where(col("conv") === 2L).head
+    assert(card.getAs[String]("mask_spans") == "")
+    assert(card.getAs[Long]("mask_chars") == 0L)
+    assert(card.getAs[Double]("mask_ratio") == 0.0)
+  }
+
+  test("sft: tie column breaks order ties deterministically; md5 is partition-invariant") {
+    def md5of(parts: Int): String =
+      SftPack.conversationCards(
+        SftPack.renderTurns(turnsDf.repartition(parts), col("conv_id"),
+          col("ord_v"), col("tie_v"), col("role_v"), col("content_v")))
+        .where(col("conv") === 3L).head.getAs[String]("render_md5")
+    assert(md5of(1) == md5of(7))
+    // tie_v 5 < 6 => tie-a renders first
+    val c3 = SftPack.conversationCards(rendered)
+      .where(col("conv") === 3L).head
+    val span = c3.getAs[String]("mask_spans")
+    val render = "<|user|>tie-a<|end|>" + "<|assistant|>tie-b<|end|>"
+    val Array(a, b) = span.split("-").map(_.toInt)
+    assert(render.substring(a - 1, b) == "tie-b")
+  }
+}
