@@ -1024,6 +1024,14 @@ object SparkEntry {
         regexp_extract(col("name"), "[^ ]+$", 0), maxDist = 3)
       .orderBy(col("name_a"), col("name_b"))
 
+  /** Jaro–Winkler-scored linkage pairs (first-token blocking) — the
+    * transposition-tolerant score next to fuzzy_match_names' pure edit
+    * distance; the native expression replays DuckDB's builtin. */
+  private def qFuzzyMatchJw(s: SparkSession, dir: String): DataFrame =
+    graft.operators.FuzzyLink.jwScoredPairs(t(s, dir, "part"), "p_name",
+        regexp_extract(col("name"), "^[^ ]+", 0), maxDist = 4)
+      .orderBy(col("name_a"), col("name_b"))
+
   /** First-order Markov transition matrix over per-user event
     * sequences (count + row-normalized P(next | prev)). */
   private def qEventsTransitions(s: SparkSession, dir: String): DataFrame =
@@ -3293,7 +3301,8 @@ object SparkEntry {
     "graph_degree_dist" -> (qGraphDegrees _),
     "q_pareto_revenue" -> (qParetoRevenue _),
     "vocab_zipf" -> (qVocabZipf _),
-    "sft_pack" -> (qSftPack _)
+    "sft_pack" -> (qSftPack _),
+    "fuzzy_match_jw" -> (qFuzzyMatchJw _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -7475,7 +7484,19 @@ object SparkEntry {
                CAST(content_start AS VARCHAR) || '-' ||
                CAST(content_end AS VARCHAR) END, ';' ORDER BY turn_idx),
              '') AS mask_spans
-         FROM sp GROUP BY conv"""
+         FROM sp GROUP BY conv""",
+    "fuzzy_match_jw" ->
+      """WITH dim AS (SELECT p_name AS name, count(*) AS cnt
+                      FROM part GROUP BY 1),
+         blk AS (SELECT name, cnt, regexp_extract(name, '^[^ ]+') AS block
+                 FROM dim)
+         SELECT a.name AS name_a, b.name AS name_b,
+           levenshtein(a.name, b.name) AS dist,
+           a.cnt * b.cnt AS pair_rows,
+           round(jaro_winkler_similarity(a.name, b.name), 6) AS jw
+         FROM blk a JOIN blk b ON a.block = b.block AND a.name < b.name
+         WHERE levenshtein(a.name, b.name) <= 4
+         ORDER BY name_a, name_b"""
   )
 
   /** BM25 oracle over an optionally restricted corpus: full replay of

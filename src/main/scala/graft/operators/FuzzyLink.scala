@@ -86,4 +86,19 @@ object FuzzyLink {
     }
     labels
   }
+
+  /** [[blockedPairs]] scored with Jaro–Winkler (and unboosted Jaro) —
+    * the linkage surface person/org names want, where Levenshtein
+    * over-penalizes transposed syllables. The candidate gate stays the
+    * integer edit distance (exact in any engine); the JW score is an
+    * output column, so float-boundary effects can never change WHICH
+    * pairs are emitted, only their 6-dp-rounded score. Same
+    * dictionary-first blocked equi-join shape. */
+  def jwScoredPairs(df: DataFrame, nameCol: String, blockExpr: Column,
+                    maxDist: Int): DataFrame = {
+    import graft.functions.JaroWinklerSim.jaro_winkler_sim
+    blockedPairs(df, nameCol, blockExpr, maxDist)
+      .withColumn("jw",
+        round(jaro_winkler_sim(col("name_a"), col("name_b")), 6))
+  }
 }

@@ -4,6 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.JaroWinklerSim
 import graft.operators.SftPack
 
 /** Round-9 widening: SFT chat-template packing — render + loss-mask
@@ -97,5 +98,47 @@ class R9cOpsSpec extends AnyFunSuite {
     val render = "<|user|>tie-a<|end|>" + "<|assistant|>tie-b<|end|>"
     val Array(a, b) = span.split("-").map(_.toInt)
     assert(render.substring(a - 1, b) == "tie-b")
+  }
+
+  // ---------------------------------------------------- jaro–winkler
+
+  /** Fixture values measured from DuckDB's jaro_winkler_similarity /
+    * jaro_similarity this round — the oracle the expression replays. */
+  private val jwFixture = Seq(
+    ("MARTHA", "MARHTA", 0.9444444444444445, 0.9611111111111111),
+    ("DIXON", "DICKSONX", 0.7666666666666666, 0.8133333333333332),
+    ("JELLYFISH", "SMELLYFISH", 0.8962962962962964, 0.8962962962962964),
+    ("DUANE", "DWAYNE", 0.8222222222222223, 0.8400000000000001),
+    ("CRATE", "TRACE", 0.7333333333333334, 0.7333333333333334),
+    ("ABCQQQQQ", "ABZXWYUV", 0.5, 0.5), // jaro ≤ 0.7 → no boost
+    ("AAAAB", "AAAAC", 0.8666666666666667, 0.92), // prefix cap 4
+    ("ab", "abcdefghijklmnop", 0.7083333333333334, 0.7666666666666667),
+    ("aXbXcX", "aYbYcY", 0.6666666666666666, 0.6666666666666666),
+    ("ABCDE", "ABDCE", 0.9333333333333332, 0.9466666666666665),
+    ("AB", "BA", 0.0, 0.0), // window 0: no matches
+    ("", "ABC", 0.0, 0.0), ("", "", 0.0, 0.0), ("A", "A", 1.0, 1.0))
+
+  test("jaro-winkler: bit-exact against the DuckDB fixture, interpreted + codegen") {
+    jwFixture.foreach { case (a, b, jaro, jw) =>
+      assert(JaroWinklerSim.jaro(a, b) == jaro, s"jaro($a,$b)")
+      assert(JaroWinklerSim.jaroWinkler(a, b) == jw, s"jw($a,$b)")
+    }
+    // through the expression in a real plan (codegen path)
+    val got = jwFixture.map { case (a, b, _, _) => (a, b) }
+      .toDF("a", "b")
+      .select(JaroWinklerSim.jaro_winkler_sim(col("a"), col("b")))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(got == jwFixture.map(_._4))
+  }
+
+  test("jaro-winkler: symmetric, in [0,1], and 1 iff equal (non-empty)") {
+    val words = Seq("alpha", "alpah", "beta", "betta", "gamma", "gamm",
+      "delta", "detla", "epsilon", "epsilon ", "x", "xy", "yx")
+    for (a <- words; b <- words) {
+      val ab = JaroWinklerSim.jaroWinkler(a, b)
+      assert(ab == JaroWinklerSim.jaroWinkler(b, a), s"sym($a,$b)")
+      assert(ab >= 0.0 && ab <= 1.0)
+      if (a == b) assert(ab == 1.0)
+    }
   }
 }
