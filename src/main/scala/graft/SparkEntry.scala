@@ -1024,6 +1024,13 @@ object SparkEntry {
         regexp_extract(col("name"), "[^ ]+$", 0), maxDist = 3)
       .orderBy(col("name_a"), col("name_b"))
 
+  /** Per-event-type daily-count autocorrelation at lags 1..7 — weekly
+    * structure shows as a lag-7 peak. */
+  private def qEventsAcf(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.acf(t(s, dir, "events"),
+        col("event_type"), col("ts"), maxLag = 7)
+      .orderBy(col("k"), col("lag"))
+
   /** Jaro–Winkler-scored linkage pairs (first-token blocking) — the
     * transposition-tolerant score next to fuzzy_match_names' pure edit
     * distance; the native expression replays DuckDB's builtin. */
@@ -3302,7 +3309,8 @@ object SparkEntry {
     "q_pareto_revenue" -> (qParetoRevenue _),
     "vocab_zipf" -> (qVocabZipf _),
     "sft_pack" -> (qSftPack _),
-    "fuzzy_match_jw" -> (qFuzzyMatchJw _)
+    "fuzzy_match_jw" -> (qFuzzyMatchJw _),
+    "q_events_acf" -> (qEventsAcf _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -7496,7 +7504,38 @@ object SparkEntry {
            round(jaro_winkler_similarity(a.name, b.name), 6) AS jw
          FROM blk a JOIN blk b ON a.block = b.block AND a.name < b.name
          WHERE levenshtein(a.name, b.name) <= 4
-         ORDER BY name_a, name_b"""
+         ORDER BY name_a, name_b""",
+    "q_events_acf" ->
+      """WITH daily AS (
+           SELECT event_type AS k, CAST(ts AS DATE) AS d, count(*) AS c
+           FROM events GROUP BY 1, 2),
+         idx AS (SELECT k, c,
+             row_number() OVER (PARTITION BY k ORDER BY d) AS i
+           FROM daily),
+         tot AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS s, sum(c * c) AS sxx
+           FROM idx GROUP BY k),
+         lags AS (SELECT unnest(range(1, 8)) AS lag),
+         pairs AS (SELECT a.k, l.lag, a.c AS ca, b.c AS cb
+           FROM idx a CROSS JOIN lags l
+           JOIN idx b ON b.k = a.k AND b.i = a.i + l.lag),
+         agg AS (SELECT k, lag, sum(ca * cb) AS sxy,
+             CAST(sum(ca) AS BIGINT) AS sh, CAST(sum(cb) AS BIGINT) AS st,
+             CAST(count(*) AS BIGINT) AS n_pairs
+           FROM pairs GROUP BY 1, 2)
+         SELECT t.k, CAST(a.lag AS INT) AS lag, t.n AS n_days, a.n_pairs,
+           CASE WHEN CAST(t.sxx AS DOUBLE)
+                  - CAST(t.s AS DOUBLE) * (CAST(t.s AS DOUBLE) / t.n) > 0
+             THEN round((CAST(a.sxy AS DOUBLE)
+                 - (CAST(t.s AS DOUBLE) / t.n) * CAST(a.sh AS DOUBLE)
+                 - (CAST(t.s AS DOUBLE) / t.n) * CAST(a.st AS DOUBLE)
+                 + CAST(a.n_pairs AS DOUBLE) * (CAST(t.s AS DOUBLE) / t.n)
+                   * (CAST(t.s AS DOUBLE) / t.n))
+               / (CAST(t.sxx AS DOUBLE)
+                 - CAST(t.s AS DOUBLE) * (CAST(t.s AS DOUBLE) / t.n)), 4)
+           END AS r
+         FROM agg a JOIN tot t ON a.k = t.k
+         ORDER BY t.k, lag"""
   )
 
   /** BM25 oracle over an optionally restricted corpus: full replay of

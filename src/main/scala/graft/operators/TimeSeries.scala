@@ -112,4 +112,58 @@ object TimeSeries {
         round((col("s") - col("sl")).cast("double") / (col("n") - col("i")),
           4).as("mean_after"))
   }
+
+  /** Autocorrelation function of the per-key daily-count series at lags
+    * 1..maxLag — the diagnostic that tells a pipeline whether its
+    * metric has weekly structure worth a seasonal model (pairs with
+    * [[graft.operators.Metrics]]' seasonality decomposition).
+    *
+    * Index-based ACF over the observed-day series (days with zero
+    * events don't produce rows, so lags count observed days, the same
+    * convention the repo's other daily-series ops use). All sufficient
+    * statistics are exact integer/decimal sums — Σx, Σx², Σx·x₊ₖ and
+    * the head/tail sums per lag — collected by ONE window pass (all
+    * `lead` columns share the window spec, so Catalyst evaluates them
+    * in a single Window operator) plus one partial agg per key; the
+    * only floating-point work is the final per-(key,lag) expression,
+    * written with the same association shape the oracle replays, so the
+    * result is bit-deterministic under any partitioning. Constant
+    * series (zero variance) yield NULL r. */
+  def acf(events: DataFrame, keyCol: Column, tsCol: Column,
+          maxLag: Int): DataFrame = {
+    val daily = events
+      .groupBy(keyCol.as("k"), to_date(tsCol).as("d"))
+      .agg(count(lit(1)).as("c"))
+    val byDay = Window.partitionBy(col("k")).orderBy(col("d"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val withLeads = (1 to maxLag).foldLeft(daily) { (df, kk) =>
+      df.withColumn(s"l$kk", lead(col("c"), kk).over(byDay))
+    }
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(dec(col("c")) * dec(col("c"))).as("sxx")) ++
+      (1 to maxLag).flatMap { kk =>
+        val lk = col(s"l$kk")
+        Seq(sum(dec(col("c")) * dec(lk)).as(s"sxy$kk"),
+          sum(when(lk.isNotNull, col("c"))).as(s"sh$kk"),
+          sum(lk).as(s"st$kk"),
+          count(lk).as(s"m$kk"))
+      }
+    val t = withLeads.groupBy(col("k")).agg(aggs.head, aggs.tail: _*)
+    val xbar = col("s").cast("double") / col("n")
+    val den = col("sxx").cast("double") - col("s").cast("double") * xbar
+    val perLag = (1 to maxLag).map { kk =>
+      val num = col(s"sxy$kk").cast("double") -
+        xbar * col(s"sh$kk").cast("double") -
+        xbar * col(s"st$kk").cast("double") +
+        col(s"m$kk").cast("double") * xbar * xbar
+      struct(lit(kk).as("lag"), col(s"m$kk").as("n_pairs"),
+        when(den > 0, round(num / den, 4)).as("r"))
+    }
+    t.select(col("k"), col("n").as("n_days"),
+        explode(array(perLag: _*)).as("x"))
+      .select(col("k"), col("x.lag").as("lag"), col("n_days"),
+        col("x.n_pairs").as("n_pairs"), col("x.r").as("r"))
+      .where(col("n_pairs") > 0) // a lag past the series has no ACF
+  }
 }

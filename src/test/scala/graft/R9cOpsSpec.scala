@@ -100,6 +100,47 @@ class R9cOpsSpec extends AnyFunSuite {
     assert(render.substring(a - 1, b) == "tie-b")
   }
 
+  // -------------------------------------------------------------- acf
+
+  test("acf: alternating series has r(1) = -1, r(2) = +1; constant is NULL") {
+    import java.sql.Timestamp
+    // 2 keys × 30 days: 'alt' alternates 1/3 events per day,
+    // 'flat' has exactly 2 events per day (zero variance)
+    val rows = (0 until 30).flatMap { day =>
+      val ts = Timestamp.valueOf(f"2024-01-${day + 1}%02d 12:00:00")
+      val alt = Seq.fill(if (day % 2 == 0) 1 else 3)(("alt", ts))
+      val flat = Seq.fill(2)(("flat", ts))
+      alt ++ flat
+    }
+    val acf = graft.operators.TimeSeries.acf(
+      rows.toDF("event_type", "ts"), col("event_type"), col("ts"), 3)
+    val alt = acf.where(col("k") === "alt")
+      .orderBy(col("lag")).collect()
+    assert(alt.map(_.getAs[Int]("lag")).toSeq == Seq(1, 2, 3))
+    // sample ACF of a perfect alternation: r(1) near -1 (slightly above
+    // for finite n with the n-denominator estimator), r(2) positive
+    assert(alt(0).getAs[Double]("r") < -0.9)
+    assert(alt(1).getAs[Double]("r") > 0.85)
+    val flat = acf.where(col("k") === "flat" && col("lag") === 1).head
+    assert(flat.isNullAt(flat.fieldIndex("r")),
+      "zero-variance series must yield NULL, not NaN/divide-by-zero")
+    assert(flat.getAs[Long]("n_pairs") == 29L)
+  }
+
+  test("acf: bit-identical under repartitioning") {
+    import java.sql.Timestamp
+    val rows = (0 until 60).flatMap { day =>
+      Seq.fill(1 + (day * 7 % 5))(
+        ("k", Timestamp.valueOf(f"2024-0${1 + day / 28}%d-${day % 28 + 1}%02d 01:00:00")))
+    }
+    def run(parts: Int) = graft.operators.TimeSeries.acf(
+        rows.toDF("event_type", "ts").repartition(parts),
+        col("event_type"), col("ts"), 5)
+      .orderBy(col("lag")).collect().map(r => (r.getAs[Int]("lag"),
+        r.getAs[Double]("r"))).toSeq
+    assert(run(1) == run(13))
+  }
+
   // ---------------------------------------------------- jaro–winkler
 
   /** Fixture values measured from DuckDB's jaro_winkler_similarity /
