@@ -1024,6 +1024,15 @@ object SparkEntry {
         regexp_extract(col("name"), "[^ ]+$", 0), maxDist = 3)
       .orderBy(col("name_a"), col("name_b"))
 
+  /** k-anonymity / l-diversity audit of customer under
+    * (nation, segment) quasi-identifiers with the account-balance
+    * thousand-bucket as the sensitive attribute. */
+  private def qKAnonymity(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Pii.kAnonymity(
+      t(s, dir, "customer")
+        .withColumn("bal_bucket", floor(col("c_acctbal") / 1000)),
+      Seq("c_nationkey", "c_mktsegment"), "bal_bucket", k = 10)
+
   /** Per-event-type daily-count autocorrelation at lags 1..7 — weekly
     * structure shows as a lag-7 peak. */
   private def qEventsAcf(s: SparkSession, dir: String): DataFrame =
@@ -3310,7 +3319,8 @@ object SparkEntry {
     "vocab_zipf" -> (qVocabZipf _),
     "sft_pack" -> (qSftPack _),
     "fuzzy_match_jw" -> (qFuzzyMatchJw _),
-    "q_events_acf" -> (qEventsAcf _)
+    "q_events_acf" -> (qEventsAcf _),
+    "q_k_anonymity" -> (qKAnonymity _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -7535,7 +7545,23 @@ object SparkEntry {
                  - CAST(t.s AS DOUBLE) * (CAST(t.s AS DOUBLE) / t.n)), 4)
            END AS r
          FROM agg a JOIN tot t ON a.k = t.k
-         ORDER BY t.k, lag"""
+         ORDER BY t.k, lag""",
+    "q_k_anonymity" ->
+      """WITH cls AS (
+           SELECT c_nationkey, c_mktsegment,
+             CAST(count(*) AS BIGINT) AS sz,
+             CAST(count(DISTINCT floor(c_acctbal / 1000)) AS BIGINT) AS ld
+           FROM customer GROUP BY 1, 2)
+         SELECT min(sz) AS k_anonymity,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(sz) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS BIGINT)
+             AS n_rows_below_k,
+           round(CAST(sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS DOUBLE)
+             / sum(sz), 4) AS pct_below_k,
+           min(ld) AS l_diversity,
+           round(avg(sz), 4) AS avg_class_size
+         FROM cls"""
   )
 
   /** BM25 oracle over an optionally restricted corpus: full replay of

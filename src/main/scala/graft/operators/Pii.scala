@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** PII detection and redaction over document text — a standard
@@ -40,4 +40,33 @@ object Pii {
     * PII-bearing docs to a quarantine sink). */
   def hasPii(text: Column): Column =
     scanColumns(text).map(_ > 0).reduce(_ || _)
+
+  /** k-anonymity / l-diversity audit of a release table: group rows by
+    * the quasi-identifier columns (the attributes an adversary can link
+    * externally) and measure the re-identification surface —
+    * `k_anonymity` = the smallest equivalence class, `n_rows_below_k` =
+    * the row mass in classes smaller than the target k, `l_diversity` =
+    * the minimum count of distinct sensitive values within any class
+    * (Sweeney 2002; Machanavajjhala et al. 2007).
+    *
+    * Scale shape: one hash groupBy on the quasi-id tuple with map-side
+    * combine (class count is bounded by the quasi-id domain, not the
+    * row count), then a single-row fold over classes. The per-class
+    * distinct-sensitive count is exact; all outputs are integer until
+    * the two final ratios. */
+  def kAnonymity(df: DataFrame, quasiIds: Seq[String], sensitive: String,
+                 k: Int): DataFrame = {
+    val cls = df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("sz"),
+        countDistinct(col(sensitive)).as("ldiv"))
+    val below = sum(when(col("sz") < k, col("sz")).otherwise(0L))
+    cls.agg(
+      min(col("sz")).as("k_anonymity"),
+      count(lit(1)).as("n_classes"),
+      sum(col("sz")).as("n_rows"),
+      below.as("n_rows_below_k"),
+      round(below.cast("double") / sum(col("sz")), 4).as("pct_below_k"),
+      min(col("ldiv")).as("l_diversity"),
+      round(avg(col("sz")), 4).as("avg_class_size"))
+  }
 }

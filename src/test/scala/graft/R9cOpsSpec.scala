@@ -100,6 +100,22 @@ class R9cOpsSpec extends AnyFunSuite {
     assert(render.substring(a - 1, b) == "tie-b")
   }
 
+  // ------------------------------------------------------ k-anonymity
+
+  test("k-anonymity: smallest class, below-k mass, and l-diversity are exact") {
+    // classes: (a,1)×5 sens {10,20}, (a,2)×2 sens {10}, (b,1)×3 sens {10,20,30}
+    val rows = Seq.fill(3)(("a", 1, 10)) ++ Seq.fill(2)(("a", 1, 20)) ++
+      Seq.fill(2)(("a", 2, 10)) ++ Seq(("b", 1, 10), ("b", 1, 20), ("b", 1, 30))
+    val r = graft.operators.Pii.kAnonymity(
+      rows.toDF("q1", "q2", "sens"), Seq("q1", "q2"), "sens", k = 4).head
+    assert(r.getAs[Long]("k_anonymity") == 2L)
+    assert(r.getAs[Long]("n_classes") == 3L)
+    assert(r.getAs[Long]("n_rows") == 10L)
+    assert(r.getAs[Long]("n_rows_below_k") == 5L) // the 2-class + 3-class
+    assert(r.getAs[Double]("pct_below_k") == 0.5)
+    assert(r.getAs[Long]("l_diversity") == 1L) // (a,2) has one sens value
+  }
+
   // -------------------------------------------------------------- acf
 
   test("acf: alternating series has r(1) = -1, r(2) = +1; constant is NULL") {
