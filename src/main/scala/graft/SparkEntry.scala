@@ -1024,6 +1024,29 @@ object SparkEntry {
         regexp_extract(col("name"), "[^ ]+$", 0), maxDist = 3)
       .orderBy(col("name_a"), col("name_b"))
 
+  /** Consecutive same-lang documents as synthetic (chosen, rejected)
+    * preference pairs — the fixture for the RLHF pair diagnostics. */
+  private def prefPairsOf(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val a = d.select(col("doc_id"), col("lang"), col("text").as("chosen"))
+    val b = d.select((col("doc_id") - 1).as("doc_id"), col("lang"),
+      col("text").as("rejected"))
+    a.join(b, Seq("doc_id", "lang"))
+  }
+
+  /** Per-pair RLHF diagnostics: lengths, ratio, token overlap, dup. */
+  private def qPrefPairStats(s: SparkSession, dir: String): DataFrame =
+    graft.operators.PrefPairs.pairStats(prefPairsOf(s, dir),
+        col("doc_id"), col("chosen"), col("rejected"))
+      .orderBy(col("pair_id"))
+
+  /** Corpus-level preference-set bias summary (length bias, micro
+    * overlap, exact-dup mass). */
+  private def qPrefPairBias(s: SparkSession, dir: String): DataFrame =
+    graft.operators.PrefPairs.biasSummary(
+      graft.operators.PrefPairs.pairStats(prefPairsOf(s, dir),
+        col("doc_id"), col("chosen"), col("rejected")))
+
   /** k-anonymity / l-diversity audit of customer under
     * (nation, segment) quasi-identifiers with the account-balance
     * thousand-bucket as the sensitive attribute. */
@@ -3320,7 +3343,9 @@ object SparkEntry {
     "sft_pack" -> (qSftPack _),
     "fuzzy_match_jw" -> (qFuzzyMatchJw _),
     "q_events_acf" -> (qEventsAcf _),
-    "q_k_anonymity" -> (qKAnonymity _)
+    "q_k_anonymity" -> (qKAnonymity _),
+    "pref_pair_stats" -> (qPrefPairStats _),
+    "pref_pair_bias" -> (qPrefPairBias _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -7561,8 +7586,51 @@ object SparkEntry {
              / sum(sz), 4) AS pct_below_k,
            min(ld) AS l_diversity,
            round(avg(sz), 4) AS avg_class_size
-         FROM cls"""
+         FROM cls""",
+    "pref_pair_stats" -> prefPairOracleStats,
+    "pref_pair_bias" ->
+      s"""WITH st AS ($prefPairOracleStats)
+          SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+            round(CAST(sum(CASE WHEN chosen_longer THEN 1 ELSE 0 END)
+              AS DOUBLE) / count(*), 4) AS pct_chosen_longer,
+            round(CAST(sum(len_chosen) AS DOUBLE) / sum(len_rejected), 4)
+              AS agg_len_ratio,
+            round(CAST(sum(n_tok_inter) AS DOUBLE) / sum(n_tok_union), 4)
+              AS micro_jaccard,
+            CAST(sum(CASE WHEN exact_dup THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_exact_dup
+          FROM st"""
   )
+
+  private val prefPairOracleStats: String =
+    """WITH pairs AS (
+         SELECT a.doc_id AS pair_id, a.text AS chosen, b.text AS rejected
+         FROM documents a JOIN documents b
+           ON b.doc_id = a.doc_id + 1 AND b.lang = a.lang),
+       tok AS (SELECT pair_id, chosen, rejected,
+           list_distinct(list_filter(
+             regexp_split_to_array(trim(chosen), '\s+'),
+             x -> len(x) > 0)) AS tc,
+           list_distinct(list_filter(
+             regexp_split_to_array(trim(rejected), '\s+'),
+             x -> len(x) > 0)) AS tr
+         FROM pairs)
+       SELECT pair_id,
+         CAST(len(chosen) AS BIGINT) AS len_chosen,
+         CAST(len(rejected) AS BIGINT) AS len_rejected,
+         CASE WHEN len(rejected) > 0
+           THEN round(CAST(len(chosen) AS DOUBLE) / len(rejected), 4)
+         END AS len_ratio,
+         CAST(len(list_intersect(tc, tr)) AS BIGINT) AS n_tok_inter,
+         CAST(len(list_distinct(list_concat(tc, tr))) AS BIGINT)
+           AS n_tok_union,
+         CASE WHEN len(list_distinct(list_concat(tc, tr))) > 0
+           THEN round(CAST(len(list_intersect(tc, tr)) AS DOUBLE)
+             / len(list_distinct(list_concat(tc, tr))), 4)
+         END AS tok_jaccard,
+         chosen = rejected AS exact_dup,
+         len(chosen) > len(rejected) AS chosen_longer
+       FROM tok ORDER BY pair_id"""
 
   /** BM25 oracle over an optionally restricted corpus: full replay of
     * the postings/df/idf/tf-norm fold. The constants are written as the

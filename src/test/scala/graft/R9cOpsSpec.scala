@@ -100,6 +100,36 @@ class R9cOpsSpec extends AnyFunSuite {
     assert(render.substring(a - 1, b) == "tie-b")
   }
 
+  // ------------------------------------------------- preference pairs
+
+  test("pref-pairs: per-pair overlap/length signals and micro-averaged bias") {
+    import graft.operators.PrefPairs
+    val pairs = Seq(
+      (1L, "the quick brown fox", "the quick brown fox"), // exact dup
+      (2L, "a b c d", "c d e f"),                         // jaccard 2/6
+      (3L, "longer answer here ok", "short"),
+      (4L, "x", "")                                       // empty side
+    ).toDF("id", "ch", "rj")
+    val st = PrefPairs.pairStats(pairs, col("id"), col("ch"), col("rj"))
+      .orderBy(col("pair_id")).collect()
+    assert(st(0).getAs[Boolean]("exact_dup"))
+    assert(st(0).getAs[Double]("tok_jaccard") == 1.0)
+    assert(st(1).getAs[Long]("n_tok_inter") == 2L)
+    assert(st(1).getAs[Long]("n_tok_union") == 6L)
+    assert(st(1).getAs[Double]("tok_jaccard") == 0.3333)
+    assert(st(2).getAs[Boolean]("chosen_longer"))
+    // empty rejected: len_ratio NULL (guarded), union still counts ch
+    assert(st(3).isNullAt(st(3).fieldIndex("len_ratio")))
+    assert(st(3).getAs[Long]("n_tok_union") == 1L)
+    val b = PrefPairs.biasSummary(
+      PrefPairs.pairStats(pairs, col("id"), col("ch"), col("rj"))).head
+    assert(b.getAs[Long]("n_pairs") == 4L)
+    assert(b.getAs[Long]("n_exact_dup") == 1L)
+    assert(b.getAs[Double]("pct_chosen_longer") == 0.5)
+    // micro jaccard = (4 + 2 + 0 + 0) / (4 + 6 + 5 + 1)
+    assert(b.getAs[Double]("micro_jaccard") == math.rint(6.0 / 16 * 1e4) / 1e4)
+  }
+
   // ------------------------------------------------------ k-anonymity
 
   test("k-anonymity: smallest class, below-k mass, and l-diversity are exact") {
