@@ -1047,6 +1047,13 @@ object SparkEntry {
       graft.operators.PrefPairs.pairStats(prefPairsOf(s, dir),
         col("doc_id"), col("chosen"), col("rejected")))
 
+  /** Damerau–Levenshtein-gated linkage pairs (last-token blocking) —
+    * emits both distances so `lev - dl` is the transposition mass. */
+  private def qFuzzyMatchDl(s: SparkSession, dir: String): DataFrame =
+    graft.operators.FuzzyLink.dlPairs(t(s, dir, "part"), "p_name",
+        regexp_extract(col("name"), "[^ ]+$", 0), maxDist = 3)
+      .orderBy(col("name_a"), col("name_b"))
+
   /** k-anonymity / l-diversity audit of customer under
     * (nation, segment) quasi-identifiers with the account-balance
     * thousand-bucket as the sensitive attribute. */
@@ -3345,7 +3352,8 @@ object SparkEntry {
     "q_events_acf" -> (qEventsAcf _),
     "q_k_anonymity" -> (qKAnonymity _),
     "pref_pair_stats" -> (qPrefPairStats _),
-    "pref_pair_bias" -> (qPrefPairBias _)
+    "pref_pair_bias" -> (qPrefPairBias _),
+    "fuzzy_match_dl" -> (qFuzzyMatchDl _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -7587,6 +7595,18 @@ object SparkEntry {
            min(ld) AS l_diversity,
            round(avg(sz), 4) AS avg_class_size
          FROM cls""",
+    "fuzzy_match_dl" ->
+      """WITH dim AS (SELECT p_name AS name, count(*) AS cnt
+                      FROM part GROUP BY 1),
+         blk AS (SELECT name, cnt, regexp_extract(name, '[^ ]+$') AS block
+                 FROM dim)
+         SELECT a.name AS name_a, b.name AS name_b,
+           CAST(damerau_levenshtein(a.name, b.name) AS INT) AS dl,
+           CAST(levenshtein(a.name, b.name) AS INT) AS lev,
+           a.cnt * b.cnt AS pair_rows
+         FROM blk a JOIN blk b ON a.block = b.block AND a.name < b.name
+         WHERE damerau_levenshtein(a.name, b.name) <= 3
+         ORDER BY name_a, name_b""",
     "pref_pair_stats" -> prefPairOracleStats,
     "pref_pair_bias" ->
       s"""WITH st AS ($prefPairOracleStats)

@@ -101,4 +101,26 @@ object FuzzyLink {
       .withColumn("jw",
         round(jaro_winkler_sim(col("name_a"), col("name_b")), 6))
   }
+
+  /** Within-block pairs gated on TRUE Damerau–Levenshtein ≤ maxDist —
+    * transposition-tolerant edit distance, so "marta"/"matra" style
+    * swaps cost 1 where plain Levenshtein charges 2. Emits both
+    * distances; the gap (`lev − dl`) is exactly the edit mass the
+    * transposition op absorbed. Integer gate → cross-engine exact. */
+  def dlPairs(df: DataFrame, nameCol: String, blockExpr: Column,
+              maxDist: Int): DataFrame = {
+    import graft.functions.DamerauLevenshtein.damerau_levenshtein
+    val dim = dictionary(df, nameCol, blockExpr)
+    val a = dim.select(col("block"), col("name").as("name_a"),
+      col("cnt").as("cnt_a"))
+    val b = dim.select(col("block"), col("name").as("name_b"),
+      col("cnt").as("cnt_b"))
+    a.join(b, Seq("block"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dl", damerau_levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dl") <= maxDist)
+      .select(col("name_a"), col("name_b"), col("dl"),
+        levenshtein(col("name_a"), col("name_b")).as("lev"),
+        (col("cnt_a") * col("cnt_b")).as("pair_rows"))
+  }
 }

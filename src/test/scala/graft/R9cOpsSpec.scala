@@ -218,6 +218,29 @@ class R9cOpsSpec extends AnyFunSuite {
     assert(got == jwFixture.map(_._4))
   }
 
+  test("damerau-levenshtein: true (unrestricted) variant, DuckDB fixture") {
+    import graft.functions.DamerauLevenshtein.distance
+    // measured from DuckDB damerau_levenshtein this round; the CA→ABC
+    // and BADC→ABCD rows are the unrestricted-vs-OSA witnesses
+    val fx = Seq(("CA", "ABC", 2), ("AB", "BA", 1),
+      ("kitten", "sitting", 3), ("abcdef", "abcfed", 2), ("", "abc", 3),
+      ("", "", 0), ("a", "a", 0), ("ifhs", "fish", 2), ("BADC", "ABCD", 2))
+    fx.foreach { case (a, b, d) =>
+      assert(distance(a, b) == d, s"dl($a,$b)")
+      assert(distance(b, a) == d, s"dl($b,$a) symmetry")
+    }
+    // dl never exceeds levenshtein; through the codegen path
+    val words = Seq("alpha", "alpah", "lapha", "beta", "abte", "gamma",
+      "magam", "", "x", "xy", "yx", "transpose", "trasnpose")
+    val df = (for (a <- words; b <- words) yield (a, b)).toDF("a", "b")
+      .select(col("a"), col("b"),
+        graft.functions.DamerauLevenshtein
+          .damerau_levenshtein(col("a"), col("b")).as("dl"),
+        levenshtein(col("a"), col("b")).as("lev"))
+    assert(df.where(col("dl") > col("lev")).count() == 0)
+    assert(df.where(col("a") === col("b") && col("dl") =!= 0).count() == 0)
+  }
+
   test("jaro-winkler: symmetric, in [0,1], and 1 iff equal (non-empty)") {
     val words = Seq("alpha", "alpah", "beta", "betta", "gamma", "gamm",
       "delta", "detla", "epsilon", "epsilon ", "x", "xy", "yx")
