@@ -775,6 +775,29 @@ class PlanQualitySpec extends AnyFunSuite {
     graft.operators.CacheScope.drain()
   }
 
+  test("r9c surface: single-Window ACF/SFT, equi-join linkage, no UDFs") {
+    // acf: ALL lead columns share one window spec → exactly ONE Window
+    // operator (the doc-comment claim, pinned); sft_pack likewise has
+    // only the turn-indexing window
+    for (q <- Seq("q_events_acf", "sft_pack")) {
+      val p = plan(q)
+      assert("(?m)^\\s*.*Window".r.findAllIn(p).length == 1,
+        s"$q should run exactly one Window operator:\n${p.take(1500)}")
+      assert(!p.contains("CartesianProduct"))
+    }
+    // fuzzy linkage: blocked DICTIONARY equi-joins — never a cartesian
+    // or BNLJ, and the JW/DL kernels are native expressions, not UDFs
+    for (q <- Seq("fuzzy_match_jw", "fuzzy_match_dl", "q_k_anonymity",
+        "pref_pair_stats", "pref_pair_bias")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q grew a non-equi join:\n${p.take(1500)}")
+      assert(!p.contains("ScalaUDF"),
+        s"$q carries a Scala UDF:\n${p.take(1500)}")
+    }
+  }
+
   test("dedup signature kernels are native expressions — no ScalaUDF in the plan") {
     // SimHash and MinHash signatures used to be Scala UDFs: the only
     // opaque scan-side projections left outside whole-stage codegen,
