@@ -1047,6 +1047,27 @@ object SparkEntry {
       graft.operators.PrefPairs.pairStats(prefPairsOf(s, dir),
         col("doc_id"), col("chosen"), col("rejected")))
 
+  /** Text-cleaning damage signals over documents with deterministic
+    * noise injection (HTML chrome / mojibake / code lines by doc_id
+    * residue — replayed verbatim by the oracle) so every signal path
+    * is exercised on the clean synthetic corpus. */
+  private def qCleaningSignals(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CleaningSignals
+    val aug = t(s, dir, "documents").withColumn("t2",
+      concat(col("text"),
+        when(col("doc_id") % 5 === 0, lit(
+          " <div class=\"x\">see <a href=\"http://example.com/a\">link</a></div>"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 3, lit(
+          " Ã© broken â€™ text �"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 5, lit(
+          "\n    if (x == 1) { return y; }\n\ttotal += 1;"))
+          .otherwise(lit(""))))
+    aug.select(col("doc_id") +: CleaningSignals.signals(col("t2")): _*)
+      .orderBy(col("doc_id"))
+  }
+
   /** Damerau–Levenshtein-gated linkage pairs (last-token blocking) —
     * emits both distances so `lev - dl` is the transposition mass. */
   private def qFuzzyMatchDl(s: SparkSession, dir: String): DataFrame =
@@ -3353,7 +3374,8 @@ object SparkEntry {
     "q_k_anonymity" -> (qKAnonymity _),
     "pref_pair_stats" -> (qPrefPairStats _),
     "pref_pair_bias" -> (qPrefPairBias _),
-    "fuzzy_match_dl" -> (qFuzzyMatchDl _)
+    "fuzzy_match_dl" -> (qFuzzyMatchDl _),
+    "cleaning_signals" -> (qCleaningSignals _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -7607,6 +7629,54 @@ object SparkEntry {
          FROM blk a JOIN blk b ON a.block = b.block AND a.name < b.name
          WHERE damerau_levenshtein(a.name, b.name) <= 3
          ORDER BY name_a, name_b""",
+    "cleaning_signals" ->
+      """WITH aug AS (
+           SELECT doc_id, text ||
+             CASE WHEN doc_id % 5 = 0 THEN
+               ' <div class="x">see <a href="http://example.com/a">link</a></div>'
+             ELSE '' END ||
+             CASE WHEN doc_id % 7 = 3 THEN ' Ã© broken â€™ text �'
+             ELSE '' END ||
+             CASE WHEN doc_id % 11 = 5 THEN chr(10) ||
+               '    if (x == 1) { return y; }' || chr(10) || chr(9) ||
+               'total += 1;'
+             ELSE '' END AS t2
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(t2, '\x{FFFD}')) AS BIGINT)
+             AS n_replacement,
+           CAST(len(regexp_extract_all(t2,
+             '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS BIGINT) AS n_control,
+           CAST(len(regexp_extract_all(t2, '\x{00C3}.|\x{00E2}\x{20AC}.'))
+             AS BIGINT) AS n_mojibake,
+           CAST(len(regexp_extract_all(t2, '<[A-Za-z/][^>]*>')) AS BIGINT)
+             AS n_tags,
+           CAST(len(regexp_extract_all(t2, 'https?://[^ \t\n]+'))
+             AS BIGINT) AS n_links,
+           CAST(coalesce(list_sum(list_transform(
+             regexp_extract_all(t2, 'https?://[^ \t\n]+'),
+             x -> len(x))), 0) AS BIGINT) AS link_chars,
+           CASE WHEN len(t2) > 0 THEN
+             round(CAST(coalesce(list_sum(list_transform(
+               regexp_extract_all(t2, 'https?://[^ \t\n]+'),
+               x -> len(x))), 0) AS DOUBLE) / len(t2), 4)
+           END AS link_density,
+           CAST(len(string_split(t2, chr(10))) AS BIGINT) AS n_lines,
+           CAST(len(regexp_extract_all(t2, '(?m)^(    |\t)')) AS BIGINT)
+             AS n_indented,
+           round(CAST(len(regexp_extract_all(t2, '(?m)^(    |\t)'))
+             AS DOUBLE) / len(string_split(t2, chr(10))), 4)
+             AS indented_frac,
+           CASE WHEN len(t2) > 0 THEN
+             round(CAST(len(regexp_extract_all(t2, '[{}();=]'))
+               AS DOUBLE) / len(t2), 4)
+           END AS code_sym_density,
+           len(regexp_extract_all(t2, '\x{FFFD}')) = 0
+             AND len(regexp_extract_all(t2,
+               '[\x00-\x08\x0B\x0C\x0E-\x1F]')) = 0
+             AND len(regexp_extract_all(t2,
+               '\x{00C3}.|\x{00E2}\x{20AC}.')) = 0 AS enc_clean
+         FROM aug ORDER BY doc_id""",
     "pref_pair_stats" -> prefPairOracleStats,
     "pref_pair_bias" ->
       s"""WITH st AS ($prefPairOracleStats)

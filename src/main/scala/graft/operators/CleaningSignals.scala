@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scan-side text-cleaning signals for web-crawl curation — the three
+  * damage classes a pretraining pipeline gates on BEFORE quality
+  * scoring ever sees the text:
+  *
+  *  - encoding damage: U+FFFD replacement chars, stray C0 controls,
+  *    and UTF-8-read-as-Latin-1 mojibake digraphs (`Ã·`, `â€¦` families)
+  *    — the signature of a double-decoded or truncated byte stream;
+  *  - residual HTML: tag count and link-character density (the
+  *    trafilatura-style "this is navigation chrome, not prose" gate);
+  *  - code-vs-prose: indented-line fraction and code-symbol density,
+  *    the cheap router between code and text mixture buckets.
+  *
+  * All signals are native regex/array expressions (codegen'd, map-only,
+  * zero shuffles — they ride the scan at any corpus size), and every
+  * pattern stays in the RE2-compatible subset so the DuckDB oracle runs
+  * the byte-identical regex (same discipline as [[Pii]]).
+  */
+object CleaningSignals {
+
+  val ReplacementRe = "\\x{FFFD}"
+  val ControlRe     = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+  /** UTF-8 bytes decoded as Latin-1: C3xx ('Ã' + continuation) and the
+    * E2-80xx punctuation family ('â€' + continuation). */
+  val MojibakeRe    = "\\x{00C3}.|\\x{00E2}\\x{20AC}."
+  val TagRe         = "<[A-Za-z/][^>]*>"
+  val UrlRe         = "https?://[^ \\t\\n]+"
+  val IndentRe      = "(?m)^(    |\\t)"
+  val CodeSymRe     = "[{}();=]"
+
+  private def nMatches(text: Column, re: String): Column =
+    size(regexp_extract_all(text, lit(re), lit(0))).cast("long")
+
+  /** Per-document damage/structure columns (append to a select). */
+  def signals(text: Column): Seq[Column] = {
+    val linkChars = aggregate(
+      transform(regexp_extract_all(text, lit(UrlRe), lit(0)),
+        x => length(x).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val len = length(text).cast("long")
+    val nLines = size(split(text, "\n")).cast("long")
+    Seq(
+      nMatches(text, ReplacementRe).as("n_replacement"),
+      nMatches(text, ControlRe).as("n_control"),
+      nMatches(text, MojibakeRe).as("n_mojibake"),
+      nMatches(text, TagRe).as("n_tags"),
+      nMatches(text, UrlRe).as("n_links"),
+      linkChars.as("link_chars"),
+      when(len > 0, round(linkChars.cast("double") / len, 4))
+        .as("link_density"),
+      nLines.as("n_lines"),
+      nMatches(text, IndentRe).as("n_indented"),
+      round(nMatches(text, IndentRe).cast("double") / nLines, 4)
+        .as("indented_frac"),
+      when(len > 0, round(nMatches(text, CodeSymRe).cast("double") / len, 4))
+        .as("code_sym_density"),
+      (nMatches(text, ReplacementRe) === 0 && nMatches(text, ControlRe) === 0
+        && nMatches(text, MojibakeRe) === 0).as("enc_clean"))
+  }
+}

@@ -100,6 +100,31 @@ class R9cOpsSpec extends AnyFunSuite {
     assert(render.substring(a - 1, b) == "tie-b")
   }
 
+  // --------------------------------------------------- cleaning signals
+
+  test("cleaning signals: each damage class is counted exactly") {
+    import graft.operators.CleaningSignals
+    val docs = Seq(
+      ("clean prose with no damage at all", "clean"),
+      ("pre <div id=\"a\">x</div> see http://ex.com/path and <br> done", "html"),
+      ("cafÃ© broke â€™ twice �� end", "moji"),
+      ("fn main() {\n    let x = 1;\n\tcall(x);\n}", "code")
+    ).toDF("text", "kind")
+    val sig = docs.select(col("kind") +: CleaningSignals.signals(col("text")): _*)
+      .collect().map(r => r.getAs[String]("kind") -> r).toMap
+    assert(sig("clean").getAs[Boolean]("enc_clean"))
+    assert(sig("clean").getAs[Long]("n_tags") == 0L)
+    assert(sig("html").getAs[Long]("n_tags") == 3L) // div, /div, br
+    assert(sig("html").getAs[Long]("n_links") == 1L)
+    assert(sig("html").getAs[Long]("link_chars") == "http://ex.com/path".length)
+    assert(sig("moji").getAs[Long]("n_mojibake") == 2L)
+    assert(sig("moji").getAs[Long]("n_replacement") == 2L)
+    assert(!sig("moji").getAs[Boolean]("enc_clean"))
+    assert(sig("code").getAs[Long]("n_lines") == 4L)
+    assert(sig("code").getAs[Long]("n_indented") == 2L) // 4-space + tab
+    assert(sig("code").getAs[Double]("indented_frac") == 0.5)
+  }
+
   // ------------------------------------------------- preference pairs
 
   test("pref-pairs: per-pair overlap/length signals and micro-averaged bias") {
