@@ -387,11 +387,16 @@ object Cli {
       // --blocklist <file>: phrase blocklist gate (one phrase per line;
       // '#' comments) — a pure map-side filter, so it slots in before
       // the join gates at zero exchange cost
-      val passed = flag("--blocklist", "") match {
+      val passed1 = flag("--blocklist", "") match {
         case "" => passed0
         case f => graft.streaming.StreamingCuration.blocklistGate(
           passed0, textCol, loadBlocklist(f))
       }
+      // --encclean: encoding-damage gate — like the blocklist, a pure
+      // map-side filter (plan-time constant patterns, zero exchanges)
+      val passed = if (rest.contains("--encclean"))
+        graft.streaming.StreamingCuration.encGate(passed1, textCol)
+      else passed1
       // in-batch exact dedup: first occurrence per content hash (the
       // StreamingCuration stage-2 shape — groupBy-min + join, no window)
       // each gate is a self-join (batch ⋈ f(batch)) — localCheckpoint
@@ -656,6 +661,7 @@ object Cli {
         case "" => Seq.empty[String]
         case f => loadBlocklist(f)
       }
+      val encCleanOn = rest.contains("--encclean")
       val q = spark.readStream.schema(schema).parquet(in)
         .writeStream
         .option("checkpointLocation", s"$out/_checkpoint")
@@ -679,9 +685,12 @@ object Cli {
           // before doing any work. localCheckpoint after each active
           // gate keeps every gate's plan O(gate): the next gate reads
           // a materialized scan, not the whole chain twice.
-          // map-side filter, no self-join: no lineage truncation needed
-          val b0 = graft.streaming.StreamingCuration.blocklistGate(
+          // map-side filters, no self-join: no lineage truncation needed
+          val bBl = graft.streaming.StreamingCuration.blocklistGate(
             b, textCol, blPatterns)
+          val b0 = if (encCleanOn)
+            graft.streaming.StreamingCuration.encGate(bBl, textCol)
+          else bBl
           val gated = batchNdIdx match {
             case Some(idx) => graft.streaming.StreamingCuration.curateBatch(
               b0, textCol, idCol, idx,

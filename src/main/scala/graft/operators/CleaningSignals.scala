@@ -35,6 +35,14 @@ object CleaningSignals {
   private def nMatches(text: Column, re: String): Column =
     size(regexp_extract_all(text, lit(re), lit(0))).cast("long")
 
+  /** True when the text carries none of the three encoding-damage
+    * classes — the predicate form the wpcurate `--encclean` gate
+    * filters on (pure map-side, plan-time constant patterns). */
+  def encClean(text: Column): Column =
+    nMatches(text, ReplacementRe) === 0 &&
+      nMatches(text, ControlRe) === 0 &&
+      nMatches(text, MojibakeRe) === 0
+
   /** Per-document damage/structure columns (append to a select). */
   def signals(text: Column): Seq[Column] = {
     val linkChars = aggregate(
@@ -58,7 +66,6 @@ object CleaningSignals {
         .as("indented_frac"),
       when(len > 0, round(nMatches(text, CodeSymRe).cast("double") / len, 4))
         .as("code_sym_density"),
-      (nMatches(text, ReplacementRe) === 0 && nMatches(text, ControlRe) === 0
-        && nMatches(text, MojibakeRe) === 0).as("enc_clean"))
+      encClean(text).as("enc_clean"))
   }
 }

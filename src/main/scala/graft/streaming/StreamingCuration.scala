@@ -101,6 +101,16 @@ object StreamingCuration {
       graft.functions.MultiPatternStats.multi_match(col(textCol), patterns)
         .getField("total_hits") === 0)
 
+  /** Encoding-damage gate: drop docs carrying U+FFFD replacement
+    * chars, stray C0 controls, or UTF-8-as-Latin-1 mojibake digraphs
+    * ([[graft.operators.CleaningSignals]]) — the double-decode /
+    * truncated-stream signature that poisons tokenizers downstream.
+    * Like [[blocklistGate]], a pure map-side FILTER with plan-time
+    * constant patterns: no self-join, no artifact, no lineage
+    * truncation needed, zero exchange cost. */
+  def encGate(batch: DataFrame, textCol: String): DataFrame =
+    batch.filter(graft.operators.CleaningSignals.encClean(col(textCol)))
+
   /** Frequency-cap gate against the persisted CMS sketch
     * ([[graft.operators.FreqIndex.FreqRef]]): drop batch rows whose
     * (group, key) the corpus has already seen ≥ `maxCorpusCount`

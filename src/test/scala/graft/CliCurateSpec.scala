@@ -80,6 +80,43 @@ class CliCurateSpec extends AnyFunSuite {
     assert(kept == Set(1L, 4L), s"kept=$kept")
   }
 
+  test("wpcurate batch --encclean: encoding-damaged docs drop") {
+    import spark.implicits._
+    spark
+    val batch = Seq(
+      (1L, "a perfectly ordinary clean sentence about foxes today"), // keep
+      (2L, "broken cafÃ© mojibake text with damage inside here"), // moji
+      (3L, "this one carries a replacement � character in it now"), // fffd
+      (4L, "another clean and healthy document body for the gate")) // keep
+      .toDF("doc_id", "text")
+    val bDir = tmp("enc_batch"); val outDir = tmp("enc_out")
+    batch.write.mode("overwrite").parquet(bDir)
+    graft.cli.Cli.main(Array("wpcurate", "batch", bDir, outDir,
+      "--encclean",
+      "--min-words", "3", "--min-entropy", "2.0", "--min-score", "-1000000",
+      "--shards", "1"))
+    val kept = spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L), s"kept=$kept")
+  }
+
+  test("wpcurate daemon --once --encclean: the encoding gate streams") {
+    import spark.implicits._
+    spark
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again"), // keep
+      (2L, "damaged controlcharacter document body right here ok")) // ctl
+      .toDF("doc_id", "text")
+    val inDir = tmp("encdb_in"); val outDir = tmp("encdb_out")
+    batch.write.mode("overwrite").parquet(inDir)
+    graft.cli.Cli.main(Array("wpcurate", "daemon", inDir, outDir,
+      "--encclean", "--once",
+      "--min-words", "3", "--min-entropy", "2.0", "--min-score", "-1000000"))
+    val kept = spark.read.parquet(s"$outDir/accepted")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L), s"kept=$kept")
+  }
+
   test("wpcurate batch --split: near-dup twins land on the same side") {
     import spark.implicits._
     spark
