@@ -7630,7 +7630,7 @@ object SparkEntry {
          WHERE damerau_levenshtein(a.name, b.name) <= 3
          ORDER BY name_a, name_b""",
     "cleaning_signals" ->
-      """WITH aug AS (
+      raw"""WITH aug AS (
            SELECT doc_id, text ||
              CASE WHEN doc_id % 5 = 0 THEN
                ' <div class="x">see <a href="http://example.com/a">link</a></div>'
@@ -7647,7 +7647,8 @@ object SparkEntry {
              AS n_replacement,
            CAST(len(regexp_extract_all(t2,
              '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS BIGINT) AS n_control,
-           CAST(len(regexp_extract_all(t2, '\x{00C3}.|\x{00E2}\x{20AC}.'))
+           CAST(len(regexp_extract_all(t2,
+             '${graft.operators.CleaningSignals.MojibakeRe}'))
              AS BIGINT) AS n_mojibake,
            CAST(len(regexp_extract_all(t2, '<[A-Za-z/][^>]*>')) AS BIGINT)
              AS n_tags,
@@ -7675,7 +7676,8 @@ object SparkEntry {
              AND len(regexp_extract_all(t2,
                '[\x00-\x08\x0B\x0C\x0E-\x1F]')) = 0
              AND len(regexp_extract_all(t2,
-               '\x{00C3}.|\x{00E2}\x{20AC}.')) = 0 AS enc_clean
+               '${graft.operators.CleaningSignals.MojibakeRe}')) = 0
+             AS enc_clean
          FROM aug ORDER BY doc_id""",
     "pref_pair_stats" -> prefPairOracleStats,
     "pref_pair_bias" ->

@@ -48,12 +48,26 @@ case class DamerauLevenshtein(left: Expression, right: Expression)
 
 object DamerauLevenshtein {
 
+  /** Hard per-input cap: this kernel is for name/title-length strings
+    * out of a blocked linkage join, and the DP allocates an
+    * (|a|+2)×(|b|+2) int matrix PER ROW PAIR — at document length
+    * a single pair can allocate hundreds of MB and stall an executor.
+    * Capping loudly (not truncating: a silently-truncated distance is
+    * a wrong answer) keeps a mis-aimed caller from taking the stage
+    * down. 1024 codepoints bounds the matrix at ~4 MB. */
+  val MaxLen = 1024
+
   /** Lowrance–Wagner DP with the last-occurrence table. */
   def distance(sa: String, sb: String): Int = {
     val a = sa.codePoints().toArray
     val b = sb.codePoints().toArray
     val la = a.length
     val lb = b.length
+    if (la > MaxLen || lb > MaxLen)
+      throw new IllegalArgumentException(
+        s"damerau_levenshtein: input length ${math.max(la, lb)} exceeds " +
+        s"the $MaxLen-codepoint cap — this kernel scores name-length " +
+        "blocked-linkage pairs; truncate or hash longer text upstream")
     if (la == 0) return lb
     if (lb == 0) return la
     val inf = la + lb

@@ -24,9 +24,24 @@ object CleaningSignals {
 
   val ReplacementRe = "\\x{FFFD}"
   val ControlRe     = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
-  /** UTF-8 bytes decoded as Latin-1: C3xx ('Ã' + continuation) and the
-    * E2-80xx punctuation family ('â€' + continuation). */
-  val MojibakeRe    = "\\x{00C3}.|\\x{00E2}\\x{20AC}."
+  /** The cp1252/Latin-1 IMAGE of UTF-8 continuation bytes 0x80–0xBF —
+    * what a misdecoded second byte can render as: U+0080–U+00BF
+    * directly (Latin-1 and the cp1252 0xA0+ range) plus the 27
+    * codepoints cp1252 remaps 0x80–0x9F to (€‚ƒ„…†‡ˆ‰Š‹ŒŽ''""•–—˜™š›œžŸ). */
+  val ContinuationCls: String =
+    "[\\x{0080}-\\x{00BF}\\x{20AC}\\x{201A}\\x{0192}\\x{201E}\\x{2026}" +
+    "\\x{2020}\\x{2021}\\x{02C6}\\x{2030}\\x{0160}\\x{2039}\\x{0152}" +
+    "\\x{017D}\\x{2018}\\x{2019}\\x{201C}\\x{201D}\\x{2022}\\x{2013}" +
+    "\\x{2014}\\x{02DC}\\x{2122}\\x{0161}\\x{203A}\\x{0153}\\x{017E}" +
+    "\\x{0178}]"
+  /** UTF-8 bytes decoded as Latin-1/cp1252: C3xx ('Ã' + continuation)
+    * and the E2-80xx punctuation family ('â€' + continuation). The
+    * follower is CONSTRAINED to [[ContinuationCls]] so legitimate text
+    * containing 'Ã' before an ordinary letter ('JOÃO', 'SÃO PAULO')
+    * never counts as damage (it previously did, and the opt-in
+    * --encclean gate silently dropped such docs). */
+  val MojibakeRe: String =
+    s"\\x{00C3}$ContinuationCls|\\x{00E2}\\x{20AC}$ContinuationCls"
   val TagRe         = "<[A-Za-z/][^>]*>"
   val UrlRe         = "https?://[^ \\t\\n]+"
   val IndentRe      = "(?m)^(    |\\t)"

@@ -278,16 +278,22 @@ object Retrieval {
     * own reordering. Queries with no relevant docs emit NULL ndcg/mrr. */
   def evalTopK(results: DataFrame, rels: DataFrame, k: Int): DataFrame = {
     val disc = ndcgDiscounts(k)
+    // null (not NaN) outside 1..k: the explicit rank<=k filter below is
+    // the real cutoff; a null default can't silently leak a value under
+    // ANSI mode the way Cast(NaN -> long) == 0 did
     def discOf(rank: Column): Column =
-      disc.zipWithIndex.foldLeft(lit(Double.NaN)) { case (acc, (d, i)) =>
-        when(rank === (i + 1), lit(d)).otherwise(acc)
+      disc.zipWithIndex.foldLeft(lit(null).cast("double")) {
+        case (acc, (d, i)) => when(rank === (i + 1), lit(d)).otherwise(acc)
       }
     def gainOf(rel: Column): Column =
       (call_function("shiftleft", lit(1L), rel.cast("int")) - lit(1L))
         .cast("double")
     def contribOf(rel: Column, rank: Column): Column =
       floor(gainOf(rel) / discOf(rank) * 1e12 + 0.5).cast("long")
+    // the single top-k frame every metric (DCG, MRR, p@k) reads: a
+    // result list longer than k must NOT credit below-cutoff hits
     val res = results.select(col("query_id"), col("rank"), col("id"))
+      .where(col("rank") <= k)
       .join(rels, Seq("query_id", "id"), "left")
       .withColumn("rel", coalesce(col("rel"), lit(0)))
     val got = res

@@ -84,7 +84,9 @@ class CliCurateSpec extends AnyFunSuite {
     import spark.implicits._
     spark
     val batch = Seq(
-      (1L, "a perfectly ordinary clean sentence about foxes today"), // keep
+      // doc 1 needs >= 2 Gopher stop words to clear the upstream
+      // quality gate — encclean is the gate under test here
+      (1L, "the quick clean sentence is about the foxes of today"), // keep
       (2L, "broken cafÃ© mojibake text with damage inside here"), // moji
       (3L, "this one carries a replacement � character in it now"), // fffd
       (4L, "another clean and healthy document body for the gate")) // keep

@@ -75,13 +75,9 @@ class QuantileSketchSpec extends AnyFunSuite {
 
   test("SQL registration: quantile_sketch(col, q, capacity) via the registry") {
     import spark.implicits._
-    // the injector lambda itself (covers the literal parsers)
-    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "quantile_sketch",
-      es => graft.functions.QuantileSketch(es.head, Seq(0.5), 16)
-        .toAggregateExpression(),
-      "built-in")
+    // live-session registration (the literal parsers in the builder
+    // run for real here: q and capacity come from the SQL literals)
+    GraftExtensions.install(spark)
     Seq(1.0, 2.0, 3.0, 4.0, 5.0).toDF("v").createOrReplaceTempView("qs_t")
     val out = spark.sql(
       "SELECT quantile_sketch(v, CAST(0.5 AS DOUBLE), 16) AS s FROM qs_t")

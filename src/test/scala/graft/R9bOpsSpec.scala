@@ -11,12 +11,19 @@ import graft.functions.CmsSketch
   * operators. */
 class R9bOpsSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.extensions", "graft.GraftExtensions")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // order-independent SQL registration: getOrCreate may return a
+    // session another suite built WITHOUT spark.sql.extensions, so
+    // install directly into the live registry (the config path itself
+    // is pinned by the isolated-session test below)
+    GraftExtensions.install(s)
+    s
+  }
 
   import spark.implicits._
 
@@ -89,6 +96,44 @@ class R9bOpsSpec extends AnyFunSuite {
     val t = spark.sql(
       "SELECT cms_sketch(k, 3, 10) AS t FROM cms_in").head.getSeq[Long](0)
     assert(t.length == 3 * 1024 && t.slice(0, 1024).sum == 500L * 501 / 2)
+  }
+
+  test("spark.sql.extensions config path registers on a FRESH session") {
+    // pin the production registration route (spark-submit --conf
+    // spark.sql.extensions=graft.GraftExtensions). The conf value is
+    // read off the SparkContext's STATIC conf at session build, and the
+    // suite-shared context was created without it — so replicate the
+    // two steps Spark's applyExtensions performs on that conf string
+    // (load the class by name, zero-arg-instantiate as a
+    // SparkSessionExtensions => Unit) and hand the result to the
+    // builder; the injector then runs at session build, no install().
+    spark // force the shared context up first
+    val ext = Class.forName("graft.GraftExtensions",
+        true, Thread.currentThread().getContextClassLoader)
+      .getConstructor().newInstance()
+      .asInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit]
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val fresh = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(ext)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      val v = fresh.sql(
+        "SELECT cms_sketch(k, 3, 10) AS t FROM VALUES ('a'),('a'),('b') t(k)")
+        .head.getSeq[Long](0)
+      assert(v.length == 3 * 1024 && v.slice(0, 1024).sum == 3L)
+      assert(fresh.sql("SELECT ip4_to_int('10.0.0.1') AS v")
+        .head.getLong(0) == 167772161L)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
   }
 
   test("cms_sketch: rejects non-string keys at analysis time") {

@@ -149,15 +149,10 @@ class SparkPipelineSpec extends AnyFunSuite {
     val rows = parsed.select(col("p.status"), col("p.fields")).collect()
     assert(rows(0).getString(0) == "success")
     assert(rows(1).getString(0) == "miss")
-    // extension injection path
-    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
-    // direct SQL registration against the live session
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "ip4_to_int", es => graft.functions.Ip4ToInt(es.head), "built-in")
+    // live-session registration path (order-independent across suites)
+    GraftExtensions.install(spark)
     val r = spark.sql("SELECT ip4_to_int('10.0.0.1') AS v").head().getLong(0)
     assert(r == 167772161L)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "splitmix64", es => graft.functions.SplitMix64(es.head), "built-in")
     val sm = spark.sql("SELECT splitmix64(0L) AS v").head().getLong(0)
     assert(sm == 0xE220A8397B1DCDAFL)
   }
@@ -165,18 +160,7 @@ class SparkPipelineSpec extends AnyFunSuite {
   test("r8 expression registrations: SQL surface for quality/dedup/vector kernels") {
     // the injector itself (covers every builder lambda incl. the
     // literal-argument parsers)
-    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
-    val fr = spark.sessionState.functionRegistry
-    fr.createOrReplaceTempFunction("char_entropy",
-      es => graft.functions.CharEntropy(es.head), "built-in")
-    fr.createOrReplaceTempFunction("lang_id",
-      es => graft.functions.LangId(es.head), "built-in")
-    fr.createOrReplaceTempFunction("simhash64",
-      es => graft.functions.SimHash64(es.head), "built-in")
-    fr.createOrReplaceTempFunction("vec_dot",
-      es => graft.functions.VecDot(es.head, es(1)), "built-in")
-    fr.createOrReplaceTempFunction("bpe_apply",
-      es => graft.functions.BpeApply(es.head, Seq(("a", "b"))), "built-in")
+    GraftExtensions.install(spark)
     assert(spark.sql("SELECT char_entropy('aabb') AS v").head().getDouble(0) == 1.0)
     assert(spark.sql("SELECT lang_id('the of and to in is') AS v")
       .head().getString(0) == "en")
@@ -186,10 +170,8 @@ class SparkPipelineSpec extends AnyFunSuite {
       "SELECT vec_dot(array(cast(1.0 AS FLOAT), cast(2.0 AS FLOAT))," +
       " array(cast(3.0 AS FLOAT), cast(4.0 AS FLOAT))) AS v")
       .head().getDouble(0) == 11.0)
-    assert(spark.sql("SELECT bpe_apply('a b c') AS v")
+    assert(spark.sql("SELECT bpe_apply('a b c', 'a b') AS v")
       .head().getSeq[String](0) == Seq("a_b", "c"))
-    fr.createOrReplaceTempFunction("heavy_hitters",
-      es => graft.functions.HeavyHitters(es.head, 1, 8), "built-in")
     val hh = spark.sql(
       "SELECT heavy_hitters(k, 1, 8) AS v FROM VALUES ('a'),('a'),('b') t(k)")
       .head().getSeq[org.apache.spark.sql.Row](0)
@@ -199,18 +181,12 @@ class SparkPipelineSpec extends AnyFunSuite {
   test("session-6 registrations: SQL surface for the sketch and media kernels") {
     import spark.implicits._
     import graft.operators.Multimodal
-    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
-    val fr = spark.sessionState.functionRegistry
-    fr.createOrReplaceTempFunction("hll_distinct",
-      es => graft.functions.HllSketch(es.head, 9), "built-in")
-    fr.createOrReplaceTempFunction("hll_registers",
-      es => graft.functions.HllRegisters(es.head, 9), "built-in")
-    fr.createOrReplaceTempFunction("media_dhash",
-      es => graft.functions.MediaDHash(es.head), "built-in")
-    fr.createOrReplaceTempFunction("media_audio_fp",
-      es => graft.functions.MediaAudioFp(es.head), "built-in")
-    fr.createOrReplaceTempFunction("media_video_fp",
-      es => graft.functions.MediaVideoFp(es.head), "built-in")
+    GraftExtensions.install(spark)
+    // hll_registers is Column-API-only (not in the extension list):
+    // register it directly for the SQL probe below
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hll_registers", es => graft.functions.HllRegisters(es.head, 9),
+      "built-in")
     val h = spark.sql(
       "SELECT hll_distinct(k, 9) AS s FROM VALUES ('a'),('b'),('c'),('a') t(k)")
       .head().getStruct(0)
