@@ -378,9 +378,17 @@ object Cli {
       val textCol = flag("--text-col", "text")
       val idCol = flag("--id-col", "doc_id")
       val batch = spark.read.parquet(in)
+      // every Gopher rule bound is a flag: --min-stopwords 0 lets a
+      // non-English corpus through, --max-symbol-ratio 1 a code corpus,
+      // without abandoning the rest of the battery
       val verdict = TextAnalysis.qualityEnsemble(batch, textCol, idCol,
         flag("--min-words", "10").toInt, flag("--max-words", "100000").toInt,
-        flag("--min-entropy", "3.5").toDouble, flag("--min-score", "0.5").toDouble)
+        flag("--min-entropy", "3.5").toDouble, flag("--min-score", "0.5").toDouble,
+        minStopwords = flag("--min-stopwords", "2").toInt,
+        maxSymbolRatio = flag("--max-symbol-ratio", "0.1").toDouble,
+        minAlphaFrac = flag("--min-alpha-frac", "0.8").toDouble,
+        minMeanWordLen = flag("--min-word-len", "3.0").toDouble,
+        maxMeanWordLen = flag("--max-word-len", "10.0").toDouble)
       val passed0 = batch.join(
         verdict.filter(org.apache.spark.sql.functions.col("keep"))
           .select(org.apache.spark.sql.functions.col(idCol)), Seq(idCol))
@@ -698,7 +706,12 @@ object Cli {
               maxWords = flag("--max-words", "100000").toInt,
               minEntropy = flag("--min-entropy", "3.5").toDouble,
               minScore = flag("--min-score", "0.5").toDouble,
-              nearDupThreshold = flag("--threshold", "0.5").toDouble)
+              nearDupThreshold = flag("--threshold", "0.5").toDouble,
+              minStopwords = flag("--min-stopwords", "2").toInt,
+              maxSymbolRatio = flag("--max-symbol-ratio", "0.1").toDouble,
+              minAlphaFrac = flag("--min-alpha-frac", "0.8").toDouble,
+              minMeanWordLen = flag("--min-word-len", "3.0").toDouble,
+              maxMeanWordLen = flag("--max-word-len", "10.0").toDouble)
               .localCheckpoint()
             case None => b0
           }

@@ -491,11 +491,23 @@ object TextAnalysis {
     * exchanges; every signal is a codegen'd native expression (entropy
     * is the [[graft.functions.CharEntropy]] expression). At 100 TB this
     * runs at scan speed and composes as the first stage of any
-    * curation pipeline. */
+    * curation pipeline.
+    *
+    * EVERY gate threshold is a parameter (defaults = the Gopher paper
+    * values): a code corpus legitimately fails the symbol-ratio rule,
+    * non-English text the English stop-word floor, URL-heavy text the
+    * alpha-word fraction — each must be relaxable per corpus without
+    * abandoning the rest of the battery. Disable an individual rule by
+    * pushing its bound out (minStopwords=0, maxSymbolRatio=1, ...). */
   def qualityEnsemble(df: DataFrame, textCol: String, idCol: String,
                       minWords: Int = 10, maxWords: Int = 100000,
                       minEntropy: Double = 3.5,
-                      minScore: Double = 0.5): DataFrame = {
+                      minScore: Double = 0.5,
+                      minStopwords: Int = 2,
+                      maxSymbolRatio: Double = 0.1,
+                      minAlphaFrac: Double = 0.8,
+                      minMeanWordLen: Double = 3.0,
+                      maxMeanWordLen: Double = 10.0): DataFrame = {
     import graft.functions.CharEntropy.char_entropy
     val w = QualityWeights
     val text = col(textCol)
@@ -536,11 +548,12 @@ object TextAnalysis {
     val reason =
       when(!(col("n_words") >= minWords && col("n_words") <= maxWords),
         "word_count")
-      .when(!(col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0),
+      .when(!(col("mean_word_len") >= minMeanWordLen &&
+          col("mean_word_len") <= maxMeanWordLen),
         "mean_word_len")
-      .when(col("symbol_ratio") > 0.1, "symbol_ratio")
-      .when(col("alpha_word_frac") < 0.8, "alpha_words")
-      .when(col("n_stopwords") < 2L, "stopwords")
+      .when(col("symbol_ratio") > maxSymbolRatio, "symbol_ratio")
+      .when(col("alpha_word_frac") < minAlphaFrac, "alpha_words")
+      .when(col("n_stopwords") < minStopwords.toLong, "stopwords")
       .when(col("char_entropy") < minEntropy, "low_entropy")
       .when(col("quality_score") < minScore, "classifier")
     f.withColumn("reject_reason", reason)

@@ -35,10 +35,16 @@ object StreamingCuration {
                   idx: NearDupCorpusIndex,
                   minWords: Int = 10, maxWords: Int = 100000,
                   minEntropy: Double = 3.5, minScore: Double = 0.5,
-                  nearDupThreshold: Double = 0.5): DataFrame = {
+                  nearDupThreshold: Double = 0.5,
+                  minStopwords: Int = 2, maxSymbolRatio: Double = 0.1,
+                  minAlphaFrac: Double = 0.8,
+                  minMeanWordLen: Double = 3.0,
+                  maxMeanWordLen: Double = 10.0): DataFrame = {
     // 1. quality gate (map-only)
     val verdict = TextAnalysis.qualityEnsemble(batch, textCol, idCol,
-      minWords, maxWords, minEntropy, minScore)
+      minWords, maxWords, minEntropy, minScore,
+      minStopwords, maxSymbolRatio, minAlphaFrac,
+      minMeanWordLen, maxMeanWordLen)
     val passed = batch.join(
       verdict.filter(col("keep")).select(col(idCol)), Seq(idCol))
     // 2. in-batch exact dedup: first occurrence per content hash

@@ -119,6 +119,64 @@ class CliCurateSpec extends AnyFunSuite {
     assert(kept == Set(1L), s"kept=$kept")
   }
 
+  test("wpcurate batch --min-stopwords 0: a stop-word-free corpus gates through") {
+    import spark.implicits._
+    spark
+    // zero English stop words anywhere — under the default floor (2)
+    // every doc dies at the 'stopwords' gate; with the floor relaxed
+    // per corpus the rest of the battery still applies
+    val batch = Seq(
+      (1L, "casa verde monte lago puerta cielo tierra viento fuego agua"),
+      (2L, "luna estrella camino puente plaza torre campo norte mar sol"))
+      .toDF("doc_id", "text")
+    val bDir = tmp("stopw_batch")
+    batch.write.mode("overwrite").parquet(bDir)
+
+    val strictOut = tmp("stopw_strict")
+    graft.cli.Cli.main(Array("wpcurate", "batch", bDir, strictOut,
+      "--min-words", "3", "--min-entropy", "2.0", "--min-score", "-1000000",
+      "--shards", "1"))
+    // everything dropped → the writer emits nothing readable
+    val strictKept =
+      scala.util.Try(spark.read.parquet(strictOut).count()).getOrElse(0L)
+    assert(strictKept == 0L, s"default floor should drop all: $strictKept")
+
+    val outDir = tmp("stopw_out")
+    graft.cli.Cli.main(Array("wpcurate", "batch", bDir, outDir,
+      "--min-stopwords", "0",
+      "--min-words", "3", "--min-entropy", "2.0", "--min-score", "-1000000",
+      "--shards", "1"))
+    val kept = spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L), s"kept=$kept")
+  }
+
+  test("wpcurate batch --max-symbol-ratio: a code-symbol corpus gates through") {
+    import spark.implicits._
+    spark
+    // '#'-dense doc: symbol_ratio counts [#…] chars per word — over the
+    // 0.1 default, under a raised bound
+    val batch = Seq(
+      (1L, "the build of section # one # and # two # done # here # now"))
+      .toDF("doc_id", "text")
+    val bDir = tmp("sym_batch")
+    batch.write.mode("overwrite").parquet(bDir)
+    val strictOut = tmp("sym_strict")
+    graft.cli.Cli.main(Array("wpcurate", "batch", bDir, strictOut,
+      "--min-words", "3", "--min-entropy", "2.0", "--min-score", "-1000000",
+      "--min-word-len", "1.0",
+      "--shards", "1"))
+    assert(scala.util.Try(spark.read.parquet(strictOut).count())
+      .getOrElse(0L) == 0L)
+    val outDir = tmp("sym_out")
+    graft.cli.Cli.main(Array("wpcurate", "batch", bDir, outDir,
+      "--min-words", "3", "--min-entropy", "2.0", "--min-score", "-1000000",
+      "--min-word-len", "1.0", "--max-symbol-ratio", "1.0",
+      "--min-alpha-frac", "0.5",
+      "--shards", "1"))
+    assert(spark.read.parquet(outDir).count() == 1)
+  }
+
   test("wpcurate batch --split: near-dup twins land on the same side") {
     import spark.implicits._
     spark
