@@ -326,8 +326,8 @@ object Dedup {
   /** (id, band, band_hash) frame from an (id, shingles) frame — the
     * shared banding kernel of the self-join pair search and the
     * streaming corpus index. */
-  private def bandFrame(sh: DataFrame, idOut: String, nPerm: Int,
-                        bands: Int): DataFrame = {
+  private[graft] def bandFrame(sh: DataFrame, idOut: String, nPerm: Int,
+                               bands: Int): DataFrame = {
     val rowsPerBand = nPerm / bands
     val idCol = sh.columns.head
     // A doc with ZERO shingles has no MinHash signature (the empty-set
@@ -345,17 +345,55 @@ object Dedup {
   }
 
   /** Banding over an already-built (id, shingles) frame — callers that
-    * also verify candidates share one shingle pipeline. */
-  def minhashLshPairsFromShingles(sh: DataFrame, nPerm: Int, bands: Int): DataFrame = {
+    * also verify candidates share one shingle pipeline.
+    *
+    * `salts > 1` turns on ADAPTIVE hot-bucket salting for the band
+    * self-join, the 100-TB guard this join needs: a boilerplate cluster
+    * (one (band, band_hash) bucket holding m docs) concentrates m² pair
+    * generation on ONE reducer. Detection is a bounded SpaceSaving
+    * report over the (cached) banded frame ([[Skew.hotKeyList]] — never
+    * a key-space groupBy); only provably-hot buckets are salted: the
+    * left side gets a deterministic id-derived salt, the right side is
+    * replicated `salts`× FOR HOT BUCKETS ONLY, so each original pair
+    * still meets exactly once and cold buckets pay nothing. Results are
+    * bit-identical to the unsalted join (smoke-pinned); only the
+    * exchange shape changes — the hot bucket's quadratic work spreads
+    * over `salts` reducers. */
+  def minhashLshPairsFromShingles(sh: DataFrame, nPerm: Int, bands: Int,
+                                  salts: Int = 0, hotK: Int = 64,
+                                  hotCapacity: Int = 1024): DataFrame = {
     // scratch-persisted: both sides of the self-join consume this frame
     // (the signature UDF + shingle pipeline would otherwise run twice)
     val banded = CacheScope.scratch(bandFrame(sh, "mh_id", nPerm, bands))
-    val l = banded.alias("l"); val r = banded.alias("r")
-    l.join(r, col("l.band") === col("r.band") &&
-        col("l.band_hash") === col("r.band_hash") &&
-        col("l.mh_id") < col("r.mh_id"))
-      .groupBy(col("l.mh_id").as("id_a"), col("r.mh_id").as("id_b"))
-      .agg(count(lit(1)).as("n_shared_bands"))
+    val hot: Seq[String] =
+      if (salts > 1)
+        Skew.hotKeyList(banded.withColumn("__bk",
+            concat_ws("\u0001", col("band"), col("band_hash"))),
+          "__bk", hotK, hotCapacity)
+      else Seq.empty
+    if (hot.isEmpty) {
+      val l = banded.alias("l"); val r = banded.alias("r")
+      l.join(r, col("l.band") === col("r.band") &&
+          col("l.band_hash") === col("r.band_hash") &&
+          col("l.mh_id") < col("r.mh_id"))
+        .groupBy(col("l.mh_id").as("id_a"), col("r.mh_id").as("id_b"))
+        .agg(count(lit(1)).as("n_shared_bands"))
+    } else {
+      val bk = concat_ws("\u0001", col("band"), col("band_hash"))
+      val lf = banded.select(col("mh_id").as("__ida"), bk.as("__bkl"))
+        .withColumn("__saltl",
+          when(col("__bkl").isin(hot: _*),
+            pmod(hash(col("__ida")), lit(salts))).otherwise(lit(0)))
+      val rf = banded.select(col("mh_id").as("__idb"), bk.as("__bkr"))
+        .withColumn("__saltr", explode(
+          when(col("__bkr").isin(hot: _*),
+            sequence(lit(0), lit(salts - 1)))
+            .otherwise(sequence(lit(0), lit(0)))))
+      lf.join(rf, col("__bkl") === col("__bkr") &&
+          col("__saltl") === col("__saltr") && col("__ida") < col("__idb"))
+        .groupBy(col("__ida").as("id_a"), col("__idb").as("id_b"))
+        .agg(count(lit(1)).as("n_shared_bands"))
+    }
   }
 
   /** MinHash-LSH near-dup detection with EXACT verification — the
@@ -370,9 +408,14 @@ object Dedup {
   def minhashLshJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                              n: Int = 3, threshold: Double = 0.5,
                              maxDocFreq: Int = 100, nPerm: Int = 64,
-                             bands: Int = 32): DataFrame = {
+                             bands: Int = 32, salts: Int = 8): DataFrame = {
     val sh = CacheScope.scratch(shingleDf(df, textCol, idCol, n))
-    val cands = minhashLshPairsFromShingles(sh, nPerm, bands)
+    // salts=8 default: the keep-list mining chain consults the
+    // SpaceSaving hot-bucket report and salts only provably-hot band
+    // buckets (see minhashLshPairsFromShingles) — detection reads the
+    // CACHED banded frame once, and a boilerplate cluster no longer
+    // lands its quadratic pair generation on one reducer
+    val cands = minhashLshPairsFromShingles(sh, nPerm, bands, salts)
       .select(col("id_a"), col("id_b"))
     // capped shingle SETS per doc (same universe as ngramJaccardPairs).
     // NOTE measured: pruning this to candidate docs via a left-semi join

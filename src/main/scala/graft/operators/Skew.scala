@@ -75,19 +75,31 @@ object Skew {
     * The salts are transparent to RESULTS: the returned join emits
     * exactly the rows of the unsalted equi-join (spec-pinned), so the
     * caller swaps this in purely for the exchange shape. */
+  /** The hot-key DECISION collected to the driver: SpaceSaving report
+    * filtered to keys whose count LOWER bound clears the N/capacity
+    * survivor floor. count_lo ≤ true count, so every selected key is
+    * certainly above the floor, and SpaceSaving guarantees every key
+    * with true count > N/capacity is reported — no hot key can be
+    * missed. ≤ k entries, driver-bounded by the sketch config, never by
+    * the data. Shared by [[adaptiveSaltedJoin]] and the near-dup pair
+    * mining chain ([[Dedup.minhashLshPairsFromShingles]]). */
+  def hotKeyList(df: DataFrame, keyCol: String,
+                 k: Int = 64, capacity: Int = 1024): Seq[String] = {
+    val det = df.agg(
+      graft.functions.HeavyHitters
+        .heavy_hitters(col(keyCol).cast("string"), k, capacity).as("hh"),
+      count(lit(1)).as("n")).head()
+    val floor = det.getLong(1) / capacity
+    det.getSeq[org.apache.spark.sql.Row](0)
+      .filter(h => h.getLong(1) - h.getLong(2) > floor)
+      .map(_.getString(0))
+  }
+
   def adaptiveSaltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                          salts: Int, saltSource: Column,
                          k: Int = 64, capacity: Int = 1024)
       : (DataFrame, DataFrame, Column) = {
-    val det = fact.agg(
-      graft.functions.HeavyHitters
-        .heavy_hitters(col(key).cast("string"), k, capacity).as("hh"),
-      count(lit(1)).as("n")).head()
-    val n = det.getLong(1)
-    val floor = n / capacity
-    val hot: Seq[String] = det.getSeq[org.apache.spark.sql.Row](0)
-      .filter(h => h.getLong(1) - h.getLong(2) > floor)
-      .map(_.getString(0))
+    val hot = hotKeyList(fact, key, k, capacity)
     if (hot.isEmpty) {
       // nothing above the floor: the plain equi-join IS the right plan
       (fact, dim, fact(key) === dim(key))

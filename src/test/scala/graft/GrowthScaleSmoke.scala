@@ -331,6 +331,63 @@ object GrowthScaleSmoke {
         failed = true
       }
     }
+    // adaptive salting IN THE MINING CHAIN (r9 ask #5): plant a
+    // boilerplate cluster (60 identical docs → identical signatures →
+    // every band bucket they produce goes hot), then check (a) the
+    // SpaceSaving report detects the buckets, (b) the salted pair
+    // search returns the EXACT unsalted pair set, and (c) the planted
+    // bucket no longer owns one reducer key: max fact-side rows per
+    // join key drops ~salts× (per-key pair generation is quadratic in
+    // that count — it IS the hot-reducer bound).
+    {
+      import graft.operators.{Dedup, Skew}
+      val salts = 8
+      val boiler = "the shared boilerplate legal disclaimer text that " +
+        "every crawled page carries along verbatim all rights reserved"
+      val docs = spark.range(2000).select(col("id").as("doc_id"),
+        when(col("id") % 33 === 0, lit(boiler))
+          .otherwise(concat(lit("unique document body number "),
+            col("id").cast("string"), lit(" with varied words "),
+            (col("id") * 7 % 1000).cast("string"), lit(" "),
+            (col("id") * 13 % 997).cast("string"), lit(" tail section "),
+            (col("id") * 29 % 991).cast("string"))).as("text"))
+      val sh = Dedup.shingleDf(docs, "text", "doc_id", 3, outId = "mh_id")
+      val keyed = Dedup.bandFrame(sh, "mh_id", 64, 8)
+        .withColumn("__bk",
+          concat_ws("\u0001", col("band"), col("band_hash")))
+        .localCheckpoint()
+      val hot = Skew.hotKeyList(keyed, "__bk")
+      if (hot.isEmpty) {
+        println("GROWTH FAIL mining-salt: planted hot band buckets not detected")
+        failed = true
+      }
+      def maxPerKey(df: DataFrame, keys: Column*): Long =
+        df.groupBy(keys: _*).agg(count(lit(1)).as("c"))
+          .agg(max(col("c"))).head().getLong(0)
+      val before = maxPerKey(keyed, col("__bk"))
+      val salted = keyed.withColumn("__salt",
+        when(col("__bk").isin(hot: _*),
+          pmod(hash(col("mh_id")), lit(salts))).otherwise(lit(0)))
+      val after = maxPerKey(salted, col("__bk"), col("__salt"))
+      println(s"GROWTH mining-salt hot=${hot.size} maxPerKey $before -> $after (salts=$salts)")
+      if (after > before / (salts / 2)) {
+        println(s"GROWTH FAIL mining-salt: maxPerKey only $before -> $after at salts=$salts")
+        failed = true
+      }
+      def pairSet(s: Int) =
+        Dedup.minhashLshPairsFromShingles(
+            Dedup.shingleDf(docs, "text", "doc_id", 3, outId = "mh_id"),
+            64, 8, salts = s)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSet
+      val (plain, adaptive) = (pairSet(0), pairSet(salts))
+      graft.operators.CacheScope.drain()
+      if (plain != adaptive) {
+        println(s"GROWTH FAIL mining-salt: salted pairs diverge " +
+          s"(plain=${plain.size}, salted=${adaptive.size})")
+        failed = true
+      } else println(s"GROWTH mining-salt pair sets identical (${plain.size} pairs)")
+    }
     spark.stop()
     assert(!failed, "growth assertions failed — see GROWTH FAIL lines")
     println("GROWTH OK: all phases ~linear at 10× data")
