@@ -830,6 +830,18 @@ object Cli {
               .collect() // bins-sized frame: a handful of groups
               .foreach(r => println(
                 s"wpcurate: DRIFT ${r.getString(0)} psi=${r.getDouble(2)}"))
+            // --drift-ks <maxD>: KS sup-gap companion — catches a CDF
+            // shift PSI's per-bin share ratios can miss (and vice versa)
+            flag("--drift-ks", "") match {
+              case "" => ()
+              case maxD =>
+                ref.ksOf(accepted, driftGrp, driftVal)
+                  .filter(org.apache.spark.sql.functions.col("ks_d") >
+                    maxD.toDouble)
+                  .collect()
+                  .foreach(r => println(
+                    s"wpcurate: DRIFT-KS ${r.getString(0)} ks_d=${r.getDouble(3)}"))
+            }
           }
           ()
         }.start()

@@ -69,9 +69,16 @@ case class MultiPatternStats(child: Expression, patterns: Seq[String])
 
 object MultiPatternStats {
 
-  /** Goto/fail/output automaton over chars; built once per executor. */
+  /** Goto/fail/output automaton over chars; built once per executor.
+    * Transitions are FLAT sorted (char, target) arrays per state — a
+    * binary search per step, no boxed HashMap lookups — plus a dense
+    * 65536-entry direct-index table for the root, which is where the
+    * overwhelming majority of scan steps land (most text chars start
+    * no pattern, so state stays 0 and each step is one array read). */
   case class Automaton(patterns: Seq[String]) extends Serializable {
-    @transient lazy val (next: Array[mutable.HashMap[Char, Int]],
+    @transient lazy val (chars: Array[Array[Char]],
+                        targets: Array[Array[Int]],
+                        rootNext: Array[Int],
                         fail: Array[Int],
                         out: Array[Array[Int]],
                         patLen: Array[Int]) = build()
@@ -103,14 +110,39 @@ object MultiPatternStats {
           queue.enqueue(v)
         }
       }
-      (nxt.toArray, failA, outSets.map(_.toArray).toArray,
+      // flatten: per-state sorted parallel arrays + dense root table
+      val chs = new Array[Array[Char]](nxt.length)
+      val tgs = new Array[Array[Int]](nxt.length)
+      var st = 0
+      while (st < nxt.length) {
+        val es = nxt(st).toArray.sortBy(_._1)
+        chs(st) = es.map(_._1); tgs(st) = es.map(_._2)
+        st += 1
+      }
+      val root = new Array[Int](65536)
+      nxt(0).foreach { case (c, v) => root(c) = v }
+      (chs, tgs, root, failA, outSets.map(_.toArray).toArray,
         patterns.map(_.length).toArray)
     }
   }
 
+  /** Binary search `c` in the sorted per-state char array; target or -1. */
+  private def findT(cs: Array[Char], ts: Array[Int], c: Char): Int = {
+    var lo = 0; var hi = cs.length - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val mc = cs(mid)
+      if (mc == c) return ts(mid)
+      else if (mc < c) lo = mid + 1
+      else hi = mid - 1
+    }
+    -1
+  }
+
   def scan(text: UTF8String, a: Automaton): InternalRow = {
     val s = text.toString
-    val next = a.next; val fail = a.fail; val out = a.out; val lens = a.patLen
+    val chars = a.chars; val targets = a.targets; val rootNext = a.rootNext
+    val fail = a.fail; val out = a.out; val lens = a.patLen
     val nPat = lens.length
     val counts = new Array[Long](nPat)
     val lastEnd = Array.fill(nPat)(-1)
@@ -119,8 +151,13 @@ object MultiPatternStats {
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      while (state != 0 && !next(state).contains(c)) state = fail(state)
-      state = next(state).getOrElse(c, 0)
+      if (state == 0) state = rootNext(c)
+      else {
+        var tgt = -1
+        while ({ tgt = findT(chars(state), targets(state), c)
+                 tgt < 0 && state != 0 }) state = fail(state)
+        state = if (tgt >= 0) tgt else rootNext(c)
+      }
       val hits = out(state)
       var k = 0
       while (k < hits.length) {

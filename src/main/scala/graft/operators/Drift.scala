@@ -126,6 +126,10 @@ object Drift {
     def psiOf(batch: DataFrame, grpCol: String, valCol: String,
               eps: Double = 1e-6): DataFrame =
       psiVsReference(batch, hist, grpCol, valCol, binWidth, eps)
+
+    /** KS sup-gap of a batch against this reference (probe step). */
+    def ksOf(batch: DataFrame, grpCol: String, valCol: String): DataFrame =
+      ksVsReference(batch, hist, grpCol, valCol, binWidth)
   }
 
   object DriftRef {
@@ -151,4 +155,48 @@ object Drift {
                      eps: Double = 1e-6): DataFrame =
     psiOfShares(shares(ref),
       shares(referenceHistogram(batch, grpCol, valCol, binWidth)), eps)
+
+  /** Two-sample Kolmogorov–Smirnov sup-gap of a batch against a
+    * persisted reference histogram — the drift watch's distribution-
+    * SHAPE companion to [[psiVsReference]] (PSI reads per-bin share
+    * ratios and saturates on empty bins; KS reads the CDF and catches a
+    * location/scale shift even when every bin stays populated). The KS
+    * statistic of the BINNED distributions: both sides bin at the
+    * reference's binWidth, the batch's histogram full-outer-joins the
+    * reference's (bins-sized), cumulative sums run per group over bin
+    * order, and D = max|cumP·nQ − cumQ·nP| / (nP·nQ) stays in exact
+    * integer cross-multiplied form until the one final division — the
+    * [[Metrics.ksTest]] tie-block contract applied to bins.
+    *
+    * Scale shape: the batch pays one partial agg to bins-sized form;
+    * everything after is bins×groups rows. Degenerate sides (empty
+    * reference or batch group) emit NULL ks_d. */
+  def ksVsReference(batch: DataFrame, ref: DataFrame, grpCol: String,
+                    valCol: String, binWidth: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = referenceHistogram(batch, grpCol, valCol, binWidth)
+      .withColumnRenamed("n", "nq")
+    val joined = ref.withColumnRenamed("n", "np")
+      .join(b, Seq("grp", "bin"), "full_outer")
+      .select(col("grp"), col("bin"),
+        coalesce(col("np"), lit(0L)).as("np"),
+        coalesce(col("nq"), lit(0L)).as("nq"))
+    val wCum = Window.partitionBy(col("grp")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("grp"))
+    joined
+      .withColumn("cump", sum(col("np")).over(wCum))
+      .withColumn("cumq", sum(col("nq")).over(wCum))
+      .withColumn("tp", sum(col("np")).over(wAll))
+      .withColumn("tq", sum(col("nq")).over(wAll))
+      .groupBy(col("grp"))
+      .agg(max(abs(col("cump") * col("tq") - col("cumq") * col("tp")))
+          .as("dnum"),
+        first(col("tp")).as("n_ref"), first(col("tq")).as("n_batch"))
+      .select(col("grp"), col("n_ref"), col("n_batch"),
+        when(col("n_ref") > 0 && col("n_batch") > 0,
+          round(col("dnum").cast("double") /
+            (col("n_ref").cast("double") * col("n_batch").cast("double")),
+            6)).as("ks_d"))
+  }
 }

@@ -117,5 +117,16 @@ final class RecBuilder {
   /** first-match name lookup (reference record.field(key), processor.rs:84). */
   def find(name: String): Option[WField] = fields.find(_.name == name)
   def findIdx(name: String): Int = fields.indexWhere(_.name == name)
-  def result: Vector[WField] = fields.toVector
+  /** ArrayBuffer.toVector iterates through a mutation-CHECKED view
+    * (ArrayBufferView + CheckedIterator allocation and a check per
+    * element) — measured ~15% of leaf samples on the parse hot path.
+    * Copy to a raw array first (bounds-checked apply only), then build
+    * the Vector from the wrapped array's unchecked iterator. */
+  def result: Vector[WField] = {
+    val n = fields.length
+    val arr = new Array[WField](n)
+    var i = 0
+    while (i < n) { arr(i) = fields(i); i += 1 }
+    Vector.from(scala.collection.immutable.ArraySeq.unsafeWrapArray(arr))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.wpl
 
 import java.util.SplittableRandom
+import VParser.isAsciiDigit
 
 /** Result of one typed-parser invocation: either a single (optionally
   * renamed) value, or multiple named fields (kv/kvarr/json splat). */
@@ -48,6 +49,11 @@ object VParser {
   @inline def isIdent(c: Char): Boolean =
     Character.isLetterOrDigit(c) || c == '_' || c == '.' || c == '-'
 
+  /** ASCII digit test — Char.isDigit consults the Unicode tables
+    * (CharacterDataLatin1 showed up in parse-loop leaf samples) and the
+    * reference's winnow digit1 is ASCII-only anyway. */
+  @inline def isAsciiDigit(c: Char): Boolean = c >= '0' && c <= '9'
+
   def tokenTo(cur: Cursor, sep: Sep): String = {
     val f = sep.find(cur.input, cur.pos)
     if (f != Sep.NotFound) {
@@ -61,8 +67,8 @@ object VParser {
   def digitRun(cur: Cursor): String = {
     val start = cur.pos
     if (!cur.atEnd && (cur.peek == '-' || cur.peek == '+')) cur.pos += 1
-    while (!cur.atEnd && cur.peek.isDigit) cur.pos += 1
-    if (cur.pos > start && cur.input.charAt(cur.pos - 1).isDigit)
+    while (!cur.atEnd && isAsciiDigit(cur.peek)) cur.pos += 1
+    if (cur.pos > start && isAsciiDigit(cur.input.charAt(cur.pos - 1)))
       cur.input.substring(start, cur.pos)
     else { cur.pos = start; "" }
   }
@@ -155,17 +161,17 @@ object FloatP extends VParser("float") {
     val start = cur.pos
     if (!cur.atEnd && (cur.peek == '-' || cur.peek == '+')) cur.pos += 1
     var digits = 0
-    while (!cur.atEnd && cur.peek.isDigit) { cur.pos += 1; digits += 1 }
+    while (!cur.atEnd && isAsciiDigit(cur.peek)) { cur.pos += 1; digits += 1 }
     var hasDot = false
     if (!cur.atEnd && cur.peek == '.') {
       hasDot = true; cur.pos += 1
-      while (!cur.atEnd && cur.peek.isDigit) { cur.pos += 1; digits += 1 }
+      while (!cur.atEnd && isAsciiDigit(cur.peek)) { cur.pos += 1; digits += 1 }
     }
     var hasExp = false
     if (!cur.atEnd && (cur.peek == 'e' || cur.peek == 'E')) {
       val m = cur.pos; cur.pos += 1
       if (!cur.atEnd && (cur.peek == '-' || cur.peek == '+')) cur.pos += 1
-      if (!cur.atEnd && cur.peek.isDigit) { hasExp = true; while (!cur.atEnd && cur.peek.isDigit) cur.pos += 1 }
+      if (!cur.atEnd && isAsciiDigit(cur.peek)) { hasExp = true; while (!cur.atEnd && isAsciiDigit(cur.peek)) cur.pos += 1 }
       else cur.pos = m
     }
     if (digits == 0 || !(hasDot || hasExp) ||
@@ -240,7 +246,7 @@ object SnP extends VParser("sn") {
 
 object IpP extends VParser("ip") {
   @inline private def isIpChar(c: Char) =
-    c.isDigit || c == '.' || c == ':' || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+    isAsciiDigit(c) || c == '.' || c == ':' || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
   def validIpv4(s: String): Boolean = {
     // imperative (no regex/split) — this sits on the auto-chain hot path
     var i = 0; var part = 0; var digits = 0; var value = 0; var leadZero = false
@@ -403,7 +409,7 @@ object HttpRequestP extends VParser("http/request") {
     if (uri.isEmpty || !in.startsWith("HTTP/", p)) { cur.reset(m); return null }
     val vStart = p
     p += 5
-    while (p < cur.len && (in.charAt(p).isDigit || in.charAt(p) == '.')) p += 1
+    while (p < cur.len && (isAsciiDigit(in.charAt(p)) || in.charAt(p) == '.')) p += 1
     val version = in.substring(vStart, p)
     cur.pos = p
     One(WObj(Vector("method" -> WChars(method), "uri" -> WChars(uri),

@@ -78,7 +78,7 @@ object KvP extends VParser("kv") {
 object AutoVal {
   def typed(s: String): WValue = {
     if (s.isEmpty) return WChars(s)
-    if (s.forall(_.isDigit) || (s.length > 1 && s.charAt(0) == '-' && s.drop(1).forall(_.isDigit))) {
+    if (s.forall(VParser.isAsciiDigit) || (s.length > 1 && s.charAt(0) == '-' && s.drop(1).forall(VParser.isAsciiDigit))) {
       try return WDigit(s.toLong) catch { case _: NumberFormatException => }
     }
     if (s == "true") return WBool(true)
@@ -164,7 +164,7 @@ object JsonP extends VParser("json") {
       case 't' => if (cur.input.startsWith("true", cur.pos)) { cur.pos += 4; WBool(true) } else null
       case 'f' => if (cur.input.startsWith("false", cur.pos)) { cur.pos += 5; WBool(false) } else null
       case 'n' => if (cur.input.startsWith("null", cur.pos)) { cur.pos += 4; WNull } else null
-      case c if c.isDigit || c == '-' =>
+      case c if VParser.isAsciiDigit(c) || c == '-' =>
         val m = cur.mark
         FloatP.parse(cur, VParser.EolSep) match {
           case One(f) => f
@@ -323,8 +323,8 @@ object IdCardP extends VParser("id_card") {
   def parse(cur: Cursor, sep: Sep): Parsed = {
     val start = cur.pos
     var n = 0
-    while (!cur.atEnd && cur.peek.isDigit && n < 17) { cur.pos += 1; n += 1 }
-    if (n == 17 && !cur.atEnd && (cur.peek.isDigit || cur.peek == 'X' || cur.peek == 'x')) {
+    while (!cur.atEnd && VParser.isAsciiDigit(cur.peek) && n < 17) { cur.pos += 1; n += 1 }
+    if (n == 17 && !cur.atEnd && (VParser.isAsciiDigit(cur.peek) || cur.peek == 'X' || cur.peek == 'x')) {
       cur.pos += 1
       if (cur.atEnd || !Character.isLetterOrDigit(cur.peek))
         One(WChars(cur.input.substring(start, cur.pos)))
@@ -343,7 +343,7 @@ object MobilePhoneP extends VParser("mobile_phone") {
     val c2 = cur.input.charAt(cur.pos + 1)
     if (c2 < '3' || c2 > '9') return null
     var i = 0
-    while (i < 11 && cur.pos + i < cur.len && cur.input.charAt(cur.pos + i).isDigit) i += 1
+    while (i < 11 && cur.pos + i < cur.len && VParser.isAsciiDigit(cur.input.charAt(cur.pos + i))) i += 1
     if (i == 11 && (cur.pos + 11 >= cur.len || !Character.isLetterOrDigit(cur.input.charAt(cur.pos + 11)))) {
       val s = cur.input.substring(cur.pos, cur.pos + 11)
       cur.pos += 11

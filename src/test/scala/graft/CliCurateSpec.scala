@@ -556,9 +556,12 @@ class CliCurateSpec extends AnyFunSuite {
     Console.withOut(new java.io.PrintStream(buf)) {
       graft.cli.Cli.main(Array("wpcurate", "daemon", inDir, outDir,
         "--drift", idxDir, "--drift-grp", "lang", "--drift-val", "n_chars",
+        "--drift-ks", "0.5",
         "--once"))
     }
     assert(buf.toString.contains("DRIFT en"), s"stdout was: ${buf.toString}")
+    // disjoint supports → KS sup-gap 1.0 clears the 0.5 alert floor
+    assert(buf.toString.contains("DRIFT-KS en"), s"stdout was: ${buf.toString}")
     // and the rows still flowed through
     assert(spark.read.parquet(s"$outDir/accepted").count() == 20)
   }

@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round-10 additions: the KS drift gate against a persisted
+  * reference, the Damerau–Levenshtein input cap, and the mojibake
+  * false-positive fix. */
+class R10OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("ksVsReference: 0 for an identical batch, 1 for disjoint supports") {
+    import spark.implicits._
+    import graft.operators.Drift
+    val ref = Seq(("a", 5.0), ("a", 5.0), ("a", 25.0), ("a", 25.0),
+      ("b", 5.0), ("b", 25.0)).toDF("grp0", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("ks_ref").toString
+    Drift.DriftRef.build(ref, "grp0", "value", 20.0).save(tmp)
+    val loaded = Drift.DriftRef.load(spark, tmp)
+    // identical batch: CDFs coincide at every bin → D = 0
+    val same = loaded.ksOf(ref, "grp0", "value")
+      .collect().map(r => (r.getString(0), r.getDouble(3))).toMap
+    assert(same == Map("a" -> 0.0, "b" -> 0.0))
+    // fully shifted batch for group a: disjoint bins → D = 1
+    val shifted = Seq(("a", 105.0), ("a", 125.0)).toDF("grp0", "value")
+    val d = loaded.ksOf(shifted, "grp0", "value")
+      .collect().map(r => (r.getString(0), if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toMap
+    assert(d("a") == 1.0)
+    // group b absent from the batch → NULL, not 0 and not an error
+    assert(d.get("b").forall(_ == -1.0))
+  }
+
+  test("ksVsReference: hand-computed sup-gap on a partial shift") {
+    import spark.implicits._
+    import graft.operators.Drift
+    // ref bins: {0: 2, 1: 2} → CDF .5, 1 ; batch {0: 1, 1: 3} → .25, 1
+    // D = .25, exact integer form: |2*4 - 1*4| / (4*4) = 4/16
+    val ref = Seq(("g", 5.0), ("g", 15.0), ("g", 25.0), ("g", 35.0))
+      .toDF("grp0", "value")
+    val batch = Seq(("g", 5.0), ("g", 25.0), ("g", 25.0), ("g", 35.0))
+      .toDF("grp0", "value")
+    val d = Drift.ksVsReference(batch,
+      Drift.referenceHistogram(ref, "grp0", "value", 20.0),
+      "grp0", "value", 20.0).head()
+    assert(d.getLong(1) == 4 && d.getLong(2) == 4 && d.getDouble(3) == 0.25)
+  }
+
+  test("damerau_levenshtein: document-length inputs are refused loudly") {
+    import graft.functions.DamerauLevenshtein
+    val big = "x" * (DamerauLevenshtein.MaxLen + 1)
+    val e = intercept[IllegalArgumentException] {
+      DamerauLevenshtein.distance(big, "short")
+    }
+    assert(e.getMessage.contains("cap"))
+    // at the cap it still computes
+    val atCap = "y" * DamerauLevenshtein.MaxLen
+    assert(DamerauLevenshtein.distance(atCap, atCap) == 0)
+  }
+
+  test("mojibake: damage digraphs flagged, legitimate Ã text passes") {
+    import spark.implicits._
+    import graft.operators.CleaningSignals
+    val df = Seq(
+      (1L, "broken cafÃ© mojibake"),          // Ã + © (0080–00BF) → damage
+      (2L, "JOÃO lives in SÃO PAULO"),        // Ã + letter → clean
+      (3L, "quoted â€™ apostrophe damage"),   // â€ + ™ → damage
+      (4L, "totally ordinary ascii text"))
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        CleaningSignals.encClean(col("text")).as("ok"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out == Map(1L -> false, 2L -> true, 3L -> false, 4L -> true))
+  }
+
+  test("evalTopK: below-cutoff relevant hits no longer credit p@k or MRR") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    // one query, 10 results; the ONLY relevant docs sit at ranks 6..10
+    val results = (1 to 10).map(r => ("q1", r, r.toLong)).toDF("query_id", "rank", "id")
+    val rels = (6L to 10L).map(id => ("q1", id, 1)).toDF("query_id", "id", "rel")
+    val m = Retrieval.evalTopK(results, rels, k = 5).head()
+    // ndcg: dcg over ranks 1..5 is 0 → 0-valued (idcg > 0); mrr/p@k null/0
+    assert(m.getDouble(1) == 0.0)
+    assert(m.isNullAt(2), "MRR must not credit a rank-6 hit at k=5")
+    assert(m.getDouble(3) == 0.0, "p@k must not count below-cutoff hits")
+  }
+}
