@@ -1047,6 +1047,48 @@ object SparkEntry {
       graft.operators.PrefPairs.pairStats(prefPairsOf(s, dir),
         col("doc_id"), col("chosen"), col("rejected")))
 
+  /** Deterministic model-comparison battles between SOURCES: adjacent
+    * docs (doc_id, doc_id+1) from different sources fight; the longer
+    * text wins (ties to the lexicographically smaller source). A
+    * synthetic-but-faithful stand-in for arena/preference judgment
+    * streams, shared by the win-rate and Bradley–Terry queries. */
+  private def battleCellsOf(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val a = d.select(col("doc_id"), col("source").as("ma"),
+      col("n_chars").as("ca"))
+    val b = d.select((col("doc_id") - 1).as("doc_id"),
+      col("source").as("mb"), col("n_chars").as("cb"))
+    val fights = a.join(b, "doc_id").filter(col("ma") =!= col("mb"))
+      .withColumn("a_won", col("ca") > col("cb") ||
+        (col("ca") === col("cb") && col("ma") < col("mb")))
+    graft.operators.Battles.cells(fights, col("ma"), col("mb"), col("a_won"))
+  }
+
+  /** Per-matchup win rates with Wilson 95% intervals. */
+  private def qBattleWinrates(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Battles.winRateWilson(battleCellsOf(s, dir))
+      .orderBy(col("model_a"), col("model_b"))
+
+  /** Bradley–Terry strengths over the same battle cells (20 quantized
+    * Zermelo rounds — the oracle replays them as unrolled CTEs). */
+  private def qBtStrength(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Battles.btStrengths(battleCellsOf(s, dir), iters = 20)
+      .orderBy(col("strength").desc, col("model"))
+
+  /** One-way ANOVA of event value by event type. */
+  private def qEventsAnova(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Metrics.anovaOneWay(t(s, dir, "events"),
+      col("event_type"), col("value"))
+
+  /** Sorted-neighborhood linkage pass over part names: first-char
+    * partitions, name sort order, window 3, edit distance ≤ 2 —
+    * the equality-block-free complement to `fuzzy_match_*`. */
+  private def qLinkageSortedNbhd(s: SparkSession, dir: String): DataFrame =
+    graft.operators.FuzzyLink.sortedNeighborhoodPairs(t(s, dir, "part"),
+        "p_name", substring(col("name"), 1, 1), col("name"),
+        window = 3, maxDist = 4)
+      .orderBy(col("name_a"), col("name_b"))
+
   /** Text-cleaning damage signals over documents with deterministic
     * noise injection (HTML chrome / mojibake / code lines by doc_id
     * residue — replayed verbatim by the oracle) so every signal path
@@ -3375,7 +3417,11 @@ object SparkEntry {
     "pref_pair_stats" -> (qPrefPairStats _),
     "pref_pair_bias" -> (qPrefPairBias _),
     "fuzzy_match_dl" -> (qFuzzyMatchDl _),
-    "cleaning_signals" -> (qCleaningSignals _)
+    "cleaning_signals" -> (qCleaningSignals _),
+    "battle_winrates" -> (qBattleWinrates _),
+    "bt_strength" -> (qBtStrength _),
+    "q_events_anova" -> (qEventsAnova _),
+    "linkage_sorted_nbhd" -> (qLinkageSortedNbhd _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -7691,8 +7737,92 @@ object SparkEntry {
               AS micro_jaccard,
             CAST(sum(CASE WHEN exact_dup THEN 1 ELSE 0 END) AS BIGINT)
               AS n_exact_dup
-          FROM st"""
+          FROM st""",
+    "battle_winrates" -> {
+      val z = 1.96
+      s"""WITH cells AS ($battleCellsOracle),
+          b AS (SELECT model_a, model_b, n, wins_a,
+                  CAST(n AS DOUBLE) AS nd,
+                  CAST(wins_a AS DOUBLE) / CAST(n AS DOUBLE) AS p
+                FROM cells),
+          w AS (SELECT *, 1.0 + ${z * z} / nd AS den,
+                  p + ${z * z} / (2.0 * nd) AS center,
+                  $z * sqrt((p * (1.0 - p) + ${z * z} / (4.0 * nd)) / nd)
+                    AS margin
+                FROM b)
+          SELECT model_a, model_b, n, wins_a, round(p, 6) AS winrate_a,
+            round((center - margin) / den, 6) AS wilson_lo,
+            round((center + margin) / den, 6) AS wilson_hi
+          FROM w ORDER BY model_a, model_b"""
+    },
+    "bt_strength" ->
+      graft.operators.Battles.btOracleSql(battleCellsOracle, iters = 20),
+    "q_events_anova" ->
+      """WITH e AS (SELECT event_type AS g,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),
+           gg AS (SELECT g, CAST(count(*) AS BIGINT) AS ng, sum(c) AS sg,
+                    sum(c * c) AS sgg FROM e GROUP BY g),
+           m AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                   CAST(sum(ng) AS BIGINT) AS n,
+                   sum(sg) AS s, sum(sgg) AS ss,
+                   sum(CAST(floor(CAST(sg * sg AS DOUBLE) / ng + 0.5)
+                     AS HUGEINT)) AS bq
+                 FROM gg),
+           m2 AS (SELECT *, CAST(floor(CAST(s * s AS DOUBLE) / n + 0.5)
+                    AS HUGEINT) AS grand FROM m)
+         SELECT k, n,
+           round(CAST(bq - grand AS DOUBLE), 4) AS ssb,
+           round(CAST(ss - grand AS DOUBLE) - CAST(bq - grand AS DOUBLE), 4)
+             AS ssw,
+           round(CAST(ss - grand AS DOUBLE), 4) AS sst,
+           CASE WHEN k > 1 AND n > k AND
+               (CAST(ss - grand AS DOUBLE) - CAST(bq - grand AS DOUBLE)) > 0
+             THEN round((CAST(bq - grand AS DOUBLE) / CAST(k - 1 AS DOUBLE)) /
+               ((CAST(ss - grand AS DOUBLE) - CAST(bq - grand AS DOUBLE)) /
+                 CAST(n - k AS DOUBLE)), 4)
+           END AS f_stat,
+           CASE WHEN CAST(ss - grand AS DOUBLE) > 0
+             THEN round(CAST(bq - grand AS DOUBLE) /
+               CAST(ss - grand AS DOUBLE), 6)
+           END AS eta_sq
+         FROM m2""",
+    "linkage_sorted_nbhd" ->
+      """WITH dict AS (SELECT p_name AS name, CAST(count(*) AS BIGINT) AS cnt
+                       FROM part GROUP BY 1),
+           d2 AS (SELECT name, cnt, substr(name, 1, 1) AS part FROM dict),
+           nb AS (SELECT name, cnt,
+                    lead(name, 1) OVER w AS n1, lead(cnt, 1) OVER w AS c1,
+                    lead(name, 2) OVER w AS n2, lead(cnt, 2) OVER w AS c2
+                  FROM d2 WINDOW w AS (PARTITION BY part ORDER BY name)),
+           pairs AS (
+             SELECT name, cnt, n1 AS nname, c1 AS ncnt FROM nb
+             WHERE n1 IS NOT NULL
+             UNION ALL
+             SELECT name, cnt, n2, c2 FROM nb WHERE n2 IS NOT NULL)
+         SELECT least(name, nname) AS name_a,
+           greatest(name, nname) AS name_b,
+           levenshtein(name, nname) AS dist,
+           CAST(cnt * ncnt AS BIGINT) AS pair_rows
+         FROM pairs WHERE levenshtein(name, nname) <= 4
+         ORDER BY name_a, name_b"""
   )
+
+  /** Battle cells (shared by `battle_winrates` / `bt_strength`):
+    * adjacent docs from different sources fight, longer text wins,
+    * canonical unordered (model_a < model_b) cells with exact counts. */
+  private val battleCellsOracle: String =
+    """WITH f AS (
+         SELECT a.source AS ma, b.source AS mb,
+           (a.n_chars > b.n_chars OR
+            (a.n_chars = b.n_chars AND a.source < b.source)) AS a_won
+         FROM documents a JOIN documents b ON a.doc_id = b.doc_id - 1
+         WHERE a.source <> b.source)
+       SELECT least(ma, mb) AS model_a, greatest(ma, mb) AS model_b,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN (CASE WHEN ma < mb THEN a_won
+                             ELSE NOT a_won END) THEN 1 ELSE 0 END)
+           AS BIGINT) AS wins_a
+       FROM f GROUP BY 1, 2"""
 
   private val prefPairOracleStats: String =
     """WITH pairs AS (

@@ -123,4 +123,48 @@ object FuzzyLink {
         levenshtein(col("name_a"), col("name_b")).as("lev"),
         (col("cnt_a") * col("cnt_b")).as("pair_rows"))
   }
+
+  /** Sorted-neighborhood candidate generation (Hernández–Stolfo 1995)
+    * — the complementary blocking strategy to the equi-join blocks
+    * above: instead of "same block key", candidates are "within
+    * `window` positions of each other in sort order", which catches
+    * matches an equality block splits (typo in the block token itself)
+    * at linear candidate cost (each dictionary entry pairs with at
+    * most window−1 neighbors).
+    *
+    * Scale shape: the sort runs INSIDE coarse partitions
+    * (`partExpr` — e.g. a 1–2 char prefix), never as a global
+    * single-partition window; each partition's neighbor generation is
+    * `window−1` `lead()`s over one partitioned-and-sorted pass, then
+    * a map-side explode + codegen'd edit-distance gate. Pairs whose
+    * members fall in different partitions are not candidates — the
+    * standard sorted-blocks tradeoff, tuned by partExpr granularity
+    * (multi-pass SNM with rotated sort keys is the classic recall
+    * fix and composes by unioning passes). */
+  def sortedNeighborhoodPairs(df: DataFrame, nameCol: String,
+                              partExpr: Column, sortExpr: Column,
+                              window: Int, maxDist: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dim = df.groupBy(col(nameCol).as("name"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("name"), col("cnt"), partExpr.as("part"),
+        sortExpr.as("skey"))
+    val w = Window.partitionBy(col("part")).orderBy(col("skey"), col("name"))
+    // window exprs hoisted to top-level columns (they can't nest inside
+    // the array constructor) — still ONE window pass; the array+explode
+    // below is plain map-side column work
+    val withLeads = (1 until window).foldLeft(dim) { (d, o) =>
+      d.withColumn(s"__n$o", lead(col("name"), o).over(w))
+        .withColumn(s"__c$o", lead(col("cnt"), o).over(w))
+    }
+    val nbrs = array((1 until window).map(o =>
+      struct(col(s"__n$o").as("nname"), col(s"__c$o").as("ncnt"))): _*)
+    withLeads.withColumn("nb", explode(nbrs))
+      .filter(col("nb.nname").isNotNull)
+      .withColumn("dist", levenshtein(col("name"), col("nb.nname")))
+      .filter(col("dist") <= maxDist)
+      .select(least(col("name"), col("nb.nname")).as("name_a"),
+        greatest(col("name"), col("nb.nname")).as("name_b"),
+        col("dist"), (col("cnt") * col("nb.ncnt")).as("pair_rows"))
+  }
 }

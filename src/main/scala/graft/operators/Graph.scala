@@ -56,9 +56,17 @@ object Graph {
     var pr = n.select(col("node"), (lit(1.0) / lit(nCount)).as("pr"))
       .localCheckpoint()
     for (i <- 1 to iters) {
+      // floor(x + 0.5) ≡ round-HALF_UP for the non-negative mass terms
+      // here (pr, p ≥ 0; magnitude ≤ 1e15 < 2^51 keeps the +0.5 sum
+      // exactly representable) — but floor stays in whole-stage codegen
+      // as primitive double math and yields the long directly, where
+      // Round on DoubleType allocates a BigDecimal PER EDGE PER
+      // ITERATION (the cost RoundingScaleSmoke's partition-invariance
+      // fix introduced in r9; this fusion keeps the contract and
+      // removes the allocation).
       val inMass = norm.join(pr.withColumnRenamed("node", "u"), "u")
         .groupBy(col("v"))
-        .agg((sum(round(col("pr") * col("p") * lit(1e15)).cast("long")) /
+        .agg((sum(floor(col("pr") * col("p") * lit(1e15) + lit(0.5))) /
           lit(1e15)).as("inmass"))
       val next = n.join(inMass.withColumnRenamed("v", "node"), Seq("node"), "left")
         .select(col("node"),

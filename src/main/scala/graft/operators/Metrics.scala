@@ -620,4 +620,52 @@ object Metrics {
         round(covNum /
           sqrt(varNum("sx", "sxx") * varNum("sy", "syy")), 6)).as("rho"))
   }
+
+  /** One-way ANOVA over `valueCol` by `grpCol`: the k-group
+    * generalization of the two-sample readouts above — F, η²
+    * (SSB/SST), and the exact sum-of-squares decomposition. The
+    * between/total sums are built from EXACT integer moments (cents
+    * quantization, per-group Σc and Σc² as longs; the squared-sum
+    * terms are single long products cast to double once — one
+    * deterministic rounding each, no order-dependent float folds),
+    * each quantized term summed as longs ⇒ partition-invariant and
+    * SQL-replayable. One groupBy + one k-row fold; no second data
+    * pass.
+    *
+    * Units: ssb/ssw/sst are in cents² (the exact integers); F and η²
+    * are unit-free. Degenerate inputs (k < 2 or n ≤ k or SSW = 0)
+    * emit NULL F rather than ±Inf. */
+  def anovaOneWay(df: DataFrame, grpCol: Column, valueCol: Column): DataFrame = {
+    val c = floor(valueCol * 100 + 0.5).cast("long")
+    // decimal(38,0) moments: per-row cents and cents² fit longs, but
+    // their corpus-scale sums need 128-bit headroom (DuckDB's
+    // sum(BIGINT) → HUGEINT is the oracle-side mirror)
+    val g = df.select(grpCol.as("g"), c.as("c"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("ng"),
+        sum(col("c").cast("decimal(20,0)")).as("sg"),
+        sum((col("c") * col("c")).cast("decimal(20,0)")).as("sgg"))
+    val m = g.agg(
+      count(lit(1)).as("k"),
+      sum(col("ng")).as("n"),
+      sum(col("sg")).as("s"),
+      sum(col("sgg")).as("ss"),
+      // Σ_g ⌊Sg²/ng⌉ — Sg·Sg is an exact decimal product; one cast to
+      // double, one division, one floor ⇒ a deterministic integer per
+      // group, then exact addition across groups
+      sum(floor((col("sg") * col("sg")).cast("double") / col("ng") + lit(0.5))
+        .cast("decimal(38,0)")).as("bq"))
+    val grand = floor((col("s") * col("s")).cast("double") / col("n") + lit(0.5))
+      .cast("decimal(38,0)")
+    val ssb = (col("bq") - grand).cast("double")
+    val sst = (col("ss") - grand).cast("double")
+    val ssw = sst - ssb
+    val dfb = (col("k") - 1).cast("double")
+    val dfw = (col("n") - col("k")).cast("double")
+    m.select(col("k"), col("n"),
+      round(ssb, 4).as("ssb"), round(ssw, 4).as("ssw"), round(sst, 4).as("sst"),
+      when(col("k") > 1 && col("n") > col("k") && ssw > 0,
+        round((ssb / dfb) / (ssw / dfw), 4)).as("f_stat"),
+      when(sst > 0, round(ssb / sst, 6)).as("eta_sq"))
+  }
 }

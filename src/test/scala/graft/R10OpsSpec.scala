@@ -78,6 +78,75 @@ class R10OpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> false, 2L -> true, 3L -> false, 4L -> true))
   }
 
+  test("battles: cells canonicalize, Wilson brackets the rate, BT ranks dominance") {
+    import spark.implicits._
+    import graft.operators.Battles
+    // A beats B 3/4, B beats C 3/3, A beats C 2/2 — strict dominance A > B > C
+    val fights = Seq(
+      ("A", "B", true), ("A", "B", true), ("B", "A", false), ("B", "A", true),
+      ("B", "C", true), ("B", "C", true), ("C", "B", false),
+      ("C", "A", false), ("A", "C", true))
+      .toDF("ma", "mb", "a_won")
+    val cells = Battles.cells(fights, col("ma"), col("mb"), col("a_won"))
+    val cm = cells.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(cm == Map(("A", "B") -> (4L, 3L), ("B", "C") -> (3L, 3L),
+      ("A", "C") -> (2L, 2L)))
+    val w = Battles.winRateWilson(cells).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    val (p, lo, hi) = w(("A", "B"))
+    assert(p == 0.75 && lo < 0.75 && 0.75 < hi && lo > 0 && hi < 1)
+    // n=3, w=3: the Wilson LOWER bound pulls well off 1 where Wald
+    // would pin 1±0; the upper bound is exactly 1 at p̂=1 by algebra
+    val (_, lo2, hi2) = w(("B", "C"))
+    assert(lo2 > 0.3 && lo2 < 0.5 && hi2 == 1.0)
+    val s = Battles.btStrengths(cells, iters = 20).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(s("A") > s("B") && s("B") > s("C"), s.toString)
+    assert(math.abs(s.values.sum - 1.0) < 1e-4)
+    // partition-invariance of the quantized fixed point
+    val s2 = Battles.btStrengths(cells.repartition(7), iters = 20).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(s == s2)
+  }
+
+  test("anovaOneWay: exact cents decomposition and known F") {
+    import spark.implicits._
+    import graft.operators.Metrics
+    // groups {1,2,3} and {4,5,6}: SSB=6.75·... in cents²: values in
+    // dollars → cents 100..600; SST=17500·1e?; hand: means 200 vs 500,
+    // grand 350; SSB = 2·3·150² = 135000; SSW = 2·(100²·2/..)= each
+    // group Σ(c-mean)² = 20000 ⇒ SSW=40000; F=(135000/1)/(40000/4)=13.5
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 4.0), ("b", 5.0), ("b", 6.0)).toDF("g", "v")
+    val r = Metrics.anovaOneWay(df, col("g"), col("v")).head()
+    assert(r.getLong(0) == 2 && r.getLong(1) == 6)
+    assert(r.getDouble(2) == 135000.0 && r.getDouble(3) == 40000.0 &&
+      r.getDouble(4) == 175000.0)
+    assert(r.getDouble(5) == 13.5)
+    // identical groups → SSB 0, F 0
+    val r2 = Metrics.anovaOneWay(
+      Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0)).toDF("g", "v"),
+      col("g"), col("v")).head()
+    assert(r2.getDouble(2) == 0.0 && r2.getDouble(5) == 0.0)
+  }
+
+  test("sortedNeighborhoodPairs: window candidates only, partitions bound the sort") {
+    import spark.implicits._
+    import graft.operators.FuzzyLink
+    val df = Seq("apple", "applf", "appzz", "azzzz", "bpple").toDF("n")
+    val pairs = FuzzyLink.sortedNeighborhoodPairs(df, "n",
+        substring(col("name"), 1, 1), col("name"), window = 3, maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // within-window pairs under dist ≤ 2: apple–applf (1), apple–appzz
+    // (2), applf–appzz (2), appzz–azzzz (2); apple–azzzz is 3 positions
+    // apart → never a candidate; bpple is dist 1 from apple but in
+    // partition 'b' → the documented sorted-blocks miss
+    assert(pairs == Set(("apple", "applf"), ("apple", "appzz"),
+      ("applf", "appzz"), ("appzz", "azzzz")))
+  }
+
   test("evalTopK: below-cutoff relevant hits no longer credit p@k or MRR") {
     import spark.implicits._
     import graft.operators.Retrieval
