@@ -1080,6 +1080,32 @@ object SparkEntry {
     graft.operators.Metrics.anovaOneWay(t(s, dir, "events"),
       col("event_type"), col("value"))
 
+  /** Pairwise source vocabulary overlap via HLL inclusion–exclusion:
+    * one token-sketch pass over the corpus (512-byte registers per
+    * source), then |A∩B| and Jaccard estimates on the 190-pair frame.
+    * The oracle replays registers RELATIONALLY — (grp, j, max rho)
+    * rows — and pair-merges them with a join, the same elementwise-max
+    * the binary merge performs. */
+  private def qSourceVocabOverlapHll(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Cardinality
+    val toks = t(s, dir, "documents").select(col("source"),
+      explode(filter(split(trim(col("text")), "\\s+"),
+        x => length(x) > 0)).as("tok"))
+    Cardinality.pairOverlap(
+        Cardinality.registersOf(toks, "source", "tok", p = 9), p = 9)
+      .withColumnRenamed("grp_a", "source_a")
+      .withColumnRenamed("grp_b", "source_b")
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** Top principal component of the embedding corpus by 8 power-
+    * iteration rounds — per-dim loadings + variance share (the
+    * anisotropy diagnostic). Oracle replays the quantized rounds as
+    * unrolled MATERIALIZED CTEs. */
+  private def qEmbPcaPower(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Pca.powerTopComponent(t(s, dir, "embeddings"),
+      "vec_id", "embedding", iters = 8)
+
   /** Sorted-neighborhood linkage pass over part names: first-char
     * partitions, name sort order, window 3, edit distance ≤ 2 —
     * the equality-block-free complement to `fuzzy_match_*`. */
@@ -3421,7 +3447,9 @@ object SparkEntry {
     "battle_winrates" -> (qBattleWinrates _),
     "bt_strength" -> (qBtStrength _),
     "q_events_anova" -> (qEventsAnova _),
-    "linkage_sorted_nbhd" -> (qLinkageSortedNbhd _)
+    "linkage_sorted_nbhd" -> (qLinkageSortedNbhd _),
+    "source_vocab_overlap_hll" -> (qSourceVocabOverlapHll _),
+    "emb_pca_power" -> (qEmbPcaPower _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -7804,7 +7832,43 @@ object SparkEntry {
            levenshtein(name, nname) AS dist,
            CAST(cnt * ncnt AS BIGINT) AS pair_rows
          FROM pairs WHERE levenshtein(name, nname) <= 4
-         ORDER BY name_a, name_b"""
+         ORDER BY name_a, name_b""",
+    "source_vocab_overlap_hll" ->
+      s"""WITH ${hllOracleCtes("v",
+            """SELECT source AS grp, unnest(list_filter(
+                 regexp_split_to_array(trim(text), '\s+'),
+                 x -> len(x) > 0)) AS k FROM documents""")},
+          grps AS (SELECT DISTINCT grp FROM vregs),
+          prs AS (SELECT a.grp AS ga, b.grp AS gb
+                  FROM grps a JOIN grps b ON a.grp < b.grp),
+          prg AS (SELECT p.ga, p.gb, r.j, max(r.mj) AS mj
+                  FROM prs p JOIN vregs r ON r.grp = p.ga OR r.grp = p.gb
+                  GROUP BY 1, 2, 3),
+          pagg AS (SELECT ga, gb, count(*) AS nonzero,
+                  sum(CAST(1::BIGINT << (56 - mj) AS HUGEINT))
+                    + CAST(512 - count(*) AS HUGEINT) * (1::BIGINT << 56) AS s
+                  FROM prg GROUP BY 1, 2),
+          pest AS (SELECT ga, gb,
+                  CASE WHEN (0.7213 / (1.0 + 1.079 / 512.0)) * 512 * 512
+                         * power(2.0, 56.0) / CAST(s AS DOUBLE) <= 2.5 * 512
+                        AND 512 - nonzero > 0
+                       THEN 512 * ln(CAST(512 AS DOUBLE) / (512 - nonzero))
+                       ELSE (0.7213 / (1.0 + 1.079 / 512.0)) * 512 * 512
+                         * power(2.0, 56.0) / CAST(s AS DOUBLE) END AS est
+                  FROM pagg)
+          SELECT p.ga AS source_a, p.gb AS source_b,
+            round(fa.est, 4) AS est_a, round(fb.est, 4) AS est_b,
+            round(p.est, 4) AS est_union,
+            round((fa.est + fb.est) - p.est, 4) AS est_inter,
+            CASE WHEN p.est > 0
+              THEN round(((fa.est + fb.est) - p.est) / p.est, 6)
+            END AS jaccard_est
+          FROM pest p JOIN vfin fa ON p.ga = fa.grp
+          JOIN vfin fb ON p.gb = fb.grp
+          ORDER BY source_a, source_b""",
+    "emb_pca_power" -> graft.operators.Pca.oracleSql(
+      "SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+      iters = 8)
   )
 
   /** Battle cells (shared by `battle_winrates` / `bt_strength`):

@@ -92,6 +92,39 @@ object Cardinality {
     }
   }
 
+  /** Pairwise group-overlap estimates from a per-group registers frame
+    * (inclusion–exclusion on HLL sketches): for every unordered group
+    * pair, |A|, |B|, |A∪B| (the elementwise-max merged sketch) and the
+    * derived |A∩B| = |A|+|B|−|A∪B| with a Jaccard estimate. This is
+    * the "how much vocabulary/user-base do these sources share?"
+    * readout, answered from 2^p-byte sketches built in ONE corpus
+    * pass — never a key-level pairwise join. The pair frame is
+    * groups², and the register-merge UDF runs only there (explicitly
+    * off the data path, as with [[CardRef.noveltyOf]]). est_inter can
+    * go slightly negative at HLL noise scale for disjoint sets —
+    * reported raw, not clamped, so the error model stays visible. */
+  def pairOverlap(regsDf: DataFrame, p: Int): DataFrame = {
+    val pp = p
+    val estUdf = udf((a: Array[Byte], b: Array[Byte]) => {
+      val u = a.clone()
+      HllSketch.mergeRegisters(u, b)
+      (HllSketch.estimate(a, pp)._1, HllSketch.estimate(b, pp)._1,
+        HllSketch.estimate(u, pp)._1)
+    })
+    val l = regsDf.select(col("grp").as("grp_a"), col("regs").as("__ra"))
+    val r = regsDf.select(col("grp").as("grp_b"), col("regs").as("__rb"))
+    val inter = (col("e._1") + col("e._2")) - col("e._3")
+    l.join(r, col("grp_a") < col("grp_b"))
+      .withColumn("e", estUdf(col("__ra"), col("__rb")))
+      .select(col("grp_a"), col("grp_b"),
+        round(col("e._1"), 4).as("est_a"),
+        round(col("e._2"), 4).as("est_b"),
+        round(col("e._3"), 4).as("est_union"),
+        round(inter, 4).as("est_inter"),
+        when(col("e._3") > 0, round(inter / col("e._3"), 6))
+          .as("jaccard_est"))
+  }
+
   object CardRef {
     def build(df: DataFrame, grpCol: String, keyCol: String,
               p: Int = 9): CardRef =

@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Top principal component of an embedding column by power iteration
+  * (von Mises): v ← normalize(Ĉv), Ĉ the centered second-moment
+  * matrix, never materialized — each round is ONE pass computing
+  * per-row projections x̂·v and the per-dim back-projection
+  * Σ_r x̂_d (x̂·v). The readout a curation pipeline wants from it: the
+  * dominant direction's loadings, its variance share (explained_ratio
+  * — "is this corpus effectively one-dimensional?", the classic
+  * anisotropy/rogue-dimension diagnostic for embedding spaces), and
+  * the per-dim means.
+  *
+  * Scale shape: the embeddings explode ONCE into a scratch-cached
+  * (id, d, x̂) relation (D× rows, reused by all rounds); each round is
+  * two grouped partial aggregations (by id, then by d — map-side
+  * combined equi-shuffles) plus driver math on D doubles (bounded
+  * collect: D ≤ a few hundred dims). `iters` passes total — the
+  * standard power-iteration cost; converges at the λ₂/λ₁ rate.
+  *
+  * Determinism contract (SQL-replayable, partition-invariant): every
+  * cross-ROW sum quantizes summands to integers at 1e9 (projections,
+  * back-projections, final variance folds — summed as decimal(38,0)
+  * for 128-bit headroom); the cross-DIM normalizer quantizes at 1e12
+  * after a scale-free division by the max-|w| component; the new v
+  * rounds to 12 dp each round with its sign pinned positive at the
+  * max-|w| dimension (ties → smallest d). The oracle replays the
+  * identical arithmetic as unrolled MATERIALIZED CTEs
+  * (SparkEntry `emb_pca_power`).
+  */
+object Pca {
+
+  private def q9(c: org.apache.spark.sql.Column) =
+    floor(c * lit(1e9) + lit(0.5)).cast("decimal(38,0)")
+
+  /** Per-dim frame (dim, mean, loading, lambda, total_var,
+    * explained_ratio) — the last three repeat on every row (the
+    * single-component summary alongside the per-dim table). */
+  def powerTopComponent(df: DataFrame, idCol: String, embCol: String,
+                        iters: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ex = df.select(col(idCol).as("__id"),
+        col(embCol).cast("array<double>").as("v"))
+      .select(col("__id"), posexplode(col("v")).as(Seq("d", "x")))
+    // per-dim quantized means — one pass, D-row bounded collect
+    val mrows = ex.groupBy(col("d"))
+      .agg(sum(q9(col("x"))).as("sq"), count(lit(1)).as("n"))
+      .collect()
+    require(mrows.nonEmpty, "pca: empty input")
+    val dims = mrows.map(_.getInt(0)).max + 1
+    val n = mrows.head.getLong(2)
+    val mu = new Array[Double](dims)
+    mrows.foreach { r =>
+      mu(r.getInt(0)) = r.getDecimal(1).doubleValue() / 1e9 / n.toDouble }
+    val muDf = mu.zipWithIndex.map { case (m, d) => (d, m) }.toSeq
+      .toDF("d", "mu")
+    val xh = CacheScope.scratch(
+      ex.join(broadcast(muDf), "d")
+        .select(col("__id"), col("d"), (col("x") - col("mu")).as("xh")))
+    var v = Array.fill(dims)(1.0 / math.sqrt(dims.toDouble))
+    for (_ <- 1 to iters) {
+      val vdf = v.zipWithIndex.map { case (s, d) => (d, s) }.toSeq
+        .toDF("d", "s")
+      val dq = xh.join(broadcast(vdf), "d")
+        .groupBy(col("__id"))
+        .agg(sum(q9(col("xh") * col("s"))).as("dq"))
+      val w = xh.join(dq, "__id")
+        .groupBy(col("d"))
+        .agg(sum(q9(col("xh") * (col("dq").cast("double") / lit(1e9))))
+          .as("wq"))
+        .collect()
+      val wq = Array.fill(dims)(BigInt(0))
+      w.foreach { r => wq(r.getInt(0)) = BigInt(r.getDecimal(1).toBigInteger) }
+      val mq = wq.map(_.abs).max
+      require(mq > BigInt(0), "pca: zero back-projection (degenerate input)")
+      // sign pin: dimension with max |wq|, ties → smallest d
+      val dStar = wq.indexWhere(_.abs == mq)
+      val sgn = if (wq(dStar) < 0) -1.0 else 1.0
+      val u = wq.map(x => x.doubleValue / mq.doubleValue)
+      var sqSum = 0L
+      var d = 0
+      while (d < dims) {
+        sqSum += math.floor(u(d) * u(d) * 1e12 + 0.5).toLong; d += 1 }
+      val norm = math.sqrt(sqSum / 1e12)
+      // floor-quantize (not BigDecimal/round): pure double ops shared
+      // bit-exactly with the SQL replay's floor(x*1e12 + 0.5)/1e12
+      v = u.map(x => math.floor(sgn * x / norm * 1e12 + 0.5) / 1e12)
+    }
+    // final variance pass with the converged v
+    val vdf = v.zipWithIndex.map { case (s, d) => (d, s) }.toSeq.toDF("d", "s")
+    val proj = xh.join(broadcast(vdf), "d")
+      .groupBy(col("__id"))
+      .agg(sum(q9(col("xh") * col("s"))).as("dq"),
+        sum(q9(col("xh") * col("xh"))).as("nq"))
+    // (x*x, not pow(x,2): Math.pow is only 1-ulp-accurate; the plain
+    // product is a single correctly-rounded op both engines share)
+    val stats = proj.agg(
+      sum(q9((col("dq").cast("double") / lit(1e9)) *
+        (col("dq").cast("double") / lit(1e9)))).as("lq"),
+      sum(col("nq")).as("tq"))
+      .select(
+        (col("lq").cast("double") / lit(1e9) / lit(n.toDouble)).as("lambda"),
+        (col("tq").cast("double") / lit(1e9) / lit(n.toDouble)).as("tot"))
+    val vDf = v.zip(mu).zipWithIndex
+      .map { case ((s, m), d) => (d, m, s) }.toSeq
+      .toDF("dim", "mu_raw", "v_raw")
+    vDf.crossJoin(broadcast(stats))
+      .select(col("dim"), round(col("mu_raw"), 6).as("mean"),
+        round(col("v_raw"), 6).as("loading"),
+        round(col("lambda"), 4).as("lambda"),
+        round(col("tot"), 4).as("total_var"),
+        round(col("lambda") / col("tot"), 6).as("explained_ratio"))
+      .orderBy(col("dim"))
+  }
+
+  /** The unrolled-SQL oracle for [[powerTopComponent]]: identical
+    * quantized arithmetic as MATERIALIZED CTE rounds over a
+    * caller-supplied `(id, v DOUBLE[])` select. */
+  def oracleSql(embSelect: String, iters: Int = 8): String = {
+    val rounds = (1 to iters).map { k =>
+      val p = s"v${k - 1}"
+      s"""dq$k AS MATERIALIZED (
+           SELECT xh.id,
+             sum(CAST(floor(xh.xh * p.s * 1e9 + 0.5) AS HUGEINT)) AS dq
+           FROM xh JOIN $p p ON xh.d = p.d GROUP BY xh.id),
+         w$k AS MATERIALIZED (
+           SELECT xh.d,
+             sum(CAST(floor(xh.xh * (CAST(dq.dq AS DOUBLE) / 1e9) * 1e9
+               + 0.5) AS HUGEINT)) AS wq
+           FROM xh JOIN dq$k dq ON xh.id = dq.id GROUP BY xh.d),
+         mq$k AS MATERIALIZED (SELECT max(abs(wq)) AS mq FROM w$k),
+         sg$k AS MATERIALIZED (
+           SELECT CASE WHEN wq < 0 THEN -1.0 ELSE 1.0 END AS sgn
+           FROM w$k ORDER BY abs(wq) DESC, d LIMIT 1),
+         u$k AS MATERIALIZED (
+           SELECT d, CAST(wq AS DOUBLE) / CAST(mq AS DOUBLE) AS u
+           FROM w$k, mq$k),
+         sq$k AS MATERIALIZED (
+           SELECT sum(CAST(floor(u * u * 1e12 + 0.5) AS BIGINT)) AS sq
+           FROM u$k),
+         v$k AS MATERIALIZED (
+           SELECT d, floor(sgn * u / sqrt(CAST(sq AS DOUBLE) / 1e12)
+             * 1e12 + 0.5) / 1e12 AS s
+           FROM u$k, sq$k, sg$k)"""
+    }.mkString(",\n         ")
+    s"""WITH emb AS MATERIALIZED ($embSelect),
+         ex AS MATERIALIZED (
+           SELECT id, CAST(i - 1 AS INT) AS d, v[i] AS x
+           FROM (SELECT id, v, unnest(generate_series(1, len(v))) AS i
+                 FROM emb)),
+         nn AS MATERIALIZED (SELECT count(*) AS n FROM ex WHERE d = 0),
+         dd AS MATERIALIZED (SELECT max(d) + 1 AS dims FROM ex),
+         mu AS MATERIALIZED (
+           SELECT d, CAST(sum(CAST(floor(x * 1e9 + 0.5) AS HUGEINT))
+             AS DOUBLE) / 1e9 / count(*) AS mu
+           FROM ex GROUP BY d),
+         xh AS MATERIALIZED (
+           SELECT ex.id, ex.d, ex.x - mu.mu AS xh
+           FROM ex JOIN mu ON ex.d = mu.d),
+         v0 AS MATERIALIZED (
+           SELECT d, 1.0 / sqrt(CAST(dims AS DOUBLE)) AS s
+           FROM (SELECT DISTINCT d FROM ex), dd),
+         $rounds,
+         proj AS MATERIALIZED (
+           SELECT xh.id,
+             sum(CAST(floor(xh.xh * v.s * 1e9 + 0.5) AS HUGEINT)) AS dq,
+             sum(CAST(floor(xh.xh * xh.xh * 1e9 + 0.5) AS HUGEINT)) AS nq
+           FROM xh JOIN v$iters v ON xh.d = v.d GROUP BY xh.id),
+         fin AS MATERIALIZED (
+           SELECT CAST(sum(CAST(floor((CAST(dq AS DOUBLE) / 1e9) *
+               (CAST(dq AS DOUBLE) / 1e9) * 1e9 + 0.5) AS HUGEINT))
+               AS DOUBLE) / 1e9 / min(n) AS lambda,
+             CAST(sum(nq) AS DOUBLE) / 1e9 / min(n) AS tot
+           FROM proj, nn)
+         SELECT v.d AS dim, round(mu.mu, 6) AS mean, round(v.s, 6) AS loading,
+           round(lambda, 4) AS lambda, round(tot, 4) AS total_var,
+           round(lambda / tot, 6) AS explained_ratio
+         FROM v$iters v JOIN mu ON v.d = mu.d, fin
+         ORDER BY dim"""
+  }
+}

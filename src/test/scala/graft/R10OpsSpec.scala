@@ -147,6 +147,54 @@ class R10OpsSpec extends AnyFunSuite {
       ("applf", "appzz"), ("appzz", "azzzz")))
   }
 
+  test("pairOverlap: HLL inclusion-exclusion tracks true intersections") {
+    import spark.implicits._
+    import graft.operators.Cardinality
+    // A = 1..1000, B = 501..1500 (true ∩ = 500), C = 2001..2200 (disjoint)
+    val rows = (1 to 1000).map(i => ("A", i.toString)) ++
+      (501 to 1500).map(i => ("B", i.toString)) ++
+      (2001 to 2200).map(i => ("C", i.toString))
+    val df = rows.toDF("g", "k")
+    val ov = Cardinality.pairOverlap(
+        Cardinality.registersOf(df, "g", "k", p = 9), p = 9)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(5), r.getDouble(6))).toMap
+    // inclusion–exclusion differences three ±1.04/√512 sketches, so
+    // the intersection error is several times a single sketch's — a
+    // ±30% band is the honest contract at p=9
+    val (abInter, abJac) = ov(("A", "B"))
+    assert(math.abs(abInter - 500) < 150, s"A∩B est $abInter")
+    assert(abJac > 0.2 && abJac < 0.5, s"A∩B jaccard $abJac")
+    // disjoint sets: the estimate hovers around 0 inside the same
+    // noise band (and may go negative — reported raw by design)
+    val (acInter, _) = ov(("A", "C"))
+    assert(math.abs(acInter) < 150, s"A∩C est $acInter (true 0)")
+  }
+
+  test("pca power iteration: recovers a planted dominant direction") {
+    import spark.implicits._
+    import graft.operators.Pca
+    // x_i = t_i·w + small noise on an orthogonal axis, w = (3,4)/5
+    val rnd = new java.util.SplittableRandom(7)
+    val rows = (0 until 400).map { i =>
+      val t = rnd.nextDouble() * 10 - 5
+      val e = rnd.nextDouble() * 0.4 - 0.2
+      (i.toLong, Array(t * 0.6 + e * 0.8, t * 0.8 - e * 0.6))
+    }
+    val df = rows.toDF("id", "emb")
+    val out = Pca.powerTopComponent(df, "id", "emb", iters = 8)
+    val m = out.collect().map(r => r.getInt(0) ->
+      (r.getDouble(2), r.getDouble(5))).toMap
+    val (l0, expl) = m(0); val (l1, _) = m(1)
+    val cos = math.abs(l0 * 0.6 + l1 * 0.8)
+    assert(cos > 0.999, s"loadings ($l0, $l1) vs planted (0.6, 0.8)")
+    assert(expl > 0.95, s"explained_ratio $expl")
+    // partition-invariance of the quantized contract
+    val out2 = Pca.powerTopComponent(df.repartition(13), "id", "emb", 8)
+    assert(out.collect().toSeq == out2.collect().toSeq)
+    graft.operators.CacheScope.drain()
+  }
+
   test("evalTopK: below-cutoff relevant hits no longer credit p@k or MRR") {
     import spark.implicits._
     import graft.operators.Retrieval
