@@ -715,6 +715,13 @@ object SparkEntry {
     TextAnalysis.bigramLogprob(t(s, dir, "documents"), "text", "doc_id")
       .orderBy(col("doc_id"))
 
+  /** Kneser–Ney-smoothed bigram scorer (D = 0.75) — continuation-
+    * probability backoff, the n-gram quality scorer that actually
+    * ships. */
+  private def qBigramLmKn(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramLogprobKn(t(s, dir, "documents"), "text", "doc_id")
+      .orderBy(col("doc_id"))
+
   private def qTrainingOrder(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Sampling
     Sampling.trainingOrder(t(s, dir, "documents"), "doc_id", nShards = 8)
@@ -1096,6 +1103,25 @@ object SparkEntry {
       .withColumnRenamed("grp_a", "source_a")
       .withColumnRenamed("grp_b", "source_b")
       .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** The MWU battery with multiple-comparisons control: per-segment
+    * z → two-sided p (shared A&S erf polynomial — the p contract is
+    * the polynomial, not libm's Φ) → Benjamini–Hochberg adjusted p +
+    * significance at q = 0.05. */
+  private def qEventsMwuFdr(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Metrics
+    val mwu = Metrics.mannWhitney(t(s, dir, "events"),
+      col("event_type"), (col("user_id") % 2).cast("int"), col("value"))
+    Metrics.bhAdjust(
+        mwu.filter(col("z").isNotNull)
+          .select(col("g"), Metrics.zTwoSidedP(col("z")).as("p")),
+        col("g"), col("p"))
+      .select(col("k").as("event_type"),
+        round(col("p"), 6).as("p_value"),
+        round(col("p_adj"), 6).as("p_adj"),
+        (col("p_adj") < 0.05).as("significant"))
+      .orderBy(col("event_type"))
   }
 
   /** Top principal component of the embedding corpus by 8 power-
@@ -2964,6 +2990,38 @@ object SparkEntry {
         (col("est_join_size") - col("exact_join_size")).as("overestimate"))
   }
 
+  /** CMS heavy-change detection between the two halves of the event
+    * stream (time midpoint split): one sketch per window built in the
+    * same pass shape as `q_cms_freq`, probed for the top keys —
+    * |est_after − est_before| ranks the movers. The sketches never see
+    * each other's raw keys; at corpus scale the probe set comes from
+    * the SpaceSaving hot-key report instead of the exact top
+    * (hotKeyList — this query probes the exact top-12 so the oracle
+    * can replay it). */
+  private def qCmsHeavyChange(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CmsSketch.{cms_sketch, cmsEstimate}
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("tt"))
+    val mid = ev.agg(((min(col("tt")) + max(col("tt"))) / 2)
+      .cast("long").as("mid"))
+    val w = ev.crossJoin(broadcast(mid))
+    val s1 = w.filter(col("tt") <= col("mid"))
+      .agg(cms_sketch(col("user_id").cast("string"), 3, 10).as("c1"))
+    val s2 = w.filter(col("tt") > col("mid"))
+      .agg(cms_sketch(col("user_id").cast("string"), 3, 10).as("c2"))
+    val probes = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("total"))
+      .orderBy(col("total").desc, col("user_id")).limit(12)
+    probes.crossJoin(broadcast(s1)).crossJoin(broadcast(s2))
+      .select(col("user_id"), col("total"),
+        cmsEstimate(col("c1"), col("user_id").cast("string"), 3, 10)
+          .as("est_before"),
+        cmsEstimate(col("c2"), col("user_id").cast("string"), 3, 10)
+          .as("est_after"))
+      .withColumn("delta", col("est_after") - col("est_before"))
+      .orderBy(abs(col("delta")).desc, col("user_id"))
+  }
+
   /** CUPED variance-reduced A/B readout over the events stream:
     * pre/post split at the integer time midpoint, per-user integer
     * cents, arms = user parity — raw vs adjusted means plus the
@@ -3449,7 +3507,10 @@ object SparkEntry {
     "q_events_anova" -> (qEventsAnova _),
     "linkage_sorted_nbhd" -> (qLinkageSortedNbhd _),
     "source_vocab_overlap_hll" -> (qSourceVocabOverlapHll _),
-    "emb_pca_power" -> (qEmbPcaPower _)
+    "emb_pca_power" -> (qEmbPcaPower _),
+    "q_events_mwu_fdr" -> (qEventsMwuFdr _),
+    "q_cms_heavy_change" -> (qCmsHeavyChange _),
+    "bigram_lm_kn" -> (qBigramLmKn _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -7131,37 +7192,7 @@ object SparkEntry {
              THEN round((CAST(conv_a AS DOUBLE)/n_a
                - CAST(conv_b AS DOUBLE)/n_b) / se, 4) END AS z
          FROM s""",
-    "q_events_mwu" ->
-      """WITH e AS (
-           SELECT event_type AS g, CAST(user_id % 2 AS INT) AS v, value AS x
-           FROM events),
-         bv AS (
-           SELECT g, x, count(*) AS t,
-             sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS ta
-           FROM e GROUP BY g, x),
-         r AS (
-           SELECT g, t, ta,
-             coalesce(sum(t) OVER (PARTITION BY g ORDER BY x
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
-           FROM bv),
-         agg AS (
-           SELECT g, CAST(sum(ta) AS BIGINT) AS n_a,
-             CAST(sum(t - ta) AS BIGINT) AS n_b,
-             CAST(sum(ta * (2*cum + t + 1)) AS BIGINT) AS ra2,
-             CAST(sum(t*t*t - t) AS BIGINT) AS ties3
-           FROM r GROUP BY g),
-         s AS (
-           SELECT g, n_a, n_b,
-             ra2 / 2.0 - n_a * (n_a + 1) / 2.0 AS u,
-             n_a * CAST(n_b AS DOUBLE) / 12.0 *
-               ((n_a + n_b + 1) - CAST(ties3 AS DOUBLE) /
-                 ((n_a + n_b) * (n_a + n_b - 1.0))) AS sigma2
-           FROM agg)
-         SELECT g AS event_type, n_a, n_b, round(u, 4) AS u,
-           CASE WHEN n_a > 0 AND n_b > 0 AND sigma2 > 0
-             THEN round((u - n_a * CAST(n_b AS DOUBLE) / 2.0) / sqrt(sigma2), 4)
-           END AS z
-         FROM s ORDER BY event_type""",
+    "q_events_mwu" -> mwuOracle,
     "q_events_kendall" ->
       """WITH daily AS (
            SELECT CAST(ts AS DATE) AS d,
@@ -7868,8 +7899,125 @@ object SparkEntry {
           ORDER BY source_a, source_b""",
     "emb_pca_power" -> graft.operators.Pca.oracleSql(
       "SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
-      iters = 8)
+      iters = 8),
+    "q_events_mwu_fdr" ->
+      s"""WITH mwu AS ($mwuOracle),
+          pz0 AS (SELECT event_type AS k,
+              abs(z) / ${math.sqrt(2.0)} AS x
+            FROM mwu WHERE z IS NOT NULL),
+          pz1 AS (SELECT k, x, 1.0 / (1.0 + 0.3275911 * x) AS t FROM pz0),
+          pz AS (SELECT k,
+              ((((1.061405429 * t + -1.453152027) * t + 1.421413741) * t
+                + -0.284496736) * t + 0.254829592) * t * exp(-(x * x)) AS p
+            FROM pz1),
+          rk AS (SELECT k, p,
+              row_number() OVER (ORDER BY p, k) AS i,
+              count(*) OVER () AS m
+            FROM pz),
+          adj AS (SELECT k, p,
+              least(1.0, min(p * m / i) OVER (ORDER BY p DESC, k DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS p_adj
+            FROM rk)
+          SELECT k AS event_type, round(p, 6) AS p_value,
+            round(p_adj, 6) AS p_adj, p_adj < 0.05 AS significant
+          FROM adj ORDER BY event_type""",
+    "q_cms_heavy_change" ->
+      s"""WITH tt AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+          md AS (SELECT (min(t) + max(t)) // 2 AS mid FROM tt),
+          keys AS (SELECT user_id, CAST(user_id AS VARCHAR) AS k,
+              sum(CASE WHEN t <= md.mid THEN 1 ELSE 0 END) AS w1,
+              sum(CASE WHEN t > md.mid THEN 1 ELSE 0 END) AS w2,
+              count(*) AS cnt
+            FROM tt, md GROUP BY user_id),
+          cf AS (SELECT user_id, cnt, w1, w2, ${fnvSql("k")} AS fv FROM keys),
+          cz0 AS (SELECT user_id, cnt, w1, w2, (fv + 11400714819323198485)
+              % 18446744073709551616::HUGEINT AS z0 FROM cf),
+          cz1 AS (SELECT user_id, cnt, w1, w2, ${mulcSql("xor(z0, z0 // 1073741824)",
+                BigInt("BF58476D1CE4E5B9", 16))} AS z1 FROM cz0),
+          cz2 AS (SELECT user_id, cnt, w1, w2, ${mulcSql("xor(z1, z1 // 134217728)",
+                BigInt("94D049BB133111EB", 16))} AS z2 FROM cz1),
+          chh AS (SELECT user_id, cnt, w1, w2,
+              xor(z2, z2 // 2147483648) AS hv FROM cz2),
+          cells AS (SELECT user_id, cnt, w1, w2, rr.r,
+              CAST((hv // (CASE rr.r WHEN 0 THEN 1 WHEN 1 THEN 1024
+                           ELSE 1048576 END)) % 1024 AS BIGINT) AS c
+            FROM chh, (SELECT unnest([0, 1, 2]) AS r) rr),
+          counters AS (SELECT r, c, sum(w1) AS v1, sum(w2) AS v2
+            FROM cells GROUP BY r, c),
+          top AS (SELECT user_id, cnt FROM keys
+            ORDER BY cnt DESC, user_id LIMIT 12)
+          SELECT t.user_id, t.cnt AS total,
+            CAST(min(co.v1) AS BIGINT) AS est_before,
+            CAST(min(co.v2) AS BIGINT) AS est_after,
+            CAST(min(co.v2) - min(co.v1) AS BIGINT) AS delta
+          FROM top t
+          JOIN cells ce ON ce.user_id = t.user_id
+          JOIN counters co ON co.r = ce.r AND co.c = ce.c
+          GROUP BY t.user_id, t.cnt
+          ORDER BY abs(CAST(min(co.v2) - min(co.v1) AS BIGINT)) DESC, t.user_id""",
+    "bigram_lm_kn" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             x -> len(x) > 0) AS tk FROM documents),
+         uni AS (SELECT unnest(tk) AS w FROM toks),
+         ucnt AS (SELECT w, count(*) AS uc FROM uni GROUP BY w),
+         b0 AS (SELECT doc_id, tk,
+                  unnest(generate_series(1, greatest(len(tk)-1, 0))) AS i
+                FROM toks),
+         big AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2 FROM b0),
+         bcnt AS (SELECT w1, w2, count(*) AS c_xy FROM big GROUP BY w1, w2),
+         cont AS (SELECT w1, count(*) AS nc1 FROM bcnt GROUP BY w1),
+         lft AS (SELECT w2, count(*) AS nl2 FROM bcnt GROUP BY w2),
+         nbt AS (SELECT CAST(count(*) AS DOUBLE) AS nbt FROM bcnt),
+         perdoc AS (
+           SELECT big.doc_id, count(*) AS n_bigrams,
+             round(sum(ln(greatest(c_xy - 0.75, 0.0) / c1.uc
+               + (0.75 * cont.nc1 / c1.uc) * (lft.nl2 / nbt.nbt)))
+               / count(*), 4) AS avg_logprob_kn
+           FROM big JOIN bcnt USING (w1, w2)
+                JOIN ucnt c1 ON big.w1 = c1.w
+                JOIN cont ON big.w1 = cont.w1
+                JOIN lft ON big.w2 = lft.w2, nbt
+           GROUP BY big.doc_id)
+         SELECT d.doc_id, CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           coalesce(p.avg_logprob_kn, 0.0) AS avg_logprob_kn
+         FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+         ORDER BY d.doc_id"""
   )
+
+  /** Mann–Whitney U oracle (shared by `q_events_mwu` and the FDR
+    * battery built on its z scores). */
+  private val mwuOracle: String =
+    """WITH e AS (
+         SELECT event_type AS g, CAST(user_id % 2 AS INT) AS v, value AS x
+         FROM events),
+       bv AS (
+         SELECT g, x, count(*) AS t,
+           sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS ta
+         FROM e GROUP BY g, x),
+       r AS (
+         SELECT g, t, ta,
+           coalesce(sum(t) OVER (PARTITION BY g ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         FROM bv),
+       agg AS (
+         SELECT g, CAST(sum(ta) AS BIGINT) AS n_a,
+           CAST(sum(t - ta) AS BIGINT) AS n_b,
+           CAST(sum(ta * (2*cum + t + 1)) AS BIGINT) AS ra2,
+           CAST(sum(t*t*t - t) AS BIGINT) AS ties3
+         FROM r GROUP BY g),
+       s AS (
+         SELECT g, n_a, n_b,
+           ra2 / 2.0 - n_a * (n_a + 1) / 2.0 AS u,
+           n_a * CAST(n_b AS DOUBLE) / 12.0 *
+             ((n_a + n_b + 1) - CAST(ties3 AS DOUBLE) /
+               ((n_a + n_b) * (n_a + n_b - 1.0))) AS sigma2
+         FROM agg)
+       SELECT g AS event_type, n_a, n_b, round(u, 4) AS u,
+         CASE WHEN n_a > 0 AND n_b > 0 AND sigma2 > 0
+           THEN round((u - n_a * CAST(n_b AS DOUBLE) / 2.0) / sqrt(sigma2), 4)
+         END AS z
+       FROM s ORDER BY event_type"""
 
   /** Battle cells (shared by `battle_winrates` / `bt_strength`):
     * adjacent docs from different sources fight, longer text wins,

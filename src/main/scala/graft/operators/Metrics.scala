@@ -621,6 +621,48 @@ object Metrics {
           sqrt(varNum("sx", "sxx") * varNum("sy", "syy")), 6)).as("rho"))
   }
 
+  /** Two-sided normal p-value from a z score via the Abramowitz–Stegun
+    * 7.1.26 erf polynomial (max abs error 1.5e-7 — far below the 6-dp
+    * output rounding): p = poly(t)·e^(−x²), x = |z|/√2,
+    * t = 1/(1 + 0.3275911x). Elementary ops only (one exp, one Horner
+    * chain), written in the exact association order the SQL replay
+    * uses — the p-value CONTRACT is "this polynomial", not libm's Φ,
+    * so both engines agree bit-for-bit. */
+  def zTwoSidedP(z: Column): Column = {
+    val x = abs(z) / lit(math.sqrt(2.0))
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+    val poly = ((((lit(1.061405429) * t + lit(-1.453152027)) * t +
+      lit(1.421413741)) * t + lit(-0.284496736)) * t + lit(0.254829592)) * t
+    poly * exp(-(x * x))
+  }
+
+  /** Benjamini–Hochberg step-up FDR adjustment over a per-key p-value
+    * frame: p_adj(i) = min_{j ≥ i} p(j)·m/j, capped at 1 — the
+    * multiple-comparisons control a metric battery needs before
+    * declaring ANY per-segment result significant (at m segments,
+    * α·m false alarms arrive by construction without it).
+    *
+    * Scale note: the windows run UNPARTITIONED by design — this
+    * operates on per-key STATISTICS frames (segments, metrics,
+    * cohorts), bounded by construction, never on raw events. Ties
+    * break on the key, so ranks and the running min are deterministic
+    * and SQL-replayable. */
+  def bhAdjust(df: DataFrame, keyCol: Column, pCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(keyCol.as("k"), pCol.as("p"))
+      .filter(col("p").isNotNull)
+    val wRank = Window.orderBy(col("p"), col("k"))
+    val wTail = Window.orderBy(col("p").desc, col("k").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("i", row_number().over(wRank))
+      .withColumn("m", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("p_adj",
+        least(lit(1.0), min(col("p") * col("m") / col("i")).over(wTail)))
+      .select(col("k"), col("p"), col("p_adj"))
+  }
+
   /** One-way ANOVA over `valueCol` by `grpCol`: the k-group
     * generalization of the two-sample readouts above — F, η²
     * (SSB/SST), and the exact sum-of-squares decomposition. The

@@ -712,6 +712,55 @@ object TextAnalysis {
         coalesce(col("avg_logprob"), lit(0.0)).as("avg_logprob"))
   }
 
+  /** Interpolated Kneser–Ney bigram log-probability (Kneser–Ney 1995 /
+    * Chen–Goodman 1998, fixed discount D): the smoothing that actually
+    * ships in n-gram quality scorers —
+    *   P(w₂|w₁) = max(c(w₁w₂)−D, 0)/c(w₁)
+    *            + (D·N₁₊(w₁·)/c(w₁)) · N₁₊(·w₂)/N_types,
+    * where the backoff weight redistributes exactly the discounted
+    * mass and the continuation probability N₁₊(·w₂)/N_types scores a
+    * word by how many CONTEXTS it follows, not raw frequency (the
+    * "san FRANCISCO" correction plain interpolation gets wrong).
+    * Same relational shape as [[bigramLogprob]] plus two
+    * distinct-count relations off the SAME bigram-type frame — all
+    * counts exact integers, one log per bigram instance. */
+  def bigramLogprobKn(df: DataFrame, textCol: String, idCol: String,
+                      discount: Double = 0.75): DataFrame = {
+    val toksDf = CacheScope.scratch(df.select(col(idCol).as("lp_id"),
+      tokens(lower(col(textCol))).as("tk")))
+    val ucnt = toksDf.select(explode(col("tk")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("uc"))
+    val docBig = CacheScope.scratch(toksDf.select(col("lp_id"),
+      explode(ngramsWithMultiplicity(col("tk"), 2)).as("gram")))
+    val bcnt = CacheScope.scratch(
+      docBig.groupBy(col("gram")).agg(count(lit(1)).as("c_xy"))
+        .withColumn("w1", split(col("gram"), " ").getItem(0))
+        .withColumn("w2", split(col("gram"), " ").getItem(1)))
+    val cont = bcnt.groupBy(col("w1")).agg(count(lit(1)).as("nc1"))
+    val lft = bcnt.groupBy(col("w2")).agg(count(lit(1)).as("nl2"))
+    val nbt = bcnt.agg(count(lit(1)).cast("double").as("nbt"))
+    val perDoc = docBig
+      .withColumn("w1", split(col("gram"), " ").getItem(0))
+      .withColumn("w2", split(col("gram"), " ").getItem(1))
+      .join(bcnt.select(col("gram"), col("c_xy")), "gram")
+      .join(ucnt.select(col("w").as("w1"), col("uc").as("c1")), "w1")
+      .join(cont, "w1")
+      .join(lft, "w2")
+      .crossJoin(broadcast(nbt))
+      .groupBy(col("lp_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(log(
+          greatest(col("c_xy") - lit(discount), lit(0.0)) / col("c1") +
+            (lit(discount) * col("nc1") / col("c1")) *
+              (col("nl2") / col("nbt"))))
+          / count(lit(1)), 4).as("avg_logprob_kn"))
+    df.select(col(idCol))
+      .join(perDoc, col(idCol) === col("lp_id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("avg_logprob_kn"), lit(0.0)).as("avg_logprob_kn"))
+  }
+
   /** Mine the top-N BPE merges and re-encode the corpus with them in
     * one pipeline — the full induction-round loop (select → apply →
     * measure). The collect is the N-row merge table (the ANN-codebook

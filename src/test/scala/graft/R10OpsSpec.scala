@@ -195,6 +195,52 @@ class R10OpsSpec extends AnyFunSuite {
     graft.operators.CacheScope.drain()
   }
 
+  test("zTwoSidedP + bhAdjust: A&S polynomial and step-up control behave") {
+    import spark.implicits._
+    import graft.operators.Metrics
+    val z = Seq(0.0, 1.96, 6.0).toDF("z")
+    val p = z.select(Metrics.zTwoSidedP(col("z")).as("p"))
+      .collect().map(_.getDouble(0))
+    assert(math.abs(p(0) - 1.0) < 1e-6)
+    assert(math.abs(p(1) - 0.05) < 1e-3)
+    assert(p(2) < 1e-8)
+    // BH on hand p-values: raw p·m/i = .005 .025 .05 .05 .9 — already
+    // monotone, so the step-up running min leaves them unchanged
+    val pv = Seq(("a", 0.001), ("b", 0.01), ("c", 0.03), ("d", 0.04),
+      ("e", 0.9)).toDF("k", "p")
+    val adj = Metrics.bhAdjust(pv, col("k"), col("p"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(adj("a") - 0.005) < 1e-12)
+    assert(math.abs(adj("b") - 0.025) < 1e-12)
+    assert(math.abs(adj("c") - 0.05) < 1e-12)
+    assert(math.abs(adj("d") - 0.05) < 1e-12)
+    assert(math.abs(adj("e") - 0.9) < 1e-12)
+    // a non-monotone raw sequence IS flattened by the running min
+    val pv2 = Seq(("a", 0.01), ("b", 0.011)).toDF("k", "p")
+    val adj2 = Metrics.bhAdjust(pv2, col("k"), col("p"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // raw: .02, .011 → step-up: min tail → a gets .011
+    assert(math.abs(adj2("a") - 0.011) < 1e-12 &&
+      math.abs(adj2("b") - 0.011) < 1e-12)
+  }
+
+  test("bigramLogprobKn: continuation backoff scores contexts, not frequency") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // "york" only ever follows "new" (1 context); "the" follows many
+    val docs = Seq(
+      (1L, "new york new york new york"),
+      (2L, "a the b the c the d the"),
+      (3L, "zz")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogprobKn(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 == 5 && out(2L)._1 == 7)
+    assert(out(1L)._2 < 0.0 && out(2L)._2 < 0.0)
+    // single-token doc: no bigrams, 0-defaulted
+    assert(out(3L) == (0L, 0.0))
+    graft.operators.CacheScope.drain()
+  }
+
   test("evalTopK: below-cutoff relevant hits no longer credit p@k or MRR") {
     import spark.implicits._
     import graft.operators.Retrieval
