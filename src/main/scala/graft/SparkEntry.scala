@@ -1132,6 +1132,34 @@ object SparkEntry {
     graft.operators.Pca.powerTopComponent(t(s, dir, "embeddings"),
       "vec_id", "embedding", iters = 8)
 
+  /** Corpus-level line-boilerplate profile with deterministic repeated
+    * footer/banner injection by doc_id residue (the cleaning_signals
+    * noise-injection precedent) so the cross-doc repeated-line path is
+    * exercised on the synthetic corpus. */
+  private def qLineBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CleaningSignals
+    val aug = t(s, dir, "documents").withColumn("t2",
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          lit("\n(c) example corp all rights reserved")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 1,
+          lit("\nsubscribe to our newsletter")).otherwise(lit(""))))
+    CleaningSignals.lineBoilerplate(aug, "t2", "doc_id", minDocs = 3)
+      .withColumnRenamed("bp_id", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-doc Unicode script mix over deterministically multilingual-
+    * augmented text (Han/Cyrillic/Arabic snippets by doc_id residue). */
+  private def qScriptMix(s: SparkSession, dir: String): DataFrame = {
+    val aug = t(s, dir, "documents").withColumn("t2",
+      concat(col("text"),
+        when(col("doc_id") % 7 === 2, lit(" \u4e2d\u6587\u6d4b\u8bd5\u6587\u672c")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 4, lit(" \u0440\u0443\u0441\u0441\u043a\u0438\u0439 \u0442\u0435\u043a\u0441\u0442")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 6, lit(" \u0646\u0635 \u0639\u0631\u0628\u064a")).otherwise(lit(""))))
+    TextAnalysis.scriptMix(aug, "t2", "doc_id").orderBy(col("doc_id"))
+  }
+
   /** Sorted-neighborhood linkage pass over part names: first-char
     * partitions, name sort order, window 3, edit distance ≤ 2 —
     * the equality-block-free complement to `fuzzy_match_*`. */
@@ -3510,7 +3538,9 @@ object SparkEntry {
     "emb_pca_power" -> (qEmbPcaPower _),
     "q_events_mwu_fdr" -> (qEventsMwuFdr _),
     "q_cms_heavy_change" -> (qCmsHeavyChange _),
-    "bigram_lm_kn" -> (qBigramLmKn _)
+    "bigram_lm_kn" -> (qBigramLmKn _),
+    "line_boilerplate" -> (qLineBoilerplate _),
+    "script_mix" -> (qScriptMix _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -7982,7 +8012,53 @@ object SparkEntry {
          SELECT d.doc_id, CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
            coalesce(p.avg_logprob_kn, 0.0) AS avg_logprob_kn
          FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
-         ORDER BY d.doc_id"""
+         ORDER BY d.doc_id""",
+    "line_boilerplate" ->
+      """WITH aug AS (SELECT doc_id, text ||
+             CASE WHEN doc_id % 3 = 0
+               THEN chr(10) || '(c) example corp all rights reserved'
+               ELSE '' END ||
+             CASE WHEN doc_id % 5 = 1
+               THEN chr(10) || 'subscribe to our newsletter'
+               ELSE '' END AS t2
+           FROM documents),
+         ln AS (SELECT doc_id, unnest(string_split(t2, chr(10))) AS line
+                FROM aug),
+         dfq AS (SELECT line, count(DISTINCT doc_id) AS ndocs
+                 FROM ln GROUP BY line),
+         per AS (SELECT ln.doc_id, count(*) AS n_lines,
+             sum(CASE WHEN ndocs >= 3 THEN 1 ELSE 0 END) AS n_boiler,
+             sum(CASE WHEN ndocs < 3 THEN len(ln.line) ELSE 0 END)
+               AS kept_chars
+           FROM ln JOIN dfq USING (line) GROUP BY ln.doc_id)
+         SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(n_boiler AS BIGINT) AS n_boiler,
+           round(CAST(n_boiler AS DOUBLE) / n_lines, 4) AS boiler_frac,
+           CAST(kept_chars AS BIGINT) AS kept_chars
+         FROM per ORDER BY doc_id""",
+    "script_mix" ->
+      ("""WITH aug AS (SELECT doc_id, text ||
+             CASE WHEN doc_id % 7 = 2 THEN ' \u4e2d\u6587\u6d4b\u8bd5\u6587\u672c' ELSE '' END ||
+             CASE WHEN doc_id % 11 = 4 THEN ' \u0440\u0443\u0441\u0441\u043a\u0438\u0439 \u0442\u0435\u043a\u0441\u0442' ELSE '' END ||
+             CASE WHEN doc_id % 13 = 6 THEN ' \u0646\u0635 \u0639\u0631\u0628\u064a' ELSE '' END AS t2
+           FROM documents)
+         SELECT doc_id, CAST(len(t2) AS BIGINT) AS n_chars,
+           CAST(len(regexp_extract_all(t2, '[A-Za-z]')) AS BIGINT) AS n_latin,
+           CAST(len(regexp_extract_all(t2, '[0-9]')) AS BIGINT) AS n_digit,
+           CAST(len(regexp_extract_all(t2, '\p{Han}')) AS BIGINT) AS n_han,
+           CAST(len(regexp_extract_all(t2, '\p{Cyrillic}')) AS BIGINT)
+             AS n_cyrillic,
+           CAST(len(regexp_extract_all(t2, '\p{Arabic}')) AS BIGINT)
+             AS n_arabic,
+           round(CAST(len(regexp_extract_all(t2, '[A-Za-z]')) AS DOUBLE)
+             / len(t2), 4) AS frac_latin,
+           round(CAST(len(regexp_extract_all(t2, '\p{Han}')) AS DOUBLE)
+             / len(t2), 4) AS frac_han,
+           round(CAST(len(regexp_extract_all(t2, '\p{Cyrillic}')) AS DOUBLE)
+             / len(t2), 4) AS frac_cyrillic,
+           round(CAST(len(regexp_extract_all(t2, '\p{Arabic}')) AS DOUBLE)
+             / len(t2), 4) AS frac_arabic
+         FROM aug ORDER BY doc_id""")
   )
 
   /** Mann–Whitney U oracle (shared by `q_events_mwu` and the FDR

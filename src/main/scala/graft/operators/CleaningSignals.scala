@@ -83,4 +83,38 @@ object CleaningSignals {
         .as("code_sym_density"),
       encClean(text).as("enc_clean"))
   }
+
+  /** Corpus-level LINE boilerplate profile (the CCNet/Dolma-style
+    * repeated-line remover): exact line strings that appear in ≥
+    * `minDocs` DISTINCT documents are boilerplate (nav chrome, cookie
+    * banners, copyright footers — the stuff per-doc dedup never sees
+    * because every HOST page repeats it). Per doc: line count,
+    * boilerplate line count/fraction, and the char count a cleaned
+    * rewrite would keep.
+    *
+    * Scale shape: one explode → one exact (line → distinct-doc count)
+    * hash groupBy with map-side combine → an id-keyed join back. Line
+    * strings cross the exchange once; at corpus scale swap the join
+    * for a Bloom/frequency-index probe (the `--blocklist`/`--freq`
+    * gates' artifact machinery) — the relation shape is identical. */
+  import org.apache.spark.sql.DataFrame
+  def lineBoilerplate(df: DataFrame, textCol: String, idCol: String,
+                      minDocs: Int = 3): DataFrame = {
+    val lines = df
+      .select(col(idCol).as("bp_id"),
+        explode(split(col(textCol), "\n")).as("line"))
+    val docFreq = lines.groupBy(col("line"))
+      .agg(count_distinct(col("bp_id")).as("ndocs"))
+    lines.join(docFreq, "line")
+      .groupBy(col("bp_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("ndocs") >= minDocs, 1L).otherwise(0L))
+          .as("n_boiler"),
+        sum(when(col("ndocs") < minDocs, length(col("line")).cast("long"))
+          .otherwise(0L)).as("kept_chars"))
+      .select(col("bp_id"), col("n_lines"), col("n_boiler"),
+        round(col("n_boiler").cast("double") / col("n_lines"), 4)
+          .as("boiler_frac"),
+        col("kept_chars"))
+  }
 }

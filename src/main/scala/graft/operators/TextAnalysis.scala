@@ -712,6 +712,29 @@ object TextAnalysis {
         coalesce(col("avg_logprob"), lit(0.0)).as("avg_logprob"))
   }
 
+  /** Per-doc Unicode SCRIPT mix: counts and fractions of ASCII-Latin
+    * letters, digits, Han, Cyrillic, and Arabic codepoints — the
+    * router a multilingual pipeline needs BEFORE language-ID (n-gram
+    * lang-id assumes one script; a 60/40 Latin/Han doc needs
+    * splitting, not classifying). Map-only codegen'd regexp counts,
+    * zero exchanges. Script classes use each engine's own property
+    * syntax (Java `\p{IsHan}` / RE2 `\p{Han}`) for the SAME Unicode
+    * script sets. */
+  def scriptMix(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    def cnt(re: String) = regexp_count(col(textCol), lit(re)).cast("long")
+    val len = length(col(textCol)).cast("long")
+    def frac(c: Column) =
+      when(len > 0, round(c.cast("double") / len, 4))
+    val latin = cnt("[A-Za-z]"); val digit = cnt("[0-9]")
+    val han = cnt("\\p{IsHan}"); val cyr = cnt("\\p{IsCyrillic}")
+    val arab = cnt("\\p{IsArabic}")
+    df.select(col(idCol), len.as("n_chars"),
+      latin.as("n_latin"), digit.as("n_digit"), han.as("n_han"),
+      cyr.as("n_cyrillic"), arab.as("n_arabic"),
+      frac(latin).as("frac_latin"), frac(han).as("frac_han"),
+      frac(cyr).as("frac_cyrillic"), frac(arab).as("frac_arabic"))
+  }
+
   /** Interpolated Kneser–Ney bigram log-probability (Kneser–Ney 1995 /
     * Chen–Goodman 1998, fixed discount D): the smoothing that actually
     * ships in n-gram quality scorers —

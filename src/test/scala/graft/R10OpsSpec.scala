@@ -241,6 +241,40 @@ class R10OpsSpec extends AnyFunSuite {
     graft.operators.CacheScope.drain()
   }
 
+  test("lineBoilerplate: repeated lines across docs flagged, per-doc text kept") {
+    import spark.implicits._
+    import graft.operators.CleaningSignals
+    val docs = Seq(
+      (1L, "unique text one\nCOPYRIGHT FOOTER"),
+      (2L, "unique text two\nCOPYRIGHT FOOTER"),
+      (3L, "unique text three\nCOPYRIGHT FOOTER\nalso mine"),
+      (4L, "no footer here")).toDF("doc_id", "text")
+    val out = CleaningSignals.lineBoilerplate(docs, "text", "doc_id",
+        minDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    // footer appears in 3 distinct docs → boiler; unique lines kept
+    assert(out(1L) == (2L, 1L, "unique text one".length.toLong))
+    assert(out(3L)._2 == 1L && out(3L)._1 == 3L)
+    assert(out(4L) == (1L, 0L, "no footer here".length.toLong))
+  }
+
+  test("scriptMix: routes mixed-script docs before language-id") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "pure ascii words"),
+      (2L, "latin 中文 mix"),
+      (3L, "русский 1984")).toDF("doc_id", "text")
+    val out = TextAnalysis.scriptMix(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(4), r.getLong(5), r.getLong(3))).toMap
+    // (n_latin, n_han, n_cyrillic, n_digit)
+    assert(out(1L) == (14L, 0L, 0L, 0L))
+    assert(out(2L) == (8L, 2L, 0L, 0L))
+    assert(out(3L) == (0L, 0L, 7L, 4L))
+  }
+
   test("evalTopK: below-cutoff relevant hits no longer credit p@k or MRR") {
     import spark.implicits._
     import graft.operators.Retrieval
