@@ -798,6 +798,41 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("r10 surface: partitioned SNM window, scan-side stats, no rogue joins") {
+    // sorted-neighborhood: ONE Window operator and it is PARTITIONED
+    // (never a global single-partition sort) — the doc-comment claim
+    val snm = plan("linkage_sorted_nbhd")
+    assert("(?m)^\\s*.*Window".r.findAllIn(snm).length == 1,
+      s"SNM should run exactly one Window pass:\n${snm.take(1500)}")
+    assert(snm.contains("windowspecdefinition(part"),
+      s"SNM window must partition by the block key:\n${snm.take(1500)}")
+    // map-only scan-side shapes: no exchange beyond the final sort/agg
+    for (q <- Seq("script_mix", "cleaning_signals")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin") && !p.contains("ScalaUDF"),
+        s"$q lost its map-only shape:\n${p.take(1500)}")
+    }
+    // stats battery: equi-only, no UDFs, no cartesian blowup (the BH
+    // windows are unpartitioned BY DESIGN on a groups-sized frame)
+    for (q <- Seq("q_events_anova", "q_events_mwu_fdr", "battle_winrates",
+        "bigram_lm_kn", "line_boilerplate")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q grew a cartesian product:\n${p.take(1500)}")
+      assert(!p.contains("ScalaUDF"), s"$q carries a Scala UDF:\n${p.take(1500)}")
+    }
+    // HLL overlap: the register-merge UDF is EXPLICITLY allowed (it
+    // runs on the groups² frame, never the data path) — gate instead
+    // that the corpus is scanned once per registersOf (no re-scan per
+    // pair) by counting scans
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val ov = SparkEntry.queries("source_vocab_overlap_hll")(spark, sf)
+    val scans = ov.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f }.length
+    assert(scans <= 2, s"HLL overlap re-scans the corpus per pair: $scans scans")
+  }
+
   test("dedup signature kernels are native expressions — no ScalaUDF in the plan") {
     // SimHash and MinHash signatures used to be Scala UDFs: the only
     // opaque scan-side projections left outside whole-stage codegen,
