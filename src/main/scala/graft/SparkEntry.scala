@@ -1213,6 +1213,15 @@ object SparkEntry {
         col("event_type"), col("ts"), maxLag = 7)
       .orderBy(col("k"), col("lag"))
 
+  /** CUSUM drift watch over per-type daily volumes: max drift
+    * statistic, peak day, first h-sigma alarm day — the sequential
+    * complement to the retrospective changepoint query. */
+  private def qEventsCusum(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.cusumDrift(t(s, dir, "events"),
+        col("event_type"), col("ts"))
+      .withColumnRenamed("k", "event_type")
+      .orderBy(col("event_type"))
+
   /** Jaro–Winkler-scored linkage pairs (first-token blocking) — the
     * transposition-tolerant score next to fuzzy_match_names' pure edit
     * distance; the native expression replays DuckDB's builtin. */
@@ -3540,7 +3549,8 @@ object SparkEntry {
     "q_cms_heavy_change" -> (qCmsHeavyChange _),
     "bigram_lm_kn" -> (qBigramLmKn _),
     "line_boilerplate" -> (qLineBoilerplate _),
-    "script_mix" -> (qScriptMix _)
+    "script_mix" -> (qScriptMix _),
+    "q_events_cusum" -> (qEventsCusum _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -8058,7 +8068,48 @@ object SparkEntry {
              / len(t2), 4) AS frac_cyrillic,
            round(CAST(len(regexp_extract_all(t2, '\p{Arabic}')) AS DOUBLE)
              / len(t2), 4) AS frac_arabic
-         FROM aug ORDER BY doc_id""")
+         FROM aug ORDER BY doc_id"""),
+    "q_events_cusum" ->
+      """WITH daily AS (
+           SELECT event_type AS k, CAST(ts AS DATE) AS d, count(*) AS c
+           FROM events GROUP BY 1, 2),
+         st AS (
+           SELECT k, d, c,
+             count(*) OVER w AS n,
+             sum(c) OVER w AS s1,
+             sum(c * c) OVER w AS s2
+           FROM daily WINDOW w AS (PARTITION BY k)),
+         ms AS (
+           SELECT k, d, c, n,
+             CAST(s1 AS DOUBLE) / n AS mu,
+             sqrt(greatest(CAST(s2 AS DOUBLE) / n
+               - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
+               0.0)) AS sigma
+           FROM st),
+         pp AS (
+           SELECT k, d, n, sigma,
+             sum(CAST(floor((CAST(c AS DOUBLE) - mu - 0.5 * sigma) * 1e6
+               + 0.5) AS BIGINT)) OVER wd AS p
+           FROM ms
+           WINDOW wd AS (PARTITION BY k ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         ss AS (
+           SELECT k, d, n, sigma,
+             p - least(0, min(p) OVER wd) AS s
+           FROM pp
+           WINDOW wd AS (PARTITION BY k ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         sm AS (
+           SELECT k, d, n, sigma, s, max(s) OVER (PARTITION BY k) AS smax
+           FROM ss)
+         SELECT k AS event_type,
+           CAST(min(n) AS BIGINT) AS n_days,
+           round(min(sigma), 4) AS sigma,
+           round(CAST(min(smax) AS DOUBLE) / 1e6, 4) AS max_cusum,
+           min(CASE WHEN s = smax THEN d END) AS peak_day,
+           min(CASE WHEN CAST(s AS DOUBLE) > 4.0 * sigma * 1e6 THEN d END)
+             AS alarm_day
+         FROM sm GROUP BY k ORDER BY event_type"""
   )
 
   /** Mann–Whitney U oracle (shared by `q_events_mwu` and the FDR

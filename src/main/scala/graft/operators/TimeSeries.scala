@@ -129,6 +129,61 @@ object TimeSeries {
     * written with the same association shape the oracle replays, so the
     * result is bit-deterministic under any partitioning. Constant
     * series (zero variance) yield NULL r. */
+  /** CUSUM upward-drift statistic over per-key daily counts (Page
+    * 1954), in the prefix-sum closed form that makes the sequential
+    * recursion window-expressible:
+    *   S_t = max(0, S_{t−1} + x_t − μ − kσ)
+    *       = P_t − min(0, min_{j≤t} P_j),  P = running Σ(x − μ − kσ).
+    * Output per key: series length, σ, max drift statistic, the day it
+    * peaked, and the FIRST alarm day where S crossed hσ (NULL = no
+    * alarm) — the "when did this segment's volume start drifting"
+    * readout, the sequential complement to the retrospective
+    * changepoint query. Standard k=0.5, h=4 defaults.
+    *
+    * Determinism: μ and σ are single double expressions off exact
+    * integer moments; the running sums evaluate sequentially in day
+    * order inside each key partition — the same order in any engine,
+    * so the doubles agree bit-for-bit. One groupBy + one ordered
+    * window pass per key; no global sort. */
+  def cusumDrift(events: DataFrame, keyCol: Column, tsCol: Column,
+                 k: Double = 0.5, h: Double = 4.0): DataFrame = {
+    val daily = events
+      .groupBy(keyCol.as("k"), to_date(tsCol).as("d"))
+      .agg(count(lit(1)).as("c"))
+    val byKey = Window.partitionBy(col("k"))
+    val byDay = Window.partitionBy(col("k")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stats = daily
+      .withColumn("n", count(lit(1)).over(byKey))
+      .withColumn("s1", sum(col("c")).over(byKey))
+      .withColumn("s2", sum(col("c") * col("c")).over(byKey))
+    val mu = col("s1").cast("double") / col("n")
+    val sigma = sqrt(greatest(
+      col("s2").cast("double") / col("n") - mu * mu, lit(0.0)))
+    // per-day deviation quantized to integers at 1e-6 BEFORE the
+    // running sum: windowed double sums are engine-internal association
+    // (segment trees vs streaming), integer prefix sums are exact under
+    // any association — the only doubles left are the single-expression
+    // μ/σ and the final /1e6 readout
+    val withP = stats
+      .withColumn("mu", mu).withColumn("sigma", sigma)
+      .withColumn("zq",
+        floor((col("c").cast("double") - col("mu") - lit(k) * col("sigma"))
+          * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("p", sum(col("zq")).over(byDay))
+      .withColumn("s",
+        col("p") - least(lit(0L), min(col("p")).over(byDay)))
+    val withS = withP.withColumn("smax", max(col("s")).over(byKey))
+    withS.groupBy(col("k"))
+      .agg(first(col("n")).as("n_days"),
+        round(first(col("sigma")), 4).as("sigma"),
+        round(first(col("smax")).cast("double") / lit(1e6), 4)
+          .as("max_cusum"),
+        min(when(col("s") === col("smax"), col("d"))).as("peak_day"),
+        min(when(col("s").cast("double") >
+          lit(h) * col("sigma") * lit(1e6), col("d"))).as("alarm_day"))
+  }
+
   def acf(events: DataFrame, keyCol: Column, tsCol: Column,
           maxLag: Int): DataFrame = {
     val daily = events

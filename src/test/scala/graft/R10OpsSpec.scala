@@ -275,6 +275,35 @@ class R10OpsSpec extends AnyFunSuite {
     assert(out(3L) == (0L, 0L, 7L, 4L))
   }
 
+  test("cusumDrift: planted level shift alarms, stationary series does not") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    // "flat": 10/day for 30 days; "shift": 10/day for 20 days then
+    // 30/day for 10 — the shift must alarm AFTER day 20, flat never
+    val rows = (for {
+      day <- 1 to 30
+      n = 10
+      i <- 1 to n
+    } yield ("flat", f"2026-01-$day%02d 12:00:00", i)) ++
+      (for {
+        day <- 1 to 30
+        n = if (day <= 20) 10 else 30
+        i <- 1 to n
+      } yield ("shift", f"2026-01-$day%02d 12:00:00", i))
+    val ev = rows.toDF("event_type", "tss", "i")
+      .select(col("event_type"), to_timestamp(col("tss")).as("ts"))
+    val out = TimeSeries.cusumDrift(ev, col("event_type"), col("ts"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(3),
+          Option(r.getDate(5)).map(_.toString))).toMap
+    val (nf, mf, af) = out("flat")
+    assert(nf == 30 && mf == 0.0 && af.isEmpty,
+      s"flat series must not alarm: $out")
+    val (ns, ms, as_) = out("shift")
+    assert(ns == 30 && ms > 0.0, s"shift must drift: $out")
+    assert(as_.exists(_ >= "2026-01-21"), s"alarm must follow the shift: $out")
+  }
+
   test("evalTopK: below-cutoff relevant hits no longer credit p@k or MRR") {
     import spark.implicits._
     import graft.operators.Retrieval
