@@ -3317,6 +3317,33 @@ object SparkEntry {
     SftPack.conversationCards(turns).orderBy(col("conv"))
   }
 
+  /** Unbiased pass@k over synthetic per-task attempts: tasks from
+    * doc_id residue, correctness a deterministic integer predicate the
+    * oracle replays verbatim. */
+  private def qEvalPassAtK(s: SparkSession, dir: String): DataFrame = {
+    val attempts = t(s, dir, "documents").select(
+      (col("doc_id") % 40).as("task"),
+      ((col("doc_id") * 2654435761L) % 5 === 0).as("ok"))
+    graft.operators.Classifier.passAtK(attempts, col("task"), col("ok"),
+        ks = Seq(1, 5, 10))
+      .orderBy(col("task_id"))
+  }
+
+  /** SFT dialog-shape gates over the same rendered turn stream as
+    * `sft_pack`: role alternation, empty turns, user-first /
+    * assistant-last, conjunctive valid flag. */
+  private def qSftValidate(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SftPack
+    val turns = SftPack.renderTurns(t(s, dir, "events"),
+      col("user_id"), col("ts"), col("event_id"),
+      when(col("event_id") % 2 === 0, lit("assistant"))
+        .otherwise(lit("user")),
+      concat(col("event_type"), lit("#"), col("event_id")))
+    SftPack.dialogChecks(turns)
+      .withColumnRenamed("conv", "user_id")
+      .orderBy(col("user_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ip_range_lookup" -> (qIpRange _),
     "emb_outliers" -> (qEmbOutliers _),
@@ -3550,7 +3577,9 @@ object SparkEntry {
     "bigram_lm_kn" -> (qBigramLmKn _),
     "line_boilerplate" -> (qLineBoilerplate _),
     "script_mix" -> (qScriptMix _),
-    "q_events_cusum" -> (qEventsCusum _)
+    "q_events_cusum" -> (qEventsCusum _),
+    "eval_pass_at_k" -> (qEvalPassAtK _),
+    "sft_validate" -> (qSftValidate _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -8109,7 +8138,49 @@ object SparkEntry {
            min(CASE WHEN s = smax THEN d END) AS peak_day,
            min(CASE WHEN CAST(s AS DOUBLE) > 4.0 * sigma * 1e6 THEN d END)
              AS alarm_day
-         FROM sm GROUP BY k ORDER BY event_type"""
+         FROM sm GROUP BY k ORDER BY event_type""",
+    "eval_pass_at_k" ->
+      s"""WITH att AS (SELECT doc_id % 40 AS task_id,
+              (doc_id * 2654435761) % 5 = 0 AS ok FROM documents),
+          base AS (SELECT task_id, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS c
+            FROM att GROUP BY task_id)
+          SELECT task_id, n, c,
+            ${graft.operators.Classifier.passAtKSql(1)} AS pass_at_1,
+            ${graft.operators.Classifier.passAtKSql(5)} AS pass_at_5,
+            ${graft.operators.Classifier.passAtKSql(10)} AS pass_at_10
+          FROM base ORDER BY task_id""",
+    "sft_validate" ->
+      """WITH turns AS (
+           SELECT user_id AS conv, ts AS ord, event_id AS tie,
+             CASE WHEN event_id % 2 = 0 THEN 'assistant'
+                  ELSE 'user' END AS role,
+             event_type || '#' || event_id AS content
+           FROM events),
+         wr AS (
+           SELECT conv, role, content,
+             lag(role, 1) OVER w AS prev_role,
+             row_number() OVER w AS rn,
+             count(*) OVER (PARTITION BY conv) AS nc
+           FROM turns WINDOW w AS (PARTITION BY conv ORDER BY ord, tie)),
+         per AS (
+           SELECT conv AS user_id, count(*) AS n_turns,
+             sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END)
+               AS n_role_violations,
+             sum(CASE WHEN len(trim(content)) = 0 THEN 1 ELSE 0 END)
+               AS n_empty_turns,
+             max(CASE WHEN rn = 1 THEN role = 'user' END)
+               AS starts_with_user,
+             max(CASE WHEN rn = nc THEN role = 'assistant' END)
+               AS ends_with_assistant
+           FROM wr GROUP BY conv)
+         SELECT user_id, CAST(n_turns AS BIGINT) AS n_turns,
+           CAST(n_role_violations AS BIGINT) AS n_role_violations,
+           CAST(n_empty_turns AS BIGINT) AS n_empty_turns,
+           starts_with_user, ends_with_assistant,
+           n_role_violations = 0 AND n_empty_turns = 0
+             AND starts_with_user AND ends_with_assistant AS valid
+         FROM per ORDER BY user_id"""
   )
 
   /** Mann–Whitney U oracle (shared by `q_events_mwu` and the FDR

@@ -186,4 +186,41 @@ object Classifier {
         props.getProperty("nBuckets").toInt)
     }
   }
+
+  /** Unbiased pass@k over per-task attempt outcomes (Chen et al. 2021,
+    * "Evaluating Large Language Models Trained on Code", eq. 1):
+    *   pass@k = 1 − C(n−c, k)/C(n, k)
+    *          = 1 − Π_{i=0..k−1} (n−c−i)/(n−i),
+    * the probability ≥1 of k sampled attempts passes, computed WITHOUT
+    * enumerating k-subsets. The product form never touches a factorial
+    * (C(n,k) overflows at modest n); each factor is one exact-integer
+    * subtraction pair cast to double once, multiplied in fixed i order
+    * — the identical association an external SQL replay writes.
+    * n−c < k ⇒ the product hits a zero factor ⇒ pass@k = 1 exactly;
+    * n < k ⇒ NULL (the estimator is undefined below k attempts).
+    * One exact groupBy to (task, n, c); everything after is map-side. */
+  def passAtK(attempts: DataFrame, taskCol: Column, correctCol: Column,
+              ks: Seq[Int] = Seq(1, 5, 10)): DataFrame = {
+    val base = attempts
+      .groupBy(taskCol.as("task_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(correctCol, 1L).otherwise(0L)).as("c"))
+    val passCols = ks.map { k =>
+      val prod = (0 until k).foldLeft(lit(1.0): Column) { (acc, i) =>
+        acc * ((col("n") - col("c") - lit(i)).cast("double") /
+          (col("n") - lit(i)).cast("double"))
+      }
+      when(col("n") >= k, round(lit(1.0) - prod, 6)).as(s"pass_at_$k")
+    }
+    base.select(col("task_id") +: col("n") +: col("c") +: passCols: _*)
+  }
+
+  /** The SQL text of one pass@k product (shared with the oracle so the
+    * factor association cannot drift). */
+  def passAtKSql(k: Int): String = {
+    val prod = (0 until k)
+      .map(i => s"(CAST(n - c - $i AS DOUBLE) / CAST(n - $i AS DOUBLE))")
+      .mkString(" * ")
+    s"CASE WHEN n >= $k THEN round(1.0 - $prod, 6) END"
+  }
 }

@@ -79,4 +79,34 @@ object SftPack {
           col("render_len").cast("double"), 4).as("mask_ratio"),
         md5(col("render")).as("render_md5"), col("mask_spans"))
   }
+
+  /** Dialog-shape validation over [[renderTurns]] output — the gates
+    * an SFT data pipeline runs BEFORE packing: strict role alternation
+    * (consecutive same-role turns are merge candidates or logging
+    * bugs), no empty turns, user-first, assistant-last. Per
+    * conversation: violation counts + the conjunctive `valid` flag.
+    * One ordered window pass (lag + row bounds) per conversation key;
+    * map-side otherwise. */
+  def dialogChecks(rendered: DataFrame): DataFrame = {
+    // renderTurns already materialized the order as turn_idx (and
+    // dropped ord/tie) — lag over it
+    val w = Window.partitionBy(col("conv")).orderBy(col("turn_idx"))
+    val byConv = Window.partitionBy(col("conv"))
+    rendered
+      .withColumn("prev_role", lag(col("role"), 1).over(w))
+      .withColumn("nc", count(lit(1)).over(byConv))
+      .groupBy(col("conv"))
+      .agg(count(lit(1)).as("n_turns"),
+        sum(when(col("role") === col("prev_role"), 1L).otherwise(0L))
+          .as("n_role_violations"),
+        sum(when(length(trim(col("content"))) === 0, 1L).otherwise(0L))
+          .as("n_empty_turns"),
+        max(when(col("turn_idx") === 1, col("role") === "user"))
+          .as("starts_with_user"),
+        max(when(col("turn_idx") === col("nc"), col("role") === "assistant"))
+          .as("ends_with_assistant"))
+      .withColumn("valid",
+        col("n_role_violations") === 0 && col("n_empty_turns") === 0 &&
+          col("starts_with_user") && col("ends_with_assistant"))
+  }
 }

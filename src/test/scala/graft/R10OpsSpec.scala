@@ -304,6 +304,46 @@ class R10OpsSpec extends AnyFunSuite {
     assert(as_.exists(_ >= "2026-01-21"), s"alarm must follow the shift: $out")
   }
 
+  test("passAtK: matches the closed form on hand counts") {
+    import spark.implicits._
+    import graft.operators.Classifier
+    // n=10, c=3: pass@1 = 3/10; pass@5 = 1 - C(7,5)/C(10,5) = 1 - 21/252
+    val att = (1 to 10).map(i => ("t1", i <= 3)) ++
+      (1 to 4).map(i => ("t2", false)) ++   // n=4 < 5 → pass@5 NULL
+      (1 to 6).map(i => ("t3", i <= 5))     // n-c=1 < 5 → pass@5 = 1
+    val out = Classifier.passAtK(att.toDF("t", "ok"), col("t"), col("ok"),
+        ks = Seq(1, 5)).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(3), if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+      .toMap
+    assert(out("t1")._1 == 0.3)
+    assert(out("t1")._2.contains(BigDecimal(1.0 - 21.0 / 252.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue))
+    assert(out("t2") == (0.0, None), "pass@5 undefined below 5 attempts")
+    assert(out("t3")._2.contains(1.0), "n-c < k cannot fail all k")
+  }
+
+  test("dialogChecks: alternation, boundary roles, empty turns") {
+    import spark.implicits._
+    import graft.operators.SftPack
+    val turns = Seq(
+      // good: user → assistant → user → assistant
+      ("c1", 1, 1, "user", "hi"), ("c1", 2, 2, "assistant", "hello"),
+      ("c1", 3, 3, "user", "more"), ("c1", 4, 4, "assistant", "sure"),
+      // bad: double-user, empty content, assistant-first
+      ("c2", 1, 1, "assistant", "hi"), ("c2", 2, 2, "user", ""),
+      ("c2", 3, 3, "user", "again"))
+      .toDF("cv", "o", "tx", "r", "ct")
+    val rendered = SftPack.renderTurns(turns, col("cv"), col("o"),
+      col("tx"), col("r"), col("ct"))
+    val out = SftPack.dialogChecks(rendered).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5),
+          r.getBoolean(6))).toMap
+    assert(out("c1") == (0L, 0L, true, true, true))
+    assert(out("c2") == (1L, 1L, false, false, false))
+  }
+
   test("evalTopK: below-cutoff relevant hits no longer credit p@k or MRR") {
     import spark.implicits._
     import graft.operators.Retrieval
