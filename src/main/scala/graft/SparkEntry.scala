@@ -3344,6 +3344,14 @@ object SparkEntry {
       .orderBy(col("user_id"))
   }
 
+  /** Top TF-IDF terms per deterministic k-means cell — the "what IS
+    * cluster 3" card beside topic_cluster_stats. */
+  private def qClusterLabels(s: SparkSession, dir: String): DataFrame =
+    Similarity.clusterTopTerms(t(s, dir, "embeddings"), "embedding",
+        "vec_id", t(s, dir, "documents"), "doc_id", "text",
+        k = 8, iters = 2, topN = 3)
+      .orderBy(col("cell"), col("rank"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ip_range_lookup" -> (qIpRange _),
     "emb_outliers" -> (qEmbOutliers _),
@@ -3579,7 +3587,8 @@ object SparkEntry {
     "script_mix" -> (qScriptMix _),
     "q_events_cusum" -> (qEventsCusum _),
     "eval_pass_at_k" -> (qEvalPassAtK _),
-    "sft_validate" -> (qSftValidate _)
+    "sft_validate" -> (qSftValidate _),
+    "cluster_labels" -> (qClusterLabels _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -8180,7 +8189,33 @@ object SparkEntry {
            starts_with_user, ends_with_assistant,
            n_role_violations = 0 AND n_empty_turns = 0
              AND starts_with_user AND ends_with_assistant AS valid
-         FROM per ORDER BY user_id"""
+         FROM per ORDER BY user_id""",
+    "cluster_labels" ->
+      s"""WITH ${detKmeansCtes(dim = 64, k = 8, iters = 2, where = "")},
+          chome AS (SELECT vec_id, cell FROM (
+              SELECT vec_id, cell, s, row_number() OVER
+                (PARTITION BY vec_id ORDER BY s, cell) AS rk FROM sf)
+            WHERE rk = 1),
+          ctoks AS (SELECT doc_id AS vec_id,
+              unnest(list_filter(
+                regexp_split_to_array(trim(lower(text)), '\\s+'),
+                x -> len(x) > 0)) AS token
+            FROM documents),
+          ctf AS (SELECT h.cell, t.token, count(*) AS n
+            FROM chome h JOIN ctoks t USING (vec_id)
+            GROUP BY h.cell, t.token),
+          cdf AS (SELECT token, count(*) AS dfc FROM ctf GROUP BY token),
+          csc AS (SELECT ctf.cell, ctf.token, ctf.n,
+              CAST(ctf.n AS DOUBLE) * ln(9.0 / CAST(cdf.dfc + 1 AS DOUBLE))
+                AS score
+            FROM ctf JOIN cdf USING (token)),
+          crk AS (SELECT cell, token, n, score, row_number() OVER
+              (PARTITION BY cell ORDER BY score DESC, token) AS rank
+            FROM csc)
+          SELECT CAST(cell AS INT) AS cell, CAST(rank AS INT) AS rank,
+            token, CAST(n AS BIGINT) AS n, round(score, 4) AS score
+          FROM crk WHERE rank <= 3
+          ORDER BY cell, rank"""
   )
 
   /** Mann–Whitney U oracle (shared by `q_events_mwu` and the FDR

@@ -616,6 +616,45 @@ object Similarity {
       .orderBy(col("cell"))
   }
 
+  /** Human-readable labels for the deterministic k-means cells: the
+    * topN tokens per cell ranked by a cell-level TF-IDF
+    * (n · ln((k+1)/(df_cells+1)) — counts exact integers, one log per
+    * (cell, token) type), joining the embedding-space clustering back
+    * to the documents it embeds. The "what IS cluster 3" card next to
+    * [[clusterCards]]'s purity stats — a mixture designer reads both
+    * before reweighting.
+    *
+    * Scale shape: assignment is the map-only ranked-cells pass
+    * (centroids ride as codegen literals), token counting is one
+    * exact groupBy, and the rank frame is (cells × vocabulary)-sized,
+    * window-partitioned per cell. */
+  def clusterTopTerms(emb: DataFrame, vecCol: String, idCol: String,
+                      docs: DataFrame, docIdCol: String, textCol: String,
+                      k: Int, iters: Int, topN: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = kmeansCentroidsDet(emb, vecCol, idCol, k, iters)
+    val home = emb.select(col(idCol).as("cl_id"),
+      detCellRanking(col(vecCol), cents)
+        .getItem(0).getField("cell").as("cell"))
+    val toks = docs.select(col(docIdCol).as("cl_id"),
+      explode(graft.operators.TextAnalysis.tokens(lower(col(textCol))))
+        .as("token"))
+    val tf = home.join(toks, "cl_id")
+      .groupBy(col("cell"), col("token"))
+      .agg(count(lit(1)).as("n"))
+    val dfc = tf.groupBy(col("token"))
+      .agg(count(lit(1)).as("dfc"))
+    val scored = tf.join(dfc, "token")
+      .withColumn("score", col("n").cast("double") *
+        log(lit((k + 1).toDouble) / (col("dfc") + lit(1)).cast("double")))
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("score").desc, col("token"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col("cell"), col("rank"), col("token"), col("n"),
+        round(col("score"), 4).as("score"))
+  }
+
   /** k-distance outliers: each vector's cosine similarity to its k-th
     * nearest neighbor — the density-based outlier score (the
     * k-distance at the core of LOF/DBSCAN) that catches junk sitting
