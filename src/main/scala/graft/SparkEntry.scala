@@ -3352,6 +3352,13 @@ object SparkEntry {
         k = 8, iters = 2, topN = 3)
       .orderBy(col("cell"), col("rank"))
 
+  /** Classic RFM segmentation over orders (recency/frequency/monetary
+    * quintiles + named segments). */
+  private def qCustomerRfm(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Metrics.rfm(t(s, dir, "orders"), col("o_custkey"),
+        col("o_orderdate"), col("o_totalprice"))
+      .orderBy(col("custkey"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ip_range_lookup" -> (qIpRange _),
     "emb_outliers" -> (qEmbOutliers _),
@@ -3588,7 +3595,8 @@ object SparkEntry {
     "q_events_cusum" -> (qEventsCusum _),
     "eval_pass_at_k" -> (qEvalPassAtK _),
     "sft_validate" -> (qSftValidate _),
-    "cluster_labels" -> (qClusterLabels _)
+    "cluster_labels" -> (qClusterLabels _),
+    "q_customer_rfm" -> (qCustomerRfm _)
   )
 
   /** MinHash-estimator-error oracle: a FULL signature replay in SQL.
@@ -8215,7 +8223,34 @@ object SparkEntry {
           SELECT CAST(cell AS INT) AS cell, CAST(rank AS INT) AS rank,
             token, CAST(n AS BIGINT) AS n, round(score, 4) AS score
           FROM crk WHERE rank <= 3
-          ORDER BY cell, rank"""
+          ORDER BY cell, rank""",
+    "q_customer_rfm" ->
+      """WITH o AS (SELECT o_custkey AS cust,
+             CAST(o_orderdate AS DATE) AS dt,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+           FROM orders),
+         hz AS (SELECT max(dt) AS horizon FROM o),
+         per AS (SELECT cust,
+             date_diff('day', max(dt), horizon) AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency, sum(c) AS cents
+           FROM o, hz GROUP BY cust, horizon),
+         sc AS (SELECT cust, recency_days, frequency, cents,
+             6 - ntile(5) OVER (ORDER BY recency_days, cust) AS r_score,
+             ntile(5) OVER (ORDER BY frequency, cust) AS f_score,
+             ntile(5) OVER (ORDER BY cents, cust) AS m_score
+           FROM per)
+         SELECT cust AS custkey,
+           CAST(recency_days AS BIGINT) AS recency_days, frequency,
+           round(CAST(cents AS DOUBLE) / 100.0, 2) AS monetary,
+           CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                  THEN 'champion'
+                WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+                WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+                WHEN r_score <= 2 AND f_score <= 2 THEN 'lost'
+                ELSE 'regular' END AS segment
+         FROM sc ORDER BY custkey"""
   )
 
   /** Mann–Whitney U oracle (shared by `q_events_mwu` and the FDR

@@ -621,6 +621,51 @@ object Metrics {
           sqrt(varNum("sx", "sxx") * varNum("sy", "syy")), 6)).as("rho"))
   }
 
+  /** RFM customer segmentation (Hughes 1994 — the classic recency/
+    * frequency/monetary quintile scoring): per customer, days since
+    * last order (vs the corpus horizon), order count, and exact-cents
+    * spend, each scored 1–5 by ntile in deterministic order (metric,
+    * then customer id — both engines' standard SQL ntile splits
+    * identically given the same order). Recency ntiles ASCENDING on
+    * days-since (fewer days = score 5 after the 6−n flip); f/m
+    * ascending so higher = better directly.
+    *
+    * Scale shape: one exact groupBy to the per-customer frame, then
+    * three ntile windows over it — unpartitioned BY DESIGN, the frame
+    * is customers-sized (already aggregated), never raw orders. */
+  def rfm(orders: DataFrame, custCol: Column, dateCol: Column,
+          amountCol: Column, buckets: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = floor(amountCol * 100 + 0.5).cast("long")
+    val per = orders
+      .select(custCol.as("cust"), dateCol.as("dt"), cents.as("c"))
+      .withColumn("horizon", max(to_date(col("dt"))).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .groupBy(col("cust"))
+      .agg(first(col("horizon")).as("horizon"),
+        max(to_date(col("dt"))).as("last_dt"),
+        count(lit(1)).as("frequency"),
+        sum(col("c")).as("cents"))
+      .withColumn("recency_days",
+        datediff(col("horizon"), col("last_dt")).cast("long"))
+    def score(c: Column, name: String) =
+      ntile(buckets).over(Window.orderBy(c, col("cust"))).as(name)
+    per.select(col("cust").as("custkey"), col("recency_days"),
+        col("frequency"), round(col("cents").cast("double") / 100.0, 2)
+          .as("monetary"),
+        (lit(buckets + 1) - score(col("recency_days"), "x")).as("r_score"),
+        score(col("frequency"), "f_score"),
+        score(col("cents"), "m_score"))
+      .withColumn("segment",
+        when(col("r_score") >= 4 && col("f_score") >= 4 &&
+          col("m_score") >= 4, lit("champion"))
+        .when(col("r_score") >= 4 && col("f_score") <= 2, lit("new"))
+        .when(col("r_score") <= 2 && col("f_score") >= 4, lit("at_risk"))
+        .when(col("r_score") <= 2 && col("f_score") <= 2, lit("lost"))
+        .otherwise(lit("regular")))
+  }
+
   /** Two-sided normal p-value from a z score via the Abramowitz–Stegun
     * 7.1.26 erf polynomial (max abs error 1.5e-7 — far below the 6-dp
     * output rounding): p = poly(t)·e^(−x²), x = |z|/√2,

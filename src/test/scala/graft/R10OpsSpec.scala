@@ -344,6 +344,25 @@ class R10OpsSpec extends AnyFunSuite {
     assert(out("c2") == (1L, 1L, false, false, false))
   }
 
+  test("rfm: quintile scores rank the obvious extremes, segments name them") {
+    import spark.implicits._
+    import graft.operators.Metrics
+    // 10 customers: cust i places i orders of $100·i, last order on
+    // day i — cust 10 is recent+frequent+big (champion), cust 1 stale+
+    // rare+small (lost)
+    val rows = for { i <- 1 to 10; j <- 1 to i }
+      yield (i.toLong, f"2026-02-$i%02d 08:00:00", 100.0 * i)
+    val o = rows.toDF("ck", "dts", "amt")
+      .select(col("ck"), to_timestamp(col("dts")).as("dt"), col("amt"))
+    val out = Metrics.rfm(o, col("ck"), col("dt"), col("amt"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(4), r.getInt(5), r.getInt(6), r.getString(7))).toMap
+    assert(out(10L) == (5, 5, 5, "champion"), out(10L).toString)
+    assert(out(1L) == (1, 1, 1, "lost"), out(1L).toString)
+    // scores span the full 1..5 range on 10 customers
+    assert(out.values.map(_._2).toSet == Set(1, 2, 3, 4, 5))
+  }
+
   test("evalTopK: below-cutoff relevant hits no longer credit p@k or MRR") {
     import spark.implicits._
     import graft.operators.Retrieval
