@@ -2864,6 +2864,54 @@ object SparkEntry {
       .orderBy(col("pagerank").desc, col("source"))
   }
 
+  /** Directed event-type transition edge list with long count weights
+    * — shared input of [[qGraphHits]] and [[qEventsMarkovStationary]]
+    * (same lag spec as `q_events_transitions`). */
+  private def transitionEdges(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** HITS hubs/authorities over the directed event-type transition
+    * graph: which types route flow (hubs) vs which types flow
+    * converges into (authorities) — the two-sided centrality the
+    * symmetric source PageRank cannot separate. 8 quantized
+    * L1-normalized power steps; the oracle replays every step as
+    * unrolled CTEs under the shared integer-mass contract. */
+  private def qGraphHits(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Graph
+    Graph.hits(transitionEdges(s, dir), "prev_type", "next_type", "n",
+        iters = 8)
+      .select(col("node").as("event_type"),
+        round(col("hub"), 6).as("hub"),
+        round(col("auth"), 6).as("authority"))
+      .orderBy(col("authority").desc, col("event_type"))
+  }
+
+  /** Stationary distribution of the event-type Markov chain (12
+    * renormalized quantized power steps) side-by-side with the
+    * empirical visit share — where user flow settles long-run vs
+    * where events actually concentrate today. */
+  private def qEventsMarkovStationary(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Graph
+    val ev = t(s, dir, "events")
+    val share = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_ev"))
+      .crossJoin(broadcast(ev.agg(count(lit(1)).as("n_tot"))))
+      .select(col("event_type"),
+        round(col("n_ev").cast("double") / col("n_tot"), 6).as("share_observed"))
+    Graph.stationary(transitionEdges(s, dir), "prev_type", "next_type",
+        "n", iters = 12)
+      .select(col("node").as("event_type"),
+        round(col("pi"), 6).as("pi_stationary"))
+      .join(share, Seq("event_type"))
+      .orderBy(col("pi_stationary").desc, col("event_type"))
+  }
+
   /** Per-type daily event counts with trailing 7-day moving average
     * and week-over-week ratio. */
   private def qEventsRollingStats(s: SparkSession, dir: String): DataFrame =
@@ -3492,6 +3540,8 @@ object SparkEntry {
     "q_events_active_users" -> (qEventsActiveUsers _),
     "source_overlap_matrix" -> (qSourceOverlapMatrix _),
     "source_pagerank" -> (qSourcePagerank _),
+    "graph_hits" -> (qGraphHits _),
+    "q_events_markov_stationary" -> (qEventsMarkovStationary _),
     "contrastive_triplets" -> (qContrastiveTriplets _),
     "q_hot_keys" -> (qHotKeys _),
     "q_events_rolling_stats" -> (qEventsRollingStats _),
@@ -3777,6 +3827,100 @@ object SparkEntry {
         $iterCtes
         SELECT node AS source, round(pr, 6) AS pagerank
         FROM pr10 ORDER BY pagerank DESC, source"""
+  }
+
+  /** Shared CTE prefix of the transition-graph oracles: directed
+    * event-type edges with BIGINT count weights + the node set —
+    * mirrors [[transitionEdges]]. */
+  private val transitionEdgesCtes: String =
+    """seq AS (
+         SELECT user_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS prev_type
+         FROM events),
+       e AS MATERIALIZED (SELECT prev_type AS u, event_type AS v,
+               CAST(count(*) AS BIGINT) AS w
+             FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+       nodes AS MATERIALIZED (SELECT u AS node FROM e UNION SELECT v FROM e),
+       nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes)"""
+
+  /** HITS replay: 8 unrolled auth/hub steps, each quantizing mass
+    * terms to BIGINT at 1e15 and L1-normalizing by the exact long
+    * total — the same contract as [[Graph.hits]]. */
+  private def graphHitsOracle: String = {
+    val iterCtes = (1 to 8).map { i =>
+      s"""araw$i AS MATERIALIZED (
+            SELECT norm.v,
+              sum(CAST(round(h${i - 1}.hub * norm.p * 1e15, 0) AS BIGINT))
+                AS raw
+            FROM norm JOIN h${i - 1} ON norm.u = h${i - 1}.node
+            GROUP BY norm.v),
+          atot$i AS (SELECT CAST(sum(raw) AS BIGINT) AS tot FROM araw$i),
+          a$i AS MATERIALIZED (
+            SELECT nodes.node,
+              round(CAST(coalesce(araw$i.raw, 0) AS DOUBLE) / atot$i.tot,
+                12) AS auth
+            FROM nodes CROSS JOIN atot$i
+            LEFT JOIN araw$i ON araw$i.v = nodes.node),
+          hraw$i AS MATERIALIZED (
+            SELECT norm.u,
+              sum(CAST(round(a$i.auth * norm.p * 1e15, 0) AS BIGINT)) AS raw
+            FROM norm JOIN a$i ON norm.v = a$i.node
+            GROUP BY norm.u),
+          htot$i AS (SELECT CAST(sum(raw) AS BIGINT) AS tot FROM hraw$i),
+          h$i AS MATERIALIZED (
+            SELECT nodes.node,
+              round(CAST(coalesce(hraw$i.raw, 0) AS DOUBLE) / htot$i.tot,
+                12) AS hub
+            FROM nodes CROSS JOIN htot$i
+            LEFT JOIN hraw$i ON hraw$i.u = nodes.node)"""
+    }.mkString(",\n        ")
+    s"""WITH $transitionEdgesCtes,
+        wt AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM e),
+        norm AS MATERIALIZED (SELECT u, v, CAST(w AS DOUBLE) / wt.wt AS p
+                 FROM e CROSS JOIN wt),
+        h0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS hub
+               FROM nodes CROSS JOIN nn),
+        $iterCtes
+        SELECT h8.node AS event_type, round(h8.hub, 6) AS hub,
+          round(a8.auth, 6) AS authority
+        FROM h8 JOIN a8 USING (node)
+        ORDER BY authority DESC, event_type"""
+  }
+
+  /** Markov stationary replay: 12 unrolled renormalized π·P steps
+    * under the quantized-long contract of [[Graph.stationary]], joined
+    * to the exact empirical visit share. */
+  private def markovStationaryOracle: String = {
+    val iterCtes = (1 to 12).map { i =>
+      s"""raw$i AS MATERIALIZED (
+            SELECT norm.v,
+              sum(CAST(round(p${i - 1}.pi * norm.p * 1e15, 0) AS BIGINT))
+                AS raw
+            FROM norm JOIN p${i - 1} ON norm.u = p${i - 1}.node
+            GROUP BY norm.v),
+          tot$i AS (SELECT CAST(sum(raw) AS BIGINT) AS tot FROM raw$i),
+          p$i AS MATERIALIZED (
+            SELECT nodes.node,
+              round(CAST(coalesce(raw$i.raw, 0) AS DOUBLE) / tot$i.tot,
+                12) AS pi
+            FROM nodes CROSS JOIN tot$i
+            LEFT JOIN raw$i ON raw$i.v = nodes.node)"""
+    }.mkString(",\n        ")
+    s"""WITH $transitionEdgesCtes,
+        outw AS (SELECT u, CAST(sum(w) AS BIGINT) AS wout
+                 FROM e GROUP BY u),
+        norm AS MATERIALIZED (SELECT e.u, e.v, CAST(e.w AS DOUBLE) / outw.wout AS p
+                 FROM e JOIN outw USING (u)),
+        p0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS pi
+               FROM nodes CROSS JOIN nn),
+        $iterCtes,
+        c AS (SELECT event_type, count(*) AS n_ev FROM events GROUP BY 1),
+        ct AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM events)
+        SELECT p12.node AS event_type, round(p12.pi, 6) AS pi_stationary,
+          round(CAST(c.n_ev AS DOUBLE) / ct.n_tot, 6) AS share_observed
+        FROM p12 JOIN c ON c.event_type = p12.node CROSS JOIN ct
+        ORDER BY pi_stationary DESC, event_type"""
   }
 
   /** Stopword-vote lang-id replay — shared by `lang_id` (per-doc) and
@@ -6714,6 +6858,8 @@ object SparkEntry {
           SELECT doc_id, lang, sample_rank FROM ranked
           WHERE sample_rank <= 7 ORDER BY lang, sample_rank""",
     "source_pagerank" -> sourcePagerankOracle,
+    "graph_hits" -> graphHitsOracle,
+    "q_events_markov_stationary" -> markovStationaryOracle,
     "contrastive_triplets" ->
       s"""WITH jp AS (SELECT id_a, id_b, jaccard FROM ($ngramJaccardOracle)),
           nn AS (SELECT count(*) AS n_docs FROM documents),

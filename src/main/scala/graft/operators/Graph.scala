@@ -81,6 +81,107 @@ object Graph {
     pr
   }
 
+  /** HITS hubs/authorities (Kleinberg, JACM 1999) over a DIRECTED
+    * weighted edge list with INTEGER weights, fixed iteration count,
+    * L1 normalization. On an event-transition graph: authorities are
+    * the types flows converge INTO, hubs the types that route flow
+    * toward them — the two-sided centrality a single PageRank score
+    * conflates.
+    *
+    * Determinism contract (same regime as [[pageRank]]): edge weights
+    * cast to long and normalized ONCE by the exact long total (two
+    * exact operands ⇒ one reproducible double division); each power
+    * step quantizes every score·p term to a long at 10⁻¹⁵, sums longs
+    * (associative ⇒ partition-invariant), L1-normalizes by the exact
+    * long total of the raw masses, and rounds to 12 dp. An external
+    * engine replaying these steps reproduces hub/authority bit-for-bit.
+    *
+    * Scale shape per iteration: two hash equi-joins of the normalized
+    * edge frame against the current score frame + two key-keyed partial
+    * aggs + two 1-row broadcast totals. Scores `localCheckpoint` on a
+    * 3-iteration cadence. No driver state beyond the node count.
+    * Output: (node, hub, auth), 12 dp. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           wCol: String, iters: Int = 8): DataFrame = {
+    val el = edges.select(col(srcCol).as("u"), col(dstCol).as("v"),
+      col(wCol).cast("long").as("w"))
+    val tot = el.agg(sum(col("w")).as("wt"))
+    val norm = el.crossJoin(broadcast(tot))
+      .select(col("u"), col("v"),
+        (col("w").cast("double") / col("wt")).as("p"))
+      .persist()
+    val nodes = el.select(col("u").as("node"))
+      .union(el.select(col("v").as("node"))).distinct().localCheckpoint()
+    val nCount = nodes.count() // one scalar to the driver: the node count
+    var hub = nodes.select(col("node"), (lit(1.0) / lit(nCount)).as("hub"))
+      .localCheckpoint()
+    var auth: DataFrame = null
+    // one quantized, L1-renormalized mass step (shared by both sides)
+    def step(scores: DataFrame, scoreCol: String, inCol: String,
+             outCol: String, newCol: String): DataFrame = {
+      val raw = norm.join(scores.withColumnRenamed("node", inCol), inCol)
+        .groupBy(col(outCol))
+        .agg(sum(floor(col(scoreCol) * col("p") * lit(1e15) + lit(0.5)))
+          .as("raw"))
+      val rtot = raw.agg(sum(col("raw")).as("tot"))
+      nodes.join(raw.withColumnRenamed(outCol, "node"), Seq("node"), "left")
+        .crossJoin(broadcast(rtot))
+        .select(col("node"),
+          round(coalesce(col("raw"), lit(0L)).cast("double") / col("tot"),
+            12).as(newCol))
+    }
+    for (i <- 1 to iters) {
+      auth = step(hub, "hub", "u", "v", "auth")
+      val nextHub = step(auth, "auth", "v", "u", "hub")
+      hub = if (i % 3 == 0 || i == iters) nextHub.localCheckpoint()
+            else nextHub
+      if (i == iters) auth = auth.localCheckpoint()
+    }
+    norm.unpersist()
+    hub.join(auth, "node")
+  }
+
+  /** Stationary distribution of the row-stochastic Markov chain built
+    * from an INTEGER-weighted directed edge list (counts): π·P power
+    * iteration with per-step L1 renormalization (sink states leak
+    * mass; renormalizing redistributes it proportionally — the
+    * teleport-free analogue of the PageRank dangling fix, and exactly
+    * replayable, unlike a random-jump vector). P(u,·) = w(u,·)/w(u,*)
+    * — both operands exact longs, one reproducible division. Same
+    * quantized-long mass accounting as [[hits]]/[[pageRank]].
+    * Output: (node, pi), 12 dp. */
+  def stationary(edges: DataFrame, srcCol: String, dstCol: String,
+                 wCol: String, iters: Int = 12): DataFrame = {
+    val el = edges.select(col(srcCol).as("u"), col(dstCol).as("v"),
+      col(wCol).cast("long").as("w"))
+    val outw = el.groupBy(col("u")).agg(sum(col("w")).as("wout"))
+    val norm = el.join(outw, "u")
+      .select(col("u"), col("v"),
+        (col("w").cast("double") / col("wout")).as("p"))
+      .persist()
+    val nodes = el.select(col("u").as("node"))
+      .union(el.select(col("v").as("node"))).distinct().localCheckpoint()
+    val nCount = nodes.count() // one scalar: the state count
+    var pi = nodes.select(col("node"), (lit(1.0) / lit(nCount)).as("pi"))
+      .localCheckpoint()
+    for (i <- 1 to iters) {
+      val raw = norm.join(pi.withColumnRenamed("node", "u"), "u")
+        .groupBy(col("v"))
+        .agg(sum(floor(col("pi") * col("p") * lit(1e15) + lit(0.5)))
+          .as("raw"))
+      val rtot = raw.agg(sum(col("raw")).as("tot"))
+      val next = nodes.join(raw.withColumnRenamed("v", "node"),
+          Seq("node"), "left")
+        .crossJoin(broadcast(rtot))
+        .select(col("node"),
+          round(coalesce(col("raw"), lit(0L)).cast("double") / col("tot"),
+            12).as("pi"))
+      pi = if (i % 3 == 0 || i == iters) next.localCheckpoint() else next
+    }
+    norm.unpersist()
+    pi
+  }
+
   /** Degree distribution of an undirected graph: per-degree node
     * counts with shares — the hub/skew profile that decides whether
     * the wedge join ([[triangleStats]]) or a per-key equi-join needs

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round-10 session-3 additions: HITS hubs/authorities and the Markov
+  * stationary distribution (quantized, renormalized power iteration).
+  */
+class R10cOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("hits: authorities and hubs separate on a directed fan") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // a -> b, a -> c, b -> c : c is the top authority (two in-edges),
+    // a the top hub (routes into both), and the pure-source/pure-sink
+    // ends score exactly zero on the opposite side.
+    val edges = Seq(("a", "b", 1L), ("a", "c", 1L), ("b", "c", 1L))
+      .toDF("src", "dst", "w")
+    val r = Graph.hits(edges, "src", "dst", "w", iters = 4)
+      .collect().map(x => x.getString(0) -> (x.getDouble(1), x.getDouble(2)))
+      .toMap
+    assert(r("c")._2 > r("b")._2 && r("b")._2 > r("a")._2)
+    assert(r("a")._1 > r("b")._1 && r("b")._1 > r("c")._1)
+    assert(r("a")._2 == 0.0 && r("c")._1 == 0.0)
+    // L1 normalization holds after rounding (12 dp): sums within 1e-9
+    assert(math.abs(r.values.map(_._1).sum - 1.0) < 1e-9)
+    assert(math.abs(r.values.map(_._2).sum - 1.0) < 1e-9)
+  }
+
+  test("hits: partition-invariant (quantized long mass)") {
+    import spark.implicits._
+    import graft.operators.Graph
+    val edges = (1 to 40).map(i =>
+      (s"n${i % 7}", s"n${(i * 3) % 7}", (i % 5 + 1).toLong))
+      .toDF("src", "dst", "w").filter(col("src") =!= col("dst"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Graph.hits(df, "src", "dst", "w", iters = 5)
+        .collect().map(x => (x.getString(0), x.getDouble(1), x.getDouble(2)))
+        .sortBy(_._1).toSeq
+    assert(run(edges.repartition(1)) == run(edges.repartition(13)))
+  }
+
+  test("stationary: symmetric 2-cycle and 3-cycle are exactly uniform") {
+    import spark.implicits._
+    import graft.operators.Graph
+    val two = Seq(("a", "b", 1L), ("b", "a", 1L)).toDF("s", "d", "w")
+    val r2 = Graph.stationary(two, "s", "d", "w", iters = 12)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r2 == Map("a" -> 0.5, "b" -> 0.5))
+    val three = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "a", 1L))
+      .toDF("s", "d", "w")
+    val r3 = Graph.stationary(three, "s", "d", "w", iters = 6)
+      .collect().map(_.getDouble(1))
+    // 1/3 under the quantize-then-round-12 contract
+    assert(r3.forall(_ == 0.333333333333))
+  }
+
+  test("stationary: converges to 2/3-1/3 on the self-loop chain") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // P(a,a)=.5, P(a,b)=.5, P(b,a)=1  =>  pi = (2/3, 1/3)
+    val e = Seq(("a", "a", 1L), ("a", "b", 1L), ("b", "a", 2L))
+      .toDF("s", "d", "w")
+    val r = Graph.stationary(e, "s", "d", "w", iters = 12)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r("a") - 2.0 / 3) < 1e-3)
+    assert(math.abs(r("b") - 1.0 / 3) < 1e-3)
+  }
+}
