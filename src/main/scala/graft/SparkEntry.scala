@@ -1350,6 +1350,24 @@ object SparkEntry {
         col("ks_d"), col("ks_stat"))
       .orderBy(col("event_type"))
 
+  /** Two-arm log-rank test on time-to-first-purchase under the
+    * `user_id % 2` assignment — the censoring-correct "did arm A
+    * convert on a different clock" readout (hour granularity, same
+    * duration spec as `q_events_survival`). */
+  private def qEventsLogrank(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Survival.logRank(t(s, dir, "events"), "purchase",
+      col("user_id") % 2)
+
+  /** Wald SPRT trace on the daily purchase-share stream (H0 p=0.18 vs
+    * H1 p=0.22, α=β=0.05): the early-stopping monitor, one decision
+    * row per calendar day. */
+  private def qEventsSprt(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Metrics.sprtBernoulli(t(s, dir, "events"),
+        to_date(col("ts")), col("event_type") === "purchase",
+        p0 = 0.18, p1 = 0.22)
+      .withColumnRenamed("period", "day")
+      .orderBy(col("day"))
+
   /** Spearman rank correlation between event value and event time per
     * event type — "is spend drifting monotonically over the window",
     * outlier-immune where raw Pearson is not (ranks via the MWU
@@ -3542,6 +3560,8 @@ object SparkEntry {
     "source_pagerank" -> (qSourcePagerank _),
     "graph_hits" -> (qGraphHits _),
     "q_events_markov_stationary" -> (qEventsMarkovStationary _),
+    "q_events_logrank" -> (qEventsLogrank _),
+    "q_events_sprt" -> (qEventsSprt _),
     "contrastive_triplets" -> (qContrastiveTriplets _),
     "q_hot_keys" -> (qHotKeys _),
     "q_events_rolling_stats" -> (qEventsRollingStats _),
@@ -3921,6 +3941,89 @@ object SparkEntry {
           round(CAST(c.n_ev AS DOUBLE) / ct.n_tot, 6) AS share_observed
         FROM p12 JOIN c ON c.event_type = p12.node CROSS JOIN ct
         ORDER BY pi_stationary DESC, event_type"""
+  }
+
+  /** Log-rank replay: same per-user rollup + duration spec as the
+    * KM oracle, hypergeometric terms quantized to BIGINT at 1e9
+    * exactly as [[graft.operators.Survival.logRank]]. */
+  private val logrankOracle: String =
+    """WITH pu AS (
+         SELECT user_id, min(epoch_us(ts)) AS t0,
+           min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+             AS te
+         FROM events GROUP BY user_id),
+       cens AS (SELECT max(epoch_us(ts)) AS tc FROM events),
+       durs AS (
+         SELECT (coalesce(te, tc) - t0) // 3600000000 AS dur,
+           CASE WHEN te IS NOT NULL THEN 1 ELSE 0 END AS ev,
+           CAST(user_id % 2 AS INT) AS arm
+         FROM pu CROSS JOIN cens),
+       bydur AS (
+         SELECT dur,
+           sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS tot_a,
+           sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS tot_b,
+           sum(CASE WHEN arm = 1 THEN ev ELSE 0 END) AS d_a,
+           sum(CASE WHEN arm = 0 THEN ev ELSE 0 END) AS d_b
+         FROM durs GROUP BY dur),
+       risks AS (
+         SELECT dur, d_a, d_b,
+           sum(tot_a) OVER () - coalesce(sum(tot_a) OVER (ORDER BY dur
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS na,
+           sum(tot_b) OVER () - coalesce(sum(tot_b) OVER (ORDER BY dur
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+         FROM bydur),
+       terms AS (
+         SELECT d_a, d_b, na, nb, d_a + d_b AS d, na + nb AS n
+         FROM risks WHERE d_a + d_b > 0),
+       tq AS (
+         SELECT CAST(sum(d_a) AS BIGINT) AS obs_a,
+           CAST(sum(CAST(round(CAST(d AS DOUBLE) * na / n * 1e9, 0)
+             AS BIGINT)) AS BIGINT) AS eq,
+           CAST(sum(CAST(round(CASE WHEN n > 1 THEN
+               CAST(d AS DOUBLE) * na * nb * (n - d) /
+                 (CAST(n AS DOUBLE) * n * (n - 1))
+             ELSE 0.0 END * 1e9, 0) AS BIGINT)) AS BIGINT) AS vq
+         FROM terms),
+       tot AS (
+         SELECT
+           CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_users_a,
+           CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_users_b
+         FROM pu)
+       SELECT n_users_a, n_users_b, obs_a,
+         round(eq / 1e9, 6) AS exp_a,
+         CASE WHEN vq > 0 THEN round((obs_a - eq / 1e9) *
+           (obs_a - eq / 1e9) / (vq / 1e9), 6) END AS chi2,
+         CASE WHEN vq > 0 THEN round((obs_a - eq / 1e9) /
+           sqrt(vq / 1e9), 6) END AS z
+       FROM tq CROSS JOIN tot"""
+
+  /** SPRT replay — the four log constants are interpolated from the
+    * same Scala computation the engine bakes into its plan. */
+  private def sprtOracle: String = {
+    val (c1, c2, up, lo) =
+      graft.operators.Metrics.sprtConstants(0.18, 0.22, 0.05, 0.05)
+    s"""WITH daily AS (
+         SELECT CAST(ts AS DATE) AS day, count(*) AS t,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS s
+         FROM events GROUP BY 1),
+       cum AS (
+         SELECT day,
+           CAST(sum(t) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+             PRECEDING AND CURRENT ROW) AS BIGINT) AS n,
+           CAST(sum(s) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+             PRECEDING AND CURRENT ROW) AS BIGINT) AS k
+         FROM daily)
+       SELECT day, n, k,
+         round(k * CAST($c1 AS DOUBLE) + (n - k) * CAST($c2 AS DOUBLE), 6)
+           AS llr,
+         CASE WHEN k * CAST($c1 AS DOUBLE) + (n - k) * CAST($c2 AS DOUBLE)
+                >= CAST($up AS DOUBLE) THEN 'accept_h1'
+              WHEN k * CAST($c1 AS DOUBLE) + (n - k) * CAST($c2 AS DOUBLE)
+                <= CAST($lo AS DOUBLE) THEN 'accept_h0'
+              ELSE 'continue' END AS decision
+       FROM cum ORDER BY day"""
   }
 
   /** Stopword-vote lang-id replay — shared by `lang_id` (per-doc) and
@@ -6860,6 +6963,8 @@ object SparkEntry {
     "source_pagerank" -> sourcePagerankOracle,
     "graph_hits" -> graphHitsOracle,
     "q_events_markov_stationary" -> markovStationaryOracle,
+    "q_events_logrank" -> logrankOracle,
+    "q_events_sprt" -> sprtOracle,
     "contrastive_triplets" ->
       s"""WITH jp AS (SELECT id_a, id_b, jaccard FROM ($ngramJaccardOracle)),
           nn AS (SELECT count(*) AS n_docs FROM documents),

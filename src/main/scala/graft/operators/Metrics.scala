@@ -755,4 +755,54 @@ object Metrics {
         round((ssb / dfb) / (ssw / dfw), 4)).as("f_stat"),
       when(sst > 0, round(ssb / sst, 6)).as("eta_sq"))
   }
+
+  /** Wald sequential probability ratio test (SPRT, Wald 1945) on a
+    * Bernoulli stream, read out as a per-period decision trace: after
+    * each period, LLR_n = k·ln(p1/p0) + (n−k)·ln((1−p1)/(1−p0)) with
+    * the classic decision bounds ln((1−β)/α) / ln(β/(1−α)) — the
+    * "stop the experiment early" monitor a fixed-horizon z-test
+    * ([[twoProportionZ]]) cannot provide without peeking bias.
+    *
+    * Determinism: the four log constants are computed ONCE in Scala
+    * and ride both engines as interpolated literals (the cross-engine
+    * libm contract of the nDCG discounts); cumulative n/k are exact
+    * longs via a window over the period frame (bounded by the calendar
+    * span, never the event count), and LLR is the same two-product
+    * expression in both engines. The decision compares the UNROUNDED
+    * LLR in both.
+    *
+    * Scale shape: one period-keyed partial agg over the scan + one
+    * global window over the bounded period frame. */
+  def sprtBernoulli(df: DataFrame, periodCol: Column, successCol: Column,
+                    p0: Double, p1: Double, alpha: Double = 0.05,
+                    beta: Double = 0.05): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
+      "sprtBernoulli needs distinct p0, p1 in (0, 1)")
+    val c1 = math.log(p1 / p0)
+    val c2 = math.log((1 - p1) / (1 - p0))
+    val upper = math.log((1 - beta) / alpha)
+    val lower = math.log(beta / (1 - alpha))
+    val daily = df
+      .select(periodCol.as("period"), successCol.cast("long").as("y"))
+      .groupBy(col("period"))
+      .agg(count(lit(1)).as("t"), sum(col("y")).as("s"))
+    val w = Window.orderBy(col("period"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val llr = col("k") * lit(c1) + (col("n") - col("k")) * lit(c2)
+    daily
+      .withColumn("n", sum(col("t")).over(w))
+      .withColumn("k", sum(col("s")).over(w))
+      .select(col("period"), col("n"), col("k"),
+        round(llr, 6).as("llr"),
+        when(llr >= lit(upper), lit("accept_h1"))
+          .when(llr <= lit(lower), lit("accept_h0"))
+          .otherwise(lit("continue")).as("decision"))
+  }
+
+  /** SPRT constants for oracle interpolation — the exact literals
+    * [[sprtBernoulli]] bakes into the plan. */
+  def sprtConstants(p0: Double, p1: Double, alpha: Double,
+                    beta: Double): (Double, Double, Double, Double) =
+    (math.log(p1 / p0), math.log((1 - p1) / (1 - p0)),
+      math.log((1 - beta) / alpha), math.log(beta / (1 - alpha)))
 }

@@ -62,6 +62,67 @@ class R10cOpsSpec extends AnyFunSuite {
     assert(r3.forall(_ == 0.333333333333))
   }
 
+  test("logRank: symmetric arms score exactly zero") {
+    import spark.implicits._
+    import graft.operators.Survival
+    // users 1/3 (arm 1) mirror users 2/4 (arm 0) exactly: at every
+    // duration n_a = n_b and d_a = d_b, so E_a = d/2 = observed
+    // and chi2 = 0 by construction.
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(h: Int) = new java.sql.Timestamp(base.getTime + h * 3600000L)
+    val ev = Seq(
+      (1L, at(0), "view"), (1L, at(2), "purchase"),
+      (2L, at(0), "view"), (2L, at(2), "purchase"),
+      (3L, at(0), "view"), (3L, at(5), "view"),
+      (4L, at(0), "view"), (4L, at(5), "view")
+    ).toDF("user_id", "ts", "event_type")
+    val r = Survival.logRank(ev, "purchase", col("user_id") % 2).head()
+    assert(r.getLong(0) == 2 && r.getLong(1) == 2) // users per arm
+    assert(r.getLong(2) == 1)                      // observed arm-a events
+    assert(r.getDouble(3) == 1.0)                  // expected = d/2 = 1
+    assert(r.getDouble(4) == 0.0 && r.getDouble(5) == 0.0)
+  }
+
+  test("logRank: one-sided conversion shifts chi2 off zero") {
+    import spark.implicits._
+    import graft.operators.Survival
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(h: Int) = new java.sql.Timestamp(base.getTime + h * 3600000L)
+    // arm 1 converts fast, arm 0 never converts
+    val ev = Seq(
+      (1L, at(0), "view"), (1L, at(1), "purchase"),
+      (3L, at(0), "view"), (3L, at(1), "purchase"),
+      (2L, at(0), "view"), (2L, at(9), "view"),
+      (4L, at(0), "view"), (4L, at(9), "view")
+    ).toDF("user_id", "ts", "event_type")
+    val r = Survival.logRank(ev, "purchase", col("user_id") % 2).head()
+    assert(r.getLong(2) == 2 && r.getDouble(3) < 2.0) // obs 2, exp 1
+    assert(r.getDouble(4) > 0.0 && r.getDouble(5) > 0.0)
+  }
+
+  test("sprtBernoulli: hand-computed LLR and decisive tails") {
+    import spark.implicits._
+    import graft.operators.Metrics
+    // day 1: 4 trials 0 successes; day 2: +4 trials +4 successes
+    val df = Seq(
+      ("d1", 0), ("d1", 0), ("d1", 0), ("d1", 0),
+      ("d2", 1), ("d2", 1), ("d2", 1), ("d2", 1)
+    ).toDF("day", "y")
+    val out = Metrics.sprtBernoulli(df, col("day"), col("y") === 1,
+        p0 = 0.2, p1 = 0.8, alpha = 0.05, beta = 0.05)
+      .orderBy(col("period")).collect()
+    val c2 = math.log(0.2 / 0.8)
+    assert(out(0).getLong(1) == 4 && out(0).getLong(2) == 0)
+    assert(out(0).getDouble(3) ==
+      BigDecimal(4 * c2).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // day 1: llr = 4*ln(1/4) ≈ -5.545 <= ln(1/19) ≈ -2.944 -> accept H0
+    // day 2 cumulative 4/8: llr = 4c1 + 4c2 = 0 -> back to continue
+    assert(out(0).getString(4) == "accept_h0")
+    assert(out(1).getDouble(3) == 0.0)
+    assert(out(1).getString(4) == "continue")
+  }
+
   test("stationary: converges to 2/3-1/3 on the self-loop chain") {
     import spark.implicits._
     import graft.operators.Graph
