@@ -2930,6 +2930,18 @@ object SparkEntry {
       .orderBy(col("pi_stationary").desc, col("event_type"))
   }
 
+  /** Corpus-level RAKE keyphrases: top-25 stopword-free phrase runs by
+    * degree/frequency word scores (quantized-long phrase sums). */
+  private def qRakeKeywords(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.rakeKeywords(t(s, dir, "documents"), "text", "doc_id",
+      topK = 25)
+
+  /** TextRank keywords: quantized PageRank over the adjacent-content-
+    * word co-occurrence graph, top-30. */
+  private def qTextrankKeywords(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.textRank(t(s, dir, "documents"), "text", topK = 30,
+      iters = 10, minCount = 2)
+
   /** Per-type daily event counts with trailing 7-day moving average
     * and week-over-week ratio. */
   private def qEventsRollingStats(s: SparkSession, dir: String): DataFrame =
@@ -3562,6 +3574,8 @@ object SparkEntry {
     "q_events_markov_stationary" -> (qEventsMarkovStationary _),
     "q_events_logrank" -> (qEventsLogrank _),
     "q_events_sprt" -> (qEventsSprt _),
+    "rake_keywords" -> (qRakeKeywords _),
+    "textrank_keywords" -> (qTextrankKeywords _),
     "contrastive_triplets" -> (qContrastiveTriplets _),
     "q_hot_keys" -> (qHotKeys _),
     "q_events_rolling_stats" -> (qEventsRollingStats _),
@@ -4024,6 +4038,110 @@ object SparkEntry {
                 <= CAST($lo AS DOUBLE) THEN 'accept_h0'
               ELSE 'continue' END AS decision
        FROM cum ORDER BY day"""
+  }
+
+  /** RAKE replay: same fragment split / stoplist islands / ≤4-token
+    * runs / 1e-6-quantized word scores as
+    * [[graft.operators.TextAnalysis.rakeKeywords]]. */
+  private def rakeOracle: String = {
+    val stops = graft.operators.TextAnalysis.stopwordsEn
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH fr AS (
+         SELECT doc_id,
+           regexp_split_to_array(lower(text), '[^a-z0-9\\s]+') AS frags
+         FROM documents),
+       f2 AS (
+         SELECT doc_id, unnest(generate_series(1, len(frags))) AS frag_idx,
+           frags
+         FROM fr),
+       f3 AS (SELECT doc_id, frag_idx, frags[frag_idx] AS frag FROM f2),
+       tk AS (
+         SELECT doc_id, frag_idx,
+           list_filter(regexp_split_to_array(trim(frag), '\\s+'),
+             x -> len(x) > 0) AS ts
+         FROM f3),
+       tp AS (
+         SELECT doc_id, frag_idx,
+           unnest(generate_series(1, len(ts))) AS pos1, ts
+         FROM tk),
+       tw AS (SELECT doc_id, frag_idx, pos1 - 1 AS pos, ts[pos1] AS tok
+              FROM tp),
+       ctw AS (SELECT * FROM tw WHERE tok NOT IN ($stops)),
+       isl AS (
+         SELECT doc_id, frag_idx, pos, tok,
+           pos - row_number() OVER (PARTITION BY doc_id, frag_idx
+             ORDER BY pos) AS island
+         FROM ctw),
+       ph AS (
+         SELECT doc_id, frag_idx, island,
+           string_agg(tok, ' ' ORDER BY pos) AS phrase,
+           count(*) AS plen
+         FROM isl GROUP BY 1, 2, 3),
+       ph2 AS (SELECT phrase, plen FROM ph WHERE plen <= 4),
+       wrd AS (SELECT unnest(regexp_split_to_array(phrase, ' ')) AS wrd,
+                 plen
+               FROM ph2),
+       ws AS (SELECT wrd,
+                CAST(round(sum(plen) * 1e6 / count(*), 0) AS BIGINT)
+                  AS scoreq
+              FROM wrd GROUP BY wrd),
+       pw AS (SELECT phrase, unnest(regexp_split_to_array(phrase, ' '))
+                  AS wrd
+              FROM (SELECT DISTINCT phrase FROM ph2)),
+       psc AS (SELECT phrase, CAST(sum(scoreq) AS BIGINT) AS sq
+               FROM pw JOIN ws USING (wrd) GROUP BY phrase),
+       pcnt AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences
+                FROM ph2 GROUP BY phrase)
+       SELECT p.phrase, c.n_occurrences, round(p.sq / 1e6, 4) AS score
+       FROM psc p JOIN pcnt c USING (phrase)
+       ORDER BY score DESC, phrase ASC LIMIT 25"""
+  }
+
+  /** TextRank replay: canonical adjacent-content-word pairs,
+    * min-count-2 pruned, then the standard 10-iteration quantized
+    * PageRank CTE chain (same contract as the source-graph oracle). */
+  private def textrankOracle: String = {
+    val stops = graft.operators.TextAnalysis.stopwordsEn
+      .map(w => s"'$w'").mkString(", ")
+    val iterCtes = (1 to 10).map { i =>
+      s"""pr$i AS MATERIALIZED (
+           SELECT nodes.node,
+             round(CAST(0.15 AS DOUBLE) / nn.n +
+               0.85 * coalesce(m.inmass, 0.0), 12) AS pr
+           FROM nodes CROSS JOIN nn LEFT JOIN (
+             SELECT norm.v,
+               sum(CAST(round(pr${i - 1}.pr * norm.p * 1e15, 0) AS BIGINT))
+                 / 1e15 AS inmass
+             FROM norm JOIN pr${i - 1} ON norm.u = pr${i - 1}.node
+             GROUP BY norm.v) m ON m.v = nodes.node)"""
+    }.mkString(",\n         ")
+    s"""WITH content AS (
+         SELECT list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+           w -> w NOT IN ($stops)) AS c
+         FROM documents),
+       rawp AS (
+         SELECT unnest(list_transform(generate_series(1, len(c) - 1),
+           i -> {'a': least(c[i], c[i + 1]),
+                 'b': greatest(c[i], c[i + 1])})) AS p
+         FROM content WHERE len(c) >= 2),
+       ed AS MATERIALIZED (
+         SELECT p.a AS wa, p.b AS wb, CAST(count(*) AS BIGINT) AS w
+         FROM rawp WHERE p.a <> p.b GROUP BY 1, 2 HAVING count(*) >= 2),
+       sym AS MATERIALIZED (
+         SELECT wa AS u, wb AS v, CAST(w AS DOUBLE) AS w FROM ed
+         UNION ALL SELECT wb, wa, CAST(w AS DOUBLE) FROM ed),
+       outw AS (SELECT u, sum(w) AS wout FROM sym GROUP BY u),
+       norm AS MATERIALIZED (
+         SELECT sym.u, sym.v, sym.w / outw.wout AS p
+         FROM sym JOIN outw USING (u)),
+       nodes AS MATERIALIZED (
+         SELECT wa AS node FROM ed UNION SELECT wb FROM ed),
+       nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS pr
+               FROM nodes CROSS JOIN nn),
+       $iterCtes
+       SELECT node AS word, round(pr, 6) AS textrank
+       FROM pr10 ORDER BY textrank DESC, word ASC LIMIT 30"""
   }
 
   /** Stopword-vote lang-id replay — shared by `lang_id` (per-doc) and
@@ -6965,6 +7083,8 @@ object SparkEntry {
     "q_events_markov_stationary" -> markovStationaryOracle,
     "q_events_logrank" -> logrankOracle,
     "q_events_sprt" -> sprtOracle,
+    "rake_keywords" -> rakeOracle,
+    "textrank_keywords" -> textrankOracle,
     "contrastive_triplets" ->
       s"""WITH jp AS (SELECT id_a, id_b, jaccard FROM ($ngramJaccardOracle)),
           nn AS (SELECT count(*) AS n_docs FROM documents),

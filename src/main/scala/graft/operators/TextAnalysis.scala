@@ -34,7 +34,10 @@ object TextAnalysis {
   def bpeTokenCount(c: Column): Column =
     size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
-  private val stopwordsEn: Seq[String] =
+  /** Shared English stoplist — also the phrase-delimiter set of
+    * [[rakeKeywords]]/[[textRank]] and interpolated into their
+    * oracles, so both engines gate on the identical list. */
+  val stopwordsEn: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
         "that", "this", "for", "on", "with", "as", "at", "by", "be")
 
@@ -363,6 +366,102 @@ object TextAnalysis {
       .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term").asc)
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= topK)
+  }
+
+  /** RAKE keyword extraction (Rose et al. 2010) at corpus level:
+    * candidate phrases are maximal stopword-free token runs inside
+    * punctuation-delimited fragments; word score = degree/frequency
+    * over the candidate set; phrase score = Σ word scores.
+    *
+    * Exact shared spec (the oracle replays it verbatim): lowercase →
+    * split fragments on `[^a-z0-9\s]+` → whitespace tokens →
+    * gaps-and-islands on the stoplist → runs of length 1..maxLen kept
+    * (longer runs DROPPED, not truncated — a >maxLen run is template
+    * noise, not a keyphrase). Word scores are quantized to longs at
+    * 1e-6 (deg·1e6/freq, half-up) so per-phrase sums are associative
+    * and partition-invariant; identical phrases share one score by
+    * construction.
+    *
+    * Scale shape: map-only explode to phrase instances, one
+    * (word)-keyed agg for scores, one broadcast-joinable word-score
+    * frame (vocabulary-bounded) back onto phrase words, one
+    * phrase-keyed agg, TakeOrdered top-k. No global sort. */
+  def rakeKeywords(df: DataFrame, textCol: String, idCol: String,
+                   topK: Int = 25, maxLen: Int = 4,
+                   stops: Seq[String] = stopwordsEn): DataFrame = {
+    val frags = df.select(col(idCol).as("doc_id"),
+        posexplode(split(lower(col(textCol)), "[^a-z0-9\\s]+"))
+          .as(Seq("frag_idx", "frag")))
+      .select(col("doc_id"), col("frag_idx"),
+        posexplode(tokens(col("frag"))).as(Seq("pos", "tok")))
+      .filter(!col("tok").isin(stops: _*))
+    val w = Window.partitionBy(col("doc_id"), col("frag_idx"))
+      .orderBy(col("pos"))
+    val phrases = CacheScope.scratch(frags
+      .withColumn("isl", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("frag_idx"), col("isl"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("tok")))),
+        p => p.getField("tok")).as("ws"))
+      .select(col("ws"), size(col("ws")).as("plen"))
+      .filter(col("plen") <= maxLen))
+    val words = phrases.select(explode(col("ws")).as("wrd"), col("plen"))
+      .groupBy(col("wrd"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .select(col("wrd"),
+        floor(col("deg") * lit(1e6) / col("freq") + lit(0.5))
+          .cast("long").as("scoreq"))
+    phrases
+      // pid is assigned on the PHRASE row, in its own projection, then
+      // repeated by the explode — a single select would let the
+      // generator projection re-evaluate the nondeterministic id per
+      // exploded row and shatter the group
+      .select(monotonically_increasing_id().as("pid"), col("ws"))
+      .select(col("pid"), col("ws"), explode(col("ws")).as("wrd"))
+      .join(words, "wrd")
+      .groupBy(col("pid"))
+      .agg(concat_ws(" ", first(col("ws"))).as("phrase"),
+        sum(col("scoreq")).as("sq"))
+      .groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occurrences"), max(col("sq")).as("sq"))
+      .select(col("phrase"), col("n_occurrences"),
+        round(col("sq") / lit(1e6), 4).as("score"))
+      .orderBy(col("score").desc, col("phrase").asc)
+      .limit(topK)
+  }
+
+  /** TextRank keywords (Mihalcea & Tarau 2004): quantized PageRank
+    * ([[Graph.pageRank]]'s exact integer-mass contract) over the
+    * corpus-level adjacent-content-word co-occurrence graph. Token
+    * stream = `[a-z0-9]+` runs of the lowercased text; stopwords
+    * removed KEEPING adjacency (the standard window-over-content-words
+    * form); edges are undirected with occurrence-count weights.
+    * Pair generation is map-only (per-row transform over the content
+    * array — no self-join); the graph agg is vocabulary²-bounded but
+    * support-pruned by `minCount` before ranking. */
+  def textRank(df: DataFrame, textCol: String, topK: Int = 30,
+               iters: Int = 10, minCount: Int = 2,
+               stops: Seq[String] = stopwordsEn): DataFrame = {
+    val toks = regexp_extract_all(lower(col(textCol)),
+      lit("[a-z0-9]+"), lit(0))
+    val content = filter(toks, t => !t.isin(stops: _*))
+    val pairs = df.select(content.as("c"))
+      .filter(size(col("c")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("c")) - 2),
+        i => struct(least(element_at(col("c"), i + 1),
+            element_at(col("c"), i + 2)).as("a"),
+          greatest(element_at(col("c"), i + 1),
+            element_at(col("c"), i + 2)).as("b")))).as("p"))
+      .select(col("p.a").as("wa"), col("p.b").as("wb"))
+      .filter(col("wa") =!= col("wb"))
+    val edges = pairs.groupBy(col("wa"), col("wb"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+    val nodes = edges.select(col("wa").as("wrd"))
+      .union(edges.select(col("wb").as("wrd"))).distinct()
+    Graph.pageRank(edges, "wa", "wb", "n", nodes, "wrd", iters = iters)
+      .select(col("node").as("word"), round(col("pr"), 6).as("textrank"))
+      .orderBy(col("textrank").desc, col("word").asc)
+      .limit(topK)
   }
 
   /** Fixed-token document chunking with overlap — the step that turns

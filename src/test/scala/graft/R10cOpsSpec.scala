@@ -123,6 +123,44 @@ class R10cOpsSpec extends AnyFunSuite {
     assert(out(1).getString(4) == "continue")
   }
 
+  test("rakeKeywords: hand-computed degree/frequency phrase scores") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // "spark. fast spark engine" -> phrases "spark" (len 1) and
+    // "fast spark engine" (len 3); spark: freq 2 deg 4 -> 2.0,
+    // fast/engine: freq 1 deg 3 -> 3.0; phrase scores 2.0 and 8.0
+    val df = Seq((1L, "Spark. Fast Spark engine")).toDF("doc_id", "text")
+    val r = TextAnalysis.rakeKeywords(df, "text", "doc_id", topK = 10)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getDouble(2)))
+    assert(r.toSeq == Seq(("fast spark engine", 1L, 8.0),
+      ("spark", 1L, 2.0)))
+  }
+
+  test("rakeKeywords: stopwords split runs; >maxLen runs dropped") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "green apple and blue sky"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    val phrases = TextAnalysis.rakeKeywords(df, "text", "doc_id", topK = 10)
+      .collect().map(_.getString(0)).toSet
+    // "and" is a delimiter; the 6-token stopword-free run in doc 2
+    // exceeds maxLen=4 and must be dropped, not truncated
+    assert(phrases == Set("green apple", "blue sky"))
+  }
+
+  test("textRank: symmetric 2-node graph ranks 0.5/0.5, minCount prunes") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val df = Seq((1L, "xx yy xx yy xx yy"), (2L, "pp qq"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.textRank(df, "text", topK = 10, iters = 5,
+        minCount = 2)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    // (pp,qq) occurs once -> pruned by minCount; xx<->yy symmetric
+    assert(r == Map("xx" -> 0.5, "yy" -> 0.5))
+  }
+
   test("stationary: converges to 2/3-1/3 on the self-loop chain") {
     import spark.implicits._
     import graft.operators.Graph
