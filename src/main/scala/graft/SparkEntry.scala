@@ -2930,6 +2930,26 @@ object SparkEntry {
       .orderBy(col("pi_stationary").desc, col("event_type"))
   }
 
+  /** Item-item collaborative-filtering neighbors over order baskets:
+    * per-part top-5 co-purchased parts by co-occurrence cosine. */
+  private def qItemCfTopk(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Basket.itemNeighbors(t(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minSupport = 2, k = 5)
+      .orderBy(col("item"), col("rank"))
+
+  /** Referential-integrity audit across the seven TPC-H-shaped FK
+    * relationships: child cardinality, orphan count, orphan rate. */
+  private def qDqReferential(s: SparkSession, dir: String): DataFrame =
+    graft.operators.DataQuality.tpchAudit(s, name => t(s, dir, name))
+      .orderBy(col("relation"))
+
+  /** HBOS density outliers over the first 8 embedding components —
+    * the multi-modal complement to the centroid-distance outlier
+    * list. */
+  private def qHbosOutliers(s: SparkSession, dir: String): DataFrame =
+    Similarity.hbosOutliers(t(s, dir, "embeddings"), "embedding",
+      "vec_id", dims = 8, binWidth = 0.25, topN = 20)
+
   /** Corpus-level RAKE keyphrases: top-25 stopword-free phrase runs by
     * degree/frequency word scores (quantized-long phrase sums). */
   private def qRakeKeywords(s: SparkSession, dir: String): DataFrame =
@@ -3576,6 +3596,9 @@ object SparkEntry {
     "q_events_sprt" -> (qEventsSprt _),
     "rake_keywords" -> (qRakeKeywords _),
     "textrank_keywords" -> (qTextrankKeywords _),
+    "item_cf_topk" -> (qItemCfTopk _),
+    "dq_referential" -> (qDqReferential _),
+    "hbos_outliers" -> (qHbosOutliers _),
     "contrastive_triplets" -> (qContrastiveTriplets _),
     "q_hot_keys" -> (qHotKeys _),
     "q_events_rolling_stats" -> (qEventsRollingStats _),
@@ -4038,6 +4061,31 @@ object SparkEntry {
                 <= CAST($lo AS DOUBLE) THEN 'accept_h0'
               ELSE 'continue' END AS decision
        FROM cum ORDER BY day"""
+  }
+
+  /** Referential-audit replay — generated from the SAME spec list the
+    * engine audits, one NOT EXISTS branch per relationship. */
+  private def dqReferentialOracle: String = {
+    val specs = Seq(
+      ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+      ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"))
+    specs.map { case (name, child, ck, parent, pk) =>
+      s"""SELECT '$name' AS relation,
+            (SELECT CAST(count(*) AS BIGINT) FROM $child) AS n_child,
+            (SELECT CAST(count(*) AS BIGINT) FROM $child c
+             WHERE NOT EXISTS (SELECT 1 FROM $parent p
+               WHERE p.$pk = c.$ck)) AS n_orphans,
+            round(CASE WHEN (SELECT count(*) FROM $child) > 0
+              THEN (SELECT count(*) FROM $child c WHERE NOT EXISTS
+                (SELECT 1 FROM $parent p WHERE p.$pk = c.$ck)) /
+                CAST((SELECT count(*) FROM $child) AS DOUBLE)
+              ELSE 0.0 END, 6) AS orphan_rate"""
+    }.mkString("\n UNION ALL \n") + "\n ORDER BY relation"
   }
 
   /** RAKE replay: same fragment split / stoplist islands / ≤4-token
@@ -7085,6 +7133,48 @@ object SparkEntry {
     "q_events_sprt" -> sprtOracle,
     "rake_keywords" -> rakeOracle,
     "textrank_keywords" -> textrankOracle,
+    "item_cf_topk" ->
+      """WITH items AS (
+           SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         pc AS (SELECT p, count(*) AS c FROM items GROUP BY p),
+         pairs AS (
+           SELECT a.p AS pa, b.p AS pb, count(*) AS support
+           FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         sym AS (
+           SELECT pa AS item, pb AS neighbor, support FROM pairs
+           UNION ALL SELECT pb, pa, support FROM pairs),
+         scored AS (
+           SELECT s.item, s.neighbor, s.support,
+             round(s.support / sqrt(CAST(ci.c AS DOUBLE) * cn.c), 6)
+               AS cosine
+           FROM sym s JOIN pc ci ON ci.p = s.item
+           JOIN pc cn ON cn.p = s.neighbor),
+         ranked AS (
+           SELECT *, CAST(row_number() OVER (PARTITION BY item
+             ORDER BY cosine DESC, neighbor ASC) AS INT) AS rank
+           FROM scored)
+         SELECT item, neighbor, CAST(support AS BIGINT) AS support,
+           cosine, rank
+         FROM ranked WHERE rank <= 5 ORDER BY item, rank""",
+    "dq_referential" -> dqReferentialOracle,
+    "hbos_outliers" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         ex AS (SELECT vec_id, unnest(generate_series(1, 8)) AS d1, v
+                FROM e),
+         bx AS (SELECT vec_id, d1 - 1 AS d,
+                  CAST(floor(v[d1] / 0.25) AS BIGINT) AS bin
+                FROM ex),
+         hist AS (SELECT d, bin, count(*) AS c FROM bx GROUP BY 1, 2),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+         sq AS (SELECT d, bin,
+                  CAST(round((ln(n.n) - ln(c)) * 1e9, 0) AS BIGINT) AS q
+                FROM hist CROSS JOIN n),
+         sc AS (SELECT vec_id, CAST(sum(q) AS BIGINT) AS sqsum
+                FROM bx JOIN sq USING (d, bin) GROUP BY vec_id)
+         SELECT vec_id, round(sqsum / 1e9, 6) AS hbos
+         FROM sc ORDER BY hbos DESC, vec_id LIMIT 20""",
     "contrastive_triplets" ->
       s"""WITH jp AS (SELECT id_a, id_b, jaccard FROM ($ngramJaccardOracle)),
           nn AS (SELECT count(*) AS n_docs FROM documents),

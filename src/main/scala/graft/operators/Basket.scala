@@ -42,4 +42,44 @@ object Basket {
       .orderBy(col("lift").desc, col("item_a"), col("item_b"))
       .limit(topK)
   }
+
+  /** Item-item collaborative-filtering neighbors: per-item top-k
+    * co-purchased items by co-occurrence cosine
+    * cos(a,b) = c_ab / √(c_a·c_b) — the classic Sarwar et al. (WWW'01)
+    * item-kNN model, the "users who bought X also bought Y" readout.
+    *
+    * Scale shape: same order-key self equi-join as
+    * [[associationRules]] (bounded by basket size² per order — never
+    * item×item), min-support pruned BEFORE the per-item count joins;
+    * ranking is a window PARTITIONED BY item over the support-pruned
+    * pair frame (pairs-sized, never catalog²). Ties break on neighbor
+    * id, so the per-item lists are total-ordered and replayable. */
+  def itemNeighbors(df: DataFrame, orderCol: String, itemCol: String,
+                    minSupport: Long = 2, k: Int = 5): DataFrame = {
+    val items = df.select(col(orderCol).as("o"), col(itemCol).as("p"))
+      .distinct()
+    val pc = items.groupBy(col("p")).agg(count(lit(1)).as("c"))
+    val pairs = items.alias("a")
+      .join(items.alias("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    val sym = pairs.select(col("pa").as("item"), col("pb").as("neighbor"),
+        col("support"))
+      .unionAll(pairs.select(col("pb").as("item"), col("pa").as("neighbor"),
+        col("support")))
+    val scored = sym
+      .join(pc.select(col("p").as("item"), col("c").as("c_i")), "item")
+      .join(pc.select(col("p").as("neighbor"), col("c").as("c_n")),
+        "neighbor")
+      .select(col("item"), col("neighbor"), col("support"),
+        round(col("support").cast("double") /
+          sqrt(col("c_i").cast("double") * col("c_n")), 6).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("item"))
+      .orderBy(col("cosine").desc, col("neighbor").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

@@ -543,6 +543,42 @@ object Similarity {
       .limit(topN)
   }
 
+  /** Histogram-based outlier score (HBOS, Goldstein & Dengel 2012)
+    * over the first `dims` embedding components: per dimension a
+    * fixed-width histogram, score = Σ_d ln(N / count(bin_d(x))) —
+    * vectors sitting in thin bins on many dimensions score high. The
+    * density-estimation complement to [[embOutliers]] (distance to a
+    * centroid misses multi-modal thinness) at histogram cost: two
+    * map-side passes and one (dims·bins)-sized broadcast join, no
+    * kNN, no centroids.
+    *
+    * Determinism: bins are `floor(x/binWidth)` on exact float→double
+    * promotions; the per-(dim,bin) log term quantizes to a long at
+    * 1e-9 BEFORE the per-vector sum, so the 8-term fold is associative
+    * and the top-N list replays exactly cross-engine. */
+  def hbosOutliers(df: DataFrame, vecCol: String, idCol: String,
+                   dims: Int = 8, binWidth: Double = 0.25,
+                   topN: Int = 20): DataFrame = {
+    val binned = CacheScope.scratch(
+      df.select(col(idCol).as("vec_id"),
+          posexplode(slice(col(vecCol), 1, dims)).as(Seq("d", "x")))
+        .select(col("vec_id"), col("d"),
+          floor(col("x") / lit(binWidth)).cast("long").as("bin")))
+    val n = df.agg(count(lit(1)).as("n"))
+    val hist = binned.groupBy(col("d"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(n))
+      .select(col("d"), col("bin"),
+        floor((log(col("n")) - log(col("c"))) * lit(1e9) + lit(0.5))
+          .cast("long").as("q"))
+    binned.join(hist, Seq("d", "bin"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("q")).as("sq"))
+      .select(col("vec_id"), round(col("sq") / lit(1e9), 6).as("hbos"))
+      .orderBy(col("hbos").desc, col("vec_id").asc)
+      .limit(topN)
+  }
+
   /** Topic-cluster cards — the corpus-composition rollup over the
     * deterministic k-means cells ([[kmeansCentroidsDet]]): per cell,
     * member count, corpus share, mean squared distance to the centroid

@@ -161,6 +161,47 @@ class R10cOpsSpec extends AnyFunSuite {
     assert(r == Map("xx" -> 0.5, "yy" -> 0.5))
   }
 
+  test("itemNeighbors: min-support prune and exact cosine") {
+    import spark.implicits._
+    import graft.operators.Basket
+    val f = Seq((1L, "A"), (1L, "B"), (1L, "C"), (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "B"), (4L, "C"), (4L, "D"))
+      .toDF("o", "p")
+    val rows = Basket.itemNeighbors(f, "o", "p", minSupport = 2, k = 5)
+      .collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2),
+        x.getDouble(3), x.getInt(4)))
+      .toSet
+    // only (A,B) survives support>=2; cos = 3/sqrt(3*3) = 1.0
+    assert(rows == Set(("A", "B", 3L, 1.0, 1), ("B", "A", 3L, 1.0, 1)))
+  }
+
+  test("referentialAudit: orphan and NULL-key accounting") {
+    import spark.implicits._
+    import graft.operators.DataQuality
+    val child = Seq(Some(1L), Some(2L), None).toDF("fk")
+    val parent = Seq(1L).toDF("pk")
+    val r = DataQuality.referentialAudit(Seq(
+      DataQuality.FkSpec("c->p", child, "fk", parent, "pk"))).head()
+    assert(r.getLong(1) == 3 && r.getLong(2) == 2)
+    assert(r.getDouble(3) == 0.666667)
+  }
+
+  test("hbosOutliers: thin-bin vector tops the list with exact score") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val vecs = Seq(
+      (1L, Array(0.0f, 0.0f)), (2L, Array(0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f)), (4L, Array(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.hbosOutliers(vecs, "embedding", "vec_id",
+      dims = 2, binWidth = 0.25, topN = 4).collect()
+    assert(r.head.getLong(0) == 4L)
+    // 2 * (ln 4 - ln 1) quantized at 1e-9 then rounded to 6 dp
+    assert(r.head.getDouble(1) == 2.772589)
+    assert(r.last.getDouble(1) == 0.575364)
+  }
+
   test("stationary: converges to 2/3-1/3 on the self-loop chain") {
     import spark.implicits._
     import graft.operators.Graph
