@@ -2930,6 +2930,13 @@ object SparkEntry {
       .orderBy(col("pi_stationary").desc, col("event_type"))
   }
 
+  /** Holt level+trend smoothing of hourly event counts per type —
+    * the trend-aware one-step forecast next to `q_events_smoothing`'s
+    * flat level. */
+  private def qEventsHolt(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.holtSmoothing(t(s, dir, "events"))
+      .orderBy(col("event_type"))
+
   /** Item-item collaborative-filtering neighbors over order baskets:
     * per-part top-5 co-purchased parts by co-occurrence cosine. */
   private def qItemCfTopk(s: SparkSession, dir: String): DataFrame =
@@ -3596,6 +3603,7 @@ object SparkEntry {
     "q_events_sprt" -> (qEventsSprt _),
     "rake_keywords" -> (qRakeKeywords _),
     "textrank_keywords" -> (qTextrankKeywords _),
+    "q_events_holt" -> (qEventsHolt _),
     "item_cf_topk" -> (qItemCfTopk _),
     "dq_referential" -> (qDqReferential _),
     "hbos_outliers" -> (qHbosOutliers _),
@@ -4061,6 +4069,52 @@ object SparkEntry {
                 <= CAST($lo AS DOUBLE) THEN 'accept_h0'
               ELSE 'continue' END AS decision
        FROM cum ORDER BY day"""
+  }
+
+  /** Holt replay as an explicit WITH RECURSIVE fold over the bucket
+    * index — NOT list_reduce: DuckDB's list_reduce mutates the
+    * accumulator struct FIELD BY FIELD (computing the 'b' field sees
+    * the already-updated 's'), so a two-state fold cannot be expressed
+    * there with proper immutable-accumulator semantics. The recursion
+    * replays the exact scalar op sequence of the Spark aggregate()
+    * lambda (sNext recomputed inside the trend term, same grouping).
+    * Constants interpolated and CAST to DOUBLE (bare decimal literals
+    * parse as DECIMAL and truncate). */
+  private def holtOracle: String = {
+    val (a, na, bb, nb) = (0.3, 1.0 - 0.3, 0.2, 1.0 - 0.2)
+    def d(x: Double) = s"CAST($x AS DOUBLE)"
+    val sNext = s"${d(a)} * x.cnt + ${d(na)} * (h.s + h.b)"
+    s"""WITH RECURSIVE hourly AS (
+         SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+           CAST(count(*) AS DOUBLE) AS cnt
+         FROM events GROUP BY 1, 2),
+       seqd AS MATERIALIZED (
+         SELECT event_type, cnt,
+           row_number() OVER (PARTITION BY event_type ORDER BY hour) AS i
+         FROM hourly),
+       nb AS (SELECT event_type, count(*) AS n_buckets
+              FROM seqd GROUP BY 1),
+       holt AS (
+         SELECT s2.event_type, 2 AS i, s2.cnt AS s,
+           s2.cnt - s1.cnt AS b
+         FROM seqd s2 JOIN seqd s1 ON s1.event_type = s2.event_type
+           AND s1.i = 1
+         WHERE s2.i = 2
+         UNION ALL
+         SELECT h.event_type, h.i + 1,
+           $sNext,
+           ${d(bb)} * (($sNext) - h.s) + ${d(nb)} * h.b
+         FROM holt h JOIN seqd x ON x.event_type = h.event_type
+           AND x.i = h.i + 1),
+       fin AS (
+         SELECT h.event_type, h.s, h.b
+         FROM holt h JOIN nb ON nb.event_type = h.event_type
+           AND h.i = nb.n_buckets)
+       SELECT nb.event_type, CAST(nb.n_buckets AS BIGINT) AS n_buckets,
+         round(f.s, 6) AS level, round(f.b, 6) AS trend,
+         round(f.s + f.b, 6) AS forecast
+       FROM nb LEFT JOIN fin f ON f.event_type = nb.event_type
+       ORDER BY 1"""
   }
 
   /** Referential-audit replay — generated from the SAME spec list the
@@ -7158,6 +7212,7 @@ object SparkEntry {
            cosine, rank
          FROM ranked WHERE rank <= 5 ORDER BY item, rank""",
     "dq_referential" -> dqReferentialOracle,
+    "q_events_holt" -> holtOracle,
     "hbos_outliers" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                     FROM embeddings),

@@ -42,6 +42,54 @@ object TimeSeries {
         .as("level"))
   }
 
+  /** Holt double-exponential smoothing per key (level + trend,
+    * Holt 1957): `s_t = α·x_t + (1−α)(s_{t−1}+b_{t−1})`,
+    * `b_t = β(s_t−s_{t−1}) + (1−β)b_{t−1}`, init `s=x₂, b=x₂−x₁`
+    * (fold starts at x₃; the t=2 step under this init is the
+    * identity). One-step forecast = s_n + b_n — the trend-aware
+    * upgrade of [[expSmoothing]]'s flat level.
+    *
+    * Same determinism contract as [[expSmoothing]]: per key the fold
+    * runs left-to-right over the sort_array-ordered bucket-count
+    * array with the identical scalar op sequence in both engines
+    * (DuckDB replays it via list_reduce with the init element
+    * prepended — its list_reduce has no init argument, so both the
+    * init and each x ride a uniform {v,s,b} struct). Keys with a
+    * single bucket emit NULL level/trend. */
+  def holtSmoothing(events: DataFrame, keyCol: String = "event_type",
+                    tsCol: String = "ts", alpha: Double = 0.3,
+                    beta: Double = 0.2,
+                    bucketUs: Long = 3600000000L): DataFrame = {
+    val hourly = events
+      .select(col(keyCol).as("k"),
+        expr(s"unix_micros($tsCol) DIV $bucketUs").as("bucket"))
+      .groupBy(col("k"), col("bucket"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    val seq0 = hourly.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sort_array(collect_list(struct(col("bucket"), col("cnt"))))
+          .as("ord"))
+      .select(col("k"), col("n_buckets"),
+        transform(col("ord"), e => e.getField("cnt")).as("xs"))
+    val a = lit(alpha); val na = lit(1.0 - alpha)
+    val bb = lit(beta); val nb = lit(1.0 - beta)
+    def sNext(acc: Column, x: Column): Column =
+      a * x + na * (acc.getField("s") + acc.getField("b"))
+    val init = struct(element_at(col("xs"), 2).as("s"),
+      (element_at(col("xs"), 2) - element_at(col("xs"), 1)).as("b"))
+    val fin = aggregate(
+      slice(col("xs"), lit(3), greatest(size(col("xs")) - 2, lit(0))),
+      init,
+      (acc, x) => struct(sNext(acc, x).as("s"),
+        (bb * (sNext(acc, x) - acc.getField("s")) +
+          nb * acc.getField("b")).as("b")))
+    seq0.select(col("k").as(keyCol), col("n_buckets"),
+      when(col("n_buckets") >= 2, round(fin.getField("s"), 6)).as("level"),
+      when(col("n_buckets") >= 2, round(fin.getField("b"), 6)).as("trend"),
+      when(col("n_buckets") >= 2,
+        round(fin.getField("s") + fin.getField("b"), 6)).as("forecast"))
+  }
+
   /** Theil–Sen robust trend per key: the MEDIAN of all pairwise slopes
     * (c_j − c_i)/(d_j − d_i) over the key's daily-count series — the
     * outlier-resistant answer to "is this event type growing", immune

@@ -202,6 +202,24 @@ class R10cOpsSpec extends AnyFunSuite {
     assert(r.last.getDouble(1) == 0.575364)
   }
 
+  test("holtSmoothing: hand-folded level, trend, forecast") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    // hourly counts 10,12,11,15: init s=12 b=2;
+    // x=11: s=13.1 b=1.82; x=15: s=14.944 b=1.8248 -> forecast 16.7688
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = Seq(10, 12, 11, 15).zipWithIndex.flatMap { case (n, h) =>
+      (1 to n).map(i =>
+        (new java.sql.Timestamp(base + h * 3600000L + i * 1000L), "t"))
+    }
+    val ev = rows.toDF("ts", "event_type")
+    val r = TimeSeries.holtSmoothing(ev, alpha = 0.3, beta = 0.2).head()
+    assert(r.getLong(1) == 4)
+    assert(math.abs(r.getDouble(2) - 14.944) < 1e-9)
+    assert(math.abs(r.getDouble(3) - 1.8248) < 1e-9)
+    assert(math.abs(r.getDouble(4) - 16.7688) < 1e-9)
+  }
+
   test("stationary: converges to 2/3-1/3 on the self-loop chain") {
     import spark.implicits._
     import graft.operators.Graph
