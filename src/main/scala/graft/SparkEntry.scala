@@ -2930,6 +2930,59 @@ object SparkEntry {
       .orderBy(col("pi_stationary").desc, col("event_type"))
   }
 
+  /** Arrival burstiness per event type: within-day inter-arrival CV²
+    * plus the hourly-count Fano factor. */
+  private def qEventsBurstiness(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.burstiness(t(s, dir, "events"),
+        col("event_type"), col("ts"), col("event_id"))
+      .select(col("k").as("event_type"), col("n_gaps"), col("n_buckets"),
+        col("mean_gap_s"), col("cv2"), col("fano_hourly"))
+      .orderBy(col("event_type"))
+
+  /** Feed-coverage audit per event type: observed vs spanned hourly
+    * buckets and the longest hole. */
+  private def qDqTimeseriesGaps(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.gapAudit(t(s, dir, "events"),
+        col("event_type"), col("ts"))
+      .select(col("k").as("event_type"), col("n_observed"), col("span"),
+        col("max_gap"), col("coverage"))
+      .orderBy(col("event_type"))
+
+  /** Decile quantile-normalization card: each source's n_chars deciles
+    * mapped onto the pooled distribution. */
+  private def qFeatureQuantileNorm(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Metrics.quantileNormalize(t(s, dir, "documents"),
+        col("source"), col("n_chars"), col("doc_id"))
+      .select(col("g").as("source"), col("decile"), col("n"),
+        col("src_upper"), col("pooled_upper"))
+      .orderBy(col("source"), col("decile"))
+
+  /** UCB1 bandit policy replay over daily per-type reward (event
+    * value): which arm the policy would pull each day. */
+  private def qEventsUcbPolicy(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Metrics.ucbPolicy(t(s, dir, "events"),
+        col("event_type"), col("ts"), col("value"))
+      .orderBy(col("day"))
+
+  /** Caliper-matched ATT of the parity "treatment" on second-half
+    * purchase revenue, matching on first-half activity (±2 events) —
+    * the matching-based causal readout next to CUPED's adjusted
+    * difference. */
+  private def qEventsPsmAtt(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val us = unix_micros(col("ts"))
+    val bounds = ev.agg(min(us).as("lo"), max(us).as("hi"))
+      .select(expr("(lo + hi) DIV 2").as("mid"))
+    val units = ev.crossJoin(broadcast(bounds))
+      .groupBy(col("user_id"))
+      .agg(sum(when(us <= col("mid"), 1L).otherwise(0L)).as("cov"),
+        sum(when(us > col("mid") && col("event_type") === "purchase",
+          round(col("value") * 100, 0).cast("long")).otherwise(0L))
+          .as("ycents"))
+    graft.operators.Metrics.caliperAtt(units, col("user_id") % 2,
+      col("cov"), col("ycents"), caliper = 2)
+  }
+
   /** Holt level+trend smoothing of hourly event counts per type —
     * the trend-aware one-step forecast next to `q_events_smoothing`'s
     * flat level. */
@@ -3604,6 +3657,11 @@ object SparkEntry {
     "rake_keywords" -> (qRakeKeywords _),
     "textrank_keywords" -> (qTextrankKeywords _),
     "q_events_holt" -> (qEventsHolt _),
+    "q_events_burstiness" -> (qEventsBurstiness _),
+    "dq_timeseries_gaps" -> (qDqTimeseriesGaps _),
+    "feature_quantile_norm" -> (qFeatureQuantileNorm _),
+    "q_events_ucb_policy" -> (qEventsUcbPolicy _),
+    "q_events_psm_att" -> (qEventsPsmAtt _),
     "item_cf_topk" -> (qItemCfTopk _),
     "dq_referential" -> (qDqReferential _),
     "hbos_outliers" -> (qHbosOutliers _),
@@ -7213,6 +7271,134 @@ object SparkEntry {
          FROM ranked WHERE rank <= 5 ORDER BY item, rank""",
     "dq_referential" -> dqReferentialOracle,
     "q_events_holt" -> holtOracle,
+    "q_events_burstiness" ->
+      """WITH g0 AS (
+           SELECT event_type AS k, CAST(ts AS DATE) AS d, epoch_us(ts)
+             AS t, event_id AS id
+           FROM events),
+         g1 AS (SELECT k, t - lag(t) OVER (PARTITION BY k, d
+                  ORDER BY t, id) AS g
+                FROM g0),
+         gaps AS (SELECT k, count(*) AS n_gaps,
+             sum(CAST(g AS HUGEINT)) AS sg,
+             sum(CAST(g AS HUGEINT) * g) AS sgg
+           FROM g1 WHERE g IS NOT NULL GROUP BY k),
+         h0 AS (SELECT event_type AS k, epoch_us(ts) // 3600000000 AS b
+                FROM events),
+         hc AS (SELECT k, b, count(*) AS c FROM h0 GROUP BY 1, 2),
+         hs AS (SELECT k, count(*) AS n_buckets, sum(c) AS sc,
+             sum(CAST(c AS HUGEINT) * c) AS scc
+           FROM hc GROUP BY k),
+         gm AS (SELECT k, n_gaps, sg, sgg,
+             CAST(sg AS DOUBLE) / n_gaps AS m
+           FROM gaps),
+         hm AS (SELECT k, n_buckets, sc, scc,
+             CAST(sc AS DOUBLE) / n_buckets AS mc
+           FROM hs)
+         SELECT g.k AS event_type, CAST(g.n_gaps AS BIGINT) AS n_gaps,
+           CAST(h.n_buckets AS BIGINT) AS n_buckets,
+           round(g.m / 1e6, 3) AS mean_gap_s,
+           CASE WHEN g.n_gaps > 0 AND g.sg > 0 THEN
+             round((CAST(g.sgg AS DOUBLE) / g.n_gaps - g.m * g.m) /
+               (g.m * g.m), 6) END AS cv2,
+           CASE WHEN h.sc > 0 THEN
+             round((CAST(h.scc AS DOUBLE) / h.n_buckets - h.mc * h.mc) /
+               h.mc, 6) END AS fano_hourly
+         FROM gm g JOIN hm h ON g.k = h.k ORDER BY 1""",
+    "dq_timeseries_gaps" ->
+      """WITH b AS (SELECT DISTINCT event_type AS k,
+             epoch_us(ts) // 3600000000 AS bk
+           FROM events),
+         g AS (SELECT k, bk,
+             bk - lag(bk) OVER (PARTITION BY k ORDER BY bk) - 1 AS gap
+           FROM b)
+         SELECT k AS event_type, CAST(count(*) AS BIGINT) AS n_observed,
+           CAST(max(bk) - min(bk) + 1 AS BIGINT) AS span,
+           CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap,
+           round(count(*) / CAST(max(bk) - min(bk) + 1 AS DOUBLE), 6)
+             AS coverage
+         FROM g GROUP BY k ORDER BY 1""",
+    "feature_quantile_norm" ->
+      """WITH base AS (SELECT source AS g, n_chars AS v, doc_id AS id
+                       FROM documents),
+         tiled AS (
+           SELECT g, v,
+             ntile(10) OVER (PARTITION BY g ORDER BY v, id) AS decile,
+             ntile(10) OVER (ORDER BY v, id) AS pooled_decile
+           FROM base),
+         pooled AS (SELECT pooled_decile AS decile, max(v) AS pooled_upper
+                    FROM tiled GROUP BY 1),
+         srcd AS (SELECT g, decile, count(*) AS n, max(v) AS src_upper
+                  FROM tiled GROUP BY 1, 2)
+         SELECT s.g AS source, s.decile, CAST(s.n AS BIGINT) AS n,
+           s.src_upper, p.pooled_upper
+         FROM srcd s JOIN pooled p USING (decile)
+         ORDER BY source, decile""",
+    "q_events_ucb_policy" ->
+      """WITH daily AS (
+           SELECT event_type AS arm, CAST(ts AS DATE) AS day,
+             count(*) AS t,
+             sum(CAST(round(value * 100, 0) AS BIGINT)) AS rc
+           FROM events GROUP BY 1, 2),
+         cum AS (
+           SELECT arm, day,
+             coalesce(sum(t) OVER (PARTITION BY arm ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_i,
+             coalesce(sum(rc) OVER (PARTITION BY arm ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS r_i
+           FROM daily),
+         tot AS (SELECT *, sum(n_i) OVER (PARTITION BY day) AS n_total
+                 FROM cum),
+         scored AS (
+           SELECT day, arm, n_i,
+             CAST(r_i AS DOUBLE) / 100.0 / n_i +
+               sqrt(2.0 * ln(n_total) / n_i) AS ucb
+           FROM tot WHERE n_i > 0 AND n_total > n_i),
+         picked AS (
+           SELECT *, row_number() OVER (PARTITION BY day
+             ORDER BY ucb DESC, arm ASC) AS pick
+           FROM scored)
+         SELECT day, arm AS chosen_arm, CAST(n_i AS BIGINT) AS n_i,
+           round(ucb, 6) AS ucb
+         FROM picked WHERE pick = 1 ORDER BY day""",
+    "q_events_psm_att" ->
+      """WITH bounds AS (
+           SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+           FROM events),
+         units AS (
+           SELECT user_id, CAST(user_id % 2 AS INT) AS tr,
+             sum(CASE WHEN epoch_us(ts) <= mid THEN 1 ELSE 0 END) AS cov,
+             sum(CASE WHEN epoch_us(ts) > mid AND event_type = 'purchase'
+               THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END)
+               AS y
+           FROM events CROSS JOIN bounds GROUP BY 1, 2),
+         treated AS (SELECT cov, y FROM units WHERE tr = 1),
+         ctrl AS (
+           SELECT u.cov + o.o AS cov, u.y AS yc
+           FROM (SELECT cov, y FROM units WHERE tr = 0) u
+           CROSS JOIN (SELECT unnest(range(-2, 3)) AS o) o),
+         cagg AS (SELECT cov, count(*) AS n_c, sum(yc) AS sy_c
+                  FROM ctrl GROUP BY cov),
+         m AS (
+           SELECT CAST(t.y AS DOUBLE) - CAST(c.sy_c AS DOUBLE) / c.n_c
+             AS diff
+           FROM treated t JOIN cagg c USING (cov)),
+         magg AS (SELECT count(*) AS n_matched,
+             sum(CAST(floor(diff * 1e6 + 0.5) AS BIGINT)) AS dq
+           FROM m),
+         nt AS (SELECT count(*) AS n_treated, sum(y) AS syt
+                FROM units WHERE tr = 1),
+         nc AS (SELECT count(*) AS n_controls, sum(y) AS syc
+                FROM units WHERE tr = 0)
+         SELECT CAST(n_treated AS BIGINT) AS n_treated,
+           CAST(n_controls AS BIGINT) AS n_controls,
+           CAST(n_matched AS BIGINT) AS n_matched,
+           round(dq / 1e6 / n_matched / 100.0, 4) AS att,
+           round((CAST(syt AS DOUBLE) / n_treated -
+             CAST(syc AS DOUBLE) / n_controls) / 100.0, 4) AS naive_diff
+         FROM magg CROSS JOIN nt CROSS JOIN nc""",
     "hbos_outliers" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                     FROM embeddings),

@@ -799,6 +799,128 @@ object Metrics {
           .otherwise(lit("continue")).as("decision"))
   }
 
+  /** Decile-level quantile normalization across groups: each group's
+    * value distribution is mapped onto the pooled distribution by
+    * decile — the cross-source score-alignment step mixture designers
+    * apply before comparing quality scores from differently-scaled
+    * sources. Deciles are `ntile(10)` with the (value, id) tie order,
+    * so both engines cut identically; output is the per-(group,
+    * decile) card: member count, the group's decile upper bound, and
+    * the pooled upper bound it maps to.
+    *
+    * Scale shape: two rank windows (one partitioned by group, one
+    * global — acceptable because ntile runs on the scan ONCE each; for
+    * 100 TB swap the global ntile for the two-phase range-partitioned
+    * rank of [[gini]]) + one (group, decile) agg + one broadcast join
+    * of the 10-row pooled frame. */
+  def quantileNormalize(df: DataFrame, grpCol: Column, valCol: Column,
+                        idCol: Column): DataFrame = {
+    val base = df.select(grpCol.as("g"), valCol.as("v"), idCol.as("id"))
+    val wg = Window.partitionBy(col("g")).orderBy(col("v"), col("id"))
+    val wp = Window.orderBy(col("v"), col("id"))
+    val tiled = base
+      .withColumn("decile", ntile(10).over(wg))
+      .withColumn("pooled_decile", ntile(10).over(wp))
+    val pooled = tiled.groupBy(col("pooled_decile").as("decile"))
+      .agg(max(col("v")).as("pooled_upper"))
+    tiled.groupBy(col("g"), col("decile"))
+      .agg(count(lit(1)).as("n"), max(col("v")).as("src_upper"))
+      .join(broadcast(pooled), "decile")
+      .select(col("g"), col("decile"), col("n"), col("src_upper"),
+        col("pooled_upper"))
+  }
+
+  /** UCB1 policy replay (Auer et al. 2002) over a day-bucketed reward
+    * stream: arms = keys, one step per day; at day d each arm's index
+    * is mean reward through d−1 plus the √(2·ln N / n_i) exploration
+    * bonus, and the replay records which arm the policy would pull.
+    * The offline what-if for "should routing/crawl budget follow a
+    * bandit" — fully deterministic because rewards are cents-exact
+    * cumulative integers and ties break on the arm name.
+    *
+    * Scale shape: one (arm, day) partial agg over the scan, then all
+    * windows run on the (arms × days)-bounded frame.
+    *
+    * Replay caveats (both mirrored exactly by the oracle): an arm
+    * competes on a day only if it logged ≥1 event that day (densify
+    * with a calendar×arms frame for sparse feeds), and unexplored
+    * arms (n_i = 0) are excluded from the argmax rather than
+    * force-pulled, so day 1 emits no pick. */
+  def ucbPolicy(df: DataFrame, armCol: Column, tsCol: Column,
+                rewardCol: Column): DataFrame = {
+    val daily = df
+      .select(armCol.as("arm"), to_date(tsCol).as("day"),
+        round(rewardCol * 100, 0).cast("long").as("cents"))
+      .groupBy(col("arm"), col("day"))
+      .agg(count(lit(1)).as("t"), sum(col("cents")).as("rc"))
+    val wArm = Window.partitionBy(col("arm")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = daily
+      .withColumn("n_i", coalesce(sum(col("t")).over(wArm), lit(0L)))
+      .withColumn("r_i", coalesce(sum(col("rc")).over(wArm), lit(0L)))
+    val wDay = Window.partitionBy(col("day"))
+    val wPick = Window.partitionBy(col("day"))
+      .orderBy(col("ucb").desc, col("arm").asc)
+    cum
+      .withColumn("n_total", sum(col("n_i")).over(wDay))
+      .filter(col("n_i") > 0 && col("n_total") > col("n_i"))
+      .withColumn("ucb",
+        col("r_i").cast("double") / 100.0 / col("n_i") +
+          sqrt(lit(2.0) * log(col("n_total")) / col("n_i")))
+      .withColumn("pick", row_number().over(wPick))
+      .filter(col("pick") === 1)
+      .select(col("day"), col("arm").as("chosen_arm"), col("n_i"),
+        round(col("ucb"), 6).as("ucb"))
+  }
+
+  /** Caliper-matched treatment effect (radius matching, the
+    * deterministic cousin of greedy 1-NN propensity matching): treated
+    * units match EVERY control within `caliper` on the integer
+    * covariate; ATT = mean over matched treated of (own outcome −
+    * mean matched-control outcome). The causal readout [[cuped]]'s
+    * variance reduction does not give — CUPED adjusts, matching
+    * estimates the effect on the treated. Outcomes are cents-exact;
+    * the per-treated diff quantizes to a long at 1e-6 before the
+    * final fold.
+    *
+    * Scale shape: the match is a band join on the bounded-integer
+    * covariate — realized as an equi-join on the covariate bucket
+    * after exploding each control into its ±caliper buckets (2c+1
+    * copies, never a cross join). */
+  def caliperAtt(units: DataFrame, treatCol: Column, covCol: Column,
+                 outcomeCentsCol: Column, caliper: Int = 2): DataFrame = {
+    val base = units.select(treatCol.cast("int").as("tr"),
+      covCol.cast("long").as("cov"), outcomeCentsCol.as("y"))
+    val treated = base.filter(col("tr") === 1)
+      .select(col("cov"), col("y"))
+    val controls = base.filter(col("tr") === 0)
+      .select(explode(sequence(col("cov") - caliper,
+        col("cov") + caliper)).as("cov"), col("y").as("yc"))
+    val matched = treated
+      .join(controls.groupBy(col("cov"))
+        .agg(count(lit(1)).as("n_c"), sum(col("yc")).as("sy_c")), Seq("cov"),
+        "left")
+      .filter(col("n_c").isNotNull)
+      .select((col("y").cast("double") -
+        col("sy_c").cast("double") / col("n_c")).as("diff"))
+    val naive = base.groupBy(col("tr"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+    val nt = naive.filter(col("tr") === 1)
+      .select(col("n").as("n_treated"), col("sy").as("syt"))
+    val nc = naive.filter(col("tr") === 0)
+      .select(col("n").as("n_controls"), col("sy").as("syc"))
+    matched
+      .agg(count(lit(1)).as("n_matched"),
+        sum(floor(col("diff") * lit(1e6) + lit(0.5))).as("dq"))
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nc))
+      .select(col("n_treated"), col("n_controls"), col("n_matched"),
+        round(col("dq") / lit(1e6) / col("n_matched") / 100.0, 4)
+          .as("att"),
+        round((col("syt").cast("double") / col("n_treated") -
+          col("syc").cast("double") / col("n_controls")) / 100.0, 4)
+          .as("naive_diff"))
+  }
+
   /** SPRT constants for oracle interpolation — the exact literals
     * [[sprtBernoulli]] bakes into the plan. */
   def sprtConstants(p0: Double, p1: Double, alpha: Double,

@@ -232,6 +232,75 @@ object TimeSeries {
           lit(h) * col("sigma") * lit(1e6), col("d"))).as("alarm_day"))
   }
 
+  /** Arrival burstiness per key: CV² of inter-arrival gaps (within
+    * calendar day — cross-midnight gaps are schedule artifacts, and
+    * the day bound caps the ordering-window partition at a day's
+    * per-key volume; salt hot keys by sub-day buckets past that) and
+    * the Fano factor of hourly counts (variance/mean; 1 = Poisson,
+    * above = bursty). Gap moments ride decimal(38,0) — a squared
+    * microsecond gap overflows a long — and every division happens
+    * once, at the end, in double.
+    *
+    * Scale shape: one (key, day)-partitioned ordering window for the
+    * gaps + two bounded aggs; the Fano side is a (key, bucket) partial
+    * agg over the scan, never ordered. */
+  def burstiness(events: DataFrame, keyCol: Column, tsCol: Column,
+                 idCol: Column,
+                 bucketUs: Long = 3600000000L): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val us = unix_micros(tsCol)
+    val w = Window.partitionBy(col("k"), col("d"))
+      .orderBy(col("t"), col("id"))
+    val gaps = events
+      .select(keyCol.as("k"), to_date(tsCol).as("d"), us.as("t"),
+        idCol.as("id"))
+      .withColumn("g", col("t") - lag(col("t"), 1).over(w))
+      .filter(col("g").isNotNull)
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_gaps"), sum(dec(col("g"))).as("sg"),
+        sum(dec(col("g")) * dec(col("g"))).as("sgg"))
+    val hourly = events
+      .select(keyCol.as("k"), us.as("t"))
+      .select(col("k"), expr(s"t DIV $bucketUs").as("b"))
+      .groupBy(col("k"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_buckets"), sum(col("c")).as("sc"),
+        sum(dec(col("c")) * dec(col("c"))).as("scc"))
+    val mg = col("sg").cast("double") / col("n_gaps")
+    val cv2 = (col("sgg").cast("double") / col("n_gaps") - mg * mg) /
+      (mg * mg)
+    val mc = col("sc").cast("double") / col("n_buckets")
+    val fano = (col("scc").cast("double") / col("n_buckets") - mc * mc) / mc
+    gaps.join(hourly, "k")
+      .select(col("k"), col("n_gaps"), col("n_buckets"),
+        round(mg / lit(1e6), 3).as("mean_gap_s"),
+        when(col("n_gaps") > 0 && col("sg") > 0, round(cv2, 6)).as("cv2"),
+        when(col("sc") > 0, round(fano, 6)).as("fano_hourly"))
+  }
+
+  /** Time-series coverage audit per key: observed vs spanned buckets
+    * and the longest internal run of missing buckets — the "does this
+    * feed have holes" check that catches a dead collector faster than
+    * any distribution test. All windows run over the distinct-bucket
+    * frame (calendar-bounded, never the event count). */
+  def gapAudit(events: DataFrame, keyCol: Column, tsCol: Column,
+               bucketUs: Long = 3600000000L): DataFrame = {
+    val buckets = events
+      .select(keyCol.as("k"), unix_micros(tsCol).as("t"))
+      .select(col("k"), expr(s"t DIV $bucketUs").as("b"))
+      .distinct()
+    val w = Window.partitionBy(col("k")).orderBy(col("b"))
+    buckets
+      .withColumn("gap", col("b") - lag(col("b"), 1).over(w) - 1)
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_observed"),
+        (max(col("b")) - min(col("b")) + 1).as("span"),
+        coalesce(max(col("gap")), lit(0L)).as("max_gap"))
+      .select(col("k"), col("n_observed"), col("span"), col("max_gap"),
+        round(col("n_observed").cast("double") / col("span"), 6)
+          .as("coverage"))
+  }
+
   def acf(events: DataFrame, keyCol: Column, tsCol: Column,
           maxLag: Int): DataFrame = {
     val daily = events

@@ -220,6 +220,78 @@ class R10cOpsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(4) - 16.7688) < 1e-9)
   }
 
+  test("burstiness: metronome arrivals score cv2 = 0, fano = 0") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val ev = (0 until 12).map(h =>
+      (new java.sql.Timestamp(base + h * 3600000L), "t", h.toLong))
+      .toDF("ts", "event_type", "event_id")
+    val r = TimeSeries.burstiness(ev, col("event_type"), col("ts"),
+      col("event_id")).head()
+    assert(r.getLong(1) == 11 && r.getLong(2) == 12)
+    assert(r.getDouble(3) == 3600.0) // mean gap seconds
+    assert(r.getDouble(4) == 0.0 && r.getDouble(5) == 0.0)
+  }
+
+  test("gapAudit: hole accounting") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val ev = Seq(0, 1, 5).map(h =>
+      (new java.sql.Timestamp(base + h * 3600000L), "t"))
+      .toDF("ts", "event_type")
+    val r = TimeSeries.gapAudit(ev, col("event_type"), col("ts")).head()
+    assert(r.getLong(1) == 3 && r.getLong(2) == 6 && r.getLong(3) == 3)
+    assert(r.getDouble(4) == 0.5)
+  }
+
+  test("quantileNormalize: shifted group maps onto pooled deciles") {
+    import spark.implicits._
+    import graft.operators.Metrics
+    val df = ((1 to 10).map(v => ("A", v.toLong, v.toLong)) ++
+      (1 to 10).map(v => ("B", v + 100L, v + 100L)))
+      .toDF("g0", "v0", "id0")
+    val r = Metrics.quantileNormalize(df, col("g0"), col("v0"), col("id0"))
+      .collect()
+      .map(x => (x.getString(0), x.getInt(1)) ->
+        (x.getLong(3), x.getLong(4))).toMap
+    // B's decile 1 (value 101) aligns with the pooled decile-1 upper 2
+    assert(r(("B", 1)) == (101L, 2L))
+    assert(r(("A", 10)) == (10L, 110L))
+  }
+
+  test("ucbPolicy: exploration bonus picks the sparse arm") {
+    import spark.implicits._
+    import graft.operators.Metrics
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(day: Int, i: Int) =
+      new java.sql.Timestamp(base + day * 86400000L + i * 1000L)
+    val ev = Seq(
+      (ts(0, 1), "A", 1.0), (ts(0, 2), "A", 1.0), (ts(0, 3), "B", 5.0),
+      (ts(1, 1), "A", 1.0), (ts(1, 2), "B", 1.0)
+    ).toDF("ts", "arm0", "v")
+    val r = Metrics.ucbPolicy(ev, col("arm0"), col("ts"), col("v"))
+      .collect()
+    assert(r.length == 1) // day 1 has no history -> only day 2 emits
+    val exp = BigDecimal(5.0 + math.sqrt(2.0 * math.log(3) / 1.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.head.getString(1) == "B" && r.head.getDouble(3) == exp)
+  }
+
+  test("caliperAtt: radius match and exact ATT") {
+    import spark.implicits._
+    import graft.operators.Metrics
+    val units = Seq(
+      (1, 5L, 1000L),  // treated: cov 5, outcome 10.00
+      (0, 4L, 500L), (0, 6L, 700L), (0, 10L, 99999L))
+      .toDF("tr0", "cov0", "y0")
+    val r = Metrics.caliperAtt(units, col("tr0"), col("cov0"), col("y0"),
+      caliper = 2).head()
+    assert(r.getLong(0) == 1 && r.getLong(1) == 3 && r.getLong(2) == 1)
+    assert(r.getDouble(3) == 4.0) // (1000 - 600)/100
+  }
+
   test("stationary: converges to 2/3-1/3 on the self-loop chain") {
     import spark.implicits._
     import graft.operators.Graph
