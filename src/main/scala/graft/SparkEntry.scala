@@ -2930,6 +2930,35 @@ object SparkEntry {
       .orderBy(col("pi_stationary").desc, col("event_type"))
   }
 
+  /** Rank-1 ALS over customer×part quantity ratings: top-20 item
+    * factors on the dominant taste axis + the observed-cell RMSE. */
+  private def qAlsRank1(s: SparkSession, dir: String): DataFrame = {
+    val ratings = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"), col("l_partkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("qty"))
+    graft.operators.Factorize.alsRank1(ratings, "o_custkey", "l_partkey",
+        "qty", iters = 3)
+      .select(col("i").as("l_partkey"), round(col("v"), 6).as("factor"),
+        col("n_cells"), col("rmse"))
+      .orderBy(col("factor").desc, col("l_partkey").asc)
+      .limit(20)
+  }
+
+  /** Heaps'-law OLS fit over the cumulative vocabulary-growth curve:
+    * growth exponent β, scale k, and fit r². */
+  private def qVocabHeapsFit(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.heapsFit(qVocabGrowth(s, dir), "n_tokens_cum",
+      "vocab_cum")
+
+  /** Gapped 3-sequence mining: top-20 a→b→c subsequence patterns by
+    * user support (arbitrary gaps — the non-contiguous complement of
+    * `q_events_paths`). */
+  private def qSeqPattern3(s: SparkSession, dir: String): DataFrame =
+    Funnel.gappedSeq3Support(t(s, dir, "events"), topK = 20)
+
   /** Arrival burstiness per event type: within-day inter-arrival CV²
     * plus the hourly-count Fano factor. */
   private def qEventsBurstiness(s: SparkSession, dir: String): DataFrame =
@@ -3658,6 +3687,9 @@ object SparkEntry {
     "textrank_keywords" -> (qTextrankKeywords _),
     "q_events_holt" -> (qEventsHolt _),
     "q_events_burstiness" -> (qEventsBurstiness _),
+    "als_rank1" -> (qAlsRank1 _),
+    "vocab_heaps_fit" -> (qVocabHeapsFit _),
+    "seq_pattern_3" -> (qSeqPattern3 _),
     "dq_timeseries_gaps" -> (qDqTimeseriesGaps _),
     "feature_quantile_norm" -> (qFeatureQuantileNorm _),
     "q_events_ucb_policy" -> (qEventsUcbPolicy _),
@@ -4199,6 +4231,103 @@ object SparkEntry {
               ELSE 0.0 END, 6) AS orphan_rate"""
     }.mkString("\n UNION ALL \n") + "\n ORDER BY relation"
   }
+
+  /** Rank-1 ALS replay: 3 unrolled half-step pairs under the
+    * 1e-9-quantized scalar-ratio contract of
+    * [[graft.operators.Factorize.alsRank1]]. */
+  private def alsRank1Oracle: String = {
+    val iterCtes = (1 to 3).map { k =>
+      s"""u$k AS MATERIALIZED (
+           SELECT r.u,
+             round(CAST(sum(CAST(floor(r.r * v${k - 1}.v * 1e9 + 0.5)
+                 AS HUGEINT)) AS DOUBLE) /
+               CAST(sum(CAST(floor(v${k - 1}.v * v${k - 1}.v * 1e9 + 0.5)
+                 AS HUGEINT)) AS DOUBLE), 12) AS uf
+           FROM r JOIN v${k - 1} ON r.i = v${k - 1}.i GROUP BY r.u),
+         v$k AS MATERIALIZED (
+           SELECT r.i,
+             round(CAST(sum(CAST(floor(r.r * u$k.uf * 1e9 + 0.5)
+                 AS HUGEINT)) AS DOUBLE) /
+               CAST(sum(CAST(floor(u$k.uf * u$k.uf * 1e9 + 0.5)
+                 AS HUGEINT)) AS DOUBLE), 12) AS v
+           FROM r JOIN u$k ON r.u = u$k.u GROUP BY r.i)"""
+    }.mkString(",\n        ")
+    s"""WITH r AS MATERIALIZED (
+         SELECT o.o_custkey AS u, l.l_partkey AS i,
+           CAST(sum(l.l_quantity) AS BIGINT) AS r
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         GROUP BY 1, 2),
+       v0 AS (SELECT DISTINCT i, CAST(1.0 AS DOUBLE) AS v FROM r),
+       $iterCtes,
+       fit AS (
+         SELECT count(*) AS n_cells,
+           sum(CAST(floor((r.r - u3.uf * v3.v) * (r.r - u3.uf * v3.v)
+             * 1e6 + 0.5) AS HUGEINT)) AS seq
+         FROM r JOIN u3 ON r.u = u3.u JOIN v3 ON r.i = v3.i)
+       SELECT v3.i AS l_partkey, round(v3.v, 6) AS factor,
+         CAST(fit.n_cells AS BIGINT) AS n_cells,
+         round(sqrt(CAST(fit.seq AS DOUBLE) / 1e6 / fit.n_cells), 6)
+           AS rmse
+       FROM v3 CROSS JOIN fit
+       ORDER BY factor DESC, l_partkey ASC LIMIT 20"""
+  }
+
+  /** Heaps'-law fit replay over the shared vocab-growth CTE: the same
+    * 1e-12-quantized ln-ln OLS moments. */
+  private def heapsFitOracle: String =
+    s"""WITH g AS ($vocabGrowthOracle),
+       pts AS (SELECT ln(CAST(n_tokens_cum AS DOUBLE)) AS x,
+           ln(CAST(vocab_cum AS DOUBLE)) AS y
+         FROM g WHERE n_tokens_cum > 0 AND vocab_cum > 0),
+       a AS (SELECT count(*) AS n,
+           sum(CAST(floor(x * 1e12 + 0.5) AS BIGINT)) AS sx,
+           sum(CAST(floor(y * 1e12 + 0.5) AS BIGINT)) AS sy,
+           sum(CAST(floor(x * y * 1e12 + 0.5) AS BIGINT)) AS sxy,
+           sum(CAST(floor(x * x * 1e12 + 0.5) AS BIGINT)) AS sxx,
+           sum(CAST(floor(y * y * 1e12 + 0.5) AS BIGINT)) AS syy
+         FROM pts),
+       b AS (SELECT n, sx / 1e12 AS sx, sy / 1e12 AS sy, sxy / 1e12
+           AS sxy, sxx / 1e12 AS sxx, syy / 1e12 AS syy
+         FROM a),
+       c AS (SELECT n,
+           n * sxy - sx * sy AS cov, n * sxx - sx * sx AS varx,
+           n * syy - sy * sy AS vary, sx, sy
+         FROM b)
+       SELECT CAST(n AS BIGINT) AS n_points,
+         round(cov / varx, 6) AS beta,
+         round(exp((sy - (cov / varx) * sx) / n), 6) AS k,
+         CASE WHEN varx > 0 AND vary > 0
+           THEN round(cov * cov / (varx * vary), 6) END AS r2
+       FROM c"""
+
+  /** Cumulative vocabulary growth replay -- shared by `vocab_growth`
+    * and the Heaps'-law fit oracle. */
+  private val vocabGrowthOracle: String =
+    """WITH n AS (SELECT count(*) AS nd FROM documents),
+         d AS (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(trim(lower(text)), '\s+'),
+             x -> len(x) > 0) AS t
+           FROM documents),
+         toks AS (
+           SELECT CAST((doc_id * 10) // nd AS BIGINT) AS decile,
+             unnest(t) AS tok
+           FROM d CROSS JOIN n),
+         perdec AS (SELECT decile, count(*) AS n_toks FROM toks
+                    GROUP BY decile),
+         firstd AS (SELECT tok, min(decile) AS first_decile FROM toks
+                    GROUP BY tok),
+         newt AS (SELECT first_decile AS decile, count(*) AS n_new
+                  FROM firstd GROUP BY first_decile),
+         j AS (
+           SELECT p.decile, n_toks, coalesce(n_new, 0) AS n_new
+           FROM perdec p LEFT JOIN newt USING (decile))
+         SELECT decile,
+           CAST(sum(n_toks) OVER (ORDER BY decile) AS BIGINT) AS n_tokens_cum,
+           CAST(sum(n_new) OVER (ORDER BY decile) AS BIGINT) AS vocab_cum,
+           round(CAST(sum(n_new) OVER (ORDER BY decile) AS DOUBLE)
+             / sum(n_toks) OVER (ORDER BY decile), 6) AS type_token_ratio
+         FROM j ORDER BY decile"""
 
   /** RAKE replay: same fragment split / stoplist islands / ≤4-token
     * runs / 1e-6-quantized word scores as
@@ -7271,6 +7400,30 @@ object SparkEntry {
          FROM ranked WHERE rank <= 5 ORDER BY item, rank""",
     "dq_referential" -> dqReferentialOracle,
     "q_events_holt" -> holtOracle,
+    "als_rank1" -> alsRank1Oracle,
+    "vocab_heaps_fit" -> heapsFitOracle,
+    "seq_pattern_3" ->
+      """WITH ut AS (
+           SELECT user_id AS u, event_type AS tau,
+             min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+           FROM events GROUP BY 1, 2),
+         t2 AS (
+           SELECT e.user_id AS u, f.a, e.event_type AS b,
+             min(epoch_us(e.ts)) AS tb
+           FROM events e JOIN (SELECT u, tau AS a, mn AS ta FROM ut) f
+             ON e.user_id = f.u
+           WHERE epoch_us(e.ts) > f.ta
+           GROUP BY 1, 2, 3),
+         sup AS (
+           SELECT t2.a, t2.b, cc.tau AS c, count(*) AS support
+           FROM t2 JOIN ut cc ON cc.u = t2.u
+           WHERE cc.mx > t2.tb
+           GROUP BY 1, 2, 3),
+         nu AS (SELECT count(DISTINCT user_id) AS n_users FROM events)
+         SELECT a, b, c, CAST(support AS BIGINT) AS support,
+           round(CAST(support AS DOUBLE) / n_users, 6) AS share
+         FROM sup CROSS JOIN nu
+         ORDER BY support DESC, a, b, c LIMIT 20""",
     "q_events_burstiness" ->
       """WITH g0 AS (
            SELECT event_type AS k, CAST(ts AS DATE) AS d, epoch_us(ts)
@@ -7690,32 +7843,7 @@ object SparkEntry {
             round(CAST(1.0 AS DOUBLE) / coalesce(sz, 1), 6) AS sample_weight
           FROM documents d LEFT JOIN m USING (doc_id)
           ORDER BY d.doc_id""",
-    "vocab_growth" ->
-      """WITH n AS (SELECT count(*) AS nd FROM documents),
-         d AS (
-           SELECT doc_id, list_filter(
-             regexp_split_to_array(trim(lower(text)), '\s+'),
-             x -> len(x) > 0) AS t
-           FROM documents),
-         toks AS (
-           SELECT CAST((doc_id * 10) // nd AS BIGINT) AS decile,
-             unnest(t) AS tok
-           FROM d CROSS JOIN n),
-         perdec AS (SELECT decile, count(*) AS n_toks FROM toks
-                    GROUP BY decile),
-         firstd AS (SELECT tok, min(decile) AS first_decile FROM toks
-                    GROUP BY tok),
-         newt AS (SELECT first_decile AS decile, count(*) AS n_new
-                  FROM firstd GROUP BY first_decile),
-         j AS (
-           SELECT p.decile, n_toks, coalesce(n_new, 0) AS n_new
-           FROM perdec p LEFT JOIN newt USING (decile))
-         SELECT decile,
-           CAST(sum(n_toks) OVER (ORDER BY decile) AS BIGINT) AS n_tokens_cum,
-           CAST(sum(n_new) OVER (ORDER BY decile) AS BIGINT) AS vocab_cum,
-           round(CAST(sum(n_new) OVER (ORDER BY decile) AS DOUBLE)
-             / sum(n_toks) OVER (ORDER BY decile), 6) AS type_token_ratio
-         FROM j ORDER BY decile""",
+    "vocab_growth" -> vocabGrowthOracle,
     "decontaminate_spans_apply" ->
       """WITH d AS (
            SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),

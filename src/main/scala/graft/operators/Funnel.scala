@@ -348,4 +348,45 @@ object Funnel {
       .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
       .limit(k)
   }
+
+  /** GAPPED 3-sequence support (PrefixSpan-style, Pei et al. 2001,
+    * restricted to length 3): how many users exhibit a→b→c with
+    * arbitrary gaps — [[topPaths]] only counts CONTIGUOUS triples, so
+    * "signup … eventually purchases … eventually errors" is invisible
+    * there. Existence is decided by the greedy witness: first a, then
+    * the earliest b strictly after it, then any c strictly after that
+    * (greedy-earliest is sufficient and necessary for subsequence
+    * existence). Share = supporting users / all users.
+    *
+    * Scale shape: one (user, type) min/max agg over the scan, then
+    * the witness chain is an events×|types| fan-out equi-join ON THE
+    * USER (bounded by the type-alphabet size, never events²) into a
+    * (user, a, b)-keyed agg, then a |types|³-bounded support agg. */
+  def gappedSeq3Support(events: DataFrame, topK: Int = 20,
+                        userCol: String = "user_id",
+                        typeCol: String = "event_type",
+                        tsCol: String = "ts"): DataFrame = {
+    val us = unix_micros(col(tsCol))
+    val ut = events.groupBy(col(userCol).as("u"), col(typeCol).as("tau"))
+      .agg(min(us).as("mn"), max(us).as("mx"))
+    val firstA = ut.select(col("u"), col("tau").as("a"), col("mn").as("ta"))
+    val t2 = events
+      .select(col(userCol).as("u"), col(typeCol).as("b"), us.as("t"))
+      .join(firstA, "u")
+      .filter(col("t") > col("ta"))
+      .groupBy(col("u"), col("a"), col("b")).agg(min(col("t")).as("tb"))
+    val sup = t2
+      .join(ut.select(col("u"), col("tau").as("c"), col("mx").as("tc")),
+        "u")
+      .filter(col("tc") > col("tb"))
+      .groupBy(col("a"), col("b"), col("c"))
+      .agg(count(lit(1)).as("support"))
+    val nu = events.agg(countDistinct(col(userCol)).as("n_users"))
+    sup.crossJoin(broadcast(nu))
+      .select(col("a"), col("b"), col("c"), col("support"),
+        round(col("support").cast("double") / col("n_users"), 6)
+          .as("share"))
+      .orderBy(col("support").desc, col("a"), col("b"), col("c"))
+      .limit(topK)
+  }
 }

@@ -429,6 +429,39 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Heaps'-law fit V = k·N^β over a cumulative vocabulary-growth
+    * frame (e.g. `vocab_growth`'s output): closed-form OLS on the
+    * ln-ln points. β near the corpus-typical 0.4–0.6 says vocabulary
+    * is still growing normally; β → 0 flags a templated/synthetic
+    * corpus whose vocabulary has saturated — the single-number summary
+    * of the growth curve a mixing dashboard wants.
+    *
+    * Determinism: x/y are ln of exact integers (libm contract); every
+    * OLS moment quantizes to a long at 1e-12 before the (bounded,
+    * checkpoint-count-sized) sum, so the fit replays exactly. */
+  def heapsFit(growth: DataFrame, tokensCol: String,
+               vocabCol: String): DataFrame = {
+    val x = log(col(tokensCol).cast("double"))
+    val y = log(col(vocabCol).cast("double"))
+    def q(c: Column) = floor(c * lit(1e12) + lit(0.5))
+    val agg = growth.filter(col(tokensCol) > 0 && col(vocabCol) > 0)
+      .agg(count(lit(1)).as("n"), sum(q(x)).as("sx"), sum(q(y)).as("sy"),
+        sum(q(x * y)).as("sxy"), sum(q(x * x)).as("sxx"),
+        sum(q(y * y)).as("syy"))
+    def u(c: Column) = c / lit(1e12)
+    val n = col("n").cast("double")
+    val (sx, sy, sxy) = (u(col("sx")), u(col("sy")), u(col("sxy")))
+    val (sxx, syy) = (u(col("sxx")), u(col("syy")))
+    val cov = n * sxy - sx * sy
+    val varx = n * sxx - sx * sx
+    val vary = n * syy - sy * sy
+    val beta = cov / varx
+    agg.select(col("n").as("n_points"), round(beta, 6).as("beta"),
+      round(exp((sy - beta * sx) / n), 6).as("k"),
+      when(varx > 0 && vary > 0, round(cov * cov / (varx * vary), 6))
+        .as("r2"))
+  }
+
   /** TextRank keywords (Mihalcea & Tarau 2004): quantized PageRank
     * ([[Graph.pageRank]]'s exact integer-mass contract) over the
     * corpus-level adjacent-content-word co-occurrence graph. Token

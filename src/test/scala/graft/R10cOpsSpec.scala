@@ -292,6 +292,45 @@ class R10cOpsSpec extends AnyFunSuite {
     assert(r.getDouble(3) == 4.0) // (1000 - 600)/100
   }
 
+  test("alsRank1: exact single-user half-step and zero RMSE") {
+    import spark.implicits._
+    import graft.operators.Factorize
+    // one user, ratings A=4 B=2, one iteration:
+    // u = (4+2)/2 = 3; vA = 12/9 = 4/3; vB = 6/9 = 2/3; exact fit
+    val r = Seq((1L, "A", 4L), (1L, "B", 2L)).toDF("u0", "i0", "r0")
+    val out = Factorize.alsRank1(r, "u0", "i0", "r0", iters = 1)
+      .collect().map(x => x.getString(0) ->
+        (x.getDouble(1), x.getDouble(3))).toMap
+    assert(out("A")._1 == 1.333333333333 && out("B")._1 == 0.666666666667)
+    assert(out("A")._2 == 0.0) // rank-1 reproduces a rank-1 matrix
+  }
+
+  test("heapsFit: exact recovery of a planted power law") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // V = 2 * N^0.5 exactly at three points
+    val g = Seq((100L, 20L), (400L, 40L), (10000L, 200L))
+      .toDF("n_tokens_cum", "vocab_cum")
+    val r = TextAnalysis.heapsFit(g, "n_tokens_cum", "vocab_cum").head()
+    assert(r.getLong(0) == 3)
+    assert(r.getDouble(1) == 0.5 && r.getDouble(2) == 2.0)
+    assert(r.getDouble(3) == 1.0)
+  }
+
+  test("gappedSeq3Support: greedy witness finds only a->b->a") {
+    import spark.implicits._
+    import graft.operators.Funnel
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(m: Int) = new java.sql.Timestamp(base + m * 60000L)
+    val ev = Seq((1L, "a", ts(1)), (1L, "b", ts(5)), (1L, "a", ts(10)))
+      .toDF("user_id", "event_type", "ts")
+    val r = Funnel.gappedSeq3Support(ev, topK = 10)
+      .collect()
+      .map(x => (x.getString(0), x.getString(1), x.getString(2),
+        x.getLong(3), x.getDouble(4)))
+    assert(r.toSeq == Seq(("a", "b", "a", 1L, 1.0)))
+  }
+
   test("stationary: converges to 2/3-1/3 on the self-loop chain") {
     import spark.implicits._
     import graft.operators.Graph
