@@ -833,6 +833,37 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(scans <= 2, s"HLL overlap re-scans the corpus per pair: $scans scans")
   }
 
+  test("r10c additions: equi-joins only, no cartesians, no UDFs") {
+    // HITS/stationary/ALS iterate equi-joins; item-CF self-joins on
+    // the order key; seq-pattern fans out on the user key; the caliper
+    // match equi-joins on exploded covariate buckets. The only
+    // nested-loop shapes allowed are the deliberate 1-row broadcast
+    // totals (BNLJ over a broadcast singleton) — a CartesianProduct
+    // anywhere means a join key was lost.
+    for (q <- Seq("graph_hits", "q_events_markov_stationary",
+        "item_cf_topk", "seq_pattern_3", "q_events_psm_att",
+        "rake_keywords", "als_rank1")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q has a cartesian:\n${p.take(1200)}")
+      assert(!p.contains("ScalaUDF"), s"$q carries a UDF")
+      graft.operators.CacheScope.drain()
+    }
+  }
+
+  test("r10c top-k queries avoid global sorts where a TakeOrdered fits") {
+    // itemNeighbors ranks per item inside a window (rank filter, no
+    // global sort of the catalog); the final orderBy of the QUERY is
+    // over the k-per-item frame. RAKE/seq-pattern end in
+    // TakeOrderedAndProject.
+    for (q <- Seq("rake_keywords", "seq_pattern_3", "textrank_keywords")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q should TakeOrdered its top-k:\n${p.take(1000)}")
+      graft.operators.CacheScope.drain()
+    }
+  }
+
   test("dedup signature kernels are native expressions — no ScalaUDF in the plan") {
     // SimHash and MinHash signatures used to be Scala UDFs: the only
     // opaque scan-side projections left outside whole-stage codegen,
