@@ -2947,6 +2947,43 @@ object SparkEntry {
       .limit(20)
   }
 
+  /** Rank-2 regularized ALS over the same rating matrix: does a
+    * second taste axis cut the reconstruction error vs `als_rank1`. */
+  private def qAlsRank2(s: SparkSession, dir: String): DataFrame = {
+    val ratings = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"), col("l_partkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("qty"))
+    graft.operators.Factorize.alsRank2(ratings, "o_custkey", "l_partkey",
+        "qty", iters = 2)
+      .select(col("i").as("l_partkey"), round(col("v1"), 6).as("v1"),
+        round(col("v2"), 6).as("v2"), col("n_cells"), col("rmse"))
+      .orderBy(col("v1").desc, col("l_partkey").asc)
+      .limit(20)
+  }
+
+  /** Poisson trend GLM per event type: Newton-fit daily growth rate
+    * exp(β1) over the calendar. */
+  private def qEventsPoissonTrend(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.poissonTrend(t(s, dir, "events"),
+        col("event_type"), col("ts"), iters = 3)
+      .select(col("k").as("event_type"), col("n_days"), col("b0"),
+        col("b1"), col("daily_rate_ratio"))
+      .orderBy(col("event_type"))
+
+  /** Brier score card of the trained lang-id LR — the proper-scoring
+    * summary next to `lr_calibration`'s reliability bins. */
+  private def qLrBrier(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Classifier
+    val d = t(s, dir, "documents")
+    val w = Classifier.trainLogReg(d, "text", "doc_id",
+      col("lang") === "en", nBuckets = 64, iters = 3, lr = 1.0)
+    Classifier.brier(d, "text", "doc_id", col("lang") === "en", w,
+      nBuckets = 64)
+  }
+
   /** Heaps'-law OLS fit over the cumulative vocabulary-growth curve:
     * growth exponent β, scale k, and fit r². */
   private def qVocabHeapsFit(s: SparkSession, dir: String): DataFrame =
@@ -3688,6 +3725,9 @@ object SparkEntry {
     "q_events_holt" -> (qEventsHolt _),
     "q_events_burstiness" -> (qEventsBurstiness _),
     "als_rank1" -> (qAlsRank1 _),
+    "als_rank2" -> (qAlsRank2 _),
+    "q_events_poisson_trend" -> (qEventsPoissonTrend _),
+    "lr_brier" -> (qLrBrier _),
     "vocab_heaps_fit" -> (qVocabHeapsFit _),
     "seq_pattern_3" -> (qSeqPattern3 _),
     "dq_timeseries_gaps" -> (qDqTimeseriesGaps _),
@@ -4270,6 +4310,120 @@ object SparkEntry {
            AS rmse
        FROM v3 CROSS JOIN fit
        ORDER BY factor DESC, l_partkey ASC LIMIT 20"""
+  }
+
+  /** Rank-2 ALS replay: 2 unrolled half-step pairs, each a 2×2 ridge
+    * solve from 1e-9-quantized HUGEINT moments — the same closed-form
+    * det/adjugate expressions as [[graft.operators.Factorize.alsRank2]]. */
+  private def alsRank2Oracle: String = {
+    val L = "CAST(0.1 AS DOUBLE)"
+    def half(tag: String, gTbl: String, inKey: String,
+             outKey: String): String =
+      s"""a$tag AS (
+           SELECT r.$outKey AS kk,
+             sum(CAST(floor(g.f1 * g.f1 * 1e9 + 0.5) AS HUGEINT)) AS s11,
+             sum(CAST(floor(g.f1 * g.f2 * 1e9 + 0.5) AS HUGEINT)) AS s12,
+             sum(CAST(floor(g.f2 * g.f2 * 1e9 + 0.5) AS HUGEINT)) AS s22,
+             sum(CAST(floor(r.r * g.f1 * 1e9 + 0.5) AS HUGEINT)) AS b1,
+             sum(CAST(floor(r.r * g.f2 * 1e9 + 0.5) AS HUGEINT)) AS b2
+           FROM r JOIN $gTbl g ON r.$inKey = g.kk
+           GROUP BY r.$outKey),
+         d$tag AS (
+           SELECT kk, CAST(s11 AS DOUBLE) / 1e9 + $L AS s11,
+             CAST(s12 AS DOUBLE) / 1e9 AS s12,
+             CAST(s22 AS DOUBLE) / 1e9 + $L AS s22,
+             CAST(b1 AS DOUBLE) / 1e9 AS b1,
+             CAST(b2 AS DOUBLE) / 1e9 AS b2
+           FROM a$tag),
+         $tag AS MATERIALIZED (
+           SELECT kk,
+             round((s22 * b1 - s12 * b2) / (s11 * s22 - s12 * s12), 12)
+               AS f1,
+             round((s11 * b2 - s12 * b1) / (s11 * s22 - s12 * s12), 12)
+               AS f2
+           FROM d$tag)"""
+    s"""WITH r AS MATERIALIZED (
+         SELECT o.o_custkey AS u, l.l_partkey AS i,
+           CAST(sum(l.l_quantity) AS BIGINT) AS r
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         GROUP BY 1, 2),
+       v0 AS (SELECT DISTINCT i AS kk, CAST(1.0 AS DOUBLE) AS f1,
+           CASE WHEN i % 2 = 0 THEN CAST(1.0 AS DOUBLE)
+             ELSE CAST(-1.0 AS DOUBLE) END AS f2
+         FROM r),
+       ${half("u1", "v0", "i", "u")},
+       ${half("v1", "u1", "u", "i")},
+       ${half("u2", "v1", "i", "u")},
+       ${half("v2", "u2", "u", "i")},
+       fit AS (
+         SELECT count(*) AS n_cells,
+           sum(CAST(floor((r.r - (u2.f1 * v2.f1 + u2.f2 * v2.f2)) *
+             (r.r - (u2.f1 * v2.f1 + u2.f2 * v2.f2)) * 1e6 + 0.5)
+             AS HUGEINT)) AS seq
+         FROM r JOIN u2 ON r.u = u2.kk JOIN v2 ON r.i = v2.kk)
+       SELECT v2.kk AS l_partkey, round(v2.f1, 6) AS v1,
+         round(v2.f2, 6) AS v2,
+         CAST(fit.n_cells AS BIGINT) AS n_cells,
+         round(sqrt(CAST(fit.seq AS DOUBLE) / 1e6 / fit.n_cells), 6)
+           AS rmse
+       FROM v2 CROSS JOIN fit
+       ORDER BY v1 DESC, l_partkey ASC LIMIT 20"""
+  }
+
+  /** Poisson-trend replay: 3 unrolled Newton steps per key under the
+    * 1e-6-quantized moment contract of
+    * [[graft.operators.TimeSeries.poissonTrend]]. */
+  private def poissonTrendOracle: String = {
+    val stepCtes = (1 to 3).map { k =>
+      s"""s$k AS (
+           SELECT p.k, b.n, b.b0 AS pb0, b.b1 AS pb1,
+             sum(CAST(floor((p.y - exp(b.b0 + b.b1 * p.x)) * 1e6 + 0.5)
+               AS HUGEINT)) AS g0,
+             sum(CAST(floor((p.y - exp(b.b0 + b.b1 * p.x)) * p.x * 1e6
+               + 0.5) AS HUGEINT)) AS g1,
+             sum(CAST(floor(exp(b.b0 + b.b1 * p.x) * 1e6 + 0.5)
+               AS HUGEINT)) AS h00,
+             sum(CAST(floor(exp(b.b0 + b.b1 * p.x) * p.x * 1e6 + 0.5)
+               AS HUGEINT)) AS h01,
+             sum(CAST(floor(exp(b.b0 + b.b1 * p.x) * p.x * p.x * 1e6
+               + 0.5) AS HUGEINT)) AS h11
+           FROM pts p JOIN beta${k - 1} b ON p.k = b.k
+           GROUP BY p.k, b.n, b.b0, b.b1),
+         t$k AS (
+           SELECT k, n, pb0, pb1,
+             CAST(g0 AS DOUBLE) / 1e6 AS g0,
+             CAST(g1 AS DOUBLE) / 1e6 AS g1,
+             CAST(h00 AS DOUBLE) / 1e6 AS h00,
+             CAST(h01 AS DOUBLE) / 1e6 AS h01,
+             CAST(h11 AS DOUBLE) / 1e6 AS h11
+           FROM s$k),
+         beta$k AS MATERIALIZED (
+           SELECT k, n,
+             round(pb0 + (h11 * g0 - h01 * g1) /
+               (h00 * h11 - h01 * h01), 12) AS b0,
+             round(pb1 + (h00 * g1 - h01 * g0) /
+               (h00 * h11 - h01 * h01), 12) AS b1
+           FROM t$k)"""
+    }.mkString(",\n        ")
+    s"""WITH daily AS (
+         SELECT event_type AS k,
+           CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+           CAST(count(*) AS DOUBLE) AS y
+         FROM events GROUP BY 1, 2),
+       x0 AS (SELECT k, min(d) AS d0 FROM daily GROUP BY k),
+       pts AS MATERIALIZED (
+         SELECT daily.k, CAST(daily.d - x0.d0 AS DOUBLE) AS x, y
+         FROM daily JOIN x0 USING (k)),
+       beta0 AS (
+         SELECT k, count(*) AS n,
+           round(ln(sum(y) / count(*)), 12) AS b0,
+           CAST(0.0 AS DOUBLE) AS b1
+         FROM pts GROUP BY k),
+       $stepCtes
+       SELECT k AS event_type, CAST(n AS BIGINT) AS n_days,
+         round(b0, 6) AS b0, round(b1, 6) AS b1,
+         round(exp(b1), 6) AS daily_rate_ratio
+       FROM beta3 ORDER BY 1"""
   }
 
   /** Heaps'-law fit replay over the shared vocab-growth CTE: the same
@@ -7401,6 +7555,26 @@ object SparkEntry {
     "dq_referential" -> dqReferentialOracle,
     "q_events_holt" -> holtOracle,
     "als_rank1" -> alsRank1Oracle,
+    "als_rank2" -> alsRank2Oracle,
+    "q_events_poisson_trend" -> poissonTrendOracle,
+    "lr_brier" ->
+      s"""WITH $lrTrainCte,
+          sc AS (SELECT doc_id, y, round(sum(w), 12) AS m
+                 FROM db JOIN w3 USING (b) GROUP BY doc_id, y),
+          pb AS (SELECT y, 1.0 / (1.0 + exp(-m)) AS p FROM sc),
+          agg AS (SELECT count(*) AS n, sum(y) AS n_pos,
+              sum(CAST(floor((p - y) * (p - y) * 1e12 + 0.5) AS HUGEINT))
+                AS sq
+            FROM pb),
+          b2 AS (SELECT n, n_pos, CAST(n_pos AS DOUBLE) / n AS base,
+              CAST(sq AS DOUBLE) / 1e12 / n AS br
+            FROM agg)
+          SELECT CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+            round(base, 6) AS base_rate, round(br, 6) AS brier,
+            CASE WHEN base > 0 AND base < 1
+              THEN round(1.0 - br / (base * (1.0 - base)), 6)
+            END AS brier_skill
+          FROM b2""",
     "vocab_heaps_fit" -> heapsFitOracle,
     "seq_pattern_3" ->
       """WITH ut AS (

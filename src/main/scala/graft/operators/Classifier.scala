@@ -128,6 +128,38 @@ object Classifier {
         round(avg(col("y")), 4).as("obs_rate"))
   }
 
+  /** Brier score card of a trained model on a labeled frame: the
+    * proper-scoring-rule summary the reliability diagram
+    * ([[calibration]]) spreads across bins — mean squared probability
+    * error, the base rate, and the Brier skill score
+    * 1 − brier/(base·(1−base)) vs always-predict-the-base-rate
+    * (> 0 = the model adds information). Squared errors quantize to
+    * longs at 1e-12 before the corpus fold, so the score is
+    * partition-invariant and exactly replayable.
+    *
+    * One scan to score + one 1-row agg. */
+  def brier(df: DataFrame, textCol: String, idCol: String, label: Column,
+            weights: DataFrame, nBuckets: Int = 64): DataFrame = {
+    val scored = scoreLogReg(df, textCol, idCol, weights, nBuckets)
+    val lab = df.select(col(idCol).as("id"), label.cast("long").as("y"))
+    val agg = scored.join(lab, "id")
+      .select((lit(1.0) / (lit(1.0) + exp(-col("margin")))).as("p"),
+        col("y"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        // decimal accumulator: 1e12-scaled squared errors summed over
+        // a 10k+-doc corpus pass 2^53 and a double sum would go
+        // order-dependent exactly when it matters
+        sum(floor((col("p") - col("y")) * (col("p") - col("y")) *
+          lit(1e12) + lit(0.5)).cast("decimal(38,0)")).as("sq"))
+    val base = col("n_pos").cast("double") / col("n")
+    val br = col("sq").cast("double") / lit(1e12) / col("n")
+    agg.select(col("n"), col("n_pos"), round(base, 6).as("base_rate"),
+      round(br, 6).as("brier"),
+      when(base > 0 && base < 1,
+        round(lit(1.0) - br / (base * (lit(1.0) - base)), 6))
+        .as("brier_skill"))
+  }
+
   /** Persisted LR model — the ELEVENTH operable artifact (text bands,
     * embedding buckets, PQ codes, drift histogram, LM counts, BM25
     * postings, DSIR reference, substring corpus hashes, cardinality

@@ -64,4 +64,71 @@ object Factorize {
           6).as("rmse"))
     v.crossJoin(broadcast(fit))
   }
+
+  /** Rank-2 regularized ALS: each side solves its 2×2 ridge normal
+    * equations in closed form (det/adjugate — still no matrix
+    * library, still exactly replayable). Item factors init at
+    * (1, ±1 by item-id parity) to break the rank-1 symmetry; numeric
+    * item ids required. Same quantization regime as [[alsRank1]]:
+    * every moment sum quantizes at 1e-9 into decimal(38,0), factor
+    * components round to 12 dp per half-step.
+    *
+    * Output: (i, v1, v2, n_cells, rmse) — rmse over observed cells
+    * under the final factors, the "what does a second taste axis buy"
+    * number next to alsRank1's. */
+  def alsRank2(ratings: DataFrame, userCol: String, itemCol: String,
+               ratingCol: String, iters: Int = 2,
+               lambda: Double = 0.1): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    def q(c: org.apache.spark.sql.Column) =
+      dec(floor(c * lit(1e9) + lit(0.5)))
+    val lam = lit(lambda)
+    val r = CacheScope.scratch(ratings.select(col(userCol).as("u"),
+      col(itemCol).as("i"), col(ratingCol).cast("long").as("r")))
+    var v = r.select(col("i")).distinct()
+      .select(col("i"), lit(1.0).as("f1"),
+        when(pmod(col("i"), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
+          .as("f2"))
+      .localCheckpoint()
+    var uF: DataFrame = null
+    // one ridge half-step: solve factors for `outKey` given `g` factors
+    // joined via `inKey`
+    def solve(gFrame: DataFrame, inKey: String, outKey: String,
+              o1: String, o2: String): DataFrame = {
+      val j = r.join(gFrame, inKey)
+      val agg = j.groupBy(col(outKey))
+        .agg(sum(q(col("f1") * col("f1"))).as("s11"),
+          sum(q(col("f1") * col("f2"))).as("s12"),
+          sum(q(col("f2") * col("f2"))).as("s22"),
+          sum(q(col("r") * col("f1"))).as("b1"),
+          sum(q(col("r") * col("f2"))).as("b2"))
+      def u(c: org.apache.spark.sql.Column) = c.cast("double") / lit(1e9)
+      val (s11, s12, s22) = (u(col("s11")) + lam, u(col("s12")),
+        u(col("s22")) + lam)
+      val (b1, b2) = (u(col("b1")), u(col("b2")))
+      val det = s11 * s22 - s12 * s12
+      agg.select(col(outKey),
+        round((s22 * b1 - s12 * b2) / det, 12).as(o1),
+        round((s11 * b2 - s12 * b1) / det, 12).as(o2))
+    }
+    for (k <- 1 to iters) {
+      uF = solve(v, "i", "u", "g1", "g2")
+        .withColumnRenamed("g1", "f1").withColumnRenamed("g2", "f2")
+      val vNext = solve(uF, "u", "i", "f1", "f2")
+      v = if (k == iters) vNext.localCheckpoint() else vNext
+    }
+    val err = col("r") -
+      (col("uf1") * col("f1") + col("uf2") * col("f2"))
+    val fit = r
+      .join(uF.select(col("u"), col("f1").as("uf1"), col("f2").as("uf2")),
+        "u")
+      .join(v, "i")
+      .agg(count(lit(1)).as("n_cells"),
+        sum(dec(floor(err * err * lit(1e6) + lit(0.5)))).as("seq"))
+      .select(col("n_cells"),
+        round(sqrt(col("seq").cast("double") / lit(1e6) / col("n_cells")),
+          6).as("rmse"))
+    v.select(col("i"), col("f1").as("v1"), col("f2").as("v2"))
+      .crossJoin(broadcast(fit))
+  }
 }

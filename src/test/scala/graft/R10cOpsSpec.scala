@@ -331,6 +331,63 @@ class R10cOpsSpec extends AnyFunSuite {
     assert(r.toSeq == Seq(("a", "b", "a", 1L, 1.0)))
   }
 
+  test("alsRank2: near-exact fit on a rank-1 matrix, partition-invariant") {
+    import spark.implicits._
+    import graft.operators.Factorize
+    val r = Seq((1L, 10L, 4L), (1L, 11L, 2L), (2L, 10L, 8L),
+      (2L, 11L, 4L)).toDF("u0", "i0", "r0")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Factorize.alsRank2(df, "u0", "i0", "r0", iters = 2)
+        .collect().map(x => (x.getLong(0), x.getDouble(1), x.getDouble(2),
+          x.getDouble(4))).sortBy(_._1).toSeq
+    val a = run(r.repartition(1))
+    // ridge shrinkage keeps rmse small but nonzero on a rank-1 matrix
+    assert(a.head._4 < 0.5, s"rmse ${a.head._4}")
+    assert(a == run(r.repartition(7)))
+  }
+
+  test("poissonTrend: flat series is an exact fixed point") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // 5 events on each of 6 days: init (ln 5, 0) has zero gradient
+    val ev = (0 until 6).flatMap(d => (1 to 5).map(i =>
+      (new java.sql.Timestamp(base + d * 86400000L + i * 1000L), "t")))
+      .toDF("ts", "event_type")
+    val r = TimeSeries.poissonTrend(ev, col("event_type"), col("ts"),
+      iters = 3).head()
+    assert(r.getLong(1) == 6)
+    assert(r.getDouble(3) == 0.0 && r.getDouble(4) == 1.0)
+    assert(math.abs(r.getDouble(2) - math.log(5.0)) < 1e-6)
+  }
+
+  test("poissonTrend: recovers a planted exponential growth rate") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val ev = (0 until 10).flatMap { d =>
+      val n = math.round(10.0 * math.exp(0.1 * d)).toInt
+      (1 to n).map(i =>
+        (new java.sql.Timestamp(base + d * 86400000L + i * 1000L), "t"))
+    }.toDF("ts", "event_type")
+    val r = TimeSeries.poissonTrend(ev, col("event_type"), col("ts"),
+      iters = 3).head()
+    assert(math.abs(r.getDouble(3) - 0.1) < 0.02, s"b1 ${r.getDouble(3)}")
+  }
+
+  test("brier: uninformative model scores 0.25 with zero skill") {
+    import spark.implicits._
+    import graft.operators.Classifier
+    val d = Seq((1L, "the and of", "en"), (2L, "der und das", "de"))
+      .toDF("doc_id", "text", "lang")
+    // bias-only zero weight -> margin 0 -> p = 0.5 everywhere
+    val w = Seq((-1L, 0.0)).toDF("bucket", "weight")
+    val r = Classifier.brier(d, "text", "doc_id", col("lang") === "en",
+      w, nBuckets = 64).head()
+    assert(r.getLong(0) == 2 && r.getLong(1) == 1)
+    assert(r.getDouble(3) == 0.25 && r.getDouble(4) == 0.0)
+  }
+
   test("stationary: converges to 2/3-1/3 on the self-loop chain") {
     import spark.implicits._
     import graft.operators.Graph
