@@ -2984,6 +2984,51 @@ object SparkEntry {
       nBuckets = 64)
   }
 
+  /** Expected calibration error of the trained LR: integer-exact bin
+    * gaps + the worst bin. */
+  private def qLrEce(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Classifier
+    val d = t(s, dir, "documents")
+    val w = Classifier.trainLogReg(d, "text", "doc_id",
+      col("lang") === "en", nBuckets = 64, iters = 3, lr = 1.0)
+    Classifier.ece(d, "text", "doc_id", col("lang") === "en", w,
+      nBuckets = 64, nBins = 10)
+  }
+
+  /** Split-conformal prediction card of the trained LR: calibration
+    * threshold, held-out coverage, mean prediction-set size. */
+  private def qLrConformal(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Classifier
+    val d = t(s, dir, "documents")
+    val w = Classifier.trainLogReg(d, "text", "doc_id",
+      col("lang") === "en", nBuckets = 64, iters = 3, lr = 1.0)
+    Classifier.conformal(d, "text", "doc_id", col("lang") === "en", w,
+      nBuckets = 64, alpha = 0.1)
+  }
+
+  /** Language-parity audit of the Gopher quality gate: per-language
+    * keep rates vs pooled with the four-fifths disparity flag — the
+    * "is my quality filter a language filter" card. */
+  private def qGateParityAudit(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val j = TextAnalysis.qualityEnsemble(d, "text", "doc_id")
+      .select(col("doc_id"), col("keep"))
+      .join(d.select(col("doc_id"), col("lang")), "doc_id")
+    val per = j.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("keep").cast("long")).as("n_keep"))
+    val pooled = j.agg(count(lit(1)).as("nt"),
+      sum(col("keep").cast("long")).as("kt"))
+    val rate = col("n_keep").cast("double") / col("n")
+    val pooledRate = col("kt").cast("double") / col("nt")
+    per.crossJoin(broadcast(pooled))
+      .select(col("lang"), col("n"), col("n_keep"),
+        round(rate, 6).as("keep_rate"),
+        round(rate / pooledRate, 6).as("rate_ratio"),
+        (rate < pooledRate * lit(0.8)).as("four_fifths_flag"))
+      .orderBy(col("lang"))
+  }
+
   /** Heaps'-law OLS fit over the cumulative vocabulary-growth curve:
     * growth exponent β, scale k, and fit r². */
   private def qVocabHeapsFit(s: SparkSession, dir: String): DataFrame =
@@ -3728,6 +3773,9 @@ object SparkEntry {
     "als_rank2" -> (qAlsRank2 _),
     "q_events_poisson_trend" -> (qEventsPoissonTrend _),
     "lr_brier" -> (qLrBrier _),
+    "lr_ece" -> (qLrEce _),
+    "lr_conformal" -> (qLrConformal _),
+    "gate_parity_audit" -> (qGateParityAudit _),
     "vocab_heaps_fit" -> (qVocabHeapsFit _),
     "seq_pattern_3" -> (qSeqPattern3 _),
     "dq_timeseries_gaps" -> (qDqTimeseriesGaps _),
@@ -7557,6 +7605,79 @@ object SparkEntry {
     "als_rank1" -> alsRank1Oracle,
     "als_rank2" -> alsRank2Oracle,
     "q_events_poisson_trend" -> poissonTrendOracle,
+    "lr_ece" ->
+      s"""WITH $lrTrainCte,
+          sc AS (SELECT doc_id, y, round(sum(w), 12) AS m
+                 FROM db JOIN w3 USING (b) GROUP BY doc_id, y),
+          pb AS (SELECT y, 1.0 / (1.0 + exp(-m)) AS p FROM sc),
+          binned AS (SELECT y, p,
+              least(CAST(floor(p * 10) AS BIGINT), 9) AS bin
+            FROM pb),
+          perbin AS (SELECT bin, count(*) AS n_b,
+              sum(CAST(floor(p * 1e12 + 0.5) AS HUGEINT)) AS spq,
+              sum(y) AS sy
+            FROM binned GROUP BY bin),
+          g AS (SELECT bin, n_b,
+              abs(spq - CAST(sy AS HUGEINT) * 1000000000000) AS gap_q
+            FROM perbin)
+          SELECT CAST(sum(n_b) AS BIGINT) AS n,
+            CAST(count(*) AS BIGINT) AS n_bins_nonempty,
+            round(CAST(sum(gap_q) AS DOUBLE) / 1e12 / sum(n_b), 6)
+              AS ece,
+            round(max(CAST(gap_q AS DOUBLE) / 1e12 / n_b), 6)
+              AS max_bin_gap
+          FROM g""",
+    "lr_conformal" ->
+      s"""WITH $lrTrainCte,
+          sc AS (SELECT doc_id, y, round(sum(w), 12) AS m
+                 FROM db JOIN w3 USING (b) GROUP BY doc_id, y),
+          pb AS (SELECT doc_id, y, 1.0 / (1.0 + exp(-m)) AS p FROM sc),
+          sq AS (SELECT doc_id, y, p,
+              CAST(floor((CASE WHEN y = 1 THEN 1.0 - p ELSE p END)
+                * 1e12 + 0.5) AS BIGINT) AS sq
+            FROM pb),
+          calib AS (SELECT * FROM sq WHERE doc_id % 2 = 0),
+          test AS (SELECT * FROM sq WHERE doc_id % 2 <> 0),
+          nc AS (SELECT CAST(count(*) AS BIGINT) AS n_calib,
+              least(CAST(ceil((count(*) + 1) * CAST(0.9 AS DOUBLE))
+                AS BIGINT), count(*)) AS k
+            FROM calib),
+          ranked AS (SELECT sq,
+              row_number() OVER (ORDER BY sq, doc_id) AS rk
+            FROM calib),
+          thr AS (SELECT nc.n_calib, ranked.sq AS thr_q
+                  FROM ranked CROSS JOIN nc WHERE ranked.rk = nc.k),
+          agg AS (SELECT count(*) AS n_test,
+              sum(CASE WHEN t.sq <= thr.thr_q THEN 1 ELSE 0 END)
+                AS n_covered,
+              sum((CASE WHEN CAST(floor((1.0 - t.p) * 1e12 + 0.5)
+                    AS BIGINT) <= thr.thr_q THEN 1 ELSE 0 END) +
+                  (CASE WHEN CAST(floor(t.p * 1e12 + 0.5) AS BIGINT)
+                    <= thr.thr_q THEN 1 ELSE 0 END)) AS set_sz
+            FROM test t CROSS JOIN thr)
+          SELECT thr.n_calib, CAST(agg.n_test AS BIGINT) AS n_test,
+            round(thr.thr_q / 1e12, 6) AS threshold,
+            round(CAST(agg.n_covered AS DOUBLE) / agg.n_test, 6)
+              AS coverage,
+            round(CAST(agg.set_sz AS DOUBLE) / agg.n_test, 6)
+              AS avg_set_size
+          FROM agg CROSS JOIN thr""",
+    "gate_parity_audit" ->
+      s"""WITH e AS ($qualityEnsembleOracle),
+          j AS (SELECT d.lang, CASE WHEN e.keep THEN 1 ELSE 0 END AS k
+                FROM e JOIN documents d USING (doc_id)),
+          per AS (SELECT lang, count(*) AS n, sum(k) AS n_keep
+                  FROM j GROUP BY lang),
+          pooled AS (SELECT count(*) AS nt, sum(k) AS kt FROM j)
+          SELECT lang, CAST(n AS BIGINT) AS n,
+            CAST(n_keep AS BIGINT) AS n_keep,
+            round(CAST(n_keep AS DOUBLE) / n, 6) AS keep_rate,
+            round((CAST(n_keep AS DOUBLE) / n) /
+              (CAST(kt AS DOUBLE) / nt), 6) AS rate_ratio,
+            (CAST(n_keep AS DOUBLE) / n) <
+              (CAST(kt AS DOUBLE) / nt) * CAST(0.8 AS DOUBLE)
+              AS four_fifths_flag
+          FROM per CROSS JOIN pooled ORDER BY lang""",
     "lr_brier" ->
       s"""WITH $lrTrainCte,
           sc AS (SELECT doc_id, y, round(sum(w), 12) AS m

@@ -76,21 +76,35 @@ object Battles {
         col("n"), col("wins_a").as("w"))
       .unionAll(cells.select(col("model_b").as("i"), col("model_a").as("j"),
         col("n"), (col("n") - col("wins_a")).as("w")))
-      .localCheckpoint()
+      // ≤ |models|² rows: single-partition so every one of the 20
+      // rounds runs single-task stages instead of 32 empty ones
+      .coalesce(1).localCheckpoint()
     val wins = e.groupBy(col("i")).agg(sum(col("w")).as("wi"))
-      .localCheckpoint()
+      .coalesce(1).localCheckpoint()
     var s = wins.select(col("i").as("model"), lit(1.0).as("s"))
     for (k <- 1 to iters) {
+      // broadcast the |models|-sized frames EXPLICITLY: a checkpointed
+      // frame has no size estimate, so each of the 20 rounds was
+      // planning shuffle joins + AQE replans over 10-row inputs —
+      // ~3 s/round of pure orchestration at bench scale (61 s total)
       val denom = e
-        .join(s.select(col("model").as("i"), col("s").as("si")), "i")
-        .join(s.select(col("model").as("j"), col("s").as("sj")), "j")
+        .join(broadcast(s.select(col("model").as("i"), col("s").as("si"))),
+          "i")
+        .join(broadcast(s.select(col("model").as("j"), col("s").as("sj"))),
+          "j")
         .groupBy(col("i"))
         .agg(sum(floor(col("n") / (col("si") + col("sj")) * lit(1e12)
           + lit(0.5)).cast("long")).as("dq"))
-      val raw = denom.join(wins, "i")
+      val raw = denom.join(broadcast(wins), "i")
         .select(col("i").as("model"),
           (col("wi").cast("double") / (col("dq").cast("double") / lit(1e12)))
             .as("sraw"))
+        // lazy-materialized on 1 partition: the tot job evaluates it
+        // once and the next-frame job reuses the cache instead of
+        // re-running the round's join+shuffle; coalesce(1) because a
+        // |models|-row frame spread over 32 shuffle partitions pays
+        // 32 task launches per round for nothing
+        .coalesce(1).localCheckpoint(false)
       val tot = raw.agg(sum(floor(col("sraw") * lit(1e12) + lit(0.5))
         .cast("long")).as("tq"))
       val next = raw.crossJoin(broadcast(tot))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Fnv1a64Expr.fnv1a64
 import graft.operators.TextAnalysis.tokens
@@ -158,6 +159,93 @@ object Classifier {
       when(base > 0 && base < 1,
         round(lit(1.0) - br / (base * (lit(1.0) - base)), 6))
         .as("brier_skill"))
+  }
+
+  /** Expected calibration error of a trained model: the single-number
+    * rollup of the reliability diagram — Σ_b (n_b/n)·|mean_p − obs|,
+    * computed as EXACT integer bin sums (p quantized at 1e-12 into
+    * decimal accumulators, the gap |Σp − Σy·1e12| is exact integer
+    * arithmetic), plus the worst single-bin gap. */
+  def ece(df: DataFrame, textCol: String, idCol: String, label: Column,
+          weights: DataFrame, nBuckets: Int = 64,
+          nBins: Int = 10): DataFrame = {
+    val scored = scoreLogReg(df, textCol, idCol, weights, nBuckets)
+    val lab = df.select(col(idCol).as("id"), label.cast("long").as("y"))
+    val perBin = scored.join(lab, "id")
+      .select((lit(1.0) / (lit(1.0) + exp(-col("margin")))).as("p"),
+        col("y"))
+      .withColumn("bin",
+        least(floor(col("p") * nBins).cast("long"), lit(nBins - 1L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_b"),
+        sum(floor(col("p") * lit(1e12) + lit(0.5)).cast("decimal(38,0)"))
+          .as("spq"),
+        sum(col("y")).as("sy"))
+      .withColumn("gap_q",
+        abs(col("spq") - col("sy").cast("decimal(38,0)") *
+          lit(1000000000000L)))
+    perBin.agg(sum(col("n_b")).as("n"),
+        count(lit(1)).as("n_bins_nonempty"),
+        sum(col("gap_q")).as("sgap"),
+        max(col("gap_q").cast("double") / lit(1e12) /
+          col("n_b")).as("maxg"))
+      .select(col("n"), col("n_bins_nonempty"),
+        round(col("sgap").cast("double") / lit(1e12) / col("n"), 6)
+          .as("ece"),
+        round(col("maxg"), 6).as("max_bin_gap"))
+  }
+
+  /** Split-conformal prediction card (Vovk; Lei et al. 2018) for the
+    * binary gate: calibration docs (even ids) rank their true-class
+    * nonconformity s = y ? 1−p : p, the threshold is the
+    * ⌈(n+1)(1−α)⌉-th smallest score, and the held-out half reports
+    * empirical coverage (should be ≥ 1−α) and mean prediction-set
+    * size (1 = informative, 2 = vacuous). Scores quantize at 1e-12 so
+    * ranking, threshold, and the coverage comparisons are integer-
+    * exact cross-engine.
+    *
+    * Scale note: the threshold is a global order statistic over the
+    * calibration half — swap the row_number window for the two-phase
+    * range-partitioned rank (the gini path) past memory bounds. */
+  def conformal(df: DataFrame, textCol: String, idCol: String,
+                label: Column, weights: DataFrame, nBuckets: Int = 64,
+                alpha: Double = 0.1): DataFrame = {
+    val scored = scoreLogReg(df, textCol, idCol, weights, nBuckets)
+      .join(df.select(col(idCol).as("id"), label.cast("long").as("y")),
+        "id")
+      .select(col("id"), col("y"),
+        (lit(1.0) / (lit(1.0) + exp(-col("margin")))).as("p"))
+      .withColumn("sq", floor(
+        when(col("y") === 1, lit(1.0) - col("p")).otherwise(col("p")) *
+          lit(1e12) + lit(0.5)).cast("long"))
+    val calib = scored.filter(pmod(col("id"), lit(2)) === 0)
+    val test = scored.filter(pmod(col("id"), lit(2)) =!= 0)
+    val nCal = calib.agg(count(lit(1)).as("n_calib"))
+      .select(col("n_calib"),
+        least(ceil((col("n_calib") + lit(1L)) * lit(1.0 - alpha))
+          .cast("long"), col("n_calib")).as("k"))
+    val w = Window.orderBy(col("sq"), col("id"))
+    val thr = calib.withColumn("rk", row_number().over(w))
+      .crossJoin(broadcast(nCal))
+      .filter(col("rk") === col("k"))
+      .select(col("n_calib"), col("sq").as("thr_q"))
+    val sets = test.crossJoin(broadcast(thr))
+      .agg(count(lit(1)).as("n_test"),
+        first(col("n_calib")).as("n_calib"),
+        first(col("thr_q")).as("thr_q"),
+        sum(when(col("sq") <= col("thr_q"), 1L).otherwise(0L))
+          .as("n_covered"),
+        sum(when(floor((lit(1.0) - col("p")) * lit(1e12) + lit(0.5))
+            .cast("long") <= col("thr_q"), 1L).otherwise(0L) +
+          when(floor(col("p") * lit(1e12) + lit(0.5))
+            .cast("long") <= col("thr_q"), 1L).otherwise(0L))
+          .as("set_sz"))
+    sets.select(col("n_calib"), col("n_test"),
+      round(col("thr_q") / lit(1e12), 6).as("threshold"),
+      round(col("n_covered").cast("double") / col("n_test"), 6)
+        .as("coverage"),
+      round(col("set_sz").cast("double") / col("n_test"), 6)
+        .as("avg_set_size"))
   }
 
   /** Persisted LR model — the ELEVENTH operable artifact (text bands,

@@ -116,13 +116,19 @@ object Graph {
     var hub = nodes.select(col("node"), (lit(1.0) / lit(nCount)).as("hub"))
       .localCheckpoint()
     var auth: DataFrame = null
-    // one quantized, L1-renormalized mass step (shared by both sides)
+    // one quantized, L1-renormalized mass step (shared by both sides).
+    // `raw` is MATERIALIZED (nodes-sized, cheap): the frame feeds both
+    // the total and the join — left as lineage, Catalyst re-expands it
+    // per reference and the plan tree grows 4× per iteration (75 s of
+    // pure planning at 8 iterations; the DuckDB-CTE lesson, engine
+    // side)
     def step(scores: DataFrame, scoreCol: String, inCol: String,
              outCol: String, newCol: String): DataFrame = {
       val raw = norm.join(scores.withColumnRenamed("node", inCol), inCol)
         .groupBy(col(outCol))
         .agg(sum(floor(col(scoreCol) * col("p") * lit(1e15) + lit(0.5)))
           .as("raw"))
+        .localCheckpoint(false) // lazy: the rtot job materializes it
       val rtot = raw.agg(sum(col("raw")).as("tot"))
       nodes.join(raw.withColumnRenamed(outCol, "node"), Seq("node"), "left")
         .crossJoin(broadcast(rtot))
@@ -165,10 +171,12 @@ object Graph {
     var pi = nodes.select(col("node"), (lit(1.0) / lit(nCount)).as("pi"))
       .localCheckpoint()
     for (i <- 1 to iters) {
+      // materialized for the same double-reference reason as hits.step
       val raw = norm.join(pi.withColumnRenamed("node", "u"), "u")
         .groupBy(col("v"))
         .agg(sum(floor(col("pi") * col("p") * lit(1e15) + lit(0.5)))
           .as("raw"))
+        .localCheckpoint(false) // lazy: the rtot job materializes it
       val rtot = raw.agg(sum(col("raw")).as("tot"))
       val next = nodes.join(raw.withColumnRenamed("v", "node"),
           Seq("node"), "left")

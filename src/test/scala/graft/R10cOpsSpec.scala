@@ -388,6 +388,35 @@ class R10cOpsSpec extends AnyFunSuite {
     assert(r.getDouble(3) == 0.25 && r.getDouble(4) == 0.0)
   }
 
+  test("ece: uninformative p=0.5 model has ECE = |0.5 - base_rate|") {
+    import spark.implicits._
+    import graft.operators.Classifier
+    // 4 docs, 1 positive: all p=0.5 land in bin 5;
+    // ECE = |4*0.5 - 1|/4 = 0.25; max bin gap identical
+    val d = Seq((1L, "the and of", "en"), (2L, "a b", "de"),
+      (3L, "c d", "de"), (4L, "e f", "de")).toDF("doc_id", "text", "lang")
+    val w = Seq((-1L, 0.0)).toDF("bucket", "weight")
+    val r = Classifier.ece(d, "text", "doc_id", col("lang") === "en", w)
+      .head()
+    assert(r.getLong(0) == 4 && r.getLong(1) == 1)
+    assert(r.getDouble(2) == 0.25 && r.getDouble(3) == 0.25)
+  }
+
+  test("conformal: uniform scores give full coverage at the threshold") {
+    import spark.implicits._
+    import graft.operators.Classifier
+    // zero weights -> p=0.5 -> every score 0.5; threshold 0.5;
+    // every test doc covered; both classes in every set -> size 2
+    val d = (1L to 8L).map(i => (i, s"tok$i x", if (i <= 4) "en" else "de"))
+      .toDF("doc_id", "text", "lang")
+    val w = Seq((-1L, 0.0)).toDF("bucket", "weight")
+    val r = Classifier.conformal(d, "text", "doc_id",
+      col("lang") === "en", w, alpha = 0.1).head()
+    assert(r.getLong(0) == 4 && r.getLong(1) == 4)
+    assert(r.getDouble(2) == 0.5)
+    assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 2.0)
+  }
+
   test("stationary: converges to 2/3-1/3 on the self-loop chain") {
     import spark.implicits._
     import graft.operators.Graph
