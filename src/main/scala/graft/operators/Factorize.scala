@@ -44,6 +44,10 @@ object Factorize {
         .select(col("u"),
           round(col("num").cast("double") / col("den").cast("double"), 12)
             .as("uf"))
+        // lazy-materialized: vNext and (on the last round) the rmse
+        // pass both read uF — uncut, the second reference re-runs the
+        // whole half-step chain
+        .localCheckpoint(false)
       val vNext = r.join(uF, "u").groupBy(col("i"))
         .agg(
           sum(dec(floor(col("r") * col("uf") * lit(1e9) + lit(0.5))))
@@ -97,6 +101,7 @@ object Factorize {
               o1: String, o2: String): DataFrame = {
       val j = r.join(gFrame, inKey)
       val agg = j.groupBy(col(outKey))
+        // (results of solve() are read twice downstream — see alsRank1)
         .agg(sum(q(col("f1") * col("f1"))).as("s11"),
           sum(q(col("f1") * col("f2"))).as("s12"),
           sum(q(col("f2") * col("f2"))).as("s22"),
@@ -110,6 +115,7 @@ object Factorize {
       agg.select(col(outKey),
         round((s22 * b1 - s12 * b2) / det, 12).as(o1),
         round((s11 * b2 - s12 * b1) / det, 12).as(o2))
+        .localCheckpoint(false)
     }
     for (k <- 1 to iters) {
       uF = solve(v, "i", "u", "g1", "g2")
