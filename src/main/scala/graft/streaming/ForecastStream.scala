@@ -28,6 +28,75 @@ object ForecastStream {
   case class EsState(level: Double, hasLevel: Boolean,
                      open: Map[Long, Double])
 
+  case class HoltUpdate(key: String, bucket_start_us: Long, cnt: Double,
+                        level: Double, trend: Double, forecast: Double)
+
+  case class HoltState(s: Double, b: Double, nSealed: Long, x1: Double,
+                       open: Map[Long, Double])
+
+  /** Streaming Holt level+trend — the continuous twin of
+    * [[graft.operators.TimeSeries.holtSmoothing]], with the same
+    * sealed-bucket exactness contract as [[levels]]: buckets fold in
+    * event-time order when the watermark seals them, so the (s, b)
+    * state equals the batch fold over the sealed prefix (init
+    * s = x₂, b = x₂ − x₁; emission starts at the second sealed
+    * bucket). State per key: two doubles + the open buckets inside
+    * the lateness horizon. */
+  def holtLevels(events: DataFrame, alpha: Double = 0.3,
+                 beta: Double = 0.2, bucketUs: Long = 3600000000L,
+                 latenessDelay: String = "1 hour",
+                 keyCol: String = "event_type",
+                 tsCol: String = "ts"): Dataset[HoltUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ds = events.withWatermark(tsCol, latenessDelay)
+      .select(col(keyCol).as("k"), unix_micros(col(tsCol)).as("tsUs"),
+        col(tsCol).as("wm_ts"))
+      .as[(String, Long, java.sql.Timestamp)]
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.EventTimeTimeout) {
+        (key: String, it: Iterator[(String, Long, java.sql.Timestamp)],
+         state: GroupState[HoltState]) =>
+          val st0 = state.getOption
+            .getOrElse(HoltState(0.0, 0.0, 0L, 0.0, Map.empty))
+          val open = scala.collection.mutable.Map(st0.open.toSeq: _*)
+          if (!state.hasTimedOut)
+            for ((_, tsUs, _) <- it) {
+              val b = Math.floorDiv(tsUs, bucketUs) * bucketUs
+              open(b) = open.getOrElse(b, 0.0) + 1.0
+            }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          var (s, b, n, x1) = (st0.s, st0.b, st0.nSealed, st0.x1)
+          val sealed0 = open.keys.filter(_ + bucketUs <= wmUs).toSeq.sorted
+          val out = sealed0.flatMap { bk =>
+            val cnt = open.remove(bk).get
+            n += 1
+            if (n == 1L) { x1 = cnt; None }
+            else {
+              if (n == 2L) { s = cnt; b = cnt - x1 }
+              else {
+                val sN = alpha * cnt + (1.0 - alpha) * (s + b)
+                b = beta * (sN - s) + (1.0 - beta) * b
+                s = sN
+              }
+              Some(HoltUpdate(key, bk, cnt, r6(s), r6(b), r6(s + b)))
+            }
+          }
+          if (open.isEmpty && n == 0L) state.remove()
+          else {
+            state.update(HoltState(s, b, n, x1, open.toMap))
+            if (open.nonEmpty)
+              state.setTimeoutTimestamp(
+                ((open.keys.min + bucketUs) / 1000L + 1L)
+                  .max(state.getCurrentWatermarkMs() + 1L))
+          }
+          out.iterator
+      }
+  }
+
   def levels(events: DataFrame, alpha: Double = 0.3,
              bucketUs: Long = 3600000000L, latenessDelay: String = "1 hour",
              keyCol: String = "event_type",

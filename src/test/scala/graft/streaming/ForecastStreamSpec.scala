@@ -83,4 +83,51 @@ class ForecastStreamSpec extends AnyFunSuite {
     assert(z.map(_.cnt) == Seq(1.0, 1.0))
     assert(z.map(_.level) == Seq(1.0, 1.0))
   }
+
+  private def runHolt(batches: Seq[Seq[(String, Long)]]): Seq[ForecastStream.HoltUpdate] = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val df = input.toDF().toDF("event_type", "us")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val out = ForecastStream.holtLevels(df, alpha = 0.3, beta = 0.2,
+      bucketUs = H, latenessDelay = "0 seconds")
+    val qname = s"holt_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(qname)
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      spark.table(qname).as[ForecastStream.HoltUpdate].collect().toSeq
+        .sortBy(u => (u.key, u.bucket_start_us))
+    } finally q.stop()
+  }
+
+  test("holtLevels: sealed-prefix fold equals the batch Holt operator") {
+    import spark.implicits._
+    // hourly counts 10, 12, 11, 15 for one key; heartbeat seals all 4.
+    // Batch hand-fold: init s=12 b=2; x=11 -> (13.1, 1.82);
+    // x=15 -> (14.944, 1.8248), forecast 16.7688
+    val rows = Seq(10, 12, 11, 15).zipWithIndex.flatMap { case (c, h) =>
+      (1 to c).map(i => ("h", (h + 1) * H + i * 1000L))
+    }
+    val out = runHolt(Seq(rows, Seq(("h", 9 * H))))
+    val h = out.filter(_.key == "h")
+    // emission starts at the SECOND sealed bucket (init consumes two)
+    assert(h.map(_.cnt) == Seq(12.0, 11.0, 15.0))
+    assert(h.last.level == 14.944 && h.last.trend == 1.8248)
+    assert(h.last.forecast == 16.7688)
+    val batch = graft.operators.TimeSeries.holtSmoothing(
+        rows.toDF("event_type", "us")
+          .withColumn("ts", timestamp_micros(col("us"))).drop("us"),
+        alpha = 0.3, beta = 0.2)
+      .head()
+    assert(batch.getDouble(2) == h.last.level &&
+      batch.getDouble(3) == h.last.trend)
+  }
+
+  test("holtLevels: single sealed bucket emits nothing (init needs two)") {
+    val out = runHolt(Seq(Seq(("q", 1 * H)), Seq(("q", 5 * H))))
+    // hour 1 sealed -> consumed as x1, no emission yet
+    assert(out.filter(_.key == "q").isEmpty)
+  }
 }
