@@ -3094,6 +3094,41 @@ object SparkEntry {
       col("cov"), col("ycents"), caliper = 2)
   }
 
+  /** Difference-in-differences of the parity "treatment" on per-user
+    * purchase cents across the time-midpoint split — the
+    * parallel-trends causal readout beside CUPED and matching. */
+  private def qEventsDid(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val us = unix_micros(col("ts"))
+    val bounds = ev.agg(min(us).as("lo"), max(us).as("hi"))
+      .select(expr("(lo + hi) DIV 2").as("mid"))
+    val cents = round(col("value") * 100, 0).cast("long")
+    val perUser = ev.crossJoin(broadcast(bounds))
+      .groupBy(col("user_id"))
+      .agg(sum(when(us <= col("mid") && col("event_type") === "purchase",
+          cents).otherwise(0L)).as("y1"),
+        sum(when(us > col("mid") && col("event_type") === "purchase",
+          cents).otherwise(0L)).as("y2"))
+    val units = perUser
+      .select(col("user_id"), lit(1).as("pd"), col("y1").as("y"))
+      .unionAll(perUser
+        .select(col("user_id"), lit(2).as("pd"), col("y2").as("y")))
+    graft.operators.Metrics.diffInDiff(units, col("user_id") % 2,
+      col("pd"), col("y"))
+  }
+
+  /** Dunning G² collocations — the evidence-weighted replacement for
+    * PMI's rare-pair explosions. */
+  private def qCollocationsLlr(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.llrCollocations(t(s, dir, "documents"), "text",
+      minCount = 5, topN = 30)
+
+  /** Embedding isotropy card: exact mean pairwise cosine via
+    * ‖Σn̂‖² − n (no pair join) + norm statistics. */
+  private def qEmbIsotropy(s: SparkSession, dir: String): DataFrame =
+    Similarity.embIsotropy(t(s, dir, "embeddings"), "embedding",
+      "vec_id")
+
   /** Holt level+trend smoothing of hourly event counts per type —
     * the trend-aware one-step forecast next to `q_events_smoothing`'s
     * flat level. */
@@ -3774,6 +3809,9 @@ object SparkEntry {
     "q_events_poisson_trend" -> (qEventsPoissonTrend _),
     "lr_brier" -> (qLrBrier _),
     "lr_ece" -> (qLrEce _),
+    "q_events_did" -> (qEventsDid _),
+    "collocations_llr" -> (qCollocationsLlr _),
+    "emb_isotropy" -> (qEmbIsotropy _),
     "lr_conformal" -> (qLrConformal _),
     "gate_parity_audit" -> (qGateParityAudit _),
     "vocab_heaps_fit" -> (qVocabHeapsFit _),
@@ -7605,6 +7643,105 @@ object SparkEntry {
     "als_rank1" -> alsRank1Oracle,
     "als_rank2" -> alsRank2Oracle,
     "q_events_poisson_trend" -> poissonTrendOracle,
+    "q_events_did" ->
+      """WITH bounds AS (
+           SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+           FROM events),
+         pu AS (
+           SELECT user_id,
+             sum(CASE WHEN epoch_us(ts) <= mid AND event_type = 'purchase'
+               THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END)
+               AS y1,
+             sum(CASE WHEN epoch_us(ts) > mid AND event_type = 'purchase'
+               THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END)
+               AS y2
+           FROM events CROSS JOIN bounds GROUP BY user_id),
+         units AS (
+           SELECT CAST(user_id % 2 AS INT) AS tr, 1 AS pd, y1 AS y FROM pu
+           UNION ALL
+           SELECT CAST(user_id % 2 AS INT), 2, y2 FROM pu),
+         cells AS (SELECT tr, pd, count(*) AS n, sum(y) AS sy
+                   FROM units GROUP BY tr, pd),
+         agg AS (
+           SELECT CAST(sum(n) AS BIGINT) AS n_units_periods,
+             max(CASE WHEN tr = 1 AND pd = 1
+               THEN CAST(sy AS DOUBLE) / n / 100.0 END) AS t1,
+             max(CASE WHEN tr = 1 AND pd = 2
+               THEN CAST(sy AS DOUBLE) / n / 100.0 END) AS t2,
+             max(CASE WHEN tr = 0 AND pd = 1
+               THEN CAST(sy AS DOUBLE) / n / 100.0 END) AS c1,
+             max(CASE WHEN tr = 0 AND pd = 2
+               THEN CAST(sy AS DOUBLE) / n / 100.0 END) AS c2
+           FROM cells)
+         SELECT n_units_periods, round(t1, 4) AS treated_pre,
+           round(t2, 4) AS treated_post, round(c1, 4) AS control_pre,
+           round(c2, 4) AS control_post,
+           round((t2 - t1) - (c2 - c1), 4) AS did
+         FROM agg""",
+    "collocations_llr" ->
+      """WITH toks AS (
+           SELECT list_filter(regexp_split_to_array(trim(lower(text)),
+             '\s+'), x -> len(x) > 0) AS tk FROM documents),
+         b0 AS (SELECT tk,
+             unnest(generate_series(1, greatest(len(tk) - 1, 0))) AS i
+           FROM toks),
+         big AS (SELECT tk[i] AS w1, tk[i+1] AS w2 FROM b0),
+         bcnt AS (SELECT w1, w2, count(*) AS k11 FROM big GROUP BY 1, 2),
+         f1 AS (SELECT w1, count(*) AS r1 FROM big GROUP BY w1),
+         f2 AS (SELECT w2, count(*) AS c1t FROM big GROUP BY w2),
+         nt AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM big),
+         j AS (SELECT b.w1, b.w2, b.k11, f1.r1, f2.c1t, nt.nn
+               FROM bcnt b JOIN f1 ON b.w1 = f1.w1
+               JOIN f2 ON b.w2 = f2.w2 CROSS JOIN nt
+               WHERE b.k11 >= 5)
+         SELECT w1, w2, CAST(k11 AS BIGINT) AS c_xy,
+           round(2.0 * (
+             (CASE WHEN k11 > 0 THEN CAST(k11 AS DOUBLE) *
+               ln(CAST(k11 AS DOUBLE) * nn /
+                 (CAST(r1 AS DOUBLE) * c1t)) ELSE 0.0 END) +
+             (CASE WHEN r1 - k11 > 0 THEN CAST(r1 - k11 AS DOUBLE) *
+               ln(CAST(r1 - k11 AS DOUBLE) * nn /
+                 (CAST(r1 AS DOUBLE) * (CAST(nn AS DOUBLE) - c1t)))
+               ELSE 0.0 END) +
+             (CASE WHEN c1t - k11 > 0 THEN CAST(c1t - k11 AS DOUBLE) *
+               ln(CAST(c1t - k11 AS DOUBLE) * nn /
+                 ((CAST(nn AS DOUBLE) - r1) * c1t)) ELSE 0.0 END) +
+             (CASE WHEN nn - r1 - c1t + k11 > 0
+               THEN CAST(nn - r1 - c1t + k11 AS DOUBLE) *
+                 ln(CAST(nn - r1 - c1t + k11 AS DOUBLE) * nn /
+                   ((CAST(nn AS DOUBLE) - r1) *
+                    (CAST(nn AS DOUBLE) - c1t))) ELSE 0.0 END)
+           ), 4) AS llr_g2
+         FROM j ORDER BY llr_g2 DESC, w1, w2 LIMIT 30""",
+    "emb_isotropy" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         wn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+                FROM e WHERE sqrt(list_dot_product(v, v)) > 0),
+         ns AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             round(min(nrm), 6) AS min_norm,
+             round(max(nrm), 6) AS max_norm,
+             CAST(sum(CAST(floor(nrm * 1e9 + 0.5) AS HUGEINT)) AS DOUBLE)
+               / 1e9 AS sum_nrm
+           FROM wn),
+         ex AS (SELECT vec_id, nrm,
+             unnest(generate_series(1, len(v))) AS d1, v
+           FROM wn),
+         ds AS (SELECT d1,
+             sum(CAST(floor(v[d1] / nrm * 1e9 + 0.5) AS HUGEINT)) AS sq
+           FROM ex GROUP BY d1),
+         dd AS (SELECT CAST(count(*) AS BIGINT) AS dim,
+             CAST(sum(CAST(floor((CAST(sq AS DOUBLE) / 1e9) *
+               (CAST(sq AS DOUBLE) / 1e9) * 1e9 + 0.5) AS HUGEINT))
+               AS DOUBLE) / 1e9 AS s2
+           FROM ds)
+         SELECT ns.n, dd.dim,
+           round((dd.s2 - ns.n) /
+             (CAST(ns.n AS DOUBLE) * (ns.n - 1)), 6)
+             AS mean_pairwise_cos,
+           round(ns.sum_nrm / ns.n, 6) AS mean_norm,
+           ns.min_norm, ns.max_norm
+         FROM ns CROSS JOIN dd""",
     "lr_ece" ->
       s"""WITH $lrTrainCte,
           sc AS (SELECT doc_id, y, round(sum(w), 12) AS m

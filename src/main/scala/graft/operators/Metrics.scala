@@ -921,6 +921,37 @@ object Metrics {
           .as("naive_diff"))
   }
 
+  /** Difference-in-differences on a two-period, two-group design:
+    * DiD = (T₂−T₁) − (C₂−C₁) over per-unit period outcomes — the
+    * parallel-trends causal readout completing the experiment family
+    * (z-test → CUPED → matching → DiD). `periodCol` must be 1/2,
+    * `treatCol` 0/1, outcomes integer cents. Everything is exact
+    * integer sums until the four means divide once; the estimate is a
+    * difference of four exact-ratio doubles, same expression both
+    * engines. One (group, period) agg over the unit frame. */
+  def diffInDiff(units: DataFrame, treatCol: Column, periodCol: Column,
+                 outcomeCentsCol: Column): DataFrame = {
+    val cells = units
+      .select(treatCol.cast("int").as("tr"), periodCol.cast("int").as("pd"),
+        outcomeCentsCol.cast("long").as("y"))
+      .groupBy(col("tr"), col("pd"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+    def mean(tr: Int, pd: Int) =
+      max(when(col("tr") === tr && col("pd") === pd,
+        col("sy").cast("double") / col("n") / 100.0))
+    cells.agg(
+        sum(col("n")).as("n_units_periods"),
+        mean(1, 1).as("t1"), mean(1, 2).as("t2"),
+        mean(0, 1).as("c1"), mean(0, 2).as("c2"))
+      .select(col("n_units_periods"),
+        round(col("t1"), 4).as("treated_pre"),
+        round(col("t2"), 4).as("treated_post"),
+        round(col("c1"), 4).as("control_pre"),
+        round(col("c2"), 4).as("control_post"),
+        round((col("t2") - col("t1")) - (col("c2") - col("c1")), 4)
+          .as("did"))
+  }
+
   /** SPRT constants for oracle interpolation — the exact literals
     * [[sprtBernoulli]] bakes into the plan. */
   def sprtConstants(p0: Double, p1: Double, alpha: Double,

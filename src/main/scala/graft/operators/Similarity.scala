@@ -579,6 +579,49 @@ object Similarity {
       .limit(topN)
   }
 
+  /** Embedding-space isotropy card: the exact mean pairwise cosine of
+    * the L2-normalized corpus WITHOUT any pair join —
+    * Σ_{i≠j} n̂_i·n̂_j = ‖Σ n̂‖² − n, so one per-dim sum frame answers
+    * the O(n²) question in O(n·d). High mean cosine = anisotropic
+    * (rogue-dimension) embedding space, the standard representation-
+    * collapse diagnostic. Norm statistics ride along.
+    *
+    * Determinism: per-row norms are the engine's sequential-fold dot
+    * ([[graft.functions.VecDot]], the DuckDB list-fold contract);
+    * cross-row per-dim sums quantize normalized components to longs at
+    * 1e-9 (decimal accumulators), and ‖S‖² folds over the
+    * dim-bounded frame as exact quantized squares. */
+  def embIsotropy(df: DataFrame, vecCol: String,
+                  idCol: String): DataFrame = {
+    import graft.functions.VecDot.vec_dot
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val withNorm = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        sqrt(vec_dot(col(vecCol), col(vecCol))).as("nrm"))
+      .filter(col("nrm") > 0)
+    val normStats = withNorm.agg(count(lit(1)).as("n"),
+      round(min(col("nrm")), 6).as("min_norm"),
+      round(max(col("nrm")), 6).as("max_norm"),
+      (sum(dec(floor(col("nrm") * lit(1e9) + lit(0.5)))).cast("double") /
+        lit(1e9)).as("sum_nrm"))
+    val dimSums = withNorm
+      .select(posexplode(col("v")).as(Seq("d", "x")), col("nrm"))
+      .groupBy(col("d"))
+      .agg(sum(dec(floor(col("x") / col("nrm") * lit(1e9) + lit(0.5))))
+        .as("sq"))
+      .agg(count(lit(1)).as("dim"),
+        (sum(dec(floor(
+          (col("sq").cast("double") / lit(1e9)) *
+            (col("sq").cast("double") / lit(1e9)) * lit(1e9) + lit(0.5))))
+          .cast("double") / lit(1e9)).as("s2"))
+    normStats.crossJoin(broadcast(dimSums))
+      .select(col("n"), col("dim"),
+        round((col("s2") - col("n")) /
+          (col("n").cast("double") * (col("n") - lit(1L))), 6)
+          .as("mean_pairwise_cos"),
+        round(col("sum_nrm") / col("n"), 6).as("mean_norm"),
+        col("min_norm"), col("max_norm"))
+  }
+
   /** Topic-cluster cards — the corpus-composition rollup over the
     * deterministic k-means cells ([[kmeansCentroidsDet]]): per cell,
     * member count, corpus share, mean squared distance to the centroid

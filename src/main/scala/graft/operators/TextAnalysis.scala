@@ -793,6 +793,49 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** Collocation strength by Dunning's log-likelihood ratio (Dunning
+    * 1993): G² over the bigram 2×2 contingency table — the
+    * low-frequency-robust replacement for [[pmiCollocations]] (PMI
+    * explodes on rare pairs; G² weights by evidence mass). Margins are
+    * BIGRAM-based (first-word / second-word totals), each G² is four
+    * per-row `k·ln(k·N/E)` terms folded in one fixed expression (no
+    * cross-row float sums to pin), and ranking uses the ROUNDED score
+    * so both engines break ties identically.
+    *
+    * Scale shape: same as PMI — one exploded bigram pass, three
+    * grouped counts, two margin joins, TakeOrdered. */
+  def llrCollocations(df: DataFrame, textCol: String, minCount: Long = 5,
+                      topN: Int = 30): DataFrame = {
+    val toksDf = CacheScope.scratch(
+      df.select(tokens(lower(col(textCol))).as("tk")))
+    val big = CacheScope.scratch(
+      toksDf.select(explode(ngramsWithMultiplicity(col("tk"), 2)).as("gram"))
+        .withColumn("w1", split(col("gram"), " ").getItem(0))
+        .withColumn("w2", split(col("gram"), " ").getItem(1)))
+    val bcnt = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("k11"))
+    val f1 = big.groupBy(col("w1")).agg(count(lit(1)).as("r1"))
+    val f2 = big.groupBy(col("w2")).agg(count(lit(1)).as("c1t"))
+    val n = big.agg(count(lit(1)).as("nn"))
+    def term(k: Column, e: Column) =
+      when(k > 0, k.cast("double") *
+        log(k.cast("double") * col("nn") / e)).otherwise(lit(0.0))
+    val k12 = col("r1") - col("k11")
+    val k21 = col("c1t") - col("k11")
+    val k22 = col("nn") - col("r1") - col("c1t") + col("k11")
+    val nd = col("nn").cast("double")
+    val g2 = lit(2.0) * (
+      term(col("k11"), col("r1").cast("double") * col("c1t")) +
+      term(k12, col("r1").cast("double") * (nd - col("c1t"))) +
+      term(k21, (nd - col("r1")) * col("c1t")) +
+      term(k22, (nd - col("r1")) * (nd - col("c1t"))))
+    bcnt.filter(col("k11") >= minCount)
+      .join(f1, "w1").join(f2, "w2").crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("k11").as("c_xy"),
+        round(g2, 4).as("llr_g2"))
+      .orderBy(col("llr_g2").desc, col("w1"), col("w2"))
+      .limit(topN)
+  }
+
   /** Interpolated bigram language-model score per document — the
     * CCNet-style perplexity filter one tier above [[unigramLogprob]]:
     * each in-document bigram (w1,w2) scores

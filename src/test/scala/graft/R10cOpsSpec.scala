@@ -417,6 +417,50 @@ class R10cOpsSpec extends AnyFunSuite {
     assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 2.0)
   }
 
+  test("diffInDiff: hand-computed four-cell estimate") {
+    import spark.implicits._
+    import graft.operators.Metrics
+    // treated: 100 -> 300 cents; control: 100 -> 200
+    // DiD = (3.00 - 1.00) - (2.00 - 1.00) = 1.00
+    val units = Seq(
+      (1, 1, 100L), (1, 2, 300L),
+      (0, 1, 100L), (0, 2, 200L)).toDF("tr0", "pd0", "y0")
+    val r = Metrics.diffInDiff(units, col("tr0"), col("pd0"), col("y0"))
+      .head()
+    assert(r.getLong(0) == 4)
+    assert(r.getDouble(1) == 1.0 && r.getDouble(2) == 3.0)
+    assert(r.getDouble(5) == 1.0)
+  }
+
+  test("llrCollocations: perfect collocation dominates an independent pair") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // "aa bb" always together (5 times); "cc" pairs with varied words
+    val docs = ((1 to 5).map(i => (i.toLong, "aa bb")) ++
+      (6 to 10).map(i => (i.toLong, s"cc w$i cc v$i")))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.llrCollocations(docs, "text", minCount = 5,
+      topN = 5).collect()
+    assert(r.nonEmpty)
+    assert(r.head.getString(0) == "aa" && r.head.getString(1) == "bb")
+    assert(r.head.getDouble(3) > 0)
+  }
+
+  test("embIsotropy: identical unit vectors have mean pairwise cos 1") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val same = (1L to 5L).map(i => (i, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.embIsotropy(same, "embedding", "vec_id").head()
+    assert(r.getLong(0) == 5 && r.getLong(1) == 2)
+    assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 1.0)
+    // orthogonal pair in 2d: sum vector (1,1), s2 = 2, n = 2 -> cos 0
+    val orth = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val r2 = Similarity.embIsotropy(orth, "embedding", "vec_id").head()
+    assert(r2.getDouble(2) == 0.0)
+  }
+
   test("stationary: converges to 2/3-1/3 on the self-loop chain") {
     import spark.implicits._
     import graft.operators.Graph
