@@ -3094,6 +3094,26 @@ object SparkEntry {
       col("cov"), col("ycents"), caliper = 2)
   }
 
+  /** Winsorized per-type value summary: exact nearest-rank p05/p95
+    * clips + robust mean, all-integer cents until the final
+    * divisions. */
+  private def qEventsWinsorized(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Metrics.winsorizedStats(t(s, dir, "events"),
+        col("event_type"), col("value"))
+      .select(col("g").as("event_type"), col("n"), col("p05"),
+        col("p95"), col("mean"), col("winsorized_mean"))
+      .orderBy(col("event_type"))
+
+  /** Neyman-optimal allocation of a 1000-doc labeling budget across
+    * sources (n_h ∝ N_h·S_h on n_chars, largest-remainder
+    * integerization). */
+  private def qSampleNeymanAlloc(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Metrics.neymanAllocation(t(s, dir, "documents"),
+        col("source"), col("n_chars"), budget = 1000L)
+      .select(col("h").as("source"), col("n_pop"), col("std"),
+        col("n_alloc"), col("sampling_fraction"))
+      .orderBy(col("source"))
+
   /** Difference-in-differences of the parity "treatment" on per-user
     * purchase cents across the time-midpoint split — the
     * parallel-trends causal readout beside CUPED and matching. */
@@ -3810,6 +3830,8 @@ object SparkEntry {
     "lr_brier" -> (qLrBrier _),
     "lr_ece" -> (qLrEce _),
     "q_events_did" -> (qEventsDid _),
+    "q_events_winsorized" -> (qEventsWinsorized _),
+    "sample_neyman_alloc" -> (qSampleNeymanAlloc _),
     "collocations_llr" -> (qCollocationsLlr _),
     "emb_isotropy" -> (qEmbIsotropy _),
     "lr_conformal" -> (qLrConformal _),
@@ -7643,6 +7665,68 @@ object SparkEntry {
     "als_rank1" -> alsRank1Oracle,
     "als_rank2" -> alsRank2Oracle,
     "q_events_poisson_trend" -> poissonTrendOracle,
+    "q_events_winsorized" ->
+      """WITH blocks AS (
+           SELECT event_type AS g,
+             CAST(round(value * 100, 0) AS BIGINT) AS c, count(*) AS cnt
+           FROM events GROUP BY 1, 2),
+         cm AS (SELECT g, c, cnt,
+             sum(cnt) OVER (PARTITION BY g ORDER BY c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM blocks),
+         totals AS (
+           SELECT g, CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(sum(c * cnt) AS BIGINT) AS sc,
+             (CAST(sum(cnt) AS BIGINT) * 5 + 99) // 100 AS klo,
+             (CAST(sum(cnt) AS BIGINT) * 95 + 99) // 100 AS khi
+           FROM blocks GROUP BY g),
+         thr AS (
+           SELECT cm.g, min(CASE WHEN cum >= klo THEN c END) AS p_lo,
+             min(CASE WHEN cum >= khi THEN c END) AS p_hi
+           FROM cm JOIN totals ON cm.g = totals.g GROUP BY cm.g),
+         fin AS (
+           SELECT b.g, t.n, t.sc, r.p_lo, r.p_hi,
+             CAST(sum(least(greatest(b.c, r.p_lo), r.p_hi) * b.cnt)
+               AS BIGINT) AS scw
+           FROM blocks b JOIN thr r ON b.g = r.g
+           JOIN totals t ON b.g = t.g
+           GROUP BY 1, 2, 3, 4, 5)
+         SELECT g AS event_type, n,
+           round(p_lo / 100.0, 2) AS p05, round(p_hi / 100.0, 2) AS p95,
+           round(CAST(sc AS DOUBLE) / n / 100.0, 4) AS mean,
+           round(CAST(scw AS DOUBLE) / n / 100.0, 4) AS winsorized_mean
+         FROM fin ORDER BY 1""",
+    "sample_neyman_alloc" ->
+      """WITH m AS (
+           SELECT source AS h, count(*) AS nh,
+             sum(CAST(n_chars AS HUGEINT)) AS sy,
+             sum(CAST(n_chars AS HUGEINT) * n_chars) AS syy
+           FROM documents GROUP BY 1),
+         wgt AS (
+           SELECT h, CAST(nh AS BIGINT) AS nh,
+             sqrt(CAST(syy AS DOUBLE) / nh -
+               (CAST(sy AS DOUBLE) / nh) * (CAST(sy AS DOUBLE) / nh))
+               AS sh,
+             CAST(floor(nh * sqrt(CAST(syy AS DOUBLE) / nh -
+               (CAST(sy AS DOUBLE) / nh) * (CAST(sy AS DOUBLE) / nh))
+               * 1e6 + 0.5) AS BIGINT) AS wq
+           FROM m),
+         tot AS (SELECT CAST(sum(wq) AS BIGINT) AS wt FROM wgt),
+         based AS (
+           SELECT h, nh, sh, wq, (1000 * wq) // wt AS base,
+             1000 * wq - ((1000 * wq) // wt) * wt AS rem
+           FROM wgt CROSS JOIN tot),
+         spare AS (SELECT 1000 - CAST(sum(base) AS BIGINT) AS spare
+                   FROM based),
+         ranked AS (SELECT *,
+             row_number() OVER (ORDER BY rem DESC, h ASC) AS rk
+           FROM based)
+         SELECT h AS source, nh AS n_pop, round(sh, 4) AS std,
+           CAST(base + CASE WHEN rk <= spare THEN 1 ELSE 0 END AS BIGINT)
+             AS n_alloc,
+           round(CAST(base + CASE WHEN rk <= spare THEN 1 ELSE 0 END
+             AS DOUBLE) / nh, 6) AS sampling_fraction
+         FROM ranked CROSS JOIN spare ORDER BY 1""",
     "q_events_did" ->
       """WITH bounds AS (
            SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid

@@ -952,6 +952,81 @@ object Metrics {
           .as("did"))
   }
 
+  /** Winsorized summary per group: exact nearest-rank p05/p95 clip
+    * points on integer cents via tie-block cumulative counts
+    * (PARTITIONED BY group — never a global sort), and the clipped
+    * mean as an exact long fold — the outlier-robust location estimate
+    * whose breakdown the plain mean lacks, with everything integer
+    * until the final division. */
+  def winsorizedStats(df: DataFrame, grpCol: Column, valueCol: Column,
+                      loPct: Int = 5, hiPct: Int = 95): DataFrame = {
+    val blocks = df
+      .select(grpCol.as("g"),
+        round(valueCol * 100, 0).cast("long").as("c"))
+      .groupBy(col("g"), col("c")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("g")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = blocks.withColumn("cum", sum(col("cnt")).over(w))
+    val totals = blocks.groupBy(col("g"))
+      .agg(sum(col("cnt")).as("n"), sum(col("c") * col("cnt")).as("sc"))
+      // ceil(n·p/100) in exact integer form
+      .withColumn("kLo", expr(s"(n * $loPct + 99) DIV 100"))
+      .withColumn("kHi", expr(s"(n * $hiPct + 99) DIV 100"))
+    val thr = cum.join(totals, "g")
+      .groupBy(col("g"))
+      .agg(min(when(col("cum") >= col("kLo"), col("c"))).as("p_lo"),
+        min(when(col("cum") >= col("kHi"), col("c"))).as("p_hi"))
+    blocks.join(thr, "g").join(totals.select(col("g"), col("n"), col("sc")), "g")
+      .groupBy(col("g"))
+      .agg(first(col("n")).as("n"), first(col("sc")).as("sc"),
+        first(col("p_lo")).as("p_lo"), first(col("p_hi")).as("p_hi"),
+        sum(least(greatest(col("c"), col("p_lo")), col("p_hi")) *
+          col("cnt")).as("scw"))
+      .select(col("g"), col("n"),
+        round(col("p_lo") / lit(100.0), 2).as("p05"),
+        round(col("p_hi") / lit(100.0), 2).as("p95"),
+        round(col("sc").cast("double") / col("n") / 100.0, 4).as("mean"),
+        round(col("scw").cast("double") / col("n") / 100.0, 4)
+          .as("winsorized_mean"))
+  }
+
+  /** Neyman-optimal stratified-sample allocation (Neyman 1934):
+    * n_h ∝ N_h·S_h, integerized by the largest-remainder method — the
+    * planning table for "given a labeling budget of n, how many docs
+    * per stratum". Determinism: S_h comes from exact integer moments,
+    * the N_h·S_h weight quantizes to a long at 1e-6, and both the
+    * floor shares and the remainder distribution are pure integer
+    * arithmetic with name-ordered tie-break, so the allocation is
+    * bit-identical cross-engine. One strata-sized frame end to end
+    * after a single exact groupBy over the scan. */
+  def neymanAllocation(df: DataFrame, stratumCol: Column,
+                       valueCol: Column, budget: Long): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val m = df.select(stratumCol.as("h"), valueCol.cast("long").as("y"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("nh"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("y")) * dec(col("y"))).as("syy"))
+    val mean = col("sy").cast("double") / col("nh")
+    val variance = col("syy").cast("double") / col("nh") - mean * mean
+    val weighted = m.select(col("h"), col("nh"),
+      sqrt(variance).as("sh"),
+      floor(col("nh") * sqrt(variance) * lit(1e6) + lit(0.5))
+        .cast("long").as("wq"))
+    val tot = weighted.agg(sum(col("wq")).as("wt"))
+    val based = weighted.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"($budget * wq) DIV wt"))
+      .withColumn("rem", expr(s"$budget * wq - (($budget * wq) DIV wt) * wt"))
+    val spare = based.agg((lit(budget) - sum(col("base"))).as("spare"))
+    val wR = Window.orderBy(col("rem").desc, col("h").asc)
+    based.withColumn("rk", row_number().over(wR))
+      .crossJoin(broadcast(spare))
+      .select(col("h"), col("nh").as("n_pop"), round(col("sh"), 4).as("std"),
+        (col("base") +
+          when(col("rk") <= col("spare"), 1L).otherwise(0L)).as("n_alloc"))
+      .withColumn("sampling_fraction",
+        round(col("n_alloc").cast("double") / col("n_pop"), 6))
+  }
+
   /** SPRT constants for oracle interpolation — the exact literals
     * [[sprtBernoulli]] bakes into the plan. */
   def sprtConstants(p0: Double, p1: Double, alpha: Double,

@@ -461,6 +461,34 @@ class R10cOpsSpec extends AnyFunSuite {
     assert(r2.getDouble(2) == 0.0)
   }
 
+  test("winsorizedStats: clipping pulls in a planted outlier") {
+    import spark.implicits._
+    import graft.operators.Metrics
+    // 19 values of 1.00 + one 1000.00 outlier: p95 clip = 1.00
+    // (ceil(0.95*20)=19th of 20 sorted), winsorized mean = 1.00
+    val df = ((1 to 19).map(_ => ("t", 1.0)) :+ ("t", 1000.0))
+      .toDF("g0", "v0")
+    val r = Metrics.winsorizedStats(df, col("g0"), col("v0")).head()
+    assert(r.getLong(1) == 20)
+    assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 1.0)
+    assert(r.getDouble(4) == 50.95 && r.getDouble(5) == 1.0)
+  }
+
+  test("neymanAllocation: budget splits by N_h*S_h and sums exactly") {
+    import spark.implicits._
+    import graft.operators.Metrics
+    // stratum a: high variance {0, 100}x5; stratum b: constant 50
+    val rows = (1 to 5).flatMap(i => Seq(("a", 0L), ("a", 100L))) ++
+      (1 to 10).map(_ => ("b", 50L))
+    val df = rows.toDF("h0", "y0")
+    val out = Metrics.neymanAllocation(df, col("h0"), col("y0"),
+        budget = 10)
+      .collect().map(x => x.getString(0) -> x.getLong(3)).toMap
+    // S_a = 50, S_b = 0 -> all 10 go to a
+    assert(out("a") == 10 && out("b") == 0)
+    assert(out.values.sum == 10)
+  }
+
   test("stationary: converges to 2/3-1/3 on the self-loop chain") {
     import spark.implicits._
     import graft.operators.Graph
