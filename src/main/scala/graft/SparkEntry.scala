@@ -3094,6 +3094,45 @@ object SparkEntry {
       col("cov"), col("ycents"), caliper = 2)
   }
 
+  /** Discount→quantity response per return flag: exact-integer OLS
+    * (slope, intercept, r²) of quantity on discount percent — does a
+    * deeper discount actually move volume. */
+  private def qDiscountElasticity(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Metrics.olsByGroup(t(s, dir, "lineitem"),
+        col("l_returnflag"), round(col("l_discount") * 100, 0),
+        col("l_quantity"))
+      .select(col("g").as("l_returnflag"), col("n"), col("slope"),
+        col("intercept"), col("r2"))
+      .orderBy(col("l_returnflag"))
+
+  /** Ship-delay SLA card per order priority: exact nearest-rank
+    * p50/p90/p99 of order→ship days + the >30-day breach share. */
+  private def qShipDelaySla(s: SparkSession, dir: String): DataFrame = {
+    val j = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("g"),
+        datediff(col("l_shipdate"), col("o_orderdate")).as("delay"))
+    val perc = graft.operators.Metrics.exactPercentilesByGroup(j,
+      col("g"), col("delay"), Seq(50, 90, 99))
+    val share = j.groupBy(col("g"))
+      .agg(round(sum(when(col("delay") > 30, 1L).otherwise(0L))
+        .cast("double") / count(lit(1)), 6).as("share_gt_30"))
+    perc.join(share, "g")
+      .select(col("g").as("o_orderpriority"), col("n"), col("p50"),
+        col("p90"), col("p99"), col("share_gt_30"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Sequential basket rules: part a in an earlier order → part b in
+    * a later order of the same customer, by distinct-customer
+    * support and confidence. */
+  private def qBasketSequelRules(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Basket.sequentialRules(t(s, dir, "lineitem"),
+      t(s, dir, "orders"), minSupport = 2, topK = 20)
+
   /** Winsorized per-type value summary: exact nearest-rank p05/p95
     * clips + robust mean, all-integer cents until the final
     * divisions. */
@@ -3831,6 +3870,9 @@ object SparkEntry {
     "lr_ece" -> (qLrEce _),
     "q_events_did" -> (qEventsDid _),
     "q_events_winsorized" -> (qEventsWinsorized _),
+    "q_discount_elasticity" -> (qDiscountElasticity _),
+    "q_ship_delay_sla" -> (qShipDelaySla _),
+    "basket_sequel_rules" -> (qBasketSequelRules _),
     "sample_neyman_alloc" -> (qSampleNeymanAlloc _),
     "collocations_llr" -> (qCollocationsLlr _),
     "emb_isotropy" -> (qEmbIsotropy _),
@@ -7665,6 +7707,81 @@ object SparkEntry {
     "als_rank1" -> alsRank1Oracle,
     "als_rank2" -> alsRank2Oracle,
     "q_events_poisson_trend" -> poissonTrendOracle,
+    "q_discount_elasticity" ->
+      """WITH b AS (
+           SELECT l_returnflag AS g,
+             CAST(round(l_discount * 100, 0) AS BIGINT) AS x,
+             CAST(l_quantity AS BIGINT) AS y
+           FROM lineitem),
+         m AS (
+           SELECT g, count(*) AS n,
+             sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(y AS HUGEINT) * y) AS syy
+           FROM b GROUP BY g),
+         c AS (
+           SELECT g, CAST(n AS BIGINT) AS n,
+             CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE) AS cov,
+             CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) AS varx,
+             CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE) AS vary,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+           FROM m)
+         SELECT g AS l_returnflag, n,
+           CASE WHEN varx > 0 THEN round(cov / varx, 6) END AS slope,
+           CASE WHEN varx > 0
+             THEN round((syd - (cov / varx) * sxd) / n, 6) END
+             AS intercept,
+           CASE WHEN varx > 0 AND vary > 0
+             THEN round(cov * cov / (varx * vary), 6) END AS r2
+         FROM c ORDER BY 1""",
+    "q_ship_delay_sla" ->
+      """WITH j AS (
+           SELECT o.o_orderpriority AS g,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+               CAST(l.l_shipdate AS DATE)) AS v
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         blocks AS (SELECT g, CAST(v AS BIGINT) AS v, count(*) AS cnt
+                    FROM j GROUP BY 1, 2),
+         cm AS (SELECT g, v, cnt,
+             sum(cnt) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM blocks),
+         totals AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n
+                    FROM blocks GROUP BY g),
+         thr AS (
+           SELECT cm.g,
+             min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN v END) AS p50,
+             min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN v END) AS p90,
+             min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN v END) AS p99
+           FROM cm JOIN totals ON cm.g = totals.g GROUP BY cm.g),
+         sh AS (SELECT g,
+             round(sum(CASE WHEN v > 30 THEN 1 ELSE 0 END) /
+               CAST(count(*) AS DOUBLE), 6) AS share_gt_30
+           FROM j GROUP BY g)
+         SELECT thr.g AS o_orderpriority, totals.n, thr.p50, thr.p90,
+           thr.p99, sh.share_gt_30
+         FROM thr JOIN totals ON thr.g = totals.g
+         JOIN sh ON sh.g = thr.g
+         ORDER BY 1""",
+    "basket_sequel_rules" ->
+      """WITH items AS (
+           SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS p,
+             o.o_orderdate AS d
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         pr AS (
+           SELECT DISTINCT a.cust, a.p AS pa, b.p AS pb
+           FROM items a JOIN items b ON a.cust = b.cust
+             AND a.d < b.d AND a.p <> b.p),
+         sup AS (SELECT pa, pb, count(*) AS n_customers
+                 FROM pr GROUP BY 1, 2 HAVING count(*) >= 2),
+         ca AS (SELECT p, count(*) AS n_a
+                FROM (SELECT DISTINCT cust, p FROM items) GROUP BY p)
+         SELECT s.pa AS part_a, s.pb AS part_b,
+           CAST(s.n_customers AS BIGINT) AS n_customers,
+           round(CAST(s.n_customers AS DOUBLE) / ca.n_a, 6) AS confidence
+         FROM sup s JOIN ca ON ca.p = s.pa
+         ORDER BY confidence DESC, part_a, part_b LIMIT 20""",
     "q_events_winsorized" ->
       """WITH blocks AS (
            SELECT event_type AS g,

@@ -82,4 +82,46 @@ object Basket {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Sequential (temporal) association rules across a customer's
+    * order HISTORY: part a in an earlier order → part b in a strictly
+    * later order, supported by distinct customers; confidence =
+    * customers(a→b)/customers(a) — the repeat-purchase complement of
+    * [[associationRules]]' within-basket pairs (replenishment and
+    * upgrade paths are invisible inside one basket).
+    *
+    * Scale shape: the pair join is an equi-join ON THE CUSTOMER KEY
+    * bounded by per-customer history² (not catalog²); distinct
+    * (customer, a, b) before counting keeps multi-repeat customers
+    * from inflating support. At whale-customer skew, salt the history
+    * join per [[graft.operators.Skew]]. Ranked on the rounded
+    * confidence with (a, b) tie-break. */
+  def sequentialRules(lineitem: DataFrame, orders: DataFrame,
+                      minSupport: Long = 2, topK: Int = 20): DataFrame = {
+    val items = lineitem
+      .join(orders.select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("p"),
+        col("o_orderdate").as("d"))
+      .distinct()
+    val pairs = items.alias("a")
+      .join(items.alias("b"),
+        col("a.cust") === col("b.cust") && col("a.d") < col("b.d") &&
+          col("a.p") =!= col("b.p"))
+      .select(col("a.cust").as("cust"), col("a.p").as("pa"),
+        col("b.p").as("pb"))
+      .distinct()
+      .groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("n_customers"))
+      .filter(col("n_customers") >= minSupport)
+    val custA = items.select(col("cust"), col("p")).distinct()
+      .groupBy(col("p")).agg(count(lit(1)).as("n_a"))
+    pairs.join(custA.select(col("p").as("pa"), col("n_a")), "pa")
+      .select(col("pa").as("part_a"), col("pb").as("part_b"),
+        col("n_customers"),
+        round(col("n_customers").cast("double") / col("n_a"), 6)
+          .as("confidence"))
+      .orderBy(col("confidence").desc, col("part_a"), col("part_b"))
+      .limit(topK)
+  }
 }

@@ -1027,6 +1027,60 @@ object Metrics {
         round(col("n_alloc").cast("double") / col("n_pop"), 6))
   }
 
+  /** Per-group OLS of integer series: slope, intercept, r² from EXACT
+    * integer moments (decimal accumulators) — regression as one
+    * partial agg over the scan, no solver. Both inputs must already
+    * be integers (cast exact); the five moment sums and both
+    * closed-form numerators stay in integer/decimal arithmetic, so
+    * only the final divisions are doubles and the fit replays
+    * bit-for-bit. */
+  def olsByGroup(df: DataFrame, grpCol: Column, xIntCol: Column,
+                 yIntCol: Column): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val m = df.select(grpCol.as("g"), xIntCol.cast("long").as("x"),
+        yIntCol.cast("long").as("y"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("x"))).as("sx"),
+        sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+        sum(dec(col("y")) * dec(col("y"))).as("syy"))
+    val n = dec(col("n"))
+    val cov = (n * col("sxy") - col("sx") * col("sy")).cast("double")
+    val varx = (n * col("sxx") - col("sx") * col("sx")).cast("double")
+    val vary = (n * col("syy") - col("sy") * col("sy")).cast("double")
+    val slope = cov / varx
+    m.select(col("g"), col("n"),
+      when(varx > 0, round(slope, 6)).as("slope"),
+      when(varx > 0, round(
+        (col("sy").cast("double") - slope * col("sx").cast("double")) /
+          col("n"), 6)).as("intercept"),
+      when(varx > 0 && vary > 0, round(cov * cov / (varx * vary), 6))
+        .as("r2"))
+  }
+
+  /** Exact nearest-rank percentiles per group over an INTEGER value —
+    * tie-block cumulative counts PARTITIONED BY group (never a global
+    * sort), thresholds as min value with cum ≥ ⌈q·n⌉ in pure integer
+    * arithmetic. `qs` are percents (50, 90, 99). */
+  def exactPercentilesByGroup(df: DataFrame, grpCol: Column,
+                              valueIntCol: Column,
+                              qs: Seq[Int]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 100))
+    val blocks = df.select(grpCol.as("g"), valueIntCol.cast("long").as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = blocks.withColumn("cum", sum(col("cnt")).over(w))
+    val totals = blocks.groupBy(col("g")).agg(sum(col("cnt")).as("n"))
+    val aggs = qs.map(q =>
+      min(when(col("cum") >= expr(s"(n * $q + 99) DIV 100"), col("v")))
+        .as(s"p$q"))
+    cum.join(totals, "g")
+      .groupBy(col("g"))
+      .agg(first(col("n")).as("n"), aggs: _*)
+  }
+
   /** SPRT constants for oracle interpolation — the exact literals
     * [[sprtBernoulli]] bakes into the plan. */
   def sprtConstants(p0: Double, p1: Double, alpha: Double,

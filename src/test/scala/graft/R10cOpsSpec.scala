@@ -489,6 +489,47 @@ class R10cOpsSpec extends AnyFunSuite {
     assert(out.values.sum == 10)
   }
 
+  test("olsByGroup: exact fit of a planted line") {
+    import spark.implicits._
+    import graft.operators.Metrics
+    // y = 3x + 2 exactly over x in 0..4
+    val df = (0L to 4L).map(x => ("g", x, 3 * x + 2)).toDF("g0", "x0", "y0")
+    val r = Metrics.olsByGroup(df, col("g0"), col("x0"), col("y0")).head()
+    assert(r.getLong(1) == 5)
+    assert(r.getDouble(2) == 3.0 && r.getDouble(3) == 2.0)
+    assert(r.getDouble(4) == 1.0)
+  }
+
+  test("exactPercentilesByGroup: nearest-rank thresholds") {
+    import spark.implicits._
+    import graft.operators.Metrics
+    // values 1..10: p50 = 5th = 5, p90 = 9th = 9, p99 = ceil(9.9)=10th
+    val df = (1L to 10L).map(v => ("g", v)).toDF("g0", "v0")
+    val r = Metrics.exactPercentilesByGroup(df, col("g0"), col("v0"),
+      Seq(50, 90, 99)).head()
+    assert(r.getLong(1) == 10)
+    assert(r.getLong(2) == 5 && r.getLong(3) == 9 && r.getLong(4) == 10)
+  }
+
+  test("sequentialRules: later-order pairs only, distinct customers") {
+    import spark.implicits._
+    import graft.operators.Basket
+    def d(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // cust 1: order 10 (A) on day1, order 11 (B) on day2 -> A->B
+    // cust 2: same pattern -> support 2; B->A never (no later order)
+    val orders = Seq(
+      (10L, 1L, d("2024-01-01")), (11L, 1L, d("2024-01-02")),
+      (20L, 2L, d("2024-01-01")), (21L, 2L, d("2024-01-02")))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Seq((10L, "A"), (11L, "B"), (20L, "A"), (21L, "B"))
+      .toDF("l_orderkey", "l_partkey")
+    val r = Basket.sequentialRules(li, orders, minSupport = 2, topK = 10)
+      .collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2),
+        x.getDouble(3)))
+    assert(r.toSeq == Seq(("A", "B", 2L, 1.0)))
+  }
+
   test("stationary: converges to 2/3-1/3 on the self-loop chain") {
     import spark.implicits._
     import graft.operators.Graph
