@@ -3094,6 +3094,12 @@ object SparkEntry {
       col("cov"), col("ycents"), caliper = 2)
   }
 
+  /** Cramér's V of returnflag×linestatus — is the association between
+    * the two lineitem states material, not just significant. */
+  private def qCramersV(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Metrics.cramersV(t(s, dir, "lineitem"),
+      col("l_returnflag"), col("l_linestatus"))
+
   /** Discount→quantity response per return flag: exact-integer OLS
     * (slope, intercept, r²) of quantity on discount percent — does a
     * deeper discount actually move volume. */
@@ -3871,6 +3877,7 @@ object SparkEntry {
     "q_events_did" -> (qEventsDid _),
     "q_events_winsorized" -> (qEventsWinsorized _),
     "q_discount_elasticity" -> (qDiscountElasticity _),
+    "q_cramers_v" -> (qCramersV _),
     "q_ship_delay_sla" -> (qShipDelaySla _),
     "basket_sequel_rules" -> (qBasketSequelRules _),
     "sample_neyman_alloc" -> (qSampleNeymanAlloc _),
@@ -7707,6 +7714,34 @@ object SparkEntry {
     "als_rank1" -> alsRank1Oracle,
     "als_rank2" -> alsRank2Oracle,
     "q_events_poisson_trend" -> poissonTrendOracle,
+    "q_cramers_v" ->
+      """WITH cells AS (
+           SELECT l_returnflag AS a, l_linestatus AS b, count(*) AS o
+           FROM lineitem GROUP BY 1, 2),
+         ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS na
+                FROM cells GROUP BY a),
+         cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS nb
+                FROM cells GROUP BY b),
+         nn AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+             CAST(count(DISTINCT a) AS BIGINT) AS r,
+             CAST(count(DISTINCT b) AS BIGINT) AS c
+           FROM cells),
+         terms AS (
+           SELECT cells.o, ra.na, cb.nb, nn.n, nn.r, nn.c,
+             CAST(floor((CAST(cells.o AS DOUBLE) -
+                 CAST(ra.na AS DOUBLE) * cb.nb / nn.n) *
+               (cells.o - CAST(ra.na AS DOUBLE) * cb.nb / nn.n) /
+               (CAST(ra.na AS DOUBLE) * cb.nb / nn.n) * 1e6 + 0.5)
+               AS BIGINT) AS tq
+           FROM cells JOIN ra ON cells.a = ra.a
+           JOIN cb ON cells.b = cb.b CROSS JOIN nn)
+         SELECT max(n) AS n, max(r) AS r, max(c) AS c,
+           round(sum(tq) / 1e6, 4) AS chi2,
+           CASE WHEN least(max(r), max(c)) > 1 THEN
+             round(sqrt(sum(tq) / 1e6 /
+               (CAST(max(n) AS DOUBLE) * (least(max(r), max(c)) - 1))), 6)
+           END AS cramers_v
+         FROM terms""",
     "q_discount_elasticity" ->
       """WITH b AS (
            SELECT l_returnflag AS g,

@@ -1081,6 +1081,34 @@ object Metrics {
       .agg(first(col("n")).as("n"), aggs: _*)
   }
 
+  /** Cramér's V association strength between two categorical columns:
+    * χ² over the full r×c contingency grid normalized to [0,1] —
+    * the effect-size companion to [[chiSquare]]'s significance test
+    * (a huge n makes any χ² "significant"; V says whether the
+    * association is material). Exact integer cell/margin counts; the
+    * χ² fold quantizes each cell term to a long at 1e-6 before the
+    * grid-bounded sum. */
+  def cramersV(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val cells = df.select(aCol.as("a"), bCol.as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("o"))
+    val ra = cells.groupBy(col("a")).agg(sum(col("o")).as("na"))
+    val cb = cells.groupBy(col("b")).agg(sum(col("o")).as("nb"))
+    val n = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("a")).as("r"), countDistinct(col("b")).as("c"))
+    val e = col("na").cast("double") * col("nb") / col("n")
+    val term = (col("o").cast("double") - e) * (col("o") - e) / e
+    cells.join(ra, "a").join(cb, "b").crossJoin(broadcast(n))
+      .agg(first(col("n")).as("n"), first(col("r")).as("r"),
+        first(col("c")).as("c"),
+        sum(floor(term * lit(1e6) + lit(0.5))).as("chiq"))
+      .select(col("n"), col("r"), col("c"),
+        round(col("chiq") / lit(1e6), 4).as("chi2"),
+        when(least(col("r"), col("c")) > 1,
+          round(sqrt(col("chiq") / lit(1e6) /
+            (col("n").cast("double") *
+              (least(col("r"), col("c")) - lit(1L)))), 6)).as("cramers_v"))
+  }
+
   /** SPRT constants for oracle interpolation — the exact literals
     * [[sprtBernoulli]] bakes into the plan. */
   def sprtConstants(p0: Double, p1: Double, alpha: Double,

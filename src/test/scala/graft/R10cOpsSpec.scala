@@ -530,6 +530,20 @@ class R10cOpsSpec extends AnyFunSuite {
     assert(r.toSeq == Seq(("A", "B", 2L, 1.0)))
   }
 
+  test("cramersV: perfect association scores 1, independence 0") {
+    import spark.implicits._
+    import graft.operators.Metrics
+    val perfect = Seq(("x", "p"), ("x", "p"), ("y", "q"), ("y", "q"))
+      .toDF("a0", "b0")
+    val r1 = Metrics.cramersV(perfect, col("a0"), col("b0")).head()
+    assert(r1.getLong(0) == 4 && r1.getDouble(4) == 1.0)
+    // uniform 2x2 grid: observed == expected everywhere -> chi2 = 0
+    val indep = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .toDF("a0", "b0")
+    val r2 = Metrics.cramersV(indep, col("a0"), col("b0")).head()
+    assert(r2.getDouble(3) == 0.0 && r2.getDouble(4) == 0.0)
+  }
+
   test("stationary: converges to 2/3-1/3 on the self-loop chain") {
     import spark.implicits._
     import graft.operators.Graph
