@@ -7726,15 +7726,18 @@ object SparkEntry {
              CAST(count(DISTINCT a) AS BIGINT) AS r,
              CAST(count(DISTINCT b) AS BIGINT) AS c
            FROM cells),
+         grid AS (
+           SELECT ra.a, cb.b, ra.na, cb.nb, coalesce(cells.o, 0) AS o
+           FROM ra CROSS JOIN cb
+           LEFT JOIN cells ON cells.a = ra.a AND cells.b = cb.b),
          terms AS (
-           SELECT cells.o, ra.na, cb.nb, nn.n, nn.r, nn.c,
-             CAST(floor((CAST(cells.o AS DOUBLE) -
-                 CAST(ra.na AS DOUBLE) * cb.nb / nn.n) *
-               (cells.o - CAST(ra.na AS DOUBLE) * cb.nb / nn.n) /
-               (CAST(ra.na AS DOUBLE) * cb.nb / nn.n) * 1e6 + 0.5)
+           SELECT grid.o, grid.na, grid.nb, nn.n, nn.r, nn.c,
+             CAST(floor((CAST(grid.o AS DOUBLE) -
+                 CAST(grid.na AS DOUBLE) * grid.nb / nn.n) *
+               (grid.o - CAST(grid.na AS DOUBLE) * grid.nb / nn.n) /
+               (CAST(grid.na AS DOUBLE) * grid.nb / nn.n) * 1e6 + 0.5)
                AS BIGINT) AS tq
-           FROM cells JOIN ra ON cells.a = ra.a
-           JOIN cb ON cells.b = cb.b CROSS JOIN nn)
+           FROM grid CROSS JOIN nn)
          SELECT max(n) AS n, max(r) AS r, max(c) AS c,
            round(sum(tq) / 1e6, 4) AS chi2,
            CASE WHEN least(max(r), max(c)) > 1 THEN

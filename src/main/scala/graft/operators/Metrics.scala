@@ -1095,9 +1095,16 @@ object Metrics {
     val cb = cells.groupBy(col("b")).agg(sum(col("o")).as("nb"))
     val n = cells.agg(sum(col("o")).as("n"),
       countDistinct(col("a")).as("r"), countDistinct(col("b")).as("c"))
+    // the FULL r×c grid: an empty cell still contributes (0−E)²/E —
+    // dropping it silently deflates χ² exactly on the strongly-
+    // associated tables where it matters most (caught by the
+    // perfect-association spec: V read 0.707 instead of 1)
+    val grid = ra.crossJoin(cb)
+      .join(cells, Seq("a", "b"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
     val e = col("na").cast("double") * col("nb") / col("n")
     val term = (col("o").cast("double") - e) * (col("o") - e) / e
-    cells.join(ra, "a").join(cb, "b").crossJoin(broadcast(n))
+    grid.crossJoin(broadcast(n))
       .agg(first(col("n")).as("n"), first(col("r")).as("r"),
         first(col("c")).as("c"),
         sum(floor(term * lit(1e6) + lit(0.5))).as("chiq"))
