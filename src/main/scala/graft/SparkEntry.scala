@@ -3159,6 +3159,30 @@ object SparkEntry {
         col("n_alloc"), col("sampling_fraction"))
       .orderBy(col("source"))
 
+  /** Mann–Kendall monotone-trend test per event type over daily counts
+    * — "is there a trend at all" next to Theil–Sen's "how steep". */
+  private def qEventsMannKendall(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.mannKendallTrend(t(s, dir, "events"),
+        col("event_type"), col("ts"))
+      .withColumnRenamed("k", "event_type")
+      .orderBy(col("event_type"))
+
+  /** Rolling DAU/WAU/MAU stickiness per day — the engagement-ratio
+    * card (map-side bounded fan-out, no sliding distinct window). */
+  private def qEventsStickiness(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.stickiness(t(s, dir, "events"),
+        col("user_id"), col("ts"))
+      .orderBy(col("d"))
+
+  /** Two-proportion power card per market segment: baseline
+    * positive-balance share, +10% relative MDE, per-arm n at
+    * α=0.05 / power=0.8 — "how long must this experiment run". */
+  private def qPowerAnalysis(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Metrics.powerTwoProportion(t(s, dir, "customer"),
+        col("c_mktsegment"), col("c_acctbal") > 0)
+      .withColumnRenamed("g", "c_mktsegment")
+      .orderBy(col("c_mktsegment"))
+
   /** Difference-in-differences of the parity "treatment" on per-user
     * purchase cents across the time-midpoint split — the
     * parallel-trends causal readout beside CUPED and matching. */
@@ -3881,6 +3905,9 @@ object SparkEntry {
     "q_ship_delay_sla" -> (qShipDelaySla _),
     "basket_sequel_rules" -> (qBasketSequelRules _),
     "sample_neyman_alloc" -> (qSampleNeymanAlloc _),
+    "q_events_mann_kendall" -> (qEventsMannKendall _),
+    "q_events_stickiness" -> (qEventsStickiness _),
+    "q_power_analysis" -> (qPowerAnalysis _),
     "collocations_llr" -> (qCollocationsLlr _),
     "emb_isotropy" -> (qEmbIsotropy _),
     "lr_conformal" -> (qLrConformal _),
@@ -7851,6 +7878,53 @@ object SparkEntry {
            round(CAST(sc AS DOUBLE) / n / 100.0, 4) AS mean,
            round(CAST(scw AS DOUBLE) / n / 100.0, 4) AS winsorized_mean
          FROM fin ORDER BY 1""",
+    "q_events_mann_kendall" ->
+      """WITH daily AS (
+           SELECT event_type AS k, CAST(ts AS DATE) AS d, count(*) AS c
+           FROM events GROUP BY 1, 2),
+         s AS (
+           SELECT a.k,
+             CAST(sum(CASE WHEN b.c > a.c THEN 1
+               WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS s
+           FROM daily a JOIN daily b ON a.k = b.k AND a.d < b.d
+           GROUP BY a.k),
+         ties AS (
+           SELECT k, CAST(sum(t) AS BIGINT) AS n,
+             CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tsum
+           FROM (SELECT k, c, count(*) AS t FROM daily GROUP BY k, c)
+           GROUP BY k),
+         j AS (
+           SELECT ties.k, ties.n, s.s,
+             (ties.n * (ties.n - 1) * (2 * ties.n + 5) - ties.tsum) / 18.0
+               AS var_s
+           FROM ties JOIN s ON s.k = ties.k)
+         SELECT k AS event_type, n AS n_days, s,
+           round(var_s, 4) AS var_s,
+           CASE WHEN var_s > 0 THEN
+             round(CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+               WHEN s < 0 THEN (s + 1) / sqrt(var_s) ELSE 0.0 END, 4)
+           END AS z
+         FROM j ORDER BY event_type""",
+    "q_events_stickiness" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+           FROM events),
+         days AS (SELECT DISTINCT d AS rd FROM ud),
+         fan AS (
+           SELECT u, o, d + CAST(o AS INT) AS rd
+           FROM ud CROSS JOIN (SELECT unnest(range(0, 28)) AS o)),
+         g AS (
+           SELECT f.rd,
+             count(DISTINCT CASE WHEN o = 0 THEN u END) AS dau,
+             count(DISTINCT CASE WHEN o < 7 THEN u END) AS wau,
+             count(DISTINCT u) AS mau
+           FROM fan f JOIN days ON days.rd = f.rd GROUP BY f.rd)
+         SELECT rd AS d, CAST(dau AS BIGINT) AS dau,
+           CAST(wau AS BIGINT) AS wau, CAST(mau AS BIGINT) AS mau,
+           round(CAST(dau AS DOUBLE) / wau, 4) AS dau_wau,
+           round(CAST(dau AS DOUBLE) / mau, 4) AS dau_mau
+         FROM g ORDER BY d""",
+    "q_power_analysis" -> powerAnalysisOracle,
     "sample_neyman_alloc" ->
       """WITH m AS (
            SELECT source AS h, count(*) AS nh,
@@ -9756,6 +9830,39 @@ object SparkEntry {
 
   /** Mann–Whitney U oracle (shared by `q_events_mwu` and the FDR
     * battery built on its z scores). */
+  /** Two-proportion power card oracle — the normal quantiles ride as
+    * the SAME Scala literals the engine plan bakes in (no probit in
+    * either engine), and the num² / MDE terms use explicit
+    * multiplication to match the engine's arithmetic tree. */
+  private val powerAnalysisOracle: String = {
+    val za = graft.operators.Metrics.PowerZAlpha
+    val zb = graft.operators.Metrics.PowerZBeta
+    s"""WITH b AS (
+         SELECT c_mktsegment AS g, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS conv
+         FROM customer GROUP BY 1),
+       p AS (
+         SELECT g, n, conv,
+           CAST(conv AS DOUBLE) / n AS p1,
+           least(CAST(conv AS DOUBLE) / n * CAST(1.1 AS DOUBLE),
+             CAST(0.999 AS DOUBLE)) AS p2
+         FROM b),
+       q AS (
+         SELECT g, n, conv, p1, p2,
+           CAST($za AS DOUBLE) *
+             sqrt(2.0 * ((p1 + p2) / 2.0) * (1.0 - (p1 + p2) / 2.0)) +
+           CAST($zb AS DOUBLE) *
+             sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)) AS num
+         FROM p)
+       SELECT g AS c_mktsegment, n, conv,
+         round(p1, 6) AS p1, round(p2, 6) AS p2,
+         CASE WHEN conv > 0 AND p1 < 0.999 THEN
+           CAST(ceil(num * num / ((p1 - p2) * (p1 - p2))) AS BIGINT)
+         END AS n_per_arm
+       FROM q ORDER BY c_mktsegment"""
+  }
+
   private val mwuOracle: String =
     """WITH e AS (
          SELECT event_type AS g, CAST(user_id % 2 AS INT) AS v, value AS x

@@ -1116,6 +1116,42 @@ object Metrics {
               (least(col("r"), col("c")) - lit(1L)))), 6)).as("cramers_v"))
   }
 
+  /** Experiment-design power card: per group, the baseline conversion
+    * p₁ = Σconv/n (exact integer counts), the target p₂ = p₁·(1+MDE)
+    * capped below 1, and the per-arm sample size for a two-proportion
+    * z-test at the given α/power,
+    *
+    *   n = ⌈(z_{α/2}·√(2p̄(1−p̄)) + z_β·√(p₁(1−p₁)+p₂(1−p₂)))² / (p₁−p₂)²⌉
+    *
+    * with p̄ = (p₁+p₂)/2 — the "how long must this experiment run"
+    * readout that belongs next to [[twoProportionZ]]'s verdict. The
+    * normal quantiles ride as Scala literals (the documented
+    * cross-engine libm contract: no probit in either engine), so both
+    * engines evaluate the identical arithmetic tree on exact inputs.
+    * One groupBy; everything after is per-group scalar math. */
+  def powerTwoProportion(df: DataFrame, grpCol: Column, convCol: Column,
+                         relMde: Double = 0.10, zAlpha: Double = PowerZAlpha,
+                         zBeta: Double = PowerZBeta): DataFrame = {
+    val base = df.groupBy(grpCol.as("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(convCol, 1L).otherwise(0L)).as("conv"))
+    val p1 = col("conv").cast("double") / col("n")
+    val p2 = least(p1 * lit(1.0 + relMde), lit(0.999))
+    val pbar = (p1 + p2) / 2.0
+    val num = lit(zAlpha) * sqrt(lit(2.0) * pbar * (lit(1.0) - pbar)) +
+      lit(zBeta) * sqrt(p1 * (lit(1.0) - p1) + p2 * (lit(1.0) - p2))
+    val nArm = ceil(num * num / ((p1 - p2) * (p1 - p2))).cast("long")
+    base.select(col("g"), col("n"), col("conv"),
+      round(p1, 6).as("p1"), round(p2, 6).as("p2"),
+      when(col("conv") > 0 && p1 < lit(0.999), nArm).as("n_per_arm"))
+  }
+
+  /** z_{0.975} and z_{0.80} — the published two-sided-5%/80%-power
+    * normal quantiles [[powerTwoProportion]] interpolates into both
+    * engines (neither ships a probit). */
+  val PowerZAlpha = 1.959963984540054
+  val PowerZBeta = 0.8416212335729143
+
   /** SPRT constants for oracle interpolation — the exact literals
     * [[sprtBernoulli]] bakes into the plan. */
   def sprtConstants(p0: Double, p1: Double, alpha: Double,

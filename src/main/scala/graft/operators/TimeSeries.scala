@@ -398,4 +398,76 @@ object TimeSeries {
         col("x.n_pairs").as("n_pairs"), col("x.r").as("r"))
       .where(col("n_pairs") > 0) // a lag past the series has no ACF
   }
+
+  /** Mann–Kendall trend test per key over daily event counts:
+    * S = Σ_{i<j} sign(c_j − c_i) ordered by day, tie-corrected variance
+    * Var(S) = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)] / 18 over the tie
+    * groups of the count value, and the continuity-corrected normal
+    * z = (S∓1)/√Var(S). The nonparametric companion to [[theilSen]]:
+    * Sen answers "how steep", MK answers "is there a monotone trend at
+    * all" without assuming a functional form.
+    *
+    * Scale: the pairwise self-join runs on the DAILY-COUNT frame —
+    * bounded by calendar days per key regardless of raw event volume,
+    * the same contract as the Kendall/Theil–Sen operators. S and the
+    * tie sums are exact longs; doubles appear only in the final z. */
+  def mannKendallTrend(events: DataFrame, keyCol: Column,
+                       tsCol: Column): DataFrame = {
+    val daily = events
+      .groupBy(keyCol.as("k"), to_date(tsCol).as("d"))
+      .agg(count(lit(1)).as("c"))
+    val b = daily.select(col("k").as("kb"), col("d").as("db"),
+      col("c").as("cb"))
+    val sgn = when(col("cb") > col("c"), 1L)
+      .when(col("cb") < col("c"), -1L).otherwise(0L)
+    val s = daily.join(b, col("k") === col("kb") && col("d") < col("db"))
+      .groupBy(col("k")).agg(sum(sgn).as("s"))
+    val ties = daily.groupBy(col("k"), col("c"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("k"))
+      .agg(sum(col("t")).as("n"),
+        sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5)).as("tsum"))
+    val varS = (col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5) -
+      col("tsum")).cast("double") / 18.0
+    val z = when(col("s") > 0,
+        (col("s") - 1).cast("double") / sqrt(varS))
+      .when(col("s") < 0, (col("s") + 1).cast("double") / sqrt(varS))
+      .otherwise(lit(0.0))
+    ties.join(s, Seq("k"))
+      .select(col("k"), col("n").as("n_days"), col("s"),
+        round(varS, 4).as("var_s"),
+        when(varS > 0, round(z, 4)).as("z"))
+  }
+
+  /** Rolling DAU/WAU/MAU stickiness: per day, the distinct actives that
+    * day against the trailing `weekDays`- and `monthDays`-day distinct
+    * actives, plus the dau/wau and dau/mau engagement ratios product
+    * analytics watches.
+    *
+    * Scale: one exact distinct shrinks raw events to |users|·|days|
+    * user-day rows; each then fans out MAP-SIDE to its ≤`monthDays`
+    * trailing report days (a bounded sequence explode — no range join,
+    * no BNLJ, no per-day re-scan), and one groupBy counts the three
+    * distinct-user sets. Fan-out is a constant factor, never
+    * quadratic; report days past the observed calendar are dropped by
+    * a broadcast semi-join on the bounded day frame. */
+  def stickiness(events: DataFrame, userCol: Column, tsCol: Column,
+                 weekDays: Int = 7, monthDays: Int = 28): DataFrame = {
+    val userDays = events
+      .select(userCol.as("u"), to_date(tsCol).as("d")).distinct()
+    val days = userDays.select(col("d").as("rd")).distinct()
+    val fan = userDays
+      .select(col("u"), col("d"),
+        explode(sequence(lit(0), lit(monthDays - 1))).as("o"))
+      .select(col("u"), col("o"), date_add(col("d"), col("o")).as("rd"))
+      .join(broadcast(days), Seq("rd"), "left_semi")
+    fan.groupBy(col("rd"))
+      .agg(
+        countDistinct(when(col("o") === 0, col("u"))).as("dau"),
+        countDistinct(when(col("o") < weekDays, col("u"))).as("wau"),
+        countDistinct(col("u")).as("mau"))
+      .select(col("rd").as("d"), col("dau"), col("wau"), col("mau"),
+        round(col("dau").cast("double") / col("wau"), 4).as("dau_wau"),
+        round(col("dau").cast("double") / col("mau"), 4).as("dau_mau"))
+  }
 }

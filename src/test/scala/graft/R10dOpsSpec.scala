@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round-10 session-4 additions: Mann–Kendall trend, DAU/WAU/MAU
+  * stickiness, two-proportion power card — each pinned to a
+  * hand-computed fixture. */
+class R10dOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def day(i: Int) =
+    java.sql.Timestamp.valueOf(f"2024-01-${i}%02d 12:00:00")
+
+  test("mannKendall: strictly increasing daily counts, no ties") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    // counts 1,2,3,4,5 over five days: every pair concordant, so
+    // S = C(5,2) = 10; no ties ⇒ Var = 5·4·15/18 = 16.6667;
+    // z = (10−1)/√16.6667 = 2.2045.
+    val ev = (1 to 5).flatMap(d => (1 to d).map(j =>
+      (day(d), "a", j))).toDF("ts", "k", "j")
+    val r = TimeSeries.mannKendallTrend(ev, col("k"), col("ts")).head()
+    assert(r.getLong(1) == 5 && r.getLong(2) == 10L)
+    assert(r.getDouble(3) == 16.6667)
+    assert(r.getDouble(4) == 2.2045)
+  }
+
+  test("mannKendall: tie correction and a flat series") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    // counts 2,2,2 (all tied): S = 0 and the tie term kills the
+    // variance entirely — n(n-1)(2n+5) = 3·2·11 = 66 = Σt(t-1)(2t+5)
+    // for one tie group of 3 ⇒ Var = 0 ⇒ z is NULL.
+    val ev = (1 to 3).flatMap(d => Seq(1, 2).map(j =>
+      (day(d), "flat", j))).toDF("ts", "k", "j")
+    val r = TimeSeries.mannKendallTrend(ev, col("k"), col("ts")).head()
+    assert(r.getLong(2) == 0L && r.getDouble(3) == 0.0 && r.isNullAt(4))
+  }
+
+  test("stickiness: dau/wau/mau over a hand-built user-day grid") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    // day1: users {1,2}; day2: {1}; day9: {3}. With a 7-day week and
+    // 28-day month window: day2's wau covers days 1–2 ⇒ {1,2};
+    // day9's wau covers days 3–9 ⇒ {3}, but its mau covers 1–9 ⇒ all 3.
+    val ev = Seq((1L, day(1)), (2L, day(1)), (1L, day(2)), (3L, day(9)))
+      .toDF("user_id", "ts")
+    val r = TimeSeries.stickiness(ev, col("user_id"), col("ts"))
+      .orderBy(col("d"))
+      .collect().map(x => (x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq((2L, 2L, 2L), (1L, 2L, 2L), (1L, 1L, 3L)))
+    // only OBSERVED days report — no phantom rows for days 3..8
+    assert(r.length == 3)
+  }
+
+  test("powerTwoProportion: hand-computed n at p1=0.5") {
+    import spark.implicits._
+    import graft.operators.Metrics
+    // p1 = 0.5, p2 = 0.55, pbar = 0.525:
+    // num = 1.959964·√(2·0.525·0.475) + 0.841621·√(0.25 + 0.2475)
+    //     = 1.959964·0.706222 + 0.841621·0.705337 = 1.977800
+    // n = ⌈num²/0.0025⌉ = ⌈1564.68…⌉ = 1565.
+    val df = (1 to 8).map(i => ("seg", i % 2 == 0)).toDF("g", "conv")
+    val r = Metrics.powerTwoProportion(df, col("g"), col("conv")).head()
+    assert(r.getLong(1) == 8 && r.getLong(2) == 4)
+    assert(r.getDouble(3) == 0.5 && r.getDouble(4) == 0.55)
+    assert(r.getLong(5) == 1565L)
+  }
+
+  test("powerTwoProportion: degenerate all/none conversion gives NULL n") {
+    import spark.implicits._
+    import graft.operators.Metrics
+    val df = Seq(("all", true), ("all", true), ("none", false))
+      .toDF("g", "conv")
+    val r = Metrics.powerTwoProportion(df, col("g"), col("conv"))
+      .orderBy(col("g")).collect()
+    assert(r(0).isNullAt(5) && r(1).isNullAt(5))
+  }
+}
