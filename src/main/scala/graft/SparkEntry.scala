@@ -3159,6 +3159,37 @@ object SparkEntry {
         col("n_alloc"), col("sampling_fraction"))
       .orderBy(col("source"))
 
+  /** Co-purchase part graph: parts sharing an order, kept when they
+    * co-occur in ≥2 orders — the noise floor that keeps the graph
+    * sparse at scale. Per-order baskets are bounded, so the pair
+    * explode is linear in lineitem, never quadratic in parts. */
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    items.join(items.select(col("o"), col("p").as("p2")), Seq("o"))
+      .filter(col("p") < col("p2"))
+      .groupBy(col("p").as("pa"), col("p2").as("pb"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select(col("pa"), col("pb"))
+  }
+
+  /** 3-core of the co-purchase part graph after 12 synchronous peel
+    * rounds (convergence-depth at the verified SFs) — the dense
+    * trading core that survives when weak hangers-on are stripped. */
+  private def qGraphKcore(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.kCore(coPurchaseEdges(s, dir), "pa", "pb",
+        k = 3, iters = 12)
+      .select(col("v").as("p_partkey"), col("d").as("degree"))
+      .orderBy(col("p_partkey"))
+
+  /** Top-25 predicted co-purchase links (distance-2 non-edges scored
+    * by common neighbors / Jaccard / Resource-Allocation). */
+  private def qGraphLinkPred(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.linkPrediction(coPurchaseEdges(s, dir),
+      "pa", "pb", topN = 25)
+
   /** Mann–Kendall monotone-trend test per event type over daily counts
     * — "is there a trend at all" next to Theil–Sen's "how steep". */
   private def qEventsMannKendall(s: SparkSession, dir: String): DataFrame =
@@ -3908,6 +3939,8 @@ object SparkEntry {
     "q_events_mann_kendall" -> (qEventsMannKendall _),
     "q_events_stickiness" -> (qEventsStickiness _),
     "q_power_analysis" -> (qPowerAnalysis _),
+    "graph_kcore" -> (qGraphKcore _),
+    "graph_link_pred" -> (qGraphLinkPred _),
     "collocations_llr" -> (qCollocationsLlr _),
     "emb_isotropy" -> (qEmbIsotropy _),
     "lr_conformal" -> (qLrConformal _),
@@ -7925,6 +7958,8 @@ object SparkEntry {
            round(CAST(dau AS DOUBLE) / mau, 4) AS dau_mau
          FROM g ORDER BY d""",
     "q_power_analysis" -> powerAnalysisOracle,
+    "graph_kcore" -> kcoreOracle,
+    "graph_link_pred" -> linkPredOracle,
     "sample_neyman_alloc" ->
       """WITH m AS (
            SELECT source AS h, count(*) AS nh,
@@ -9830,6 +9865,69 @@ object SparkEntry {
 
   /** Mann–Whitney U oracle (shared by `q_events_mwu` and the FDR
     * battery built on its z scores). */
+  /** Co-purchase edge CTE shared by the graph_kcore / graph_link_pred
+    * oracles — distinct (order, part) items, pairs within an order,
+    * kept at co-occurrence ≥ 2, canonical lo < hi. */
+  private val coPurchaseCte: String =
+    """items AS MATERIALIZED (
+         SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       e0 AS MATERIALIZED (
+         SELECT a.p AS lo, b.p AS hi FROM items a
+         JOIN items b ON a.o = b.o AND a.p < b.p
+         GROUP BY 1, 2 HAVING count(*) >= 2)"""
+
+  /** k-core oracle: the engine's synchronous peel unrolled as a
+    * MATERIALIZED CTE chain (the documented iterative-oracle lesson —
+    * un-materialized, DuckDB re-expands each round 4×). */
+  private val kcoreOracle: String = {
+    val (k, iters) = (3, 12)
+    val rounds = (0 until iters).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT v, count(*) AS d FROM (
+           SELECT lo AS v FROM e$i UNION ALL SELECT hi AS v FROM e$i)
+           GROUP BY v),
+         k$i AS MATERIALIZED (SELECT v FROM d$i WHERE d >= $k),
+         e${i + 1} AS MATERIALIZED (SELECT lo, hi FROM e$i
+           WHERE lo IN (SELECT v FROM k$i)
+             AND hi IN (SELECT v FROM k$i))"""
+    }.mkString(",\n")
+    s"""WITH $coPurchaseCte,
+       $rounds
+       SELECT v AS p_partkey, CAST(d AS BIGINT) AS degree FROM (
+         SELECT v, count(*) AS d FROM (
+           SELECT lo AS v FROM e$iters UNION ALL SELECT hi AS v FROM e$iters)
+         GROUP BY v)
+       ORDER BY p_partkey"""
+  }
+
+  /** Link-prediction oracle: wedges through a shared middle vertex,
+    * anti-joined against the edge set, ranked on the exact quantized
+    * Resource-Allocation sum. */
+  private val linkPredOracle: String =
+    s"""WITH $coPurchaseCte,
+       deg AS (SELECT v, count(*) AS d FROM (
+         SELECT lo AS v FROM e0 UNION ALL SELECT hi AS v FROM e0)
+         GROUP BY v),
+       adj AS (SELECT lo AS m, hi AS x FROM e0
+         UNION ALL SELECT hi AS m, lo AS x FROM e0),
+       wed AS (SELECT w1.x AS a, w2.x AS b, w1.m
+         FROM adj w1 JOIN adj w2 ON w1.m = w2.m AND w1.x < w2.x),
+       cand AS (
+         SELECT a, b, CAST(count(*) AS BIGINT) AS cn,
+           CAST(sum(CAST(floor(1e9 / deg.d + 0.5) AS BIGINT)) AS BIGINT)
+             AS raq
+         FROM wed JOIN deg ON deg.v = wed.m
+         GROUP BY a, b),
+       nonedge AS (
+         SELECT cand.* FROM cand
+         LEFT JOIN e0 ON e0.lo = cand.a AND e0.hi = cand.b
+         WHERE e0.lo IS NULL)
+       SELECT n.a, n.b, n.cn,
+         round(CAST(n.cn AS DOUBLE) / (da.d + db.d - n.cn), 6) AS jaccard,
+         round(CAST(n.raq AS DOUBLE) / 1e9, 6) AS ra
+       FROM nonedge n
+       JOIN deg da ON da.v = n.a JOIN deg db ON db.v = n.b
+       ORDER BY n.cn DESC, n.raq DESC, n.a, n.b LIMIT 25"""
+
   /** Two-proportion power card oracle — the normal quantiles ride as
     * the SAME Scala literals the engine plan bakes in (no probit in
     * either engine), and the num² / MDE terms use explicit

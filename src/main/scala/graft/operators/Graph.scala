@@ -250,4 +250,87 @@ object Graph {
           lit(3.0) * col("n_triangles") / col("n_wedges"))
           .otherwise(lit(0.0)), 4).as("clustering_coeff"))
   }
+
+  private def undirectedDegrees(e: DataFrame): DataFrame =
+    e.select(col("lo").as("v"))
+      .unionAll(e.select(col("hi").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+
+  /** k-core by synchronous peeling: `iters` rounds of "drop every
+    * vertex with degree < k, keep edges between survivors", then the
+    * surviving vertices with their core degree. The contract is
+    * exactly-`iters` synchronous rounds — rounds past convergence are
+    * no-ops, so the result replays in SQL as an unrolled CTE chain
+    * (Seidman 1983's cores, Batagelj–Zaveršnik peeling made
+    * bulk-synchronous for a distributed engine).
+    *
+    * Scale: each round is one degree aggregation + two semi-joins on
+    * the monotonically SHRINKING edge frame — all equi-plans; lineage
+    * is cut per round with a lazy localCheckpoint (the Catalyst
+    * version of the MATERIALIZED-CTE lesson: un-cut, every round
+    * re-expands the previous round's tree into each of its two
+    * semi-join probes and the plan grows 4×/round). */
+  def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
+            iters: Int): DataFrame = {
+    var canon = edges
+      .select(least(col(aCol), col(bCol)).as("lo"),
+        greatest(col(aCol), col(bCol)).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct()
+    for (_ <- 1 to iters) {
+      val keep = undirectedDegrees(canon).filter(col("d") >= k)
+        .select(col("v"))
+      canon = canon
+        .join(keep.withColumnRenamed("v", "lo"), Seq("lo"), "left_semi")
+        .join(keep.withColumnRenamed("v", "hi"), Seq("hi"), "left_semi")
+        .select(col("lo"), col("hi"))
+        .localCheckpoint(false)
+    }
+    undirectedDegrees(canon)
+  }
+
+  /** Link prediction over an undirected graph: for every non-adjacent
+    * pair at distance 2 — common-neighbor count, Jaccard
+    * CN/(d_a+d_b−CN), and the Resource-Allocation index Σ_w 1/deg(w)
+    * (Zhou–Lü–Zhang, EPJ B 2009). RA is the log-free cousin of
+    * Adamic–Adar, chosen deliberately: 1/d is ONE correctly-rounded
+    * IEEE division in any engine, while ln(d) is libm-dependent —
+    * the documented cross-engine contract. Each RA term quantizes to
+    * a long at 1e-9 before the sum, so partial-agg order can't move
+    * the result. Returns the global top `topN` by
+    * (cn, ra, a, b) — a deterministic total order, TakeOrdered shape.
+    *
+    * Scale: the wedge self-join is bounded by Σ deg² (same contract
+    * as [[triangleStats]]); existing edges leave via one anti-join. */
+  def linkPrediction(edges: DataFrame, aCol: String, bCol: String,
+                     topN: Int): DataFrame = {
+    val canon = edges
+      .select(least(col(aCol), col(bCol)).as("lo"),
+        greatest(col(aCol), col(bCol)).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct()
+    val deg = undirectedDegrees(canon)
+    val adj = canon.select(col("lo").as("m"), col("hi").as("x"))
+      .unionAll(canon.select(col("hi").as("m"), col("lo").as("x")))
+    val wedges = adj.select(col("m"), col("x").as("a"))
+      .join(adj.select(col("m"), col("x").as("b")), Seq("m"))
+      .filter(col("a") < col("b"))
+    val cand = wedges
+      .join(deg.select(col("v").as("m"), col("d").as("dm")), Seq("m"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cn"),
+        sum(floor(lit(1e9) / col("dm") + lit(0.5)).cast("long")).as("raq"))
+      .join(canon.select(col("lo").as("a"), col("hi").as("b")),
+        Seq("a", "b"), "left_anti")
+    cand
+      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+      // rank on the EXACT quantized raq, not its 6-dp readout — two
+      // sums rounding to the same display value must still cut the
+      // top-N boundary deterministically
+      .orderBy(col("cn").desc, col("raq").desc, col("a"), col("b"))
+      .limit(topN)
+      .select(col("a"), col("b"), col("cn"),
+        round(col("cn").cast("double") /
+          (col("da") + col("db") - col("cn")), 6).as("jaccard"),
+        round(col("raq").cast("double") / lit(1e9), 6).as("ra"))
+  }
 }

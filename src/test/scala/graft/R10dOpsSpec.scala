@@ -74,6 +74,37 @@ class R10dOpsSpec extends AnyFunSuite {
     assert(r.getLong(5) == 1565L)
   }
 
+  test("kCore: pendant peels, cascade empties a path") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // triangle a-b-c plus pendant d on a: at k=2, round 1 drops d
+    // (degree 1); the triangle keeps degree 2 everywhere and survives.
+    val tri = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("a", "d"))
+      .toDF("x", "y")
+    val r = Graph.kCore(tri, "x", "y", k = 2, iters = 3)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r == Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+    // path a-b-c-d at k=2: the ends peel, then the middle — the
+    // cascade needs MULTIPLE rounds and ends empty.
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("x", "y")
+    assert(Graph.kCore(path, "x", "y", k = 2, iters = 3).count() == 0)
+  }
+
+  test("linkPrediction: square graph scores its two diagonals") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // 4-cycle a-b-c-d: the only distance-2 non-edges are the diagonals
+    // (a,c) and (b,d), each with CN {the other two} = 2, all degrees 2
+    // ⇒ jaccard = 2/(2+2−2) = 1.0 and RA = 1/2 + 1/2 = 1.0.
+    val sq = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "d"))
+      .toDF("x", "y")
+    val r = Graph.linkPrediction(sq, "x", "y", topN = 10).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2),
+        x.getDouble(3), x.getDouble(4)))
+    assert(r.toSeq == Seq(("a", "c", 2L, 1.0, 1.0),
+      ("b", "d", 2L, 1.0, 1.0)))
+  }
+
   test("powerTwoProportion: degenerate all/none conversion gives NULL n") {
     import spark.implicits._
     import graft.operators.Metrics
