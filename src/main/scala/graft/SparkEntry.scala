@@ -3159,6 +3159,40 @@ object SparkEntry {
         col("n_alloc"), col("sampling_fraction"))
       .orderBy(col("source"))
 
+  /** t-closeness over the same release framing as q_k_anonymity —
+    * per (nation, segment) class, EMD of its balance-bucket mix vs the
+    * global mix; the worst class is the table's t. */
+  private def qTCloseness(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Pii.tCloseness(
+      t(s, dir, "customer")
+        .withColumn("bal_bucket", floor(col("c_acctbal") / 1000)),
+      Seq("c_nationkey", "c_mktsegment"), "bal_bucket")
+
+  /** Functional-dependency audit over four candidate FDs — two that
+    * hold by schema (nation→region, partkey→brand) and two that don't
+    * (nation→segment, customer→priority), exact verdicts each. */
+  private def qDqFunctionalDeps(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DataQuality.{FdSpec, fdAudit}
+    fdAudit(Seq(
+      FdSpec("nation.n_nationkey->n_regionkey", t(s, dir, "nation"),
+        Seq("n_nationkey"), "n_regionkey"),
+      FdSpec("part.p_partkey->p_brand", t(s, dir, "part"),
+        Seq("p_partkey"), "p_brand"),
+      FdSpec("customer.c_nationkey->c_mktsegment", t(s, dir, "customer"),
+        Seq("c_nationkey"), "c_mktsegment"),
+      FdSpec("orders.o_custkey->o_orderpriority", t(s, dir, "orders"),
+        Seq("o_custkey"), "o_orderpriority")))
+      .orderBy(col("fd"))
+  }
+
+  /** Lexical-diversity card per source: token/type mass, TTR, hapax
+    * share, Yule's K — the size-robust repetitiveness readout. */
+  private def qLexicalDiversity(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.lexicalDiversity(
+        t(s, dir, "documents"), "text", col("source"))
+      .withColumnRenamed("g", "source")
+      .orderBy(col("source"))
+
   /** Co-purchase part graph: parts sharing an order, kept when they
     * co-occur in ≥2 orders — the noise floor that keeps the graph
     * sparse at scale. Per-order baskets are bounded, so the pair
@@ -3941,6 +3975,9 @@ object SparkEntry {
     "q_power_analysis" -> (qPowerAnalysis _),
     "graph_kcore" -> (qGraphKcore _),
     "graph_link_pred" -> (qGraphLinkPred _),
+    "q_t_closeness" -> (qTCloseness _),
+    "dq_functional_deps" -> (qDqFunctionalDeps _),
+    "lexical_diversity" -> (qLexicalDiversity _),
     "collocations_llr" -> (qCollocationsLlr _),
     "emb_isotropy" -> (qEmbIsotropy _),
     "lr_conformal" -> (qLrConformal _),
@@ -7960,6 +7997,63 @@ object SparkEntry {
     "q_power_analysis" -> powerAnalysisOracle,
     "graph_kcore" -> kcoreOracle,
     "graph_link_pred" -> linkPredOracle,
+    "q_t_closeness" ->
+      """WITH base AS (
+           SELECT c_nationkey AS q1, c_mktsegment AS q2,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS v
+           FROM customer),
+         cell AS (SELECT q1, q2, v, count(*) AS c FROM base GROUP BY 1, 2, 3),
+         cls AS (SELECT q1, q2, CAST(sum(c) AS BIGINT) AS nc
+                 FROM cell GROUP BY 1, 2),
+         vals AS (SELECT v, CAST(sum(c) AS BIGINT) AS gv FROM cell GROUP BY 1),
+         tot AS (SELECT CAST(sum(gv) AS BIGINT) AS nn,
+                   CAST(count(*) AS BIGINT) AS m FROM vals),
+         grid AS (
+           SELECT cls.q1, cls.q2, cls.nc, vals.v, vals.gv,
+             coalesce(cell.c, 0) AS c, tot.nn, tot.m
+           FROM cls CROSS JOIN vals
+           LEFT JOIN cell ON cell.q1 = cls.q1 AND cell.q2 = cls.q2
+             AND cell.v = vals.v
+           CROSS JOIN tot),
+         cum AS (
+           SELECT q1, q2, nc, nn, m,
+             sum(CAST(c AS HUGEINT) * nn - CAST(gv AS HUGEINT) * nc)
+               OVER (PARTITION BY q1, q2 ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cu
+           FROM grid),
+         pc AS (
+           SELECT q1, q2,
+             CASE WHEN max(m) > 1 THEN
+               CAST(floor(CAST(sum(abs(cu)) AS DOUBLE) /
+                 (CAST(max(nc) AS DOUBLE) * max(nn) * (max(m) - 1)) *
+                 1e9 + 0.5) AS BIGINT)
+             ELSE 0 END AS emdq
+           FROM cum GROUP BY q1, q2)
+         SELECT CAST(count(*) AS BIGINT) AS n_classes,
+           (SELECT m FROM tot) AS n_values,
+           round(CAST(max(emdq) AS DOUBLE) / 1e9, 6) AS t_closeness,
+           round(CAST(sum(emdq) AS DOUBLE) / 1e9 / count(*), 6) AS avg_emd
+         FROM pc""",
+    "dq_functional_deps" -> fdAuditOracle,
+    "lexical_diversity" ->
+      """WITH toks AS (
+           SELECT source AS g, unnest(list_filter(
+             regexp_split_to_array(trim(lower(text)), '\s+'),
+             x -> len(x) > 0)) AS tok
+           FROM documents),
+         tc AS (SELECT g, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+         m AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax,
+             sum(CAST(c AS HUGEINT) * c) AS sc2
+           FROM tc GROUP BY g)
+         SELECT g AS source, n_tokens, n_types, n_hapax,
+           round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+           round(CAST(n_hapax AS DOUBLE) / n_types, 6) AS hapax_share,
+           round(1e4 * (CAST(sc2 AS DOUBLE) - n_tokens) /
+             (CAST(n_tokens AS DOUBLE) * n_tokens), 4) AS yule_k
+         FROM m ORDER BY source""",
     "sample_neyman_alloc" ->
       """WITH m AS (
            SELECT source AS h, count(*) AS nh,
@@ -9865,6 +9959,32 @@ object SparkEntry {
 
   /** Mann–Whitney U oracle (shared by `q_events_mwu` and the FDR
     * battery built on its z scores). */
+  /** Functional-dependency audit oracle — one block per candidate FD,
+    * unioned, mirroring the engine's (lhs,rhs)-pair → lhs-group →
+    * 1-row fold. */
+  private val fdAuditOracle: String = {
+    def block(name: String, table: String, l: String, r: String) =
+      s"""SELECT '$name' AS fd,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating,
+           CAST(sum(CASE WHEN nv > 1 THEN sz ELSE 0 END) AS BIGINT)
+             AS n_rows_violating,
+           CAST(max(nv) AS BIGINT) AS max_rhs_values,
+           max(nv) = 1 AS fd_holds
+         FROM (SELECT l, count(DISTINCT r) AS nv, count(*) AS sz
+               FROM (SELECT $l AS l, $r AS r FROM $table) GROUP BY l)"""
+    Seq(
+      block("nation.n_nationkey->n_regionkey", "nation",
+        "n_nationkey", "n_regionkey"),
+      block("part.p_partkey->p_brand", "part", "p_partkey", "p_brand"),
+      block("customer.c_nationkey->c_mktsegment", "customer",
+        "c_nationkey", "c_mktsegment"),
+      block("orders.o_custkey->o_orderpriority", "orders",
+        "o_custkey", "o_orderpriority"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY fd")
+  }
+
   /** Co-purchase edge CTE shared by the graph_kcore / graph_link_pred
     * oracles — distinct (order, part) items, pairs within an order,
     * kept at co-occurrence ≥ 2, canonical lo < hi. */

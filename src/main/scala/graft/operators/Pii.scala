@@ -69,4 +69,54 @@ object Pii {
       min(col("ldiv")).as("l_diversity"),
       round(avg(col("sz")), 4).as("avg_class_size"))
   }
+
+  /** t-closeness audit (Li–Li–Venkatasubramanian, ICDE 2007) — the
+    * third leg of the release-table privacy trio: per equivalence
+    * class, the Earth-Mover's Distance between the class's
+    * sensitive-value distribution and the GLOBAL one over the ordered
+    * value domain, EMD = Σ_v |cum(p_cls − p_glob)| / (m−1); the table's
+    * t is the worst class. k-anonymity says classes are big,
+    * l-diversity says they hold several values — t-closeness says their
+    * MIX doesn't leak (a class can pass both and still be 95% one
+    * salary bucket).
+    *
+    * Exactness: the per-value difference multiplies through by n_c·N to
+    * the integer d = c_cv·N − g_v·n_c (decimal(38,0) — the product
+    * passes 2^63 at ~3·10⁹ rows); cumulative sums and |·| stay integer,
+    * ONE division per class at the end. Grid = classes × value domain
+    * (both bounded by construction), value margins broadcast. */
+  def tCloseness(df: DataFrame, quasiIds: Seq[String],
+                 sensitive: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qi = quasiIds.map(col)
+    val cell = df.groupBy(qi :+ col(sensitive).as("v"): _*)
+      .agg(count(lit(1)).as("c"))
+    val cls = cell.groupBy(qi: _*).agg(sum(col("c")).as("nc"))
+    val vals = cell.groupBy(col("v")).agg(sum(col("c")).as("gv"))
+    val tot = vals.agg(sum(col("gv")).as("nn"),
+      count(lit(1)).as("m"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val grid = cls.crossJoin(broadcast(vals))
+      .join(cell, quasiIds :+ "v", "left")
+      .na.fill(0L, Seq("c"))
+      .crossJoin(broadcast(tot))
+      .withColumn("d", dec(col("c")) * col("nn") - dec(col("gv")) * col("nc"))
+      .withColumn("cum", sum(col("d")).over(
+        Window.partitionBy(qi: _*).orderBy(col("v"))))
+    val perClass = grid.groupBy(qi: _*)
+      .agg(first(col("nc")).as("nc"), first(col("nn")).as("nn"),
+        first(col("m")).as("m"), sum(abs(col("cum"))).as("numer"))
+      // per-class EMD quantized to a long at 1e-9 BEFORE the fold —
+      // max is order-invariant but the avg's double sum is not
+      .withColumn("emdq", when(col("m") > 1,
+        floor(col("numer").cast("double") /
+          (col("nc").cast("double") * col("nn") * (col("m") - 1)) *
+          lit(1e9) + lit(0.5)).cast("long"))
+        .otherwise(lit(0L)))
+    perClass.agg(count(lit(1)).as("n_classes"),
+      first(col("m")).as("n_values"),
+      round(max(col("emdq")).cast("double") / lit(1e9), 6).as("t_closeness"),
+      round(sum(col("emdq")).cast("double") / lit(1e9) / count(lit(1)), 6)
+        .as("avg_emd"))
+  }
 }

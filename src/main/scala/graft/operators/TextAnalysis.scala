@@ -1136,4 +1136,32 @@ object TextAnalysis {
       .select(col("n_vocab"), round(slope, 4).as("zipf_slope"),
         round((col("sy") - slope * col("sx")) / col("n"), 4).as("intercept"))
   }
+
+  /** Lexical-diversity card per group: token mass N, type count V,
+    * type–token ratio V/N, hapax share V₁/V, and Yule's K
+    * = 10⁴·(Σ_t c_t² − N)/N² (Yule 1944) — the repeat-rate measure
+    * that, unlike raw TTR, barely moves with corpus size, so it
+    * compares sources of different volume honestly. Low K ⇒ varied
+    * vocabulary; high K ⇒ repetitive/templated text.
+    *
+    * Same whitespace-token contract as the vocab battery. Two hash
+    * groupBys (corpus → (g, token) counts → per-g moments); Σc² rides
+    * decimal(38,0) (a 10⁹-count token alone passes 2^63). */
+  def lexicalDiversity(df: DataFrame, textCol: String,
+                       grpCol: Column): DataFrame = {
+    val tc = df.select(grpCol.as("g"),
+        explode(tokens(lower(col(textCol)))).as("tok"))
+      .groupBy(col("g"), col("tok")).agg(count(lit(1)).as("c"))
+    val m = tc.groupBy(col("g"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("sc2"))
+    m.select(col("g"), col("n_tokens"), col("n_types"), col("n_hapax"),
+      round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
+      round(col("n_hapax").cast("double") / col("n_types"), 6)
+        .as("hapax_share"),
+      round(lit(1e4) * (col("sc2").cast("double") - col("n_tokens")) /
+        (col("n_tokens").cast("double") * col("n_tokens")), 4).as("yule_k"))
+  }
 }

@@ -105,6 +105,48 @@ class R10dOpsSpec extends AnyFunSuite {
       ("b", "d", 2L, 1.0, 1.0)))
   }
 
+  test("tCloseness: mirrored 75/25 classes give EMD exactly 0.25") {
+    import spark.implicits._
+    import graft.operators.Pii
+    // class A is 3×v0+1×v1, class B the mirror; global mix is 50/50.
+    // For m=2: EMD = |p_cls(0) − 0.5| = 0.25 in both classes.
+    val df = (Seq.fill(3)(("A", 0)) ++ Seq(("A", 1)) ++
+      Seq(("B", 0)) ++ Seq.fill(3)(("B", 1))).toDF("cls", "v")
+    val r = Pii.tCloseness(df, Seq("cls"), "v").head()
+    assert(r.getLong(0) == 2 && r.getLong(1) == 2)
+    assert(r.getDouble(2) == 0.25 && r.getDouble(3) == 0.25)
+    // identical mixes ⇒ t = 0 even though the values differ per row
+    val same = Seq(("A", 0), ("A", 1), ("B", 0), ("B", 1)).toDF("cls", "v")
+    assert(Pii.tCloseness(same, Seq("cls"), "v").head().getDouble(2) == 0.0)
+  }
+
+  test("fdAudit: violating and holding FDs get exact verdicts") {
+    import spark.implicits._
+    import graft.operators.DataQuality.{FdSpec, fdAudit}
+    val df = Seq(("a", 1), ("a", 1), ("b", 1), ("b", 2)).toDF("l", "r")
+    val rows = fdAudit(Seq(
+      FdSpec("l->r", df, Seq("l"), "r"),
+      FdSpec("r->l", df, Seq("r"), "l"))).orderBy(col("fd")).collect()
+    val lr = rows(0)
+    assert(lr.getString(0) == "l->r" && lr.getLong(1) == 2 &&
+      lr.getLong(2) == 1 && lr.getLong(3) == 2 && lr.getLong(4) == 2 &&
+      !lr.getBoolean(5))
+    // r=1 maps to {a,b}, r=2 maps to {b}: also violated, 3 rows inside
+    val rl = rows(1)
+    assert(rl.getLong(2) == 1 && rl.getLong(3) == 3 && !rl.getBoolean(5))
+  }
+
+  test("lexicalDiversity: Yule's K on a 3-token fixture") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // "a a b": N=3, V=2, hapax=1, Σc² = 4+1 ⇒ K = 1e4·(5−3)/9 = 2222.2222
+    val df = Seq(("g", "a a b")).toDF("src", "text")
+    val r = TextAnalysis.lexicalDiversity(df, "text", col("src")).head()
+    assert(r.getLong(1) == 3 && r.getLong(2) == 2 && r.getLong(3) == 1)
+    assert(r.getDouble(4) == 0.666667 && r.getDouble(5) == 0.5)
+    assert(r.getDouble(6) == 2222.2222)
+  }
+
   test("powerTwoProportion: degenerate all/none conversion gives NULL n") {
     import spark.implicits._
     import graft.operators.Metrics
