@@ -3159,6 +3159,42 @@ object SparkEntry {
         col("n_alloc"), col("sampling_fraction"))
       .orderBy(col("source"))
 
+  /** MAP@5 ranker eval over the same BM25-vs-id-order framing as
+    * retrieval_ndcg — AP punishes every late relevant hit. */
+  private def qRetrievalMap(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Retrieval
+    val docs = t(s, dir, "documents")
+    val rels = Retrieval.gradedRels(docs, "text", "doc_id", bm25QueryDf(s))
+    val bm25 = Retrieval.bm25TopK(docs, "text", "doc_id",
+        bm25QueryDf(s), k = 5)
+      .withColumnRenamed("doc_id", "id")
+    val wId = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("id"))
+    val naive = rels.withColumn("rank", row_number().over(wId))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("id"))
+    Retrieval.evalMap(bm25, rels, 5).withColumn("ranker", lit("bm25"))
+      .unionByName(Retrieval.evalMap(naive, rels, 5)
+        .withColumn("ranker", lit("id_order")))
+      .select(col("ranker"), col("query_id"), col("n_rel_topk"),
+        col("n_rel_total"), col("ap"))
+      .orderBy(col("ranker"), col("query_id"))
+  }
+
+  /** Davies–Bouldin over the deterministic k-means cells — the
+    * compactness/separation partner to cluster_silhouette. */
+  private def qEmbDaviesBouldin(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.daviesBouldin(
+      t(s, dir, "embeddings"), "embedding", "vec_id", k = 8, iters = 2)
+
+  /** EWMA control chart per event type over daily counts — alarm
+    * count, first alarm index, final smoothed level vs ±3σ limits. */
+  private def qEventsEwma(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.ewmaControl(t(s, dir, "events"),
+        col("event_type"), col("ts"))
+      .withColumnRenamed("k", "event_type")
+      .orderBy(col("event_type"))
+
   /** t-closeness over the same release framing as q_k_anonymity —
     * per (nation, segment) class, EMD of its balance-bucket mix vs the
     * global mix; the worst class is the table's t. */
@@ -3978,6 +4014,9 @@ object SparkEntry {
     "q_t_closeness" -> (qTCloseness _),
     "dq_functional_deps" -> (qDqFunctionalDeps _),
     "lexical_diversity" -> (qLexicalDiversity _),
+    "retrieval_map" -> (qRetrievalMap _),
+    "emb_davies_bouldin" -> (qEmbDaviesBouldin _),
+    "q_events_ewma" -> (qEventsEwma _),
     "collocations_llr" -> (qCollocationsLlr _),
     "emb_isotropy" -> (qEmbIsotropy _),
     "lr_conformal" -> (qLrConformal _),
@@ -5059,17 +5098,14 @@ object SparkEntry {
     * quantized DCG folds — with the log2 rank discounts interpolated
     * from [[graft.operators.Retrieval.ndcgDiscounts]] as literals, since
     * libm log2 is not bit-identical across engines. */
-  private def retrievalNdcgOracle: String = {
+  /** Shared qt→res CTE chain for the ranker-eval oracles
+    * (retrieval_ndcg / retrieval_map): BM25 top-5 replay, graded
+    * term-containment relevance, the naive id-order baseline, unioned
+    * into one (ranker, query_id, rank, id, rel) top-k frame. */
+  private def retrievalResCtes: String = {
     val vals = bm25QueryTerms.map { case (q, term) => s"('$q','$term')" }
       .mkString(", ")
-    val disc = graft.operators.Retrieval.ndcgDiscounts(5)
-    def discSql(rc: String) = "CASE " + disc.zipWithIndex
-      .map { case (d, i) => s"WHEN $rc = ${i + 1} THEN $d" }
-      .mkString(" ") + " END"
-    def contribSql(relc: String, rankc: String) =
-      s"""CAST(floor(CAST((1 << $relc) - 1 AS DOUBLE) /
-         (${discSql(rankc)}) * 1e12 + 0.5) AS BIGINT)"""
-    s"""WITH qt(query_id, term) AS (VALUES $vals),
+    s"""qt(query_id, term) AS (VALUES $vals),
         d AS (
           SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
             x -> len(x) > 0) AS t
@@ -5118,7 +5154,18 @@ object SparkEntry {
             coalesce(rel, 0) AS rel
           FROM naive n
           LEFT JOIN rels ON n.query_id = rels.query_id AND n.id = rels.id
-          WHERE n.rank <= 5),
+          WHERE n.rank <= 5)"""
+  }
+
+  private def retrievalNdcgOracle: String = {
+    val disc = graft.operators.Retrieval.ndcgDiscounts(5)
+    def discSql(rc: String) = "CASE " + disc.zipWithIndex
+      .map { case (d, i) => s"WHEN $rc = ${i + 1} THEN $d" }
+      .mkString(" ") + " END"
+    def contribSql(relc: String, rankc: String) =
+      s"""CAST(floor(CAST((1 << $relc) - 1 AS DOUBLE) /
+         (${discSql(rankc)}) * 1e12 + 0.5) AS BIGINT)"""
+    s"""WITH $retrievalResCtes,
         got AS (
           SELECT ranker, query_id, sum(${contribSql("rel", "rank")}) AS dcg_q,
             min(CASE WHEN rel > 0 THEN rank END) AS first_rel,
@@ -5142,6 +5189,125 @@ object SparkEntry {
         FROM got g LEFT JOIN ideal USING (query_id)
         ORDER BY ranker, query_id"""
   }
+
+  /** MAP oracle: the same qt→res frame, per-position precision terms
+    * quantized at 1e-12, AP = Σterms / min(R, k). */
+  private def retrievalMapOracle: String =
+    s"""WITH $retrievalResCtes,
+        cum AS (
+          SELECT ranker, query_id, rank,
+            CASE WHEN rel > 0 THEN 1 ELSE 0 END AS rel01,
+            sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) OVER (
+              PARTITION BY ranker, query_id ORDER BY rank
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM res),
+        gotm AS (
+          SELECT ranker, query_id,
+            CAST(sum(CASE WHEN rel01 = 1 THEN
+              CAST(floor(CAST(cum AS DOUBLE) / rank * 1e12 + 0.5)
+                AS BIGINT) ELSE 0 END) AS BIGINT) AS tsum,
+            CAST(sum(rel01) AS BIGINT) AS n_rel_topk
+          FROM cum GROUP BY 1, 2),
+        tots AS (
+          SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel_total
+          FROM rels WHERE rel > 0 GROUP BY 1)
+        SELECT ranker, g.query_id, n_rel_topk,
+          coalesce(n_rel_total, 0) AS n_rel_total,
+          CASE WHEN coalesce(n_rel_total, 0) > 0 THEN
+            round(CAST(tsum AS DOUBLE) / 1e12 /
+              least(n_rel_total, 5), 6)
+          END AS ap
+        FROM gotm g LEFT JOIN tots ON tots.query_id = g.query_id
+        ORDER BY ranker, g.query_id"""
+
+  /** EWMA control-chart oracle: exact integer μ/σ moments + the
+    * recursive z/w/alarm fold, every constant interpolated from the
+    * SAME Scala doubles the engine plan bakes in. */
+  private def ewmaOracle: String = {
+    val lambda = 0.2; val l = 3.0
+    def d(x: Double) = s"CAST($x AS DOUBLE)"
+    val lam = d(lambda); val nl = d(1.0 - lambda)
+    val w2 = d((1.0 - lambda) * (1.0 - lambda))
+    val f = d(lambda / (2.0 - lambda))
+    def limit(w: String) = s"${d(l)} * m.sigma * sqrt($f * (1.0 - $w))"
+    val z1 = s"$lam * x.x + $nl * e.z"
+    s"""WITH RECURSIVE daily AS (
+         SELECT event_type AS k, CAST(ts AS DATE) AS d, count(*) AS c
+         FROM events GROUP BY 1, 2),
+       seqd AS MATERIALIZED (
+         SELECT k, CAST(c AS DOUBLE) AS x,
+           row_number() OVER (PARTITION BY k ORDER BY d) AS i
+         FROM daily),
+       st AS (
+         SELECT k, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(c) AS BIGINT) AS s1, CAST(sum(c * c) AS BIGINT) AS s2
+         FROM daily GROUP BY k),
+       ms AS (
+         SELECT k, n_days, CAST(s1 AS DOUBLE) / n_days AS mu,
+           sqrt(greatest(CAST(s2 AS DOUBLE) / n_days -
+             (CAST(s1 AS DOUBLE) / n_days) * (CAST(s1 AS DOUBLE) / n_days),
+             0.0)) AS sigma
+         FROM st),
+       ew AS (
+         SELECT x.k, 1 AS i, x.x AS z, $w2 AS w,
+           CASE WHEN abs(x.x - m.mu) > ${limit(w2)}
+             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS na,
+           CASE WHEN abs(x.x - m.mu) > ${limit(w2)} THEN 1 END AS fa
+         FROM seqd x JOIN ms m ON m.k = x.k WHERE x.i = 1
+         UNION ALL
+         SELECT e.k, e.i + 1, $z1, e.w * $w2,
+           e.na + CASE WHEN abs(($z1) - m.mu) > ${limit(s"e.w * $w2")}
+             THEN 1 ELSE 0 END,
+           coalesce(e.fa,
+             CASE WHEN abs(($z1) - m.mu) > ${limit(s"e.w * $w2")}
+               THEN e.i + 1 END)
+         FROM ew e
+         JOIN seqd x ON x.k = e.k AND x.i = e.i + 1
+         JOIN ms m ON m.k = e.k),
+       fin AS (
+         SELECT e.* FROM ew e JOIN ms ON ms.k = e.k AND e.i = ms.n_days)
+       SELECT ms.k AS event_type, ms.n_days,
+         round(ms.mu, 4) AS mean, round(ms.sigma, 4) AS sigma,
+         round(f.z, 4) AS ewma_final, CAST(f.na AS BIGINT) AS n_alarms,
+         CAST(f.fa AS INT) AS first_alarm_i
+       FROM ms LEFT JOIN fin f ON f.k = ms.k ORDER BY 1"""
+  }
+
+  /** Davies–Bouldin oracle: det-k-means replay, rank-1 assignment
+    * distances quantized at 1e-9 per cell, centroid pair separations
+    * from the final centroid CTE, R_i = max ratio, index = mean. */
+  private def daviesBouldinOracle: String =
+    s"""WITH ${detKmeansCtes(dim = 64, k = 8, iters = 2, where = "")},
+        r1 AS (SELECT vec_id, cell, s FROM (
+            SELECT vec_id, cell, s, row_number() OVER
+              (PARTITION BY vec_id ORDER BY s, cell) AS rk FROM sf)
+          WHERE rk = 1),
+        dd AS (SELECT r1.cell,
+            sqrt(greatest(list_dot_product(e.v, e.v) + r1.s, 0.0)) AS d
+          FROM r1 JOIN e USING (vec_id)),
+        pc AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+            CAST(sum(CAST(floor(d * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS sd
+          FROM dd GROUP BY cell),
+        sc AS (SELECT cell, n_vecs,
+            CAST(sd AS DOUBLE) / 1e9 / n_vecs AS scatter FROM pc),
+        cd AS (SELECT a.cell AS ci, b.cell AS cj,
+            sqrt(greatest(list_dot_product(a.cv, a.cv) +
+              list_dot_product(b.cv, b.cv) -
+              2.0 * list_dot_product(a.cv, b.cv), 0.0)) AS m
+          FROM c2 a JOIN c2 b ON a.cell <> b.cell),
+        rt AS (SELECT si.cell, si.n_vecs, si.scatter,
+            CAST(floor(max((si.scatter + sj.scatter) / cd.m) * 1e9 + 0.5)
+              AS BIGINT) AS rq
+          FROM sc si JOIN cd ON cd.ci = si.cell
+          JOIN sc sj ON sj.cell = cd.cj
+          GROUP BY si.cell, si.n_vecs, si.scatter),
+        tot AS (SELECT round(CAST(sum(rq) AS DOUBLE) / 1e9 / count(*), 6)
+            AS db_index FROM rt)
+        SELECT CAST(cell AS INT) AS cell, n_vecs,
+          round(scatter, 6) AS scatter,
+          round(CAST(rq AS DOUBLE) / 1e9, 6) AS r_i,
+          (SELECT db_index FROM tot) AS db_index
+        FROM rt ORDER BY cell"""
 
   /** Poisson-bootstrap oracle: replays the splitmix64 draw per
     * (unit, replicate), the SAME integer Poisson(1) CDF thresholds the
@@ -8035,6 +8201,9 @@ object SparkEntry {
            round(CAST(sum(emdq) AS DOUBLE) / 1e9 / count(*), 6) AS avg_emd
          FROM pc""",
     "dq_functional_deps" -> fdAuditOracle,
+    "retrieval_map" -> retrievalMapOracle,
+    "emb_davies_bouldin" -> daviesBouldinOracle,
+    "q_events_ewma" -> ewmaOracle,
     "lexical_diversity" ->
       """WITH toks AS (
            SELECT source AS g, unnest(list_filter(

@@ -318,6 +318,41 @@ object Retrieval {
         round(col("n_rel").cast("double") / k, 6).as("p_at_k"))
   }
 
+  /** Mean-average-precision eval at k: per query,
+    * AP@k = Σ_{i≤k, rel_i>0} P(i) / min(R, k), with P(i) = (#relevant
+    * in top i)/i and R the query's total relevant count (binary
+    * relevance: rel > 0) — the order-sensitive companion to
+    * [[evalTopK]]'s nDCG/MRR/P@k (AP punishes EVERY late relevant
+    * hit, not just the discounted gain). Same top-k frame contract:
+    * rank ≤ k is the single cutoff every term reads.
+    *
+    * Each precision term is one exact-integer ratio quantized at
+    * 1e-12 before the per-query sum, so partial-agg order can't move
+    * the result. The harness averages `ap` across queries for MAP. */
+  def evalMap(results: DataFrame, rels: DataFrame, k: Int): DataFrame = {
+    val res = results.select(col("query_id"), col("rank"), col("id"))
+      .where(col("rank") <= k)
+      .join(rels, Seq("query_id", "id"), "left")
+      .withColumn("rel01",
+        when(coalesce(col("rel"), lit(0)) > 0, 1L).otherwise(0L))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+    val cum = res.withColumn("cum", sum(col("rel01")).over(w))
+      .withColumn("term", when(col("rel01") === 1,
+        floor(col("cum").cast("double") / col("rank") * 1e12 + 0.5)
+          .cast("long")).otherwise(lit(0L)))
+    val got = cum.groupBy(col("query_id"))
+      .agg(sum(col("term")).as("tsum"),
+        sum(col("rel01")).as("n_rel_topk"))
+    val totals = rels.where(col("rel") > 0).groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_rel_total"))
+    got.join(totals, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_rel_total"))
+      .select(col("query_id"), col("n_rel_topk"), col("n_rel_total"),
+        when(col("n_rel_total") > 0,
+          round(col("tsum").cast("double") / 1e12 /
+            least(col("n_rel_total"), lit(k.toLong)), 6)).as("ap"))
+  }
+
   def rrfFuse(a: DataFrame, b: DataFrame, idCol: String, k: Int,
               c: Int = 60): DataFrame = {
     val ra = a.select(col("query_id"), col(idCol), col("rank").as("rank_a"))

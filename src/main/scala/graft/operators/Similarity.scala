@@ -695,6 +695,63 @@ object Similarity {
       .orderBy(col("cell"))
   }
 
+  /** Davies–Bouldin index over the deterministic k-means cells
+    * (Davies & Bouldin, IEEE TPAMI 1979): per occupied cell the mean
+    * centroid-distance scatter S_i, and R_i = max_{j≠i}
+    * (S_i+S_j)/M_ij over the pairwise centroid separations M_ij; the
+    * index is the mean R_i. The cluster-level compactness/separation
+    * partner to [[clusterSilhouette]]'s point-level fit (DB < 1 ⇒
+    * clusters tighter than they are close).
+    *
+    * Exactness: assignment and point–centroid distances ride the
+    * quantized-centroid kmeans contract; each distance quantizes at
+    * 1e-9 before its integer per-cell sum; centroid pair math runs
+    * driver-side on the (k × dim)-bounded EXACT centroid array with
+    * the same sequential-fold dot products both engines use, then
+    * rides the plan as a broadcast literal frame. One data pass. */
+  def daviesBouldin(df: DataFrame, vecCol: String, idCol: String,
+                    k: Int, iters: Int): DataFrame = {
+    import graft.functions.VecDot.vec_dot
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = kmeansCentroidsDet(df, vecCol, idCol, k, iters)
+    val pts = df.select(col(vecCol).as("v"),
+        detCellRanking(col(vecCol), cents).as("cr"))
+      .select(col("cr").getItem(0).getField("cell").as("cell"),
+        sqrt(greatest(vec_dot(col("v"), col("v")) +
+          col("cr").getItem(0).getField("s"), lit(0.0))).as("dist"))
+    val perCell = pts.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(floor(col("dist") * 1e9 + 0.5).cast("long")).as("sd"))
+      .withColumn("scatter", col("sd").cast("double") / 1e9 / col("n_vecs"))
+    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val seps = for {
+      i <- cents.indices; j <- cents.indices if i != j
+    } yield (i, j, math.sqrt(math.max(
+      dot(cents(i), cents(i)) + dot(cents(j), cents(j)) -
+        2.0 * dot(cents(i), cents(j)), 0.0)))
+    val sep = seps.toDF("ci", "cj", "m")
+    val other = perCell.select(col("cell").as("cj"),
+      col("scatter").as("scatter_j"))
+    val ratios = perCell
+      .join(broadcast(sep), col("cell") === col("ci"))
+      .join(other, Seq("cj"))
+      .groupBy(col("cell"))
+      .agg(first(col("n_vecs")).as("n_vecs"),
+        first(col("scatter")).as("sc"),
+        max((col("scatter") + col("scatter_j")) / col("m")).as("r"))
+      .withColumn("rq", floor(col("r") * 1e9 + 0.5).cast("long"))
+    ratios.crossJoin(broadcast(ratios.agg(
+        round(sum(col("rq")).cast("double") / 1e9 / count(lit(1)), 6)
+          .as("db_index"))))
+      .select(col("cell"), col("n_vecs"), round(col("sc"), 6).as("scatter"),
+        round(col("rq").cast("double") / 1e9, 6).as("r_i"), col("db_index"))
+      .orderBy(col("cell"))
+  }
+
   /** Human-readable labels for the deterministic k-means cells: the
     * topN tokens per cell ranked by a cell-level TF-IDF
     * (n · ln((k+1)/(df_cells+1)) — counts exact integers, one log per

@@ -399,6 +399,66 @@ object TimeSeries {
       .where(col("n_pairs") > 0) // a lag past the series has no ACF
   }
 
+  /** EWMA control chart per key over daily counts (Roberts 1959; the
+    * SPC chart with the time-varying startup limits): z_1 = x_1,
+    * z_t = λx_t + (1−λ)z_{t−1}, alarm when |z_t − μ| exceeds
+    * L·σ·√(λ/(2−λ)·(1−(1−λ)^{2t})). Where [[expSmoothing]] reads the
+    * smoothed LEVEL, this reads the CONTROL verdict — alarm count,
+    * first alarm index, final excursion — the small-persistent-shift
+    * detector next to [[cusumDrift]]'s cumulative one.
+    *
+    * μ/σ come from exact integer daily-count moments; the recursion
+    * folds per key over the bounded sorted day array via aggregate()
+    * carrying (z, w=(1−λ)^{2t}, i, n_alarms, first_alarm) — the Holt
+    * contract: both engines execute the IDENTICAL double sequence, so
+    * the fold replays as a recursive CTE. */
+  def ewmaControl(events: DataFrame, keyCol: Column, tsCol: Column,
+                  lambda: Double = 0.2, l: Double = 3.0): DataFrame = {
+    val daily = events
+      .groupBy(keyCol.as("k"), to_date(tsCol).as("d"))
+      .agg(count(lit(1)).as("c"))
+    val base = daily.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("c")).as("s1"),
+        sum(col("c") * col("c")).as("s2"),
+        sort_array(collect_list(struct(col("d"), col("c")))).as("ord"))
+      .withColumn("xs",
+        transform(col("ord"), e => e.getField("c").cast("double")))
+    val mu = col("s1").cast("double") / col("n_days")
+    val sigma = sqrt(greatest(
+      col("s2").cast("double") / col("n_days") - mu * mu, lit(0.0)))
+    val lam = lit(lambda); val nl = lit(1.0 - lambda)
+    val w2 = lit((1.0 - lambda) * (1.0 - lambda))
+    val f = lit(lambda / (2.0 - lambda))
+    val withStats = base.withColumn("mu", mu).withColumn("sigma", sigma)
+    def limit(w: Column) =
+      lit(l) * col("sigma") * sqrt(f * (lit(1.0) - w))
+    val x1 = element_at(col("xs"), 1)
+    val b1 = abs(x1 - col("mu")) > limit(w2)
+    val init = struct(x1.as("z"), w2.as("w"), lit(1).as("i"),
+      when(b1, 1L).otherwise(0L).as("na"),
+      when(b1, 1).otherwise(lit(null).cast("int")).as("fa"))
+    val fin = aggregate(
+      slice(col("xs"), lit(2), greatest(size(col("xs")) - 1, lit(0))),
+      init,
+      (acc, x) => {
+        val zp = lam * x + nl * acc.getField("z")
+        val wp = acc.getField("w") * w2
+        val br = abs(zp - col("mu")) > limit(wp)
+        val ip = acc.getField("i") + 1
+        struct(zp.as("z"), wp.as("w"), ip.as("i"),
+          (acc.getField("na") + when(br, 1L).otherwise(0L)).as("na"),
+          coalesce(acc.getField("fa"),
+            when(br, ip).otherwise(lit(null).cast("int"))).as("fa"))
+      })
+    withStats.select(col("k"), col("n_days"),
+      round(col("mu"), 4).as("mean"),
+      round(col("sigma"), 4).as("sigma"),
+      round(fin.getField("z"), 4).as("ewma_final"),
+      fin.getField("na").as("n_alarms"),
+      fin.getField("fa").as("first_alarm_i"))
+  }
+
   /** Mann–Kendall trend test per key over daily event counts:
     * S = Σ_{i<j} sign(c_j − c_i) ordered by day, tie-corrected variance
     * Var(S) = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)] / 18 over the tie

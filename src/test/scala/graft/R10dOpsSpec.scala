@@ -147,6 +147,72 @@ class R10dOpsSpec extends AnyFunSuite {
     assert(r.getDouble(6) == 2222.2222)
   }
 
+  test("evalMap: AP@5 on a hand-ranked list") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    // ranks (a,b,c); relevant {a, c, d} ⇒ P(1)=1, P(3)=2/3, R=3:
+    // AP = (1 + 0.666667)/3 = 0.555556 after 1e-12 term quantization.
+    val res = Seq(("q", 1, "a"), ("q", 2, "b"), ("q", 3, "c"))
+      .toDF("query_id", "rank", "id")
+    val rels = Seq(("q", "a", 1), ("q", "c", 1), ("q", "d", 1))
+      .toDF("query_id", "id", "rel")
+    val r = Retrieval.evalMap(res, rels, 5).head()
+    assert(r.getLong(1) == 2 && r.getLong(2) == 3)
+    assert(r.getDouble(3) == 0.555556)
+    // rank > k must not credit: same list with d at rank 6 is unchanged
+    val res6 = res.unionAll(Seq(("q", 6, "d")).toDF("query_id", "rank", "id"))
+    assert(Retrieval.evalMap(res6, rels, 5).head().getDouble(3) == 0.555556)
+  }
+
+  test("daviesBouldin: two 2-point clusters, all quantities exact") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // k-means(k=2, iters=1) lands centroids at [5,0] and [5,2]:
+    // every point sits 5 from its centroid ⇒ S_i = 5; M = 2
+    // ⇒ R_i = (5+5)/2 = 5 and DB = 5.
+    val df = Seq(
+      (1L, Array(0f, 0f)), (2L, Array(0f, 2f)),
+      (3L, Array(10f, 0f)), (4L, Array(10f, 2f)))
+      .toDF("vec_id", "embedding")
+    val rows = Similarity.daviesBouldin(df, "embedding", "vec_id",
+      k = 2, iters = 1).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 2 && r.getDouble(2) == 5.0 &&
+        r.getDouble(3) == 5.0 && r.getDouble(4) == 5.0)
+    }
+  }
+
+  test("ewmaControl: flat series never alarms; fold replays the exact recursion") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    val flat = (1 to 6).map(i => (day(i), "flat")).toDF("ts", "k")
+    val rf = TimeSeries.ewmaControl(flat, col("k"), col("ts")).head()
+    assert(rf.getLong(1) == 6 && rf.getDouble(4) == 1.0 &&
+      rf.getLong(5) == 0L && rf.isNullAt(6))
+    // alternating 1-vs-3 counts: replay the identical double recursion
+    // locally and require exact agreement on the final EWMA level
+    val ev = (1 to 8).flatMap { i =>
+      val n = if (i % 2 == 0) 3 else 1
+      (1 to n).map(_ => (day(i), "alt"))
+    }.toDF("ts", "k")
+    val xs = (1 to 8).map(i => if (i % 2 == 0) 3.0 else 1.0)
+    val (lam, mu) = (0.2, xs.sum / 8)
+    val sigma = math.sqrt(xs.map(x => x * x).sum / 8 - mu * mu)
+    def lim(w: Double) =
+      3.0 * sigma * math.sqrt(lam / (2 - lam) * (1 - w))
+    var z = xs.head; var w = 0.8 * 0.8; var na = 0
+    if (math.abs(z - mu) > lim(w)) na += 1 // t=1 is checked too
+    for (x <- xs.tail) {
+      z = lam * x + (1 - lam) * z; w = w * (0.8 * 0.8)
+      if (math.abs(z - mu) > lim(w)) na += 1
+    }
+    val ra = TimeSeries.ewmaControl(ev, col("k"), col("ts")).head()
+    assert(ra.getDouble(4) == math.rint(z * 1e4) / 1e4)
+    assert(ra.getDouble(3) == math.rint(sigma * 1e4) / 1e4)
+    assert(ra.getLong(5) == na.toLong)
+  }
+
   test("powerTwoProportion: degenerate all/none conversion gives NULL n") {
     import spark.implicits._
     import graft.operators.Metrics
