@@ -3159,6 +3159,48 @@ object SparkEntry {
         col("n_alloc"), col("sampling_fraction"))
       .orderBy(col("source"))
 
+  /** PACF at lags 1–3 per event type (Durbin–Levinson over the exact
+    * ACF moments) — the AR-order cutoff readout next to q_events_acf. */
+  private def qEventsPacf(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.pacf(t(s, dir, "events"),
+        col("event_type"), col("ts"))
+      .withColumnRenamed("k", "event_type")
+      .orderBy(col("event_type"))
+
+  /** Markdown/structure profile over documents planted with known
+    * constructs per doc_id residue — heading/fence/list/link counts
+    * and the 0–4 signal score routing docs to a cleaning path. */
+  private def qMarkdownProfile(s: SparkSession, dir: String): DataFrame = {
+    val aug = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 6 === 0,
+          lit("\n# heading one\n## heading two")).otherwise(lit("")),
+        when(col("doc_id") % 6 === 1,
+          lit("\n```\ncode block\n```")).otherwise(lit("")),
+        when(col("doc_id") % 6 === 2,
+          lit("\n- item one\n- item two\n* item three")).otherwise(lit("")),
+        when(col("doc_id") % 6 === 3,
+          lit(" see [link](http://example.com) and [two](http://x.y)"))
+          .otherwise(lit(""))).as("t2"))
+    graft.operators.TextAnalysis.markdownProfile(aug, "t2", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Supplier revenue concentration per nation: HHI, top-supplier
+    * share, effective competitor count over discounted revenue. */
+  private def qHhiConcentration(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_suppkey"),
+      round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+        .cast("long").as("cents"))
+    val sup = t(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    graft.operators.Metrics.hhi(
+        li.join(sup, col("l_suppkey") === col("s_suppkey")),
+        col("s_nationkey"), col("s_suppkey"), col("cents"))
+      .withColumnRenamed("g", "s_nationkey")
+      .orderBy(col("s_nationkey"))
+  }
+
   /** MAP@5 ranker eval over the same BM25-vs-id-order framing as
     * retrieval_ndcg — AP punishes every late relevant hit. */
   private def qRetrievalMap(s: SparkSession, dir: String): DataFrame = {
@@ -4017,6 +4059,9 @@ object SparkEntry {
     "retrieval_map" -> (qRetrievalMap _),
     "emb_davies_bouldin" -> (qEmbDaviesBouldin _),
     "q_events_ewma" -> (qEventsEwma _),
+    "q_events_pacf" -> (qEventsPacf _),
+    "markdown_profile" -> (qMarkdownProfile _),
+    "q_hhi_concentration" -> (qHhiConcentration _),
     "collocations_llr" -> (qCollocationsLlr _),
     "emb_isotropy" -> (qEmbIsotropy _),
     "lr_conformal" -> (qLrConformal _),
@@ -8204,6 +8249,111 @@ object SparkEntry {
     "retrieval_map" -> retrievalMapOracle,
     "emb_davies_bouldin" -> daviesBouldinOracle,
     "q_events_ewma" -> ewmaOracle,
+    "q_events_pacf" ->
+      """WITH daily AS (
+           SELECT event_type AS k, CAST(ts AS DATE) AS d, count(*) AS c
+           FROM events GROUP BY 1, 2),
+         idx AS (SELECT k, c,
+             row_number() OVER (PARTITION BY k ORDER BY d) AS i
+           FROM daily),
+         tot AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS s, sum(c * c) AS sxx
+           FROM idx GROUP BY k),
+         lags AS (SELECT unnest(range(1, 4)) AS lag),
+         pairs AS (SELECT a.k, l.lag, a.c AS ca, b.c AS cb
+           FROM idx a CROSS JOIN lags l
+           JOIN idx b ON b.k = a.k AND b.i = a.i + l.lag),
+         agg AS (SELECT k, lag, sum(ca * cb) AS sxy,
+             CAST(sum(ca) AS BIGINT) AS sh, CAST(sum(cb) AS BIGINT) AS st,
+             CAST(count(*) AS BIGINT) AS n_pairs
+           FROM pairs GROUP BY 1, 2),
+         rr AS (
+           SELECT t.k, t.n, a.lag,
+             CASE WHEN CAST(t.sxx AS DOUBLE)
+                    - CAST(t.s AS DOUBLE) * (CAST(t.s AS DOUBLE) / t.n) > 0
+               THEN (CAST(a.sxy AS DOUBLE)
+                   - (CAST(t.s AS DOUBLE) / t.n) * CAST(a.sh AS DOUBLE)
+                   - (CAST(t.s AS DOUBLE) / t.n) * CAST(a.st AS DOUBLE)
+                   + CAST(a.n_pairs AS DOUBLE) * (CAST(t.s AS DOUBLE) / t.n)
+                     * (CAST(t.s AS DOUBLE) / t.n))
+                 / (CAST(t.sxx AS DOUBLE)
+                   - CAST(t.s AS DOUBLE) * (CAST(t.s AS DOUBLE) / t.n))
+             END AS r
+           FROM agg a JOIN tot t ON a.k = t.k),
+         pv AS (SELECT k, max(n) AS n,
+             max(CASE WHEN lag = 1 THEN r END) AS r1,
+             max(CASE WHEN lag = 2 THEN r END) AS r2,
+             max(CASE WHEN lag = 3 THEN r END) AS r3
+           FROM rr GROUP BY k),
+         p2 AS (SELECT *, (r2 - r1 * r1) / (1.0 - r1 * r1) AS p22 FROM pv),
+         p3 AS (SELECT *, r1 - p22 * r1 AS p21 FROM p2)
+         SELECT k AS event_type, n AS n_days,
+           round(r1, 4) AS pacf1,
+           CASE WHEN abs(1.0 - r1 * r1) > 1e-12
+             THEN round(p22, 4) END AS pacf2,
+           CASE WHEN abs(1.0 - r1 * r1) > 1e-12
+             AND abs(1.0 - p21 * r1 - p22 * r2) > 1e-12
+             THEN round((r3 - p21 * r2 - p22 * r1) /
+               (1.0 - p21 * r1 - p22 * r2), 4)
+           END AS pacf3
+         FROM p3 ORDER BY event_type""",
+    "markdown_profile" ->
+      """WITH aug AS (SELECT doc_id, text ||
+             CASE WHEN doc_id % 6 = 0 THEN chr(10) || '# heading one' ||
+               chr(10) || '## heading two' ELSE '' END ||
+             CASE WHEN doc_id % 6 = 1 THEN chr(10) || '```' || chr(10) ||
+               'code block' || chr(10) || '```' ELSE '' END ||
+             CASE WHEN doc_id % 6 = 2 THEN chr(10) || '- item one' ||
+               chr(10) || '- item two' || chr(10) || '* item three'
+               ELSE '' END ||
+             CASE WHEN doc_id % 6 = 3
+               THEN ' see [link](http://example.com) and [two](http://x.y)'
+               ELSE '' END AS t2
+           FROM documents),
+         ln AS (SELECT doc_id, string_split(t2, chr(10)) AS ls, t2
+                FROM aug),
+         sig AS (SELECT doc_id,
+             CAST(len(ls) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(ls,
+               l -> regexp_matches(l, '^#{1,6} '))) AS BIGINT) AS n_headings,
+             CAST(len(list_filter(ls,
+               l -> regexp_matches(l, '^```'))) AS BIGINT) AS n_fences,
+             CAST(len(list_filter(ls,
+               l -> regexp_matches(l, '^[-*] '))) AS BIGINT) AS n_list_lines,
+             CAST(len(regexp_extract_all(t2, '\[[^\]]+\]\([^)]+\)'))
+               AS BIGINT) AS n_links
+           FROM ln)
+         SELECT doc_id, n_lines, n_headings, n_fences, n_list_lines,
+           n_links,
+           CAST((CASE WHEN n_headings > 0 THEN 1 ELSE 0 END) +
+             (CASE WHEN n_fences > 0 THEN 1 ELSE 0 END) +
+             (CASE WHEN n_list_lines > 0 THEN 1 ELSE 0 END) +
+             (CASE WHEN n_links > 0 THEN 1 ELSE 0 END) AS INT)
+             AS md_signals
+         FROM sig ORDER BY doc_id""",
+    "q_hhi_concentration" ->
+      """WITH li AS (
+           SELECT l_suppkey,
+             CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+               AS BIGINT) AS cents
+           FROM lineitem),
+         j AS (SELECT s.s_nationkey AS g, s.s_suppkey AS u, cents
+           FROM li JOIN supplier s ON s.s_suppkey = li.l_suppkey),
+         units AS (SELECT g, u, CAST(sum(cents) AS BIGINT) AS v
+           FROM j GROUP BY 1, 2),
+         tot AS (SELECT g, CAST(count(*) AS BIGINT) AS n_units,
+             CAST(sum(v) AS BIGINT) AS tv, CAST(max(v) AS BIGINT) AS mv
+           FROM units GROUP BY g),
+         hq AS (SELECT units.g,
+             CAST(sum(CAST(floor((CAST(v AS DOUBLE) / tv) *
+               (CAST(v AS DOUBLE) / tv) * 1e10 + 0.5) AS BIGINT))
+               AS BIGINT) AS hq
+           FROM units JOIN tot ON tot.g = units.g GROUP BY units.g)
+         SELECT t.g AS s_nationkey, t.n_units, t.tv AS total,
+           round(CAST(t.mv AS DOUBLE) / t.tv, 6) AS top_share,
+           round(CAST(hq AS DOUBLE) / 1e6, 2) AS hhi,
+           CASE WHEN hq > 0 THEN round(1e10 / hq, 4) END AS n_effective
+         FROM tot t JOIN hq ON hq.g = t.g ORDER BY 1""",
     "lexical_diversity" ->
       """WITH toks AS (
            SELECT source AS g, unnest(list_filter(

@@ -1116,6 +1116,39 @@ object Metrics {
               (least(col("r"), col("c")) - lit(1L)))), 6)).as("cramers_v"))
   }
 
+  /** Herfindahl–Hirschman concentration per group: units' value shares
+    * squared and summed (0–10,000 scale), the top unit's share, and the
+    * effective competitor count 1/Σs² — the market-concentration
+    * readout next to [[gini]]'s inequality and [[diversity]]'s
+    * entropy (HHI is what reads a 2-supplier 50/50 split as "5000,
+    * effectively 2 players").
+    *
+    * Values aggregate exactly per (group, unit) first; each squared
+    * share quantizes to a long at 1e-10 before the per-group sum, so
+    * partial-agg order can't move the fold. Two groupBys, one join on
+    * the bounded unit frame. */
+  def hhi(df: DataFrame, grpCol: Column, unitCol: Column,
+          valueCol: Column): DataFrame = {
+    val units = df.groupBy(grpCol.as("g"), unitCol.as("u"))
+      .agg(sum(valueCol).as("v"))
+    val tot = units.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_units"), sum(col("v")).as("tv"),
+        max(col("v")).as("mv"))
+    val share = col("v").cast("double") / col("tv")
+    units.join(tot, "g")
+      .groupBy(col("g"))
+      .agg(first(col("n_units")).as("n_units"),
+        first(col("tv")).as("total"),
+        first(col("mv")).as("mv"),
+        sum(floor(share * share * lit(1e10) + lit(0.5)).cast("long"))
+          .as("hq"))
+      .select(col("g"), col("n_units"), col("total"),
+        round(col("mv").cast("double") / col("total"), 6).as("top_share"),
+        round(col("hq").cast("double") / lit(1e6), 2).as("hhi"),
+        when(col("hq") > 0, round(lit(1e10) / col("hq"), 4))
+          .as("n_effective"))
+  }
+
   /** Experiment-design power card: per group, the baseline conversion
     * p₁ = Σconv/n (exact integer counts), the target p₂ = p₁·(1+MDE)
     * capped below 1, and the per-arm sample size for a two-proportion

@@ -1137,6 +1137,34 @@ object TextAnalysis {
         round((col("sy") - slope * col("sx")) / col("n"), 4).as("intercept"))
   }
 
+  /** Markdown/structure profile per document: line counts for ATX
+    * headings, code fences, and list bullets, plus inline link count
+    * and a 0–4 signal score — the format router a mixed web/docs
+    * corpus needs before choosing a text-vs-markup cleaning path
+    * (stripping "markup" from real markdown destroys code blocks;
+    * keeping it in prose poisons token stats).
+    *
+    * Map-only: one line split + anchored per-line regexes + one
+    * full-text link scan; no shuffle at all. */
+  def markdownProfile(df: DataFrame, textCol: String,
+                      idCol: String): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    def nMatch(re: String) =
+      size(filter(lines, l => l.rlike(re))).cast("long")
+    df.select(col(idCol),
+        size(lines).cast("long").as("n_lines"),
+        nMatch("^#{1,6} ").as("n_headings"),
+        nMatch("^```").as("n_fences"),
+        nMatch("^[-*] ").as("n_list_lines"),
+        regexp_count(col(textCol), lit("\\[[^\\]]+\\]\\([^)]+\\)"))
+          .cast("long").as("n_links"))
+      .withColumn("md_signals",
+        (col("n_headings") > 0).cast("int") +
+        (col("n_fences") > 0).cast("int") +
+        (col("n_list_lines") > 0).cast("int") +
+        (col("n_links") > 0).cast("int"))
+  }
+
   /** Lexical-diversity card per group: token mass N, type count V,
     * type–token ratio V/N, hapax share V₁/V, and Yule's K
     * = 10⁴·(Σ_t c_t² − N)/N² (Yule 1944) — the repeat-rate measure

@@ -399,6 +399,58 @@ object TimeSeries {
       .where(col("n_pairs") > 0) // a lag past the series has no ACF
   }
 
+  /** Partial autocorrelation at lags 1–3 per key via the closed-form
+    * Durbin–Levinson recursion over the exact-moment ACF values:
+    * φ₁₁ = r₁, φ₂₂ = (r₂−r₁²)/(1−r₁²), and φ₃₃ from the order-2
+    * coefficients — "does lag k explain anything AFTER lags < k", the
+    * AR-order readout [[acf]] alone can't give (a pure AR(1) shows
+    * geometric ACF at every lag but PACF cuts off after 1).
+    *
+    * Same bounded daily-count moment shapes as [[acf]] (decimal
+    * products, one groupBy); the Durbin–Levinson algebra is per-key
+    * scalar math on deterministic doubles — both engines evaluate the
+    * identical expression tree. */
+  def pacf(events: DataFrame, keyCol: Column, tsCol: Column): DataFrame = {
+    val daily = events
+      .groupBy(keyCol.as("k"), to_date(tsCol).as("d"))
+      .agg(count(lit(1)).as("c"))
+    val byDay = Window.partitionBy(col("k")).orderBy(col("d"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val withLeads = (1 to 3).foldLeft(daily) { (df, kk) =>
+      df.withColumn(s"l$kk", lead(col("c"), kk).over(byDay))
+    }
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(dec(col("c")) * dec(col("c"))).as("sxx")) ++
+      (1 to 3).flatMap { kk =>
+        val lk = col(s"l$kk")
+        Seq(sum(dec(col("c")) * dec(lk)).as(s"sxy$kk"),
+          sum(when(lk.isNotNull, col("c"))).as(s"sh$kk"),
+          sum(lk).as(s"st$kk"),
+          count(lk).as(s"m$kk"))
+      }
+    val t0 = withLeads.groupBy(col("k")).agg(aggs.head, aggs.tail: _*)
+    val xbar = col("s").cast("double") / col("n")
+    val den = col("sxx").cast("double") - col("s").cast("double") * xbar
+    def num(kk: Int) = col(s"sxy$kk").cast("double") -
+      xbar * col(s"sh$kk").cast("double") -
+      xbar * col(s"st$kk").cast("double") +
+      col(s"m$kk").cast("double") * xbar * xbar
+    val withR = t0
+      .withColumn("r1", when(den > 0, num(1) / den))
+      .withColumn("r2", when(den > 0, num(2) / den))
+      .withColumn("r3", when(den > 0, num(3) / den))
+    val d2 = lit(1.0) - col("r1") * col("r1")
+    val p22 = (col("r2") - col("r1") * col("r1")) / d2
+    val p21 = col("r1") - p22 * col("r1")
+    val d3 = lit(1.0) - p21 * col("r1") - p22 * col("r2")
+    val p33 = (col("r3") - p21 * col("r2") - p22 * col("r1")) / d3
+    withR.select(col("k"), col("n").as("n_days"),
+      round(col("r1"), 4).as("pacf1"),
+      when(abs(d2) > 1e-12, round(p22, 4)).as("pacf2"),
+      when(abs(d2) > 1e-12 && abs(d3) > 1e-12, round(p33, 4)).as("pacf3"))
+  }
+
   /** EWMA control chart per key over daily counts (Roberts 1959; the
     * SPC chart with the time-varying startup limits): z_1 = x_1,
     * z_t = λx_t + (1−λ)z_{t−1}, alarm when |z_t − μ| exceeds

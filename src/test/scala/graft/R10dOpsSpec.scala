@@ -213,6 +213,48 @@ class R10dOpsSpec extends AnyFunSuite {
     assert(ra.getLong(5) == na.toLong)
   }
 
+  test("pacf: Durbin-Levinson on the 1..6 linear series") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    // x = 1..6: r1 = 0.5, r2 = 1/17.5, r3 = −4.75/17.5
+    // ⇒ φ11 = 0.5, φ22 = (r2−r1²)/(1−r1²) = −0.2571,
+    //   φ33 = −0.178776/0.700408 = −0.2552 (hand-run recursion).
+    val ev = (1 to 6).flatMap(d => (1 to d).map(_ => (day(d), "lin")))
+      .toDF("ts", "k")
+    val r = TimeSeries.pacf(ev, col("k"), col("ts")).head()
+    assert(r.getLong(1) == 6)
+    assert(r.getDouble(2) == 0.5)
+    assert(r.getDouble(3) == -0.2571)
+    assert(r.getDouble(4) == -0.2552)
+  }
+
+  test("markdownProfile: all four construct kinds counted") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val text = "# t\nplain\n- a\n- b\n```\nx\n```\nsee [a](b)"
+    val r = TextAnalysis.markdownProfile(
+      Seq((1L, text)).toDF("doc_id", "text"), "text", "doc_id").head()
+    assert(r.getLong(1) == 8 && r.getLong(2) == 1 && r.getLong(3) == 2 &&
+      r.getLong(4) == 2 && r.getLong(5) == 1 && r.getInt(6) == 4)
+    // prose with none of them scores zero
+    val p = TextAnalysis.markdownProfile(
+      Seq((2L, "just two lines\nof prose")).toDF("doc_id", "text"),
+      "text", "doc_id").head()
+    assert(p.getInt(6) == 0 && p.getLong(1) == 2)
+  }
+
+  test("hhi: 50/50 duopoly scores 5000, monopoly 10000") {
+    import spark.implicits._
+    import graft.operators.Metrics
+    val df = Seq(("duo", "a", 10L), ("duo", "b", 10L), ("mono", "x", 7L))
+      .toDF("g", "u", "v")
+    val r = Metrics.hhi(df, col("g"), col("u"), col("v"))
+      .orderBy(col("g")).collect()
+    assert(r(0).getLong(1) == 2 && r(0).getDouble(3) == 0.5 &&
+      r(0).getDouble(4) == 5000.0 && r(0).getDouble(5) == 2.0)
+    assert(r(1).getDouble(4) == 10000.0 && r(1).getDouble(5) == 1.0)
+  }
+
   test("powerTwoProportion: degenerate all/none conversion gives NULL n") {
     import spark.implicits._
     import graft.operators.Metrics
