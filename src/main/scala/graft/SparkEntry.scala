@@ -3159,6 +3159,23 @@ object SparkEntry {
         col("n_alloc"), col("sampling_fraction"))
       .orderBy(col("source"))
 
+  /** Markov removal-effect attribution over user journeys (absorbing
+    * chain; 12 quantized value-iteration rounds) — the data-driven
+    * credit model next to q_events_attribution's last-touch. */
+  private def qMarkovAttribution(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.markovAttribution(t(s, dir, "events"),
+        convType = "purchase", channels = markovChannels, rounds = 12)
+      .orderBy(col("channel"))
+
+  /** Label-propagation communities of the co-purchase graph after 5
+    * synchronous min-tie-break rounds. */
+  private def qGraphLpa(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.lpaCommunities(coPurchaseEdges(s, dir),
+        "pa", "pb", iters = 5)
+      .orderBy(col("n_nodes").desc, col("community"))
+
+  private val markovChannels = Seq("click", "error", "signup", "view")
+
   /** PACF at lags 1–3 per event type (Durbin–Levinson over the exact
     * ACF moments) — the AR-order cutoff readout next to q_events_acf. */
   private def qEventsPacf(s: SparkSession, dir: String): DataFrame =
@@ -4062,6 +4079,8 @@ object SparkEntry {
     "q_events_pacf" -> (qEventsPacf _),
     "markdown_profile" -> (qMarkdownProfile _),
     "q_hhi_concentration" -> (qHhiConcentration _),
+    "markov_attribution" -> (qMarkovAttribution _),
+    "graph_lpa" -> (qGraphLpa _),
     "collocations_llr" -> (qCollocationsLlr _),
     "emb_isotropy" -> (qEmbIsotropy _),
     "lr_conformal" -> (qLrConformal _),
@@ -8249,6 +8268,8 @@ object SparkEntry {
     "retrieval_map" -> retrievalMapOracle,
     "emb_davies_bouldin" -> daviesBouldinOracle,
     "q_events_ewma" -> ewmaOracle,
+    "markov_attribution" -> markovAttributionOracle,
+    "graph_lpa" -> lpaOracle,
     "q_events_pacf" ->
       """WITH daily AS (
            SELECT event_type AS k, CAST(ts AS DATE) AS d, count(*) AS c
@@ -10302,6 +10323,111 @@ object SparkEntry {
       block("orders.o_custkey->o_orderpriority", "orders",
         "o_custkey", "o_orderpriority"))
       .mkString("", "\nUNION ALL\n", "\nORDER BY fd")
+  }
+
+  /** Markov removal-effect oracle: journey→transition CTEs mirroring
+    * the engine's windows, then one unrolled quantized value-iteration
+    * chain per variant (full + one per removed channel). Every fold
+    * term is ⌊P·w+0.5⌋ as a BIGINT, so round order can't move it. */
+  private val markovAttributionOracle: String = {
+    val rounds = 12
+    def iteration(pfx: String, removed: Option[String]): String = {
+      val remCase = removed
+        .map(ch => s"WHEN p.dst = '$ch' THEN 0.0").getOrElse("")
+      val chain = (1 to rounds).map { i =>
+        s"""${pfx}$i AS MATERIALIZED (
+             SELECT p.src, CAST(sum(CAST(floor(p.pr * (CASE
+                 WHEN p.dst = 'conv' THEN 1e12
+                 WHEN p.dst = 'null' THEN 0.0
+                 $remCase
+                 ELSE CAST(coalesce(v.q, 0) AS DOUBLE) END) + 0.5)
+               AS BIGINT)) AS BIGINT) AS q
+             FROM p LEFT JOIN ${pfx}${i - 1} v ON v.src = p.dst
+             GROUP BY p.src)"""
+      }.mkString(",\n")
+      s"""${pfx}0 AS (SELECT src, CAST(0 AS BIGINT) AS q FROM tt),
+         $chain"""
+    }
+    val variants = ("f", None) +:
+      markovChannels.sorted.zipWithIndex.map { case (ch, i) =>
+        (s"r$i", Some(ch)) }
+    val iterSql = variants.map { case (p, rem) => iteration(p, rem) }
+      .mkString(",\n")
+    val effRows = markovChannels.sorted.zipWithIndex.map { case (ch, i) =>
+      s"""SELECT '$ch' AS channel,
+           (SELECT q FROM r$i$rounds WHERE src = 'start') AS vrem"""
+    }.mkString(" UNION ALL ")
+    s"""WITH seq0 AS (
+         SELECT user_id, ts, event_id,
+           CASE WHEN event_type = 'purchase' THEN 'conv'
+             ELSE event_type END AS st,
+           row_number() OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS rk
+         FROM events),
+       fc AS (SELECT user_id, min(rk) AS cr FROM seq0
+              WHERE st = 'conv' GROUP BY 1),
+       tr AS MATERIALIZED (
+         SELECT s.user_id, s.st, s.rk,
+           lead(s.st, 1) OVER (PARTITION BY s.user_id
+             ORDER BY s.ts, s.event_id) AS nxt
+         FROM seq0 s LEFT JOIN fc ON fc.user_id = s.user_id
+         WHERE fc.cr IS NULL OR s.rk <= fc.cr),
+       trans AS (
+         SELECT src, dst, CAST(count(*) AS BIGINT) AS c FROM (
+           SELECT st AS src,
+             CASE WHEN st = 'conv' THEN NULL
+               ELSE coalesce(nxt, 'null') END AS dst
+           FROM tr
+           UNION ALL
+           SELECT 'start' AS src, st AS dst FROM tr WHERE rk = 1)
+         WHERE dst IS NOT NULL GROUP BY 1, 2),
+       tt AS (SELECT src, CAST(sum(c) AS BIGINT) AS t
+              FROM trans GROUP BY 1),
+       p AS MATERIALIZED (
+         SELECT trans.src, trans.dst, CAST(c AS DOUBLE) / t AS pr
+         FROM trans JOIN tt ON tt.src = trans.src),
+       $iterSql,
+       fv AS (SELECT q AS vfull FROM f$rounds WHERE src = 'start'),
+       eff AS ($effRows),
+       eq AS (SELECT channel, vrem,
+           CASE WHEN (SELECT vfull FROM fv) > 0 THEN
+             CAST(floor(CAST((SELECT vfull FROM fv) - vrem AS DOUBLE) /
+               (SELECT vfull FROM fv) * 1e9 + 0.5) AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END AS eq
+         FROM eff),
+       tote AS (SELECT CAST(sum(eq) AS BIGINT) AS s FROM eq)
+       SELECT channel,
+         round(CAST((SELECT vfull FROM fv) AS DOUBLE) / 1e12, 6)
+           AS p_conv_full,
+         round(CAST(vrem AS DOUBLE) / 1e12, 6) AS p_conv_removed,
+         round(CAST(eq AS DOUBLE) / 1e9, 6) AS removal_effect,
+         CASE WHEN (SELECT s FROM tote) > 0
+           THEN round(CAST(eq AS DOUBLE) / (SELECT s FROM tote), 6)
+           ELSE 0.0 END AS attribution_share
+       FROM eq ORDER BY channel"""
+  }
+
+  /** LPA oracle: the engine's synchronous rounds unrolled — per round
+    * one neighbor-label count + one (count desc, label) rank pick. */
+  // def, not val: references coPurchaseCte, which is declared below
+  // (a val here would interpolate null at object-init time)
+  private def lpaOracle: String = {
+    val iters = 5
+    val rounds = (1 to iters).map { i =>
+      s"""c$i AS (SELECT a.m, l.lbl AS nl, count(*) AS c
+           FROM adj a JOIN l${i - 1} l ON l.v = a.x GROUP BY 1, 2),
+         l$i AS MATERIALIZED (SELECT m AS v, nl AS lbl FROM (
+             SELECT m, nl, row_number() OVER
+               (PARTITION BY m ORDER BY c DESC, nl) AS rk FROM c$i)
+           WHERE rk = 1)"""
+    }.mkString(",\n")
+    s"""WITH $coPurchaseCte,
+       adj AS (SELECT lo AS m, hi AS x FROM e0
+         UNION ALL SELECT hi AS m, lo AS x FROM e0),
+       l0 AS (SELECT DISTINCT m AS v, m AS lbl FROM adj),
+       $rounds
+       SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes
+       FROM l$iters GROUP BY lbl ORDER BY n_nodes DESC, community"""
   }
 
   /** Co-purchase edge CTE shared by the graph_kcore / graph_link_pred

@@ -389,4 +389,94 @@ object Funnel {
       .orderBy(col("support").desc, col("a"), col("b"), col("c"))
       .limit(topK)
   }
+
+  /** Markov removal-effect attribution (Anderl et al. 2016's
+    * data-driven model): user journeys become a first-order absorbing
+    * chain — start → touches → conv/null, truncated at the first
+    * conversion — and each channel's credit is how much the start→conv
+    * absorption probability DROPS when that channel's node is removed,
+    * normalized across channels. The causal-flavored answer to
+    * [[lastTouchAttribution]]'s positional heuristic (a mid-journey
+    * channel every converting path flows through gets ~0 last-touch
+    * credit but a large removal effect).
+    *
+    * Contract: absorption probabilities come from exactly `rounds`
+    * value-iteration steps vq(s) = Σ_dst ⌊P(s,dst)·w(dst)+0.5⌋ with
+    * w(conv)=10¹², w(null)=w(removed)=0 — each term quantized to a
+    * long, so the fold is order-free and replays as unrolled SQL.
+    *
+    * Scale shape: ONE distributed pass builds the transition counts
+    * (per-user windows — partitioned by user, never global); the
+    * value iteration then runs driver-side on the collected
+    * state-domain²-bounded count frame (same bounded-pull contract as
+    * the k-means centroids), once per channel + once full. */
+  def markovAttribution(events: DataFrame, convType: String,
+                        channels: Seq[String],
+                        rounds: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = events.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val seq0 = events.select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === convType, lit("conv"))
+          .otherwise(col("event_type")).as("st"))
+      .withColumn("rk", row_number().over(w))
+    val firstConv = seq0.filter(col("st") === "conv")
+      .groupBy(col("user_id")).agg(min(col("rk")).as("cr"))
+    val trunc = seq0.join(firstConv, Seq("user_id"), "left")
+      .filter(col("cr").isNull || col("rk") <= col("cr"))
+    val withNext = trunc.withColumn("nxt", lead(col("st"), 1).over(w))
+    val mids = withNext
+      .select(col("st").as("src"),
+        when(col("st") === "conv", lit(null))
+          .otherwise(coalesce(col("nxt"), lit("null"))).as("dst"))
+      .filter(col("dst").isNotNull)
+    val starts = trunc.filter(col("rk") === 1)
+      .select(lit("start").as("src"), col("st").as("dst"))
+    val trans = mids.unionAll(starts)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("c"))
+    // bounded pull: |states|² rows max (state domain, not event volume)
+    val tc = trans.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val bySrc = tc.groupBy(_._1)
+      .map { case (s, rows) =>
+        s -> rows.map(r => (r._2, r._3)).toSeq }
+    val totals = bySrc.map { case (s, rows) => s -> rows.map(_._2).sum }
+    def solve(removed: Set[String]): Long = {
+      var v = Map.empty[String, Long].withDefaultValue(0L)
+      for (_ <- 1 to rounds) {
+        v = bySrc.map { case (s, rows) =>
+          s -> rows.map { case (dst, c) =>
+            val p = c.toDouble / totals(s)
+            val wv: Double =
+              if (dst == "conv") 1e12
+              else if (dst == "null" || removed(dst)) 0.0
+              else v(dst).toDouble
+            math.floor(p * wv + 0.5).toLong
+          }.sum
+        }.toMap.withDefaultValue(0L)
+      }
+      v("start")
+    }
+    val vFull = solve(Set.empty)
+    val effects = channels.sorted.map { ch =>
+      val vRem = solve(Set(ch))
+      val eq = if (vFull > 0)
+        math.floor((vFull - vRem).toDouble / vFull * 1e9 + 0.5).toLong
+      else 0L
+      (ch, vRem, eq)
+    }
+    val eqSum = effects.map(_._3).sum
+    // HALF_UP on the double's exact value — the same rounding Spark's
+    // round() and DuckDB's round() apply to positive doubles
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    effects.map { case (ch, vRem, eq) =>
+      (ch, r6(vFull.toDouble / 1e12), r6(vRem.toDouble / 1e12),
+        r6(eq.toDouble / 1e9),
+        if (eqSum > 0) r6(eq.toDouble / eqSum) else 0.0)
+    }.toDF("channel", "p_conv_full", "p_conv_removed",
+      "removal_effect", "attribution_share")
+  }
 }

@@ -288,6 +288,46 @@ object Graph {
     undirectedDegrees(canon)
   }
 
+  /** Synchronous label-propagation communities (Raghavan–Albert–Kumara
+    * 2007, made deterministic): labels start as the node id; each
+    * round every node adopts its neighbors' most frequent label, ties
+    * broken toward the SMALLEST label. The contract is exactly-`iters`
+    * synchronous rounds — asynchronous random-order LPA converges
+    * faster but is irreproducible by design, and reproducibility is
+    * what lets the result replay as unrolled SQL. Communities differ
+    * from [[graft.operators.Clustering]]'s connected components: LPA
+    * splits a connected graph along its density structure.
+    *
+    * Scale: per round one equi-join (adjacency ⋈ labels), one count
+    * groupBy, one per-node window rank on the bounded (node, label)
+    * frame; lineage cut per round (lazy localCheckpoint). */
+  def lpaCommunities(edges: DataFrame, aCol: String, bCol: String,
+                     iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val canon = edges
+      .select(least(col(aCol), col(bCol)).as("lo"),
+        greatest(col(aCol), col(bCol)).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct()
+    val adj = canon.select(col("lo").as("m"), col("hi").as("x"))
+      .unionAll(canon.select(col("hi").as("m"), col("lo").as("x")))
+    var labels = adj.select(col("m").as("v")).distinct()
+      .withColumn("lbl", col("v"))
+    for (_ <- 1 to iters) {
+      val cnt = adj
+        .join(labels.select(col("v").as("x"), col("lbl").as("nl")),
+          Seq("x"))
+        .groupBy(col("m"), col("nl")).agg(count(lit(1)).as("c"))
+      val wR = Window.partitionBy(col("m"))
+        .orderBy(col("c").desc, col("nl"))
+      labels = cnt.withColumn("rk", row_number().over(wR))
+        .filter(col("rk") === 1)
+        .select(col("m").as("v"), col("nl").as("lbl"))
+        .localCheckpoint(false)
+    }
+    labels.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_nodes"))
+  }
+
   /** Link prediction over an undirected graph: for every non-adjacent
     * pair at distance 2 — common-neighbor count, Jaccard
     * CN/(d_a+d_b−CN), and the Resource-Allocation index Σ_w 1/deg(w)

@@ -255,6 +255,56 @@ class R10dOpsSpec extends AnyFunSuite {
     assert(r(1).getDouble(4) == 10000.0 && r(1).getDouble(5) == 1.0)
   }
 
+  test("markovAttribution: removing the only converting channel zeroes p") {
+    import spark.implicits._
+    import graft.operators.Funnel
+    // user 1: view → purchase; user 2: click → (no conversion).
+    // P(conv from start) = 0.5, carried entirely by 'view':
+    // removing view ⇒ 0 (effect 1.0, full share); removing click ⇒
+    // unchanged (effect 0).
+    val ev = Seq(
+      (1L, day(1), 10L, "view"), (1L, day(2), 11L, "purchase"),
+      (2L, day(1), 20L, "click"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val r = Funnel.markovAttribution(ev, "purchase",
+        channels = Seq("view", "click"), rounds = 6)
+      .orderBy(col("channel")).collect()
+    val click = r(0); val view = r(1)
+    assert(view.getString(0) == "view" && click.getString(0) == "click")
+    assert(view.getDouble(1) == 0.5 && click.getDouble(1) == 0.5)
+    assert(view.getDouble(2) == 0.0 && click.getDouble(2) == 0.5)
+    assert(view.getDouble(3) == 1.0 && click.getDouble(3) == 0.0)
+    assert(view.getDouble(4) == 1.0 && click.getDouble(4) == 0.0)
+  }
+
+  test("markovAttribution: journeys truncate at the first conversion") {
+    import spark.implicits._
+    import graft.operators.Funnel
+    // view → purchase → click: the post-conversion click must not
+    // create transitions, so click's removal effect is exactly 0.
+    val ev = Seq(
+      (1L, day(1), 1L, "view"), (1L, day(2), 2L, "purchase"),
+      (1L, day(3), 3L, "click"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val r = Funnel.markovAttribution(ev, "purchase",
+        channels = Seq("view", "click"), rounds = 6)
+      .orderBy(col("channel")).collect()
+    assert(r(0).getDouble(1) == 1.0)          // p_conv_full
+    assert(r(0).getDouble(3) == 0.0)          // click removal effect
+    assert(r(1).getDouble(3) == 1.0)          // view carries everything
+  }
+
+  test("lpaCommunities: bridge between two triangles splits them") {
+    import spark.implicits._
+    import graft.operators.Graph
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"),
+      ("d", "e"), ("e", "f"), ("d", "f"), ("c", "d")).toDF("x", "y")
+    val r = Graph.lpaCommunities(edges, "x", "y", iters = 4)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r.values.toSeq.sorted == Seq(3L, 3L))
+    assert(r.size == 2)
+  }
+
   test("powerTwoProportion: degenerate all/none conversion gives NULL n") {
     import spark.implicits._
     import graft.operators.Metrics
