@@ -3159,6 +3159,29 @@ object SparkEntry {
         col("n_alloc"), col("sampling_fraction"))
       .orderBy(col("source"))
 
+  /** Cliff's delta between the parity arms per event type — the
+    * ordinal effect-size readout next to q_events_mwu's z. */
+  private def qEventsCliffsDelta(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Metrics.cliffsDelta(t(s, dir, "events"),
+        col("event_type"), col("user_id") % 2,
+        round(col("value") * 100, 0).cast("long"))
+      .withColumnRenamed("g", "event_type")
+      .orderBy(col("event_type"))
+
+  /** Brown–Forsythe variance-homogeneity test across event types —
+    * the precondition ANOVA/pooled-σ readouts silently assume. */
+  private def qEventsLevene(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Metrics.brownForsythe(t(s, dir, "events"),
+      col("event_type"), col("value"))
+
+  /** Distinct-1/2/3 n-gram diversity per source — the template-spam /
+    * decode-collapse detector for generated corpora. */
+  private def qCorpusDistinctN(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.distinctN(t(s, dir, "documents"),
+        "text", col("source"))
+      .withColumnRenamed("g", "source")
+      .orderBy(col("source"), col("n"))
+
   /** Markov removal-effect attribution over user journeys (absorbing
     * chain; 12 quantized value-iteration rounds) — the data-driven
     * credit model next to q_events_attribution's last-touch. */
@@ -4081,6 +4104,9 @@ object SparkEntry {
     "q_hhi_concentration" -> (qHhiConcentration _),
     "markov_attribution" -> (qMarkovAttribution _),
     "graph_lpa" -> (qGraphLpa _),
+    "q_events_cliffs_delta" -> (qEventsCliffsDelta _),
+    "q_events_levene" -> (qEventsLevene _),
+    "corpus_distinct_n" -> (qCorpusDistinctN _),
     "collocations_llr" -> (qCollocationsLlr _),
     "emb_isotropy" -> (qEmbIsotropy _),
     "lr_conformal" -> (qLrConformal _),
@@ -8270,6 +8296,105 @@ object SparkEntry {
     "q_events_ewma" -> ewmaOracle,
     "markov_attribution" -> markovAttributionOracle,
     "graph_lpa" -> lpaOracle,
+    "q_events_cliffs_delta" ->
+      """WITH e AS (SELECT event_type AS g, CAST(user_id % 2 AS INT) AS v,
+             CAST(round(value * 100, 0) AS BIGINT) AS x FROM events),
+         bv AS (SELECT g, x,
+             CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ta,
+             CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tb
+           FROM e GROUP BY 1, 2),
+         cum AS (SELECT g, x, ta, tb,
+             coalesce(sum(tb) OVER (PARTITION BY g ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bb,
+             sum(tb) OVER (PARTITION BY g) AS bt
+           FROM bv),
+         agg AS (SELECT g, CAST(sum(ta) AS BIGINT) AS n_a,
+             CAST(max(bt) AS BIGINT) AS n_b,
+             CAST(sum(ta * bb) AS BIGINT) AS gt,
+             CAST(sum(ta * (bt - bb - tb)) AS BIGINT) AS lt
+           FROM cum GROUP BY g),
+         d AS (SELECT *, CAST(gt - lt AS DOUBLE) /
+             (CAST(n_a AS DOUBLE) * n_b) AS delta
+           FROM agg WHERE n_a > 0 AND n_b > 0)
+         SELECT g AS event_type, n_a, n_b, gt, lt,
+           round(delta, 6) AS delta,
+           CASE WHEN abs(delta) < 0.147 THEN 'negligible'
+             WHEN abs(delta) < 0.33 THEN 'small'
+             WHEN abs(delta) < 0.474 THEN 'medium'
+             ELSE 'large' END AS magnitude
+         FROM d ORDER BY 1""",
+    "q_events_levene" ->
+      """WITH base AS (SELECT event_type AS g,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),
+         blocks AS (SELECT g, c AS v, count(*) AS cnt
+           FROM base GROUP BY 1, 2),
+         cum AS (SELECT g, v, cnt,
+             sum(cnt) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM blocks),
+         tot AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n
+           FROM blocks GROUP BY g),
+         med AS (SELECT c.g,
+             min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN v END) AS p50
+           FROM cum c JOIN tot ON tot.g = c.g GROUP BY c.g),
+         e AS (SELECT b.g,
+             CAST(floor((CAST(abs(b.c - m.p50) AS DOUBLE) / 100.0) * 100
+               + 0.5) AS BIGINT) AS c
+           FROM base b JOIN med m ON m.g = b.g),
+         gg AS (SELECT g, CAST(count(*) AS BIGINT) AS ng, sum(c) AS sg,
+                  sum(c * c) AS sgg FROM e GROUP BY g),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(ng) AS BIGINT) AS n,
+                 sum(sg) AS s, sum(sgg) AS ss,
+                 sum(CAST(floor(CAST(sg * sg AS DOUBLE) / ng + 0.5)
+                   AS HUGEINT)) AS bq
+               FROM gg),
+         m2 AS (SELECT *, CAST(floor(CAST(s * s AS DOUBLE) / n + 0.5)
+                  AS HUGEINT) AS grand FROM m)
+         SELECT k, n,
+           round(CAST(bq - grand AS DOUBLE), 4) AS ssb,
+           round(CAST(ss - grand AS DOUBLE) - CAST(bq - grand AS DOUBLE), 4)
+             AS ssw,
+           round(CAST(ss - grand AS DOUBLE), 4) AS sst,
+           CASE WHEN k > 1 AND n > k AND
+               (CAST(ss - grand AS DOUBLE) - CAST(bq - grand AS DOUBLE)) > 0
+             THEN round((CAST(bq - grand AS DOUBLE) / CAST(k - 1 AS DOUBLE)) /
+               ((CAST(ss - grand AS DOUBLE) - CAST(bq - grand AS DOUBLE)) /
+                 CAST(n - k AS DOUBLE)), 4)
+           END AS f_stat,
+           CASE WHEN CAST(ss - grand AS DOUBLE) > 0
+             THEN round(CAST(bq - grand AS DOUBLE) /
+               CAST(ss - grand AS DOUBLE), 6)
+           END AS eta_sq
+         FROM m2""",
+    "corpus_distinct_n" ->
+      """WITH toksd AS (
+           SELECT source AS g, list_filter(
+             regexp_split_to_array(trim(lower(text)), '\s+'),
+             x -> len(x) > 0) AS t
+           FROM documents),
+         g1 AS (SELECT g, unnest(t) AS gram FROM toksd),
+         i2 AS (SELECT g, t,
+             unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+           FROM toksd),
+         g2 AS (SELECT g, t[i] || ' ' || t[i + 1] AS gram FROM i2),
+         i3 AS (SELECT g, t,
+             unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+           FROM toksd),
+         g3 AS (SELECT g, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+             AS gram FROM i3),
+         u AS (
+           SELECT g, 1 AS n, count(*) AS n_grams,
+             count(DISTINCT gram) AS n_unique FROM g1 GROUP BY g
+           UNION ALL SELECT g, 2, count(*), count(DISTINCT gram)
+             FROM g2 GROUP BY g
+           UNION ALL SELECT g, 3, count(*), count(DISTINCT gram)
+             FROM g3 GROUP BY g)
+         SELECT g AS source, CAST(n AS INT) AS n,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_unique AS BIGINT) AS n_unique,
+           round(CAST(n_unique AS DOUBLE) / n_grams, 6) AS distinct_n
+         FROM u ORDER BY source, n""",
     "q_events_pacf" ->
       """WITH daily AS (
            SELECT event_type AS k, CAST(ts AS DATE) AS d, count(*) AS c

@@ -1116,6 +1116,66 @@ object Metrics {
               (least(col("r"), col("c")) - lit(1L)))), 6)).as("cramers_v"))
   }
 
+  /** Cliff's delta ordinal effect size per group between two variants:
+    * δ = (#(a>b) − #(a<b)) / (n_a·n_b) — the assumption-free "how
+    * often does A beat B" companion to [[mannWhitney]]'s significance
+    * (a tiny δ can still be "significant" at scale; δ says whether it
+    * matters). Counted EXACTLY via the tie-block cumulative trick:
+    * group values into distinct-value blocks, one partitioned window
+    * gives the strictly-below mass, products and sums stay long
+    * integers until the single final division. Magnitude labels use
+    * Romano et al. 2006 thresholds (0.147/0.33/0.474).
+    *
+    * Scale: same contract as MWU — windows partition BY GROUP over
+    * the bounded distinct-value frame, never a global sort. */
+  def cliffsDelta(df: DataFrame, grpCol: Column, variantCol: Column,
+                  valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = df.select(grpCol.as("g"), variantCol.cast("int").as("v"),
+      valueCol.as("x"))
+    val bv = e.groupBy(col("g"), col("x"))
+      .agg(sum(when(col("v") === 0, 1L).otherwise(0L)).as("ta"),
+        sum(when(col("v") === 1, 1L).otherwise(0L)).as("tb"))
+    val wBelow = Window.partitionBy(col("g")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(col("g"))
+    val cum = bv
+      .withColumn("bBelow", coalesce(sum(col("tb")).over(wBelow), lit(0L)))
+      .withColumn("bTot", sum(col("tb")).over(wAll))
+    val agg = cum.groupBy(col("g")).agg(
+      sum(col("ta")).as("n_a"), first(col("bTot")).as("n_b"),
+      sum(col("ta") * col("bBelow")).as("gt"),
+      sum(col("ta") * (col("bTot") - col("bBelow") - col("tb"))).as("lt"))
+    val delta = (col("gt") - col("lt")).cast("double") /
+      (col("n_a").cast("double") * col("n_b"))
+    agg.select(col("g"), col("n_a"), col("n_b"), col("gt"), col("lt"),
+      when(col("n_a") > 0 && col("n_b") > 0, round(delta, 6)).as("delta"),
+      when(col("n_a") > 0 && col("n_b") > 0,
+        when(abs(delta) < 0.147, "negligible")
+          .when(abs(delta) < 0.33, "small")
+          .when(abs(delta) < 0.474, "medium")
+          .otherwise("large")).as("magnitude"))
+  }
+
+  /** Brown–Forsythe homogeneity-of-variance test: one-way ANOVA over
+    * the absolute deviations from each group's MEDIAN (the
+    * robust-center Levene variant) — the precondition check the
+    * equal-variance readouts (ANOVA itself, pooled-σ z tests) assume
+    * and never verify. Medians are exact nearest-rank over integer
+    * cents; |c − med| stays integer into [[anovaOneWay]]'s exact
+    * moment machinery. */
+  def brownForsythe(df: DataFrame, grpCol: Column,
+                    valueCol: Column): DataFrame = {
+    val base = df.select(grpCol.as("g"),
+      floor(valueCol * 100 + 0.5).cast("long").as("c"))
+    val med = exactPercentilesByGroup(base, col("g"), col("c"), Seq(50))
+      .select(col("g"), col("p50"))
+    val y = base.join(med, "g")
+      .select(col("g"), (abs(col("c") - col("p50")).cast("double") /
+        lit(100.0)).as("y"))
+    anovaOneWay(y, col("g"), col("y"))
+  }
+
   /** Herfindahl–Hirschman concentration per group: units' value shares
     * squared and summed (0–10,000 scale), the top unit's share, and the
     * effective competitor count 1/Σs² — the market-concentration

@@ -1137,6 +1137,35 @@ object TextAnalysis {
         round((col("sy") - slope * col("sx")) / col("n"), 4).as("intercept"))
   }
 
+  /** Distinct-n diversity per group (Li et al., NAACL 2016): for
+    * n = 1..maxN, the share of UNIQUE n-grams among all n-grams — the
+    * standard repetitiveness/diversity readout for generated corpora
+    * (distinct-2 near 0 ⇒ the source is template spam or decode-mode
+    * collapse). N-grams stay within documents (no cross-doc joins);
+    * building them is a bounded map-side transform over the token
+    * array, then one exact count + count-distinct per (group, n). */
+  def distinctN(df: DataFrame, textCol: String, grpCol: Column,
+                maxN: Int = 3): DataFrame = {
+    val base = df.select(grpCol.as("g"),
+      tokens(lower(col(textCol))).as("t"))
+    (1 to maxN).map { n =>
+      val grams =
+        if (n == 1) col("t")
+        else when(size(col("t")) >= n,
+          transform(sequence(lit(1), size(col("t")) - (n - 1)), i =>
+            concat_ws(" ", (0 until n).map(o =>
+              element_at(col("t"), i + o)): _*)))
+          .otherwise(array())
+      base.select(col("g"), explode(grams).as("gram"))
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n_grams"),
+          countDistinct(col("gram")).as("n_unique"))
+        .select(col("g"), lit(n).as("n"), col("n_grams"), col("n_unique"),
+          round(col("n_unique").cast("double") / col("n_grams"), 6)
+            .as("distinct_n"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Markdown/structure profile per document: line counts for ATX
     * headings, code fences, and list bullets, plus inline link count
     * and a 0–4 signal score — the format router a mixed web/docs

@@ -305,6 +305,55 @@ class R10dOpsSpec extends AnyFunSuite {
     assert(r.size == 2)
   }
 
+  test("cliffsDelta: complete dominance is +1, ties land at 0") {
+    import spark.implicits._
+    import graft.operators.Metrics
+    // arm 0 values {3,4} all beat arm 1 values {1,2}: gt = 4, lt = 0,
+    // δ = 4/4 = 1 (note: gt counts arm-0 ABOVE arm-1).
+    val dom = Seq(("g", 0, 3L), ("g", 0, 4L), ("g", 1, 1L), ("g", 1, 2L))
+      .toDF("g", "v", "x")
+    val r = Metrics.cliffsDelta(dom, col("g"), col("v"), col("x")).head()
+    assert(r.getLong(1) == 2 && r.getLong(2) == 2)
+    assert(r.getLong(3) == 4 && r.getLong(4) == 0)
+    assert(r.getDouble(5) == 1.0 && r.getString(6) == "large")
+    // identical distributions: δ = 0, negligible
+    val tie = Seq(("g", 0, 5L), ("g", 1, 5L)).toDF("g", "v", "x")
+    val rt = Metrics.cliffsDelta(tie, col("g"), col("v"), col("x")).head()
+    assert(rt.getDouble(5) == 0.0 && rt.getString(6) == "negligible")
+  }
+
+  test("brownForsythe: equal spread about different centers gives F = 0") {
+    import spark.implicits._
+    import graft.operators.Metrics
+    // group a = {1,3} (median 1, |dev| = {0,2}); group b = {10,12}
+    // (median 10, |dev| = {0,2}): deviations identical ⇒ SSB = 0 and
+    // F = 0 — the test correctly ignores the location shift. SS units
+    // are cents² per the anovaOneWay contract: per group the cents
+    // deviations {0,200} have SS 2·100² = 20000 ⇒ SSW = 40000.
+    val df = Seq(("a", 1.0), ("a", 3.0), ("b", 10.0), ("b", 12.0))
+      .toDF("g", "x")
+    val r = Metrics.brownForsythe(df, col("g"), col("x")).head()
+    assert(r.getLong(0) == 2 && r.getLong(1) == 4)
+    assert(r.getDouble(2) == 0.0)       // ssb
+    assert(r.getDouble(3) == 40000.0)   // ssw in cents²
+    assert(r.getDouble(5) == 0.0)       // F
+  }
+
+  test("distinctN: repeated bigrams shrink distinct-2") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // "a b a b a": 1-grams 5 total 2 unique; 2-grams {a b, b a, a b,
+    // b a} = 4 total 2 unique; 3-grams 3 total 2 unique.
+    val df = Seq(("s", "a b a b a")).toDF("src", "text")
+    val r = TextAnalysis.distinctN(df, "text", col("src"))
+      .orderBy(col("n")).collect()
+    assert(r(0).getLong(2) == 5 && r(0).getLong(3) == 2 &&
+      r(0).getDouble(4) == 0.4)
+    assert(r(1).getLong(2) == 4 && r(1).getLong(3) == 2 &&
+      r(1).getDouble(4) == 0.5)
+    assert(r(2).getLong(2) == 3 && r(2).getLong(3) == 2)
+  }
+
   test("powerTwoProportion: degenerate all/none conversion gives NULL n") {
     import spark.implicits._
     import graft.operators.Metrics
