@@ -864,6 +864,29 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("r10d operators: equi-joins only, no UDFs in the new shapes") {
+    // kCore peels via semi-joins, link-pred/LPA wedge through equi-joins
+    // on the shared middle vertex, Markov attribution's only join is the
+    // per-user window frame, stickiness fans out MAP-SIDE (sequence
+    // explode + one broadcast semi-join — a range join here would BNLJ).
+    for (q <- Seq("graph_kcore", "graph_link_pred", "graph_lpa",
+        "markov_attribution", "q_events_stickiness", "q_t_closeness",
+        "q_events_cliffs_delta", "q_hhi_concentration",
+        "retrieval_map", "emb_davies_bouldin")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q has a cartesian:\n${p.take(1200)}")
+      assert(!p.contains("ScalaUDF"), s"$q carries a UDF")
+      graft.operators.CacheScope.drain()
+    }
+  }
+
+  test("r10d link prediction cuts its top-N with TakeOrdered") {
+    val p = plan("graph_link_pred")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1000))
+    graft.operators.CacheScope.drain()
+  }
+
   test("dedup signature kernels are native expressions — no ScalaUDF in the plan") {
     // SimHash and MinHash signatures used to be Scala UDFs: the only
     // opaque scan-side projections left outside whole-stage codegen,
