@@ -3159,6 +3159,48 @@ object SparkEntry {
         col("n_alloc"), col("sampling_fraction"))
       .orderBy(col("source"))
 
+  /** Hurst exponent per event type (aggregated-variance method over
+    * block sizes 1/2/4/8) — long-range-dependence readout. */
+  private def qEventsHurst(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.hurstAggVar(t(s, dir, "events"),
+        col("event_type"), col("ts"))
+      .withColumnRenamed("k", "event_type")
+      .orderBy(col("event_type"))
+
+  /** Paragraph-duplicate profile per source over docs planted with
+    * shared licence/newsletter paragraphs — the granularity between
+    * line boilerplate and whole-doc dedup. */
+  private def qParagraphDupStats(s: SparkSession, dir: String): DataFrame = {
+    val aug = t(s, dir, "documents").select(col("doc_id"), col("source"),
+      concat(col("text"),
+        when(col("doc_id") % 4 === 0,
+          lit("\n\n(c) example corp all rights reserved"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 2,
+          lit("\n\nsubscribe to our newsletter today"))
+          .otherwise(lit(""))).as("t2"))
+    graft.operators.CleaningSignals
+      .paragraphDupStats(aug, "t2", "doc_id", "source")
+      .withColumnRenamed("src", "source")
+      .orderBy(col("source"))
+  }
+
+  /** Class-balanced undersampling audit over the embeddings labels —
+    * every label keeps the minority count in splitmix hash order;
+    * the kept-id checksum pins the exact selection. */
+  private def qSampleClassBalanced(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.classBalanceCard(
+        t(s, dir, "embeddings"), "vec_id", "label")
+      .orderBy(col("label"))
+
+  /** Sample-ratio-mismatch check of the parity assignment per event
+    * type — the sanity gate every A/B readout assumes. */
+  private def qEventsSrm(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Metrics.srmCheck(t(s, dir, "events"),
+        col("event_type"), col("user_id"), col("user_id") % 2)
+      .withColumnRenamed("g", "event_type")
+      .orderBy(col("event_type"))
+
   /** Cliff's delta between the parity arms per event type — the
     * ordinal effect-size readout next to q_events_mwu's z. */
   private def qEventsCliffsDelta(s: SparkSession, dir: String): DataFrame =
@@ -4107,6 +4149,10 @@ object SparkEntry {
     "q_events_cliffs_delta" -> (qEventsCliffsDelta _),
     "q_events_levene" -> (qEventsLevene _),
     "corpus_distinct_n" -> (qCorpusDistinctN _),
+    "q_events_hurst" -> (qEventsHurst _),
+    "paragraph_dup_stats" -> (qParagraphDupStats _),
+    "sample_class_balanced" -> (qSampleClassBalanced _),
+    "q_events_srm" -> (qEventsSrm _),
     "collocations_llr" -> (qCollocationsLlr _),
     "emb_isotropy" -> (qEmbIsotropy _),
     "lr_conformal" -> (qLrConformal _),
@@ -8296,6 +8342,47 @@ object SparkEntry {
     "q_events_ewma" -> ewmaOracle,
     "markov_attribution" -> markovAttributionOracle,
     "graph_lpa" -> lpaOracle,
+    "q_events_hurst" -> hurstOracle,
+    "paragraph_dup_stats" ->
+      """WITH aug AS (SELECT doc_id, source, text ||
+             CASE WHEN doc_id % 4 = 0 THEN chr(10) || chr(10) ||
+               '(c) example corp all rights reserved' ELSE '' END ||
+             CASE WHEN doc_id % 5 = 2 THEN chr(10) || chr(10) ||
+               'subscribe to our newsletter today' ELSE '' END AS t2
+           FROM documents),
+         paras AS (SELECT doc_id, source AS src,
+             unnest(list_filter(list_transform(
+               string_split(t2, chr(10) || chr(10)), p -> trim(p)),
+               p -> len(p) > 0)) AS para
+           FROM aug),
+         dfq AS (SELECT para, count(DISTINCT doc_id) AS nd
+                 FROM paras GROUP BY 1),
+         per AS (SELECT src, count(*) AS n_paras,
+             sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS n_dup,
+             sum(len(para)) AS n_chars,
+             sum(CASE WHEN nd >= 2 THEN len(para) ELSE 0 END) AS ndc
+           FROM paras JOIN dfq USING (para) GROUP BY src)
+         SELECT src AS source, CAST(n_paras AS BIGINT) AS n_paras,
+           CAST(n_dup AS BIGINT) AS n_dup_paras,
+           round(CAST(n_dup AS DOUBLE) / n_paras, 6) AS dup_para_share,
+           round(CAST(ndc AS DOUBLE) / n_chars, 6) AS dup_char_share
+         FROM per ORDER BY source""",
+    "sample_class_balanced" -> classBalancedOracle,
+    "q_events_srm" ->
+      """WITH units AS (SELECT DISTINCT event_type AS g, user_id AS u,
+             CAST(user_id % 2 AS INT) AS v FROM events),
+         agg AS (SELECT g,
+             CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+           FROM units GROUP BY g)
+         SELECT g AS event_type, n_a, n_b,
+           CASE WHEN n_a + n_b > 0 THEN
+             round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) /
+               (n_a + n_b), 6) END AS chi2,
+           CASE WHEN n_a + n_b > 0 THEN
+             CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) /
+               (n_a + n_b) > 3.841 END AS srm_flag
+         FROM agg ORDER BY 1""",
     "q_events_cliffs_delta" ->
       """WITH e AS (SELECT event_type AS g, CAST(user_id % 2 AS INT) AS v,
              CAST(round(value * 100, 0) AS BIGINT) AS x FROM events),
@@ -10449,6 +10536,67 @@ object SparkEntry {
         "o_custkey", "o_orderpriority"))
       .mkString("", "\nUNION ALL\n", "\nORDER BY fd")
   }
+
+  /** Hurst aggregated-variance oracle: one block-variance branch per
+    * scale m (complete blocks only), ln(m) quantized from the SAME
+    * Scala doubles the engine constant-folds, 1e-6-quantized ln-ln
+    * OLS in exact integers. */
+  private val hurstOracle: String = {
+    val ms = Seq(1, 2, 4, 8)
+    val branches = ms.map { m =>
+      val xq = math.floor(math.log(m.toDouble) * 1e6 + 0.5).toLong
+      s"""SELECT k, $m AS m, CAST($xq AS BIGINT) AS xq,
+           CAST(count(*) AS BIGINT) AS nb,
+           (CAST(sum(CAST(bs AS HUGEINT) * bs) AS DOUBLE) / count(*) -
+             (CAST(sum(bs) AS DOUBLE) / count(*)) *
+             (CAST(sum(bs) AS DOUBLE) / count(*))) /
+             CAST(${(m * m).toDouble} AS DOUBLE) AS varm
+         FROM (SELECT k, (i - 1) // $m AS b, count(*) AS bn,
+               CAST(sum(c) AS BIGINT) AS bs FROM idx GROUP BY 1, 2)
+         WHERE bn = $m GROUP BY k"""
+    }.mkString(" UNION ALL ")
+    s"""WITH daily AS (
+         SELECT event_type AS k, CAST(ts AS DATE) AS d, count(*) AS c
+         FROM events GROUP BY 1, 2),
+       idx AS (SELECT k, c,
+           row_number() OVER (PARTITION BY k ORDER BY d) AS i
+         FROM daily),
+       pm AS ($branches),
+       pts AS (SELECT k, xq,
+           CAST(floor(ln(varm) * 1e6 + 0.5) AS BIGINT) AS yq
+         FROM pm WHERE nb >= 2 AND varm > 0),
+       o AS (SELECT k, CAST(count(*) AS BIGINT) AS np,
+           CAST(sum(xq) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+           CAST(sum(xq * yq) AS BIGINT) AS sxy,
+           CAST(sum(xq * xq) AS BIGINT) AS sxx
+         FROM pts GROUP BY k),
+       sl AS (SELECT k, np,
+           CAST(np * sxy - sx * sy AS DOUBLE) /
+             CAST(np * sxx - sx * sx AS DOUBLE) AS slope
+         FROM o)
+       SELECT k AS event_type, np AS n_scales,
+         CASE WHEN np >= 3 THEN round(slope, 4) END AS slope,
+         CASE WHEN np >= 3 THEN round(1.0 + slope / 2.0, 4) END AS hurst
+       FROM sl ORDER BY 1"""
+  }
+
+  /** Class-balanced sampling oracle: the splitmix64 hash-rank replay
+    * (same stage CTEs as the bootstrap) cut at the minority count. */
+  private def classBalancedOracle: String =
+    s"""WITH base AS (SELECT vec_id AS id, label AS lbl FROM embeddings),
+       ${splitmixStagesSql("base", "id", "id, lbl")},
+       r AS (SELECT id, lbl, row_number() OVER
+           (PARTITION BY lbl ORDER BY u53, id) AS rk FROM s3),
+       mn AS (SELECT min(n) AS n_min FROM
+         (SELECT count(*) AS n FROM base GROUP BY lbl)),
+       kept AS (SELECT lbl, id FROM r, mn WHERE rk <= n_min),
+       bef AS (SELECT lbl, CAST(count(*) AS BIGINT) AS n_before
+               FROM base GROUP BY lbl)
+       SELECT k.lbl AS label, max(b.n_before) AS n_before,
+         CAST(count(*) AS BIGINT) AS n_kept,
+         CAST(sum(id) AS BIGINT) AS sum_kept_ids
+       FROM kept k JOIN bef b ON b.lbl = k.lbl
+       GROUP BY k.lbl ORDER BY 1"""
 
   /** Markov removal-effect oracle: journey→transition CTEs mirroring
     * the engine's windows, then one unrolled quantized value-iteration

@@ -117,4 +117,32 @@ object CleaningSignals {
           .as("boiler_frac"),
         col("kept_chars"))
   }
+
+  /** Paragraph-level duplicate profile per source: split on blank
+    * lines, trim, and count the paragraph/char mass sitting in
+    * paragraphs that appear in ≥2 DISTINCT docs anywhere in the corpus
+    * — the granularity between [[lineBoilerplate]]'s nav chrome and
+    * whole-doc dedup (licence blocks, shared disclaimers, quoted
+    * intros survive both). Same shape: one explode → one
+    * distinct-doc-count groupBy → one equi-join back. */
+  def paragraphDupStats(df: DataFrame, textCol: String, idCol: String,
+                        srcCol: String): DataFrame = {
+    val paras = df.select(col(idCol).as("pd_id"), col(srcCol).as("src"),
+      explode(filter(transform(split(col(textCol), "\n\n"),
+        p => trim(p)), p => length(p) > 0)).as("para"))
+    val docFreq = paras.groupBy(col("para"))
+      .agg(count_distinct(col("pd_id")).as("nd"))
+    paras.join(docFreq, "para")
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_paras"),
+        sum(length(col("para")).cast("long")).as("n_chars"),
+        sum(when(col("nd") >= 2, length(col("para")).cast("long"))
+          .otherwise(0L)).as("n_dup_chars"))
+      .select(col("src"), col("n_paras"), col("n_dup_paras"),
+        round(col("n_dup_paras").cast("double") / col("n_paras"), 6)
+          .as("dup_para_share"),
+        round(col("n_dup_chars").cast("double") / col("n_chars"), 6)
+          .as("dup_char_share"))
+  }
 }

@@ -1116,6 +1116,27 @@ object Metrics {
               (least(col("r"), col("c")) - lit(1L)))), 6)).as("cramers_v"))
   }
 
+  /** Sample-ratio-mismatch check per group: distinct units by variant
+    * against the expected 50/50 split — χ² = (n_a−n_b)²/n with 1 df and
+    * the α=0.05 flag (3.841). The FIRST sanity gate on any experiment
+    * readout: a significant SRM means the assignment (not the metric)
+    * is broken, and every downstream z/MWU/CUPED number is void.
+    * Exact integer unit counts; one distinct + one groupBy. */
+  def srmCheck(df: DataFrame, grpCol: Column, unitCol: Column,
+               variantCol: Column): DataFrame = {
+    val units = df.select(grpCol.as("g"), unitCol.as("u"),
+      variantCol.cast("int").as("v")).distinct()
+    val agg = units.groupBy(col("g"))
+      .agg(sum(when(col("v") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("v") === 1, 1L).otherwise(0L)).as("n_b"))
+    val n = col("n_a") + col("n_b")
+    val chi2 = ((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")))
+      .cast("double") / n
+    agg.select(col("g"), col("n_a"), col("n_b"),
+      when(n > 0, round(chi2, 6)).as("chi2"),
+      when(n > 0, chi2 > 3.841).as("srm_flag"))
+  }
+
   /** Cliff's delta ordinal effect size per group between two variants:
     * δ = (#(a>b) − #(a<b)) / (n_a·n_b) — the assumption-free "how
     * often does A beat B" companion to [[mannWhitney]]'s significance

@@ -392,4 +392,36 @@ object Sampling {
       .select(col("shard"), col("pos"), col(idCol), col("domain"),
         col("domain_rank"), round(col("vpos"), 6).as("vpos"))
   }
+
+  /** Class-balanced undersampling card: every label keeps exactly the
+    * minority class's row count, chosen in splitmix64(id) hash order
+    * (deterministic, RNG-free) — the label-prior equalizer a
+    * classifier-training set wants before [[stratifiedExactN]]'s
+    * fixed-N variant applies. Returns the per-label audit (before /
+    * kept / kept-id checksum) — the checksum pins the exact selection,
+    * not just its size.
+    *
+    * Same two-phase prune as stratifiedExactN: per-partition top-n_min
+    * first, so no task ever buffers a whole class; the minority count
+    * is a 1-row bounded pull. */
+  def classBalanceCard(df: DataFrame, idCol: String,
+                       labelCol: String): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("id"),
+        col(labelCol).as("lbl"))
+      .withColumn("__u", unitUniform53(col("id")))
+    val nMin = base.groupBy(col("lbl")).agg(count(lit(1)).as("n"))
+      .agg(min(col("n"))).head().getLong(0)
+    val pruned = PartitionPrune.firstNPerKey(base, "lbl",
+      Seq(col("__u"), col("id")), nMin.toInt)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lbl")).orderBy(col("__u"), col("id"))
+    val kept = pruned.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= nMin)
+    val before = base.groupBy(col("lbl")).agg(count(lit(1)).as("n_before"))
+    kept.groupBy(col("lbl"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("id")).as("sum_kept_ids"))
+      .join(before, "lbl")
+      .select(col("lbl").as("label"), col("n_before"), col("n_kept"),
+        col("sum_kept_ids"))
+  }
 }

@@ -399,6 +399,58 @@ object TimeSeries {
       .where(col("n_pairs") > 0) // a lag past the series has no ACF
   }
 
+  /** Hurst exponent per key by the aggregated-variance method
+    * (Taqqu–Teverovsky–Willinger 1995): block-average the daily series
+    * at sizes m ∈ {1,2,4,8}, regress ln Var(mean_m) on ln m — for a
+    * self-similar process Var ~ m^{2H−2}, so H = 1 + slope/2. H ≈ 0.5
+    * is memoryless; H → 1 means long-range dependence (bursts cluster
+    * — the "is this series self-similar" readout next to ACF's fixed
+    * lags).
+    *
+    * Block sums are exact integers; each Var is exact moments with ONE
+    * division pair; ln(m) rides as Scala literals and both ln(Var) and
+    * x quantize to longs at 1e-6 before the 4-point OLS, which then
+    * runs in exact integer algebra until the final slope division. */
+  def hurstAggVar(events: DataFrame, keyCol: Column, tsCol: Column,
+                  ms: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    val daily = events
+      .groupBy(keyCol.as("k"), to_date(tsCol).as("d"))
+      .agg(count(lit(1)).as("c"))
+    val idx = daily.withColumn("i",
+      row_number().over(Window.partitionBy(col("k")).orderBy(col("d"))))
+    val perM = ms.map { m =>
+      val blocks = idx.withColumn("b", expr(s"(i - 1) DIV $m"))
+        .groupBy(col("k"), col("b"))
+        .agg(count(lit(1)).as("bn"), sum(col("c")).as("bs"))
+        .filter(col("bn") === m) // complete blocks only
+      blocks.groupBy(col("k"))
+        .agg(count(lit(1)).as("nb"), sum(col("bs")).as("s1"),
+          sum(col("bs").cast("decimal(38,0)") * col("bs")).as("s2"))
+        .select(col("k"), lit(m).as("m"), col("nb"),
+          ((col("s2").cast("double") / col("nb") -
+            (col("s1").cast("double") / col("nb")) *
+              (col("s1").cast("double") / col("nb"))) /
+            lit((m * m).toDouble)).as("varm"))
+    }.reduce(_ unionAll _)
+    val xLit = ms.tail.foldLeft(
+      when(col("m") === ms.head, lit(math.log(ms.head.toDouble)))) {
+      (acc, m) => acc.when(col("m") === m, lit(math.log(m.toDouble)))
+    }
+    val pts = perM.filter(col("nb") >= 2 && col("varm") > 0)
+      .withColumn("xq", floor(xLit * 1e6 + 0.5).cast("long"))
+      .withColumn("yq", floor(log(col("varm")) * 1e6 + 0.5).cast("long"))
+    val o = pts.groupBy(col("k")).agg(count(lit(1)).as("np"),
+      sum(col("xq")).as("sx"), sum(col("yq")).as("sy"),
+      sum(col("xq") * col("yq")).as("sxy"),
+      sum(col("xq") * col("xq")).as("sxx"))
+    val slope = (col("np") * col("sxy") - col("sx") * col("sy"))
+      .cast("double") /
+      (col("np") * col("sxx") - col("sx") * col("sx")).cast("double")
+    o.select(col("k"), col("np").as("n_scales"),
+      when(col("np") >= 3, round(slope, 4)).as("slope"),
+      when(col("np") >= 3, round(lit(1.0) + slope / 2.0, 4)).as("hurst"))
+  }
+
   /** Partial autocorrelation at lags 1–3 per key via the closed-form
     * Durbin–Levinson recursion over the exact-moment ACF values:
     * φ₁₁ = r₁, φ₂₂ = (r₂−r₁²)/(1−r₁²), and φ₃₃ from the order-2

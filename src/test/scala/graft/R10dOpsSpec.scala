@@ -354,6 +354,85 @@ class R10dOpsSpec extends AnyFunSuite {
     assert(r(2).getLong(2) == 3 && r(2).getLong(3) == 2)
   }
 
+  test("hurstAggVar: linear-trend series replayed against local OLS") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    // counts = 1..16 per day; replicate block variances + the
+    // 1e-6-quantized ln-ln OLS locally and demand exact agreement.
+    val ev = (1 to 16).flatMap(d => (1 to d).map(_ => (day(d), "t")))
+      .toDF("ts", "k")
+    val xs = (1 to 16).map(_.toDouble)
+    def varOf(v: Seq[Double]) = {
+      val m = v.sum / v.length
+      v.map(x => x * x).sum / v.length - m * m
+    }
+    val pts = Seq(1, 2, 4, 8).flatMap { m =>
+      val sums = xs.grouped(m).filter(_.length == m).map(_.sum).toSeq
+      val vm = varOf(sums) / (m * m)
+      if (sums.length >= 2 && vm > 0)
+        Some((math.floor(math.log(m.toDouble) * 1e6 + 0.5).toLong,
+          math.floor(math.log(vm) * 1e6 + 0.5).toLong))
+      else None
+    }
+    val np = pts.length.toLong
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val slope = (np * sxy - sx * sy).toDouble / (np * sxx - sx * sx)
+    val h = BigDecimal(1.0 + slope / 2.0)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = TimeSeries.hurstAggVar(ev, col("k"), col("ts")).head()
+    assert(r.getLong(1) == 4 && r.getDouble(3) == h)
+    // flat series: every block variance is 0 ⇒ no usable points ⇒ the
+    // key drops out of the result entirely (same as the oracle)
+    val flat = (1 to 8).map(d => (day(d), "f")).toDF("ts", "k")
+    assert(TimeSeries.hurstAggVar(flat, col("k"), col("ts")).count() == 0)
+  }
+
+  test("paragraphDupStats: shared paragraph counted once per doc") {
+    import spark.implicits._
+    import graft.operators.CleaningSignals
+    val docs = Seq((1L, "s", "intro\n\nshared"),
+      (2L, "s", "other\n\nshared"), (3L, "s", "solo"))
+      .toDF("doc_id", "source", "text")
+    val r = CleaningSignals
+      .paragraphDupStats(docs, "text", "doc_id", "source").head()
+    assert(r.getLong(1) == 5 && r.getLong(2) == 2)
+    assert(r.getDouble(3) == 0.4)
+    // dup chars 2·6 of total 5+6+5+6+4 = 26
+    assert(r.getDouble(4) == 0.461538)
+  }
+
+  test("classBalanceCard: every label keeps the minority count, hash-ranked") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    import graft.functions.SplitMix64
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (10L, "b"))
+      .toDF("vec_id", "label")
+    val r = Sampling.classBalanceCard(df, "vec_id", "label")
+      .orderBy(col("label")).collect()
+    assert(r(0).getLong(1) == 3 && r(0).getLong(2) == 1)
+    assert(r(1).getLong(1) == 1 && r(1).getLong(2) == 1 &&
+      r(1).getLong(3) == 10L)
+    // label a keeps the id with the smallest splitmix hash
+    val expect = Seq(1L, 2L, 3L).minBy(id => SplitMix64.mix(id) >>> 11)
+    assert(r(0).getLong(3) == expect)
+  }
+
+  test("srmCheck: 10-vs-0 flags, 3-vs-1 does not") {
+    import spark.implicits._
+    import graft.operators.Metrics
+    val ev = ((1 to 10).map(i => ("bad", i * 2L)) ++
+      Seq(("ok", 0L), ("ok", 2L), ("ok", 4L), ("ok", 1L)))
+      .toDF("g", "u")
+    val r = Metrics.srmCheck(ev, col("g"), col("u"), col("u") % 2)
+      .orderBy(col("g")).collect()
+    assert(r(0).getLong(1) == 10 && r(0).getLong(2) == 0 &&
+      r(0).getDouble(3) == 10.0 && r(0).getBoolean(4))
+    assert(r(1).getLong(1) == 3 && r(1).getLong(2) == 1 &&
+      r(1).getDouble(3) == 1.0 && !r(1).getBoolean(4))
+  }
+
   test("powerTwoProportion: degenerate all/none conversion gives NULL n") {
     import spark.implicits._
     import graft.operators.Metrics
