@@ -3159,6 +3159,23 @@ object SparkEntry {
         col("n_alloc"), col("sampling_fraction"))
       .orderBy(col("source"))
 
+  /** MAD modified-z outlier card per event type over daily counts —
+    * the robust detector a spike can't hide from. */
+  private def qEventsMad(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.madOutliers(t(s, dir, "events"),
+        col("event_type"), col("ts"))
+      .withColumnRenamed("k", "event_type")
+      .orderBy(col("event_type"))
+
+  /** Laspeyres/Paasche/Fisher price indices per ship year vs the first
+    * year, matched part basket — the cross-snapshot inflation card. */
+  private def qPriceIndex(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Metrics.priceIndices(t(s, dir, "lineitem"),
+        col("l_partkey"), year(col("l_shipdate")),
+        round(col("l_extendedprice") * 100, 0).cast("long"),
+        round(col("l_quantity"), 0).cast("long"))
+      .orderBy(col("period"))
+
   /** Hurst exponent per event type (aggregated-variance method over
     * block sizes 1/2/4/8) — long-range-dependence readout. */
   private def qEventsHurst(s: SparkSession, dir: String): DataFrame =
@@ -4153,6 +4170,8 @@ object SparkEntry {
     "paragraph_dup_stats" -> (qParagraphDupStats _),
     "sample_class_balanced" -> (qSampleClassBalanced _),
     "q_events_srm" -> (qEventsSrm _),
+    "q_events_mad" -> (qEventsMad _),
+    "q_price_index" -> (qPriceIndex _),
     "collocations_llr" -> (qCollocationsLlr _),
     "emb_isotropy" -> (qEmbIsotropy _),
     "lr_conformal" -> (qLrConformal _),
@@ -8343,6 +8362,78 @@ object SparkEntry {
     "markov_attribution" -> markovAttributionOracle,
     "graph_lpa" -> lpaOracle,
     "q_events_hurst" -> hurstOracle,
+    "q_events_mad" ->
+      """WITH daily AS (
+           SELECT event_type AS k, CAST(ts AS DATE) AS d, count(*) AS c
+           FROM events GROUP BY 1, 2),
+         blocks AS (SELECT k, c AS v, count(*) AS cnt
+           FROM daily GROUP BY 1, 2),
+         cum AS (SELECT k, v, sum(cnt) OVER (PARTITION BY k ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM blocks),
+         tot AS (SELECT k, CAST(sum(cnt) AS BIGINT) AS n
+           FROM blocks GROUP BY k),
+         med AS (SELECT c.k,
+             min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN v END) AS med
+           FROM cum c JOIN tot ON tot.k = c.k GROUP BY c.k),
+         dev AS (SELECT d.k, d.d, d.c, m.med, abs(d.c - m.med) AS dv
+           FROM daily d JOIN med m ON m.k = d.k),
+         dblocks AS (SELECT k, dv AS v, count(*) AS cnt
+           FROM dev GROUP BY 1, 2),
+         dcum AS (SELECT k, v, sum(cnt) OVER (PARTITION BY k ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM dblocks),
+         dtot AS (SELECT k, CAST(sum(cnt) AS BIGINT) AS n
+           FROM dblocks GROUP BY k),
+         madt AS (SELECT c.k,
+             min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN v END) AS mad
+           FROM dcum c JOIN dtot ON dtot.k = c.k GROUP BY c.k),
+         z AS (SELECT dev.k, dev.d, dev.med, madt.mad,
+             0.6745 * CAST(dev.c - dev.med AS DOUBLE) / madt.mad AS z
+           FROM dev JOIN madt ON madt.k = dev.k)
+         SELECT k AS event_type, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(max(med) AS BIGINT) AS median,
+           CAST(max(mad) AS BIGINT) AS mad,
+           CAST(sum(CASE WHEN mad > 0 AND abs(z) > 3.5 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_outliers,
+           round(max(CASE WHEN mad > 0 THEN abs(z) END), 4) AS max_abs_z,
+           min(CASE WHEN mad > 0 AND abs(z) > 3.5 THEN d END)
+             AS first_outlier_day
+         FROM z GROUP BY k ORDER BY 1""",
+    "q_price_index" ->
+      """WITH cell AS (
+           SELECT * FROM (
+             SELECT l_partkey AS i, year(l_shipdate) AS t,
+               CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                 AS BIGINT) AS sp,
+               CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT)
+                 AS sq
+             FROM lineitem GROUP BY 1, 2)
+           WHERE sq > 0),
+         b0 AS (SELECT min(t) AS t0 FROM cell),
+         b AS (SELECT i, sp AS sp0, sq AS sq0 FROM cell, b0
+               WHERE t = t0),
+         j AS (SELECT cell.t, cell.i, cell.sp, cell.sq, b.sp0, b.sq0
+           FROM cell JOIN b ON b.i = cell.i, b0 WHERE cell.t <> b0.t0),
+         agg AS (SELECT t, CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(CAST(floor(CAST(CAST(sp AS HUGEINT) * sq0 AS DOUBLE)
+               / sq * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS ln,
+             CAST(sum(sp0) AS BIGINT) AS ld,
+             CAST(sum(sp) AS BIGINT) AS pn,
+             CAST(sum(CAST(floor(CAST(CAST(sp0 AS HUGEINT) * sq AS DOUBLE)
+               / sq0 * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS pd
+           FROM j GROUP BY t)
+         SELECT CAST(t AS INT) AS period, n_items,
+           CASE WHEN ld > 0 THEN
+             round(CAST(ln AS DOUBLE) / 1e6 / ld, 6) END AS laspeyres,
+           CASE WHEN pd > 0 THEN
+             round(CAST(pn AS DOUBLE) / (CAST(pd AS DOUBLE) / 1e6), 6)
+           END AS paasche,
+           CASE WHEN ld > 0 AND pd > 0 THEN
+             round(sqrt((CAST(ln AS DOUBLE) / 1e6 / ld) *
+               (CAST(pn AS DOUBLE) / (CAST(pd AS DOUBLE) / 1e6))), 6)
+           END AS fisher
+         FROM agg ORDER BY 1""",
     "paragraph_dup_stats" ->
       """WITH aug AS (SELECT doc_id, source, text ||
              CASE WHEN doc_id % 4 = 0 THEN chr(10) || chr(10) ||

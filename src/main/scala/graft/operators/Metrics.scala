@@ -1116,6 +1116,44 @@ object Metrics {
               (least(col("r"), col("c")) - lit(1L)))), 6)).as("cramers_v"))
   }
 
+  /** Laspeyres / Paasche / Fisher price indices per period against the
+    * base (first) period: with per-(item, period) exact integer price
+    * mass sp (cents) and quantity mass sq,
+    *   L_t = Σ (sp_t/sq_t)·sq_0 / Σ sp_0   (base-period basket)
+    *   P_t = Σ sp_t / Σ (sp_0/sq_0)·sq_t   (current-period basket)
+    *   F_t = √(L_t·P_t)
+    * over items traded in BOTH periods (the matched basket). Each
+    * unit-price×quantity term quantizes to a long at 1e-6 before its
+    * sum — the index is a ratio of two order-free integer folds. The
+    * inflation readout for "are prices drifting across my corpus
+    * snapshots", one (item, period) groupBy + one equi-join on item. */
+  def priceIndices(df: DataFrame, itemCol: Column, periodCol: Column,
+                   priceCentsCol: Column, qtyCol: Column): DataFrame = {
+    val cell = df.groupBy(itemCol.as("i"), periodCol.as("t"))
+      .agg(sum(priceCentsCol).as("sp"), sum(qtyCol).as("sq"))
+      .filter(col("sq") > 0)
+    val base = cell.agg(min(col("t"))).head().get(0) // 1-row bounded pull
+    val b = cell.filter(col("t") === lit(base))
+      .select(col("i"), col("sp").as("sp0"), col("sq").as("sq0"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val j = cell.filter(col("t") =!= lit(base)).join(b, "i")
+    val lNum = floor((dec(col("sp")) * col("sq0")).cast("double") /
+      col("sq") * 1e6 + 0.5).cast("long")
+    val pDen = floor((dec(col("sp0")) * col("sq")).cast("double") /
+      col("sq0") * 1e6 + 0.5).cast("long")
+    val agg = j.groupBy(col("t"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(lNum).as("ln"), sum(col("sp0")).as("ld"),
+        sum(col("sp")).as("pn"), sum(pDen).as("pd"))
+    val lasp = col("ln").cast("double") / 1e6 / col("ld")
+    val paas = col("pn").cast("double") / (col("pd").cast("double") / 1e6)
+    agg.select(col("t").as("period"), col("n_items"),
+        when(col("ld") > 0, round(lasp, 6)).as("laspeyres"),
+        when(col("pd") > 0, round(paas, 6)).as("paasche"),
+        when(col("ld") > 0 && col("pd") > 0,
+          round(sqrt(lasp * paas), 6)).as("fisher"))
+  }
+
   /** Sample-ratio-mismatch check per group: distinct units by variant
     * against the expected 50/50 split — χ² = (n_a−n_b)²/n with 1 df and
     * the α=0.05 flag (3.841). The FIRST sanity gate on any experiment

@@ -399,6 +399,40 @@ object TimeSeries {
       .where(col("n_pairs") > 0) // a lag past the series has no ACF
   }
 
+  /** MAD robust-outlier card per key over daily counts
+    * (Iglewicz–Hoaglin 1993): modified z = 0.6745·(c − median)/MAD
+    * with MAD = median(|c − median|), flag |z| > 3.5 — the outlier
+    * detector that survives the outliers themselves (a traffic spike
+    * inflates σ and hides itself from a plain z-score; the median pair
+    * doesn't move). Medians are exact nearest-rank integers
+    * ([[graft.operators.Metrics.exactPercentilesByGroup]]); z is one
+    * deterministic rational per day. */
+  def madOutliers(events: DataFrame, keyCol: Column, tsCol: Column,
+                  thresh: Double = 3.5): DataFrame = {
+    val daily = events
+      .groupBy(keyCol.as("k"), to_date(tsCol).as("d"))
+      .agg(count(lit(1)).as("c"))
+    val med = Metrics.exactPercentilesByGroup(daily, col("k"), col("c"),
+        Seq(50))
+      .select(col("g").as("k"), col("p50").as("med"))
+    val withDev = daily.join(med, "k")
+      .withColumn("dev", abs(col("c") - col("med")))
+    val mad = Metrics.exactPercentilesByGroup(withDev, col("k"),
+        col("dev"), Seq(50))
+      .select(col("g").as("k"), col("p50").as("mad"))
+    val z = lit(0.6745) * (col("c") - col("med")).cast("double") /
+      col("mad")
+    withDev.join(mad, "k")
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_days"),
+        first(col("med")).as("median"), first(col("mad")).as("mad"),
+        sum(when(col("mad") > 0 && abs(z) > thresh, 1L).otherwise(0L))
+          .as("n_outliers"),
+        round(max(when(col("mad") > 0, abs(z))), 4).as("max_abs_z"),
+        min(when(col("mad") > 0 && abs(z) > thresh, col("d")))
+          .as("first_outlier_day"))
+  }
+
   /** Hurst exponent per key by the aggregated-variance method
     * (Taqqu–Teverovsky–Willinger 1995): block-average the daily series
     * at sizes m ∈ {1,2,4,8}, regress ln Var(mean_m) on ln m — for a

@@ -433,6 +433,44 @@ class R10dOpsSpec extends AnyFunSuite {
       r(1).getDouble(3) == 1.0 && !r(1).getBoolean(4))
   }
 
+  test("madOutliers: one spike day flags, robust median pair unmoved") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    // counts 2,2,2,2,2,2,3,50: median 2, deviations {0×6,1,48},
+    // MAD = 0? nearest-rank p50 of {0,0,0,0,0,0,1,48} = 0 ⇒ mad 0 ⇒
+    // no z defined. Use 1,2,1,2,1,2,1,50: median (rank 4 of sorted
+    // 1,1,1,1,2,2,2,50) = 1; dev {0×4,1×3,49}: MAD p50 = 0… also 0.
+    // Take 1,2,3,4,5,6,7,100: median = 4, dev {3,2,1,0,1,2,3,96},
+    // MAD = 2 ⇒ z(100) = 0.6745·96/2 = 32.376 > 3.5 ⇒ 1 outlier (the
+    // z of day 7 is 0.6745·3/2 = 1.01, under threshold).
+    val ev = ((1 to 7).flatMap(d => (1 to d).map(_ => (day(d), "t"))) ++
+      (1 to 100).map(_ => (day(8), "t"))).toDF("ts", "k")
+    val r = TimeSeries.madOutliers(ev, col("k"), col("ts")).head()
+    assert(r.getLong(1) == 8 && r.getLong(2) == 4 && r.getLong(3) == 2)
+    assert(r.getLong(4) == 1 && r.getDouble(5) == 32.376)
+    assert(r.getDate(6).toString == "2024-01-08")
+  }
+
+  test("priceIndices: pure price doubling doubles every index") {
+    import spark.implicits._
+    import graft.operators.Metrics
+    // one item, qty 10 both periods, price mass 1000 → 2000 cents:
+    // L = P = F = 2 exactly.
+    val df = Seq((1L, 2020, 1000L, 10L), (1L, 2021, 2000L, 10L))
+      .toDF("i", "t", "cents", "q")
+    val r = Metrics.priceIndices(df, col("i"), col("t"), col("cents"),
+      col("q")).head()
+    assert(r.getInt(0) == 2021 && r.getLong(1) == 1)
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 2.0 &&
+      r.getDouble(4) == 2.0)
+    // quantity shift with constant prices: indices stay exactly 1
+    val q2 = Seq((1L, 2020, 1000L, 10L), (1L, 2021, 3000L, 30L))
+      .toDF("i", "t", "cents", "q")
+    val r2 = Metrics.priceIndices(q2, col("i"), col("t"), col("cents"),
+      col("q")).head()
+    assert(r2.getDouble(2) == 1.0 && r2.getDouble(3) == 1.0)
+  }
+
   test("powerTwoProportion: degenerate all/none conversion gives NULL n") {
     import spark.implicits._
     import graft.operators.Metrics
