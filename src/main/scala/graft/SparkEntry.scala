@@ -3159,6 +3159,14 @@ object SparkEntry {
         col("n_alloc"), col("sampling_fraction"))
       .orderBy(col("source"))
 
+  /** Holt–Winters additive weekly-seasonal smoothing per event type —
+    * level/trend/next-step forecast + seasonal amplitude. */
+  private def qEventsHoltWinters(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.holtWinters(t(s, dir, "events"),
+        col("event_type"), col("ts"))
+      .withColumnRenamed("k", "event_type")
+      .orderBy(col("event_type"))
+
   /** MAD modified-z outlier card per event type over daily counts —
     * the robust detector a spike can't hide from. */
   private def qEventsMad(s: SparkSession, dir: String): DataFrame =
@@ -4172,6 +4180,7 @@ object SparkEntry {
     "q_events_srm" -> (qEventsSrm _),
     "q_events_mad" -> (qEventsMad _),
     "q_price_index" -> (qPriceIndex _),
+    "q_events_holt_winters" -> (qEventsHoltWinters _),
     "collocations_llr" -> (qCollocationsLlr _),
     "emb_isotropy" -> (qEmbIsotropy _),
     "lr_conformal" -> (qLrConformal _),
@@ -8362,6 +8371,7 @@ object SparkEntry {
     "markov_attribution" -> markovAttributionOracle,
     "graph_lpa" -> lpaOracle,
     "q_events_hurst" -> hurstOracle,
+    "q_events_holt_winters" -> holtWintersOracle,
     "q_events_mad" ->
       """WITH daily AS (
            SELECT event_type AS k, CAST(ts AS DATE) AS d, count(*) AS c
@@ -10626,6 +10636,58 @@ object SparkEntry {
       block("orders.o_custkey->o_orderpriority", "orders",
         "o_custkey", "o_orderpriority"))
       .mkString("", "\nUNION ALL\n", "\nORDER BY fd")
+  }
+
+  /** Holt–Winters oracle: the array-state fold replayed as a recursive
+    * CTE carrying the seasonal LIST column; every smoothing constant
+    * interpolated from the SAME Scala doubles the engine plan bakes
+    * in, l' written as one shared text so all three of its uses are
+    * the identical expression. */
+  private val holtWintersOracle: String = {
+    val m = 7
+    val (al, be, ga) = (0.3, 0.1, 0.2)
+    def d(x: Double) = s"CAST($x AS DOUBLE)"
+    val (sa, sna) = (d(al), d(1.0 - al))
+    val (sb, snb) = (d(be), d(1.0 - be))
+    val (sg, sng) = (d(ga), d(1.0 - ga))
+    val lp = s"$sa * (x.x - h.ss[1]) + $sna * (h.l + h.b)"
+    s"""WITH RECURSIVE daily AS (
+         SELECT event_type AS k, CAST(ts AS DATE) AS d,
+           CAST(count(*) AS DOUBLE) AS cnt
+         FROM events GROUP BY 1, 2),
+       seqd AS MATERIALIZED (
+         SELECT k, cnt AS x,
+           row_number() OVER (PARTITION BY k ORDER BY d) AS i
+         FROM daily),
+       cnts AS (SELECT k, CAST(count(*) AS BIGINT) AS n
+                FROM seqd GROUP BY 1),
+       xs AS (SELECT k, list(x ORDER BY i) AS xs FROM seqd GROUP BY k),
+       ini AS (
+         SELECT xs.k, cnts.n,
+           list_reduce(xs.xs[1:$m], (p, q) -> p + q) / $m AS l0,
+           (list_reduce(xs.xs[${m + 1}:${2 * m}], (p, q) -> p + q) / $m
+             - list_reduce(xs.xs[1:$m], (p, q) -> p + q) / $m) / $m AS b0,
+           list_transform(xs.xs[1:$m],
+             v -> v - list_reduce(xs.xs[1:$m], (p, q) -> p + q) / $m)
+             AS ss
+         FROM xs JOIN cnts ON cnts.k = xs.k WHERE cnts.n >= ${2 * m}),
+       hw AS (
+         SELECT k, ${2 * m} AS i, l0 AS l, b0 AS b, ss FROM ini
+         UNION ALL
+         SELECT h.k, h.i + 1,
+           $lp,
+           $sb * (($lp) - h.l) + $snb * h.b,
+           list_append(h.ss[2:$m],
+             $sg * (x.x - ($lp)) + $sng * h.ss[1])
+         FROM hw h JOIN seqd x ON x.k = h.k AND x.i = h.i + 1),
+       fin AS (SELECT h.* FROM hw h
+               JOIN cnts ON cnts.k = h.k AND h.i = cnts.n)
+       SELECT f.k AS event_type, cnts.n AS n_days,
+         round(f.l, 6) AS level, round(f.b, 6) AS trend,
+         round(f.l + f.b + f.ss[1], 6) AS forecast,
+         round(list_aggregate(f.ss, 'max') - list_aggregate(f.ss, 'min'),
+           6) AS seasonal_amplitude
+       FROM fin f JOIN cnts ON cnts.k = f.k ORDER BY 1"""
   }
 
   /** Hurst aggregated-variance oracle: one block-variance branch per

@@ -399,6 +399,66 @@ object TimeSeries {
       .where(col("n_pairs") > 0) // a lag past the series has no ACF
   }
 
+  /** Holt–Winters ADDITIVE SEASONAL smoothing per key over daily
+    * counts (Winters 1960), period m: the third member of the
+    * smoothing family — [[expSmoothing]] reads level, [[holtSmoothing]]
+    * adds trend, this adds the weekly shape. Classic init (l₀ = mean
+    * of week 1, b₀ = (mean week 2 − mean week 1)/m, s_i = x_i − l₀),
+    * then for t > 2m:
+    *   l' = α(x−s_{t−m}) + (1−α)(l+b);  b' = β(l'−l) + (1−β)b;
+    *   s_t = γ(x−l') + (1−γ)s_{t−m}
+    * with the seasonal vector carried as a sliding array INSIDE the
+    * fold state — the aggregate() struct fold extended to an array
+    * field, same identical-double-sequence contract as Holt, so the
+    * whole thing replays as a recursive CTE with a LIST column.
+    * Keys with fewer than 2m days are dropped (no valid init).
+    * Output: final level/trend, next-step forecast l+b+s_next, and the
+    * seasonal amplitude max(s)−min(s). */
+  def holtWinters(events: DataFrame, keyCol: Column, tsCol: Column,
+                  m: Int = 7, alpha: Double = 0.3, beta: Double = 0.1,
+                  gamma: Double = 0.2): DataFrame = {
+    val daily = events
+      .groupBy(keyCol.as("k"), to_date(tsCol).as("d"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    val seq0 = daily.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_days"),
+        sort_array(collect_list(struct(col("d"), col("cnt")))).as("ord"))
+      .select(col("k"), col("n_days"),
+        transform(col("ord"), e => e.getField("cnt")).as("xs"))
+      .filter(col("n_days") >= 2 * m)
+    val a = lit(alpha); val na = lit(1.0 - alpha)
+    val bb = lit(beta); val nb = lit(1.0 - beta)
+    val g = lit(gamma); val ng = lit(1.0 - gamma)
+    def winSum(from: Int) =
+      aggregate(slice(col("xs"), lit(from), lit(m)), lit(0.0),
+        (acc, x) => acc + x)
+    val l0 = winSum(1) / m
+    val b0 = (winSum(m + 1) / m - l0) / m
+    val ss0 = transform(slice(col("xs"), lit(1), lit(m)), x => x - l0)
+    val init = struct(l0.as("l"), b0.as("b"), ss0.as("ss"))
+    def lNext(acc: Column, x: Column): Column =
+      a * (x - element_at(acc.getField("ss"), 1)) +
+        na * (acc.getField("l") + acc.getField("b"))
+    val fin = aggregate(
+      slice(col("xs"), lit(2 * m + 1),
+        greatest(size(col("xs")) - 2 * m, lit(0))),
+      init,
+      (acc, x) => struct(
+        lNext(acc, x).as("l"),
+        (bb * (lNext(acc, x) - acc.getField("l")) +
+          nb * acc.getField("b")).as("b"),
+        concat(slice(acc.getField("ss"), 2, m - 1),
+          array(g * (x - lNext(acc, x)) +
+            ng * element_at(acc.getField("ss"), 1))).as("ss")))
+    seq0.select(col("k"), col("n_days"),
+      round(fin.getField("l"), 6).as("level"),
+      round(fin.getField("b"), 6).as("trend"),
+      round(fin.getField("l") + fin.getField("b") +
+        element_at(fin.getField("ss"), 1), 6).as("forecast"),
+      round(array_max(fin.getField("ss")) -
+        array_min(fin.getField("ss")), 6).as("seasonal_amplitude"))
+  }
+
   /** MAD robust-outlier card per key over daily counts
     * (Iglewicz–Hoaglin 1993): modified z = 0.6745·(c − median)/MAD
     * with MAD = median(|c − median|), flag |z| > 3.5 — the outlier

@@ -471,6 +471,45 @@ class R10dOpsSpec extends AnyFunSuite {
     assert(r2.getDouble(2) == 1.0 && r2.getDouble(3) == 1.0)
   }
 
+  test("holtWinters: flat series is an exact fixed point; replay matches") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    // flat 21 days at count 3: l stays 3, b stays 0, every seasonal
+    // stays 0 ⇒ forecast 3, amplitude 0 — all exact.
+    val flat = (1 to 21).flatMap(d => (1 to 3).map(_ => (day(d), "f")))
+      .toDF("ts", "k")
+    val rf = TimeSeries.holtWinters(flat, col("k"), col("ts")).head()
+    assert(rf.getLong(1) == 21 && rf.getDouble(2) == 3.0 &&
+      rf.getDouble(3) == 0.0 && rf.getDouble(4) == 3.0 &&
+      rf.getDouble(5) == 0.0)
+    // 16-day alternating 1/3 with m=2: replay the identical recursion
+    // locally and demand exact agreement on every output.
+    val ev = (1 to 16).flatMap { i =>
+      (1 to (if (i % 2 == 0) 3 else 1)).map(_ => (day(i), "alt"))
+    }.toDF("ts", "k")
+    val xs = (1 to 16).map(i => if (i % 2 == 0) 3.0 else 1.0)
+    val (m, a, b, g) = (2, 0.3, 0.1, 0.2)
+    val l0 = xs.take(m).sum / m
+    val b0 = (xs.slice(m, 2 * m).sum / m - l0) / m
+    var (l, bt) = (l0, b0)
+    var ss = xs.take(m).map(_ - l0).toVector
+    for (x <- xs.drop(2 * m)) {
+      val lp = a * (x - ss.head) + (1 - a) * (l + bt)
+      val bp = b * (lp - l) + (1 - b) * bt
+      ss = ss.tail :+ (g * (x - lp) + (1 - g) * ss.head)
+      l = lp; bt = bp
+    }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = TimeSeries.holtWinters(ev, col("k"), col("ts"), m = 2).head()
+    assert(r.getDouble(2) == r6(l) && r.getDouble(3) == r6(bt))
+    assert(r.getDouble(4) == r6(l + bt + ss.head))
+    assert(r.getDouble(5) == r6(ss.max - ss.min))
+    // fewer than 2m days: the key is dropped (no valid init)
+    val short = (1 to 10).map(d => (day(d), "s")).toDF("ts", "k")
+    assert(TimeSeries.holtWinters(short, col("k"), col("ts")).count() == 0)
+  }
+
   test("powerTwoProportion: degenerate all/none conversion gives NULL n") {
     import spark.implicits._
     import graft.operators.Metrics
