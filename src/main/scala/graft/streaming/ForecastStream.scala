@@ -97,6 +97,78 @@ object ForecastStream {
       }
   }
 
+  case class EwmaUpdate(key: String, bucket_start_us: Long, cnt: Double,
+                        ewma: Double, limit: Double, alarm: Boolean)
+
+  case class EwmaState(z: Double, w: Double, nSealed: Long,
+                       open: Map[Long, Double])
+
+  /** Streaming EWMA control chart — the continuous twin of
+    * [[graft.operators.TimeSeries.ewmaControl]], run against a
+    * PERSISTED per-key reference (μ, σ) exactly like the KS/PSI drift
+    * gates: in-control statistics come from a reference corpus, never
+    * from the stream judging itself. Buckets seal watermark-ordered,
+    * so the (z, w) recursion equals the batch fold over the sealed
+    * prefix (z₁ = first sealed count; w tracks (1−λ)^{2t} for the
+    * time-varying startup limits). Keys absent from the reference are
+    * dropped — a gate can only watch what it has a baseline for. The
+    * reference map is bounded by the key domain (the k-means
+    * bounded-pull contract) and rides the closure. */
+  def ewmaAlarms(events: DataFrame, ref: Map[String, (Double, Double)],
+                 lambda: Double = 0.2, l: Double = 3.0,
+                 bucketUs: Long = 3600000000L,
+                 latenessDelay: String = "1 hour",
+                 keyCol: String = "event_type",
+                 tsCol: String = "ts"): Dataset[EwmaUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val w2 = (1.0 - lambda) * (1.0 - lambda)
+    val f = lambda / (2.0 - lambda)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ds = events.withWatermark(tsCol, latenessDelay)
+      .select(col(keyCol).as("k"), unix_micros(col(tsCol)).as("tsUs"),
+        col(tsCol).as("wm_ts"))
+      .as[(String, Long, java.sql.Timestamp)]
+      .filter(r => ref.contains(r._1))
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.EventTimeTimeout) {
+        (key: String, it: Iterator[(String, Long, java.sql.Timestamp)],
+         state: GroupState[EwmaState]) =>
+          val (mu, sigma) = ref(key)
+          val st0 = state.getOption
+            .getOrElse(EwmaState(0.0, 1.0, 0L, Map.empty))
+          val open = scala.collection.mutable.Map(st0.open.toSeq: _*)
+          if (!state.hasTimedOut)
+            for ((_, tsUs, _) <- it) {
+              val b = Math.floorDiv(tsUs, bucketUs) * bucketUs
+              open(b) = open.getOrElse(b, 0.0) + 1.0
+            }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          var (z, w, n) = (st0.z, st0.w, st0.nSealed)
+          val sealed0 = open.keys.filter(_ + bucketUs <= wmUs).toSeq.sorted
+          val out = sealed0.map { bk =>
+            val cnt = open.remove(bk).get
+            n += 1
+            if (n == 1L) { z = cnt; w = w2 }
+            else { z = lambda * cnt + (1.0 - lambda) * z; w = w * w2 }
+            val limit = l * sigma * math.sqrt(f * (1.0 - w))
+            EwmaUpdate(key, bk, cnt, r6(z), r6(limit),
+              math.abs(z - mu) > limit)
+          }
+          if (open.isEmpty && n == 0L) state.remove()
+          else {
+            state.update(EwmaState(z, w, n, open.toMap))
+            if (open.nonEmpty)
+              state.setTimeoutTimestamp(
+                ((open.keys.min + bucketUs) / 1000L + 1L)
+                  .max(state.getCurrentWatermarkMs() + 1L))
+          }
+          out.iterator
+      }
+  }
+
   def levels(events: DataFrame, alpha: Double = 0.3,
              bucketUs: Long = 3600000000L, latenessDelay: String = "1 hour",
              keyCol: String = "event_type",

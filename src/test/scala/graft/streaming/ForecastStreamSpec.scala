@@ -130,4 +130,59 @@ class ForecastStreamSpec extends AnyFunSuite {
     // hour 1 sealed -> consumed as x1, no emission yet
     assert(out.filter(_.key == "q").isEmpty)
   }
+
+  private def runEwma(ref: Map[String, (Double, Double)],
+                      batches: Seq[Seq[(String, Long)]]): Seq[ForecastStream.EwmaUpdate] = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val df = input.toDF().toDF("event_type", "us")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val out = ForecastStream.ewmaAlarms(df, ref, lambda = 0.2, l = 3.0,
+      bucketUs = H, latenessDelay = "0 seconds")
+    val qname = s"ewma_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(qname)
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      spark.table(qname).as[ForecastStream.EwmaUpdate].collect().toSeq
+        .sortBy(u => (u.key, u.bucket_start_us))
+    } finally q.stop()
+  }
+
+  test("ewmaAlarms: sealed buckets replay the batch recursion and alarm vs the reference") {
+    // counts 2, 2, 20 vs reference μ=2, σ=1: z = 2, 2, then
+    // 0.2·20 + 0.8·2 = 5.6; limits 3·√(0.1111·(1−0.8^{2t})):
+    // t3 limit = 3·√(0.1111·(1−0.262144)) = 0.8605·√... compute in
+    // the local replay below; |5.6−2| = 3.6 must breach.
+    val rows = Seq(2, 2, 20).zipWithIndex.flatMap { case (c, h) =>
+      (1 to c).map(i => ("e", (h + 1) * H + i * 1000L))
+    }
+    val out = runEwma(Map("e" -> (2.0, 1.0)),
+      Seq(rows, Seq(("e", 9 * H))))
+    val e = out.filter(_.key == "e")
+    assert(e.map(_.cnt) == Seq(2.0, 2.0, 20.0))
+    // local replay of the identical recursion
+    val (lam, w2, f) = (0.2, 0.64, 0.2 / 1.8)
+    var (z, w) = (2.0, w2)
+    val expect = Seq(2.0, 2.0, 20.0).zipWithIndex.map { case (c, i) =>
+      if (i > 0) { z = lam * c + (1 - lam) * z; w = w * w2 }
+      val lim = 3.0 * 1.0 * math.sqrt(f * (1 - w))
+      (z, lim, math.abs(z - 2.0) > lim)
+    }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(e.map(_.ewma) == expect.map(p => r6(p._1)))
+    assert(e.map(_.limit) == expect.map(p => r6(p._2)))
+    assert(e.map(_.alarm) == expect.map(_._3))
+    assert(e.last.alarm) // the spike day breaches
+    assert(!e.head.alarm) // in-control start does not
+  }
+
+  test("ewmaAlarms: keys without a reference are dropped") {
+    val out = runEwma(Map("known" -> (1.0, 1.0)),
+      Seq(Seq(("known", 1 * H), ("unknown", 1 * H)),
+        Seq(("known", 5 * H), ("unknown", 5 * H))))
+    assert(out.map(_.key).distinct == Seq("known"))
+  }
 }
