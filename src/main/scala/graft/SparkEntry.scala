@@ -1132,6 +1132,12 @@ object SparkEntry {
     graft.operators.Pca.powerTopComponent(t(s, dir, "embeddings"),
       "vec_id", "embedding", iters = 8)
 
+  /** Two deflated principal components + the spectral ratio λ₂/λ₁ —
+    * "how one-dimensional is this embedding space, and what's next". */
+  private def qEmbPca2(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Pca.powerTwoComponents(t(s, dir, "embeddings"),
+      "vec_id", "embedding", iters = 8)
+
   /** Corpus-level line-boilerplate profile with deterministic repeated
     * footer/banner injection by doc_id residue (the cleaning_signals
     * noise-injection precedent) so the cross-doc repeated-line path is
@@ -4289,6 +4295,7 @@ object SparkEntry {
     "linkage_sorted_nbhd" -> (qLinkageSortedNbhd _),
     "source_vocab_overlap_hll" -> (qSourceVocabOverlapHll _),
     "emb_pca_power" -> (qEmbPcaPower _),
+    "emb_pca2" -> (qEmbPca2 _),
     "q_events_mwu_fdr" -> (qEventsMwuFdr _),
     "q_cms_heavy_change" -> (qCmsHeavyChange _),
     "bigram_lm_kn" -> (qBigramLmKn _),
@@ -10341,6 +10348,9 @@ object SparkEntry {
           JOIN vfin fb ON p.gb = fb.grp
           ORDER BY source_a, source_b""",
     "emb_pca_power" -> graft.operators.Pca.oracleSql(
+      "SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+      iters = 8),
+    "emb_pca2" -> graft.operators.Pca.oracle2Sql(
       "SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
       iters = 8),
     "q_events_mwu_fdr" ->

@@ -35,31 +35,12 @@ object Pca {
   private def q9(c: org.apache.spark.sql.Column) =
     floor(c * lit(1e9) + lit(0.5)).cast("decimal(38,0)")
 
-  /** Per-dim frame (dim, mean, loading, lambda, total_var,
-    * explained_ratio) — the last three repeat on every row (the
-    * single-component summary alongside the per-dim table). */
-  def powerTopComponent(df: DataFrame, idCol: String, embCol: String,
-                        iters: Int = 8): DataFrame = {
-    val spark = df.sparkSession
+  /** The quantized power-iteration loop over a centered (id, d, xh)
+    * relation — shared by the top-component and the deflated
+    * second-component paths. Same contract as documented above. */
+  private def iterate(xh: DataFrame, dims: Int, iters: Int): Array[Double] = {
+    val spark = xh.sparkSession
     import spark.implicits._
-    val ex = df.select(col(idCol).as("__id"),
-        col(embCol).cast("array<double>").as("v"))
-      .select(col("__id"), posexplode(col("v")).as(Seq("d", "x")))
-    // per-dim quantized means — one pass, D-row bounded collect
-    val mrows = ex.groupBy(col("d"))
-      .agg(sum(q9(col("x"))).as("sq"), count(lit(1)).as("n"))
-      .collect()
-    require(mrows.nonEmpty, "pca: empty input")
-    val dims = mrows.map(_.getInt(0)).max + 1
-    val n = mrows.head.getLong(2)
-    val mu = new Array[Double](dims)
-    mrows.foreach { r =>
-      mu(r.getInt(0)) = r.getDecimal(1).doubleValue() / 1e9 / n.toDouble }
-    val muDf = mu.zipWithIndex.map { case (m, d) => (d, m) }.toSeq
-      .toDF("d", "mu")
-    val xh = CacheScope.scratch(
-      ex.join(broadcast(muDf), "d")
-        .select(col("__id"), col("d"), (col("x") - col("mu")).as("xh")))
     var v = Array.fill(dims)(1.0 / math.sqrt(dims.toDouble))
     for (_ <- 1 to iters) {
       val vdf = v.zipWithIndex.map { case (s, d) => (d, s) }.toSeq
@@ -89,6 +70,49 @@ object Pca {
       // bit-exactly with the SQL replay's floor(x*1e12 + 0.5)/1e12
       v = u.map(x => math.floor(sgn * x / norm * 1e12 + 0.5) / 1e12)
     }
+    v
+  }
+
+  private case class Centered(xh: DataFrame, dims: Int, n: Long,
+                              mu: Array[Double])
+
+  /** Explode + center: the scratch-cached (id, d, x̂) relation every
+    * power-iteration path reads, plus the D-bounded means pull. */
+  private def center(df: DataFrame, idCol: String,
+                     embCol: String): Centered = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ex = df.select(col(idCol).as("__id"),
+        col(embCol).cast("array<double>").as("v"))
+      .select(col("__id"), posexplode(col("v")).as(Seq("d", "x")))
+    // per-dim quantized means — one pass, D-row bounded collect
+    val mrows = ex.groupBy(col("d"))
+      .agg(sum(q9(col("x"))).as("sq"), count(lit(1)).as("n"))
+      .collect()
+    require(mrows.nonEmpty, "pca: empty input")
+    val dims = mrows.map(_.getInt(0)).max + 1
+    val n = mrows.head.getLong(2)
+    val mu = new Array[Double](dims)
+    mrows.foreach { r =>
+      mu(r.getInt(0)) = r.getDecimal(1).doubleValue() / 1e9 / n.toDouble }
+    val muDf = mu.zipWithIndex.map { case (m, d) => (d, m) }.toSeq
+      .toDF("d", "mu")
+    val xh = CacheScope.scratch(
+      ex.join(broadcast(muDf), "d")
+        .select(col("__id"), col("d"), (col("x") - col("mu")).as("xh")))
+    Centered(xh, dims, n, mu)
+  }
+
+  /** Per-dim frame (dim, mean, loading, lambda, total_var,
+    * explained_ratio) — the last three repeat on every row (the
+    * single-component summary alongside the per-dim table). */
+  def powerTopComponent(df: DataFrame, idCol: String, embCol: String,
+                        iters: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val c = center(df, idCol, embCol)
+    val xh = c.xh; val dims = c.dims; val n = c.n; val mu = c.mu
+    val v = iterate(xh, dims, iters)
     // final variance pass with the converged v
     val vdf = v.zipWithIndex.map { case (s, d) => (d, s) }.toSeq.toDF("d", "s")
     val proj = xh.join(broadcast(vdf), "d")
@@ -116,36 +140,95 @@ object Pca {
       .orderBy(col("dim"))
   }
 
+  /** Two-component readout: v₁ by power iteration, then DEFLATION —
+    * x̂₂ = x̂ − (x̂·v₁)v₁ with the projection quantized at 1e-9 (the
+    * same integer the iteration itself uses) — and v₂ by the identical
+    * loop over the deflated relation. Per-dim loadings for both
+    * components plus λ₁, λ₂, total variance, both explained ratios and
+    * the spectral ratio λ₂/λ₁ — "how one-dimensional is this corpus,
+    * and what's the next direction". Cost: exactly two of the
+    * single-component passes over the same scratch-cached relation. */
+  def powerTwoComponents(df: DataFrame, idCol: String, embCol: String,
+                         iters: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val c = center(df, idCol, embCol)
+    val v1 = iterate(c.xh, c.dims, iters)
+    val v1df = v1.zipWithIndex.map { case (s, d) => (d, s) }.toSeq
+      .toDF("d", "s")
+    def projOf(rel: DataFrame, vdf: DataFrame) =
+      rel.join(broadcast(vdf), "d")
+        .groupBy(col("__id"))
+        .agg(sum(q9(col("xh") * col("s"))).as("dq"))
+    val p1 = projOf(c.xh, v1df)
+    val xh2 = CacheScope.scratch(
+      c.xh.join(p1, "__id").join(broadcast(v1df), "d")
+        .select(col("__id"), col("d"),
+          (col("xh") - (col("dq").cast("double") / lit(1e9)) * col("s"))
+            .as("xh")))
+    val v2 = iterate(xh2, c.dims, iters)
+    val v2df = v2.zipWithIndex.map { case (s, d) => (d, s) }.toSeq
+      .toDF("d", "s")
+    def lambdaOf(rel: DataFrame, vdf: DataFrame, name: String) =
+      projOf(rel, vdf).agg(
+        (sum(q9((col("dq").cast("double") / lit(1e9)) *
+          (col("dq").cast("double") / lit(1e9)))).cast("double") /
+          lit(1e9) / lit(c.n.toDouble)).as(name))
+    val l1 = lambdaOf(c.xh, v1df, "lambda1")
+    val l2 = lambdaOf(xh2, v2df, "lambda2")
+    val tot = c.xh.agg((sum(q9(col("xh") * col("xh"))).cast("double") /
+      lit(1e9) / lit(c.n.toDouble)).as("tot"))
+    val vDf = v1.zip(v2).zipWithIndex
+      .map { case ((s1, s2), d) => (d, s1, s2) }.toSeq
+      .toDF("dim", "v1_raw", "v2_raw")
+    vDf.crossJoin(broadcast(l1)).crossJoin(broadcast(l2))
+      .crossJoin(broadcast(tot))
+      .select(col("dim"),
+        round(col("v1_raw"), 6).as("loading1"),
+        round(col("v2_raw"), 6).as("loading2"),
+        round(col("lambda1"), 4).as("lambda1"),
+        round(col("lambda2"), 4).as("lambda2"),
+        round(col("tot"), 4).as("total_var"),
+        round(col("lambda1") / col("tot"), 6).as("explained_1"),
+        round(col("lambda2") / col("tot"), 6).as("explained_2"),
+        round(col("lambda2") / col("lambda1"), 6).as("spectral_ratio"))
+      .orderBy(col("dim"))
+  }
+
+  private def roundsSql(pfx: String, xh: String, iters: Int): String =
+    (1 to iters).map { k =>
+      val p = s"${pfx}v${k - 1}"
+      s"""${pfx}dq$k AS MATERIALIZED (
+           SELECT $xh.id,
+             sum(CAST(floor($xh.xh * p.s * 1e9 + 0.5) AS HUGEINT)) AS dq
+           FROM $xh JOIN $p p ON $xh.d = p.d GROUP BY $xh.id),
+         ${pfx}w$k AS MATERIALIZED (
+           SELECT $xh.d,
+             sum(CAST(floor($xh.xh * (CAST(dq.dq AS DOUBLE) / 1e9) * 1e9
+               + 0.5) AS HUGEINT)) AS wq
+           FROM $xh JOIN ${pfx}dq$k dq ON $xh.id = dq.id GROUP BY $xh.d),
+         ${pfx}mq$k AS MATERIALIZED (
+           SELECT max(abs(wq)) AS mq FROM ${pfx}w$k),
+         ${pfx}sg$k AS MATERIALIZED (
+           SELECT CASE WHEN wq < 0 THEN -1.0 ELSE 1.0 END AS sgn
+           FROM ${pfx}w$k ORDER BY abs(wq) DESC, d LIMIT 1),
+         ${pfx}u$k AS MATERIALIZED (
+           SELECT d, CAST(wq AS DOUBLE) / CAST(mq AS DOUBLE) AS u
+           FROM ${pfx}w$k, ${pfx}mq$k),
+         ${pfx}sq$k AS MATERIALIZED (
+           SELECT sum(CAST(floor(u * u * 1e12 + 0.5) AS BIGINT)) AS sq
+           FROM ${pfx}u$k),
+         ${pfx}v$k AS MATERIALIZED (
+           SELECT d, floor(sgn * u / sqrt(CAST(sq AS DOUBLE) / 1e12)
+             * 1e12 + 0.5) / 1e12 AS s
+           FROM ${pfx}u$k, ${pfx}sq$k, ${pfx}sg$k)"""
+    }.mkString(",\n         ")
+
   /** The unrolled-SQL oracle for [[powerTopComponent]]: identical
     * quantized arithmetic as MATERIALIZED CTE rounds over a
     * caller-supplied `(id, v DOUBLE[])` select. */
   def oracleSql(embSelect: String, iters: Int = 8): String = {
-    val rounds = (1 to iters).map { k =>
-      val p = s"v${k - 1}"
-      s"""dq$k AS MATERIALIZED (
-           SELECT xh.id,
-             sum(CAST(floor(xh.xh * p.s * 1e9 + 0.5) AS HUGEINT)) AS dq
-           FROM xh JOIN $p p ON xh.d = p.d GROUP BY xh.id),
-         w$k AS MATERIALIZED (
-           SELECT xh.d,
-             sum(CAST(floor(xh.xh * (CAST(dq.dq AS DOUBLE) / 1e9) * 1e9
-               + 0.5) AS HUGEINT)) AS wq
-           FROM xh JOIN dq$k dq ON xh.id = dq.id GROUP BY xh.d),
-         mq$k AS MATERIALIZED (SELECT max(abs(wq)) AS mq FROM w$k),
-         sg$k AS MATERIALIZED (
-           SELECT CASE WHEN wq < 0 THEN -1.0 ELSE 1.0 END AS sgn
-           FROM w$k ORDER BY abs(wq) DESC, d LIMIT 1),
-         u$k AS MATERIALIZED (
-           SELECT d, CAST(wq AS DOUBLE) / CAST(mq AS DOUBLE) AS u
-           FROM w$k, mq$k),
-         sq$k AS MATERIALIZED (
-           SELECT sum(CAST(floor(u * u * 1e12 + 0.5) AS BIGINT)) AS sq
-           FROM u$k),
-         v$k AS MATERIALIZED (
-           SELECT d, floor(sgn * u / sqrt(CAST(sq AS DOUBLE) / 1e12)
-             * 1e12 + 0.5) / 1e12 AS s
-           FROM u$k, sq$k, sg$k)"""
-    }.mkString(",\n         ")
+    val rounds = roundsSql("", "xh", iters)
     s"""WITH emb AS MATERIALIZED ($embSelect),
          ex AS MATERIALIZED (
            SELECT id, CAST(i - 1 AS INT) AS d, v[i] AS x
@@ -179,6 +262,72 @@ object Pca {
            round(lambda, 4) AS lambda, round(tot, 4) AS total_var,
            round(lambda / tot, 6) AS explained_ratio
          FROM v$iters v JOIN mu ON v.d = mu.d, fin
+         ORDER BY dim"""
+  }
+
+  /** Oracle for [[powerTwoComponents]]: the PC1 chain, the quantized
+    * deflation CTE, a second (g-prefixed) chain over xh2, and the
+    * λ₁/λ₂/total readouts. */
+  def oracle2Sql(embSelect: String, iters: Int = 8): String = {
+    val rounds1 = roundsSql("", "xh", iters)
+    val rounds2 = roundsSql("g", "xh2", iters)
+    s"""WITH emb AS MATERIALIZED ($embSelect),
+         ex AS MATERIALIZED (
+           SELECT id, CAST(i - 1 AS INT) AS d, v[i] AS x
+           FROM (SELECT id, v, unnest(generate_series(1, len(v))) AS i
+                 FROM emb)),
+         nn AS MATERIALIZED (SELECT count(*) AS n FROM ex WHERE d = 0),
+         dd AS MATERIALIZED (SELECT max(d) + 1 AS dims FROM ex),
+         mu AS MATERIALIZED (
+           SELECT d, CAST(sum(CAST(floor(x * 1e9 + 0.5) AS HUGEINT))
+             AS DOUBLE) / 1e9 / count(*) AS mu
+           FROM ex GROUP BY d),
+         xh AS MATERIALIZED (
+           SELECT ex.id, ex.d, ex.x - mu.mu AS xh
+           FROM ex JOIN mu ON ex.d = mu.d),
+         v0 AS MATERIALIZED (
+           SELECT d, 1.0 / sqrt(CAST(dims AS DOUBLE)) AS s
+           FROM (SELECT DISTINCT d FROM ex), dd),
+         $rounds1,
+         p1 AS MATERIALIZED (
+           SELECT xh.id,
+             sum(CAST(floor(xh.xh * v.s * 1e9 + 0.5) AS HUGEINT)) AS dq
+           FROM xh JOIN v$iters v ON xh.d = v.d GROUP BY xh.id),
+         xh2 AS MATERIALIZED (
+           SELECT xh.id, xh.d,
+             xh.xh - (CAST(p1.dq AS DOUBLE) / 1e9) * v.s AS xh
+           FROM xh JOIN p1 ON p1.id = xh.id
+           JOIN v$iters v ON v.d = xh.d),
+         gv0 AS MATERIALIZED (
+           SELECT d, 1.0 / sqrt(CAST(dims AS DOUBLE)) AS s
+           FROM (SELECT DISTINCT d FROM ex), dd),
+         $rounds2,
+         p2 AS MATERIALIZED (
+           SELECT xh2.id,
+             sum(CAST(floor(xh2.xh * v.s * 1e9 + 0.5) AS HUGEINT)) AS dq
+           FROM xh2 JOIN gv$iters v ON xh2.d = v.d GROUP BY xh2.id),
+         l1 AS MATERIALIZED (
+           SELECT CAST(sum(CAST(floor((CAST(dq AS DOUBLE) / 1e9) *
+               (CAST(dq AS DOUBLE) / 1e9) * 1e9 + 0.5) AS HUGEINT))
+               AS DOUBLE) / 1e9 / min(n) AS lambda1
+           FROM p1, nn),
+         l2 AS MATERIALIZED (
+           SELECT CAST(sum(CAST(floor((CAST(dq AS DOUBLE) / 1e9) *
+               (CAST(dq AS DOUBLE) / 1e9) * 1e9 + 0.5) AS HUGEINT))
+               AS DOUBLE) / 1e9 / min(n) AS lambda2
+           FROM p2, nn),
+         tt AS MATERIALIZED (
+           SELECT CAST(sum(CAST(floor(xh * xh * 1e9 + 0.5) AS HUGEINT))
+               AS DOUBLE) / 1e9 / min(n) AS tot
+           FROM xh, nn)
+         SELECT a.d AS dim, round(a.s, 6) AS loading1,
+           round(b.s, 6) AS loading2,
+           round(lambda1, 4) AS lambda1, round(lambda2, 4) AS lambda2,
+           round(tot, 4) AS total_var,
+           round(lambda1 / tot, 6) AS explained_1,
+           round(lambda2 / tot, 6) AS explained_2,
+           round(lambda2 / lambda1, 6) AS spectral_ratio
+         FROM v$iters a JOIN gv$iters b ON b.d = a.d, l1, l2, tt
          ORDER BY dim"""
   }
 }

@@ -510,6 +510,29 @@ class R10dOpsSpec extends AnyFunSuite {
     assert(TimeSeries.holtWinters(short, col("k"), col("ts")).count() == 0)
   }
 
+  test("powerTwoComponents: axis-aligned variance separates exactly") {
+    import spark.implicits._
+    import graft.operators.Pca
+    // C = diag(100, 1, 0): PC1 = e0, PC2 = e1 (both sign-pinned
+    // positive), λ1 = 100, λ2 = 1, total 101, ratio 0.01. The
+    // quantized iteration kills the cross-component residue
+    // ((λ2/λ1)^8 ≪ 1e-12).
+    val df = Seq(
+      (1L, Array(10f, 1f, 0f)), (2L, Array(10f, -1f, 0f)),
+      (3L, Array(-10f, 1f, 0f)), (4L, Array(-10f, -1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val r = Pca.powerTwoComponents(df, "vec_id", "embedding", iters = 8)
+      .collect()
+    val l1 = r.map(_.getDouble(1)).toSeq
+    val l2 = r.map(_.getDouble(2)).toSeq
+    assert(l1 == Seq(1.0, 0.0, 0.0) && l2 == Seq(0.0, 1.0, 0.0))
+    assert(r.head.getDouble(3) == 100.0 && r.head.getDouble(4) == 1.0)
+    assert(r.head.getDouble(5) == 101.0)
+    assert(r.head.getDouble(8) == 0.01)
+    // deflation orthogonality: v1·v2 = 0 exactly on this fixture
+    assert(l1.zip(l2).map(p => p._1 * p._2).sum == 0.0)
+  }
+
   test("powerTwoProportion: degenerate all/none conversion gives NULL n") {
     import spark.implicits._
     import graft.operators.Metrics
