@@ -3232,6 +3232,18 @@ object SparkEntry {
       .withColumnRenamed("g", "event_type")
       .orderBy(col("event_type"))
 
+  /** Interpolated trigram LM scorer per doc — the order-3 fluency
+    * companion to bigram_lm / bigram_lm_kn. */
+  private def qTrigramLm(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.trigramLogprob(t(s, dir, "documents"), "text", "doc_id")
+      .orderBy(col("doc_id"))
+
+  /** Pairwise co-failure matrix of the four hard quality gates —
+    * "four filters or one filter written four times". */
+  private def qGateOverlapMatrix(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gateOverlapMatrix(t(s, dir, "documents"), "text")
+      .orderBy(col("gate_a"), col("gate_b"))
+
   /** Cliff's delta between the parity arms per event type — the
     * ordinal effect-size readout next to q_events_mwu's z. */
   private def qEventsCliffsDelta(s: SparkSession, dir: String): DataFrame =
@@ -4187,6 +4199,8 @@ object SparkEntry {
     "q_events_mad" -> (qEventsMad _),
     "q_price_index" -> (qPriceIndex _),
     "q_events_holt_winters" -> (qEventsHoltWinters _),
+    "trigram_lm" -> (qTrigramLm _),
+    "gate_overlap_matrix" -> (qGateOverlapMatrix _),
     "collocations_llr" -> (qCollocationsLlr _),
     "emb_isotropy" -> (qEmbIsotropy _),
     "lr_conformal" -> (qLrConformal _),
@@ -6810,6 +6824,43 @@ object SparkEntry {
            coalesce(p.avg_logprob, 0.0) AS avg_logprob
          FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
          ORDER BY d.doc_id""",
+    "trigram_lm" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(trim(lower(text)), '\s+'),
+             x -> len(x) > 0) AS tk FROM documents),
+         uni AS (SELECT unnest(tk) AS w FROM toks),
+         ucnt AS (SELECT w, count(*) AS uc FROM uni GROUP BY w),
+         utot AS (SELECT CAST(sum(uc) AS DOUBLE) AS n_tok FROM ucnt),
+         b0 AS (SELECT doc_id, tk,
+                  unnest(generate_series(1, greatest(len(tk)-1, 0))) AS i
+                FROM toks),
+         big AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2 FROM b0),
+         bcnt AS (SELECT w1, w2, count(*) AS c_xy FROM big GROUP BY w1, w2),
+         t0 AS (SELECT doc_id, tk,
+                  unnest(generate_series(1, greatest(len(tk)-2, 0))) AS i
+                FROM toks),
+         tri AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2, tk[i+2] AS w3
+                 FROM t0),
+         tcnt AS (SELECT w1, w2, w3, count(*) AS c123
+                  FROM tri GROUP BY 1, 2, 3),
+         perdoc AS (
+           SELECT tri.doc_id, count(*) AS n_trigrams,
+             round(sum(ln(0.6 * (c123 / b12.c_xy) +
+               0.3 * (b23.c_xy / c2.uc) +
+               0.1 * (c3.uc / n_tok))) / count(*), 4) AS avg_logprob
+           FROM tri JOIN tcnt USING (w1, w2, w3)
+             JOIN bcnt b12 ON b12.w1 = tri.w1 AND b12.w2 = tri.w2
+             JOIN bcnt b23 ON b23.w1 = tri.w2 AND b23.w2 = tri.w3
+             JOIN ucnt c2 ON tri.w2 = c2.w
+             JOIN ucnt c3 ON tri.w3 = c3.w, utot
+           GROUP BY tri.doc_id)
+         SELECT d.doc_id,
+           CAST(coalesce(p.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+           coalesce(p.avg_logprob, 0.0) AS avg_logprob
+         FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+         ORDER BY d.doc_id""",
+    "gate_overlap_matrix" -> gateOverlapOracle,
     "pii_scan" -> piiOracle,
     "contamination_ngram" -> contaminationOracle,
     // bloom pre-filter + exact verify == exact (no false negatives)
@@ -10698,6 +10749,47 @@ object SparkEntry {
          round(list_aggregate(f.ss, 'max') - list_aggregate(f.ss, 'min'),
            6) AS seasonal_amplitude
        FROM fin f JOIN cnts ON cnts.k = f.k ORDER BY 1"""
+  }
+
+  /** Gate co-failure oracle: the four hard-gate indicators as one
+    * map-side pass, indicator-product sums, literal pair rows. */
+  private val gateOverlapOracle: String = {
+    val gates = Seq(
+      ("short", "len(toks) < 10"),
+      ("few_stopwords",
+        "len(list_filter(toks, x -> list_contains(" +
+          "['the','be','to','of','and','that','have','with'], lower(x)))) < 2"),
+      ("symbol_heavy",
+        "round(CASE WHEN len(toks) > 0 THEN CAST(length(text) - " +
+          "length(regexp_replace(text, '[#…]', '', 'g')) AS DOUBLE) " +
+          "/ len(toks) ELSE 0.0 END, 4) > 0.1"),
+      ("non_alpha",
+        "round(CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, " +
+          "x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) " +
+          "/ len(toks) ELSE 0.0 END, 4) < 0.8"))
+    val bcols = gates.map { case (n, e) =>
+      s"CASE WHEN $e THEN 1 ELSE 0 END AS $n" }.mkString(",\n           ")
+    val sums = (for { i <- gates.indices; j <- gates.indices if i <= j }
+      yield s"CAST(sum(${gates(i)._1} * ${gates(j)._1}) AS BIGINT)" +
+        s" AS s_${i}_$j").mkString(",\n           ")
+    val rows = (for { i <- gates.indices; j <- gates.indices if i < j }
+      yield s"""SELECT '${gates(i)._1}' AS gate_a,
+           '${gates(j)._1}' AS gate_b, n_docs,
+           s_${i}_$i AS fail_a, s_${j}_$j AS fail_b,
+           s_${i}_$j AS co_fail FROM agg""").mkString(" UNION ALL ")
+    s"""WITH d AS (
+         SELECT doc_id, text, list_filter(
+           regexp_split_to_array(trim(text), '\\s+'),
+           x -> len(x) > 0) AS toks
+         FROM documents),
+       b AS (SELECT $bcols FROM d),
+       agg AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, $sums FROM b),
+       pairs AS ($rows)
+       SELECT gate_a, gate_b, n_docs, fail_a, fail_b, co_fail,
+         round(CASE WHEN fail_a + fail_b - co_fail > 0
+           THEN CAST(co_fail AS DOUBLE) / (fail_a + fail_b - co_fail)
+           ELSE 0.0 END, 6) AS jaccard
+       FROM pairs ORDER BY gate_a, gate_b"""
   }
 
   /** Hurst aggregated-variance oracle: one block-variance branch per

@@ -887,6 +887,98 @@ object TextAnalysis {
         coalesce(col("avg_logprob"), lit(0.0)).as("avg_logprob"))
   }
 
+  /** Interpolated TRIGRAM log-likelihood scorer:
+    * p(w₃|w₁w₂) = λ₃·c₁₂₃/c₁₂ + λ₂·c₂₃/c(w₂) + λ₁·c(w₃)/N — one more
+    * context order than [[bigramLogprob]], the fluency scorer that
+    * separates scrambled from coherent text (a bigram model cannot see
+    * across the middle word). Same shape: exact-integer n-gram count
+    * frames joined back to per-doc occurrences; the log fold runs over
+    * the small per-doc group (the bigram scorer's contract). λ values
+    * are EXPLICIT literals, never computed differences. */
+  def trigramLogprob(df: DataFrame, textCol: String, idCol: String,
+                     l3: Double = 0.6, l2: Double = 0.3,
+                     l1: Double = 0.1): DataFrame = {
+    val toksDf = CacheScope.scratch(df.select(col(idCol).as("lp_id"),
+      tokens(lower(col(textCol))).as("tk")))
+    val ucnt = CacheScope.scratch(
+      toksDf.select(explode(col("tk")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("uc")))
+    val utot = ucnt.agg(sum(col("uc")).cast("double").as("n_tok"))
+    val bcnt = CacheScope.scratch(
+      toksDf.select(explode(ngramsWithMultiplicity(col("tk"), 2)).as("g2"))
+        .groupBy(col("g2")).agg(count(lit(1)).as("c2g")))
+    val docTri = CacheScope.scratch(toksDf.select(col("lp_id"),
+      explode(ngramsWithMultiplicity(col("tk"), 3)).as("g3")))
+    val tcnt = docTri.groupBy(col("g3")).agg(count(lit(1)).as("c123"))
+    val sp = split(col("g3"), " ")
+    val perDoc = docTri.join(tcnt, "g3")
+      .withColumn("w1", sp.getItem(0))
+      .withColumn("w2", sp.getItem(1))
+      .withColumn("w3", sp.getItem(2))
+      .withColumn("g12", concat_ws(" ", col("w1"), col("w2")))
+      .withColumn("g23", concat_ws(" ", col("w2"), col("w3")))
+      .join(bcnt.select(col("g2").as("g12"), col("c2g").as("c12")), "g12")
+      .join(bcnt.select(col("g2").as("g23"), col("c2g").as("c23")), "g23")
+      .join(ucnt.select(col("w").as("w2"), col("uc").as("cw2")), "w2")
+      .join(ucnt.select(col("w").as("w3"), col("uc").as("cw3")), "w3")
+      .crossJoin(broadcast(utot))
+      .groupBy(col("lp_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(sum(log(lit(l3) * (col("c123") / col("c12")) +
+          lit(l2) * (col("c23") / col("cw2")) +
+          lit(l1) * (col("cw3") / col("n_tok")))) / count(lit(1)), 4)
+          .as("avg_logprob"))
+    df.select(col(idCol))
+      .join(perDoc, col(idCol) === col("lp_id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("avg_logprob"), lit(0.0)).as("avg_logprob"))
+  }
+
+  /** Quality-gate co-failure matrix: for the four hard Gopher-style
+    * gates (too short / too few stopwords / symbol-heavy / non-alpha),
+    * the pairwise co-failure counts and Jaccard overlaps — "are my
+    * gates four filters or one filter written four times". A pair with
+    * Jaccard ≈ 1 is redundant; near 0, the gates cut independent
+    * slices. ONE map-side pass (indicator products summed in a single
+    * aggregation), then a literal pair explode — no joins at all. */
+  def gateOverlapMatrix(df: DataFrame, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val toks = tokens(text)
+    val nTok = size(toks)
+    val gopherStop = size(filter(toks, t => lower(t).isin(
+      "the", "be", "to", "of", "and", "that", "have", "with")))
+    val symbolChars = length(text) - length(regexp_replace(text, "[#…]", ""))
+    val symbolRatio = round(when(nTok > 0,
+      symbolChars.cast("double") / nTok).otherwise(lit(0.0)), 4)
+    val alphaFrac = round(when(nTok > 0,
+      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / nTok)
+      .otherwise(lit(0.0)), 4)
+    val gates: Seq[(String, Column)] = Seq(
+      "short" -> (nTok < 10),
+      "few_stopwords" -> (gopherStop < 2),
+      "symbol_heavy" -> (symbolRatio > 0.1),
+      "non_alpha" -> (alphaFrac < 0.8))
+    val b = df.select(gates.map { case (n, c) =>
+      when(c, 1L).otherwise(0L).as(n) }: _*)
+    val sums: Seq[Column] = count(lit(1)).as("n_docs") +:
+      (for { i <- gates.indices; j <- gates.indices if i <= j }
+        yield sum(col(gates(i)._1) * col(gates(j)._1)).as(s"s_${i}_$j"))
+    val agg = b.agg(sums.head, sums.tail: _*)
+    val rows = for { i <- gates.indices; j <- gates.indices if i < j }
+      yield struct(lit(gates(i)._1).as("gate_a"),
+        lit(gates(j)._1).as("gate_b"),
+        col(s"s_${i}_$i").as("fail_a"), col(s"s_${j}_$j").as("fail_b"),
+        col(s"s_${i}_$j").as("co_fail"))
+    agg.select(col("n_docs"), explode(array(rows: _*)).as("x"))
+      .select(col("x.gate_a"), col("x.gate_b"), col("n_docs"),
+        col("x.fail_a"), col("x.fail_b"), col("x.co_fail"),
+        round(when(col("x.fail_a") + col("x.fail_b") - col("x.co_fail") > 0,
+          col("x.co_fail").cast("double") /
+            (col("x.fail_a") + col("x.fail_b") - col("x.co_fail")))
+          .otherwise(lit(0.0)), 6).as("jaccard"))
+  }
+
   /** Per-doc Unicode SCRIPT mix: counts and fractions of ASCII-Latin
     * letters, digits, Han, Cyrillic, and Arabic codepoints — the
     * router a multilingual pipeline needs BEFORE language-ID (n-gram

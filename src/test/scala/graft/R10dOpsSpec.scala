@@ -533,6 +533,43 @@ class R10dOpsSpec extends AnyFunSuite {
     assert(l1.zip(l2).map(p => p._1 * p._2).sum == 0.0)
   }
 
+  test("trigramLogprob: memorized corpus scores ln(0.7-ish), order matters") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // single doc "a b c": one trigram, c123/c12 = 1, c23/c(b) = 1,
+    // c(c)/N = 1/3 ⇒ p = 0.6 + 0.3 + 0.1/3 = 0.933333,
+    // avg_logprob = ln(0.933333…) = −0.0690 (4 dp).
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val r = TextAnalysis.trigramLogprob(df, "text", "doc_id").head()
+    assert(r.getLong(1) == 1)
+    val p = 0.6 + 0.3 + 0.1 * (1.0 / 3.0)
+    assert(r.getDouble(2) ==
+      BigDecimal(math.log(p)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    // a 2-token doc has no trigram: zero row, logprob 0
+    val short = Seq((2L, "a b")).toDF("doc_id", "text")
+    val rs = TextAnalysis.trigramLogprob(short, "text", "doc_id").head()
+    assert(rs.getLong(1) == 0 && rs.getDouble(2) == 0.0)
+  }
+
+  test("gateOverlapMatrix: planted doc failing two gates co-counts") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // doc 1 is short AND stopword-free (fails both gates); doc 2 is a
+    // long stopword-rich clean doc (passes everything).
+    val clean = ("the be to of and that have with " * 3).trim
+    val df = Seq((1L, "xyz abc"), (2L, clean)).toDF("doc_id", "text")
+    val rows = TextAnalysis.gateOverlapMatrix(df, "text")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    val sf = rows.find(r => r._1 == "short" && r._2 == "few_stopwords").get
+    assert(sf._3 == 1 && sf._4 == 1 && sf._5 == 1 && sf._6 == 1.0)
+    // short vs symbol_heavy: no co-failure
+    val ss = rows.find(r => r._1 == "short" && r._2 == "symbol_heavy").get
+    assert(ss._5 == 0 && ss._6 == 0.0)
+    assert(rows.length == 6)
+  }
+
   test("powerTwoProportion: degenerate all/none conversion gives NULL n") {
     import spark.implicits._
     import graft.operators.Metrics
