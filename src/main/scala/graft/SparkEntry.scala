@@ -3232,6 +3232,27 @@ object SparkEntry {
       .withColumnRenamed("g", "event_type")
       .orderBy(col("event_type"))
 
+  /** Per-user interval-union coverage over per-type activity spans —
+    * merged active time vs horizon, overlap counted once. */
+  private def qIntervalUnion(s: SparkSession, dir: String): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val iv = t(s, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(us).as("s"), max(us).as("e"))
+    graft.operators.IntervalJoin.intervalUnion(iv, col("user_id"),
+        col("s"), col("e"))
+      .withColumnRenamed("k", "user_id")
+      .orderBy(col("user_id"))
+  }
+
+  /** Wald–Wolfowitz runs test per event type — random vs trending vs
+    * oscillating daily counts, distribution-free. */
+  private def qEventsRuns(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.runsTest(t(s, dir, "events"),
+        col("event_type"), col("ts"))
+      .withColumnRenamed("k", "event_type")
+      .orderBy(col("event_type"))
+
   /** Interpolated trigram LM scorer per doc — the order-3 fluency
     * companion to bigram_lm / bigram_lm_kn. */
   private def qTrigramLm(s: SparkSession, dir: String): DataFrame =
@@ -4201,6 +4222,8 @@ object SparkEntry {
     "q_events_holt_winters" -> (qEventsHoltWinters _),
     "trigram_lm" -> (qTrigramLm _),
     "gate_overlap_matrix" -> (qGateOverlapMatrix _),
+    "q_interval_union" -> (qIntervalUnion _),
+    "q_events_runs" -> (qEventsRuns _),
     "collocations_llr" -> (qCollocationsLlr _),
     "emb_isotropy" -> (qEmbIsotropy _),
     "lr_conformal" -> (qLrConformal _),
@@ -6861,6 +6884,69 @@ object SparkEntry {
          FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
          ORDER BY d.doc_id""",
     "gate_overlap_matrix" -> gateOverlapOracle,
+    "q_interval_union" ->
+      """WITH iv AS (
+           SELECT user_id AS k, min(epoch_us(ts)) AS s,
+             max(epoch_us(ts)) AS e
+           FROM events GROUP BY user_id, event_type),
+         sw AS (SELECT k, s, e,
+             max(e) OVER (PARTITION BY k ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+           FROM iv),
+         gr AS (SELECT k, s, e,
+             sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+               OVER (PARTITION BY k ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+           FROM sw),
+         segs AS (SELECT k, grp, count(*) AS n_iv, min(s) AS gs,
+             max(e) AS ge
+           FROM gr GROUP BY 1, 2),
+         per AS (SELECT k, CAST(sum(n_iv) AS BIGINT) AS n_intervals,
+             CAST(count(*) AS BIGINT) AS n_segments,
+             CAST(sum(ge - gs) AS BIGINT) AS covered,
+             CAST(max(ge) - min(gs) AS BIGINT) AS span
+           FROM segs GROUP BY k)
+         SELECT k AS user_id, n_intervals, n_segments, covered, span,
+           round(CASE WHEN span > 0 THEN CAST(covered AS DOUBLE) / span
+             ELSE 0.0 END, 6) AS coverage_ratio
+         FROM per ORDER BY 1""",
+    "q_events_runs" ->
+      """WITH daily AS (
+           SELECT event_type AS k, CAST(ts AS DATE) AS d, count(*) AS c
+           FROM events GROUP BY 1, 2),
+         blocks AS (SELECT k, c AS v, count(*) AS cnt
+           FROM daily GROUP BY 1, 2),
+         cum AS (SELECT k, v, sum(cnt) OVER (PARTITION BY k ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM blocks),
+         tot AS (SELECT k, CAST(sum(cnt) AS BIGINT) AS n
+           FROM blocks GROUP BY k),
+         med AS (SELECT c.k,
+             min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN v END) AS med
+           FROM cum c JOIN tot ON tot.k = c.k GROUP BY c.k),
+         signs AS (SELECT d.k, d.d,
+             CASE WHEN d.c > m.med THEN 1 ELSE 0 END AS sg
+           FROM daily d JOIN med m ON m.k = d.k WHERE d.c <> m.med),
+         wp AS (SELECT k, sg,
+             lag(sg, 1) OVER (PARTITION BY k ORDER BY d) AS pv
+           FROM signs),
+         agg AS (SELECT k, CAST(sum(sg) AS BIGINT) AS n1,
+             CAST(sum(1 - sg) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN pv IS NULL OR pv <> sg THEN 1 ELSE 0 END)
+               AS BIGINT) AS r
+           FROM wp GROUP BY k)
+         SELECT k AS event_type, n1, n0, r AS runs,
+           CASE WHEN n1 > 0 AND n0 > 0 THEN
+             round(2.0 * n1 * n0 / (n1 + n0) + 1.0, 4) END AS expected,
+           CASE WHEN n1 > 0 AND n0 > 0 AND
+               2.0 * n1 * n0 * (2.0 * n1 * n0 - n1 - n0) /
+                 (CAST(n1 + n0 AS DOUBLE) * (n1 + n0) * (n1 + n0 - 1)) > 0
+             THEN round((CAST(r AS DOUBLE) -
+               (2.0 * n1 * n0 / (n1 + n0) + 1.0)) /
+               sqrt(2.0 * n1 * n0 * (2.0 * n1 * n0 - n1 - n0) /
+                 (CAST(n1 + n0 AS DOUBLE) * (n1 + n0) * (n1 + n0 - 1))), 4)
+           END AS z
+         FROM agg ORDER BY 1""",
     "pii_scan" -> piiOracle,
     "contamination_ngram" -> contaminationOracle,
     // bloom pre-filter + exact verify == exact (no false negatives)

@@ -57,6 +57,41 @@ object IntervalJoin {
   /** Overlap-join two interval frames (inclusive bounds). Emits one row
     * per overlapping pair: the meeting is kept only in the first bucket
     * both copies share, `max(floor(lo1/w), floor(lo2/w))`. */
+  /** Interval-union coverage per key: merge overlapping [s, e] spans
+    * with the classic sweep (a new segment starts where s exceeds the
+    * running max of every earlier e) and report covered time vs span —
+    * the "how much of the horizon is this user actually active"
+    * readout that double-counts nothing, where a naive Σ(e−s) counts
+    * overlaps twice. All µs integers; one partitioned ordered window
+    * (bounded by intervals per key, never a global sort) + one
+    * groupBy. */
+  def intervalUnion(iv: DataFrame, keyCol: Column, sCol: Column,
+                    eCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = iv.select(keyCol.as("k"), sCol.as("s"), eCol.as("e"))
+    val w = Window.partitionBy(col("k")).orderBy(col("s"), col("e"))
+    val prevMax = max(col("e")).over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    val seg = base
+      .withColumn("ns",
+        when(prevMax.isNull || col("s") > prevMax, 1L).otherwise(0L))
+      .withColumn("grp", sum(col("ns")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    val segs = seg.groupBy(col("k"), col("grp"))
+      .agg(count(lit(1)).as("n_iv"), min(col("s")).as("gs"),
+        max(col("e")).as("ge"))
+    segs.groupBy(col("k"))
+      .agg(sum(col("n_iv")).as("n_intervals"),
+        count(lit(1)).as("n_segments"),
+        sum(col("ge") - col("gs")).as("covered"),
+        (max(col("ge")) - min(col("gs"))).as("span"))
+      .select(col("k"), col("n_intervals"), col("n_segments"),
+        col("covered"), col("span"),
+        round(when(col("span") > 0,
+          col("covered").cast("double") / col("span")).otherwise(lit(0.0)),
+          6).as("coverage_ratio"))
+  }
+
   def intervalOverlap(left: DataFrame, lo1: String, hi1: String,
                       right: DataFrame, lo2: String, hi2: String,
                       bucketWidth: Long): DataFrame = {

@@ -399,6 +399,43 @@ object TimeSeries {
       .where(col("n_pairs") > 0) // a lag past the series has no ACF
   }
 
+  /** Wald–Wolfowitz runs test per key over daily counts: days above
+    * the exact nearest-rank median become 1, below become 0, ties at
+    * the median are EXCLUDED (the standard treatment), and the run
+    * count R is tested against E[R] = 2n₁n₀/(n₁+n₀)+1 — "is this
+    * series random, trending, or oscillating" (too few runs ⇒
+    * clustering/trend; too many ⇒ alternation), the distribution-free
+    * sanity check before fitting anything. Exact integers throughout;
+    * one partitioned window for the run boundaries. */
+  def runsTest(events: DataFrame, keyCol: Column,
+               tsCol: Column): DataFrame = {
+    val daily = events
+      .groupBy(keyCol.as("k"), to_date(tsCol).as("d"))
+      .agg(count(lit(1)).as("c"))
+    val med = Metrics.exactPercentilesByGroup(daily, col("k"), col("c"),
+        Seq(50))
+      .select(col("g").as("k"), col("p50").as("med"))
+    val signs = daily.join(med, "k")
+      .filter(col("c") =!= col("med"))
+      .withColumn("sg", when(col("c") > col("med"), 1L).otherwise(0L))
+    val w = Window.partitionBy(col("k")).orderBy(col("d"))
+    val withPrev = signs.withColumn("pv", lag(col("sg"), 1).over(w))
+    val agg = withPrev.groupBy(col("k"))
+      .agg(sum(col("sg")).as("n1"),
+        sum(lit(1L) - col("sg")).as("n0"),
+        (sum(when(col("pv").isNull || col("pv") =!= col("sg"), 1L)
+          .otherwise(0L))).as("r"))
+    val n = col("n1") + col("n0")
+    val er = lit(2.0) * col("n1") * col("n0") / n + lit(1.0)
+    val vr = lit(2.0) * col("n1") * col("n0") *
+      (lit(2.0) * col("n1") * col("n0") - col("n1") - col("n0")) /
+      (n.cast("double") * n * (n - 1))
+    agg.select(col("k"), col("n1"), col("n0"), col("r").as("runs"),
+      when(col("n1") > 0 && col("n0") > 0, round(er, 4)).as("expected"),
+      when(col("n1") > 0 && col("n0") > 0 && vr > 0,
+        round((col("r").cast("double") - er) / sqrt(vr), 4)).as("z"))
+  }
+
   /** Holt–Winters ADDITIVE SEASONAL smoothing per key over daily
     * counts (Winters 1960), period m: the third member of the
     * smoothing family — [[expSmoothing]] reads level, [[holtSmoothing]]

@@ -570,6 +570,42 @@ class R10dOpsSpec extends AnyFunSuite {
     assert(rows.length == 6)
   }
 
+  test("intervalUnion: overlaps merge, gaps split, coverage exact") {
+    import spark.implicits._
+    import graft.operators.IntervalJoin
+    // [0,10] ∪ [5,20] merge to [0,20]; [30,40] is its own segment:
+    // covered = 20 + 10 = 30 over span 40 ⇒ 0.75. A contained
+    // interval [31,35] must add nothing.
+    val iv = Seq((1L, 0L, 10L), (1L, 5L, 20L), (1L, 30L, 40L),
+      (1L, 31L, 35L)).toDF("u", "s", "e")
+    val r = IntervalJoin.intervalUnion(iv, col("u"), col("s"), col("e"))
+      .head()
+    assert(r.getLong(1) == 4 && r.getLong(2) == 2)
+    assert(r.getLong(3) == 30 && r.getLong(4) == 40)
+    assert(r.getDouble(5) == 0.75)
+  }
+
+  test("runsTest: perfect alternation maximizes runs, a block minimizes") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    // alternating 1,3 counts over 10 days, median 1 (nearest-rank of
+    // {1×5,3×5} at rank 5) ⇒ ties at 1 excluded, leaving five 3-days:
+    // all above ⇒ n0 = 0 ⇒ z undefined. Use counts {1,5} alternating
+    // with one 3-day to fix the median at 3: days 1..4 alternate 1/5,
+    // day 5 = 3 (excluded), days 6..9 alternate 5/1. Signs:
+    // 0,1,0,1,1,0,1,0 ⇒ runs = 7, n1 = n0 = 4.
+    val cnt = Seq(1, 5, 1, 5, 3, 5, 1, 5, 1)
+    val ev = cnt.zipWithIndex.flatMap { case (c, i) =>
+      (1 to c).map(_ => (day(i + 1), "t"))
+    }.toDF("ts", "k")
+    val r = TimeSeries.runsTest(ev, col("k"), col("ts")).head()
+    assert(r.getLong(1) == 4 && r.getLong(2) == 4 && r.getLong(3) == 7)
+    // E[R] = 2·16/8 + 1 = 5; Var = 32·(32−8)/(64·7) = 1.714286;
+    // z = (7−5)/√1.714286 = 1.5275
+    assert(r.getDouble(4) == 5.0)
+    assert(r.getDouble(5) == 1.5275)
+  }
+
   test("powerTwoProportion: degenerate all/none conversion gives NULL n") {
     import spark.implicits._
     import graft.operators.Metrics
