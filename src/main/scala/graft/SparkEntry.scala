@@ -3232,6 +3232,34 @@ object SparkEntry {
       .withColumnRenamed("g", "event_type")
       .orderBy(col("event_type"))
 
+  /** Theil T inequality of supplier revenue decomposed between/within
+    * nations — "is the inequality between nations or inside them". */
+  private def qTheilInequality(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_suppkey"),
+      round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+        .cast("long").as("cents"))
+    val sup = t(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val units = li.join(sup, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"), col("s_suppkey"))
+      .agg(sum(col("cents")).as("v"))
+    graft.operators.Metrics.theilDecomposition(units,
+      col("s_nationkey"), col("v"))
+  }
+
+  /** Effective sample size of the DSIR importance weights per source
+    * — how many docs the reweighted corpus is really worth. */
+  private def qDsirEss(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val w = graft.operators.Dsir.importanceWeights(docs, "text",
+      "doc_id", col("lang") === "en", nBuckets = 256)
+    graft.operators.Metrics.essCard(
+        w.join(docs.select(col("doc_id"), col("source")), "doc_id"),
+        col("source"), col("logw"))
+      .withColumnRenamed("g", "source")
+      .orderBy(col("source"))
+  }
+
   /** Per-user interval-union coverage over per-type activity spans —
     * merged active time vs horizon, overlap counted once. */
   private def qIntervalUnion(s: SparkSession, dir: String): DataFrame = {
@@ -4224,6 +4252,8 @@ object SparkEntry {
     "gate_overlap_matrix" -> (qGateOverlapMatrix _),
     "q_interval_union" -> (qIntervalUnion _),
     "q_events_runs" -> (qEventsRuns _),
+    "q_theil_inequality" -> (qTheilInequality _),
+    "dsir_ess" -> (qDsirEss _),
     "collocations_llr" -> (qCollocationsLlr _),
     "emb_isotropy" -> (qEmbIsotropy _),
     "lr_conformal" -> (qLrConformal _),
@@ -9342,6 +9372,69 @@ object SparkEntry {
       s"""WITH $dsirWeightsCte
           SELECT doc_id, n_feats, logw FROM wts ORDER BY doc_id""",
     "dsir_select" -> dsirSelectOracle,
+    "dsir_ess" ->
+      s"""WITH $dsirWeightsCte,
+          wsrc AS (SELECT d.source AS g, coalesce(w.logw, 0.0) AS lw
+            FROM documents d LEFT JOIN wts w ON w.doc_id = d.doc_id),
+          mx AS (SELECT g, max(lw) AS mw FROM wsrc GROUP BY g),
+          q AS (SELECT wsrc.g,
+              CAST(floor(exp(lw - mw) * 1e12 + 0.5) AS BIGINT) AS wq
+            FROM wsrc JOIN mx ON mx.g = wsrc.g),
+          agg AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+              sum(CAST(wq AS HUGEINT)) AS sw,
+              sum(CAST(wq AS HUGEINT) * wq) AS sw2
+            FROM q GROUP BY g)
+          SELECT g AS source, n,
+            round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) /
+              CAST(sw2 AS DOUBLE), 4) AS ess,
+            round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) /
+              CAST(sw2 AS DOUBLE) / n, 6) AS ess_ratio
+          FROM agg ORDER BY 1""",
+    "q_theil_inequality" ->
+      """WITH li AS (
+           SELECT l_suppkey,
+             CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+               AS BIGINT) AS cents
+           FROM lineitem),
+         units AS (SELECT s.s_nationkey AS g, s.s_suppkey AS u,
+             CAST(sum(cents) AS BIGINT) AS v
+           FROM li JOIN supplier s ON s.s_suppkey = li.l_suppkey
+           GROUP BY 1, 2),
+         base AS (SELECT g, v FROM units WHERE v > 0),
+         gstats AS (SELECT g, CAST(count(*) AS BIGINT) AS ng,
+             CAST(sum(v) AS BIGINT) AS xg
+           FROM base GROUP BY g),
+         tot AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+             CAST(sum(xg) AS BIGINT) AS x FROM gstats),
+         wt AS (SELECT b.g, gs.ng, gs.xg, t.n, t.x,
+             CAST(floor((b.v / (CAST(t.x AS DOUBLE) / t.n)) *
+               ln(b.v / (CAST(t.x AS DOUBLE) / t.n)) * 1e9 + 0.5)
+               AS BIGINT) AS ttq,
+             CAST(floor((b.v / (CAST(gs.xg AS DOUBLE) / gs.ng)) *
+               ln(b.v / (CAST(gs.xg AS DOUBLE) / gs.ng)) * 1e9 + 0.5)
+               AS BIGINT) AS twq
+           FROM base b JOIN gstats gs ON gs.g = b.g CROSS JOIN tot t),
+         perg AS (SELECT g, max(ng) AS ng, max(xg) AS xg, max(n) AS n,
+             max(x) AS x, CAST(sum(ttq) AS BIGINT) AS tq,
+             CAST(sum(twq) AS BIGINT) AS wsum
+           FROM wt GROUP BY g),
+         fin AS (SELECT
+             CAST(sum(ng) AS BIGINT) AS n_units,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(tq) AS BIGINT) AS tqs,
+             CAST(sum(CAST(floor((CAST(xg AS DOUBLE) / x) *
+               (CAST(wsum AS DOUBLE) / 1e9 / ng) * 1e9 + 0.5) AS BIGINT))
+               AS BIGINT) AS wq,
+             CAST(sum(CAST(floor((CAST(xg AS DOUBLE) / x) *
+               ln((CAST(xg AS DOUBLE) / ng) / (CAST(x AS DOUBLE) / n))
+               * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS bq,
+             max(n) AS nn
+           FROM perg)
+         SELECT n_units, n_groups,
+           round(CAST(tqs AS DOUBLE) / 1e9 / nn, 6) AS theil_total,
+           round(CAST(bq AS DOUBLE) / 1e9, 6) AS theil_between,
+           round(CAST(wq AS DOUBLE) / 1e9, 6) AS theil_within
+         FROM fin""",
     "dsir_score_index" ->
       s"""WITH toks AS (
             SELECT doc_id, lang,

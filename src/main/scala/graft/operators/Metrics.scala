@@ -1116,6 +1116,78 @@ object Metrics {
               (least(col("r"), col("c")) - lit(1L)))), 6)).as("cramers_v"))
   }
 
+  /** Theil T inequality with exact between/within decomposition
+    * (Theil 1967): T = (1/N)Σ(vᵢ/μ)ln(vᵢ/μ), split as
+    * T_between = Σ_g s_g·ln(μ_g/μ) plus Σ_g s_g·T_within_g with
+    * s_g = X_g/X — the decomposable inequality measure [[gini]] isn't
+    * (Gini has no clean between/within split; Theil answers "is the
+    * inequality BETWEEN nations or INSIDE them"). Positive values
+    * only. Every ln term quantizes to a long at 1e-9 before its sum
+    * (the cross-engine ln precedent of the BM25/Zipf oracles); group
+    * sums are exact integers. One groupBy + one broadcast of the
+    * 1-row totals. */
+  def theilDecomposition(df: DataFrame, grpCol: Column,
+                         valueCol: Column): DataFrame = {
+    val base = df.select(grpCol.as("g"), valueCol.cast("long").as("v"))
+      .filter(col("v") > 0)
+    val gstats = base.groupBy(col("g"))
+      .agg(count(lit(1)).as("ng"), sum(col("v")).as("xg"))
+    val tot = gstats.agg(sum(col("ng")).as("n"), sum(col("xg")).as("x"))
+    val withT = base.join(gstats, "g").crossJoin(broadcast(tot))
+    val mu = col("x").cast("double") / col("n")
+    val mug = col("xg").cast("double") / col("ng")
+    val ttq = floor((col("v") / mu) * log(col("v") / mu) * 1e9 + 0.5)
+      .cast("long")
+    val twq = floor((col("v") / mug) * log(col("v") / mug) * 1e9 + 0.5)
+      .cast("long")
+    val perG = withT.groupBy(col("g"))
+      .agg(first(col("ng")).as("ng"), first(col("xg")).as("xg"),
+        first(col("n")).as("n"), first(col("x")).as("x"),
+        sum(ttq).as("tq"), sum(twq).as("wsum"))
+    val share = col("xg").cast("double") / col("x")
+    val contribQ = floor(share *
+      (col("wsum").cast("double") / 1e9 / col("ng")) * 1e9 + 0.5)
+      .cast("long")
+    val btwQ = floor(share * log(
+      (col("xg").cast("double") / col("ng")) /
+        (col("x").cast("double") / col("n"))) * 1e9 + 0.5).cast("long")
+    perG.agg(sum(col("ng")).as("n_units"),
+        count(lit(1)).as("n_groups"),
+        sum(col("tq")).as("tqs"),
+        sum(contribQ).as("wq"), sum(btwQ).as("bq"),
+        first(col("n")).as("nn"))
+      .select(col("n_units"), col("n_groups"),
+        round(col("tqs").cast("double") / 1e9 / col("nn"), 6)
+          .as("theil_total"),
+        round(col("bq").cast("double") / 1e9, 6).as("theil_between"),
+        round(col("wq").cast("double") / 1e9, 6).as("theil_within"))
+  }
+
+  /** Effective sample size of importance weights per group:
+    * ESS = (Σw)²/Σw² (Kong 1992) over w = exp(logw − max logw) — the
+    * "how many docs is this reweighted corpus really worth" readout
+    * next to the DSIR weights (an ESS ratio near 1/N means one
+    * document dominates the resample). Max-shift first, then each w
+    * quantizes to a long at 1e-12; the two sums are exact integers
+    * until the final ratio. */
+  def essCard(weights: DataFrame, grpCol: Column,
+              logwCol: Column): DataFrame = {
+    val base = weights.select(grpCol.as("g"), logwCol.as("lw"))
+    val mx = base.groupBy(col("g")).agg(max(col("lw")).as("mw"))
+    val q = base.join(mx, "g")
+      .withColumn("wq",
+        floor(exp(col("lw") - col("mw")) * 1e12 + 0.5).cast("long"))
+    q.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("wq").cast("decimal(38,0)")).as("sw"),
+        sum(col("wq").cast("decimal(38,0)") * col("wq")).as("sw2"))
+      .select(col("g"), col("n"),
+        round(col("sw").cast("double") * col("sw").cast("double") /
+          col("sw2").cast("double"), 4).as("ess"),
+        round(col("sw").cast("double") * col("sw").cast("double") /
+          col("sw2").cast("double") / col("n"), 6).as("ess_ratio"))
+  }
+
   /** Laspeyres / Paasche / Fisher price indices per period against the
     * base (first) period: with per-(item, period) exact integer price
     * mass sp (cents) and quantity mass sq,

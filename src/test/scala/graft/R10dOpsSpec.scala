@@ -606,6 +606,39 @@ class R10dOpsSpec extends AnyFunSuite {
     assert(r.getDouble(5) == 1.5275)
   }
 
+  test("theilDecomposition: equal values give 0; between-only splits clean") {
+    import spark.implicits._
+    import graft.operators.Metrics
+    // all units equal ⇒ T = 0 everywhere
+    val eq = Seq(("a", 5L), ("a", 5L), ("b", 5L), ("b", 5L)).toDF("g", "v")
+    val r0 = Metrics.theilDecomposition(eq, col("g"), col("v")).head()
+    assert(r0.getDouble(2) == 0.0 && r0.getDouble(3) == 0.0 &&
+      r0.getDouble(4) == 0.0)
+    // within-group equality, between-group gap: T_within = 0 and
+    // T_total = T_between exactly. μ = 3; group a: (1/3)ln(1/3)·2,
+    // group b: (5/3)ln(5/3)·2; T = [(1/3)ln(1/3)+(5/3)ln(5/3)]/2.
+    val btw = Seq(("a", 1L), ("a", 1L), ("b", 5L), ("b", 5L)).toDF("g", "v")
+    val r1 = Metrics.theilDecomposition(btw, col("g"), col("v")).head()
+    assert(r1.getDouble(4) == 0.0) // within
+    assert(r1.getDouble(2) == r1.getDouble(3)) // total == between
+    val t = (1.0 / 3 * math.log(1.0 / 3) + 5.0 / 3 * math.log(5.0 / 3)) / 2
+    assert(math.abs(r1.getDouble(2) - t) < 1e-6)
+  }
+
+  test("essCard: uniform weights give ESS = n; one dominant weight ~ 1") {
+    import spark.implicits._
+    import graft.operators.Metrics
+    val uni = Seq(("g", 0.7), ("g", 0.7), ("g", 0.7), ("g", 0.7))
+      .toDF("src", "logw")
+    val r = Metrics.essCard(uni, col("src"), col("logw")).head()
+    assert(r.getLong(1) == 4 && r.getDouble(2) == 4.0 &&
+      r.getDouble(3) == 1.0)
+    // one weight e^20 dominant: ESS collapses toward 1
+    val dom = Seq(("g", 20.0), ("g", 0.0), ("g", 0.0)).toDF("src", "logw")
+    val rd = Metrics.essCard(dom, col("src"), col("logw")).head()
+    assert(rd.getDouble(2) >= 1.0 && rd.getDouble(2) < 1.001)
+  }
+
   test("powerTwoProportion: degenerate all/none conversion gives NULL n") {
     import spark.implicits._
     import graft.operators.Metrics
