@@ -3232,6 +3232,24 @@ object SparkEntry {
       .withColumnRenamed("g", "event_type")
       .orderBy(col("event_type"))
 
+  /** Per-user daily-activity streaks — longest and most recent runs of
+    * consecutive active days. */
+  private def qEventsStreaks(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.activityStreaks(t(s, dir, "events"),
+        col("user_id"), col("ts"))
+      .withColumnRenamed("u", "user_id")
+      .orderBy(col("user_id"))
+
+  /** Dedup threshold-tuning curve over the exact 3-gram Jaccard pairs
+    * mined at a 0.3 floor — pairs surviving and docs dropped per
+    * candidate threshold. */
+  private def qDedupThresholdCurve(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.thresholdCurve(
+        graft.operators.Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+          "text", "doc_id", n = 3, threshold = 0.3),
+        Seq(0.3, 0.5, 0.7, 0.8, 0.9))
+      .orderBy(col("threshold"))
+
   /** Theil T inequality of supplier revenue decomposed between/within
     * nations — "is the inequality between nations or inside them". */
   private def qTheilInequality(s: SparkSession, dir: String): DataFrame = {
@@ -4254,6 +4272,8 @@ object SparkEntry {
     "q_events_runs" -> (qEventsRuns _),
     "q_theil_inequality" -> (qTheilInequality _),
     "dsir_ess" -> (qDsirEss _),
+    "q_events_streaks" -> (qEventsStreaks _),
+    "dedup_threshold_curve" -> (qDedupThresholdCurve _),
     "collocations_llr" -> (qCollocationsLlr _),
     "emb_isotropy" -> (qEmbIsotropy _),
     "lr_conformal" -> (qLrConformal _),
@@ -4491,9 +4511,12 @@ object SparkEntry {
     * dedup_minhash_lsh (LSH candidates + exact verification): the two
     * queries compute the same relation by different physical routes, so
     * they share one oracle. */
-  private val ngramJaccardOracle: String =
-    """WITH toks AS (
-         SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+  /** Exact 3-gram Jaccard pair select at a caller-chosen threshold —
+    * shared by the 0.5-thresholded dedup oracle and the tuning-curve
+    * oracle's 0.3 mining floor. */
+  private def ngramJaccardPairsSql(threshold: Double): String =
+    s"""WITH toks AS (
+         SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
            x -> len(x) > 0) AS t FROM documents),
        sh0 AS (
          SELECT doc_id, t, unnest(generate_series(1, greatest(len(t)-2, 0))) AS i
@@ -4512,8 +4535,25 @@ object SparkEntry {
          round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
        FROM inter JOIN sizes sa ON sa.doc_id = id_a
        JOIN sizes sb ON sb.doc_id = id_b
-       WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
-       ORDER BY id_a, id_b"""
+       WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= $threshold"""
+
+  private val ngramJaccardOracle: String =
+    ngramJaccardPairsSql(0.5) + "\n       ORDER BY id_a, id_b"
+
+  /** Threshold-tuning curve oracle: the 0.3-floor pair mine, then one
+    * (pairs, drops) readout per candidate threshold. */
+  private val dedupCurveOracle: String = {
+    val rows = Seq(0.3, 0.5, 0.7, 0.8, 0.9).map { th =>
+      s"""SELECT CAST($th AS DOUBLE) AS threshold,
+           CAST(sum(CASE WHEN jaccard >= $th THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pairs,
+           CAST(count(DISTINCT CASE WHEN jaccard >= $th THEN id_b END)
+             AS BIGINT) AS n_docs_dropped
+         FROM pairs"""
+    }.mkString(" UNION ALL ")
+    s"""WITH pairs AS (${ngramJaccardPairsSql(0.3)})
+       SELECT * FROM ($rows) ORDER BY threshold"""
+  }
 
   /** PageRank replay: the overlap-pair relation feeds an unrolled
     * 10-iteration CTE chain of the same rounded recurrence the Spark
@@ -7486,6 +7526,23 @@ object SparkEntry {
            AS BIGINT) AS n_bpe_tokens
          FROM documents ORDER BY doc_id""",
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
+    "dedup_threshold_curve" -> dedupCurveOracle,
+    "q_events_streaks" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+           FROM events),
+         isl AS (SELECT u, d,
+             d - CAST(row_number() OVER (PARTITION BY u ORDER BY d)
+               AS INT) AS grp
+           FROM ud),
+         islands AS (SELECT u, grp, CAST(count(*) AS BIGINT) AS len,
+             max(d) AS iend
+           FROM isl GROUP BY 1, 2)
+         SELECT u AS user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(max_by(len, iend) AS BIGINT) AS last_streak,
+           max(iend) AS last_day
+         FROM islands GROUP BY u ORDER BY 1""",
     "dedup_embedding_pairs" -> (embPairsSql + " ORDER BY id_a, id_b"),
     "ann_recall" -> annRecallOracle(dim = 64, nBits = 6, probes = 2,
       tables = 2, k = 10),

@@ -649,6 +649,24 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Threshold-tuning curve over mined near-dup pairs: per candidate
+    * threshold, the surviving pair count and the docs the
+    * keep-lowest-id rule would drop — the "where do I set the knob"
+    * card read BEFORE committing a dedup pass (pair-level; cluster
+    * transitivity is [[graft.operators.Clustering]]'s job and only
+    * grows the drop set). One scratch-cached pair mine feeds
+    * |thresholds| one-row aggregations. */
+  def thresholdCurve(pairs: DataFrame,
+                     thresholds: Seq[Double]): DataFrame = {
+    val p = CacheScope.scratch(pairs)
+    thresholds.map { th =>
+      p.agg(lit(th).as("threshold"),
+        sum(when(col("jaccard") >= th, 1L).otherwise(0L)).as("n_pairs"),
+        countDistinct(when(col("jaccard") >= th, col("id_b")))
+          .as("n_docs_dropped"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Cross-document segment-level dedup — the boilerplate-removal pass:
     * documents are cut into non-overlapping `segTokens`-token segments
     * and every repeat of a segment text already seen earlier in the

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -388,6 +388,30 @@ object Funnel {
           .as("share"))
       .orderBy(col("support").desc, col("a"), col("b"), col("c"))
       .limit(topK)
+  }
+
+  /** Daily-activity streaks per user (gaps-and-islands): total active
+    * days, the longest run of consecutive days, the run ending at the
+    * user's LAST active day, and that day — the habit-strength card
+    * next to [[cohortRetention]]'s cohort view. One distinct + one
+    * per-user window; islands key on d − row_number (consecutive days
+    * share it), max_by is deterministic because island ends are unique
+    * within a user. */
+  def activityStreaks(events: DataFrame, userCol: Column,
+                      tsCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ud = events.select(userCol.as("u"), to_date(tsCol).as("d"))
+      .distinct()
+    val w = Window.partitionBy(col("u")).orderBy(col("d"))
+    val islands = ud.withColumn("rn", row_number().over(w))
+      .withColumn("grp", date_sub(col("d"), col("rn")))
+      .groupBy(col("u"), col("grp"))
+      .agg(count(lit(1)).as("len"), max(col("d")).as("iend"))
+    islands.groupBy(col("u"))
+      .agg(sum(col("len")).as("n_active_days"),
+        max(col("len")).as("longest_streak"),
+        max_by(col("len"), col("iend")).as("last_streak"),
+        max(col("iend")).as("last_day"))
   }
 
   /** Markov removal-effect attribution (Anderl et al. 2016's

@@ -639,6 +639,29 @@ class R10dOpsSpec extends AnyFunSuite {
     assert(rd.getDouble(2) >= 1.0 && rd.getDouble(2) < 1.001)
   }
 
+  test("activityStreaks: islands split on gaps, last streak is the recent one") {
+    import spark.implicits._
+    import graft.operators.Funnel
+    // active days 1,2,3, 6,7, 10: longest = 3, last streak = 1 (day 10)
+    val ev = Seq(1, 2, 3, 6, 7, 10).map(d => (1L, day(d)))
+      .toDF("user_id", "ts")
+    val r = Funnel.activityStreaks(ev, col("user_id"), col("ts")).head()
+    assert(r.getLong(1) == 6 && r.getLong(2) == 3 && r.getLong(3) == 1)
+    assert(r.getDate(4).toString == "2024-01-10")
+  }
+
+  test("thresholdCurve: counts are monotone non-increasing in the threshold") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val pairs = Seq((1L, 2L, 0.95), (1L, 3L, 0.6), (4L, 5L, 0.45),
+      (2L, 3L, 0.95)).toDF("id_a", "id_b", "jaccard")
+    val rows = Dedup.thresholdCurve(pairs, Seq(0.4, 0.7, 0.9))
+      .orderBy(col("threshold")).collect()
+    assert(rows.map(_.getLong(1)).toSeq == Seq(4L, 2L, 2L))
+    // doc 3 appears as id_b in two pairs — dropped once, not twice
+    assert(rows.map(_.getLong(2)).toSeq == Seq(3L, 2L, 2L))
+  }
+
   test("powerTwoProportion: degenerate all/none conversion gives NULL n") {
     import spark.implicits._
     import graft.operators.Metrics
