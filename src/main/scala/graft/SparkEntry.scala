@@ -3232,6 +3232,34 @@ object SparkEntry {
       .withColumnRenamed("g", "event_type")
       .orderBy(col("event_type"))
 
+  /** Cohen's d / Hedges' g between the parity arms per event type —
+    * the parametric effect size next to Cliff's delta. */
+  private def qEventsCohensD(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Metrics.cohensD(t(s, dir, "events"),
+        col("event_type"), col("user_id") % 2,
+        round(col("value") * 100, 0).cast("long"))
+      .withColumnRenamed("g", "event_type")
+      .orderBy(col("event_type"))
+
+  /** Top-20 part leaderboard migration across the shipdate-midpoint
+    * split — who entered, dropped, or moved. */
+  private def qRankMigration(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    // l_shipdate reads as TIMESTAMP_NTZ; the UTC session cast matches
+    // DuckDB's epoch_us over the same naive timestamp
+    val us = unix_micros(col("l_shipdate").cast("timestamp"))
+    val bounds = li.agg(min(us).as("lo"), max(us).as("hi"))
+      .select(expr("(lo + hi) DIV 2").as("mid"))
+    val units = li.crossJoin(broadcast(bounds))
+      .select((us > col("mid")).as("p"), col("l_partkey"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100,
+          0).cast("long").as("cents"))
+    graft.operators.Metrics.rankMigration(units, col("p"),
+        col("l_partkey"), col("cents"), k = 20)
+      .withColumnRenamed("key", "p_partkey")
+      .orderBy(col("status"), col("p_partkey"))
+  }
+
   /** Per-user daily-activity streaks — longest and most recent runs of
     * consecutive active days. */
   private def qEventsStreaks(s: SparkSession, dir: String): DataFrame =
@@ -4274,6 +4302,8 @@ object SparkEntry {
     "dsir_ess" -> (qDsirEss _),
     "q_events_streaks" -> (qEventsStreaks _),
     "dedup_threshold_curve" -> (qDedupThresholdCurve _),
+    "q_events_cohens_d" -> (qEventsCohensD _),
+    "q_rank_migration" -> (qRankMigration _),
     "collocations_llr" -> (qCollocationsLlr _),
     "emb_isotropy" -> (qEmbIsotropy _),
     "lr_conformal" -> (qLrConformal _),
@@ -7527,6 +7557,63 @@ object SparkEntry {
          FROM documents ORDER BY doc_id""",
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_threshold_curve" -> dedupCurveOracle,
+    "q_events_cohens_d" ->
+      """WITH e AS (SELECT event_type AS g, CAST(user_id % 2 AS INT) AS v,
+             CAST(round(value * 100, 0) AS BIGINT) AS x FROM events),
+         agg AS (SELECT g,
+             CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+             CAST(sum(CASE WHEN v = 0 THEN x ELSE 0 END) AS BIGINT) AS sa,
+             CAST(sum(CASE WHEN v = 1 THEN x ELSE 0 END) AS BIGINT) AS sb,
+             sum(CASE WHEN v = 0 THEN CAST(x AS HUGEINT) * x
+               ELSE 0 END) AS qa,
+             sum(CASE WHEN v = 1 THEN CAST(x AS HUGEINT) * x
+               ELSE 0 END) AS qb
+           FROM e GROUP BY g),
+         t AS (SELECT g, na, nb,
+             CAST(sa AS DOUBLE) / na AS ma, CAST(sb AS DOUBLE) / nb AS mb,
+             CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) *
+               (CAST(sa AS DOUBLE) / na) AS ssa,
+             CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) *
+               (CAST(sb AS DOUBLE) / nb) AS ssb
+           FROM agg),
+         f AS (SELECT g, na, nb, ma, mb,
+             sqrt((ssa + ssb) / CAST(na + nb - 2 AS DOUBLE)) AS sp
+           FROM t)
+         SELECT g AS event_type, na, nb,
+           round(ma / 100.0, 4) AS mean_a, round(mb / 100.0, 4) AS mean_b,
+           CASE WHEN na > 1 AND nb > 1 AND sp > 0
+             THEN round((ma - mb) / sp, 4) END AS cohens_d,
+           CASE WHEN na > 1 AND nb > 1 AND sp > 0
+             THEN round(((ma - mb) / sp) *
+               (1.0 - 3.0 / (4.0 * (na + nb) - 9)), 4) END AS hedges_g
+         FROM f ORDER BY 1""",
+    "q_rank_migration" ->
+      """WITH b AS (SELECT
+             CAST(min(epoch_us(l_shipdate)) AS BIGINT) AS lo,
+             CAST(max(epoch_us(l_shipdate)) AS BIGINT) AS hi
+           FROM lineitem),
+         units AS (SELECT
+             CASE WHEN epoch_us(l_shipdate) > (lo + hi) // 2
+               THEN 1 ELSE 0 END AS p,
+             l_partkey AS key,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100,
+               0) AS BIGINT)) AS BIGINT) AS tv
+           FROM lineitem, b GROUP BY 1, 2),
+         ranked AS (SELECT p, key, CAST(row_number() OVER
+             (PARTITION BY p ORDER BY tv DESC, key) AS INT) AS rk
+           FROM units),
+         r1 AS (SELECT key, rk AS rank_1 FROM ranked
+                WHERE p = 0 AND rk <= 20),
+         r2 AS (SELECT key, rk AS rank_2 FROM ranked
+                WHERE p = 1 AND rk <= 20)
+         SELECT coalesce(r1.key, r2.key) AS p_partkey, rank_1, rank_2,
+           rank_1 - rank_2 AS rank_gain,
+           CASE WHEN rank_1 IS NULL THEN 'entered'
+             WHEN rank_2 IS NULL THEN 'dropped'
+             ELSE 'stayed' END AS status
+         FROM r1 FULL OUTER JOIN r2 ON r2.key = r1.key
+         ORDER BY status, p_partkey""",
     "q_events_streaks" ->
       """WITH ud AS (
            SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d

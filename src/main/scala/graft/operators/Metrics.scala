@@ -1116,6 +1116,78 @@ object Metrics {
               (least(col("r"), col("c")) - lit(1L)))), 6)).as("cramers_v"))
   }
 
+  /** Cohen's d / Hedges' g standardized mean difference per group
+    * between two variants, from EXACT integer cents moments:
+    * d = (μ₀−μ₁)/s_p with the pooled sample SD, g = d·(1−3/(4n−9)) —
+    * the parametric effect size next to [[cliffsDelta]]'s ordinal one
+    * (d assumes roughly-normal interval data and rewards it with a
+    * familiar scale; δ assumes nothing). One groupBy; all doubles are
+    * post-aggregation scalar algebra. */
+  def cohensD(df: DataFrame, grpCol: Column, variantCol: Column,
+              valueCol: Column): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val e = df.select(grpCol.as("g"), variantCol.cast("int").as("v"),
+      valueCol.cast("long").as("x"))
+    val agg = e.groupBy(col("g")).agg(
+      sum(when(col("v") === 0, 1L).otherwise(0L)).as("na"),
+      sum(when(col("v") === 1, 1L).otherwise(0L)).as("nb"),
+      sum(when(col("v") === 0, col("x")).otherwise(0L)).as("sa"),
+      sum(when(col("v") === 1, col("x")).otherwise(0L)).as("sb"),
+      sum(when(col("v") === 0, dec(col("x")) * col("x"))
+        .otherwise(lit(0).cast("decimal(38,0)"))).as("qa"),
+      sum(when(col("v") === 1, dec(col("x")) * col("x"))
+        .otherwise(lit(0).cast("decimal(38,0)"))).as("qb"))
+    val ma = col("sa").cast("double") / col("na")
+    val mb = col("sb").cast("double") / col("nb")
+    val ssa = col("qa").cast("double") - col("sa").cast("double") * ma
+    val ssb = col("qb").cast("double") - col("sb").cast("double") * mb
+    val n = col("na") + col("nb")
+    val sp = sqrt((ssa + ssb) / (n - 2).cast("double"))
+    val d = (ma - mb) / sp
+    agg.select(col("g"), col("na"), col("nb"),
+      round(ma / 100.0, 4).as("mean_a"),
+      round(mb / 100.0, 4).as("mean_b"),
+      when(col("na") > 1 && col("nb") > 1 && sp > 0, round(d, 4))
+        .as("cohens_d"),
+      when(col("na") > 1 && col("nb") > 1 && sp > 0,
+        round(d * (lit(1.0) - lit(3.0) / (lit(4.0) * n - 9)), 4))
+        .as("hedges_g"))
+  }
+
+  /** Top-k rank migration between two periods: rank keys by value in
+    * each period (value desc, key asc — a total order), keep ranks ≤ k
+    * on either side, and report the movement — entered / dropped /
+    * stayed with the rank delta. The leaderboard-churn card: "is the
+    * head of this distribution stable across snapshots", the
+    * ranking-level companion to [[periodContribution]]'s value-level
+    * split. Two bounded rank windows + one full-outer equi-join. */
+  def rankMigration(df: DataFrame, periodCol: Column, keyCol: Column,
+                    valueCol: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val units = df.select(periodCol.cast("int").as("p"), keyCol.as("key"),
+        valueCol.as("v"))
+      .groupBy(col("p"), col("key")).agg(sum(col("v")).as("tv"))
+    // two-phase top-k (the stratifiedExactN contract): each partition
+    // streams out at most k rows per period before the exact rank —
+    // the one-phase window would sort a whole period in one task
+    val pruned = PartitionPrune.firstNPerKey(units, "p",
+      Seq(col("tv").desc, col("key")), k)
+    val w = Window.partitionBy(col("p"))
+      .orderBy(col("tv").desc, col("key"))
+    val ranked = pruned.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+    val r1 = ranked.filter(col("p") === 0)
+      .select(col("key"), col("rk").as("rank_1"))
+    val r2 = ranked.filter(col("p") === 1)
+      .select(col("key"), col("rk").as("rank_2"))
+    r1.join(r2, Seq("key"), "full_outer")
+      .select(col("key"), col("rank_1"), col("rank_2"),
+        (col("rank_1") - col("rank_2")).as("rank_gain"),
+        when(col("rank_1").isNull, "entered")
+          .when(col("rank_2").isNull, "dropped")
+          .otherwise("stayed").as("status"))
+  }
+
   /** Theil T inequality with exact between/within decomposition
     * (Theil 1967): T = (1/N)Σ(vᵢ/μ)ln(vᵢ/μ), split as
     * T_between = Σ_g s_g·ln(μ_g/μ) plus Σ_g s_g·T_within_g with

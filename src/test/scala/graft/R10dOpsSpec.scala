@@ -662,6 +662,39 @@ class R10dOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).toSeq == Seq(3L, 2L, 2L))
   }
 
+  test("cohensD: unit shift over unit variance gives d = 1 exactly-ish") {
+    import spark.implicits._
+    import graft.operators.Metrics
+    // arm 0: {100, 300} (mean 200); arm 1: {0, 200} (mean 100):
+    // both sample variances are 20000, pooled sd = √20000,
+    // d = 100/141.42 = 0.7071; g = d·(1 − 3/7) = 0.4041.
+    val df = Seq(("g", 0, 100L), ("g", 0, 300L), ("g", 1, 0L),
+      ("g", 1, 200L)).toDF("g", "v", "x")
+    val r = Metrics.cohensD(df, col("g"), col("v"), col("x")).head()
+    assert(r.getLong(1) == 2 && r.getLong(2) == 2)
+    assert(r.getDouble(3) == 2.0 && r.getDouble(4) == 1.0) // means /100
+    assert(r.getDouble(5) == 0.7071)
+    assert(r.getDouble(6) == BigDecimal(0.7071067811865475 * (1.0 - 3.0 / 7.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("rankMigration: entered/dropped/stayed classified correctly") {
+    import spark.implicits._
+    import graft.operators.Metrics
+    // period 0 top-2: a(10), b(5); period 1 top-2: a(8), c(9) →
+    // a stays (1 → 2, gain −1), b drops, c enters.
+    val df = Seq((0, "a", 10L), (0, "b", 5L), (0, "c", 1L),
+      (1, "a", 8L), (1, "c", 9L)).toDF("p", "k", "v")
+    val rows = Metrics.rankMigration(df, col("p"), col("k"), col("v"),
+        k = 2).orderBy(col("key")).collect()
+    val a = rows(0); val b = rows(1); val c = rows(2)
+    assert(a.getString(4) == "stayed" && a.getInt(1) == 1 &&
+      a.getInt(2) == 2 && a.getInt(3) == -1)
+    assert(b.getString(4) == "dropped" && b.isNullAt(2))
+    assert(c.getString(4) == "entered" && c.isNullAt(1) &&
+      c.getInt(2) == 1)
+  }
+
   test("powerTwoProportion: degenerate all/none conversion gives NULL n") {
     import spark.implicits._
     import graft.operators.Metrics
