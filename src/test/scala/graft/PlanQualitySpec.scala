@@ -887,6 +887,26 @@ class PlanQualitySpec extends AnyFunSuite {
     graft.operators.CacheScope.drain()
   }
 
+  test("r10d second wave: equi-joins only, no UDFs") {
+    // hurst/holt-winters/runs are window+fold shapes; price index,
+    // theil and rank migration are grouped equi-joins; the
+    // class-balanced sampler rides the two-phase prune; trigram LM is
+    // count-frame equi-joins; interval union is one partitioned sweep.
+    for (q <- Seq("q_events_hurst", "q_events_holt_winters",
+        "q_price_index", "q_events_mad", "q_theil_inequality",
+        "trigram_lm", "gate_overlap_matrix", "q_interval_union",
+        "q_events_runs", "q_events_streaks", "sample_class_balanced",
+        "q_rank_migration", "q_events_cohens_d", "paragraph_dup_stats",
+        "dsir_ess", "corpus_distinct_n", "lexical_diversity",
+        "markdown_profile", "q_events_ewma", "q_events_pacf")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q has a cartesian:\n${p.take(1200)}")
+      assert(!p.contains("ScalaUDF"), s"$q carries a UDF")
+      graft.operators.CacheScope.drain()
+    }
+  }
+
   test("dedup signature kernels are native expressions — no ScalaUDF in the plan") {
     // SimHash and MinHash signatures used to be Scala UDFs: the only
     // opaque scan-side projections left outside whole-stage codegen,
