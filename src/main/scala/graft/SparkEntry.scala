@@ -3232,6 +3232,15 @@ object SparkEntry {
       .withColumnRenamed("g", "event_type")
       .orderBy(col("event_type"))
 
+  /** Interrupted-time-series effect per event type — pre-midpoint
+    * linear trend extrapolated as the counterfactual, actual vs
+    * predicted post-period mass. */
+  private def qEventsIts(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.interruptedTimeSeries(t(s, dir, "events"),
+        col("event_type"), col("ts"))
+      .withColumnRenamed("k", "event_type")
+      .orderBy(col("event_type"))
+
   /** Cohen's d / Hedges' g between the parity arms per event type —
     * the parametric effect size next to Cliff's delta. */
   private def qEventsCohensD(s: SparkSession, dir: String): DataFrame =
@@ -4304,6 +4313,7 @@ object SparkEntry {
     "dedup_threshold_curve" -> (qDedupThresholdCurve _),
     "q_events_cohens_d" -> (qEventsCohensD _),
     "q_rank_migration" -> (qRankMigration _),
+    "q_events_its" -> (qEventsIts _),
     "collocations_llr" -> (qCollocationsLlr _),
     "emb_isotropy" -> (qEmbIsotropy _),
     "lr_conformal" -> (qLrConformal _),
@@ -7557,6 +7567,47 @@ object SparkEntry {
          FROM documents ORDER BY doc_id""",
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_threshold_curve" -> dedupCurveOracle,
+    "q_events_its" ->
+      """WITH daily AS (
+           SELECT event_type AS k, CAST(ts AS DATE) AS d, count(*) AS c
+           FROM events GROUP BY 1, 2),
+         idx AS (SELECT k, d, c,
+             row_number() OVER (PARTITION BY k ORDER BY d) AS i
+           FROM daily),
+         nn AS (SELECT k, CAST(count(*) AS BIGINT) AS nd
+           FROM idx GROUP BY k),
+         base AS (SELECT idx.k, idx.c, idx.i,
+             idx.i <= nn.nd / 2 AS pre
+           FROM idx JOIN nn ON nn.k = idx.k),
+         ols AS (SELECT k, CAST(count(*) AS BIGINT) AS np,
+             CAST(sum(i) AS BIGINT) AS sx, CAST(sum(c) AS BIGINT) AS sy,
+             CAST(sum(i * c) AS BIGINT) AS sxy,
+             CAST(sum(i * i) AS BIGINT) AS sxx
+           FROM base WHERE pre GROUP BY k),
+         sl AS (SELECT k, np, sy, sx,
+             CAST(np * sxy - sx * sy AS DOUBLE) /
+               CAST(np * sxx - sx * sx AS DOUBLE) AS slope
+           FROM ols),
+         ic AS (SELECT k, np, slope,
+             (CAST(sy AS DOUBLE) - slope * sx) / np AS icept
+           FROM sl),
+         fit AS (SELECT b.k, b.c, ic.np,
+             CAST(floor((ic.icept + ic.slope * b.i) * 1e6 + 0.5)
+               AS BIGINT) AS predq
+           FROM base b JOIN ic ON ic.k = b.k WHERE NOT b.pre),
+         fin AS (SELECT k, CAST(max(np) AS BIGINT) AS n_pre,
+             CAST(count(*) AS BIGINT) AS n_post,
+             CAST(sum(c) AS BIGINT) AS actual_post,
+             CAST(sum(predq) AS BIGINT) AS pq
+           FROM fit GROUP BY k)
+         SELECT k AS event_type, n_pre, n_post, actual_post,
+           round(CAST(pq AS DOUBLE) / 1e6, 4) AS predicted_post,
+           round(CAST(actual_post AS DOUBLE) - CAST(pq AS DOUBLE) / 1e6, 4)
+             AS abs_effect,
+           CASE WHEN pq > 0 THEN
+             round((CAST(actual_post AS DOUBLE) - CAST(pq AS DOUBLE) / 1e6)
+               / (CAST(pq AS DOUBLE) / 1e6), 6) END AS rel_effect
+         FROM fin ORDER BY 1""",
     "q_events_cohens_d" ->
       """WITH e AS (SELECT event_type AS g, CAST(user_id % 2 AS INT) AS v,
              CAST(round(value * 100, 0) AS BIGINT) AS x FROM events),

@@ -496,6 +496,53 @@ object TimeSeries {
         array_min(fin.getField("ss")), 6).as("seasonal_amplitude"))
   }
 
+  /** Interrupted-time-series effect per key (the CausalImpact-style
+    * counterfactual readout, linear-trend flavor): fit y = a + b·x by
+    * exact-moment OLS on the PRE-midpoint daily counts, extrapolate
+    * into the post period, and compare actual to predicted mass —
+    * absolute and relative effect. The "did the launch change the
+    * level" answer when there is no control arm (DiD's sibling for
+    * n_arms = 1). Day indices are small exact integers, OLS moments
+    * are exact longs, each per-day prediction quantizes at 1e-6
+    * before the post-period sum. */
+  def interruptedTimeSeries(events: DataFrame, keyCol: Column,
+                            tsCol: Column): DataFrame = {
+    val daily = events
+      .groupBy(keyCol.as("k"), to_date(tsCol).as("d"))
+      .agg(count(lit(1)).as("c"))
+    val idx = daily.withColumn("i",
+      row_number().over(Window.partitionBy(col("k")).orderBy(col("d"))))
+    val n = idx.groupBy(col("k")).agg(count(lit(1)).as("nd"))
+    val base = idx.join(n, "k")
+      .withColumn("pre", col("i") <= col("nd") / 2)
+    val ols = base.filter(col("pre"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("np"), sum(col("i")).as("sx"),
+        sum(col("c")).as("sy"), sum(col("i") * col("c")).as("sxy"),
+        sum(col("i") * col("i")).as("sxx"))
+    val den = (col("np") * col("sxx") - col("sx") * col("sx"))
+      .cast("double")
+    val slope = (col("np") * col("sxy") - col("sx") * col("sy"))
+      .cast("double") / den
+    val icept = (col("sy").cast("double") - slope * col("sx")) / col("np")
+    val withFit = base.filter(!col("pre"))
+      .join(ols, "k")
+      .withColumn("predq",
+        floor((icept + slope * col("i")) * 1e6 + 0.5).cast("long"))
+    withFit.groupBy(col("k"))
+      .agg(first(col("np")).as("n_pre"), count(lit(1)).as("n_post"),
+        sum(col("c")).as("actual_post"),
+        sum(col("predq")).as("pq"))
+      .select(col("k"), col("n_pre"), col("n_post"), col("actual_post"),
+        round(col("pq").cast("double") / 1e6, 4).as("predicted_post"),
+        round(col("actual_post").cast("double") -
+          col("pq").cast("double") / 1e6, 4).as("abs_effect"),
+        when(col("pq") > 0,
+          round((col("actual_post").cast("double") -
+            col("pq").cast("double") / 1e6) /
+            (col("pq").cast("double") / 1e6), 6)).as("rel_effect"))
+  }
+
   /** MAD robust-outlier card per key over daily counts
     * (Iglewicz–Hoaglin 1993): modified z = 0.6745·(c − median)/MAD
     * with MAD = median(|c − median|), flag |z| > 3.5 — the outlier

@@ -695,6 +695,30 @@ class R10dOpsSpec extends AnyFunSuite {
       c.getInt(2) == 1)
   }
 
+  test("interruptedTimeSeries: perfect trend continuation has zero effect") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    // counts = i over 8 days: pre = days 1–4 fit y = x exactly, post
+    // prediction 5+6+7+8 = 26 = actual ⇒ effect 0. Then a level jump:
+    // post counts i+10 ⇒ abs effect 40, rel = 40/26.
+    val flat = (1 to 8).flatMap(d => (1 to d).map(_ => (day(d), "t")))
+      .toDF("ts", "k")
+    val r = TimeSeries.interruptedTimeSeries(flat, col("k"), col("ts"))
+      .head()
+    assert(r.getLong(1) == 4 && r.getLong(2) == 4)
+    assert(r.getLong(3) == 26 && r.getDouble(4) == 26.0)
+    assert(r.getDouble(5) == 0.0 && r.getDouble(6) == 0.0)
+    val jump = (1 to 8).flatMap { d =>
+      val c = if (d <= 4) d else d + 10
+      (1 to c).map(_ => (day(d), "j"))
+    }.toDF("ts", "k")
+    val rj = TimeSeries.interruptedTimeSeries(jump, col("k"), col("ts"))
+      .head()
+    assert(rj.getLong(3) == 66 && rj.getDouble(5) == 40.0)
+    assert(rj.getDouble(6) == BigDecimal(40.0 / 26)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("powerTwoProportion: degenerate all/none conversion gives NULL n") {
     import spark.implicits._
     import graft.operators.Metrics
