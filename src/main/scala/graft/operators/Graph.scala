@@ -272,10 +272,12 @@ object Graph {
     * semi-join probes and the plan grows 4×/round). */
   def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
             iters: Int): DataFrame = {
-    var canon = edges
+    // round 1 reads the mined edge frame from three subtrees (degrees
+    // + both semi-join probes) — scratch-cache so the mine runs once
+    var canon = CacheScope.scratch(edges
       .select(least(col(aCol), col(bCol)).as("lo"),
         greatest(col(aCol), col(bCol)).as("hi"))
-      .filter(col("lo") =!= col("hi")).distinct()
+      .filter(col("lo") =!= col("hi")).distinct())
     for (_ <- 1 to iters) {
       val keep = undirectedDegrees(canon).filter(col("d") >= k)
         .select(col("v"))
@@ -308,8 +310,12 @@ object Graph {
       .select(least(col(aCol), col(bCol)).as("lo"),
         greatest(col(aCol), col(bCol)).as("hi"))
       .filter(col("lo") =!= col("hi")).distinct()
-    val adj = canon.select(col("lo").as("m"), col("hi").as("x"))
-      .unionAll(canon.select(col("hi").as("m"), col("lo").as("x")))
+    // every round joins the SAME adjacency — scratch-cache it or each
+    // of the `iters` rounds re-mines the edge frame from the scan
+    // (caught at bench: 9 s → the cost of one mine + tiny rounds)
+    val adj = CacheScope.scratch(
+      canon.select(col("lo").as("m"), col("hi").as("x"))
+        .unionAll(canon.select(col("hi").as("m"), col("lo").as("x"))))
     var labels = adj.select(col("m").as("v")).distinct()
       .withColumn("lbl", col("v"))
     for (_ <- 1 to iters) {
@@ -343,10 +349,12 @@ object Graph {
     * as [[triangleStats]]); existing edges leave via one anti-join. */
   def linkPrediction(edges: DataFrame, aCol: String, bCol: String,
                      topN: Int): DataFrame = {
-    val canon = edges
+    // the mined edge frame feeds degrees, both wedge sides, and the
+    // anti-join — scratch-cache so the mine runs once
+    val canon = CacheScope.scratch(edges
       .select(least(col(aCol), col(bCol)).as("lo"),
         greatest(col(aCol), col(bCol)).as("hi"))
-      .filter(col("lo") =!= col("hi")).distinct()
+      .filter(col("lo") =!= col("hi")).distinct())
     val deg = undirectedDegrees(canon)
     val adj = canon.select(col("lo").as("m"), col("hi").as("x"))
       .unionAll(canon.select(col("hi").as("m"), col("lo").as("x")))
