@@ -4040,15 +4040,19 @@ object SparkEntry {
   /** Equi-depth (ntile) value histogram per event type — the
     * data-dependent-boundary profile that the fixed-width PSI bins and
     * the quantile sketch bracket from either side. Deterministic
-    * binning: the window orders by (value, event_id), so ties split
-    * identically in any engine. */
+    * binning: ordered by (value, event_id), so ties split identically
+    * in any engine. Binning is the two-phase grouped ntile
+    * ([[graft.operators.Ranks.groupedNtile]]): a HOT event type spans
+    * range partitions instead of funnelling its whole value
+    * distribution through one sort task; the KLL sketch
+    * (`q_quantile_sketch`) remains the approximate bracket when even
+    * exact grouped ranking is too much. */
   private def qEquidepthHist(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("value"), col("event_id"))
-    t(s, dir, "events")
+    val base = t(s, dir, "events")
       .filter(col("value").isNotNull)
       .select(col("event_type"), col("event_id"), col("value"))
-      .withColumn("bin", ntile(10).over(w).cast("long"))
+    graft.operators.Ranks.groupedNtile(base, Seq("event_type"),
+        Seq(col("value"), col("event_id")), 10, "bin")
       .groupBy(col("event_type"), col("bin"))
       .agg(count(lit(1)).as("n"),
         round(min(col("value")), 4).as("lo"),
@@ -5608,11 +5612,13 @@ object SparkEntry {
           FROM dd GROUP BY cell),
         sc AS (SELECT cell, n_vecs,
             CAST(sd AS DOUBLE) / 1e9 / n_vecs AS scatter FROM pc),
-        cd AS (SELECT a.cell AS ci, b.cell AS cj,
-            sqrt(greatest(list_dot_product(a.cv, a.cv) +
-              list_dot_product(b.cv, b.cv) -
-              2.0 * list_dot_product(a.cv, b.cv), 0.0)) AS m
-          FROM c2 a JOIN c2 b ON a.cell <> b.cell),
+        cd AS (SELECT * FROM (
+            SELECT a.cell AS ci, b.cell AS cj,
+              sqrt(greatest(list_dot_product(a.cv, a.cv) +
+                list_dot_product(b.cv, b.cv) -
+                2.0 * list_dot_product(a.cv, b.cv), 0.0)) AS m
+            FROM c2 a JOIN c2 b ON a.cell <> b.cell)
+          WHERE m > 0),
         rt AS (SELECT si.cell, si.n_vecs, si.scatter,
             CAST(floor(max((si.scatter + sj.scatter) / cd.m) * 1e9 + 0.5)
               AS BIGINT) AS rq
@@ -7583,7 +7589,8 @@ object SparkEntry {
              CAST(sum(i) AS BIGINT) AS sx, CAST(sum(c) AS BIGINT) AS sy,
              CAST(sum(i * c) AS BIGINT) AS sxy,
              CAST(sum(i * i) AS BIGINT) AS sxx
-           FROM base WHERE pre GROUP BY k),
+           FROM base WHERE pre GROUP BY k
+           HAVING count(*) >= 2),
          sl AS (SELECT k, np, sy, sx,
              CAST(np * sxy - sx * sy AS DOUBLE) /
                CAST(np * sxx - sx * sx AS DOUBLE) AS slope

@@ -67,57 +67,50 @@ object Battles {
     * normalized strength rounds to 12 dp per round, so the iteration
     * is partition-invariant and exactly replayable as unrolled SQL.
     *
-    * Scale: `cells` is at most |models|² rows — each round is two
-    * broadcast joins and one tiny agg; the strengths frame stays
-    * |models| rows. Lineage is cut every 5 rounds. */
+    * Scale: `cells` is at most |models|² rows BY CONSTRUCTION (one
+    * groupBy fold of the battle stream produced it), so the whole
+    * fixed-point runs DRIVER-SIDE on one bounded collect — the
+    * [[graft.operators.Similarity]] kmeans-loop pattern. The in-engine
+    * form spent ~23 s of pure orchestration at bench scale running 20
+    * rounds of |models|-row Spark jobs; nothing about those joins was
+    * distributed work. Long sums are order-independent, the per-round
+    * 12-dp rounding uses the same BigDecimal HALF_UP as Spark's
+    * `round`, and the floor quantizations are the same double ops —
+    * the unrolled-CTE SQL oracle is unchanged and still matches
+    * bit-for-bit. */
   def btStrengths(cells: DataFrame, iters: Int = 20): DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    // bounded pull: ≤ |models|² cells (documented contract above)
+    val cellRows = cells.select(col("model_a").cast("string"),
+        col("model_b").cast("string"), col("n").cast("long"),
+        col("wins_a").cast("long")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
     // directed edges: (i, j, n, w) = battles vs j, wins of i over j
-    val e = cells.select(col("model_a").as("i"), col("model_b").as("j"),
-        col("n"), col("wins_a").as("w"))
-      .unionAll(cells.select(col("model_b").as("i"), col("model_a").as("j"),
-        col("n"), (col("n") - col("wins_a")).as("w")))
-      // ≤ |models|² rows: single-partition so every one of the 20
-      // rounds runs single-task stages instead of 32 empty ones
-      .coalesce(1).localCheckpoint()
-    val wins = e.groupBy(col("i")).agg(sum(col("w")).as("wi"))
-      .coalesce(1).localCheckpoint()
-    var s = wins.select(col("i").as("model"), lit(1.0).as("s"))
-    for (k <- 1 to iters) {
-      // broadcast the |models|-sized frames EXPLICITLY: a checkpointed
-      // frame has no size estimate, so each of the 20 rounds was
-      // planning shuffle joins + AQE replans over 10-row inputs —
-      // ~3 s/round of pure orchestration at bench scale (61 s total)
-      val denom = e
-        .join(broadcast(s.select(col("model").as("i"), col("s").as("si"))),
-          "i")
-        .join(broadcast(s.select(col("model").as("j"), col("s").as("sj"))),
-          "j")
-        .groupBy(col("i"))
-        .agg(sum(floor(col("n") / (col("si") + col("sj")) * lit(1e12)
-          + lit(0.5)).cast("long")).as("dq"))
-      val raw = denom.join(broadcast(wins), "i")
-        .select(col("i").as("model"),
-          (col("wi").cast("double") / (col("dq").cast("double") / lit(1e12)))
-            .as("sraw"))
-        // lazy-materialized on 1 partition: the tot job evaluates it
-        // once and the next-frame job reuses the cache instead of
-        // re-running the round's join+shuffle; coalesce(1) because a
-        // |models|-row frame spread over 32 shuffle partitions pays
-        // 32 task launches per round for nothing
-        .coalesce(1).localCheckpoint(false)
-      val tot = raw.agg(sum(floor(col("sraw") * lit(1e12) + lit(0.5))
-        .cast("long")).as("tq"))
-      val next = raw.crossJoin(broadcast(tot))
-        .select(col("model"),
-          round(col("sraw") / (col("tq").cast("double") / lit(1e12)), 12)
-            .as("s"))
-      // checkpoint EVERY round: `s` appears three times in the next
-      // round's tree (si, sj, and via raw→tot), so an un-cut lineage
-      // multiplies ~4× per round — 20 rounds of |models|-row jobs are
-      // trivial; 4²⁰ shared-nothing replays are not
-      s = next.localCheckpoint()
+    val e = cellRows.flatMap { case (a, b, n, wa) =>
+      Seq((a, b, n, wa), (b, a, n, n - wa)) }
+    val models = e.map(_._1).distinct.sorted
+    val wins: Map[String, Long] =
+      e.groupBy(_._1).map { case (i, es) => i -> es.map(_._4).sum }
+    def round12(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
+    var s: Map[String, Double] = models.map(_ -> 1.0).toMap
+    for (_ <- 1 to iters) {
+      val dq: Map[String, Long] = e.groupBy(_._1).map { case (i, es) =>
+        i -> es.map { case (_, j, n, _) =>
+          math.floor(n / (s(i) + s(j)) * 1e12 + 0.5).toLong }.sum }
+      val sraw: Seq[(String, Double)] = models.map(m =>
+        m -> wins(m).toDouble / (dq(m).toDouble / 1e12))
+      val tq = sraw.map { case (_, v) =>
+        math.floor(v * 1e12 + 0.5).toLong }.sum
+      s = sraw.map { case (m, v) => m -> round12(v / (tq.toDouble / 1e12)) }
+        .toMap
     }
-    s.select(col("model"), round(col("s"), 6).as("strength"))
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    models.map(m => (m, round6(s(m)))).toSeq.toDF("model", "strength")
   }
 
   /** The unrolled-SQL oracle for [[btStrengths]]: the same quantized

@@ -256,20 +256,26 @@ object Graph {
       .unionAll(e.select(col("hi").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
 
-  /** k-core by synchronous peeling: `iters` rounds of "drop every
-    * vertex with degree < k, keep edges between survivors", then the
-    * surviving vertices with their core degree. The contract is
-    * exactly-`iters` synchronous rounds — rounds past convergence are
-    * no-ops, so the result replays in SQL as an unrolled CTE chain
-    * (Seidman 1983's cores, Batagelj–Zaveršnik peeling made
-    * bulk-synchronous for a distributed engine).
+  /** k-core by synchronous peeling: rounds of "drop every vertex with
+    * degree < k, keep edges between survivors" until a round removes
+    * nothing (the true Seidman 1983 core; Batagelj–Zaveršnik peeling
+    * made bulk-synchronous for a distributed engine), then the
+    * surviving vertices with their core degree. Convergence is
+    * REQUIRED within `iters` rounds — a long peel cascade on a bigger
+    * graph raises instead of silently returning degree-<k vertices as
+    * core members, and an unrolled `iters`-round SQL replay stays
+    * exactly identical because post-convergence rounds are no-ops in
+    * both engines.
     *
     * Scale: each round is one degree aggregation + two semi-joins on
     * the monotonically SHRINKING edge frame — all equi-plans; lineage
-    * is cut per round with a lazy localCheckpoint (the Catalyst
-    * version of the MATERIALIZED-CTE lesson: un-cut, every round
-    * re-expands the previous round's tree into each of its two
-    * semi-join probes and the plan grows 4×/round). */
+    * is cut per round with a localCheckpoint that the convergence
+    * count materializes (the Catalyst version of the MATERIALIZED-CTE
+    * lesson: un-cut, every round re-expands the previous round's tree
+    * into each of its two semi-join probes and the plan grows
+    * 4×/round). The per-round pull is the 1-row edge count — the
+    * documented bounded-pull contract; this operator is eager by
+    * nature (the round count IS data-dependent). */
   def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
             iters: Int): DataFrame = {
     // round 1 reads the mined edge frame from three subtrees (degrees
@@ -278,7 +284,10 @@ object Graph {
       .select(least(col(aCol), col(bCol)).as("lo"),
         greatest(col(aCol), col(bCol)).as("hi"))
       .filter(col("lo") =!= col("hi")).distinct())
-    for (_ <- 1 to iters) {
+    var prev = canon.count()
+    var converged = false
+    var round = 0
+    while (!converged && round < iters) {
       val keep = undirectedDegrees(canon).filter(col("d") >= k)
         .select(col("v"))
       canon = canon
@@ -286,7 +295,16 @@ object Graph {
         .join(keep.withColumnRenamed("v", "hi"), Seq("hi"), "left_semi")
         .select(col("lo"), col("hi"))
         .localCheckpoint(false)
+      val cnt = canon.count()
+      // the edge frame only shrinks, so an unchanged count means an
+      // unchanged edge set means a fixed point
+      converged = cnt == prev
+      prev = cnt
+      round += 1
     }
+    require(converged,
+      s"kCore(k=$k): peeling did not converge within $iters rounds " +
+        s"($prev edges still shrinking) — raise iters")
     undirectedDegrees(canon)
   }
 

@@ -59,33 +59,12 @@ object Metrics {
         round((po - peC) / (lit(1.0) - peC), 4).as("kappa"))
   }
 
-  /** Distributed global rank over `sortCols` (unique per row): range-
-    * partition on the sort key, rank locally inside each range, then
-    * add the cumulative count of all earlier ranges. The only
-    * unbounded-frame work is the per-range local rank (~n/parts rows
-    * per task); the offset cascade runs over the partition-count frame
-    * (#partitions rows). This is the scale-safe replacement for a
-    * single `Window.orderBy` over the whole frame, which funnels every
-    * row through one task. Rank values are identical to the one-task
-    * form for any unique sort key, regardless of where the range
-    * sampler drew its boundaries. */
+  /** Distributed global rank over `sortCols` (unique per row) — the
+    * two-phase range-partitioned rank, shared machinery in
+    * [[Ranks.globalRank]]. */
   private def globalRank(df: DataFrame, sortCols: Seq[Column],
-                         rankName: String): DataFrame = {
-    val parts = df.repartitionByRange(sortCols: _*)
-      .withColumn("__pid", spark_partition_id())
-    val local = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
-    val withLocal = parts.withColumn("__lr",
-      row_number().over(local).cast("long"))
-    val offW = Window.orderBy(col("__pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = withLocal.groupBy(col("__pid"))
-      .agg(count(lit(1)).as("__pc"))
-      .withColumn("__off", coalesce(sum(col("__pc")).over(offW), lit(0L)))
-      .select(col("__pid"), col("__off"))
-    withLocal.join(broadcast(offs), Seq("__pid"))
-      .withColumn(rankName, col("__off") + col("__lr"))
-      .drop("__pid", "__lr")
-  }
+                         rankName: String): DataFrame =
+    Ranks.globalRank(df, sortCols, rankName)
 
   /** Gini coefficient of a non-negative value distribution (revenue
     * concentration, source-size inequality):
@@ -416,10 +395,12 @@ object Metrics {
         labelCol.cast("long").as("y"))
       .groupBy(col("s"))
       .agg(count(lit(1)).as("cnt"), sum(col("y")).as("cpos"))
-    val w = Window.orderBy(col("s"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    byScore
-      .withColumn("cum", coalesce(sum(col("cnt")).over(w), lit(0L)))
+    // the cumulative runs over the DISTINCT-scores frame, which for
+    // continuous scores is ~n rows — two-phase range-partitioned
+    // prefix sum, never a single-task Window.orderBy cumulative
+    // (scores are unique per row after the groupBy, so the order is
+    // total and the two-phase sum is exact)
+    Ranks.globalCumSumExcl(byScore, Seq(col("s")), col("cnt"), "cum")
       .agg(sum(col("cpos")).as("n_pos"),
         sum(col("cnt") - col("cpos")).as("n_neg"),
         sum(col("cpos") * (lit(2L) * col("cum") + col("cnt") + lit(1L)))
@@ -630,33 +611,36 @@ object Metrics {
     * days-since (fewer days = score 5 after the 6−n flip); f/m
     * ascending so higher = better directly.
     *
-    * Scale shape: one exact groupBy to the per-customer frame, then
-    * three ntile windows over it — unpartitioned BY DESIGN, the frame
-    * is customers-sized (already aggregated), never raw orders. */
+    * Scale shape: one exact groupBy to the per-customer frame
+    * (scratch-cached — the corpus-horizon 1-row agg and the scoring
+    * path both read it), then three two-phase [[Ranks.globalNtile]]
+    * passes. No unpartitioned window anywhere: customers scale with
+    * the corpus, and at 100× a global `ntile` window would funnel
+    * every customer through ONE task three times. */
   def rfm(orders: DataFrame, custCol: Column, dateCol: Column,
           amountCol: Column, buckets: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cents = floor(amountCol * 100 + 0.5).cast("long")
-    val per = orders
-      .select(custCol.as("cust"), dateCol.as("dt"), cents.as("c"))
-      .withColumn("horizon", max(to_date(col("dt"))).over(
-        Window.rowsBetween(Window.unboundedPreceding,
-          Window.unboundedFollowing)))
+    val per = CacheScope.scratch(orders
+      .select(custCol.as("cust"), to_date(dateCol).as("dt"), cents.as("c"))
       .groupBy(col("cust"))
-      .agg(first(col("horizon")).as("horizon"),
-        max(to_date(col("dt"))).as("last_dt"),
+      .agg(max(col("dt")).as("last_dt"),
         count(lit(1)).as("frequency"),
-        sum(col("c")).as("cents"))
+        sum(col("c")).as("cents")))
+    val horizon = per.agg(max(col("last_dt")).as("horizon"))
+    val base = per.crossJoin(broadcast(horizon))
       .withColumn("recency_days",
         datediff(col("horizon"), col("last_dt")).cast("long"))
-    def score(c: Column, name: String) =
-      ntile(buckets).over(Window.orderBy(c, col("cust"))).as(name)
-    per.select(col("cust").as("custkey"), col("recency_days"),
+    def score(df: DataFrame, c: Column, name: String) =
+      Ranks.globalNtile(df, Seq(c, col("cust")), buckets, name)
+    val tiled = score(score(score(base,
+        col("recency_days"), "x"), col("frequency"), "f_raw"),
+      col("cents"), "m_raw")
+    tiled.select(col("cust").as("custkey"), col("recency_days"),
         col("frequency"), round(col("cents").cast("double") / 100.0, 2)
           .as("monetary"),
-        (lit(buckets + 1) - score(col("recency_days"), "x")).as("r_score"),
-        score(col("frequency"), "f_score"),
-        score(col("cents"), "m_score"))
+        (lit(buckets + 1) - col("x")).cast("int").as("r_score"),
+        col("f_raw").cast("int").as("f_score"),
+        col("m_raw").cast("int").as("m_score"))
       .withColumn("segment",
         when(col("r_score") >= 4 && col("f_score") >= 4 &&
           col("m_score") >= 4, lit("champion"))
@@ -808,19 +792,23 @@ object Metrics {
     * decile) card: member count, the group's decile upper bound, and
     * the pooled upper bound it maps to.
     *
-    * Scale shape: two rank windows (one partitioned by group, one
-    * global — acceptable because ntile runs on the scan ONCE each; for
-    * 100 TB swap the global ntile for the two-phase range-partitioned
-    * rank of [[gini]]) + one (group, decile) agg + one broadcast join
-    * of the 10-row pooled frame. */
+    * Scale shape: two two-phase ntile passes ([[Ranks.globalNtile]]
+    * pooled, [[Ranks.groupedNtile]] per group — no unpartitioned
+    * window, and a DOMINANT source no longer funnels through one task
+    * either), scratch-cached because the pooled and per-group aggs
+    * both read the tiled frame, + one (group, decile) agg + one
+    * broadcast join of the 10-row pooled frame. */
   def quantileNormalize(df: DataFrame, grpCol: Column, valCol: Column,
                         idCol: Column): DataFrame = {
     val base = df.select(grpCol.as("g"), valCol.as("v"), idCol.as("id"))
-    val wg = Window.partitionBy(col("g")).orderBy(col("v"), col("id"))
-    val wp = Window.orderBy(col("v"), col("id"))
-    val tiled = base
-      .withColumn("decile", ntile(10).over(wg))
-      .withColumn("pooled_decile", ntile(10).over(wp))
+    val tiled = CacheScope.scratch(
+      Ranks.globalNtile(
+        Ranks.groupedNtile(base, Seq("g"), Seq(col("v"), col("id")),
+          10, "decile"),
+        Seq(col("v"), col("id")), 10, "pooled_decile")
+        // keep ntile()'s int type so the output schema is unchanged
+        .withColumn("decile", col("decile").cast("int"))
+        .withColumn("pooled_decile", col("pooled_decile").cast("int")))
     val pooled = tiled.groupBy(col("pooled_decile").as("decile"))
       .agg(max(col("v")).as("pooled_upper"))
     tiled.groupBy(col("g"), col("decile"))
@@ -1277,6 +1265,13 @@ object Metrics {
       .agg(sum(priceCentsCol).as("sp"), sum(qtyCol).as("sq"))
       .filter(col("sq") > 0)
     val base = cell.agg(min(col("t"))).head().get(0) // 1-row bounded pull
+    // an empty / all-filtered input has no base period: every filter
+    // below would silently compare against NULL and return an empty
+    // frame — fail loudly instead (same posture as the KnowDb
+    // guardrail: a mis-wired pipeline should not look like deflation)
+    require(base != null,
+      "priceIndices: input has no (item, period) cells with positive " +
+        "quantity — no base period to index against")
     val b = cell.filter(col("t") === lit(base))
       .select(col("i"), col("sp").as("sp0"), col("sq").as("sq0"))
     def dec(c: Column) = c.cast("decimal(38,0)")

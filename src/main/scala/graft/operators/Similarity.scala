@@ -728,11 +728,17 @@ object Similarity {
       var s = 0.0; var i = 0
       while (i < a.length) { s += a(i) * b(i); i += 1 }; s
     }
+    // coincident centroids (m = 0) are dropped from the pairwise
+    // separations: (S_i+S_j)/0 is Infinity, which Spark's long cast
+    // pins to Long.MaxValue but an external BIGINT replay errors on —
+    // the only engine-agnostic contract is "positive separations only"
     val seps = for {
       i <- cents.indices; j <- cents.indices if i != j
-    } yield (i, j, math.sqrt(math.max(
-      dot(cents(i), cents(i)) + dot(cents(j), cents(j)) -
-        2.0 * dot(cents(i), cents(j)), 0.0)))
+      m = math.sqrt(math.max(
+        dot(cents(i), cents(i)) + dot(cents(j), cents(j)) -
+          2.0 * dot(cents(i), cents(j)), 0.0))
+      if m > 0.0
+    } yield (i, j, m)
     val sep = seps.toDF("ci", "cj", "m")
     val other = perCell.select(col("cell").as("cj"),
       col("scatter").as("scatter_j"))

@@ -520,6 +520,11 @@ object TimeSeries {
       .agg(count(lit(1)).as("np"), sum(col("i")).as("sx"),
         sum(col("c")).as("sy"), sum(col("i") * col("c")).as("sxy"),
         sum(col("i") * col("i")).as("sxx"))
+      // a 1-day pre-period has no slope (np·sxx − sx² = 0): drop the
+      // key rather than divide by zero — Spark's non-ANSI divide
+      // yields NULL but an IEEE replay yields inf/NaN, so the only
+      // engine-agnostic contract is "≥2 pre-period days or no row"
+      .filter(col("np") >= 2)
     val den = (col("np") * col("sxx") - col("sx") * col("sx"))
       .cast("double")
     val slope = (col("np") * col("sxy") - col("sx") * col("sy"))

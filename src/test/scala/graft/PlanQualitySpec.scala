@@ -674,10 +674,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!ms.contains("Join") && !ms.contains("CartesianProduct"),
       s"mix_schedule should be windows over the scan only:\n${ms.take(1200)}")
     graft.operators.CacheScope.drain()
-    // q_equidepth_hist: one window + one aggregation, no join
+    // q_equidepth_hist: two-phase grouped ntile — range-partitioned
+    // local window + ONE broadcast join of the bounded per-range
+    // offsets frame + one aggregation; never a shuffle join or
+    // cartesian, and (r11) never an unpartitioned window
     val eh = plan("q_equidepth_hist")
-    assert(!eh.contains("Join") && !eh.contains("CartesianProduct"),
-      s"q_equidepth_hist should be window+agg only:\n${eh.take(1200)}")
+    assert(eh.contains("BroadcastHashJoin") &&
+      !eh.contains("SortMergeJoin") && !eh.contains("CartesianProduct"),
+      s"q_equidepth_hist should broadcast its offsets frame:\n${eh.take(1200)}")
     graft.operators.CacheScope.drain()
   }
 
@@ -707,10 +711,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!tr.contains("Join") && !tr.contains("CartesianProduct"),
       s"q_events_transitions should be window+agg only:\n${tr.take(1200)}")
     graft.operators.CacheScope.drain()
-    // score_auc: one corpus agg + a distinct-scores window — no join
+    // score_auc: one corpus agg + the two-phase cumulative over the
+    // distinct-scores frame — range-partitioned local window + ONE
+    // broadcast join of the bounded offsets frame (r11: continuous
+    // scores make distinct ≈ n, so no single-task cumulative window)
     val au = plan("score_auc")
-    assert(!au.contains("Join") && !au.contains("CartesianProduct"),
-      s"score_auc should be agg+window only:\n${au.take(1200)}")
+    assert(au.contains("BroadcastHashJoin") &&
+      !au.contains("SortMergeJoin") && !au.contains("CartesianProduct"),
+      s"score_auc should broadcast its offsets frame:\n${au.take(1200)}")
     graft.operators.CacheScope.drain()
     // classifier_metrics / quality_lr_train: classes²- and bucket-sized
     // joins only (1-row aggregates ride broadcast NLJ — documented
@@ -905,6 +913,47 @@ class PlanQualitySpec extends AnyFunSuite {
       assert(!p.contains("ScalaUDF"), s"$q carries a UDF")
       graft.operators.CacheScope.drain()
     }
+  }
+
+  test("r11: no unpartitioned WindowExec in the ex-ntile / rank-sum plans") {
+    // rfm / quantile-norm / equi-depth-hist / score_auc used to run
+    // global (or per-hot-group) ntile / cumulative windows over
+    // scan-proportional frames — ONE task at 100×. They now ride the
+    // two-phase Ranks machinery; the gate pins that NO WindowExec in
+    // these plans is partition-less (the offset cascades declare a
+    // constant partition over their bounded #partitions-row frames).
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (q <- Seq("q_customer_rfm", "feature_quantile_norm",
+        "q_equidepth_hist", "score_auc")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      val bad = df.queryExecution.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty,
+        s"$q has ${bad.size} unpartitioned window(s):\n${bad.headOption}")
+      graft.operators.CacheScope.drain()
+    }
+  }
+
+  test("r11: rankSumAuc distributes 1e6 distinct continuous scores") {
+    // the library contract accepts continuous scores (distinct ≈ n);
+    // the cumulative must range-partition, not sort n rows in 1 task
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 1000000)
+      .select((col("id") * 0.001 + (col("id") % 7) * 1e-9).as("s"),
+        (col("id") % 3 === 0).cast("int").as("y"))
+    val auc = graft.operators.Metrics.rankSumAuc(df, "s", col("y"))
+    val bad = auc.queryExecution.sparkPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, s"unpartitioned window:\n${bad.headOption}")
+    val r = auc.head()
+    assert(r.getLong(0) == 333334L && r.getLong(1) == 666666L, r.toString)
+    // exact integer rank sums until the one final division, and the
+    // construction is symmetric — AUC is exactly 0.5 (verified against
+    // the single-task window reference)
+    assert(r.getDouble(2) == 0.5, r.toString)
   }
 
   test("dedup signature kernels are native expressions — no ScalaUDF in the plan") {
