@@ -19,7 +19,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape per half-step: one hash equi-join of the cells against
   * the current factor frame + one key partial agg — the PageRank
-  * exchange pattern. Factors localCheckpoint on alternate steps.
+  * exchange pattern. Half-steps chain lazily (each feeds exactly one
+  * consumer, so the whole iteration is ONE job and every shuffle still
+  * executes once); only the final round's two-consumer frames
+  * localCheckpoint, lazily.
   */
 object Factorize {
 
@@ -31,11 +34,17 @@ object Factorize {
     def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     val r = CacheScope.scratch(ratings.select(col(userCol).as("u"),
       col(itemCol).as("i"), col(ratingCol).cast("long").as("r")))
+    // NOT pre-partitioned per join key: caching rByI/rByU copies was
+    // measured SLOWER at bench scale (7.5 s vs 6.4 s — two extra
+    // materializations of the cells frame outweigh the saved
+    // half-step shuffles at 3 iterations); with the single cache each
+    // half-step re-shuffles the cells, the PageRank exchange pattern.
+    // Revisit only if iters grows enough to amortize the extra copies.
     var v = r.select(col("i")).distinct()
-      .select(col("i"), lit(1.0).as("v")).localCheckpoint()
+      .select(col("i"), lit(1.0).as("v"))
     var uF: DataFrame = null
     for (k <- 1 to iters) {
-      uF = r.join(v, "i").groupBy(col("u"))
+      val uRaw = r.join(v, "i").groupBy(col("u"))
         .agg(
           sum(dec(floor(col("r") * col("v") * lit(1e9) + lit(0.5))))
             .as("num"),
@@ -44,10 +53,14 @@ object Factorize {
         .select(col("u"),
           round(col("num").cast("double") / col("den").cast("double"), 12)
             .as("uf"))
-        // lazy-materialized: vNext and (on the last round) the rmse
-        // pass both read uF — uncut, the second reference re-runs the
-        // whole half-step chain
-        .localCheckpoint(false)
+      // checkpoint ONLY where a frame has two consumers — the final
+      // round's uF (vNext + the rmse pass) and the final v (rmse +
+      // output). Earlier rounds chain into exactly ONE consumer: each
+      // half-step's shuffle executes once inside the final job either
+      // way, so a per-round checkpoint is pure cache I/O + an extra
+      // job of orchestration (r11 cadence fix; the r10 bench spent
+      // ~40% of als_* wall-time on it)
+      uF = if (k == iters) uRaw.localCheckpoint(false) else uRaw
       val vNext = r.join(uF, "u").groupBy(col("i"))
         .agg(
           sum(dec(floor(col("r") * col("uf") * lit(1e9) + lit(0.5))))
@@ -57,7 +70,7 @@ object Factorize {
         .select(col("i"),
           round(col("num").cast("double") / col("den").cast("double"), 12)
             .as("v"))
-      v = if (k % 2 == 0 || k == iters) vNext.localCheckpoint() else vNext
+      v = if (k == iters) vNext.localCheckpoint(false) else vNext
     }
     val err = col("r") - col("uf") * col("v")
     val fit = r.join(uF, "u").join(v, "i")
@@ -93,7 +106,6 @@ object Factorize {
       .select(col("i"), lit(1.0).as("f1"),
         when(pmod(col("i"), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
           .as("f2"))
-      .localCheckpoint()
     var uF: DataFrame = null
     // one ridge half-step: solve factors for `outKey` given `g` factors
     // joined via `inKey`
@@ -101,7 +113,6 @@ object Factorize {
               o1: String, o2: String): DataFrame = {
       val j = r.join(gFrame, inKey)
       val agg = j.groupBy(col(outKey))
-        // (results of solve() are read twice downstream — see alsRank1)
         .agg(sum(q(col("f1") * col("f1"))).as("s11"),
           sum(q(col("f1") * col("f2"))).as("s12"),
           sum(q(col("f2") * col("f2"))).as("s22"),
@@ -115,13 +126,15 @@ object Factorize {
       agg.select(col(outKey),
         round((s22 * b1 - s12 * b2) / det, 12).as(o1),
         round((s11 * b2 - s12 * b1) / det, 12).as(o2))
-        .localCheckpoint(false)
     }
     for (k <- 1 to iters) {
-      uF = solve(v, "i", "u", "g1", "g2")
+      val uRaw = solve(v, "i", "u", "g1", "g2")
         .withColumnRenamed("g1", "f1").withColumnRenamed("g2", "f2")
+      // same cadence as alsRank1: checkpoint only the two-consumer
+      // frames of the final round (uF: vNext + rmse; v: rmse + output)
+      uF = if (k == iters) uRaw.localCheckpoint(false) else uRaw
       val vNext = solve(uF, "u", "i", "f1", "f2")
-      v = if (k == iters) vNext.localCheckpoint() else vNext
+      v = if (k == iters) vNext.localCheckpoint(false) else vNext
     }
     val err = col("r") -
       (col("uf1") * col("f1") + col("uf2") * col("f2"))

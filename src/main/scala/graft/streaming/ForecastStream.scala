@@ -169,6 +169,76 @@ object ForecastStream {
       }
   }
 
+  case class CusumUpdate(key: String, bucket_start_us: Long, cnt: Double,
+                         cusum: Double, alarm: Boolean)
+
+  case class CusumState(sq: Long, nSealed: Long, open: Map[Long, Double])
+
+  /** Streaming CUSUM drift gate (Page 1954) — the continuous twin of
+    * [[graft.operators.TimeSeries.cusumDrift]], run against a
+    * PERSISTED per-key reference (μ, σ) exactly like [[ewmaAlarms]]
+    * and the KS/PSI drift gates: in-control statistics come from a
+    * reference corpus, never from the stream judging itself. Per
+    * sealed bucket:
+    *   S_t = max(0, S_{t−1} + (x_t − μ − kσ)),  alarm when S_t > hσ.
+    * The per-bucket deviation quantizes to a long at 1e-6 BEFORE the
+    * recursion (the batch operator's exact-prefix-sum discipline), so
+    * the carried state is ONE exact long per key plus the open
+    * buckets inside the lateness horizon, and a sealed-prefix batch
+    * replay agrees bit-for-bit. Keys absent from the reference are
+    * dropped. Standard k=0.5, h=4 defaults. */
+  def cusumAlarms(events: DataFrame, ref: Map[String, (Double, Double)],
+                  k: Double = 0.5, h: Double = 4.0,
+                  bucketUs: Long = 3600000000L,
+                  latenessDelay: String = "1 hour",
+                  keyCol: String = "event_type",
+                  tsCol: String = "ts"): Dataset[CusumUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ds = events.withWatermark(tsCol, latenessDelay)
+      .select(col(keyCol).as("k"), unix_micros(col(tsCol)).as("tsUs"),
+        col(tsCol).as("wm_ts"))
+      .as[(String, Long, java.sql.Timestamp)]
+      .filter(r => ref.contains(r._1))
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.EventTimeTimeout) {
+        (key: String, it: Iterator[(String, Long, java.sql.Timestamp)],
+         state: GroupState[CusumState]) =>
+          val (mu, sigma) = ref(key)
+          val st0 = state.getOption.getOrElse(CusumState(0L, 0L, Map.empty))
+          val open = scala.collection.mutable.Map(st0.open.toSeq: _*)
+          if (!state.hasTimedOut)
+            for ((_, tsUs, _) <- it) {
+              val b = Math.floorDiv(tsUs, bucketUs) * bucketUs
+              open(b) = open.getOrElse(b, 0.0) + 1.0
+            }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          var (sq, n) = (st0.sq, st0.nSealed)
+          val hq = h * sigma * 1e6
+          val sealed0 = open.keys.filter(_ + bucketUs <= wmUs).toSeq.sorted
+          val out = sealed0.map { bk =>
+            val cnt = open.remove(bk).get
+            n += 1
+            val zq = math.floor((cnt - mu - k * sigma) * 1e6 + 0.5).toLong
+            sq = math.max(0L, sq + zq)
+            CusumUpdate(key, bk, cnt, r6(sq.toDouble / 1e6),
+              sq.toDouble > hq)
+          }
+          if (open.isEmpty && n == 0L) state.remove()
+          else {
+            state.update(CusumState(sq, n, open.toMap))
+            if (open.nonEmpty)
+              state.setTimeoutTimestamp(
+                ((open.keys.min + bucketUs) / 1000L + 1L)
+                  .max(state.getCurrentWatermarkMs() + 1L))
+          }
+          out.iterator
+      }
+  }
+
   def levels(events: DataFrame, alpha: Double = 0.3,
              bucketUs: Long = 3600000000L, latenessDelay: String = "1 hour",
              keyCol: String = "event_type",

@@ -185,4 +185,66 @@ class ForecastStreamSpec extends AnyFunSuite {
         Seq(("known", 5 * H), ("unknown", 5 * H))))
     assert(out.map(_.key).distinct == Seq("known"))
   }
+
+  private def runCusum(ref: Map[String, (Double, Double)],
+                       batches: Seq[Seq[(String, Long)]]): Seq[ForecastStream.CusumUpdate] = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val df = input.toDF().toDF("event_type", "us")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val out = ForecastStream.cusumAlarms(df, ref, k = 0.5, h = 4.0,
+      bucketUs = H, latenessDelay = "0 seconds")
+    val qname = s"cusum_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(qname)
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      spark.table(qname).as[ForecastStream.CusumUpdate].collect().toSeq
+        .sortBy(u => (u.key, u.bucket_start_us))
+    } finally q.stop()
+  }
+
+  test("cusumAlarms: sealed prefix agrees with the exact batch recursion") {
+    // reference μ=2, σ=1, k=0.5, h=4: deviations x−2.5 accumulate
+    // positively only; counts 2,2,3,9 → S = 0, 0, 0.5, 7.0 → the
+    // final bucket breaches hσ = 4
+    val counts = Seq(2, 2, 3, 9)
+    val rows = counts.zipWithIndex.flatMap { case (c, hh) =>
+      (1 to c).map(i => ("e", (hh + 1) * H + i * 1000L))
+    }
+    val out = runCusum(Map("e" -> (2.0, 1.0)), Seq(rows, Seq(("e", 9 * H))))
+    val e = out.filter(_.key == "e")
+    assert(e.map(_.cnt) == counts.map(_.toDouble))
+    // exact long replay of the identical quantized recursion — the
+    // batch operator's prefix-sum closed form evaluated sequentially
+    var sq = 0L
+    val expect = counts.map { c =>
+      val zq = math.floor((c - 2.0 - 0.5 * 1.0) * 1e6 + 0.5).toLong
+      sq = math.max(0L, sq + zq)
+      (sq / 1e6, sq.toDouble > 4.0 * 1.0 * 1e6)
+    }
+    assert(e.map(_.cusum) == expect.map(_._1))
+    assert(e.map(_.alarm) == expect.map(_._2))
+    assert(e.last.alarm && !e.head.alarm)
+    // the statistic resets at zero, never negative
+    assert(e.map(_.cusum).forall(_ >= 0.0))
+  }
+
+  test("cusumAlarms: split delivery equals one-shot delivery (sealed prefix)") {
+    val counts = Seq(1, 5, 2, 8)
+    def rowsOf(hs: Seq[Int]) = hs.flatMap(hh =>
+      (1 to counts(hh - 1)).map(i => ("e", hh * H + i * 1000L)))
+    val oneShot = runCusum(Map("e" -> (2.0, 1.5)),
+      Seq(rowsOf(Seq(1, 2, 3, 4)), Seq(("e", 9 * H))))
+    val split = runCusum(Map("e" -> (2.0, 1.5)),
+      Seq(rowsOf(Seq(1)), rowsOf(Seq(2)), rowsOf(Seq(3)), rowsOf(Seq(4)),
+        Seq(("e", 9 * H))))
+    assert(oneShot == split)
+    // keys without a reference are dropped
+    val out = runCusum(Map("known" -> (1.0, 1.0)),
+      Seq(Seq(("known", 1 * H), ("unknown", 1 * H)),
+        Seq(("known", 5 * H), ("unknown", 5 * H))))
+    assert(out.map(_.key).distinct == Seq("known"))
+  }
 }
