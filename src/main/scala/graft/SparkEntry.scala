@@ -1269,6 +1269,23 @@ object SparkEntry {
       "s", col("y"))
   }
 
+  /** Average precision of the same stopword-count scorer — the PR-side
+    * twin of `score_auc` (class imbalance is the norm for quality
+    * classifiers, where ROC saturates and AP still moves). One
+    * two-phase rank+cumsum pass; ties break on doc_id so the oracle
+    * walks the identical permutation. */
+  private def qScoreAvgPrecision(s: SparkSession, dir: String): DataFrame = {
+    val en10 = Seq("the", "and", "of", "to", "in", "is", "that", "it",
+      "for", "with")
+    val score = size(filter(
+      graft.operators.TextAnalysis.tokens(lower(col("text"))),
+      tok => tok.isInCollection(en10))).cast("long")
+    graft.operators.Metrics.averagePrecision(
+      t(s, dir, "documents").select(score.as("s"),
+        (col("lang") === "en").as("y"), col("doc_id")),
+      "s", col("y"), col("doc_id"))
+  }
+
   /** In-engine LR training: 3 deterministic full-batch gradient steps
     * over hashed binary unigram features (64 buckets + bias), label =
     * lang=='en'. The oracle replays training as 3 unrolled SQL
@@ -4379,6 +4396,7 @@ object SparkEntry {
     "q_events_transitions" -> (qEventsTransitions _),
     "classifier_metrics" -> (qClassifierMetrics _),
     "score_auc" -> (qScoreAuc _),
+    "score_avg_precision" -> (qScoreAvgPrecision _),
     "quality_lr_train" -> (qQualityLrTrain _),
     "lr_calibration" -> (qLrCalibration _),
     "q_events_paths" -> (qEventsPaths _),
@@ -9960,6 +9978,34 @@ object SparkEntry {
            round(CAST(sum(cpos * (2 * cum + cnt + 1)) -
                       sum(cpos) * (sum(cpos) + 1) AS DOUBLE) /
                  (2.0 * sum(cpos) * sum(cnt - cpos)), 6) AS auc
+         FROM r""",
+    "score_avg_precision" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_transform(
+             list_filter(regexp_split_to_array(trim(text), '\s+'),
+               x -> len(x) > 0), y -> lower(y))) AS tok
+           FROM documents),
+         sc AS (
+           SELECT d.doc_id,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+             coalesce(h.c, 0) AS s
+           FROM documents d LEFT JOIN (
+             SELECT doc_id, count(CASE WHEN tok IN ('the','and','of','to',
+               'in','is','that','it','for','with') THEN 1 END) AS c
+             FROM toks GROUP BY doc_id) h USING (doc_id)),
+         r AS (SELECT y,
+             row_number() OVER (ORDER BY s DESC, doc_id) AS k,
+             coalesce(sum(y) OVER (ORDER BY s DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS pprev
+           FROM sc)
+         SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y) AS BIGINT) AS n_pos,
+           CASE WHEN sum(y) > 0 THEN
+             round(CAST(sum(CASE WHEN y = 1 THEN
+               CAST(floor(CAST(pprev + 1 AS DOUBLE) / k * 1e12 + 0.5)
+                 AS BIGINT) ELSE 0 END) AS DOUBLE) / 1e12 / sum(y), 6)
+           END AS avg_precision
          FROM r""",
     "quality_lr_train" -> lrTrainOracle,
     "lr_calibration" ->

@@ -411,6 +411,39 @@ object Metrics {
           (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"))
   }
 
+  /** Average precision (the rank-sum area under the precision–recall
+    * curve): AP = (1/n_pos) Σ over positive rows of P@k, with k the
+    * row's 1-based rank by (score desc, id) and P@k the positive count
+    * through rank k. The PR companion to [[rankSumAuc]]'s ROC view —
+    * under heavy class imbalance (the usual quality-classifier
+    * regime) ROC-AUC saturates while AP still discriminates.
+    *
+    * Determinism: the id tiebreak makes the rank order total, so both
+    * engines walk the identical permutation; each precision term
+    * quantizes to a long at 1e-12 before its (order-free) sum — one
+    * final division. Scale shape: ONE two-phase pass
+    * ([[Ranks.globalRankAndCumSumExcl]]) computes rank and cumulative
+    * positives together — no unpartitioned window over the
+    * corpus-scaled scores frame, then a single aggregation. */
+  def averagePrecision(df: DataFrame, scoreCol: String, labelCol: Column,
+                       idCol: Column): DataFrame = {
+    val base = df.select(col(scoreCol).as("s"),
+      labelCol.cast("long").as("y"), idCol.as("id"))
+    val ranked = Ranks.globalRankAndCumSumExcl(base,
+      Seq(col("s").desc, col("id")), col("y"), "k", "pprev")
+    ranked.agg(
+        count(lit(1)).as("n"),
+        sum(col("y")).as("n_pos"),
+        sum(when(col("y") === 1,
+          floor((col("pprev") + lit(1L)).cast("double") / col("k")
+            * lit(1e12) + lit(0.5)).cast("long")).otherwise(lit(0L)))
+          .as("apq"))
+      .select(col("n"), col("n_pos"),
+        when(col("n_pos") > 0,
+          round(col("apq").cast("double") / lit(1e12) / col("n_pos"), 6))
+          .as("avg_precision"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov distance per group: the largest gap
     * between the two arms' empirical CDFs — the distribution-level
     * drift/experiment readout that sees shape changes (variance,

@@ -113,6 +113,35 @@ object Ranks {
       .drop("__pid", "__lc", "__off", "__n")
   }
 
+  /** One-pass combination of [[globalRank]] and [[globalCumSumExcl]]:
+    * global row_number AND global exclusive prefix-sum of `weight`
+    * over the same unique sort order — one range shuffle, one scratch
+    * cache, one bounded offsets broadcast carrying both cascades. */
+  def globalRankAndCumSumExcl(df: DataFrame, sortCols: Seq[Column],
+                              weight: Column, rankName: String,
+                              cumName: String): DataFrame = {
+    val parts = CacheScope.scratch(df.repartitionByRange(sortCols: _*)
+      .withColumn("__pid", spark_partition_id()))
+    val localOrd = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
+    val localCum = localOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val withLocal = parts
+      .withColumn("__lr", row_number().over(localOrd).cast("long"))
+      .withColumn("__lc",
+        coalesce(sum(weight).over(localCum).cast("long"), lit(0L)))
+    val konst = pmod(col("__pid"), lit(1))
+    val offW = Window.partitionBy(konst).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = parts.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__pc"), sum(weight).cast("long").as("__pw"))
+      .withColumn("__offr", coalesce(sum(col("__pc")).over(offW), lit(0L)))
+      .withColumn("__offw", coalesce(sum(col("__pw")).over(offW), lit(0L)))
+      .select(col("__pid"), col("__offr"), col("__offw"))
+    withLocal.join(broadcast(offs), Seq("__pid"))
+      .withColumn(rankName, col("__offr") + col("__lr"))
+      .withColumn(cumName, col("__offw") + col("__lc"))
+      .drop("__pid", "__lr", "__lc", "__offr", "__offw")
+  }
+
   /** Global `ntile(b)` over `sortCols` (unique per row), appended as
     * `name` (long, 1-based). */
   def globalNtile(df: DataFrame, sortCols: Seq[Column], b: Int,

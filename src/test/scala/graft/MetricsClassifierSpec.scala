@@ -85,6 +85,39 @@ class MetricsClassifierSpec extends AnyFunSuite {
     assert(Metrics.rankSumAuc(df, "s", col("y")).head().getDouble(2) == 0.875)
   }
 
+  // ---- averagePrecision ----
+
+  test("averagePrecision: perfect ranking is 1.0; hand-checked mix") {
+    import spark.implicits._
+    val perfect = Seq((4L, true, 1L), (3L, true, 2L), (2L, false, 3L),
+      (1L, false, 4L)).toDF("s", "y", "id")
+    val p = Metrics.averagePrecision(perfect, "s", col("y"), col("id")).head()
+    assert(p.getLong(0) == 4L && p.getLong(1) == 2L)
+    assert(p.getDouble(2) == 1.0)
+    // ranks desc: s=4 pos (P@1=1), s=3 neg, s=2 pos (P@3=2/3), s=1 neg
+    // AP = (1 + 2/3)/2 = 0.833333 at the 1e-12 quantization
+    val mix = Seq((4L, true, 1L), (3L, false, 2L), (2L, true, 3L),
+      (1L, false, 4L)).toDF("s", "y", "id")
+    val m = Metrics.averagePrecision(mix, "s", col("y"), col("id")).head()
+    assert(m.getDouble(2) == 0.833333, m.toString)
+  }
+
+  test("averagePrecision: id tiebreak pins tied scores; no positives is NULL") {
+    import spark.implicits._
+    // all scores tied: order is by id — pos at ranks 1,3 of 4
+    val tied = Seq((5L, true, 1L), (5L, false, 2L), (5L, true, 3L),
+      (5L, false, 4L)).toDF("s", "y", "id")
+    val t1 = Metrics.averagePrecision(tied, "s", col("y"), col("id")).head()
+    assert(t1.getDouble(2) == 0.833333, t1.toString)
+    // partition-invariance of the two-phase pass
+    val t2 = Metrics.averagePrecision(tied.repartition(7), "s", col("y"),
+      col("id")).head()
+    assert(t1 == t2)
+    val none = Seq((2L, false, 1L), (1L, false, 2L)).toDF("s", "y", "id")
+    assert(Metrics.averagePrecision(none, "s", col("y"), col("id"))
+      .head().isNullAt(2))
+  }
+
   // ---- trainLogReg ----
 
   private def corpus = {
