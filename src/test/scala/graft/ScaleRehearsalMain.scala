@@ -32,6 +32,9 @@ object ScaleRehearsal {
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/root/repo/tmp_scale")
+    // optional second arg: comma-separated kind filter for targeted
+    // re-measurement (skips corpus prep when the data dirs exist)
+    val onlyKinds = args.drop(1).headOption.map(_.split(',').toSet)
     val sf = "/root/testdata/sf0.1"
     val spark = SparkSession.builder()
       .master(sys.props.getOrElse("spark.master", "local[32]"))
@@ -69,7 +72,9 @@ object ScaleRehearsal {
     def withMedia(df: DataFrame): DataFrame = df.select(col("doc_id"),
       graft.operators.Multimodal.synthBmpUdf(col("doc_id"), lit(16), lit(16))
         .as("media"))
-    for ((name, df) <- Seq(
+    val skipPrep = onlyKinds.isDefined &&
+      new java.io.File(p("data/docs10")).exists()
+    if (!skipPrep) for ((name, df) <- Seq(
         "docs1" -> docsX(1), "docs10" -> docsX(10),
         "emb1" -> embX(1), "emb10" -> embX(10),
         "ev1" -> evX(1), "ev10" -> evX(10),
@@ -114,16 +119,21 @@ object ScaleRehearsal {
     graft.cli.Cli.main(Array("wpindex", "build", "neardup",
       p("data/delta"), p("idx/_warm")))
     graft.operators.CacheScope.drain()
-    for ((kind, corpus, delta, probe, bFlags, pFlags) <- kinds;
+    for ((kind, corpus, delta, probe, bFlags, pFlags) <- kinds
+           if onlyKinds.forall(_.contains(kind));
          scale <- Seq("1", "10")) {
       val idx = p(s"idx/${kind}_$scale")
       val cDir = p(s"data/$corpus$scale")
-      // the emb LSH contract: nbits grows ~log2(corpus) so expected
-      // bucket size (probe candidate volume) stays constant — the
-      // rehearsal demonstrates the knob, not a fixed-parameter curve
+      // sizing contracts the rehearsal demonstrates (knobs, not
+      // fixed-parameter curves): emb LSH nbits ~ log2(corpus) keeps
+      // expected bucket size constant; ann IVF coarseK ~ sqrt(corpus)
+      // keeps the probed fraction (nprobe/coarseK of the corpus)
+      // bounded — the standard IVF recall/cost tradeoff
       val scaledFlags =
         if (kind == "emb")
           Seq("--nbits", if (scale == "1") "5" else "8") ++ bFlags
+        else if (kind == "ann")
+          Seq("--coarse-k", if (scale == "1") "8" else "25") ++ bFlags
         else bFlags
       rec(s"build:$kind", s"${scale}x", t(graft.cli.Cli.main(
         Array("wpindex", "build", kind, cDir, idx) ++ scaledFlags)))
@@ -139,6 +149,7 @@ object ScaleRehearsal {
       }
     }
 
+    if (onlyKinds.isEmpty)
     // ---- end-to-end curation ------------------------------------------
     // gates + exact dedup + 1×-corpus near-dup probe + LM gate + shards;
     // the nd/lm references stay FIXED (built once at 1×) while the batch
