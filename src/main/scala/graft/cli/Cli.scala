@@ -670,14 +670,25 @@ object Cli {
         case f => loadBlocklist(f)
       }
       val encCleanOn = rest.contains("--encclean")
-      val q = spark.readStream.schema(schema).parquet(in)
+      // --max-files: micro-batch pacing (AvailableNow honors it too,
+      // draining the landing dir in max-files-sized batches — the
+      // scale-rehearsal lever for "does per-batch latency stay flat
+      // while --append-index grows the corpus index")
+      val reader0 = spark.readStream.schema(schema)
+      val reader = flag("--max-files", "") match {
+        case "" => reader0
+        case n => reader0.option("maxFilesPerTrigger", n.toInt)
+      }
+      val monitorBatch = rest.contains("--monitor-batch")
+      val q = reader.parquet(in)
         .writeStream
         .option("checkpointLocation", s"$out/_checkpoint")
         .trigger(if (rest.contains("--once"))
           org.apache.spark.sql.streaming.Trigger.AvailableNow()
         else org.apache.spark.sql.streaming.Trigger.ProcessingTime(
           flag("--trigger-ms", "1000").toLong))
-        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+          val tBatch0 = System.nanoTime()
           // under --append-index the index GROWS (and compacts) between
           // batches — reload per batch so the probe's file listing sees
           // the appended files and never references compacted-away ones
@@ -842,6 +853,14 @@ object Cli {
                   .foreach(r => println(
                     s"wpcurate: DRIFT-KS ${r.getString(0)} ks_d=${r.getDouble(3)}"))
             }
+          }
+          // --monitor-batch: one ops line per micro-batch — wall secs
+          // and accepted rows (a count on the checkpointed frame, no
+          // recompute) so a latency trend under --append-index growth
+          // is visible in the daemon log itself
+          if (monitorBatch) {
+            val secs = (System.nanoTime() - tBatch0) / 1e9
+            println(f"wpcurate: BATCH id=$bid accepted=${accepted.count()}%d secs=$secs%.2f")
           }
           ()
         }.start()

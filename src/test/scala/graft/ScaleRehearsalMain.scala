@@ -165,6 +165,28 @@ object ScaleRehearsal {
       graft.operators.CacheScope.drain()
     }
 
+    // ---- continual-ingest daemon leg (opt-in via kind "daemon") ------
+    // the 10× corpus dripped through `wpcurate daemon --append-index`
+    // in max-files-paced micro-batches against a SEED index: each
+    // batch's accepted docs append, so later batches probe a GROWING
+    // index — the per-batch `wpcurate: BATCH` lines are the evidence
+    // that probe latency stays flat while the index grows and that
+    // continual dedup bites (replica families accepted once)
+    if (onlyKinds.exists(_.contains("daemon"))) {
+      spark.read.parquet(p("data/docs10")).repartition(20)
+        .write.mode("overwrite").parquet(p("data/drip10"))
+      graft.cli.Cli.main(Array("wpindex", "build", "neardup",
+        p("data/delta"), p("idx/neardup_daemon")))
+      graft.operators.CacheScope.drain()
+      rec("daemon:curate+append", "10x", t(graft.cli.Cli.main(
+        Array("wpcurate", "daemon", p("data/drip10"), p("out/daemon10"),
+          "--once", "--max-files", "2", "--monitor-batch",
+          "--index", p("idx/neardup_daemon"), "--append-index",
+          "--min-words", "3", "--min-entropy", "2.0",
+          "--min-score", "-1000000"))))
+      graft.operators.CacheScope.drain()
+    }
+
     println("==== REHEARSAL SUMMARY (stage, 1x s, 10x s, ratio) ====")
     val by = results.groupBy(_._1)
     for (stage <- results.map(_._1).distinct) {
