@@ -132,10 +132,11 @@ object Cli {
       val spark = session()
       val (omls, db, enricher) = loadKnow(rest)
       val lines = spark.read.text(in).withColumnRenamed("value", "line")
+      // no persist: writeChannels is a single partitioned pass now —
+      // the parse runs exactly once with no corpus-sized cache
       val parsed = Pipeline.run(lines, "line", read(wpl), omls.map(read),
-        knowDb = db, enricher = enricher).persist()
+        knowDb = db, enricher = enricher)
       writeChannels(parsed, out)
-      parsed.unpersist()
     case "wparse" :: "daemon" :: in :: out :: wpl :: omls =>
       val spark = session()
       val q = StreamingPipeline.start(
@@ -208,9 +209,8 @@ object Cli {
       if (rescueFiles.isEmpty) { println("nothing to rescue"); sys.exit(0) }
       val lines = spark.read.text(rescueFiles: _*).withColumnRenamed("value", "line")
       val parsed = graft.engine.Pipeline.run(lines, "line", p.wplSource,
-        p.omlSources.map(_._2), semanticEnabled = p.conf.semanticEnabled).persist()
+        p.omlSources.map(_._2), semanticEnabled = p.conf.semanticEnabled)
       writeChannels(parsed, new java.io.File(p.root, "out/rescued").getPath)
-      parsed.unpersist()
     case "wprescue" :: "batch" :: rescueDir :: out :: wpl :: omls =>
       // re-ingest failed raw data (reference walks rescue/*.dat with a
       // recover.lock offset file; Spark's file source tracks offsets via
@@ -1246,18 +1246,38 @@ object Cli {
     val fmtUdf = udf((fs: Seq[org.apache.spark.sql.Row]) =>
       Formatters.json(fs.map(r => graft.wpl.WField(r.getString(0),
         graft.wpl.WChars(r.getString(2)))).toVector))
-    // Partial parses carry their record to the sink AND their residue to
-    // the residue channel (reference ProcessResult::Partial), so
-    // residue-only records belong in main too.
-    parsed.filter(col("status") === "ok" || col("status") === "default" ||
-        col("status") === "residue-only")
-      .select(fmtUdf(col("fields")).as("value"))
-      .write.mode("overwrite").text(s"$out/main")
-    parsed.filter(col("status") === "miss")
-      .select(col("err_hint").as("value")).write.mode("overwrite").text(s"$out/miss")
-    parsed.filter(col("residue").isNotNull && col("residue") =!= "")
-      .select(col("residue").as("value")).write.mode("overwrite").text(s"$out/residue")
-    parsed.filter(col("status") === "error")
-      .select(col("err_hint").as("value")).write.mode("overwrite").text(s"$out/error")
+    // ONE pass over the parse, no cache: the old shape persisted the
+    // full parsed corpus and re-read it four times (one write per
+    // channel) — at 20M lines the columnar cache build OOMed a
+    // 32-thread/8 GB JVM, and at 100 TB a corpus-sized cache between
+    // write passes is exactly what a batch job cannot afford. Each row
+    // fans out to its channels map-side (a Partial carries its record
+    // to main AND its residue to the residue channel — reference
+    // ProcessResult::Partial), then a single partitioned text write
+    // streams every channel out together.
+    val chans = array(
+      when(col("status") === "ok" || col("status") === "default" ||
+          col("status") === "residue-only",
+        struct(lit("main").as("ch"), fmtUdf(col("fields")).as("value"))),
+      when(col("status") === "miss",
+        struct(lit("miss").as("ch"), col("err_hint").as("value"))),
+      when(col("residue").isNotNull && col("residue") =!= "",
+        struct(lit("residue").as("ch"), col("residue").as("value"))),
+      when(col("status") === "error",
+        struct(lit("error").as("ch"), col("err_hint").as("value"))))
+    parsed
+      .select(explode(filter(chans, c => c.isNotNull)).as("c"))
+      .select(col("c.value").as("value"), col("c.ch").as("ch"))
+      .write.mode("overwrite").partitionBy("ch").text(out)
+    // restore the documented layout: out/<channel> (not out/ch=<channel>),
+    // every channel dir present even when empty
+    val conf = parsed.sparkSession.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(conf)
+    for (ch <- Seq("main", "miss", "residue", "error")) {
+      val part = new org.apache.hadoop.fs.Path(s"$out/ch=$ch")
+      val target = new org.apache.hadoop.fs.Path(s"$out/$ch")
+      if (fs.exists(part)) fs.rename(part, target)
+      else fs.mkdirs(target)
+    }
   }
 }

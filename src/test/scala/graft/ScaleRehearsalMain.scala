@@ -187,6 +187,28 @@ object ScaleRehearsal {
       graft.operators.CacheScope.drain()
     }
 
+    // ---- parse-engine leg (opt-in via kind "parse") ------------------
+    // the reference-parity side of the scale story: wpgen generates
+    // nginx-shaped logs from the rule (seeded), wparse batch parses
+    // them 1× vs 10× — the end-to-end job (read → parse → route →
+    // sinks), expected ~linear (embarrassingly parallel scan work),
+    // complementing the per-core sentinel
+    if (onlyKinds.exists(_.contains("parse"))) {
+      val wplPath = p("data/nginx.wpl")
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(p("data")))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(wplPath), graft.wpl.ParserBench.nginxWpl)
+      for ((scale, n) <- Seq("1" -> 200000, "10" -> 2000000)) {
+        rec(s"parse:gen", s"${scale}x", t(graft.cli.Cli.main(
+          Array("wpgen", "rule", wplPath, "/example/simple/nginx",
+            n.toString, p(s"data/lines$scale")))))
+        rec(s"parse:batch", s"${scale}x", t(graft.cli.Cli.main(
+          Array("wparse", "batch", p(s"data/lines$scale"),
+            p(s"out/parse$scale"), wplPath))))
+      }
+    }
+
     println("==== REHEARSAL SUMMARY (stage, 1x s, 10x s, ratio) ====")
     val by = results.groupBy(_._1)
     for (stage <- results.map(_._1).distinct) {
