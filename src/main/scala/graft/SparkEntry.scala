@@ -3533,12 +3533,17 @@ object SparkEntry {
       .select(col("pa"), col("pb"))
   }
 
-  /** 3-core of the co-purchase part graph after 12 synchronous peel
-    * rounds (convergence-depth at the verified SFs) — the dense
-    * trading core that survives when weak hangers-on are stripped. */
+  /** 3-core of the co-purchase part graph. `iters` is a generous
+    * SAFETY CEILING, decoupled from the oracle's unroll depth: the
+    * engine early-exits at the fixed point (reached in ≤12 rounds at
+    * every verified SF — which the 12-round-unrolled SQL oracle itself
+    * re-verifies, since post-convergence rounds are no-ops), and a
+    * deeper peel cascade on a larger corpus keeps converging instead
+    * of aborting (r11 ADVICE: don't tune the abort bound to the
+    * oracle's depth). */
   private def qGraphKcore(s: SparkSession, dir: String): DataFrame =
     graft.operators.Graph.kCore(coPurchaseEdges(s, dir), "pa", "pb",
-        k = 3, iters = 12)
+        k = 3, iters = 48)
       .select(col("v").as("p_partkey"), col("d").as("degree"))
       .orderBy(col("p_partkey"))
 

@@ -1243,9 +1243,11 @@ object Cli {
   }
 
   private def writeChannels(parsed: DataFrame, out: String): Unit = {
-    val fmtUdf = udf((fs: Seq[org.apache.spark.sql.Row]) =>
-      Formatters.json(fs.map(r => graft.wpl.WField(r.getString(0),
-        graft.wpl.WChars(r.getString(2)))).toVector))
+    // dtype-aware native json (Formatters.line): digit/float/bool/obj/
+    // array fields embed UNQUOTED, matching the reference's typed json
+    // sink and the project sink path — the old shape rebuilt every
+    // field as a WChars and emitted "st":"200" through a per-row UDF
+    val fmtJson = Formatters.line("json", col("fields"))
     // ONE pass over the parse, no cache: the old shape persisted the
     // full parsed corpus and re-read it four times (one write per
     // channel) — at 20M lines the columnar cache build OOMed a
@@ -1258,7 +1260,7 @@ object Cli {
     val chans = array(
       when(col("status") === "ok" || col("status") === "default" ||
           col("status") === "residue-only",
-        struct(lit("main").as("ch"), fmtUdf(col("fields")).as("value"))),
+        struct(lit("main").as("ch"), fmtJson.as("value"))),
       when(col("status") === "miss",
         struct(lit("miss").as("ch"), col("err_hint").as("value"))),
       when(col("residue").isNotNull && col("residue") =!= "",
@@ -1276,7 +1278,10 @@ object Cli {
     for (ch <- Seq("main", "miss", "residue", "error")) {
       val part = new org.apache.hadoop.fs.Path(s"$out/ch=$ch")
       val target = new org.apache.hadoop.fs.Path(s"$out/$ch")
-      if (fs.exists(part)) fs.rename(part, target)
+      // rename must not fail silently: on object stores a false return
+      // leaves the channel missing or nested with no error
+      if (fs.exists(part)) require(fs.rename(part, target),
+        s"writeChannels: rename $part -> $target failed")
       else fs.mkdirs(target)
     }
   }

@@ -81,7 +81,18 @@ object Battles {
   def btStrengths(cells: DataFrame, iters: Int = 20): DataFrame = {
     val spark = cells.sparkSession
     import spark.implicits._
-    // bounded pull: ≤ |models|² cells (documented contract above)
+    // bounded pull: ≤ |models|² cells (documented contract above) —
+    // ENFORCED, not just documented: a caller passing an unfolded
+    // battle stream would otherwise OOM the driver instead of failing
+    // loud (limit+count probe is cheap; 2M cells ≈ 1414 models, far
+    // beyond any leaderboard, and ~100 MB of driver rows — the safe
+    // ceiling for this collect)
+    val maxCells = 2000000L
+    val probe = cells.limit((maxCells + 1).toInt).count()
+    require(probe <= maxCells,
+      s"btStrengths: cells frame exceeds $maxCells rows — expected the " +
+        "folded |models|^2 battle-cells frame, not a raw battle stream " +
+        "(fold it with Battles.cells first)")
     val cellRows = cells.select(col("model_a").cast("string"),
         col("model_b").cast("string"), col("n").cast("long"),
         col("wins_a").cast("long")).collect()

@@ -42,43 +42,11 @@ object ProjectRun {
   /** Format one record's fields for a sink. dtypes digit/float/bool and
     * the JSON-shaped obj/array embed unquoted in json fmt (matches
     * Formatters.json over live WValues for every scalar the corpus
-    * emits). */
-  private def fmtLine(fmt: String): Column = {
-    val fs = col("fields")
-    fmt match {
-      case "json" =>
-        val item = (f: Column) => concat(
-          graft.engine.WplEngine.jsonQuote(f.getField("name")), lit(":"),
-          when(f.getField("dtype").isin("digit", "float", "bool", "obj", "array"),
-            f.getField("sval"))
-            .when(f.getField("dtype") === "null", lit("null"))
-            .otherwise(graft.engine.WplEngine.jsonQuote(f.getField("sval"))))
-        concat(lit("{"), array_join(transform(fs, item), ","), lit("}"))
-      case "kv" =>
-        array_join(transform(fs, f =>
-          concat(f.getField("name"), lit("="), f.getField("sval"))), " ")
-      case "csv" =>
-        array_join(transform(fs, f => {
-          val s = f.getField("sval")
-          when(s.contains(",") || s.contains("\"") || s.contains("\n"),
-            concat(lit("\""), replace(s, lit("\""), lit("\"\"")), lit("\"")))
-            .otherwise(s)
-        }), ",")
-      case "raw" =>
-        coalesce(
-          try_element_at(filter(fs, f => f.getField("name") === "raw_log"), lit(1))
-            .getField("sval"),
-          array_join(transform(fs, f =>
-            concat(f.getField("name"), lit("="), f.getField("sval"))), " "))
-      case "proto_text" =>
-        array_join(transform(fs, f =>
-          concat(f.getField("name"), lit(": "),
-            when(f.getField("dtype").isin("digit", "float", "bool"), f.getField("sval"))
-              .otherwise(concat(lit("\""),
-                replace(f.getField("sval"), lit("\""), lit("\\\"")), lit("\""))))), " ")
-      case other => throw new IllegalArgumentException(s"unknown sink fmt: $other")
-    }
-  }
+    * emits). The expression lives in [[graft.sinks.Formatters.line]] so
+    * the quick paths (wparse batch channels, kafka wrapper) emit the
+    * same typed output. */
+  private def fmtLine(fmt: String): Column =
+    graft.sinks.Formatters.line(fmt, col("fields"))
 
   private def writeText(df: DataFrame, line: Column, out: File): Long = {
     val rows = df.count()

@@ -20,15 +20,14 @@ object KafkaSink {
   /** Project pipeline output (with a `fields` array column) to the kafka
     * writer's (key, value) schema using a Formatters fmt. */
   def prepare(parsed: DataFrame, fmt: String = "json",
-              keyExpr: Option[Column] = None): DataFrame = {
-    val fmtUdf = udf((fs: Seq[Row]) =>
-      Formatters.format(fmt, fs.map(r => graft.wpl.WField(r.getString(0),
-        graft.wpl.WChars(r.getString(2)))).toVector))
-    val base = parsed.select(
+              keyExpr: Option[Column] = None): DataFrame =
+    // dtype-aware native projection (Formatters.line): typed json
+    // (`"st":200` unquoted) at full codegen speed — the old shape
+    // rebuilt each field as WChars inside a per-row UDF and quoted
+    // every value
+    parsed.select(
       (keyExpr.map(_.cast("string").as("key")).toSeq :+
-        fmtUdf(col("fields")).as("value")): _*)
-    base
-  }
+        Formatters.line(fmt, col("fields")).as("value")): _*)
 
   /** Batch write. */
   def write(parsed: DataFrame, bootstrap: String, topic: String,
