@@ -454,7 +454,8 @@ object Cli {
         case p => graft.operators.Multimodal.MediaSigIndex.load(spark, p)
           .dropKnown(afterSubstr, idCol,
             mediaSigCol(flag("--sig", "image"), flag("--media-col", "media")),
-            maxDist = flag("--max-dist", "3").toInt).localCheckpoint()
+            maxDist = flag("--max-dist", "3").toInt,
+            hotBudget = flag("--hot-budget", "1024").toInt).localCheckpoint()
       }
       // --freq <idx>: CMS frequency-cap gate — drop rows whose
       // (--freq-grp, --freq-key) the corpus has already seen
@@ -596,6 +597,13 @@ object Cli {
       // below (Maintenance.autoCompact reads this conf); 0 disables
       spark.conf.set(graft.operators.Maintenance.AutoCompactConf,
         flag("--compact-max-files", "256"))
+      // delta-log fold threshold for the near-dup index's per-batch
+      // appends (NearDupCorpusIndex.foldDeltas reads this conf):
+      // appends accumulate as unpartitioned delta files and fold into
+      // the partitioned base past this many files — per-batch append
+      // cost tracks DELTA size, never index size
+      spark.conf.set(graft.operators.Dedup.NearDupCorpusIndex.DeltaFoldConf,
+        flag("--fold-max-files", "64"))
       val textCol = flag("--text-col", "text")
       val idCol = flag("--id-col", "doc_id")
       val schema = spark.read.parquet(in).schema
@@ -633,6 +641,22 @@ object Cli {
       val driftGrp = flag("--drift-grp", "lang")
       val driftVal = flag("--drift-val", "n_chars")
       val driftMax = flag("--drift-max", "0.2").toDouble
+      // --drift-cusum <h>: CUSUM drift walk at micro-batch cadence
+      // (Page 1954) — the daemon surface of the streaming cusumAlarms
+      // gate. Per batch, each group's mean(driftVal) deviation from
+      // the PERSISTED reference's (μ, σ) (histogram midpoints —
+      // DriftRef.moments; the stream never judges itself) folds into
+      //   S ← max(0, S + (x̄ − μ − kσ)),  alarm when S > hσ —
+      // catching a sustained small shift the per-batch PSI/KS
+      // thresholds each individually miss. The deviation quantizes to
+      // a long at 1e-6 before the fold (the cusumAlarms discipline),
+      // so the walk replays exactly across restarts of the same batch
+      // sequence. k fixed at the standard 0.5; h from the flag.
+      val cusumH = flag("--drift-cusum", "")
+      val cusumMoments: Map[String, (Double, Double)] =
+        if (cusumH.nonEmpty && driftRef.isDefined) driftRef.get.moments
+        else Map.empty
+      val cusumWalk = scala.collection.mutable.Map.empty[String, Long]
       // perceptual media gate, stream-static per micro-batch (the
       // daemon twin of batch --mediasig)
       val mediaIdx = flag("--mediasig", "") match {
@@ -642,6 +666,9 @@ object Cli {
       val mediaSig = mediaSigCol(flag("--sig", "image"),
         flag("--media-col", "media"))
       val mediaMaxDist = flag("--max-dist", "3").toInt
+      // degenerate-signature candidate budget (0 disables; see
+      // MediaSigIndex.matchesOf) — degenerate rows count as known
+      val mediaHotBudget = flag("--hot-budget", "1024").toInt
       // trained-classifier gate, stream-static per micro-batch (the
       // daemon twin of batch --lr): weights load once, broadcast per
       // batch
@@ -743,7 +770,8 @@ object Cli {
           }
           val mediaGated = mediaIdx match {
             case Some(idx) =>
-              idx.dropKnown(substrGated, idCol, mediaSig, mediaMaxDist)
+              idx.dropKnown(substrGated, idCol, mediaSig, mediaMaxDist,
+                  hotBudget = mediaHotBudget)
                 .localCheckpoint()
             case None => substrGated
           }
@@ -852,6 +880,25 @@ object Cli {
                   .collect()
                   .foreach(r => println(
                     s"wpcurate: DRIFT-KS ${r.getString(0)} ks_d=${r.getDouble(3)}"))
+            }
+            if (cusumH.nonEmpty) {
+              import org.apache.spark.sql.functions.{avg, col}
+              val h = cusumH.toDouble
+              // groups-sized collect (one mean per drift group)
+              accepted.groupBy(col(driftGrp).cast("string").as("grp"))
+                .agg(avg(col(driftVal).cast("double")).as("x"))
+                .collect()
+                .foreach { r =>
+                  cusumMoments.get(r.getString(0)).foreach { case (mu, sig) =>
+                    val zq = math.floor(
+                      (r.getDouble(1) - mu - 0.5 * sig) * 1e6 + 0.5).toLong
+                    val s = math.max(0L, cusumWalk.getOrElse(r.getString(0), 0L) + zq)
+                    cusumWalk(r.getString(0)) = s
+                    if (s.toDouble / 1e6 > h * sig)
+                      println(f"wpcurate: DRIFT-CUSUM ${r.getString(0)}%s " +
+                        f"cusum=${s.toDouble / 1e6}%.3f limit=${h * sig}%.3f")
+                  }
+                }
             }
           }
           // --monitor-batch: one ops line per micro-batch — wall secs
@@ -1097,13 +1144,30 @@ object Cli {
               mediaSigCol(flag("--sig", "image"), flag("--bin-col", "media")))
           println(s"wpindex: appended to mediasig index at $path")
         case ("probe", "mediasig", batch :: path :: out :: _) =>
-          graft.operators.Multimodal.MediaSigIndex.load(spark, path)
-            .matchesOf(spark.read.parquet(batch),
-              flag("--id-col", "doc_id"),
-              mediaSigCol(flag("--sig", "image"), flag("--bin-col", "media")),
-              maxDist = flag("--max-dist", "3").toInt)
+          // --hot-budget N (default 1024): per-(block,value) candidate
+          // budget — buckets beyond it demand a SECOND matching block
+          // (pair-key AND join), and batch rows touching them are
+          // written to <out>_degenerate as the explicit degenerate-
+          // signature verdict (bounded-but-possibly-incomplete match
+          // enumeration; see MediaSigIndex.matchesOf recall bound).
+          // 0 disables the gate.
+          val msIdx = graft.operators.Multimodal.MediaSigIndex.load(spark, path)
+          val msBatch = spark.read.parquet(batch)
+          val msSig = mediaSigCol(flag("--sig", "image"), flag("--bin-col", "media"))
+          val msBudget = flag("--hot-budget", "1024").toInt
+          msIdx.matchesOf(msBatch, flag("--id-col", "doc_id"), msSig,
+              maxDist = flag("--max-dist", "3").toInt, hotBudget = msBudget)
             .write.mode("overwrite").parquet(out)
-          println(s"wpindex: media matches written to $out")
+          val nDegen =
+            if (msBudget > 0) {
+              val d = msIdx.degenerateOf(msBatch, flag("--id-col", "doc_id"),
+                msSig, hotBudget = msBudget)
+              d.write.mode("overwrite").parquet(out + "_degenerate")
+              spark.read.parquet(out + "_degenerate").count()
+            } else 0L
+          println(s"wpindex: media matches written to $out" +
+            (if (nDegen > 0) s" ($nDegen degenerate-signature rows -> ${out}_degenerate)"
+             else ""))
         case ("build", "card", corpus :: path :: _) =>
           graft.operators.Cardinality.CardRef.build(spark.read.parquet(corpus),
               flag("--grp-col", "source"), flag("--key-col", "text"),

@@ -130,6 +130,24 @@ object Drift {
     /** KS sup-gap of a batch against this reference (probe step). */
     def ksOf(batch: DataFrame, grpCol: String, valCol: String): DataFrame =
       ksVsReference(batch, hist, grpCol, valCol, binWidth)
+
+    /** Per-group in-control (μ, σ) derived from the persisted
+      * histogram at bin midpoints — the reference moments the
+      * batch-cadence CUSUM drift gate (`wpcurate daemon
+      * --drift-cusum`) walks against, exactly the ewmaAlarms/
+      * cusumAlarms contract: the stream never judges itself.
+      * Bins-sized collect (bounded regardless of corpus size). */
+    def moments: Map[String, (Double, Double)] =
+      hist.groupBy(col("grp").cast("string").as("grp"))
+        .agg(sum(col("n")).cast("double").as("m0"),
+          sum(col("n") * (col("bin") + lit(0.5)) * lit(binWidth)).as("m1"),
+          sum(col("n") * pow((col("bin") + lit(0.5)) * lit(binWidth), 2))
+            .as("m2"))
+        .collect().map { r =>
+          val (n, s1, s2) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+          val mu = s1 / n
+          r.getString(0) -> (mu, math.sqrt(math.max(0.0, s2 / n - mu * mu)))
+        }.toMap
   }
 
   object DriftRef {

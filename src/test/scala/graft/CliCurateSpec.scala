@@ -566,6 +566,51 @@ class CliCurateSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$outDir/accepted").count() == 20)
   }
 
+  test("wpcurate daemon --drift-cusum: sustained small shift accumulates to an alarm") {
+    import spark.implicits._
+    spark
+    val refDir = tmp("cusum_ref"); val idxDir = tmp("cusum_idx")
+    val inDir = tmp("cusum_in"); val outDir = tmp("cusum_out")
+    val stage = tmp("cusum_stage")
+    // reference: en n_chars in {100,105,110} → binWidth 2 moments
+    // μ≈105.56, σ≈4.08 (histogram midpoints)
+    (0 until 50).map(i => (i.toLong, "ref text", "en", 100L + (i % 3) * 5))
+      .toDF("doc_id", "text", "lang", "n_chars")
+      .write.mode("overwrite").parquet(refDir)
+    graft.cli.Cli.main(Array("wpindex", "build", "drift", refDir, idxDir,
+      "--grp-col", "lang", "--val-col", "n_chars", "--bin-width", "2.0"))
+    // six 10-doc batches at n_chars=112: per-batch deviation
+    // x̄−μ−0.5σ ≈ 4.4 ≈ 1.1σ — BELOW any single-batch alarm, but the
+    // walk crosses hσ=16.3 at batch 4 → alarms on batches 4,5,6 only
+    for (b <- 1 to 6) {
+      val sd = s"$stage/b$b"
+      (0 until 10).map(i => (b * 100L + i, "drift text", "en", 112L))
+        .toDF("doc_id", "text", "lang", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(sd)
+      Option(new java.io.File(sd).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).zipWithIndex
+        .foreach { case (f, i) =>
+          java.nio.file.Files.copy(f.toPath,
+            new java.io.File(inDir, s"b$b-$i.parquet").toPath)
+        }
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf)) {
+      graft.cli.Cli.main(Array("wpcurate", "daemon", inDir, outDir,
+        "--drift", idxDir, "--drift-grp", "lang", "--drift-val", "n_chars",
+        "--drift-cusum", "4.0", "--max-files", "1", "--once"))
+    }
+    val alarms = "wpcurate: DRIFT-CUSUM en".r
+      .findAllIn(buf.toString).length
+    assert(alarms >= 1, s"walk never crossed hσ; stdout: ${buf.toString}")
+    // sustained-shift semantics: the FIRST batches must NOT alarm —
+    // an every-batch alarm would mean a per-batch threshold in
+    // disguise, not an accumulating walk
+    assert(alarms <= 4, s"alarmed on $alarms of 6 batches — walk is " +
+      s"not accumulating; stdout: ${buf.toString}")
+    assert(spark.read.parquet(s"$outDir/accepted").count() == 60)
+  }
+
   test("wpcurate daemon --monitor-key: per-batch HLL cardinality line prints") {
     import spark.implicits._
     spark
@@ -795,6 +840,9 @@ class CliCurateSpec extends AnyFunSuite {
         graft.cli.Cli.main(Array("wpcurate", "daemon", inDir, outDir,
           "--index", ndIdx, "--card", cardIdx, "--once",
           "--append-index", "--compact-max-files", "8",
+          // low fold threshold so the delta-log → base fold actually
+          // fires mid-test (default 64 would keep all 5 deltas unfolded)
+          "--fold-max-files", "8",
           "--min-words", "3", "--min-entropy", "2.0",
           "--min-score", "-1000000", "--threshold", "0.8"))
       }
@@ -824,6 +872,12 @@ class CliCurateSpec extends AnyFunSuite {
         Maintenance.fileAndLeafDirCount(spark, s"$ndIdx/$sub")
       assert(files <= 2 * leafDirs + 16,
         s"$sub files=$files leafDirs=$leafDirs")
+      // the unfolded delta-log tail is bounded by the fold threshold
+      // plus at most one append's worth of files
+      val (deltaFiles, _) =
+        Maintenance.fileAndLeafDirCount(spark, s"$ndIdx/${sub}_delta")
+      assert(deltaFiles <= 8 + graft.operators.Dedup.NearDupCorpusIndex.DeltaFiles,
+        s"${sub}_delta files=$deltaFiles")
     }
     // the card profile is overwrite-maintained: file count stays at one
     // write's worth regardless of batch count

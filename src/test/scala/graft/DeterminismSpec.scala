@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+/** Standing determinism gate (r11 judge ask #4): the two-subtree
+  * range-exchange bug — two physical exchanges of one
+  * `repartitionByRange` sampling DIFFERENT boundaries, silently
+  * misaligning spark_partition_id-dependent rank offsets — was caught
+  * by a hand 5-run probe in r11 (fixed with the load-bearing scratch
+  * cache, operators/Ranks.scala:30-40). This spec encodes that probe
+  * permanently: every Ranks-consuming oracled query runs 5× under
+  * VARIED `spark.sql.shuffle.partitions` (which changes the
+  * repartitionByRange partition count, hence the sampled boundaries
+  * and the per-partition offsets) and must return byte-identical
+  * results every time. A regression in the cache discipline — or any
+  * new partition-count-sensitive logic — fails here before it can
+  * reach the oracle as intermittent noise. */
+class DeterminismSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** The queries whose plans ride operators/Ranks (two-phase global /
+    * grouped rank, ntile, prefix-sum) — the surface where exchange
+    * nondeterminism would show as run-to-run drift. */
+  private val rankQueries = Seq(
+    "score_auc", "score_avg_precision", "q_customer_rfm",
+    "feature_quantile_norm", "q_equidepth_hist", "lr_conformal")
+
+  // 5 runs under 5 different partition counts: prime/odd values on
+  // purpose (distinct range boundaries per run), including 1 (the
+  // degenerate single-partition plan) and > |rows at sf0.001| / row
+  // group shapes (32)
+  private val partitionCounts = Seq("1", "3", "7", "13", "32")
+
+  for (q <- rankQueries) {
+    test(s"$q is partition-count invariant (5 runs, varied shuffle partitions)") {
+      val outs = partitionCounts.map { p =>
+        spark.conf.set("spark.sql.shuffle.partitions", p)
+        try {
+          val rows = SparkEntry.queries(q)(spark, sf)
+            .collect().map(_.toString).sorted.toVector
+          rows
+        } finally {
+          // force the NEXT run to rebuild its ranged frames from
+          // scratch — a lingering scratch cache would mask exactly the
+          // nondeterminism this spec exists to catch
+          graft.operators.CacheScope.drain()
+          spark.conf.set("spark.sql.shuffle.partitions", "4")
+        }
+      }
+      val distinct = outs.distinct
+      assert(distinct.size == 1,
+        s"$q returned ${distinct.size} distinct results across shuffle " +
+          s"partition counts ${partitionCounts.mkString(",")} — " +
+          "exchange-dependent nondeterminism (see operators/Ranks.scala:30)")
+    }
+  }
+}

@@ -162,6 +162,80 @@ class MediaSigIndexSpec extends AnyFunSuite {
     assert(out.getLong(1) == MediaDHash.dhashOf(randBmp(2L)).longValue)
   }
 
+  test("degenerate-signature gate: hot buckets bounded, two-block AND tier, verdict channel") {
+    import spark.implicits._
+    // signatures constructed directly (sig is any Column): 4 × 16-bit
+    // blocks, sig(v3,v2,v1,v0); blk0 = low 16 bits
+    def mkSig(v3: Long, v2: Long, v1: Long, v0: Long): Long =
+      (v3 << 48) | (v2 << 32) | (v1 << 16) | v0
+    // mass1: 30 rows sharing block3=0xAAAA (hot at budget 8), other
+    // blocks distinct (their buckets stay cold); mass2 likewise on
+    // block2=0xBBBB — two independent degenerate masses
+    val mass1 = (0 until 30).map(i =>
+      (1000L + i, mkSig(0xAAAA, 0x1000 + i, 0x2000 + i, 0x3000 + i)))
+    val mass2 = (0 until 30).map(i =>
+      (2000L + i, mkSig(0x4000 + i, 0xBBBB, 0x5000 + i, 0x6000 + i)))
+    // c*: in BOTH hot buckets, but the (block3=AAAA, block2=BBBB) PAIR
+    // bucket holds only this row — the cold pair route tier B rides
+    val cStar = Seq((777L, mkSig(0xAAAA, 0xBBBB, 0x7777, 0x8888)))
+    val cCold = Seq((9L, mkSig(0x0009, 0x0019, 0x0029, 0x0039)))
+    val corpus = (mass1 ++ mass2 ++ cStar ++ cCold).toDF("img_id", "sigv")
+    val idx = MediaSigIndex.build(corpus, "img_id", col("sigv"))
+    val batch = Seq(
+      // hamming 2 vs c*, matching blocks {3, 2} BOTH hot singles →
+      // only the pair-key AND tier can enumerate this match
+      (100L, mkSig(0xAAAA, 0xBBBB, 0x7776, 0x8889)),
+      // hamming 1 vs cCold through cold buckets only
+      (101L, mkSig(0x0009, 0x0019, 0x0029, 0x0038)),
+      // novel, nothing shared
+      (102L, mkSig(0x0F0F, 0x0E0E, 0x0D0D, 0x0C0C)),
+      // exact dup of mass1[0]: found via its COLD blocks (tier A)
+      // even though block3 is hot
+      (103L, mkSig(0xAAAA, 0x1000, 0x2000, 0x3000))
+    ).toDF("img_id", "sigv")
+    val m = idx.matchesOf(batch, "img_id", col("sigv"), maxDist = 3,
+        hotBudget = 8)
+      .select("id_batch", "id_corpus").as[(Long, Long)].collect().toSet
+    assert(m.contains((100L, 777L)), s"two-block AND tier missed c*: $m")
+    assert(m.contains((101L, 9L)), s"cold tier missed: $m")
+    assert(m.contains((103L, 1000L)), s"hot-row cold-block match missed: $m")
+    assert(!m.exists(_._1 == 102L), s"novel matched: $m")
+    // 100 must NOT match the mass rows (hamming >> 3) — bounded does
+    // not mean sloppy
+    assert(!m.exists(p => p._1 == 100L && p._2 != 777L), s"$m")
+    // verdict channel: exactly the rows that touched a hot bucket,
+    // with the colliding mass visible
+    val d = idx.degenerateOf(batch, "img_id", col("sigv"), hotBudget = 8)
+      .select("id", "max_bucket_n").as[(Long, Long)].collect().toMap
+    assert(d.keySet == Set(100L, 103L), s"degenerate=$d")
+    assert(d(100L) == 31L, s"degenerate=$d") // mass1 + c* share (3, AAAA)
+    // dropKnown treats degenerate rows as known → only the novel
+    // image survives
+    val kept = idx.dropKnown(batch, "img_id", col("sigv"), maxDist = 3,
+        hotBudget = 8)
+      .select("img_id").as[Long].collect().toSet
+    assert(kept == Set(102L), s"kept=$kept")
+    graft.operators.CacheScope.drain()
+  }
+
+  test("degenerate gate is a no-op on well-spread signatures") {
+    import spark.implicits._
+    val corpus = imgDf((1L to 40L).map(i => (i, randBmp(i * 131L))))
+    val idx = MediaSigIndex.build(corpus, "img_id", media_dhash(col("media")))
+    val batch = imgDf(Seq((500L, randBmp(131L, bump = true)),
+      (501L, randBmp(424242L))))
+    def probe(budget: Int) =
+      idx.matchesOf(batch, "img_id", media_dhash(col("media")),
+          maxDist = 3, hotBudget = budget)
+        .select("id_batch", "id_corpus", "hamming")
+        .as[(Long, Long, Int)].collect().toSet
+    // gated result identical to the ungated (budget 0 = disabled) one
+    assert(probe(1024) == probe(0))
+    assert(idx.degenerateOf(batch, "img_id", media_dhash(col("media")))
+      .count() == 0)
+    graft.operators.CacheScope.drain()
+  }
+
   test("wpindex mediasig CLI: build → probe → append round trip") {
     import spark.implicits._
     spark

@@ -187,6 +187,56 @@ object ScaleRehearsal {
       graft.operators.CacheScope.drain()
     }
 
+    // ---- 100× neardup leg (opt-in via kind "neardup100") -------------
+    // the r11 table stopped at 10×; this extends the heaviest artifact
+    // (the near-dup band index) to a 100× corpus — same fixed delta and
+    // probe batch, so append/probe must stay flat while build scales
+    // ~linearly (disk: 100× of the sf0.1 docs ≈ hundreds of MB)
+    if (onlyKinds.exists(_.contains("neardup100"))) {
+      if (!new java.io.File(p("data/docs100")).exists())
+        docsX(100).write.mode("overwrite").parquet(p("data/docs100"))
+      val idx = p("idx/neardup_100")
+      rec("build:neardup", "100x", t(graft.cli.Cli.main(
+        Array("wpindex", "build", "neardup", p("data/docs100"), idx))))
+      graft.operators.CacheScope.drain()
+      rec("append:neardup", "100x", t(graft.cli.Cli.main(
+        Array("wpindex", "append", "neardup", p("data/delta"), idx))))
+      graft.operators.CacheScope.drain()
+      rec("probe:neardup", "100x", t(graft.cli.Cli.main(
+        Array("wpindex", "probe", "neardup", p("data/delta"), idx,
+          p("out/neardup_100")))))
+      graft.operators.CacheScope.drain()
+    }
+
+    // ---- daemon soak leg (opt-in via kind "soak") ---------------------
+    // ≥30 micro-batches of continual curate+append against a growing
+    // index: the per-batch `wpcurate: BATCH` lines are the stable-wall
+    // evidence, the fd counts bracket handle leaks, and the layout
+    // census shows the delta-log fold keeping both the base and the
+    // delta tail bounded across the whole soak
+    if (onlyKinds.exists(_.contains("soak"))) {
+      spark.read.parquet(p("data/docs10")).repartition(32)
+        .write.mode("overwrite").parquet(p("data/drip32"))
+      graft.cli.Cli.main(Array("wpindex", "build", "neardup",
+        p("data/delta"), p("idx/neardup_soak")))
+      graft.operators.CacheScope.drain()
+      def fds = Option(new java.io.File("/proc/self/fd").list())
+        .map(_.length).getOrElse(-1)
+      println(s"REHEARSAL soak fds-before=$fds")
+      rec("daemon:soak32", "10x", t(graft.cli.Cli.main(
+        Array("wpcurate", "daemon", p("data/drip32"), p("out/soak32"),
+          "--once", "--max-files", "1", "--monitor-batch",
+          "--index", p("idx/neardup_soak"), "--append-index",
+          "--min-words", "3", "--min-entropy", "2.0",
+          "--min-score", "-1000000"))))
+      println(s"REHEARSAL soak fds-after=$fds")
+      for (sub <- Seq("bands", "sets", "bands_delta", "sets_delta")) {
+        val (f, d) = graft.operators.Maintenance.fileAndLeafDirCount(
+          spark, p(s"idx/neardup_soak/$sub"))
+        println(s"REHEARSAL soak layout $sub files=$f leafDirs=$d")
+      }
+    }
+
     // ---- parse-engine leg (opt-in via kind "parse") ------------------
     // the reference-parity side of the scale story: wpgen generates
     // nginx-shaped logs from the rule (seeded), wparse batch parses
