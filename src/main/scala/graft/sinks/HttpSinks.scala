@@ -93,28 +93,23 @@ final class PrometheusSink(endpoint: String) {
 object VictoriaLogsSink {
 
   /** Render the `fields` frame to the VictoriaLogs JSON-line `value`
-    * column. */
+    * column — fully native (the dtype-aware [[Formatters.line]], so a
+    * json-fmt `_msg` carries TYPED values like every other sink
+    * surface; the old shape rebuilt each field as a WChars inside a
+    * per-row UDF). `_time` fallback is `current_timestamp()` — the
+    * query-start instant, Spark's deterministic ingestion-time
+    * analog of the old per-row wall clock. */
   def prepare(parsed: DataFrame, fmt: String = "json",
               createTimeField: Option[String] = None): DataFrame = {
-    val lineUdf = udf((fs: Seq[Row]) => {
-      val wf = fs.map(r => graft.wpl.WField(r.getString(0),
-        graft.wpl.WChars(r.getString(2)))).toVector
-      val msg = Formatters.format(fmt, wf)
-      val timeNs: Long = createTimeField
-        .flatMap(name => fs.find(_.getString(0) == name))
-        .flatMap(r => scala.util.Try(r.getString(2).toLong).toOption)
-        .map(_ * 1000L) // epoch micros → ns
-        .getOrElse(System.currentTimeMillis() * 1000000L)
-      val q = msg.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case '\n' => "\\n"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      }
-      s"""{"_msg":"$q","_time":$timeNs}"""
-    })
-    parsed.select(lineUdf(col("fields")).as("value"))
+    import graft.engine.WplEngine
+    val ingestNs = unix_micros(current_timestamp()) * lit(1000L)
+    val timeNs = createTimeField
+      .map(name => coalesce(
+        WplEngine.fieldSval(name).cast("long") * lit(1000L), ingestNs))
+      .getOrElse(ingestNs)
+    parsed.select(concat(
+      lit("{\"_msg\":"), WplEngine.jsonQuote(Formatters.line(fmt, col("fields"))),
+      lit(",\"_time\":"), timeNs.cast("string"), lit("}")).as("value"))
   }
 
   /** Batch write: JSON lines POSTed per partition in `postBatch`-sized
