@@ -157,11 +157,20 @@ class R9OpsSpec extends AnyFunSuite {
 
     val path = tmp("mc_art_nd")
     Dedup.nearDupCorpusIndex(slice(1, 40), "text", "doc_id").save(path)
-    // appends with auto-compaction OFF: accretes one delta per append
+    // appends with auto-compaction OFF and the delta-log folding on
+    // EVERY append (fold conf 1): each append then lands 1 file per
+    // touched partition dir in the BASE — the accretion shape this
+    // test exists to show compactArtifact bounding (with the default
+    // fold threshold the deltas would just pool in bands_delta/
+    // sets_delta, bounded by the fold threshold instead)
     spark.conf.set(Maintenance.AutoCompactConf, "0")
+    spark.conf.set(Dedup.NearDupCorpusIndex.DeltaFoldConf, "1")
     for (k <- 1 to 6)
       Dedup.NearDupCorpusIndex.load(spark, path)
         .appendTo(path, slice(40L + k * 20, 59L + k * 20), "text", "doc_id")
+    // every delta folded — the unfolded tail is empty
+    assert(Maintenance.parquetFileCount(spark, s"$path/bands_delta") == 0)
+    assert(Maintenance.parquetFileCount(spark, s"$path/sets_delta") == 0)
     val before = Maintenance.parquetFileCount(spark, s"$path/bands")
     val probeB = slice(1, 200)
     val survivorsBefore = Dedup.dropNearDupsOfCorpus(probeB, "text",
@@ -178,6 +187,7 @@ class R9OpsSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(survivorsAfter == survivorsBefore)
     spark.conf.unset(Maintenance.AutoCompactConf)
+    spark.conf.unset(Dedup.NearDupCorpusIndex.DeltaFoldConf)
   }
 
   // ------------------------------------------------ adaptive salted join
