@@ -1223,7 +1223,12 @@ object Cli {
         case _ =>
           System.err.println(
             "usage: wpindex build|append|probe neardup|emb|ann|drift|lm|bm25|dsir|substr|card|freq|member <in.parquet> <indexDir> [<outDir>] [flags]\n" +
-            "       wpindex ls <root> | wpindex compact <indexDir> [--max-files N]")
+            "       wpindex ls <root> | wpindex compact <indexDir> [--max-files N]\n" +
+            "sizing: emb --nbits ~ log2(corpus); ann --coarse-k ~ sqrt(corpus)\n" +
+            "mediasig probe --hot-budget N (default 1024): per-(block,value)\n" +
+            "  candidate budget — over-budget buckets need a 2nd matching\n" +
+            "  block, and affected batch rows land in <out>_degenerate\n" +
+            "  (degenerate-signature verdicts; 0 disables the gate)")
           sys.exit(2)
       }
 

@@ -117,10 +117,7 @@ object Dedup {
       val nb = NearDupCorpusIndex.DiskBuckets
       // a fresh save replaces EVERYTHING — stale delta logs from a
       // previous index at this path must not union into the new base
-      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
-        bands.sparkSession.sparkContext.hadoopConfiguration)
-      for (d <- Seq("bands_delta", "sets_delta"))
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true)
+      Maintenance.clearDeltas(bands.sparkSession, path, Seq("bands", "sets"))
       // repartition BY THE PARTITION COLUMNS before the partitionBy
       // write: otherwise every task writes a sliver into every
       // directory — nBands×nb dirs × tasks tiny files (measured 4×
@@ -172,16 +169,15 @@ object Dedup {
                else NearDupCorpusIndex.DiskBuckets
       val spark = newDocs.sparkSession
       val sh = shingleDf(newDocs, textCol, idCol, shingleN, outId = "nd_cid")
-      bandFrame(sh, "nd_cid", nPerm, nBands)
-        .withColumn("bh_bucket", pmod(col("band_hash"), lit(nb)).cast("int"))
-        .repartition(NearDupCorpusIndex.DeltaFiles)
-        .write.mode("append").parquet(s"$path/bands_delta")
-      sh.select(col("nd_cid"), col("shingles").as("sh_c"),
-          size(col("shingles")).cast("long").as("n_c"))
-        .withColumn("id_bucket", pmod(hash(col("nd_cid")), lit(nb)).cast("int"))
-        .repartition(NearDupCorpusIndex.DeltaFiles)
-        .sortWithinPartitions(col("nd_cid"))
-        .write.mode("append").parquet(s"$path/sets_delta")
+      Maintenance.appendDelta(
+        bandFrame(sh, "nd_cid", nPerm, nBands)
+          .withColumn("bh_bucket", pmod(col("band_hash"), lit(nb)).cast("int")),
+        path, "bands")
+      Maintenance.appendDelta(
+        sh.select(col("nd_cid"), col("shingles").as("sh_c"),
+            size(col("shingles")).cast("long").as("n_c"))
+          .withColumn("id_bucket", pmod(hash(col("nd_cid")), lit(nb)).cast("int")),
+        path, "sets", sort = Seq("nd_cid"))
       NearDupCorpusIndex.foldDeltas(spark, path)
       Maintenance.autoCompact(spark, path)
       ()
@@ -198,60 +194,20 @@ object Dedup {
       * enough that a small probe's DPP skips most of the index. */
     val DiskBuckets = 32
 
-    /** Files per delta append — a 1000-doc micro-batch delta is a few
-      * MB; 4 files keeps the append write wide enough without small-
-      * file accretion. */
-    val DeltaFiles = 4
+    /** Files per delta append (see [[Maintenance.DeltaFiles]]). */
+    val DeltaFiles: Int = Maintenance.DeltaFiles
 
-    /** Conf key: fold the delta log into the partitioned base once it
-      * exceeds this many files (default 64 ≈ 16 appends) — fold cost is
-      * the ACCUMULATED DELTA mass, never the base. 0 folds eagerly on
-      * every append (specs use it to pin fold correctness). */
-    val DeltaFoldConf = "spark.graft.artifact.deltaFoldMaxFiles"
+    /** Fold-threshold conf (see [[Maintenance.DeltaFoldConf]]). */
+    val DeltaFoldConf: String = Maintenance.DeltaFoldConf
 
     /** Merge `bands_delta`/`sets_delta` into the partitioned base when
-      * past the threshold (file count, or delta bytes > base/4 so one
-      * giant append — e.g. re-indexing half a corpus — folds at once).
-      * The fold write repartitions by the partition columns (1 file
-      * per touched leaf dir); the rare base-wide rewrite stays
+      * past the threshold — fold cost is the ACCUMULATED DELTA mass,
+      * never the base; the rare base-wide rewrite stays
       * [[Maintenance.autoCompact]]'s job. */
     def foldDeltas(spark: SparkSession, path: String): Unit = {
-      val foldMax = spark.conf.get(DeltaFoldConf, "64").toInt
-      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
-        spark.sparkContext.hadoopConfiguration)
-      for ((sub, parts, sort) <- Seq(
-          ("bands", Seq("band", "bh_bucket"), Seq.empty[String]),
-          ("sets", Seq("id_bucket"), Seq("nd_cid")))) {
-        val delta = s"$path/${sub}_delta"
-        if (fs.exists(new org.apache.hadoop.fs.Path(delta))) {
-          val (files, _) = Maintenance.fileAndLeafDirCount(spark, delta)
-          lazy val overBytes = Maintenance.bytesUnder(spark, delta) * 4 >
-            Maintenance.bytesUnder(spark, s"$path/$sub")
-          if (files > 0 && (files >= foldMax || overBytes)) {
-            val re = spark.read.parquet(delta)
-              .repartition(parts.map(col): _*)
-            (if (sort.nonEmpty) re.sortWithinPartitions(sort.map(col): _*)
-             else re)
-              .write.mode("append").partitionBy(parts: _*)
-              .parquet(s"$path/$sub")
-            fs.delete(new org.apache.hadoop.fs.Path(delta), true)
-          }
-        }
-      }
-    }
-
-    /** Base ∪ delta-log scan of one layout subdir: the base side keeps
-      * its partitioned DPP-prunable shape; the delta side (bounded by
-      * the fold threshold) is a plain scan with pushed filters. */
-    private def withDelta(spark: SparkSession, path: String,
-                          sub: String): DataFrame = {
-      val base = spark.read.parquet(s"$path/$sub")
-      val delta = s"$path/${sub}_delta"
-      val p = new org.apache.hadoop.fs.Path(delta)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p) && Maintenance.parquetFileCount(spark, delta) > 0)
-        base.unionByName(spark.read.parquet(delta))
-      else base
+      Maintenance.foldDelta(spark, path, "bands", Seq("band", "bh_bucket"))
+      Maintenance.foldDelta(spark, path, "sets", Seq("id_bucket"),
+        sort = Seq("nd_cid"))
     }
 
     /** Reopen a saved index. The frames are plain partitioned parquet
@@ -262,8 +218,8 @@ object Dedup {
     def load(spark: SparkSession, path: String): NearDupCorpusIndex = {
       val props = ArtifactMeta.load(path, "neardup")
       NearDupCorpusIndex(
-        bands = withDelta(spark, path, "bands"),
-        sets = withDelta(spark, path, "sets"),
+        bands = Maintenance.readWithDelta(spark, path, "bands"),
+        sets = Maintenance.readWithDelta(spark, path, "sets"),
         shingleN = props.getProperty("shingleN").toInt,
         nPerm = props.getProperty("nPerm").toInt,
         nBands = props.getProperty("nBands").toInt,

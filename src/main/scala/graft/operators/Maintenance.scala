@@ -101,6 +101,85 @@ object Maintenance {
     * 0 disables. Specs set it low to exercise the trigger. */
   val AutoCompactConf = "spark.graft.artifact.autoCompactMaxFiles"
 
+  // -------------------------------------------------------------------
+  // LSM-style delta log for append-mode partitioned artifacts
+  // -------------------------------------------------------------------
+  // A direct `mode(append).partitionBy(...)` of a small delta writes
+  // ~1 file into EVERY touched leaf dir (hundreds for the band/block
+  // layouts) and then trips the full-artifact auto-compaction — a
+  // per-append cost proportional to the INDEX, not the delta (the
+  // r11-measured flat 14–20 s near-dup append). The delta-log shape:
+  // appends land as a handful of UNPARTITIONED files with the
+  // partition keys as plain columns ([[appendDelta]]), readers union
+  // base + delta ([[readWithDelta]] — the delta side is bounded by the
+  // fold threshold, so losing partition pruning on it costs nothing),
+  // and [[foldDelta]] merges accumulated deltas into the partitioned
+  // base past a threshold — fold cost = accumulated DELTA mass. A
+  // crash between fold-write and delta-delete only duplicates rows,
+  // which the probe-side `distinct` discipline absorbs.
+
+  /** Conf key: fold a `<sub>_delta` log into the partitioned base once
+    * it exceeds this many files (default 64). Specs set 1 to fold
+    * eagerly. Byte backstop regardless: delta > base/4 folds at once
+    * (one giant append — e.g. re-indexing half a corpus). */
+  val DeltaFoldConf = "spark.graft.artifact.deltaFoldMaxFiles"
+
+  /** Files per delta append — a micro-batch delta is a few MB. */
+  val DeltaFiles = 4
+
+  /** Append `df` (partition keys as plain columns) to `path/<sub>_delta`. */
+  def appendDelta(df: DataFrame, path: String, sub: String,
+                  sort: Seq[String] = Nil): Unit = {
+    val re = df.repartition(DeltaFiles)
+    (if (sort.nonEmpty) re.sortWithinPartitions(sort.map(col): _*) else re)
+      .write.mode("append").parquet(s"$path/${sub}_delta")
+  }
+
+  /** Merge `path/<sub>_delta` into the partitioned base at `path/<sub>`
+    * when past the threshold (see [[DeltaFoldConf]]). */
+  def foldDelta(spark: SparkSession, path: String, sub: String,
+                parts: Seq[String], sort: Seq[String] = Nil): Unit = {
+    val foldMax = spark.conf.get(DeltaFoldConf, "64").toInt
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val delta = s"$path/${sub}_delta"
+    if (fs.exists(new org.apache.hadoop.fs.Path(delta))) {
+      val (files, _) = fileAndLeafDirCount(spark, delta)
+      lazy val overBytes =
+        bytesUnder(spark, delta) * 4 > bytesUnder(spark, s"$path/$sub")
+      if (files > 0 && (files >= foldMax || overBytes)) {
+        val re = spark.read.parquet(delta).repartition(parts.map(col): _*)
+        (if (sort.nonEmpty) re.sortWithinPartitions(sort.map(col): _*)
+         else re)
+          .write.mode("append").partitionBy(parts: _*).parquet(s"$path/$sub")
+        fs.delete(new org.apache.hadoop.fs.Path(delta), true)
+      }
+    }
+  }
+
+  /** Base ∪ delta-log scan of `path/<sub>`: the base keeps its
+    * partitioned DPP-prunable shape; the bounded delta side is a plain
+    * scan with pushed filters. */
+  def readWithDelta(spark: SparkSession, path: String,
+                    sub: String): DataFrame = {
+    val base = spark.read.parquet(s"$path/$sub")
+    val delta = s"$path/${sub}_delta"
+    val p = new org.apache.hadoop.fs.Path(delta)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && parquetFileCount(spark, delta) > 0)
+      base.unionByName(spark.read.parquet(delta))
+    else base
+  }
+
+  /** Drop stale delta logs (a fresh save replaces everything). */
+  def clearDeltas(spark: SparkSession, path: String,
+                  subs: Seq[String]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    for (sub <- subs)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/${sub}_delta"), true)
+  }
+
   /** The auto-compaction hook every append-mode artifact `appendTo`
     * ends with: when the session conf's threshold is exceeded in any
     * of the artifact's layout subdirs, compact them layout-preserving

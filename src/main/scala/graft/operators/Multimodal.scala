@@ -400,6 +400,8 @@ object Multimodal {
 
     def save(path: String): Unit = {
       val nb = DiskBuckets
+      graft.operators.Maintenance.clearDeltas(blocks.sparkSession, path,
+        Seq("blocks"))
       blocks
         .withColumn("bv_bucket", pmod(col("blk_val"), lit(nb)).cast("int"))
         .repartition(col("blk"), col("bv_bucket"))
@@ -410,18 +412,22 @@ object Multimodal {
         layout = Seq("blocks" -> "parts:blk,bv_bucket"))
     }
 
-    /** Sign+block a new batch and append into the same partition dirs —
-      * the next probe sees it without a rebuild. */
+    /** Sign+block a new batch and append — through the delta log
+      * ([[graft.operators.Maintenance.appendDelta]]): the write is
+      * delta-sized, the next probe sees base ∪ delta, folds into the
+      * partitioned dirs past the threshold. */
     def appendTo(path: String, newMedia: DataFrame, idCol: String,
                  sig: Column): Unit = {
       val nb = if (diskBuckets > 0) diskBuckets else DiskBuckets
-      explodeBlocks(newMedia.select(col(idCol).as("ms_id"), sig.as("sig"))
-          .filter(col("sig").isNotNull), "ms_id", "sig")
-        .withColumn("bv_bucket", pmod(col("blk_val"), lit(nb)).cast("int"))
-        .repartition(col("blk"), col("bv_bucket"))
-        .write.mode("append").partitionBy("blk", "bv_bucket")
-        .parquet(s"$path/blocks")
-      graft.operators.Maintenance.autoCompact(newMedia.sparkSession, path)
+      val spark = newMedia.sparkSession
+      graft.operators.Maintenance.appendDelta(
+        explodeBlocks(newMedia.select(col(idCol).as("ms_id"), sig.as("sig"))
+            .filter(col("sig").isNotNull), "ms_id", "sig")
+          .withColumn("bv_bucket", pmod(col("blk_val"), lit(nb)).cast("int")),
+        path, "blocks")
+      graft.operators.Maintenance.foldDelta(spark, path, "blocks",
+        Seq("blk", "bv_bucket"))
+      graft.operators.Maintenance.autoCompact(spark, path)
       ()
     }
 
@@ -575,7 +581,8 @@ object Multimodal {
 
     def load(spark: org.apache.spark.sql.SparkSession, path: String): MediaSigIndex = {
       val props = graft.operators.ArtifactMeta.load(path, "mediasig")
-      MediaSigIndex(spark.read.parquet(s"$path/blocks"),
+      MediaSigIndex(
+        graft.operators.Maintenance.readWithDelta(spark, path, "blocks"),
         props.getProperty("diskBuckets").toInt)
     }
   }
