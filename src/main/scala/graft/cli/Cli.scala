@@ -1087,10 +1087,16 @@ object Cli {
             flag("--text-col", "text"), flag("--id-col", "doc_id"))
           println(s"wpindex: appended to bm25 index at $path")
         case ("probe", "bm25", queries :: path :: out :: _) =>
-          // queries parquet: (query_id, term) relation
+          // queries parquet: (query_id, term) relation.
+          // --max-df-frac F (default 1.0 = exact): drop query terms
+          // with df > F*nDocs before the postings join — the probe-
+          // cost knob for stop-word terms, whose candidate mass is
+          // corpus-proportional (see Bm25Index.topK for the bounded
+          // score error)
           graft.operators.Retrieval.Bm25Index.load(spark, path)
             .topK(spark.read.parquet(queries),
-              k = flag("--topk", "10").toInt)
+              k = flag("--topk", "10").toInt,
+              maxDfFrac = flag("--max-df-frac", "1.0").toDouble)
             .write.mode("overwrite").parquet(out)
           println(s"wpindex: bm25 top-k written to $out")
         case ("build", "dsir", corpus :: path :: _) =>

@@ -138,16 +138,45 @@ object Retrieval {
 
     /** Probe the index: the postings/terms scans carry a `bucket IN
       * (query-term buckets)` partition filter, so only the probed
-      * buckets' files are read. */
-    def topK(queries: DataFrame, k: Int): DataFrame = {
-      val q = queries.select(col("query_id"), col("term"),
+      * buckets' files are read.
+      *
+      * `maxDfFrac` (default 1.0 = exact) is the probe-cost knob the
+      * 100× rehearsal surfaced: exact BM25 scores EVERY document
+      * containing ANY query term, so a stop-word query term (df ≈ N)
+      * makes the candidate mass corpus-proportional — measured
+      * 4.0 → 7.2 → 78.6 s across 1×/10×/100× on first-token queries.
+      * Capping drops query terms with df > maxDfFrac·nDocs BEFORE the
+      * postings join — the standard IR stop-term discipline, with the
+      * bounded error each dropped term could have contributed:
+      * idf ≤ ln(1/maxDfFrac), so per-doc score shift
+      * < (k1+1)·ln(1/maxDfFrac) (≈ 3.0 at 0.25 — an order below one
+      * rare-term match at ln(N/df) ≈ 13). Queries whose terms ALL
+      * exceed the cap return no rows. The tighter kept-term set also
+      * re-prunes the postings buckets. */
+    def topK(queries: DataFrame, k: Int,
+             maxDfFrac: Double = 1.0): DataFrame = {
+      val q0 = queries.select(col("query_id"), col("term"),
         Bm25Index.bucketOf(col("term"), nBuckets).as("bucket"))
-      val buckets = q.select(col("bucket")).distinct()
+      val rawBuckets = q0.select(col("bucket")).distinct()
         .collect().map(_.getLong(0)).toSeq
+      // terms scan pruned to the raw query buckets, semi-joined down
+      // to the query terms (≤ |query terms| rows), then df-capped
+      val qTermsAll = terms.filter(col("bucket").isin(rawBuckets: _*))
+        .join(broadcast(q0.select(col("term")).distinct()), Seq("term"))
+      val kept =
+        if (maxDfFrac >= 1.0) qTermsAll
+        else qTermsAll.filter(
+          col("df") <= lit(maxDfFrac) * lit(nDocs.toDouble))
+      // the loaded terms table's bucket is a partition column (int);
+      // the computed bucketOf is long — normalize before collecting
+      val keptBuckets = kept.select(col("bucket").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      val keptTerms = kept.select(col("term"))
       topKFrom(
-        post.filter(col("bucket").isin(buckets: _*)).drop("bucket"),
-        terms.filter(col("bucket").isin(buckets: _*)).drop("bucket"),
-        q.drop("bucket"), nDocs, avgdl, k, k1, b, "doc_id")
+        post.filter(col("bucket").isin(keptBuckets: _*)).drop("bucket"),
+        kept.drop("bucket"),
+        q0.join(broadcast(keptTerms), Seq("term")).drop("bucket"),
+        nDocs, avgdl, k, k1, b, "doc_id")
     }
   }
 

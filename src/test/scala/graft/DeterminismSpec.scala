@@ -31,10 +31,18 @@ class DeterminismSpec extends AnyFunSuite {
 
   /** The queries whose plans ride operators/Ranks (two-phase global /
     * grouped rank, ntile, prefix-sum) — the surface where exchange
-    * nondeterminism would show as run-to-run drift. */
+    * nondeterminism would show as run-to-run drift — plus the heavier
+    * ITERATIVE/composed operators (fixed-point loops, k-means seeding,
+    * power iteration, driver-side recursions): their quantize-before-
+    * cross-row-sum discipline claims partition-count invariance, so
+    * the gate asserts it. */
   private val rankQueries = Seq(
     "score_auc", "score_avg_precision", "q_customer_rfm",
-    "feature_quantile_norm", "q_equidepth_hist", "lr_conformal")
+    "feature_quantile_norm", "q_equidepth_hist", "lr_conformal",
+    // iterative family
+    "als_rank1", "emb_pca2", "source_pagerank", "graph_lpa",
+    "bt_strength", "cluster_labels", "bpe_top_merges",
+    "q_events_markov_stationary", "hbos_outliers")
 
   // 5 runs under 5 different partition counts: prime/odd values on
   // purpose (distinct range boundaries per run), including 1 (the

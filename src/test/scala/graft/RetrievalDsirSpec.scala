@@ -75,6 +75,28 @@ class RetrievalDsirSpec extends AnyFunSuite {
       s"postings scan must carry a bucket partition filter:\n$plan")
   }
 
+  test("Bm25Index.topK --max-df-frac: stop terms drop, rare terms still rank, exact when 1.0") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bm25_cap").toString
+    Retrieval.Bm25Index.build(docs, "text", "doc_id", nBuckets = 8).save(dir)
+    val idx = Retrieval.Bm25Index.load(spark, dir)
+    // df: spark=3/5, window=2/5, customer=1/5
+    // frac 0.5 drops 'spark' (0.6 > 0.5); q1 scores on 'window' alone
+    val capped = idx.topK(queries, k = 10, maxDfFrac = 0.5)
+      .as[(String, Int, Long, Double)].collect()
+    val q1 = capped.filter(_._1 == "q1")
+    assert(q1.map(_._3).toSet == Set(0L, 4L),
+      s"q1 must rank only the 'window' docs, got ${q1.toList}")
+    // 'customer' (df 0.2) survives the cap — q2 unchanged
+    assert(capped.filter(_._1 == "q2").map(_._3).toSet == Set(2L))
+    // frac 1.0 is byte-identical to the uncapped probe
+    val exact = idx.topK(queries, k = 10).collect().toSet
+    assert(idx.topK(queries, k = 10, maxDfFrac = 1.0).collect().toSet == exact)
+    // a query whose every term is capped returns no rows
+    val allStop = Seq(("q3", "spark")).toDF("query_id", "term")
+    assert(idx.topK(allStop, k = 10, maxDfFrac = 0.5).count() == 0)
+  }
+
   test("Bm25Index.appendTo: incremental build equals full rebuild") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("bm25idx3").toString

@@ -101,7 +101,10 @@ object ScaleRehearsal {
     val kinds: Seq[(String, String, String, Option[String], Seq[String], Seq[String])] = Seq(
       ("neardup", "docs", "delta", Some("delta"), Nil, Nil),
       ("lm", "docs", "delta", Some("delta"), Nil, Nil),
-      ("bm25", "docs", "delta", Some("deltaQ"), Nil, Seq("--topk", "5")),
+      // bm25 probe carries the stop-term cap (the 100× finding: exact
+      // scoring of a stop-word query term is corpus-proportional)
+      ("bm25", "docs", "delta", Some("deltaQ"), Nil,
+        Seq("--topk", "5", "--max-df-frac", "0.25")),
       ("dsir", "docs", "delta", Some("delta"), Nil, Nil),
       ("substr", "docs", "delta", Some("delta"), Nil, Nil),
       ("lr", "docs", "delta", Some("delta"), Nil, Nil),
@@ -206,6 +209,39 @@ object ScaleRehearsal {
         Array("wpindex", "probe", "neardup", p("data/delta"), idx,
           p("out/neardup_100")))))
       graft.operators.CacheScope.drain()
+    }
+
+    // ---- 100× legs for the other heavy kinds (opt-in "x100") ---------
+    // lm/bm25 ride docs100; emb/ann ride emb100 with the measured
+    // sizing contracts extended one decade: nbits ≈ log2(corpus)
+    // (5 → 8 → 11), coarseK ≈ √N scaled by √10 (8 → 25 → 80)
+    if (onlyKinds.exists(_.contains("x100"))) {
+      if (!new java.io.File(p("data/docs100")).exists())
+        docsX(100).write.mode("overwrite").parquet(p("data/docs100"))
+      if (!new java.io.File(p("data/emb100")).exists())
+        embX(100).write.mode("overwrite").parquet(p("data/emb100"))
+      val kinds100: Seq[(String, String, String, Seq[String], Seq[String])] = Seq(
+        ("lm", "docs100", "delta", Nil, Nil),
+        ("bm25", "docs100", "deltaQ", Nil,
+          Seq("--topk", "5", "--max-df-frac", "0.25")),
+        ("emb", "emb100", "deltaEmb", Seq("--nbits", "11"), Nil),
+        ("ann", "emb100", "deltaEmb", Seq("--coarse-k", "80"),
+          Seq("--nprobe", "2", "--topk", "10")))
+      for ((kind, corpus, probeB, bFlags, pFlags) <- kinds100) {
+        val idx = p(s"idx/${kind}_100")
+        rec(s"build:$kind", "100x", t(graft.cli.Cli.main(
+          Array("wpindex", "build", kind, p(s"data/$corpus"), idx) ++ bFlags)))
+        graft.operators.CacheScope.drain()
+        rec(s"append:$kind", "100x", t(graft.cli.Cli.main(
+          Array("wpindex", "append", kind,
+            p(if (kind == "emb" || kind == "ann") "data/deltaEmb"
+              else "data/delta"), idx))))
+        graft.operators.CacheScope.drain()
+        rec(s"probe:$kind", "100x", t(graft.cli.Cli.main(
+          Array("wpindex", "probe", kind, p(s"data/$probeB"), idx,
+            p(s"out/${kind}_100")) ++ pFlags)))
+        graft.operators.CacheScope.drain()
+      }
     }
 
     // ---- daemon soak leg (opt-in via kind "soak") ---------------------
