@@ -909,6 +909,11 @@ object Cli {
             val secs = (System.nanoTime() - tBatch0) / 1e9
             println(f"wpcurate: BATCH id=$bid accepted=${accepted.count()}%d secs=$secs%.2f")
           }
+          // release batch-scoped scratch caches (e.g. the media gate's
+          // hot-bucket frame) — the CacheScope harness contract; a
+          // long-running daemon would otherwise accrete one cached
+          // frame per micro-batch
+          graft.operators.CacheScope.drain()
           ()
         }.start()
       q.awaitTermination()
