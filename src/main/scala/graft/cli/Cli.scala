@@ -888,6 +888,10 @@ object Cli {
               accepted.groupBy(col(driftGrp).cast("string").as("grp"))
                 .agg(avg(col(driftVal).cast("double")).as("x"))
                 .collect()
+                // all-null driftVal in a group → avg is null: skip the
+                // fold rather than NPE the daemon (matches PSI/KS,
+                // which simply bin nothing for such rows)
+                .filter(r => !r.isNullAt(1) && r.getString(0) != null)
                 .foreach { r =>
                   cusumMoments.get(r.getString(0)).foreach { case (mu, sig) =>
                     val zq = math.floor(

@@ -87,15 +87,16 @@ object Battles {
     // loud (limit+count probe is cheap; 2M cells ≈ 1414 models, far
     // beyond any leaderboard, and ~100 MB of driver rows — the safe
     // ceiling for this collect)
-    val maxCells = 2000000L
-    val probe = cells.limit((maxCells + 1).toInt).count()
-    require(probe <= maxCells,
+    val maxCells = 2000000
+    val pulled = cells.select(col("model_a").cast("string"),
+        col("model_b").cast("string"), col("n").cast("long"),
+        col("wins_a").cast("long"))
+      .limit(maxCells + 1).collect() // ONE job: the limit IS the guard
+    require(pulled.length <= maxCells,
       s"btStrengths: cells frame exceeds $maxCells rows — expected the " +
         "folded |models|^2 battle-cells frame, not a raw battle stream " +
         "(fold it with Battles.cells first)")
-    val cellRows = cells.select(col("model_a").cast("string"),
-        col("model_b").cast("string"), col("n").cast("long"),
-        col("wins_a").cast("long")).collect()
+    val cellRows = pulled
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
     // directed edges: (i, j, n, w) = battles vs j, wins of i over j
     val e = cellRows.flatMap { case (a, b, n, wa) =>

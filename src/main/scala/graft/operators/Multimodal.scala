@@ -450,9 +450,16 @@ object Multimodal {
         else bblk.select(col("blk"), col("blk_val")).distinct()
       val joinCols = if (diskBuckets > 0) Seq("blk", "bv_bucket", "blk_val")
                      else Seq("blk", "blk_val")
+      // DISTINCT ids, not raw rows: the delta-log's crash idempotence
+      // can leave duplicated block rows (fold-write landed, delta
+      // delete didn't), and a raw count would inflate bucket_n past
+      // the budget, flipping cold buckets hot and mis-flagging novel
+      // batch rows as degenerate — distinct-id counts make the gate
+      // duplicate-proof (one row per (ms_id, blk) by construction, so
+      // this only differs from count(*) under duplication)
       blocks.join(broadcast(keys), joinCols, "left_semi")
         .groupBy(col("blk"), col("blk_val"))
-        .agg(count(lit(1)).as("bucket_n"))
+        .agg(countDistinct(col("ms_id")).as("bucket_n"))
     }
 
     /** The other-3-blocks pair keys of a block row: (blk, blk_val,
@@ -490,7 +497,26 @@ object Multimodal {
       * the degenerate channel, so nothing is missed silently.
       * hotBudget ≤ 0 disables the gate (the r10 unbounded behavior). */
     def matchesOf(batch: DataFrame, idCol: String, sig: Column,
-                  maxDist: Int = 3, hotBudget: Int = 1024): DataFrame = {
+                  maxDist: Int = 3, hotBudget: Int = 1024): DataFrame =
+      probeAll(batch, idCol, sig, maxDist, hotBudget)._1
+
+    /** The explicit degenerate-signature verdict channel: batch rows
+      * having ≥1 block in a > hotBudget corpus bucket — the rows whose
+      * [[matchesOf]] enumeration is bounded-but-possibly-incomplete
+      * (see the recall bound there). Columns: (id, hot_blocks,
+      * max_bucket_n). Empty on well-spread signature distributions,
+      * and empty when the gate is disabled (hotBudget ≤ 0). */
+    def degenerateOf(batch: DataFrame, idCol: String, sig: Column,
+                     hotBudget: Int = 1024): DataFrame =
+      probeAll(batch, idCol, sig, 3, hotBudget)._2
+
+    /** One pass computing BOTH probe outputs over a shared hot-bucket
+      * frame (the batch-blocks explode and the bucket-count aggregation
+      * run once, not once per consumer — dropKnown and the CLI probe
+      * read both channels). */
+    private def probeAll(batch: DataFrame, idCol: String, sig: Column,
+                         maxDist: Int,
+                         hotBudget: Int): (DataFrame, DataFrame) = {
       require(maxDist < 4, "block pigeonhole is complete only for maxDist <= 3")
       val bblk = batchBlocks(batch, idCol, sig)
       val ham = bit_count(col("sig_b").bitwiseXOR(col("sig")))
@@ -504,20 +530,27 @@ object Multimodal {
               pmod(col("blk_val"), lit(diskBuckets)).cast("int")))
             .join(blocks, Seq("blk", "bv_bucket", "blk_val"))
         else b.join(blocks, Seq("blk", "blk_val"))
-      if (hotBudget <= 0) return verified(blockJoin(bblk)).distinct()
-      val hot = CacheScope.scratch(
-        bucketCounts(bblk).filter(col("bucket_n") > hotBudget)
-          .select(col("blk"), col("blk_val")))
+      if (hotBudget <= 0) {
+        // gate disabled (the r10 unbounded behavior): exact single-
+        // block pigeonhole, NOTHING flagged degenerate — dropKnown then
+        // drops true matches only
+        val empty = batch.select(col(idCol).as("id"),
+          lit(0L).as("hot_blocks"), lit(0L).as("max_bucket_n")).limit(0)
+        return (verified(blockJoin(bblk)).distinct(), empty)
+      }
+      val hotN = CacheScope.scratch(
+        bucketCounts(bblk).filter(col("bucket_n") > hotBudget))
+      val hot = hotN.select(col("blk"), col("blk_val"))
       // tier A (cold buckets): the usual single-block pigeonhole join —
       // complete for every pair with at least one cold matching block
       val cold = verified(blockJoin(
         bblk.join(broadcast(hot), Seq("blk", "blk_val"), "left_anti")))
       // tier B (hot buckets, AND): both sides key on (hot block, other
       // block); a pair with ≥2 matching blocks of which one is hot is
-      // recovered here. Pair buckets are counted the same way and only
-      // ≤-budget ones join, so the fully-degenerate core (all pair
-      // routes hot too) generates no candidates — its rows are exactly
-      // the degenerateOf channel.
+      // recovered here. Pair buckets are counted the same way (distinct
+      // ids — duplicate-proof) and only ≤-budget ones join, so the
+      // fully-degenerate core (all pair routes hot too) generates no
+      // candidates — its rows are exactly the degenerate channel.
       val bHotPairs = pairKeys(
         bblk.join(broadcast(hot), Seq("blk", "blk_val"), "left_semi"), "sig_b")
       val cHotRows = blocks.join(broadcast(hot), Seq("blk", "blk_val"), "left_semi")
@@ -526,40 +559,32 @@ object Multimodal {
       val batchPairKeys = bHotPairs.select(pcols.map(col): _*).distinct()
       val coldPairKeys = cHotPairs
         .join(broadcast(batchPairKeys), pcols, "left_semi")
-        .groupBy(pcols.map(col): _*).agg(count(lit(1)).as("pair_n"))
+        .groupBy(pcols.map(col): _*)
+        .agg(countDistinct(col("ms_id")).as("pair_n"))
         .filter(col("pair_n") <= hotBudget)
         .select(pcols.map(col): _*)
       val hotMatches = verified(
         bHotPairs.join(broadcast(coldPairKeys), pcols, "left_semi")
           .join(cHotPairs, pcols))
-      cold.union(hotMatches).distinct()
-    }
-
-    /** The explicit degenerate-signature verdict channel: batch rows
-      * having ≥1 block in a > hotBudget corpus bucket — the rows whose
-      * [[matchesOf]] enumeration is bounded-but-possibly-incomplete
-      * (see the recall bound there). Columns: (id, hot_blocks,
-      * max_bucket_n). Empty on well-spread signature distributions. */
-    def degenerateOf(batch: DataFrame, idCol: String, sig: Column,
-                     hotBudget: Int = 1024): DataFrame = {
-      val bblk = batchBlocks(batch, idCol, sig)
-      val hot = bucketCounts(bblk).filter(col("bucket_n") > hotBudget)
-      bblk.join(broadcast(hot), Seq("blk", "blk_val"))
+      val degenerate = bblk.join(broadcast(hotN), Seq("blk", "blk_val"))
         .groupBy(col("mb_id").as("id"))
         .agg(count(lit(1)).as("hot_blocks"),
           max(col("bucket_n")).as("max_bucket_n"))
+      (cold.union(hotMatches).distinct(), degenerate)
     }
 
     /** Batch minus everything perceptually known to the corpus.
       * Degenerate-signature rows (see [[degenerateOf]]) are treated as
       * KNOWN — sharing a >hotBudget block mass with the corpus is
       * itself the template/solid-color signal curation exists to drop,
-      * and it keeps the gate's cost bounded at any corpus size. */
+      * and it keeps the gate's cost bounded at any corpus size. With
+      * the gate disabled (hotBudget ≤ 0) only true matches drop. */
     def dropKnown(batch: DataFrame, idCol: String, sig: Column,
                   maxDist: Int = 3, hotBudget: Int = 1024): DataFrame = {
-      val known = matchesOf(batch, idCol, sig, maxDist, hotBudget)
-        .select(col("id_batch")).distinct()
-        .union(degenerateOf(batch, idCol, sig, hotBudget).select(col("id")))
+      val (matches, degenerate) =
+        probeAll(batch, idCol, sig, maxDist, hotBudget)
+      val known = matches.select(col("id_batch")).distinct()
+        .union(degenerate.select(col("id")))
         .distinct()
       batch.join(known, batch(idCol) === known("id_batch"), "left_anti")
     }

@@ -159,24 +159,32 @@ object Retrieval {
         Bm25Index.bucketOf(col("term"), nBuckets).as("bucket"))
       val rawBuckets = q0.select(col("bucket")).distinct()
         .collect().map(_.getLong(0)).toSeq
-      // terms scan pruned to the raw query buckets, semi-joined down
-      // to the query terms (≤ |query terms| rows), then df-capped
-      val qTermsAll = terms.filter(col("bucket").isin(rawBuckets: _*))
-        .join(broadcast(q0.select(col("term")).distinct()), Seq("term"))
-      val kept =
-        if (maxDfFrac >= 1.0) qTermsAll
-        else qTermsAll.filter(
-          col("df") <= lit(maxDfFrac) * lit(nDocs.toDouble))
-      // the loaded terms table's bucket is a partition column (int);
-      // the computed bucketOf is long — normalize before collecting
-      val keptBuckets = kept.select(col("bucket").cast("long")).distinct()
-        .collect().map(_.getLong(0)).toSeq
-      val keptTerms = kept.select(col("term"))
-      topKFrom(
-        post.filter(col("bucket").isin(keptBuckets: _*)).drop("bucket"),
-        kept.drop("bucket"),
-        q0.join(broadcast(keptTerms), Seq("term")).drop("bucket"),
-        nDocs, avgdl, k, k1, b, "doc_id")
+      if (maxDfFrac >= 1.0)
+        // exact path: one collect (the query-term buckets), the
+        // pre-cap probe shape
+        topKFrom(
+          post.filter(col("bucket").isin(rawBuckets: _*)).drop("bucket"),
+          terms.filter(col("bucket").isin(rawBuckets: _*)).drop("bucket"),
+          q0.drop("bucket"), nDocs, avgdl, k, k1, b, "doc_id")
+      else {
+        // capped path: terms scan pruned to the raw query buckets,
+        // semi-joined down to the query terms (≤ |query terms| rows),
+        // df-capped, and the kept-term set re-prunes the postings
+        // buckets
+        val kept = terms.filter(col("bucket").isin(rawBuckets: _*))
+          .join(broadcast(q0.select(col("term")).distinct()), Seq("term"))
+          .filter(col("df") <= lit(maxDfFrac) * lit(nDocs.toDouble))
+        // the loaded terms table's bucket is a partition column (int);
+        // the computed bucketOf is long — normalize before collecting
+        val keptBuckets = kept.select(col("bucket").cast("long")).distinct()
+          .collect().map(_.getLong(0)).toSeq
+        val keptTerms = kept.select(col("term"))
+        topKFrom(
+          post.filter(col("bucket").isin(keptBuckets: _*)).drop("bucket"),
+          kept.drop("bucket"),
+          q0.join(broadcast(keptTerms), Seq("term")).drop("bucket"),
+          nDocs, avgdl, k, k1, b, "doc_id")
+      }
     }
   }
 

@@ -104,11 +104,33 @@ object VictoriaLogsSink {
     import graft.engine.WplEngine
     val ingestNs = unix_micros(current_timestamp()) * lit(1000L)
     val timeNs = createTimeField
-      .map(name => coalesce(
-        WplEngine.fieldSval(name).cast("long") * lit(1000L), ingestNs))
+      .map { name =>
+        // digits-only guard BEFORE the cast: under Spark 4's default
+        // ANSI mode a bare cast("long") THROWS on a non-numeric time
+        // field — the contract is fall back to ingest time, not fail
+        // the batch
+        val sval = WplEngine.fieldSval(name)
+        coalesce(
+          when(sval.rlike("^-?[0-9]{1,18}$"), sval.cast("long") * lit(1000L)),
+          ingestNs)
+      }
       .getOrElse(ingestNs)
+    // remaining C0 controls (beyond jsonQuote's \n \r \t) must still
+    // escape or the emitted line is not valid JSON — e.g. an embedded
+    // ESC from ANSI color codes in a log payload. The escape chain is
+    // gated behind one rlike so clean rows (the norm) pay a single
+    // regex probe, not 29 passes
+    val quoted = WplEngine.jsonQuote(Formatters.line(fmt, col("fields")))
+    val ctrl = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
+    val escaped = (0x00 until 0x20)
+      .filterNot(Seq(0x09, 0x0a, 0x0d).contains)
+      .foldLeft(quoted) { (c, i) =>
+        regexp_replace(c, java.util.regex.Pattern.quote(i.toChar.toString),
+          f"\\\\u$i%04x")
+      }
+    val msg = when(quoted.rlike(ctrl), escaped).otherwise(quoted)
     parsed.select(concat(
-      lit("{\"_msg\":"), WplEngine.jsonQuote(Formatters.line(fmt, col("fields"))),
+      lit("{\"_msg\":"), msg,
       lit(",\"_time\":"), timeNs.cast("string"), lit("}")).as("value"))
   }
 

@@ -573,8 +573,10 @@ class CliCurateSpec extends AnyFunSuite {
     val inDir = tmp("cusum_in"); val outDir = tmp("cusum_out")
     val stage = tmp("cusum_stage")
     // reference: en n_chars in {100,105,110} → binWidth 2 moments
-    // μ≈105.56, σ≈4.08 (histogram midpoints)
-    (0 until 50).map(i => (i.toLong, "ref text", "en", 100L + (i % 3) * 5))
+    // μ≈105.56, σ≈4.08 (histogram midpoints); plus an xx group so the
+    // all-null-batch guard below exercises a group WITH moments
+    ((0 until 50).map(i => (i.toLong, "ref text", "en", 100L + (i % 3) * 5))
+      ++ (0 until 10).map(i => (100L + i, "ref text", "xx", 100L)))
       .toDF("doc_id", "text", "lang", "n_chars")
       .write.mode("overwrite").parquet(refDir)
     graft.cli.Cli.main(Array("wpindex", "build", "drift", refDir, idxDir,
@@ -584,7 +586,13 @@ class CliCurateSpec extends AnyFunSuite {
     // walk crosses hσ=16.3 at batch 4 → alarms on batches 4,5,6 only
     for (b <- 1 to 6) {
       val sd = s"$stage/b$b"
-      (0 until 10).map(i => (b * 100L + i, "drift text", "en", 112L))
+      // batch 1 carries an extra all-null group: the walk must skip a
+      // null per-group mean, never NPE the daemon
+      val extra = if (b == 1)
+        Seq((999L, "null text", "xx", None: Option[Long])) else Seq.empty
+      ((0 until 10).map(i =>
+          (b * 100L + i, "drift text", "en", Some(112L): Option[Long]))
+        ++ extra)
         .toDF("doc_id", "text", "lang", "n_chars")
         .coalesce(1).write.mode("overwrite").parquet(sd)
       Option(new java.io.File(sd).listFiles()).getOrElse(Array.empty)
@@ -608,7 +616,7 @@ class CliCurateSpec extends AnyFunSuite {
     // disguise, not an accumulating walk
     assert(alarms <= 4, s"alarmed on $alarms of 6 batches — walk is " +
       s"not accumulating; stdout: ${buf.toString}")
-    assert(spark.read.parquet(s"$outDir/accepted").count() == 60)
+    assert(spark.read.parquet(s"$outDir/accepted").count() == 61)
   }
 
   test("wpcurate daemon --monitor-key: per-batch HLL cardinality line prints") {

@@ -215,6 +215,16 @@ class MediaSigIndexSpec extends AnyFunSuite {
         hotBudget = 8)
       .select("img_id").as[Long].collect().toSet
     assert(kept == Set(102L), s"kept=$kept")
+    // hotBudget 0 DISABLES the gate entirely: exact unbounded matching,
+    // NOTHING flagged degenerate, dropKnown drops true matches only
+    // (the review found the ungated degenerateOf flagged every row
+    // sharing any block value — a mass false-drop)
+    assert(idx.degenerateOf(batch, "img_id", col("sigv"), hotBudget = 0)
+      .count() == 0)
+    val keptOff = idx.dropKnown(batch, "img_id", col("sigv"), maxDist = 3,
+        hotBudget = 0)
+      .select("img_id").as[Long].collect().toSet
+    assert(keptOff == Set(102L), s"gate-off kept=$keptOff") // 100/101/103 match for real
     graft.operators.CacheScope.drain()
   }
 
