@@ -33,7 +33,7 @@ import graft.streaming.StreamingPipeline
   *   wpindex probe  ann             <queries.parquet> <indexDir> <outDir> [--nprobe N] [--topk K]
   *   wpindex probe  drift           <batch.parquet> <indexDir> <outDir> [--grp-col G --val-col V]
   *   wpindex probe  lm              <batch.parquet> <indexDir> <outDir> [--text-col C]
-  *   wpindex probe  bm25            <queries.parquet> <indexDir> <outDir> [--topk K]
+  *   wpindex probe  bm25            <queries.parquet> <indexDir> <outDir> [--topk K] [--max-df-frac F|--exact]
   *   wpindex probe  lr              <batch.parquet> <indexDir> <outDir> [--text-col C]
   *   wpindex probe  bpe             <batch.parquet> <indexDir> <outDir> [--topn N]
   */
@@ -451,11 +451,23 @@ object Cli {
       // (the multimodal counterpart of the near-dup text gate)
       val afterMedia = flag("--mediasig", "") match {
         case "" => afterSubstr
-        case p => graft.operators.Multimodal.MediaSigIndex.load(spark, p)
-          .dropKnown(afterSubstr, idCol,
-            mediaSigCol(flag("--sig", "image"), flag("--media-col", "media")),
-            maxDist = flag("--max-dist", "3").toInt,
-            hotBudget = flag("--hot-budget", "1024").toInt).localCheckpoint()
+        case p =>
+          val (kept, degen) = graft.operators.Multimodal.MediaSigIndex
+            .load(spark, p)
+            .dropKnownAudited(afterSubstr, idCol,
+              mediaSigCol(flag("--sig", "image"), flag("--media-col", "media")),
+              maxDist = flag("--max-dist", "3").toInt,
+              hotBudget = flag("--hot-budget", "1024").toInt)
+          // audit the silent half of the gate: degenerate-signature
+          // rows drop as "known" (template/solid-color masses) — make
+          // the drop visible so a mis-sized --hot-budget can't
+          // silently discard a novel corpus slice
+          val nDegen = degen.count()
+          if (nDegen > 0)
+            println(s"wpcurate: MEDIA-DEGENERATE $nDegen rows dropped as known" +
+              " (>hot-budget block mass; raise --hot-budget or probe" +
+              " via wpindex probe mediasig to inspect)")
+          kept.localCheckpoint()
       }
       // --freq <idx>: CMS frequency-cap gate — drop rows whose
       // (--freq-grp, --freq-key) the corpus has already seen
@@ -604,6 +616,14 @@ object Cli {
       // cost tracks DELTA size, never index size
       spark.conf.set(graft.operators.Dedup.NearDupCorpusIndex.DeltaFoldConf,
         flag("--fold-max-files", "64"))
+      // --compact-budget N (daemon default 16; 0 = whole-sub rewrite):
+      // per-batch maintenance is BOUNDED — autoCompact rewrites at most
+      // N over-full leaf dirs per append instead of whole base subdirs,
+      // spreading a fold's file fan-out cleanup across batches (the r12
+      // soak's 2.4× p99 batch-wall spikes were base-sized compactions
+      // landing inside single batches)
+      spark.conf.set(graft.operators.Maintenance.CompactDirBudgetConf,
+        flag("--compact-budget", "16"))
       val textCol = flag("--text-col", "text")
       val idCol = flag("--id-col", "doc_id")
       val schema = spark.read.parquet(in).schema
@@ -654,8 +674,19 @@ object Cli {
       // sequence. k fixed at the standard 0.5; h from the flag.
       val cusumH = flag("--drift-cusum", "")
       val cusumMoments: Map[String, (Double, Double)] =
-        if (cusumH.nonEmpty && driftRef.isDefined) driftRef.get.moments
-        else Map.empty
+        if (cusumH.nonEmpty && driftRef.isDefined) {
+          // a constant-valued reference group has sigma=0 → slack and
+          // alarm limit both collapse to 0 and ANY positive deviation
+          // alarms from the first batch (a noisy per-batch gate, not a
+          // CUSUM walk) — exclude such groups up front and say so once
+          val (degenerate, usable) =
+            driftRef.get.moments.partition(_._2._2 <= 0.0)
+          if (degenerate.nonEmpty)
+            println("wpcurate: DRIFT-CUSUM excluding sigma=0 group(s) " +
+              degenerate.keys.toSeq.sorted.mkString(",") +
+              " (constant reference distribution - no scale for the walk)")
+          usable
+        } else Map.empty
       val cusumWalk = scala.collection.mutable.Map.empty[String, Long]
       // perceptual media gate, stream-static per micro-batch (the
       // daemon twin of batch --mediasig)
@@ -770,9 +801,17 @@ object Cli {
           }
           val mediaGated = mediaIdx match {
             case Some(idx) =>
-              idx.dropKnown(substrGated, idCol, mediaSig, mediaMaxDist,
-                  hotBudget = mediaHotBudget)
-                .localCheckpoint()
+              val (kept, degen) = idx.dropKnownAudited(substrGated, idCol,
+                mediaSig, mediaMaxDist, hotBudget = mediaHotBudget)
+              // per-batch audit line (alongside DRIFT/BATCH monitor
+              // lines): degenerate rows drop as "known" — without
+              // this a >hot-budget block mass in the corpus silently
+              // discards novel batch rows at daemon cadence
+              val nDegen = degen.count()
+              if (nDegen > 0)
+                println(s"wpcurate: MEDIA-DEGENERATE $nDegen rows " +
+                  "dropped as known (>hot-budget block mass)")
+              kept.localCheckpoint()
             case None => substrGated
           }
           // --freq: per-key rate limit vs the persisted CMS sketch
@@ -1097,17 +1136,25 @@ object Cli {
           println(s"wpindex: appended to bm25 index at $path")
         case ("probe", "bm25", queries :: path :: out :: _) =>
           // queries parquet: (query_id, term) relation.
-          // --max-df-frac F (default 1.0 = exact): drop query terms
-          // with df > F*nDocs before the postings join — the probe-
-          // cost knob for stop-word terms, whose candidate mass is
-          // corpus-proportional (see Bm25Index.topK for the bounded
-          // score error)
+          // --max-df-frac F (CLI default 0.25): drop query terms with
+          // df > F*nDocs before the postings join — at corpus scale an
+          // uncapped stop-word term's candidate mass is corpus-
+          // proportional (measured 78.6 s at 100× vs 1.8 s capped), so
+          // the FRONT-DOOR command defaults to the capped probe with
+          // its bounded score error (< (k1+1)·ln(1/F) per doc; see
+          // Bm25Index.topK). `--exact` opts out (≡ --max-df-frac 1.0);
+          // the library default and every oracled query stay exact.
+          val bmFrac =
+            if (rest.contains("--exact")) 1.0
+            else flag("--max-df-frac", "0.25").toDouble
           graft.operators.Retrieval.Bm25Index.load(spark, path)
             .topK(spark.read.parquet(queries),
               k = flag("--topk", "10").toInt,
-              maxDfFrac = flag("--max-df-frac", "1.0").toDouble)
+              maxDfFrac = bmFrac)
             .write.mode("overwrite").parquet(out)
-          println(s"wpindex: bm25 top-k written to $out")
+          println(s"wpindex: bm25 top-k written to $out" +
+            (if (bmFrac < 1.0) f" (stop-term cap df<=$bmFrac%.2f*nDocs;" +
+              " --exact for uncapped)" else ""))
         case ("build", "dsir", corpus :: path :: _) =>
           graft.operators.Dsir.DsirRef.build(spark.read.parquet(corpus),
               flag("--text-col", "text"), flag("--id-col", "doc_id"),
@@ -1170,14 +1217,15 @@ object Cli {
           val msBatch = spark.read.parquet(batch)
           val msSig = mediaSigCol(flag("--sig", "image"), flag("--bin-col", "media"))
           val msBudget = flag("--hot-budget", "1024").toInt
-          msIdx.matchesOf(msBatch, flag("--id-col", "doc_id"), msSig,
-              maxDist = flag("--max-dist", "3").toInt, hotBudget = msBudget)
-            .write.mode("overwrite").parquet(out)
+          // ONE probe pass feeds both outputs (matchesOf+degenerateOf
+          // would run the explode + hot-bucket agg + tier joins twice)
+          val (msMatches, msDegen) = msIdx.probe(msBatch,
+            flag("--id-col", "doc_id"), msSig,
+            maxDist = flag("--max-dist", "3").toInt, hotBudget = msBudget)
+          msMatches.write.mode("overwrite").parquet(out)
           val nDegen =
             if (msBudget > 0) {
-              val d = msIdx.degenerateOf(msBatch, flag("--id-col", "doc_id"),
-                msSig, hotBudget = msBudget)
-              d.write.mode("overwrite").parquet(out + "_degenerate")
+              msDegen.write.mode("overwrite").parquet(out + "_degenerate")
               spark.read.parquet(out + "_degenerate").count()
             } else 0L
           println(s"wpindex: media matches written to $out" +
@@ -1240,6 +1288,10 @@ object Cli {
             "usage: wpindex build|append|probe neardup|emb|ann|drift|lm|bm25|dsir|substr|card|freq|member <in.parquet> <indexDir> [<outDir>] [flags]\n" +
             "       wpindex ls <root> | wpindex compact <indexDir> [--max-files N]\n" +
             "sizing: emb --nbits ~ log2(corpus); ann --coarse-k ~ sqrt(corpus)\n" +
+            "bm25 probe --max-df-frac F (default 0.25): drop query terms with\n" +
+            "  df > F*nDocs (stop-term cap — bounded score error, flat cost at\n" +
+            "  any corpus size); --exact opts out (uncapped, corpus-\n" +
+            "  proportional on stop-word terms)\n" +
             "mediasig probe --hot-budget N (default 1024): per-(block,value)\n" +
             "  candidate budget — over-budget buckets need a 2nd matching\n" +
             "  block, and affected batch rows land in <out>_degenerate\n" +

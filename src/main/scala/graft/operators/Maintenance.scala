@@ -101,6 +101,23 @@ object Maintenance {
     * 0 disables. Specs set it low to exercise the trigger. */
   val AutoCompactConf = "spark.graft.artifact.autoCompactMaxFiles"
 
+  /** Conf key: when > 0, [[autoCompact]] runs the BUDGETED per-leaf-dir
+    * compaction ([[compactArtifactBudgeted]]) instead of the whole-sub
+    * rewrite — at most this many leaf dirs rewritten per call. The
+    * daemon sets it (default 16 there) so maintenance work per
+    * micro-batch is bounded by budget × dir-size instead of the whole
+    * base (the r12 soak's 2.4× p99 batch-wall spikes were exactly the
+    * base-sized `compactArtifact` rewrites landing inside one batch).
+    * 0 (the library default) keeps the one-shot full compaction for
+    * batch/CLI callers, where a single big rewrite is fine. */
+  val CompactDirBudgetConf = "spark.graft.artifact.compactDirBudget"
+
+  /** Conf key: per-LEAF-DIR file-count threshold for the budgeted
+    * compaction (default 8). Each delta fold adds ~1 file to every
+    * touched leaf dir, so dirs cross this together; the budget then
+    * spreads their rewrites across subsequent batches. */
+  val CompactMaxFilesPerDirConf = "spark.graft.artifact.compactMaxFilesPerDir"
+
   // -------------------------------------------------------------------
   // LSM-style delta log for append-mode partitioned artifacts
   // -------------------------------------------------------------------
@@ -193,10 +210,71 @@ object Maintenance {
     val max = spark.conf.get(AutoCompactConf, "256").toInt
     if (max <= 0 || ArtifactMeta.read(path).isEmpty) Nil
     else {
-      val done = compactArtifact(spark, path, max)
+      val budget = spark.conf.get(CompactDirBudgetConf, "0").toInt
+      val done =
+        if (budget > 0) compactArtifactBudgeted(spark, path,
+          spark.conf.get(CompactMaxFilesPerDirConf, "8").toInt, budget)
+        else compactArtifact(spark, path, max)
       if (done.nonEmpty)
         println(s"graft: auto-compacted ${done.mkString(",")} at $path")
       done
+    }
+  }
+
+  /** Budgeted incremental compaction — the continual-ingest
+    * (daemon-cadence) alternative to [[compactArtifact]]'s whole-sub
+    * rewrite: rewrite at most `maxDirs` over-full LEAF directories
+    * (fullest first, across all the artifact's layout subs) to one
+    * ~128 MB-target file set each, preserving the layout's recorded
+    * intra-file sort. Per-call work is bounded by budget × dir bytes
+    * — never the base — so a fold that just spread one file into
+    * every partition dir is cleaned up over the NEXT budget⁻¹·dirs
+    * batches instead of as one base-sized stall. A leaf dir IS one
+    * partition (its partition values live in the dir path), so a
+    * per-dir rewrite never moves rows across partitions and needs no
+    * shuffle — read dir, coalesce, sort-within, swap. Same
+    * single-writer discipline as [[compactArtifact]]. Returns the
+    * dirs rewritten (relative to `path`). */
+  def compactArtifactBudgeted(spark: SparkSession, path: String,
+                              maxFilesPerDir: Int = 8,
+                              maxDirs: Int = 16): Seq[String] = {
+    val props = ArtifactMeta.read(path).getOrElse(
+      throw new IllegalStateException(
+        s"compactArtifactBudgeted: no meta.properties at $path"))
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // census: (leaf dir, file count, bytes, sort cols) over all subs
+    val cands = ArtifactMeta.layoutsOf(props).flatMap { case (sub, _, sort) =>
+      val dirP = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      if (!fs.exists(dirP)) Nil
+      else {
+        val it = fs.listFiles(dirP, true)
+        val acc = scala.collection.mutable.HashMap
+          .empty[String, (Int, Long)]
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getPath.getName.endsWith(".parquet")) {
+            val d = f.getPath.getParent.toString
+            val (n, b) = acc.getOrElse(d, (0, 0L))
+            acc(d) = (n + 1, b + f.getLen)
+          }
+        }
+        acc.toSeq.map { case (d, (n, b)) => (d, n, b, sort) }
+      }
+    }
+    val picked = cands.filter(_._2 > maxFilesPerDir)
+      .sortBy(-_._2).take(maxDirs)
+    picked.map { case (dir, _, bytes, sort) =>
+      val nFiles = math.max(1L, (bytes + (128L << 20) - 1) / (128L << 20)).toInt
+      val tmp = s"$path/__compactdir_${math.abs(dir.hashCode).toString}"
+      val df0 = spark.read.parquet(dir).coalesce(nFiles)
+      val df = if (sort.nonEmpty)
+        df0.sortWithinPartitions(sort.map(col): _*) else df0
+      df.write.mode("overwrite").parquet(tmp)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(dir))
+      dir.stripPrefix(s"$path/").stripPrefix(path)
     }
   }
 

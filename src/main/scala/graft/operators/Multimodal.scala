@@ -510,6 +510,17 @@ object Multimodal {
                      hotBudget: Int = 1024): DataFrame =
       probeAll(batch, idCol, sig, 3, hotBudget)._2
 
+    /** Both probe channels — (matches, degenerate) — from ONE
+      * [[probeAll]] pass: a consumer that needs both (the `wpindex
+      * probe mediasig` CLI writes both outputs) must use this instead
+      * of [[matchesOf]]+[[degenerateOf]], which would run the batch
+      * explode, the hot-bucket aggregation and both tier joins twice
+      * (and leave a second scratch-cached hot frame behind). */
+    def probe(batch: DataFrame, idCol: String, sig: Column,
+              maxDist: Int = 3, hotBudget: Int = 1024)
+        : (DataFrame, DataFrame) =
+      probeAll(batch, idCol, sig, maxDist, hotBudget)
+
     /** One pass computing BOTH probe outputs over a shared hot-bucket
       * frame (the batch-blocks explode and the bucket-count aggregation
       * run once, not once per consumer — dropKnown and the CLI probe
@@ -580,13 +591,29 @@ object Multimodal {
       * and it keeps the gate's cost bounded at any corpus size. With
       * the gate disabled (hotBudget ≤ 0) only true matches drop. */
     def dropKnown(batch: DataFrame, idCol: String, sig: Column,
-                  maxDist: Int = 3, hotBudget: Int = 1024): DataFrame = {
+                  maxDist: Int = 3, hotBudget: Int = 1024): DataFrame =
+      dropKnownAudited(batch, idCol, sig, maxDist, hotBudget)._1
+
+    /** [[dropKnown]] plus the degenerate channel it silently folds into
+      * "known": (survivors, degenerate). Curation paths that gate on
+      * this index (wpcurate batch + daemon) read the second frame to
+      * COUNT/persist what the degenerate rule dropped — without it a
+      * corpus carrying a >hotBudget template/solid-color block mass
+      * discards novel rows with zero observability (only the wpindex
+      * probe surfaced the channel before). The degenerate frame shares
+      * the one probe pass's scratch-cached hot-bucket frame, so
+      * auditing costs one bounded (batch-sized) aggregation, not a
+      * second probe. */
+    def dropKnownAudited(batch: DataFrame, idCol: String, sig: Column,
+                         maxDist: Int = 3, hotBudget: Int = 1024)
+        : (DataFrame, DataFrame) = {
       val (matches, degenerate) =
         probeAll(batch, idCol, sig, maxDist, hotBudget)
       val known = matches.select(col("id_batch")).distinct()
         .union(degenerate.select(col("id")))
         .distinct()
-      batch.join(known, batch(idCol) === known("id_batch"), "left_anti")
+      (batch.join(known, batch(idCol) === known("id_batch"), "left_anti"),
+        degenerate)
     }
   }
 

@@ -108,10 +108,17 @@ object VictoriaLogsSink {
         // digits-only guard BEFORE the cast: under Spark 4's default
         // ANSI mode a bare cast("long") THROWS on a non-numeric time
         // field — the contract is fall back to ingest time, not fail
-        // the batch
+        // the batch. ≤16 digits always fits a long (max 1e16−1 <
+        // Long.MaxValue) so the cast itself can't throw; the inner
+        // bound then keeps the ns multiply in range (a 16-digit micros
+        // value above Long.MaxValue/1000 would overflow-throw under
+        // ANSI — same fall-back contract, not a batch failure)
         val sval = WplEngine.fieldSval(name)
+        val maxMicros = Long.MaxValue / 1000L
         coalesce(
-          when(sval.rlike("^-?[0-9]{1,18}$"), sval.cast("long") * lit(1000L)),
+          when(sval.rlike("^-?[0-9]{1,16}$"),
+            when(sval.cast("long").between(-maxMicros, maxMicros),
+              sval.cast("long") * lit(1000L))),
           ingestNs)
       }
       .getOrElse(ingestNs)

@@ -153,8 +153,11 @@ class CliIndexSpec extends AnyFunSuite {
       .toDF("query_id", "term").write.mode("overwrite").parquet(qDir)
     graft.cli.Cli.main(Array("wpindex", "build", "bm25", half1, idxDir))
     graft.cli.Cli.main(Array("wpindex", "append", "bm25", half2, idxDir))
+    // --exact pins the uncapped probe (the CLI defaults to the
+    // stop-term cap since r13; this test is about append≡rebuild
+    // parity of the EXACT scoring path)
     graft.cli.Cli.main(Array("wpindex", "probe", "bm25", qDir, idxDir, outDir,
-      "--topk", "3"))
+      "--topk", "3", "--exact"))
     val out = spark.read.parquet(outDir)
     assert(out.columns.toSet == Set("query_id", "rank", "doc_id", "score"))
     // append must make odd docs retrievable
@@ -166,10 +169,45 @@ class CliIndexSpec extends AnyFunSuite {
     docs.write.mode("overwrite").parquet(allDir)
     graft.cli.Cli.main(Array("wpindex", "build", "bm25", allDir, fullIdx))
     graft.cli.Cli.main(Array("wpindex", "probe", "bm25", qDir, fullIdx, out2,
-      "--topk", "3"))
+      "--topk", "3", "--exact"))
     val a = spark.read.parquet(outDir).collect().map(_.toString).sorted.toList
     val b = spark.read.parquet(out2).collect().map(_.toString).sorted.toList
     assert(a == b)
+  }
+
+  test("wpindex probe bm25: stop-term cap defaults ON at the CLI; --exact opts out") {
+    import spark.implicits._
+    spark
+    val corp = tmp("cli_bmc_corpus"); val idx = tmp("cli_bmc_idx")
+    val qD = tmp("cli_bmc_q")
+    val oCap = tmp("cli_bmc_cap"); val oEx = tmp("cli_bmc_ex")
+    // every doc contains "the" (df frac 1.0 > the 0.25 default cap);
+    // "zebra" is rare (df frac 0.1)
+    (0L until 20L).map(i =>
+        (i, if (i < 2) "the zebra runs" else "the dog sits"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(corp)
+    Seq(("q1", "the"), ("q1", "zebra"), ("q2", "the"))
+      .toDF("query_id", "term").write.mode("overwrite").parquet(qD)
+    graft.cli.Cli.main(Array("wpindex", "build", "bm25", corp, idx))
+    // default (no flag) = capped at 0.25: the front-door command must
+    // not pay a corpus-proportional stop-term scan by default
+    graft.cli.Cli.main(Array("wpindex", "probe", "bm25", qD, idx, oCap,
+      "--topk", "5"))
+    val cap = spark.read.parquet(oCap)
+    // q2's only term is the stop term → dropped → no rows; q1 ranks
+    // via "zebra" alone → exactly the 2 zebra docs
+    assert(cap.filter(col("query_id") === "q2").count() == 0)
+    assert(cap.filter(col("query_id") === "q1").count() == 2)
+    // --exact opts out: q2 scores every doc (top-k-bounded), and the
+    // output equals the library's exact probe (maxDfFrac = 1.0)
+    graft.cli.Cli.main(Array("wpindex", "probe", "bm25", qD, idx, oEx,
+      "--topk", "5", "--exact"))
+    val ex = spark.read.parquet(oEx)
+    assert(ex.filter(col("query_id") === "q2").count() == 5)
+    val lib = graft.operators.Retrieval.Bm25Index.load(spark, idx)
+      .topK(spark.read.parquet(qD), 5, maxDfFrac = 1.0)
+      .collect().map(_.toString).sorted.toList
+    assert(ex.collect().map(_.toString).sorted.toList == lib)
   }
 
   test("wpindex dsir: build, append, probe scores a batch against frozen counts") {

@@ -211,31 +211,55 @@ object ScaleRehearsal {
       graft.operators.CacheScope.drain()
     }
 
-    // ---- 100× legs for the other heavy kinds (opt-in "x100") ---------
-    // lm/bm25 ride docs100; emb/ann ride emb100 with the measured
+    // ---- 100× legs for the other artifact kinds (opt-in "x100") ------
+    // every persisted index kind gets the third decade (r12 judge ask
+    // #4: substr/member/freq/card/dsir/lr/bpe/drift/mediasig were only
+    // measured to 10×): docs-backed kinds ride docs100, drift rides
+    // ev100, mediasig media100, emb/ann emb100 with the measured
     // sizing contracts extended one decade: nbits ≈ log2(corpus)
-    // (5 → 8 → 11), coarseK ≈ √N scaled by √10 (8 → 25 → 80)
-    if (onlyKinds.exists(_.contains("x100"))) {
-      if (!new java.io.File(p("data/docs100")).exists())
-        docsX(100).write.mode("overwrite").parquet(p("data/docs100"))
-      if (!new java.io.File(p("data/emb100")).exists())
-        embX(100).write.mode("overwrite").parquet(p("data/emb100"))
+    // (5 → 8 → 11), coarseK ≈ √N scaled by √10 (8 → 25 → 80). Filter
+    // further with "x100:<kind>" (e.g. "x100:substr,x100:drift").
+    if (onlyKinds.exists(_.exists(_.startsWith("x100")))) {
+      val only100 = onlyKinds.get.collect {
+        case k if k.startsWith("x100:") => k.drop(5) }
       val kinds100: Seq[(String, String, String, Seq[String], Seq[String])] = Seq(
         ("lm", "docs100", "delta", Nil, Nil),
         ("bm25", "docs100", "deltaQ", Nil,
           Seq("--topk", "5", "--max-df-frac", "0.25")),
+        ("dsir", "docs100", "delta", Nil, Nil),
+        ("substr", "docs100", "delta", Nil, Nil),
+        ("lr", "docs100", "delta", Nil, Nil),
+        ("bpe", "docs100", "delta", Nil, Nil),
+        ("card", "docs100", "delta", Nil, Nil),
+        ("freq", "docs100", "delta", Nil, Nil),
+        ("member", "docs100", "delta", Nil, Nil),
+        ("drift", "ev100", "deltaEv", Nil, Nil),
+        ("mediasig", "media100", "deltaMedia", Nil, Nil),
         ("emb", "emb100", "deltaEmb", Seq("--nbits", "11"), Nil),
         ("ann", "emb100", "deltaEmb", Seq("--coarse-k", "80"),
           Seq("--nprobe", "2", "--topk", "10")))
+        .filter { case (k, _, _, _, _) =>
+          only100.isEmpty || only100.contains(k) }
+      val need = kinds100.map(_._2).toSet
+      for ((name, df) <- Seq(
+          "docs100" -> (() => docsX(100)), "emb100" -> (() => embX(100)),
+          "ev100" -> (() => evX(100)),
+          "media100" -> (() => withMedia(docsX(100))))
+          if need.contains(name) && !new java.io.File(p(s"data/$name")).exists())
+        df().write.mode("overwrite").parquet(p(s"data/$name"))
+      def deltaFor(kind: String): String = kind match {
+        case "emb" | "ann" => "data/deltaEmb"
+        case "drift" => "data/deltaEv"
+        case "mediasig" => "data/deltaMedia"
+        case _ => "data/delta"
+      }
       for ((kind, corpus, probeB, bFlags, pFlags) <- kinds100) {
         val idx = p(s"idx/${kind}_100")
         rec(s"build:$kind", "100x", t(graft.cli.Cli.main(
           Array("wpindex", "build", kind, p(s"data/$corpus"), idx) ++ bFlags)))
         graft.operators.CacheScope.drain()
         rec(s"append:$kind", "100x", t(graft.cli.Cli.main(
-          Array("wpindex", "append", kind,
-            p(if (kind == "emb" || kind == "ann") "data/deltaEmb"
-              else "data/delta"), idx))))
+          Array("wpindex", "append", kind, p(deltaFor(kind)), idx))))
         graft.operators.CacheScope.drain()
         rec(s"probe:$kind", "100x", t(graft.cli.Cli.main(
           Array("wpindex", "probe", kind, p(s"data/$probeB"), idx,
