@@ -48,6 +48,7 @@ object MemberIndex {
                              mExp: Int, k: Int, diskBuckets: Int) {
     def save(path: String): Unit = {
       new java.io.File(path).mkdirs()
+      Maintenance.clearDeltas(bloom.sparkSession, path, Seq("hashes"))
       bloom.coalesce(1).write.mode("overwrite").parquet(s"$path/bloom")
       hashes.repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/hashes")
@@ -58,9 +59,14 @@ object MemberIndex {
     }
 
     /** Fold a new slice in: the bloom OR-merges (exact — result ≡
-      * rebuild from the union corpus) and the new slice's hashes append
-      * to their buckets (semi-join probes make duplicate hash rows a
-      * non-event). localCheckpoint materializes the merged bits before
+      * rebuild from the union corpus; fixed 2^mExp-bit cost) and the
+      * new slice's hashes go through the delta log (r13: the direct
+      * partitioned append spread the delta across the bucket dirs and
+      * tripped the base-sized auto-compaction — measured 14.2 s at
+      * 100× for a fixed 1000-key delta; delta-logged it is
+      * delta-sized). Duplicate hash rows from a fold-window crash are
+      * a non-event — the probes semi-join/anti-join on the key hash.
+      * localCheckpoint materializes the merged bits before
       * overwriting the file the plan read. */
     def appendTo(path: String, newData: DataFrame, keyCol: Column): Unit = {
       val spark = newData.sparkSession
@@ -69,9 +75,9 @@ object MemberIndex {
         .select(zip_with(col("a"), col("b"), (x, y) => x.bitwiseOR(y)).as("bits"))
         .localCheckpoint()
       merged.coalesce(1).write.mode("overwrite").parquet(s"$path/bloom")
-      MemberIndex.hashesOf(newData, keyCol, diskBuckets)
-        .repartition(col("bucket"))
-        .write.mode("append").partitionBy("bucket").parquet(s"$path/hashes")
+      Maintenance.appendDelta(
+        MemberIndex.hashesOf(newData, keyCol, diskBuckets), path, "hashes")
+      Maintenance.foldDelta(spark, path, "hashes", Seq("bucket"))
       Maintenance.autoCompact(spark, path)
       ()
     }
@@ -137,7 +143,7 @@ object MemberIndex {
     def load(spark: SparkSession, path: String): MemberRef = {
       val props = ArtifactMeta.load(path, "member")
       MemberRef(spark.read.parquet(s"$path/bloom"),
-        spark.read.parquet(s"$path/hashes"),
+        Maintenance.readWithDelta(spark, path, "hashes"),
         props.getProperty("mExp").toInt, props.getProperty("k").toInt,
         props.getProperty("diskBuckets").toInt)
     }

@@ -66,12 +66,16 @@ object Retrieval {
   /** Shared scoring tail: postings ⋈ broadcast query terms ⋈ df, one
     * (query,doc) partial agg, windowed top-k on the rounded score. The
     * df table is semi-joined down to the query terms BEFORE broadcast,
-    * so what ships is |query terms| rows, not the vocabulary. */
+    * so what ships is |query terms| rows, not the vocabulary. The
+    * sum(df) AFTER the semi-join makes partial-df rows (a loaded
+    * index's delta-log terms — see [[Bm25Index.load]]) exact at
+    * query-terms cost; on a unique-per-term frame it is the identity. */
   private[operators] def topKFrom(post: DataFrame, terms: DataFrame,
       queries: DataFrame, n: Long, avgdl: Double, k: Int,
       k1: Double, b: Double, idOut: String): DataFrame = {
     val qTerms = terms.select(col("term"), col("df"))
       .join(broadcast(queries.select(col("term")).distinct()), Seq("term"))
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
     val scored = post
       .join(broadcast(queries.select(col("query_id"), col("term"))), Seq("term"))
       .join(broadcast(qTerms), Seq("term"))
@@ -209,10 +213,12 @@ object Retrieval {
       else {
         // capped path: terms scan pruned to the raw query buckets,
         // semi-joined down to the query terms (≤ |query terms| rows),
-        // df-capped, and the kept-term set re-prunes the postings
-        // buckets
+        // partial-df rows summed exact BEFORE the cap compare (a
+        // split df must not sneak under the threshold), df-capped,
+        // and the kept-term set re-prunes the postings buckets
         val kept = terms.filter(col("bucket").isin(rawBuckets: _*))
           .join(broadcast(q0.select(col("term")).distinct()), Seq("term"))
+          .groupBy(col("term"), col("bucket")).agg(sum(col("df")).as("df"))
           .filter(col("df") <= lit(maxDfFrac) * lit(nDocs.toDouble))
         // the loaded terms table's bucket is a partition column (int);
         // the computed bucketOf is long — normalize before collecting
@@ -249,20 +255,20 @@ object Retrieval {
       Bm25Index(post, terms, stats.getLong(0), stats.getLong(1), k1, b, nBuckets)
     }
 
-    /** Reopen a saved index: base ∪ delta-log scans. The terms side
-      * re-aggregates `sum(df)` per (term, bucket) — df deltas are
-      * additive, and after a threshold fold the base itself may carry
-      * several partial-df rows per term, so the sum IS the exact df
-      * under any interleaving of appends and folds. A probe's bucket
-      * filter is on a grouping column, so Catalyst pushes it below
-      * this agg onto the partition-pruned scan. */
+    /** Reopen a saved index: base ∪ delta-log scans. CONTRACT: the
+      * loaded `terms` frame may carry MULTIPLE partial-df rows per
+      * term (delta-log appends, and a threshold fold leaves the
+      * partials side by side in the base) — df is additive, so every
+      * consumer sums df per term AFTER its own term pruning
+      * ([[topKFrom]]/[[Bm25Index.topK]] do, at |query terms| cost). A
+      * load-time vocabulary-wide aggregation was tried and rejected:
+      * probing re-aggregated the whole probed-bucket vocabulary every
+      * query (measured 1.8 → 7.0 s at 100×). */
     def load(spark: SparkSession, path: String): Bm25Index = {
       val props = ArtifactMeta.load(path, "bm25")
       Bm25Index(
         Maintenance.readWithDelta(spark, path, "post"),
-        Maintenance.readWithDelta(spark, path, "terms")
-          .groupBy(col("term"), col("bucket"))
-          .agg(sum(col("df")).as("df")),
+        Maintenance.readWithDelta(spark, path, "terms"),
         props.getProperty("nDocs").toLong,
         props.getProperty("sumDl").toLong,
         props.getProperty("k1").toDouble,
