@@ -235,6 +235,10 @@ object Maintenance {
     * shuffle — read dir, coalesce, sort-within, swap. Same
     * single-writer discipline as [[compactArtifact]]. Returns the
     * dirs rewritten (relative to `path`). */
+  /** Dir-name prefix for the crash-safe swap's set-aside copy (dot
+    * prefix ⇒ parquet listings ignore it, like `.crc` files). */
+  private val AsidePrefix = "._compact_aside_"
+
   def compactArtifactBudgeted(spark: SparkSession, path: String,
                               maxFilesPerDir: Int = 8,
                               maxDirs: Int = 16): Seq[String] = {
@@ -243,40 +247,78 @@ object Maintenance {
         s"compactArtifactBudgeted: no meta.properties at $path"))
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    // census: (leaf dir, file count, bytes, sort cols) over all subs
+    val rootUri = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(path)).toUri.getPath
+    // census: (leaf dir, file count, bytes, sort cols) over all subs —
+    // plus crash recovery: a leftover aside dir means a prior swap
+    // died mid-way (see below); restore it if its target is missing,
+    // drop it if the target survived (the swap had completed)
     val cands = ArtifactMeta.layoutsOf(props).flatMap { case (sub, _, sort) =>
       val dirP = new org.apache.hadoop.fs.Path(s"$path/$sub")
       if (!fs.exists(dirP)) Nil
       else {
         val it = fs.listFiles(dirP, true)
-        val acc = scala.collection.mutable.HashMap
-          .empty[String, (Int, Long)]
+        val acc = scala.collection.mutable.HashMap.empty[String, (Int, Long)]
+        val asides = scala.collection.mutable.HashSet
+          .empty[org.apache.hadoop.fs.Path]
         while (it.hasNext) {
           val f = it.next()
-          if (f.getPath.getName.endsWith(".parquet")) {
-            val d = f.getPath.getParent.toString
-            val (n, b) = acc.getOrElse(d, (0, 0L))
-            acc(d) = (n + 1, b + f.getLen)
+          var d = f.getPath.getParent
+          while (d != null && d.getName.startsWith(AsidePrefix)) {
+            asides += d; d = d.getParent
           }
+          if (d != null && f.getPath.getName.endsWith(".parquet") &&
+              !f.getPath.getParent.getName.startsWith(AsidePrefix)) {
+            val key = f.getPath.getParent.toString
+            val (n, b) = acc.getOrElse(key, (0, 0L))
+            acc(key) = (n + 1, b + f.getLen)
+          }
+        }
+        for (aside <- asides) {
+          val target = new org.apache.hadoop.fs.Path(aside.getParent,
+            aside.getName.stripPrefix(AsidePrefix))
+          if (fs.exists(target)) fs.delete(aside, true)
+          else { fs.rename(aside, target); acc.remove(aside.toString); () }
+          // a restored dir is still over threshold — the NEXT call's
+          // census picks it up; this one works from the pre-recovery
+          // counts, which only under-compacts by one round
         }
         acc.toSeq.map { case (d, (n, b)) => (d, n, b, sort) }
       }
     }
-    val picked = cands.filter(_._2 > maxFilesPerDir)
-      .sortBy(-_._2).take(maxDirs)
-    picked.map { case (dir, _, bytes, sort) =>
-      val nFiles = math.max(1L, (bytes + (128L << 20) - 1) / (128L << 20)).toInt
-      val tmp = s"$path/__compactdir_${math.abs(dir.hashCode).toString}"
-      val df0 = spark.read.parquet(dir).coalesce(nFiles)
+    // anti-thrash guard (compactArtifact's, per dir): only rewrite
+    // when the ~128 MB-target file count would at least HALVE the
+    // dir's file count — a dir that is legitimately maxFiles big
+    // (many full files) must not be rewritten on every call forever
+    val picked = cands.filter { case (_, n, bytes, _) =>
+      n > maxFilesPerDir && targetFileCount(bytes) * 2 <= n
+    }.sortBy(-_._2).take(maxDirs)
+    picked.zipWithIndex.map { case ((dir, _, bytes, sort), i) =>
+      val dirP = new org.apache.hadoop.fs.Path(dir)
+      val tmp = new org.apache.hadoop.fs.Path(s"$path/__compactdir_$i")
+      val df0 = spark.read.parquet(dir).coalesce(targetFileCount(bytes))
       val df = if (sort.nonEmpty)
         df0.sortWithinPartitions(sort.map(col): _*) else df0
-      df.write.mode("overwrite").parquet(tmp)
-      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-      fs.rename(new org.apache.hadoop.fs.Path(tmp),
-        new org.apache.hadoop.fs.Path(dir))
-      dir.stripPrefix(s"$path/").stripPrefix(path)
+      df.write.mode("overwrite").parquet(tmp.toString)
+      // crash-safe swap: set the live dir ASIDE (rename, atomic on
+      // local/HDFS), rename the rewrite in, then drop the aside. A
+      // crash between the two renames leaves the aside copy next to
+      // the missing dir — the census recovery above restores it on
+      // the next call, so no window ever LOSES a partition (the
+      // delete-then-rename shape would)
+      val aside = new org.apache.hadoop.fs.Path(dirP.getParent,
+        AsidePrefix + dirP.getName)
+      fs.rename(dirP, aside)
+      fs.rename(tmp, dirP)
+      fs.delete(aside, true)
+      fs.makeQualified(dirP).toUri.getPath
+        .stripPrefix(rootUri).stripPrefix("/")
     }
   }
+
+  /** ~128 MB-target output file count for `bytes` of data. */
+  private def targetFileCount(bytes: Long): Int =
+    math.max(1L, (bytes + (128L << 20) - 1) / (128L << 20)).toInt
 
   /** Threshold-triggered, layout-preserving compaction of a persisted
     * artifact (near-dup bands, substring windows, media blocks, …):

@@ -190,6 +190,68 @@ class R9OpsSpec extends AnyFunSuite {
     spark.conf.unset(Dedup.NearDupCorpusIndex.DeltaFoldConf)
   }
 
+  test("compactArtifactBudgeted: bounded per-call work, anti-thrash convergence, crash-safe swap recovery") {
+    import spark.implicits._
+    def slice(lo: Long, hi: Long) = (lo to hi).map(i =>
+      (i, s"alpha beta gamma delta epsilon zeta eta theta doc$i"))
+      .toDF("doc_id", "text")
+    val path = tmp("mc_bud_nd")
+    Dedup.nearDupCorpusIndex(slice(1, 40), "text", "doc_id").save(path)
+    spark.conf.set(Maintenance.AutoCompactConf, "0")
+    spark.conf.set(Dedup.NearDupCorpusIndex.DeltaFoldConf, "1")
+    for (k <- 1 to 6)
+      Dedup.NearDupCorpusIndex.load(spark, path)
+        .appendTo(path, slice(40L + k * 20, 59L + k * 20), "text", "doc_id")
+    val probeB = slice(1, 200)
+    def survivors() = Dedup.dropNearDupsOfCorpus(probeB, "text",
+      "doc_id", Dedup.NearDupCorpusIndex.load(spark, path), 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    val expect = survivors()
+
+    // budget respected per call, names relative (no scheme, no root)
+    val done1 = Maintenance.compactArtifactBudgeted(spark, path,
+      maxFilesPerDir = 2, maxDirs = 3)
+    assert(done1.nonEmpty && done1.length <= 3, s"done1=$done1")
+    assert(done1.forall(d => !d.startsWith("/") && !d.contains(":")),
+      s"names must be path-relative: $done1")
+    assert(survivors() == expect)
+
+    // repeated calls CONVERGE (anti-thrash: once a dir is at its
+    // ~128MB-target file count it is never re-picked) …
+    var rounds = 0
+    while (Maintenance.compactArtifactBudgeted(spark, path, 2, 8).nonEmpty
+           && rounds < 30) rounds += 1
+    assert(rounds < 30, "budgeted compaction must converge, not thrash")
+    // … and the converged state is a standing no-op
+    assert(Maintenance.compactArtifactBudgeted(spark, path, 2, 8).isEmpty)
+    assert(survivors() == expect)
+
+    // crash-safe swap recovery: simulate a crash between the two
+    // renames (live dir set aside, rewrite never landed) — the next
+    // call's census must restore the aside, losing NOTHING
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val bands = new org.apache.hadoop.fs.Path(s"$path/bands")
+    val leaf = {
+      val it = fs.listFiles(bands, true)
+      var p: org.apache.hadoop.fs.Path = null
+      while (it.hasNext && p == null) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet")) p = f.getParent
+      }
+      p
+    }
+    val aside = new org.apache.hadoop.fs.Path(leaf.getParent,
+      "._compact_aside_" + leaf.getName)
+    assert(fs.rename(leaf, aside) && !fs.exists(leaf))
+    Maintenance.compactArtifactBudgeted(spark, path, 2, 8)
+    assert(fs.exists(leaf) && !fs.exists(aside),
+      "mid-swap crash state must be restored by the next call")
+    assert(survivors() == expect)
+    spark.conf.unset(Maintenance.AutoCompactConf)
+    spark.conf.unset(Dedup.NearDupCorpusIndex.DeltaFoldConf)
+  }
+
   // ------------------------------------------------ adaptive salted join
 
   test("adaptiveSaltedJoin: rows identical to the unsalted join; only hot keys replicate the dim") {
