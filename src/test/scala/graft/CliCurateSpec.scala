@@ -619,6 +619,39 @@ class CliCurateSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$outDir/accepted").count() == 61)
   }
 
+  test("wpcurate daemon --drift-cusum: sigma=0 reference groups are excluded, not every-batch alarms") {
+    import spark.implicits._
+    spark
+    val refDir = tmp("cusum0_ref"); val idxDir = tmp("cusum0_idx")
+    val inDir = tmp("cusum0_in"); val outDir = tmp("cusum0_out")
+    // en varies (σ>0); zz is CONSTANT → histogram-midpoint σ=0 — the
+    // r12 ADVICE finding: with σ=0 the slack and the alarm limit both
+    // collapse to 0 and ANY positive deviation alarms from batch 1,
+    // degenerating the walk into a per-batch gate for that group
+    ((0 until 30).map(i => (i.toLong, "ref", "en", 100L + (i % 3) * 5))
+      ++ (0 until 30).map(i => (100L + i, "ref", "zz", 100L)))
+      .toDF("doc_id", "text", "lang", "n_chars")
+      .write.mode("overwrite").parquet(refDir)
+    graft.cli.Cli.main(Array("wpindex", "build", "drift", refDir, idxDir,
+      "--grp-col", "lang", "--val-col", "n_chars", "--bin-width", "2.0"))
+    // one batch with zz WAY off its constant (200 vs 100): without the
+    // exclusion this alarms immediately
+    (0 until 10).map(i => (1000L + i, "batch text ok", "zz", 200L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(inDir)
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf)) {
+      graft.cli.Cli.main(Array("wpcurate", "daemon", inDir, outDir,
+        "--drift", idxDir, "--drift-grp", "lang", "--drift-val", "n_chars",
+        "--drift-cusum", "4.0", "--max-files", "1", "--once"))
+    }
+    val out = buf.toString
+    assert(out.contains("DRIFT-CUSUM excluding sigma=0 group(s) zz"),
+      s"exclusion must be announced once; stdout: $out")
+    assert(!out.contains("DRIFT-CUSUM zz"),
+      s"a sigma=0 group must not enter the walk; stdout: $out")
+  }
+
   test("wpcurate daemon --monitor-key: per-batch HLL cardinality line prints") {
     import spark.implicits._
     spark

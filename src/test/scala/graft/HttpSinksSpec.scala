@@ -78,4 +78,29 @@ class HttpSinksSpec extends AnyFunSuite {
       assert(lines.forall(_.contains("\"_time\":1700000000000000000")))
     } finally server.stop(0)
   }
+
+  test("victorialogs _time guard: out-of-range numerics fall back to ingest time, never throw") {
+    // r12 ADVICE (medium): a 17-18 digit numeric time field passed the
+    // digits guard but overflowed the *1000 ns multiply under ANSI
+    // mode, failing the whole batch — the contract is fall back to
+    // ingest time. Three probes: a valid 16-digit epoch-micros value
+    // passes through; a 16-digit value above Long.MaxValue/1000 and an
+    // 18-digit value both fall back (and nothing throws).
+    def timeOf(sval: String): String = {
+      val df = spark.range(1).select(array(
+        struct(lit("ts").as("name"), lit("time").as("dtype"),
+          lit(sval).as("sval"))).as("fields"))
+      val line = VictoriaLogsSink.prepare(df, fmt = "kv",
+        createTimeField = Some("ts")).head().getString(0)
+      line.split("\"_time\":")(1).stripSuffix("}")
+    }
+    assert(timeOf("1700000000000000") == "1700000000000000000")
+    // 9999999999999999 micros (16 digits) * 1000 overflows a long
+    val over16 = timeOf("9999999999999999")
+    assert(over16.toLong != -1 && over16 != "9999999999999999000",
+      s"must fall back to ingest time, got $over16")
+    val over18 = timeOf("170000000000000000")
+    assert(over18.toLong > 0 && over18 != "170000000000000000000",
+      s"must fall back to ingest time, got $over18")
+  }
 }
