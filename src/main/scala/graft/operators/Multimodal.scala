@@ -395,21 +395,45 @@ object Multimodal {
     * colliding block partitions — the same probe discipline as the
     * text near-dup index, sized for "is this image/clip a re-encode of
     * anything we already ingested" against a 100 TB media corpus. */
-  final case class MediaSigIndex(blocks: DataFrame, diskBuckets: Int = 0) {
+  /** @param counts persisted per-(blk, blk_val) distinct-id occupancy
+    *   sidecar (r13): bounded by the BLOCK-VALUE DOMAIN (4 × 2^16 keys
+    *   ≤ 262 144 rows) regardless of corpus size, so the hot-bucket
+    *   gate's count step becomes corpus-independent — the r13 100×
+    *   rehearsal measured the gate's blocks-scan aggregation growing
+    *   with the corpus (15.1 s probe at 100×) even on well-spread
+    *   signatures. Present on loaded post-r13 artifacts; None for
+    *   in-memory builds and pre-r13 artifacts (both fall back to the
+    *   exact blocks-scan countDistinct). Counts are additive across
+    *   appends (disjoint new ids), so partial rows sum exactly — and
+    *   a fold-window crash can only INFLATE them (duplicated delta),
+    *   which flips buckets toward hot: a conservative failure that
+    *   surfaces in the degenerate channel rather than hiding rows. */
+  final case class MediaSigIndex(blocks: DataFrame, diskBuckets: Int = 0,
+                                 counts: Option[DataFrame] = None) {
     import MediaSigIndex._
 
     def save(path: String): Unit = {
       val nb = DiskBuckets
       graft.operators.Maintenance.clearDeltas(blocks.sparkSession, path,
-        Seq("blocks"))
+        Seq("blocks", "counts"))
       blocks
         .withColumn("bv_bucket", pmod(col("blk_val"), lit(nb)).cast("int"))
         .repartition(col("blk"), col("bv_bucket"))
         .write.mode("overwrite").partitionBy("blk", "bv_bucket")
         .parquet(s"$path/blocks")
+      // occupancy sidecar: block-value-domain-bounded (≤ 4·2^16 rows),
+      // the corpus-independent source for the hot-bucket gate's counts
+      blocks
+        .withColumn("bv_bucket", pmod(col("blk_val"), lit(nb)).cast("int"))
+        .groupBy(col("blk"), col("blk_val"), col("bv_bucket"))
+        .agg(countDistinct(col("ms_id")).as("n"))
+        .repartition(col("bv_bucket"))
+        .write.mode("overwrite").partitionBy("bv_bucket")
+        .parquet(s"$path/counts")
       graft.operators.ArtifactMeta.store(path, "mediasig",
         Seq("diskBuckets" -> nb.toString),
-        layout = Seq("blocks" -> "parts:blk,bv_bucket"))
+        layout = Seq("blocks" -> "parts:blk,bv_bucket",
+          "counts" -> "parts:bv_bucket"))
     }
 
     /** Sign+block a new batch and append — through the delta log
@@ -420,13 +444,26 @@ object Multimodal {
                  sig: Column): Unit = {
       val nb = if (diskBuckets > 0) diskBuckets else DiskBuckets
       val spark = newMedia.sparkSession
-      graft.operators.Maintenance.appendDelta(
-        explodeBlocks(newMedia.select(col(idCol).as("ms_id"), sig.as("sig"))
-            .filter(col("sig").isNotNull), "ms_id", "sig")
-          .withColumn("bv_bucket", pmod(col("blk_val"), lit(nb)).cast("int")),
-        path, "blocks")
+      val delta = explodeBlocks(
+        newMedia.select(col(idCol).as("ms_id"), sig.as("sig"))
+          .filter(col("sig").isNotNull), "ms_id", "sig")
+        .withColumn("bv_bucket", pmod(col("blk_val"), lit(nb)).cast("int"))
+      graft.operators.Maintenance.appendDelta(delta, path, "blocks")
       graft.operators.Maintenance.foldDelta(spark, path, "blocks",
         Seq("blk", "bv_bucket"))
+      // occupancy sidecar delta: new ids are disjoint from the corpus
+      // (the append contract), so per-append distinct counts SUM to
+      // the exact total; load/probe sums the partial rows
+      val fsCounts = new org.apache.hadoop.fs.Path(s"$path/counts")
+      if (fsCounts.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(fsCounts)) {
+        graft.operators.Maintenance.appendDelta(
+          delta.groupBy(col("blk"), col("blk_val"), col("bv_bucket"))
+            .agg(countDistinct(col("ms_id")).as("n")),
+          path, "counts")
+        graft.operators.Maintenance.foldDelta(spark, path, "counts",
+          Seq("bv_bucket"))
+      }
       graft.operators.Maintenance.autoCompact(spark, path)
       ()
     }
@@ -450,16 +487,27 @@ object Multimodal {
         else bblk.select(col("blk"), col("blk_val")).distinct()
       val joinCols = if (diskBuckets > 0) Seq("blk", "bv_bucket", "blk_val")
                      else Seq("blk", "blk_val")
-      // DISTINCT ids, not raw rows: the delta-log's crash idempotence
-      // can leave duplicated block rows (fold-write landed, delta
-      // delete didn't), and a raw count would inflate bucket_n past
-      // the budget, flipping cold buckets hot and mis-flagging novel
-      // batch rows as degenerate — distinct-id counts make the gate
-      // duplicate-proof (one row per (ms_id, blk) by construction, so
-      // this only differs from count(*) under duplication)
-      blocks.join(broadcast(keys), joinCols, "left_semi")
-        .groupBy(col("blk"), col("blk_val"))
-        .agg(countDistinct(col("ms_id")).as("bucket_n"))
+      counts match {
+        case Some(c) =>
+          // sidecar path (loaded post-r13 artifact): the count source
+          // is the block-value-domain-bounded occupancy table, never
+          // the corpus — partial rows (delta-log appends/folds) SUM
+          // exactly because append ids are disjoint. Crash-duplicated
+          // delta rows can only inflate a count (flip cold → hot),
+          // which flags MORE rows degenerate — conservative and
+          // visible in the verdict channel, never a silent miss
+          c.join(broadcast(keys), joinCols, "left_semi")
+            .groupBy(col("blk"), col("blk_val"))
+            .agg(sum(col("n")).as("bucket_n"))
+        case None =>
+          // fallback (in-memory build, pre-r13 artifact): DISTINCT
+          // ids, not raw rows — duplicated block rows under the
+          // fold-window crash would inflate a raw count(*), and the
+          // distinct makes this path fully duplicate-proof
+          blocks.join(broadcast(keys), joinCols, "left_semi")
+            .groupBy(col("blk"), col("blk_val"))
+            .agg(countDistinct(col("ms_id")).as("bucket_n"))
+      }
     }
 
     /** The other-3-blocks pair keys of a block row: (blk, blk_val,
@@ -633,9 +681,17 @@ object Multimodal {
 
     def load(spark: org.apache.spark.sql.SparkSession, path: String): MediaSigIndex = {
       val props = graft.operators.ArtifactMeta.load(path, "mediasig")
+      // pre-r13 artifacts have no counts sidecar — fall back to the
+      // blocks-scan count path rather than failing the load
+      val cP = new org.apache.hadoop.fs.Path(s"$path/counts")
+      val hasCounts = cP.getFileSystem(
+        spark.sparkContext.hadoopConfiguration).exists(cP)
       MediaSigIndex(
         graft.operators.Maintenance.readWithDelta(spark, path, "blocks"),
-        props.getProperty("diskBuckets").toInt)
+        props.getProperty("diskBuckets").toInt,
+        counts = if (hasCounts)
+          Some(graft.operators.Maintenance.readWithDelta(spark, path, "counts"))
+        else None)
     }
   }
 }

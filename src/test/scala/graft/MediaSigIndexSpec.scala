@@ -246,6 +246,50 @@ class MediaSigIndexSpec extends AnyFunSuite {
     graft.operators.CacheScope.drain()
   }
 
+  test("counts sidecar: loaded-index gate equals the in-memory gate, appends stay exact") {
+    import spark.implicits._
+    def mkSig(v3: Long, v2: Long, v1: Long, v0: Long): Long =
+      (v3 << 48) | (v2 << 32) | (v1 << 16) | v0
+    // the degenerate-gate corpus again: one hot mass + cold rows
+    val corpus = ((0 until 30).map(i =>
+        (1000L + i, mkSig(0xAAAA, 0x1000 + i, 0x2000 + i, 0x3000 + i)))
+      ++ Seq((9L, mkSig(0x0009, 0x0019, 0x0029, 0x0039))))
+      .toDF("img_id", "sigv")
+    val batch = Seq(
+      (100L, mkSig(0xAAAA, 0x1000, 0x2000, 0x3001)),  // 1-bit off mass row
+      (101L, mkSig(0x0009, 0x0019, 0x0029, 0x0038)),  // cold match
+      (102L, mkSig(0x0F0F, 0x0E0E, 0x0D0D, 0x0C0C))   // novel
+    ).toDF("img_id", "sigv")
+    val mem = MediaSigIndex.build(corpus, "img_id", col("sigv"))
+    val dir = tmp("ms_counts_idx")
+    mem.save(dir)
+    val disk = MediaSigIndex.load(spark, dir)
+    assert(disk.counts.isDefined, "post-r13 artifact must carry the sidecar")
+    def gate(i: MediaSigIndex) = (
+      i.matchesOf(batch, "img_id", col("sigv"), maxDist = 3, hotBudget = 8)
+        .select("id_batch", "id_corpus").as[(Long, Long)].collect().toSet,
+      i.degenerateOf(batch, "img_id", col("sigv"), hotBudget = 8)
+        .select("id", "max_bucket_n").as[(Long, Long)].collect().toMap)
+    val (mMem, dMem) = gate(mem)
+    val (mDisk, dDisk) = gate(disk)
+    assert(mDisk == mMem, s"matches diverged: disk=$mDisk mem=$mMem")
+    assert(dDisk == dMem, s"degenerate diverged: disk=$dDisk mem=$dMem")
+    // append a slice through the delta log: sidecar counts must track
+    // (the appended mass pushes a previously-cold bucket hot)
+    val more = (0 until 20).map(i =>
+        (3000L + i, mkSig(0x0009, 0x4000 + i, 0x5000 + i, 0x6000 + i)))
+      .toDF("img_id", "sigv")
+    disk.appendTo(dir, more, "img_id", col("sigv"))
+    val d2 = MediaSigIndex.load(spark, dir)
+      .degenerateOf(batch, "img_id", col("sigv"), hotBudget = 8)
+      .select("id", "max_bucket_n").as[(Long, Long)].collect().toMap
+    // (0, 0x0009)-block bucket now holds 21 distinct ids > budget 8 →
+    // batch row 101 (whose blk3... block value 0x0009 rides blk index 3)
+    // is flagged with the exact summed occupancy
+    assert(d2.contains(101L) && d2(101L) == 21L, s"after append: $d2")
+    graft.operators.CacheScope.drain()
+  }
+
   test("wpindex mediasig CLI: build → probe → append round trip") {
     import spark.implicits._
     spark
