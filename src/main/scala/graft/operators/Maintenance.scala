@@ -214,7 +214,18 @@ object Maintenance {
       val done =
         if (budget > 0) compactArtifactBudgeted(spark, path,
           spark.conf.get(CompactMaxFilesPerDirConf, "8").toInt, budget)
-        else compactArtifact(spark, path, max)
+        else {
+          // heal budgeted-swap crash leftovers even on the unbudgeted
+          // path: a daemon (budget on) that crashed mid-swap may be
+          // followed by a batch CLI (budget off) on the same artifact
+          ArtifactMeta.read(path).foreach { p =>
+            recoverCompactionLeftovers(
+              new org.apache.hadoop.fs.Path(path).getFileSystem(
+                spark.sparkContext.hadoopConfiguration),
+              path, ArtifactMeta.layoutsOf(p).map(_._1))
+          }
+          compactArtifact(spark, path, max)
+        }
       if (done.nonEmpty)
         println(s"graft: auto-compacted ${done.mkString(",")} at $path")
       done
@@ -239,6 +250,68 @@ object Maintenance {
     * prefix ⇒ parquet listings ignore it, like `.crc` files). */
   private val AsidePrefix = "._compact_aside_"
 
+  /** Heal crash leftovers of [[compactArtifactBudgeted]]'s swap under
+    * `path`: restore (or drop, when the target survived) any aside
+    * dirs — including an aside OF a whole layout sub, which a
+    * sub-scoped census would never see — and delete orphaned
+    * `__compactdir_*` rewrite dirs (only live within a single call).
+    * Runs at the top of every [[autoCompact]], i.e. once per append,
+    * so a mid-swap crash's missing-partition window is bounded by one
+    * daemon batch. */
+  private def recoverCompactionLeftovers(
+      fs: org.apache.hadoop.fs.FileSystem, path: String,
+      subs: Seq[String]): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    // orphan rewrite dirs + sub-level asides live directly under root
+    if (fs.exists(root))
+      for (st <- fs.listStatus(root); name = st.getPath.getName) {
+        if (name.startsWith("__compactdir_")) fs.delete(st.getPath, true)
+        else if (name.startsWith(AsidePrefix)) {
+          val target = new org.apache.hadoop.fs.Path(root,
+            name.stripPrefix(AsidePrefix))
+          if (fs.exists(target)) fs.delete(st.getPath, true)
+          else { fs.rename(st.getPath, target); () }
+        }
+      }
+    // nested (partition-dir) asides inside each sub
+    for (sub <- subs) {
+      val subP = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      if (fs.exists(subP)) {
+        val it = fs.listFiles(subP, true)
+        val asides = scala.collection.mutable.HashSet
+          .empty[org.apache.hadoop.fs.Path]
+        while (it.hasNext) {
+          var d = it.next().getPath.getParent
+          while (d != null && d.getName != sub) {
+            if (d.getName.startsWith(AsidePrefix)) asides += d
+            d = d.getParent
+          }
+        }
+        for (aside <- asides) {
+          val target = new org.apache.hadoop.fs.Path(aside.getParent,
+            aside.getName.stripPrefix(AsidePrefix))
+          if (fs.exists(target)) fs.delete(aside, true)
+          else { fs.rename(aside, target); () }
+        }
+      }
+    }
+  }
+
+  /** Budgeted incremental compaction — the continual-ingest
+    * (daemon-cadence) alternative to [[compactArtifact]]'s whole-sub
+    * rewrite: rewrite at most `maxDirs` over-full LEAF directories
+    * (fullest first, across all the artifact's layout subs) to one
+    * ~128 MB-target file set each, preserving the layout's recorded
+    * intra-file sort. Per-call work is bounded by budget × dir bytes
+    * — never the base. A leaf dir IS one partition (its partition
+    * values live in the dir path), so a per-dir rewrite never moves
+    * rows across partitions and needs no shuffle. Same single-writer
+    * discipline as [[compactArtifact]]. Returns the dirs rewritten
+    * (relative to `path`). Crash posture: the swap renames the live
+    * dir aside, renames the rewrite in, then drops the aside — a
+    * crash at any point leaves either the live dir or its aside on
+    * disk, and [[recoverCompactionLeftovers]] (run per append via
+    * [[autoCompact]]) heals it; no state loses rows. */
   def compactArtifactBudgeted(spark: SparkSession, path: String,
                               maxFilesPerDir: Int = 8,
                               maxDirs: Int = 16): Seq[String] = {
@@ -249,39 +322,22 @@ object Maintenance {
       spark.sparkContext.hadoopConfiguration)
     val rootUri = fs.makeQualified(
       new org.apache.hadoop.fs.Path(path)).toUri.getPath
-    // census: (leaf dir, file count, bytes, sort cols) over all subs —
-    // plus crash recovery: a leftover aside dir means a prior swap
-    // died mid-way (see below); restore it if its target is missing,
-    // drop it if the target survived (the swap had completed)
-    val cands = ArtifactMeta.layoutsOf(props).flatMap { case (sub, _, sort) =>
+    val layouts = ArtifactMeta.layoutsOf(props)
+    recoverCompactionLeftovers(fs, path, layouts.map(_._1))
+    // census: (leaf dir, file count, bytes, sort cols) over all subs
+    val cands = layouts.flatMap { case (sub, _, sort) =>
       val dirP = new org.apache.hadoop.fs.Path(s"$path/$sub")
       if (!fs.exists(dirP)) Nil
       else {
         val it = fs.listFiles(dirP, true)
         val acc = scala.collection.mutable.HashMap.empty[String, (Int, Long)]
-        val asides = scala.collection.mutable.HashSet
-          .empty[org.apache.hadoop.fs.Path]
         while (it.hasNext) {
           val f = it.next()
-          var d = f.getPath.getParent
-          while (d != null && d.getName.startsWith(AsidePrefix)) {
-            asides += d; d = d.getParent
-          }
-          if (d != null && f.getPath.getName.endsWith(".parquet") &&
-              !f.getPath.getParent.getName.startsWith(AsidePrefix)) {
+          if (f.getPath.getName.endsWith(".parquet")) {
             val key = f.getPath.getParent.toString
             val (n, b) = acc.getOrElse(key, (0, 0L))
             acc(key) = (n + 1, b + f.getLen)
           }
-        }
-        for (aside <- asides) {
-          val target = new org.apache.hadoop.fs.Path(aside.getParent,
-            aside.getName.stripPrefix(AsidePrefix))
-          if (fs.exists(target)) fs.delete(aside, true)
-          else { fs.rename(aside, target); acc.remove(aside.toString); () }
-          // a restored dir is still over threshold — the NEXT call's
-          // census picks it up; this one works from the pre-recovery
-          // counts, which only under-compacts by one round
         }
         acc.toSeq.map { case (d, (n, b)) => (d, n, b, sort) }
       }
@@ -293,26 +349,27 @@ object Maintenance {
     val picked = cands.filter { case (_, n, bytes, _) =>
       n > maxFilesPerDir && targetFileCount(bytes) * 2 <= n
     }.sortBy(-_._2).take(maxDirs)
-    picked.zipWithIndex.map { case ((dir, _, bytes, sort), i) =>
+    picked.zipWithIndex.flatMap { case ((dir, _, bytes, sort), i) =>
       val dirP = new org.apache.hadoop.fs.Path(dir)
       val tmp = new org.apache.hadoop.fs.Path(s"$path/__compactdir_$i")
       val df0 = spark.read.parquet(dir).coalesce(targetFileCount(bytes))
       val df = if (sort.nonEmpty)
         df0.sortWithinPartitions(sort.map(col): _*) else df0
       df.write.mode("overwrite").parquet(tmp.toString)
-      // crash-safe swap: set the live dir ASIDE (rename, atomic on
-      // local/HDFS), rename the rewrite in, then drop the aside. A
-      // crash between the two renames leaves the aside copy next to
-      // the missing dir — the census recovery above restores it on
-      // the next call, so no window ever LOSES a partition (the
-      // delete-then-rename shape would)
       val aside = new org.apache.hadoop.fs.Path(dirP.getParent,
         AsidePrefix + dirP.getName)
-      fs.rename(dirP, aside)
-      fs.rename(tmp, dirP)
-      fs.delete(aside, true)
-      fs.makeQualified(dirP).toUri.getPath
-        .stripPrefix(rootUri).stripPrefix("/")
+      // CHECKED renames: an ignored false would make the second
+      // rename nest the rewrite INSIDE the still-live dir (Hadoop's
+      // rename-into-existing-dir semantics) — on any failure restore
+      // what we can, drop the rewrite, and skip the dir
+      if (!fs.rename(dirP, aside)) { fs.delete(tmp, true); None }
+      else if (!fs.rename(tmp, dirP)) {
+        fs.rename(aside, dirP); fs.delete(tmp, true); None
+      } else {
+        fs.delete(aside, true)
+        Some(fs.makeQualified(dirP).toUri.getPath
+          .stripPrefix(rootUri).stripPrefix("/"))
+      }
     }
   }
 

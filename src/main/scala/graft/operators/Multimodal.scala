@@ -444,16 +444,22 @@ object Multimodal {
                  sig: Column): Unit = {
       val nb = if (diskBuckets > 0) diskBuckets else DiskBuckets
       val spark = newMedia.sparkSession
+      // materialize the exploded delta ONCE (localCheckpoint): the
+      // counts and blocks writes must see the SAME rows — two lazy
+      // re-evaluations of a daemon input could diverge, which is
+      // exactly the sidecar-drift the exactness claim forbids
       val delta = explodeBlocks(
         newMedia.select(col(idCol).as("ms_id"), sig.as("sig"))
           .filter(col("sig").isNotNull), "ms_id", "sig")
         .withColumn("bv_bucket", pmod(col("blk_val"), lit(nb)).cast("int"))
-      graft.operators.Maintenance.appendDelta(delta, path, "blocks")
-      graft.operators.Maintenance.foldDelta(spark, path, "blocks",
-        Seq("blk", "bv_bucket"))
-      // occupancy sidecar delta: new ids are disjoint from the corpus
-      // (the append contract), so per-append distinct counts SUM to
-      // the exact total; load/probe sums the partial rows
+        .localCheckpoint()
+      // occupancy sidecar delta FIRST, blocks second: a crash between
+      // the two writes then leaves counts ≥ blocks (inflate-only —
+      // buckets flip toward hot, surfaced in the degenerate channel);
+      // the reverse order would leave the gate silently UNDERcounting
+      // a mass. New ids are disjoint from the corpus (the append
+      // contract), so per-append distinct counts SUM to the exact
+      // total; load/probe sums the partial rows.
       val fsCounts = new org.apache.hadoop.fs.Path(s"$path/counts")
       if (fsCounts.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .exists(fsCounts)) {
@@ -464,6 +470,9 @@ object Multimodal {
         graft.operators.Maintenance.foldDelta(spark, path, "counts",
           Seq("bv_bucket"))
       }
+      graft.operators.Maintenance.appendDelta(delta, path, "blocks")
+      graft.operators.Maintenance.foldDelta(spark, path, "blocks",
+        Seq("blk", "bv_bucket"))
       graft.operators.Maintenance.autoCompact(spark, path)
       ()
     }
@@ -681,16 +690,22 @@ object Multimodal {
 
     def load(spark: org.apache.spark.sql.SparkSession, path: String): MediaSigIndex = {
       val props = graft.operators.ArtifactMeta.load(path, "mediasig")
-      // pre-r13 artifacts have no counts sidecar — fall back to the
-      // blocks-scan count path rather than failing the load
-      val cP = new org.apache.hadoop.fs.Path(s"$path/counts")
-      val hasCounts = cP.getFileSystem(
-        spark.sparkContext.hadoopConfiguration).exists(cP)
+      // the sidecar is advisory: pre-r13 artifacts don't have it, and
+      // a save that crashed mid-counts-write leaves an unreadable dir
+      // — the gate's exact blocks-scan fallback works in both cases,
+      // so ANY failure to open the sidecar degrades to the fallback
+      // instead of failing the load. Meta is written after the data
+      // in save, so the layout key is the committed-ness signal; the
+      // Try covers the re-save-over-old-meta crash shapes.
+      val hasCounts = graft.operators.ArtifactMeta.layoutsOf(props)
+        .exists(_._1 == "counts")
       MediaSigIndex(
         graft.operators.Maintenance.readWithDelta(spark, path, "blocks"),
         props.getProperty("diskBuckets").toInt,
         counts = if (hasCounts)
-          Some(graft.operators.Maintenance.readWithDelta(spark, path, "counts"))
+          scala.util.Try(
+            graft.operators.Maintenance.readWithDelta(spark, path, "counts")
+          ).toOption
         else None)
     }
   }

@@ -248,6 +248,19 @@ class R9OpsSpec extends AnyFunSuite {
     assert(fs.exists(leaf) && !fs.exists(aside),
       "mid-swap crash state must be restored by the next call")
     assert(survivors() == expect)
+
+    // root-leaf variant: for an UNPARTITIONED layout sub the swapped
+    // dir IS the sub, so its aside lands at the artifact root where a
+    // sub-scoped census can never see it — the dedicated recovery
+    // must still restore it (review-caught hole)
+    val setsDir = new org.apache.hadoop.fs.Path(s"$path/sets")
+    val setsAside = new org.apache.hadoop.fs.Path(
+      setsDir.getParent, "._compact_aside_sets")
+    assert(fs.rename(setsDir, setsAside) && !fs.exists(setsDir))
+    Maintenance.compactArtifactBudgeted(spark, path, 2, 8)
+    assert(fs.exists(setsDir) && !fs.exists(setsAside),
+      "whole-sub aside must be restored from the artifact root")
+    assert(survivors() == expect)
     spark.conf.unset(Maintenance.AutoCompactConf)
     spark.conf.unset(Dedup.NearDupCorpusIndex.DeltaFoldConf)
   }
