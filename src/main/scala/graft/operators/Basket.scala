@@ -104,15 +104,21 @@ object Basket {
       .select(col("o_custkey").as("cust"), col("l_partkey").as("p"),
         col("o_orderdate").as("d"))
       .distinct()
+    // r13 (guide §2.3 "aggregate before you shuffle"): countDistinct
+    // replaces the explicit `.distinct().groupBy().count()` chain — the
+    // planner's partial aggregate dedups (pa, pb, cust) map-side (the
+    // join output is cust-partitioned, so every duplicate is
+    // partition-local), and the full pair fan-out (24M rows at sf0.1)
+    // crosses the network ONCE keyed by (pa, pb) instead of twice
+    // (once for the distinct, once for the re-group). Identical counts.
     val pairs = items.alias("a")
       .join(items.alias("b"),
         col("a.cust") === col("b.cust") && col("a.d") < col("b.d") &&
           col("a.p") =!= col("b.p"))
       .select(col("a.cust").as("cust"), col("a.p").as("pa"),
         col("b.p").as("pb"))
-      .distinct()
       .groupBy(col("pa"), col("pb"))
-      .agg(count(lit(1)).as("n_customers"))
+      .agg(countDistinct(col("cust")).as("n_customers"))
       .filter(col("n_customers") >= minSupport)
     val custA = items.select(col("cust"), col("p")).distinct()
       .groupBy(col("p")).agg(count(lit(1)).as("n_a"))

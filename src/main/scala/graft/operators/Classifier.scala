@@ -42,6 +42,52 @@ object Classifier {
       .unionByName(docs.select(col("id"), col("y"), lit(-1L).as("b")))
   }
 
+  /** Row-local form of [[features]] (r13, guide §2.3/§2.4): one row per
+    * doc carrying its distinct bucket set as an ARRAY (bias −1 first,
+    * then `array_distinct` over the hashed unigrams — the same set the
+    * explode+distinct path shuffles). Margins become a per-row array
+    * fold against the weight vector; only the bucket-keyed gradient
+    * aggregation still crosses the network. */
+  private def featureArr(df: DataFrame, textCol: String, idCol: String,
+                         label: Column, nBuckets: Int): DataFrame =
+    df.select(col(idCol).as("id"), label.cast("long").as("y"),
+      concat(array(lit(-1L)),
+        array_distinct(transform(tokens(lower(col(textCol))),
+          t => fnv1a64(t).bitwiseAND(lit(nBuckets.toLong - 1))))).as("bs"))
+
+  /** Weight vector as an O(1)-lookup array literal: index b+1 ↔ bucket
+    * b (bias −1 at slot 0); absent buckets read 0. Bounded by
+    * nBuckets — the same memory class the join path broadcast. */
+  private def weightLit(w: scala.collection.Map[Long, Double],
+                        nBuckets: Int): Column =
+    array((0 to nBuckets).map(i =>
+      lit(w.getOrElse(i.toLong - 1L, 0.0))): _*)
+
+  /** The 12-dp margin of one doc's bucket array against a weight
+    * literal — the row-local replacement for the join + doc-keyed agg. */
+  private def marginCol(bs: Column, wLit: Column): Column =
+    round(aggregate(bs, lit(0.0),
+      (acc, b) => acc + get(wLit, (b + lit(1L)).cast("int"))), 12)
+
+  /** Driver replica of Spark's `round(x, 12)` on DoubleType
+    * (scala BigDecimal, HALF_UP) — bit-identical to the Column op. */
+  private def r12(x: Double): Double =
+    BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Row-local (id, y, margin) scoring frame shared by the evaluator
+    * cards: collects the (nBuckets-bounded) weight vector once and
+    * folds each doc's bucket array against it — no feature re-shuffle,
+    * no label join (the label rides the feature row). */
+  private def scoredPY(df: DataFrame, textCol: String, idCol: String,
+                       label: Column, weights: DataFrame,
+                       nBuckets: Int): DataFrame = {
+    val wm = weights.select(col("bucket"), col("weight")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val wLit = weightLit(wm, nBuckets)
+    featureArr(Spread(df), textCol, idCol, label, nBuckets)
+      .select(col("id"), col("y"), marginCol(col("bs"), wLit).as("margin"))
+  }
+
   /** Train `iters` full-batch LR steps from w = 0 (or from `init` for
     * a warm start — the online-refinement path [[LrModel.refine]]
     * uses); returns the final (bucket, weight) vector (bucket −1 =
@@ -54,38 +100,50 @@ object Classifier {
                   init: Option[DataFrame] = None): DataFrame = {
     require((nBuckets & (nBuckets - 1)) == 0,
       "nBuckets must be a power of 2")
-    val feats = features(df, textCol, idCol, label, nBuckets)
-      .localCheckpoint()
-    val n = df.count()
-    val zero = feats.select(col("b")).distinct()
-      .withColumn("w", lit(0.0))
-    var wts = (init match {
-      case None => zero
-      case Some(w0) =>
-        val prior = w0.select(col("bucket").as("b"), col("weight").as("w"))
-        zero.select(col("b")).unionByName(prior.select(col("b"))).distinct()
-          .join(prior, Seq("b"), "left")
-          .select(col("b"), coalesce(col("w"), lit(0.0)).as("w"))
-    }).localCheckpoint()
+    // r13 shape (guide §2.3 "aggregate before you shuffle", §5 bounded
+    // driver pulls): the weight vector is (nBuckets+1)-bounded — the
+    // SAME vector every pre-r13 iteration collected into a broadcast —
+    // so it lives on the driver, margins are row-local array folds
+    // against its literal, and each iteration is ONE bucket-keyed
+    // gradient aggregation (map-side combined) + one bounded collect.
+    // The pre-r13 loop paid per iteration: a broadcast build of the
+    // weights, a feature join + doc-keyed margin shuffle, a feature ⋈
+    // margins join + bucket shuffle, and an eager localCheckpoint.
+    // All rounding contracts unchanged (12 dp at margins, gradients,
+    // weight updates — r12(), the bit-identical driver replica of
+    // Spark's round, handles the update).
+    val spark = df.sparkSession
+    import spark.implicits._
+    // Spread BELOW the tokenize+hash projection: the exchange moves the
+    // (tiny at bench scale, absent at corpus scale) raw rows so the
+    // expensive derivation itself runs on every core
+    val featsArr = CacheScope.scratch(
+      featureArr(Spread(df), textCol, idCol, label, nBuckets))
+    val n = featsArr.count() // one row per doc — the old df.count()
+    val w = scala.collection.mutable.Map[Long, Double]()
+    init.foreach(_.select(col("bucket"), col("weight")).collect()
+      .foreach(r => w(r.getLong(0)) = r12(r.getDouble(1))))
+    // the present-bucket universe (old `zero` frame): every bucket of
+    // every doc appears in each gradient aggregation, so iteration 1's
+    // collect seeds the fresh buckets at 0 via getOrElse below
     for (_ <- 1 to iters) {
-      val pd = feats.join(broadcast(wts), Seq("b"))
-        .groupBy(col("id"), col("y"))
-        .agg(round(sum(col("w")), 12).as("m"))
-        .select(col("id"), col("y"),
-          (lit(1.0) / (lit(1.0) + exp(-col("m")))).as("p"))
-      val grad = feats.join(pd.select(col("id"), col("y"), col("p")),
-          Seq("id", "y"))
+      val wLit = weightLit(w, nBuckets)
+      val p = lit(1.0) /
+        (lit(1.0) + exp(-marginCol(col("bs"), wLit)))
+      val grows = featsArr
+        .select(explode(col("bs")).as("b"), p.as("p"), col("y"))
         .groupBy(col("b"))
         .agg(round(lit(lr) * sum(col("p") - col("y")) / lit(n.toDouble), 12)
           .as("g"))
-      // left join: a warm-started bucket with no rows in this batch
-      // has zero gradient and keeps its weight
-      wts = wts.join(grad, Seq("b"), "left")
-        .select(col("b"),
-          round(col("w") - coalesce(col("g"), lit(0.0)), 12).as("w"))
-        .localCheckpoint()
+        .collect()
+      // buckets absent from this batch (warm start) keep their weight —
+      // the old left-join-with-zero-gradient contract
+      grows.foreach { r =>
+        val b = r.getLong(0)
+        w(b) = r12(w.getOrElse(b, 0.0) - r.getDouble(1))
+      }
     }
-    wts.select(col("b").as("bucket"), col("w").as("weight"))
+    w.toSeq.sortBy(_._1).toDF("bucket", "weight")
   }
 
   /** Score docs with a trained weight vector: the 12-dp margin (log
@@ -117,9 +175,7 @@ object Classifier {
   def calibration(df: DataFrame, textCol: String, idCol: String,
                   label: Column, weights: DataFrame, nBuckets: Int = 64,
                   nBins: Int = 10): DataFrame = {
-    val scored = scoreLogReg(df, textCol, idCol, weights, nBuckets)
-    val lab = df.select(col(idCol).as("id"), label.cast("long").as("y"))
-    scored.join(lab, "id")
+    scoredPY(df, textCol, idCol, label, weights, nBuckets)
       .select((lit(1.0) / (lit(1.0) + exp(-col("margin")))).as("p"),
         col("y"))
       .withColumn("bin",
@@ -141,9 +197,7 @@ object Classifier {
     * One scan to score + one 1-row agg. */
   def brier(df: DataFrame, textCol: String, idCol: String, label: Column,
             weights: DataFrame, nBuckets: Int = 64): DataFrame = {
-    val scored = scoreLogReg(df, textCol, idCol, weights, nBuckets)
-    val lab = df.select(col(idCol).as("id"), label.cast("long").as("y"))
-    val agg = scored.join(lab, "id")
+    val agg = scoredPY(df, textCol, idCol, label, weights, nBuckets)
       .select((lit(1.0) / (lit(1.0) + exp(-col("margin")))).as("p"),
         col("y"))
       .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
@@ -169,9 +223,7 @@ object Classifier {
   def ece(df: DataFrame, textCol: String, idCol: String, label: Column,
           weights: DataFrame, nBuckets: Int = 64,
           nBins: Int = 10): DataFrame = {
-    val scored = scoreLogReg(df, textCol, idCol, weights, nBuckets)
-    val lab = df.select(col(idCol).as("id"), label.cast("long").as("y"))
-    val perBin = scored.join(lab, "id")
+    val perBin = scoredPY(df, textCol, idCol, label, weights, nBuckets)
       .select((lit(1.0) / (lit(1.0) + exp(-col("margin")))).as("p"),
         col("y"))
       .withColumn("bin",
@@ -210,9 +262,7 @@ object Classifier {
   def conformal(df: DataFrame, textCol: String, idCol: String,
                 label: Column, weights: DataFrame, nBuckets: Int = 64,
                 alpha: Double = 0.1): DataFrame = {
-    val scored = scoreLogReg(df, textCol, idCol, weights, nBuckets)
-      .join(df.select(col(idCol).as("id"), label.cast("long").as("y")),
-        "id")
+    val scored = scoredPY(df, textCol, idCol, label, weights, nBuckets)
       .select(col("id"), col("y"),
         (lit(1.0) / (lit(1.0) + exp(-col("margin")))).as("p"))
       .withColumn("sq", floor(

@@ -511,7 +511,10 @@ object Dedup {
   private def containmentCore(df: DataFrame, textCol: String, idCol: String,
                               n: Int, threshold: Double,
                               maxDocFreq: Int): (DataFrame, DataFrame) = {
-    val sh = shingleDf(df, textCol, idCol, n)
+    // same parallelism floor as ngramJaccardPairs (r13) — the capped
+    // shingle relation is this operator's serial bottleneck on a
+    // one-split input
+    val sh = shingleDf(Spread(df), textCol, idCol, n)
     val ex0 = sh.select(col("jc_id"), explode_outer(col("shingles")).as("shingle"))
       .filter(col("shingle").isNotNull)
     val ex = CacheScope.scratch(dfCapped(ex0, maxDocFreq))
@@ -656,7 +659,12 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, threshold: Double = 0.8,
                         maxDocFreq: Int = 100): DataFrame = {
-    val sh = shingleDf(df, textCol, idCol, n)
+    // Spread BELOW the shingle pipeline (r13): a one-split corpus file
+    // otherwise serializes the tokenizer+shingler AND the downstream
+    // intersection join's candidate work on one core (measured: the
+    // whole query ran at parallelism ≈ 1.9 on 32 cores). Identity at
+    // corpus scale / for derived inputs — see [[Spread]].
+    val sh = shingleDf(Spread(df), textCol, idCol, n)
     // explode_outer: plain explode injects a `size(shingles)>0` data
     // filter that pushdown re-inlines into the scan (re-running the
     // tokenizer per row) — outer + isNotNull keeps the scan clean.

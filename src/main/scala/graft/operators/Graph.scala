@@ -68,10 +68,24 @@ object Graph {
         .groupBy(col("v"))
         .agg((sum(floor(col("pr") * col("p") * lit(1e15) + lit(0.5))) /
           lit(1e15)).as("inmass"))
-      val next = n.join(inMass.withColumnRenamed("v", "node"), Seq("node"), "left")
-        .select(col("node"),
-          round(lit(base) / lit(nCount) +
-            lit(damping) * coalesce(col("inmass"), lit(0.0)), 12).as("pr"))
+      // full-vertex left join ONLY on the final iteration (r13, guide
+      // §2.4): mid-iteration, a node absent from inMass has no in-edge
+      // — undirected edges mean it has no out-edge either, so the next
+      // round's norm-join drops it regardless of its score. Isolated
+      // nodes re-enter the output exactly once, at the end, with the
+      // same coalesced base score. One join + exchange saved per round;
+      // scores are bit-identical (the mass a dropped node would have
+      // contributed is floor(0·p·1e15 + 0.5) = 0).
+      val next =
+        if (i == iters)
+          n.join(inMass.withColumnRenamed("v", "node"), Seq("node"), "left")
+            .select(col("node"),
+              round(lit(base) / lit(nCount) +
+                lit(damping) * coalesce(col("inmass"), lit(0.0)), 12).as("pr"))
+        else
+          inMass.select(col("v").as("node"),
+            round(lit(base) / lit(nCount) +
+              lit(damping) * col("inmass"), 12).as("pr"))
       // checkpoint every 3rd iteration (and the last): each eager
       // localCheckpoint is a full job, and a 3-deep join lineage is
       // still O(1) — this cut the 10-iteration wall clock ~2×
@@ -98,8 +112,9 @@ object Graph {
     *
     * Scale shape per iteration: two hash equi-joins of the normalized
     * edge frame against the current score frame + two key-keyed partial
-    * aggs + two 1-row broadcast totals. Scores `localCheckpoint` on a
-    * 3-iteration cadence. No driver state beyond the node count.
+    * aggs + two 1-long bounded total pulls (the kCore precedent).
+    * Scores `localCheckpoint` on a 3-iteration cadence. Driver state:
+    * the node count and one L1-total scalar per half-step.
     * Output: (node, hub, auth), 12 dp. */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
            wCol: String, iters: Int = 8): DataFrame = {
@@ -123,22 +138,41 @@ object Graph {
     // pure planning at 8 iterations; the DuckDB-CTE lesson, engine
     // side)
     def step(scores: DataFrame, scoreCol: String, inCol: String,
-             outCol: String, newCol: String): DataFrame = {
+             outCol: String, newCol: String, last: Boolean): DataFrame = {
       val raw = norm.join(scores.withColumnRenamed("node", inCol), inCol)
         .groupBy(col(outCol))
         .agg(sum(floor(col(scoreCol) * col("p") * lit(1e15) + lit(0.5)))
           .as("raw"))
-        .localCheckpoint(false) // lazy: the rtot job materializes it
-      val rtot = raw.agg(sum(col("raw")).as("tot"))
-      nodes.join(raw.withColumnRenamed(outCol, "node"), Seq("node"), "left")
-        .crossJoin(broadcast(rtot))
-        .select(col("node"),
-          round(coalesce(col("raw"), lit(0L)).cast("double") / col("tot"),
-            12).as(newCol))
+        .localCheckpoint(false) // lazy: the tot pull materializes it
+      // the L1 total is ONE long — pull it (the kCore bounded-pull
+      // precedent; r13, guide §2.4): the pre-r13 shape built a
+      // broadcast exchange + nested-loop join per half-step just to
+      // attach this scalar, which with AQE cost 3-4 extra stage-jobs
+      // per half-step on a 16-half-step chain. The sum of exact longs
+      // is partition-invariant, so the pulled scalar equals the old
+      // broadcast column bit-for-bit.
+      val totRow = raw.agg(sum(col("raw")).as("tot")).collect()(0)
+      val tot: java.lang.Long =
+        if (totRow.isNullAt(0)) null else totRow.getLong(0)
+      // full-node left join ONLY on the final step (r13, guide §2.4):
+      // a node absent from `raw` has no in-edge on this side, scores 0,
+      // and a 0 score contributes floor(0·p·1e15 + 0.5) = 0 mass to the
+      // next half-step — dropping the row mid-iteration changes no sum
+      // and no rounding. The final step re-attaches every node with the
+      // same coalesced 0. One join saved per half-step.
+      if (last)
+        nodes.join(raw.withColumnRenamed(outCol, "node"), Seq("node"), "left")
+          .select(col("node"),
+            round(coalesce(col("raw"), lit(0L)).cast("double") / lit(tot),
+              12).as(newCol))
+      else
+        raw.withColumnRenamed(outCol, "node")
+          .select(col("node"),
+            round(col("raw").cast("double") / lit(tot), 12).as(newCol))
     }
     for (i <- 1 to iters) {
-      auth = step(hub, "hub", "u", "v", "auth")
-      val nextHub = step(auth, "auth", "v", "u", "hub")
+      auth = step(hub, "hub", "u", "v", "auth", i == iters)
+      val nextHub = step(auth, "auth", "v", "u", "hub", i == iters)
       hub = if (i % 3 == 0 || i == iters) nextHub.localCheckpoint()
             else nextHub
       if (i == iters) auth = auth.localCheckpoint()
@@ -176,14 +210,27 @@ object Graph {
         .groupBy(col("v"))
         .agg(sum(floor(col("pi") * col("p") * lit(1e15) + lit(0.5)))
           .as("raw"))
-        .localCheckpoint(false) // lazy: the rtot job materializes it
-      val rtot = raw.agg(sum(col("raw")).as("tot"))
-      val next = nodes.join(raw.withColumnRenamed("v", "node"),
-          Seq("node"), "left")
-        .crossJoin(broadcast(rtot))
-        .select(col("node"),
-          round(coalesce(col("raw"), lit(0L)).cast("double") / col("tot"),
-            12).as("pi"))
+        .localCheckpoint(false) // lazy: the tot pull materializes it
+      // the L1 total is ONE long — bounded pull, exactly as [[hits]]
+      // (r13): replaces a per-round broadcast exchange + nested-loop
+      // join; the exact-long sum is partition-invariant so the scalar
+      // equals the old broadcast column bit-for-bit.
+      val totRow = raw.agg(sum(col("raw")).as("tot")).collect()(0)
+      val tot: java.lang.Long =
+        if (totRow.isNullAt(0)) null else totRow.getLong(0)
+      // same final-step-only node re-attachment as [[hits]]/[[pageRank]]
+      // (r13): a state absent from `raw` has no in-edge, π = 0, and
+      // contributes zero mass — mid-iteration presence is irrelevant.
+      val next =
+        if (i == iters)
+          nodes.join(raw.withColumnRenamed("v", "node"), Seq("node"), "left")
+            .select(col("node"),
+              round(coalesce(col("raw"), lit(0L)).cast("double") / lit(tot),
+                12).as("pi"))
+        else
+          raw.withColumnRenamed("v", "node")
+            .select(col("node"),
+              round(col("raw").cast("double") / lit(tot), 12).as("pi"))
       pi = if (i % 3 == 0 || i == iters) next.localCheckpoint() else next
     }
     norm.unpersist()

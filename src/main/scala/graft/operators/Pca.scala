@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Top principal component of an embedding column by power iteration
@@ -13,48 +13,78 @@ import org.apache.spark.sql.functions._
   * anisotropy/rogue-dimension diagnostic for embedding spaces), and
   * the per-dim means.
   *
-  * Scale shape: the embeddings explode ONCE into a scratch-cached
-  * (id, d, x̂) relation (D× rows, reused by all rounds); each round is
-  * two grouped partial aggregations (by id, then by d — map-side
-  * combined equi-shuffles) plus driver math on D doubles (bounded
-  * collect: D ≤ a few hundred dims). `iters` passes total — the
-  * standard power-iteration cost; converges at the λ₂/λ₁ rate.
+  * Scale shape (r13 optimization — guide §2.3/§2.4 "aggregate before
+  * you shuffle / remove shuffles outright"): the centered relation
+  * stays ARRAY-NATIVE, (id, x̂[D]) — one scratch-cached row per input
+  * row, never exploded. Each power round is then a single
+  * whole-stage-codegen pass: the projection x̂·v is a ROW-LOCAL
+  * quantized dot product against the round's vector literal (no join,
+  * no shuffle — the pre-r13 exploded layout paid an exchange for the
+  * per-id regroup plus a second exchange + join per round), and the
+  * per-dim back-projection is ONE global aggregate of D partial sums
+  * (map-side combine; only D decimals cross the network) feeding the
+  * D-bounded driver collect. `iters` passes total — the standard
+  * power-iteration cost; converges at the λ₂/λ₁ rate. At corpus scale
+  * this shuffles ZERO rows per round where the exploded layout
+  * shuffled N·D rows twice.
   *
-  * Determinism contract (SQL-replayable, partition-invariant): every
-  * cross-ROW sum quantizes summands to integers at 1e9 (projections,
-  * back-projections, final variance folds — summed as decimal(38,0)
-  * for 128-bit headroom); the cross-DIM normalizer quantizes at 1e12
-  * after a scale-free division by the max-|w| component; the new v
-  * rounds to 12 dp each round with its sign pinned positive at the
-  * max-|w| dimension (ties → smallest d). The oracle replays the
-  * identical arithmetic as unrolled MATERIALIZED CTEs
-  * (SparkEntry `emb_pca_power`).
+  * Determinism contract (SQL-replayable, partition-invariant,
+  * UNCHANGED from the exploded layout — the oracle replays the same
+  * integers): every cross-ROW sum quantizes summands to integers at
+  * 1e9 (projections, back-projections, final variance folds — the
+  * cross-row folds still accumulate as decimal(38,0) for 128-bit
+  * headroom; the per-ROW dot product is a D-bounded long sum, exactly
+  * the same integers the decimal fold produced). The cross-DIM
+  * normalizer quantizes at 1e12 after a scale-free division by the
+  * max-|w| component; the new v rounds to 12 dp each round with its
+  * sign pinned positive at the max-|w| dimension (ties → smallest d).
+  * The oracle replays the identical arithmetic as unrolled
+  * MATERIALIZED CTEs (SparkEntry `emb_pca_power`).
   */
 object Pca {
 
-  private def q9(c: org.apache.spark.sql.Column) =
+  private def q9(c: Column) =
     floor(c * lit(1e9) + lit(0.5)).cast("decimal(38,0)")
 
-  /** The quantized power-iteration loop over a centered (id, d, xh)
+  /** Per-term 1e9 quantizer for the ROW-LOCAL (D-bounded) folds: the
+    * same floor(x·1e9 + 0.5) integers as [[q9]], held as long — D
+    * terms of ≲1e12 each stay far inside long range, and equal the
+    * decimal fold bit-for-bit. */
+  private def q9l(c: Column) = floor(c * lit(1e9) + lit(0.5)).cast("long")
+
+  private def arrLit(a: Array[Double]): Column = array(a.map(lit): _*)
+
+  /** Row-local quantized dot product Σ_d floor(x̂_d·v_d·1e9 + 0.5) —
+    * null terms (ragged/null elements) are skipped, matching the
+    * exploded layout's null-skipping decimal sum. */
+  private def dotQ(xhCol: Column, v: Array[Double]): Column =
+    aggregate(
+      filter(zip_with(xhCol, arrLit(v), (x, s) => q9l(x * s)),
+        t => t.isNotNull),
+      lit(0L), (acc, t) => acc + t)
+
+  /** Row-local quantized sum of squares Σ_d floor(x̂_d²·1e9 + 0.5). */
+  private def sqQ(xhCol: Column): Column =
+    aggregate(
+      filter(transform(xhCol, x => q9l(x * x)), t => t.isNotNull),
+      lit(0L), (acc, t) => acc + t)
+
+  /** The quantized power-iteration loop over a centered (id, x̂[D])
     * relation — shared by the top-component and the deflated
-    * second-component paths. Same contract as documented above. */
+    * second-component paths. One job per round: row-local projection,
+    * one global D-column aggregate, one D-sized collect. */
   private def iterate(xh: DataFrame, dims: Int, iters: Int): Array[Double] = {
-    val spark = xh.sparkSession
-    import spark.implicits._
     var v = Array.fill(dims)(1.0 / math.sqrt(dims.toDouble))
     for (_ <- 1 to iters) {
-      val vdf = v.zipWithIndex.map { case (s, d) => (d, s) }.toSeq
-        .toDF("d", "s")
-      val dq = xh.join(broadcast(vdf), "d")
-        .groupBy(col("__id"))
-        .agg(sum(q9(col("xh") * col("s"))).as("dq"))
-      val w = xh.join(dq, "__id")
-        .groupBy(col("d"))
-        .agg(sum(q9(col("xh") * (col("dq").cast("double") / lit(1e9))))
-          .as("wq"))
-        .collect()
-      val wq = Array.fill(dims)(BigInt(0))
-      w.foreach { r => wq(r.getInt(0)) = BigInt(r.getDecimal(1).toBigInteger) }
+      // one round = ONE tiny-plan aggregate (see
+      // [[graft.functions.PcaPowerStep]]): the D-column wide-agg +
+      // higher-order-function formulation paid ~100 ms/round of pure
+      // analysis+planning at D = 64
+      val row = xh.agg(graft.functions.PcaPowerStep
+          .pca_power_step(col("xh"), v.toSeq).as("w"))
+        .collect()(0)
+      val ws = row.getSeq[java.math.BigDecimal](0)
+      val wq = Array.tabulate(dims)(d => BigInt(ws(d).toBigInteger))
       val mq = wq.map(_.abs).max
       require(mq > BigInt(0), "pca: zero back-projection (degenerate input)")
       // sign pin: dimension with max |wq|, ties → smallest d
@@ -76,30 +106,32 @@ object Pca {
   private case class Centered(xh: DataFrame, dims: Int, n: Long,
                               mu: Array[Double])
 
-  /** Explode + center: the scratch-cached (id, d, x̂) relation every
-    * power-iteration path reads, plus the D-bounded means pull. */
+  /** Cast + center, array-native: the scratch-cached (id, x̂[D])
+    * relation every power-iteration path reads, plus the D-bounded
+    * means pull (one wide aggregate — per-dim quantized sums and
+    * presence counts — instead of an explode + per-dim shuffle). */
   private def center(df: DataFrame, idCol: String,
                      embCol: String): Centered = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val ex = df.select(col(idCol).as("__id"),
-        col(embCol).cast("array<double>").as("v"))
-      .select(col("__id"), posexplode(col("v")).as(Seq("d", "x")))
-    // per-dim quantized means — one pass, D-row bounded collect
-    val mrows = ex.groupBy(col("d"))
-      .agg(sum(q9(col("x"))).as("sq"), count(lit(1)).as("n"))
-      .collect()
-    require(mrows.nonEmpty, "pca: empty input")
-    val dims = mrows.map(_.getInt(0)).max + 1
-    val n = mrows.head.getLong(2)
-    val mu = new Array[Double](dims)
-    mrows.foreach { r =>
-      mu(r.getInt(0)) = r.getDecimal(1).doubleValue() / 1e9 / n.toDouble }
-    val muDf = mu.zipWithIndex.map { case (m, d) => (d, m) }.toSeq
-      .toDF("d", "mu")
-    val xh = CacheScope.scratch(
-      ex.join(broadcast(muDf), "d")
-        .select(col("__id"), col("d"), (col("x") - col("mu")).as("xh")))
+    val base = df.select(col(idCol).as("__id"),
+      col(embCol).cast("array<double>").as("v"))
+    val dRow = base.agg(max(size(col("v"))).as("dims")).collect()(0)
+    require(!dRow.isNullAt(0) && dRow.getInt(0) > 0, "pca: empty input")
+    val dims = dRow.getInt(0)
+    val muCols = (0 until dims).flatMap(d => Seq(
+      sum(q9(get(col("v"), lit(d)))).as(s"s$d"),
+      sum(when(size(col("v")) > d, 1L)).as(s"n$d")))
+    val mrow = base.agg(muCols.head, muCols.tail: _*).collect()(0)
+    // the divisor is ONE dim's presence count (d = 0), matching the
+    // exploded layout's single-n contract (fixed-width corpora: all
+    // dims share it)
+    val n = mrow.getLong(1)
+    val mu = Array.tabulate(dims) { d =>
+      val sq = mrow.getDecimal(2 * d)
+      if (sq == null) 0.0 else sq.doubleValue / 1e9 / n.toDouble
+    }
+    val muL = arrLit(mu)
+    val xh = CacheScope.scratch(base.select(col("__id"),
+      transform(col("v"), (x, i) => x - get(muL, i)).as("xh")))
     Centered(xh, dims, n, mu)
   }
 
@@ -113,18 +145,15 @@ object Pca {
     val c = center(df, idCol, embCol)
     val xh = c.xh; val dims = c.dims; val n = c.n; val mu = c.mu
     val v = iterate(xh, dims, iters)
-    // final variance pass with the converged v
-    val vdf = v.zipWithIndex.map { case (s, d) => (d, s) }.toSeq.toDF("d", "s")
-    val proj = xh.join(broadcast(vdf), "d")
-      .groupBy(col("__id"))
-      .agg(sum(q9(col("xh") * col("s"))).as("dq"),
-        sum(q9(col("xh") * col("xh"))).as("nq"))
-    // (x*x, not pow(x,2): Math.pow is only 1-ulp-accurate; the plain
-    // product is a single correctly-rounded op both engines share)
+    // final variance pass with the converged v: row-local projection +
+    // row-local Σx̂² (x*x, not pow(x,2): Math.pow is only
+    // 1-ulp-accurate; the plain product is a single correctly-rounded
+    // op both engines share), one global fold — no shuffle
+    val proj = xh.select(dotQ(col("xh"), v).as("dq"), sqQ(col("xh")).as("nq"))
     val stats = proj.agg(
       sum(q9((col("dq").cast("double") / lit(1e9)) *
         (col("dq").cast("double") / lit(1e9)))).as("lq"),
-      sum(col("nq")).as("tq"))
+      sum(col("nq").cast("decimal(38,0)")).as("tq"))
       .select(
         (col("lq").cast("double") / lit(1e9) / lit(n.toDouble)).as("lambda"),
         (col("tq").cast("double") / lit(1e9) / lit(n.toDouble)).as("tot"))
@@ -147,37 +176,32 @@ object Pca {
     * components plus λ₁, λ₂, total variance, both explained ratios and
     * the spectral ratio λ₂/λ₁ — "how one-dimensional is this corpus,
     * and what's the next direction". Cost: exactly two of the
-    * single-component passes over the same scratch-cached relation. */
+    * single-component passes over the same scratch-cached relation;
+    * the deflation itself is a row-local array transform (no join). */
   def powerTwoComponents(df: DataFrame, idCol: String, embCol: String,
                          iters: Int = 8): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val c = center(df, idCol, embCol)
     val v1 = iterate(c.xh, c.dims, iters)
-    val v1df = v1.zipWithIndex.map { case (s, d) => (d, s) }.toSeq
-      .toDF("d", "s")
-    def projOf(rel: DataFrame, vdf: DataFrame) =
-      rel.join(broadcast(vdf), "d")
-        .groupBy(col("__id"))
-        .agg(sum(q9(col("xh") * col("s"))).as("dq"))
-    val p1 = projOf(c.xh, v1df)
+    val v1L = arrLit(v1)
     val xh2 = CacheScope.scratch(
-      c.xh.join(p1, "__id").join(broadcast(v1df), "d")
-        .select(col("__id"), col("d"),
-          (col("xh") - (col("dq").cast("double") / lit(1e9)) * col("s"))
+      c.xh.select(col("__id"), dotQ(col("xh"), v1).as("dq"), col("xh"))
+        .select(col("__id"),
+          transform(col("xh"), (x, i) =>
+            x - (col("dq").cast("double") / lit(1e9)) * get(v1L, i))
             .as("xh")))
     val v2 = iterate(xh2, c.dims, iters)
-    val v2df = v2.zipWithIndex.map { case (s, d) => (d, s) }.toSeq
-      .toDF("d", "s")
-    def lambdaOf(rel: DataFrame, vdf: DataFrame, name: String) =
-      projOf(rel, vdf).agg(
+    def lambdaOf(rel: DataFrame, v: Array[Double], name: String) =
+      rel.select(dotQ(col("xh"), v).as("dq")).agg(
         (sum(q9((col("dq").cast("double") / lit(1e9)) *
           (col("dq").cast("double") / lit(1e9)))).cast("double") /
           lit(1e9) / lit(c.n.toDouble)).as(name))
-    val l1 = lambdaOf(c.xh, v1df, "lambda1")
-    val l2 = lambdaOf(xh2, v2df, "lambda2")
-    val tot = c.xh.agg((sum(q9(col("xh") * col("xh"))).cast("double") /
-      lit(1e9) / lit(c.n.toDouble)).as("tot"))
+    val l1 = lambdaOf(c.xh, v1, "lambda1")
+    val l2 = lambdaOf(xh2, v2, "lambda2")
+    val tot = c.xh.select(sqQ(col("xh")).as("nq"))
+      .agg((sum(col("nq").cast("decimal(38,0)")).cast("double") /
+        lit(1e9) / lit(c.n.toDouble)).as("tot"))
     val vDf = v1.zip(v2).zipWithIndex
       .map { case ((s1, s2), d) => (d, s1, s2) }.toSeq
       .toDF("dim", "v1_raw", "v2_raw")
