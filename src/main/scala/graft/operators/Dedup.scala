@@ -252,8 +252,11 @@ object Dedup {
                            threshold: Double = 0.5): DataFrame = {
     // no persist: the returned frame is lazy (foreachBatch runs it after
     // we return, so an unpersist here would cancel the cache mid-plan),
-    // and a micro-batch is small enough to tokenize twice
-    val sh = shingleDf(batch, textCol, idCol, idx.shingleN, outId = "nd_bid")
+    // and a micro-batch is small enough to tokenize twice. Spread (r13)
+    // parallelizes each of those tokenize passes when the batch arrives
+    // as one split (identity otherwise — see [[Spread]]).
+    val sh = shingleDf(Spread(batch), textCol, idCol, idx.shingleN,
+      outId = "nd_bid")
     val batchBands = bandFrame(sh, "nd_bid", idx.nPerm, idx.nBands)
     // loaded (disk) index: re-derive the storage partition keys on the
     // probe side and BROADCAST it — the corpus-side scans then carry a

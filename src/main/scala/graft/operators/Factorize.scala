@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.functions.ExactISum.exact_isum
 
 /** Alternating-least-squares matrix factorization over observed
   * (user, item, rating) cells — the collaborative-filtering latent
@@ -46,9 +47,9 @@ object Factorize {
     for (k <- 1 to iters) {
       val uRaw = r.join(v, "i").groupBy(col("u"))
         .agg(
-          sum(dec(floor(col("r") * col("v") * lit(1e9) + lit(0.5))))
+          exact_isum(floor(col("r") * col("v") * lit(1e9) + lit(0.5)))
             .as("num"),
-          sum(dec(floor(col("v") * col("v") * lit(1e9) + lit(0.5))))
+          exact_isum(floor(col("v") * col("v") * lit(1e9) + lit(0.5)))
             .as("den"))
         .select(col("u"),
           round(col("num").cast("double") / col("den").cast("double"), 12)
@@ -63,9 +64,9 @@ object Factorize {
       uF = if (k == iters) uRaw.localCheckpoint(false) else uRaw
       val vNext = r.join(uF, "u").groupBy(col("i"))
         .agg(
-          sum(dec(floor(col("r") * col("uf") * lit(1e9) + lit(0.5))))
+          exact_isum(floor(col("r") * col("uf") * lit(1e9) + lit(0.5)))
             .as("num"),
-          sum(dec(floor(col("uf") * col("uf") * lit(1e9) + lit(0.5))))
+          exact_isum(floor(col("uf") * col("uf") * lit(1e9) + lit(0.5)))
             .as("den"))
         .select(col("i"),
           round(col("num").cast("double") / col("den").cast("double"), 12)
@@ -75,7 +76,7 @@ object Factorize {
     val err = col("r") - col("uf") * col("v")
     val fit = r.join(uF, "u").join(v, "i")
       .agg(count(lit(1)).as("n_cells"),
-        sum(dec(floor(err * err * lit(1e6) + lit(0.5)))).as("seq"))
+        exact_isum(floor(err * err * lit(1e6) + lit(0.5))).as("seq"))
       .select(col("n_cells"),
         round(sqrt(col("seq").cast("double") / lit(1e6) / col("n_cells")),
           6).as("rmse"))
@@ -112,12 +113,14 @@ object Factorize {
     def solve(gFrame: DataFrame, inKey: String, outKey: String,
               o1: String, o2: String): DataFrame = {
       val j = r.join(gFrame, inKey)
+      def ql(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e9) + lit(0.5))
       val agg = j.groupBy(col(outKey))
-        .agg(sum(q(col("f1") * col("f1"))).as("s11"),
-          sum(q(col("f1") * col("f2"))).as("s12"),
-          sum(q(col("f2") * col("f2"))).as("s22"),
-          sum(q(col("r") * col("f1"))).as("b1"),
-          sum(q(col("r") * col("f2"))).as("b2"))
+        .agg(exact_isum(ql(col("f1") * col("f1"))).as("s11"),
+          exact_isum(ql(col("f1") * col("f2"))).as("s12"),
+          exact_isum(ql(col("f2") * col("f2"))).as("s22"),
+          exact_isum(ql(col("r") * col("f1"))).as("b1"),
+          exact_isum(ql(col("r") * col("f2"))).as("b2"))
       def u(c: org.apache.spark.sql.Column) = c.cast("double") / lit(1e9)
       val (s11, s12, s22) = (u(col("s11")) + lam, u(col("s12")),
         u(col("s22")) + lam)
@@ -143,7 +146,7 @@ object Factorize {
         "u")
       .join(v, "i")
       .agg(count(lit(1)).as("n_cells"),
-        sum(dec(floor(err * err * lit(1e6) + lit(0.5)))).as("seq"))
+        exact_isum(floor(err * err * lit(1e6) + lit(0.5))).as("seq"))
       .select(col("n_cells"),
         round(sqrt(col("seq").cast("double") / lit(1e6) / col("n_cells")),
           6).as("rmse"))

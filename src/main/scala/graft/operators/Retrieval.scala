@@ -29,7 +29,11 @@ object Retrieval {
   /** Postings (term, id, tf, dl) with doc length denormalized onto each
     * row — the probe-side join never needs the corpus again. */
   def postings(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(col(idCol).as("id"), tokens(lower(col(textCol))).as("tk"))
+    // Spread BELOW the tokenizer (r13): a one-split corpus file
+    // otherwise serializes the tokenize+explode map stage on one core;
+    // identity for multi-split inputs and derived frames ([[Spread]])
+    Spread(df.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"), tokens(lower(col("__t"))).as("tk"))
       .select(col("id"), size(col("tk")).cast("long").as("dl"),
         explode(col("tk")).as("term"))
       .groupBy(col("term"), col("id"), col("dl"))

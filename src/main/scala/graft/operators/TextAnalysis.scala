@@ -347,8 +347,9 @@ object TextAnalysis {
     * per-doc rank window is naturally bounded: its
     * partition is one document's distinct terms, which can never
     * exceed that document's token count. */
-  def tfidfKeywords(df: DataFrame, textCol: String, idCol: String,
+  def tfidfKeywords(df0: DataFrame, textCol: String, idCol: String,
                     topK: Int): DataFrame = {
+    val df = Spread(df0) // r13: parallelize the tokenize fan-out on one-split inputs
     val tf = CacheScope.scratch(df.select(col(idCol).as("doc_id"),
         tokens(lower(col(textCol))).as("__t"))
       .select(col("doc_id"), size(col("__t")).as("__dlen"),
@@ -386,9 +387,10 @@ object TextAnalysis {
     * (word)-keyed agg for scores, one broadcast-joinable word-score
     * frame (vocabulary-bounded) back onto phrase words, one
     * phrase-keyed agg, TakeOrdered top-k. No global sort. */
-  def rakeKeywords(df: DataFrame, textCol: String, idCol: String,
+  def rakeKeywords(df0: DataFrame, textCol: String, idCol: String,
                    topK: Int = 25, maxLen: Int = 4,
                    stops: Seq[String] = stopwordsEn): DataFrame = {
+    val df = Spread(df0) // r13: parallelize the phrase fan-out on one-split inputs
     val frags = df.select(col(idCol).as("doc_id"),
         posexplode(split(lower(col(textCol)), "[^a-z0-9\\s]+"))
           .as(Seq("frag_idx", "frag")))
@@ -471,9 +473,10 @@ object TextAnalysis {
     * Pair generation is map-only (per-row transform over the content
     * array — no self-join); the graph agg is vocabulary²-bounded but
     * support-pruned by `minCount` before ranking. */
-  def textRank(df: DataFrame, textCol: String, topK: Int = 30,
+  def textRank(df0: DataFrame, textCol: String, topK: Int = 30,
                iters: Int = 10, minCount: Int = 2,
                stops: Seq[String] = stopwordsEn): DataFrame = {
+    val df = Spread(df0) // r13: parallelize the pair fan-out on one-split inputs
     val toks = regexp_extract_all(lower(col(textCol)),
       lit("[a-z0-9]+"), lit(0))
     val content = filter(toks, t => !t.isin(stops: _*))
@@ -766,8 +769,9 @@ object TextAnalysis {
     * Totals ride along as 1-row broadcast joins. Determinism: ordering
     * is (rounded PMI desc, w1, w2), so the cut is stable and an
     * external engine replays it exactly. */
-  def pmiCollocations(df: DataFrame, textCol: String,
+  def pmiCollocations(df0: DataFrame, textCol: String,
                       minCount: Long = 5, topN: Int = 50): DataFrame = {
+    val df = Spread(df0) // r13: parallelize the tokenize on one-split inputs
     val toksDf = CacheScope.scratch(
       df.select(tokens(lower(col(textCol))).as("tk")))
     val ucnt = CacheScope.scratch(
@@ -1197,10 +1201,12 @@ object TextAnalysis {
     * Scale shape: map-side substring explode (bounded ≈ maxLen
     * substrings per character), one count agg with map-side combine,
     * count-floor prune BEFORE ranking, TakeOrdered top-V. */
-  def subwordVocab(df: DataFrame, textCol: String, minLen: Int = 2,
+  def subwordVocab(df0: DataFrame, textCol: String, minLen: Int = 2,
                    maxLen: Int = 6, topV: Int = 50,
                    minCount: Long = 2): DataFrame = {
-    val subs = df.select(explode(tokens(lower(col(textCol)))).as("tok"))
+    // r13: the substring fan-out is the whole cost — parallelize it on
+    // one-split inputs (measured 3 serial tasks at sf0.1)
+    val subs = Spread(df0).select(explode(tokens(lower(col(textCol)))).as("tok"))
       .filter(length(col("tok")) >= minLen)
       .select(col("tok"),
         explode(sequence(lit(minLen), least(lit(maxLen), length(col("tok")))))
