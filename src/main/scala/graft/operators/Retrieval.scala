@@ -57,6 +57,10 @@ object Retrieval {
   def bm25TopK(df: DataFrame, textCol: String, idCol: String,
                queries: DataFrame, k: Int,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // NOT scratch-cached (r13, measured): caching the spread postings
+    // frame races its build across the concurrent AQE broadcast jobs
+    // (retrieval_map 1.86 → 3.56 s) — the two consumers recomputing the
+    // (now parallel) pipeline is cheaper than the duplicated cache fill
     val post = postings(df, textCol, idCol)
     val stats = df.agg(
       count(lit(1)).as("n_docs"),
